@@ -1,0 +1,24 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.bridge
+
+/** Column-API entry points for graft's native Catalyst expressions. */
+object NativeFunctions {
+
+  /** k-permutation MinHash signature over w-shingles of a token array. */
+  def minhashSig(tokens: Column, shingleWidth: Int, k: Int): Column =
+    bridge.column(TokenMinHash(bridge.expression(tokens), shingleWidth, k))
+
+  /** Banded-LSH bucket digests (length `bands`) of the w-shingle MinHash. */
+  def minhashBands(tokens: Column, shingleWidth: Int, k: Int, bands: Int): Column =
+    bridge.column(TokenMinHash(bridge.expression(tokens), shingleWidth, k, bands))
+
+  /** 64-bit SimHash of an `array<long>` of token hashes. */
+  def simhash64(tokenHashes: Column): Column =
+    bridge.column(SimHash64(bridge.expression(tokenHashes)))
+
+  /** Jaccard similarity of two sorted distinct `array<long>` columns. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    bridge.column(SortedJaccard(bridge.expression(a), bridge.expression(b)))
+}

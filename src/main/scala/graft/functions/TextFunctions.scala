@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline, built entirely from
+  * codegen'd native Spark functions (no UDFs): token counting, quality
+  * features, marker-based language ID, canonical fingerprinting.
+  *
+  * Everything here is a scalar `Column => Column` so it fuses into whatever
+  * scan/projection the caller builds — at 100 TB these run inside
+  * WholeStageCodegen over the document scan with zero extra shuffles.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: ~4 chars per subword token (the public
+    * rule-of-thumb for byte-pair encoders).
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("long")
+
+  /** Count of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Number of tokens that are common-English stopwords. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin("the", "a", "an", "and", "of", "to", "in", "is")))
+
+  /** Stopword share of all tokens — a cheap fluency/quality signal. */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Composite quality heuristic in [0,1]-ish space: rewards stopword
+    * presence and moderate length, penalizes punctuation soup.
+    */
+  def qualityScore(text: Column): Column =
+    stopwordRatio(text) +
+      when(length(text).between(100, 2000), 0.5).otherwise(0.0) -
+      punctCount(text).cast("double") / length(text).cast("double")
+
+  /** Marker-token hits for one language's marker set. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+
+  /** Tiny marker-list language ID (public n-gram/stopword heuristic,
+    * cf. Cavnar & Trenkle 1994): argmax of per-language marker hits with a
+    * fixed tie order. Returns the predicted language code.
+    */
+  def langId(text: Column): Column = {
+    val en = markerHits(text, Seq("the", "a", "and", "of", "is"))
+    val fr = markerHits(text, Seq("le", "la", "et", "les", "des"))
+    val de = markerHits(text, Seq("der", "die", "und", "das", "ist"))
+    val es = markerHits(text, Seq("el", "los", "las", "una", "es"))
+    val best = greatest(en, fr, de, es)
+    when(best === lit(0), "und")
+      .when(en === best, "en")
+      .when(fr === best, "fr")
+      .when(de === best, "de")
+      .otherwise("es")
+  }
+
+  /** Canonical content fingerprint: md5 of the sorted distinct word set of
+    * the lowercased text — stable under word reordering and duplication, the
+    * classic "fingerprint" dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns using Spark's
+  * higher-order functions — no UDFs, no serialization off the JVM row
+  * format. Accumulation is sequential left-to-right (the `aggregate` HOF
+  * contract), so results are deterministic across partitionings.
+  */
+object VectorFunctions {
+
+  /** Elementwise product-sum of two equal-length vectors, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane signature bit: sign of dot(v, plane) where plane
+    * components are derived deterministically from (seed, dim index) via a
+    * splitmix-style integer hash — reproducible across the cluster with no
+    * broadcast state.
+    */
+  def hyperplaneBit(v: Column, seed: Int): Column = {
+    val planed = zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
+      // deterministic pseudo-random weight in [-1,1) from (seed, i)
+      val h = hash(i.cast("int"), lit(seed)).cast("double")
+      x.cast("double") * (h / 2147483648.0)
+    })
+    (aggregate(planed, lit(0.0), (acc, x) => acc + x) >= 0).cast("int")
+  }
+
+  /** k-bit random-hyperplane LSH bucket id for a vector. */
+  def lshBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(b => hyperplaneBit(v, b) * lit(1 << b))
+      .reduce(_ + _)
+}

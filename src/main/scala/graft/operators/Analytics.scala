@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP analytics over the replicated target — the query side of the
+  * reference pipeline (what a user points at ClickHouse once PeerDB has
+  * mirrored the tables): grouped aggregation, star-schema joins, selective
+  * scans, semi-joins, windowed ranking.
+  *
+  * Scale notes: every join against a dimension table is explicitly
+  * `broadcast(...)` — at 100 TB the fact tables (lineitem/orders/events)
+  * shuffle only for their own aggregation keys, never to co-locate with a
+  * dimension. Monetary math is done in DECIMAL(18,2) so results are exact
+  * and order-independent (safe under any partitioning / AQE re-plan).
+  */
+object Analytics {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary: wide grouped aggregation over the
+    * biggest fact table. Single shuffle on the tiny (flag,status) key space;
+    * all aggregates combine map-side.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).as("sum_qty"),
+        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style: revenue of unshipped orders per (order, date, priority).
+    * customer is broadcast; orders⋈lineitem shuffles on the order key only.
+    */
+  def unshippedRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .join(orders.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.where(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("revenue"))
+
+  /** TPC-H Q5-style: local-supplier volume per nation within one region.
+    * All four dims broadcast; the only shuffles are fact⋈fact on l_orderkey
+    * and the final tiny groupBy.
+    */
+  def regionVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                   supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val natInRegion = nation
+      .join(broadcast(region.where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    lineitem
+      .join(orders.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natInRegion), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q6-style: selective filter + single sum. The filters are plain
+    * comparisons so they push down into the parquet scan (`PushedFilters`),
+    * and only 3 columns are read.
+    */
+  def revenueDelta(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount")).as("revenue"))
+
+  /** TPC-H Q4-style: order counts per priority for orders with at least one
+    * late lineitem — a left-semi join, which shuffles only the keys.
+    */
+  def prioritySemiJoin(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(lineitem.where(col("l_shipdate") > lit("1996-06-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** Big-spender customers: per-customer order revenue with a HAVING cut. */
+  def topCustomers(customer: DataFrame, orders: DataFrame, minRevenue: Double): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(sum(dec("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .where(col("revenue") > lit(minRevenue))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+
+  /** Revenue rank of customers within their nation — windowed ranking over an
+    * already-aggregated (hence small) frame; rank ties are exact because the
+    * ranking key is a DECIMAL sum.
+    */
+  def nationRevenueRank(customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(sum(dec("o_totalprice")).as("revenue"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("c_custkey"))
+    perCust.select(col("n_name"), col("c_custkey"), col("revenue"),
+        rank().over(w).as("rev_rank"))
+      .where(col("rev_rank") <= 3)
+  }
+
+  /** Promo-share-style conditional aggregation per part type prefix. */
+  def partTypeShare(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"),
+          dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .otherwise(lit("0.0000").cast("decimal(38,4)"))).as("promo_revenue"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .as("total_revenue"))
+}

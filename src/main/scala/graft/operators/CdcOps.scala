@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC-log operators: the engine half of the reference pipeline.
+  *
+  * The reference replicates a PostgreSQL WAL into ClickHouse
+  * `ReplacingMergeTree` tables decorated with PeerDB metadata columns
+  * (`_peerdb_version`, `_peerdb_is_deleted`, `_peerdb_synced_at`,
+  * `_peerdb_batch_id`); reading the target collapses each key to its newest
+  * version and hides soft-deleted rows. Here the change log is any DataFrame
+  * with (key, version, op) columns and the collapse/metadata/history/stats
+  * operators are plain `DataFrame => DataFrame` transforms.
+  *
+  * Scale notes (100 TB): `latestSnapshot` is a single hash-shuffle on the key
+  * with map-side partial aggregation (`max_by` over a packed struct) — no
+  * global sort, no per-key window sort, skew handled by AQE. The SCD-2 and
+  * sessionization operators genuinely need per-key ordering and use a window
+  * over the same key partitioning (one shuffle, sort within partitions only).
+  */
+object CdcOps {
+
+  /** ReplacingMergeTree-FINAL semantics: newest row per key.
+    *
+    * One shuffle on `keys`; partial `max_by` runs map-side so the shuffle
+    * carries one packed row per key per mapper, not the whole log.
+    */
+  def latestSnapshot(log: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    val payload = log.columns.filterNot(keys.contains)
+    val packed = struct(col(versionCol) +: payload.filterNot(_ == versionCol).map(col): _*)
+    val picked = log.groupBy(keys.map(col): _*)
+      .agg(max_by(packed, col(versionCol)).as("_latest"))
+    val unpacked = keys.map(col) ++
+      (versionCol +: payload.filterNot(_ == versionCol)).map(c => col(s"_latest.$c").as(c))
+    // restore the caller's column order
+    picked.select(unpacked: _*).select(log.columns.map(col): _*)
+  }
+
+  /** Snapshot with soft-deleted keys removed: a key whose newest op satisfies
+    * `isDelete` is dropped, like filtering `_peerdb_is_deleted = 0`.
+    */
+  def softDeleteSnapshot(log: DataFrame, keys: Seq[String], versionCol: String,
+                         isDelete: Column): DataFrame =
+    latestSnapshot(log, keys, versionCol).where(!isDelete)
+
+  /** Decorate raw change rows with PeerDB-style mirror metadata columns. */
+  def withMirrorMeta(log: DataFrame, keys: Seq[String], versionCol: String,
+                     isDelete: Column, batchCol: Column): DataFrame =
+    log.withColumn("_peerdb_version", col(versionCol).cast("long"))
+      .withColumn("_peerdb_is_deleted", when(isDelete, 1).otherwise(0))
+      .withColumn("_peerdb_batch_id", batchCol)
+
+  /** SCD-2 history: every change becomes a validity interval
+    * [valid_from, valid_to) per key, newest row open-ended (null valid_to).
+    */
+  def scd2History(log: DataFrame, keys: Seq[String], tsCol: String,
+                  versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+    log.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
+  }
+
+  /** Per-batch sync statistics — the monitor's "rows synced per batch" view.
+    * One shuffle on the batch id; all aggregates combine map-side.
+    */
+  def batchStats(log: DataFrame, batchCol: Column, keys: Seq[String],
+                 opCol: Column, deleteOp: Column): DataFrame =
+    log.groupBy(batchCol.as("batch_id"))
+      .agg(
+        count(lit(1)).as("rows_synced"),
+        countDistinct(col(keys.head), keys.tail.map(col): _*).as("distinct_keys"),
+        sum(when(opCol === deleteOp, 1L).otherwise(0L)).as("delete_rows"))
+
+  /** Per-key change fan-out: how many versions each key accumulated. */
+  def versionCounts(log: DataFrame, keys: Seq[String], versionCol: String): DataFrame =
+    log.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_changes"), max(col(versionCol)).as("max_version"))
+
+  /** Per-op totals and share of the log — the monitor's event-type table. */
+  def opRates(log: DataFrame, opCol: Column): DataFrame = {
+    val counts = log.groupBy(opCol.as("op")).agg(count(lit(1)).as("n"))
+    // total via a scalar broadcast join (tiny), keeping everything one job
+    counts.crossJoin(broadcast(log.agg(count(lit(1)).as("total"))))
+      .select(col("op"), col("n"),
+        ((col("n") * lit(1000000L)) / col("total")).as("share_ppm"))
+  }
+
+  /** Gap-based sessionization: a new session starts when the key was idle for
+    * more than `gapSeconds`. Single shuffle on the key; session ids are a
+    * running sum of boundary flags within the per-key sort.
+    */
+  def sessionize(log: DataFrame, keys: Seq[String], tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val prevTs = lag(col(tsCol), 1).over(byKey)
+    val newSession = when(prevTs.isNull
+      .or(col(tsCol).cast("double") - prevTs.cast("double") > gapSeconds), 1L).otherwise(0L)
+    log.withColumn("session_seq", sum(newSession).over(
+      byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ExpressionUtils => EU}
+
+/** Bridge into Spark's `private[sql]` Column ⇄ catalyst Expression
+  * converters, so graft's native expressions can surface as `Column`s.
+  * Placed under `org.apache.spark.sql` (the standard extension-library
+  * pattern) to satisfy the access qualifier; no Spark internals are
+  * modified.
+  */
+object bridge {
+  def column(e: Expression): Column = EU.column(e)
+  def expression(c: Column): Expression = EU.expression(c)
+}

@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only; the shipped
+engine is the Scala library). Usage:
+  sbt 'runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out'
+  python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import json, sys, glob, os
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+names = sorted(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+fails = 0
+for name in names:
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no parquet written"); fails += 1; continue
+    spark_df = con.sql(f"SELECT * FROM '{files[0]}'").df()
+    nrows = len(spark_df)
+    if name not in oracle:
+        print(f"ROWS {name}: {nrows} rows (no oracle)"); continue
+    try:
+        duck_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+    a = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    b = duck_df.reindex(sorted(duck_df.columns), axis=1)
+    if list(a.columns) != list(b.columns):
+        print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+        fails += 1; continue
+    if len(a) != len(b):
+        print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}"); fails += 1; continue
+    a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
+    av = a.astype(str)
+    bv = b.astype(str)
+    if not av.equals(bv):
+        diff = (av != bv).any(axis=1)
+        print(f"FAIL {name}: {int(diff.sum())}/{len(a)} rows differ; first:")
+        idx = diff[diff].index[0]
+        print("  spark:", dict(a.iloc[idx]))
+        print("  duck :", dict(b.iloc[idx]))
+        fails += 1; continue
+    print(f"PASS {name}: {nrows} rows")
+print(f"\n{len(names)-fails}/{len(names)} ok")
+sys.exit(1 if fails else 0)
