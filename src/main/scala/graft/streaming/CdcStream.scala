@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming half of the CDC pipeline: the continuous
+  * capture → normalize → sync loop that PeerDB's flow-worker runs
+  * (docker-compose.yml services `flow-worker`/`flow_api` in the reference),
+  * re-expressed as Spark streams.
+  *
+  * Three composable stages:
+  *  - [[normalize]]: watermark + exact-once-per-version dedup of the raw
+  *    change feed (PeerDB's "normalize" step).
+  *  - [[runningLatest]]: stateful newest-version-per-key changelog via
+  *    `flatMapGroupsWithState` — emits a row whenever a key's latest row
+  *    changes, i.e. a ReplacingMergeTree that pushes updates.
+  *  - [[mirrorToParquet]]: `foreachBatch` merge into a bucketed parquet
+  *    mirror — batch-id'd upserts like PeerDB's sync step.
+  *
+  * Scale notes: state in `runningLatest` is one small row per key, hash
+  * partitioned by the grouping key (Spark shuffles each microbatch to the
+  * state store partitioning once). The parquet mirror is bucketed by key
+  * hash so a microbatch rewrites only the buckets it touches (dynamic
+  * partition overwrite), not the whole table; at production scale the same
+  * merge targets a transactional table format instead.
+  */
+object CdcStream {
+
+  /** A normalized change event, PeerDB-style: key + monotonically increasing
+    * version + op (insert/update/delete) + payload columns.
+    */
+  case class Change(key: Long, version: Long, op: String,
+                    ts: java.sql.Timestamp, payload: String)
+
+  /** Snapshot row the mirror maintains per key. */
+  case class Latest(key: Long, version: Long, op: String,
+                    ts: java.sql.Timestamp, payload: String, isDeleted: Boolean)
+
+  /** Watermark + dedup: at-least-once feeds often redeliver (PeerDB resumes
+    * from the replication slot); collapsing on (key, version) inside the
+    * watermark makes the downstream merge idempotent.
+    */
+  def normalize(changes: DataFrame, tsCol: String, keyCol: String,
+                versionCol: String, watermark: String = "1 hour"): DataFrame =
+    changes.withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq(keyCol, versionCol))
+
+  /** Stateful running-latest changelog: for each key, keep the max-version
+    * row in state; emit it whenever it changes. Update-mode compatible.
+    */
+  def runningLatest(changes: Dataset[Change], deleteOp: String = "delete"): Dataset[Latest] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState[Latest, Latest](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Change], state: GroupState[Latest]) =>
+          val incoming = rows.maxByOption(_.version)
+          val current = state.getOption
+          incoming match {
+            case Some(c) if current.forall(_.version < c.version) =>
+              val next = Latest(key, c.version, c.op, c.ts, c.payload, c.op == deleteOp)
+              state.update(next)
+              Iterator.single(next)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
+  /** Continuous parquet mirror: each microbatch is merged into
+    * `targetDir` keeping the newest version per key. The mirror is
+    * partitioned by `bucket = pmod(hash(key), nBuckets)` and only the
+    * buckets present in the batch are rewritten (dynamic partition
+    * overwrite); the merged buckets are materialized via localCheckpoint
+    * before the overwrite so the job never reads the files it is replacing.
+    */
+  def mirrorToParquet(changes: Dataset[Change], targetDir: String,
+                      checkpointDir: String, nBuckets: Int = 64,
+                      deleteOp: String = "delete",
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
+        mergeBatch(spark, batch, targetDir, nBuckets, deleteOp, batchId)
+      }
+      .start()
+  }
+
+  /** One microbatch upsert — also usable directly for backfills. */
+  def mergeBatch(spark: SparkSession, batch: Dataset[Change], targetDir: String,
+                 nBuckets: Int, deleteOp: String, batchId: Long): Unit = {
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val withBucket = batch.toDF()
+      .withColumn("is_deleted", col("op") === deleteOp)
+      .withColumn("_batch_id", lit(batchId))
+      .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
+    val touched = withBucket.select("bucket").distinct().as[Int].collect()
+    val existing =
+      try spark.read.parquet(targetDir).where(col("bucket").isin(touched.toSeq: _*))
+      catch { case _: Exception => spark.emptyDataFrame.withColumn("bucket", lit(0)) }
+    val unioned =
+      if (existing.columns.toSet == withBucket.columns.toSet) withBucket.unionByName(existing)
+      else withBucket // first batch: no mirror yet
+    val merged = graft.operators.CdcOps
+      .latestSnapshot(unioned, Seq("key"), "version")
+      .localCheckpoint(true) // materialize before overwriting the inputs
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(targetDir)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.CdcOps
+import org.apache.spark.sql.functions._
+
+class CdcOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val log = Seq(
+    // (key, version, op, value)
+    (1L, 1L, "insert", 10.0), (1L, 3L, "update", 30.0), (1L, 2L, "update", 20.0),
+    (2L, 5L, "insert", 50.0), (2L, 6L, "delete", 0.0),
+    (3L, 7L, "insert", 70.0)
+  ).toDF("key", "version", "op", "value")
+
+  test("latestSnapshot keeps exactly the max-version row per key") {
+    val snap = CdcOps.latestSnapshot(log, Seq("key"), "version")
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(snap.toSeq == Seq((1L, 3L, "update"), (2L, 6L, "delete"), (3L, 7L, "insert")))
+  }
+
+  test("latestSnapshot preserves the input column order") {
+    assert(CdcOps.latestSnapshot(log, Seq("key"), "version").columns.toSeq ==
+      Seq("key", "version", "op", "value"))
+  }
+
+  test("softDeleteSnapshot drops keys whose newest op is a delete") {
+    val snap = CdcOps.softDeleteSnapshot(log, Seq("key"), "version", col("op") === "delete")
+    assert(snap.select("key").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("scd2History closes intervals with the next change and marks current") {
+    val hist = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (1L, 2L, ts("2024-01-02 00:00:00"))
+    ).toDF("key", "version", "t")
+    val rows = CdcOps.scd2History(hist, Seq("key"), "t", "version")
+      .orderBy("version")
+      .select("valid_from", "valid_to", "is_current").collect()
+    assert(rows(0).getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    assert(rows(0).getTimestamp(1) == ts("2024-01-02 00:00:00"))
+    assert(!rows(0).getBoolean(2) && rows(1).getBoolean(2))
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("sessionize starts a new session after the idle gap") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 02:00:00")), // > 30 min gap → new session
+      (2L, ts("2024-01-01 00:00:00"))
+    ).toDF("key", "t")
+    val out = CdcOps.sessionize(events, Seq("key"), "t", 1800L)
+      .groupBy("key").agg(max("session_seq").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("batchStats counts rows, keys and deletes per batch") {
+    val withBatch = log.withColumn("b", when(col("version") <= 3, 1).otherwise(2))
+    val stats = CdcOps.batchStats(withBatch, col("b"), Seq("key"), col("op"), lit("delete"))
+      .orderBy("batch_id")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(stats.toSeq == Seq((1, 3L, 1L, 0L), (2, 3L, 2L, 1L)))
+  }
+}

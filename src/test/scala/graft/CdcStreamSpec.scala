@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.CdcStream
+import graft.streaming.CdcStream.{Change, Latest}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
+class CdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("runningLatest emits only when a key's newest version advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcStream.runningLatest(input.toDS())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "v1"),
+        Change(1L, 2L, "update", ts("2024-01-01 00:01:00"), "v2"),
+        Change(2L, 1L, "insert", ts("2024-01-01 00:00:30"), "w1"))
+      q.processAllAvailable()
+      // stale + duplicate deliveries must not emit
+      input.addData(
+        Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "v1"),
+        Change(2L, 1L, "insert", ts("2024-01-01 00:00:30"), "w1"))
+      q.processAllAvailable()
+      input.addData(Change(2L, 3L, "delete", ts("2024-01-01 00:02:00"), "w3"))
+      q.processAllAvailable()
+
+      val out = spark.table("latest_out").as[Latest].collect()
+      assert(out.length == 3) // (1,v2), (2,w1), (2,w3-delete); stale batch emitted nothing
+      val last = out.filter(_.key == 2L).maxBy(_.version)
+      assert(last.isDeleted && last.version == 3L)
+      assert(out.filter(_.key == 1L).map(_.version).toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
+  test("normalize dedups redelivered (key, version) pairs inside the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcStream.normalize(input.toDF(), "ts", "key", "version")
+      .writeStream.format("memory").queryName("norm_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "a"),
+        Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "a"),
+        Change(1L, 2L, "update", ts("2024-01-01 00:01:00"), "b"))
+      q.processAllAvailable()
+      assert(spark.table("norm_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("mirrorToParquet maintains newest-version-per-key across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("graft_mirror").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Change]
+    input.addData(
+      Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "v1"),
+      Change(2L, 1L, "insert", ts("2024-01-01 00:00:10"), "w1"))
+    val q1 = CdcStream.mirrorToParquet(input.toDS(), target, ckpt, nBuckets = 4)
+    q1.awaitTermination()
+    input.addData(
+      Change(1L, 2L, "update", ts("2024-01-01 00:01:00"), "v2"),
+      Change(3L, 1L, "insert", ts("2024-01-01 00:01:30"), "x1"))
+    val q2 = CdcStream.mirrorToParquet(input.toDS(), target, ckpt, nBuckets = 4)
+    q2.awaitTermination()
+
+    val mirror = spark.read.parquet(target)
+      .select("key", "version", "payload").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(mirror.toSeq == Seq((1L, 2L, "v2"), (2L, 1L, "w1"), (3L, 1L, "x1")))
+  }
+}

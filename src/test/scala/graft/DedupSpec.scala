@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private lazy val docs = Seq(
+    (0L, base, "en"),
+    (1L, base, "en"),                               // exact duplicate of 0
+    (2L, base.replace("today", "tomorrow"), "en"),  // near-duplicate of 0
+    (3L, "completely different words about spark shuffles and partitions", "en"),
+    (4L, "texte francais sans rapport avec les autres documents ici", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup collapses identical content and keeps the smallest id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    val dup = out.where($"n_copies" === 2).as[(String, Long, Long)].collect()
+    assert(dup.length == 1 && dup.head._2 == 0L)
+  }
+
+  test("minhashLsh surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
+  }
+
+  test("simhash is identical for identical docs and close for near-dups") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(sig(0L) == sig(1L))
+    val hamming = java.lang.Long.bitCount(sig(0L) ^ sig(2L))
+    assert(hamming <= 16, s"near-dup hamming was $hamming")
+    val far = java.lang.Long.bitCount(sig(0L) ^ sig(3L))
+    assert(far > hamming)
+  }
+
+  test("simhashPairs returns near pairs within hamming budget") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngramJaccardPairs computes exact word-set jaccard above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    // doc2 swaps one of 11 distinct words: |∩|=10, |∪|=12
+    assert(math.abs(pairs((0L, 2L)) - 10.0 / 12.0) < 1e-12)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("embeddingPairs finds same-direction vectors via LSH blocking") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.1f, 0f, 0f)), // nearly parallel to 0
+      (2L, Array(-1f, 0f, 0f, 0f))      // opposite
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.9, lshBits = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
