@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * mirrored the tables): grouped aggregation, star-schema joins, selective
   * scans, semi-joins, windowed ranking.
   *
-  * Scale notes: every join against a dimension table is explicitly
-  * `broadcast(...)` — at 100 TB the fact tables (lineitem/orders/events)
-  * shuffle only for their own aggregation keys, never to co-locate with a
-  * dimension. Monetary math is done in DECIMAL(18,2) so results are exact
-  * and order-independent (safe under any partitioning / AQE re-plan).
+  * Scale notes: joins against the *bounded* dimensions (region=5 rows,
+  * nation=25 rows at every scale factor) are explicitly `broadcast(...)`;
+  * dimensions whose cardinality grows with the scale factor (customer,
+  * supplier, part) are left to Catalyst/AQE, which broadcasts them while
+  * they fit and falls back to a shuffle join at 100 TB where a forced
+  * broadcast would OOM the executors. Monetary math is done in
+  * DECIMAL(18,2) so results are exact and order-independent (safe under
+  * any partitioning / AQE re-plan).
   */
 object Analytics {
 
@@ -42,7 +45,7 @@ object Analytics {
     lineitem.where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .join(orders.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.where(col("c_mktsegment") === "BUILDING")),
+      .join(customer.where(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
@@ -61,9 +64,9 @@ object Analytics {
       .join(orders.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
         && col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(natInRegion), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey")
+      .join(customer, col("o_custkey") === col("c_custkey")
         && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
@@ -98,7 +101,7 @@ object Analytics {
     orders.groupBy(col("o_custkey"))
       .agg(sum(dec("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .where(col("revenue") > lit(minRevenue))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
 
   /** Revenue rank of customers within their nation — windowed ranking over an
@@ -108,7 +111,7 @@ object Analytics {
   def nationRevenueRank(customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame = {
     val perCust = orders.groupBy(col("o_custkey"))
       .agg(sum(dec("o_totalprice")).as("revenue"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("c_custkey"))
     perCust.select(col("n_name"), col("c_custkey"), col("revenue"),
@@ -118,7 +121,7 @@ object Analytics {
 
   /** Promo-share-style conditional aggregation per part type prefix. */
   def partTypeShare(part: DataFrame, lineitem: DataFrame): DataFrame =
-    lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         sum(when(col("p_type").startsWith("PROMO"),
