@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot + mirror bootstrap: the "initial load" phase of the reference
+  * pipeline (PeerDB copies each source table in full before tailing the
+  * WAL; `quickstart_prepare_peers.sh` creates those source tables).
+  *
+  * [[fullLoad]] stamps PeerDB-style metadata and writes the bucketed parquet
+  * layout that [[graft.streaming.CdcStream.mirrorToParquet]] then keeps
+  * fresh — bucket = pmod(hash(key), nBuckets), so incremental microbatches
+  * rewrite only touched buckets.
+  */
+object Mirror {
+
+  /** Full snapshot load into the mirror layout. `versionCol` seeds
+    * `_peerdb_version` (pass `lit(0L)` when the source has no LSN analog).
+    */
+  def fullLoad(source: DataFrame, targetDir: String, keyCol: String,
+               version: org.apache.spark.sql.Column, batchId: Long = 0L,
+               nBuckets: Int = 64): Unit =
+    source
+      .withColumn("_peerdb_version", version.cast("long"))
+      .withColumn("_peerdb_is_deleted", lit(0))
+      .withColumn("_peerdb_batch_id", lit(batchId))
+      .withColumn("bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(targetDir)
+
+  /** Read the mirror back, newest version per key, soft-deletes dropped —
+    * ReplacingMergeTree FINAL over the bucketed layout.
+    */
+  def readFinal(spark: SparkSession, targetDir: String, keyCol: String): DataFrame =
+    graft.operators.CdcOps
+      .latestSnapshot(spark.read.parquet(targetDir), Seq(keyCol), "_peerdb_version")
+      .where(col("_peerdb_is_deleted") === 0)
+
+  /** Partitioned JDBC snapshot read — how the initial load scales against a
+    * real PostgreSQL peer: `numPartitions` parallel range queries on a
+    * numeric key instead of one connection streaming the whole table.
+    * (Exercised only in deployments with a reachable database; this
+    * container has none, so this stays a thin assembly of public
+    * `spark.read.jdbc` options.)
+    */
+  def jdbcSnapshot(spark: SparkSession, url: String, table: String,
+                   partitionColumn: String, lowerBound: Long, upperBound: Long,
+                   numPartitions: Int,
+                   connectionProps: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, connectionProps)
+}

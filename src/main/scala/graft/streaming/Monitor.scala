@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Pipeline monitoring — the Spark twin of the reference's
+  * `peerdb_psql_clickhouse_monitor.ps1`, which polls per-mirror batch ids,
+  * rows synced, and docker resource usage. Here the signal comes from
+  * Structured Streaming's progress events: one [[BatchStat]] per microbatch
+  * with rows in, processing time, and rows/sec, retained in a bounded
+  * in-memory ring (the driver-side footprint is O(retain), independent of
+  * stream length).
+  */
+final class Monitor(retain: Int = 1024) extends StreamingQueryListener {
+
+  /** One microbatch's sync statistics. */
+  case class BatchStat(queryName: String, batchId: Long, numInputRows: Long,
+                       inputRowsPerSecond: Double, processedRowsPerSecond: Double,
+                       durationMs: Long)
+
+  private val stats = new ConcurrentLinkedQueue[BatchStat]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    stats.add(BatchStat(
+      Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows,
+      safe(p.inputRowsPerSecond), safe(p.processedRowsPerSecond),
+      p.durationMs.asScala.values.map(_.longValue).sum))
+    while (stats.size() > retain) stats.poll()
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  private def safe(d: Double) = if (d.isNaN || d.isInfinite) 0.0 else d
+
+  /** Snapshot of retained batch stats, oldest first. */
+  def batches: Seq[BatchStat] = stats.asScala.toSeq
+
+  /** Total rows synced across retained batches (monitor's headline number). */
+  def totalRowsSynced: Long = batches.map(_.numInputRows).sum
+
+  /** Mean processed-rows/sec over retained non-empty batches. */
+  def meanThroughput: Double = {
+    val bs = batches.filter(_.numInputRows > 0)
+    if (bs.isEmpty) 0.0 else bs.map(_.processedRowsPerSecond).sum / bs.size
+  }
+}
+
+object Monitor {
+  /** Attach a monitor to the session's streams. */
+  def attach(spark: SparkSession, retain: Int = 1024): Monitor = {
+    val m = new Monitor(retain)
+    spark.streams.addListener(m)
+    m
+  }
+}
