@@ -66,6 +66,37 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))),
 
+    // ---- extended analytics ----------------------------------------------
+    "asof_purchase_click" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      AsOfJoin.backward(
+        t(s, d, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        t(s, d, "events").where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "ts")
+    }),
+    "events_pivot" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1))).na.fill(0L)),
+    "rollup_revenue" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))),
+    "value_percentiles" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"))),
+    "uniq_users_hll" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))),
+
     // ---- text analysis ----------------------------------------------------
     "text_token_stats" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("lang"))
@@ -172,6 +203,31 @@ object SparkEntry {
          sum($rev) AS total_revenue
          FROM lineitem, part WHERE l_partkey = p_partkey
          GROUP BY p_brand""",
+    "asof_purchase_click" ->
+      """SELECT p.user_id, p.event_id, p.ts, p.value,
+                c.event_id AS r_event_id, c.ts AS r_ts, c.value AS r_value
+         FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "events_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+         FROM events GROUP BY user_id""",
+    "rollup_revenue" ->
+      """SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                count(*) AS n_orders
+         FROM orders, customer, nation, region
+         WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)""",
+    "value_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.95) AS p95
+         FROM events GROUP BY event_type""",
     "cdc_latest_snapshot" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""",
