@@ -136,6 +136,10 @@ object SparkEntry {
       val embs = t(s, d, "embeddings")
       Similarity.lshTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    "ann_ivf" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      Similarity.ivfTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
 
     // ---- multimodal -------------------------------------------------------
     "mm_meta_stats" -> ((s, d) => Multimodal.mediaTypeStats(t(s, d, "documents"), "doc_id", "text")),

@@ -44,6 +44,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).contains(1L))
   }
 
+  test("ivfTopK probes nearest centroid lists and finds the parallel vector") {
+    val out = Similarity.ivfTopK(corpus, corpus.where($"vec_id" === 0),
+      "vec_id", "embedding", 3, centroidStride = 2, nProbe = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(out.forall(_._1 == 0L))
+    assert(out.forall(r => r._2 != 0L))
+    assert(out.map(_._3).sorted.toSeq == (1 to out.length).toSeq)
+    assert(out.map(_._2).contains(1L))
+  }
+
   test("lsh bucket of identical vectors is identical") {
     val b = corpus.select(VectorFunctions.lshBucket($"embedding", 8).as("b"))
       .where($"b".isNotNull).count()
