@@ -116,6 +116,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    "text_winnow_fp" -> ((s, d) =>
+      Dedup.winnowPairs(t(s, d, "documents"), "doc_id", "text")),
 
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),

@@ -1,0 +1,47 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for graft's native expressions, injectable two ways:
+  *
+  *  - config: `spark.sql.extensions=graft.expressions.GraftExtensions`
+  *  - imperative: `org.apache.spark.sql.graft.bridge.registerFunctions(spark)`
+  *
+  * After either, `spark.sql` understands `token_minhash(tokens, w, k[,
+  * bands])`, `simhash64(hashes)`, `sorted_jaccard(a, b)` and
+  * `rolling_fingerprint(text[, k, w])`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(args: Seq[Expression], i: Int, name: String): Int =
+    args(i) match {
+      case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be a literal integer, got $other")
+    }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("token_minhash"),
+      new ExpressionInfo(classOf[TokenMinHash].getName, "token_minhash"),
+      (args: Seq[Expression]) => TokenMinHash(args.head,
+        intLit(args, 1, "token_minhash"), intLit(args, 2, "token_minhash"),
+        if (args.size > 3) intLit(args, 3, "token_minhash") else 0)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      (args: Seq[Expression]) => SortedJaccard(args.head, args(1))),
+    (FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprint(args.head,
+        if (args.size > 1) intLit(args, 1, "rolling_fingerprint") else 8,
+        if (args.size > 2) intLit(args, 2, "rolling_fingerprint") else 16)))
+}

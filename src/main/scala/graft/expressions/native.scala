@@ -21,4 +21,8 @@ object NativeFunctions {
   /** Jaccard similarity of two sorted distinct `array<long>` columns. */
   def sortedJaccard(a: Column, b: Column): Column =
     bridge.column(SortedJaccard(bridge.expression(a), bridge.expression(b)))
+
+  /** Winnowed rolling-hash fingerprint set of a string column (MOSS). */
+  def rollingFingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
+    bridge.column(RollingFingerprint(bridge.expression(text), k, w))
 }

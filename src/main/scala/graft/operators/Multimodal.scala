@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) travels through the
@@ -41,6 +41,49 @@ object Multimodal {
       .withColumn("pixels", (col("meta.width") * col("meta.height")).cast("long"))
       .withColumn("aspect_pct",
         (col("meta.width") * 100L).cast("long") / col("meta.height").cast("long"))
+
+  /** One media item as the typed decode pipeline sees it. */
+  case class MediaItem(id: Long, payload: Array[Byte], width: Int, height: Int,
+                       mediaType: String)
+
+  /** Decoded per-item features. */
+  case class MediaFeatures(id: Long, mediaType: String, nBytes: Long,
+                           checksum: Long, pixels: Long)
+
+  /** A codec: one partition-worth of items to features. Runs once per
+    * partition so a real implementation amortizes model/codec init across
+    * the batch (the same shape `mapInPandas` gives Python codecs).
+    */
+  type Codec = Iterator[MediaItem] => Iterator[MediaFeatures]
+
+  /** STUB codec: deterministic byte checksum in place of pixel decoding.
+    * Swap for a JNI/Java image codec at deployment; the pipeline shape
+    * (partition iterator in, features out) does not change.
+    */
+  val stubCodec: Codec = items => items.map { it =>
+    var sum = 0L
+    var i = 0
+    while (i < it.payload.length) { sum = sum * 31 + (it.payload(i) & 0xff); i += 1 }
+    MediaFeatures(it.id, it.mediaType, it.payload.length.toLong, sum,
+      it.width.toLong * it.height)
+  }
+
+  /** Typed decode pass over the media frame produced by [[withMediaColumns]]:
+    * `Dataset[MediaItem] → Dataset[MediaFeatures]` via `mapPartitions` with a
+    * pluggable [[Codec]] — the per-item kernel is opaque imperative code
+    * (image decoding), which is the one place `mapPartitions` beats
+    * expressing work as columns.
+    */
+  def decode(media: DataFrame, codec: Codec = stubCodec): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(
+        col("doc_id").as("id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.media_type").as("mediaType"))
+      .as[MediaItem]
+      .mapPartitions(codec)
+  }
 
   /** Per-media-type rollup of decoded stats — the typical post-decode
     * aggregation (one map-side-combined shuffle on the tiny type key).

@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.{ExpressionUtils => EU}
 object bridge {
   def column(e: Expression): Column = EU.column(e)
   def expression(c: Column): Expression = EU.expression(c)
+
+  /** Register graft's SQL functions on an already-running session (the
+    * `spark.sql.extensions` config path only applies at session build).
+    */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    graft.expressions.GraftExtensions.functions.foreach { case (id, info, builder) =>
+      classic.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+  }
 }

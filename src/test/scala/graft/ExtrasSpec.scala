@@ -1,0 +1,72 @@
+package graft
+
+import graft.expressions.RollingFingerprint
+import graft.operators.{Multimodal, Skew}
+import graft.operators.Skew.SaltedAggSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL functions are callable after bridge.registerFunctions") {
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    val j = spark.sql("SELECT sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS j")
+      .as[Double].head()
+    assert(j == 0.5)
+    val mh = spark.sql("SELECT size(token_minhash(array('a','b','c','d'), 3, 16)) AS n")
+      .as[Int].head()
+    assert(mh == 16)
+    val sh = spark.sql("SELECT simhash64(array(5L)) AS s").as[Long].head()
+    assert(sh == 5L)
+    val fp = spark.sql("SELECT size(rolling_fingerprint('abcdefghijklmnopqrstuvwxyz')) AS n")
+      .as[Int].head()
+    assert(fp >= 1)
+  }
+
+  test("rolling fingerprint shares entries for documents with a long common substring") {
+    val common = "this exact long passage appears verbatim in both documents end"
+    val a = RollingFingerprint.compute(
+      UTF8String.fromString("prefix one " + common + " suffix alpha"), 8, 16).toSet
+    val b = RollingFingerprint.compute(
+      UTF8String.fromString("other start " + common + " different tail"), 8, 16).toSet
+    val c = RollingFingerprint.compute(
+      UTF8String.fromString("entirely unrelated text with no overlap at all here"), 8, 16).toSet
+    assert((a & b).nonEmpty)
+    assert((a & c).isEmpty)
+  }
+
+  test("rolling fingerprint of short text degrades to a whole-text hash") {
+    val s = RollingFingerprint.compute(UTF8String.fromString("abc"), 8, 16)
+    assert(s.length == 1)
+  }
+
+  test("typed multimodal decode produces per-item features via mapPartitions") {
+    val docs = Seq((0L, "hello"), (1L, "world!")).toDF("doc_id", "text")
+    val feats = Multimodal.decode(Multimodal.withMediaColumns(docs, "doc_id", "text"))
+      .collect().sortBy(_.id)
+    assert(feats.map(_.nBytes).toSeq == Seq(5L, 6L))
+    assert(feats(0).pixels == 64L * 64L)
+    assert(feats.map(_.checksum).distinct.length == 2)
+  }
+
+  test("saltedAgg matches the unsalted aggregation") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L)).toDF("k", "v")
+    val out = Skew.saltedAgg(df, Seq("k"), saltBuckets = 8, Seq(
+        SaltedAggSpec("total", col("v"), sum, sum),
+        SaltedAggSpec("n", col("v"), c => count(c), sum),
+        SaltedAggSpec("mx", col("v"), max, max)))
+      .orderBy("k").as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("a", 6L, 3L, 3L), ("b", 10L, 1L, 10L)))
+  }
+
+  test("saltedJoin equals the plain join result") {
+    val left = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "lv")
+    val right = Seq(("a", 100), ("b", 200)).toDF("k", "rv")
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltBuckets = 4)
+      .select("k", "lv", "rv").as[(String, Int, Int)].collect().toSet
+    val plain = left.join(right, "k")
+      .select("k", "lv", "rv").as[(String, Int, Int)].collect().toSet
+    assert(salted == plain)
+  }
+}
