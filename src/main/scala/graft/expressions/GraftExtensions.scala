@@ -39,6 +39,9 @@ object GraftExtensions {
     (FunctionIdentifier("sorted_jaccard"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
       (args: Seq[Expression]) => SortedJaccard(args.head, args(1))),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))),
     (FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       (args: Seq[Expression]) => RollingFingerprint(args.head,

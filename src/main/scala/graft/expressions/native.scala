@@ -25,4 +25,8 @@ object NativeFunctions {
   /** Winnowed rolling-hash fingerprint set of a string column (MOSS). */
   def rollingFingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     bridge.column(RollingFingerprint(bridge.expression(text), k, w))
+
+  /** One-pass cosine similarity of two `array<float|double>` columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
 }

@@ -19,8 +19,12 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity in double precision — delegates to the native
+    * one-pass [[graft.expressions.CosineSim]] (bit-identical to the HOF
+    * formulation `dot/(‖a‖·‖b‖)`, ~3×dim fewer interpreted lambda calls).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.NativeFunctions.cosineSim(a, b)
 
   /** Squared euclidean distance. */
   def sqDist(a: Column, b: Column): Column =
