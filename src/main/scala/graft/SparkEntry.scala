@@ -65,6 +65,11 @@ object SparkEntry {
       CdcOps.sessionize(t(s, d, "events"), Seq("user_id"), "ts", 1800L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))),
+    "mirror_validation" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.sources.Mirror.validateCounts(ev,
+        CdcOps.latestSnapshot(ev, Seq("user_id"), "event_id"), Seq("user_id"))
+    }),
 
     // ---- extended analytics ----------------------------------------------
     "asof_purchase_click" -> ((s, d) => {
@@ -98,6 +103,11 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"))),
 
     // ---- text analysis ----------------------------------------------------
+    "docs_quality_filter" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(TextFunctions.qualityScore(col("text")) >= 0.5
+          && TextFunctions.tokenCount(col("text")) >= 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
     "text_token_stats" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -278,6 +288,25 @@ object SparkEntry {
                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
          GROUP BY user_id""",
+    "mirror_validation" ->
+      """SELECT s.src_rows, s.src_keys, d.dst_rows, d.dst_keys,
+                (s.src_keys = d.dst_keys) AS keys_match
+         FROM (SELECT count(*) AS src_rows, count(DISTINCT user_id) AS src_keys FROM events) s,
+              (SELECT count(*) AS dst_rows, count(DISTINCT user_id) AS dst_keys FROM (
+                 SELECT user_id FROM events
+                 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)) d""",
+    "docs_quality_filter" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  len(string_split(text, ' ')) AS nt,
+                  (CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+                     / len(string_split(text, ' '))
+                   + CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END)
+                   - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                     / length(text) AS q
+           FROM documents)
+         WHERE q >= 0.5 AND nt >= 20""",
     "text_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -35,6 +35,20 @@ object Mirror {
       .latestSnapshot(spark.read.parquet(targetDir), Seq(keyCol), "_peerdb_version")
       .where(col("_peerdb_is_deleted") === 0)
 
+  /** Mirror consistency report — the monitor's source-vs-target row-count
+    * validation (`peerdb_psql_clickhouse_monitor.ps1` compares PostgreSQL
+    * and ClickHouse counts per table). One row: counts + distinct keys on
+    * both sides and whether they line up. Both sides aggregate to a single
+    * row before the join, so this is two scans and no shuffle of data rows.
+    */
+  def validateCounts(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame = {
+    def stats(df: DataFrame, prefix: String) =
+      df.agg(count(lit(1)).as(s"${prefix}_rows"),
+        countDistinct(col(keys.head), keys.tail.map(col): _*).as(s"${prefix}_keys"))
+    stats(source, "src").crossJoin(stats(target, "dst"))
+      .withColumn("keys_match", col("src_keys") === col("dst_keys"))
+  }
+
   /** Partitioned JDBC snapshot read — how the initial load scales against a
     * real PostgreSQL peer: `numPartitions` parallel range queries on a
     * numeric key instead of one connection streaming the whole table.

@@ -55,6 +55,37 @@ class CdcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed streaming aggregation honors the watermark (late rows dropped)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Change]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("op"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("op"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Change(1L, 1L, "insert", ts("2024-01-01 00:05:00"), "a"),
+        Change(2L, 2L, "insert", ts("2024-01-01 00:40:00"), "b"))
+      q.processAllAvailable()
+      // advance watermark far past the first window, then send a late row into it
+      input.addData(Change(3L, 3L, "insert", ts("2024-01-01 03:00:00"), "c"))
+      q.processAllAvailable()
+      input.addData(Change(4L, 4L, "insert", ts("2024-01-01 00:10:00"), "late"))
+      q.processAllAvailable()
+      input.addData(Change(5L, 5L, "insert", ts("2024-01-01 05:00:00"), "d"))
+      q.processAllAvailable()
+
+      val rows = spark.table("win_out")
+        .select("ws", "n").as[(java.sql.Timestamp, Long)].collect().toMap
+      // first window closed with exactly 2 rows; the late row never reopened it
+      assert(rows(ts("2024-01-01 00:00:00")) == 2L)
+    } finally q.stop()
+  }
+
   test("mirrorToParquet maintains newest-version-per-key across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     val target = Files.createTempDirectory("graft_mirror").toString + "/t"
