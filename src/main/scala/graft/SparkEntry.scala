@@ -39,6 +39,17 @@ object SparkEntry {
       Analytics.nationRevenueRank(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
     "part_type_share" -> ((s, d) =>
       Analytics.partTypeShare(t(s, d, "part"), t(s, d, "lineitem"))),
+    "q22_idle_customers" -> ((s, d) =>
+      // "idle" = no order since 1999 (every customer has *some* order)
+      Analytics.idleCustomers(t(s, d, "customer"),
+        t(s, d, "orders").where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")))),
+    "q13_order_distribution" -> ((s, d) =>
+      Analytics.orderCountDistribution(t(s, d, "customer"), t(s, d, "orders"))),
+    "q18_large_orders" -> ((s, d) =>
+      Analytics.largeOrders(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"), 150)),
+    "q7_nation_volume" -> ((s, d) =>
+      Analytics.nationVolume(t(s, d, "supplier"), t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "nation"), "NATION_3", "NATION_7")),
 
     // ---- CDC core ---------------------------------------------------------
     "cdc_latest_snapshot" -> ((s, d) =>
@@ -219,6 +230,37 @@ object SparkEntry {
          sum($rev) AS total_revenue
          FROM lineitem, part WHERE l_partkey = p_partkey
          GROUP BY p_brand""",
+    "q22_idle_customers" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+         FROM customer, (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+                                count(*) AS bal_n
+                         FROM customer WHERE c_acctbal > 0) t
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1999-01-01')
+           AND CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum""",
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+         FROM orders, customer,
+              (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+               FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150) b
+         WHERE o_orderkey = b.l_orderkey AND o_custkey = c_custkey""",
+    "q7_nation_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  year(l_shipdate) AS l_year, $rev AS volume
+           FROM lineitem, orders, supplier, customer, nation n1, nation n2
+           WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+             AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+             AND c_nationkey = n2.n_nationkey
+             AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+         GROUP BY supp_nation, cust_nation, l_year""",
     "asof_purchase_click" ->
       """SELECT p.user_id, p.event_id, p.ts, p.value,
                 c.event_id AS r_event_id, c.ts AS r_ts, c.value AS r_value

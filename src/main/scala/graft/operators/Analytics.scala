@@ -119,6 +119,69 @@ object Analytics {
       .where(col("rev_rank") <= 3)
   }
 
+  /** TPC-H Q22-style: well-funded customers with no orders — an anti-join.
+    * The "above average balance" threshold is evaluated as
+    * `balance × N > ΣbalancesN` (all DECIMAL/integer math) so the cut is
+    * exact under any aggregation order; the scalar aggregate broadcasts.
+    */
+  def idleCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val totals = customer.where(col("c_acctbal") > 0)
+      .agg(sum(dec("c_acctbal")).as("bal_sum"), count(lit(1)).as("bal_n"))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(totals))
+      .where(dec("c_acctbal") * col("bal_n") > col("bal_sum"))
+      .select(col("c_custkey"), col("c_name"), dec("c_acctbal").as("acctbal"))
+  }
+
+  /** TPC-H Q13-style: distribution of orders-per-customer including
+    * zero-order customers — left outer join, then a two-level aggregation.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q18-style: orders whose total lineitem quantity exceeds the
+    * threshold, with customer context — HAVING over a join aggregate. The
+    * quantity rollup happens before the customer join, so only qualifying
+    * orders reach it.
+    */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  minQty: Int): DataFrame = {
+    val bigOrders = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    orders.join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+  }
+
+  /** TPC-H Q7-style: shipping volume between two nations, both directions,
+    * per year. Bounded dims broadcast; the year comes from the ship date.
+    */
+  def nationVolume(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame, nation: DataFrame,
+                   nationA: String, nationB: String): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB)
+        || (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("revenue"))
+  }
+
   /** Promo-share-style conditional aggregation per part type prefix. */
   def partTypeShare(part: DataFrame, lineitem: DataFrame): DataFrame =
     lineitem.join(part, col("l_partkey") === col("p_partkey"))

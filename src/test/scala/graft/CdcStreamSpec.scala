@@ -39,6 +39,40 @@ class CdcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed runningLatest converges to the batch latestSnapshot on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").as("key"), col("event_id").as("version"),
+        col("event_type").as("op"), col("ts"), col("props").as("payload"))
+      .as[Change].collect().sortBy(_.version)
+
+    val input = MemoryStream[Change]
+    val q = CdcStream.runningLatest(input.toDS(), deleteOp = "error")
+      .writeStream.format("memory").queryName("golden_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      events.grouped(events.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // final state per key = newest emitted row per key
+      val streamed = spark.table("golden_out").as[Latest].collect()
+        .groupBy(_.key).map { case (k, rows) => k -> rows.maxBy(_.version) }
+      val batch = operators.CdcOps.latestSnapshot(
+        Tables.load(spark, "/root/testdata/sf0.001", "events"),
+        Seq("user_id"), "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, l) =>
+        assert((l.version, l.op) == batch(k), s"key $k diverged")
+      }
+    } finally q.stop()
+  }
+
   test("normalize dedups redelivered (key, version) pairs inside the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
