@@ -119,6 +119,9 @@ object SparkEntry {
         .where(TextFunctions.qualityScore(col("text")) >= 0.5
           && TextFunctions.tokenCount(col("text")) >= 20)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    "docs_train_test_split" -> ((s, d) =>
+      Sampling.splitByKey(t(s, d, "documents"), col("doc_id"), 0.1)
+        .groupBy(col("lang"), col("is_test")).agg(count(lit(1)).as("n_docs"))),
     "text_token_stats" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -349,6 +352,10 @@ object SparkEntry {
                      / length(text) AS q
            FROM documents)
          WHERE q >= 0.5 AND nt >= 20""",
+    "docs_train_test_split" ->
+      """SELECT lang, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
+                count(*) AS n_docs
+         FROM documents GROUP BY lang, is_test""",
     "text_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, key-stable sampling and splitting for training-data
+  * pipelines. Unlike `df.sample` (seeded per partition — results change
+  * with partitioning and Spark version), these derive the decision from the
+  * key alone: the same row lands in the same split on every run, on every
+  * cluster layout, and rows sharing a key never straddle a split (no
+  * train/test leakage across a document's duplicates).
+  *
+  * The decider is a multiplicative hash of the key modulo 10_000 — plain
+  * integer arithmetic, reproducible in any engine (the DuckDB oracle runs
+  * the same formula verbatim).
+  */
+object Sampling {
+
+  private final val Prime = 2654435761L // Knuth multiplicative constant
+
+  /** Pseudo-random but deterministic bucket in [0, 10000) from a numeric key. */
+  def keyBucket(key: Column): Column =
+    pmod(key.cast("long") * Prime, lit(10000L))
+
+  /** Keep ~`rate` of rows, stably by key. */
+  def stableSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(keyBucket(key) < (rate * 10000).toLong)
+
+  /** Tag rows with a train/test split, stably by key. */
+  def splitByKey(df: DataFrame, key: Column, testFraction: Double): DataFrame =
+    df.withColumn("is_test", keyBucket(key) < (testFraction * 10000).toLong)
+}
