@@ -89,24 +89,39 @@ object CdcStream {
       .start()
   }
 
-  /** One microbatch upsert — also usable directly for backfills. */
+  /** One typed microbatch upsert — also usable directly for backfills. */
   def mergeBatch(spark: SparkSession, batch: Dataset[Change], targetDir: String,
                  nBuckets: Int, deleteOp: String, batchId: Long): Unit = {
-    import spark.implicits._
     if (batch.isEmpty) return
-    val withBucket = batch.toDF()
-      .withColumn("is_deleted", col("op") === deleteOp)
-      .withColumn("_batch_id", lit(batchId))
-      .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
+    upsertBatch(spark,
+      batch.toDF()
+        .withColumn("is_deleted", col("op") === deleteOp)
+        .withColumn("_batch_id", lit(batchId)),
+      Seq("key"), "version", targetDir, nBuckets)
+  }
+
+  /** Generic upsert of one batch DataFrame into the bucketed mirror,
+    * newest `versionCol` per `keys` winning. Replay-idempotent (merging the
+    * same batch twice converges to the same mirror) and schema-evolving,
+    * PeerDB-style: a column added on the source appears in the batch but
+    * not the mirror (old rows read null); a column dropped upstream
+    * survives in the mirror (new rows read null). `unionByName` with
+    * allowMissingColumns covers both directions.
+    */
+  def upsertBatch(spark: SparkSession, batchDf: DataFrame, keys: Seq[String],
+                  versionCol: String, targetDir: String, nBuckets: Int): Unit = {
+    import spark.implicits._
+    val withBucket = batchDf
+      .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val touched = withBucket.select("bucket").distinct().as[Int].collect()
     val existing =
-      try spark.read.parquet(targetDir).where(col("bucket").isin(touched.toSeq: _*))
-      catch { case _: Exception => spark.emptyDataFrame.withColumn("bucket", lit(0)) }
-    val unioned =
-      if (existing.columns.toSet == withBucket.columns.toSet) withBucket.unionByName(existing)
-      else withBucket // first batch: no mirror yet
+      try Some(spark.read.parquet(targetDir).where(col("bucket").isin(touched.toSeq: _*)))
+      catch { case _: Exception => None } // first batch: no mirror yet
+    val unioned = existing
+      .map(withBucket.unionByName(_, allowMissingColumns = true))
+      .getOrElse(withBucket)
     val merged = graft.operators.CdcOps
-      .latestSnapshot(unioned, Seq("key"), "version")
+      .latestSnapshot(unioned, keys, versionCol)
       .localCheckpoint(true) // materialize before overwriting the inputs
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged.write.mode("overwrite").partitionBy("bucket").parquet(targetDir)

@@ -42,6 +42,76 @@ class MirrorSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 5L, "v5"), (2L, 0L, "w0")))
   }
 
+  test("mergeBatch is idempotent under batch replay") {
+    val dir = Files.createTempDirectory("graft_replay").toString + "/t"
+    val batch = Seq(
+      Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "v1"),
+      Change(2L, 1L, "insert", ts("2024-01-01 00:00:10"), "w1")).toDS()
+    CdcStream.mergeBatch(spark, batch, dir, 4, "delete", 1L)
+    val first = spark.read.parquet(dir).orderBy("key")
+      .select("key", "version", "payload").as[(Long, Long, String)].collect().toSeq
+    // replay the exact same batch (at-least-once delivery after a restart)
+    CdcStream.mergeBatch(spark, batch, dir, 4, "delete", 1L)
+    val second = spark.read.parquet(dir).orderBy("key")
+      .select("key", "version", "payload").as[(Long, Long, String)].collect().toSeq
+    assert(first == second)
+  }
+
+  test("upsertBatch evolves the mirror schema when the source adds a column") {
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    val v1 = Seq((1L, 1L, "a")).toDF("key", "version", "payload")
+    CdcStream.upsertBatch(spark, v1, Seq("key"), "version", dir, 4)
+    // source gained a column; old mirror rows must read null for it
+    val v2 = Seq((2L, 1L, "b", "extra-val")).toDF("key", "version", "payload", "extra")
+    CdcStream.upsertBatch(spark, v2, Seq("key"), "version", dir, 4)
+
+    val out = spark.read.parquet(dir).orderBy("key")
+      .select("key", "payload", "extra").as[(Long, String, Option[String])].collect().toSeq
+    assert(out == Seq((1L, "a", None), (2L, "b", Some("extra-val"))))
+  }
+
+  test("parquet landing zone streams incrementally into the mirror via checkpoint") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_landing")
+    val landing = base.resolve("landing"); Files.createDirectory(landing)
+    val target = base.resolve("mirror").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val changes = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").as("key"), col("event_id").as("version"),
+        col("event_type").as("op"), col("ts"), col("props").as("payload"))
+
+    def land(chunk: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = base.resolve(s"stage_$name").toString
+      chunk.coalesce(1).write.parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, landing.resolve(s"$name.parquet")))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(changes.schema).parquet(landing.toString)
+        .as[Change](implicitly)
+      CdcStream.mirrorToParquet(stream, target, ckpt, nBuckets = 4, deleteOp = "error")
+        .awaitTermination()
+    }
+
+    land(changes.where(col("version") < 500), "c1")
+    runOnce()
+    assert(spark.read.parquet(target).count() ==
+      changes.where(col("version") < 500).select("key").distinct().count())
+
+    land(changes.where(col("version") >= 500), "c2")
+    runOnce()
+
+    val mirror = spark.read.parquet(target)
+      .select("key", "version").as[(Long, Long)].collect().toMap
+    val batch = operators.CdcOps.latestSnapshot(
+        Tables.load(spark, "/root/testdata/sf0.001", "events"), Seq("user_id"), "event_id")
+      .select(col("user_id"), col("event_id")).as[(Long, Long)].collect().toMap
+    assert(mirror == batch)
+  }
+
   test("Monitor records per-batch rows and throughput from streaming progress") {
     implicit val sqlCtx = spark.sqlContext
     val m = Monitor.attach(spark)
