@@ -115,7 +115,7 @@ object Analytics {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("c_custkey"))
     perCust.select(col("n_name"), col("c_custkey"), col("revenue"),
-        rank().over(w).as("rev_rank"))
+        rank().over(w).cast("bigint").as("rev_rank")) // bigint: rank() is int64 in DuckDB
       .where(col("rev_rank") <= 3)
   }
 
@@ -177,7 +177,7 @@ object Analytics {
       .where((col("supp_nation") === nationA && col("cust_nation") === nationB)
         || (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).as("l_year"))
+        year(col("l_shipdate")).cast("bigint").as("l_year")) // bigint: year() is int64 in DuckDB
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .as("revenue"))
   }

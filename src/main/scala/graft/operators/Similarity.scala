@@ -30,7 +30,7 @@ object Similarity {
       .agg(topk(col("corpus_id"), col("cos_sim")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("corpus_id"),
-        (col("pos") + 1).cast("int").as("rk"))
+        (col("pos") + 1).cast("bigint").as("rk")) // bigint: row_number() is int64 in DuckDB
   }
 
   /** Exact top-k by cosine for each query vector. `queries` must be small

@@ -26,7 +26,7 @@ class SimilaritySpec extends SparkSpec {
   test("bruteForceTopK ranks by cosine, excludes self, returns k rows per query") {
     val out = Similarity.bruteForceTopK(corpus, corpus.where($"vec_id" < 2),
       "vec_id", "embedding", 2)
-      .as[(Long, Long, Int)].collect()
+      .as[(Long, Long, Long)].collect()
     val byQuery = out.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
     assert(byQuery(0L) == Seq(1L, 2L) || byQuery(0L).head == 1L)
     assert(byQuery(1L).head == 0L)
@@ -37,7 +37,7 @@ class SimilaritySpec extends SparkSpec {
   test("lshTopK returns ranked candidates from matching buckets only") {
     val out = Similarity.lshTopK(corpus, corpus.where($"vec_id" === 0),
       "vec_id", "embedding", 3, bits = 2)
-      .as[(Long, Long, Int)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(out.forall(_._1 == 0L))
     assert(out.forall(r => r._3 >= 1 && r._3 <= 3))
     // parallel vector 1 must share vector 0's hyperplane signature
@@ -47,10 +47,10 @@ class SimilaritySpec extends SparkSpec {
   test("ivfTopK probes nearest centroid lists and finds the parallel vector") {
     val out = Similarity.ivfTopK(corpus, corpus.where($"vec_id" === 0),
       "vec_id", "embedding", 3, centroidStride = 2, nProbe = 2)
-      .as[(Long, Long, Int)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(out.forall(_._1 == 0L))
     assert(out.forall(r => r._2 != 0L))
-    assert(out.map(_._3).sorted.toSeq == (1 to out.length).toSeq)
+    assert(out.map(_._3).sorted.toSeq == (1L to out.length.toLong).toSeq)
     assert(out.map(_._2).contains(1L))
   }
 

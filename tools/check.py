@@ -36,6 +36,15 @@ for name in names:
         fails += 1; continue
     if len(a) != len(b):
         print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}"); fails += 1; continue
+    def norm_dtype(d):
+        s = str(d)
+        if s.startswith("datetime64"): return "datetime"
+        return s
+    da = [norm_dtype(t) for t in a.dtypes]
+    db = [norm_dtype(t) for t in b.dtypes]
+    if da != db:
+        print(f"FAIL {name}: dtypes {list(zip(a.columns, da, db))}")
+        fails += 1; continue
     a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
     b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
     av = a.astype(str)
