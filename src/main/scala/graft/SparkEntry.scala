@@ -152,6 +152,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2)),
+    "dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.keepCanonical(docs,
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0.8),
+        "doc_id", TextFunctions.qualityScore(col("text")))
+    }),
 
     // ---- similarity search ------------------------------------------------
     "knn_brute_force" -> ((s, d) => {

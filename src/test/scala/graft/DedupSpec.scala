@@ -54,6 +54,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("components groups transitively connected pairs under the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("components handles a chain longer than one propagation hop") {
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(chain).as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+    assert(comp.keySet == (1L to 6L).toSet)
+  }
+
+  test("keepCanonical keeps the highest-quality doc per cluster and all singletons") {
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val scored = Seq((0L, 0.2), (1L, 0.9), (2L, 0.5), (3L, 0.1))
+      .toDF("doc_id", "quality")
+    val out = Dedup.keepCanonical(scored, pairs, "doc_id", $"quality")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L) == (0L, false) && out(1L) == (0L, true) && out(2L) == (0L, false))
+    assert(out(3L) == (3L, true)) // singleton kept
+  }
+
   test("embeddingPairs finds same-direction vectors via LSH blocking") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
