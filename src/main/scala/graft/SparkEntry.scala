@@ -50,6 +50,7 @@ object SparkEntry {
     "q7_nation_volume" -> ((s, d) =>
       Analytics.nationVolume(t(s, d, "supplier"), t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "nation"), "NATION_3", "NATION_7")),
+    "rolling_revenue" -> ((s, d) => Analytics.rollingRevenue(t(s, d, "orders"))),
 
     // ---- CDC core ---------------------------------------------------------
     "cdc_latest_snapshot" -> ((s, d) =>
@@ -270,6 +271,14 @@ object SparkEntry {
              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
          GROUP BY supp_nation, cust_nation, l_year""",
+    "rolling_revenue" ->
+      """SELECT day, day_revenue,
+                sum(day_revenue) OVER (ORDER BY day_num
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev_7d
+         FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_revenue,
+                      date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
+               FROM orders GROUP BY 1, 3)""",
     "asof_purchase_click" ->
       """SELECT p.user_id, p.event_id, p.ts, p.value,
                 c.event_id AS r_event_id, c.ts AS r_ts, c.value AS r_value

@@ -182,6 +182,21 @@ object Analytics {
         .as("revenue"))
   }
 
+  /** Rolling 7-day revenue: aggregate to days first (map-side combined
+    * shuffle on ~thousands of keys), then a RANGE-frame window over the
+    * tiny daily series. Ordering a single window over pre-aggregated days
+    * is deliberate — the frame holds day rows, not fact rows, so the
+    * "global" sort is over a few thousand rows at any scale factor.
+    */
+  def rollingRevenue(orders: DataFrame): DataFrame = {
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec("o_totalprice")).as("day_revenue"))
+      .withColumn("day_num", datediff(col("day"), lit("1995-01-01").cast("date")).cast("bigint"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily.select(col("day"), col("day_revenue"),
+      sum(col("day_revenue")).over(w).as("rev_7d"))
+  }
+
   /** Promo-share-style conditional aggregation per part type prefix. */
   def partTypeShare(part: DataFrame, lineitem: DataFrame): DataFrame =
     lineitem.join(part, col("l_partkey") === col("p_partkey"))
