@@ -154,9 +154,10 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2)),
     "dedup_clusters" -> ((s, d) => {
+      // realistic pipeline order: sparse LSH candidates → clusters → keep-best
       val docs = t(s, d, "documents")
       Dedup.keepCanonical(docs,
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0.8),
+        Dedup.minhashLsh(docs, "doc_id", "text"),
         "doc_id", TextFunctions.qualityScore(col("text")))
     }),
 
