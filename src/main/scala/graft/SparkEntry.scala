@@ -84,15 +84,15 @@ object SparkEntry {
     }),
 
     // ---- extended analytics ----------------------------------------------
-    "asof_purchase_click" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      AsOfJoin.backward(
+    // runs through the custom planner path (AsOfJoinPlan → AsOfJoinExec);
+    // the window formulation is its in-repo equivalence oracle (AsOfJoinSpec)
+    "asof_purchase_click" -> ((s, d) =>
+      AsOfJoin.backwardExec(
         t(s, d, "events").where(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"), col("value")),
         t(s, d, "events").where(col("event_type") === "click")
           .select(col("user_id"), col("event_id"), col("ts"), col("value")),
-        Seq("user_id"), "ts", "ts")
-    }),
+        Seq("user_id"), "ts", "ts")),
     "events_pivot" -> ((s, d) =>
       t(s, d, "events").groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))

@@ -61,4 +61,35 @@ object AsOfJoin {
         lPayload.map(c => col(s"_asof_l.$c").as(c)) ++
         rPayload.map(c => col(s"_asof_match.$c").as(s"$rightPrefix$c")): _*)
   }
+
+  /** Same semantics through the custom planner path
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]): a
+    * dedicated sort-merge physical operator instead of the union+window
+    * formulation — no struct packing, no window buffer, one retained right
+    * row per key. Registers the strategy on the session (idempotent).
+    */
+  def backwardExec(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightPrefix: String = "r_", inner: Boolean = true): DataFrame = {
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // prefix-rename the whole right side: distinct output names AND fresh
+    // expr ids, so self-joins (left and right from the same scan) resolve
+    val renamedRight = right.select(
+      right.columns.map(c => col(c).as(s"$rightPrefix$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = renamedRight.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"$rightPrefix$k")),
+      attr(lPlan, leftTs), attr(rPlan, s"$rightPrefix$rightTs"), inner)
+    org.apache.spark.sql.graft.bridge.ofRows(spark, plan)
+      .drop(keys.map(k => s"$rightPrefix$k"): _*)
+  }
 }

@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator as-of join at the planner level — the extension mechanism
+  * for operators Spark genuinely lacks: a logical node, a strategy, and a
+  * sort-merge physical operator, injected via `experimental.extraStrategies`
+  * (or a SparkSessionExtensions planner-strategy injection).
+  *
+  * Semantics match [[graft.operators.AsOfJoin.backward]] (ClickHouse ASOF
+  * JOIN): each left row pairs with the newest right row of equal key and
+  * timestamp ≤ the left timestamp. The physical operator asks the planner
+  * for co-clustered children sorted on (keys, ts) — EnsureRequirements
+  * inserts the exchanges/sorts — and then streams both sides through a
+  * single forward merge per partition: O(|L|+|R|) row visits, one retained
+  * right row per key, no window buffer, no struct packing.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTs: Expression, rightTs: Expression,
+                        inner: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, inner) =>
+      AsOfJoinExec(lk, rk, lts, rts, inner, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTs: Expression, rightTs: Expression, inner: Boolean,
+                        left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTs = leftTs
+    val rTs = rightTs
+    val isInner = inner
+    val keyTypes = lKeys.map(_.dataType)
+    val tsTypes = Seq(lTs.dataType)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(keyTypes)
+      val tsOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(tsTypes)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // next unconsumed right row (copied: child iterators reuse buffers)
+        private var rCurr: InternalRow = _
+        private var rCurrKey: InternalRow = _
+        // newest right row already consumed for the current key region
+        private var lastMatch: InternalRow = _
+        private var lastMatchKey: InternalRow = _
+        private var nextRow: InternalRow = _
+
+        private def fetchRight(): Boolean = {
+          if (rCurr != null) return true
+          if (!rIter.hasNext) return false
+          rCurr = rIter.next().copy()
+          rCurrKey = rKeyProj(rCurr).copy()
+          true
+        }
+
+        private def advance(): InternalRow = {
+          while (lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyProj(l)
+            // consume right rows that are at or before this left row
+            var continue = true
+            while (continue && fetchRight()) {
+              val cmp = keyOrd.compare(rCurrKey, lKey)
+              if (cmp < 0) {
+                // right key already passed by the ascending left side
+                rCurr = null
+              } else if (cmp > 0) {
+                continue = false
+              } else if (tsOrd.compare(rTsProj(rCurr), lTsProj(l)) <= 0) {
+                lastMatch = rCurr
+                lastMatchKey = rCurrKey
+                rCurr = null
+              } else {
+                continue = false
+              }
+            }
+            val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0
+            if (matched) return joined(l, lastMatch)
+            if (!isInner) return joined(l, nullRight)
+            // inner + unmatched: fall through to the next left row
+          }
+          null
+        }
+
+        override def hasNext: Boolean = {
+          if (nextRow == null) nextRow = advance()
+          nextRow != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = nextRow
+          nextRow = null
+          r
+        }
+      }
+    }
+  }
+}

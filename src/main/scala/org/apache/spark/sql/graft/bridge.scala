@@ -14,6 +14,15 @@ object bridge {
   def column(e: Expression): Column = EU.column(e)
   def expression(c: Column): Expression = EU.expression(c)
 
+  /** Build a DataFrame from a raw logical plan (library-extension entry
+    * into the private[sql] Dataset factory, cf. public examples like
+    * Qbeast's DatasetFactory).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register graft's SQL functions on an already-running session (the
     * `spark.sql.extensions` config path only applies at session build).
     */

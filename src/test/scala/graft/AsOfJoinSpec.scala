@@ -26,6 +26,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Set((1L, 10, 100.0), (1L, 20, 101.0)))
   }
 
+  test("physical-operator path matches the window formulation on the small case") {
+    val out = AsOfJoin.backwardExec(trades, quotes, Seq("key"), "tts", "qts")
+      .select("key", "qty", "r_price").as[(Long, Int, Double)].collect().toSet
+    assert(out == Set((1L, 10, 100.0), (1L, 20, 101.0)))
+  }
+
+  test("physical-operator path matches the window formulation on real events (incl. self-join)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_id", "r_event_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val window = rows(AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts"))
+    val exec = rows(AsOfJoin.backwardExec(purchases, clicks, Seq("user_id"), "ts", "ts"))
+    assert(exec == window)
+    assert(exec.nonEmpty)
+  }
+
+  test("physical-operator outer variant keeps unmatched left rows") {
+    val out = AsOfJoin.backwardExec(trades, quotes, Seq("key"), "tts", "qts", inner = false)
+    assert(out.count() == 4)
+    assert(out.where($"r_price".isNull).select("qty").as[Int].collect().toSet == Set(30, 40))
+  }
+
   test("outer variant keeps unmatched left rows with null right columns") {
     val out = AsOfJoin.backward(trades, quotes, Seq("key"), "tts", "qts", inner = false)
     assert(out.count() == 4)
