@@ -52,4 +52,22 @@ object VectorFunctions {
   def lshBucket(v: Column, bits: Int): Column =
     (0 until bits).map(b => hyperplaneBit(v, b) * lit(1 << b))
       .reduce(_ + _)
+
+  /** Symmetric int8 quantization of a float vector: scale = max|x|/127,
+    * codes = round(x/scale) — 4× smaller storage for ANN candidate stores.
+    * Returns struct(scale double, codes array<int>); exact zero vectors get
+    * scale 0 and all-zero codes.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) =>
+      greatest(acc, abs(x.cast("double"))))
+    val scale = maxAbs / 127.0
+    struct(scale.as("scale"),
+      transform(v, x => when(lit(0.0) === scale, lit(0))
+        .otherwise(round(x.cast("double") / scale).cast("int"))).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes × scale, back to array<double>. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 }

@@ -89,6 +89,34 @@ class CdcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val purchases = MemoryStream[Change]
+    val clicks = MemoryStream[Change]
+    val joined = purchases.toDF().withWatermark("ts", "1 hour")
+      .select(col("key").as("p_key"), col("version").as("p_version"), col("ts").as("p_ts"))
+      .join(
+        clicks.toDF().withWatermark("ts", "1 hour")
+          .select(col("key").as("c_key"), col("version").as("c_version"), col("ts").as("c_ts")),
+        expr("""p_key = c_key AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTES"""))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Change(1L, 10L, "click", ts("2024-01-01 00:00:00"), "c1"),
+        Change(1L, 11L, "click", ts("2024-01-01 02:00:00"), "c2"), // too old for the purchase below? no — later
+        Change(2L, 12L, "click", ts("2024-01-01 00:00:00"), "c3"))
+      purchases.addData(
+        Change(1L, 20L, "purchase", ts("2024-01-01 00:10:00"), "p1"), // pairs with c1 only
+        Change(2L, 21L, "purchase", ts("2024-01-01 01:00:00"), "p2")) // c3 is 60min old → no pair
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("p_version", "c_version").as[(Long, Long)].collect().toSet
+      assert(rows == Set((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation honors the watermark (late rows dropped)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
