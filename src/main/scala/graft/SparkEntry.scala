@@ -109,6 +109,19 @@ object SparkEntry {
       t(s, d, "events").groupBy(col("event_type"))
         .agg(expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.95)").as("p95"))),
+    "events_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+    "set_ops_users" -> ((s, d) => {
+      // day-scoped so the difference is non-trivial on the dense test data
+      val day = t(s, d, "events").where(to_date(col("ts")) === lit("2024-01-05").cast("date"))
+      day.where(col("event_type") === "click").select(col("user_id"))
+        .except(day.where(col("event_type") === "purchase").select(col("user_id")))
+    }),
     "uniq_users_hll" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
@@ -305,6 +318,18 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
                 quantile_cont(value, 0.95) AS p95
          FROM events GROUP BY event_type""",
+    "events_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
+    "set_ops_users" ->
+      """SELECT user_id FROM events
+         WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-05'
+         EXCEPT
+         SELECT user_id FROM events
+         WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-05'""",
     "cdc_latest_snapshot" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""",
