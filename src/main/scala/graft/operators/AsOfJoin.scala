@@ -71,11 +71,14 @@ object AsOfJoin {
   def backwardExec(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
                    rightPrefix: String = "r_", inner: Boolean = true): DataFrame = {
-    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     // prefix-rename the whole right side: distinct output names AND fresh
     // expr ids, so self-joins (left and right from the same scan) resolve
     val renamedRight = right.select(

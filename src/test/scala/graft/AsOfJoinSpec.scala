@@ -48,6 +48,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exec.nonEmpty)
   }
 
+  test("post-join filters on probe columns push through to the probe scan") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val joined = AsOfJoin.backwardExec(side("purchase"), side("click"),
+      Seq("user_id"), "ts", "ts")
+    val filtered = joined.where(col("value") > 25.0) // probe-side column
+    // the rule must land the predicate below AsOfJoinPlan in the optimized plan
+    val optimized = filtered.queryExecution.optimizedPlan
+    val pushed = optimized.collect {
+      case j: graft.plans.AsOfJoinPlan => j.left.toString
+    }.exists(s => s.contains("25.0"))
+    assert(pushed, s"filter not pushed:\n$optimized")
+    // and the results are identical to filtering without the rule's help
+    val expected = AsOfJoin.backward(
+      side("purchase").where(col("value") > 25.0), side("click"),
+      Seq("user_id"), "ts", "ts")
+    assert(filtered.count() == expected.count() && filtered.count() > 0)
+  }
+
   test("physical-operator outer variant keeps unmatched left rows") {
     val out = AsOfJoin.backwardExec(trades, quotes, Seq("key"), "tts", "qts", inner = false)
     assert(out.count() == 4)
