@@ -4,18 +4,24 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SQL surface for graft's native expressions, injectable two ways:
+/** The engine's SparkSessionExtensions: SQL functions for the native
+  * expressions, the as-of-join planner strategy, and its filter-pushdown
+  * optimizer rule. Injectable two ways:
   *
   *  - config: `spark.sql.extensions=graft.expressions.GraftExtensions`
   *  - imperative: `org.apache.spark.sql.graft.bridge.registerFunctions(spark)`
+  *    (functions only; the as-of API registers its own strategy/rule on use)
   *
   * After either, `spark.sql` understands `token_minhash(tokens, w, k[,
-  * bands])`, `simhash64(hashes)`, `sorted_jaccard(a, b)` and
-  * `rolling_fingerprint(text[, k, w])`.
+  * bands])`, `simhash64(hashes)`, `sorted_jaccard(a, b)`, `cosine_sim(a, b)`
+  * and `rolling_fingerprint(text[, k, w])`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+  }
 }
 
 object GraftExtensions {
