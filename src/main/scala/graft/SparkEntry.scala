@@ -93,6 +93,14 @@ object SparkEntry {
         t(s, d, "events").where(col("event_type") === "click")
           .select(col("user_id"), col("event_id"), col("ts"), col("value")),
         Seq("user_id"), "ts", "ts")),
+    "range_join_events" -> ((s, d) =>
+      RangeJoin.byKeyAndTime(
+        t(s, d, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        t(s, d, "events").where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        Seq("user_id"), "ts", "ts", beforeSec = 1800L, afterSec = 0L)
+        .select(col("user_id"), col("event_id"), col("r_event_id"))),
     "events_pivot" -> ((s, d) =>
       t(s, d, "events").groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
@@ -299,6 +307,12 @@ object SparkEntry {
          FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
          ASOF JOIN (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "range_join_events" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS r_event_id
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p,
+              (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+         WHERE p.user_id = c.user_id
+           AND epoch(c.ts) >= epoch(p.ts) - 1800 AND epoch(c.ts) <= epoch(p.ts)""",
     "events_pivot" ->
       """SELECT user_id,
                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

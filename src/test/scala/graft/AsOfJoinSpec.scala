@@ -75,6 +75,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.where($"r_price".isNull).select("qty").as[Int].collect().toSet == Set(30, 40))
   }
 
+  test("bucketized range join equals the naive inequality join on real events") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val bucketized = graft.operators.RangeJoin.byKeyAndTime(
+        side("purchase"), side("view"), Seq("user_id"), "ts", "ts", 900L, 300L)
+      .select(col("event_id"), col("r_event_id"))
+      .as[(Long, Long)].collect().toSet
+    val naive = side("purchase").as("p").join(side("view").as("v"),
+        col("p.user_id") === col("v.user_id")
+          && col("v.ts").cast("double") >= col("p.ts").cast("double") - 900
+          && col("v.ts").cast("double") <= col("p.ts").cast("double") + 300)
+      .select(col("p.event_id"), col("v.event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(bucketized == naive)
+    assert(bucketized.nonEmpty)
+  }
+
   test("outer variant keeps unmatched left rows with null right columns") {
     val out = AsOfJoin.backward(trades, quotes, Seq("key"), "tts", "qts", inner = false)
     assert(out.count() == 4)
