@@ -89,6 +89,38 @@ class CdcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows close after the gap and match batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Change]
+    val sessions = input.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(col("key"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"), col("session_window.start").as("s_start"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Change(1L, 1L, "click", ts("2024-01-01 00:00:00"), "a"),
+        Change(1L, 2L, "view", ts("2024-01-01 00:10:00"), "b"),  // same session
+        Change(1L, 3L, "click", ts("2024-01-01 01:00:00"), "c")) // gap > 30m → new session
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      input.addData(Change(2L, 9L, "click", ts("2024-01-01 06:00:00"), "z"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").where(col("key") === 1L)
+        .select("s_start", "n_events").as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(rows == Map(ts("2024-01-01 00:00:00") -> 2L, ts("2024-01-01 01:00:00") -> 1L))
+      // agrees with the batch operator on the same data
+      val batch = operators.CdcOps.sessionize(
+          Seq((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+            (1L, ts("2024-01-01 01:00:00"))).toDF("key", "t"),
+          Seq("key"), "t", 1800L)
+        .groupBy(col("key")).agg(max(col("session_seq")).as("n")).as[(Long, Long)].head()
+      assert(batch == (1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
