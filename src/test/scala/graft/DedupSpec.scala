@@ -68,6 +68,16 @@ class DedupSpec extends SparkSpec {
     assert(comp.keySet == (1L to 6L).toSet)
   }
 
+  test("distributed label propagation agrees with the union-find fast path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 9L), (9L, 8L), (8L, 20L))
+      .toDF("id_a", "id_b")
+    val unionFind = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val distributed = Dedup.components(pairs, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(unionFind == distributed)
+    assert(unionFind(20L) == 7L && unionFind(4L) == 4L && unionFind(5L) == 4L)
+  }
+
   test("keepCanonical keeps the highest-quality doc per cluster and all singletons") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
     val scored = Seq((0L, 0.2), (1L, 0.9), (2L, 0.5), (3L, 0.1))
