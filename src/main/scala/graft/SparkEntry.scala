@@ -141,6 +141,12 @@ object SparkEntry {
         .where(TextFunctions.qualityScore(col("text")) >= 0.5
           && TextFunctions.tokenCount(col("text")) >= 20)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    "orders_profile" -> ((s, d) =>
+      Profiler.profile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+    "text_regex_tokens" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(sum(TextFunctions.bpeRegexTokens(col("text"))).as("total_pieces"))),
     "docs_train_test_split" -> ((s, d) =>
       Sampling.splitByKey(t(s, d, "documents"), col("doc_id"), 0.1)
         .groupBy(col("lang"), col("is_test")).agg(count(lit(1)).as("n_docs"))),
@@ -411,6 +417,18 @@ object SparkEntry {
       """SELECT lang, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
                 count(*) AS n_docs
          FROM documents GROUP BY lang, is_test""",
+    "orders_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT $c) AS n_distinct,
+           CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+           FROM orders""").mkString(" UNION ALL "),
+    "text_regex_tokens" ->
+      """SELECT lang,
+                CAST(sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+                  AS total_pieces
+         FROM documents GROUP BY lang""",
     "text_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

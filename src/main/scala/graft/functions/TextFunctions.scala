@@ -25,6 +25,14 @@ object TextFunctions {
   def bpeTokenEstimate(text: Column): Column =
     ceil(length(text).cast("double") / 4.0).cast("long")
 
+  /** BPE-ish regex tokenization: word pieces capped at 4 chars, digit runs,
+    * and single punctuation marks — a cheap deterministic proxy for a
+    * byte-pair encoder's segment count.
+    */
+  def bpeRegexTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
   /** Count of punctuation characters. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
