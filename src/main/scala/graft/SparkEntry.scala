@@ -204,6 +204,13 @@ object SparkEntry {
 
     // ---- multimodal -------------------------------------------------------
     "mm_meta_stats" -> ((s, d) => Multimodal.mediaTypeStats(t(s, d, "documents"), "doc_id", "text")),
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleStub(
+          Multimodal.withMediaColumns(t(s, d, "documents"), "doc_id", "text"),
+          "doc_id", frameBytes = 64, stride = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(octet_length(col("frame")).cast("long")).as("sampled_bytes"))),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -490,6 +497,12 @@ object SparkEntry {
            FROM embeddings c, embeddings q
            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
          WHERE rk <= 5""",
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+                CAST(ceil(floor(octet_length(encode(text)) / 64) / 4.0) AS BIGINT) AS n_sampled,
+                CAST(ceil(floor(octet_length(encode(text)) / 64) / 4.0) AS BIGINT) * 64 AS sampled_bytes
+         FROM documents
+         WHERE octet_length(encode(text)) >= 64""",
     "mm_meta_stats" ->
       """SELECT 'img/' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
                 count(*) AS n_items,

@@ -85,6 +85,40 @@ object Multimodal {
       .mapPartitions(codec)
   }
 
+  /** STUB resize: rescales the typed metadata to fit a bounding box and
+    * keeps the payload opaque (a real codec would transcode pixels; the
+    * metadata arithmetic and column shape are what the pipeline depends
+    * on). Aspect ratio preserved with integer math.
+    */
+  def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val longest = greatest(w, h)
+    val nw = when(longest <= maxDim, w)
+      .otherwise((w * maxDim).cast("long") / longest).cast("int")
+    val nh = when(longest <= maxDim, h)
+      .otherwise((h * maxDim).cast("long") / longest).cast("int")
+    media.withColumn("meta",
+      struct(nw.as("width"), nh.as("height"), col("meta.media_type").as("media_type")))
+  }
+
+  /** STUB frame sampling for "video" payloads: treat the binary payload as
+    * fixed-size frames and keep every `stride`-th frame as a binary slice —
+    * `substr` on binary stays columnar, so the slicing runs inside codegen
+    * and only sampled bytes survive the projection. Returns one row per
+    * sampled frame: (id, frame_idx, frame bytes).
+    */
+  def frameSampleStub(media: DataFrame, idCol: String, frameBytes: Int,
+                      stride: Int): DataFrame = {
+    val nFrames = floor(octet_length(col("payload")).cast("double") / frameBytes).cast("long")
+    media.where(nFrames > 0)
+      .select(col(idCol), col("payload"),
+        explode(sequence(lit(0L), nFrames - 1, lit(stride.toLong))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        col("payload").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes)).as("frame"))
+  }
+
   /** Per-media-type rollup of decoded stats — the typical post-decode
     * aggregation (one map-side-combined shuffle on the tiny type key).
     */

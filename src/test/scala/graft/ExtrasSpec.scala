@@ -50,6 +50,26 @@ class ExtrasSpec extends SparkSpec {
     assert(feats.map(_.checksum).distinct.length == 2)
   }
 
+  test("resizeStub caps the longest side and preserves aspect ratio") {
+    val docs = Seq((0L, "x")).toDF("doc_id", "text") // 64×64
+    val media = Multimodal.withMediaColumns(docs, "doc_id", "text")
+    val r = Multimodal.resizeStub(media, 32)
+      .select($"meta.width", $"meta.height").as[(Int, Int)].head()
+    assert(r == (32, 32)) // halved square
+    val small = Multimodal.resizeStub(media, 500)
+      .select($"meta.width", $"meta.height").as[(Int, Int)].head()
+    assert(small == (64, 64)) // under the cap: untouched
+  }
+
+  test("frameSampleStub slices every stride-th full frame") {
+    val docs = Seq((1L, "a" * 300)).toDF("doc_id", "text") // 4 full 64B frames
+    val media = Multimodal.withMediaColumns(docs, "doc_id", "text")
+    val frames = Multimodal.frameSampleStub(media, "doc_id", 64, 2)
+      .as[(Long, Long, Array[Byte])].collect()
+    assert(frames.map(_._2).toSeq == Seq(0L, 2L)) // frames 0 and 2 of 0..3
+    assert(frames.forall(_._3.length == 64))
+  }
+
   test("saltedAgg matches the unsalted aggregation") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L)).toDF("k", "v")
     val out = Skew.saltedAgg(df, Seq("k"), saltBuckets = 8, Seq(
