@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression computing a w-shingle, k-permutation MinHash
+  * (Broder 1997, "On the resemblance and containment of documents")
   * over an `array<string>` token column — returning either the raw signature
   * (`bands = 0`) or the banded-LSH bucket digests (one 64-bit digest per
   * band of k/bands minima), ready to `posexplode` into (band, bucket) keys.

@@ -112,6 +112,23 @@ class MirrorSpec extends SparkSpec {
     assert(mirror == batch)
   }
 
+  test("ResourceMonitor captures stage metrics including shuffle bytes") {
+    import org.apache.spark.sql.functions._
+    val m = graft.streaming.ResourceMonitor.attach(spark)
+    try {
+      // a job with a real shuffle
+      spark.range(0, 100000, 1, 4)
+        .groupBy(pmod(col("id"), lit(97))).count().count()
+      // listener bus is async — poll until the metrics land
+      val deadline = System.currentTimeMillis() + 10000
+      while (m.totals("shuffle_read_bytes") == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val t = m.totals
+      assert(t("stages") >= 2 && t("tasks") > 0)
+      assert(t("shuffle_write_bytes") > 0 && t("shuffle_read_bytes") > 0)
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
   test("Monitor records per-batch rows and throughput from streaming progress") {
     implicit val sqlCtx = spark.sqlContext
     val m = Monitor.attach(spark)
