@@ -1,0 +1,58 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Native random-hyperplane LSH bucket id for an embedding column: bit b of
+  * the bucket is the sign of ⟨v, w_b⟩ where w_b's components are derived
+  * from murmur3(i, b) — bit-identical to the
+  * `VectorFunctions.hyperplaneBit` higher-order formulation (same hash,
+  * same seed chain: h = murmur(seed=42, i) then murmur(h, b)), but one
+  * primitive loop per row instead of bits × dim interpreted lambda calls.
+  */
+case class HyperplaneLsh(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneLsh.compute(input.asInstanceOf[ArrayData], bits, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.HyperplaneLsh.compute($c, $bits, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLsh =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_lsh"
+}
+
+object HyperplaneLsh {
+  def compute(v: ArrayData, bits: Int, isFloat: Boolean): Int = {
+    val n = v.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // replicate hash(i, seed=b) with Spark's default murmur seed 42
+        val h = Murmur3_x86_32.hashInt(b, Murmur3_x86_32.hashInt(i, 42))
+        val w = h.toDouble / 2147483648.0
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * w
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+}

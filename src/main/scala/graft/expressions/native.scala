@@ -29,4 +29,8 @@ object NativeFunctions {
   /** One-pass cosine similarity of two `array<float|double>` columns. */
   def cosineSim(a: Column, b: Column): Column =
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
+
+  /** Random-hyperplane LSH bucket id of an embedding column. */
+  def hyperplaneLsh(v: Column, bits: Int): Column =
+    bridge.column(HyperplaneLsh(bridge.expression(v), bits))
 }

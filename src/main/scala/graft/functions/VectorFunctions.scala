@@ -48,10 +48,12 @@ object VectorFunctions {
     (aggregate(planed, lit(0.0), (acc, x) => acc + x) >= 0).cast("int")
   }
 
-  /** k-bit random-hyperplane LSH bucket id for a vector. */
+  /** k-bit random-hyperplane LSH bucket id for a vector — native one-pass
+    * [[graft.expressions.HyperplaneLsh]], bit-identical to composing
+    * [[hyperplaneBit]] (same murmur-derived planes).
+    */
   def lshBucket(v: Column, bits: Int): Column =
-    (0 until bits).map(b => hyperplaneBit(v, b) * lit(1 << b))
-      .reduce(_ + _)
+    graft.expressions.NativeFunctions.hyperplaneLsh(v, bits)
 
   /** Symmetric int8 quantization of a float vector: scale = max|x|/127,
     * codes = round(x/scale) — 4× smaller storage for ANN candidate stores.
