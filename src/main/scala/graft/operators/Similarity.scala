@@ -68,35 +68,32 @@ object Similarity {
   /** IVF approximate top-k. Centroids are a deterministic hash-sample of the
     * corpus itself (every `centroidStride`-th id — at production scale,
     * k-means centroids from a sampled training pass slot in unchanged).
-    * Corpus vectors join their single nearest centroid's inverted list;
-    * each query probes its `nProbe` nearest lists. The only shuffles are
-    * the bounded centroid-id equi-join and the final top-k aggregation.
+    *
+    * The codebook is bounded by construction, so it is collected once and
+    * embedded in the native [[graft.expressions.NearestCentroids]]
+    * expression: centroid assignment and query probing are then pure
+    * projections — the corpus embeddings are never shuffled or crossJoined,
+    * and the only shuffles are the bounded cent_id equi-join and the final
+    * top-k aggregation.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               centroidStride: Int = 50, nProbe: Int = 4): DataFrame = {
-    val cents = corpus
+    val centRows = corpus
       .where(pmod(col(idCol), lit(centroidStride)) === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    val centIds = centRows.map(_.getLong(0))
+    val dim = centRows.head.getSeq[Double](1).length
+    val flat = centRows.flatMap(_.getSeq[Double](1))
+    def nearest(v: org.apache.spark.sql.Column, n: Int) =
+      org.apache.spark.sql.graft.bridge.column(graft.expressions.NearestCentroids(
+        org.apache.spark.sql.graft.bridge.expression(v), centIds, flat, dim, n))
 
-    // assign every corpus vector to its nearest centroid (centroids broadcast)
-    val assigned = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .crossJoin(broadcast(cents))
-      .select(col("corpus_id"), col("cv"), col("cent_id"),
-        VectorFunctions.cosine(col("cv"), col("cent_vec")).as("sim"))
-      .groupBy(col("corpus_id"))
-      .agg(first(col("cv")).as("cv"), max_by(col("cent_id"), col("sim")).as("cent_id"))
-
-    // each query probes its nProbe nearest centroids
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cent_id"),
-        VectorFunctions.cosine(col("qv"), col("cent_vec")).as("sim"))
-      .groupBy(col("query_id"))
-      .agg(first(col("qv")).as("qv"),
-        udaf(new TopKAggregator(nProbe), Encoders.product[ScoredId])
-          (col("cent_id"), col("sim")).as("cents"))
-      .select(col("query_id"), col("qv"), explode(col("cents.id")).as("cent_id"))
+    val assigned = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      element_at(nearest(col(vecCol), 1), 1).as("cent_id"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(nearest(col(vecCol), nProbe)).as("cent_id"))
 
     rankTopK(
       assigned.join(broadcast(probes), "cent_id")
