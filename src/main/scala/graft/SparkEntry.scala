@@ -170,6 +170,25 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fp"))),
     "text_winnow_fp" -> ((s, d) =>
       Dedup.winnowPairs(t(s, d, "documents"), "doc_id", "text")),
+    "top_words_exact" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+      val total = words.agg(count(lit(1)).as("total"))
+      words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .where(col("n") * 50 > col("total")) // > 2% of all tokens
+        .select(col("word"), col("n"))
+    }),
+    "top_words_sketch" -> ((s, d) => {
+      // Misra-Gries bounded-state heavy hitters (ClickHouse topK) — rows-only
+      val agg = udaf(new graft.expressions.FrequentItemsAggregator(20),
+        org.apache.spark.sql.Encoders.STRING)
+      t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .agg(agg(col("word")).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e._1").as("word"), col("e._2").as("approx_n"))
+    }),
 
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
@@ -474,6 +493,13 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
          FROM documents""",
+    "top_words_exact" ->
+      """SELECT word, n FROM (
+           SELECT word, count(*) AS n,
+                  (SELECT count(*) FROM (SELECT unnest(string_split(lower(text), ' ')) FROM documents)) AS total
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+           GROUP BY word)
+         WHERE n * 50 > total""",
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n_copies

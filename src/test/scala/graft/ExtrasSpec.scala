@@ -70,6 +70,24 @@ class ExtrasSpec extends SparkSpec {
     assert(frames.forall(_._3.length == 64))
   }
 
+  test("Misra-Gries sketch surfaces true heavy hitters within the error bound") {
+    import graft.expressions.FrequentItemsAggregator
+    // 1000 items: "hot" 400×, "warm" 200×, 400 singletons
+    val items = (Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 400).map(i => s"rare$i"))
+    val shuffled = new scala.util.Random(7).shuffle(items)
+    val agg = udaf(new FrequentItemsAggregator(10), org.apache.spark.sql.Encoders.STRING)
+    val out = shuffled.toDF("w").repartition(4)
+      .agg(agg($"w").as("top"))
+      .select(explode($"top").as("e")).select($"e._1", $"e._2")
+      .as[(String, Long)].collect().toMap
+    val n = items.size
+    // guarantee: freq > n/(k+1) survives; count error ≤ n/(k+1)
+    assert(out.contains("hot") && out.contains("warm"))
+    assert(out("hot") >= 400 - n / 11 && out("hot") <= 400)
+    assert(out.size <= 10)
+  }
+
   test("saltedAgg matches the unsalted aggregation") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L)).toDF("k", "v")
     val out = Skew.saltedAgg(df, Seq("k"), saltBuckets = 8, Seq(
