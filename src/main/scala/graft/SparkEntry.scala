@@ -77,6 +77,19 @@ object SparkEntry {
       CdcOps.sessionize(t(s, d, "events"), Seq("user_id"), "ts", 1800L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))),
+    "user_funnel" -> ((s, d) =>
+      Behavior.funnelLevels(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+    "cohort_retention" -> ((s, d) =>
+      Behavior.cohortRetention(t(s, d, "events"), "user_id", "ts")),
+    "customer_quartiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perCust = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      perCust.select(col("o_custkey"), col("revenue"),
+        ntile(4).over(Window.orderBy(col("revenue").desc, col("o_custkey")))
+          .cast("bigint").as("quartile"))
+    }),
     "mirror_validation" -> ((s, d) => {
       val ev = t(s, d, "events")
       graft.sources.Mirror.validateCounts(ev,
@@ -420,6 +433,30 @@ object SparkEntry {
                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
          GROUP BY user_id""",
+    "user_funnel" ->
+      """SELECT user_id,
+                CAST(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                               AND t2 IS NOT NULL AND t2 > t1 THEN 3
+                          WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 THEN 2
+                          WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_level
+         FROM (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                      min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                      min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+               FROM events GROUP BY user_id)""",
+    "cohort_retention" ->
+      """SELECT c.cohort_week, date_trunc('week', e.ts) AS active_week,
+                count(DISTINCT e.user_id) AS active_keys
+         FROM events e,
+              (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+               FROM events GROUP BY user_id) c
+         WHERE e.user_id = c.user_id
+         GROUP BY c.cohort_week, active_week""",
+    "customer_quartiles" ->
+      """SELECT o_custkey, revenue,
+                ntile(4) OVER (ORDER BY revenue DESC, o_custkey) AS quartile
+         FROM (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+               FROM orders GROUP BY o_custkey)""",
     "mirror_validation" ->
       """SELECT s.src_rows, s.src_keys, d.dst_rows, d.dst_keys,
                 (s.src_keys = d.dst_keys) AS keys_match
