@@ -77,6 +77,21 @@ object SparkEntry {
       CdcOps.sessionize(t(s, d, "events"), Seq("user_id"), "ts", 1800L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))),
+    "fuzzy_part_names" -> ((s, d) => {
+      // fuzzy match within (brand, type) blocks — bounded pair space
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_type"), col("p_name"))
+      p.as("l").join(p.as("r"),
+          col("l.p_brand") === col("r.p_brand") && col("l.p_type") === col("r.p_type")
+            && col("l.p_partkey") < col("r.p_partkey"))
+        .where(levenshtein(col("l.p_name"), col("r.p_name")) <= 3)
+        .select(col("l.p_partkey").as("key_a"), col("r.p_partkey").as("key_b"),
+          levenshtein(col("l.p_name"), col("r.p_name")).as("edit_dist"))
+    }),
+    "value_histogram" -> ((s, d) =>
+      t(s, d, "events").groupBy(
+          width_bucket(col("value"), lit(0.0), lit(100.0), lit(20)).as("bucket"))
+        .agg(count(lit(1)).as("n"))),
     "user_funnel" -> ((s, d) =>
       Behavior.funnelLevels(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
@@ -433,6 +448,18 @@ object SparkEntry {
                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
          GROUP BY user_id""",
+    "fuzzy_part_names" ->
+      """SELECT l.p_partkey AS key_a, r.p_partkey AS key_b,
+                CAST(levenshtein(l.p_name, r.p_name) AS INT) AS edit_dist
+         FROM part l, part r
+         WHERE l.p_brand = r.p_brand AND l.p_type = r.p_type
+           AND l.p_partkey < r.p_partkey
+           AND levenshtein(l.p_name, r.p_name) <= 3""",
+    "value_histogram" ->
+      """SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 100 THEN 21
+                     ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS bucket,
+                count(*) AS n
+         FROM events GROUP BY bucket""",
     "user_funnel" ->
       """SELECT user_id,
                 CAST(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
