@@ -78,15 +78,20 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))),
     "fuzzy_part_names" -> ((s, d) => {
-      // fuzzy match within (brand, type) blocks — bounded pair space
+      // fuzzy match within (brand, type) blocks — bounded pair space.
+      // |len diff| <= 3 is implied by edit distance <= 3, so the cheap
+      // length prefilter and the thresholded (early-exit) levenshtein
+      // change cost, not results.
       val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"),
         col("p_type"), col("p_name"))
+      val lev = levenshtein(col("l.p_name"), col("r.p_name"), 3)
       p.as("l").join(p.as("r"),
           col("l.p_brand") === col("r.p_brand") && col("l.p_type") === col("r.p_type")
-            && col("l.p_partkey") < col("r.p_partkey"))
-        .where(levenshtein(col("l.p_name"), col("r.p_name")) <= 3)
+            && col("l.p_partkey") < col("r.p_partkey")
+            && abs(length(col("l.p_name")) - length(col("r.p_name"))) <= 3)
+        .where(lev >= 0)
         .select(col("l.p_partkey").as("key_a"), col("r.p_partkey").as("key_b"),
-          levenshtein(col("l.p_name"), col("r.p_name")).as("edit_dist"))
+          lev.cast("int").as("edit_dist"))
     }),
     "value_histogram" -> ((s, d) =>
       t(s, d, "events").groupBy(
