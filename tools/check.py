@@ -6,6 +6,7 @@ engine is the Scala library). Usage:
 """
 import json, sys, glob, os
 import duckdb
+import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -21,7 +22,10 @@ for name in names:
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no parquet written"); fails += 1; continue
-    spark_df = con.sql(f"SELECT * FROM '{files[0]}'").df()
+    # Read the Spark parquet with pandas, NOT through DuckDB: DuckDB would
+    # float-convert DECIMAL columns on BOTH sides and mask exactly the
+    # dtype/representation mismatches the driver's compare catches.
+    spark_df = pd.read_parquet(files[0])
     nrows = len(spark_df)
     if name not in oracle:
         print(f"ROWS {name}: {nrows} rows (no oracle)"); continue
@@ -43,12 +47,20 @@ for name in names:
     da = [norm_dtype(t) for t in a.dtypes]
     db = [norm_dtype(t) for t in b.dtypes]
     if da != db:
-        print(f"FAIL {name}: dtypes {list(zip(a.columns, da, db))}")
-        fails += 1; continue
+        # informational only — the driver gates on str-rendered values, and
+        # e.g. date32→object vs DATE→datetime64 still str-compare equal.
+        # But a decimal(object) vs float64 split is exactly the trailing-zero
+        # trap that red-flagged round 1, so make it loud.
+        mism = [z for z in zip(a.columns, da, db) if z[1] != z[2]]
+        print(f"WARN {name}: dtype drift {mism}")
     a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
     b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
-    av = a.astype(str)
-    bv = b.astype(str)
+    # per-COLUMN str conversion, not DataFrame.astype(str): pandas formats
+    # datetime64 blocks jointly, so a subsecond column in the same frame
+    # would force midnight dates to render '... 00:00:00.000000' and
+    # spuriously fail against the other side's date objects.
+    av = pd.DataFrame({c: a[c].astype(str) for c in a.columns})
+    bv = pd.DataFrame({c: b[c].astype(str) for c in b.columns})
     if not av.equals(bv):
         diff = (av != bv).any(axis=1)
         print(f"FAIL {name}: {int(diff.sum())}/{len(a)} rows differ; first:")
