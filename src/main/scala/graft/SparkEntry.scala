@@ -72,7 +72,7 @@ object SparkEntry {
       t(s, d, "events").groupBy(
           date_trunc("HOUR", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))),
     "events_sessionization" -> ((s, d) =>
       CdcOps.sessionize(t(s, d, "events"), Seq("user_id"), "ts", 1800L)
         .groupBy(col("user_id"))
@@ -103,12 +103,13 @@ object SparkEntry {
     "cohort_retention" -> ((s, d) =>
       Behavior.cohortRetention(t(s, d, "events"), "user_id", "ts")),
     "customer_quartiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val perCust = t(s, d, "orders").groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
-      perCust.select(col("o_custkey"), col("revenue"),
-        ntile(4).over(Window.orderBy(col("revenue").desc, col("o_custkey")))
-          .cast("bigint").as("quartile"))
+      // exact ntile without a single-partition global window (Ranking.scala)
+      Ranking.exactNtile(perCust, 4,
+          Seq(col("revenue").desc, col("o_custkey")), "quartile")
+        .select(col("o_custkey"), col("revenue").cast("double").as("revenue"),
+          col("quartile"))
     }),
     "mirror_validation" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -144,7 +145,7 @@ object SparkEntry {
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
           count(lit(1)).as("n_orders"))),
     "value_percentiles" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))
@@ -271,14 +272,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         sum($rev) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum($rev) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-02'
          GROUP BY l_returnflag, l_linestatus""",
     "q3_unshipped_revenue" ->
-      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, sum($rev) AS revenue
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(sum($rev) AS DOUBLE) AS revenue
          FROM lineitem, orders, customer
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
            AND c_mktsegment = 'BUILDING'
@@ -286,7 +288,7 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority""",
     "q5_region_volume" ->
-      s"""SELECT n_name, sum($rev) AS revenue
+      s"""SELECT n_name, CAST(sum($rev) AS DOUBLE) AS revenue
          FROM lineitem, orders, supplier, nation, region, customer
          WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
            AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -296,7 +298,7 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1999-01-01'
          GROUP BY n_name""",
     "q6_revenue_delta" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
@@ -308,13 +310,13 @@ object SparkEntry {
                        WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-06-01')
          GROUP BY o_orderpriority""",
     "top_customers" ->
-      """SELECT c_custkey, c_name, revenue, n_orders
+      """SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue, n_orders
          FROM (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
                       count(*) AS n_orders
                FROM orders GROUP BY o_custkey) o, customer
          WHERE o_custkey = c_custkey AND revenue > 3000000""",
     "nation_revenue_rank" ->
-      """SELECT n_name, c_custkey, revenue, rev_rank FROM (
+      """SELECT n_name, c_custkey, CAST(revenue AS DOUBLE) AS revenue, rev_rank FROM (
            SELECT n_name, c_custkey, revenue,
                   rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rev_rank
            FROM (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
@@ -323,12 +325,12 @@ object SparkEntry {
          WHERE rev_rank <= 3""",
     "part_type_share" ->
       s"""SELECT p_brand,
-         sum(CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_revenue,
-         sum($rev) AS total_revenue
+         CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+         CAST(sum($rev) AS DOUBLE) AS total_revenue
          FROM lineitem, part WHERE l_partkey = p_partkey
          GROUP BY p_brand""",
     "q22_idle_customers" ->
-      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      """SELECT c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
          FROM customer, (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
                                 count(*) AS bal_n
                          FROM customer WHERE c_acctbal > 0) t
@@ -342,13 +344,14 @@ object SparkEntry {
            GROUP BY c_custkey)
          GROUP BY c_count""",
     "q18_large_orders" ->
-      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                CAST(total_qty AS DOUBLE) AS total_qty
          FROM orders, customer,
               (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
                FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150) b
          WHERE o_orderkey = b.l_orderkey AND o_custkey = c_custkey""",
     "q7_nation_volume" ->
-      s"""SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue FROM (
+      s"""SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue FROM (
            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                   year(l_shipdate) AS l_year, $rev AS volume
            FROM lineitem, orders, supplier, customer, nation n1, nation n2
@@ -359,9 +362,9 @@ object SparkEntry {
                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
          GROUP BY supp_nation, cust_nation, l_year""",
     "rolling_revenue" ->
-      """SELECT day, day_revenue,
-                sum(day_revenue) OVER (ORDER BY day_num
-                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev_7d
+      """SELECT day, CAST(day_revenue AS DOUBLE) AS day_revenue,
+                CAST(sum(day_revenue) OVER (ORDER BY day_num
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
          FROM (SELECT CAST(o_orderdate AS DATE) AS day,
                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_revenue,
                       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
@@ -387,7 +390,8 @@ object SparkEntry {
                 CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
          FROM events GROUP BY user_id""",
     "rollup_revenue" ->
-      """SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      """SELECT r_name, n_name,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                 count(*) AS n_orders
          FROM orders, customer, nation, region
          WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
@@ -444,7 +448,7 @@ object SparkEntry {
     "stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n_events,
-                sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY date_trunc('hour', ts), event_type""",
     "events_sessionization" ->
       """SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
@@ -485,7 +489,7 @@ object SparkEntry {
          WHERE e.user_id = c.user_id
          GROUP BY c.cohort_week, active_week""",
     "customer_quartiles" ->
-      """SELECT o_custkey, revenue,
+      """SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue,
                 ntile(4) OVER (ORDER BY revenue DESC, o_custkey) AS quartile
          FROM (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
                FROM orders GROUP BY o_custkey)""",

@@ -22,21 +22,32 @@ object Analytics {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** Cast the named (decimal) output columns to DOUBLE in a final projection.
+    * All monetary math stays DECIMAL internally (exact, order-independent);
+    * only the *emitted* column converts, so results are engine-comparable —
+    * consumers reading the result as float64 see identical bits regardless
+    * of which engine produced it.
+    */
+  private def emitDouble(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+
   /** TPC-H Q1-style pricing summary: wide grouped aggregation over the
     * biggest fact table. Single shuffle on the tiny (flag,status) key space;
     * all aggregates combine map-side.
     */
   def pricingSummary(lineitem: DataFrame): DataFrame =
-    lineitem
-      .where(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .as("sum_disc_price"),
-        count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    emitDouble(
+      lineitem
+        .where(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).as("sum_qty"),
+          sum(dec("l_extendedprice")).as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      "sum_qty", "sum_base_price", "sum_disc_price")
 
   /** TPC-H Q3-style: revenue of unshipped orders per (order, date, priority).
     * customer is broadcast; orders⋈lineitem shuffles on the order key only.
@@ -49,7 +60,7 @@ object Analytics {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-        .as("revenue"))
+        .cast("double").as("revenue"))
 
   /** TPC-H Q5-style: local-supplier volume per nation within one region.
     * All four dims broadcast; the only shuffles are fact⋈fact on l_orderkey
@@ -70,7 +81,7 @@ object Analytics {
         && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-        .as("revenue"))
+        .cast("double").as("revenue"))
   }
 
   /** TPC-H Q6-style: selective filter + single sum. The filters are plain
@@ -83,7 +94,7 @@ object Analytics {
         && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
         && col("l_discount").between(0.05, 0.07)
         && col("l_quantity") < 24)
-      .agg(sum(dec("l_extendedprice") * dec("l_discount")).as("revenue"))
+      .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"))
 
   /** TPC-H Q4-style: order counts per priority for orders with at least one
     * late lineitem — a left-semi join, which shuffles only the keys.
@@ -102,7 +113,8 @@ object Analytics {
       .agg(sum(dec("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .where(col("revenue") > lit(minRevenue))
       .join(customer, col("o_custkey") === col("c_custkey"))
-      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .select(col("c_custkey"), col("c_name"),
+        col("revenue").cast("double").as("revenue"), col("n_orders"))
 
   /** Revenue rank of customers within their nation — windowed ranking over an
     * already-aggregated (hence small) frame; rank ties are exact because the
@@ -114,7 +126,8 @@ object Analytics {
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("c_custkey"))
-    perCust.select(col("n_name"), col("c_custkey"), col("revenue"),
+    perCust.select(col("n_name"), col("c_custkey"),
+        col("revenue").cast("double").as("revenue"), // rank ties stay DECIMAL-exact above
         rank().over(w).cast("bigint").as("rev_rank")) // bigint: rank() is int64 in DuckDB
       .where(col("rev_rank") <= 3)
   }
@@ -131,7 +144,7 @@ object Analytics {
       .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
       .crossJoin(broadcast(totals))
       .where(dec("c_acctbal") * col("bal_n") > col("bal_sum"))
-      .select(col("c_custkey"), col("c_name"), dec("c_acctbal").as("acctbal"))
+      .select(col("c_custkey"), col("c_name"), dec("c_acctbal").cast("double").as("acctbal"))
   }
 
   /** TPC-H Q13-style: distribution of orders-per-customer including
@@ -157,29 +170,41 @@ object Analytics {
     orders.join(bigOrders, col("o_orderkey") === col("l_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-        col("o_orderdate"), col("total_qty"))
+        col("o_orderdate"), col("total_qty").cast("double").as("total_qty"))
   }
 
   /** TPC-H Q7-style: shipping volume between two nations, both directions,
-    * per year. Bounded dims broadcast; the year comes from the ship date.
+    * per year.
+    *
+    * The nation predicate is pushed *into* supplier and customer before any
+    * fact join: at 25 nations the two qualifying ones keep ~8% of each dim,
+    * so the lineitem⋈supplier join prunes ~92% of the big fact before the
+    * fact⋈fact shuffle on the order key — instead of joining everything and
+    * discarding 92% at the end. The direction filter (A→B or B→A) still runs
+    * last because a row's direction needs both sides.
     */
   def nationVolume(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
                    customer: DataFrame, nation: DataFrame,
                    nationA: String, nationB: String): DataFrame = {
-    val n1 = nation.select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
-    val n2 = nation.select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+    val twoNations = nation.where(col("n_name").isin(nationA, nationB))
+    val supp = supplier
+      .join(broadcast(twoNations.select(col("n_nationkey").as("supp_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("supp_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = customer
+      .join(broadcast(twoNations.select(col("n_nationkey").as("cust_nk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cust_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
     lineitem
+      .join(supp, col("l_suppkey") === col("s_suppkey")) // AQE broadcasts the pruned dim while it fits
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(supplier, col("l_suppkey") === col("s_suppkey"))
-      .join(customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
-      .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .where((col("supp_nation") === nationA && col("cust_nation") === nationB)
         || (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("bigint").as("l_year")) // bigint: year() is int64 in DuckDB
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-        .as("revenue"))
+        .cast("double").as("revenue"))
   }
 
   /** Rolling 7-day revenue: aggregate to days first (map-side combined
@@ -193,8 +218,8 @@ object Analytics {
       .agg(sum(dec("o_totalprice")).as("day_revenue"))
       .withColumn("day_num", datediff(col("day"), lit("1995-01-01").cast("date")).cast("bigint"))
     val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
-    daily.select(col("day"), col("day_revenue"),
-      sum(col("day_revenue")).over(w).as("rev_7d"))
+    daily.select(col("day"), col("day_revenue").cast("double").as("day_revenue"),
+      sum(col("day_revenue")).over(w).cast("double").as("rev_7d"))
   }
 
   /** Promo-share-style conditional aggregation per part type prefix. */
@@ -204,7 +229,8 @@ object Analytics {
       .agg(
         sum(when(col("p_type").startsWith("PROMO"),
           dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .otherwise(lit("0.0000").cast("decimal(38,4)"))).as("promo_revenue"),
+          .otherwise(lit("0.0000").cast("decimal(38,4)")))
+          .cast("double").as("promo_revenue"),
         sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .as("total_revenue"))
+          .cast("double").as("total_revenue"))
 }

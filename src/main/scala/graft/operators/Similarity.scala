@@ -65,24 +65,30 @@ object Similarity {
       k)
   }
 
-  /** IVF approximate top-k. Centroids are a deterministic hash-sample of the
-    * corpus itself (every `centroidStride`-th id — at production scale,
-    * k-means centroids from a sampled training pass slot in unchanged).
+  /** IVF approximate top-k. Centroids are a deterministic hash-ordered
+    * sample of the corpus itself, capped at `numCentroids` — at production
+    * scale, k-means centroids from a sampled training pass slot in
+    * unchanged. The cap keeps the codebook O(numCentroids) regardless of
+    * corpus size (the sort+limit plans as TakeOrderedAndProject: each
+    * partition ships at most `numCentroids` rows, never the corpus), so the
+    * one driver-side collect is constant-sized at any scale factor.
     *
-    * The codebook is bounded by construction, so it is collected once and
-    * embedded in the native [[graft.expressions.NearestCentroids]]
-    * expression: centroid assignment and query probing are then pure
-    * projections — the corpus embeddings are never shuffled or crossJoined,
-    * and the only shuffles are the bounded cent_id equi-join and the final
-    * top-k aggregation.
+    * The bounded codebook is embedded in the native
+    * [[graft.expressions.NearestCentroids]] expression: centroid assignment
+    * and query probing are then pure projections — the corpus embeddings
+    * are never shuffled or crossJoined, and the only shuffles are the
+    * bounded cent_id equi-join and the final top-k aggregation.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              centroidStride: Int = 50, nProbe: Int = 4): DataFrame = {
+              numCentroids: Int = 256, nProbe: Int = 4): DataFrame = {
     val centRows = corpus
-      .where(pmod(col(idCol), lit(centroidStride)) === 0)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id")), col("id")) // deterministic pseudo-random pick
+      .limit(numCentroids)
       .collect()
+    if (centRows.isEmpty) // empty/filtered-out corpus: nothing to probe
+      return bruteForceTopK(corpus, queries, idCol, vecCol, k)
     val centIds = centRows.map(_.getLong(0))
     val dim = centRows.head.getSeq[Double](1).length
     val flat = centRows.flatMap(_.getSeq[Double](1))

@@ -114,16 +114,25 @@ object CdcStream {
     val withBucket = batchDf
       .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val touched = withBucket.select("bucket").distinct().as[Int].collect()
+    // Only a *missing* mirror means first batch. Any other read failure
+    // (transient IO, permissions, corrupt file) must propagate: swallowing
+    // it here would overwrite the touched buckets with batch-only rows and
+    // silently drop every previously mirrored row in them.
     val existing =
-      try Some(spark.read.parquet(targetDir).where(col("bucket").isin(touched.toSeq: _*)))
-      catch { case _: Exception => None } // first batch: no mirror yet
+      if (!fs(spark, targetDir).exists(new org.apache.hadoop.fs.Path(targetDir))) None
+      else Some(spark.read.parquet(targetDir).where(col("bucket").isin(touched.toSeq: _*)))
     val unioned = existing
       .map(withBucket.unionByName(_, allowMissingColumns = true))
       .getOrElse(withBucket)
     val merged = graft.operators.CdcOps
       .latestSnapshot(unioned, keys, versionCol)
       .localCheckpoint(true) // materialize before overwriting the inputs
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(targetDir)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic") // per-write, not session-wide
+      .partitionBy("bucket").parquet(targetDir)
   }
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

@@ -46,12 +46,50 @@ class SimilaritySpec extends SparkSpec {
 
   test("ivfTopK probes nearest centroid lists and finds the parallel vector") {
     val out = Similarity.ivfTopK(corpus, corpus.where($"vec_id" === 0),
-      "vec_id", "embedding", 3, centroidStride = 2, nProbe = 2)
+      "vec_id", "embedding", 3, numCentroids = 3, nProbe = 2)
       .as[(Long, Long, Long)].collect()
     assert(out.forall(_._1 == 0L))
     assert(out.forall(r => r._2 != 0L))
     assert(out.map(_._3).sorted.toSeq == (1L to out.length.toLong).toSeq)
     assert(out.map(_._2).contains(1L))
+  }
+
+  test("ivfTopK recall vs brute force on clusterable vectors") {
+    // 8 well-separated direction clusters of 40 vectors each: the IVF
+    // contract is that same-cluster neighbors land in the same inverted
+    // list, so probing a few lists recovers most of the true top-k.
+    // (Uniform random vectors have no cluster structure and make recall a
+    // coin flip for ANY ivf index — not a meaningful test.)
+    val dim = 16
+    val vecs = for (c <- 0 until 8; i <- 0 until 40) yield {
+      val base = Array.fill(dim)(0f)
+      base(c * 2) = 1f
+      base((c * 2 + 1) % dim) = 0.5f
+      // deterministic small perturbation, unique per vector
+      val noisy = base.zipWithIndex.map { case (v, j) =>
+        v + 0.008f * (((c * 40 + i) * 31 + j * 7) % 11 - 5)
+      }
+      ((c * 40 + i).toLong, noisy)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val queries = embs.where($"vec_id" % 40 === 0) // one query per cluster
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+    val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
+    val ivf = tops(Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10,
+      numCentroids = 16, nProbe = 4))
+    // toSeq before mapping: Set.map would collapse equal per-query recalls
+    val recall = exact.toSeq.map { case (q, e) =>
+      (e intersect ivf.getOrElse(q, Set.empty)).size.toDouble / e.size
+    }.sum / exact.size
+    assert(recall >= 0.7, s"IVF recall $recall below 0.7")
+  }
+
+  test("ivfTopK falls back to brute force on an empty corpus slice") {
+    val out = Similarity.ivfTopK(corpus.where($"vec_id" < 0),
+      corpus.where($"vec_id" === 0), "vec_id", "embedding", 3)
+    assert(out.count() === 0) // no candidates, but no driver-side crash
   }
 
   test("lsh bucket of identical vectors is identical") {
