@@ -1,29 +1,35 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scale-safe global ranking / exact ntile.
   *
   * `ntile(n).over(Window.orderBy(...))` with no partition key moves every row
   * through a single partition — fine at test scale, a scale-killer on a real
   * cluster. This operator computes the identical result with bounded
-  * per-partition work:
+  * per-partition work, the classic zipWithIndex construction:
   *
-  *   1. range-repartition on the sort key (each partition holds a contiguous
-  *      key range; partition count scales with the cluster, not the data),
-  *   2. count rows per partition (an O(#partitions) driver-side array — the
-  *      same cardinality as any Spark job's task-status table),
-  *   3. rank within each partition (`row_number` over a partition-local
-  *      window) and add the prefix-sum offset of the partitions before it,
+  *   1. global sort (range exchange + in-partition sort; partition count
+  *      scales with the cluster, not the data),
+  *   2. one job counting rows per partition (an O(#partitions) driver-side
+  *      array — the same cardinality as any job's task-status table),
+  *   3. a second pass appending each row's partition-offset-plus-local-index
+  *      as its exact global rank,
   *   4. map the exact global rank to its ntile bucket with the standard
   *      "first (total mod n) buckets get one extra row" rule.
   *
-  * The range-partitioned frame is persisted before step 2 so the partition
-  * ids observed by the count and by the ranking come from the same physical
-  * partitioning (a re-evaluated range exchange may re-sample boundaries).
+  * Nothing is persisted or checkpointed: both passes are jobs over the SAME
+  * physical RDD (the Dataset's memoized `toRdd`), so the sort's shuffle map
+  * stage — and every shuffle upstream of it, e.g. an expensive input
+  * aggregation — runs once and is reused from shuffle files by the later
+  * jobs. The partitioning observed by the count and by the rank pass is
+  * therefore byte-identical by construction, with zero cached blocks left
+  * behind (`getPersistentRDDs` stays empty).
   *
   * Matches ClickHouse/ANSI `ntile` semantics as exercised by the reference's
   * quartile reports (reference: peerdb_psql_clickhouse_monitor.ps1 summary
@@ -36,31 +42,30 @@ object Ranking {
     */
   private def rankWithTotal(df: DataFrame, order: Seq[Column],
                             rankCol: String): (DataFrame, Long) = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // materialize the input once: the range exchange makes TWO passes over
-    // its child (boundary sampling, then the shuffle itself), which would
-    // recompute an expensive upstream aggregation twice
-    val input = df.localCheckpoint(true)
-    val ranged = input.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // empty partitions don't appear in `counts`; they contribute 0 to every
-    // prefix sum, so skipping them leaves the offsets unchanged.
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("__pid")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-    val total = counts.map(_._2).sum
-    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts).map {
-      case (off, (pid, _)) => (pid, off)
+    val spark = df.sparkSession
+    val sorted = df.sort(order: _*)
+    // memoized physical RDD: jobs below share one shuffle, no persist needed
+    val rdd = bridge.toInternalRdd(sorted)
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(pid -> n)
+    }.collect().sortBy(_._1).map(_._2)
+    val total = counts.sum
+    val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = offsets.value(pid)
+      val rankRow = new SpecificInternalRow(Seq(LongType))
+      val joined = new JoinedRow
+      it.map { row =>
+        rank += 1
+        rankRow.setLong(0, rank)
+        joined(row, rankRow): InternalRow
+      }
     }
-    val offsetDf = df.sparkSession.createDataFrame(offsets.toSeq)
-      .toDF("__pid", "__offset")
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val ranked = ranged
-      .join(broadcast(offsetDf), "__pid")
-      .withColumn(rankCol, row_number().over(w).cast("bigint") + col("__offset"))
-      .drop("__pid", "__offset")
-    (ranked, total)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    (bridge.internalCreateDataFrame(spark, ranked, schema), total)
   }
 
   /** df extended with `rankCol` = exact 1-based global rank under `order`. */

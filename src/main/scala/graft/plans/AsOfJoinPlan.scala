@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, Distribution, Partitioning, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Whole-operator as-of join at the planner level — the extension mechanism
@@ -76,8 +76,26 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  /** Both children must land in IDENTICAL hash partitionings — same
+    * expressions, same fixed partition count — because `doExecute` pairs
+    * partitions positionally with `zipPartitions`. Two plain
+    * `ClusteredDistribution`s do NOT guarantee that (the SPARK-35703 trap):
+    * e.g. a range-partitioned child satisfies clustering on its key but maps
+    * keys to different partition ids than a hash-partitioned sibling, which
+    * would silently mis-join. `StatefulOpClusteredDistribution` is the
+    * pattern Spark's own stateful streaming operators use for exactly this
+    * positional-pairing contract: it is satisfied ONLY by
+    * `HashPartitioning(keys, n)` with this exact `n`, so EnsureRequirements
+    * re-exchanges any pre-shuffled input that is not byte-for-byte
+    * co-partitioned, and AQE will not coalesce the two sides apart.
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil
+    else {
+      val n = conf.numShufflePartitions
+      StatefulOpClusteredDistribution(leftKeys, n) ::
+        StatefulOpClusteredDistribution(rightKeys, n) :: Nil
+    }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),

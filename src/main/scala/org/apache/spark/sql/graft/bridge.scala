@@ -23,6 +23,24 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The physical `RDD[InternalRow]` behind a DataFrame (memoized by the
+    * Dataset's QueryExecution, so repeated jobs over it reuse its shuffle
+    * output instead of recomputing the plan).
+    */
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+
+  /** Wrap an `RDD[InternalRow]` as a DataFrame without a round-trip through
+    * external rows (library-extension entry into the private[sql] factory).
+    */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register graft's SQL functions on an already-running session (the
     * `spark.sql.extensions` config path only applies at session build).
     */

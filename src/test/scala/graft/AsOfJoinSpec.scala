@@ -69,6 +69,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(filtered.count() == expected.count() && filtered.count() > 0)
   }
 
+  test("exec path re-exchanges pre-shuffled inputs that are not co-partitioned") {
+    import org.apache.spark.sql.functions.col
+    val expected = Set((1L, 10, 100.0), (1L, 20, 101.0))
+    // adversarial shapes: each child satisfies ClusteredDistribution on its
+    // key by itself, but they are NOT co-partitioned with each other —
+    // positional zipPartitions over them un-exchanged would mis-join
+    val shapes = Seq(
+      // same partition count, different partitioning function (hash vs range)
+      (trades.repartition(4, col("key")), quotes.repartitionByRange(4, col("key"))),
+      // different partition counts
+      (trades.repartition(3, col("key")), quotes.repartition(5, col("key"))),
+      // one side single-partition
+      (trades.coalesce(1), quotes.repartition(7, col("key"))))
+    for ((l, r) <- shapes) {
+      val out = AsOfJoin.backwardExec(l, r, Seq("key"), "tts", "qts")
+        .select("key", "qty", "r_price").as[(Long, Int, Double)].collect().toSet
+      assert(out == expected, s"mis-join on pre-shuffled inputs ($l, $r)")
+    }
+  }
+
   test("physical-operator outer variant keeps unmatched left rows") {
     val out = AsOfJoin.backwardExec(trades, quotes, Seq("key"), "tts", "qts", inner = false)
     assert(out.count() == 4)

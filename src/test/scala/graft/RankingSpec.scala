@@ -44,6 +44,18 @@ class RankingSpec extends SparkSpec {
     assert(ref.join(got, Seq("id", "v")).where(col("rk") =!= col("rk_ref")).count() === 0)
   }
 
+  test("exactNtile leaves no persisted blocks behind") {
+    // delta-based: other suites sharing the session may have their own
+    // legitimately persisted frames; exactNtile must not ADD any
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (1 to 2000).map(i => (i.toLong, (i * 31 % 503).toLong)).toDF("id", "v")
+    val got = Ranking.exactNtile(df, 4, Seq(col("v").desc, col("id")), "q")
+    assert(got.count() === 2000)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"rankWithTotal must not leave cached/checkpointed blocks pinned: $leaked")
+  }
+
   test("exactNtile of an empty frame is empty, n=1 puts all rows in bucket 1") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(Ranking.exactNtile(empty, 4, Seq(col("v"), col("id")), "b").count() === 0)
