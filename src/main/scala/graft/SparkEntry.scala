@@ -58,8 +58,9 @@ object SparkEntry {
     "cdc_soft_delete" -> ((s, d) =>
       CdcOps.softDeleteSnapshot(t(s, d, "events"), Seq("user_id"), "event_id", isDelete)),
     "cdc_mirror_meta" -> ((s, d) =>
+      // syncedAt derived from ts (not wall clock) so the oracle can reproduce
       CdcOps.withMirrorMeta(t(s, d, "events"), Seq("user_id"), "event_id", isDelete,
-        to_date(col("ts")))),
+        to_date(col("ts")), syncedAt = col("ts"))),
     "cdc_scd2_history" -> ((s, d) =>
       CdcOps.scd2History(t(s, d, "events"), Seq("user_id"), "ts", "event_id")),
     "cdc_batch_stats" -> ((s, d) =>
@@ -115,6 +116,17 @@ object SparkEntry {
       val ev = t(s, d, "events")
       graft.sources.Mirror.validateCounts(ev,
         CdcOps.latestSnapshot(ev, Seq("user_id"), "event_id"), Seq("user_id"))
+    }),
+    "mirror_lag" -> ((s, d) => {
+      // the monitor's per-table Lag row over a fully synced mirror of the
+      // events log (synced_at derived from ts so the oracle can reproduce)
+      val ev = t(s, d, "events")
+      val mirror = CdcOps.latestSnapshot(
+        CdcOps.withMirrorMeta(ev, Seq("user_id"), "event_id", isDelete,
+          lit(0L), syncedAt = col("ts")),
+        Seq("user_id"), "_peerdb_version")
+      graft.sources.Incremental.lagReport(ev, mirror,
+        graft.sources.TableConfig("events", Seq("user_id"), "event_id"))
     }),
 
     // ---- extended analytics ----------------------------------------------
@@ -425,7 +437,8 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value, props,
                 CAST(event_id AS BIGINT) AS _peerdb_version,
                 CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS _peerdb_is_deleted,
-                CAST(ts AS DATE) AS _peerdb_batch_id
+                CAST(ts AS DATE) AS _peerdb_batch_id,
+                ts AS _peerdb_synced_at
          FROM events""",
     "cdc_scd2_history" ->
       """SELECT event_id, ts, user_id, event_type, value, props,
@@ -500,6 +513,18 @@ object SparkEntry {
               (SELECT count(*) AS dst_rows, count(DISTINCT user_id) AS dst_keys FROM (
                  SELECT user_id FROM events
                  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)) d""",
+    "mirror_lag" ->
+      """SELECT 'events' AS table_name, src_rows, dst_rows,
+                src_rows - dst_rows AS lag_rows,
+                src_max_seq, dst_max_seq, src_max_seq - dst_max_seq AS lag_seq,
+                last_synced_at
+         FROM (SELECT count(*) AS src_rows, CAST(max(event_id) AS BIGINT) AS src_max_seq
+               FROM events) s,
+              (SELECT count(*) AS dst_rows, CAST(max(event_id) AS BIGINT) AS dst_max_seq,
+                      max(ts) AS last_synced_at
+               FROM (SELECT * FROM events
+                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+               WHERE event_type <> 'error') d""",
     "docs_quality_filter" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars,

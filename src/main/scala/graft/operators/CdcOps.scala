@@ -45,12 +45,23 @@ object CdcOps {
                          isDelete: Column): DataFrame =
     latestSnapshot(log, keys, versionCol).where(!isDelete)
 
-  /** Decorate raw change rows with PeerDB-style mirror metadata columns. */
+  /** Decorate raw change rows with PeerDB-style mirror metadata columns —
+    * all four the reference mirror carries: `_peerdb_version`,
+    * `_peerdb_is_deleted`, `_peerdb_batch_id`, `_peerdb_synced_at`
+    * (reference: peerdb_config.yaml mirror tables; the monitor's lag view
+    * reads the synced-at timestamp).
+    *
+    * @param syncedAt wall-clock sync stamp; defaults to the session's
+    *                 `current_timestamp()` (per-query constant), pass a
+    *                 derived column for reproducible pipelines/tests.
+    */
   def withMirrorMeta(log: DataFrame, keys: Seq[String], versionCol: String,
-                     isDelete: Column, batchCol: Column): DataFrame =
+                     isDelete: Column, batchCol: Column,
+                     syncedAt: Column = current_timestamp()): DataFrame =
     log.withColumn("_peerdb_version", col(versionCol).cast("long"))
       .withColumn("_peerdb_is_deleted", when(isDelete, 1).otherwise(0))
       .withColumn("_peerdb_batch_id", batchCol)
+      .withColumn("_peerdb_synced_at", syncedAt.cast("timestamp"))
 
   /** SCD-2 history: every change becomes a validity interval
     * [valid_from, valid_to) per key, newest row open-ended (null valid_to).

@@ -16,14 +16,18 @@ object Mirror {
 
   /** Full snapshot load into the mirror layout. `versionCol` seeds
     * `_peerdb_version` (pass `lit(0L)` when the source has no LSN analog).
+    * Stamps all four PeerDB metadata columns including `_peerdb_synced_at`
+    * (the load wall-clock by default — pass `syncedAt` for reproducibility).
     */
   def fullLoad(source: DataFrame, targetDir: String, keyCol: String,
                version: org.apache.spark.sql.Column, batchId: Long = 0L,
-               nBuckets: Int = 64): Unit =
+               nBuckets: Int = 64,
+               syncedAt: org.apache.spark.sql.Column = current_timestamp()): Unit =
     source
       .withColumn("_peerdb_version", version.cast("long"))
       .withColumn("_peerdb_is_deleted", lit(0))
       .withColumn("_peerdb_batch_id", lit(batchId))
+      .withColumn("_peerdb_synced_at", syncedAt.cast("timestamp"))
       .withColumn("bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(targetDir)
 

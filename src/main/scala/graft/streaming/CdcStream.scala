@@ -114,12 +114,26 @@ object CdcStream {
     val withBucket = batchDf
       .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val touched = withBucket.select("bucket").distinct().as[Int].collect()
-    // Only a *missing* mirror means first batch. Any other read failure
-    // (transient IO, permissions, corrupt file) must propagate: swallowing
-    // it here would overwrite the touched buckets with batch-only rows and
-    // silently drop every previously mirrored row in them.
+    // Only a mirror with *no data files* means first batch — a missing dir,
+    // or one pre-created empty / left behind by a failed first write (no
+    // parquet footers, which would make spark.read.parquet throw on every
+    // retry and wedge the stream). Any other read failure (transient IO,
+    // permissions, corrupt file) must propagate: swallowing it here would
+    // overwrite the touched buckets with batch-only rows and silently drop
+    // every previously mirrored row in them.
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fsys = fs(spark, targetDir)
+    def hasDataFiles: Boolean = {
+      val files = fsys.listFiles(target, true)
+      var found = false
+      while (!found && files.hasNext) {
+        val name = files.next().getPath.getName
+        found = name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
     val existing =
-      if (!fs(spark, targetDir).exists(new org.apache.hadoop.fs.Path(targetDir))) None
+      if (!fsys.exists(target) || !hasDataFiles) None
       else Some(spark.read.parquet(targetDir).where(col("bucket").isin(touched.toSeq: _*)))
     val unioned = existing
       .map(withBucket.unionByName(_, allowMissingColumns = true))
