@@ -79,20 +79,14 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))),
     "fuzzy_part_names" -> ((s, d) => {
-      // fuzzy match within (brand, type) blocks — bounded pair space.
-      // |len diff| <= 3 is implied by edit distance <= 3, so the cheap
-      // length prefilter and the thresholded (early-exit) levenshtein
-      // change cost, not results.
+      // q-gram prefix blocking (guaranteed recall, Fuzzy.editPairs): the
+      // block key is (brand, type, rare-first gram) — its cardinality grows
+      // with the corpus, unlike the raw fixed-cardinality (brand, type) key
       val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"),
         col("p_type"), col("p_name"))
-      val lev = levenshtein(col("l.p_name"), col("r.p_name"), 3)
-      p.as("l").join(p.as("r"),
-          col("l.p_brand") === col("r.p_brand") && col("l.p_type") === col("r.p_type")
-            && col("l.p_partkey") < col("r.p_partkey")
-            && abs(length(col("l.p_name")) - length(col("r.p_name"))) <= 3)
-        .where(lev >= 0)
-        .select(col("l.p_partkey").as("key_a"), col("r.p_partkey").as("key_b"),
-          lev.cast("int").as("edit_dist"))
+      Fuzzy.editPairs(p, "p_partkey", "p_name", 3, Seq("p_brand", "p_type"))
+        .select(col("id_a").as("key_a"), col("id_b").as("key_b"),
+          col("dist").as("edit_dist"))
     }),
     "value_histogram" -> ((s, d) =>
       t(s, d, "events").groupBy(
@@ -238,8 +232,11 @@ object SparkEntry {
 
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+    // prefix-filtered (guaranteed recall, vocabulary-sized block space):
+    // the oracle-verified scalable path; the lang-blocked variant remains
+    // available as Dedup.ngramJaccardPairs for caller-chosen blocking
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang", 0.8)),
+      Dedup.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text", 0.8)),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
@@ -602,17 +599,28 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY fp""",
+    // prefix filtering has guaranteed recall on both engines, so both sides
+    // compute the complete J >= 0.8 pair set — the oracle needs no blocking
+    // assumptions beyond the same prefix bound
     "dedup_ngram_jaccard" ->
-      """SELECT l.id AS id_a, r.id AS id_b,
-                CAST(len(list_intersect(l.words, r.words)) AS DOUBLE)
-                  / len(list_distinct(list_concat(l.words, r.words))) AS jaccard
-         FROM (SELECT doc_id AS id, lang AS blk,
-                      list_distinct(string_split(lower(text), ' ')) AS words FROM documents) l,
-              (SELECT doc_id AS id, lang AS blk,
-                      list_distinct(string_split(lower(text), ' ')) AS words FROM documents) r
-         WHERE l.blk = r.blk AND l.id < r.id
-           AND CAST(len(list_intersect(l.words, r.words)) AS DOUBLE)
-                 / len(list_distinct(list_concat(l.words, r.words))) >= 0.8""",
+      """WITH d AS (SELECT doc_id AS id,
+                           list_distinct(string_split(lower(text), ' ')) AS words
+                    FROM documents),
+         tok AS (SELECT id, unnest(words) AS w, len(words) AS n FROM d),
+         f AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+         pfx AS (SELECT id, w FROM (
+                   SELECT t.id, t.w, t.n,
+                          row_number() OVER (PARTITION BY t.id ORDER BY f.df, t.w) AS rn
+                   FROM tok t JOIN f USING (w))
+                 WHERE rn <= n - ceil(n * 0.8) + 1),
+         cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+                  FROM pfx l JOIN pfx r ON l.w = r.w AND l.id < r.id)
+         SELECT c.id_a, c.id_b,
+                CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.words, b.words))) AS jaccard
+         FROM cand c JOIN d a ON c.id_a = a.id JOIN d b ON c.id_b = b.id
+         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.words, b.words))) >= 0.8""",
     "knn_brute_force" ->
       """SELECT query_id, corpus_id, rk FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

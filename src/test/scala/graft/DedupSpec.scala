@@ -54,6 +54,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("prefix-filtered jaccard has guaranteed recall: superset of every blocked variant") {
+    import org.apache.spark.sql.functions.col
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val pfx = pairSet(Dedup.jaccardPairsPrefix(real, "doc_id", "text", 0.8))
+    val lang = pairSet(Dedup.ngramJaccardPairs(real, "doc_id", "text", "lang", 0.8))
+    val band = pairSet(Dedup.jaccardPairsBanded(real, "doc_id", "text", 0.8))
+    // prefix filtering provably loses no J>=t pair; semantic blocking misses
+    // cross-block pairs and MinHash bands are probabilistic + bucket-capped
+    assert((lang -- pfx).isEmpty, "prefix filter missed lang-blocked pairs")
+    assert((band -- pfx).isEmpty, "prefix filter missed band-blocked pairs")
+    assert(pfx.size >= band.size && band.size >= lang.size)
+    // banding verifies exactly, so its pairs are all true >= 0.8 pairs
+    val bandJac = Dedup.jaccardPairsBanded(real, "doc_id", "text", 0.8)
+      .agg(org.apache.spark.sql.functions.min(col("jaccard"))).collect()(0).getDouble(0)
+    assert(bandJac >= 0.8)
+  }
+
   test("components groups transitively connected pairs under the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
