@@ -98,6 +98,30 @@ class DedupSpec extends SparkSpec {
     assert(unionFind(20L) == 7L && unionFind(4L) == 4L && unionFind(5L) == 4L)
   }
 
+  test("distributed components: one action per round on a >2^20-edge graph") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val n = (1 << 20) + 1000 // just over the union-find gate → distributed path
+    val pairs = spark.range(0, n)
+      .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val comp = Dedup.components(pairs)
+      assert(comp.where(col("comp") =!= col("id") - pmod(col("id"), lit(2))).count() === 0)
+      // this all-2-node-component graph converges in 2 rounds. Budget:
+      // edge-count probe + 2 × (one materializing round action) + the
+      // verification count above, each fanning into a handful of AQE stage
+      // jobs. Measured 15-17 with the single-action rounds; the old
+      // per-round convergence probe or a per-partition fetch storm blows
+      // well past this ceiling.
+      assert(jobs.get() <= 24, s"too many jobs for 2 rounds: ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("keepCanonical keeps the highest-quality doc per cluster and all singletons") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
     val scored = Seq((0L, 0.2), (1L, 0.9), (2L, 0.5), (3L, 0.1))

@@ -47,11 +47,22 @@ for name in names:
     da = [norm_dtype(t) for t in a.dtypes]
     db = [norm_dtype(t) for t in b.dtypes]
     if da != db:
-        # informational only — the driver gates on str-rendered values, and
-        # e.g. date32→object vs DATE→datetime64 still str-compare equal.
-        # But a decimal(object) vs float64 split is exactly the trailing-zero
-        # trap that red-flagged round 1, so make it loud.
         mism = [z for z in zip(a.columns, da, db) if z[1] != z[2]]
+        # Numeric-kind drift (decimal-object/int vs float) is exactly the
+        # trailing-zero trap that red-flagged round 1: values can str-render
+        # differently ('1.50' vs '1.5') or, worse, identically by luck while
+        # the driver's dtype-sensitive hash still splits. FAIL those;
+        # date-representation pairs (date32→object vs DATE→datetime64)
+        # str-render identically by construction and stay WARN.
+        def kind(s):
+            if s.startswith(("int", "uint")): return "int"
+            if s.startswith("float"): return "float"
+            return s  # object / datetime / bool / ...
+        numeric = [m for m in mism
+                   if kind(m[1]) != kind(m[2])
+                   and {kind(m[1]), kind(m[2])} <= {"int", "float", "object"}]
+        if numeric:
+            print(f"FAIL {name}: numeric dtype drift {numeric}"); fails += 1; continue
         print(f"WARN {name}: dtype drift {mism}")
     a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
     b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
