@@ -18,9 +18,11 @@ object NativeFunctions {
   def simhash64(tokenHashes: Column): Column =
     bridge.column(SimHash64(bridge.expression(tokenHashes)))
 
-  /** Jaccard similarity of two sorted distinct `array<long>` columns. */
-  def sortedJaccard(a: Column, b: Column): Column =
-    bridge.column(SortedJaccard(bridge.expression(a), bridge.expression(b)))
+  /** Jaccard similarity of two sorted distinct `array<long>` columns.
+    * With `minJ` > 0, sub-threshold pairs early-exit and return −1.
+    */
+  def sortedJaccard(a: Column, b: Column, minJ: Double = -1.0): Column =
+    bridge.column(SortedJaccard(bridge.expression(a), bridge.expression(b), minJ))
 
   /** Winnowed rolling-hash fingerprint set of a string column (MOSS). */
   def rollingFingerprint(text: Column, k: Int = 8, w: Int = 16): Column =

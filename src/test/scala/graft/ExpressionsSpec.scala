@@ -48,9 +48,31 @@ class ExpressionsSpec extends AnyFunSuite {
 
   test("SortedJaccard two-pointer merge matches set arithmetic") {
     def arr(xs: Long*) = new GenericArrayData(xs.toArray[Any])
-    assert(SortedJaccard.compute(arr(1, 2, 3), arr(2, 3, 4)) == 2.0 / 4.0)
-    assert(SortedJaccard.compute(arr(1, 2), arr(1, 2)) == 1.0)
-    assert(SortedJaccard.compute(arr(1, 2), arr(3, 4)) == 0.0)
-    assert(SortedJaccard.compute(arr(), arr()) == 1.0)
+    assert(SortedJaccard.compute(arr(1, 2, 3), arr(2, 3, 4), -1.0) == 2.0 / 4.0)
+    assert(SortedJaccard.compute(arr(1, 2), arr(1, 2), -1.0) == 1.0)
+    assert(SortedJaccard.compute(arr(1, 2), arr(3, 4), -1.0) == 0.0)
+    assert(SortedJaccard.compute(arr(), arr(), -1.0) == 1.0)
+  }
+
+  test("thresholded SortedJaccard early-exits below t and is exact at/above t") {
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray[Any])
+    // J = 0.5: below 0.8 → -1, at/below 0.5 → exact value
+    assert(SortedJaccard.compute(arr(1, 2, 3), arr(2, 3, 4), 0.8) == -1.0)
+    assert(SortedJaccard.compute(arr(1, 2, 3), arr(2, 3, 4), 0.5) == 0.5)
+    // exact boundary: J = 0.8 must survive a 0.8 threshold
+    assert(SortedJaccard.compute(arr(1, 2, 3, 4), arr(1, 2, 3, 4, 5), 0.8) == 0.8)
+    // disjoint sets abort immediately regardless of size
+    assert(SortedJaccard.compute(arr(1, 2, 3), arr(7, 8, 9), 0.1) == -1.0)
+    // brute-force agreement on random-ish sets across thresholds
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong).distinct.sorted
+      val exact = SortedJaccard.compute(arr(a: _*), arr(b: _*), -1.0)
+      for (t <- Seq(0.2, 0.5, 0.8)) {
+        val got = SortedJaccard.compute(arr(a: _*), arr(b: _*), t)
+        if (exact >= t) assert(got == exact) else assert(got == -1.0)
+      }
+    }
   }
 }

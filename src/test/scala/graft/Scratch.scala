@@ -1,28 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-import java.util.concurrent.atomic.AtomicInteger
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val n = (1 << 20) + 100000
-    val pairs = spark.range(0, n).select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
-    val jobs = new AtomicInteger(0)
-    val l = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    for (sf <- Seq("sf0.01", "sf0.1"); i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("dedup_ngram_jaccard")(spark, s"/root/testdata/$sf").count()
+      println(f"RESULT $sf run$i rows=$n time=${(System.nanoTime()-t0)/1e9}%.1f s")
     }
-    spark.sparkContext.addSparkListener(l)
-    val t0 = System.nanoTime()
-    val comp = graft.operators.Dedup.components(pairs)
-    val bad = comp.where(col("comp") =!= col("id") - pmod(col("id"), lit(2))).count()
-    spark.sparkContext.removeSparkListener(l)
-    println(f"RESULT edges=$n rows=${comp.count()} bad=$bad jobs=${jobs.get()} time=${(System.nanoTime()-t0)/1e9}%.1f s persisted=${spark.sparkContext.getPersistentRDDs.size}")
     spark.stop()
   }
 }
