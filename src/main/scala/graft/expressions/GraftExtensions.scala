@@ -44,7 +44,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64(args.head)),
     (FunctionIdentifier("sorted_jaccard"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
-      (args: Seq[Expression]) => SortedJaccard(args.head, args(1))),
+      (args: Seq[Expression]) => SortedJaccard(args.head, args(1),
+        if (args.size > 2) args(2) match {
+          case e if e.foldable => e.eval() match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"sorted_jaccard: non-numeric threshold literal $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"sorted_jaccard: argument 3 must be a literal threshold, got $other")
+        } else -1.0)),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))),

@@ -14,6 +14,11 @@ class ExtrasSpec extends SparkSpec {
     val j = spark.sql("SELECT sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS j")
       .as[Double].head()
     assert(j == 0.5)
+    // optional third arg: early-exit threshold (−1 below it, exact at/above)
+    val jt = spark.sql(
+      "SELECT sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L), 0.8) AS j")
+      .as[Double].head()
+    assert(jt == -1.0)
     val mh = spark.sql("SELECT size(token_minhash(array('a','b','c','d'), 3, 16)) AS n")
       .as[Int].head()
     assert(mh == 16)

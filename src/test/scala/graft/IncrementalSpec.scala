@@ -81,6 +81,42 @@ class IncrementalSpec extends SparkSpec {
     assert(finalRows(dir) == srcRows(v1))
   }
 
+  test("soft deletes propagate through polls and vanish from the FINAL read") {
+    val dir = Files.createTempDirectory("graft_tail_del").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    Incremental.snapshot(state(10).withColumn("op", lit("upsert")), cfg, dir,
+      isDelete = col("op") === "delete")
+    // key 3 deleted, key 11 inserted
+    val feed = Seq((3L, 11L, "p3", "delete"), (11L, 12L, "p11", "upsert"))
+      .toDF("key", "seq", "payload", "op")
+      .unionByName(state(10).withColumn("op", lit("upsert")))
+    val r = Incremental.poll(feed, cfg, dir, isDelete = col("op") === "delete")
+    assert(r.rowsSynced == 2L)
+    val fin = graft.sources.Mirror.readFinal(spark, dir, "key")
+      .select("key").as[Long].collect().toSet
+    assert(fin == ((1L to 10L).toSet - 3L + 11L))
+    // the tombstone row is retained in the mirror (versioned), just hidden
+    assert(spark.read.parquet(dir).where($"key" === 3L)
+      .where($"_peerdb_is_deleted" === 1).count() == 1L)
+  }
+
+  test("the watermark predicate pushes into the parquet scan") {
+    val base = Files.createTempDirectory("graft_tail_push")
+    val src = base.toString + "/src"
+    val dir = base.toString + "/mirror"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    state(1000).write.parquet(src)
+    val source = spark.read.parquet(src)
+    Incremental.snapshot(source, cfg, dir)
+    // the poll's scan of the source must carry seq > watermark as a pushed
+    // filter — at 100 TB this is what turns a poll into a footer-pruned
+    // delta read instead of a full table scan
+    val delta = source.where(col(cfg.versionCol).cast("long") > lit(1000L))
+    val scan = delta.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(seq,1000)"),
+      s"watermark filter not pushed:\n$scan")
+  }
+
   test("MultiTableMirror mirrors three tables under one config through snapshot + increments") {
     val root = Files.createTempDirectory("graft_multi").toString
     val cfgs = Seq(
