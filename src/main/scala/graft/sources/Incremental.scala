@@ -116,19 +116,25 @@ object Incremental {
     val st = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
         s"no capture state under $mirrorDir — run snapshot() first"))
+    // the delta is consumed three times (watermark probe, touched-bucket
+    // probe, merge) — cache it across the poll so the source-side filtered
+    // scan runs once, and release it before returning
     val delta = source.where(col(cfg.versionCol).cast("long") > lit(st.watermark))
-    // one bounded aggregation decides emptiness AND the next watermark
-    val head = delta.agg(count(lit(1)), max(col(cfg.versionCol).cast("long"))).collect()(0)
-    val n = head.getLong(0)
-    if (n == 0L) return PollResult(st, 0L)
-    val batchId = st.batchId + 1
-    val stamped = CdcOps.withMirrorMeta(delta, cfg.keys, cfg.versionCol,
-      isDelete, lit(batchId), syncedAt)
-    CdcStream.upsertBatch(spark, stamped, cfg.keys, "_peerdb_version",
-      mirrorDir, cfg.nBuckets)
-    val next = SyncState(head.getLong(1), batchId, System.currentTimeMillis())
-    writeState(spark, mirrorDir, next)
-    PollResult(next, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one bounded aggregation decides emptiness AND the next watermark
+      val head = delta.agg(count(lit(1)), max(col(cfg.versionCol).cast("long"))).collect()(0)
+      val n = head.getLong(0)
+      if (n == 0L) return PollResult(st, 0L)
+      val batchId = st.batchId + 1
+      val stamped = CdcOps.withMirrorMeta(delta, cfg.keys, cfg.versionCol,
+        isDelete, lit(batchId), syncedAt)
+      CdcStream.upsertBatch(spark, stamped, cfg.keys, "_peerdb_version",
+        mirrorDir, cfg.nBuckets)
+      val next = SyncState(head.getLong(1), batchId, System.currentTimeMillis())
+      writeState(spark, mirrorDir, next)
+      PollResult(next, n)
+    } finally delta.unpersist(false)
   }
 
   /** Replication-lag report — the monitor's per-table Lag row

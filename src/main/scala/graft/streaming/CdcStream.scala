@@ -138,12 +138,22 @@ object CdcStream {
     val unioned = existing
       .map(withBucket.unionByName(_, allowMissingColumns = true))
       .getOrElse(withBucket)
-    val merged = graft.operators.CdcOps
-      .latestSnapshot(unioned, keys, versionCol)
-      .localCheckpoint(true) // materialize before overwriting the inputs
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic") // per-write, not session-wide
-      .partitionBy("bucket").parquet(targetDir)
+    val merged = graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
+    // materialize before overwriting the files the plan reads — an explicit
+    // persist + count instead of an eager localCheckpoint, so the blocks
+    // can be RELEASED after the write (a checkpoint would stay pinned for
+    // the life of the session, one leaked label set per microbatch)
+    val rows = org.apache.spark.sql.graft.bridge.toInternalRdd(merged)
+      .mapPartitions(_.map(_.copy()))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      rows.count()
+      org.apache.spark.sql.graft.bridge
+        .internalCreateDataFrame(spark, rows, merged.schema)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // per-write, not session-wide
+        .partitionBy("bucket").parquet(targetDir)
+    } finally rows.unpersist(false)
   }
 
   private def fs(spark: SparkSession, path: String) =

@@ -23,6 +23,7 @@ class IncrementalSpec extends SparkSpec {
     df.as[(Long, Long, String)].collect().toSet
 
   test("snapshot + polls tail the source to zero lag, resuming from disk state") {
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val dir = Files.createTempDirectory("graft_tail").toString + "/orders"
     val cfg = TableConfig("orders", Seq("key"), "seq", nBuckets = 4)
 
@@ -66,6 +67,9 @@ class IncrementalSpec extends SparkSpec {
     val lag2 = Incremental.lagReport(v2, spark.read.parquet(dir), cfg)
       .select("lag_rows", "lag_seq").as[(Long, Long)].collect()(0)
     assert(lag2 == ((0L, 0L)))
+    // polls cache the delta and the merge internally; both must be released
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"poll/upsert left cached blocks pinned: $leaked")
   }
 
   test("snapshot of an empty source bootstraps on the first poll") {
