@@ -176,6 +176,8 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"))),
 
     // ---- text analysis ----------------------------------------------------
+    "text_repetition" -> ((s, d) =>
+      TextFunctions.repetitionSignals(t(s, d, "documents"), "doc_id", "text")),
     "docs_quality_filter" -> ((s, d) =>
       t(s, d, "documents")
         .where(TextFunctions.qualityScore(col("text")) >= 0.5
@@ -514,6 +516,23 @@ object SparkEntry {
               (SELECT count(*) AS dst_rows, count(DISTINCT user_id) AS dst_keys FROM (
                  SELECT user_id FROM events
                  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)) d""",
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         wc AS (SELECT doc_id, wd, count(*) AS n
+                FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY doc_id, wd),
+         wordstats AS (SELECT doc_id,
+                              CAST(max(n) AS DOUBLE) / sum(n) AS top_word_fraction,
+                              CAST(count(*) AS DOUBLE) / sum(n) AS distinct_word_ratio
+                       FROM wc GROUP BY doc_id),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i] || ' ' || ws[i+1])) AS b FROM w),
+         bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+         bigstats AS (SELECT doc_id,
+                             CAST(max(n) AS DOUBLE) / sum(n) AS top_bigram_fraction
+                      FROM bc GROUP BY doc_id)
+         SELECT s.doc_id, s.top_word_fraction, s.distinct_word_ratio,
+                b2.top_bigram_fraction
+         FROM wordstats s LEFT JOIN bigstats b2 USING (doc_id)""",
     "mirror_lag" ->
       """SELECT 'events' AS table_name, src_rows, dst_rows,
                 src_rows - dst_rows AS lag_rows,

@@ -80,4 +80,38 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1), the
+    * repetition half of a corpus quality filter: per document, the share of
+    * the most frequent word, the distinct-word ratio, and the share of the
+    * most frequent word bigram. Heavily repetitive machine-generated or
+    * boilerplate text scores high top-fractions / low distinct ratio.
+    *
+    * Unlike the scalar helpers above this is a DataFrame operator: the
+    * signals need per-(doc, term) counts, which are two hash aggregations
+    * keyed by document id (map-side combined, no per-doc state beyond the
+    * aggregation buffers — any corpus size). Documents with fewer than two
+    * words have no bigrams and report a null top_bigram_fraction.
+    */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val ws = docs.select(col(idCol).as("doc_id"),
+      split(lower(col(textCol)), " ").as("ws"))
+    def topShare(terms: org.apache.spark.sql.DataFrame, termCol: String,
+                 shareCol: String, extra: Seq[Column] = Nil) =
+      terms.groupBy(col("doc_id"), col(termCol)).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id")).agg(
+          (max(col("n")).cast("double") / sum(col("n"))).as(shareCol), extra: _*)
+    val words = topShare(
+      ws.select(col("doc_id"), explode(col("ws")).as("w")), "w",
+      "top_word_fraction",
+      Seq((count(lit(1)).cast("double") / sum(col("n"))).as("distinct_word_ratio")))
+    val bigrams = topShare(
+      ws.select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg")), "bg",
+      "top_bigram_fraction")
+    words.join(bigrams, Seq("doc_id"), "left_outer")
+  }
 }
