@@ -192,6 +192,15 @@ object SparkEntry {
     "docs_train_test_split" -> ((s, d) =>
       Sampling.splitByKey(t(s, d, "documents"), col("doc_id"), 0.1)
         .groupBy(col("lang"), col("is_test")).agg(count(lit(1)).as("n_docs"))),
+    "docs_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(t(s, d, "documents"), Seq("lang"), col("doc_id"), 0.2)
+        .select(col("lang"), col("doc_id"))),
+    "docs_contamination" -> ((s, d) => {
+      val tagged = Sampling.splitByKey(t(s, d, "documents"), col("doc_id"), 0.1)
+      Contamination.report(
+        tagged.where(!col("is_test")), tagged.where(col("is_test")),
+        "doc_id", "text")
+    }),
     "text_token_stats" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -561,6 +570,28 @@ object SparkEntry {
       """SELECT lang, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
                 count(*) AS n_docs
          FROM documents GROUP BY lang, is_test""",
+    "docs_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY (doc_id * 2654435761) % 10000, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS m
+           FROM documents)
+         WHERE rn <= ceil(m * 0.2)""",
+    "docs_contamination" ->
+      """WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
+                           string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT doc_id, is_test,
+                       unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+                         i -> array_to_string(list_slice(ws, i, i + 3), ' ')))) AS s
+                FROM d WHERE len(ws) >= 4),
+         rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)
+         SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+                count(*) AS n_shared
+         FROM (SELECT * FROM sh WHERE NOT is_test AND s IN (SELECT s FROM rare)) a
+         JOIN (SELECT * FROM sh WHERE is_test) b ON a.s = b.s
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
     "orders_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       .map(c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

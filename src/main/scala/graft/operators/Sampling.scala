@@ -29,4 +29,26 @@ object Sampling {
   /** Tag rows with a train/test split, stably by key. */
   def splitByKey(df: DataFrame, key: Column, testFraction: Double): DataFrame =
     df.withColumn("is_test", keyBucket(key) < (testFraction * 10000).toLong)
+
+  /** Exact-count stratified sample: within each stratum keep exactly
+    * ⌈fraction · stratum size⌉ rows, chosen deterministically by hash order
+    * (ties broken by the key, so the pick is total and reproducible in any
+    * engine). Rate-based sampling drifts per stratum at small sizes; this
+    * hits the quota exactly — the usual requirement when balancing language
+    * or domain mixes in a training set.
+    *
+    * One shuffle keyed by the strata; within each stratum a window sort
+    * (per-group work bounded by stratum size — for giant strata combine
+    * with [[stableSample]] to pre-thin before exact balancing).
+    */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], key: Column,
+                       fraction: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byStratum = Window.partitionBy(strata.map(col): _*)
+    val picked = byStratum.orderBy(keyBucket(key), key)
+    df.withColumn("__rn", row_number().over(picked))
+      .withColumn("__m", count(lit(1)).over(byStratum))
+      .where(col("__rn") <= ceil(col("__m") * lit(fraction)))
+      .drop("__rn", "__m")
+  }
 }
