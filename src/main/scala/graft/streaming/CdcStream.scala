@@ -71,8 +71,9 @@ object CdcStream {
     * `targetDir` keeping the newest version per key. The mirror is
     * partitioned by `bucket = pmod(hash(key), nBuckets)` and only the
     * buckets present in the batch are rewritten (dynamic partition
-    * overwrite); the merged buckets are materialized via localCheckpoint
-    * before the overwrite so the job never reads the files it is replacing.
+    * overwrite); the merged buckets are materialized (persist + count,
+    * released after the write) before the overwrite so the job never
+    * reads the files it is replacing.
     */
   def mirrorToParquet(changes: Dataset[Change], targetDir: String,
                       checkpointDir: String, nBuckets: Int = 64,
