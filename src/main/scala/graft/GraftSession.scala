@@ -14,6 +14,11 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE coalesces by shuffle BYTES; compute-dense narrow rows (hash
+      // sets, LSH postings) can collapse a heavy stage onto one task at the
+      // default 1 MB floor. 64k keeps coalescing for genuinely empty
+      // partitions while preserving parallelism for small-but-hot data.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
