@@ -248,6 +248,15 @@ object SparkEntry {
     // available as Dedup.ngramJaccardPairs for caller-chosen blocking
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text", 0.8)),
+    // continuous-pipeline dedup: a "freshly landed" tenth of the corpus is
+    // checked against the rest, probe-only (no corpus self-join)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.jaccardPairsIncremental(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", 0.8)
+    }),
     // probabilistic screen over the same measure (rows-only; its recall
     // relative to the exact prefix path is spec-pinned in DedupSpec)
     "dedup_jaccard_banded" -> ((s, d) =>
@@ -653,6 +662,28 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY fp""",
+    // incremental = the complete pair set restricted to pairs touching the
+    // "new" split (both engines have guaranteed recall, so the sets match)
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id AS id,
+                           list_distinct(string_split(lower(text), ' ')) AS words
+                    FROM documents),
+         tok AS (SELECT id, unnest(words) AS w, len(words) AS n FROM d),
+         f AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+         pfx AS (SELECT id, w FROM (
+                   SELECT t.id, t.w, t.n,
+                          row_number() OVER (PARTITION BY t.id ORDER BY f.df, t.w) AS rn
+                   FROM tok t JOIN f USING (w))
+                 WHERE rn <= n - ceil(n * 0.8) + 1),
+         cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+                  FROM pfx l JOIN pfx r ON l.w = r.w AND l.id < r.id)
+         SELECT c.id_a, c.id_b,
+                CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.words, b.words))) AS jaccard
+         FROM cand c JOIN d a ON c.id_a = a.id JOIN d b ON c.id_b = b.id
+         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.words, b.words))) >= 0.8
+           AND (c.id_a % 10 = 0 OR c.id_b % 10 = 0)""",
     // prefix filtering has guaranteed recall on both engines, so both sides
     // compute the complete J >= 0.8 pair set — the oracle needs no blocking
     // assumptions beyond the same prefix bound

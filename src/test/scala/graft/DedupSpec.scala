@@ -98,6 +98,24 @@ class DedupSpec extends SparkSpec {
     assert(unionFind(20L) == 7L && unionFind(4L) == 4L && unionFind(5L) == 4L)
   }
 
+  test("incremental jaccard equals the full self-join restricted to pairs touching the batch") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fresh = real.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = real.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("jaccard")).as[(Long, Long, Double)].collect().toSet
+    val incremental = pairs(
+      Dedup.jaccardPairsIncremental(fresh, corpus, "doc_id", "text", 0.8))
+    val full = pairs(Dedup.jaccardPairsPrefix(real, "doc_id", "text", 0.8))
+      .filter { case (a, b, _) => a % 7 == 0 || b % 7 == 0 }
+    assert(incremental == full)
+    assert(incremental.nonEmpty)
+    // probe-only: no corpus-corpus pair may appear
+    assert(incremental.forall { case (a, b, _) => a % 7 == 0 || b % 7 == 0 })
+  }
+
   test("distributed components: one action per round on a >2^20-edge graph") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
