@@ -63,4 +63,43 @@ class PipelineSpec extends SparkSpec {
     assert(monitor.totalRowsSynced >= tail.length)
     assert(monitor.batches.count(_.numInputRows > 0) >= 2)
   }
+
+  test("continuous training-data pipeline: capture -> incremental dedup -> canonical keep") {
+    import graft.operators.Dedup
+    import graft.sources.{Incremental, TableConfig}
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/docs"
+    // the capture sequence is arrival order, not the document id: the
+    // fresh batch lands later, so it carries higher sequence numbers
+    val cfg = TableConfig("docs", Seq("doc_id"), "seq", nBuckets = 4)
+
+    // 1. initial snapshot mirrors most of the corpus; a later poll lands
+    //    the remaining batch (the CDC half)
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("seq", col("doc_id"))
+    val freshSeq = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("seq", col("doc_id") + lit(1000000L))
+    Incremental.snapshot(corpus, cfg, dir)
+    val landed = Incremental.poll(corpus.unionByName(freshSeq), cfg, dir)
+    assert(landed.rowsSynced > 0)
+    val mirrored = graft.sources.Mirror.readFinal(spark, dir, "doc_id")
+    assert(mirrored.count() == docs.count())
+
+    // 2. the landed batch is deduped against the pre-existing corpus,
+    //    probe-only (the training-data half)
+    val fresh = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val pairs = Dedup.jaccardPairsIncremental(fresh, corpus, "doc_id", "text", 0.8)
+
+    // 3. keep-best collapses each near-dup cluster to one canonical doc
+    val decisions = Dedup.keepCanonical(docs, pairs, "doc_id",
+      graft.functions.TextFunctions.qualityScore(col("text")))
+    assert(decisions.count() == docs.count())
+    // exactly one keeper per component, and flagged drops exist
+    val perComp = decisions.groupBy("component")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("keepers"))
+    assert(perComp.where(col("keepers") =!= 1L).count() == 0)
+    assert(decisions.where(!col("keep")).count() > 0)
+  }
 }
