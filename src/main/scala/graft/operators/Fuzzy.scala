@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *    block columns.
   *
   * The gram guarantee needs |G| = len − q + 1 ≥ d·q + 1, i.e. len ≥
-  * (d+1)·q. Shorter strings fall back to a per-block-key all-pairs check,
-  * and strings within d of that boundary join BOTH paths so cross-boundary
-  * pairs still meet. (In domains that are mostly sub-(d+1)·q-character
-  * strings, pick a smaller q.)
+  * (d+1)·q. Shorter strings fall back to a length-banded check (band width
+  * d+1, neighbor-band probing — sound because ed ≤ d bounds the length
+  * difference by d), and strings within d of that boundary join BOTH paths
+  * so cross-boundary pairs still meet. (In domains that are mostly
+  * sub-(d+1)·q-character strings, pick a smaller q.)
   *
   * Candidates are verified inline with the thresholded `levenshtein` —
   * early-exit on distance > d — inside the join's codegen pipeline, so the
@@ -69,11 +70,20 @@ object Fuzzy {
         col("l.g") === col("r.g") && col("l.id") < col("r.id") && sameBlock))
 
     // short path: strings below the guarantee, plus the straddle band so a
-    // short×long pair within maxDist still meets in one block
+    // short×long pair within maxDist still meets in one block. Blocked by a
+    // LENGTH BAND (width maxDist+1) so the fallback pair space is bounded
+    // even on corpora dominated by short strings: ed(a,b) ≤ d implies
+    // |len(a)−len(b)| ≤ d, hence band ids differing by ≤ 1 — the probe side
+    // explodes to its three neighbor bands and equi-joins, meeting every
+    // qualifying pair exactly once (never an all-pairs nested loop).
+    val bandW = maxDist + 1
     val shorts = base.where(col("len") < minGramLen + maxDist)
+      .withColumn("lb", floor(col("len") / bandW))
+    val probe = shorts.withColumn("lb",
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
     val shortPairs = verified(
-      shorts.as("l").join(shorts.as("r"),
-        col("l.id") < col("r.id") && sameBlock &&
+      probe.as("l").join(shorts.as("r"),
+        col("l.lb") === col("r.lb") && col("l.id") < col("r.id") && sameBlock &&
           abs(col("l.len") - col("r.len")) <= maxDist))
 
     gramPairs.unionByName(shortPairs).distinct()

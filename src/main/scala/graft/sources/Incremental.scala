@@ -52,20 +52,32 @@ object Incremental {
 
   private val StateFile = "_graft_sync_state.json"
 
-  /** Read the persisted capture state, if any. */
+  /** Read the persisted capture state, if any. When the main file is
+    * missing but a complete `.tmp` exists, the writer crashed between its
+    * delete and rename — the tmp IS the next state (fully written and
+    * closed before the delete ever runs), so fall back to it rather than
+    * reporting "no state" (which would route the caller to a mode(overwrite)
+    * re-snapshot discarding mirror history). A tmp that fails to parse can
+    * only be a torn first-ever write (no main file was deleted yet in any
+    * later cycle) — genuinely no completed state.
+    */
   def readState(spark: SparkSession, mirrorDir: String): Option[SyncState] = {
-    val p = new Path(mirrorDir, StateFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(k: String): Long =
-        """"%s"\s*:\s*(-?\d+)""".format(k).r.findFirstMatchIn(txt)
-          .map(_.group(1).toLong)
-          .getOrElse(throw new IllegalStateException(s"corrupt $p: $txt"))
-      Some(SyncState(field("watermark"), field("batchId"), field("syncedAtMs")))
-    }
+    val fs = new Path(mirrorDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parse(p: Path, strict: Boolean): Option[SyncState] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        def field(k: String): Option[Long] =
+          """"%s"\s*:\s*(-?\d+)""".format(k).r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        (field("watermark"), field("batchId"), field("syncedAtMs")) match {
+          case (Some(w), Some(b), Some(s)) => Some(SyncState(w, b, s))
+          case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
+          case _ => None
+        }
+      }
+    parse(new Path(mirrorDir, StateFile), strict = true)
+      .orElse(parse(new Path(mirrorDir, StateFile + ".tmp"), strict = false))
   }
 
   private def writeState(spark: SparkSession, mirrorDir: String, st: SyncState): Unit = {
@@ -78,9 +90,11 @@ object Incremental {
       s"""{"watermark":${st.watermark},"batchId":${st.batchId},"syncedAtMs":${st.syncedAtMs}}"""
         .getBytes("UTF-8"))
     finally out.close()
-    // single-file swap; a torn write leaves either the old state (re-poll is
-    // idempotent) or the tmp file (ignored). Production targets would commit
-    // through a transactional table format instead.
+    // single-file swap; a crash leaves the old state (re-poll is idempotent),
+    // a torn tmp (ignored — old state still present), or — between the
+    // delete and the rename — ONLY the complete tmp, which readState falls
+    // back to. Production targets would commit through a transactional
+    // table format instead.
     if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }

@@ -124,12 +124,26 @@ object CdcStream {
     // every previously mirrored row in them.
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fsys = fs(spark, targetDir)
+    val qualifiedTarget = fsys.makeQualified(target)
+    // A part file under a hidden DIRECTORY (_temporary/... left by a failed
+    // first write) is invisible to spark.read.parquet too — every path
+    // component between targetDir and the file must be visible, not just
+    // the leaf, or the "no data files" first-batch detection wedges on it.
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != qualifiedTarget) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
     def hasDataFiles: Boolean = {
       val files = fsys.listFiles(target, true)
       var found = false
       while (!found && files.hasNext) {
-        val name = files.next().getPath.getName
-        found = name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+        val p = files.next().getPath
+        found = p.getName.endsWith(".parquet") && visible(p)
       }
       found
     }

@@ -201,4 +201,24 @@ class CdcStreamSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(mirror.toSeq == Seq((1L, 2L, "v2"), (2L, 1L, "w1"), (3L, 1L, "x1")))
   }
+
+  test("first batch succeeds over debris from a failed first write") {
+    // a part file under _temporary (failed-job leftover) has no footer that
+    // spark.read.parquet would ever read — it must count as "no data files",
+    // or every retry of the first batch wedges on it
+    val target = Files.createTempDirectory("graft_debris").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(
+      target, "_temporary/0/task_0/part-00000.parquet")
+    val out = fs.create(junk, true)
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+
+    val batch = Seq((1L, 1L, "v1"), (2L, 1L, "w1")).toDF("key", "version", "payload")
+    CdcStream.upsertBatch(spark, batch, Seq("key"), "version", target, nBuckets = 2)
+    val mirror = spark.read.parquet(target)
+      .select("key", "version", "payload").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(mirror.toSeq == Seq((1L, 1L, "v1"), (2L, 1L, "w1")))
+  }
 }

@@ -155,4 +155,31 @@ class IncrementalSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(lag == Set(("customers", 0L, 0L), ("products", 0L, 0L), ("orders", 0L, 0L)))
   }
+
+  test("state survives a crash between the delete and the rename of the swap") {
+    val dir = Files.createTempDirectory("graft_swap").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
+    val st = Incremental.snapshot(state(5), cfg, dir)
+
+    // simulate the crash window: main file deleted, complete tmp left behind
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(dir, "_graft_sync_state.json")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_graft_sync_state.json.tmp")
+    org.apache.hadoop.fs.FileUtil.copy(fs, main, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(main, false)
+
+    // readState falls back to the tmp — capture resumes, never re-snapshots
+    assert(Incremental.readState(spark, dir).contains(st))
+    val r = Incremental.poll(state(5, Seq((6L, 6L, "p6"))), cfg, dir)
+    assert(r.rowsSynced == 1L && r.state.watermark == 6L)
+    assert(finalRows(dir) == srcRows(state(5, Seq((6L, 6L, "p6")))))
+
+    // a torn tmp with no main file = torn first-ever write: genuinely no state
+    fs.delete(main, false); fs.delete(tmp, false)
+    val torn = fs.create(tmp, true)
+    try torn.write("""{"watermark":12""".getBytes("UTF-8")) finally torn.close()
+    assert(Incremental.readState(spark, dir).isEmpty)
+  }
 }
