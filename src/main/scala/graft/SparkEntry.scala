@@ -264,8 +264,12 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
+    // low threshold (the test embeddings are near-orthogonal) ⇒ shallow
+    // bands, many of them: recall ≈ 0.97 at cos 0.2 (spec-pinned vs brute
+    // force); near-dup thresholds use the deeper defaults instead
     "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2)),
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2,
+        bitsPerBand = 4, bands = 32)),
     "dedup_clusters" -> ((s, d) => {
       // realistic pipeline order: sparse LSH candidates → clusters → keep-best
       val docs = t(s, d, "documents")
@@ -555,7 +559,10 @@ object SparkEntry {
       """SELECT 'events' AS table_name, src_rows, dst_rows,
                 src_rows - dst_rows AS lag_rows,
                 src_max_seq, dst_max_seq, src_max_seq - dst_max_seq AS lag_seq,
-                last_synced_at
+                last_synced_at,
+                CASE WHEN src_rows - dst_rows = 0 THEN 'SYNCED'
+                     WHEN abs(src_rows - dst_rows) <= 5 THEN 'NEAR_SYNC'
+                     ELSE 'LAG' END AS sync_status
          FROM (SELECT count(*) AS src_rows, CAST(max(event_id) AS BIGINT) AS src_max_seq
                FROM events) s,
               (SELECT count(*) AS dst_rows, CAST(max(event_id) AS BIGINT) AS dst_max_seq,

@@ -34,6 +34,65 @@ case class HyperplaneLsh(child: Expression, bits: Int) extends UnaryExpression {
   override def prettyName: String = "hyperplane_lsh"
 }
 
+/** Banded random-hyperplane signatures: `bands` independent bucket ids of
+  * `bitsPerBand` sign bits each, in one pass over the vector. Band j's bit
+  * k is global hyperplane index j·bitsPerBand+k under the SAME murmur seed
+  * chain as [[HyperplaneLsh]] (band 0 of `HyperplaneBands(v, r, 1)` ==
+  * `HyperplaneLsh(v, r)`), so every band uses disjoint hyperplanes — the
+  * OR-across-bands construction of cosine LSH (recall 1−(1−p^r)^b for
+  * per-bit agreement p = 1 − θ/π).
+  */
+case class HyperplaneBands(child: Expression, bitsPerBand: Int, bands: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneBands.compute(input.asInstanceOf[ArrayData], bitsPerBand, bands, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.HyperplaneBands.compute($c, $bitsPerBand, $bands, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_bands"
+}
+
+object HyperplaneBands {
+  def compute(v: ArrayData, bitsPerBand: Int, bands: Int, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](bands)
+    var band = 0
+    while (band < bands) {
+      var bucket = 0
+      var k = 0
+      while (k < bitsPerBand) {
+        val b = band * bitsPerBand + k
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val h = Murmur3_x86_32.hashInt(b, Murmur3_x86_32.hashInt(i, 42))
+          val w = h.toDouble / 2147483648.0
+          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          dot += x * w
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1 << k)
+        k += 1
+      }
+      out(band) = bucket
+      band += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object HyperplaneLsh {
   def compute(v: ArrayData, bits: Int, isFloat: Boolean): Int = {
     val n = v.numElements()

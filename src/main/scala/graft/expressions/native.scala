@@ -35,4 +35,8 @@ object NativeFunctions {
   /** Random-hyperplane LSH bucket id of an embedding column. */
   def hyperplaneLsh(v: Column, bits: Int): Column =
     bridge.column(HyperplaneLsh(bridge.expression(v), bits))
+
+  /** `bands` independent hyperplane bucket ids (bitsPerBand sign bits each). */
+  def hyperplaneBands(v: Column, bitsPerBand: Int, bands: Int): Column =
+    bridge.column(HyperplaneBands(bridge.expression(v), bitsPerBand, bands))
 }

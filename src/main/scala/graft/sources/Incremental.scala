@@ -153,13 +153,18 @@ object Incremental {
 
   /** Replication-lag report — the monitor's per-table Lag row
     * (peerdb_psql_clickhouse_monitor.ps1:710 renders it, :743 computes
-    * source−target, :776-785 grades it). One output row per call:
-    * source/target row counts, max sequence on both sides, their deltas,
-    * and the newest `_peerdb_synced_at`. Both sides collapse to a single
-    * aggregate row before the join — two scans, no data-row shuffle, any
-    * corpus size.
+    * source−target, :744-754 grades it: 0 → SYNCED, |lag| ≤ 5 → NEAR_SYNC,
+    * else LAG). One output row per call: source/target row counts, max
+    * sequence on both sides, their deltas, the newest `_peerdb_synced_at`,
+    * and the thresholded `sync_status` grade. Both sides collapse to a
+    * single aggregate row before the join — two scans, no data-row shuffle,
+    * any corpus size.
+    *
+    * @param nearSyncRows |lag_rows| at or under this (but nonzero) grades
+    *                     NEAR_SYNC; the reference monitor uses 5
     */
-  def lagReport(source: DataFrame, mirror: DataFrame, cfg: TableConfig): DataFrame = {
+  def lagReport(source: DataFrame, mirror: DataFrame, cfg: TableConfig,
+                nearSyncRows: Long = 5L): DataFrame = {
     val src = source.agg(
       count(lit(1)).as("src_rows"),
       max(col(cfg.versionCol).cast("long")).as("src_max_seq"))
@@ -168,14 +173,18 @@ object Incremental {
       count(lit(1)).as("dst_rows"),
       max(col("_peerdb_version")).as("dst_max_seq"),
       max(col("_peerdb_synced_at")).as("last_synced_at"))
+    val lagRows = col("src_rows") - col("dst_rows")
     src.crossJoin(dst).select(
       lit(cfg.table).as("table_name"),
       col("src_rows"), col("dst_rows"),
-      (col("src_rows") - col("dst_rows")).as("lag_rows"),
+      lagRows.as("lag_rows"),
       col("src_max_seq"), col("dst_max_seq"),
       (col("src_max_seq") - coalesce(col("dst_max_seq"), lit(Long.MinValue)))
         .as("lag_seq"),
-      col("last_synced_at"))
+      col("last_synced_at"),
+      when(lagRows === 0L, "SYNCED")
+        .when(abs(lagRows) <= nearSyncRows, "NEAR_SYNC")
+        .otherwise("LAG").as("sync_status"))
   }
 
   /** Incremental JDBC tail: the poll's `seq > watermark` pushed down as a
@@ -207,17 +216,35 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
 
   def mirrorDir(table: String): String = s"$mirrorRoot/$table"
 
-  /** Full load of every configured table. */
-  def snapshotAll(syncedAt: Column = current_timestamp()): Map[String, Incremental.SyncState] =
-    tables.map(t =>
-      t.table -> Incremental.snapshot(sources(t.table), t, mirrorDir(t.table),
-        syncedAt = syncedAt)).toMap
+  /** Per-table syncs are independent (disjoint mirror dirs, disjoint state
+    * files), so a round runs them CONCURRENTLY from a bounded driver pool —
+    * Spark schedules jobs submitted from separate threads side by side, so
+    * a poll round's wall clock is the slowest table, not the sum (the
+    * reference's flow-worker likewise runs one goroutine-per-mirror).
+    */
+  private def inParallel[A](work: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    if (work.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(work.size, maxConcurrentTables))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+    finally pool.shutdown()
+  }
+  private val maxConcurrentTables = 8
 
-  /** One poll round across every configured table. */
+  /** Full load of every configured table (concurrent across tables). */
+  def snapshotAll(syncedAt: Column = current_timestamp()): Map[String, Incremental.SyncState] =
+    inParallel(tables.map(t => () =>
+      t.table -> Incremental.snapshot(sources(t.table), t, mirrorDir(t.table),
+        syncedAt = syncedAt))).toMap
+
+  /** One poll round across every configured table (concurrent across tables). */
   def pollAll(syncedAt: Column = current_timestamp()): Map[String, Incremental.PollResult] =
-    tables.map(t =>
+    inParallel(tables.map(t => () =>
       t.table -> Incremental.poll(sources(t.table), t, mirrorDir(t.table),
-        syncedAt = syncedAt)).toMap
+        syncedAt = syncedAt))).toMap
 
   /** Per-table lag rows, unioned — the monitor's whole Lag table. */
   def lagAll(): DataFrame =

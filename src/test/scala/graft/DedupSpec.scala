@@ -45,6 +45,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("pigeonhole banding finds every hamming<=d pair, incl. flips in the top bits") {
+    val maxDist = 8
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.fill(50)(rnd.nextLong())
+    // partner of base i = i with maxDist bits flipped INSIDE the top 16 —
+    // the adversarial placement a single top-16-prefix band never pairs
+    val sigs = bases.zipWithIndex.flatMap { case (s, i) =>
+      val flipped = rnd.shuffle((48 until 64).toList).take(maxDist)
+        .foldLeft(s)((acc, b) => acc ^ (1L << b))
+      Seq((i * 2L, s), (i * 2L + 1L, flipped))
+    }
+    val found = Dedup.simhashPairsFromSigs(sigs.toDF("id", "simhash"), maxDist)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (i <- 0 until 50)
+      assert(found.contains((i * 2L, i * 2L + 1L)), s"planted pair $i missed")
+    // and nothing more or less than the brute-force truth: banding is a
+    // guaranteed-recall screen and the hamming filter is exact
+    val brute = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      if java.lang.Long.bitCount(a._2 ^ b._2) <= maxDist
+    } yield (a._1, b._1)).toSet
+    assert(found == brute)
+  }
+
   test("ngramJaccardPairs computes exact word-set jaccard above threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0.5)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
@@ -156,8 +180,47 @@ class DedupSpec extends SparkSpec {
       (1L, Array(0.99f, 0.1f, 0f, 0f)), // nearly parallel to 0
       (2L, Array(-1f, 0f, 0f, 0f))      // opposite
     ).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.9, lshBits = 4)
-      .as[(Long, Long)].collect().toSet
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("banded embedding LSH recall is pinned vs brute-force cosine pairs") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val v = embs.select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+    val cos = graft.functions.VectorFunctions.cosine(col("l.v"), col("r.v"))
+    val brute = v.as("l").join(v.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), cos.as("c"))
+      .where(col("c") >= 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.embeddingPairs(embs, "vec_id", "embedding", 0.2,
+        bitsPerBand = 4, bands = 32) // the query entry's parameters
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision 1.0 by construction (exact cosine verify)…
+    assert((banded -- brute).isEmpty, "banded path emitted a sub-threshold pair")
+    // …and recall follows the S-curve: 1-(1-p^4)^32 ≈ 0.97 at cos 0.2
+    val recall = banded.size.toDouble / brute.size
+    assert(brute.nonEmpty && recall >= 0.9,
+      s"recall $recall (${banded.size}/${brute.size}) below the S-curve pin")
+  }
+
+  test("near-dup defaults find planted high-cosine duplicates") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, transform => htransform}
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    // plant a deterministic near-copy of every 5th vector: flip ~2% of mass
+    val seeds = embs.where(pmod(col("vec_id"), lit(5)) === 0)
+    val planted = seeds.select((col("vec_id") + 100000L).as("vec_id"),
+      htransform(col("embedding"),
+        (x, i) => x + (hash(i, col("vec_id")).cast("double") / 2147483648.0) * lit(0.05f)
+      ).cast("array<float>").as("embedding"))
+    val all = embs.unionByName(planted)
+    val found = Dedup.embeddingPairs(all, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = seeds.select(col("vec_id")).as[Long].collect()
+      .map(i => (i, i + 100000L)).toSet
+    val hit = expected.count(found.contains).toDouble / expected.size
+    assert(hit >= 0.95, s"only ${hit * 100}% of planted near-dups found")
   }
 }

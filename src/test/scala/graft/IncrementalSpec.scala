@@ -43,11 +43,14 @@ class IncrementalSpec extends SparkSpec {
       (101L to 105L).map(i => (i, 110L + i - 100L, s"n$i"))) // seq 111..115
       .toDF("key", "seq", "payload")
 
-    // before the poll the lag report must show the drift ...
+    // before the poll the lag report must show the drift, graded by the
+    // monitor's thresholds (0 SYNCED / <=5 NEAR_SYNC / else LAG)
     val before = Incremental.lagReport(v1, spark.read.parquet(dir), cfg)
-      .select("src_rows", "dst_rows", "lag_rows", "lag_seq")
-      .as[(Long, Long, Long, Long)].collect()(0)
-    assert(before == ((105L, 100L, 5L, 15L)))
+      .select("src_rows", "dst_rows", "lag_rows", "lag_seq", "sync_status")
+      .as[(Long, Long, Long, Long, String)].collect()(0)
+    assert(before == ((105L, 100L, 5L, 15L, "NEAR_SYNC")))
+    assert(Incremental.lagReport(v1, spark.read.parquet(dir), cfg, nearSyncRows = 4)
+      .select("sync_status").as[String].collect()(0) == "LAG")
 
     val r1 = Incremental.poll(v1, cfg, dir)
     assert(r1.rowsSynced == 15L && r1.state.watermark == 115L && r1.state.batchId == 1L)
@@ -55,8 +58,9 @@ class IncrementalSpec extends SparkSpec {
 
     // ... and zero after it
     val after = Incremental.lagReport(v1, spark.read.parquet(dir), cfg)
-      .select("lag_rows", "lag_seq").as[(Long, Long)].collect()(0)
-    assert(after == ((0L, 0L)))
+      .select("lag_rows", "lag_seq", "sync_status")
+      .as[(Long, Long, String)].collect()(0)
+    assert(after == ((0L, 0L, "SYNCED")))
 
     // increment 2 drains too (state resumed purely from the state file)
     val v2 = v1.where($"key" =!= 50L)
