@@ -187,16 +187,18 @@ object Incremental {
         .otherwise("LAG").as("sync_status"))
   }
 
-  /** Incremental JDBC tail: the poll's `seq > watermark` pushed down as a
-    * WHERE clause so the database streams only the delta. (Exercised only in
-    * deployments with a reachable database; this container has none, so this
-    * stays a thin assembly of public `spark.read.jdbc` options.)
+  /** Incremental JDBC tail: the poll's `seq > watermark` inlined as a WHERE
+    * clause in the pushed-down subquery so the database streams only the
+    * delta. The derived-table alias avoids a leading underscore and the
+    * `AS` keyword — both non-portable (Derby rejects `_`-led identifiers,
+    * Oracle rejects `AS` on table aliases). Exercised end-to-end against
+    * embedded Derby in JdbcCaptureSpec.
     */
   def jdbcIncrement(spark: SparkSession, url: String, table: String,
                     seqCol: String, watermark: Long,
                     connectionProps: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url,
-      s"(SELECT * FROM $table WHERE $seqCol > $watermark) AS __graft_incr",
+      s"(SELECT * FROM $table WHERE $seqCol > $watermark) graft_incr",
       connectionProps)
 }
 
