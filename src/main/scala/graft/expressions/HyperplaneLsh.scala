@@ -67,23 +67,33 @@ case class HyperplaneBands(child: Expression, bitsPerBand: Int, bands: Int)
 object HyperplaneBands {
   def compute(v: ArrayData, bitsPerBand: Int, bands: Int, isFloat: Boolean): ArrayData = {
     val n = v.numElements()
+    val total = bands * bitsPerBand
+    // dimension-major accumulation: the per-dimension seed hash
+    // murmur(i, 42) and the element load happen once per dimension instead
+    // of once per (band, bit, dimension) — half the murmur calls in a
+    // kernel that runs bands × bits × dim per row. Each bucket's dot still
+    // sums over i in ascending order, so signatures are bit-identical to
+    // the bit-major loop (and to HyperplaneLsh — the spec pins band 0).
+    val dots = new Array[Double](total)
+    var i = 0
+    while (i < n) {
+      val hi = Murmur3_x86_32.hashInt(i, 42)
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      var b = 0
+      while (b < total) {
+        val w = Murmur3_x86_32.hashInt(b, hi).toDouble / 2147483648.0
+        dots(b) += x * w
+        b += 1
+      }
+      i += 1
+    }
     val out = new Array[Int](bands)
     var band = 0
     while (band < bands) {
       var bucket = 0
       var k = 0
       while (k < bitsPerBand) {
-        val b = band * bitsPerBand + k
-        var dot = 0.0
-        var i = 0
-        while (i < n) {
-          val h = Murmur3_x86_32.hashInt(b, Murmur3_x86_32.hashInt(i, 42))
-          val w = h.toDouble / 2147483648.0
-          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-          dot += x * w
-          i += 1
-        }
-        if (dot >= 0) bucket |= (1 << k)
+        if (dots(band * bitsPerBand + k) >= 0) bucket |= (1 << k)
         k += 1
       }
       out(band) = bucket
@@ -96,20 +106,26 @@ object HyperplaneBands {
 object HyperplaneLsh {
   def compute(v: ArrayData, bits: Int, isFloat: Boolean): Int = {
     val n = v.numElements()
+    // dimension-major, same as HyperplaneBands.compute: murmur(i, 42) and
+    // the element load once per dimension, per-bit dots accumulated in
+    // ascending-i order (bit-identical to the bit-major formulation)
+    val dots = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      val hi = Murmur3_x86_32.hashInt(i, 42)
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      var b = 0
+      while (b < bits) {
+        val w = Murmur3_x86_32.hashInt(b, hi).toDouble / 2147483648.0
+        dots(b) += x * w
+        b += 1
+      }
+      i += 1
+    }
     var bucket = 0
     var b = 0
     while (b < bits) {
-      var dot = 0.0
-      var i = 0
-      while (i < n) {
-        // replicate hash(i, seed=b) with Spark's default murmur seed 42
-        val h = Murmur3_x86_32.hashInt(b, Murmur3_x86_32.hashInt(i, 42))
-        val w = h.toDouble / 2147483648.0
-        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        dot += x * w
-        i += 1
-      }
-      if (dot >= 0) bucket |= (1 << b)
+      if (dots(b) >= 0) bucket |= (1 << b)
       b += 1
     }
     bucket
