@@ -151,6 +151,75 @@ object Incremental {
     } finally delta.unpersist(false)
   }
 
+  /** Key-reconciliation sweep: capture hard DELETEs that the `versionCol`
+    * tail can never see (a physically deleted row emits no change row, so
+    * `seq > watermark` misses it and the mirror keeps it forever, with
+    * [[lagReport]] showing phantom negative lag). The reference replicates
+    * DELETEs as first-class CDC events — `_peerdb_is_deleted` +
+    * ReplacingMergeTree exist for exactly this (SURVEY §1;
+    * quickstart_prepare_peers.sh:24-78 tables take deletes in the stress
+    * tooling); the streaming path here handles op='delete' natively, and
+    * this sweep is the polling path's equivalent.
+    *
+    * Mechanics: live mirror keys anti-joined against current source keys =
+    * the hard-deleted set; their mirror rows are flagged
+    * `_peerdb_is_deleted = 1` IN PLACE (only the touched buckets are
+    * rewritten), with `_peerdb_version` left unchanged. Leaving the version
+    * alone is what makes the sweep race-safe under a monotonic sequence
+    * column: a key deleted and then re-inserted at the source gets a fresh
+    * `seq` above every previously assigned one, so the next poll's row
+    * outranks the flagged tombstone in the merge — no fabricated version
+    * can ever collide with a real one. The sweep is also self-healing: any
+    * anomaly (e.g. a replayed pre-delete batch resurrecting a key after a
+    * torn state write) is re-flagged on the next sweep, because the key is
+    * still absent at the source.
+    *
+    * Scale notes (100 TB): the source side is a keys-only projection
+    * (column-pruned scan / SELECT of the key columns over JDBC); the mirror
+    * side prunes to live keys before the anti-join; the bucket rewrite
+    * touches only buckets containing deleted keys. A sweep is heavier than
+    * a poll (it must see every source key), so run it at a slower cadence —
+    * the reference's stress tooling likewise validates counts out-of-band
+    * rather than per-batch.
+    */
+  def reconcileDeletes(source: DataFrame, cfg: TableConfig, mirrorDir: String,
+                       syncedAt: Column = current_timestamp()): PollResult = {
+    val spark = source.sparkSession
+    val st = readState(spark, mirrorDir).getOrElse(
+      throw new IllegalStateException(
+        s"no capture state under $mirrorDir — run snapshot() first"))
+    val mirror = spark.read.parquet(mirrorDir)
+    val keyCols = cfg.keys.map(col)
+    // consumed twice (count + touched buckets) and joined into the rewrite —
+    // persist so the source keys scan and the anti-join run once
+    val gone = mirror.where(col("_peerdb_is_deleted") === 0)
+      .select(keyCols: _*).distinct()
+      .join(source.select(keyCols: _*), cfg.keys, "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = gone.count()
+      if (n == 0L) return PollResult(st, 0L)
+      val batchId = st.batchId + 1
+      val touched = gone
+        .select(pmod(hash(keyCols: _*), lit(cfg.nBuckets)).as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val flagged = mirror.where(col("bucket").isin(touched: _*))
+        .join(gone.withColumn("_graft_gone", lit(true)), cfg.keys, "left")
+        .withColumn("_peerdb_is_deleted",
+          when(col("_graft_gone"), lit(1)).otherwise(col("_peerdb_is_deleted")))
+        .withColumn("_peerdb_batch_id",
+          when(col("_graft_gone"), lit(batchId)).otherwise(col("_peerdb_batch_id")))
+        .withColumn("_peerdb_synced_at",
+          when(col("_graft_gone"), syncedAt.cast("timestamp"))
+            .otherwise(col("_peerdb_synced_at")))
+        .select(mirror.columns.map(col): _*) // join put keys first; restore
+      CdcStream.overwriteBuckets(spark, flagged, mirrorDir)
+      val next = SyncState(st.watermark, batchId, System.currentTimeMillis())
+      writeState(spark, mirrorDir, next)
+      PollResult(next, n)
+    } finally gone.unpersist(false)
+  }
+
   /** Replication-lag report — the monitor's per-table Lag row
     * (peerdb_psql_clickhouse_monitor.ps1:710 renders it, :743 computes
     * source−target, :744-754 grades it: 0 → SYNCED, |lag| ≤ 5 → NEAR_SYNC,
@@ -246,6 +315,14 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
   def pollAll(syncedAt: Column = current_timestamp()): Map[String, Incremental.PollResult] =
     inParallel(tables.map(t => () =>
       t.table -> Incremental.poll(sources(t.table), t, mirrorDir(t.table),
+        syncedAt = syncedAt))).toMap
+
+  /** One hard-DELETE reconciliation sweep across every configured table
+    * (concurrent across tables) — see [[Incremental.reconcileDeletes]].
+    */
+  def reconcileAll(syncedAt: Column = current_timestamp()): Map[String, Incremental.PollResult] =
+    inParallel(tables.map(t => () =>
+      t.table -> Incremental.reconcileDeletes(sources(t.table), t, mirrorDir(t.table),
         syncedAt = syncedAt))).toMap
 
   /** Per-table lag rows, unioned — the monitor's whole Lag table. */

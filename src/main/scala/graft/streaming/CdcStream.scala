@@ -154,17 +154,25 @@ object CdcStream {
       .map(withBucket.unionByName(_, allowMissingColumns = true))
       .getOrElse(withBucket)
     val merged = graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
-    // materialize before overwriting the files the plan reads — an explicit
-    // persist + count instead of an eager localCheckpoint, so the blocks
-    // can be RELEASED after the write (a checkpoint would stay pinned for
-    // the life of the session, one leaked label set per microbatch)
-    val rows = org.apache.spark.sql.graft.bridge.toInternalRdd(merged)
+    overwriteBuckets(spark, merged, targetDir)
+  }
+
+  /** Dynamically overwrite the bucket partitions present in `df` under
+    * `targetDir`, where `df`'s plan may READ the very files being replaced
+    * (a merge or in-place update of the mirror). The rows are materialized
+    * first — an explicit persist + count instead of an eager
+    * localCheckpoint, so the blocks can be RELEASED after the write (a
+    * checkpoint would stay pinned for the life of the session, one leaked
+    * label set per microbatch).
+    */
+  def overwriteBuckets(spark: SparkSession, df: DataFrame, targetDir: String): Unit = {
+    val rows = org.apache.spark.sql.graft.bridge.toInternalRdd(df)
       .mapPartitions(_.map(_.copy()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       rows.count()
       org.apache.spark.sql.graft.bridge
-        .internalCreateDataFrame(spark, rows, merged.schema)
+        .internalCreateDataFrame(spark, rows, df.schema)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // per-write, not session-wide
         .partitionBy("bucket").parquet(targetDir)

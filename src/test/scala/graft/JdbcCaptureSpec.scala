@@ -116,4 +116,48 @@ class JdbcCaptureSpec extends SparkSpec {
     val idle = Incremental.poll(jdbcTable("customers"), cfg, dir)
     assert(idle.rowsSynced == 0L && idle.state == r1.state)
   }
+
+  test("hard DELETEs drain to lag 0 via key reconciliation and survive re-insert") {
+    mkTable("accounts", (1L to 10L).map(i => (i, i, s"a$i")))
+    val dir = Files.createTempDirectory("graft_jdbc_del").toString + "/accounts"
+    val cfg = TableConfig("accounts", Seq("ID"), "SEQ", nBuckets = 4)
+    val st0 = Incremental.snapshot(jdbcTable("accounts"), cfg, dir)
+    assert(st0.watermark == 10L)
+
+    // a physical purge: no change row, invisible to the versionCol tail
+    exec("DELETE FROM accounts WHERE id IN (3, 7)")
+    val poll0 = Incremental.poll(jdbcTable("accounts"), cfg, dir)
+    assert(poll0.rowsSynced == 0L, "the seq tail must not see hard deletes")
+    val before = Incremental.lagReport(jdbcTable("accounts"),
+        spark.read.parquet(dir), cfg)
+      .select("lag_rows", "sync_status").as[(Long, String)].collect()(0)
+    assert(before == ((-2L, "NEAR_SYNC")), "phantom negative lag before the sweep")
+
+    val r1 = Incremental.reconcileDeletes(jdbcTable("accounts"), cfg, dir)
+    assert(r1.rowsSynced == 2L && r1.state.watermark == st0.watermark
+      && r1.state.batchId == st0.batchId + 1)
+    val fin1 = graft.sources.Mirror.readFinal(spark, dir, "ID")
+      .select("ID").as[Long].collect().toSet
+    assert(fin1 == ((1L to 10L).toSet -- Set(3L, 7L)), "deleted keys vanish from FINAL")
+    val after = Incremental.lagReport(jdbcTable("accounts"),
+        spark.read.parquet(dir), cfg)
+      .select("lag_rows", "sync_status").as[(Long, String)].collect()(0)
+    assert(after == ((0L, "SYNCED")))
+
+    // a sweep with nothing to reconcile is a no-op (state untouched)
+    val idle = Incremental.reconcileDeletes(jdbcTable("accounts"), cfg, dir)
+    assert(idle.rowsSynced == 0L && idle.state == r1.state)
+
+    // re-insert of a deleted key: its fresh seq outranks the tombstone
+    exec("INSERT INTO accounts VALUES (3, 11, 'back')")
+    val r2 = Incremental.poll(jdbcTable("accounts"), cfg, dir)
+    assert(r2.rowsSynced == 1L && r2.state.watermark == 11L)
+    val fin2 = graft.sources.Mirror.readFinal(spark, dir, "ID")
+      .select("ID", "SEQ", "PAYLOAD").as[(Long, Long, String)].collect().toSet
+    assert(fin2.contains((3L, 11L, "back")) && fin2.size == 9)
+    val synced = Incremental.lagReport(jdbcTable("accounts"),
+        spark.read.parquet(dir), cfg)
+      .select("lag_rows", "sync_status").as[(Long, String)].collect()(0)
+    assert(synced == ((0L, "SYNCED")))
+  }
 }
