@@ -257,6 +257,16 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
         "doc_id", "text", 0.8)
     }),
+    // the same split served by the PERSISTED index lifecycle (JaccardIndex):
+    // corpus → create, landed batch → probeAndAdd — the shape a continuous
+    // pipeline runs per sync, O(batch) compute + partition-pruned index scans
+    "dedup_incremental_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_jidx_drv").toString + "/idx"
+      JaccardIndex.create(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          "doc_id", "text", 0.8, dir)
+        .probeAndAdd(docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+    }),
     // probabilistic screen over the same measure (rows-only; its recall
     // relative to the exact prefix path is spec-pinned in DedupSpec)
     "dedup_jaccard_banded" -> ((s, d) =>
@@ -305,6 +315,27 @@ object SparkEntry {
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
     "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  private val incrementalOracle =
+    """WITH d AS (SELECT doc_id AS id,
+                         list_distinct(string_split(lower(text), ' ')) AS words
+                  FROM documents),
+       tok AS (SELECT id, unnest(words) AS w, len(words) AS n FROM d),
+       f AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+       pfx AS (SELECT id, w FROM (
+                 SELECT t.id, t.w, t.n,
+                        row_number() OVER (PARTITION BY t.id ORDER BY f.df, t.w) AS rn
+                 FROM tok t JOIN f USING (w))
+               WHERE rn <= n - ceil(n * 0.8) + 1),
+       cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+                FROM pfx l JOIN pfx r ON l.w = r.w AND l.id < r.id)
+       SELECT c.id_a, c.id_b,
+              CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.words, b.words))) AS jaccard
+       FROM cand c JOIN d a ON c.id_a = a.id JOIN d b ON c.id_b = b.id
+       WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.words, b.words))) >= 0.8
+         AND (c.id_a % 10 = 0 OR c.id_b % 10 = 0)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -670,27 +701,11 @@ object SparkEntry {
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY fp""",
     // incremental = the complete pair set restricted to pairs touching the
-    // "new" split (both engines have guaranteed recall, so the sets match)
-    "dedup_incremental" ->
-      """WITH d AS (SELECT doc_id AS id,
-                           list_distinct(string_split(lower(text), ' ')) AS words
-                    FROM documents),
-         tok AS (SELECT id, unnest(words) AS w, len(words) AS n FROM d),
-         f AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
-         pfx AS (SELECT id, w FROM (
-                   SELECT t.id, t.w, t.n,
-                          row_number() OVER (PARTITION BY t.id ORDER BY f.df, t.w) AS rn
-                   FROM tok t JOIN f USING (w))
-                 WHERE rn <= n - ceil(n * 0.8) + 1),
-         cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
-                  FROM pfx l JOIN pfx r ON l.w = r.w AND l.id < r.id)
-         SELECT c.id_a, c.id_b,
-                CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.words, b.words))) AS jaccard
-         FROM cand c JOIN d a ON c.id_a = a.id JOIN d b ON c.id_b = b.id
-         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.words, b.words))) >= 0.8
-           AND (c.id_a % 10 = 0 OR c.id_b % 10 = 0)""",
+    // "new" split (both engines have guaranteed recall, so the sets match);
+    // the indexed variant runs the identical semantics through the persisted
+    // JaccardIndex lifecycle, so it shares the oracle verbatim
+    "dedup_incremental" -> incrementalOracle,
+    "dedup_incremental_indexed" -> incrementalOracle,
     // prefix filtering has guaranteed recall on both engines, so both sides
     // compute the complete J >= 0.8 pair set — the oracle needs no blocking
     // assumptions beyond the same prefix bound

@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Persisted, additively maintained prefix-filtering index for continuous
   * exact-Jaccard dedup — the index-lifecycle companion of
@@ -15,21 +14,26 @@ import org.apache.spark.sql.types._
   * mirrors run forever, landing batch after batch — peerdb_config.yaml's
   * perpetual mirror definitions). This class persists the two corpus-side
   * relations next to the mirror and updates them ADDITIVELY per batch, so a
-  * landed batch pays O(batch) compute plus pruned columnar scans of the
-  * index — never a re-tokenize, re-aggregate, or re-window of the corpus.
+  * landed batch pays O(batch) compute plus PARTITION-PRUNED columnar scans
+  * of the index — never a re-tokenize, re-aggregate, or re-window of the
+  * corpus, and never a corpus-sized read.
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_jaccard_index.json   {"threshold":…,"batches":N}
-  *   dir/tokens/b=K/    (w, odf)     append-only vocabulary with order keys
-  *   dir/postings/b=K/  (id, w, rn, n)  prefix postings of batch K's docs
-  *   dir/sets/b=K/      (id, wh)     sorted word-hash set per doc
+  *   dir/_graft_jaccard_index.json     {"threshold":…,"parts":P,"batches":N}
+  *   dir/tokens/b=K/        (w, odf)      append-only vocabulary, order keys
+  *   dir/postings/b=K/p=J/  (id, w, rn, n) prefix postings, J = hash(w) mod P
+  *   dir/sets/b=K/q=J/      (id, wh)      sorted hash-set,  J = hash(id) mod P
   * }}}
   * Each batch writes its three additions under fresh `b=K` directories and
   * then commits the meta file via tmp + rename (the same single-file swap as
-  * [[graft.sources.Incremental]]'s capture state). Readers filter `b <
-  * committed batches`, so a crash mid-append leaves invisible stray files
-  * that the next add simply overwrites — the index is never read torn.
+  * [[graft.sources.Incremental]]'s capture state, INCLUDING the reader-side
+  * tmp fallback in [[JaccardIndex.load]] — a crash between the delete and
+  * the rename leaves only the complete tmp, which is safe to adopt because
+  * the meta is written strictly after all three data dirs are committed).
+  * Readers filter `b < committed batches`, so a crash mid-append leaves
+  * invisible stray files that the next add simply overwrites — the index is
+  * never read torn.
   *
   * == Soundness of the frozen token order ==
   * Prefix filtering is sound under ANY fixed total order on tokens: if both
@@ -49,18 +53,24 @@ import org.apache.spark.sql.types._
   * produce a false positive either.
   *
   * == Scale (100 TB) ==
-  * Per-batch work: tokenize/window the BATCH only; the corpus is touched by
-  * (a) a postings scan pruned with a semi-join on the batch's prefix tokens
-  * and (b) a sets scan pruned by the surviving posting ids — both columnar
-  * scans whose join sides are batch-derived and broadcastable in the CDC
-  * regime (AQE picks broadcast at runtime), so no corpus-sized shuffle
-  * recurs per batch. Index storage is one posting row per prefix token
+  * Per-batch work: tokenize/window the BATCH only (materialized once per
+  * add — the three relation writes and the probe all reuse it, so a
+  * non-deterministic source cannot make postings disagree with the sets of
+  * the same batch). The corpus is touched by two PARTITION-PRUNED scans:
+  * postings dirs are hash-partitioned by token (`p = hash(w) mod parts`)
+  * and a probe reads only the directories holding one of the batch's prefix
+  * tokens; sets dirs are hash-partitioned by id (`q = hash(id) mod parts`)
+  * and a probe reads only the directories holding a surviving candidate id.
+  * Both prunings are driven by a bounded driver-side collect (≤ `parts`
+  * distinct partition values each); file listing skips every other
+  * directory, so per-batch read IO tracks the candidate volume, not the
+  * corpus size. Index storage is one posting row per prefix token
   * (≈ (1−t) of the corpus token count) plus one hash-set row per doc — the
   * same order as the mirrored text itself. Single writer per index dir
   * (same contract as the capture state file).
   */
 final class JaccardIndex private (spark: SparkSession, val dir: String,
-                                  val threshold: Double,
+                                  val threshold: Double, val parts: Int,
                                   @volatile private var committedBatches: Int) {
   import JaccardIndex._
 
@@ -69,25 +79,79 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
 
   private def rel(name: String): String = s"$dir/$name"
 
-  /** Committed rows of one index relation; `fallback` supplies the empty
-    * schema before the first commit (and pins the id type to the caller's).
+  /** The write-time (and probe-time) partition key: which `p=J` / `q=J`
+    * directory a token / id lands in.
     */
-  private def readRel(name: String, fallback: => DataFrame): DataFrame =
-    if (committedBatches == 0) fallback.limit(0)
-    else spark.read.parquet(rel(name))
-      .where(col("b") < lit(committedBatches)).drop("b")
+  private def partOf(c: Column): Column = pmod(xxhash64(c), lit(parts)).cast("int")
 
-  /** Batch-side derivations, shared by probe and add so both sides of
-    * `probeAndAdd` agree on new-token order keys by construction.
+  /** True when a relation dir holds at least one committed, visible parquet
+    * data file. A dir that exists but holds none (every committed batch
+    * wrote zero rows to this relation, or only hidden `_temporary` debris
+    * remains) must read as EMPTY rather than fail schema inference.
     */
-  private case class Prepared(newTokens: DataFrame, post: DataFrame, sets: DataFrame)
+  private def hasData(name: String): Boolean = {
+    val root = new Path(rel(name))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val qualified = fs.makeQualified(root)
+    def visible(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != qualified) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
+    val files = fs.listFiles(root, true)
+    while (files.hasNext) {
+      val p = files.next().getPath
+      if (p.getName.endsWith(".parquet") && visible(p)) return true
+    }
+    false
+  }
+
+  /** Committed vocabulary rows; `fallback` supplies the empty schema before
+    * the first committed row exists.
+    */
+  private def readTokens(fallback: => DataFrame, upTo: Int): DataFrame =
+    if (upTo <= 0 || !hasData("tokens")) fallback.limit(0)
+    else spark.read.parquet(rel("tokens")).where(col("b") < lit(upTo)).drop("b")
+
+  /** Committed rows of a hash-partitioned relation, PRUNED to the partition
+    * directories in `vals` — the filter lands on the partition columns, so
+    * planning lists (and the scan reads) only matching `b=K/·=J` dirs.
+    */
+  private def readPruned(name: String, fallback: => DataFrame, upTo: Int,
+                         partCol: String, vals: Seq[Int]): DataFrame =
+    if (upTo <= 0 || !hasData(name)) fallback.limit(0)
+    else spark.read.parquet(rel(name))
+      .where(col("b") < lit(upTo) && col(partCol).isin(vals: _*))
+      .drop("b", partCol)
+
+  /** The rows batch `k` committed to one relation (probe-after-add reads the
+    * batch side back from disk); `fallback` supplies the schema when the
+    * whole relation is still fileless (empty corpus AND empty batch).
+    */
+  private def committedBatch(name: String, k: Int, partCol: String,
+                             fallback: => DataFrame): DataFrame =
+    if (!hasData(name)) fallback.limit(0)
+    else spark.read.parquet(rel(name)).where(col("b") === lit(k)).drop("b", partCol)
+
+  /** Batch-side derivations, shared by probe and add so both sides agree on
+    * new-token order keys by construction. `words` is the root of all three
+    * relations — [[addWith]] materializes it so the batch pipeline executes
+    * exactly once per add.
+    */
+  private case class Prepared(words: DataFrame, newTokens: DataFrame,
+                              post: DataFrame, sets: DataFrame)
 
   private def prepare(batch: DataFrame, idCol: String, textCol: String): Prepared = {
     val words = Dedup.widen(batch).select(col(idCol).as("id"),
       array_distinct(split(lower(col(textCol)), " ")).as("words"))
     val tok = words.select(col("id"), size(col("words")).as("n"),
       explode(col("words")).as("w"))
-    val known = readRel("tokens", tok.select(col("w"), lit(0L).as("odf")))
+    val known = readTokens(tok.select(col("w"), lit(0L).as("odf")), committedBatches)
     // a token unseen by every committed batch gets its order key HERE — its
     // df within this batch — and keeps it forever (see class doc)
     val newTokens = tok.join(known, Seq("w"), "left_anti")
@@ -101,7 +165,7 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
         col("n").cast("int").as("n"))
     val sets = words.select(col("id"),
       sort_array(array_distinct(transform(col("words"), t => xxhash64(t)))).as("wh"))
-    Prepared(newTokens, post, sets)
+    Prepared(words, newTokens, post, sets)
   }
 
   /** All J ≥ threshold pairs touching `batch` — (batch × indexed corpus) ∪
@@ -109,25 +173,36 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     * from every previously indexed id. Returns (id_a, id_b, jaccard),
     * id_a < id_b; recall is guaranteed (frozen-order prefix filtering) and
     * every pair is exact-verified, so the result EQUALS the one-shot
-    * [[Dedup.jaccardPairsIncremental]] on the same inputs.
+    * [[Dedup.jaccardPairsIncremental]] on the same inputs. A probe-only
+    * call re-reads `batch` on evaluation — hand it a deterministic relation
+    * (or use [[probeAndAdd]], which probes the committed copy).
     */
-  def probe(batch: DataFrame, idCol: String, textCol: String): DataFrame =
-    probeWith(prepare(batch, idCol, textCol))
+  def probe(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = prepare(batch, idCol, textCol)
+    probeAgainst(p.post, p.sets, committedBatches)
+  }
 
-  private def probeWith(p: Prepared): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val bp = p.post
-    // prune the corpus postings scan to the batch's prefix tokens — only
-    // postings that can produce a candidate survive; the semi-join side is
-    // batch-vocabulary-sized (broadcast in the CDC regime)
-    val cp = readRel("postings", bp)
-      .join(bp.select(col("w")).distinct(), Seq("w"), "left_semi")
+  private def probeAgainst(bpost: DataFrame, bsets: DataFrame,
+                           corpusUpTo: Int): DataFrame = {
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // prune the corpus postings SCAN to the partition dirs that can hold one
+    // of the batch's prefix tokens (bounded collect: ≤ `parts` values), then
+    // prune surviving rows to exactly those tokens with a semi-join whose
+    // right side is batch-vocabulary-sized (broadcast in the CDC regime)
+    val pvals = bpost.select(partOf(col("w")).as("p")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cp = readPruned("postings", bpost, corpusUpTo, "p", pvals)
+      .join(bpost.select(col("w")).distinct(), Seq("w"), "left_semi")
+    // prune the corpus sets SCAN to the partition dirs that can hold a
+    // surviving candidate id (second bounded collect — it evaluates the
+    // pruned postings join once to learn which id partitions matter)
+    val qvals = cp.select(partOf(col("id")).as("q")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     // attach each doc's hash set BEFORE the candidate join so thresholded
     // verification runs inline in the join's codegen pipeline (the shape of
-    // jaccardPairsPrefix); the corpus sets join is pruned by the surviving
-    // posting ids through the inner join itself
-    val bv = bp.join(p.sets, "id")
-    val cv = cp.join(readRel("sets", p.sets), "id")
+    // jaccardPairsPrefix)
+    val bv = bpost.join(bsets, "id")
+    val cv = cp.join(readPruned("sets", bsets, corpusUpTo, "q", qvals), "id")
     val all = cv.unionByName(bv)
     val ubound = (lit(1) + least(col("l.n") - col("l.rn"), col("r.n") - col("r.rn")))
       .cast("double") * lit(1.0 + threshold)
@@ -136,7 +211,7 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     val jac = graft.expressions.NativeFunctions.sortedJaccard(col("l.wh"), col("r.wh"), threshold)
     // explicit repartition of the probe side — the AQE single-task
     // coalescing trap, same as jaccardPairsIncremental
-    bv.repartition(parts, col("id")).as("l").join(all.as("r"),
+    bv.repartition(nParts, col("id")).as("l").join(all.as("r"),
         col("l.w") === col("r.w") && col("l.id") =!= col("r.id") && positional)
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"), jac.as("jaccard"))
@@ -152,25 +227,41 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     addWith(prepare(batch, idCol, textCol))
 
   private def addWith(p: Prepared): Unit = synchronized {
-    val b = committedBatches
-    p.newTokens.write.mode("overwrite").parquet(rel(s"tokens/b=$b"))
-    p.post.write.mode("overwrite").parquet(rel(s"postings/b=$b"))
-    p.sets.write.mode("overwrite").parquet(rel(s"sets/b=$b"))
-    committedBatches = b + 1
-    writeMeta(spark, dir, threshold, committedBatches)
+    // materialize the tokenized batch once: the three writes below would
+    // otherwise re-execute the un-cached batch pipeline independently, and a
+    // non-deterministic batch source (a live JDBC tail between two runs)
+    // could then commit postings disagreeing with the sets written from a
+    // different execution — silently breaking frozen-order recall
+    p.words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      p.words.count()
+      val b = committedBatches
+      p.newTokens.write.mode("overwrite").parquet(rel(s"tokens/b=$b"))
+      p.post.withColumn("p", partOf(col("w")))
+        .repartition(col("p")) // ≈ one file per partition dir, not one per task
+        .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b"))
+      p.sets.withColumn("q", partOf(col("id")))
+        .repartition(col("q"))
+        .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b"))
+      committedBatches = b + 1
+      writeMeta(spark, dir, threshold, parts, committedBatches)
+    } finally p.words.unpersist(false)
   }
 
-  /** Probe first, then commit the batch — the per-sync step of a continuous
-    * pipeline. The returned pairs are lazy but pinned to the pre-add index
-    * state (reads filter on the batch count captured at probe time), so
-    * consuming them after the add still yields exactly the probe-time
-    * result.
+  /** Commit `batch`, then return its pairs — the per-sync step of a
+    * continuous pipeline. The probe runs against the COMMITTED `b=K` copy of
+    * the batch with the corpus cutoff pinned below it, which is byte-equal
+    * to a probe-before-add (the cutoff excludes the batch itself) and
+    * deterministic even when the batch source is not: both probe sides read
+    * committed files, and the batch pipeline executed exactly once (inside
+    * the add, against the materialized batch).
     */
   def probeAndAdd(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val k = committedBatches
     val p = prepare(batch, idCol, textCol)
-    val pairs = probeWith(p)
     addWith(p)
-    pairs
+    probeAgainst(committedBatch("postings", k, "p", p.post),
+      committedBatch("sets", k, "q", p.sets), k)
   }
 }
 
@@ -180,39 +271,60 @@ object JaccardIndex {
   /** Build a fresh index over `corpus` at `dir` (replacing any previous
     * index there) — also the periodic re-canonicalization path that resets
     * drifted order keys to current document frequencies.
+    *
+    * @param parts hash-partition count of the postings/sets directories —
+    *              the probe-time scan-pruning granularity. Frozen into the
+    *              index meta; size it so one partition of the largest
+    *              relation is a comfortable scan (corpus tokens / parts).
     */
   def create(corpus: DataFrame, idCol: String, textCol: String,
-             threshold: Double, dir: String): JaccardIndex = {
+             threshold: Double, dir: String, parts: Int = 64): JaccardIndex = {
     val spark = corpus.sparkSession
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val idx = new JaccardIndex(spark, dir, threshold, 0)
+    val idx = new JaccardIndex(spark, dir, threshold, parts, 0)
     idx.add(corpus, idCol, textCol)
     idx
   }
 
-  /** Open the committed index at `dir`. */
+  /** Open the committed index at `dir`. When the meta file is missing but a
+    * complete `.tmp` exists, the writer crashed between its delete and
+    * rename — the tmp IS the committed state (it is written strictly after
+    * all three `b=K` data dirs are fully committed), so fall back to it
+    * rather than refusing to load intact data (mirrors
+    * [[graft.sources.Incremental.readState]]).
+    */
   def load(spark: SparkSession, dir: String): JaccardIndex = {
-    val metaP = new Path(dir, MetaFile)
-    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaP))
-      throw new IllegalStateException(s"no Jaccard index under $dir — run create() first")
-    val in = fs.open(metaP)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    def field(k: String): String =
-      """"%s"\s*:\s*(-?[\d.Ee+-]+)""".format(k).r.findFirstMatchIn(txt)
-        .getOrElse(throw new IllegalStateException(s"corrupt $metaP: $txt")).group(1)
-    new JaccardIndex(spark, dir, field("threshold").toDouble, field("batches").toInt)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parse(p: Path, strict: Boolean): Option[(Double, Int, Int)] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        def field(k: String): Option[String] =
+          """"%s"\s*:\s*(-?[\d.Ee+-]+)""".format(k).r.findFirstMatchIn(txt).map(_.group(1))
+        (field("threshold"), field("parts"), field("batches")) match {
+          case (Some(t), Some(pp), Some(b)) => Some((t.toDouble, pp.toInt, b.toInt))
+          case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
+          case _ => None
+        }
+      }
+    val meta = parse(new Path(dir, MetaFile), strict = true)
+      .orElse(parse(new Path(dir, MetaFile + ".tmp"), strict = false))
+      .getOrElse(throw new IllegalStateException(
+        s"no Jaccard index under $dir — run create() first"))
+    new JaccardIndex(spark, dir, meta._1, meta._2, meta._3)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, threshold: Double,
-                        batches: Int): Unit = {
+                        parts: Int, batches: Int): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir, MetaFile + ".tmp")
     val dst = new Path(dir, MetaFile)
     val out = fs.create(tmp, true)
-    try out.write(s"""{"threshold":$threshold,"batches":$batches}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"threshold":$threshold,"parts":$parts,"batches":$batches}""".getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")

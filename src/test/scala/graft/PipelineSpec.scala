@@ -64,33 +64,51 @@ class PipelineSpec extends SparkSpec {
     assert(monitor.batches.count(_.numInputRows > 0) >= 2)
   }
 
-  test("continuous training-data pipeline: capture -> incremental dedup -> canonical keep") {
-    import graft.operators.Dedup
+  test("continuous training-data pipeline: capture -> indexed incremental dedup -> canonical keep") {
+    import graft.operators.{Dedup, JaccardIndex}
     import graft.sources.{Incremental, TableConfig}
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/docs"
+    val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val dir = s"$base/docs"
     // the capture sequence is arrival order, not the document id: the
-    // fresh batch lands later, so it carries higher sequence numbers
+    // fresh batches land later, so they carry higher sequence numbers
     val cfg = TableConfig("docs", Seq("doc_id"), "seq", nBuckets = 4)
 
-    // 1. initial snapshot mirrors most of the corpus; a later poll lands
-    //    the remaining batch (the CDC half)
+    // 1. initial snapshot mirrors most of the corpus; the SAME corpus seeds
+    //    the persisted dedup index that will ride along with the mirror
     val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
-      .withColumn("seq", col("doc_id"))
-    val freshSeq = docs.where(pmod(col("doc_id"), lit(5)) === 0)
-      .withColumn("seq", col("doc_id") + lit(1000000L))
-    Incremental.snapshot(corpus, cfg, dir)
-    val landed = Incremental.poll(corpus.unionByName(freshSeq), cfg, dir)
-    assert(landed.rowsSynced > 0)
+    val corpusSeq = corpus.withColumn("seq", col("doc_id"))
+    val fresh1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val fresh2 = docs.where(pmod(col("doc_id"), lit(10)) === 5)
+    Incremental.snapshot(corpusSeq, cfg, dir)
+    JaccardIndex.create(corpus, "doc_id", "text", 0.8, s"$base/idx")
+
+    // 2. two successive sync batches: each poll lands a delta in the mirror
+    //    and the CARRIED index dedups it (probe + absorb, O(batch) compute —
+    //    never a corpus rescan); the index is reloaded between syncs, as a
+    //    restarted pipeline would
+    val src1 = corpusSeq.unionByName(fresh1.withColumn("seq", col("doc_id") + lit(1000000L)))
+    assert(Incremental.poll(src1, cfg, dir).rowsSynced == fresh1.count())
+    val pairs1 = JaccardIndex.load(spark, s"$base/idx").probeAndAdd(fresh1, "doc_id", "text")
+
+    val src2 = src1.unionByName(fresh2.withColumn("seq", col("doc_id") + lit(2000000L)))
+    assert(Incremental.poll(src2, cfg, dir).rowsSynced == fresh2.count())
+    val pairs2 = JaccardIndex.load(spark, s"$base/idx").probeAndAdd(fresh2, "doc_id", "text")
+
     val mirrored = graft.sources.Mirror.readFinal(spark, dir, "doc_id")
     assert(mirrored.count() == docs.count())
 
-    // 2. the landed batch is deduped against the pre-existing corpus,
-    //    probe-only (the training-data half)
-    val fresh = docs.where(pmod(col("doc_id"), lit(5)) === 0)
-    val pairs = Dedup.jaccardPairsIncremental(fresh, corpus, "doc_id", "text", 0.8)
+    // the carried index saw exactly what per-sync one-shot recomputes see
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val pairs = pairs1.unionByName(pairs2)
+    assert(key(pairs) ==
+      (key(Dedup.jaccardPairsIncremental(fresh1, corpus, "doc_id", "text", 0.8)) ++
+        key(Dedup.jaccardPairsIncremental(fresh2, corpus.unionByName(fresh1),
+          "doc_id", "text", 0.8))))
 
     // 3. keep-best collapses each near-dup cluster to one canonical doc
     val decisions = Dedup.keepCanonical(docs, pairs, "doc_id",
