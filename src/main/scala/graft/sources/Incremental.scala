@@ -176,48 +176,111 @@ object Incremental {
     *
     * Scale notes (100 TB): the source side is a keys-only projection
     * (column-pruned scan / SELECT of the key columns over JDBC); the mirror
-    * side prunes to live keys before the anti-join; the bucket rewrite
-    * touches only buckets containing deleted keys. A sweep is heavier than
-    * a poll (it must see every source key), so run it at a slower cadence —
-    * the reference's stress tooling likewise validates counts out-of-band
+    * side collapses to one (key, min is_deleted) row per key in a single
+    * map-side-combined shuffle before the joins; the bucket rewrite touches
+    * only buckets containing changed keys. A sweep is heavier than a poll
+    * (it must see every source key), so run it at a slower cadence — the
+    * reference's stress tooling likewise validates counts out-of-band
     * rather than per-batch.
+    *
+    * == Wipe guard ==
+    * The sweep trusts the source scan to be COMPLETE — a transient
+    * empty/partial read (wrong view, truncated table, permissions returning
+    * zero rows) would otherwise tombstone the whole mirror, and because
+    * flagged rows keep their old `_peerdb_version` ≤ watermark, a recovered
+    * source would never re-land them via the poll tail: a permanent wipe.
+    * Two defenses: (a) the sweep REFUSES to flag more than
+    * `maxDeleteFraction` of the live keys in one pass (pass 1.0 to force a
+    * legitimate mass delete through — an empty source always trips the
+    * default); (b) `resurrect` (on by default) un-flags fully-tombstoned
+    * keys that the source still holds AT THE SAME sequence value the mirror
+    * last saw — a row that verifiably never changed since it was flagged,
+    * which is exactly (and only) the bad-sweep signature. So even a forced
+    * or historical bad sweep heals on the next sweep against a recovered
+    * source, with the restored rows keeping their original versions. The
+    * seq-equality guard is what keeps resurrection sound everywhere else:
+    * a key whose source row changed after the wipe has a fresh seq above
+    * the watermark (the poll tail re-lands it; no resurrection needed), and
+    * a key soft-deleted by an explicit delete EVENT carries the event's seq
+    * as its version — never equal to the still-present source row's own
+    * seq — so the logical-delete pattern is never disturbed.
     */
   def reconcileDeletes(source: DataFrame, cfg: TableConfig, mirrorDir: String,
-                       syncedAt: Column = current_timestamp()): PollResult = {
+                       syncedAt: Column = current_timestamp(),
+                       maxDeleteFraction: Double = 0.5,
+                       resurrect: Boolean = true): PollResult = {
     val spark = source.sparkSession
     val st = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
         s"no capture state under $mirrorDir — run snapshot() first"))
+    // a mirror snapshotted from an empty source has state but no parquet
+    // footers — nothing can be flagged, so the sweep is a no-op rather
+    // than a schema-inference failure
+    if (!CdcStream.hasVisibleParquet(spark, mirrorDir)) return PollResult(st, 0L)
     val mirror = spark.read.parquet(mirrorDir)
     val keyCols = cfg.keys.map(col)
-    // consumed twice (count + touched buckets) and joined into the rewrite —
-    // persist so the source keys scan and the anti-join run once
-    val gone = mirror.where(col("_peerdb_is_deleted") === 0)
-      .select(keyCols: _*).distinct()
-      .join(source.select(keyCols: _*), cfg.keys, "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // one row per mirrored key — liveness (any row unflagged?) and current
+    // version; consumed by both join sides — persist so the mirror scan
+    // and aggregation run once
+    val keyState = mirror.groupBy(keyCols: _*)
+      .agg(min(col("_peerdb_is_deleted")).as("_graft_min_del"),
+        max(col("_peerdb_version")).as("_graft_max_ver")).persist(mem)
+    val src = source
+      .select(keyCols :+ col(cfg.versionCol).cast("long").as("_graft_src_seq"): _*)
+      .persist(mem)
+    // gone: live keys the source no longer has (→ flag); back: tombstoned
+    // keys the source still holds at the mirror's own version — unchanged
+    // since the flag, the bad-sweep signature (→ un-flag, resurrection)
+    val gone = keyState.where(col("_graft_min_del") === 0).select(keyCols: _*)
+      .join(src.select(keyCols: _*), cfg.keys, "left_anti")
+      .withColumn("_graft_flag", lit(1))
+    val back = keyState.where(col("_graft_min_del") === 1).as("m")
+      .join(src.as("s"),
+        cfg.keys.map(k => col(s"m.$k") === col(s"s.$k")).reduce(_ && _) &&
+          col("m._graft_max_ver") === col("s._graft_src_seq"), "left_semi")
+      .select(keyCols: _*)
+      .withColumn("_graft_flag", lit(0))
+    val changed = (if (resurrect) gone.unionByName(back) else gone).persist(mem)
     try {
-      val n = gone.count()
-      if (n == 0L) return PollResult(st, 0L)
+      val counts = changed.agg(
+        sum(col("_graft_flag")).as("gone"),
+        sum(lit(1) - col("_graft_flag")).as("back")).collect()(0)
+      val nGone = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+      val nBack = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+      if (nGone + nBack == 0L) return PollResult(st, 0L)
+      if (nGone > 0L) {
+        val nLive = keyState.where(col("_graft_min_del") === 0).count()
+        if (nGone.toDouble > maxDeleteFraction * nLive)
+          throw new IllegalStateException(
+            s"reconcileDeletes refusing to tombstone $nGone of $nLive live keys " +
+              f"(${nGone.toDouble / nLive}%.2f > maxDeleteFraction=$maxDeleteFraction%.2f) " +
+              s"under $mirrorDir — transient empty/partial source read? " +
+              "Pass maxDeleteFraction=1.0 to force a legitimate mass delete.")
+      }
       val batchId = st.batchId + 1
-      val touched = gone
+      val touched = changed
         .select(pmod(hash(keyCols: _*), lit(cfg.nBuckets)).as("bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val flagged = mirror.where(col("bucket").isin(touched: _*))
-        .join(gone.withColumn("_graft_gone", lit(true)), cfg.keys, "left")
+        .join(changed, cfg.keys, "left")
         .withColumn("_peerdb_is_deleted",
-          when(col("_graft_gone"), lit(1)).otherwise(col("_peerdb_is_deleted")))
+          when(col("_graft_flag").isNotNull, col("_graft_flag"))
+            .otherwise(col("_peerdb_is_deleted")))
         .withColumn("_peerdb_batch_id",
-          when(col("_graft_gone"), lit(batchId)).otherwise(col("_peerdb_batch_id")))
+          when(col("_graft_flag").isNotNull, lit(batchId))
+            .otherwise(col("_peerdb_batch_id")))
         .withColumn("_peerdb_synced_at",
-          when(col("_graft_gone"), syncedAt.cast("timestamp"))
+          when(col("_graft_flag").isNotNull, syncedAt.cast("timestamp"))
             .otherwise(col("_peerdb_synced_at")))
         .select(mirror.columns.map(col): _*) // join put keys first; restore
       CdcStream.overwriteBuckets(spark, flagged, mirrorDir)
       val next = SyncState(st.watermark, batchId, System.currentTimeMillis())
       writeState(spark, mirrorDir, next)
-      PollResult(next, n)
-    } finally gone.unpersist(false)
+      PollResult(next, nGone + nBack)
+    } finally {
+      changed.unpersist(false); src.unpersist(false); keyState.unpersist(false)
+    }
   }
 
   /** Replication-lag report — the monitor's per-table Lag row

@@ -115,20 +115,36 @@ object CdcStream {
     val withBucket = batchDf
       .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val touched = withBucket.select("bucket").distinct().as[Int].collect()
-    // Only a mirror with *no data files* means first batch — a missing dir,
-    // or one pre-created empty / left behind by a failed first write (no
-    // parquet footers, which would make spark.read.parquet throw on every
-    // retry and wedge the stream). Any other read failure (transient IO,
-    // permissions, corrupt file) must propagate: swallowing it here would
-    // overwrite the touched buckets with batch-only rows and silently drop
-    // every previously mirrored row in them.
-    val target = new org.apache.hadoop.fs.Path(targetDir)
-    val fsys = fs(spark, targetDir)
+    // No visible data files = first batch (see hasVisibleParquet). Any
+    // other read failure (transient IO, permissions, corrupt file) must
+    // propagate: swallowing it here would overwrite the touched buckets
+    // with batch-only rows and silently drop every previously mirrored
+    // row in them.
+    val existing =
+      if (!hasVisibleParquet(spark, targetDir)) None
+      else Some(spark.read.parquet(targetDir).where(col("bucket").isin(touched.toSeq: _*)))
+    val unioned = existing
+      .map(withBucket.unionByName(_, allowMissingColumns = true))
+      .getOrElse(withBucket)
+    val merged = graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
+    overwriteBuckets(spark, merged, targetDir)
+  }
+
+  /** True when `dir` holds at least one parquet data file that
+    * `spark.read.parquet` would actually see. Only a mirror with *no data
+    * files* means "first batch / nothing mirrored yet" — a missing dir, one
+    * pre-created empty, or one left behind by a failed first write (no
+    * parquet footers, which would make the read throw on every retry and
+    * wedge the caller). A part file under a hidden DIRECTORY
+    * (`_temporary/...` debris) is invisible to the reader too — every path
+    * component between `dir` and the file must be visible, not just the
+    * leaf, or the no-data detection wedges on it.
+    */
+  private[graft] def hasVisibleParquet(spark: SparkSession, dir: String): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fsys = fs(spark, dir)
+    if (!fsys.exists(target)) return false
     val qualifiedTarget = fsys.makeQualified(target)
-    // A part file under a hidden DIRECTORY (_temporary/... left by a failed
-    // first write) is invisible to spark.read.parquet too — every path
-    // component between targetDir and the file must be visible, not just
-    // the leaf, or the "no data files" first-batch detection wedges on it.
     def visible(p: org.apache.hadoop.fs.Path): Boolean = {
       var cur = p
       while (cur != null && cur != qualifiedTarget) {
@@ -138,23 +154,13 @@ object CdcStream {
       }
       true
     }
-    def hasDataFiles: Boolean = {
-      val files = fsys.listFiles(target, true)
-      var found = false
-      while (!found && files.hasNext) {
-        val p = files.next().getPath
-        found = p.getName.endsWith(".parquet") && visible(p)
-      }
-      found
+    val files = fsys.listFiles(target, true)
+    var found = false
+    while (!found && files.hasNext) {
+      val p = files.next().getPath
+      found = p.getName.endsWith(".parquet") && visible(p)
     }
-    val existing =
-      if (!fsys.exists(target) || !hasDataFiles) None
-      else Some(spark.read.parquet(targetDir).where(col("bucket").isin(touched.toSeq: _*)))
-    val unioned = existing
-      .map(withBucket.unionByName(_, allowMissingColumns = true))
-      .getOrElse(withBucket)
-    val merged = graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
-    overwriteBuckets(spark, merged, targetDir)
+    found
   }
 
   /** Dynamically overwrite the bucket partitions present in `df` under

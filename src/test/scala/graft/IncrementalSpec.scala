@@ -160,6 +160,77 @@ class IncrementalSpec extends SparkSpec {
     assert(lag == Set(("customers", 0L, 0L), ("products", 0L, 0L), ("orders", 0L, 0L)))
   }
 
+  test("reconcileDeletes refuses a transient wipe and resurrects after a forced one") {
+    val dir = Files.createTempDirectory("graft_wipe").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    val v0 = state(10)
+    val st0 = Incremental.snapshot(v0, cfg, dir)
+
+    // a transient EMPTY source read (permissions / wrong view returning zero
+    // rows) must refuse instead of tombstoning the whole mirror
+    val boom = intercept[IllegalStateException] {
+      Incremental.reconcileDeletes(state(0), cfg, dir)
+    }
+    assert(boom.getMessage.contains("refusing"))
+    assert(finalRows(dir) == srcRows(v0), "refused sweep must leave the mirror intact")
+    assert(Incremental.readState(spark, dir).contains(st0),
+      "refused sweep must not advance state")
+
+    // a partial read missing 7 of 10 keys trips the 0.5 default too
+    intercept[IllegalStateException] {
+      Incremental.reconcileDeletes(state(3), cfg, dir)
+    }
+
+    // a delete volume under the threshold proceeds normally (2 of 10)
+    val ok = Incremental.reconcileDeletes(v0.where($"key" <= 8L), cfg, dir)
+    assert(ok.rowsSynced == 2L)
+    assert(finalRows(dir) == srcRows(v0.where($"key" <= 8L)))
+
+    // a legitimate mass delete goes through with the explicit opt-in
+    val forced = Incremental.reconcileDeletes(state(3), cfg, dir,
+      maxDeleteFraction = 1.0)
+    assert(forced.rowsSynced == 5L)
+    assert(finalRows(dir) == srcRows(state(3)))
+
+    // resurrect=false leaves tombstones alone even when keys reappear
+    val stay = Incremental.reconcileDeletes(state(8), cfg, dir, resurrect = false)
+    assert(stay.rowsSynced == 0L)
+    assert(finalRows(dir) == srcRows(state(3)))
+
+    // the source recovers keys 4..8: the sweep RESURRECTS them in place —
+    // their versions sit at/below the watermark, so the poll tail alone
+    // could never re-land them
+    val healed = Incremental.reconcileDeletes(state(8), cfg, dir)
+    assert(healed.rowsSynced == 5L)
+    assert(finalRows(dir) == srcRows(state(8)))
+  }
+
+  test("resurrection never touches keys soft-deleted by explicit delete events") {
+    val dir = Files.createTempDirectory("graft_soft_res").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    Incremental.snapshot(state(5).withColumn("op", lit("upsert")), cfg, dir,
+      isDelete = col("op") === "delete")
+    // logical-delete pattern: a delete EVENT for key 2 while the row stays
+    // physically present at the source
+    val feed = Seq((2L, 6L, "p2", "delete")).toDF("key", "seq", "payload", "op")
+      .unionByName(state(5).withColumn("op", lit("upsert")))
+    Incremental.poll(feed, cfg, dir, isDelete = col("op") === "delete")
+    assert(finalRows(dir).map(_._1) == Set(1L, 3L, 4L, 5L))
+    // key 2's tombstone carries the EVENT's seq (6), never equal to the
+    // still-present source row's own seq (2) — the sweep must NOT resurrect
+    val sweep = Incremental.reconcileDeletes(state(5), cfg, dir)
+    assert(sweep.rowsSynced == 0L)
+    assert(finalRows(dir).map(_._1) == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("a sweep over a footerless empty mirror is a no-op, not a read failure") {
+    val dir = Files.createTempDirectory("graft_sweep_empty").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    Incremental.snapshot(state(0), cfg, dir)
+    val r = Incremental.reconcileDeletes(state(0), cfg, dir)
+    assert(r.rowsSynced == 0L)
+  }
+
   test("state survives a crash between the delete and the rename of the swap") {
     val dir = Files.createTempDirectory("graft_swap").toString + "/t"
     val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
