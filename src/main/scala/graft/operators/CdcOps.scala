@@ -26,12 +26,26 @@ object CdcOps {
     *
     * One shuffle on `keys`; partial `max_by` runs map-side so the shuffle
     * carries one packed row per key per mapper, not the whole log.
+    *
+    * Version ties break DETERMINISTICALLY toward the tombstone: when the log
+    * carries a delete flag (`_peerdb_is_deleted` / the streaming path's
+    * `is_deleted`), the ordering key is (version, flag), so two rows at the
+    * same version cannot nondeterministically resurrect a deleted key — the
+    * window [[graft.sources.Incremental.reconcileDeletes]] documents (a
+    * replayed pre-delete batch re-merging the exact version a sweep flagged)
+    * now converges immediately instead of waiting for the next sweep.
+    * ClickHouse ReplacingMergeTree breaks the same tie by `is_deleted` when
+    * the column is declared (SURVEY §1). Logs without a flag column order by
+    * version alone, unchanged.
     */
   def latestSnapshot(log: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
     val payload = log.columns.filterNot(keys.contains)
+    val delFlag = Seq("_peerdb_is_deleted", "is_deleted").find(log.columns.contains)
+      .map(f => coalesce(col(f).cast("int"), lit(0)))
+    val ordKey = delFlag.map(f => struct(col(versionCol), f)).getOrElse(col(versionCol))
     val packed = struct(col(versionCol) +: payload.filterNot(_ == versionCol).map(col): _*)
     val picked = log.groupBy(keys.map(col): _*)
-      .agg(max_by(packed, col(versionCol)).as("_latest"))
+      .agg(max_by(packed, ordKey).as("_latest"))
     val unpacked = keys.map(col) ++
       (versionCol +: payload.filterNot(_ == versionCol)).map(c => col(s"_latest.$c").as(c))
     // restore the caller's column order

@@ -26,6 +26,29 @@ class CdcOpsSpec extends SparkSpec {
       Seq("key", "version", "op", "value"))
   }
 
+  test("latestSnapshot breaks version ties toward the tombstone, deterministically") {
+    // same key, same version, one row flagged deleted (the replayed
+    // pre-delete batch vs reconcile-sweep tombstone collision) — the
+    // tombstone must win no matter the physical row order
+    val tied = Seq((1L, 5L, 0, "live"), (1L, 5L, 1, "dead"), (2L, 7L, 0, "only"))
+      .toDF("key", "version", "_peerdb_is_deleted", "payload")
+    for (df <- Seq(tied, tied.orderBy(desc("_peerdb_is_deleted")), tied.repartition(7))) {
+      val snap = CdcOps.latestSnapshot(df, Seq("key"), "version")
+        .orderBy("key").collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+      assert(snap.toSeq == Seq((1L, 1, "dead"), (2L, 0, "only")))
+    }
+    // the streaming path's boolean flag gets the same treatment
+    val boolTied = Seq((1L, 5L, false, "live"), (1L, 5L, true, "dead"))
+      .toDF("key", "version", "is_deleted", "payload")
+    assert(CdcOps.latestSnapshot(boolTied, Seq("key"), "version")
+      .select("payload").as[String].collect().toSeq == Seq("dead"))
+    // a null flag orders as live, not as an error
+    val nullTied = Seq((1L, 5L, Some(1), "dead"), (1L, 5L, None, "live"))
+      .toDF("key", "version", "_peerdb_is_deleted", "payload")
+    assert(CdcOps.latestSnapshot(nullTied, Seq("key"), "version")
+      .select("payload").as[String].collect().toSeq == Seq("dead"))
+  }
+
   test("softDeleteSnapshot drops keys whose newest op is a delete") {
     val snap = CdcOps.softDeleteSnapshot(log, Seq("key"), "version", col("op") === "delete")
     assert(snap.select("key").as[Long].collect().sorted.toSeq == Seq(1L, 3L))

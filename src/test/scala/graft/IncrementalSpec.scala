@@ -223,6 +223,35 @@ class IncrementalSpec extends SparkSpec {
     assert(finalRows(dir).map(_._1) == Set(1L, 3L, 4L, 5L))
   }
 
+  test("a replayed pre-delete batch cannot resurrect a reconciled key between sweeps") {
+    val dir = Files.createTempDirectory("graft_replay_tomb").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    val v0 = state(5)
+    Incremental.snapshot(v0, cfg, dir)
+
+    // key 3 hard-deleted at the source; the sweep flags its mirror row IN
+    // PLACE at its original version (3)
+    Incremental.reconcileDeletes(v0.where($"key" =!= 3L), cfg, dir)
+    assert(finalRows(dir).map(_._1) == Set(1L, 2L, 4L, 5L))
+
+    // at-least-once redelivery of the PRE-delete batch: key 3 re-merges at
+    // the exact version the tombstone carries — a max_by tie. The
+    // (version, is_deleted) ordering key must keep the tombstone on top
+    // immediately, not leave the winner to partition order until the next
+    // sweep re-flags it.
+    val replay = graft.operators.CdcOps.withMirrorMeta(
+      v0, Seq("key"), "seq", lit(false), lit(1L))
+    graft.streaming.CdcStream.upsertBatch(spark, replay, Seq("key"),
+      "_peerdb_version", dir, cfg.nBuckets)
+    assert(finalRows(dir).map(_._1) == Set(1L, 2L, 4L, 5L),
+      "replayed pre-delete batch resurrected a reconciled key")
+    // the collapsed mirror keeps exactly one row for key 3: the tombstone
+    val k3 = spark.read.parquet(dir).where($"key" === 3L)
+      .select("_peerdb_version", "_peerdb_is_deleted")
+      .as[(Long, Int)].collect().toSeq
+    assert(k3 == Seq((3L, 1)))
+  }
+
   test("a sweep over a footerless empty mirror is a no-op, not a read failure") {
     val dir = Files.createTempDirectory("graft_sweep_empty").toString + "/t"
     val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
