@@ -15,6 +15,23 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
+  /** Scratch dir for the driver-entry index lifecycle: ONE per JVM, reused
+    * across invocations (create() replaces the previous tree) and removed
+    * on exit — repeated Verify/Bench runs must not strand sf-sized index
+    * trees under /tmp.
+    */
+  private lazy val indexScratch: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_jidx_drv")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    root.toString + "/idx"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(
@@ -262,9 +279,8 @@ object SparkEntry {
     // pipeline runs per sync, O(batch) compute + partition-pruned index scans
     "dedup_incremental_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val dir = java.nio.file.Files.createTempDirectory("graft_jidx_drv").toString + "/idx"
       JaccardIndex.create(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
-          "doc_id", "text", 0.8, dir)
+          "doc_id", "text", 0.8, indexScratch)
         .probeAndAdd(docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
     }),
     // probabilistic screen over the same measure (rows-only; its recall

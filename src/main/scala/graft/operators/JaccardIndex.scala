@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_jaccard_index.json     {"threshold":…,"parts":P,"batches":N}
+  *   dir/_graft_jaccard_index.json  {"fmt":2,"threshold":…,"parts":P,"batches":N}
   *   dir/tokens/b=K/        (w, odf)      append-only vocabulary, order keys
   *   dir/postings/b=K/p=J/  (id, w, rn, n) prefix postings, J = hash(w) mod P
   *   dir/sets/b=K/q=J/      (id, wh)      sorted hash-set,  J = hash(id) mod P
+  *   dir/_probe/            probe-time scratch (hidden, never index data)
   * }}}
   * Each batch writes its three additions under fresh `b=K` directories and
   * then commits the meta file via tmp + rename (the same single-file swap as
@@ -31,9 +32,12 @@ import org.apache.spark.sql.functions._
   * tmp fallback in [[JaccardIndex.load]] — a crash between the delete and
   * the rename leaves only the complete tmp, which is safe to adopt because
   * the meta is written strictly after all three data dirs are committed).
-  * Readers filter `b < committed batches`, so a crash mid-append leaves
-  * invisible stray files that the next add simply overwrites — the index is
-  * never read torn.
+  * Readers filter `b < committed batches`, so a crash mid-append — and
+  * likewise [[probe]]'s uncommitted batch spill — leaves invisible stray
+  * files that the next add simply overwrites: the index is never read torn.
+  * `fmt` names the layout version; [[load]] rejects a meta from an
+  * incompatible layout with a rebuild-with-create() error instead of
+  * mis-reporting it as corruption.
   *
   * == Soundness of the frozen token order ==
   * Prefix filtering is sound under ANY fixed total order on tokens: if both
@@ -169,17 +173,31 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
   }
 
   /** All J ≥ threshold pairs touching `batch` — (batch × indexed corpus) ∪
-    * (batch × batch) — WITHOUT modifying the index. Ids must be disjoint
-    * from every previously indexed id. Returns (id_a, id_b, jaccard),
-    * id_a < id_b; recall is guaranteed (frozen-order prefix filtering) and
-    * every pair is exact-verified, so the result EQUALS the one-shot
-    * [[Dedup.jaccardPairsIncremental]] on the same inputs. A probe-only
-    * call re-reads `batch` on evaluation — hand it a deterministic relation
-    * (or use [[probeAndAdd]], which probes the committed copy).
+    * (batch × batch) — without modifying the COMMITTED index. Ids must be
+    * disjoint from every previously indexed id. Returns (id_a, id_b,
+    * jaccard), id_a < id_b; recall is guaranteed (frozen-order prefix
+    * filtering) and every pair is exact-verified, so the result EQUALS the
+    * one-shot [[Dedup.jaccardPairsIncremental]] on the same inputs.
+    *
+    * Deterministic by construction: the batch pipeline executes exactly
+    * ONCE (materialized, then spilled to UNCOMMITTED `b=K` dirs — the meta
+    * stays at K, so index readers never see them; they are exactly the
+    * crash-debris the layout already tolerates, overwritten by the next
+    * add) and the returned plan reads only files — a non-deterministic
+    * batch source (a live JDBC tail) cannot make the pruning collects
+    * disagree with the pair join. The spill means probe needs the same
+    * single-writer ownership of `dir` as add. The returned frame reads
+    * spill files retired two batches later: it stays re-evaluable across
+    * ONE subsequent sync (union this batch's pairs with the next batch's),
+    * after which it must have been consumed. A probe-only re-probe at the
+    * same batch ordinal likewise overwrites the previous spill.
     */
-  def probe(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def probe(batch: DataFrame, idCol: String, textCol: String): DataFrame = synchronized {
+    val k = committedBatches
     val p = prepare(batch, idCol, textCol)
-    probeAgainst(p.post, p.sets, committedBatches)
+    materialized(p)(writeBatchRelations(p, k))
+    probeAgainst(committedBatch("postings", k, "p", p.post),
+      committedBatch("sets", k, "q", p.sets), k)
   }
 
   private def probeAgainst(bpost: DataFrame, bsets: DataFrame,
@@ -191,11 +209,30 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     // right side is batch-vocabulary-sized (broadcast in the CDC regime)
     val pvals = bpost.select(partOf(col("w")).as("p")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cp = readPruned("postings", bpost, corpusUpTo, "p", pvals)
+    // materialize the pruned candidate postings ONCE: the q-partition
+    // collect and the final pair plan would otherwise each re-run the
+    // pruned corpus scan + semi-join. The scratch spill (hidden `_probe`
+    // dir — invisible to index readers) turns that into one scan plus two
+    // reads of a small immutable file set. Spills are keyed by the batch
+    // ordinal and retired once TWO batches old, so a returned frame stays
+    // re-evaluable across one subsequent sync (the continuous-pipeline
+    // shape: land batch K+1, then union/compare both result frames)
+    val candRel = s"$CandScratch/b=$corpusUpTo"
+    val scratchRoot = new Path(rel(CandScratch))
+    val fs = scratchRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(scratchRoot)) fs.listStatus(scratchRoot).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("b=") &&
+        scala.util.Try(n.drop(2).toInt).toOption.exists(_ < corpusUpTo - 1))
+        fs.delete(st.getPath, true)
+    }
+    readPruned("postings", bpost, corpusUpTo, "p", pvals)
       .join(bpost.select(col("w")).distinct(), Seq("w"), "left_semi")
+      .write.mode("overwrite").parquet(rel(candRel))
+    val cp = if (!hasData(candRel)) bpost.limit(0)
+      else spark.read.parquet(rel(candRel))
     // prune the corpus sets SCAN to the partition dirs that can hold a
-    // surviving candidate id (second bounded collect — it evaluates the
-    // pruned postings join once to learn which id partitions matter)
+    // surviving candidate id (second bounded collect, against the spill)
     val qvals = cp.select(partOf(col("id")).as("q")).distinct()
       .collect().map(_.getInt(0)).toSeq
     // attach each doc's hash set BEFORE the candidate join so thresholded
@@ -226,26 +263,38 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
   def add(batch: DataFrame, idCol: String, textCol: String): Unit =
     addWith(prepare(batch, idCol, textCol))
 
-  private def addWith(p: Prepared): Unit = synchronized {
-    // materialize the tokenized batch once: the three writes below would
-    // otherwise re-execute the un-cached batch pipeline independently, and a
-    // non-deterministic batch source (a live JDBC tail between two runs)
-    // could then commit postings disagreeing with the sets written from a
-    // different execution — silently breaking frozen-order recall
+  /** Materialize the tokenized batch once, run `body` against the cached
+    * copy, release. Every write (and the probe spill) derives from ONE
+    * execution of the batch pipeline — a non-deterministic batch source (a
+    * live JDBC tail between two runs) can never commit postings disagreeing
+    * with the sets written from a different execution, which would silently
+    * break frozen-order recall.
+    */
+  private def materialized[A](p: Prepared)(body: => A): A = {
     p.words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      p.words.count()
+    try { p.words.count(); body } finally p.words.unpersist(false)
+  }
+
+  /** Write the batch's postings and sets under `b=$b` (no meta commit —
+    * the caller decides whether the write is an add or a probe spill).
+    */
+  private def writeBatchRelations(p: Prepared, b: Int): Unit = {
+    p.post.withColumn("p", partOf(col("w")))
+      .repartition(col("p")) // ≈ one file per partition dir, not one per task
+      .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b"))
+    p.sets.withColumn("q", partOf(col("id")))
+      .repartition(col("q"))
+      .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b"))
+  }
+
+  private def addWith(p: Prepared): Unit = synchronized {
+    materialized(p) {
       val b = committedBatches
       p.newTokens.write.mode("overwrite").parquet(rel(s"tokens/b=$b"))
-      p.post.withColumn("p", partOf(col("w")))
-        .repartition(col("p")) // ≈ one file per partition dir, not one per task
-        .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b"))
-      p.sets.withColumn("q", partOf(col("id")))
-        .repartition(col("q"))
-        .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b"))
+      writeBatchRelations(p, b)
       committedBatches = b + 1
       writeMeta(spark, dir, threshold, parts, committedBatches)
-    } finally p.words.unpersist(false)
+    }
   }
 
   /** Commit `batch`, then return its pairs — the per-sync step of a
@@ -267,6 +316,17 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
 
 object JaccardIndex {
   private val MetaFile = "_graft_jaccard_index.json"
+
+  /** On-disk format version. 2 = hash-partitioned postings/sets dirs
+    * (`p=J`/`q=J`); bump whenever the layout changes incompatibly so
+    * [[load]] can tell format skew from corruption.
+    */
+  private val FormatVersion = 2
+
+  /** Probe-time scratch relation (hidden `_`-prefixed dir: invisible to
+    * every index reader and to [[hasData]]'s relation checks).
+    */
+  private val CandScratch = "_probe/cand"
 
   /** Build a fresh index over `corpus` at `dir` (replacing any previous
     * index there) — also the periodic re-canonicalization path that resets
@@ -304,8 +364,16 @@ object JaccardIndex {
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         def field(k: String): Option[String] =
           """"%s"\s*:\s*(-?[\d.Ee+-]+)""".format(k).r.findFirstMatchIn(txt).map(_.group(1))
-        (field("threshold"), field("parts"), field("batches")) match {
-          case (Some(t), Some(pp), Some(b)) => Some((t.toDouble, pp.toInt, b.toInt))
+        def skew(found: String): Nothing = throw new IllegalStateException(
+          s"incompatible Jaccard index format under $dir ($found; this build " +
+            s"reads fmt $FormatVersion, hash-partitioned postings/sets) — " +
+            "rebuild with create()")
+        (field("threshold"), field("parts"), field("batches"), field("fmt")) match {
+          case (_, _, _, Some(v)) if v.toInt != FormatVersion => skew(s"fmt $v")
+          case (Some(t), Some(pp), Some(b), _) => Some((t.toDouble, pp.toInt, b.toInt))
+          // a parseable meta without "parts" is not corruption — it is the
+          // old un-partitioned layout, which this build cannot probe
+          case (Some(_), None, Some(_), _) => skew("no fmt/parts fields")
           case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
           case _ => None
         }
@@ -324,7 +392,8 @@ object JaccardIndex {
     val dst = new Path(dir, MetaFile)
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"threshold":$threshold,"parts":$parts,"batches":$batches}""".getBytes("UTF-8"))
+      s"""{"fmt":$FormatVersion,"threshold":$threshold,"parts":$parts,"batches":$batches}"""
+        .getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")

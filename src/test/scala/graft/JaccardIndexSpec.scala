@@ -114,29 +114,132 @@ class JaccardIndexSpec extends SparkSpec {
     val batch = real.where(pmod(col("doc_id"), lit(7)) === 0)
     val dir = Files.createTempDirectory("graft_jidx_prune").toString + "/idx"
     val idx = JaccardIndex.create(corpus, "doc_id", "text", 0.8, dir, parts = 16)
-    val probe = idx.probe(batch, "doc_id", "text")
-    // pruning loses nothing: equal to the one-shot recompute
-    assert(pairs(probe) ==
-      pairs(Dedup.jaccardPairsIncremental(batch, corpus, "doc_id", "text", 0.8)))
-    // and it prunes at the SCAN: every corpus-relation scan carries a
-    // partition filter on its hash-partition column, so file listing skips
-    // non-matching p=J / q=J directories
-    val root = probe.queryExecution.executedPlan
-    val inner = root match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    // capture EVERY execution the probe runs — the corpus postings scan now
+    // executes inside the candidate-spill write, not in the returned plan
+    val captured = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
-    val scans = inner.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
-    def scansOf(rel: String) = scans.filter(
-      _.relation.location.rootPaths.exists(_.toString.endsWith(rel)))
+    // deep-collect: AQE nests the executed stages under leaf QueryStageExec
+    // wrappers, and writes nest their query under command execs
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[
+      org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scansIn(r.child)
+    }.flatten
+    def scans() = captured.synchronized(captured.toSeq).flatMap(scansIn)
+    def batchSide(f: org.apache.spark.sql.execution.FileSourceScanExec) =
+      f.partitionFilters.exists(_.exists {
+        case eq: org.apache.spark.sql.catalyst.expressions.EqualTo =>
+          eq.references.exists(_.name == "b")
+        case _ => false
+      })
     def prunedOn(rel: String, pc: String) = {
-      val s = scansOf(rel)
-      s.nonEmpty && s.forall(
-        _.partitionFilters.exists(_.references.exists(_.name == pc)))
+      val s = scans().filter(
+        _.relation.location.rootPaths.exists(_.toString.endsWith(rel)))
+      s.exists(_.partitionFilters.exists(_.references.exists(_.name == pc))) &&
+        s.forall(f => batchSide(f) ||
+          f.partitionFilters.exists(_.references.exists(_.name == pc)))
     }
-    assert(prunedOn("/postings", "p"), "corpus postings scan not partition-pruned")
-    assert(prunedOn("/sets", "q"), "corpus sets scan not partition-pruned")
+    spark.listenerManager.register(listener)
+    val got = try {
+      val out = pairs(idx.probe(batch, "doc_id", "text"))
+      // QueryExecutionListener events are delivered asynchronously; wait
+      // until the pruned corpus scans show up (bounded — on timeout the
+      // asserts below report what was actually captured)
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !(prunedOn("/postings", "p") && prunedOn("/sets", "q"))) Thread.sleep(100)
+      out
+    } finally spark.listenerManager.unregister(listener)
+    // pruning loses nothing: equal to the one-shot recompute
+    assert(got ==
+      pairs(Dedup.jaccardPairsIncremental(batch, corpus, "doc_id", "text", 0.8)))
+    // and it prunes at the SCAN: every corpus-relation read carries a
+    // partition filter on its hash-partition column, so file listing skips
+    // non-matching p=J / q=J dirs. The only unpruned scans allowed are the
+    // batch side's own committed-b=K reads (one directory by construction).
+    def report(rel: String) = s"captured=${captured.synchronized(captured.size)} plans; " +
+      scans().filter(_.relation.location.rootPaths.exists(_.toString.endsWith(rel)))
+        .map(f => s"$rel scan partitionFilters=${f.partitionFilters}").mkString("; ")
+    assert(prunedOn("/postings", "p"),
+      s"corpus postings scan not partition-pruned: ${report("/postings")}")
+    assert(prunedOn("/sets", "q"),
+      s"corpus sets scan not partition-pruned: ${report("/sets")}")
   }
+
+  test("probe is deterministic by construction when the batch source is not") {
+    val corpus = Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_jidx_nd").toString + "/idx"
+    val idx = JaccardIndex.create(corpus, "doc_id", "text", 0.7, dir)
+    // the live-JDBC-tail regime: every evaluation of the source yields a
+    // DIFFERENT doc id for the same near-dup text
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val rdd = spark.sparkContext.parallelize(0 until 1, 1).mapPartitions { _ =>
+      val n = JaccardIndexSpec.evals.incrementAndGet()
+      Iterator(org.apache.spark.sql.Row(100L + n, "aa bb cc dd ee fg"))
+    }
+    val nd = spark.createDataFrame(rdd, schema)
+    val p = idx.probe(nd, "doc_id", "text")
+    val first = pairs(p)
+    assert(first.size == 1 && first.head._1 == 1L,
+      s"expected the single corpus near-dup pair, got $first")
+    // the batch pipeline ran exactly once and was spilled: re-evaluating the
+    // returned frame replays files, never the live source
+    assert(pairs(p) == first, "probe result changed across evaluations")
+    assert(JaccardIndexSpec.evals.get() == 1,
+      s"batch source evaluated ${JaccardIndexSpec.evals.get()} times, want 1")
+    // the spill never advanced the committed index
+    assert(JaccardIndex.load(spark, dir).batches == 1)
+    // ... and a real add afterwards simply overwrites the spill
+    val got = pairs(JaccardIndex.load(spark, dir).probeAndAdd(
+      Seq((200L, "aa bb cc dd ee fh")).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(got.map(q => (q._1, q._2)) == Set((1L, 200L)))
+  }
+
+  test("load tells format skew apart from corruption") {
+    val dir = Files.createTempDirectory("graft_jidx_fmt").toString + "/idx"
+    JaccardIndex.create(Seq((1L, "aa bb cc")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.7, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rewriteMeta(json: String): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, "_graft_jaccard_index.json"), true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
+    // the old un-partitioned layout: parseable meta, no fmt/parts fields —
+    // an incompatible format, not corruption
+    rewriteMeta("""{"threshold":0.7,"batches":1}""")
+    val old = intercept[IllegalStateException](JaccardIndex.load(spark, dir))
+    assert(old.getMessage.contains("rebuild with create()"), old.getMessage)
+    // a future layout this build does not read
+    rewriteMeta("""{"fmt":99,"threshold":0.7,"parts":64,"batches":1}""")
+    val fut = intercept[IllegalStateException](JaccardIndex.load(spark, dir))
+    assert(fut.getMessage.contains("fmt 99") &&
+      fut.getMessage.contains("rebuild with create()"), fut.getMessage)
+    // half a meta really is corruption
+    rewriteMeta("""{"threshold":0.7""")
+    val bad = intercept[IllegalStateException](JaccardIndex.load(spark, dir))
+    assert(bad.getMessage.contains("corrupt"), bad.getMessage)
+  }
+}
+
+object JaccardIndexSpec {
+  /** Evaluation counter for the non-deterministic-source fixture. */
+  val evals = new java.util.concurrent.atomic.AtomicInteger()
 }
