@@ -341,10 +341,22 @@ object Incremental {
   * subdirectory + capture state per table and drives snapshot/poll/lag
   * across all of them.
   *
-  * @param sources resolves a table name to its current source relation
+  * @param sources      resolves a table name to its current source relation
+  * @param roundTimeout wall-clock bound on one snapshot/poll/reconcile
+  *                     round. One wedged JDBC source (hung connect, dead
+  *                     network) must not stall every table's sync forever —
+  *                     the reference's flow-worker isolates per-mirror
+  *                     failures the same way. On expiry the round fails
+  *                     LOUDLY, naming the wedged tables; tables that
+  *                     finished have already committed their own state
+  *                     files (per-table durability), and the wedged tables
+  *                     keep their previous state, so the next round simply
+  *                     re-polls them from the old watermark.
   */
 final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
-                             sources: String => DataFrame, mirrorRoot: String) {
+                             sources: String => DataFrame, mirrorRoot: String,
+                             roundTimeout: scala.concurrent.duration.Duration =
+                               scala.concurrent.duration.Duration(10, "min")) {
   require(tables.map(_.table).distinct.size == tables.size,
     "duplicate table names in mirror config")
 
@@ -355,38 +367,62 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
     * Spark schedules jobs submitted from separate threads side by side, so
     * a poll round's wall clock is the slowest table, not the sum (the
     * reference's flow-worker likewise runs one goroutine-per-mirror).
+    *
+    * Every future is awaited against ONE shared deadline (`roundTimeout`
+    * from round start). Wedged tasks get a best-effort interrupt via
+    * `shutdownNow`; a source that ignores interrupts can strand its thread,
+    * but the round itself always returns in bounded time.
     */
-  private def inParallel[A](work: Seq[() => A]): Seq[A] = {
+  private def inParallel[A](work: Seq[(String, () => A)]): Seq[(String, A)] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     if (work.isEmpty) return Seq.empty
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(work.size, maxConcurrentTables))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
-    finally pool.shutdown()
+    val deadline = System.nanoTime + roundTimeout.toNanos
+    try {
+      val started = work.map { case (t, w) => t -> Future(w()) }
+      val done = started.map { case (t, f) =>
+        val left = math.max(0L, deadline - System.nanoTime)
+        t -> (try scala.util.Success(Await.result(f, left.nanos))
+        catch { case e: Throwable => scala.util.Failure[A](e) })
+      }
+      val wedged = done.collect {
+        case (t, scala.util.Failure(_: java.util.concurrent.TimeoutException)) => t
+      }
+      if (wedged.nonEmpty) {
+        val ok = done.collect { case (t, scala.util.Success(_)) => t }
+        throw new java.util.concurrent.TimeoutException(
+          s"mirror round timed out after $roundTimeout waiting on " +
+            s"${wedged.mkString(", ")} (completed and committed: " +
+            s"${if (ok.isEmpty) "none" else ok.mkString(", ")}; wedged tables " +
+            "keep their previous capture state and re-poll next round)")
+      }
+      done.map { case (t, r) => t -> r.get } // propagate the first real failure
+    } finally pool.shutdownNow()
   }
   private val maxConcurrentTables = 8
 
   /** Full load of every configured table (concurrent across tables). */
   def snapshotAll(syncedAt: Column = current_timestamp()): Map[String, Incremental.SyncState] =
-    inParallel(tables.map(t => () =>
-      t.table -> Incremental.snapshot(sources(t.table), t, mirrorDir(t.table),
-        syncedAt = syncedAt))).toMap
+    inParallel(tables.map(t => t.table -> (() =>
+      Incremental.snapshot(sources(t.table), t, mirrorDir(t.table),
+        syncedAt = syncedAt)))).toMap
 
   /** One poll round across every configured table (concurrent across tables). */
   def pollAll(syncedAt: Column = current_timestamp()): Map[String, Incremental.PollResult] =
-    inParallel(tables.map(t => () =>
-      t.table -> Incremental.poll(sources(t.table), t, mirrorDir(t.table),
-        syncedAt = syncedAt))).toMap
+    inParallel(tables.map(t => t.table -> (() =>
+      Incremental.poll(sources(t.table), t, mirrorDir(t.table),
+        syncedAt = syncedAt)))).toMap
 
   /** One hard-DELETE reconciliation sweep across every configured table
     * (concurrent across tables) — see [[Incremental.reconcileDeletes]].
     */
   def reconcileAll(syncedAt: Column = current_timestamp()): Map[String, Incremental.PollResult] =
-    inParallel(tables.map(t => () =>
-      t.table -> Incremental.reconcileDeletes(sources(t.table), t, mirrorDir(t.table),
-        syncedAt = syncedAt))).toMap
+    inParallel(tables.map(t => t.table -> (() =>
+      Incremental.reconcileDeletes(sources(t.table), t, mirrorDir(t.table),
+        syncedAt = syncedAt)))).toMap
 
   /** Per-table lag rows, unioned — the monitor's whole Lag table. */
   def lagAll(): DataFrame =

@@ -160,6 +160,50 @@ class IncrementalSpec extends SparkSpec {
     assert(lag == Set(("customers", 0L, 0L), ("products", 0L, 0L), ("orders", 0L, 0L)))
   }
 
+  test("a wedged source fails the round in bounded time; healthy tables commit and re-poll") {
+    val root = Files.createTempDirectory("graft_wedge").toString
+    val cfgs = Seq(
+      TableConfig("good", Seq("key"), "seq", nBuckets = 4),
+      TableConfig("bad", Seq("key"), "seq", nBuckets = 4))
+    val wedge = new java.util.concurrent.CountDownLatch(1)
+    @volatile var wedged = false
+    val current = scala.collection.mutable.Map("good" -> state(10), "bad" -> state(10))
+    def src(t: String): DataFrame = {
+      if (t == "bad" && wedged) wedge.await() // a hung JDBC connect, forever
+      current(t)
+    }
+    val mirror = new MultiTableMirror(spark, cfgs, src, root,
+      roundTimeout = scala.concurrent.duration.Duration(20, "s"))
+    mirror.snapshotAll()
+
+    // wedge "bad", advance both sources, run one poll round
+    wedged = true
+    current("good") = state(10, Seq((11L, 11L, "g11")))
+    current("bad") = state(10, Seq((11L, 11L, "b11")))
+    val t0 = System.nanoTime
+    val boom = intercept[java.util.concurrent.TimeoutException](mirror.pollAll())
+    val elapsedSec = (System.nanoTime - t0) / 1e9
+    assert(elapsedSec < 120, f"round not bounded: $elapsedSec%.1f s")
+    assert(boom.getMessage.contains("bad") && boom.getMessage.contains("good"),
+      boom.getMessage)
+    wedge.countDown() // release the stranded (interrupted) thread
+
+    // the healthy table committed its sync inside the failed round; the
+    // wedged table kept its previous durable state
+    assert(Incremental.readState(spark, s"$root/good").get.watermark == 11L)
+    assert(Incremental.readState(spark, s"$root/bad").get.watermark == 10L)
+
+    // the source recovers: the next round drains the wedged table from its
+    // old watermark, nothing lost, nothing double-applied
+    wedged = false
+    val r = mirror.pollAll()
+    assert(r("bad").rowsSynced == 1L && r("good").rowsSynced == 0L)
+    for (t <- Seq("good", "bad"))
+      assert(srcRows(current(t)) ==
+        mirror.readFinal(t).select("key", "seq", "payload")
+          .as[(Long, Long, String)].collect().toSet, s"mirror drift on $t")
+  }
+
   test("reconcileDeletes refuses a transient wipe and resurrects after a forced one") {
     val dir = Files.createTempDirectory("graft_wipe").toString + "/t"
     val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
