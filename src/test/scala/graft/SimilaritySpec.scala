@@ -86,6 +86,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall below 0.7")
   }
 
+  test("lshTopK recall vs brute force on clusterable vectors") {
+    // same fixture shape as the IVF pin: tight direction clusters, one
+    // query per cluster. Same-cluster vectors agree on nearly every random
+    // hyperplane, so bucket candidates recover most of the true top-k —
+    // this pins lshTopK against a silent recall collapse after a refactor
+    // (it was the only approximate operator with no quality floor).
+    val dim = 16
+    val vecs = for (c <- 0 until 8; i <- 0 until 40) yield {
+      val base = Array.fill(dim)(0f)
+      base(c * 2) = 1f
+      base((c * 2 + 1) % dim) = 0.5f
+      val noisy = base.zipWithIndex.map { case (v, j) =>
+        v + 0.008f * (((c * 40 + i) * 31 + j * 7) % 11 - 5)
+      }
+      ((c * 40 + i).toLong, noisy)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val queries = embs.where($"vec_id" % 40 === 0)
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+    val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
+    val lsh = tops(Similarity.lshTopK(embs, queries, "vec_id", "embedding", 10))
+    val recall = exact.toSeq.map { case (q, e) =>
+      (e intersect lsh.getOrElse(q, Set.empty)).size.toDouble / e.size
+    }.sum / exact.size
+    assert(recall >= 0.7, s"LSH recall $recall below 0.7")
+  }
+
   test("ivfTopK falls back to brute force on an empty corpus slice") {
     val out = Similarity.ivfTopK(corpus.where($"vec_id" < 0),
       corpus.where($"vec_id" === 0), "vec_id", "embedding", 3)
