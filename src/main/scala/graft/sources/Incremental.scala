@@ -34,7 +34,8 @@ case class TableConfig(table: String, keys: Seq[String], versionCol: String,
   * predicate pushes into the scan (parquet min/max pruning skips untouched
   * files; the JDBC variant pushes a WHERE clause to the database). The merge
   * rewrites only the hash buckets the delta touches
-  * ([[CdcStream.upsertBatch]] dynamic partition overwrite). Driver state is
+  * ([[CdcStream.upsertBatch]], append + atomic [[SyncManifest]] commit so
+  * concurrent FINAL reads see whole syncs). Driver state is
   * one (watermark, batchId) pair per table, persisted next to the mirror so
   * capture resumes across restarts exactly where it stopped — replaying a
   * poll is idempotent because the merge keeps max-version per key.
@@ -114,6 +115,12 @@ object Incremental {
     CdcOps.withMirrorMeta(source, cfg.keys, cfg.versionCol, isDelete, lit(0L), syncedAt)
       .withColumn("bucket", pmod(hash(cfg.keys.map(col): _*), lit(cfg.nBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(mirrorDir)
+    // manifest before state, both atomic swaps: a crash between them leaves
+    // the committed snapshot visible and the re-run re-snapshots. (The full
+    // overwrite itself is the one non-reader-safe write — snapshot() is the
+    // bootstrap/re-sync op, run before readers attach, like the reference
+    // dropping and recreating a target table.)
+    SyncManifest.commitFull(spark, mirrorDir)
     val st = SyncState(wm, 0L, System.currentTimeMillis())
     writeState(spark, mirrorDir, st)
     st
@@ -217,7 +224,7 @@ object Incremental {
     // footers — nothing can be flagged, so the sweep is a no-op rather
     // than a schema-inference failure
     if (!CdcStream.hasVisibleParquet(spark, mirrorDir)) return PollResult(st, 0L)
-    val mirror = spark.read.parquet(mirrorDir)
+    val mirror = SyncManifest.readCommitted(spark, mirrorDir)
     val keyCols = cfg.keys.map(col)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one row per mirrored key — liveness (any row unflagged?) and current
@@ -274,7 +281,7 @@ object Incremental {
           when(col("_graft_flag").isNotNull, syncedAt.cast("timestamp"))
             .otherwise(col("_peerdb_synced_at")))
         .select(mirror.columns.map(col): _*) // join put keys first; restore
-      CdcStream.overwriteBuckets(spark, flagged, mirrorDir)
+      CdcStream.commitBuckets(spark, flagged, mirrorDir, touched)
       val next = SyncState(st.watermark, batchId, System.currentTimeMillis())
       writeState(spark, mirrorDir, next)
       PollResult(next, nGone + nBack)
@@ -428,15 +435,19 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
   def lagAll(): DataFrame =
     tables.map { t =>
       Incremental.lagReport(sources(t.table),
-        spark.read.parquet(mirrorDir(t.table)), t)
+        SyncManifest.readCommitted(spark, mirrorDir(t.table)), t)
     }.reduce(_.unionByName(_))
 
-  /** FINAL read of one mirrored table (newest version, soft-deletes hidden). */
+  /** FINAL read of one mirrored table (newest version, soft-deletes hidden),
+    * pinned to the last committed sync manifest — never a mix of two syncs,
+    * even while a poll or a reconcile sweep is mid-write.
+    */
   def readFinal(table: String): DataFrame = {
     val cfg = tables.find(_.table == table).getOrElse(
       throw new IllegalArgumentException(s"table $table not in mirror config"))
     graft.operators.CdcOps
-      .latestSnapshot(spark.read.parquet(mirrorDir(table)), cfg.keys, "_peerdb_version")
+      .latestSnapshot(SyncManifest.readCommitted(spark, mirrorDir(table)),
+        cfg.keys, "_peerdb_version")
       .where(col("_peerdb_is_deleted") === 0)
   }
 }

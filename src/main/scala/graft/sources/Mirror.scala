@@ -22,7 +22,7 @@ object Mirror {
   def fullLoad(source: DataFrame, targetDir: String, keyCol: String,
                version: org.apache.spark.sql.Column, batchId: Long = 0L,
                nBuckets: Int = 64,
-               syncedAt: org.apache.spark.sql.Column = current_timestamp()): Unit =
+               syncedAt: org.apache.spark.sql.Column = current_timestamp()): Unit = {
     source
       .withColumn("_peerdb_version", version.cast("long"))
       .withColumn("_peerdb_is_deleted", lit(0))
@@ -30,13 +30,24 @@ object Mirror {
       .withColumn("_peerdb_synced_at", syncedAt.cast("timestamp"))
       .withColumn("bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(targetDir)
+    SyncManifest.commitFull(source.sparkSession, targetDir)
+  }
+
+  /** The raw mirror rows as of the last committed sync (manifest-pinned —
+    * see [[SyncManifest.readCommitted]]): the read every monitor/validation
+    * consumer should use instead of listing the directory, which would also
+    * surface the retained previous generation that in-flight readers hold.
+    */
+  def readCommitted(spark: SparkSession, targetDir: String): DataFrame =
+    SyncManifest.readCommitted(spark, targetDir)
 
   /** Read the mirror back, newest version per key, soft-deletes dropped —
-    * ReplacingMergeTree FINAL over the bucketed layout.
+    * ReplacingMergeTree FINAL over the bucketed layout, pinned to the last
+    * committed sync (never a mix of two syncs mid-merge).
     */
   def readFinal(spark: SparkSession, targetDir: String, keyCol: String): DataFrame =
     graft.operators.CdcOps
-      .latestSnapshot(spark.read.parquet(targetDir), Seq(keyCol), "_peerdb_version")
+      .latestSnapshot(readCommitted(spark, targetDir), Seq(keyCol), "_peerdb_version")
       .where(col("_peerdb_is_deleted") === 0)
 
   /** Mirror consistency report — the monitor's source-vs-target row-count

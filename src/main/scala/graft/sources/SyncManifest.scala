@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic per-sync file manifest for the bucketed parquet mirror — the
+  * reader-consistency half of the CDC target. The reference's ClickHouse
+  * tables give readers a consistent part-set snapshot (a SELECT never sees
+  * half a merge); plain directory-listing parquet reads cannot, because a
+  * multi-bucket sync commits per partition directory, so a FINAL read racing
+  * a poll or a reconcile sweep could mix old and new buckets.
+  *
+  * Mechanics, Delta-log-in-miniature (one current version + one grace
+  * generation, no history):
+  *  - every sync APPENDS its merged bucket files (fresh unique part names;
+  *    nothing the running readers hold is deleted by the write itself), then
+  *    commits `_graft_manifest.json` — the exact relative file list of the
+  *    mirror — via the same tmp + rename single-file swap as the capture
+  *    state, immediately before the state file (crash between the two: the
+  *    manifest is the already-committed complete sync; the idempotent
+  *    re-poll re-merges and re-commits).
+  *  - readers ([[readCommitted]]) pin to the committed manifest: they see
+  *    exactly the file set of one sync — the commit rename is the atomic
+  *    visibility flip. No manifest (a pre-manifest mirror) falls back to the
+  *    plain directory read.
+  *  - the files a sync replaces are RETIRED, not deleted: they stay on disk
+  *    (listed in the manifest's `retired` field) until the NEXT commit
+  *    vacuums them, so a reader that pinned the previous manifest keeps
+  *    evaluating correctly across one subsequent sync. Crash debris —
+  *    visible parquet files no manifest ever adopted, e.g. an append whose
+  *    manifest commit never ran — is vacuumed at the same point (no reader
+  *    can hold it).
+  *
+  * Scale notes (100 TB): the manifest lists file paths, not data — its size
+  * tracks file count (one line per bucket file), and commits touch only the
+  * driver + one filesystem rename. Listing is restricted to the touched
+  * bucket directories per sync (the full-mirror listing runs once, when
+  * adopting a manifest-less mirror). Retention is one generation, so disk
+  * overhead is bounded by the touched buckets of the last sync. Production
+  * targets would commit through a transactional table format; this manifest
+  * is the same idea reduced to the single-writer mirror contract.
+  */
+object SyncManifest {
+  private val ManifestFile = "_graft_manifest.json"
+  private val FormatVersion = 1
+
+  /** `files`: the committed sync's relative file set (what readers see).
+    * `retired`: the previous generation, still on disk for in-flight
+    * readers, vacuumed at the next commit.
+    */
+  case class Manifest(files: Seq[String], retired: Seq[String])
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read the committed manifest, if any, with the same crash-window tmp
+    * fallback as [[Incremental.readState]]: the tmp is adopted only when the
+    * main file is missing (writer crashed between delete and rename), and a
+    * torn tmp without a main file means no completed commit.
+    */
+  def read(spark: SparkSession, dir: String): Option[Manifest] = {
+    val fs = fsOf(spark, dir)
+    def parse(p: Path, strict: Boolean): Option[Manifest] = {
+      val txt =
+        try {
+          if (!fs.exists(p)) return None
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        } catch { case _: java.io.FileNotFoundException => return None }
+      def arr(k: String): Option[Seq[String]] =
+        ("\"%s\"\\s*:\\s*\\[([^\\]]*)\\]".format(k)).r.findFirstMatchIn(txt)
+          .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      (arr("files"), arr("retired")) match {
+        case (Some(f), Some(r)) => Some(Manifest(f, r))
+        case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
+        case _ => None
+      }
+    }
+    parse(new Path(dir, ManifestFile), strict = true)
+      .orElse(parse(new Path(dir, ManifestFile + ".tmp"), strict = false))
+  }
+
+  private def write(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, ManifestFile + ".tmp")
+    val dst = new Path(dir, ManifestFile)
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"fmt":$FormatVersion,"files":${arr(m.files)},"retired":${arr(m.retired)}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** Relative paths of the visible parquet data files under `dir`,
+    * optionally restricted to the given `bucket=N` subdirectories. Mirrors
+    * the visibility rule of [[graft.streaming.CdcStream.hasVisibleParquet]]:
+    * every path component below `dir` must be unhidden.
+    */
+  def listVisible(spark: SparkSession, dir: String,
+                  buckets: Option[Set[Int]] = None): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return Seq.empty
+    val qualified = fs.makeQualified(root)
+    val prefix = qualified.toString + "/"
+    def visible(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != qualified) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
+    val roots = buckets match {
+      case Some(bs) => bs.toSeq.sorted.map(b => new Path(root, s"bucket=$b"))
+        .filter(fs.exists(_))
+      case None => Seq(root)
+    }
+    val out = Seq.newBuilder[String]
+    for (r <- roots) {
+      val it = fs.listFiles(r, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") && visible(p))
+          out += fs.makeQualified(p).toString.stripPrefix(prefix)
+      }
+    }
+    out.result()
+  }
+
+  private def bucketOf(rel: String): Option[Int] = {
+    val seg = rel.takeWhile(_ != '/')
+    if (seg.startsWith("bucket=")) scala.util.Try(seg.drop(7).toInt).toOption
+    else None
+  }
+
+  /** Commit after a FULL overwrite (snapshot / initial load): adopt every
+    * visible file, nothing retired (the overwrite already cleared the dir).
+    */
+  def commitFull(spark: SparkSession, dir: String): Unit =
+    write(spark, dir, Manifest(listVisible(spark, dir).sorted, Seq.empty))
+
+  /** Commit after an APPEND that replaced the contents of `touched` buckets
+    * with `newFiles`: carry the untouched buckets' entries, retire the
+    * replaced generation, then vacuum (a) the generation retired by the
+    * PREVIOUS commit — its reader grace is over — and (b) crash debris in
+    * the touched buckets that no manifest ever adopted.
+    *
+    * @param preexisting full pre-append listing, used only to adopt a
+    *                    mirror that predates manifests (its current files
+    *                    become the carried baseline)
+    */
+  def commitAfterAppend(spark: SparkSession, dir: String, touched: Set[Int],
+                        newFiles: Set[String], preexisting: => Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    val old = read(spark, dir).getOrElse(Manifest(preexisting, Seq.empty))
+    val (replaced, kept) = old.files.partition(f => bucketOf(f).exists(touched))
+    write(spark, dir, Manifest((kept ++ newFiles).sorted, replaced.sorted))
+    val adopted = (kept ++ newFiles ++ replaced).toSet
+    val debris = listVisible(spark, dir, Some(touched)).filterNot(adopted)
+    for (f <- (old.retired ++ debris).distinct)
+      fs.delete(new Path(dir, f), false)
+  }
+
+  /** The mirror as of its last committed sync — the exact file set of one
+    * manifest, never a mix of two syncs. Falls back to the plain directory
+    * read for mirrors that predate manifests (their writes were
+    * whole-bucket overwrites, so the fallback is what their readers always
+    * did).
+    */
+  def readCommitted(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir) match {
+      case Some(m) if m.files.nonEmpty =>
+        spark.read.option("basePath", dir).parquet(m.files.map(f => s"$dir/$f"): _*)
+      case _ => spark.read.parquet(dir)
+    }
+}

@@ -21,9 +21,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale notes: state in `runningLatest` is one small row per key, hash
   * partitioned by the grouping key (Spark shuffles each microbatch to the
   * state store partitioning once). The parquet mirror is bucketed by key
-  * hash so a microbatch rewrites only the buckets it touches (dynamic
-  * partition overwrite), not the whole table; at production scale the same
-  * merge targets a transactional table format instead.
+  * hash so a microbatch rewrites only the buckets it touches — appended as
+  * fresh files and flipped into visibility by one atomic manifest commit
+  * ([[graft.sources.SyncManifest]]), so readers always see a whole sync; at
+  * production scale the same merge targets a transactional table format.
   */
 object CdcStream {
 
@@ -70,10 +71,9 @@ object CdcStream {
   /** Continuous parquet mirror: each microbatch is merged into
     * `targetDir` keeping the newest version per key. The mirror is
     * partitioned by `bucket = pmod(hash(key), nBuckets)` and only the
-    * buckets present in the batch are rewritten (dynamic partition
-    * overwrite); the merged buckets are materialized (persist + count,
-    * released after the write) before the overwrite so the job never
-    * reads the files it is replacing.
+    * buckets present in the batch are replaced, via append + atomic
+    * manifest commit ([[commitBuckets]]) — the merge job reads the
+    * committed generation while writing the next one.
     */
   def mirrorToParquet(changes: Dataset[Change], targetDir: String,
                       checkpointDir: String, nBuckets: Int = 64,
@@ -108,6 +108,10 @@ object CdcStream {
     * not the mirror (old rows read null); a column dropped upstream
     * survives in the mirror (new rows read null). `unionByName` with
     * allowMissingColumns covers both directions.
+    *
+    * Reads the manifest-committed mirror and commits through
+    * [[commitBuckets]], so a concurrent FINAL read observes exactly the
+    * previous or the new sync — never a mix of buckets.
     */
   def upsertBatch(spark: SparkSession, batchDf: DataFrame, keys: Seq[String],
                   versionCol: String, targetDir: String, nBuckets: Int): Unit = {
@@ -117,17 +121,18 @@ object CdcStream {
     val touched = withBucket.select("bucket").distinct().as[Int].collect()
     // No visible data files = first batch (see hasVisibleParquet). Any
     // other read failure (transient IO, permissions, corrupt file) must
-    // propagate: swallowing it here would overwrite the touched buckets
+    // propagate: swallowing it here would replace the touched buckets
     // with batch-only rows and silently drop every previously mirrored
     // row in them.
     val existing =
       if (!hasVisibleParquet(spark, targetDir)) None
-      else Some(spark.read.parquet(targetDir).where(col("bucket").isin(touched.toSeq: _*)))
+      else Some(graft.sources.SyncManifest.readCommitted(spark, targetDir)
+        .where(col("bucket").isin(touched.toSeq: _*)))
     val unioned = existing
       .map(withBucket.unionByName(_, allowMissingColumns = true))
       .getOrElse(withBucket)
     val merged = graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
-    overwriteBuckets(spark, merged, targetDir)
+    commitBuckets(spark, merged, targetDir, touched.toSeq)
   }
 
   /** True when `dir` holds at least one parquet data file that
@@ -163,26 +168,32 @@ object CdcStream {
     found
   }
 
-  /** Dynamically overwrite the bucket partitions present in `df` under
-    * `targetDir`, where `df`'s plan may READ the very files being replaced
-    * (a merge or in-place update of the mirror). The rows are materialized
-    * first — an explicit persist + count instead of an eager
-    * localCheckpoint, so the blocks can be RELEASED after the write (a
-    * checkpoint would stay pinned for the life of the session, one leaked
-    * label set per microbatch).
+  /** Commit `df` as the new content of the `touched` buckets under
+    * `targetDir`: APPEND fresh part files, then atomically swap the sync
+    * manifest ([[graft.sources.SyncManifest.commitAfterAppend]]). Because
+    * nothing is overwritten in place, `df`'s plan may freely READ the very
+    * bucket contents it replaces (a merge or in-place update of the mirror)
+    * — the files it reads are the committed generation, which the append
+    * never touches and the vacuum retains until the NEXT commit. This
+    * replaced the old dynamic-partition-overwrite (which committed per
+    * partition directory, letting a racing FINAL read mix old and new
+    * buckets, and forced a full materialization of `df` before the write).
     */
-  def overwriteBuckets(spark: SparkSession, df: DataFrame, targetDir: String): Unit = {
-    val rows = org.apache.spark.sql.graft.bridge.toInternalRdd(df)
-      .mapPartitions(_.map(_.copy()))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      rows.count()
-      org.apache.spark.sql.graft.bridge
-        .internalCreateDataFrame(spark, rows, df.schema)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic") // per-write, not session-wide
-        .partitionBy("bucket").parquet(targetDir)
-    } finally rows.unpersist(false)
+  def commitBuckets(spark: SparkSession, df: DataFrame, targetDir: String,
+                    touched: Seq[Int]): Unit = {
+    import graft.sources.SyncManifest
+    // adopting a manifest-less mirror: its current files are the baseline
+    // (must be listed BEFORE the append mixes in the new generation)
+    val legacyBaseline =
+      if (SyncManifest.read(spark, targetDir).isEmpty)
+        SyncManifest.listVisible(spark, targetDir)
+      else Seq.empty[String]
+    val before = SyncManifest.listVisible(spark, targetDir, Some(touched.toSet)).toSet
+    df.write.mode("append").partitionBy("bucket").parquet(targetDir)
+    val newFiles =
+      SyncManifest.listVisible(spark, targetDir, Some(touched.toSet)).toSet -- before
+    SyncManifest.commitAfterAppend(spark, targetDir, touched.toSet, newFiles,
+      legacyBaseline)
   }
 
   private def fs(spark: SparkSession, path: String) =

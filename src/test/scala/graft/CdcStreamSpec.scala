@@ -196,7 +196,7 @@ class CdcStreamSpec extends SparkSpec {
     val q2 = CdcStream.mirrorToParquet(input.toDS(), target, ckpt, nBuckets = 4)
     q2.awaitTermination()
 
-    val mirror = spark.read.parquet(target)
+    val mirror = graft.sources.Mirror.readCommitted(spark, target)
       .select("key", "version", "payload").as[(Long, Long, String)]
       .collect().sortBy(_._1)
     assert(mirror.toSeq == Seq((1L, 2L, "v2"), (2L, 1L, "w1"), (3L, 1L, "x1")))
@@ -216,7 +216,7 @@ class CdcStreamSpec extends SparkSpec {
 
     val batch = Seq((1L, 1L, "v1"), (2L, 1L, "w1")).toDF("key", "version", "payload")
     CdcStream.upsertBatch(spark, batch, Seq("key"), "version", target, nBuckets = 2)
-    val mirror = spark.read.parquet(target)
+    val mirror = graft.sources.Mirror.readCommitted(spark, target)
       .select("key", "version", "payload").as[(Long, Long, String)]
       .collect().sortBy(_._1)
     assert(mirror.toSeq == Seq((1L, 1L, "v1"), (2L, 1L, "w1")))

@@ -45,11 +45,11 @@ class IncrementalSpec extends SparkSpec {
 
     // before the poll the lag report must show the drift, graded by the
     // monitor's thresholds (0 SYNCED / <=5 NEAR_SYNC / else LAG)
-    val before = Incremental.lagReport(v1, spark.read.parquet(dir), cfg)
+    val before = Incremental.lagReport(v1, graft.sources.Mirror.readCommitted(spark, dir), cfg)
       .select("src_rows", "dst_rows", "lag_rows", "lag_seq", "sync_status")
       .as[(Long, Long, Long, Long, String)].collect()(0)
     assert(before == ((105L, 100L, 5L, 15L, "NEAR_SYNC")))
-    assert(Incremental.lagReport(v1, spark.read.parquet(dir), cfg, nearSyncRows = 4)
+    assert(Incremental.lagReport(v1, graft.sources.Mirror.readCommitted(spark, dir), cfg, nearSyncRows = 4)
       .select("sync_status").as[String].collect()(0) == "LAG")
 
     val r1 = Incremental.poll(v1, cfg, dir)
@@ -57,7 +57,7 @@ class IncrementalSpec extends SparkSpec {
     assert(finalRows(dir) == srcRows(v1))
 
     // ... and zero after it
-    val after = Incremental.lagReport(v1, spark.read.parquet(dir), cfg)
+    val after = Incremental.lagReport(v1, graft.sources.Mirror.readCommitted(spark, dir), cfg)
       .select("lag_rows", "lag_seq", "sync_status")
       .as[(Long, Long, String)].collect()(0)
     assert(after == ((0L, 0L, "SYNCED")))
@@ -68,7 +68,7 @@ class IncrementalSpec extends SparkSpec {
     val r2 = Incremental.poll(v2, cfg, dir)
     assert(r2.rowsSynced == 1L && r2.state.watermark == 116L && r2.state.batchId == 2L)
     assert(finalRows(dir) == srcRows(v2))
-    val lag2 = Incremental.lagReport(v2, spark.read.parquet(dir), cfg)
+    val lag2 = Incremental.lagReport(v2, graft.sources.Mirror.readCommitted(spark, dir), cfg)
       .select("lag_rows", "lag_seq").as[(Long, Long)].collect()(0)
     assert(lag2 == ((0L, 0L)))
     // polls cache the delta and the merge internally; both must be released
@@ -104,7 +104,7 @@ class IncrementalSpec extends SparkSpec {
       .select("key").as[Long].collect().toSet
     assert(fin == ((1L to 10L).toSet - 3L + 11L))
     // the tombstone row is retained in the mirror (versioned), just hidden
-    assert(spark.read.parquet(dir).where($"key" === 3L)
+    assert(graft.sources.Mirror.readCommitted(spark, dir).where($"key" === 3L)
       .where($"_peerdb_is_deleted" === 1).count() == 1L)
   }
 
@@ -290,7 +290,7 @@ class IncrementalSpec extends SparkSpec {
     assert(finalRows(dir).map(_._1) == Set(1L, 2L, 4L, 5L),
       "replayed pre-delete batch resurrected a reconciled key")
     // the collapsed mirror keeps exactly one row for key 3: the tombstone
-    val k3 = spark.read.parquet(dir).where($"key" === 3L)
+    val k3 = graft.sources.Mirror.readCommitted(spark, dir).where($"key" === 3L)
       .select("_peerdb_version", "_peerdb_is_deleted")
       .as[(Long, Int)].collect().toSeq
     assert(k3 == Seq((3L, 1)))

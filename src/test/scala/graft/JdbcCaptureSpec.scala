@@ -84,7 +84,7 @@ class JdbcCaptureSpec extends SparkSpec {
       "UPDATE customers SET seq = 23, payload = 'u5' WHERE id = 5")
 
     val before = Incremental.lagReport(jdbcTable("customers"),
-        spark.read.parquet(dir), cfg)
+        graft.sources.Mirror.readCommitted(spark, dir), cfg)
       .select("lag_rows", "lag_seq", "sync_status")
       .as[(Long, Long, String)].collect()(0)
     assert(before == ((2L, 3L, "NEAR_SYNC")))
@@ -107,7 +107,7 @@ class JdbcCaptureSpec extends SparkSpec {
     assert(fin == truth)
 
     val after = Incremental.lagReport(jdbcTable("customers"),
-        spark.read.parquet(dir), cfg)
+        graft.sources.Mirror.readCommitted(spark, dir), cfg)
       .select("lag_rows", "lag_seq", "sync_status")
       .as[(Long, Long, String)].collect()(0)
     assert(after == ((0L, 0L, "SYNCED")))
@@ -129,7 +129,7 @@ class JdbcCaptureSpec extends SparkSpec {
     val poll0 = Incremental.poll(jdbcTable("accounts"), cfg, dir)
     assert(poll0.rowsSynced == 0L, "the seq tail must not see hard deletes")
     val before = Incremental.lagReport(jdbcTable("accounts"),
-        spark.read.parquet(dir), cfg)
+        graft.sources.Mirror.readCommitted(spark, dir), cfg)
       .select("lag_rows", "sync_status").as[(Long, String)].collect()(0)
     assert(before == ((-2L, "NEAR_SYNC")), "phantom negative lag before the sweep")
 
@@ -140,7 +140,7 @@ class JdbcCaptureSpec extends SparkSpec {
       .select("ID").as[Long].collect().toSet
     assert(fin1 == ((1L to 10L).toSet -- Set(3L, 7L)), "deleted keys vanish from FINAL")
     val after = Incremental.lagReport(jdbcTable("accounts"),
-        spark.read.parquet(dir), cfg)
+        graft.sources.Mirror.readCommitted(spark, dir), cfg)
       .select("lag_rows", "sync_status").as[(Long, String)].collect()(0)
     assert(after == ((0L, "SYNCED")))
 
@@ -156,7 +156,7 @@ class JdbcCaptureSpec extends SparkSpec {
       .select("ID", "SEQ", "PAYLOAD").as[(Long, Long, String)].collect().toSet
     assert(fin2.contains((3L, 11L, "back")) && fin2.size == 9)
     val synced = Incremental.lagReport(jdbcTable("accounts"),
-        spark.read.parquet(dir), cfg)
+        graft.sources.Mirror.readCommitted(spark, dir), cfg)
       .select("lag_rows", "sync_status").as[(Long, String)].collect()(0)
     assert(synced == ((0L, "SYNCED")))
   }

@@ -37,7 +37,7 @@ class MirrorSpec extends SparkSpec {
     val batch = Seq(Change(1L, 5L, "update", ts("2024-01-02 00:00:00"), "v5")).toDS()
     CdcStream.mergeBatch(spark, batch, dir, nBuckets = 4, deleteOp = "delete", batchId = 1L)
 
-    val rows = spark.read.parquet(dir).select("key", "version", "payload")
+    val rows = Mirror.readCommitted(spark, dir).select("key", "version", "payload")
       .as[(Long, Long, String)].collect().sortBy(_._1)
     assert(rows.toSeq == Seq((1L, 5L, "v5"), (2L, 0L, "w0")))
   }
@@ -48,11 +48,11 @@ class MirrorSpec extends SparkSpec {
       Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "v1"),
       Change(2L, 1L, "insert", ts("2024-01-01 00:00:10"), "w1")).toDS()
     CdcStream.mergeBatch(spark, batch, dir, 4, "delete", 1L)
-    val first = spark.read.parquet(dir).orderBy("key")
+    val first = Mirror.readCommitted(spark, dir).orderBy("key")
       .select("key", "version", "payload").as[(Long, Long, String)].collect().toSeq
     // replay the exact same batch (at-least-once delivery after a restart)
     CdcStream.mergeBatch(spark, batch, dir, 4, "delete", 1L)
-    val second = spark.read.parquet(dir).orderBy("key")
+    val second = Mirror.readCommitted(spark, dir).orderBy("key")
       .select("key", "version", "payload").as[(Long, Long, String)].collect().toSeq
     assert(first == second)
   }
@@ -65,7 +65,7 @@ class MirrorSpec extends SparkSpec {
     val v2 = Seq((2L, 1L, "b", "extra-val")).toDF("key", "version", "payload", "extra")
     CdcStream.upsertBatch(spark, v2, Seq("key"), "version", dir, 4)
 
-    val out = spark.read.parquet(dir).orderBy("key")
+    val out = Mirror.readCommitted(spark, dir).orderBy("key")
       .select("key", "payload", "extra").as[(Long, String, Option[String])].collect().toSeq
     assert(out == Seq((1L, "a", None), (2L, "b", Some("extra-val"))))
   }
@@ -98,13 +98,13 @@ class MirrorSpec extends SparkSpec {
 
     land(changes.where(col("version") < 500), "c1")
     runOnce()
-    assert(spark.read.parquet(target).count() ==
+    assert(Mirror.readCommitted(spark, target).count() ==
       changes.where(col("version") < 500).select("key").distinct().count())
 
     land(changes.where(col("version") >= 500), "c2")
     runOnce()
 
-    val mirror = spark.read.parquet(target)
+    val mirror = Mirror.readCommitted(spark, target)
       .select("key", "version").as[(Long, Long)].collect().toMap
     val batch = operators.CdcOps.latestSnapshot(
         Tables.load(spark, "/root/testdata/sf0.001", "events"), Seq("user_id"), "event_id")

@@ -46,7 +46,7 @@ class PipelineSpec extends SparkSpec {
     spark.streams.removeListener(monitor)
 
     // FINAL read with soft deletes == batch soft-delete snapshot of the log
-    val mirrorFinal = spark.read.parquet(target)
+    val mirrorFinal = graft.sources.Mirror.readCommitted(spark, target)
       .where(!col("is_deleted"))
       .select(col("key"), col("version")).as[(Long, Long)].collect().toMap
     val expected = CdcOps.softDeleteSnapshot(

@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.CdcOps
+import graft.sources.{Incremental, Mirror, SyncManifest, TableConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Reader-visible atomicity of the multi-bucket mirror merge: a FINAL read
+  * racing a poll or a reconcile sweep must observe exactly the old or the
+  * new sync, never a mix — the ClickHouse-part-set-snapshot guarantee the
+  * reference target gives its readers.
+  */
+class SyncManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def state(n: Int, extra: Seq[(Long, Long, String)] = Nil): DataFrame =
+    ((1L to n.toLong).map(i => (i, i, s"p$i")) ++ extra)
+      .toDF("key", "seq", "payload")
+
+  private def finalRows(dir: String): Set[(Long, Long, String)] =
+    Mirror.readFinal(spark, dir, "key")
+      .select("key", "seq", "payload").as[(Long, Long, String)].collect().toSet
+
+  private def srcRows(df: DataFrame): Set[(Long, Long, String)] =
+    df.as[(Long, Long, String)].collect().toSet
+
+  test("an uncommitted append is invisible; the manifest commit is the atomic flip") {
+    val dir = Files.createTempDirectory("graft_manifest_torn").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    val v0 = state(10)
+    Incremental.snapshot(v0, cfg, dir)
+    val fin0 = finalRows(dir)
+
+    // the torn window of a multi-bucket merge: new part files appended (all
+    // four buckets), manifest commit not yet run — exactly what a reader
+    // sees mid-upsert, or forever after a writer crash between the two
+    val torn = CdcOps.withMirrorMeta(
+      state(10).withColumn("payload", concat(lit("torn-"), col("payload")))
+        .withColumn("seq", col("seq") + 100L),
+      Seq("key"), "seq", lit(false), lit(99L))
+      .withColumn("bucket", pmod(hash(col("key")), lit(cfg.nBuckets)))
+    torn.write.mode("append").partitionBy("bucket").parquet(dir)
+    val tornFiles = SyncManifest.listVisible(spark, dir).toSet --
+      SyncManifest.read(spark, dir).get.files.toSet
+    assert(tornFiles.nonEmpty)
+
+    // a plain directory read WOULD see the half-written sync ...
+    assert(spark.read.parquet(dir).count() > v0.count())
+    // ... the pinned read sees exactly the committed one
+    assert(finalRows(dir) == fin0, "reader observed an uncommitted append")
+
+    // a real poll then lands key 1 (same bucket as some torn debris): its
+    // commit point flips readers to the new sync, the debris rows never
+    // surface, and the debris files in the touched buckets are vacuumed
+    val v1 = v0.where($"key" =!= 1L)
+      .unionByName(Seq((1L, 200L, "u1")).toDF("key", "seq", "payload"))
+    Incremental.poll(v1, cfg, dir)
+    val fin1 = finalRows(dir)
+    assert(fin1 == srcRows(v1))
+    assert(!fin1.exists(_._3.startsWith("torn-")))
+    val stillThere = SyncManifest.listVisible(spark, dir).toSet intersect tornFiles
+    val touchedBucket = "bucket=" + // the poll touched only key 1's bucket
+      torn.where($"key" === 1L).select("bucket").as[Int].head()
+    assert(stillThere.forall(f => !f.startsWith(touchedBucket)),
+      s"debris not vacuumed from the touched bucket: $stillThere")
+  }
+
+  test("a reader pinned before a sync keeps evaluating across exactly one more sync") {
+    val dir = Files.createTempDirectory("graft_manifest_grace").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
+    val v0 = state(6)
+    Incremental.snapshot(v0, cfg, dir)
+    val gen0 = SyncManifest.read(spark, dir).get.files.toSet
+
+    // reader pins the snapshot generation BEFORE the next sync lands
+    val pinned = Mirror.readFinal(spark, dir, "key")
+      .select("key", "seq", "payload")
+
+    val v1 = v0.where($"key" =!= 2L)
+      .unionByName(Seq((2L, 100L, "u2")).toDF("key", "seq", "payload"))
+    Incremental.poll(v1, cfg, dir)
+
+    // grace generation: the pinned frame still evaluates to the OLD sync
+    // (its files are retired, not deleted), while a fresh read sees the new
+    assert(pinned.as[(Long, Long, String)].collect().toSet == srcRows(v0))
+    assert(finalRows(dir) == srcRows(v1))
+    val retired1 = SyncManifest.read(spark, dir).get.retired.toSet
+    assert(retired1.nonEmpty && retired1.subsetOf(gen0))
+    assert(retired1.subsetOf(SyncManifest.listVisible(spark, dir).toSet))
+
+    // the SECOND sync touching the same bucket ends the grace: the retired
+    // generation is vacuumed from disk
+    val v2 = v1.where($"key" =!= 2L)
+      .unionByName(Seq((2L, 101L, "u2b")).toDF("key", "seq", "payload"))
+    Incremental.poll(v2, cfg, dir)
+    assert((SyncManifest.listVisible(spark, dir).toSet intersect retired1).isEmpty,
+      "grace generation not vacuumed after the second sync")
+    assert(finalRows(dir) == srcRows(v2))
+  }
+
+  test("a reader pinned before a reconcile sweep sees the whole pre-sweep state") {
+    val dir = Files.createTempDirectory("graft_manifest_sweep").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    val v0 = state(10)
+    Incremental.snapshot(v0, cfg, dir)
+    val pinned = Mirror.readFinal(spark, dir, "key")
+      .select("key", "seq", "payload")
+
+    // hard-delete keys 3 and 7 at the source (two buckets rewritten in
+    // place by the sweep — the doubled race surface)
+    Incremental.reconcileDeletes(v0.where($"key" =!= 3L && $"key" =!= 7L), cfg, dir)
+    assert(finalRows(dir).map(_._1) == (1L to 10L).toSet - 3L - 7L)
+    // the pre-sweep reader still sees every key — never a half-swept mix
+    assert(pinned.as[(Long, Long, String)].collect().toSet == srcRows(v0))
+  }
+
+  test("readCommitted survives the manifest writer's crash window via the tmp") {
+    val dir = Files.createTempDirectory("graft_manifest_crash").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
+    Incremental.snapshot(state(5), cfg, dir)
+    Incremental.poll(state(5, Seq((6L, 6L, "p6"))), cfg, dir)
+    val want = finalRows(dir)
+
+    // crash window: main manifest deleted, complete tmp left behind
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json.tmp")
+    assert(fs.rename(main, tmp))
+    assert(finalRows(dir) == want)
+
+    // and the manifest is invisible to hasVisibleParquet / plain listings
+    fs.delete(tmp, false)
+    assert(SyncManifest.read(spark, dir).isEmpty)
+  }
+}
