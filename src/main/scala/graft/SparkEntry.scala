@@ -290,6 +290,11 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
+    // corpus-scale simhash pairing: MinHash band pre-block composed with the
+    // pigeonhole hamming screen (rows-only; recall + candidate-cut pinned in
+    // DedupSpec)
+    "dedup_simhash_blocked" -> ((s, d) =>
+      Dedup.simhashPairsBlocked(t(s, d, "documents"), "doc_id", "text")),
     // low threshold (the test embeddings are near-orthogonal) ⇒ shallow
     // bands, many of them: recall ≈ 0.97 at cos 0.2 (spec-pinned vs brute
     // force); near-dup thresholds use the deeper defaults instead

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.{lower, posexplode, split}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -67,6 +68,60 @@ class DedupSpec extends SparkSpec {
       if java.lang.Long.bitCount(a._2 ^ b._2) <= maxDist
     } yield (a._1, b._1)).toSet
     assert(found == brute)
+  }
+
+  test("minhash pre-block keeps planted near-dups and cuts chance band collisions") {
+    val maxDist = 16
+    // 100 noise docs with fully disjoint vocabularies (simhash ~ random,
+    // minhash never collides) + 3 planted near-dup pairs from a long
+    // template (high Jaccard, small hamming)
+    val template = (0 until 30).map(j => s"tok$j").mkString(" ")
+    val noise = (0 until 100).map(i =>
+      (100L + i, (0 until 12).map(j => s"n${i}w$j").mkString(" ")))
+    val planted = (0 until 3).flatMap(p => Seq(
+      (p * 2L, template + s" tail$p"),
+      (p * 2L + 1L, template + s" tailx$p")))
+    val all = (noise ++ planted).toDF("doc_id", "text")
+
+    val blocked = Dedup.simhashPairsBlocked(all, "doc_id", "text", maxDist)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unblocked = Dedup.simhashPairs(all, "doc_id", "text", maxDist)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (p <- 0 until 3)
+      assert(blocked.contains((p * 2L, p * 2L + 1L)), s"planted pair $p missed")
+    // the pre-block only ever REMOVES candidates; the hamming filter is
+    // exact on both paths, so the emitted pairs nest
+    assert(blocked.subsetOf(unblocked))
+
+    // candidate-space accounting (the reason the composed key exists): count
+    // pairs colliding in >=1 pigeonhole band, with and without the MinHash
+    // band requirement — driver-side replication of both blocking keys
+    val sigs = Dedup.simhash(all, "doc_id", "text")
+      .select("id", "simhash").as[(Long, Long)].collect()
+    val nb = maxDist + 1
+    def bandsOf(sig: Long): Set[(Int, Long)] = (0 until nb).map { i =>
+      val lo = i * 64 / nb
+      val width = (i + 1) * 64 / nb - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      (i, (sig >>> lo) & mask)
+    }.toSet
+    val simBands = sigs.map { case (id, s) => id -> bandsOf(s) }.toMap
+    val mhBands = all.select($"doc_id",
+        posexplode(graft.expressions.NativeFunctions.minhashBands(
+          split(lower($"text"), " "), 3, 64, 16)))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val ids = sigs.map(_._1).sorted
+    val pairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val simCand = pairs.count { case (a, b) =>
+      (simBands(a) intersect simBands(b)).nonEmpty }
+    val blockedCand = pairs.count { case (a, b) =>
+      (simBands(a) intersect simBands(b)).nonEmpty &&
+        (mhBands(a) intersect mhBands(b)).nonEmpty }
+    assert(simCand > 20,
+      s"fixture produced no chance band collisions to cut ($simCand)")
+    assert(blockedCand * 5 < simCand,
+      s"pre-block cut too little: $blockedCand of $simCand candidates remain")
   }
 
   test("ngramJaccardPairs computes exact word-set jaccard above threshold") {
