@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * per-item "decode / feature extraction" runs as a columnar transform over
   * that payload.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
+  * The pixel-decode step is STUBBED (this container has no image/audio
   * libraries): `fakeDecodeStats` derives deterministic pseudo-features from
   * the payload bytes. Everything around it — schema, batch shape,
   * partitioning, group-level aggregation — is the real Spark plumbing a
   * decode UDF would plug into: swap `fakeDecodeStats` for a
-  * `mapInPandas`/`mapPartitions` codec and nothing else changes.
+  * `mapInPandas`/`mapPartitions` codec and nothing else changes. One real
+  * kernel already sits behind the seam: [[imageHeaderCodec]] parses actual
+  * PNG/JPEG/GIF container headers ([[ImageHeader]]) for format + dimensions.
   */
 object Multimodal {
 
@@ -56,16 +58,40 @@ object Multimodal {
     */
   type Codec = Iterator[MediaItem] => Iterator[MediaFeatures]
 
+  private def byteChecksum(payload: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+    sum
+  }
+
   /** STUB codec: deterministic byte checksum in place of pixel decoding.
     * Swap for a JNI/Java image codec at deployment; the pipeline shape
     * (partition iterator in, features out) does not change.
     */
   val stubCodec: Codec = items => items.map { it =>
-    var sum = 0L
-    var i = 0
-    while (i < it.payload.length) { sum = sum * 31 + (it.payload(i) & 0xff); i += 1 }
-    MediaFeatures(it.id, it.mediaType, it.payload.length.toLong, sum,
-      it.width.toLong * it.height)
+    MediaFeatures(it.id, it.mediaType, it.payload.length.toLong,
+      byteChecksum(it.payload), it.width.toLong * it.height)
+  }
+
+  /** Header-parsing codec: REAL public-format parsing ([[ImageHeader]] —
+    * PNG IHDR / JPEG SOFn / GIF logical screen) through the same seam the
+    * stub occupies. Recognized payloads report the detected container as
+    * `mediaType` and the HEADER dimensions as `pixels` (the declared
+    * metadata can lie; the bytes cannot); unrecognized payloads fall back
+    * to the stub's features under their declared type, since mixed lakes
+    * are normal. The pixel decode itself remains out of this container —
+    * this codec reads a bounded prefix of each payload.
+    */
+  val imageHeaderCodec: Codec = items => items.map { it =>
+    ImageHeader.parse(it.payload) match {
+      case Some(info) =>
+        MediaFeatures(it.id, info.format, it.payload.length.toLong,
+          byteChecksum(it.payload), info.width.toLong * info.height)
+      case None =>
+        MediaFeatures(it.id, it.mediaType, it.payload.length.toLong,
+          byteChecksum(it.payload), it.width.toLong * it.height)
+    }
   }
 
   /** Typed decode pass over the media frame produced by [[withMediaColumns]]:

@@ -55,6 +55,47 @@ class ExtrasSpec extends SparkSpec {
     assert(feats.map(_.checksum).distinct.length == 2)
   }
 
+  test("ImageHeader parses crafted PNG/JPEG/GIF headers and rejects non-images") {
+    import graft.operators.ImageHeader
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR length/type + 640x480 big-endian
+    val png = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      b(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    assert(ImageHeader.parse(png).contains(ImageHeader.ImageInfo("png", 640, 480)))
+    // JPEG: SOI, APP0 (skipped by length), DQT (skipped), SOF0 510x360
+    val jpeg = b(0xff, 0xd8,
+      0xff, 0xe0, 0, 16) ++ "JFIF".getBytes("US-ASCII") ++ b(0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+      b(0xff, 0xdb, 0, 4, 0, 0) ++
+      b(0xff, 0xc0, 0, 17, 8, 1, 0x68, 1, 0xfe, 3) ++ Array.fill[Byte](10)(0)
+    assert(ImageHeader.parse(jpeg).contains(ImageHeader.ImageInfo("jpeg", 510, 360)))
+    // a progressive JPEG carries SOF2 instead of SOF0
+    val prog = jpeg.updated(27, 0xc2.toByte) // the 0xc0 marker byte
+    assert(ImageHeader.parse(prog).contains(ImageHeader.ImageInfo("jpeg", 510, 360)))
+    // GIF89a logical screen 12x34 little-endian
+    val gif = "GIF89a".getBytes("US-ASCII") ++ b(12, 0, 34, 0, 0, 0, 0)
+    assert(ImageHeader.parse(gif).contains(ImageHeader.ImageInfo("gif", 12, 34)))
+    // rejects: truncated PNG, plain text, JPEG with no SOF, null
+    assert(ImageHeader.parse(png.take(20)).isEmpty)
+    assert(ImageHeader.parse("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeader.parse(b(0xff, 0xd8, 0xff, 0xd9)).isEmpty)
+    assert(ImageHeader.parse(null).isEmpty)
+
+    // the codec seam: real headers through the typed decode path, with the
+    // stub fallback for payloads that are not images
+    val media = Seq(
+      (1L, png, 7, 9, "img/0"), (2L, jpeg, 7, 9, "img/1"),
+      (3L, "just text".getBytes("UTF-8"), 7, 9, "img/2"))
+      .toDF("doc_id", "payload", "width", "height", "media_type")
+      .select($"doc_id", $"payload",
+        org.apache.spark.sql.functions.struct(
+          $"width", $"height", $"media_type").as("meta"))
+    val feats = Multimodal.decode(media, Multimodal.imageHeaderCodec)
+      .collect().sortBy(_.id)
+    assert(feats.map(f => (f.id, f.mediaType, f.pixels)).toSeq == Seq(
+      (1L, "png", 640L * 480L), (2L, "jpeg", 510L * 360L), (3L, "img/2", 63L)))
+  }
+
   test("resizeStub caps the longest side and preserves aspect ratio") {
     val docs = Seq((0L, "x")).toDF("doc_id", "text") // 64×64
     val media = Multimodal.withMediaColumns(docs, "doc_id", "text")
