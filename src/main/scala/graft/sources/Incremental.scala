@@ -103,6 +103,15 @@ object Incremental {
   /** Initial full load (PeerDB's snapshot phase): stamp metadata, write the
     * bucketed mirror, persist the watermark = max(versionCol) of the
     * snapshot so the first poll only tails changes after it.
+    *
+    * A RE-snapshot over a mirror that already holds committed data (the
+    * re-sync path after drift or a forced wipe) commits through the same
+    * append + manifest swap as a poll, with every bucket touched: readers
+    * pinned to the old generation keep their consistent view and flip to
+    * the fresh snapshot atomically at the manifest commit — the reference
+    * re-syncs a mirror the same way, swapping the target only when the new
+    * copy is complete. Only the very first load of an empty directory uses
+    * a plain overwrite bootstrap.
     */
   def snapshot(source: DataFrame, cfg: TableConfig, mirrorDir: String,
                isDelete: Column = lit(false),
@@ -112,15 +121,19 @@ object Incremental {
       case r if r.isNullAt(0) => Long.MinValue // empty source
       case r => r.getLong(0)
     }
-    CdcOps.withMirrorMeta(source, cfg.keys, cfg.versionCol, isDelete, lit(0L), syncedAt)
-      .withColumn("bucket", pmod(hash(cfg.keys.map(col): _*), lit(cfg.nBuckets)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(mirrorDir)
-    // manifest before state, both atomic swaps: a crash between them leaves
-    // the committed snapshot visible and the re-run re-snapshots. (The full
-    // overwrite itself is the one non-reader-safe write — snapshot() is the
-    // bootstrap/re-sync op, run before readers attach, like the reference
-    // dropping and recreating a target table.)
-    SyncManifest.commitFull(spark, mirrorDir)
+    val stamped =
+      CdcOps.withMirrorMeta(source, cfg.keys, cfg.versionCol, isDelete, lit(0L), syncedAt)
+        .withColumn("bucket", pmod(hash(cfg.keys.map(col): _*), lit(cfg.nBuckets)))
+    if (CdcStream.hasVisibleParquet(spark, mirrorDir)) {
+      // live mirror: replace every bucket reader-atomically (old generation
+      // retires under the manifest; vacuumed after the next sync)
+      CdcStream.commitBuckets(spark, stamped, mirrorDir, 0 until cfg.nBuckets)
+    } else {
+      stamped.write.mode("overwrite").partitionBy("bucket").parquet(mirrorDir)
+      // manifest before state, both atomic swaps: a crash between them
+      // leaves the committed snapshot visible and the re-run re-snapshots
+      SyncManifest.commitFull(spark, mirrorDir)
+    }
     val st = SyncState(wm, 0L, System.currentTimeMillis())
     writeState(spark, mirrorDir, st)
     st

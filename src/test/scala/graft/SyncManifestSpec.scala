@@ -115,6 +115,30 @@ class SyncManifestSpec extends SparkSpec {
     assert(pinned.as[(Long, Long, String)].collect().toSet == srcRows(v0))
   }
 
+  test("a re-snapshot over a live mirror is reader-atomic and resets the tail") {
+    val dir = Files.createTempDirectory("graft_manifest_resnap").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    val v0 = state(8)
+    Incremental.snapshot(v0, cfg, dir)
+    val pinned = Mirror.readFinal(spark, dir, "key")
+      .select("key", "seq", "payload")
+
+    // the re-sync path: a fresh snapshot of a now-smaller source lands over
+    // the LIVE mirror — keys 4..8 vanish outright (snapshot semantics, not
+    // tombstones), the watermark resets below the old one
+    val v1 = state(3)
+    val st = Incremental.snapshot(v1, cfg, dir)
+    assert(st.watermark == 3L)
+    assert(finalRows(dir) == srcRows(v1))
+    // a reader pinned before the re-snapshot still sees the old generation
+    assert(pinned.as[(Long, Long, String)].collect().toSet == srcRows(v0))
+
+    // and the tail resumes from the new watermark
+    val r = Incremental.poll(state(3, Seq((9L, 9L, "p9"))), cfg, dir)
+    assert(r.rowsSynced == 1L)
+    assert(finalRows(dir) == srcRows(state(3, Seq((9L, 9L, "p9")))))
+  }
+
   test("readCommitted survives the manifest writer's crash window via the tmp") {
     val dir = Files.createTempDirectory("graft_manifest_crash").toString + "/t"
     val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
