@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.expressions.{ScoredId, TopKAggregator}
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -50,19 +50,36 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: equi-join on the signature bucket, then
     * exact scoring + ranking over the candidate set only.
+    *
+    * @param tables number of independent hash tables (OR-amplification,
+    *               the standard recall lever of hyperplane LSH): a
+    *               candidate qualifies by colliding in ANY table, lifting
+    *               recall from p^bits to 1−(1−p^bits)^tables per neighbor
+    *               at `tables`× the bucketing cost — each table uses
+    *               disjoint hyperplanes of one shared one-pass signature
+    *               ([[graft.expressions.HyperplaneBands]], whose table 0 is
+    *               bit-identical to the single-table bucket). The default 1
+    *               keeps the old single-table semantics and skips the
+    *               candidate dedup.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, bits: Int = 6): DataFrame = {
+              idCol: String, vecCol: String, k: Int, bits: Int = 6,
+              tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"bad tables=$tables")
+    def sig(v: Column): Column =
+      graft.expressions.NativeFunctions.hyperplaneBands(v, bits, tables)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      VectorFunctions.lshBucket(col(vecCol), bits).as("bucket"))
+      posexplode(sig(col(vecCol))).as(Seq("table", "bucket")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VectorFunctions.lshBucket(col(vecCol), bits).as("bucket"))
-    rankTopK(
-      c.join(broadcast(q), "bucket")
-        .where(col("query_id") =!= col("corpus_id"))
-        .select(col("query_id"), col("corpus_id"),
-          VectorFunctions.cosine(col("qv"), col("cv")).as("cos_sim")),
-      k)
+      posexplode(sig(col(vecCol))).as(Seq("table", "bucket")))
+    val scored = c.join(broadcast(q), Seq("table", "bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos_sim"))
+    // a pair colliding in several tables must occupy ONE top-k slot; the
+    // dedup shuffles (query, corpus, score) triples only, never vectors
+    rankTopK(if (tables == 1) scored else scored.dropDuplicates(
+      "query_id", "corpus_id"), k)
   }
 
   /** IVF approximate top-k. Centroids are a deterministic hash-ordered

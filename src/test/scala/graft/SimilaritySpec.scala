@@ -54,12 +54,12 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).contains(1L))
   }
 
-  test("ivfTopK recall vs brute force on clusterable vectors") {
-    // 8 well-separated direction clusters of 40 vectors each: the IVF
-    // contract is that same-cluster neighbors land in the same inverted
-    // list, so probing a few lists recovers most of the true top-k.
-    // (Uniform random vectors have no cluster structure and make recall a
-    // coin flip for ANY ivf index — not a meaningful test.)
+  // 8 well-separated direction clusters of 40 vectors each: the ANN
+  // contract is that same-cluster neighbors share an inverted list / hash
+  // bucket, so probing a few recovers most of the true top-k. (Uniform
+  // random vectors have no cluster structure and make recall a coin flip
+  // for ANY index — not a meaningful test.)
+  private lazy val clustered = {
     val dim = 16
     val vecs = for (c <- 0 until 8; i <- 0 until 40) yield {
       val base = Array.fill(dim)(0f)
@@ -71,18 +71,26 @@ class SimilaritySpec extends SparkSpec {
       }
       ((c * 40 + i).toLong, noisy)
     }
-    val embs = vecs.toDF("vec_id", "embedding")
+    vecs.toDF("vec_id", "embedding")
+  }
+
+  private def tops(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+
+  // toSeq before mapping: Set.map would collapse equal per-query recalls
+  private def recallOf(exact: Map[Long, Set[Long]], got: Map[Long, Set[Long]]) =
+    exact.toSeq.map { case (q, e) =>
+      (e intersect got.getOrElse(q, Set.empty)).size.toDouble / e.size
+    }.sum / exact.size
+
+  test("ivfTopK recall vs brute force on clusterable vectors") {
+    val embs = clustered
     val queries = embs.where($"vec_id" % 40 === 0) // one query per cluster
-    def tops(df: org.apache.spark.sql.DataFrame) =
-      df.as[(Long, Long, Long)].collect().groupBy(_._1).view
-        .mapValues(_.map(_._2).toSet).toMap
     val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
     val ivf = tops(Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10,
       numCentroids = 16, nProbe = 4))
-    // toSeq before mapping: Set.map would collapse equal per-query recalls
-    val recall = exact.toSeq.map { case (q, e) =>
-      (e intersect ivf.getOrElse(q, Set.empty)).size.toDouble / e.size
-    }.sum / exact.size
+    val recall = recallOf(exact, ivf)
     assert(recall >= 0.7, s"IVF recall $recall below 0.7")
   }
 
@@ -92,27 +100,32 @@ class SimilaritySpec extends SparkSpec {
     // hyperplane, so bucket candidates recover most of the true top-k —
     // this pins lshTopK against a silent recall collapse after a refactor
     // (it was the only approximate operator with no quality floor).
-    val dim = 16
-    val vecs = for (c <- 0 until 8; i <- 0 until 40) yield {
-      val base = Array.fill(dim)(0f)
-      base(c * 2) = 1f
-      base((c * 2 + 1) % dim) = 0.5f
-      val noisy = base.zipWithIndex.map { case (v, j) =>
-        v + 0.008f * (((c * 40 + i) * 31 + j * 7) % 11 - 5)
-      }
-      ((c * 40 + i).toLong, noisy)
-    }
-    val embs = vecs.toDF("vec_id", "embedding")
+    val embs = clustered
     val queries = embs.where($"vec_id" % 40 === 0)
-    def tops(df: org.apache.spark.sql.DataFrame) =
-      df.as[(Long, Long, Long)].collect().groupBy(_._1).view
-        .mapValues(_.map(_._2).toSet).toMap
     val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
     val lsh = tops(Similarity.lshTopK(embs, queries, "vec_id", "embedding", 10))
-    val recall = exact.toSeq.map { case (q, e) =>
-      (e intersect lsh.getOrElse(q, Set.empty)).size.toDouble / e.size
-    }.sum / exact.size
+    val recall = recallOf(exact, lsh)
     assert(recall >= 0.7, s"LSH recall $recall below 0.7")
+  }
+
+  test("multi-table LSH lifts recall without duplicating top-k slots") {
+    val embs = clustered
+    val queries = embs.where($"vec_id" % 40 === 0)
+    val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
+    // deeper buckets (harder single-table recall) amplified across 8 tables
+    val one = recallOf(exact,
+      tops(Similarity.lshTopK(embs, queries, "vec_id", "embedding", 10, bits = 10)))
+    val multiDf = Similarity.lshTopK(embs, queries, "vec_id", "embedding", 10,
+      bits = 10, tables = 8)
+    val multi = recallOf(exact, tops(multiDf))
+    assert(multi >= one, s"OR-amplification lowered recall: $multi < $one")
+    assert(multi >= 0.9, s"multi-table recall $multi below 0.9")
+    // a pair colliding in several tables still occupies one ranked slot
+    val rows = multiDf.as[(Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong), s"ranks broken for $q")
+    }
   }
 
   test("ivfTopK falls back to brute force on an empty corpus slice") {
