@@ -139,6 +139,53 @@ class SyncManifestSpec extends SparkSpec {
     assert(finalRows(dir) == srcRows(state(3, Seq((9L, 9L, "p9")))))
   }
 
+  test("concurrent FINAL reads during a stream of syncs never observe a mix") {
+    val dir = Files.createTempDirectory("graft_manifest_race").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    var current = state(10)
+    Incremental.snapshot(current, cfg, dir)
+
+    // every state the mirror may legitimately serve; the NEXT state is
+    // announced BEFORE its poll starts, so during a transition both old and
+    // new are valid — a mixed-bucket read matches neither and counts as a
+    // tear. Reads racing two full sync commits can hit a vacuumed grace
+    // file (bounded retention, by design); those fail loudly and are
+    // counted separately, never returning a mix.
+    val valid = scala.collection.mutable.Set(srcRows(current))
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[
+      Set[(Long, Long, String)]]()
+    val readFailures = new java.util.concurrent.atomic.AtomicInteger()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try observed.add(finalRows(dir))
+        catch { case _: Throwable => readFailures.incrementAndGet() }
+      }
+    })
+    reader.start()
+    try {
+      // each round rewrites keys 1 and 2 (distinct buckets at nBuckets=4),
+      // so a torn multi-bucket read would pair an old key-1 with a new
+      // key-2 — observable as a set matching no announced state
+      for (i <- 1 to 6) {
+        val next = current.where($"key" > 2L).unionByName(
+          Seq((1L, 100L + i * 2L, s"u1-$i"), (2L, 101L + i * 2L, s"u2-$i"))
+            .toDF("key", "seq", "payload"))
+        valid.synchronized { valid += srcRows(next) }
+        Incremental.poll(next, cfg, dir)
+        current = next
+      }
+    } finally { stop.set(true); reader.join(30000) }
+
+    val states = valid.synchronized(valid.toSet)
+    val seen = observed.toArray(Array.empty[Set[(Long, Long, String)]])
+    assert(seen.nonEmpty, "reader thread never completed a single read")
+    val mixes = seen.filterNot(states.contains)
+    assert(mixes.isEmpty,
+      s"observed ${mixes.length} torn reads, e.g. ${mixes.headOption}")
+    assert(finalRows(dir) == srcRows(current))
+  }
+
   test("readCommitted survives the manifest writer's crash window via the tmp") {
     val dir = Files.createTempDirectory("graft_manifest_crash").toString + "/t"
     val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
