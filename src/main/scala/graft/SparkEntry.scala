@@ -68,6 +68,15 @@ object SparkEntry {
       Analytics.nationVolume(t(s, d, "supplier"), t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "nation"), "NATION_3", "NATION_7")),
     "rolling_revenue" -> ((s, d) => Analytics.rollingRevenue(t(s, d, "orders"))),
+    "q8_market_share" -> ((s, d) =>
+      Analytics.marketShare(t(s, d, "region"), t(s, d, "nation"), t(s, d, "customer"),
+        t(s, d, "supplier"), t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "part"),
+        "NATION_3", "STANDARD", "ASIA")),
+    "q10_returned_items" -> ((s, d) =>
+      Analytics.returnedItems(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "lineitem"), t(s, d, "nation"))),
+    "q15_top_supplier" -> ((s, d) =>
+      Analytics.topSupplier(t(s, d, "supplier"), t(s, d, "lineitem"))),
 
     // ---- CDC core ---------------------------------------------------------
     "cdc_latest_snapshot" -> ((s, d) =>
@@ -412,6 +421,41 @@ object SparkEntry {
                  FROM orders GROUP BY o_custkey) o, customer, nation
            WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey)
          WHERE rev_rank <= 3""",
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN $rev
+                       ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS nation_revenue,
+         CAST(sum($rev) AS DOUBLE) AS total_revenue
+         FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
+         WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
+           AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+           AND r_name = 'ASIA' AND l_suppkey = s_suppkey
+           AND s_nationkey = n2.n_nationkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY year(o_orderdate)""",
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+         n_name, CAST(sum($rev) AS DOUBLE) AS revenue
+         FROM lineitem, orders, customer, nation
+         WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+           AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+           AND o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+         GROUP BY c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)), n_name""",
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+           SELECT l_suppkey, sum($rev) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         FROM supplier, revenue
+         WHERE s_suppkey = l_suppkey
+           AND total_rev = (SELECT max(total_rev) FROM revenue)""",
     "part_type_share" ->
       s"""SELECT p_brand,
          CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,

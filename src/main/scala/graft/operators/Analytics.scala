@@ -233,4 +233,81 @@ object Analytics {
           .cast("double").as("promo_revenue"),
         sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
           .cast("double").as("total_revenue"))
+
+  private def vol = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+
+  /** TPC-H Q8-style national market share: per order year, the target
+    * nation's supplier revenue vs all suppliers' revenue for one part type
+    * sold into one region. Emits numerator and denominator instead of their
+    * quotient so the result stays exact decimal math (engine-comparable).
+    *
+    * Shape: the part filter cuts the fact FIRST (the most selective join),
+    * bounded dims (region-restricted nations, supplier nations) broadcast,
+    * customer/supplier ride Catalyst/AQE, final groupBy is per-year tiny.
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  part: DataFrame, targetNation: String, partType: String,
+                  regionName: String): DataFrame = {
+    val custNations = nation
+      .join(broadcast(region.where(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cust_natkey"))
+    val suppNations = nation
+      .select(col("n_nationkey").as("supp_natkey"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(part.where(col("p_type") === partType),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("cust_natkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("supp_natkey"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year")) // int64: year() is int32, DuckDB's is int64
+      .agg(
+        sum(when(col("supp_nation") === targetNation, vol)
+          .otherwise(lit("0.0000").cast("decimal(38,4)")))
+          .cast("double").as("nation_revenue"),
+        sum(vol).cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q10-style returned-item reporting: revenue a customer's returned
+    * lineitems cost in one quarter, with the customer's nation. Group keys
+    * are the customer attributes, so the aggregation shuffles once on the
+    * customer key; nation broadcasts.
+    */
+  def returnedItems(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    nation: DataFrame): DataFrame =
+    lineitem.where(col("l_returnflag") === "R")
+      .join(orders.where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-10-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        dec("c_acctbal").as("acctbal"), col("n_name"))
+      .agg(sum(vol).cast("double").as("revenue"))
+      .withColumn("acctbal", col("acctbal").cast("double"))
+
+  /** TPC-H Q15-style top supplier: per-supplier revenue over one quarter,
+    * keeping every supplier that ties the maximum — the scalar-subquery
+    * pattern, expressed as a 1-row broadcast join against the max of the
+    * same aggregate. The two aggregate subtrees are canonically identical,
+    * so Catalyst/AQE exchange reuse computes the stage once; either way the
+    * underlying scan is the pushed-down quarter slice, not the full fact.
+    */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val revenue = lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(vol).as("total_rev"))
+    val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
+    supplier.join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
 }
