@@ -451,6 +451,7 @@ object SparkEntry {
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              AND l_shipdate < TIMESTAMP '1996-04-01'
+             AND l_suppkey IS NOT NULL
            GROUP BY l_suppkey)
          SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
          FROM supplier, revenue

@@ -299,9 +299,14 @@ object Analytics {
     * underlying scan is the pushed-down quarter slice, not the full fact.
     */
   def topSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    // the explicit null-key filter keeps BOTH uses of `revenue` canonically
+    // identical (the equi-join pushes IsNotNull into its side anyway; the
+    // max side wouldn't get it, which would break exchange reuse and scan
+    // the quarter twice)
     val revenue = lineitem
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
-        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp")
+        && col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(sum(vol).as("total_rev"))
     val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))

@@ -13,6 +13,21 @@ import org.apache.spark.unsafe.types.UTF8String
 class EdgeCaseSpec extends SparkSpec {
   import spark.implicits._
 
+  test("topSupplier computes the shared quarter aggregate once (AQE stage reuse)") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.operators.Analytics.topSupplier(
+      Tables.load(spark, d, "supplier"), Tables.load(spark, d, "lineitem"))
+    val out = df.collect()
+    assert(out.nonEmpty && out.map(_.getLong(0)).distinct.length == out.length)
+    // the per-supplier aggregate feeds both the join side and the max-row
+    // scalar; its subtrees are kept canonically identical (explicit
+    // null-key filter) so AQE reuses the materialized stage instead of
+    // scanning the quarter twice
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"no stage reuse in topSupplier plan:\n$plan")
+  }
+
   test("CDC collapse of an empty log is empty, not an error") {
     val empty = Seq.empty[(Long, Long, String)].toDF("key", "version", "op")
     assert(CdcOps.latestSnapshot(empty, Seq("key"), "version").count() == 0)
