@@ -303,6 +303,37 @@ object Incremental {
     }
   }
 
+  /** Re-bucket a live mirror to a new hash-bucket count, reader-atomically.
+    * Bucket count is sized to data volume; a mirror that grows 100× needs
+    * more buckets or every sync rewrites giant partitions (and one that
+    * shrank wastes file handles on empty dirs). The rewrite reads the
+    * committed generation, reassigns `bucket = hash(keys) mod newBuckets`,
+    * and commits it as ONE manifest swap touching the union of the old and
+    * new bucket id spaces — readers pinned before the swap keep the old
+    * layout (grace generation), readers after see only the new; the
+    * capture state (watermark/batch) is untouched, so polling continues
+    * seamlessly under the returned config.
+    *
+    * Single-writer: run it from the same owner as snapshot/poll, not
+    * concurrently with them.
+    *
+    * @return the table config to use from now on (`nBuckets = newBuckets`)
+    */
+  def rebucket(spark: SparkSession, cfg: TableConfig, mirrorDir: String,
+               newBuckets: Int): TableConfig = {
+    require(newBuckets > 0, s"bad newBuckets=$newBuckets")
+    readState(spark, mirrorDir).getOrElse(throw new IllegalStateException(
+      s"no capture state under $mirrorDir — run snapshot() first"))
+    if (CdcStream.hasVisibleParquet(spark, mirrorDir)) {
+      val rows = SyncManifest.readCommitted(spark, mirrorDir)
+        .drop("bucket")
+        .withColumn("bucket", pmod(hash(cfg.keys.map(col): _*), lit(newBuckets)))
+      CdcStream.commitBuckets(spark, rows, mirrorDir,
+        0 until math.max(cfg.nBuckets, newBuckets))
+    }
+    cfg.copy(nBuckets = newBuckets)
+  }
+
   /** Replication-lag report — the monitor's per-table Lag row
     * (peerdb_psql_clickhouse_monitor.ps1:710 renders it, :743 computes
     * source−target, :744-754 grades it: 0 → SYNCED, |lag| ≤ 5 → NEAR_SYNC,

@@ -186,6 +186,43 @@ class SyncManifestSpec extends SparkSpec {
     assert(finalRows(dir) == srcRows(current))
   }
 
+  test("rebucket changes the mirror layout reader-atomically and keeps the tail") {
+    val dir = Files.createTempDirectory("graft_manifest_rebucket").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    val v0 = state(20)
+    Incremental.snapshot(v0, cfg, dir)
+    val pinned = Mirror.readFinal(spark, dir, "key")
+      .select("key", "seq", "payload")
+
+    // grow the bucket space 4 -> 8 (the 100x-data move)
+    val cfg8 = Incremental.rebucket(spark, cfg, dir, 8)
+    assert(cfg8.nBuckets == 8)
+    assert(finalRows(dir) == srcRows(v0), "rebucket changed the data")
+    assert(pinned.as[(Long, Long, String)].collect().toSet == srcRows(v0),
+      "pre-rebucket reader torn")
+    val buckets = Mirror.readCommitted(spark, dir)
+      .select("bucket").distinct().as[Int].collect().toSet
+    assert(buckets.forall(b => b >= 0 && b < 8) && buckets.exists(_ >= 4),
+      s"bucket ids not re-assigned: $buckets")
+
+    // polling continues under the new config from the same watermark
+    val v1 = state(20, Seq((21L, 21L, "p21")))
+    val r = Incremental.poll(v1, cfg8, dir)
+    assert(r.rowsSynced == 1L)
+    assert(finalRows(dir) == srcRows(v1))
+
+    // shrink works too, and the old wide layout's files retire cleanly:
+    // after the shrink commit plus one more sync, nothing visible lives
+    // outside the new bucket range
+    val cfg2 = Incremental.rebucket(spark, cfg8, dir, 2)
+    Incremental.poll(state(20, Seq((21L, 21L, "p21"), (22L, 22L, "p22"))), cfg2, dir)
+    assert(finalRows(dir) ==
+      srcRows(state(20, Seq((21L, 21L, "p21"), (22L, 22L, "p22")))))
+    val live = graft.sources.SyncManifest.read(spark, dir).get.files
+    assert(live.forall(f => f.startsWith("bucket=0/") || f.startsWith("bucket=1/")),
+      s"manifest still lists wide-layout files: $live")
+  }
+
   test("readCommitted survives the manifest writer's crash window via the tmp") {
     val dir = Files.createTempDirectory("graft_manifest_crash").toString + "/t"
     val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
