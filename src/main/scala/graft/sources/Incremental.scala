@@ -44,9 +44,25 @@ object Incremental {
 
   /** Durable per-mirror capture state. `watermark` = highest `versionCol`
     * already merged; `batchId` = last `_peerdb_batch_id` written;
-    * `syncedAtMs` = wall clock of the last successful sync.
+    * `syncedAtMs` = wall clock of the last successful sync; `nBuckets` =
+    * the bucket count the mirror is ACTUALLY laid out in (−1 in states
+    * written before this field existed). The layout lives on disk, so its
+    * bucket count must too — a restart with a stale in-memory config would
+    * otherwise merge against the wrong bucket space and split keys across
+    * buckets; [[poll]]/[[reconcileDeletes]] refuse a mismatched config.
     */
-  case class SyncState(watermark: Long, batchId: Long, syncedAtMs: Long)
+  case class SyncState(watermark: Long, batchId: Long, syncedAtMs: Long,
+                       nBuckets: Int = -1)
+
+  /** Same-layout guard: the config driving a sync must agree with the
+    * bucket count persisted beside the mirror (see [[rebucket]]).
+    */
+  private def checkBuckets(st: SyncState, cfg: TableConfig, mirrorDir: String): Unit =
+    if (st.nBuckets >= 0 && st.nBuckets != cfg.nBuckets)
+      throw new IllegalStateException(
+        s"mirror $mirrorDir is bucketed into ${st.nBuckets} buckets but the " +
+          s"config says ${cfg.nBuckets} — use the TableConfig returned by " +
+          "rebucket(), or rebucket() again")
 
   /** One poll's outcome. */
   case class PollResult(state: SyncState, rowsSynced: Long)
@@ -72,7 +88,8 @@ object Incremental {
         def field(k: String): Option[Long] =
           """"%s"\s*:\s*(-?\d+)""".format(k).r.findFirstMatchIn(txt).map(_.group(1).toLong)
         (field("watermark"), field("batchId"), field("syncedAtMs")) match {
-          case (Some(w), Some(b), Some(s)) => Some(SyncState(w, b, s))
+          case (Some(w), Some(b), Some(s)) =>
+            Some(SyncState(w, b, s, field("nBuckets").map(_.toInt).getOrElse(-1)))
           case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
           case _ => None
         }
@@ -88,7 +105,8 @@ object Incremental {
     val dst = new Path(mirrorDir, StateFile)
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"watermark":${st.watermark},"batchId":${st.batchId},"syncedAtMs":${st.syncedAtMs}}"""
+      (s"""{"watermark":${st.watermark},"batchId":${st.batchId},""" +
+        s""""syncedAtMs":${st.syncedAtMs},"nBuckets":${st.nBuckets}}""")
         .getBytes("UTF-8"))
     finally out.close()
     // single-file swap; a crash leaves the old state (re-poll is idempotent),
@@ -134,7 +152,7 @@ object Incremental {
       // leaves the committed snapshot visible and the re-run re-snapshots
       SyncManifest.commitFull(spark, mirrorDir)
     }
-    val st = SyncState(wm, 0L, System.currentTimeMillis())
+    val st = SyncState(wm, 0L, System.currentTimeMillis(), cfg.nBuckets)
     writeState(spark, mirrorDir, st)
     st
   }
@@ -150,6 +168,7 @@ object Incremental {
     val st = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
         s"no capture state under $mirrorDir — run snapshot() first"))
+    checkBuckets(st, cfg, mirrorDir)
     // the delta is consumed three times (watermark probe, touched-bucket
     // probe, merge) — cache it across the poll so the source-side filtered
     // scan runs once, and release it before returning
@@ -165,11 +184,22 @@ object Incremental {
         isDelete, lit(batchId), syncedAt)
       CdcStream.upsertBatch(spark, stamped, cfg.keys, "_peerdb_version",
         mirrorDir, cfg.nBuckets)
-      val next = SyncState(head.getLong(1), batchId, System.currentTimeMillis())
+      val next = SyncState(head.getLong(1), batchId, System.currentTimeMillis(),
+        cfg.nBuckets)
       writeState(spark, mirrorDir, next)
       PollResult(next, n)
     } finally delta.unpersist(false)
   }
+
+  /** Sweep-provenance tombstone marker. A poll-landed logical delete writes
+    * `_peerdb_is_deleted = 1` (the caller's delete event or flag column);
+    * the reconciliation sweep flags with 2, so resurrection can tell "this
+    * sweep tombstoned it" from "the source logically deleted it" and never
+    * un-deletes the latter. Every reader's live test is `=== 0`, so both
+    * values hide identically, and the FINAL merge's (version, flag) tie
+    * ordering still prefers any tombstone.
+    */
+  val SweepFlag = 2
 
   /** Key-reconciliation sweep: capture hard DELETEs that the `versionCol`
     * tail can never see (a physically deleted row emits no change row, so
@@ -183,8 +213,11 @@ object Incremental {
     *
     * Mechanics: live mirror keys anti-joined against current source keys =
     * the hard-deleted set; their mirror rows are flagged
-    * `_peerdb_is_deleted = 1` IN PLACE (only the touched buckets are
-    * rewritten), with `_peerdb_version` left unchanged. Leaving the version
+    * `_peerdb_is_deleted = ` [[SweepFlag]] IN PLACE (only the touched
+    * buckets are rewritten), with `_peerdb_version` left unchanged. The
+    * distinct flag value records TOMBSTONE PROVENANCE: a logical delete
+    * landed by the poll carries 1, a sweep tombstone carries 2, and every
+    * reader's live test is `=== 0` so both hide identically. Leaving the version
     * alone is what makes the sweep race-safe under a monotonic sequence
     * column: a key deleted and then re-inserted at the source gets a fresh
     * `seq` above every previously assigned one, so the next poll's row
@@ -212,18 +245,19 @@ object Incremental {
     * Two defenses: (a) the sweep REFUSES to flag more than
     * `maxDeleteFraction` of the live keys in one pass (pass 1.0 to force a
     * legitimate mass delete through — an empty source always trips the
-    * default); (b) `resurrect` (on by default) un-flags fully-tombstoned
-    * keys that the source still holds AT THE SAME sequence value the mirror
-    * last saw — a row that verifiably never changed since it was flagged,
-    * which is exactly (and only) the bad-sweep signature. So even a forced
-    * or historical bad sweep heals on the next sweep against a recovered
-    * source, with the restored rows keeping their original versions. The
-    * seq-equality guard is what keeps resurrection sound everywhere else:
-    * a key whose source row changed after the wipe has a fresh seq above
-    * the watermark (the poll tail re-lands it; no resurrection needed), and
-    * a key soft-deleted by an explicit delete EVENT carries the event's seq
-    * as its version — never equal to the still-present source row's own
-    * seq — so the logical-delete pattern is never disturbed.
+    * default); (b) `resurrect` (on by default) un-flags keys tombstoned BY
+    * A SWEEP ([[SweepFlag]] provenance — a key the source logically deleted
+    * via a delete event or a flag column carries 1 and is NEVER a
+    * resurrection candidate, even when its tombstone version equals the
+    * still-present source row's seq, as it does under the flag-column
+    * soft-delete pattern) that the source still holds AT THE SAME sequence
+    * value the mirror last saw — a row that verifiably never changed since
+    * it was flagged, which is exactly (and only) the bad-sweep signature.
+    * So even a forced or historical bad sweep heals on the next sweep
+    * against a recovered source, with the restored rows keeping their
+    * original versions, while a source row that changed after the wipe has
+    * a fresh seq above the watermark and simply re-lands through the poll
+    * tail — no resurrection needed.
     */
   def reconcileDeletes(source: DataFrame, cfg: TableConfig, mirrorDir: String,
                        syncedAt: Column = current_timestamp(),
@@ -233,6 +267,7 @@ object Incremental {
     val st = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
         s"no capture state under $mirrorDir — run snapshot() first"))
+    checkBuckets(st, cfg, mirrorDir)
     // a mirror snapshotted from an empty source has state but no parquet
     // footers — nothing can be flagged, so the sweep is a no-op rather
     // than a schema-inference failure
@@ -249,13 +284,14 @@ object Incremental {
     val src = source
       .select(keyCols :+ col(cfg.versionCol).cast("long").as("_graft_src_seq"): _*)
       .persist(mem)
-    // gone: live keys the source no longer has (→ flag); back: tombstoned
-    // keys the source still holds at the mirror's own version — unchanged
+    // gone: live keys the source no longer has (→ flag with SweepFlag);
+    // back: SWEEP-tombstoned keys (provenance 2 — never a logical delete's
+    // 1) the source still holds at the mirror's own version — unchanged
     // since the flag, the bad-sweep signature (→ un-flag, resurrection)
     val gone = keyState.where(col("_graft_min_del") === 0).select(keyCols: _*)
       .join(src.select(keyCols: _*), cfg.keys, "left_anti")
-      .withColumn("_graft_flag", lit(1))
-    val back = keyState.where(col("_graft_min_del") === 1).as("m")
+      .withColumn("_graft_flag", lit(SweepFlag))
+    val back = keyState.where(col("_graft_min_del") === SweepFlag).as("m")
       .join(src.as("s"),
         cfg.keys.map(k => col(s"m.$k") === col(s"s.$k")).reduce(_ && _) &&
           col("m._graft_max_ver") === col("s._graft_src_seq"), "left_semi")
@@ -264,8 +300,8 @@ object Incremental {
     val changed = (if (resurrect) gone.unionByName(back) else gone).persist(mem)
     try {
       val counts = changed.agg(
-        sum(col("_graft_flag")).as("gone"),
-        sum(lit(1) - col("_graft_flag")).as("back")).collect()(0)
+        sum(when(col("_graft_flag") === SweepFlag, 1L).otherwise(0L)).as("gone"),
+        sum(when(col("_graft_flag") === 0, 1L).otherwise(0L)).as("back")).collect()(0)
       val nGone = if (counts.isNullAt(0)) 0L else counts.getLong(0)
       val nBack = if (counts.isNullAt(1)) 0L else counts.getLong(1)
       if (nGone + nBack == 0L) return PollResult(st, 0L)
@@ -295,7 +331,8 @@ object Incremental {
             .otherwise(col("_peerdb_synced_at")))
         .select(mirror.columns.map(col): _*) // join put keys first; restore
       CdcStream.commitBuckets(spark, flagged, mirrorDir, touched)
-      val next = SyncState(st.watermark, batchId, System.currentTimeMillis())
+      val next = SyncState(st.watermark, batchId, System.currentTimeMillis(),
+        cfg.nBuckets)
       writeState(spark, mirrorDir, next)
       PollResult(next, nGone + nBack)
     } finally {
@@ -322,8 +359,9 @@ object Incremental {
   def rebucket(spark: SparkSession, cfg: TableConfig, mirrorDir: String,
                newBuckets: Int): TableConfig = {
     require(newBuckets > 0, s"bad newBuckets=$newBuckets")
-    readState(spark, mirrorDir).getOrElse(throw new IllegalStateException(
+    val st = readState(spark, mirrorDir).getOrElse(throw new IllegalStateException(
       s"no capture state under $mirrorDir — run snapshot() first"))
+    checkBuckets(st, cfg, mirrorDir)
     if (CdcStream.hasVisibleParquet(spark, mirrorDir)) {
       val rows = SyncManifest.readCommitted(spark, mirrorDir)
         .drop("bucket")
@@ -331,6 +369,11 @@ object Incremental {
       CdcStream.commitBuckets(spark, rows, mirrorDir,
         0 until math.max(cfg.nBuckets, newBuckets))
     }
+    // the layout's bucket count lives beside the mirror (same durability as
+    // the watermark): a restart with a stale config is refused by
+    // checkBuckets instead of silently splitting keys across bucket spaces
+    writeState(spark, mirrorDir,
+      SyncState(st.watermark, st.batchId, System.currentTimeMillis(), newBuckets))
     cfg.copy(nBuckets = newBuckets)
   }
 
@@ -444,11 +487,22 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
       }
       if (wedged.nonEmpty) {
         val ok = done.collect { case (t, scala.util.Success(_)) => t }
-        throw new java.util.concurrent.TimeoutException(
+        val failed = done.collect {
+          case (t, scala.util.Failure(e))
+            if !e.isInstanceOf[java.util.concurrent.TimeoutException] => t -> e
+        }
+        // a timed-out round must not swallow a table's REAL failure — name
+        // it and attach it, or the operator retries forever believing the
+        // only problem is a slow source
+        val e = new java.util.concurrent.TimeoutException(
           s"mirror round timed out after $roundTimeout waiting on " +
             s"${wedged.mkString(", ")} (completed and committed: " +
-            s"${if (ok.isEmpty) "none" else ok.mkString(", ")}; wedged tables " +
-            "keep their previous capture state and re-poll next round)")
+            s"${if (ok.isEmpty) "none" else ok.mkString(", ")}" +
+            (if (failed.isEmpty) ""
+            else s"; FAILED: ${failed.map(f => s"${f._1}: ${f._2}").mkString("; ")}") +
+            "; wedged tables keep their previous capture state and re-poll next round)")
+        failed.foreach { case (_, cause) => e.addSuppressed(cause) }
+        throw e
       }
       done.map { case (t, r) => t -> r.get } // propagate the first real failure
     } finally pool.shutdownNow()

@@ -23,14 +23,23 @@ object Mirror {
                version: org.apache.spark.sql.Column, batchId: Long = 0L,
                nBuckets: Int = 64,
                syncedAt: org.apache.spark.sql.Column = current_timestamp()): Unit = {
-    source
+    val spark = source.sparkSession
+    val stamped = source
       .withColumn("_peerdb_version", version.cast("long"))
       .withColumn("_peerdb_is_deleted", lit(0))
       .withColumn("_peerdb_batch_id", lit(batchId))
       .withColumn("_peerdb_synced_at", syncedAt.cast("timestamp"))
       .withColumn("bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(targetDir)
-    SyncManifest.commitFull(source.sparkSession, targetDir)
+    if (graft.streaming.CdcStream.hasVisibleParquet(spark, targetDir)) {
+      // RE-load over a live mirror: same reader-atomic append + manifest
+      // swap as Incremental.snapshot — a plain overwrite would delete the
+      // very files pinned readers hold
+      graft.streaming.CdcStream.commitBuckets(spark, stamped, targetDir,
+        0 until nBuckets)
+    } else {
+      stamped.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(targetDir)
+      SyncManifest.commitFull(spark, targetDir)
+    }
   }
 
   /** The raw mirror rows as of the last committed sync (manifest-pinned —

@@ -70,6 +70,14 @@ object SyncManifest {
       def arr(k: String): Option[Seq[String]] =
         ("\"%s\"\\s*:\\s*\\[([^\\]]*)\\]".format(k)).r.findFirstMatchIn(txt)
           .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      val fmt = """"fmt"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      // format skew is not corruption: refuse loudly rather than misread a
+      // future layout whose files array happens to parse
+      if (fmt.exists(_ != FormatVersion))
+        throw new IllegalStateException(
+          s"incompatible mirror manifest format under $dir (fmt ${fmt.get}; " +
+            s"this build reads fmt $FormatVersion) — upgrade the reader or " +
+            "re-snapshot the mirror")
       (arr("files"), arr("retired")) match {
         case (Some(f), Some(r)) => Some(Manifest(f, r))
         case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
@@ -156,6 +164,10 @@ object SyncManifest {
     */
   def commitAfterAppend(spark: SparkSession, dir: String, touched: Set[Int],
                         newFiles: Set[String], preexisting: => Seq[String]): Unit = {
+    // a zero-data commit is not a sync: rewriting the manifest unchanged
+    // would still vacuum the previous retired generation and break the
+    // one-subsequent-sync reader grace for nothing
+    if (touched.isEmpty && newFiles.isEmpty) return
     val fs = fsOf(spark, dir)
     val old = read(spark, dir).getOrElse(Manifest(preexisting, Seq.empty))
     val (replaced, kept) = old.files.partition(f => bucketOf(f).exists(touched))
@@ -168,14 +180,20 @@ object SyncManifest {
 
   /** The mirror as of its last committed sync — the exact file set of one
     * manifest, never a mix of two syncs. Falls back to the plain directory
-    * read for mirrors that predate manifests (their writes were
+    * read only for mirrors that predate manifests (their writes were
     * whole-bucket overwrites, so the fallback is what their readers always
-    * did).
+    * did). A committed manifest with an EMPTY file list (a re-snapshot from
+    * an empty source) is an empty mirror: the read keeps the schema of the
+    * retired generation but serves zero rows — it must never fall through
+    * to the directory listing, which would resurrect the retired files.
     */
   def readCommitted(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir) match {
       case Some(m) if m.files.nonEmpty =>
         spark.read.option("basePath", dir).parquet(m.files.map(f => s"$dir/$f"): _*)
+      case Some(m) if m.retired.nonEmpty =>
+        spark.read.option("basePath", dir)
+          .parquet(m.retired.map(f => s"$dir/$f"): _*).limit(0)
       case _ => spark.read.parquet(dir)
     }
 }

@@ -116,23 +116,33 @@ object CdcStream {
   def upsertBatch(spark: SparkSession, batchDf: DataFrame, keys: Seq[String],
                   versionCol: String, targetDir: String, nBuckets: Int): Unit = {
     import spark.implicits._
+    // materialize the batch ONCE: the touched-bucket collect, the merge,
+    // and the append below all re-evaluate it, and a non-deterministic
+    // source (a live JDBC tail handed in directly) could otherwise write
+    // rows into buckets absent from `touched` — rows the manifest never
+    // adopts, i.e. silently lost. Persisting the batch (delta-sized) is
+    // far cheaper than the old whole-merged-bucket materialization.
     val withBucket = batchDf
       .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
-    val touched = withBucket.select("bucket").distinct().as[Int].collect()
-    // No visible data files = first batch (see hasVisibleParquet). Any
-    // other read failure (transient IO, permissions, corrupt file) must
-    // propagate: swallowing it here would replace the touched buckets
-    // with batch-only rows and silently drop every previously mirrored
-    // row in them.
-    val existing =
-      if (!hasVisibleParquet(spark, targetDir)) None
-      else Some(graft.sources.SyncManifest.readCommitted(spark, targetDir)
-        .where(col("bucket").isin(touched.toSeq: _*)))
-    val unioned = existing
-      .map(withBucket.unionByName(_, allowMissingColumns = true))
-      .getOrElse(withBucket)
-    val merged = graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
-    commitBuckets(spark, merged, targetDir, touched.toSeq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = withBucket.select("bucket").distinct().as[Int].collect()
+      if (touched.isEmpty) return // empty batch: not a sync, commit nothing
+      // No visible data files = first batch (see hasVisibleParquet). Any
+      // other read failure (transient IO, permissions, corrupt file) must
+      // propagate: swallowing it here would replace the touched buckets
+      // with batch-only rows and silently drop every previously mirrored
+      // row in them.
+      val existing =
+        if (!hasVisibleParquet(spark, targetDir)) None
+        else Some(graft.sources.SyncManifest.readCommitted(spark, targetDir)
+          .where(col("bucket").isin(touched.toSeq: _*)))
+      val unioned = existing
+        .map(withBucket.unionByName(_, allowMissingColumns = true))
+        .getOrElse(withBucket)
+      val merged = graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
+      commitBuckets(spark, merged, targetDir, touched.toSeq)
+    } finally withBucket.unpersist(false)
   }
 
   /** True when `dir` holds at least one parquet data file that
@@ -182,6 +192,7 @@ object CdcStream {
   def commitBuckets(spark: SparkSession, df: DataFrame, targetDir: String,
                     touched: Seq[Int]): Unit = {
     import graft.sources.SyncManifest
+    if (touched.isEmpty) return // nothing replaced: keep the reader grace intact
     // adopting a manifest-less mirror: its current files are the baseline
     // (must be listed BEFORE the append mixes in the new generation)
     val legacyBaseline =

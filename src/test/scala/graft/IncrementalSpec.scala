@@ -164,19 +164,23 @@ class IncrementalSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft_wedge").toString
     val cfgs = Seq(
       TableConfig("good", Seq("key"), "seq", nBuckets = 4),
-      TableConfig("bad", Seq("key"), "seq", nBuckets = 4))
+      TableConfig("bad", Seq("key"), "seq", nBuckets = 4),
+      TableConfig("broken", Seq("key"), "seq", nBuckets = 4))
     val wedge = new java.util.concurrent.CountDownLatch(1)
     @volatile var wedged = false
-    val current = scala.collection.mutable.Map("good" -> state(10), "bad" -> state(10))
+    val current = scala.collection.mutable.Map(
+      "good" -> state(10), "bad" -> state(10), "broken" -> state(10))
     def src(t: String): DataFrame = {
       if (t == "bad" && wedged) wedge.await() // a hung JDBC connect, forever
+      if (t == "broken" && wedged)
+        throw new IllegalStateException("auth expired for broken")
       current(t)
     }
     val mirror = new MultiTableMirror(spark, cfgs, src, root,
       roundTimeout = scala.concurrent.duration.Duration(20, "s"))
     mirror.snapshotAll()
 
-    // wedge "bad", advance both sources, run one poll round
+    // wedge "bad", break "broken", advance the sources, run one poll round
     wedged = true
     current("good") = state(10, Seq((11L, 11L, "g11")))
     current("bad") = state(10, Seq((11L, 11L, "b11")))
@@ -186,6 +190,10 @@ class IncrementalSpec extends SparkSpec {
     assert(elapsedSec < 120, f"round not bounded: $elapsedSec%.1f s")
     assert(boom.getMessage.contains("bad") && boom.getMessage.contains("good"),
       boom.getMessage)
+    // the timed-out round must surface broken's REAL failure, not bury it
+    // behind the timeout
+    assert(boom.getMessage.contains("auth expired"), boom.getMessage)
+    assert(boom.getSuppressed.exists(_.getMessage.contains("auth expired")))
     wedge.countDown() // release the stranded (interrupted) thread
 
     // the healthy table committed its sync inside the failed round; the
@@ -197,8 +205,9 @@ class IncrementalSpec extends SparkSpec {
     // old watermark, nothing lost, nothing double-applied
     wedged = false
     val r = mirror.pollAll()
-    assert(r("bad").rowsSynced == 1L && r("good").rowsSynced == 0L)
-    for (t <- Seq("good", "bad"))
+    assert(r("bad").rowsSynced == 1L && r("good").rowsSynced == 0L
+      && r("broken").rowsSynced == 0L)
+    for (t <- Seq("good", "bad", "broken"))
       assert(srcRows(current(t)) ==
         mirror.readFinal(t).select("key", "seq", "payload")
           .as[(Long, Long, String)].collect().toSet, s"mirror drift on $t")
@@ -289,11 +298,57 @@ class IncrementalSpec extends SparkSpec {
       "_peerdb_version", dir, cfg.nBuckets)
     assert(finalRows(dir).map(_._1) == Set(1L, 2L, 4L, 5L),
       "replayed pre-delete batch resurrected a reconciled key")
-    // the collapsed mirror keeps exactly one row for key 3: the tombstone
+    // the collapsed mirror keeps exactly one row for key 3: the tombstone,
+    // carrying the sweep's provenance marker
     val k3 = graft.sources.Mirror.readCommitted(spark, dir).where($"key" === 3L)
       .select("_peerdb_version", "_peerdb_is_deleted")
       .as[(Long, Int)].collect().toSeq
-    assert(k3 == Seq((3L, 1)))
+    assert(k3 == Seq((3L, Incremental.SweepFlag)))
+  }
+
+  test("resurrection never touches a flag-column soft delete, even at equal seq") {
+    // the OTHER logical-delete pattern: the source keeps the row physically
+    // present with a deleted flag column; marking it deleted bumps its seq,
+    // so the tombstone's version EQUALS the still-present source row's seq —
+    // the seq-equality heuristic alone would mistake it for a bad sweep.
+    // Provenance (sweep flag 2 vs poll flag 1) must keep it deleted.
+    val dir = Files.createTempDirectory("graft_flagcol").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    val del = col("deleted") === true
+    Incremental.snapshot(state(5).withColumn("deleted", lit(false)), cfg, dir,
+      isDelete = del)
+    // the source soft-deletes key 2 in place: same row, deleted=true, seq 6
+    val v1 = state(5).where($"key" =!= 2L).withColumn("deleted", lit(false))
+      .unionByName(Seq((2L, 6L, "p2", true)).toDF("key", "seq", "payload", "deleted"))
+    Incremental.poll(v1, cfg, dir, isDelete = del)
+    assert(finalRows(dir).map(_._1) == Set(1L, 3L, 4L, 5L))
+    // sweeps (any number) must not resurrect key 2 — it is logically
+    // deleted, not sweep-tombstoned, however bad-sweep-like its seq looks
+    for (_ <- 1 to 2) {
+      val r = Incremental.reconcileDeletes(v1, cfg, dir)
+      assert(r.rowsSynced == 0L)
+      assert(finalRows(dir).map(_._1) == Set(1L, 3L, 4L, 5L),
+        "sweep resurrected a flag-column soft delete")
+    }
+  }
+
+  test("a sync under a stale bucket-count config is refused, not merged") {
+    val dir = Files.createTempDirectory("graft_stale_cfg").toString + "/t"
+    val cfg4 = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    Incremental.snapshot(state(10), cfg4, dir)
+    val cfg8 = Incremental.rebucket(spark, cfg4, dir, 8)
+    // a restarted process still holding the old config (the bucket count
+    // now lives in the state file, like the watermark)
+    for (op <- Seq(
+      () => Incremental.poll(state(11), cfg4, dir),
+      () => Incremental.reconcileDeletes(state(10), cfg4, dir),
+      () => Incremental.rebucket(spark, cfg4, dir, 16))) {
+      val boom = intercept[IllegalStateException](op())
+      assert(boom.getMessage.contains("rebucket"), boom.getMessage)
+    }
+    // the correct config keeps working
+    assert(Incremental.poll(state(11), cfg8, dir).rowsSynced == 1L)
+    assert(finalRows(dir) == srcRows(state(11)))
   }
 
   test("a sweep over a footerless empty mirror is a no-op, not a read failure") {

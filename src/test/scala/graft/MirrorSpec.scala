@@ -23,6 +23,47 @@ class MirrorSpec extends SparkSpec {
     assert(back.where($"_peerdb_is_deleted" === 0).count() == 2)
   }
 
+  test("a fullLoad over a live mirror is reader-atomic, like a re-snapshot") {
+    val dir = Files.createTempDirectory("graft_full_reload").toString + "/t"
+    Mirror.fullLoad(Seq((1L, "a"), (2L, "b")).toDF("key", "payload"),
+      dir, "key", lit(0L), nBuckets = 4)
+    val pinned = Mirror.readFinal(spark, dir, "key").select("key", "payload")
+    // re-load with fresh content: the old generation must stay on disk for
+    // the pinned reader (append + manifest swap, not a torn overwrite)
+    Mirror.fullLoad(Seq((2L, "b2"), (3L, "c")).toDF("key", "payload"),
+      dir, "key", lit(1L), nBuckets = 4)
+    assert(Mirror.readFinal(spark, dir, "key").select("key", "payload")
+      .as[(Long, String)].collect().toSet == Set((2L, "b2"), (3L, "c")))
+    assert(pinned.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+      "pinned reader torn by fullLoad re-load")
+  }
+
+  test("upsertBatch evaluates a non-deterministic batch exactly once") {
+    // a live JDBC tail handed straight to upsertBatch: every evaluation
+    // yields a different row. Without the batch materialization the touched
+    // collect and the append could disagree, writing a row into a bucket
+    // the manifest never adopts — silent loss.
+    val dir = Files.createTempDirectory("graft_nd_upsert").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType)))
+    val rdd = spark.sparkContext.parallelize(0 until 1, 1).mapPartitions { _ =>
+      val n = MirrorSpec.evals.incrementAndGet()
+      Iterator(org.apache.spark.sql.Row(100L + n, 1L, s"v$n"))
+    }
+    CdcStream.upsertBatch(spark, spark.createDataFrame(rdd, schema),
+      Seq("key"), "version", dir, nBuckets = 8)
+    assert(MirrorSpec.evals.get() == 1,
+      s"batch evaluated ${MirrorSpec.evals.get()} times, want 1")
+    // the one evaluated row is committed and visible
+    assert(Mirror.readCommitted(spark, dir).select("key", "payload")
+      .as[(Long, String)].collect().toSeq == Seq((101L, "v1")))
+  }
+
   test("full load then incremental merge applies updates on top of the snapshot") {
     val dir = Files.createTempDirectory("graft_incr").toString + "/t"
     val snapshot = Seq(
@@ -150,4 +191,9 @@ class MirrorSpec extends SparkSpec {
       assert(m.batches.forall(_.durationMs >= 0))
     } finally q.stop()
   }
+}
+
+object MirrorSpec {
+  /** Evaluation counter for the non-deterministic-batch fixture. */
+  val evals = new java.util.concurrent.atomic.AtomicInteger()
 }

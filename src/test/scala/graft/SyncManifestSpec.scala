@@ -223,6 +223,62 @@ class SyncManifestSpec extends SparkSpec {
       s"manifest still lists wide-layout files: $live")
   }
 
+  test("a re-snapshot from an EMPTY source empties the mirror without resurrecting files") {
+    val dir = Files.createTempDirectory("graft_manifest_empty_resnap").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    val v0 = state(6)
+    Incremental.snapshot(v0, cfg, dir)
+    val pinned = Mirror.readFinal(spark, dir, "key").select("key", "seq", "payload")
+
+    // the source was truncated; the fresh snapshot is legitimately empty.
+    // The manifest commits files=[] with the old generation retired (still
+    // on disk for the pinned reader) — the committed read must be EMPTY,
+    // never fall back to the directory listing and serve the retired rows.
+    Incremental.snapshot(state(0), cfg, dir)
+    assert(Mirror.readCommitted(spark, dir).count() == 0L,
+      "empty-manifest read resurrected retired files")
+    assert(Mirror.readFinal(spark, dir, "key").count() == 0L)
+    // schema survives for downstream plans
+    assert(Mirror.readCommitted(spark, dir).columns.contains("_peerdb_version"))
+    // the pinned pre-snapshot reader keeps its grace generation
+    assert(pinned.as[(Long, Long, String)].collect().toSet == srcRows(v0))
+    // and the mirror keeps working: a poll re-lands fresh data
+    val r = Incremental.poll(state(0, Seq((50L, 50L, "p50"))), cfg, dir)
+    assert(r.rowsSynced == 1L)
+    assert(finalRows(dir) == Set((50L, 50L, "p50")))
+  }
+
+  test("an empty upsert commits nothing and keeps the reader grace intact") {
+    val dir = Files.createTempDirectory("graft_manifest_noop").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+    Incremental.snapshot(state(6), cfg, dir)
+    Incremental.poll(state(6, Seq((7L, 7L, "p7"))), cfg, dir)
+    val before = SyncManifest.read(spark, dir).get
+    assert(before.retired.nonEmpty)
+    // a zero-row batch through the public upsert: not a sync — the manifest
+    // (and with it the previous generation's grace files) must not move
+    graft.streaming.CdcStream.upsertBatch(spark,
+      state(0), Seq("key"), "seq", dir, cfg.nBuckets)
+    assert(SyncManifest.read(spark, dir).get == before)
+    assert(before.retired.toSet.subsetOf(
+      SyncManifest.listVisible(spark, dir).toSet),
+      "empty upsert vacuumed the grace generation")
+  }
+
+  test("a manifest from an incompatible future format is refused, not misread") {
+    val dir = Files.createTempDirectory("graft_manifest_fmt").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
+    Incremental.snapshot(state(3), cfg, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json"), true)
+    try out.write(
+      """{"fmt":99,"files":["bucket=0/zzz.parquet"],"retired":[]}""".getBytes("UTF-8"))
+    finally out.close()
+    val boom = intercept[IllegalStateException](Mirror.readCommitted(spark, dir))
+    assert(boom.getMessage.contains("fmt 99"), boom.getMessage)
+  }
+
   test("readCommitted survives the manifest writer's crash window via the tmp") {
     val dir = Files.createTempDirectory("graft_manifest_crash").toString + "/t"
     val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
