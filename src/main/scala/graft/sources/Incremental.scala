@@ -55,14 +55,31 @@ object Incremental {
                        nBuckets: Int = -1)
 
   /** Same-layout guard: the config driving a sync must agree with the
-    * bucket count persisted beside the mirror (see [[rebucket]]).
+    * bucket count persisted beside the mirror (see [[rebucket]]). For a
+    * state written before the count was persisted (−1), probe the layout
+    * itself: a live bucket id at or above the config's count proves the
+    * config is too small (the converse — a too-large config over a small
+    * layout whose high buckets happen to be empty — is undetectable from
+    * the layout; the first post-upgrade sync then persists the config's
+    * count and the full guard takes over).
     */
-  private def checkBuckets(st: SyncState, cfg: TableConfig, mirrorDir: String): Unit =
+  private def checkBuckets(spark: SparkSession, st: SyncState, cfg: TableConfig,
+                           mirrorDir: String): Unit = {
     if (st.nBuckets >= 0 && st.nBuckets != cfg.nBuckets)
       throw new IllegalStateException(
         s"mirror $mirrorDir is bucketed into ${st.nBuckets} buckets but the " +
           s"config says ${cfg.nBuckets} — use the TableConfig returned by " +
           "rebucket(), or rebucket() again")
+    if (st.nBuckets < 0) {
+      val maxLive = SyncManifest.liveBuckets(spark, mirrorDir)
+        .foldLeft(-1)(math.max)
+      if (maxLive >= cfg.nBuckets)
+        throw new IllegalStateException(
+          s"mirror $mirrorDir occupies bucket ids up to $maxLive but the " +
+            s"config says ${cfg.nBuckets} buckets — fix the config or " +
+            "rebucket()")
+    }
+  }
 
   /** One poll's outcome. */
   case class PollResult(state: SyncState, rowsSynced: Long)
@@ -142,16 +159,13 @@ object Incremental {
     val stamped =
       CdcOps.withMirrorMeta(source, cfg.keys, cfg.versionCol, isDelete, lit(0L), syncedAt)
         .withColumn("bucket", pmod(hash(cfg.keys.map(col): _*), lit(cfg.nBuckets)))
-    if (CdcStream.hasVisibleParquet(spark, mirrorDir)) {
-      // live mirror: replace every bucket reader-atomically (old generation
-      // retires under the manifest; vacuumed after the next sync)
-      CdcStream.commitBuckets(spark, stamped, mirrorDir, 0 until cfg.nBuckets)
-    } else {
-      stamped.write.mode("overwrite").partitionBy("bucket").parquet(mirrorDir)
-      // manifest before state, both atomic swaps: a crash between them
-      // leaves the committed snapshot visible and the re-run re-snapshots
-      SyncManifest.commitFull(spark, mirrorDir)
-    }
+    // a live mirror is replaced reader-atomically, touching the union of
+    // the config's bucket range and the layout's actual buckets — correct
+    // even under a stale config, since snapshot() REDEFINES the layout (the
+    // state it writes below records the count it used). Manifest/state are
+    // two atomic swaps in that order: a crash between them leaves the
+    // committed snapshot visible and the re-run re-snapshots.
+    CdcStream.replaceAll(spark, stamped, mirrorDir, cfg.nBuckets)
     val st = SyncState(wm, 0L, System.currentTimeMillis(), cfg.nBuckets)
     writeState(spark, mirrorDir, st)
     st
@@ -168,10 +182,13 @@ object Incremental {
     val st = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
         s"no capture state under $mirrorDir — run snapshot() first"))
-    checkBuckets(st, cfg, mirrorDir)
-    // the delta is consumed three times (watermark probe, touched-bucket
-    // probe, merge) — cache it across the poll so the source-side filtered
-    // scan runs once, and release it before returning
+    checkBuckets(spark, st, cfg, mirrorDir)
+    // the delta is cached across the poll so the watermark probe and the
+    // merge read ONE evaluation of the source (a live tail re-evaluated
+    // per consumer could advance the watermark past rows the merge never
+    // saw). upsertBatch layers its own bucket-stamped cache on top — a
+    // second, delta-sized copy scoped to the merge — because its
+    // touched/append agreement must hold for every caller, not just poll
     val delta = source.where(col(cfg.versionCol).cast("long") > lit(st.watermark))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -253,11 +270,13 @@ object Incremental {
     * soft-delete pattern) that the source still holds AT THE SAME sequence
     * value the mirror last saw — a row that verifiably never changed since
     * it was flagged, which is exactly (and only) the bad-sweep signature.
-    * So even a forced or historical bad sweep heals on the next sweep
-    * against a recovered source, with the restored rows keeping their
-    * original versions, while a source row that changed after the wipe has
-    * a fresh seq above the watermark and simply re-lands through the poll
-    * tail — no resurrection needed.
+    * So even a forced or historical bad sweep (made by THIS
+    * format — tombstones written before the provenance marker existed are
+    * indistinguishable from logical deletes and heal only via re-snapshot)
+    * heals on the next sweep against a recovered source, with the restored
+    * rows keeping their original versions, while a source row that changed
+    * after the wipe has a fresh seq above the watermark and simply
+    * re-lands through the poll tail — no resurrection needed.
     */
   def reconcileDeletes(source: DataFrame, cfg: TableConfig, mirrorDir: String,
                        syncedAt: Column = current_timestamp(),
@@ -267,7 +286,7 @@ object Incremental {
     val st = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
         s"no capture state under $mirrorDir — run snapshot() first"))
-    checkBuckets(st, cfg, mirrorDir)
+    checkBuckets(spark, st, cfg, mirrorDir)
     // a mirror snapshotted from an empty source has state but no parquet
     // footers — nothing can be flagged, so the sweep is a no-op rather
     // than a schema-inference failure
@@ -361,7 +380,7 @@ object Incremental {
     require(newBuckets > 0, s"bad newBuckets=$newBuckets")
     val st = readState(spark, mirrorDir).getOrElse(throw new IllegalStateException(
       s"no capture state under $mirrorDir — run snapshot() first"))
-    checkBuckets(st, cfg, mirrorDir)
+    checkBuckets(spark, st, cfg, mirrorDir)
     if (CdcStream.hasVisibleParquet(spark, mirrorDir)) {
       val rows = SyncManifest.readCommitted(spark, mirrorDir)
         .drop("bucket")

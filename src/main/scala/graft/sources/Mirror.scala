@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot + mirror bootstrap: the "initial load" phase of the reference
@@ -30,16 +30,10 @@ object Mirror {
       .withColumn("_peerdb_batch_id", lit(batchId))
       .withColumn("_peerdb_synced_at", syncedAt.cast("timestamp"))
       .withColumn("bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
-    if (graft.streaming.CdcStream.hasVisibleParquet(spark, targetDir)) {
-      // RE-load over a live mirror: same reader-atomic append + manifest
-      // swap as Incremental.snapshot — a plain overwrite would delete the
-      // very files pinned readers hold
-      graft.streaming.CdcStream.commitBuckets(spark, stamped, targetDir,
-        0 until nBuckets)
-    } else {
-      stamped.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(targetDir)
-      SyncManifest.commitFull(spark, targetDir)
-    }
+    // RE-load over a live mirror: reader-atomic append + manifest swap
+    // touching the whole old layout (see CdcStream.replaceAll) — a plain
+    // overwrite would delete the very files pinned readers hold
+    graft.streaming.CdcStream.replaceAll(spark, stamped, targetDir, nBuckets)
   }
 
   /** The raw mirror rows as of the last committed sync (manifest-pinned —

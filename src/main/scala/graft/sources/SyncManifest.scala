@@ -71,15 +71,19 @@ object SyncManifest {
         ("\"%s\"\\s*:\\s*\\[([^\\]]*)\\]".format(k)).r.findFirstMatchIn(txt)
           .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       val fmt = """"fmt"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-      // format skew is not corruption: refuse loudly rather than misread a
-      // future layout whose files array happens to parse
-      if (fmt.exists(_ != FormatVersion))
-        throw new IllegalStateException(
-          s"incompatible mirror manifest format under $dir (fmt ${fmt.get}; " +
-            s"this build reads fmt $FormatVersion) — upgrade the reader or " +
-            "re-snapshot the mirror")
       (arr("files"), arr("retired")) match {
-        case (Some(f), Some(r)) => Some(Manifest(f, r))
+        case (Some(f), Some(r)) =>
+          // format skew is not corruption: refuse loudly rather than
+          // misread a future layout whose arrays happen to parse. Checked
+          // only on a COMPLETE manifest (fmt is written first, so any
+          // truncation that left both arrays intact left fmt intact too) —
+          // a torn tmp still falls through to the no-commit contract below
+          if (fmt.exists(_ != FormatVersion))
+            throw new IllegalStateException(
+              s"incompatible mirror manifest format under $dir (fmt ${fmt.get}; " +
+                s"this build reads fmt $FormatVersion) — upgrade the reader or " +
+                "re-snapshot the mirror")
+          Some(Manifest(f, r))
         case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
         case _ => None
       }
@@ -146,6 +150,17 @@ object SyncManifest {
     else None
   }
 
+  /** Bucket ids the mirror's CURRENT on-disk layout occupies — from the
+    * committed manifest (files + grace generation), or from the directory
+    * listing for a pre-manifest mirror. The authoritative answer to "which
+    * buckets must a full replace touch", independent of any config.
+    */
+  def liveBuckets(spark: SparkSession, dir: String): Set[Int] =
+    read(spark, dir) match {
+      case Some(m) => (m.files ++ m.retired).flatMap(bucketOf).toSet
+      case None => listVisible(spark, dir).flatMap(bucketOf).toSet
+    }
+
   /** Commit after a FULL overwrite (snapshot / initial load): adopt every
     * visible file, nothing retired (the overwrite already cleared the dir).
     */
@@ -171,10 +186,17 @@ object SyncManifest {
     val fs = fsOf(spark, dir)
     val old = read(spark, dir).getOrElse(Manifest(preexisting, Seq.empty))
     val (replaced, kept) = old.files.partition(f => bucketOf(f).exists(touched))
-    write(spark, dir, Manifest((kept ++ newFiles).sorted, replaced.sorted))
-    val adopted = (kept ++ newFiles ++ replaced).toSet
+    // when the commit leaves the mirror EMPTY (re-snapshot from a truncated
+    // source), carry the whole previous horizon in `retired`: it is the
+    // only remaining schema carrier for readCommitted and the pinned
+    // readers' grace — it vacuums at the next data-bearing commit
+    val retired =
+      if ((kept ++ newFiles).isEmpty) (replaced ++ old.retired).distinct.sorted
+      else replaced.sorted
+    write(spark, dir, Manifest((kept ++ newFiles).sorted, retired))
+    val adopted = (kept ++ newFiles).toSet ++ retired
     val debris = listVisible(spark, dir, Some(touched)).filterNot(adopted)
-    for (f <- (old.retired ++ debris).distinct)
+    for (f <- (old.retired.filterNot(adopted) ++ debris).distinct)
       fs.delete(new Path(dir, f), false)
   }
 

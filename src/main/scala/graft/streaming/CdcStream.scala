@@ -189,6 +189,27 @@ object CdcStream {
     * partition directory, letting a racing FINAL read mix old and new
     * buckets, and forced a full materialization of `df` before the write).
     */
+  /** Replace the ENTIRE mirror content with `df` (a snapshot / full
+    * re-load), reader-atomically where possible: over a live mirror this is
+    * one [[commitBuckets]] touching the union of the new config's bucket
+    * range and every bucket the on-disk layout actually occupies — so a
+    * re-load under a smaller (or stale) bucket count still retires the old
+    * wide layout instead of leaving its high buckets live. Only the very
+    * first load of an empty directory uses a plain overwrite bootstrap.
+    */
+  def replaceAll(spark: SparkSession, df: DataFrame, targetDir: String,
+                 nBuckets: Int): Unit = {
+    import graft.sources.SyncManifest
+    if (hasVisibleParquet(spark, targetDir)) {
+      val touched = (0 until nBuckets).toSet ++
+        SyncManifest.liveBuckets(spark, targetDir)
+      commitBuckets(spark, df, targetDir, touched.toSeq.sorted)
+    } else {
+      df.write.mode("overwrite").partitionBy("bucket").parquet(targetDir)
+      SyncManifest.commitFull(spark, targetDir)
+    }
+  }
+
   def commitBuckets(spark: SparkSession, df: DataFrame, targetDir: String,
                     touched: Seq[Int]): Unit = {
     import graft.sources.SyncManifest

@@ -349,6 +349,39 @@ class IncrementalSpec extends SparkSpec {
     // the correct config keeps working
     assert(Incremental.poll(state(11), cfg8, dir).rowsSynced == 1L)
     assert(finalRows(dir) == srcRows(state(11)))
+
+    // snapshot() REDEFINES the layout, so it accepts any config — but must
+    // retire the ENTIRE old (wider) layout, not just its own bucket range,
+    // or mod-8 residue buckets would stay live beside the mod-4 snapshot
+    val st = Incremental.snapshot(state(3), cfg4, dir)
+    assert(st.nBuckets == 4)
+    assert(finalRows(dir) == srcRows(state(3)),
+      "re-snapshot under a narrower config left wide-layout rows live")
+    assert(Incremental.poll(state(3, Seq((12L, 12L, "p12"))), cfg4, dir).rowsSynced == 1L)
+  }
+
+  test("a legacy state without a bucket count is layout-probed before syncing") {
+    val dir = Files.createTempDirectory("graft_legacy_state").toString + "/t"
+    val cfg8 = TableConfig("t", Seq("key"), "seq", nBuckets = 8)
+    Incremental.snapshot(state(20), cfg8, dir)
+    // rewrite the state as the pre-upgrade format (no nBuckets field)
+    val st = Incremental.readState(spark, dir).get
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_graft_sync_state.json"), true)
+    try out.write(
+      s"""{"watermark":${st.watermark},"batchId":${st.batchId},"syncedAtMs":${st.syncedAtMs}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    // a too-small config is caught by the layout probe (live ids >= count)
+    val boom = intercept[IllegalStateException] {
+      Incremental.poll(state(21), TableConfig("t", Seq("key"), "seq", nBuckets = 4), dir)
+    }
+    assert(boom.getMessage.contains("occupies bucket ids"), boom.getMessage)
+    // the matching config syncs and persists the count for the full guard
+    assert(Incremental.poll(state(21), cfg8, dir).rowsSynced == 1L)
+    assert(Incremental.readState(spark, dir).get.nBuckets == 8)
   }
 
   test("a sweep over a footerless empty mirror is a no-op, not a read failure") {

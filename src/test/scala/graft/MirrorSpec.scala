@@ -36,6 +36,14 @@ class MirrorSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((2L, "b2"), (3L, "c")))
     assert(pinned.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
       "pinned reader torn by fullLoad re-load")
+
+    // a re-load with a SMALLER bucket count must retire the whole old
+    // layout, not just buckets 0 until the new count
+    Mirror.fullLoad(Seq((4L, "d")).toDF("key", "payload"),
+      dir, "key", lit(2L), nBuckets = 2)
+    assert(Mirror.readFinal(spark, dir, "key").select("key", "payload")
+      .as[(Long, String)].collect().toSet == Set((4L, "d")),
+      "narrower re-load left wide-layout rows live")
   }
 
   test("upsertBatch evaluates a non-deterministic batch exactly once") {

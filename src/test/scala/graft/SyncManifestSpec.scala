@@ -242,6 +242,13 @@ class SyncManifestSpec extends SparkSpec {
     assert(Mirror.readCommitted(spark, dir).columns.contains("_peerdb_version"))
     // the pinned pre-snapshot reader keeps its grace generation
     assert(pinned.as[(Long, Long, String)].collect().toSet == srcRows(v0))
+    // a SECOND empty re-snapshot must not vacuum the last schema carrier:
+    // the retired horizon carries forward until a data-bearing commit
+    Incremental.snapshot(state(0), cfg, dir)
+    assert(Mirror.readCommitted(spark, dir).count() == 0L)
+    assert(Mirror.readCommitted(spark, dir).columns.contains("_peerdb_version"),
+      "second empty commit lost the schema carrier")
+
     // and the mirror keeps working: a poll re-lands fresh data
     val r = Incremental.poll(state(0, Seq((50L, 50L, "p50"))), cfg, dir)
     assert(r.rowsSynced == 1L)
