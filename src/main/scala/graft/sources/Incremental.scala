@@ -57,11 +57,12 @@ object Incremental {
   /** Same-layout guard: the config driving a sync must agree with the
     * bucket count persisted beside the mirror (see [[rebucket]]). For a
     * state written before the count was persisted (−1), probe the layout
-    * itself: a live bucket id at or above the config's count proves the
-    * config is too small (the converse — a too-large config over a small
-    * layout whose high buckets happen to be empty — is undetectable from
-    * the layout; the first post-upgrade sync then persists the config's
-    * count and the full guard takes over).
+    * itself: a CURRENT (non-retired) bucket id at or above the config's
+    * count proves the config is wrong. The probe is best-effort — a wrong
+    * count whose occupied ids all happen to fall below it is undetectable
+    * from the layout in either direction — so the first post-upgrade sync
+    * immediately persists the config's count ([[adoptBuckets]]) and the
+    * exact guard takes over from there.
     */
   private def checkBuckets(spark: SparkSession, st: SyncState, cfg: TableConfig,
                            mirrorDir: String): Unit = {
@@ -71,15 +72,28 @@ object Incremental {
           s"config says ${cfg.nBuckets} — use the TableConfig returned by " +
           "rebucket(), or rebucket() again")
     if (st.nBuckets < 0) {
-      val maxLive = SyncManifest.liveBuckets(spark, mirrorDir)
+      val maxLive = SyncManifest.liveBuckets(spark, mirrorDir, includeRetired = false)
         .foldLeft(-1)(math.max)
       if (maxLive >= cfg.nBuckets)
         throw new IllegalStateException(
           s"mirror $mirrorDir occupies bucket ids up to $maxLive but the " +
-            s"config says ${cfg.nBuckets} buckets — fix the config or " +
-            "rebucket()")
+            s"config says ${cfg.nBuckets} buckets — fix the config, or " +
+            "re-snapshot to redefine the layout")
     }
   }
+
+  /** Persist the adopted bucket count into a legacy state RIGHT AWAY (not
+    * only on the next data-bearing sync): an idle table would otherwise
+    * re-run the layout probe's listing on every poll forever.
+    */
+  private def adoptBuckets(spark: SparkSession, st: SyncState, cfg: TableConfig,
+                           mirrorDir: String): SyncState =
+    if (st.nBuckets >= 0) st
+    else {
+      val adopted = st.copy(nBuckets = cfg.nBuckets)
+      writeState(spark, mirrorDir, adopted)
+      adopted
+    }
 
   /** One poll's outcome. */
   case class PollResult(state: SyncState, rowsSynced: Long)
@@ -179,10 +193,11 @@ object Incremental {
            isDelete: Column = lit(false),
            syncedAt: Column = current_timestamp()): PollResult = {
     val spark = source.sparkSession
-    val st = readState(spark, mirrorDir).getOrElse(
+    val st0 = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
         s"no capture state under $mirrorDir — run snapshot() first"))
-    checkBuckets(spark, st, cfg, mirrorDir)
+    checkBuckets(spark, st0, cfg, mirrorDir)
+    val st = adoptBuckets(spark, st0, cfg, mirrorDir)
     // the delta is cached across the poll so the watermark probe and the
     // merge read ONE evaluation of the source (a live tail re-evaluated
     // per consumer could advance the watermark past rows the merge never
@@ -283,10 +298,11 @@ object Incremental {
                        maxDeleteFraction: Double = 0.5,
                        resurrect: Boolean = true): PollResult = {
     val spark = source.sparkSession
-    val st = readState(spark, mirrorDir).getOrElse(
+    val st0 = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
         s"no capture state under $mirrorDir — run snapshot() first"))
-    checkBuckets(spark, st, cfg, mirrorDir)
+    checkBuckets(spark, st0, cfg, mirrorDir)
+    val st = adoptBuckets(spark, st0, cfg, mirrorDir)
     // a mirror snapshotted from an empty source has state but no parquet
     // footers — nothing can be flagged, so the sweep is a no-op rather
     // than a schema-inference failure

@@ -70,20 +70,22 @@ object SyncManifest {
       def arr(k: String): Option[Seq[String]] =
         ("\"%s\"\\s*:\\s*\\[([^\\]]*)\\]".format(k)).r.findFirstMatchIn(txt)
           .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      // format skew is not corruption, and it must refuse LOUDLY even when
+      // the rest of the file doesn't parse (a future writer's arrays may
+      // not match these regexes at all — falling through to the plain
+      // directory read would silently mix generations). fmt is written
+      // first, so a torn CURRENT-format tmp still reads fmt=1 and lands on
+      // the no-commit contract below; only a tmp torn inside the fmt
+      // digits themselves trades the contract for a loud (approximate)
+      // version error, which is the safe direction.
       val fmt = """"fmt"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      if (fmt.exists(_ != FormatVersion))
+        throw new IllegalStateException(
+          s"incompatible mirror manifest format under $dir (fmt ${fmt.get}; " +
+            s"this build reads fmt $FormatVersion) — upgrade the reader or " +
+            "re-snapshot the mirror")
       (arr("files"), arr("retired")) match {
-        case (Some(f), Some(r)) =>
-          // format skew is not corruption: refuse loudly rather than
-          // misread a future layout whose arrays happen to parse. Checked
-          // only on a COMPLETE manifest (fmt is written first, so any
-          // truncation that left both arrays intact left fmt intact too) —
-          // a torn tmp still falls through to the no-commit contract below
-          if (fmt.exists(_ != FormatVersion))
-            throw new IllegalStateException(
-              s"incompatible mirror manifest format under $dir (fmt ${fmt.get}; " +
-                s"this build reads fmt $FormatVersion) — upgrade the reader or " +
-                "re-snapshot the mirror")
-          Some(Manifest(f, r))
+        case (Some(f), Some(r)) => Some(Manifest(f, r))
         case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
         case _ => None
       }
@@ -150,14 +152,21 @@ object SyncManifest {
     else None
   }
 
-  /** Bucket ids the mirror's CURRENT on-disk layout occupies — from the
-    * committed manifest (files + grace generation), or from the directory
-    * listing for a pre-manifest mirror. The authoritative answer to "which
-    * buckets must a full replace touch", independent of any config.
+  /** Bucket ids the mirror's on-disk layout occupies — from the committed
+    * manifest, or from the directory listing for a pre-manifest mirror.
+    *
+    * @param includeRetired include the grace generation's buckets. A full
+    *                       replace must touch those too (to finish retiring
+    *                       a wider old layout); a LIVENESS probe must not —
+    *                       retired files of an already-replaced layout say
+    *                       nothing about the current bucket space.
     */
-  def liveBuckets(spark: SparkSession, dir: String): Set[Int] =
+  def liveBuckets(spark: SparkSession, dir: String,
+                  includeRetired: Boolean = true): Set[Int] =
     read(spark, dir) match {
-      case Some(m) => (m.files ++ m.retired).flatMap(bucketOf).toSet
+      case Some(m) =>
+        (if (includeRetired) m.files ++ m.retired else m.files)
+          .flatMap(bucketOf).toSet
       case None => listVisible(spark, dir).flatMap(bucketOf).toSet
     }
 

@@ -178,17 +178,6 @@ object CdcStream {
     found
   }
 
-  /** Commit `df` as the new content of the `touched` buckets under
-    * `targetDir`: APPEND fresh part files, then atomically swap the sync
-    * manifest ([[graft.sources.SyncManifest.commitAfterAppend]]). Because
-    * nothing is overwritten in place, `df`'s plan may freely READ the very
-    * bucket contents it replaces (a merge or in-place update of the mirror)
-    * — the files it reads are the committed generation, which the append
-    * never touches and the vacuum retains until the NEXT commit. This
-    * replaced the old dynamic-partition-overwrite (which committed per
-    * partition directory, letting a racing FINAL read mix old and new
-    * buckets, and forced a full materialization of `df` before the write).
-    */
   /** Replace the ENTIRE mirror content with `df` (a snapshot / full
     * re-load), reader-atomically where possible: over a live mirror this is
     * one [[commitBuckets]] touching the union of the new config's bucket
@@ -210,6 +199,17 @@ object CdcStream {
     }
   }
 
+  /** Commit `df` as the new content of the `touched` buckets under
+    * `targetDir`: APPEND fresh part files, then atomically swap the sync
+    * manifest ([[graft.sources.SyncManifest.commitAfterAppend]]). Because
+    * nothing is overwritten in place, `df`'s plan may freely READ the very
+    * bucket contents it replaces (a merge or in-place update of the mirror)
+    * — the files it reads are the committed generation, which the append
+    * never touches and the vacuum retains until the NEXT commit. This
+    * replaced the old dynamic-partition-overwrite (which committed per
+    * partition directory, letting a racing FINAL read mix old and new
+    * buckets, and forced a full materialization of `df` before the write).
+    */
   def commitBuckets(spark: SparkSession, df: DataFrame, targetDir: String,
                     touched: Seq[Int]): Unit = {
     import graft.sources.SyncManifest

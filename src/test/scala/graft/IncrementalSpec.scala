@@ -379,7 +379,12 @@ class IncrementalSpec extends SparkSpec {
       Incremental.poll(state(21), TableConfig("t", Seq("key"), "seq", nBuckets = 4), dir)
     }
     assert(boom.getMessage.contains("occupies bucket ids"), boom.getMessage)
-    // the matching config syncs and persists the count for the full guard
+    // even an IDLE poll under the matching config persists the adopted
+    // count immediately — the layout probe's listing must not re-run on
+    // every poll of a quiet table
+    assert(Incremental.poll(state(20), cfg8, dir).rowsSynced == 0L)
+    assert(Incremental.readState(spark, dir).get.nBuckets == 8)
+    // and data-bearing syncs keep working
     assert(Incremental.poll(state(21), cfg8, dir).rowsSynced == 1L)
     assert(Incremental.readState(spark, dir).get.nBuckets == 8)
   }
