@@ -77,6 +77,8 @@ object SparkEntry {
         t(s, d, "lineitem"), t(s, d, "nation"))),
     "q15_top_supplier" -> ((s, d) =>
       Analytics.topSupplier(t(s, d, "supplier"), t(s, d, "lineitem"))),
+    "q17_small_qty_revenue" -> ((s, d) =>
+      Analytics.smallQuantityRevenue(t(s, d, "part"), t(s, d, "lineitem"), "Brand#1")),
 
     // ---- CDC core ---------------------------------------------------------
     "cdc_latest_snapshot" -> ((s, d) =>
@@ -457,6 +459,20 @@ object SparkEntry {
          FROM supplier, revenue
          WHERE s_suppkey = l_suppkey
            AND total_rev = (SELECT max(total_rev) FROM revenue)""",
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+         FROM lineitem,
+              (SELECT l_partkey AS agg_partkey,
+                      sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+                      count(*) AS qty_cnt
+               FROM lineitem, part
+               WHERE l_partkey = p_partkey AND p_brand = 'Brand#1'
+               GROUP BY l_partkey) pa,
+              part
+         WHERE l_partkey = p_partkey AND p_brand = 'Brand#1'
+           AND l_partkey = agg_partkey
+           AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_cnt < qty_sum""",
     "part_type_share" ->
       s"""SELECT p_brand,
          CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,

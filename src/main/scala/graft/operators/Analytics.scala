@@ -291,6 +291,27 @@ object Analytics {
       .agg(sum(vol).cast("double").as("revenue"))
       .withColumn("acctbal", col("acctbal").cast("double"))
 
+  /** TPC-H Q17-style small-quantity revenue: average yearly revenue lost if
+    * orders below 20% of a part's average quantity were no longer taken,
+    * for one brand. The per-part average is the classic correlated scalar
+    * subquery; here it is a per-part (sum, count) aggregate joined back,
+    * and the 20%-of-average cut is evaluated in MULTIPLIED-OUT form
+    * (`qty * 5 * cnt < sum`) so the comparison stays exact decimal/integer
+    * math — no engine-specific decimal-division semantics in the predicate.
+    * Only the final divide-by-7 runs in double, after the exact sum.
+    */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
+                           brand: String): DataFrame = {
+    val li = lineitem.join(
+      broadcast(part.where(col("p_brand") === brand).select(col("p_partkey"))),
+      col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(dec("l_quantity")).as("qty_sum"), count(lit(1)).as("qty_cnt"))
+    li.join(perPart, col("l_partkey") === col("agg_partkey"))
+      .where(dec("l_quantity") * lit(5) * col("qty_cnt") < col("qty_sum"))
+      .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
   /** TPC-H Q15-style top supplier: per-supplier revenue over one quarter,
     * keeping every supplier that ties the maximum — the scalar-subquery
     * pattern, expressed as a 1-row broadcast join against the max of the
