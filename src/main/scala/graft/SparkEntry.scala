@@ -269,6 +269,10 @@ object SparkEntry {
         .select(col("e._1").as("word"), col("e._2").as("approx_n"))
     }),
 
+    // context-length-bounded training chunks: 64-word windows, 16 overlap
+    "docs_chunks" -> ((s, d) =>
+      Chunking.wordChunks(t(s, d, "documents"), "doc_id", "text", 64, 16)),
+
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
     // prefix-filtered (guaranteed recall, vocabulary-sized block space):
@@ -459,6 +463,15 @@ object SparkEntry {
          FROM supplier, revenue
          WHERE s_suppkey = l_suppkey
            AND total_rev = (SELECT max(total_rev) FROM revenue)""",
+    "docs_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+              s AS (SELECT doc_id, words, unnest(range(0, len(words), 48)) AS start
+                    FROM d WHERE len(words) > 0)
+         SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+                array_to_string(list_slice(words, start + 1, start + 64), ' ')
+                  AS chunk_text,
+                CAST(least(64, len(words) - start) AS BIGINT) AS n_words
+         FROM s""",
     "q17_small_qty_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
              AS avg_yearly

@@ -46,4 +46,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n(3L) == 1L)
     assert(n(0L) == math.ceil(23 / 4.0).toLong)
   }
+
+  test("wordChunks windows every word with the requested overlap, clipping the tail") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = graft.operators.Chunking.wordChunks(
+        Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text",
+        chunkSize = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_words")
+      .as[(Long, String, Long)].collect().toSeq
+    // starts every 3 words: 0,3,6,9 — final window clipped to 1 word
+    assert(out == Seq(
+      (0L, "w1 w2 w3 w4", 4L),
+      (1L, "w4 w5 w6 w7", 4L),
+      (2L, "w7 w8 w9 w10", 4L),
+      (3L, "w10", 1L)))
+    // every word appears in some chunk; consecutive chunks share `overlap`
+    assert((1 to 10).forall(i => out.exists(_._2.split(" ").contains(s"w$i"))))
+    for (Seq(a, b) <- out.map(_._2.split(" ").toSeq).sliding(2))
+      assert(a.takeRight(1) == b.take(1))
+    // zero-word docs yield no chunks; overlap >= chunkSize is refused
+    assert(graft.operators.Chunking.wordChunks(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", 4).count() == 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Chunking.wordChunks(
+        Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text", 4, overlap = 4)
+    }
+  }
 }
