@@ -272,6 +272,11 @@ object SparkEntry {
     // context-length-bounded training chunks: 64-word windows, 16 overlap
     "docs_chunks" -> ((s, d) =>
       Chunking.wordChunks(t(s, d, "documents"), "doc_id", "text", 64, 16)),
+    // chunks packed into 256-word training sequences across 8 shards
+    "docs_packed" -> ((s, d) =>
+      Chunking.packChunks(
+        Chunking.wordChunks(t(s, d, "documents"), "doc_id", "text", 64, 16),
+        "doc_id", "chunk_idx", "n_words", budget = 256, shards = 8)),
 
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
@@ -472,6 +477,20 @@ object SparkEntry {
                   AS chunk_text,
                 CAST(least(64, len(words) - start) AS BIGINT) AS n_words
          FROM s""",
+    "docs_packed" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+              s AS (SELECT doc_id, words, unnest(range(0, len(words), 48)) AS start
+                    FROM d WHERE len(words) > 0),
+              c AS (SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+                           CAST(least(64, len(words) - start) AS BIGINT) AS n_words
+                    FROM s)
+         SELECT doc_id, chunk_idx, n_words,
+                CAST(doc_id % 8 AS BIGINT) AS shard,
+                CAST(COALESCE(sum(n_words) OVER (
+                       PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     // 256 AS BIGINT) AS seq_id
+         FROM c""",
     "q17_small_qty_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
              AS avg_yearly

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document chunking for training pipelines: split each document into
@@ -47,5 +48,32 @@ object Chunking {
           (col("_graft_start") + 1).cast("int"), lit(chunkSize)), " ").as("chunk_text"),
         least(lit(chunkSize.toLong), col("_graft_n") - col("_graft_start"))
           .cast("bigint").as("n_words"))
+  }
+
+  /** Contiguous sequence packing: assign each chunk to a fixed-budget
+    * training sequence — the pretraining step after [[wordChunks]] (fill
+    * sequences back-to-back; document boundaries do not reset a sequence,
+    * the standard packing for causal-LM data). A chunk belongs to the
+    * sequence its FIRST word lands in (`floor(running_total_before / budget)`),
+    * so sequences can overrun the budget by at most one chunk rather than
+    * splitting chunks mid-window.
+    *
+    * Scale: a single global running sum would serialize onto one task, so
+    * packing runs per SHARD — `shard = id mod shards`, one window partition
+    * each, all shards in parallel; a training job reads (shard, seq_id)
+    * groups. Deterministic for a fixed (ids, shards): the order inside a
+    * shard is (id, chunk_idx).
+    */
+  def packChunks(chunks: DataFrame, idCol: String, idxCol: String,
+                 nWordsCol: String, budget: Int, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, s"bad budget=$budget shards=$shards")
+    val shard = pmod(col(idCol), lit(shards.toLong)).cast("bigint")
+    val w = Window.partitionBy(shard).orderBy(col(idCol), col(idxCol))
+    val before = coalesce(
+      sum(col(nWordsCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    chunks.select(col(idCol), col(idxCol), col(nWordsCol),
+      shard.as("shard"),
+      floor(before / budget).cast("bigint").as("seq_id"))
   }
 }

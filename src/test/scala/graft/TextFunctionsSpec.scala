@@ -74,4 +74,26 @@ class TextFunctionsSpec extends SparkSpec {
         Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text", 4, overlap = 4)
     }
   }
+
+  test("packChunks fills fixed-budget sequences per shard, start-based") {
+    // chunks of 4 words each, budget 10, single shard: running totals
+    // 0,4,8,12,... -> seq = floor(before/10) = 0,0,0,1,1,2 for 6 chunks
+    val chunks = (0 until 6).map(i => (1L, i.toLong, 4L))
+      .toDF("doc_id", "chunk_idx", "n_words")
+    val out = graft.operators.Chunking.packChunks(
+        chunks, "doc_id", "chunk_idx", "n_words", budget = 10, shards = 1)
+      .orderBy("chunk_idx").select("seq_id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 0L, 1L, 1L, 2L))
+    // shards partition by id mod shards; packing is independent per shard
+    val multi = (1L to 4L).flatMap(id => (0 until 3).map(i => (id, i.toLong, 4L)))
+      .toDF("doc_id", "chunk_idx", "n_words")
+    val byShard = graft.operators.Chunking.packChunks(
+        multi, "doc_id", "chunk_idx", "n_words", budget = 8, shards = 2)
+      .select("doc_id", "shard", "seq_id").as[(Long, Long, Long)].collect()
+    assert(byShard.forall { case (id, s, _) => s == id % 2 })
+    // each shard holds 2 docs x 3 chunks = 24 words -> seqs 0,0,1,1,2,2
+    for (s <- 0L to 1L)
+      assert(byShard.filter(_._2 == s).map(_._3).sorted.toSeq ==
+        Seq(0L, 0L, 1L, 1L, 2L, 2L), s"shard $s packing broken")
+  }
 }
