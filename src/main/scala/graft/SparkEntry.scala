@@ -469,25 +469,29 @@ object SparkEntry {
          WHERE s_suppkey = l_suppkey
            AND total_rev = (SELECT max(total_rev) FROM revenue)""",
     "docs_chunks" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-              s AS (SELECT doc_id, words, unnest(range(0, len(words), 48)) AS start
-                    FROM d WHERE len(words) > 0)
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents WHERE len(trim(text)) > 0),
+              s AS (SELECT doc_id, words,
+                           unnest(range(0, greatest(len(words) - 16, 1), 48)) AS start
+                    FROM d)
          SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
                 array_to_string(list_slice(words, start + 1, start + 64), ' ')
                   AS chunk_text,
                 CAST(least(64, len(words) - start) AS BIGINT) AS n_words
          FROM s""",
     "docs_packed" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-              s AS (SELECT doc_id, words, unnest(range(0, len(words), 48)) AS start
-                    FROM d WHERE len(words) > 0),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents WHERE len(trim(text)) > 0),
+              s AS (SELECT doc_id, words,
+                           unnest(range(0, greatest(len(words) - 16, 1), 48)) AS start
+                    FROM d),
               c AS (SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
                            CAST(least(64, len(words) - start) AS BIGINT) AS n_words
                     FROM s)
          SELECT doc_id, chunk_idx, n_words,
-                CAST(doc_id % 8 AS BIGINT) AS shard,
+                CAST(((doc_id % 8) + 8) % 8 AS BIGINT) AS shard,
                 CAST(COALESCE(sum(n_words) OVER (
-                       PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+                       PARTITION BY ((doc_id % 8) + 8) % 8 ORDER BY doc_id, chunk_idx
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      // 256 AS BIGINT) AS seq_id
          FROM c""",

@@ -302,8 +302,10 @@ object Analytics {
     */
   def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
                            brand: String): DataFrame = {
+    // part grows with the scale factor: no broadcast hint (module policy —
+    // AQE broadcasts the brand slice while it fits, shuffles at 100 TB)
     val li = lineitem.join(
-      broadcast(part.where(col("p_brand") === brand).select(col("p_partkey"))),
+      part.where(col("p_brand") === brand).select(col("p_partkey")),
       col("l_partkey") === col("p_partkey"))
     val perPart = li.groupBy(col("l_partkey").as("agg_partkey"))
       .agg(sum(dec("l_quantity")).as("qty_sum"), count(lit(1)).as("qty_cnt"))

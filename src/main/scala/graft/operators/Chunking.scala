@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
 object Chunking {
 
   /** One row per (doc, window): (idCol, chunk_idx, chunk_text, n_words).
-    * Windows start every `chunkSize − overlap` words; the final window is
-    * clipped to the document end (so trailing words are never dropped and
-    * every window has ≥ 1 word). Documents with no words yield no rows.
+    * Windows start every `chunkSize − overlap` words under the corpus-wide
+    * tokenization ([[graft.functions.TextFunctions.tokens]]); the final
+    * window is clipped to the document end, and a start whose window would
+    * contribute ONLY already-covered words (tail length ≤ overlap) is not
+    * emitted — every chunk adds at least one new word, and every word
+    * appears in some chunk. Blank documents yield no rows.
     *
     * @param chunkSize window width, in words
     * @param overlap   words shared between consecutive windows
@@ -33,13 +36,14 @@ object Chunking {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val step = (chunkSize - overlap).toLong
-    val words: Column = split(col(textCol), " ")
-    val n: Column = size(words)
+    val words: Column = graft.functions.TextFunctions.tokens(col(textCol))
     docs
-      .select(col(idCol), words.as("_graft_words"), n.as("_graft_n"))
-      .where(col("_graft_n") > 0)
+      .select(col(idCol), words.as("_graft_words"),
+        size(words).as("_graft_n"))
+      .where(length(trim(col(textCol))) > 0) // split("") is [""], not []
       .select(col(idCol), col("_graft_words"), col("_graft_n"),
-        explode(sequence(lit(0L), (col("_graft_n") - 1).cast("long"), lit(step)))
+        explode(sequence(lit(0L),
+          greatest(col("_graft_n") - 1 - overlap, lit(0)).cast("long"), lit(step)))
           .as("_graft_start"))
       .select(
         col(idCol),
@@ -56,7 +60,9 @@ object Chunking {
     * the standard packing for causal-LM data). A chunk belongs to the
     * sequence its FIRST word lands in (`floor(running_total_before / budget)`),
     * so sequences can overrun the budget by at most one chunk rather than
-    * splitting chunks mid-window.
+    * splitting chunks mid-window. (With a chunk LARGER than the whole
+    * budget — not produced by [[wordChunks]] under a budget ≥ chunkSize —
+    * assigned seq ids skip numbers; they remain monotone per shard.)
     *
     * Scale: a single global running sum would serialize onto one task, so
     * packing runs per SHARD — `shard = id mod shards`, one window partition

@@ -55,19 +55,24 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy("chunk_idx")
       .select("chunk_idx", "chunk_text", "n_words")
       .as[(Long, String, Long)].collect().toSeq
-    // starts every 3 words: 0,3,6,9 — final window clipped to 1 word
+    // starts every 3 words: 0,3,6 — a start at 9 would contribute only the
+    // already-covered w10 (tail <= overlap), so it is not emitted
     assert(out == Seq(
       (0L, "w1 w2 w3 w4", 4L),
       (1L, "w4 w5 w6 w7", 4L),
-      (2L, "w7 w8 w9 w10", 4L),
-      (3L, "w10", 1L)))
+      (2L, "w7 w8 w9 w10", 4L)))
     // every word appears in some chunk; consecutive chunks share `overlap`
     assert((1 to 10).forall(i => out.exists(_._2.split(" ").contains(s"w$i"))))
     for (Seq(a, b) <- out.map(_._2.split(" ").toSeq).sliding(2))
       assert(a.takeRight(1) == b.take(1))
-    // zero-word docs yield no chunks; overlap >= chunkSize is refused
+    // a doc shorter than the overlap still yields its (single) chunk
+    val tiny = graft.operators.Chunking.wordChunks(
+        Seq((1L, "only")).toDF("doc_id", "text"), "doc_id", "text", 4, overlap = 1)
+      .select("chunk_text", "n_words").as[(String, Long)].collect().toSeq
+    assert(tiny == Seq(("only", 1L)))
+    // blank docs yield no chunks; overlap >= chunkSize is refused
     assert(graft.operators.Chunking.wordChunks(
-      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"),
       "doc_id", "text", 4).count() == 0L)
     intercept[IllegalArgumentException] {
       graft.operators.Chunking.wordChunks(
