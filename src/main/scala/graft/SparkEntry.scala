@@ -15,12 +15,14 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
-  /** Scratch dir for the driver-entry index lifecycle: ONE per JVM, reused
-    * across invocations (create() replaces the previous tree) and removed
-    * on exit — repeated Verify/Bench runs must not strand sf-sized index
-    * trees under /tmp.
+  /** Scratch root for the driver-entry index lifecycle: ONE per JVM,
+    * removed on exit — repeated Verify/Bench runs must not strand sf-sized
+    * index trees under /tmp. Each invocation gets a FRESH subdirectory
+    * (counter suffix) so concurrent evaluation, or re-evaluating a frame
+    * returned by an earlier invocation after a later create(), never races
+    * on the same index files.
     */
-  private lazy val indexScratch: String = {
+  private lazy val indexScratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft_jidx_drv")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
@@ -29,8 +31,11 @@ object SparkEntry {
             .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }))
-    root.toString + "/idx"
+    root
   }
+  private val indexScratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def indexScratch: String =
+    indexScratchRoot.toString + "/idx" + indexScratchSeq.getAndIncrement()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -78,8 +78,12 @@ object Chunking {
     val before = coalesce(
       sum(col(nWordsCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
+    // `div` (IntegralDivide) stays in long arithmetic — floor(a / b) routes
+    // through double and would misassign seq ids once a shard's running
+    // word total passes 2^53; the operator advertises exact semantics.
     chunks.select(col(idCol), col(idxCol), col(nWordsCol),
-      shard.as("shard"),
-      floor(before / budget).cast("bigint").as("seq_id"))
+        shard.as("shard"), before.as("_graft_before"))
+      .select(col(idCol), col(idxCol), col(nWordsCol), col("shard"),
+        expr(s"_graft_before div ${budget}L").cast("bigint").as("seq_id"))
   }
 }

@@ -31,9 +31,14 @@ import org.apache.spark.sql.functions._
   * tmp fallback in [[JaccardIndex.load]] — a crash between the delete and
   * the rename leaves only the complete tmp, which is safe to adopt because
   * the meta is written strictly after all three data dirs are committed).
-  * Readers filter `b < committed batches`, so a crash mid-append — and
-  * likewise [[probe]]'s uncommitted batch spill — leaves invisible stray
-  * files that the next add simply overwrites: the index is never read torn.
+  * Readers filter `b < committed batches`, so a crash mid-append leaves
+  * invisible stray files that the next add simply overwrites: the index is
+  * never read torn. [[probe]] additionally spills its batch relations to a
+  * process-unique `dir/_probe/<id>/` subtree (underscore-prefixed, so no
+  * committed-relation reader ever lists it) — probe MUTATES DISK but never
+  * the committed layout, so concurrent probers are safe alongside the
+  * single writer; crashed probers leave `_probe` debris that the next
+  * [[JaccardIndex.create]] reclaims.
   * `fmt` names the layout version; [[load]] rejects a meta from an
   * incompatible layout with a rebuild-with-create() error instead of
   * mis-reporting it as corruption.
@@ -69,8 +74,10 @@ import org.apache.spark.sql.functions._
   * directory, so per-batch read IO tracks the candidate volume, not the
   * corpus size. Index storage is one posting row per prefix token
   * (≈ (1−t) of the corpus token count) plus one hash-set row per doc — the
-  * same order as the mirrored text itself. Single writer per index dir
-  * (same contract as the capture state file).
+  * same order as the mirrored text itself. Single WRITER (add/create) per
+  * index dir — same contract as the capture state file; probes are
+  * readers (their spill is private per instance) and may run concurrently
+  * with each other and with the writer.
   */
 final class JaccardIndex private (spark: SparkSession, val dir: String,
                                   val threshold: Double, val parts: Int,
@@ -92,8 +99,10 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     * wrote zero rows to this relation, or only hidden `_temporary` debris
     * remains) must read as EMPTY rather than fail schema inference.
     */
-  private def hasData(name: String): Boolean = {
-    val root = new Path(rel(name))
+  private def hasData(name: String): Boolean = hasDataAt(rel(name))
+
+  private def hasDataAt(path: String): Boolean = {
+    val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return false
     val qualified = fs.makeQualified(root)
@@ -179,23 +188,65 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     * one-shot [[Dedup.jaccardPairsIncremental]] on the same inputs.
     *
     * Deterministic by construction: the batch pipeline executes exactly
-    * ONCE (materialized, then spilled to UNCOMMITTED `b=K` dirs — the meta
-    * stays at K, so index readers never see them; they are exactly the
-    * crash-debris the layout already tolerates, overwritten by the next
-    * add) and the returned plan reads only files — a non-deterministic
-    * batch source (a live JDBC tail) cannot make the pruning collects
-    * disagree with the pair join. The spill means probe needs the same
-    * single-writer ownership of `dir` as add. The returned frame stays
-    * re-evaluable until the next add/probe at the SAME batch ordinal
-    * overwrites the spill — [[probeAndAdd]] advances the ordinal per sync,
-    * so a continuous pipeline can hold each sync's pairs open indefinitely.
+    * ONCE (materialized, then spilled to this instance's PRIVATE
+    * `_probe/<id>` subtree — never the committed layout, so index readers
+    * and other probers never see it) and the returned plan reads only
+    * files — a non-deterministic batch source (a live JDBC tail) cannot
+    * make the pruning collects disagree with the pair join. Probe does NOT
+    * need writer ownership of `dir`: any number of concurrent probers
+    * (other processes, other instances in this JVM) are safe alongside the
+    * single add/create writer, each spilling to its own subtree. The
+    * returned frame stays re-evaluable until THIS instance's next probe
+    * overwrites its spill — [[probeAndAdd]] instead commits the batch and
+    * probes the committed copy, so a continuous pipeline can hold each
+    * sync's pairs open indefinitely.
     */
   def probe(batch: DataFrame, idCol: String, textCol: String): DataFrame = synchronized {
     val k = committedBatches
     val p = prepare(batch, idCol, textCol)
-    materialized(p)(writeBatchRelations(p, k))
-    probeAgainst(committedBatch("postings", k, "p", p.post),
-      committedBatch("sets", k, "q", p.sets), k)
+    materialized(p)(writeProbeSpill(p))
+    probeAgainst(spilled("postings", "p", p.post),
+      spilled("sets", "q", p.sets), k)
+  }
+
+  /** Spill root for [[probe]]'s batch relations: an underscore-prefixed
+    * sibling of the committed relations (so no committed-relation reader
+    * lists it), unique per index INSTANCE (so concurrent probers of the
+    * same dir never overwrite each other's in-flight spill — the committed
+    * layout's `b=K` dirs would be shared across processes). Best-effort
+    * removed on JVM exit; a crashed prober's leftover tree is ordinary
+    * crash debris, reclaimed by the next [[JaccardIndex.create]].
+    */
+  private lazy val probeSpillRoot: String = {
+    val path = s"$dir/_probe/${java.util.UUID.randomUUID().toString.take(12)}"
+    val conf = spark.sparkContext.hadoopConfiguration
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      } catch { case _: Throwable => () }))
+    path
+  }
+
+  private def writeProbeSpill(p: Prepared): Unit = {
+    p.post.withColumn("p", partOf(col("w")))
+      .repartition(col("p"))
+      .write.mode("overwrite").partitionBy("p").parquet(s"$probeSpillRoot/postings")
+    p.sets.withColumn("q", partOf(col("id")))
+      .repartition(col("q"))
+      .write.mode("overwrite").partitionBy("q").parquet(s"$probeSpillRoot/sets")
+  }
+
+  /** Read one spilled batch relation back; `fallback` supplies the schema
+    * when the batch wrote no rows (empty-frame parquet writes carry no
+    * data files).
+    */
+  private def spilled(name: String, partCol: String,
+                      fallback: => DataFrame): DataFrame = {
+    val path = s"$probeSpillRoot/$name"
+    if (!hasDataAt(path)) fallback.limit(0)
+    else spark.read.parquet(path).drop(partCol)
   }
 
   private def probeAgainst(bpost: DataFrame, bsets: DataFrame,

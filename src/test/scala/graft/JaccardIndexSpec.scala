@@ -145,8 +145,11 @@ class JaccardIndexSpec extends SparkSpec {
         case _ => false
       })
     def prunedOn(rel: String, pc: String) = {
+      // the batch side's own spill (under _probe/) is read whole by design —
+      // only COMMITTED corpus relations must be scan-pruned
       val s = scans().filter(
-        _.relation.location.rootPaths.exists(_.toString.endsWith(rel)))
+        _.relation.location.rootPaths.exists(p =>
+          p.toString.endsWith(rel) && !p.toString.contains("/_probe/")))
       s.exists(_.partitionFilters.exists(_.references.exists(_.name == pc))) &&
         s.forall(f => batchSide(f) ||
           f.partitionFilters.exists(_.references.exists(_.name == pc)))
@@ -209,6 +212,28 @@ class JaccardIndexSpec extends SparkSpec {
     val got = pairs(JaccardIndex.load(spark, dir).probeAndAdd(
       Seq((200L, "aa bb cc dd ee fh")).toDF("doc_id", "text"), "doc_id", "text"))
     assert(got.map(q => (q._1, q._2)) == Set((1L, 200L)))
+  }
+
+  test("concurrent probers of one index dir never overwrite each other's spill") {
+    val corpus = Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_jidx_multi").toString + "/idx"
+    JaccardIndex.create(corpus, "doc_id", "text", 0.7, dir)
+    val a = JaccardIndex.load(spark, dir)
+    val b = JaccardIndex.load(spark, dir)
+    val pa = a.probe(Seq((10L, "aa bb cc dd ee fg")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val firstA = pairs(pa)
+    assert(firstA.map(p => (p._1, p._2)) == Set((1L, 10L)))
+    // a second prober of the SAME committed dir (another instance — the same
+    // per-instance spill path isolates other processes, which share the
+    // committed b=K namespace) probes a disjoint batch while A's frame is
+    // still open
+    val pb = b.probe(Seq((20L, "zz yy xx ww vv uu"), (21L, "zz yy xx ww vv ut"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(pairs(pb).map(p => (p._1, p._2)) == Set((20L, 21L)))
+    // A's plan reads A's private spill: re-evaluation is unaffected by B
+    assert(pairs(pa) == firstA,
+      "a foreign probe's spill corrupted this probe's open plan")
   }
 
   test("load tells format skew apart from corruption") {

@@ -101,4 +101,36 @@ class TextFunctionsSpec extends SparkSpec {
       assert(byShard.filter(_._2 == s).map(_._3).sorted.toSeq ==
         Seq(0L, 0L, 1L, 1L, 2L, 2L), s"shard $s packing broken")
   }
+
+  test("packChunks sequences stay within the budget-overrun bounds") {
+    // start-based assignment bounds (chunks of at most chunkSize words):
+    // every sequence holds < budget + chunkSize words, and every sequence
+    // except the shard's LAST holds > budget - chunkSize words
+    val chunkSize = 7; val budget = 20
+    // adversarial fixture: chunk lengths sweep 1..chunkSize in a pattern
+    // decorrelated from doc/shard boundaries, docs of uneven chunk counts
+    val chunks = (1L to 40L).flatMap { id =>
+      (0 until (id % 5 + 3).toInt).map { i =>
+        (id, i.toLong, ((id * 31 + i * 17) % chunkSize + 1))
+      }
+    }.toDF("doc_id", "chunk_idx", "n_words")
+    val seqs = graft.operators.Chunking.packChunks(
+        chunks, "doc_id", "chunk_idx", "n_words", budget, shards = 4)
+      .groupBy("shard", "seq_id")
+      .agg(org.apache.spark.sql.functions.sum("n_words").as("w"))
+      .as[(Long, Long, Long)].collect()
+    assert(seqs.length > 12, "fixture too small to exercise the bounds")
+    for ((shard, inShard) <- seqs.groupBy(_._1)) {
+      val last = inShard.map(_._2).max
+      for ((_, seq, w) <- inShard) {
+        assert(w <= budget + chunkSize - 1,
+          s"shard $shard seq $seq overran the budget: $w words")
+        if (seq != last) assert(w >= budget - chunkSize + 1,
+          s"shard $shard non-last seq $seq underfull: $w words")
+      }
+      // with every chunk <= budget, assigned seq ids are dense per shard
+      assert(inShard.map(_._2).sorted.toSeq == (0L to last).toSeq,
+        s"shard $shard skipped a sequence id")
+    }
+  }
 }
