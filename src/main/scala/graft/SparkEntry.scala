@@ -347,6 +347,15 @@ object SparkEntry {
       val embs = t(s, d, "embeddings")
       Similarity.ivfTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // the PERSISTED lifecycle of the same search (IvfIndex): create writes
+    // codebook + per-centroid assignment lists once, probe reads only the
+    // probed c=J partitions — a standing corpus queried for weeks never
+    // re-assigns per call (rows-only; equality to ivfTopK is spec-pinned)
+    "ann_ivf_indexed" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      IvfIndex.create(embs, "vec_id", "embedding", indexScratch)
+        .probe(embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
 
     // ---- multimodal -------------------------------------------------------
     "mm_meta_stats" -> ((s, d) => Multimodal.mediaTypeStats(t(s, d, "documents"), "doc_id", "text")),

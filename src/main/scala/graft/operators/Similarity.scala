@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Per-query top-k over a (query_id, corpus_id, cos_sim) candidate frame. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  /** Per-query top-k over a (query_id, corpus_id, cos_sim) candidate frame.
+    * Shared with [[IvfIndex]] — the persisted-index probe ranks identically.
+    */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredId])
     scored.groupBy(col("query_id"))
       .agg(topk(col("corpus_id"), col("cos_sim")).as("top"))

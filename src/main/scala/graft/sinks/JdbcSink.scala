@@ -1,0 +1,314 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, Types}
+import java.util.Properties
+
+import graft.operators.CdcOps
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JDBC warehouse sink — the write-back half of the reference pipeline.
+  * PeerDB's whole purpose is landing the mirrored table in an external
+  * warehouse (reference: quickstart_prepare_peers.sh:84-91 creates the
+  * ClickHouse `target` database; peerdb_config.yaml
+  * `clickhouse_target_database`); graft reads JDBC sources
+  * ([[graft.sources.Mirror.jdbcSnapshot]],
+  * [[graft.sources.Incremental.jdbcIncrement]]) and this object writes the
+  * mirror back out: a version-guarded ANSI MERGE upsert, delivered
+  * exactly-once per batch through a sink-side ledger table.
+  *
+  * == Idempotency (two independent layers) ==
+  *  - **Ledger**: each delivered batch id is recorded in
+  *    `<table>_sink_state`; re-sinking a recorded batch is a no-op before
+  *    any row is touched. This is the replay guard a restarted
+  *    `foreachBatch` stream needs (Structured Streaming re-runs the last
+  *    uncommitted batch id on recovery).
+  *  - **Version guard**: every MERGE matches on the key columns and applies
+  *    only when the target's `versionCol` is ≤ the incoming row's, so even
+  *    an out-of-order or partially-retried delivery converges to the newest
+  *    version per key and can never regress the target. Tombstones
+  *    (`deletedCol` = 1) become guarded `WHEN MATCHED … THEN DELETE`.
+  *
+  * == Scale (100 TB) ==
+  * Rows are collapsed to newest-per-key ([[CdcOps.latestSnapshot]] — the
+  * map-side-combined aggregate, so the shuffle carries one row per key) and
+  * then repartitioned BY KEY, so no two connections ever touch the same
+  * target key: statement order is irrelevant and lock conflicts between
+  * writers are impossible by construction. Each partition holds ONE
+  * connection and sends batched statements (`stmtBatch` rows per round
+  * trip); total concurrency = shuffle partitions. Per-sync IO tracks the
+  * DELTA (see [[sinkMirror]] — only batches above the ledger high-water
+  * mark are read), never the mirror size. Give the target a primary key /
+  * unique index on `keys`: each MERGE probes it once.
+  *
+  * == Dialect ==
+  * The only non-portable fragment is the MERGE source (a one-row dual
+  * relation; the incoming row travels as parameters, cast to the column's
+  * SQL type): [[AnsiDual]] is the standard table-value-constructor form
+  * (PostgreSQL 15+, SQL Server, Oracle), [[DerbyDual]] the DB2/Derby
+  * catalog dual — Derby rejects VALUES as a MERGE source, and Derby is the
+  * live database the spec exercises (JdbcCaptureSpec). Identifiers are
+  * double-quoted, so `table`, `keys`, and the mirror's column names must
+  * match the target's stored case exactly.
+  */
+object JdbcSink {
+
+  /** Standard one-row MERGE source (PostgreSQL 15+, SQL Server, Oracle …). */
+  val AnsiDual = "(VALUES (1)) AS gdual(gx)"
+
+  /** Derby / DB2 catalog dual — Derby's MERGE source must be a base table. */
+  val DerbyDual = "SYSIBM.SYSDUMMY1"
+
+  /** @param applied false = the ledger already held `batchId` (or the
+    *                mirror delta was empty) and nothing was executed
+    * @param rowsChanged MERGE-reported rows actually inserted/updated/
+    *                    deleted — a version-guard no-op row counts 0
+    */
+  case class SinkReport(batchId: Long, applied: Boolean, rowsChanged: Long)
+
+  /** Upsert one batch of mirror-shaped rows (data columns + `versionCol`,
+    * optionally `deletedCol`/other `_peerdb_*` meta) into the JDBC table.
+    * Collapses to newest-per-key first, so the input may carry any number
+    * of change rows per key. The target table must exist, with the data
+    * columns plus `versionCol`; `_peerdb_batch_id`, `_peerdb_synced_at`
+    * and the mirror's `bucket` column are not written.
+    */
+  def sinkBatch(rows: DataFrame, url: String, table: String, keys: Seq[String],
+                batchId: Long, props: Properties = new Properties(),
+                versionCol: String = "_peerdb_version",
+                deletedCol: String = "_peerdb_is_deleted",
+                dual: String = AnsiDual, stmtBatch: Int = 500): SinkReport = {
+    require(keys.nonEmpty, "sink needs at least one key column")
+    require(keys.forall(rows.columns.contains) && rows.columns.contains(versionCol),
+      s"rows must carry ${keys.mkString(",")} and $versionCol; " +
+        s"got ${rows.columns.mkString(",")}")
+    val spark = rows.sparkSession
+    val ledger = ledgerTable(table)
+    val already = withConnection(url, props) { conn =>
+      ensureLedger(conn, ledger)
+      delivered(conn, ledger, batchId)
+    }
+    if (already) return SinkReport(batchId, applied = false, 0L)
+
+    // one row per key, tombstone-tie-broken like the mirror's FINAL read
+    val latest = CdcOps.latestSnapshot(rows, keys, versionCol)
+    val skip = Set(deletedCol, "_peerdb_batch_id", "_peerdb_synced_at", "bucket")
+    val written = rows.columns.filterNot(skip.contains).toSeq
+    val delFlag =
+      if (rows.columns.contains(deletedCol)) coalesce(col(deletedCol).cast("int"), lit(0))
+      else lit(0)
+    // key-partitioned: no two connections share a key, so the separately
+    // batched upsert/delete statements can never interleave on one key
+    val proj = latest
+      .select(written.map(col) :+ delFlag.as("_graft_deleted"): _*)
+      .repartition(keys.map(col): _*)
+
+    val schema = proj.schema
+    val casts = written.map(c => sqlCastType(schema(c).dataType))
+    val jdbcTypes = written.map(c => jdbcNullType(schema(c).dataType)).toArray
+    val keyIdx = keys.map(written.indexOf).toArray
+    val verIdx = written.indexOf(versionCol)
+    val nonKeyIdx = written.indices.filterNot(keyIdx.contains).toArray
+    val flagIdx = written.length
+
+    def castParam(i: Int) = s"CAST(? AS ${casts(i)})"
+    val on = keyIdx.map(i => s"t.${q(written(i))} = ${castParam(i)}").mkString(" AND ")
+    val guard = s"t.${q(written(verIdx))} <= ${castParam(verIdx)}"
+    val set = nonKeyIdx.map(i => s"${q(written(i))} = ${castParam(i)}").mkString(", ")
+    val upsertSql =
+      s"""MERGE INTO $table t USING $dual ON $on
+         |WHEN MATCHED AND $guard THEN UPDATE SET $set
+         |WHEN NOT MATCHED THEN INSERT (${written.map(q).mkString(", ")})
+         |VALUES (${written.indices.map(castParam).mkString(", ")})""".stripMargin
+    val deleteSql = s"MERGE INTO $table t USING $dual ON $on WHEN MATCHED AND $guard THEN DELETE"
+    val upsertOrder = keyIdx ++ Array(verIdx) ++ nonKeyIdx ++ written.indices.toArray
+    val deleteOrder = keyIdx ++ Array(verIdx)
+
+    val acc = spark.sparkContext.longAccumulator("graft_jdbc_sink_changed")
+    proj.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val conn = connect(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val up = conn.prepareStatement(upsertSql)
+          val del = conn.prepareStatement(deleteSql)
+          try {
+            var upN = 0; var delN = 0; var changed = 0L
+            def flush(ps: PreparedStatement, n: Int): Unit = if (n > 0)
+              changed += ps.executeBatch().iterator.map(c => math.max(c, 0).toLong).sum
+            it.foreach { row =>
+              if (row.getInt(flagIdx) != 0) {
+                bind(del, row, deleteOrder, jdbcTypes); del.addBatch(); delN += 1
+                if (delN >= stmtBatch) { flush(del, delN); delN = 0 }
+              } else {
+                bind(up, row, upsertOrder, jdbcTypes); up.addBatch(); upN += 1
+                if (upN >= stmtBatch) { flush(up, upN); upN = 0 }
+              }
+            }
+            flush(up, upN); flush(del, delN)
+            conn.commit()
+            acc.add(changed)
+          } finally { up.close(); del.close() }
+        } catch {
+          case e: Throwable => try conn.rollback() catch { case _: SQLException => () }; throw e
+        } finally conn.close()
+      }
+    }
+    withConnection(url, props)(record(_, ledger, batchId, acc.value))
+    SinkReport(batchId, applied = true, acc.value)
+  }
+
+  /** Deliver everything the mirror has committed since the last sink run —
+    * the per-sync warehouse step of a continuous pipeline. Reads ONLY the
+    * mirror batches above the ledger's high-water mark (delta-sized IO, a
+    * partition-pruned predicate once the mirror is batch-partitioned), so
+    * calling it after every [[graft.sources.Incremental.poll]] costs
+    * O(changes), and calling it twice is a no-op.
+    */
+  def sinkMirror(spark: SparkSession, mirrorDir: String, url: String,
+                 table: String, keys: Seq[String],
+                 props: Properties = new Properties(),
+                 versionCol: String = "_peerdb_version",
+                 deletedCol: String = "_peerdb_is_deleted",
+                 dual: String = AnsiDual, stmtBatch: Int = 500): SinkReport = {
+    val ledger = ledgerTable(table)
+    val last = withConnection(url, props) { conn =>
+      ensureLedger(conn, ledger)
+      highWater(conn, ledger)
+    }
+    val delta = graft.sources.Mirror.readCommitted(spark, mirrorDir)
+      .where(col("_peerdb_batch_id") > last)
+    // bounded collect: a 1-row aggregate
+    val hi = delta.agg(max(col("_peerdb_batch_id"))).head().get(0)
+    if (hi == null) SinkReport(last, applied = false, 0L)
+    else sinkBatch(delta, url, table, keys, hi.asInstanceOf[Number].longValue(),
+      props, versionCol, deletedCol, dual, stmtBatch)
+  }
+
+  /** The Structured Streaming form: hand this to
+    * `writeStream.foreachBatch(...)` to land a CDC stream in the warehouse.
+    * The streaming engine replays the last batch id on recovery; the ledger
+    * makes that replay a no-op, so delivery is effectively exactly-once.
+    */
+  def foreachBatch(url: String, table: String, keys: Seq[String],
+                   props: Properties = new Properties(),
+                   versionCol: String = "_peerdb_version",
+                   deletedCol: String = "_peerdb_is_deleted",
+                   dual: String = AnsiDual,
+                   stmtBatch: Int = 500): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      sinkBatch(batch, url, table, keys, id, props, versionCol, deletedCol,
+        dual, stmtBatch)
+      ()
+    }
+
+  // ---- ledger --------------------------------------------------------------
+
+  private def ledgerTable(table: String): String = table + "_sink_state"
+
+  private def ensureLedger(conn: Connection, ledger: String): Unit = {
+    val st = conn.createStatement()
+    try {
+      try st.executeUpdate(s"CREATE TABLE $ledger (batch_id BIGINT NOT NULL " +
+        "PRIMARY KEY, rows_changed BIGINT, delivered_at TIMESTAMP)")
+      catch { case _: SQLException => () } // exists (or racing creator won)
+      // the swallow above must not hide a genuinely unusable ledger
+      st.executeQuery(s"SELECT batch_id FROM $ledger WHERE 1 = 0").close()
+    } finally st.close()
+  }
+
+  private def delivered(conn: Connection, ledger: String, batchId: Long): Boolean = {
+    val ps = conn.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+    try { ps.setLong(1, batchId); val rs = ps.executeQuery(); try rs.next() finally rs.close() }
+    finally ps.close()
+  }
+
+  private def highWater(conn: Connection, ledger: String): Long = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT MAX(batch_id) FROM $ledger")
+      try { rs.next(); val v = rs.getLong(1); if (rs.wasNull()) -1L else v }
+      finally rs.close()
+    } finally st.close()
+  }
+
+  private def record(conn: Connection, ledger: String, batchId: Long,
+                     rowsChanged: Long): Unit = {
+    val ps = conn.prepareStatement(
+      s"INSERT INTO $ledger VALUES (?, ?, CURRENT_TIMESTAMP)")
+    try {
+      ps.setLong(1, batchId); ps.setLong(2, rowsChanged)
+      ps.executeUpdate()
+    } catch {
+      // duplicate key: a concurrent deliverer of the SAME batch recorded it
+      // first — both executed identical idempotent MERGEs, so adopt theirs
+      case e: SQLException if Option(e.getSQLState).exists(_.startsWith("23")) => ()
+    } finally ps.close()
+  }
+
+  // ---- JDBC plumbing --------------------------------------------------------
+
+  private def connect(url: String, props: Properties): Connection = {
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    DriverManager.getConnection(url, props)
+  }
+
+  private def withConnection[A](url: String, props: Properties)(body: Connection => A): A = {
+    val conn = connect(url, props)
+    try body(conn) finally conn.close()
+  }
+
+  private def q(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+
+  /** SQL type each parameter is CAST to — Derby requires typed parameters
+    * inside MERGE, and the casts keep the statement portable.
+    */
+  private def sqlCastType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType | ByteType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType => "VARCHAR(32672)"
+    case other =>
+      throw new IllegalArgumentException(s"unsupported sink column type $other")
+  }
+
+  private def jdbcNullType(dt: DataType): Int = dt match {
+    case LongType => Types.BIGINT
+    case IntegerType => Types.INTEGER
+    case ShortType | ByteType => Types.SMALLINT
+    case DoubleType => Types.DOUBLE
+    case FloatType => Types.REAL
+    case BooleanType => Types.BOOLEAN
+    case DateType => Types.DATE
+    case TimestampType => Types.TIMESTAMP
+    case _: DecimalType => Types.DECIMAL
+    case _ => Types.VARCHAR
+  }
+
+  private def bind(ps: PreparedStatement, row: Row, order: Array[Int],
+                   types: Array[Int]): Unit = {
+    var j = 1
+    order.foreach { i =>
+      val v = row.get(i)
+      if (v == null) ps.setNull(j, types(i)) else ps.setObject(j, toJdbc(v))
+      j += 1
+    }
+  }
+
+  /** Row values arrive as Spark external types; map the java.time ones back
+    * to java.sql for drivers (Derby) that reject setObject(Instant).
+    */
+  private def toJdbc(v: Any): AnyRef = v match {
+    case i: java.time.Instant => java.sql.Timestamp.from(i)
+    case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+    case b: scala.math.BigDecimal => b.underlying()
+    case other => other.asInstanceOf[AnyRef]
+  }
+}

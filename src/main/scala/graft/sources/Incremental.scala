@@ -185,6 +185,69 @@ object Incremental {
     st
   }
 
+  /** Adopt a mirror built OUTSIDE the polling capture into the polled
+    * lifecycle, so [[poll]], [[reconcileDeletes]], and [[rebucket]] run on
+    * it. Two layouts qualify:
+    *
+    *  - a [[graft.streaming.CdcStream.mirrorToParquet]] mirror (short-name
+    *    meta: `is_deleted`/`_batch_id`, version under `cfg.versionCol`) —
+    *    converted ONCE to the `_peerdb_*` convention, reader-atomically
+    *    (the same append + manifest swap as a re-snapshot); stop the
+    *    stream first and continue with [[poll]] afterwards — this is the
+    *    migration from the streaming bootstrap to the polled lifecycle,
+    *    and it is one-way;
+    *  - a [[Mirror.fullLoad]] mirror (already `_peerdb_*`-stamped, just
+    *    never given a capture state) — no rewrite, only the state is
+    *    synthesized.
+    *
+    * The synthesized state resumes the tail exactly where the mirror's
+    * content ends: watermark = max(`_peerdb_version`), batchId =
+    * max(`_peerdb_batch_id`). Idempotent across a crash between the
+    * rewrite and the state write (the re-run sees the converted layout and
+    * only writes the state). Closes the gap where a streamed mirror had no
+    * hard-DELETE reconciliation story at all.
+    */
+  def adoptMirror(spark: SparkSession, mirrorDir: String, cfg: TableConfig,
+                  syncedAt: Column = current_timestamp()): SyncState = {
+    if (readState(spark, mirrorDir).isDefined)
+      throw new IllegalStateException(
+        s"$mirrorDir already has capture state — it is a polled mirror; " +
+          "adoptMirror is for CdcStream.mirrorToParquet / Mirror.fullLoad targets")
+    if (!CdcStream.hasVisibleParquet(spark, mirrorDir))
+      throw new IllegalStateException(
+        s"nothing to adopt under $mirrorDir — run snapshot() for an initial load")
+    // the config must agree with the on-disk bucket layout (same probe as
+    // the legacy-state path: an occupied CURRENT bucket id at or above the
+    // config's count proves the config wrong)
+    checkBuckets(spark, SyncState(0L, 0L, 0L, nBuckets = -1), cfg, mirrorDir)
+    val m = SyncManifest.readCommitted(spark, mirrorDir)
+    val alreadyPeerdb = m.columns.contains("_peerdb_version")
+    val converted =
+      if (alreadyPeerdb) m
+      else {
+        require(m.columns.contains("is_deleted") && m.columns.contains("_batch_id")
+            && m.columns.contains(cfg.versionCol),
+          s"unrecognized mirror layout under $mirrorDir " +
+            s"(${m.columns.mkString(",")}) — adoptMirror reads the " +
+            "CdcStream.mirrorToParquet or Mirror.fullLoad conventions")
+        m.withColumn("_peerdb_version", col(cfg.versionCol).cast("long"))
+          .withColumn("_peerdb_is_deleted", col("is_deleted").cast("int"))
+          .withColumn("_peerdb_batch_id", col("_batch_id").cast("long"))
+          .withColumn("_peerdb_synced_at", syncedAt.cast("timestamp"))
+          .drop("is_deleted", "_batch_id")
+      }
+    // bounded collect: a 1-row aggregate
+    val head = converted
+      .agg(max(col("_peerdb_version").cast("long")),
+        max(col("_peerdb_batch_id").cast("long"))).collect()(0)
+    val wm = if (head.isNullAt(0)) Long.MinValue else head.getLong(0)
+    val batchId = if (head.isNullAt(1)) 0L else head.getLong(1)
+    if (!alreadyPeerdb) CdcStream.replaceAll(spark, converted, mirrorDir, cfg.nBuckets)
+    val st = SyncState(wm, batchId, System.currentTimeMillis(), cfg.nBuckets)
+    writeState(spark, mirrorDir, st)
+    st
+  }
+
   /** One incremental poll: merge every source row with `versionCol` above
     * the stored watermark into the mirror, advance the watermark. A poll
     * with no new rows leaves the mirror and watermark untouched.
@@ -195,7 +258,8 @@ object Incremental {
     val spark = source.sparkSession
     val st0 = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
-        s"no capture state under $mirrorDir — run snapshot() first"))
+        s"no capture state under $mirrorDir — run snapshot() first (or " +
+        "adoptMirror() for a CdcStream.mirrorToParquet / Mirror.fullLoad target)"))
     checkBuckets(spark, st0, cfg, mirrorDir)
     val st = adoptBuckets(spark, st0, cfg, mirrorDir)
     // the delta is cached across the poll so the watermark probe and the
@@ -300,7 +364,8 @@ object Incremental {
     val spark = source.sparkSession
     val st0 = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
-        s"no capture state under $mirrorDir — run snapshot() first"))
+        s"no capture state under $mirrorDir — run snapshot() first (or " +
+        "adoptMirror() for a CdcStream.mirrorToParquet / Mirror.fullLoad target)"))
     checkBuckets(spark, st0, cfg, mirrorDir)
     val st = adoptBuckets(spark, st0, cfg, mirrorDir)
     // a mirror snapshotted from an empty source has state but no parquet
@@ -395,7 +460,8 @@ object Incremental {
                newBuckets: Int): TableConfig = {
     require(newBuckets > 0, s"bad newBuckets=$newBuckets")
     val st = readState(spark, mirrorDir).getOrElse(throw new IllegalStateException(
-      s"no capture state under $mirrorDir — run snapshot() first"))
+      s"no capture state under $mirrorDir — run snapshot() first (or " +
+        "adoptMirror() for a CdcStream.mirrorToParquet / Mirror.fullLoad target)"))
     checkBuckets(spark, st, cfg, mirrorDir)
     if (CdcStream.hasVisibleParquet(spark, mirrorDir)) {
       val rows = SyncManifest.readCommitted(spark, mirrorDir)

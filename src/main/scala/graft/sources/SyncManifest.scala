@@ -217,8 +217,15 @@ object SyncManifest {
     * an empty source) is an empty mirror: the read keeps the schema of the
     * retired generation but serves zero rows — it must never fall through
     * to the directory listing, which would resurrect the retired files.
+    *
+    * Grace contract: the returned frame keeps evaluating correctly across
+    * ONE subsequent sync (the retired generation stays on disk); a reader
+    * that holds it across two or more can find its files vacuumed
+    * mid-query. Wrap actions on long-held frames in [[graced]] to get the
+    * contract error instead of a raw task `FileNotFoundException` (the
+    * planning-time listing inside this method is already translated).
     */
-  def readCommitted(spark: SparkSession, dir: String): DataFrame =
+  def readCommitted(spark: SparkSession, dir: String): DataFrame = graced(dir) {
     read(spark, dir) match {
       case Some(m) if m.files.nonEmpty =>
         spark.read.option("basePath", dir).parquet(m.files.map(f => s"$dir/$f"): _*)
@@ -227,4 +234,35 @@ object SyncManifest {
           .parquet(m.retired.map(f => s"$dir/$f"): _*).limit(0)
       case _ => spark.read.parquet(dir)
     }
+  }
+
+  /** Run `action` (typically an action on a held [[readCommitted]] frame)
+    * translating a vanished-pinned-file failure into the manifest-grace
+    * contract: one grace generation is retained by design, so a reader that
+    * outlives it dies with a task-level `FileNotFoundException` deep in a
+    * Spark stack — this surfaces WHY and the remedy (re-pin and retry)
+    * instead. The original failure is preserved as the cause; failures
+    * without a vanished file in their cause chain pass through untouched.
+    */
+  def graced[A](dir: String)(action: => A): A =
+    try action catch {
+      case e: Throwable if vanishedFileIn(e) =>
+        throw new IllegalStateException(
+          s"reader outlived the manifest grace under $dir — the pinned sync's " +
+            "files were vacuumed by later commits (one grace generation is " +
+            "retained by design); re-pin with readCommitted and retry", e)
+    }
+
+  private def vanishedFileIn(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 20) { // bounded: cause cycles exist in the wild
+      if (cur.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(cur.getMessage).exists(_.contains("FileNotFoundException")))
+        return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
 }

@@ -202,6 +202,57 @@ class CdcStreamSpec extends SparkSpec {
     assert(mirror.toSeq == Seq((1L, 2L, "v2"), (2L, 1L, "w1"), (3L, 1L, "x1")))
   }
 
+  test("a streamed mirror adopts the polled lifecycle; the sweep then drops hard-deleted keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("graft_adopt").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_adopt_ckpt").toString
+    val input = MemoryStream[Change]
+    input.addData(
+      Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "a"),
+      Change(2L, 2L, "insert", ts("2024-01-01 00:00:01"), "b"),
+      Change(3L, 3L, "insert", ts("2024-01-01 00:00:02"), "c"),
+      Change(2L, 4L, "delete", ts("2024-01-01 00:00:03"), "b"), // logical delete
+      Change(1L, 5L, "update", ts("2024-01-01 00:00:04"), "a2"))
+    CdcStream.mirrorToParquet(input.toDS(), target, ckpt, nBuckets = 4)
+      .awaitTermination()
+    val cfg = graft.sources.TableConfig("t", Seq("key"), "version", nBuckets = 4)
+
+    // un-adopted, the sweep refuses with the adoption contract by name —
+    // a streamed mirror previously had NO hard-delete reconciliation story
+    val live = Seq((1L, 5L)).toDF("key", "version")
+    val err = intercept[IllegalStateException](
+      graft.sources.Incremental.reconcileDeletes(live, cfg, target))
+    assert(err.getMessage.contains("adoptMirror"), err.getMessage)
+
+    val st = graft.sources.Incremental.adoptMirror(spark, target, cfg)
+    assert(st.watermark == 5L && st.nBuckets == 4)
+    // the conversion preserved FINAL semantics: key 2's logical delete holds
+    def finalKeys() = graft.sources.Mirror.readFinal(spark, target, "key")
+      .select("key").as[Long].collect().toSet
+    assert(finalKeys() == Set(1L, 3L))
+
+    // hard delete at the source: key 3 vanishes with no change row; the
+    // sweep flags it and FINAL drops it
+    val r = graft.sources.Incremental.reconcileDeletes(live, cfg, target)
+    assert(r.rowsSynced == 1L)
+    assert(finalKeys() == Set(1L))
+
+    // and the synthesized watermark resumes the poll tail exactly: only
+    // rows above version 5 land
+    val src = Seq(
+      (1L, 5L, "update", ts("2024-01-01 00:00:04"), "a2"), // at watermark: skip
+      (4L, 6L, "insert", ts("2024-01-01 00:00:05"), "d"))
+      .toDF("key", "version", "op", "ts", "payload")
+    val p = graft.sources.Incremental.poll(src, cfg, target)
+    assert(p.rowsSynced == 1L && p.state.watermark == 6L)
+    assert(finalKeys() == Set(1L, 4L))
+
+    // adopting twice is refused — it is a polled mirror now
+    val dup = intercept[IllegalStateException](
+      graft.sources.Incremental.adoptMirror(spark, target, cfg))
+    assert(dup.getMessage.contains("already has capture state"), dup.getMessage)
+  }
+
   test("first batch succeeds over debris from a failed first write") {
     // a part file under _temporary (failed-job leftover) has no footer that
     // spark.read.parquet would ever read — it must count as "no data files",

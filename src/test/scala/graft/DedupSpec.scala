@@ -70,6 +70,32 @@ class DedupSpec extends SparkSpec {
     assert(found == brute)
   }
 
+  test("simhashPairsBlocked runs the signature kernels once: both join sides read the cache") {
+    // planted near-dup pairs: a long shared template per pair, so the
+    // result is NONEMPTY (an empty result lets AQE collapse the whole join
+    // to EmptyRelation and there would be no plan left to inspect)
+    val template = (0 until 30).map(j => s"tok$j").mkString(" ")
+    val docs = (0 until 10).flatMap(p => Seq(
+      (p * 2L, template + s" tail$p"),
+      (p * 2L + 1L, template + s" tailx$p"))).toDF("doc_id", "text")
+    val out = Dedup.simhashPairsBlocked(docs, "doc_id", "text", 8)
+    assert(out.collect().nonEmpty) // materialize so the adaptive plan is final
+    def cacheScans(p: org.apache.spark.sql.execution.SparkPlan): Int = p.collect {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 1
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        cacheScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        cacheScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        cacheScans(r.child)
+    }.sum
+    val n = cacheScans(out.queryExecution.executedPlan)
+    // the kernel subtree lives only inside the shared InMemoryRelation — a
+    // regression back to two live evaluations shows 0 cache scans here
+    assert(n >= 2, s"expected both self-join sides to scan the persisted " +
+      s"signature frame, found $n cache scans:\n${out.queryExecution.executedPlan}")
+  }
+
   test("minhash pre-block keeps planted near-dups and cuts chance band collisions") {
     val maxDist = 16
     // 100 noise docs with fully disjoint vocabularies (simhash ~ random,

@@ -117,6 +117,125 @@ class JdbcCaptureSpec extends SparkSpec {
     assert(idle.rowsSynced == 0L && idle.state == r1.state)
   }
 
+  test("sinkMirror lands the mirror FINAL in a live Derby warehouse, delta-sized and replay-safe") {
+    import graft.sinks.JdbcSink
+    mkTable("wh_src", (1L to 15L).map(i => (i, i, s"w$i")))
+    exec("CREATE TABLE wh_tgt (id BIGINT PRIMARY KEY, seq BIGINT, " +
+      "payload VARCHAR(64), \"_peerdb_version\" BIGINT)")
+    val dir = Files.createTempDirectory("graft_jdbc_sink").toString + "/wh_src"
+    val cfg = TableConfig("wh_src", Seq("ID"), "SEQ", nBuckets = 4)
+    Incremental.snapshot(jdbcTable("wh_src"), cfg, dir)
+
+    def target(): Set[(Long, Long, String, Long)] = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT id, seq, payload, \"_peerdb_version\" FROM wh_tgt")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSet
+      } finally conn.close()
+    }
+    def mirrorFinal(): Set[(Long, Long, String, Long)] =
+      graft.sources.Mirror.readFinal(spark, dir, "ID")
+        .select("ID", "SEQ", "PAYLOAD", "_peerdb_version")
+        .as[(Long, Long, String, Long)].collect().toSet
+
+    val r1 = JdbcSink.sinkMirror(spark, dir, url, "wh_tgt", Seq("ID"), props,
+      dual = JdbcSink.DerbyDual)
+    assert(r1.applied && r1.batchId == 0L && r1.rowsChanged == 15L)
+    assert(target() == mirrorFinal())
+
+    // nothing new committed: the delta is empty and nothing is executed
+    val idle = JdbcSink.sinkMirror(spark, dir, url, "wh_tgt", Seq("ID"), props,
+      dual = JdbcSink.DerbyDual)
+    assert(!idle.applied && idle.rowsChanged == 0L)
+
+    // live insert + update + hard delete, then poll + sweep, then ONE sink
+    // call delivers exactly the three changed keys (delta-sized, not a
+    // mirror rewrite) — including the tombstone as a warehouse DELETE
+    exec(
+      "INSERT INTO wh_src VALUES (16, 16, 'w16')",
+      "UPDATE wh_src SET seq = 17, payload = 'u3' WHERE id = 3",
+      "DELETE FROM wh_src WHERE id = 7")
+    Incremental.poll(jdbcTable("wh_src"), cfg, dir)
+    Incremental.reconcileDeletes(jdbcTable("wh_src"), cfg, dir)
+    val r3 = JdbcSink.sinkMirror(spark, dir, url, "wh_tgt", Seq("ID"), props,
+      dual = JdbcSink.DerbyDual)
+    assert(r3.applied && r3.rowsChanged == 3L, r3.toString)
+    assert(target() == mirrorFinal())
+    assert(!target().exists(_._1 == 7L), "hard delete must reach the warehouse")
+
+    // replaying a delivered batch id is a no-op BEFORE any row is touched
+    val replay = JdbcSink.sinkBatch(
+      graft.sources.Mirror.readCommitted(spark, dir), url, "wh_tgt", Seq("ID"),
+      r3.batchId, props, dual = JdbcSink.DerbyDual)
+    assert(!replay.applied && target() == mirrorFinal())
+
+    // a STALE row under a fresh batch id: the ledger admits it, the
+    // (keys, _peerdb_version) MERGE guard rejects it row-by-row
+    val stale = Seq((3L, 1L, "stale", 1L, 0))
+      .toDF("ID", "SEQ", "PAYLOAD", "_peerdb_version", "_peerdb_is_deleted")
+    val r4 = JdbcSink.sinkBatch(stale, url, "wh_tgt", Seq("ID"), 999L, props,
+      dual = JdbcSink.DerbyDual)
+    assert(r4.applied && r4.rowsChanged == 0L,
+      s"version guard must reject the stale replay: $r4")
+    assert(target() == mirrorFinal())
+    // ... and a stale TOMBSTONE cannot delete a newer row either
+    val staleDel = Seq((3L, 1L, "gone", 1L, 1))
+      .toDF("ID", "SEQ", "PAYLOAD", "_peerdb_version", "_peerdb_is_deleted")
+    val r5 = JdbcSink.sinkBatch(staleDel, url, "wh_tgt", Seq("ID"), 1000L, props,
+      dual = JdbcSink.DerbyDual)
+    assert(r5.applied && r5.rowsChanged == 0L && target() == mirrorFinal())
+  }
+
+  test("foreachBatch lands a CDC stream in Derby; a recovery replay is a no-op") {
+    import graft.sinks.JdbcSink
+    import graft.streaming.CdcStream.Change
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    exec("CREATE TABLE st_tgt (\"key\" BIGINT PRIMARY KEY, \"version\" BIGINT, " +
+      "\"op\" VARCHAR(16), \"ts\" TIMESTAMP, \"payload\" VARCHAR(64))")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def target(): Set[(Long, Long, String)] = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT \"key\", \"version\", \"payload\" FROM st_tgt")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      } finally conn.close()
+    }
+    val sink = JdbcSink.foreachBatch(url, "st_tgt", Seq("key"), props,
+      versionCol = "version", deletedCol = "is_deleted", dual = JdbcSink.DerbyDual)
+    val input = MemoryStream[Change]
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = input.toDS().toDF()
+      .withColumn("is_deleted", (col("op") === "delete").cast("int"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sink)
+      .start()
+    try {
+      input.addData(
+        Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "v1"),
+        Change(2L, 1L, "insert", ts("2024-01-01 00:00:10"), "w1"),
+        Change(1L, 2L, "update", ts("2024-01-01 00:01:00"), "v2"))
+      q.processAllAvailable()
+      assert(target() == Set((1L, 2L, "v2"), (2L, 1L, "w1")))
+      input.addData(Change(2L, 2L, "delete", ts("2024-01-01 00:02:00"), "w1"))
+      q.processAllAvailable()
+      assert(target() == Set((1L, 2L, "v2")))
+    } finally q.stop()
+    // the recovery contract: Structured Streaming re-runs the last batch id
+    // after a crash; the ledger makes the replay a no-op even with the
+    // batch's content long gone from the target
+    val replayed = Seq((2L, 1L, "insert", ts("2024-01-01 00:00:10"), "w1", 0))
+      .toDF("key", "version", "op", "ts", "payload", "is_deleted")
+    sink(replayed, 0L)
+    assert(target() == Set((1L, 2L, "v2")),
+      "a replayed delivered batch must not resurrect rows")
+  }
+
   test("hard DELETEs drain to lag 0 via key reconciliation and survive re-insert") {
     mkTable("accounts", (1L to 10L).map(i => (i, i, s"a$i")))
     val dir = Files.createTempDirectory("graft_jdbc_del").toString + "/accounts"

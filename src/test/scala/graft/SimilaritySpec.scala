@@ -134,6 +134,104 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() === 0) // no candidates, but no driver-side crash
   }
 
+  test("IvfIndex probe equals the one-shot ivfTopK; reload serves the same result") {
+    val embs = clustered
+    val queries = embs.where($"vec_id" % 40 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    val idx = graft.operators.IvfIndex.create(embs, "vec_id", "embedding", dir,
+      numCentroids = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val got = rows(idx.probe(queries, "vec_id", "embedding", 10, nProbe = 4))
+    // same codebook pick, same assignment, same ranking kernels — the
+    // persisted index EQUALS the one-shot call, so its recall can never be
+    // below the one-shot path's (the spec-pinned >= 0.7 above)
+    val oneShot = rows(Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10,
+      numCentroids = 16, nProbe = 4))
+    assert(got == oneShot, "persisted-index probe diverged from ivfTopK")
+    val reloaded = graft.operators.IvfIndex.load(spark, dir)
+    assert(reloaded.dim == 16 && reloaded.centroids == 16 && reloaded.batches == 1)
+    assert(rows(reloaded.probe(queries, "vec_id", "embedding", 10, nProbe = 4)) == got,
+      "reloaded index diverged from the creating instance")
+    // lifecycle error contracts
+    intercept[IllegalStateException] {
+      graft.operators.IvfIndex.load(spark, dir + "_nowhere")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.IvfIndex.create(embs.where($"vec_id" < 0),
+        "vec_id", "embedding", dir + "_empty")
+    }
+  }
+
+  test("IvfIndex add appends batches retrievable under the frozen codebook") {
+    val embs = clustered
+    val evenClusters = embs.where(($"vec_id" / 40).cast("int") % 2 === 0)
+    val oddClusters = embs.where(($"vec_id" / 40).cast("int") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_add").toString + "/idx"
+    val idx = graft.operators.IvfIndex.create(evenClusters, "vec_id", "embedding",
+      dir, numCentroids = 16)
+    idx.add(oddClusters, "vec_id", "embedding")
+    assert(idx.batches == 2)
+    // queries from EVERY cluster: the added batch's clusters have no own
+    // centroid, but their vectors share whatever list they hashed to, so
+    // same-cluster neighbors stay retrievable
+    val queries = embs.where($"vec_id" % 40 === 0)
+    val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
+    val got = tops(graft.operators.IvfIndex.load(spark, dir)
+      .probe(queries, "vec_id", "embedding", 10, nProbe = 4))
+    val recall = recallOf(exact, got)
+    assert(recall >= 0.7, s"post-add recall $recall below 0.7")
+  }
+
+  test("IvfIndex probe scans are partition-pruned to the probed centroid lists") {
+    val embs = clustered
+    val queries = embs.where($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prune").toString + "/idx"
+    val idx = graft.operators.IvfIndex.create(embs, "vec_id", "embedding", dir,
+      numCentroids = 16)
+    val captured = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[
+      org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scansIn(r.child)
+    }.flatten
+    def assignedScans() = captured.synchronized(captured.toSeq).flatMap(scansIn)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/assigned")))
+    def pruned() = {
+      val s = assignedScans()
+      s.nonEmpty && s.forall(
+        _.partitionFilters.exists(_.references.exists(_.name == "c")))
+    }
+    spark.listenerManager.register(listener)
+    val got = try {
+      val out = idx.probe(queries, "vec_id", "embedding", 10, nProbe = 4)
+        .as[(Long, Long, Long)].collect().toSet
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && !pruned()) Thread.sleep(100)
+      out
+    } finally spark.listenerManager.unregister(listener)
+    // pruning loses nothing...
+    assert(got == Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10,
+      numCentroids = 16, nProbe = 4).as[(Long, Long, Long)].collect().toSet)
+    // ... and every assignment-list scan carries a partition filter on the
+    // centroid dir column, so file listing skips non-probed c=J dirs
+    assert(pruned(), "assigned scan not partition-pruned: " +
+      assignedScans().map(f => s"filters=${f.partitionFilters}").mkString("; "))
+  }
+
   test("lsh bucket of identical vectors is identical") {
     val b = corpus.select(VectorFunctions.lshBucket($"embedding", 8).as("b"))
       .where($"b".isNotNull).count()

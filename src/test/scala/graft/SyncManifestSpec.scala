@@ -99,6 +99,38 @@ class SyncManifestSpec extends SparkSpec {
     assert(finalRows(dir) == srcRows(v2))
   }
 
+  test("a reader that outlives the grace gets the contract error, not a raw file failure") {
+    val dir = Files.createTempDirectory("graft_manifest_overrun").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
+    val v0 = state(6)
+    Incremental.snapshot(v0, cfg, dir)
+    val pinned = Mirror.readFinal(spark, dir, "key").select("key", "seq", "payload")
+    assert(pinned.count() == 6) // healthy while pinned to the committed sync
+
+    // two subsequent syncs rewriting EVERY bucket: the pinned generation is
+    // retired by the first and vacuumed by the second — the reader outlived
+    // its one-sync grace
+    def bump(df: DataFrame, by: Long) = df
+      .withColumn("seq", $"seq" + by)
+      .withColumn("payload", concat(lit(s"u$by-"), $"payload"))
+    Incremental.poll(bump(v0, 100L), cfg, dir)
+    Incremental.poll(bump(v0, 200L), cfg, dir)
+
+    // graced evaluation surfaces the CONTRACT, with the task failure kept
+    // as the cause
+    val err = intercept[IllegalStateException](
+      SyncManifest.graced(dir)(pinned.collect()))
+    assert(err.getMessage.contains("outlived the manifest grace")
+      && err.getMessage.contains("re-pin"), err.getMessage)
+    assert(err.getCause != null)
+    // an unrelated failure passes through untranslated
+    val other = intercept[IllegalArgumentException](
+      SyncManifest.graced(dir)(throw new IllegalArgumentException("boom")))
+    assert(other.getMessage == "boom")
+    // re-pinning is the remedy: a fresh read serves the newest sync
+    assert(finalRows(dir) == srcRows(bump(v0, 200L)))
+  }
+
   test("a reader pinned before a reconcile sweep sees the whole pre-sweep state") {
     val dir = Files.createTempDirectory("graft_manifest_sweep").toString + "/t"
     val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
