@@ -80,6 +80,8 @@ object SparkEntry {
     "q10_returned_items" -> ((s, d) =>
       Analytics.returnedItems(t(s, d, "customer"), t(s, d, "orders"),
         t(s, d, "lineitem"), t(s, d, "nation"))),
+    "q14_promo_revenue" -> ((s, d) =>
+      Analytics.promoRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
     "q15_top_supplier" -> ((s, d) =>
       Analytics.topSupplier(t(s, d, "supplier"), t(s, d, "lineitem"))),
     "q17_small_qty_revenue" -> ((s, d) =>
@@ -470,6 +472,14 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-07-01'
            AND o_orderdate < TIMESTAMP '1996-10-01'
          GROUP BY c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)), n_name""",
+    "q14_promo_revenue" ->
+      s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $rev
+                        ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS promo_revenue,
+         CAST(sum($rev) AS DOUBLE) AS total_revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l_shipdate < TIMESTAMP '1996-10-01'""",
     "q15_top_supplier" ->
       s"""WITH revenue AS (
            SELECT l_suppkey, sum($rev) AS total_rev

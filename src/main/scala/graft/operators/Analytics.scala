@@ -314,6 +314,31 @@ object Analytics {
       .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"))
   }
 
+  /** TPC-H Q14-style promotion effect: the share of one shipping month's
+    * revenue that promo-type parts earned. Emits numerator and denominator
+    * (exact DECIMAL sums, cast only at the boundary) instead of the
+    * `100 * x / y` percentage, the same engine-comparable convention as
+    * [[marketShare]].
+    *
+    * Shape: the month predicate pushes into the lineitem scan (one month ≈
+    * 1/84 of the fact); part is a scale-factor dimension, so no broadcast
+    * hint — AQE broadcasts it while it fits and shuffles at 100 TB. The
+    * final aggregate is a single row, all partial map-side.
+    */
+  def promoRevenue(part: DataFrame, lineitem: DataFrame,
+                   monthStart: String = "1996-09-01",
+                   monthEnd: String = "1996-10-01"): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit(monthStart).cast("timestamp")
+        && col("l_shipdate") < lit(monthEnd).cast("timestamp"))
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit("0.0000").cast("decimal(38,4)")))
+          .cast("double").as("promo_revenue"),
+        sum(vol).cast("double").as("total_revenue"))
+
   /** TPC-H Q15-style top supplier: per-supplier revenue over one quarter,
     * keeping every supplier that ties the maximum — the scalar-subquery
     * pattern, expressed as a 1-row broadcast join against the max of the

@@ -159,6 +159,40 @@ object JdbcSink {
     SinkReport(batchId, applied = true, acc.value)
   }
 
+  /** ReplacingMergeTree-style landing: APPEND the batch's raw change rows
+    * (metadata columns included) and let the warehouse deduplicate at
+    * merge/read time on (keys, `_peerdb_version`) — exactly how the
+    * reference lands a PeerDB mirror in ClickHouse (the
+    * `clickhouse_target_database` tables are
+    * ReplacingMergeTree(_peerdb_version); reads use FINAL). Idempotency
+    * per batch id comes from the ledger; WITHIN a retried batch the
+    * append is at-least-once, which is precisely what a replacing-merge
+    * target tolerates (identical (keys, version) rows collapse on merge).
+    * Far cheaper than [[sinkBatch]] at scale — no per-row probe, plain
+    * bulk INSERTs through Spark's JDBC writer — at the cost of read-time
+    * dedup in the target. Only the mirror's `bucket` layout column is
+    * dropped.
+    */
+  def appendBatch(rows: DataFrame, url: String, table: String, batchId: Long,
+                  props: Properties = new Properties()): SinkReport = {
+    val ledger = ledgerTable(table)
+    val already = withConnection(url, props) { conn =>
+      ensureLedger(conn, ledger)
+      delivered(conn, ledger, batchId)
+    }
+    if (already) return SinkReport(batchId, applied = false, 0L)
+    // one evaluation feeds both the count and the append — a live-tail
+    // source must not write rows the report never counted
+    val payload = rows.drop("bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = payload.count()
+      payload.write.mode("append").jdbc(url, table, props)
+      withConnection(url, props)(record(_, ledger, batchId, n))
+      SinkReport(batchId, applied = true, n)
+    } finally payload.unpersist(false)
+  }
+
   /** Deliver everything the mirror has committed since the last sink run —
     * the per-sync warehouse step of a continuous pipeline. Reads ONLY the
     * mirror batches above the ledger's high-water mark (delta-sized IO, a

@@ -188,6 +188,34 @@ class JdbcCaptureSpec extends SparkSpec {
     assert(r5.applied && r5.rowsChanged == 0L && target() == mirrorFinal())
   }
 
+  test("appendBatch lands raw versioned rows ClickHouse-style; FINAL over the target dedups") {
+    import graft.sinks.JdbcSink
+    import org.apache.spark.sql.functions.col
+    exec("CREATE TABLE ap_tgt (\"id\" BIGINT, \"payload\" VARCHAR(64), " +
+      "\"_peerdb_version\" BIGINT, \"_peerdb_is_deleted\" INTEGER, " +
+      "\"_peerdb_batch_id\" BIGINT)")
+    def meta(rows: Seq[(Long, String, Long, Int, Long)]) = rows.toDF(
+      "id", "payload", "_peerdb_version", "_peerdb_is_deleted", "_peerdb_batch_id")
+    val r0 = JdbcSink.appendBatch(
+      meta(Seq((1L, "a", 1L, 0, 0L), (2L, "b", 2L, 0, 0L))), url, "ap_tgt", 0L, props)
+    assert(r0.applied && r0.rowsChanged == 2L)
+    // batch 1: update key 1, tombstone key 2 — appended, never updated in place
+    val b1 = meta(Seq((1L, "a2", 3L, 0, 1L), (2L, "b", 4L, 1, 1L)))
+    assert(JdbcSink.appendBatch(b1, url, "ap_tgt", 1L, props).applied)
+    // the streaming-recovery replay of a delivered batch appends NOTHING
+    val replay = JdbcSink.appendBatch(b1, url, "ap_tgt", 1L, props)
+    assert(!replay.applied && replay.rowsChanged == 0L)
+    val raw = spark.read.jdbc(url, "ap_tgt", props)
+    assert(raw.count() == 4L, "append-only: every change row is retained")
+    // the warehouse-side FINAL (ReplacingMergeTree semantics): newest
+    // version per key, tombstones dropped
+    val fin = graft.operators.CdcOps
+      .latestSnapshot(raw, Seq("id"), "_peerdb_version")
+      .where(col("_peerdb_is_deleted") === 0)
+      .select("id", "payload").as[(Long, String)].collect().toSet
+    assert(fin == Set((1L, "a2")))
+  }
+
   test("foreachBatch lands a CDC stream in Derby; a recovery replay is a no-op") {
     import graft.sinks.JdbcSink
     import graft.streaming.CdcStream.Change
