@@ -20,22 +20,30 @@ object SparkEntry {
     * index trees under /tmp. Each invocation gets a FRESH subdirectory
     * (counter suffix) so concurrent evaluation, or re-evaluating a frame
     * returned by an earlier invocation after a later create(), never races
-    * on the same index files.
+    * on the same index files. Trees older than the last TWO are reclaimed
+    * at mint time, not just at exit (a long-lived JVM evaluating indexed
+    * queries repeatedly must not fill /tmp); the two-tree grace keeps the
+    * previous invocation's returned frame re-evaluable — the min-of-2
+    * bench shape.
     */
   private lazy val indexScratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft_jidx_drv")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
     root
   }
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    } catch { case _: Throwable => () }
   private val indexScratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private def indexScratch: String =
-    indexScratchRoot.toString + "/idx" + indexScratchSeq.getAndIncrement()
+  private def indexScratch: String = {
+    val n = indexScratchSeq.getAndIncrement()
+    if (n >= 2) deleteTree(indexScratchRoot.resolve("idx" + (n - 2)))
+    indexScratchRoot.toString + "/idx" + n
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

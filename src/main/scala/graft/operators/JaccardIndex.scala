@@ -213,19 +213,16 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     * sibling of the committed relations (so no committed-relation reader
     * lists it), unique per index INSTANCE (so concurrent probers of the
     * same dir never overwrite each other's in-flight spill — the committed
-    * layout's `b=K` dirs would be shared across processes). Best-effort
-    * removed on JVM exit; a crashed prober's leftover tree is ordinary
-    * crash debris, reclaimed by the next [[JaccardIndex.create]].
+    * layout's `b=K` dirs would be shared across processes). Registered
+    * with the ONE JVM-wide exit hook ([[JaccardIndex.registerSpill]] — a
+    * hook per instance would accumulate unboundedly in a load()-per-sync
+    * pipeline) and best-effort removed there; a crashed prober's leftover
+    * tree is ordinary crash debris, reclaimed by the next
+    * [[JaccardIndex.create]].
     */
   private lazy val probeSpillRoot: String = {
     val path = s"$dir/_probe/${java.util.UUID.randomUUID().toString.take(12)}"
-    val conf = spark.sparkContext.hadoopConfiguration
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        val p = new Path(path)
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p)) fs.delete(p, true)
-      } catch { case _: Throwable => () }))
+    JaccardIndex.registerSpill(path, spark.sparkContext.hadoopConfiguration)
     path
   }
 
@@ -351,6 +348,30 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
 }
 
 object JaccardIndex {
+
+  /** Live probe-spill paths, reclaimed by ONE JVM exit hook (never one per
+    * instance). Entries are only added — a path is tiny, an instance's
+    * spill dir may still back an open probe plan until exit, and the set
+    * is bounded by instances created in this JVM's lifetime.
+    */
+  private val spillPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[
+      (String, org.apache.hadoop.conf.Configuration)]()
+  private lazy val spillHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      spillPaths.forEach { case (path, conf) =>
+        try {
+          val p = new Path(path)
+          val fs = p.getFileSystem(conf)
+          if (fs.exists(p)) fs.delete(p, true)
+        } catch { case _: Throwable => () }
+      }))
+  private def registerSpill(path: String,
+                            conf: org.apache.hadoop.conf.Configuration): Unit = {
+    spillHookInstalled
+    spillPaths.add((path, conf))
+  }
+
   private val MetaFile = "_graft_jaccard_index.json"
 
   /** On-disk format version. 2 = hash-partitioned postings/sets dirs

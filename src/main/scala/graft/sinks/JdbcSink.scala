@@ -25,17 +25,28 @@ import org.apache.spark.sql.types._
   *    `foreachBatch` stream needs (Structured Streaming re-runs the last
   *    uncommitted batch id on recovery).
   *  - **Version guard**: every MERGE matches on the key columns and applies
-  *    only when the target's `versionCol` is ≤ the incoming row's, so even
-  *    an out-of-order or partially-retried delivery converges to the newest
-  *    version per key and can never regress the target. Tombstones
-  *    (`deletedCol` = 1) become guarded `WHEN MATCHED … THEN DELETE`.
+  *    only when the target's `versionCol` is ≤ the incoming row's, so a
+  *    partially-retried delivery, and out-of-order delivery of UPSERTS,
+  *    converge to the newest version per key. Tombstones (`deletedCol` = 1)
+  *    become guarded `WHEN MATCHED … THEN DELETE` — and a physical delete
+  *    ERASES the version fence, so a stale upsert for that key arriving in
+  *    a LATER batch would re-insert it: deletes require delivery in
+  *    batch-id order, which [[sinkMirror]] (monotone high-water mark) and
+  *    Structured Streaming's in-order `foreachBatch` both provide. A
+  *    producer that cannot guarantee order should land with
+  *    [[appendBatch]], which retains tombstone rows and is order-tolerant
+  *    by construction (the ClickHouse ReplacingMergeTree trade).
   *
   * == Scale (100 TB) ==
   * Rows are collapsed to newest-per-key ([[CdcOps.latestSnapshot]] — the
   * map-side-combined aggregate, so the shuffle carries one row per key) and
-  * then repartitioned BY KEY, so no two connections ever touch the same
-  * target key: statement order is irrelevant and lock conflicts between
-  * writers are impossible by construction. Each partition holds ONE
+  * then repartitioned BY KEY, so no two PLANNED partitions share a target
+  * key: statement order is irrelevant between partitions. (Duplicate
+  * ATTEMPTS of one partition — speculative execution, zombie tasks — can
+  * still race each other on its keys; the MERGE is idempotent so the
+  * retried attempt converges, but leave `spark.speculation` off (the
+  * default) for sink stages to avoid transient duplicate-key aborts.)
+  * Each partition holds ONE
   * connection and sends batched statements (`stmtBatch` rows per round
   * trip); total concurrency = shuffle partitions. Per-sync IO tracks the
   * DELTA (see [[sinkMirror]] — only batches above the ledger high-water

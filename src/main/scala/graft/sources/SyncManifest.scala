@@ -225,16 +225,17 @@ object SyncManifest {
     * contract error instead of a raw task `FileNotFoundException` (the
     * planning-time listing inside this method is already translated).
     */
-  def readCommitted(spark: SparkSession, dir: String): DataFrame = graced(dir) {
+  def readCommitted(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir) match {
-      case Some(m) if m.files.nonEmpty =>
-        spark.read.option("basePath", dir).parquet(m.files.map(f => s"$dir/$f"): _*)
-      case Some(m) if m.retired.nonEmpty =>
+      case Some(m) if m.files.nonEmpty => graced(dir)(
+        spark.read.option("basePath", dir).parquet(m.files.map(f => s"$dir/$f"): _*))
+      case Some(m) if m.retired.nonEmpty => graced(dir)(
         spark.read.option("basePath", dir)
-          .parquet(m.retired.map(f => s"$dir/$f"): _*).limit(0)
+          .parquet(m.retired.map(f => s"$dir/$f"): _*).limit(0))
+      // pre-manifest fallback stays untranslated: a missing DIRECTORY here
+      // is "no mirror", not a grace overrun
       case _ => spark.read.parquet(dir)
     }
-  }
 
   /** Run `action` (typically an action on a held [[readCommitted]] frame)
     * translating a vanished-pinned-file failure into the manifest-grace
@@ -246,23 +247,37 @@ object SyncManifest {
     */
   def graced[A](dir: String)(action: => A): A =
     try action catch {
-      case e: Throwable if vanishedFileIn(e) =>
+      case e: Throwable if vanishedFileIn(e, dir) =>
         throw new IllegalStateException(
           s"reader outlived the manifest grace under $dir — the pinned sync's " +
             "files were vacuumed by later commits (one grace generation is " +
             "retained by design); re-pin with readCommitted and retry", e)
     }
 
-  private def vanishedFileIn(e: Throwable): Boolean = {
+  /** A vanished-file failure FOR THIS MIRROR: the cause chain carries a
+    * missing-file/path indicator (task-level `FileNotFoundException`,
+    * Spark's FAILED_READ_FILE.FILE_NOT_EXIST, or planning-time
+    * PATH_NOT_FOUND) AND some message in the chain names a path under
+    * `dir` — an unrelated FileNotFoundException (a UDF's local resource, a
+    * different dataset) must pass through untranslated, a misdiagnosis
+    * that "re-pin and retry" could never fix.
+    */
+  private def vanishedFileIn(e: Throwable, dir: String): Boolean = {
+    val dirPath = new Path(dir).toUri.getPath
+    var vanished = false
+    var underDir = false
     var cur = e
     var depth = 0
     while (cur != null && depth < 20) { // bounded: cause cycles exist in the wild
+      val msg = Option(cur.getMessage).getOrElse("")
       if (cur.isInstanceOf[java.io.FileNotFoundException] ||
-        Option(cur.getMessage).exists(_.contains("FileNotFoundException")))
-        return true
+        msg.contains("FileNotFoundException") || msg.contains("FILE_NOT_EXIST") ||
+        msg.contains("PATH_NOT_FOUND") || msg.contains("Path does not exist") ||
+        msg.contains("File does not exist")) vanished = true
+      if (msg.contains(dirPath)) underDir = true
       cur = cur.getCause
       depth += 1
     }
-    false
+    vanished && underDir
   }
 }

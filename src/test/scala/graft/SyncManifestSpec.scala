@@ -127,6 +127,13 @@ class SyncManifestSpec extends SparkSpec {
     val other = intercept[IllegalArgumentException](
       SyncManifest.graced(dir)(throw new IllegalArgumentException("boom")))
     assert(other.getMessage == "boom")
+    // ... and so does a vanished file that is NOT under this mirror (a
+    // UDF's local resource, a different dataset): "re-pin and retry" could
+    // never fix those, so translating them would be a misdiagnosis
+    val foreign = intercept[java.io.FileNotFoundException](
+      SyncManifest.graced(dir)(
+        throw new java.io.FileNotFoundException("/somewhere/else/data.bin")))
+    assert(foreign.getMessage.contains("/somewhere/else"))
     // re-pinning is the remedy: a fresh read serves the newest sync
     assert(finalRows(dir) == srcRows(bump(v0, 200L)))
   }
