@@ -353,6 +353,15 @@ object SparkEntry {
       val embs = t(s, d, "embeddings")
       Similarity.lshTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // the PERSISTED lifecycle of the LSH search (LshIndex): signatures use
+    // a fixed corpus-independent seed, so create+probe equals the one-shot
+    // lshTopK exactly (spec-pinned); probes read only the queries' th=J
+    // bucket partitions (rows-only)
+    "ann_lsh_indexed" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      LshIndex.create(embs, "vec_id", "embedding", indexScratch)
+        .probe(embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
     "ann_ivf" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       Similarity.ivfTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)

@@ -232,6 +232,83 @@ class SimilaritySpec extends SparkSpec {
       assignedScans().map(f => s"filters=${f.partitionFilters}").mkString("; "))
   }
 
+  test("LshIndex create+add equals the one-shot lshTopK over the union exactly") {
+    val embs = clustered
+    val evenClusters = embs.where(($"vec_id" / 40).cast("int") % 2 === 0)
+    val oddClusters = embs.where(($"vec_id" / 40).cast("int") % 2 === 1)
+    val queries = embs.where($"vec_id" % 40 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString + "/idx"
+    // signatures use a fixed corpus-independent seed, so (unlike IVF's
+    // frozen codebook) the batch split is irrelevant: create(A)+add(B)
+    // IS the index of A ∪ B
+    val idx = graft.operators.LshIndex.create(evenClusters, "vec_id", "embedding",
+      dir, bits = 10, tables = 8)
+    idx.add(oddClusters, "vec_id", "embedding")
+    assert(idx.batches == 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val got = rows(idx.probe(queries, "vec_id", "embedding", 10))
+    val oneShot = rows(Similarity.lshTopK(embs, queries, "vec_id", "embedding", 10,
+      bits = 10, tables = 8))
+    assert(got == oneShot, "persisted-index probe diverged from lshTopK")
+    val reloaded = graft.operators.LshIndex.load(spark, dir)
+    assert(reloaded.bits == 10 && reloaded.tables == 8 && reloaded.batches == 2)
+    assert(rows(reloaded.probe(queries, "vec_id", "embedding", 10)) == got)
+    // lifecycle error contracts + the fileless-index edge
+    intercept[IllegalStateException] {
+      graft.operators.LshIndex.load(spark, dir + "_nowhere")
+    }
+    val empty = graft.operators.LshIndex.create(embs.where($"vec_id" < 0),
+      "vec_id", "embedding", dir + "_empty")
+    assert(empty.probe(queries, "vec_id", "embedding", 5).count() == 0L)
+  }
+
+  test("LshIndex probe scans are partition-pruned to the probed bucket dirs") {
+    val embs = clustered
+    val queries = embs.where($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_prune").toString + "/idx"
+    val idx = graft.operators.LshIndex.create(embs, "vec_id", "embedding", dir,
+      bits = 6, tables = 2)
+    val captured = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[
+      org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scansIn(r.child)
+    }.flatten
+    def assignedScans() = captured.synchronized(captured.toSeq).flatMap(scansIn)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/assigned")))
+    def pruned() = {
+      val s = assignedScans()
+      s.nonEmpty && s.forall(
+        _.partitionFilters.exists(_.references.exists(_.name == "th")))
+    }
+    spark.listenerManager.register(listener)
+    val got = try {
+      val out = idx.probe(queries, "vec_id", "embedding", 10)
+        .as[(Long, Long, Long)].collect().toSet
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && !pruned()) Thread.sleep(100)
+      out
+    } finally spark.listenerManager.unregister(listener)
+    assert(got == Similarity.lshTopK(embs, queries, "vec_id", "embedding", 10,
+      bits = 6, tables = 2).as[(Long, Long, Long)].collect().toSet)
+    assert(pruned(), "assigned scan not partition-pruned: " +
+      assignedScans().map(f => s"filters=${f.partitionFilters}").mkString("; "))
+  }
+
   test("lsh bucket of identical vectors is identical") {
     val b = corpus.select(VectorFunctions.lshBucket($"embedding", 8).as("b"))
       .where($"b".isNotNull).count()
