@@ -20,11 +20,13 @@ object SparkEntry {
     * index trees under /tmp. Each invocation gets a FRESH subdirectory
     * (counter suffix) so concurrent evaluation, or re-evaluating a frame
     * returned by an earlier invocation after a later create(), never races
-    * on the same index files. Trees older than the last TWO are reclaimed
+    * on the same index files. Trees older than the last FOUR are reclaimed
     * at mint time, not just at exit (a long-lived JVM evaluating indexed
-    * queries repeatedly must not fill /tmp); the two-tree grace keeps the
-    * previous invocation's returned frame re-evaluable — the min-of-2
-    * bench shape.
+    * queries repeatedly must not fill /tmp). The four-tree grace covers
+    * the driver's SEQUENTIAL evaluation (Verify/Bench, including min-of-2
+    * re-evaluation) and up to four in-flight invocations; a service
+    * evaluating more indexed queries concurrently than that should call
+    * the index lifecycles with its own scratch dirs instead.
     */
   private lazy val indexScratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft_jidx_drv")
@@ -41,7 +43,7 @@ object SparkEntry {
   private val indexScratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private def indexScratch: String = {
     val n = indexScratchSeq.getAndIncrement()
-    if (n >= 2) deleteTree(indexScratchRoot.resolve("idx" + (n - 2)))
+    if (n >= 4) deleteTree(indexScratchRoot.resolve("idx" + (n - 4)))
     indexScratchRoot.toString + "/idx" + n
   }
 

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** The shared meta commit/parse protocol of the persisted index family
+  * ([[JaccardIndex]], [[IvfIndex]], [[LshIndex]]): a single JSON file
+  * committed via tmp + rename (the capture-state swap — a crash between
+  * the delete and the rename leaves only the complete tmp, which is safe
+  * to adopt because the meta is written strictly after the data dirs),
+  * parsed back with a format-version check that tells skew apart from
+  * corruption. Extracted so a protocol fix lands once, not three times.
+  * [[JaccardIndex]] keeps its own parse (it carries legacy-layout
+  * detection and a double-typed field) but commits through [[commit]].
+  */
+private[operators] object IndexMeta {
+
+  /** Commit `json` to `dir/file` via the tmp + rename single-file swap. */
+  def commit(spark: SparkSession, dir: String, file: String, json: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, file + ".tmp")
+    val dst = new Path(dir, file)
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** Read `dir/file` (with the crash-window tmp fallback) expecting format
+    * version `fmt` and the named integer fields, returned in order.
+    * Behaviors shared by every index: a parseable meta of another format
+    * is SKEW (rebuild-with-create error, never "corrupt"), a half-written
+    * main file is corruption, a missing/torn tmp without a main file is
+    * "no index".
+    */
+  def load(spark: SparkSession, dir: String, file: String, fmt: Int,
+           kind: String, fields: Seq[String]): Seq[Int] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parse(p: Path, strict: Boolean): Option[Seq[Int]] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        def field(k: String): Option[String] =
+          """"%s"\s*:\s*(-?\d+)""".format(k).r.findFirstMatchIn(txt).map(_.group(1))
+        field("fmt") match {
+          case Some(v) if v.toInt != fmt =>
+            throw new IllegalStateException(
+              s"incompatible $kind index format under $dir (fmt $v; this build " +
+                s"reads fmt $fmt) — rebuild with create()")
+          case _ =>
+            val vals = fields.map(field)
+            if (field("fmt").isDefined && vals.forall(_.isDefined))
+              Some(vals.map(_.get.toInt))
+            else if (strict) throw new IllegalStateException(s"corrupt $p: $txt")
+            else None
+        }
+      }
+    parse(new Path(dir, file), strict = true)
+      .orElse(parse(new Path(dir, file + ".tmp"), strict = false))
+      .getOrElse(throw new IllegalStateException(
+        s"no $kind index under $dir — run create() first"))
+  }
+}

@@ -128,50 +128,20 @@ object IvfIndex {
     idx
   }
 
-  /** Open the committed index at `dir`; the torn-meta tmp fallback follows
-    * [[JaccardIndex.load]] (the tmp is complete and written strictly after
-    * the data dirs).
+  /** Open the committed index at `dir`; meta protocol (fmt skew vs
+    * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
     */
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parse(p: Path, strict: Boolean): Option[(Int, Int, Int)] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        def field(k: String): Option[String] =
-          """"%s"\s*:\s*(-?\d+)""".format(k).r.findFirstMatchIn(txt).map(_.group(1))
-        (field("fmt"), field("dim"), field("centroids"), field("batches")) match {
-          case (Some(v), _, _, _) if v.toInt != FormatVersion =>
-            throw new IllegalStateException(
-              s"incompatible IVF index format under $dir (fmt $v; this build " +
-                s"reads fmt $FormatVersion) — rebuild with create()")
-          case (Some(_), Some(d), Some(c), Some(b)) => Some((d.toInt, c.toInt, b.toInt))
-          case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
-          case _ => None
-        }
-      }
-    val meta = parse(new Path(dir, MetaFile), strict = true)
-      .orElse(parse(new Path(dir, MetaFile + ".tmp"), strict = false))
-      .getOrElse(throw new IllegalStateException(
-        s"no IVF index under $dir — run create() first"))
+    val Seq(dim, cents, batches) = IndexMeta.load(spark, dir, MetaFile,
+      FormatVersion, "IVF", Seq("dim", "centroids", "batches"))
     val centRows = spark.read.parquet(s"$dir/centroids")
       .orderBy(xxhash64(col("id")), col("id")).collect()
-    new IvfIndex(spark, dir, meta._1, meta._2, meta._3,
+    new IvfIndex(spark, dir, dim, cents, batches,
       centRows.map(_.getLong(0)), centRows.flatMap(_.getSeq[Double](1)))
   }
 
   private def writeMeta(spark: SparkSession, dir: String, dim: Int,
-                        centroids: Int, batches: Int): Unit = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, MetaFile + ".tmp")
-    val dst = new Path(dir, MetaFile)
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"fmt":$FormatVersion,"dim":$dim,"centroids":$centroids,"batches":$batches}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
-  }
+                        centroids: Int, batches: Int): Unit =
+    IndexMeta.commit(spark, dir, MetaFile,
+      s"""{"fmt":$FormatVersion,"dim":$dim,"centroids":$centroids,"batches":$batches}""")
 }

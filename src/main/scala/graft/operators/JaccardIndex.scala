@@ -439,16 +439,7 @@ object JaccardIndex {
   }
 
   private def writeMeta(spark: SparkSession, dir: String, threshold: Double,
-                        parts: Int, batches: Int): Unit = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, MetaFile + ".tmp")
-    val dst = new Path(dir, MetaFile)
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"fmt":$FormatVersion,"threshold":$threshold,"parts":$parts,"batches":$batches}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
-  }
+                        parts: Int, batches: Int): Unit =
+    IndexMeta.commit(spark, dir, MetaFile,
+      s"""{"fmt":$FormatVersion,"threshold":$threshold,"parts":$parts,"batches":$batches}""")
 }

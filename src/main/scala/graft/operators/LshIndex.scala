@@ -83,7 +83,9 @@ final class LshIndex private (spark: SparkSession, val dir: String,
     // no postings files at all — serve the empty result instead of failing
     // parquet schema inference
     if (!graft.streaming.CdcStream.hasVisibleParquet(spark, s"$dir/assigned"))
-      return q.select(col("query_id"), col("query_id").as("corpus_id"),
+      // same schema as the non-empty path: rankTopK emits corpus_id/rk as
+      // bigint regardless of the id column's own type
+      return q.select(col("query_id"), col("query_id").cast("long").as("corpus_id"),
         lit(1L).as("rk")).limit(0)
     // bounded collect: ≤ queries × tables distinct bucket keys — these
     // prune the postings SCAN to matching th=J partition dirs
@@ -121,46 +123,17 @@ object LshIndex {
     idx
   }
 
-  /** Open the committed index at `dir`; torn-meta tmp fallback as in
-    * [[JaccardIndex.load]].
+  /** Open the committed index at `dir`; meta protocol (fmt skew vs
+    * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
     */
   def load(spark: SparkSession, dir: String): LshIndex = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parse(p: Path, strict: Boolean): Option[(Int, Int, Int)] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        def field(k: String): Option[String] =
-          """"%s"\s*:\s*(-?\d+)""".format(k).r.findFirstMatchIn(txt).map(_.group(1))
-        (field("fmt"), field("bits"), field("tables"), field("batches")) match {
-          case (Some(v), _, _, _) if v.toInt != FormatVersion =>
-            throw new IllegalStateException(
-              s"incompatible LSH index format under $dir (fmt $v; this build " +
-                s"reads fmt $FormatVersion) — rebuild with create()")
-          case (Some(_), Some(b), Some(t), Some(k)) => Some((b.toInt, t.toInt, k.toInt))
-          case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
-          case _ => None
-        }
-      }
-    val meta = parse(new Path(dir, MetaFile), strict = true)
-      .orElse(parse(new Path(dir, MetaFile + ".tmp"), strict = false))
-      .getOrElse(throw new IllegalStateException(
-        s"no LSH index under $dir — run create() first"))
-    new LshIndex(spark, dir, meta._1, meta._2, meta._3)
+    val Seq(bits, tables, batches) = IndexMeta.load(spark, dir, MetaFile,
+      FormatVersion, "LSH", Seq("bits", "tables", "batches"))
+    new LshIndex(spark, dir, bits, tables, batches)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, bits: Int,
-                        tables: Int, batches: Int): Unit = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, MetaFile + ".tmp")
-    val dst = new Path(dir, MetaFile)
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"fmt":$FormatVersion,"bits":$bits,"tables":$tables,"batches":$batches}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
-  }
+                        tables: Int, batches: Int): Unit =
+    IndexMeta.commit(spark, dir, MetaFile,
+      s"""{"fmt":$FormatVersion,"bits":$bits,"tables":$tables,"batches":$batches}""")
 }
