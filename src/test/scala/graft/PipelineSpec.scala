@@ -120,4 +120,58 @@ class PipelineSpec extends SparkSpec {
     assert(perComp.where(col("keepers") =!= 1L).count() == 0)
     assert(decisions.where(!col("keep")).count() > 0)
   }
+
+  test("stream -> adopt -> warehouse: the full landing path ends in the JDBC target") {
+    import graft.sinks.JdbcSink
+    import graft.sources.{Incremental, TableConfig}
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_pipe_wh")
+    val target = base.resolve("mirror").toString
+    val ckpt = base.resolve("ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // phase 1: the CDC stream builds the parquet mirror
+    val input = MemoryStream[Change]
+    input.addData(
+      Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "a"),
+      Change(2L, 2L, "insert", ts("2024-01-01 00:00:01"), "b"),
+      Change(3L, 3L, "insert", ts("2024-01-01 00:00:02"), "c"),
+      Change(1L, 4L, "update", ts("2024-01-01 00:00:03"), "a2"))
+    CdcStream.mirrorToParquet(input.toDS(), target, ckpt, nBuckets = 4)
+      .awaitTermination()
+
+    // phase 2: adoption into the polled lifecycle, then delivery into a
+    // live Derby warehouse (the reference's ClickHouse landing step)
+    val cfg = TableConfig("t", Seq("key"), "version", nBuckets = 4)
+    Incremental.adoptMirror(spark, target, cfg)
+    val url = "jdbc:derby:memory:graftpipewh;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      "CREATE TABLE wh (\"key\" BIGINT PRIMARY KEY, \"version\" BIGINT, " +
+        "\"op\" VARCHAR(16), \"ts\" TIMESTAMP, \"payload\" VARCHAR(64), " +
+        "\"_peerdb_version\" BIGINT)")
+    finally conn.close()
+    def warehouse(): Map[Long, String] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT \"key\", \"payload\" FROM wh")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => r.getLong(1) -> r.getString(2)).toMap
+      } finally c.close()
+    }
+    val r1 = JdbcSink.sinkMirror(spark, target, url, "wh", Seq("key"),
+      dual = JdbcSink.DerbyDual)
+    assert(r1.applied && warehouse() == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+
+    // phase 3: a hard delete at the source reaches the warehouse through
+    // sweep + delta-sized re-delivery; a second delivery call is a no-op
+    val live = Seq((1L, 4L), (2L, 2L)).toDF("key", "version")
+    assert(Incremental.reconcileDeletes(live, cfg, target).rowsSynced == 1L)
+    val r2 = JdbcSink.sinkMirror(spark, target, url, "wh", Seq("key"),
+      dual = JdbcSink.DerbyDual)
+    assert(r2.applied && warehouse() == Map(1L -> "a2", 2L -> "b"))
+    val idle = JdbcSink.sinkMirror(spark, target, url, "wh", Seq("key"),
+      dual = JdbcSink.DerbyDual)
+    assert(!idle.applied && warehouse() == Map(1L -> "a2", 2L -> "b"))
+  }
 }
