@@ -630,6 +630,26 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
       Incremental.reconcileDeletes(sources(t.table), t, mirrorDir(t.table),
         syncedAt = syncedAt)))).toMap
 
+  /** One warehouse-delivery round across every configured table (concurrent
+    * across tables, same shared deadline): each table's committed mirror
+    * delta lands in its own JDBC target table via
+    * [[graft.sinks.JdbcSink.sinkMirror]] — the reference's per-table
+    * ClickHouse targets under one `clickhouse_target_database`. Idempotent
+    * per round (each sink reads only the delta above its ledger's
+    * high-water mark), so alternating pollAll/sinkAll keeps the warehouse
+    * continuously converged at O(changes) per round.
+    *
+    * @param targetOf maps a mirror table name to its warehouse table name
+    *                 (default: same name)
+    */
+  def sinkAll(url: String, props: java.util.Properties = new java.util.Properties(),
+              targetOf: String => String = identity,
+              dual: String = graft.sinks.JdbcSink.AnsiDual)
+      : Map[String, graft.sinks.JdbcSink.SinkReport] =
+    inParallel(tables.map(t => t.table -> (() =>
+      graft.sinks.JdbcSink.sinkMirror(spark, mirrorDir(t.table), url,
+        targetOf(t.table), t.keys, props, dual = dual)))).toMap
+
   /** Per-table lag rows, unioned — the monitor's whole Lag table. */
   def lagAll(): DataFrame =
     tables.map { t =>
