@@ -645,10 +645,18 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
   def sinkAll(url: String, props: java.util.Properties = new java.util.Properties(),
               targetOf: String => String = identity,
               dual: String = graft.sinks.JdbcSink.AnsiDual)
-      : Map[String, graft.sinks.JdbcSink.SinkReport] =
+      : Map[String, graft.sinks.JdbcSink.SinkReport] = {
+    // two mirrors sharing one target would share its ledger: the faster
+    // table's high-water mark silently filters the slower one's delta to
+    // empty forever — refuse, like the duplicate-table guard above
+    val targets = tables.map(t => targetOf(t.table))
+    require(targets.distinct.size == targets.size,
+      s"targetOf maps two mirror tables to one warehouse table: " +
+        tables.map(t => s"${t.table}->${targetOf(t.table)}").mkString(", "))
     inParallel(tables.map(t => t.table -> (() =>
       graft.sinks.JdbcSink.sinkMirror(spark, mirrorDir(t.table), url,
         targetOf(t.table), t.keys, props, dual = dual)))).toMap
+  }
 
   /** Per-table lag rows, unioned — the monitor's whole Lag table. */
   def lagAll(): DataFrame =

@@ -163,32 +163,24 @@ class IncrementalSpec extends SparkSpec {
     // JDBC target (the reference's per-table ClickHouse tables under one
     // target database), concurrently, under the same round deadline
     val url = "jdbc:derby:memory:graftmulti;create=true"
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val st = conn.createStatement()
-      for (t <- cfgs.map(_.table))
-        st.executeUpdate(s"""CREATE TABLE wh_$t ("key" BIGINT PRIMARY KEY, """ +
-          """"seq" BIGINT, "payload" VARCHAR(64), "_peerdb_version" BIGINT)""")
-      st.close()
-    } finally conn.close()
+    jdbcExec(url, cfgs.map(c =>
+      s"""CREATE TABLE wh_${c.table} ("key" BIGINT PRIMARY KEY, """ +
+        """"seq" BIGINT, "payload" VARCHAR(64), "_peerdb_version" BIGINT)"""): _*)
     val sunk = mirror.sinkAll(url, targetOf = "wh_" + _,
       dual = graft.sinks.JdbcSink.DerbyDual)
     assert(sunk.keySet == Set("customers", "products", "orders")
       && sunk.values.forall(_.applied))
-    def whRows(t: String): Set[(Long, Long, String)] = {
-      val c = java.sql.DriverManager.getConnection(url)
-      try {
-        val rs = c.createStatement().executeQuery(
-          s"""SELECT "key", "seq", "payload" FROM wh_$t""")
-        Iterator.continually(rs).takeWhile(_.next())
-          .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
-      } finally c.close()
-    }
+    def whRows(t: String): Set[(Long, Long, String)] =
+      jdbcRows(url, s"""SELECT "key", "seq", "payload" FROM wh_$t""")(r =>
+        (r.getLong(1), r.getLong(2), r.getString(3))).toSet
     for (t <- cfgs.map(_.table))
       assert(whRows(t) == srcRows(current(t)), s"warehouse drift on $t")
     // a second delivery round with nothing new is a no-op for every table
     assert(mirror.sinkAll(url, targetOf = "wh_" + _,
       dual = graft.sinks.JdbcSink.DerbyDual).values.forall(!_.applied))
+    // mapping two mirrors onto one warehouse table is refused (a shared
+    // ledger would silently starve the slower table's deliveries)
+    intercept[IllegalArgumentException](mirror.sinkAll(url, targetOf = _ => "wh_one"))
   }
 
   test("a wedged source fails the round in bounded time; healthy tables commit and re-poll") {

@@ -145,20 +145,13 @@ class PipelineSpec extends SparkSpec {
     val cfg = TableConfig("t", Seq("key"), "version", nBuckets = 4)
     Incremental.adoptMirror(spark, target, cfg)
     val url = "jdbc:derby:memory:graftpipewh;create=true"
-    val conn = java.sql.DriverManager.getConnection(url)
-    try conn.createStatement().executeUpdate(
+    jdbcExec(url,
       "CREATE TABLE wh (\"key\" BIGINT PRIMARY KEY, \"version\" BIGINT, " +
         "\"op\" VARCHAR(16), \"ts\" TIMESTAMP, \"payload\" VARCHAR(64), " +
         "\"_peerdb_version\" BIGINT)")
-    finally conn.close()
-    def warehouse(): Map[Long, String] = {
-      val c = java.sql.DriverManager.getConnection(url)
-      try {
-        val rs = c.createStatement().executeQuery("SELECT \"key\", \"payload\" FROM wh")
-        Iterator.continually(rs).takeWhile(_.next())
-          .map(r => r.getLong(1) -> r.getString(2)).toMap
-      } finally c.close()
-    }
+    def warehouse(): Map[Long, String] =
+      jdbcRows(url, "SELECT \"key\", \"payload\" FROM wh")(r =>
+        r.getLong(1) -> r.getString(2)).toMap
     val r1 = JdbcSink.sinkMirror(spark, target, url, "wh", Seq("key"),
       dual = JdbcSink.DerbyDual)
     assert(r1.applied && warehouse() == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
