@@ -123,6 +123,8 @@ object SparkEntry {
       CdcOps.sessionize(t(s, d, "events"), Seq("user_id"), "ts", 1800L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))),
+    "events_traffic_spikes" -> ((s, d) =>
+      CdcOps.trafficSpikes(t(s, d, "events"), "ts", "event_type")),
     "fuzzy_part_names" -> ((s, d) => {
       // q-gram prefix blocking (guaranteed recall, Fuzzy.editPairs): the
       // block key is (brand, type, rare-first gram) — its cardinality grows
@@ -687,6 +689,17 @@ object SparkEntry {
                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
          GROUP BY user_id""",
+    "events_traffic_spikes" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         per_type AS (
+           SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+                  count(*) AS days
+           FROM daily GROUP BY 1)
+         SELECT d.event_type, d.day, d.cnt
+         FROM daily d JOIN per_type p ON d.event_type = p.event_type
+         WHERE d.cnt * p.days * 10 > 11 * p.total""",
     "fuzzy_part_names" ->
       """SELECT l.p_partkey AS key_a, r.p_partkey AS key_b,
                 CAST(levenshtein(l.p_name, r.p_name) AS INT) AS edit_dist

@@ -126,4 +126,29 @@ object CdcOps {
     log.withColumn("session_seq", sum(newSession).over(
       byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Traffic-spike days in the change log: days whose event count exceeds
+    * `num/den` × the event type's daily average — the load-anomaly check a
+    * monitor runs over the mirrored log (the reference's monitor tracks
+    * per-table ops/sec and flags deviations). The comparison is kept in
+    * MULTIPLIED-OUT integer form (`cnt · days · den > num · total`), so
+    * the result is exact and engine-comparable — no float division, no
+    * stddev whose summation order differs between engines.
+    *
+    * Shape: two grouped aggregations (daily counts, then per-type totals —
+    * both map-side partial) and a join against the per-type frame, which
+    * is one row per event type at ANY scale factor, so it broadcasts.
+    */
+  def trafficSpikes(events: DataFrame, tsCol: String, typeCol: String,
+                    num: Int = 11, den: Int = 10): DataFrame = {
+    require(num > 0 && den > 0, s"bad spike factor $num/$den")
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val perType = daily.groupBy(col(typeCol))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("days"))
+    daily.join(broadcast(perType), typeCol)
+      .where(col("cnt") * col("days") * den > lit(num.toLong) * col("total"))
+      .select(col(typeCol), col("day"), col("cnt"))
+  }
 }
