@@ -230,6 +230,8 @@ object SparkEntry {
         .where(TextFunctions.qualityScore(col("text")) >= 0.5
           && TextFunctions.tokenCount(col("text")) >= 20)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    "docs_oov_rate" -> ((s, d) =>
+      Vocabulary.oovStats(t(s, d, "documents"), "doc_id", "text", 1000)),
     "orders_profile" -> ((s, d) =>
       Profiler.profile(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
@@ -689,6 +691,23 @@ object SparkEntry {
                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
          GROUP BY user_id""",
+    "docs_oov_rate" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         tok2 AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+         vocab AS (
+           SELECT w FROM (
+             SELECT w, count(*) AS freq FROM tok2 GROUP BY w
+             ORDER BY freq DESC, w LIMIT 1000)),
+         oov AS (
+           SELECT doc_id, count(*) AS oov_tokens FROM tok2
+           WHERE w NOT IN (SELECT w FROM vocab) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(len(list_filter(string_split(lower(d.text), ' '),
+                     x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                CAST(COALESCE(o.oov_tokens, 0) AS BIGINT) AS oov_tokens
+         FROM documents d LEFT JOIN oov o ON d.doc_id = o.doc_id""",
     "events_traffic_spikes" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt

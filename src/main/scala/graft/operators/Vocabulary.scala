@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative vocabulary statistics for training-data curation: the
+  * OOV (out-of-vocabulary) rate of each document against the corpus' own
+  * top-k vocabulary — a standard pretraining quality signal (gibberish,
+  * wrong-language, and boilerplate-noise documents score high) that the
+  * per-document heuristics in [[graft.functions.TextFunctions]] cannot
+  * express, because it is relative to the corpus, not the document.
+  *
+  * Everything is exact integer math (token and OOV counts, no float
+  * ratios), so results are engine-comparable; the caller divides if it
+  * wants a rate.
+  *
+  * Scale (100 TB): the token explode is narrow and linear; the vocabulary
+  * is CAPPED at k with a deterministic tie-break, planned as
+  * TakeOrderedAndProject (each partition ships ≤ k rows, never the token
+  * relation); the OOV anti-join broadcasts the k-row vocabulary; the
+  * per-document aggregate combines map-side.
+  */
+object Vocabulary {
+
+  private def toks(textCol: String) =
+    explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("w")
+
+  /** The corpus' `k` most frequent (lowercased, whitespace) tokens. Ties at
+    * the cut break by the token itself, so the vocabulary — and everything
+    * derived from it — is deterministic across engines and partitionings.
+    */
+  def topVocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    docs.select(toks(textCol))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(k)
+  }
+
+  /** One row per document: total token count and how many of its tokens
+    * fall outside the corpus' top-`k` vocabulary (both exact integers;
+    * zero-OOV and empty documents included).
+    */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 1000): DataFrame = {
+    val vocab = topVocabulary(docs, textCol, k).select(col("w"))
+    val tok = docs.select(col(idCol), toks(textCol))
+      .where(length(col("w")) > 0)
+    val oov = tok.join(broadcast(vocab), Seq("w"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("oov_tokens"))
+    docs.select(col(idCol),
+        size(filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
+          t => length(t) > 0)).cast("bigint").as("n_tokens"))
+      .join(oov, Seq(idCol), "left")
+      .na.fill(0L, Seq("oov_tokens"))
+  }
+}

@@ -102,6 +102,28 @@ class TextFunctionsSpec extends SparkSpec {
         Seq(0L, 0L, 1L, 1L, 2L, 2L), s"shard $s packing broken")
   }
 
+  test("oovStats counts tokens outside the deterministic top-k vocabulary") {
+    // frequencies: aa=4, bb=3, cc=2, dd=2, zz=1 — at k=3 the cc/dd tie at
+    // the cut breaks by token, so vocab = {aa, bb, cc}
+    val corpus = Seq(
+      (1L, "aa bb cc"),
+      (2L, "aa bb dd"),
+      (3L, "aa bb cc dd"),
+      (4L, "aa zz"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.operators.Vocabulary.oovStats(corpus, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 0L), // all in vocab
+      (2L, 3L, 1L), // dd lost the tie-break
+      (3L, 4L, 1L),
+      (4L, 2L, 1L), // zz below the cut
+      (5L, 0L, 0L))) // empty doc still reported
+    val vocab = graft.operators.Vocabulary.topVocabulary(corpus, "text", 3)
+      .select("w").as[String].collect().toSet
+    assert(vocab == Set("aa", "bb", "cc"))
+  }
+
   test("packChunks sequences stay within the budget-overrun bounds") {
     // start-based assignment bounds (chunks of at most chunkSize words):
     // every sequence holds < budget + chunkSize words, and every sequence
