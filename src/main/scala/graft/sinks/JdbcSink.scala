@@ -231,6 +231,33 @@ object JdbcSink {
       props, versionCol, deletedCol, dual, stmtBatch)
   }
 
+  /** Warehouse delivery lag — the sink-side row of the monitor's per-table
+    * sync status (the reference's monitor compares source and ClickHouse
+    * state per table; this compares the MIRROR and its warehouse target).
+    * One row: the mirror's highest committed batch id, the ledger's
+    * high-water mark, how many committed batches await delivery, and a
+    * status. Both sides are 1-row lookups (a bounded aggregate over the
+    * manifest-pinned mirror; one MAX on the ledger), so the report costs
+    * O(1) beyond the mirror scan it shares with `mirror_lag`.
+    */
+  def deliveryLag(spark: SparkSession, mirrorDir: String, url: String,
+                  table: String,
+                  props: Properties = new Properties()): DataFrame = {
+    val delivered = withConnection(url, props) { conn =>
+      ensureLedger(conn, ledgerTable(table))
+      highWater(conn, ledgerTable(table))
+    }
+    graft.sources.Mirror.readCommitted(spark, mirrorDir)
+      .agg(max(col("_peerdb_batch_id")).as("mirror_batch"))
+      .select(
+        lit(table).as("target_table"),
+        col("mirror_batch"),
+        lit(delivered).as("delivered_batch"),
+        greatest(col("mirror_batch") - delivered, lit(0L)).as("pending_batches"),
+        when(col("mirror_batch") <= delivered, "DELIVERED")
+          .otherwise("PENDING").as("delivery_status"))
+  }
+
   /** The Structured Streaming form: hand this to
     * `writeStream.foreachBatch(...)` to land a CDC stream in the warehouse.
     * The streaming engine replays the last batch id on recovery; the ledger

@@ -159,6 +159,11 @@ class JdbcCaptureSpec extends SparkSpec {
       "DELETE FROM wh_src WHERE id = 7")
     Incremental.poll(jdbcTable("wh_src"), cfg, dir)
     Incremental.reconcileDeletes(jdbcTable("wh_src"), cfg, dir)
+    // two committed syncs the warehouse hasn't seen: the monitor row says so
+    def lag() = JdbcSink.deliveryLag(spark, dir, url, "wh_tgt", props)
+      .select("mirror_batch", "delivered_batch", "pending_batches", "delivery_status")
+      .as[(Long, Long, Long, String)].collect()(0)
+    assert(lag() == ((2L, 0L, 2L, "PENDING")), lag().toString)
     val r3 = JdbcSink.sinkMirror(spark, dir, url, "wh_tgt", Seq("ID"), props,
       dual = JdbcSink.DerbyDual)
     assert(r3.applied && r3.rowsChanged == 3L, r3.toString)
@@ -170,6 +175,9 @@ class JdbcCaptureSpec extends SparkSpec {
       graft.sources.Mirror.readCommitted(spark, dir), url, "wh_tgt", Seq("ID"),
       r3.batchId, props, dual = JdbcSink.DerbyDual)
     assert(!replay.applied && target() == mirrorFinal())
+
+    // ... and DELIVERED with zero pending right after the sink round
+    assert(lag() == ((2L, 2L, 0L, "DELIVERED")), lag().toString)
 
     // a STALE row under a fresh batch id: the ledger admits it, the
     // (keys, _peerdb_version) MERGE guard rejects it row-by-row
