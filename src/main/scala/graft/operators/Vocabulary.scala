@@ -45,14 +45,20 @@ object Vocabulary {
   def oovStats(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 1000): DataFrame = {
     val vocab = topVocabulary(docs, textCol, k).select(col("w"))
+    // both counts come from ONE tokenization of the probe side (a left
+    // broadcast join against the k-row vocab marks hits inline), so the
+    // corpus is tokenized twice total — the vocabulary pass and the probe
+    // pass — never a third time for n_tokens
     val tok = docs.select(col(idCol), toks(textCol))
       .where(length(col("w")) > 0)
-    val oov = tok.join(broadcast(vocab), Seq("w"), "left_anti")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("oov_tokens"))
-    docs.select(col(idCol),
-        size(filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
-          t => length(t) > 0)).cast("bigint").as("n_tokens"))
-      .join(oov, Seq(idCol), "left")
-      .na.fill(0L, Seq("oov_tokens"))
+    val stats = tok
+      .join(broadcast(vocab.withColumn("_graft_in", lit(1))), Seq("w"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_graft_in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+    // empty/whitespace-only documents have no token rows but must appear
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "oov_tokens"))
   }
 }

@@ -248,7 +248,10 @@ object JdbcSink {
       highWater(conn, ledgerTable(table))
     }
     graft.sources.Mirror.readCommitted(spark, mirrorDir)
-      .agg(max(col("_peerdb_batch_id")).as("mirror_batch"))
+      // an EMPTY mirror (committed sync of an empty source) has no batch
+      // ids: report -1 on both sides — DELIVERED, never a NULL that a
+      // typed consumer trips over or a permanent phantom PENDING
+      .agg(coalesce(max(col("_peerdb_batch_id")), lit(-1L)).as("mirror_batch"))
       .select(
         lit(table).as("target_table"),
         col("mirror_batch"),

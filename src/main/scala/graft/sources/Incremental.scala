@@ -648,8 +648,10 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
       : Map[String, graft.sinks.JdbcSink.SinkReport] = {
     // two mirrors sharing one target would share its ledger: the faster
     // table's high-water mark silently filters the slower one's delta to
-    // empty forever — refuse, like the duplicate-table guard above
-    val targets = tables.map(t => targetOf(t.table))
+    // empty forever — refuse, like the duplicate-table guard above.
+    // Case-folded: the sink emits UNQUOTED identifiers, so "WH" and "wh"
+    // resolve to the same physical table in case-folding databases
+    val targets = tables.map(t => targetOf(t.table).toUpperCase(java.util.Locale.ROOT))
     require(targets.distinct.size == targets.size,
       s"targetOf maps two mirror tables to one warehouse table: " +
         tables.map(t => s"${t.table}->${targetOf(t.table)}").mkString(", "))

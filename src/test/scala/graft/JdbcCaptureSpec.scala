@@ -29,13 +29,7 @@ class JdbcCaptureSpec extends SparkSpec {
     p
   }
 
-  private def exec(sqls: String*): Unit = {
-    val conn = DriverManager.getConnection(url)
-    try {
-      val st = conn.createStatement()
-      try sqls.foreach(st.executeUpdate) finally st.close()
-    } finally conn.close()
-  }
+  private def exec(sqls: String*): Unit = jdbcExec(url, sqls: _*)
 
   private def mkTable(name: String, rows: Seq[(Long, Long, String)]): Unit =
     exec((s"CREATE TABLE $name (id BIGINT PRIMARY KEY, seq BIGINT NOT NULL, " +
@@ -94,16 +88,8 @@ class JdbcCaptureSpec extends SparkSpec {
 
     val fin = graft.sources.Mirror.readFinal(spark, dir, "ID")
       .select("ID", "SEQ", "PAYLOAD").as[(Long, Long, String)].collect().toSet
-    val truth = {
-      val conn = DriverManager.getConnection(url)
-      try {
-        val rs = conn.createStatement()
-          .executeQuery("SELECT id, seq, payload FROM customers")
-        Iterator.continually(rs)
-          .takeWhile(_.next())
-          .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
-      } finally conn.close()
-    }
+    val truth = jdbcRows(url, "SELECT id, seq, payload FROM customers")(r =>
+      (r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(fin == truth)
 
     val after = Incremental.lagReport(jdbcTable("customers"),
@@ -126,15 +112,9 @@ class JdbcCaptureSpec extends SparkSpec {
     val cfg = TableConfig("wh_src", Seq("ID"), "SEQ", nBuckets = 4)
     Incremental.snapshot(jdbcTable("wh_src"), cfg, dir)
 
-    def target(): Set[(Long, Long, String, Long)] = {
-      val conn = DriverManager.getConnection(url)
-      try {
-        val rs = conn.createStatement().executeQuery(
-          "SELECT id, seq, payload, \"_peerdb_version\" FROM wh_tgt")
-        Iterator.continually(rs).takeWhile(_.next())
-          .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSet
-      } finally conn.close()
-    }
+    def target(): Set[(Long, Long, String, Long)] =
+      jdbcRows(url, "SELECT id, seq, payload, \"_peerdb_version\" FROM wh_tgt")(r =>
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSet
     def mirrorFinal(): Set[(Long, Long, String, Long)] =
       graft.sources.Mirror.readFinal(spark, dir, "ID")
         .select("ID", "SEQ", "PAYLOAD", "_peerdb_version")
@@ -233,15 +213,9 @@ class JdbcCaptureSpec extends SparkSpec {
     exec("CREATE TABLE st_tgt (\"key\" BIGINT PRIMARY KEY, \"version\" BIGINT, " +
       "\"op\" VARCHAR(16), \"ts\" TIMESTAMP, \"payload\" VARCHAR(64))")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    def target(): Set[(Long, Long, String)] = {
-      val conn = DriverManager.getConnection(url)
-      try {
-        val rs = conn.createStatement().executeQuery(
-          "SELECT \"key\", \"version\", \"payload\" FROM st_tgt")
-        Iterator.continually(rs).takeWhile(_.next())
-          .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
-      } finally conn.close()
-    }
+    def target(): Set[(Long, Long, String)] =
+      jdbcRows(url, "SELECT \"key\", \"version\", \"payload\" FROM st_tgt")(r =>
+        (r.getLong(1), r.getLong(2), r.getString(3))).toSet
     val sink = JdbcSink.foreachBatch(url, "st_tgt", Seq("key"), props,
       versionCol = "version", deletedCol = "is_deleted", dual = JdbcSink.DerbyDual)
     val input = MemoryStream[Change]
