@@ -359,10 +359,11 @@ object SparkEntry {
       val embs = t(s, d, "embeddings")
       Similarity.lshTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
-    // the PERSISTED lifecycle of the LSH search (LshIndex): signatures use
-    // a fixed corpus-independent seed, so create+probe equals the one-shot
-    // lshTopK exactly (spec-pinned); probes read only the queries' th=J
-    // bucket partitions (rows-only)
+    // the PERSISTED lifecycle of the LSH search (LshIndex): fixed-seed
+    // signatures give exactly the one-shot lshTopK's candidate sets
+    // (equality spec-pinned on the float store); the default int8-packed
+    // postings cut probe IO 4x with top-k overlap >= 0.95 spec-pinned, and
+    // probes read only the queries' th=J bucket partitions (rows-only)
     "ann_lsh_indexed" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       LshIndex.create(embs, "vec_id", "embedding", indexScratch)
@@ -372,10 +373,12 @@ object SparkEntry {
       val embs = t(s, d, "embeddings")
       Similarity.ivfTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
-    // the PERSISTED lifecycle of the same search (IvfIndex): create writes
-    // codebook + per-centroid assignment lists once, probe reads only the
-    // probed c=J partitions — a standing corpus queried for weeks never
-    // re-assigns per call (rows-only; equality to ivfTopK is spec-pinned)
+    // the PERSISTED lifecycle of the same search (IvfIndex): create freezes
+    // a k-means-refined codebook (recall >= the sampled pick, spec-pinned)
+    // + int8-packed per-centroid assignment lists once; probe reads only
+    // the probed c=J partitions — a standing corpus queried for weeks never
+    // re-assigns per call (rows-only; bit-equality to ivfTopK spec-pinned
+    // at kmeansIters=0/float store)
     "ann_ivf_indexed" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       IvfIndex.create(embs, "vec_id", "embedding", indexScratch)

@@ -39,4 +39,12 @@ object NativeFunctions {
   /** `bands` independent hyperplane bucket ids (bitsPerBand sign bits each). */
   def hyperplaneBands(v: Column, bitsPerBand: Int, bands: Int): Column =
     bridge.column(HyperplaneBands(bridge.expression(v), bitsPerBand, bands))
+
+  /** Packed int8 quantization: struct(scale double, codes binary). */
+  def packInt8(v: Column): Column =
+    bridge.column(PackInt8(bridge.expression(v)))
+
+  /** Cosine of packed int8 codes (`binary`) vs a float/double query vector. */
+  def int8CosineSim(codes: Column, q: Column): Column =
+    bridge.column(Int8CosineSim(bridge.expression(codes), bridge.expression(q)))
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted random-hyperplane LSH ANN index — the index-lifecycle
@@ -13,46 +13,71 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_lsh_index.json  {"fmt":1,"bits":B,"tables":T,"batches":K}
-  *   dir/assigned/b=K/th=J/     (corpus_id, cv)   J = table·2^bits + bucket
+  *   dir/_graft_lsh_index.json  {"fmt":2,"bits":B,"tables":T,"batches":K,"q":0|1}
+  *   dir/assigned/b=K/th=J/     (corpus_id, scale, codes)  q=1 (default): int8
+  *   dir/assigned/b=K/th=J/     (corpus_id, cv)            q=0: raw float copy
+  *   (J = table·2^bits + bucket)
   * }}}
   * Batches append under fresh `b=K` dirs, meta commits last via tmp +
   * rename — the [[JaccardIndex]] protocol (readers filter `b < batches`;
   * crash debris is invisible; a torn meta commit falls back to the
   * complete tmp). Single writer per index dir; probes only read. Each doc
   * stores `tables` postings rows (the standard multi-table LSH storage
-  * trade for its OR-amplified recall).
+  * trade for its OR-amplified recall) — which is exactly why the postings
+  * are int8-packed by default ([[graft.expressions.PackInt8]]): the
+  * `tables`-fold vector copies are the store's dominant cost, and the
+  * packed form cuts them 4× while scoring stays native and one-pass
+  * ([[graft.expressions.Int8CosineSim]]; cosine is scale-invariant, so
+  * probes read only the `codes` binary). Top-k overlap vs float scoring
+  * ≥ 0.95 is spec-pinned.
   *
   * == Equivalence ==
   * The hyperplanes are derived from a FIXED murmur seed chain
   * ([[graft.expressions.HyperplaneBands]]) — independent of the corpus —
-  * so unlike IVF there is no frozen-codebook drift at all:
-  * `create(A); add(B); probe(q)` EQUALS the one-shot
-  * `lshTopK(A ∪ B, q)` exactly, batch split irrelevant. Pinned by
-  * SimilaritySpec.
+  * so unlike IVF there is no frozen-codebook drift at all: with
+  * `quantizedStore = false`, `create(A); add(B); probe(q)` EQUALS the
+  * one-shot `lshTopK(A ∪ B, q)` exactly, batch split irrelevant (pinned by
+  * SimilaritySpec). The default int8 store keeps the same candidate sets
+  * (bucketing always signs the ORIGINAL vector) and differs only by
+  * rounding in the final scores.
   *
   * == Scale (100 TB) ==
   * Create/add pay one pass over the batch (the signature kernel is a
   * native codegen'd expression; the only shuffle is the `th` repartition
   * that lays postings out for pruning). A probe costs: one signature
-  * projection per query, a bounded collect of the probed (table, bucket)
-  * keys (≤ queries × tables), and a columnar scan of ONLY those `th=J`
+  * projection per query and a columnar scan of ONLY the probed `th=J`
   * directories — per-probe IO tracks the probed buckets, never the corpus.
+  * Partition pruning adapts to the probe-batch size exactly as in
+  * [[IvfIndex]]: ≤ `maxPrunedKeys` distinct probed (table, bucket) keys
+  * become a literal partition filter; past the cap (detected with a
+  * bounded `limit(cap+1)` collect) the same key set prunes via a broadcast
+  * semi-join instead, so a million-query probe batch never builds a
+  * driver-side predicate.
   */
 final class LshIndex private (spark: SparkSession, val dir: String,
                               val bits: Int, val tables: Int,
-                              @volatile private var committedBatches: Int) {
+                              @volatile private var committedBatches: Int,
+                              val quantized: Boolean) {
 
   /** Number of batches committed so far (including the creating corpus). */
   def batches: Int = committedBatches
 
-  /** (table, bucket) composed into the single partition key th. */
-  private def postings(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+  /** (table, bucket) composed into the single partition key th; the stored
+    * vector is packed to int8 BEFORE the per-table explode, so the
+    * quantization kernel runs once per doc, not once per posting.
+    */
+  private def postings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
         posexplode(graft.expressions.NativeFunctions
           .hyperplaneBands(col(vecCol), bits, tables)).as(Seq("table", "bucket")))
       .select(col("corpus_id"), col("cv"),
         (col("table").cast("long") * (1L << bits) + col("bucket")).as("th"))
+    if (quantized) base
+      .withColumn("q8", graft.expressions.NativeFunctions.packInt8(col("cv")))
+      .select(col("corpus_id"), col("q8.scale").as("scale"),
+        col("q8.codes").as("codes"), col("th"))
+    else base
+  }
 
   /** Sign `batch` and append its bucket postings under the next `b=K`;
     * O(batch) compute, no corpus-side read.
@@ -63,17 +88,21 @@ final class LshIndex private (spark: SparkSession, val dir: String,
       .repartition(col("th")) // ≈ one file per bucket dir, not one per task
       .write.mode("overwrite").partitionBy("th").parquet(s"$dir/assigned/b=$b")
     committedBatches = b + 1
-    LshIndex.writeMeta(spark, dir, bits, tables, committedBatches)
+    LshIndex.writeMeta(spark, dir, bits, tables, committedBatches, quantized)
   }
 
   /** Approximate top-k for each query against the committed index:
     * candidates come from the queries' own buckets across every table,
-    * deduped across tables, scored exactly, ranked with the bounded top-k
-    * aggregator — the same pipeline as [[Similarity.lshTopK]]. The queries
-    * frame is evaluated twice (the bucket-pruning collect and the returned
-    * plan) — hand in a deterministic frame, not a live tail.
+    * deduped across tables, scored (natively, straight off the stored
+    * form), ranked with the bounded top-k aggregator — the same pipeline
+    * as [[Similarity.lshTopK]]. The queries frame is evaluated twice (the
+    * bucket-pruning side and the returned plan) — hand in a deterministic
+    * frame, not a live tail.
+    *
+    * @param maxPrunedKeys partition-pruning cap, as in [[IvfIndex.probe]]
     */
-  def probe(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def probe(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+            maxPrunedKeys: Int = 10000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         posexplode(graft.expressions.NativeFunctions
           .hyperplaneBands(col(vecCol), bits, tables)).as(Seq("table", "bucket")))
@@ -87,15 +116,15 @@ final class LshIndex private (spark: SparkSession, val dir: String,
       // bigint regardless of the id column's own type
       return q.select(col("query_id"), col("query_id").cast("long").as("corpus_id"),
         lit(1L).as("rk")).limit(0)
-    // bounded collect: ≤ queries × tables distinct bucket keys — these
-    // prune the postings SCAN to matching th=J partition dirs
-    val tvals = q.select(col("th")).distinct().collect().map(_.getLong(0)).toSeq
-    val assigned = spark.read.parquet(s"$dir/assigned")
-      .where(col("b") < lit(committedBatches) && col("th").isin(tvals: _*))
+    val base = spark.read.parquet(s"$dir/assigned")
+      .where(col("b") < lit(committedBatches))
+    val assigned = IvfIndex.pruneKeys(base, q, "th", maxPrunedKeys)
+    val score =
+      if (quantized) graft.expressions.NativeFunctions.int8CosineSim(col("codes"), col("qv"))
+      else graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
     val scored = assigned.join(broadcast(q), "th")
       .where(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
-        graft.functions.VectorFunctions.cosine(col("qv"), col("cv")).as("cos_sim"))
+      .select(col("query_id"), col("corpus_id"), score.as("cos_sim"))
     // a pair colliding in several tables must occupy ONE top-k slot
     Similarity.rankTopK(
       if (tables == 1) scored else scored.dropDuplicates("query_id", "corpus_id"), k)
@@ -104,21 +133,24 @@ final class LshIndex private (spark: SparkSession, val dir: String,
 
 object LshIndex {
   private val MetaFile = "_graft_lsh_index.json"
-  private val FormatVersion = 1
+  private val FormatVersion = 2
 
   /** Build a fresh index over `corpus` at `dir` (replacing any previous
     * index there). `bits`/`tables` are frozen into the meta — every probe
-    * and add signs with the same hyperplanes.
+    * and add signs with the same hyperplanes. `quantizedStore = false`
+    * keeps raw float postings (bit-equal scoring to the one-shot, 4× the
+    * IO — see the class doc).
     */
   def create(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-             bits: Int = 6, tables: Int = 1): LshIndex = {
+             bits: Int = 6, tables: Int = 1,
+             quantizedStore: Boolean = true): LshIndex = {
     require(bits > 0 && bits <= 24 && tables >= 1,
       s"bad bits=$bits tables=$tables")
     val spark = corpus.sparkSession
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val idx = new LshIndex(spark, dir, bits, tables, 0)
+    val idx = new LshIndex(spark, dir, bits, tables, 0, quantizedStore)
     idx.add(corpus, idCol, vecCol)
     idx
   }
@@ -127,13 +159,14 @@ object LshIndex {
     * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
     */
   def load(spark: SparkSession, dir: String): LshIndex = {
-    val Seq(bits, tables, batches) = IndexMeta.load(spark, dir, MetaFile,
-      FormatVersion, "LSH", Seq("bits", "tables", "batches"))
-    new LshIndex(spark, dir, bits, tables, batches)
+    val Seq(bits, tables, batches, q) = IndexMeta.load(spark, dir, MetaFile,
+      FormatVersion, "LSH", Seq("bits", "tables", "batches", "q"))
+    new LshIndex(spark, dir, bits, tables, batches, q != 0)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, bits: Int,
-                        tables: Int, batches: Int): Unit =
+                        tables: Int, batches: Int, quantized: Boolean): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
-      s"""{"fmt":$FormatVersion,"bits":$bits,"tables":$tables,"batches":$batches}""")
+      s"""{"fmt":$FormatVersion,"bits":$bits,"tables":$tables,""" +
+        s""""batches":$batches,"q":${if (quantized) 1 else 0}}""")
 }

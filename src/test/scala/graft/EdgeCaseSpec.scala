@@ -72,6 +72,36 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("PackInt8 matches quantizeInt8; Int8CosineSim matches cosine of the dequantized vector") {
+    val df = Seq(
+      (1L, Array(0f, 0f, 0f)),
+      (2L, Array(1f, -2f, 0.5f)),
+      (3L, Array(-0.25f, 0.75f, 127f))).toDF("id", "v")
+    // same math, packed storage: scale equal, codes byte-for-byte equal
+    val both = df.select(
+        graft.expressions.NativeFunctions.packInt8($"v").as("p"),
+        VectorFunctions.quantizeInt8($"v").as("h"))
+      .select($"p.scale", $"p.codes", $"h.scale".as("hscale"), $"h.codes".as("hcodes"))
+      .as[(Double, Array[Byte], Double, Array[Int])].collect()
+    both.foreach { case (ps, pc, hs, hc) =>
+      assert(ps == hs)
+      assert(pc.map(_.toInt).toSeq == hc.toSeq)
+    }
+    // cosine is scale-invariant, so scoring straight off the codes equals
+    // cosine of the dequantized vector (zero vector: NaN on both, like the
+    // float kernel)
+    val scored = df.select(
+        graft.expressions.NativeFunctions.int8CosineSim(
+          graft.expressions.NativeFunctions.packInt8($"v").getField("codes"), $"v").as("qc"),
+        VectorFunctions.cosine(
+          VectorFunctions.dequantizeInt8(VectorFunctions.quantizeInt8($"v"))
+            .cast("array<double>"), $"v").as("fc"))
+      .as[(Double, Double)].collect()
+    scored.foreach { case (qc, fc) =>
+      if (fc.isNaN) assert(qc.isNaN) else assert(math.abs(qc - fc) < 1e-12)
+    }
+  }
+
   test("as-of join with an empty right side: inner drops all, outer keeps all") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1))
       .toDF("key", "lts", "lv")

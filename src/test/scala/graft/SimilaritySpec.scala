@@ -138,8 +138,11 @@ class SimilaritySpec extends SparkSpec {
     val embs = clustered
     val queries = embs.where($"vec_id" % 40 === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    // the bit-equality configuration: no codebook refinement, raw float
+    // postings — the defaults (kmeans + int8) trade exactness for quality
+    // and IO, each pinned by its own spec below
     val idx = graft.operators.IvfIndex.create(embs, "vec_id", "embedding", dir,
-      numCentroids = 16)
+      numCentroids = 16, kmeansIters = 0, quantizedStore = false)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Long)].collect().toSet
     val got = rows(idx.probe(queries, "vec_id", "embedding", 10, nProbe = 4))
@@ -187,8 +190,11 @@ class SimilaritySpec extends SparkSpec {
     val embs = clustered
     val queries = embs.where($"vec_id" === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prune").toString + "/idx"
+    // bit-equality config: the "pruning loses nothing" assertion below
+    // compares against the one-shot ivfTopK (pruning itself is store- and
+    // codebook-agnostic — the capped-fallback spec covers the other path)
     val idx = graft.operators.IvfIndex.create(embs, "vec_id", "embedding", dir,
-      numCentroids = 16)
+      numCentroids = 16, kmeansIters = 0, quantizedStore = false)
     val captured = scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.execution.SparkPlan]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -240,9 +246,10 @@ class SimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString + "/idx"
     // signatures use a fixed corpus-independent seed, so (unlike IVF's
     // frozen codebook) the batch split is irrelevant: create(A)+add(B)
-    // IS the index of A ∪ B
+    // IS the index of A ∪ B (raw float store — the int8 default keeps the
+    // same candidates but rounds scores; its overlap pin is below)
     val idx = graft.operators.LshIndex.create(evenClusters, "vec_id", "embedding",
-      dir, bits = 10, tables = 8)
+      dir, bits = 10, tables = 8, quantizedStore = false)
     idx.add(oddClusters, "vec_id", "embedding")
     assert(idx.batches == 2)
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -267,8 +274,9 @@ class SimilaritySpec extends SparkSpec {
     val embs = clustered
     val queries = embs.where($"vec_id" === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_prune").toString + "/idx"
+    // float store: the assertion below compares against the one-shot lshTopK
     val idx = graft.operators.LshIndex.create(embs, "vec_id", "embedding", dir,
-      bits = 6, tables = 2)
+      bits = 6, tables = 2, quantizedStore = false)
     val captured = scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.execution.SparkPlan]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -307,6 +315,143 @@ class SimilaritySpec extends SparkSpec {
       bits = 6, tables = 2).as[(Long, Long, Long)].collect().toSet)
     assert(pruned(), "assigned scan not partition-pruned: " +
       assignedScans().map(f => s"filters=${f.partitionFilters}").mkString("; "))
+  }
+
+  // deep plan collector that sees through AQE wrappers — for asserting on
+  // the FINAL executed shape of a probe plan
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case other => other.children
+    }
+    (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++ kids.flatMap(deepCollect(_)(pf))
+  }
+
+  private def bytesUnder(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  test("k-means-refined codebook recall >= sampled-codebook recall") {
+    val embs = clustered
+    val queries = embs.where($"vec_id" % 40 === 0)
+    val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
+    // float postings both sides: isolates the codebook's effect
+    val sampled = graft.operators.IvfIndex.create(embs, "vec_id", "embedding",
+      root + "/sampled", numCentroids = 16, kmeansIters = 0, quantizedStore = false)
+    val refined = graft.operators.IvfIndex.create(embs, "vec_id", "embedding",
+      root + "/refined", numCentroids = 16, kmeansIters = 4, quantizedStore = false)
+    val rSampled = recallOf(exact,
+      tops(sampled.probe(queries, "vec_id", "embedding", 10, nProbe = 4)))
+    val rRefined = recallOf(exact,
+      tops(refined.probe(queries, "vec_id", "embedding", 10, nProbe = 4)))
+    // the codebook is frozen at create and every probe forever pays its
+    // quality — Lloyd steps must never make it worse than the raw sample
+    assert(rRefined >= rSampled,
+      s"k-means lowered recall: $rRefined < $rSampled")
+    assert(rRefined >= 0.7, s"refined recall $rRefined below 0.7")
+  }
+
+  test("int8 posting store: top-k overlap >= 0.95 vs the float store, and smaller on disk") {
+    val embs = clustered
+    val queries = embs.where($"vec_id" % 40 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_q8").toString
+    def overlap(a: Map[Long, Set[Long]], b: Map[Long, Set[Long]]) =
+      a.toSeq.map { case (q, s) =>
+        (s intersect b.getOrElse(q, Set.empty)).size.toDouble / s.size
+      }.sum / a.size
+    // IVF: kmeansIters = 0 on both sides pins ONE deterministic codebook,
+    // so candidate sets are identical and only the scoring form differs
+    val ivfF = graft.operators.IvfIndex.create(embs, "vec_id", "embedding",
+      root + "/ivf_f", numCentroids = 16, kmeansIters = 0, quantizedStore = false)
+    val ivfQ = graft.operators.IvfIndex.create(embs, "vec_id", "embedding",
+      root + "/ivf_q", numCentroids = 16, kmeansIters = 0, quantizedStore = true)
+    val oIvf = overlap(
+      tops(ivfF.probe(queries, "vec_id", "embedding", 10, nProbe = 4)),
+      tops(ivfQ.probe(queries, "vec_id", "embedding", 10, nProbe = 4)))
+    assert(oIvf >= 0.95, s"IVF int8 top-k overlap $oIvf below 0.95")
+    // LSH: same fixed hyperplanes either way — identical buckets, so the
+    // store is the only variable (tables=2 doubles the posting copies the
+    // packing is meant to pay for)
+    val lshF = graft.operators.LshIndex.create(embs, "vec_id", "embedding",
+      root + "/lsh_f", bits = 6, tables = 2, quantizedStore = false)
+    val lshQ = graft.operators.LshIndex.create(embs, "vec_id", "embedding",
+      root + "/lsh_q", bits = 6, tables = 2, quantizedStore = true)
+    val oLsh = overlap(
+      tops(lshF.probe(queries, "vec_id", "embedding", 10)),
+      tops(lshQ.probe(queries, "vec_id", "embedding", 10)))
+    assert(oLsh >= 0.95, s"LSH int8 top-k overlap $oLsh below 0.95")
+
+    // bytes-on-disk on a fixture where DATA dominates parquet metadata
+    // (dim-16 × ~20-rows-per-dir files are all footer): 500 near-unique
+    // dim-128 vectors over a handful of partition dirs — raw 4·dim float
+    // leaves vs dim-byte binaries, so the packed store must win clearly
+    val dim = 128
+    val big = (0 until 500).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (((i.toLong * dim + j) * 2654435761L % 2000003L) / 1000001.5f) - 1f))
+    }.toDF("vec_id", "embedding")
+    val bIvfF = graft.operators.IvfIndex.create(big, "vec_id", "embedding",
+      root + "/big_ivf_f", numCentroids = 4, kmeansIters = 0, quantizedStore = false)
+    val bIvfQ = graft.operators.IvfIndex.create(big, "vec_id", "embedding",
+      root + "/big_ivf_q", numCentroids = 4, kmeansIters = 0, quantizedStore = true)
+    val (ivfFb, ivfQb) = (bytesUnder(root + "/big_ivf_f/assigned"),
+      bytesUnder(root + "/big_ivf_q/assigned"))
+    assert(ivfQb * 2 < ivfFb,
+      s"int8 IVF postings ($ivfQb B) not under half the float store ($ivfFb B)")
+    val bLshF = graft.operators.LshIndex.create(big, "vec_id", "embedding",
+      root + "/big_lsh_f", bits = 2, tables = 2, quantizedStore = false)
+    val bLshQ = graft.operators.LshIndex.create(big, "vec_id", "embedding",
+      root + "/big_lsh_q", bits = 2, tables = 2, quantizedStore = true)
+    val (lshFb, lshQb) = (bytesUnder(root + "/big_lsh_f/assigned"),
+      bytesUnder(root + "/big_lsh_q/assigned"))
+    assert(lshQb * 2 < lshFb,
+      s"int8 LSH postings ($lshQb B) not under half the float store ($lshFb B)")
+  }
+
+  test("probe pruning past the key cap swaps the isin literal for a broadcast semi-join") {
+    val embs = clustered
+    val queries = embs.where($"vec_id" % 40 === 0) // 8 queries × nProbe=4 keys
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString + "/idx"
+    val idx = graft.operators.IvfIndex.create(embs, "vec_id", "embedding", dir,
+      numCentroids = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val pruned = idx.probe(queries, "vec_id", "embedding", 10, nProbe = 4)
+    val capped = idx.probe(queries, "vec_id", "embedding", 10, nProbe = 4,
+      maxPrunedKeys = 1) // forces the overflow path
+    // both paths return the identical result...
+    val cappedRows = rows(capped)
+    assert(cappedRows == rows(pruned), "semi-join fallback diverged from isin path")
+    assert(cappedRows.nonEmpty)
+    // ...but the overflowed plan filters through a LEFT-SEMI broadcast join
+    // on c with NO literal isin partition filter — the driver never holds
+    // more than cap+1 keys however large the probe batch
+    val plan = capped.queryExecution.executedPlan
+    val semis = deepCollect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"no leftsemi broadcast join in capped probe plan:\n$plan")
+    val assignedScans = deepCollect(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("/assigned")) => f
+    }
+    assert(assignedScans.nonEmpty)
+    assert(assignedScans.forall(_.partitionFilters.forall(_.find {
+      case _: org.apache.spark.sql.catalyst.expressions.In => true
+      case _: org.apache.spark.sql.catalyst.expressions.InSet => true
+      case _ => false
+    }.isEmpty)), "capped probe still carries a literal isin partition filter")
   }
 
   test("lsh bucket of identical vectors is identical") {
