@@ -41,6 +41,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is the same idea reduced to the single-writer mirror contract.
   */
 object SyncManifest {
+
+  /** The grace contract error [[graced]] raises: the pinned sync's files
+    * were vacuumed by later commits mid-read. Extends IllegalStateException
+    * (what callers historically caught); [[withPinnedRetry]] catches it by
+    * type to re-pin and re-run.
+    */
+  final class GraceOverrunException(message: String, cause: Throwable)
+    extends IllegalStateException(message, cause)
   private val ManifestFile = "_graft_manifest.json"
   private val FormatVersion = 1
 
@@ -248,11 +256,34 @@ object SyncManifest {
   def graced[A](dir: String)(action: => A): A =
     try action catch {
       case e: Throwable if vanishedFileIn(e, dir) =>
-        throw new IllegalStateException(
+        throw new SyncManifest.GraceOverrunException(
           s"reader outlived the manifest grace under $dir — the pinned sync's " +
             "files were vacuumed by later commits (one grace generation is " +
             "retained by design); re-pin with readCommitted and retry", e)
     }
+
+  /** The [[graced]] remedy, owned by the engine instead of hand-written by
+    * every long-running reader: run `read` against a FRESHLY pinned
+    * [[readCommitted]] frame, and on a grace overrun (the pin outlived its
+    * one-sync grace mid-read — possible whenever syncs keep landing while
+    * the read runs) re-pin and re-run, up to `attempts` times total. Each
+    * retry observes exactly one (newer) committed sync — the loop never
+    * mixes generations, it just moves the whole read to a later one, which
+    * is the contract's intended recovery. A persistent overrun (reads
+    * slower than the sync cadence every time) rethrows the last contract
+    * error; any other failure propagates immediately.
+    */
+  def withPinnedRetry[A](spark: SparkSession, dir: String, attempts: Int = 3)
+                        (read: DataFrame => A): A = {
+    require(attempts >= 1, s"bad attempts=$attempts")
+    var last: GraceOverrunException = null
+    var i = 0
+    while (i < attempts) {
+      try return graced(dir)(read(readCommitted(spark, dir)))
+      catch { case e: GraceOverrunException => last = e; i += 1 }
+    }
+    throw last
+  }
 
   /** A vanished-file failure FOR THIS MIRROR: the cause chain carries a
     * missing-file/path indicator (task-level `FileNotFoundException`,

@@ -138,6 +138,45 @@ class SyncManifestSpec extends SparkSpec {
     assert(finalRows(dir) == srcRows(bump(v0, 200L)))
   }
 
+  test("withPinnedRetry transparently re-pins a grace-overrun reader") {
+    val dir = Files.createTempDirectory("graft_manifest_repin").toString + "/t"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 2)
+    val v0 = state(6)
+    Incremental.snapshot(v0, cfg, dir)
+    // a long-held pin that the two polls below will retire then vacuum
+    val stale = SyncManifest.readCommitted(spark, dir)
+    def bump(df: DataFrame, by: Long) = df
+      .withColumn("seq", $"seq" + by)
+      .withColumn("payload", concat(lit(s"u$by-"), $"payload"))
+    Incremental.poll(bump(v0, 100L), cfg, dir)
+    Incremental.poll(bump(v0, 200L), cfg, dir)
+
+    // attempt 1 evaluates the vacuumed pin mid-read (the overrun); the
+    // helper re-pins and re-runs, and attempt 2's fresh frame succeeds —
+    // the reader never hand-writes the catch/re-pin loop
+    var calls = 0
+    val rows = SyncManifest.withPinnedRetry(spark, dir) { fresh =>
+      calls += 1
+      if (calls == 1) stale.collect() // simulated overrun inside the read
+      fresh.select($"key", $"seq", $"payload")
+        .as[(Long, Long, String)].collect().toSet
+    }
+    assert(calls == 2, s"expected one re-pin, saw $calls call(s)")
+    // the retried read equals the fresh manifest's content
+    assert(rows == bump(v0, 200L).as[(Long, Long, String)].collect().toSet)
+
+    // a PERSISTENT overrun (every attempt trips the grace) surfaces the
+    // contract error after `attempts` tries, not an infinite loop
+    var tries = 0
+    val err = intercept[SyncManifest.GraceOverrunException](
+      SyncManifest.withPinnedRetry(spark, dir, attempts = 2) { _ =>
+        tries += 1
+        stale.collect()
+      })
+    assert(tries == 2)
+    assert(err.getMessage.contains("outlived the manifest grace"))
+  }
+
   test("a reader pinned before a reconcile sweep sees the whole pre-sweep state") {
     val dir = Files.createTempDirectory("graft_manifest_sweep").toString + "/t"
     val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
