@@ -59,9 +59,17 @@ import org.apache.spark.sql.types._
   * SQL type): [[AnsiDual]] is the standard table-value-constructor form
   * (PostgreSQL 15+, SQL Server, Oracle), [[DerbyDual]] the DB2/Derby
   * catalog dual — Derby rejects VALUES as a MERGE source, and Derby is the
-  * live database the spec exercises (JdbcCaptureSpec). Identifiers are
-  * double-quoted, so `table`, `keys`, and the mirror's column names must
-  * match the target's stored case exactly.
+  * live database the spec exercises (JdbcCaptureSpec). COLUMN identifiers
+  * are double-quoted, so `keys` and the mirror's column names must match
+  * the target's stored case exactly; TABLE names (`table` and the derived
+  * `<table>_sink_state` ledger) are emitted verbatim and unquoted — that
+  * is what lets callers pass schema-qualified names (`wh.orders`), and it
+  * means a quoted/case-sensitive or reserved-word table name cannot be
+  * addressed: pick case-folding-safe table names (the
+  * `MultiTableMirror.sinkAll` duplicate guard folds case for exactly this
+  * reason). For the reference's actual warehouse, [[ClickHouseDialect]]
+  * supplies backtick identifier quoting to [[appendBatch]]'s bulk-INSERT
+  * path (registered automatically for `jdbc:clickhouse:` URLs).
   */
 object JdbcSink {
 
@@ -74,9 +82,40 @@ object JdbcSink {
   /** @param applied false = the ledger already held `batchId` (or the
     *                mirror delta was empty) and nothing was executed
     * @param rowsChanged MERGE-reported rows actually inserted/updated/
-    *                    deleted — a version-guard no-op row counts 0
+    *                    deleted — a version-guard no-op row counts 0.
+    *                    AT-LEAST-ONCE under task retry: a task that dies
+    *                    AFTER its JDBC commit (connection drop post-commit)
+    *                    re-runs its idempotent MERGEs on retry, and those
+    *                    equal-version re-applications count again — treat
+    *                    the figure as a delivery-volume indicator, not an
+    *                    exact changed-row count
     */
   case class SinkReport(batchId: Long, applied: Boolean, rowsChanged: Long)
+
+  /** ClickHouse JDBC dialect for [[appendBatch]]'s bulk-INSERT path — the
+    * reference's actual warehouse (its PeerDB mirrors land in
+    * ReplacingMergeTree tables; [[appendBatch]] is that landing pattern).
+    * Spark ships no ClickHouse dialect, and the fallback dialect
+    * double-quotes identifiers; ClickHouse's canonical identifier quote is
+    * the backtick (double quotes are accepted only in ANSI mode), and its
+    * identifiers are always case-sensitive — so the generated INSERT must
+    * carry each DataFrame column name backtick-quoted, case preserved, in
+    * schema order (pinned by JdbcSinkDialectSpec, no live ClickHouse
+    * needed). Registered automatically when [[appendBatch]] sees a
+    * `jdbc:clickhouse:` URL; register manually via
+    * `JdbcDialects.registerDialect` to cover other write paths.
+    */
+  object ClickHouseDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:clickhouse")
+    override def quoteIdentifier(colName: String): String =
+      "`" + colName.replace("`", "``") + "`"
+  }
+
+  private val chRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ensureClickHouseDialect(url: String): Unit =
+    if (ClickHouseDialect.canHandle(url) && chRegistered.compareAndSet(false, true))
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(ClickHouseDialect)
 
   /** Upsert one batch of mirror-shaped rows (data columns + `versionCol`,
     * optionally `deletedCol`/other `_peerdb_*` meta) into the JDBC table.
@@ -186,6 +225,7 @@ object JdbcSink {
     */
   def appendBatch(rows: DataFrame, url: String, table: String, batchId: Long,
                   props: Properties = new Properties()): SinkReport = {
+    ensureClickHouseDialect(url)
     val ledger = ledgerTable(table)
     val already = withConnection(url, props) { conn =>
       ensureLedger(conn, ledger)

@@ -176,6 +176,49 @@ class JdbcCaptureSpec extends SparkSpec {
     assert(r5.applied && r5.rowsChanged == 0L && target() == mirrorFinal())
   }
 
+  test("a delivery that dies between partition commits converges on re-sink, ledger exactly once") {
+    import graft.sinks.JdbcSink
+    // the sink commits per key-partition and records the ledger LAST; a
+    // crash mid-delivery must leave a retriable (not corrupt) state. The
+    // injection: a narrow VARCHAR target plus one oversized payload — the
+    // poisoned key's partition aborts on its own JDBC batch while the
+    // other partitions' transactions commit independently.
+    exec("CREATE TABLE crash_tgt (\"ID\" BIGINT PRIMARY KEY, " +
+      "\"PAYLOAD\" VARCHAR(8), \"_peerdb_version\" BIGINT)")
+    val good = (1L to 12L).map(i => (i, s"p$i", 1L, 0))
+    def df(rows: Seq[(Long, String, Long, Int)]) =
+      rows.toDF("ID", "PAYLOAD", "_peerdb_version", "_peerdb_is_deleted")
+    val poisoned = good :+ ((99L, "x" * 64, 1L, 0)) // VARCHAR(8) overflow
+    intercept[org.apache.spark.SparkException](
+      JdbcSink.sinkBatch(df(poisoned), url, "crash_tgt", Seq("ID"), 7L, props,
+        dual = JdbcSink.DerbyDual, stmtBatch = 1))
+    def ledger() = jdbcRows(url,
+      "SELECT batch_id FROM crash_tgt_sink_state")(_.getLong(1))
+    def target() = jdbcRows(url,
+      "SELECT \"ID\", \"PAYLOAD\", \"_peerdb_version\" FROM crash_tgt")(r =>
+      (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // the batch is ABSENT from the ledger (recorded strictly after every
+    // partition commits), so the delivery stays retriable...
+    assert(ledger().isEmpty, s"crashed batch must not reach the ledger: ${ledger()}")
+    // ...and the target holds SOME partitions' commits — a legal partial
+    // state, always a subset of the batch's final image, never garbage
+    val fixedRows = good :+ ((99L, "fixed", 1L, 0))
+    val finalImage = fixedRows.map { case (id, p, v, _) => (id, p, v) }.toSet
+    assert(target().subsetOf(finalImage), s"partial state not a subset: ${target()}")
+    // re-sinking the corrected batch under the SAME id converges: the
+    // version-guarded MERGE re-applies the already-committed partitions
+    // idempotently and completes the missing ones
+    val r = JdbcSink.sinkBatch(df(fixedRows), url, "crash_tgt", Seq("ID"), 7L,
+      props, dual = JdbcSink.DerbyDual)
+    assert(r.applied, r.toString)
+    assert(target() == finalImage, s"re-sink did not converge: ${target()}")
+    assert(ledger() == Seq(7L), s"ledger must record exactly once: ${ledger()}")
+    // and a further replay of the recovered batch id is a pre-row no-op
+    val replay = JdbcSink.sinkBatch(df(fixedRows), url, "crash_tgt", Seq("ID"),
+      7L, props, dual = JdbcSink.DerbyDual)
+    assert(!replay.applied && target() == finalImage && ledger() == Seq(7L))
+  }
+
   test("appendBatch lands raw versioned rows ClickHouse-style; FINAL over the target dedups") {
     import graft.sinks.JdbcSink
     import org.apache.spark.sql.functions.col
