@@ -13,8 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    (functions only; the as-of API registers its own strategy/rule on use)
   *
   * After either, `spark.sql` understands `token_minhash(tokens, w, k[,
-  * bands])`, `simhash64(hashes)`, `sorted_jaccard(a, b)`, `cosine_sim(a, b)`
-  * and `rolling_fingerprint(text[, k, w])`.
+  * bands])`, `simhash64(hashes)`, `sorted_jaccard(a, b)`, `cosine_sim(a, b)`,
+  * `rolling_fingerprint(text[, k, w])`, `pack_int8(vec)` and
+  * `int8_cosine_sim(codes, vec)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -62,5 +63,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       (args: Seq[Expression]) => RollingFingerprint(args.head,
         if (args.size > 1) intLit(args, 1, "rolling_fingerprint") else 8,
-        if (args.size > 2) intLit(args, 2, "rolling_fingerprint") else 16)))
+        if (args.size > 2) intLit(args, 2, "rolling_fingerprint") else 16)),
+    (FunctionIdentifier("pack_int8"),
+      new ExpressionInfo(classOf[PackInt8].getName, "pack_int8"),
+      (args: Seq[Expression]) => PackInt8(args.head)),
+    (FunctionIdentifier("int8_cosine_sim"),
+      new ExpressionInfo(classOf[Int8CosineSim].getName, "int8_cosine_sim"),
+      (args: Seq[Expression]) => Int8CosineSim(args.head, args(1))))
 }

@@ -29,17 +29,17 @@ import org.apache.spark.sql.functions._
   * == Codebook quality (k-means refinement) ==
   * [[IvfIndex.create]] starts from the deterministic hash-ordered sample
   * [[Similarity.ivfTopK]] uses, then runs `kmeansIters` Lloyd iterations
-  * over a bounded, disk-pinned corpus sample (assign → per-dimension means
-  * — all DataFrame ops; empty clusters keep their previous position)
+  * (assign → per-dimension means; empty clusters keep their position)
   * before freezing the codebook. The codebook is frozen at create and
   * every probe forever pays its quality: refined centroids track the
   * corpus' actual density, balancing list sizes and improving
   * recall-per-nProbe over raw sampled points (SimilaritySpec pins refined
-  * recall ≥ sampled recall on a clusterable fixture). Per iteration the
-  * driver materializes exactly one codebook (≤ centroids × dim values —
-  * the same arrays every probe already embeds in
-  * [[graft.expressions.NearestCentroids]]); the corpus itself is touched
-  * only by the one bounded TakeOrdered sample, never shuffled.
+  * recall ≥ sampled recall on a clusterable fixture). The refinement input
+  * is ONE bounded TakeOrdered collect (≤ 32× the codebook the driver
+  * already embeds in [[graft.expressions.NearestCentroids]]; the corpus is
+  * never shuffled), and the iterations run driver-side through the same
+  * assignment kernel probes use — sequential, deterministic, no
+  * per-iteration job or codegen cost.
   *
   * == Quantized posting store ==
   * With `quantizedStore` (the default) the assignment lists carry each
@@ -181,43 +181,56 @@ object IvfIndex {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    // write-then-read pins ONE evaluation of the hash-ordered sample on
-    // disk: the codebook (its first numCentroids rows) and every Lloyd
-    // iteration see the same rows, even over a non-deterministic corpus
-    // source. Bounded: the sort+limit plans as TakeOrderedAndProject.
+    // ONE evaluation of the deterministic hash-ordered sample, collected:
+    // the sort+limit plans as TakeOrderedAndProject (each partition ships
+    // at most sampleCap rows, never the corpus), and the driver already
+    // holds the codebook by design (it rides inside the probe expression)
+    // — the refinement sample is a bounded 32× of that. Lloyd then runs
+    // driver-side through the SAME NearestCentroids kernel probes use
+    // (cosine, smaller-id ties): sequential and deterministic, with no
+    // per-iteration job or codegen cost.
     val sampleCap = if (kmeansIters > 0) numCentroids * 32 else numCentroids
-    corpus
+    val sampleRows: Array[(Long, Array[Double])] = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
       .orderBy(xxhash64(col("id")), col("id")) // ivfTopK's deterministic pick
       .limit(sampleCap)
-      .write.parquet(s"$dir/_sample")
-    val sample = spark.read.parquet(s"$dir/_sample")
-    var centRows: Array[(Long, Array[Double])] = sample
-      .orderBy(xxhash64(col("id")), col("id")).limit(numCentroids)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(centRows.nonEmpty, "cannot build an IVF index over an empty corpus")
+    require(sampleRows.nonEmpty, "cannot build an IVF index over an empty corpus")
+    var centRows = sampleRows.take(numCentroids)
     val dim = centRows.head._2.length
     for (_ <- 1 to kmeansIters) {
-      // one Lloyd step: assign the pinned sample to its nearest current
-      // centroid, recompute each centroid as the per-dimension mean of its
-      // members. The collect is bounded by centroids × dim — the codebook
-      // size itself, which create hands the driver anyway.
+      val k = centRows.length
       val ids = centRows.map(_._1)
-      val fl = centRows.flatMap(_._2)
-      val means = sample
-        .select(element_at(nearestCol(col("v"), ids, fl, dim, 1), 1).as("c"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-      val byCent = means.groupBy(_.getLong(0))
-      centRows = centRows.map { case (cid, old) =>
-        byCent.get(cid) match {
-          case Some(rows) =>
-            val nv = new Array[Double](dim)
-            rows.foreach(r => nv(r.getInt(1)) = r.getDouble(2))
-            (cid, nv)
-          case None => (cid, old) // empty cluster: keep its position
-        }
+      val flat = new Array[Double](k * dim)
+      val norms = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val v = centRows(c)._2
+        var s = 0.0
+        var i = 0
+        while (i < dim) { flat(c * dim + i) = v(i); s += v(i) * v(i); i += 1 }
+        norms(c) = math.sqrt(s)
+        c += 1
+      }
+      val idxOf = ids.zipWithIndex.toMap
+      // one Lloyd step: assign every sample vector to its nearest current
+      // centroid, recompute each centroid as the per-dimension mean of its
+      // members; an empty cluster keeps its position
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      sampleRows.foreach { case (_, v) =>
+        val nearest = graft.expressions.NearestCentroids.compute(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+          ids, flat, norms, dim, 1, isFloat = false)
+        val ci = idxOf(nearest(0))
+        val s = sums(ci)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(ci) += 1
+      }
+      centRows = centRows.zipWithIndex.map { case ((cid, old), i) =>
+        if (counts(i) == 0) (cid, old)
+        else (cid, sums(i).map(_ / counts(i)))
       }
     }
     // freeze the (possibly refined) codebook; centroid ids stay the sample
@@ -226,7 +239,6 @@ object IvfIndex {
       import spark.implicits._
       centRows.toSeq.toDF("id", "v").coalesce(1).write.parquet(s"$dir/centroids")
     }
-    fs.delete(new Path(s"$dir/_sample"), true)
     val idx = new IvfIndex(spark, dir, dim, centRows.length, 0, quantizedStore,
       centRows.map(_._1), centRows.flatMap(_._2))
     idx.add(corpus, idCol, vecCol)

@@ -27,6 +27,13 @@ class ExtrasSpec extends SparkSpec {
     val fp = spark.sql("SELECT size(rolling_fingerprint('abcdefghijklmnopqrstuvwxyz')) AS n")
       .as[Int].head()
     assert(fp >= 1)
+    // the packed-int8 pair: codes binary of dim bytes, scale-invariant cosine
+    val (len, qc) = spark.sql(
+      "SELECT length(p.codes), int8_cosine_sim(p.codes, array(2.0D, 0.0D, 0.0D)) " +
+        "FROM (SELECT pack_int8(array(0.5D, 0.0D, 0.0D)) AS p)")
+      .as[(Int, Double)].head()
+    assert(len == 3)
+    assert(math.abs(qc - 1.0) < 1e-12)
   }
 
   test("rolling fingerprint shares entries for documents with a long common substring") {
