@@ -15,16 +15,17 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_ivf_index.json  {"fmt":2,"dim":D,"centroids":N,"batches":K,"q":0|1}
+  *   dir/_graft_ivf_index.json  {"fmt":2,"dim":D,"centroids":N,"batches":K,"base":B,"q":0|1}
   *   dir/centroids/             (cent_id, v)            the codebook, written once
   *   dir/assigned/b=K/c=J/      (corpus_id, scale, codes)   q=1 (default): int8
   *   dir/assigned/b=K/c=J/      (corpus_id, cv)             q=0: raw float copy
   * }}}
   * Batches append under fresh `b=K` dirs and the meta commits last via
   * tmp + rename, exactly the [[JaccardIndex]] protocol (readers filter
-  * `b < batches`, a crash mid-append leaves invisible debris, a torn meta
-  * commit falls back to the complete tmp). Single writer per index dir;
-  * probes only read.
+  * `base <= b < batches`, a crash mid-append/mid-compact leaves invisible
+  * debris, a torn meta commit falls back to the complete tmp). [[compact]]
+  * folds the live generations into one when append-fragmentation builds
+  * up. Single writer per index dir; probes only read.
   *
   * == Codebook quality (k-means refinement) ==
   * [[IvfIndex.create]] starts from the deterministic hash-ordered sample
@@ -79,11 +80,17 @@ import org.apache.spark.sql.functions._
 final class IvfIndex private (spark: SparkSession, val dir: String,
                               val dim: Int, val centroids: Int,
                               @volatile private var committedBatches: Int,
+                              @volatile private var liveBase: Int,
                               val quantized: Boolean,
                               centIds: Array[Long], flat: Array[Double]) {
 
   /** Number of batches committed so far (including the creating corpus). */
   def batches: Int = committedBatches
+
+  /** First live generation: readers scan `base <= b < batches`. Advanced by
+    * [[compact]]; 0 until then.
+    */
+  def base: Int = liveBase
 
   private def nearest(v: Column, n: Int): Column =
     IvfIndex.nearestCol(v, centIds, flat, dim, n)
@@ -105,7 +112,37 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
       .repartition(col("c")) // ≈ one file per centroid dir, not one per task
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/assigned/b=$b")
     committedBatches = b + 1
-    IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, quantized)
+    IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase, quantized)
+  }
+
+  /** Fold every live generation into ONE — the file-count lever of a
+    * frequently-appended index. Each [[add]] lays its batch out as its own
+    * `b=K` generation (≈ one file per touched centroid dir per batch), so
+    * a corpus grown by thousands of appends fragments each probed list
+    * into thousands of small files; compacting rewrites the live postings
+    * as a single generation (one corpus-sized pass — schedule off-peak)
+    * and flips `base`/`batches` in one atomic meta commit.
+    *
+    * Readers get the [[graft.sources.SyncManifest]] grace contract: the
+    * superseded generation dirs are NOT deleted by the compact that
+    * retires them — a probe planned against the previous meta keeps
+    * reading them — and are vacuumed by the NEXT compact, by which point
+    * they have been invisible for a full cycle. Single writer per index
+    * dir, as everywhere in the family.
+    */
+  def compact(): Unit = synchronized {
+    val b = committedBatches
+    if (b - liveBase <= 1) return // already a single (or no) live generation
+    // vacuum generations the PREVIOUS compact retired (grace expired)
+    IvfIndex.vacuumBelow(spark, dir, liveBase)
+    spark.read.parquet(s"$dir/assigned")
+      .where(col("b") >= lit(liveBase) && col("b") < lit(b))
+      .drop("b")
+      .repartition(col("c"))
+      .write.mode("overwrite").partitionBy("c").parquet(s"$dir/assigned/b=$b")
+    liveBase = b
+    committedBatches = b + 1
+    IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase, quantized)
   }
 
   /** Approximate top-k for each query against the committed index: each
@@ -125,9 +162,9 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
             nProbe: Int = 4, maxPrunedKeys: Int = 10000): DataFrame = {
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(nearest(col(vecCol), nProbe)).as("c"))
-    val base = spark.read.parquet(s"$dir/assigned")
-      .where(col("b") < lit(committedBatches))
-    val assigned = IvfIndex.pruneKeys(base, probes, "c", maxPrunedKeys)
+    val live = spark.read.parquet(s"$dir/assigned")
+      .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
+    val assigned = IvfIndex.pruneKeys(live, probes, "c", maxPrunedKeys)
     val score =
       if (quantized) graft.expressions.NativeFunctions.int8CosineSim(col("codes"), col("qv"))
       else graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
@@ -239,7 +276,7 @@ object IvfIndex {
       import spark.implicits._
       centRows.toSeq.toDF("id", "v").coalesce(1).write.parquet(s"$dir/centroids")
     }
-    val idx = new IvfIndex(spark, dir, dim, centRows.length, 0, quantizedStore,
+    val idx = new IvfIndex(spark, dir, dim, centRows.length, 0, 0, quantizedStore,
       centRows.map(_._1), centRows.flatMap(_._2))
     idx.add(corpus, idCol, vecCol)
     idx
@@ -249,17 +286,34 @@ object IvfIndex {
     * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
     */
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    val Seq(dim, cents, batches, q) = IndexMeta.load(spark, dir, MetaFile,
-      FormatVersion, "IVF", Seq("dim", "centroids", "batches", "q"))
+    val Seq(dim, cents, batches, base, q) = IndexMeta.load(spark, dir, MetaFile,
+      FormatVersion, "IVF", Seq("dim", "centroids", "batches", "base", "q"))
     val centRows = spark.read.parquet(s"$dir/centroids")
       .orderBy(xxhash64(col("id")), col("id")).collect()
-    new IvfIndex(spark, dir, dim, cents, batches, q != 0,
+    new IvfIndex(spark, dir, dim, cents, batches, base, q != 0,
       centRows.map(_.getLong(0)), centRows.flatMap(_.getSeq[Double](1)))
   }
 
+  /** Delete generation dirs below `base` — retired by a compact one full
+    * cycle ago, so no reader grace can still cover them.
+    */
+  private[operators] def vacuumBelow(spark: SparkSession, dir: String,
+                                     base: Int): Unit = {
+    val assigned = new Path(s"$dir/assigned")
+    val fs = assigned.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(assigned))
+      fs.listStatus(assigned).foreach { st =>
+        val name = st.getPath.getName // b=K
+        if (name.startsWith("b=") &&
+          scala.util.Try(name.drop(2).toInt).toOption.exists(_ < base))
+          fs.delete(st.getPath, true)
+      }
+  }
+
   private def writeMeta(spark: SparkSession, dir: String, dim: Int,
-                        centroids: Int, batches: Int, quantized: Boolean): Unit =
+                        centroids: Int, batches: Int, base: Int,
+                        quantized: Boolean): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
       s"""{"fmt":$FormatVersion,"dim":$dim,"centroids":$centroids,""" +
-        s""""batches":$batches,"q":${if (quantized) 1 else 0}}""")
+        s""""batches":$batches,"base":$base,"q":${if (quantized) 1 else 0}}""")
 }

@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_lsh_index.json  {"fmt":2,"bits":B,"tables":T,"batches":K,"q":0|1}
+  *   dir/_graft_lsh_index.json  {"fmt":2,"bits":B,"tables":T,"batches":K,"base":G,"q":0|1}
   *   dir/assigned/b=K/th=J/     (corpus_id, scale, codes)  q=1 (default): int8
   *   dir/assigned/b=K/th=J/     (corpus_id, cv)            q=0: raw float copy
   *   (J = table·2^bits + bucket)
   * }}}
   * Batches append under fresh `b=K` dirs, meta commits last via tmp +
-  * rename — the [[JaccardIndex]] protocol (readers filter `b < batches`;
-  * crash debris is invisible; a torn meta commit falls back to the
-  * complete tmp). Single writer per index dir; probes only read. Each doc
+  * rename — the [[JaccardIndex]] protocol (readers filter
+  * `base <= b < batches`; crash debris is invisible; a torn meta commit
+  * falls back to the complete tmp). [[compact]] folds the live
+  * generations into one when append-fragmentation builds up. Single
+  * writer per index dir; probes only read. Each doc
   * stores `tables` postings rows (the standard multi-table LSH storage
   * trade for its OR-amplified recall) — which is exactly why the postings
   * are int8-packed by default ([[graft.expressions.PackInt8]]): the
@@ -57,10 +59,16 @@ import org.apache.spark.sql.functions._
 final class LshIndex private (spark: SparkSession, val dir: String,
                               val bits: Int, val tables: Int,
                               @volatile private var committedBatches: Int,
+                              @volatile private var liveBase: Int,
                               val quantized: Boolean) {
 
   /** Number of batches committed so far (including the creating corpus). */
   def batches: Int = committedBatches
+
+  /** First live generation: readers scan `base <= b < batches`. Advanced by
+    * [[compact]]; 0 until then.
+    */
+  def base: Int = liveBase
 
   /** (table, bucket) composed into the single partition key th; the stored
     * vector is packed to int8 BEFORE the per-table explode, so the
@@ -88,7 +96,31 @@ final class LshIndex private (spark: SparkSession, val dir: String,
       .repartition(col("th")) // ≈ one file per bucket dir, not one per task
       .write.mode("overwrite").partitionBy("th").parquet(s"$dir/assigned/b=$b")
     committedBatches = b + 1
-    LshIndex.writeMeta(spark, dir, bits, tables, committedBatches, quantized)
+    LshIndex.writeMeta(spark, dir, bits, tables, committedBatches, liveBase, quantized)
+  }
+
+  /** Fold every live generation into ONE — the file-count lever of a
+    * frequently-appended index (each add leaves ≈ one file per touched
+    * bucket dir, ×`tables` postings per doc). One live-postings pass,
+    * then an atomic `base`/`batches` meta flip; superseded generation dirs
+    * are retained for one compact cycle (the [[graft.sources.SyncManifest]]
+    * reader grace) and vacuumed by the NEXT compact. Single writer per
+    * index dir.
+    */
+  def compact(): Unit = synchronized {
+    val b = committedBatches
+    if (b - liveBase <= 1) return // already a single (or no) live generation
+    IvfIndex.vacuumBelow(spark, dir, liveBase)
+    if (graft.streaming.CdcStream.hasVisibleParquet(spark, s"$dir/assigned")) {
+      spark.read.parquet(s"$dir/assigned")
+        .where(col("b") >= lit(liveBase) && col("b") < lit(b))
+        .drop("b")
+        .repartition(col("th"))
+        .write.mode("overwrite").partitionBy("th").parquet(s"$dir/assigned/b=$b")
+    }
+    liveBase = b
+    committedBatches = b + 1
+    LshIndex.writeMeta(spark, dir, bits, tables, committedBatches, liveBase, quantized)
   }
 
   /** Approximate top-k for each query against the committed index:
@@ -116,9 +148,9 @@ final class LshIndex private (spark: SparkSession, val dir: String,
       // bigint regardless of the id column's own type
       return q.select(col("query_id"), col("query_id").cast("long").as("corpus_id"),
         lit(1L).as("rk")).limit(0)
-    val base = spark.read.parquet(s"$dir/assigned")
-      .where(col("b") < lit(committedBatches))
-    val assigned = IvfIndex.pruneKeys(base, q, "th", maxPrunedKeys)
+    val live = spark.read.parquet(s"$dir/assigned")
+      .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
+    val assigned = IvfIndex.pruneKeys(live, q, "th", maxPrunedKeys)
     val score =
       if (quantized) graft.expressions.NativeFunctions.int8CosineSim(col("codes"), col("qv"))
       else graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
@@ -150,7 +182,7 @@ object LshIndex {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val idx = new LshIndex(spark, dir, bits, tables, 0, quantizedStore)
+    val idx = new LshIndex(spark, dir, bits, tables, 0, 0, quantizedStore)
     idx.add(corpus, idCol, vecCol)
     idx
   }
@@ -159,14 +191,15 @@ object LshIndex {
     * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
     */
   def load(spark: SparkSession, dir: String): LshIndex = {
-    val Seq(bits, tables, batches, q) = IndexMeta.load(spark, dir, MetaFile,
-      FormatVersion, "LSH", Seq("bits", "tables", "batches", "q"))
-    new LshIndex(spark, dir, bits, tables, batches, q != 0)
+    val Seq(bits, tables, batches, base, q) = IndexMeta.load(spark, dir, MetaFile,
+      FormatVersion, "LSH", Seq("bits", "tables", "batches", "base", "q"))
+    new LshIndex(spark, dir, bits, tables, batches, base, q != 0)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, bits: Int,
-                        tables: Int, batches: Int, quantized: Boolean): Unit =
+                        tables: Int, batches: Int, base: Int,
+                        quantized: Boolean): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
       s"""{"fmt":$FormatVersion,"bits":$bits,"tables":$tables,""" +
-        s""""batches":$batches,"q":${if (quantized) 1 else 0}}""")
+        s""""batches":$batches,"base":$base,"q":${if (quantized) 1 else 0}}""")
 }

@@ -454,6 +454,58 @@ class SimilaritySpec extends SparkSpec {
     }.isEmpty)), "capped probe still carries a literal isin partition filter")
   }
 
+  test("compact folds generations into one, preserves probes, vacuums on the next cycle") {
+    val embs = clustered
+    val queries = embs.where($"vec_id" % 40 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    def gens(dir: String) = new java.io.File(dir + "/assigned")
+      .listFiles().map(_.getName).filter(_.startsWith("b=")).toSet
+
+    // IVF: three appended generations → one compacted one
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/ivf"
+    val idx = graft.operators.IvfIndex.create(
+      embs.where($"vec_id" % 3 === 0), "vec_id", "embedding", dir, numCentroids = 16)
+    idx.add(embs.where($"vec_id" % 3 === 1), "vec_id", "embedding")
+    idx.add(embs.where($"vec_id" % 3 === 2), "vec_id", "embedding")
+    val before = rows(idx.probe(queries, "vec_id", "embedding", 10, nProbe = 4))
+    idx.compact()
+    assert(idx.base == 3 && idx.batches == 4)
+    // a probe sees exactly the same postings through the folded generation
+    assert(rows(idx.probe(queries, "vec_id", "embedding", 10, nProbe = 4)) == before)
+    // the superseded dirs are RETAINED for one cycle (reader grace) ...
+    assert(gens(dir) == Set("b=0", "b=1", "b=2", "b=3"), gens(dir).toString)
+    // ... the meta round-trips through load ...
+    val re = graft.operators.IvfIndex.load(spark, dir)
+    assert(re.base == 3 && re.batches == 4)
+    assert(rows(re.probe(queries, "vec_id", "embedding", 10, nProbe = 4)) == before)
+    // ... appends keep working on the compacted index ...
+    val shifted = embs.select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    idx.add(shifted, "vec_id", "embedding")
+    assert(idx.base == 3 && idx.batches == 5)
+    val withAdd = rows(idx.probe(queries, "vec_id", "embedding", 10, nProbe = 4))
+    // ... and the NEXT compact folds again and vacuums the expired grace
+    idx.compact()
+    assert(idx.base == 5 && idx.batches == 6)
+    assert(gens(dir) == Set("b=3", "b=4", "b=5"), gens(dir).toString)
+    assert(rows(idx.probe(queries, "vec_id", "embedding", 10, nProbe = 4)) == withAdd)
+
+    // LSH on the float store: compact preserves the exact one-shot equality
+    val ldir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/lsh"
+    val lsh = graft.operators.LshIndex.create(
+      embs.where(($"vec_id" / 40).cast("int") % 2 === 0), "vec_id", "embedding",
+      ldir, bits = 10, tables = 8, quantizedStore = false)
+    lsh.add(embs.where(($"vec_id" / 40).cast("int") % 2 === 1), "vec_id", "embedding")
+    lsh.compact()
+    assert(lsh.base == 2 && lsh.batches == 3)
+    assert(rows(lsh.probe(queries, "vec_id", "embedding", 10)) ==
+      rows(Similarity.lshTopK(embs, queries, "vec_id", "embedding", 10,
+        bits = 10, tables = 8)))
+    // single live generation: compacting again is a no-op
+    lsh.compact()
+    assert(lsh.base == 2 && lsh.batches == 3)
+  }
+
   test("lsh bucket of identical vectors is identical") {
     val b = corpus.select(VectorFunctions.lshBucket($"embedding", 8).as("b"))
       .where($"b".isNotNull).count()
