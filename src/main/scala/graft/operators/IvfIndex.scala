@@ -134,7 +134,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     val b = committedBatches
     if (b - liveBase <= 1) return // already a single (or no) live generation
     // vacuum generations the PREVIOUS compact retired (grace expired)
-    IvfIndex.vacuumBelow(spark, dir, liveBase)
+    IvfIndex.vacuumBelow(spark, s"$dir/assigned", liveBase)
     spark.read.parquet(s"$dir/assigned")
       .where(col("b") >= lit(liveBase) && col("b") < lit(b))
       .drop("b")
@@ -294,15 +294,16 @@ object IvfIndex {
       centRows.map(_.getLong(0)), centRows.flatMap(_.getSeq[Double](1)))
   }
 
-  /** Delete generation dirs below `base` — retired by a compact one full
-    * cycle ago, so no reader grace can still cover them.
+  /** Delete `b=K` generation dirs below `base` under `parent` — retired by
+    * a compact one full cycle ago, so no reader grace can still cover
+    * them. Shared with [[LshIndex]] and [[JaccardIndex]].
     */
-  private[operators] def vacuumBelow(spark: SparkSession, dir: String,
+  private[operators] def vacuumBelow(spark: SparkSession, parent: String,
                                      base: Int): Unit = {
-    val assigned = new Path(s"$dir/assigned")
-    val fs = assigned.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(assigned))
-      fs.listStatus(assigned).foreach { st =>
+    val p = new Path(parent)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).foreach { st =>
         val name = st.getPath.getName // b=K
         if (name.startsWith("b=") &&
           scala.util.Try(name.drop(2).toInt).toOption.exists(_ < base))

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_jaccard_index.json  {"fmt":2,"threshold":…,"parts":P,"batches":N}
+  *   dir/_graft_jaccard_index.json  {"fmt":2,"threshold":…,"parts":P,"batches":N,"base":B}
   *   dir/tokens/b=K/        (w, odf)      append-only vocabulary, order keys
   *   dir/postings/b=K/p=J/  (id, w, rn, n) prefix postings, J = hash(w) mod P
   *   dir/sets/b=K/q=J/      (id, wh)      sorted hash-set,  J = hash(id) mod P
@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
   * tmp fallback in [[JaccardIndex.load]] — a crash between the delete and
   * the rename leaves only the complete tmp, which is safe to adopt because
   * the meta is written strictly after all three data dirs are committed).
-  * Readers filter `b < committed batches`, so a crash mid-append leaves
-  * invisible stray files that the next add simply overwrites: the index is
-  * never read torn. [[probe]] additionally spills its batch relations to a
+  * Readers filter `base <= b < committed batches` (`base` advances when
+  * [[compact]] folds the live generations into one), so a crash mid-append
+  * or mid-compact leaves invisible stray files that the next add simply
+  * overwrites: the index is never read torn. [[probe]] additionally spills its batch relations to a
   * process-unique `dir/_probe/<id>/` subtree (underscore-prefixed, so no
   * committed-relation reader ever lists it) — probe MUTATES DISK but never
   * the committed layout, so concurrent probers are safe alongside the
@@ -81,11 +82,17 @@ import org.apache.spark.sql.functions._
   */
 final class JaccardIndex private (spark: SparkSession, val dir: String,
                                   val threshold: Double, val parts: Int,
-                                  @volatile private var committedBatches: Int) {
+                                  @volatile private var committedBatches: Int,
+                                  @volatile private var liveBase: Int) {
   import JaccardIndex._
 
   /** Number of batches committed so far (including the creating corpus). */
   def batches: Int = committedBatches
+
+  /** First live generation: readers scan `base <= b < batches`. Advanced by
+    * [[compact]]; 0 until then.
+    */
+  def base: Int = liveBase
 
   private def rel(name: String): String = s"$dir/$name"
 
@@ -128,7 +135,8 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     */
   private def readTokens(fallback: => DataFrame, upTo: Int): DataFrame =
     if (upTo <= 0 || !hasData("tokens")) fallback.limit(0)
-    else spark.read.parquet(rel("tokens")).where(col("b") < lit(upTo)).drop("b")
+    else spark.read.parquet(rel("tokens"))
+      .where(col("b") >= lit(liveBase) && col("b") < lit(upTo)).drop("b")
 
   /** Committed rows of a hash-partitioned relation, PRUNED to the partition
     * directories in `vals` — the filter lands on the partition columns, so
@@ -138,7 +146,8 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
                          partCol: String, vals: Seq[Int]): DataFrame =
     if (upTo <= 0 || !hasData(name)) fallback.limit(0)
     else spark.read.parquet(rel(name))
-      .where(col("b") < lit(upTo) && col(partCol).isin(vals: _*))
+      .where(col("b") >= lit(liveBase) && col("b") < lit(upTo)
+        && col(partCol).isin(vals: _*))
       .drop("b", partCol)
 
   /** The rows batch `k` committed to one relation (probe-after-add reads the
@@ -326,8 +335,46 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
       p.newTokens.write.mode("overwrite").parquet(rel(s"tokens/b=$b"))
       writeBatchRelations(p, b)
       committedBatches = b + 1
-      writeMeta(spark, dir, threshold, parts, committedBatches)
+      writeMeta(spark, dir, threshold, parts, committedBatches, liveBase)
     }
+  }
+
+  /** Fold every live generation of all three relations into ONE — the
+    * file-count lever of a perpetually-appended index: each add leaves its
+    * own `b=K` tree (≈ one file per touched `p=J`/`q=J` dir), so a mirror
+    * landing batches for months fragments every pruned probe scan into
+    * thousands of small files. One live-relation pass each for tokens /
+    * postings / sets (rewritten under the next `b`, partition layout
+    * preserved), then an atomic `base`/`batches` meta flip; order keys are
+    * data, not layout, so probes are byte-identical through a compact.
+    * Superseded generation dirs are retained for one compact cycle (the
+    * [[graft.sources.SyncManifest]] reader grace — a probe planned against
+    * the previous meta keeps reading) and vacuumed by the NEXT compact.
+    * A WRITER operation under the same single-writer contract as [[add]]:
+    * don't run it concurrently with an in-flight [[probeAndAdd]] whose
+    * result has not been consumed yet.
+    */
+  def compact(): Unit = synchronized {
+    val b = committedBatches
+    if (b - liveBase <= 1) return // already a single (or no) live generation
+    def live(df: DataFrame) =
+      df.where(col("b") >= lit(liveBase) && col("b") < lit(b)).drop("b")
+    Seq("tokens", "postings", "sets")
+      .foreach(r => IvfIndex.vacuumBelow(spark, rel(r), liveBase))
+    if (hasData("tokens"))
+      live(spark.read.parquet(rel("tokens")))
+        .write.mode("overwrite").parquet(rel(s"tokens/b=$b"))
+    if (hasData("postings"))
+      live(spark.read.parquet(rel("postings")))
+        .repartition(col("p"))
+        .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b"))
+    if (hasData("sets"))
+      live(spark.read.parquet(rel("sets")))
+        .repartition(col("q"))
+        .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b"))
+    liveBase = b
+    committedBatches = b + 1
+    writeMeta(spark, dir, threshold, parts, committedBatches, liveBase)
   }
 
   /** Commit `batch`, then return its pairs — the per-sync step of a
@@ -396,7 +443,7 @@ object JaccardIndex {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val idx = new JaccardIndex(spark, dir, threshold, parts, 0)
+    val idx = new JaccardIndex(spark, dir, threshold, parts, 0, 0)
     idx.add(corpus, idCol, textCol)
     idx
   }
@@ -410,7 +457,7 @@ object JaccardIndex {
     */
   def load(spark: SparkSession, dir: String): JaccardIndex = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parse(p: Path, strict: Boolean): Option[(Double, Int, Int)] =
+    def parse(p: Path, strict: Boolean): Option[(Double, Int, Int, Int)] =
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
@@ -423,7 +470,10 @@ object JaccardIndex {
             "rebuild with create()")
         (field("threshold"), field("parts"), field("batches"), field("fmt")) match {
           case (_, _, _, Some(v)) if v.toInt != FormatVersion => skew(s"fmt $v")
-          case (Some(t), Some(pp), Some(b), _) => Some((t.toDouble, pp.toInt, b.toInt))
+          // "base" arrived with compact(); a fmt-2 meta without it is an
+          // uncompacted index — base 0, not corruption
+          case (Some(t), Some(pp), Some(b), _) => Some((t.toDouble, pp.toInt,
+            b.toInt, field("base").map(_.toInt).getOrElse(0)))
           // a parseable meta without "parts" is not corruption — it is the
           // old un-partitioned layout, which this build cannot probe
           case (Some(_), None, Some(_), _) => skew("no fmt/parts fields")
@@ -435,11 +485,12 @@ object JaccardIndex {
       .orElse(parse(new Path(dir, MetaFile + ".tmp"), strict = false))
       .getOrElse(throw new IllegalStateException(
         s"no Jaccard index under $dir — run create() first"))
-    new JaccardIndex(spark, dir, meta._1, meta._2, meta._3)
+    new JaccardIndex(spark, dir, meta._1, meta._2, meta._3, meta._4)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, threshold: Double,
-                        parts: Int, batches: Int): Unit =
+                        parts: Int, batches: Int, base: Int): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
-      s"""{"fmt":$FormatVersion,"threshold":$threshold,"parts":$parts,"batches":$batches}""")
+      s"""{"fmt":$FormatVersion,"threshold":$threshold,"parts":$parts,""" +
+        s""""batches":$batches,"base":$base}""")
 }

@@ -110,7 +110,7 @@ final class LshIndex private (spark: SparkSession, val dir: String,
   def compact(): Unit = synchronized {
     val b = committedBatches
     if (b - liveBase <= 1) return // already a single (or no) live generation
-    IvfIndex.vacuumBelow(spark, dir, liveBase)
+    IvfIndex.vacuumBelow(spark, s"$dir/assigned", liveBase)
     if (graft.streaming.CdcStream.hasVisibleParquet(spark, s"$dir/assigned")) {
       spark.read.parquet(s"$dir/assigned")
         .where(col("b") >= lit(liveBase) && col("b") < lit(b))

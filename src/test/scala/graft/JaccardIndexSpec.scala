@@ -39,6 +39,42 @@ class JaccardIndexSpec extends SparkSpec {
     assert(JaccardIndex.load(spark, dir).batches == 3)
   }
 
+  test("compact folds the three relations into one generation; probes byte-identical") {
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = real.where(pmod(col("doc_id"), lit(7)) > 1)
+    val batch1 = real.where(pmod(col("doc_id"), lit(7)) === 0)
+    val batch2 = real.where(pmod(col("doc_id"), lit(7)) === 1)
+    val dir = Files.createTempDirectory("graft_jidx_cmp").toString + "/idx"
+    val idx = JaccardIndex.create(corpus, "doc_id", "text", 0.8, dir)
+    idx.add(batch1, "doc_id", "text")
+    // 2 generations → 1; order keys are data, so the probe of batch2 must
+    // be byte-identical before and after (and equal the full recompute)
+    val before = pairs(Dedup.jaccardPairsIncremental(
+      batch2, corpus.unionByName(batch1), "doc_id", "text", 0.8))
+    idx.compact()
+    assert(idx.base == 2 && idx.batches == 3)
+    def gens(r: String) = new java.io.File(s"$dir/$r").listFiles()
+      .map(_.getName).filter(_.startsWith("b=")).toSet
+    // superseded generations retained one cycle (reader grace)
+    assert(gens("postings") == Set("b=0", "b=1", "b=2"), gens("postings").toString)
+    // a reloaded instance probes the folded generation identically
+    val re = JaccardIndex.load(spark, dir)
+    assert(re.base == 2 && re.batches == 3)
+    val got = pairs(re.probeAndAdd(batch2, "doc_id", "text"))
+    assert(got == before)
+    assert(got.nonEmpty)
+    // the NEXT compact (now holding the folded gen + batch2's) vacuums the
+    // expired grace generations
+    re.compact()
+    assert(re.base == 4 && re.batches == 5)
+    assert(Seq("tokens", "postings", "sets").forall(r =>
+      gens(r).forall(_.drop(2).toInt >= 2)), "expired generations not vacuumed")
+    // single live generation: a further compact is a no-op
+    val (b0, bb0) = (re.base, re.batches)
+    re.compact()
+    assert(re.base == b0 && re.batches == bb0)
+  }
+
   test("tokens first seen in a later batch pair correctly under their frozen order keys") {
     val corpus = Seq(
       (10L, "zyx wvu tsr qpo nml kji"), // vocabulary unseen anywhere else
