@@ -145,6 +145,18 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase, quantized)
   }
 
+  /** Per-centroid live posting counts — the index-health row of the
+    * monitor story: recall-per-nProbe and probe cost both track list
+    * balance (what k-means refinement buys down and codebook drift erodes),
+    * so this is the signal for "rebuild the codebook". One aggregation
+    * whose scan reads ONLY the partition columns — column pruning keeps
+    * vector data out of it entirely.
+    */
+  def listStats(): DataFrame =
+    spark.read.parquet(s"$dir/assigned")
+      .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
+      .groupBy(col("c")).agg(count(lit(1)).as("postings"))
+
   /** Approximate top-k for each query against the committed index: each
     * query probes its `nProbe` nearest centroid lists, candidates are
     * scored (natively, straight off the stored form) and ranked with the

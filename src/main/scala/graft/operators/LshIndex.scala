@@ -123,6 +123,19 @@ final class LshIndex private (spark: SparkSession, val dir: String,
     LshIndex.writeMeta(spark, dir, bits, tables, committedBatches, liveBase, quantized)
   }
 
+  /** Per-bucket live posting counts, keyed by the composed `th` — the
+    * index-health row: a hot bucket (too few bits for the corpus size)
+    * shows up here long before probes slow down. Scan reads only the
+    * partition columns; an index over an empty corpus reports zero rows.
+    */
+  def bucketStats(): DataFrame = {
+    if (!graft.streaming.CdcStream.hasVisibleParquet(spark, s"$dir/assigned"))
+      return spark.range(0).select(col("id").as("th"), col("id").as("postings"))
+    spark.read.parquet(s"$dir/assigned")
+      .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
+      .groupBy(col("th")).agg(count(lit(1)).as("postings"))
+  }
+
   /** Approximate top-k for each query against the committed index:
     * candidates come from the queries' own buckets across every table,
     * deduped across tables, scored (natively, straight off the stored

@@ -506,6 +506,26 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.base == 2 && lsh.batches == 3)
   }
 
+  test("listStats/bucketStats account for every live posting, through add and compact") {
+    val embs = clustered
+    val root = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    val idx = graft.operators.IvfIndex.create(
+      embs.where($"vec_id" < 160), "vec_id", "embedding", root + "/ivf",
+      numCentroids = 16)
+    idx.add(embs.where($"vec_id" >= 160), "vec_id", "embedding")
+    def ivfTotal() = idx.listStats().agg(sum($"postings")).as[Long].head()
+    assert(ivfTotal() == 320L) // one posting per doc across all live gens
+    idx.compact()
+    assert(ivfTotal() == 320L) // folding generations changes layout, not counts
+    val lsh = graft.operators.LshIndex.create(embs, "vec_id", "embedding",
+      root + "/lsh", bits = 6, tables = 3)
+    // ×tables postings per doc — exactly the storage trade bucketStats meters
+    assert(lsh.bucketStats().agg(sum($"postings")).as[Long].head() == 960L)
+    val empty = graft.operators.LshIndex.create(embs.where($"vec_id" < 0),
+      "vec_id", "embedding", root + "/lsh_empty")
+    assert(empty.bucketStats().count() == 0L)
+  }
+
   test("lsh bucket of identical vectors is identical") {
     val b = corpus.select(VectorFunctions.lshBucket($"embedding", 8).as("b"))
       .where($"b".isNotNull).count()
