@@ -244,6 +244,16 @@ object SparkEntry {
     "docs_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(t(s, d, "documents"), Seq("lang"), col("doc_id"), 0.2)
         .select(col("lang"), col("doc_id"))),
+    // mixture curation: 2000 whitespace-tokens per language, hash-ordered
+    "docs_token_budget_mix" -> ((s, d) =>
+      Sampling.tokenBudgetMix(t(s, d, "documents"), Seq("lang"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")), budget = 2000L)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))),
+    // epoch-deterministic corpus shuffle: dense position + round-robin shard
+    "docs_global_shuffle" -> ((s, d) =>
+      Sampling.globalShuffle(t(s, d, "documents"), col("doc_id"), seed = 7L,
+          numShards = 8)
+        .select(col("doc_id"), col("pos"), col("shard"))),
     "docs_contamination" -> ((s, d) => {
       val tagged = Sampling.splitByKey(t(s, d, "documents"), col("doc_id"), 0.1)
       Contamination.report(
@@ -821,6 +831,22 @@ object SparkEntry {
                   count(*) OVER (PARTITION BY lang) AS m
            FROM documents)
          WHERE rn <= ceil(m * 0.2)""",
+    "docs_token_budget_mix" ->
+      """SELECT lang, doc_id, n_tokens, cum_tokens FROM (
+           SELECT lang, doc_id, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY (doc_id * 2654435761) % 10000, doc_id) AS BIGINT)
+                    AS cum_tokens
+           FROM (SELECT lang, doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents))
+         WHERE cum_tokens <= 2000""",
+    "docs_global_shuffle" ->
+      """SELECT doc_id, pos, pos % 8 AS shard FROM (
+           SELECT doc_id,
+                  row_number() OVER (
+                    ORDER BY ((doc_id + 7) * 2654435761) % 10000, doc_id) - 1 AS pos
+           FROM documents)""",
     "docs_contamination" ->
       """WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
                            string_split(lower(text), ' ') AS ws

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, key-stable sampling and splitting for training-data
@@ -43,12 +44,76 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, strata: Seq[String], key: Column,
                        fraction: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val byStratum = Window.partitionBy(strata.map(col): _*)
     val picked = byStratum.orderBy(keyBucket(key), key)
     df.withColumn("__rn", row_number().over(picked))
       .withColumn("__m", count(lit(1)).over(byStratum))
       .where(col("__rn") <= ceil(col("__m") * lit(fraction)))
       .drop("__rn", "__m")
+  }
+
+  /** Token-budget data mixing: within each stratum (language, domain, …)
+    * keep documents in deterministic hash order while the stratum's running
+    * token total stays within `budget`. This is the curation step that turns
+    * "40% en, 15% de, …" mixture targets into an exact document list — the
+    * budget is a hard cap per stratum, the hash order makes the pick
+    * reproducible on any cluster layout, and the running total (`cum_tokens`)
+    * is emitted so downstream packing can resume the count.
+    *
+    * One shuffle keyed by the strata; the per-stratum running sum is a
+    * window whose partition is the stratum (never a global window). The
+    * order key `(hash, key)` is total — `key` must be unique — so the
+    * running-sum frame has no peer rows and the selection is exact in any
+    * engine (the DuckDB oracle runs the same integer arithmetic verbatim).
+    */
+  def tokenBudgetMix(df: DataFrame, strata: Seq[String], key: Column,
+                     tokens: Column, budget: Long): DataFrame = {
+    val order = Window.partitionBy(strata.map(col): _*)
+      .orderBy(keyBucket(key), key)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(order))
+      .where(col("cum_tokens") <= budget)
+  }
+
+  /** Deterministic global shuffle for training epochs: every row gets a
+    * stable, dense position `pos` ∈ [0, N) in a pseudo-random total order
+    * (re-keyed per `seed`, so each epoch is a fresh permutation), plus a
+    * round-robin `shard` = pos mod `numShards` whose sizes differ by at most
+    * one. The order is a pure function of (key, seed) — the same corpus
+    * shuffles identically on every run and engine.
+    *
+    * Scale: there is NO global window. Rows hash into `fanout` ordered
+    * ranges; per-range counts (a bounded `fanout`-row collect) become prefix
+    * offsets broadcast back in, and each range numbers its own rows with a
+    * range-local window (~N/fanout rows per window partition). Global
+    * position = range offset + local rank. `fanout` bounds both the driver
+    * collect and the per-partition sort — raise it with corpus size.
+    */
+  def globalShuffle(df: DataFrame, key: Column, seed: Long, numShards: Int,
+                    fanout: Int = 256): DataFrame = {
+    require(numShards > 0 && fanout > 0 && fanout <= 10000,
+      s"numShards=$numShards fanout=$fanout out of range")
+    // epoch-seeded bucket in [0, 10000); same arithmetic as keyBucket so the
+    // oracle can reproduce it with plain integer ops
+    val h = pmod((key.cast("long") + seed) * Prime, lit(10000L))
+    // range id: monotone in h, so (range, h, key) orders identically to (h, key)
+    val range = floor(col("__h") * fanout / lit(10000.0)).cast("int")
+    val withRange = df.withColumn("__h", h).withColumn("__b", range)
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    // bounded collect: one count per range (≤ fanout rows), turned into
+    // exclusive prefix offsets and broadcast back as a tiny dimension
+    val counts = withRange.groupBy(col("__b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .tail.zip(counts).map { case ((b, end), (_, n)) => (b, end - n) }
+    val offDf = offsets.toSeq.toDF("__b", "__off")
+
+    val local = Window.partitionBy(col("__b")).orderBy(col("__h"), key)
+    withRange.join(broadcast(offDf), "__b")
+      .withColumn("pos", col("__off") + row_number().over(local) - 1)
+      .withColumn("shard", pmod(col("pos"), lit(numShards.toLong)))
+      .drop("__h", "__b", "__off")
   }
 }
