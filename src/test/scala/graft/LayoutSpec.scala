@@ -31,4 +31,70 @@ class LayoutSpec extends SparkSpec {
     assert(partitionCount(all) > 12) // several years of months present
     assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
+
+  /** Count shuffle exchanges in the final adaptive plan (stage plans are
+    * fields, not children, so descend explicitly).
+    */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Int = p.map {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(s.plan)
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+      case _ => 0
+    }.sum
+    go(df.queryExecution.executedPlan)
+  }
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed tables join and aggregate with zero shuffles") {
+    val dir = Files.createTempDirectory("graft_bucketed").toString
+    val sf = "/root/testdata/sf0.001"
+    val orders = Tables.load(spark, sf, "orders")
+    val li = Tables.load(spark, sf, "lineitem")
+    try {
+      Layout.writeBucketed(orders, "graft_b_orders", s"$dir/orders", "o_orderkey", 8)
+      Layout.writeBucketed(li, "graft_b_lineitem", s"$dir/lineitem", "l_orderkey", 8)
+
+      // forbid broadcast so the join must co-locate, not ship a side
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        def joined(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+          o.join(l, col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("o_orderkey"))
+            .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+
+        val bucketed = joined(Layout.readTable(spark, "graft_b_orders"),
+          Layout.readTable(spark, "graft_b_lineitem"))
+        val plain = joined(orders, li)
+
+        // same answer, but the bucketed plan needs no exchange at all:
+        // the join consumes the bucket partitioning and the aggregation
+        // reuses it (its key IS the bucket key)
+        assert(bucketed.count() == plain.count())
+        assert(shuffles(plain) > 0, "plain parquet join should shuffle")
+        assert(shuffles(bucketed) == 0,
+          s"bucketed join must be shuffle-free:\n${bucketed.queryExecution.executedPlan}")
+
+        // a plain file read of the same directory loses the bucket spec —
+        // the catalog read is the contract, and this is why
+        val raw = joined(spark.read.parquet(s"$dir/orders"),
+          spark.read.parquet(s"$dir/lineitem"))
+        assert(shuffles(raw) > 0, "bypassing the catalog should reintroduce the shuffle")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    }
+  }
 }
