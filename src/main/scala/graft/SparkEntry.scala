@@ -254,6 +254,18 @@ object SparkEntry {
       Sampling.globalShuffle(t(s, d, "documents"), col("doc_id"), seed = 7L,
           numShards = 8)
         .select(col("doc_id"), col("pos"), col("shard"))),
+    // quality-weighted sampling: keep probability = quality score, key-stable
+    "docs_quality_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("q_score", TextFunctions.qualityScore(col("text")))
+        .where(Sampling.keyBucket(col("doc_id")) < col("q_score") * 10000)
+        .select(col("doc_id"), col("lang"), col("q_score"))),
+    // corpus profile: token-length histogram in width-10 integer bins
+    "docs_length_histogram" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("nt", TextFunctions.tokenCount(col("text")).cast("long"))
+        .groupBy((col("nt") - col("nt") % 10).as("bin_lo"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))),
     "docs_contamination" -> ((s, d) => {
       val tagged = Sampling.splitByKey(t(s, d, "documents"), col("doc_id"), 0.1)
       Contamination.report(
@@ -847,6 +859,23 @@ object SparkEntry {
                   row_number() OVER (
                     ORDER BY ((doc_id + 7) * 2654435761) % 10000, doc_id) - 1 AS pos
            FROM documents)""",
+    "docs_quality_sample" ->
+      """SELECT doc_id, lang, q AS q_score FROM (
+           SELECT doc_id, lang,
+                  (CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+                     / len(string_split(text, ' '))
+                   + CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END)
+                   - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                     / length(text) AS q
+           FROM documents)
+         WHERE (doc_id * 2654435761) % 10000 < q * 10000""",
+    "docs_length_histogram" ->
+      """SELECT nt - nt % 10 AS bin_lo, count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS total_tokens
+         FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+               FROM documents)
+         GROUP BY 1""",
     "docs_contamination" ->
       """WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
                            string_split(lower(text), ' ') AS ws
