@@ -125,6 +125,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))),
     "events_traffic_spikes" -> ((s, d) =>
       CdcOps.trafficSpikes(t(s, d, "events"), "ts", "event_type")),
+    // hot/idle-key profile: exact integer-microsecond inter-change gaps
+    "cdc_change_rates" -> ((s, d) =>
+      CdcOps.changeRates(t(s, d, "events"), "user_id", "ts", "event_id")),
     "fuzzy_part_names" -> ((s, d) => {
       // q-gram prefix blocking (guaranteed recall, Fuzzy.editPairs): the
       // block key is (brand, type, rare-first gram) — its cardinality grows
@@ -266,6 +269,14 @@ object SparkEntry {
         .withColumn("nt", TextFunctions.tokenCount(col("text")).cast("long"))
         .groupBy((col("nt") - col("nt") % 10).as("bin_lo"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))),
+    // training-reader manifest: per-shard doc/token totals + position range
+    "docs_shard_stats" -> ((s, d) =>
+      Sampling.globalShuffle(t(s, d, "documents"), col("doc_id"), seed = 7L,
+          numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))),
     "docs_contamination" -> ((s, d) => {
       val tagged = Sampling.splitByKey(t(s, d, "documents"), col("doc_id"), 0.1)
       Contamination.report(
@@ -876,6 +887,24 @@ object SparkEntry {
          FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
                FROM documents)
          GROUP BY 1""",
+    "docs_shard_stats" ->
+      """SELECT pos % 8 AS shard, count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS total_tokens,
+                min(pos) AS first_pos, max(pos) AS last_pos
+         FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                      row_number() OVER (
+                        ORDER BY ((doc_id + 7) * 2654435761) % 10000, doc_id) - 1 AS pos
+               FROM documents)
+         GROUP BY 1""",
+    "cdc_change_rates" ->
+      """SELECT user_id, count(*) AS n_changes,
+                min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+                CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+         FROM (SELECT user_id,
+                      epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+               FROM events)
+         GROUP BY user_id""",
     "docs_contamination" ->
       """WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
                            string_split(lower(text), ' ') AS ws

@@ -104,6 +104,26 @@ object CdcOps {
     log.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_changes"), max(col(versionCol)).as("max_version"))
 
+  /** Per-key change-rate profile: event count plus exact inter-change gap
+    * stats in integer MICROSECONDS (`unix_micros`/`epoch_us` agree across
+    * engines; float seconds would not sum deterministically). The hot-key /
+    * idle-key signal a CDC monitor uses for throttling and slot sizing.
+    * One shuffle on the key; the lag window and the aggregation share it.
+    */
+  def changeRates(log: DataFrame, keyCol: String, tsCol: String,
+                  versionCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(versionCol))
+    val us = expr(s"unix_micros($tsCol)")
+    val gap = us - lag(us, 1).over(byKey)
+    log.withColumn("gap_us", gap)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_changes"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+  }
+
   /** Per-op totals and share of the log — the monitor's event-type table. */
   def opRates(log: DataFrame, opCol: Column): DataFrame = {
     val counts = log.groupBy(opCol.as("op")).agg(count(lit(1)).as("n"))
