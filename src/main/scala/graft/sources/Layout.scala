@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lake layout management: time-partitioned fact tables so date filters
@@ -50,4 +50,56 @@ object Layout {
     */
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Z-ordered (Morton-curve) layout: cluster rows so that range filters on
+    * ANY of `zCols` skip most files via parquet min/max stats — the
+    * multi-column generalization of single-key clustering (ClickHouse's
+    * `ORDER BY (a, b)` tuple on the replicated target; a plain sort clusters
+    * only its leading column). Each column is quantile-bucketed into
+    * 2^`bitsPerCol` ranks whose bits interleave into one z-value; range
+    * partitioning + an in-partition sort on it give every file a tight
+    * min/max envelope in EVERY z-dimension.
+    *
+    * Scale: the quantile sketch is the only driver-side piece (bounded:
+    * `buckets − 1` doubles per column at fixed relative error); bucketing
+    * and bit interleaving are pure columnar expressions, and the one range
+    * exchange replaces the shuffle a consumer would otherwise pay on every
+    * filtered scan.
+    */
+  def writeZOrdered(df: DataFrame, zCols: Seq[String], targetDir: String,
+                    numFiles: Int, bitsPerCol: Int = 8): Unit = {
+    require(zCols.nonEmpty && bitsPerCol >= 1 && bitsPerCol <= 16,
+      s"zCols=$zCols bitsPerCol=$bitsPerCol out of range")
+    val buckets = 1 << bitsPerCol
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds: Map[String, Array[Double]] =
+      zCols.map(c => c -> df.stat.approxQuantile(c, probs, 0.001).distinct).toMap
+
+    // rank = #boundaries <= value: a columnar fold over the literal
+    // boundary array (nulls fold to rank 0 and cluster together). A
+    // low-cardinality column yields few distinct boundaries; stretch its
+    // rank over the full bit range, else its high bits are constant zero
+    // and the curve degenerates to a sort on the other columns.
+    def rankOf(c: String): Column = {
+      val d = math.max(bounds(c).length, 1)
+      val raw = aggregate(lit(bounds(c)), lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+      floor(raw * lit((buckets - 1).toLong) / lit(d.toLong)).cast("long")
+    }
+
+    // Morton interleave: bit i of column j lands at position i*nCols + j
+    val n = zCols.size
+    val z = zCols.zipWithIndex.map { case (c, j) =>
+      val r = rankOf(c)
+      (0 until bitsPerCol).map { i =>
+        shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * n + j)
+      }.reduce[Column](_.bitwiseOR(_))
+    }.reduce[Column](_.bitwiseOR(_))
+
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(targetDir)
+  }
 }

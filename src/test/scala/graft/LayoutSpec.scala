@@ -97,4 +97,38 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
     }
   }
+
+  test("z-ordered layout clusters every z-column for scan-time skipping") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+
+    Layout.writeZOrdered(ev, Seq("user_id", "value"), s"$dir/z", numFiles = 16)
+    // baseline: same data, same file count, no clustering
+    ev.repartition(16).write.parquet(s"$dir/flat")
+
+    // per-file min/max envelope width of `c`, averaged over files, as a
+    // fraction of the global range — what parquet stats-based skipping sees
+    def meanSpan(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+        .select(col(c).cast("double").as("v"),
+          input_file_name().as("f"))
+      val Array(lo, hi) = df.agg(min(col("v")), max(col("v")))
+        .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+      val spans = df.groupBy(col("f"))
+        .agg((max(col("v")) - min(col("v"))).as("span"))
+        .collect().map(_.getDouble(1))
+      spans.sum / spans.length / (hi - lo)
+    }
+
+    // nothing lost, nothing reordered away
+    assert(spark.read.parquet(s"$dir/z").count() == ev.count())
+
+    for (c <- Seq("user_id", "value")) {
+      val z = meanSpan(s"$dir/z", c)
+      val flat = meanSpan(s"$dir/flat", c)
+      assert(z < 0.5 && z < flat * 0.6,
+        s"$c: z-order mean file span $z should be well under flat $flat")
+    }
+  }
 }
