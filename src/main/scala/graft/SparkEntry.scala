@@ -128,6 +128,23 @@ object SparkEntry {
     // hot/idle-key profile: exact integer-microsecond inter-change gaps
     "cdc_change_rates" -> ((s, d) =>
       CdcOps.changeRates(t(s, d, "events"), "user_id", "ts", "event_id")),
+    // materialized-view maintenance: snapshot -> one sync batch of partial
+    // aggregates (retractions negated) -> collapsed read; equals the full
+    // re-aggregation of the final live state, which is what the oracle runs
+    "cdc_materialized_agg" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val cut = ev.agg(max(col("event_id"))).collect()(0).getLong(0) * 9 / 10
+      val mirror0 = CdcOps.softDeleteSnapshot(
+        ev.where(col("event_id") <= cut), Seq("user_id"), "event_id", isDelete)
+      val upserts = CdcOps.latestSnapshot(
+        ev.where(col("event_id") > cut), Seq("user_id"), "event_id")
+        .withColumn("is_del", isDelete)
+      val agg = MaterializedAgg.create(s, mirror0, Seq("event_type"),
+        Seq("cents"), indexScratch)
+      agg.refreshFromUpsert(mirror0, upserts, Seq("user_id"), "is_del")
+      agg.read()
+    }),
     "fuzzy_part_names" -> ((s, d) => {
       // q-gram prefix blocking (guaranteed recall, Fuzzy.editPairs): the
       // block key is (brand, type, rare-first gram) — its cardinality grows
@@ -905,6 +922,16 @@ object SparkEntry {
                         PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
                FROM events)
          GROUP BY user_id""",
+    // the maintained aggregate must equal the full re-aggregation of the
+    // final live snapshot — which is exactly what the oracle computes
+    "cdc_materialized_agg" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM (SELECT event_type, value FROM events
+               QUALIFY row_number() OVER (
+                 PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         WHERE event_type <> 'error'
+         GROUP BY event_type""",
     "docs_contamination" ->
       """WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
                            string_split(lower(text), ' ') AS ws
