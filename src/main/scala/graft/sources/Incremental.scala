@@ -440,6 +440,83 @@ object Incremental {
     }
   }
 
+  /** Retention sweep — the ClickHouse `TTL` analog on the replicated
+    * target (MergeTree `TTL <col> + INTERVAL n` physically removes expired
+    * rows at merge time; on the reference's ReplacingMergeTree targets the
+    * same clause GCs history). Physically drops every mirror row matching
+    * `expired` — typical predicates: event-time age for data retention, or
+    * tombstone GC via [[expireTombstones]] (tombstones otherwise accumulate
+    * forever; past the retention window no replayed batch can outrank live
+    * data, so they are safe to forget). A NULL predicate value counts as
+    * not-expired.
+    *
+    * Mechanics: only buckets containing expired rows are rewritten (the
+    * bucket-id collect is bounded by `nBuckets`), committed
+    * reader-atomically like every sweep; the watermark is untouched — a key
+    * whose expired rows had `seq <= watermark` is gone for good (that is
+    * the point of TTL), while a later re-insert at the source carries a
+    * fresh seq and re-lands through the poll tail. A replayed pre-expiry
+    * batch can re-land expired rows; the next sweep re-expires them
+    * (self-healing, like [[reconcileDeletes]]).
+    *
+    * == Wipe guard ==
+    * Refuses to drop more than `maxExpireFraction` of the mirror's rows in
+    * one pass — a mis-specified horizon (wrong time zone, seconds-vs-millis)
+    * would otherwise empty the mirror. Pass 1.0 to force a legitimate mass
+    * expiry through.
+    */
+  def expire(spark: SparkSession, cfg: TableConfig, mirrorDir: String,
+             expired: Column, maxExpireFraction: Double = 0.5): PollResult = {
+    val st0 = readState(spark, mirrorDir).getOrElse(
+      throw new IllegalStateException(
+        s"no capture state under $mirrorDir — run snapshot() first (or " +
+        "adoptMirror() for a CdcStream.mirrorToParquet / Mirror.fullLoad target)"))
+    checkBuckets(spark, st0, cfg, mirrorDir)
+    val st = adoptBuckets(spark, st0, cfg, mirrorDir)
+    if (!CdcStream.hasVisibleParquet(spark, mirrorDir)) return PollResult(st, 0L)
+    val mirror = SyncManifest.readCommitted(spark, mirrorDir)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val marked = mirror
+      .withColumn("_graft_exp", coalesce(expired, lit(false))).persist(mem)
+    try {
+      val counts = marked.agg(
+        sum(when(col("_graft_exp"), 1L).otherwise(0L)).as("exp"),
+        count(lit(1)).as("all")).collect()(0)
+      val nExp = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+      val nAll = counts.getLong(1)
+      if (nExp == 0L) return PollResult(st, 0L)
+      if (nExp.toDouble > maxExpireFraction * nAll)
+        throw new IllegalStateException(
+          s"expire refusing to drop $nExp of $nAll mirror rows " +
+            f"(${nExp.toDouble / nAll}%.2f > maxExpireFraction=$maxExpireFraction%.2f) " +
+            s"under $mirrorDir — mis-specified horizon? " +
+            "Pass maxExpireFraction=1.0 to force a legitimate mass expiry.")
+      val batchId = st.batchId + 1
+      val touched = marked.where(col("_graft_exp"))
+        .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+      val kept = marked
+        .where(col("bucket").isin(touched: _*) && !col("_graft_exp"))
+        .select(mirror.columns.map(col): _*)
+      CdcStream.commitBuckets(spark, kept, mirrorDir, touched)
+      val next = SyncState(st.watermark, batchId, System.currentTimeMillis(),
+        cfg.nBuckets)
+      writeState(spark, mirrorDir, next)
+      PollResult(next, nExp)
+    } finally marked.unpersist(false)
+  }
+
+  /** Tombstone GC: [[expire]] specialized to flagged rows whose sync stamp
+    * predates `syncedBefore` — the retention clause that keeps a
+    * soft-delete mirror from accumulating tombstones forever.
+    */
+  def expireTombstones(spark: SparkSession, cfg: TableConfig, mirrorDir: String,
+                       syncedBefore: Column,
+                       maxExpireFraction: Double = 0.5): PollResult =
+    expire(spark, cfg, mirrorDir,
+      col("_peerdb_is_deleted") =!= 0 &&
+        col("_peerdb_synced_at") < syncedBefore.cast("timestamp"),
+      maxExpireFraction)
+
   /** Re-bucket a live mirror to a new hash-bucket count, reader-atomically.
     * Bucket count is sized to data volume; a mirror that grows 100× needs
     * more buckets or every sync rewrites giant partitions (and one that
