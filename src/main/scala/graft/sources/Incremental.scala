@@ -707,6 +707,18 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
       Incremental.reconcileDeletes(sources(t.table), t, mirrorDir(t.table),
         syncedAt = syncedAt)))).toMap
 
+  /** One retention round across every configured table (concurrent across
+    * tables) — see [[Incremental.expire]]. `expiredFor` maps each table
+    * name to its TTL predicate (tables differ in their time columns and
+    * retention windows), so one call drives the whole mirror set's
+    * retention policy.
+    */
+  def expireAll(expiredFor: String => Column,
+                maxExpireFraction: Double = 0.5): Map[String, Incremental.PollResult] =
+    inParallel(tables.map(t => t.table -> (() =>
+      Incremental.expire(spark, t, mirrorDir(t.table), expiredFor(t.table),
+        maxExpireFraction)))).toMap
+
   /** One warehouse-delivery round across every configured table (concurrent
     * across tables, same shared deadline): each table's committed mirror
     * delta lands in its own JDBC target table via

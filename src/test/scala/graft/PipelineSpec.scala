@@ -121,6 +121,52 @@ class PipelineSpec extends SparkSpec {
     assert(decisions.where(!col("keep")).count() > 0)
   }
 
+  test("a maintained aggregate tracks the polled mirror sync by sync") {
+    import graft.operators.MaterializedAgg
+    import graft.sources.{Incremental, TableConfig}
+    val base = Files.createTempDirectory("graft_pipe_magg").toString
+    val mdir = s"$base/t"
+    val adir = s"$base/agg"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+
+    def src(rows: Seq[(Long, Long, String, Long, Boolean)]) =
+      rows.toDF("key", "seq", "grp", "amt", "del")
+    def live() = graft.sources.Mirror.readFinal(spark, mdir, "key")
+      .select("key", "grp", "amt")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def expected() = asMap(live().groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("amt")).as("sum_amt")))
+
+    // snapshot seeds both the mirror and the maintained aggregate
+    val v0 = (1L to 12L).map(i =>
+      (i, i, if (i % 2 == 0) "even" else "odd", i * 10, false))
+    Incremental.snapshot(src(v0), cfg, mdir)
+    val agg = MaterializedAgg.create(spark, live(), Seq("grp"), Seq("amt"), adir)
+    assert(asMap(agg.read()) == expected())
+
+    // sync 1: an update, a delete, an insert. The aggregate refreshes from
+    // the SAME delta the poll lands — pre-image retraction from the live
+    // mirror, then the poll applies the batch
+    val d1 = Seq((2L, 13L, "even", 999L, false), (3L, 14L, "odd", 0L, true),
+      (13L, 15L, "odd", 130L, false))
+    agg.refreshFromUpsert(live(), src(d1), Seq("key"), "del")
+    Incremental.poll(src(v0 ++ d1), cfg, mdir, isDelete = col("del"))
+    assert(asMap(agg.read()) == expected())
+
+    // sync 2: a key MOVES groups (retract from odd, insert into even)
+    val d2 = Seq((5L, 16L, "even", 555L, false))
+    agg.refreshFromUpsert(live(), src(d2), Seq("key"), "del")
+    Incremental.poll(src(v0 ++ d1 ++ d2), cfg, mdir, isDelete = col("del"))
+    assert(asMap(agg.read()) == expected())
+
+    // compaction changes layout, never answers; a reopened handle agrees
+    agg.compact()
+    assert(asMap(agg.read()) == expected())
+    assert(asMap(MaterializedAgg.open(spark, adir, Seq("grp"), Seq("amt")).read())
+      == expected())
+  }
+
   test("stream -> adopt -> warehouse: the full landing path ends in the JDBC target") {
     import graft.sinks.JdbcSink
     import graft.sources.{Incremental, TableConfig}

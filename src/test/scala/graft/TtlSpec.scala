@@ -89,4 +89,22 @@ class TtlSpec extends SparkSpec {
     assert(graft.sources.Mirror.readFinal(spark, dir, "key")
       .where(col("key") === 5L).select("payload").as[String].collect().head == "fresh")
   }
+
+  test("expireAll drives per-table retention policies across the mirror set") {
+    val root = Files.createTempDirectory("graft_ttl_all").toString
+    val cfgs = Seq(TableConfig("o", Seq("key"), "seq", nBuckets = 4),
+      TableConfig("l", Seq("key"), "seq", nBuckets = 4))
+    val srcs = Map("o" -> state(10), "l" -> state(20))
+    val mirrors = new graft.sources.MultiTableMirror(spark, cfgs, srcs, root)
+    mirrors.snapshotAll()
+
+    // each table has its own horizon — the per-table predicate map
+    val res = mirrors.expireAll {
+      case "o" => col("seq") <= 2L
+      case "l" => col("seq") <= 5L
+    }
+    assert(res("o").rowsSynced == 2L && res("l").rowsSynced == 5L)
+    assert(finalKeys(s"$root/o") == (3L to 10L).toSet)
+    assert(finalKeys(s"$root/l") == (6L to 20L).toSet)
+  }
 }
