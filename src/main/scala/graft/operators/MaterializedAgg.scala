@@ -39,7 +39,8 @@ final class MaterializedAgg private (spark: SparkSession, val dir: String,
                                      val groupCols: Seq[String],
                                      val sums: Seq[String],
                                      @volatile private var committedGens: Int,
-                                     @volatile private var liveBase: Int) {
+                                     @volatile private var liveBase: Int,
+                                     @volatile private var appliedBatch: Int) {
   import MaterializedAgg._
 
   /** Generations committed so far (including the creating aggregation). */
@@ -47,6 +48,11 @@ final class MaterializedAgg private (spark: SparkSession, val dir: String,
 
   /** First live generation: readers scan `base <= b < gens`. */
   def base: Int = liveBase
+
+  /** Highest externally supplied batch id applied via [[refreshBatch]]
+    * (−1 until the first); the replay-dedup high-water mark.
+    */
+  def lastBatch: Int = appliedBatch
 
   private def sumCols(sign: Int) =
     sum(lit(sign.toLong)).as("n_rows") +:
@@ -69,13 +75,20 @@ final class MaterializedAgg private (spark: SparkSession, val dir: String,
   /** Append one partial generation for a sync batch: `insert` = the rows
     * the batch adds to the live mirror state, `retract` = the pre-image
     * rows it replaces or deletes. Both frames are delta-sized; so is the
-    * written generation.
+    * written generation (one file — partials are group-cardinality-bounded
+    * and a guaranteed footer keeps an all-retracted generation readable).
     */
-  def refresh(insert: DataFrame, retract: DataFrame): Unit = synchronized {
+  def refresh(insert: DataFrame, retract: DataFrame): Unit =
+    commitGeneration(insert, retract, appliedBatch)
+
+  private def commitGeneration(insert: DataFrame, retract: DataFrame,
+                               batch: Int): Unit = synchronized {
     val g = committedGens
-    partial(insert, retract).write.mode("overwrite").parquet(s"$dir/b=$g")
+    partial(insert, retract).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/b=$g")
     committedGens = g + 1
-    writeMeta(spark, dir, groupCols, sums, committedGens, liveBase)
+    appliedBatch = batch
+    writeMeta(spark, dir, groupCols, sums, committedGens, liveBase, appliedBatch)
   }
 
   /** CDC-shaped refresh: `upserts` is the sync batch collapsed to its
@@ -90,6 +103,27 @@ final class MaterializedAgg private (spark: SparkSession, val dir: String,
     val retract = mirrorLiveBefore.join(touched, keys, "left_semi")
     val insert = upserts.where(!col(deletedCol))
     refresh(insert, retract)
+  }
+
+  /** Replay-safe [[refreshFromUpsert]] for at-least-once feeds (Structured
+    * Streaming `foreachBatch`): a batch id at or below the high-water mark
+    * is the redelivery of an already-applied batch and is SKIPPED — the
+    * partials are additive, so without this guard every replay would
+    * double-count. The id advances only after the generation's data is
+    * committed (a crash between data and meta write re-applies the batch,
+    * overwriting the same generation dir — idempotent). Returns whether
+    * the batch was applied.
+    */
+  def refreshBatch(batchId: Long, mirrorLiveBefore: DataFrame,
+                   upserts: DataFrame, keys: Seq[String],
+                   deletedCol: String): Boolean = synchronized {
+    require(batchId >= 0 && batchId <= Int.MaxValue, s"bad batch id $batchId")
+    if (batchId.toInt <= appliedBatch) return false
+    val touched = upserts.select(keys.map(col): _*).distinct()
+    val retract = mirrorLiveBefore.join(touched, keys, "left_semi")
+    val insert = upserts.where(!col(deletedCol))
+    commitGeneration(insert, retract, batchId.toInt)
+    true
   }
 
   /** The maintained aggregate as of the last committed generation: group
@@ -117,10 +151,10 @@ final class MaterializedAgg private (spark: SparkSession, val dir: String,
     val g = committedGens
     if (g - liveBase <= 1) return // already a single (or no) live generation
     IvfIndex.vacuumBelow(spark, dir, liveBase)
-    read().write.mode("overwrite").parquet(s"$dir/b=$g")
+    read().repartition(1).write.mode("overwrite").parquet(s"$dir/b=$g")
     liveBase = g
     committedGens = g + 1
-    writeMeta(spark, dir, groupCols, sums, committedGens, liveBase)
+    writeMeta(spark, dir, groupCols, sums, committedGens, liveBase, appliedBatch)
   }
 }
 
@@ -134,9 +168,10 @@ object MaterializedAgg {
 
   private def writeMeta(spark: SparkSession, dir: String,
                         groupCols: Seq[String], sums: Seq[String],
-                        gens: Int, base: Int): Unit =
+                        gens: Int, base: Int, batch: Int): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
-      s"""{"fmt":$Fmt,"gens":$gens,"base":$base,"spec":${specHash(groupCols, sums)}}""")
+      s"""{"fmt":$Fmt,"gens":$gens,"base":$base,"batch":$batch,""" +
+        s""""spec":${specHash(groupCols, sums)}}""")
 
   /** Bootstrap: aggregate the initial mirror state into generation 0. Any
     * previous contents of `dir` are discarded (create is a full rebuild,
@@ -148,7 +183,7 @@ object MaterializedAgg {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val agg = new MaterializedAgg(spark, dir, groupCols, sums, 0, 0)
+    val agg = new MaterializedAgg(spark, dir, groupCols, sums, 0, 0, -1)
     agg.refresh(initial, initial.limit(0))
     agg
   }
@@ -159,12 +194,12 @@ object MaterializedAgg {
     */
   def open(spark: SparkSession, dir: String, groupCols: Seq[String],
            sums: Seq[String]): MaterializedAgg = {
-    val Seq(gens, base, spec) =
+    val Seq(gens, base, batch, spec) =
       IndexMeta.load(spark, dir, MetaFile, Fmt, "materialized-agg",
-        Seq("gens", "base", "spec"))
+        Seq("gens", "base", "batch", "spec"))
     require(spec == specHash(groupCols, sums),
       s"materialized aggregate under $dir was created with a different " +
         "group/sum spec — rebuild with create()")
-    new MaterializedAgg(spark, dir, groupCols, sums, gens, base)
+    new MaterializedAgg(spark, dir, groupCols, sums, gens, base, batch)
   }
 }

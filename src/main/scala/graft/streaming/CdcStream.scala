@@ -90,6 +90,48 @@ object CdcStream {
       .start()
   }
 
+  /** [[mirrorToParquet]] with a maintained aggregate riding the same
+    * microbatches — the streaming half of the ClickHouse
+    * materialized-view pattern (the MV populates its Summing target as
+    * inserts land; here each foreachBatch refreshes `agg` with the batch's
+    * pre-image retraction BEFORE merging the batch into the mirror, so the
+    * retraction reads the committed pre-batch state). At-least-once safe:
+    * the mirror merge is idempotent by construction, and
+    * [[graft.operators.MaterializedAgg.refreshBatch]] skips the replayed
+    * batch ids that would otherwise double-count the additive partials.
+    *
+    * @param prepare derives the aggregate's group/sum columns from the
+    *                change rows (e.g. parse an amount out of the payload);
+    *                applied to the batch upserts and the mirror pre-image
+    *                alike, must preserve the key column
+    */
+  def mirrorToParquetWithAgg(changes: Dataset[Change], targetDir: String,
+                             checkpointDir: String,
+                             agg: graft.operators.MaterializedAgg,
+                             prepare: DataFrame => DataFrame = identity,
+                             nBuckets: Int = 64, deleteOp: String = "delete",
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val upserts = prepare(
+            graft.operators.CdcOps.latestSnapshot(batch.toDF(), Seq("key"), "version")
+              .withColumn("is_deleted", col("op") === deleteOp))
+          val live =
+            if (!hasVisibleParquet(spark, targetDir)) upserts.limit(0)
+            else prepare(graft.sources.SyncManifest.readCommitted(spark, targetDir)
+              .where(!col("is_deleted")))
+          agg.refreshBatch(batchId, live, upserts, Seq("key"), "is_deleted")
+          mergeBatch(spark, batch, targetDir, nBuckets, deleteOp, batchId)
+        }
+      }
+      .start()
+  }
+
   /** One typed microbatch upsert — also usable directly for backfills. */
   def mergeBatch(spark: SparkSession, batch: Dataset[Change], targetDir: String,
                  nBuckets: Int, deleteOp: String, batchId: Long): Unit = {

@@ -83,6 +83,69 @@ class MaterializedAggSpec extends SparkSpec {
     assert(asMap(again.read()) == Map("a" -> ((1L, 12L)), "b" -> ((2L, 22L))))
   }
 
+  test("streaming maintenance rides microbatches and skips replayed ids") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.Change
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_magg_stream")
+    val target = base.resolve("mirror").toString
+    val ckpt = base.resolve("ckpt").toString
+    val adir = base.resolve("agg").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // group/sum columns derived from the change rows: parity group, amount
+    // parsed out of the payload
+    val prep: DataFrame => DataFrame = df => df
+      .withColumn("grp", when(col("key") % 2 === 0, "even").otherwise("odd"))
+      .withColumn("amt", col("payload").cast("long"))
+
+    val empty = prep(Seq.empty[Change].toDS().toDF()
+      .withColumn("is_deleted", lit(false)))
+    val agg = MaterializedAgg.create(spark, empty, Seq("grp"), Seq("amt"), adir)
+
+    val input = MemoryStream[Change]
+    def run(): Unit = CdcStream.mirrorToParquetWithAgg(input.toDS(), target,
+      ckpt, agg, prep, nBuckets = 4).awaitTermination()
+
+    input.addData(
+      Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "10"),
+      Change(2L, 2L, "insert", ts("2024-01-01 00:00:01"), "20"),
+      Change(3L, 3L, "insert", ts("2024-01-01 00:00:02"), "30"),
+      Change(4L, 4L, "insert", ts("2024-01-01 00:00:03"), "40"))
+    run()
+    assert(asMap(agg.read().select("grp", "n_rows", "sum_amt"))
+      == Map("even" -> ((2L, 60L)), "odd" -> ((2L, 40L))))
+
+    // update key 1, delete key 2, insert key 5
+    input.addData(
+      Change(1L, 5L, "update", ts("2024-01-01 00:01:00"), "100"),
+      Change(2L, 6L, "delete", ts("2024-01-01 00:01:01"), "0"),
+      Change(5L, 7L, "insert", ts("2024-01-01 00:01:02"), "50"))
+    run()
+    val expected = Map("even" -> ((1L, 40L)), "odd" -> ((3L, 180L)))
+    assert(asMap(agg.read().select("grp", "n_rows", "sum_amt")) == expected)
+
+    // ...and the maintained answer equals a full re-aggregation of the
+    // mirror's FINAL state
+    val full = prep(graft.sources.Mirror.readCommitted(spark, target)
+      .where(!col("is_deleted")))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("amt")).as("sum_amt"))
+    assert(asMap(full) == expected)
+
+    // a replayed batch id is skipped — partials never double-count
+    val dummy = prep(Seq(Change(9L, 99L, "insert", ts("2024-01-01 00:02:00"), "7"))
+      .toDS().toDF().withColumn("is_deleted", lit(false)))
+    assert(!agg.refreshBatch(0L, dummy.limit(0), dummy, Seq("key"), "is_deleted"))
+    assert(asMap(agg.read().select("grp", "n_rows", "sum_amt")) == expected)
+    // the high-water mark survives a reopen
+    val again = MaterializedAgg.open(spark, adir, Seq("grp"), Seq("amt"))
+    assert(again.lastBatch == agg.lastBatch && agg.lastBatch >= 1)
+    assert(!again.refreshBatch(again.lastBatch.toLong, dummy.limit(0), dummy,
+      Seq("key"), "is_deleted"))
+  }
+
   test("open with a different spec refuses") {
     val d = dir()
     MaterializedAgg.create(spark, rows((1L, "a", 1L)), Seq("grp"), Seq("amt"), d)
