@@ -132,6 +132,47 @@ object CdcStream {
       .start()
   }
 
+  /** [[mirrorToParquet]] with a maintained approximate-distinct sketch set
+    * riding the same microbatches — the streaming half of the ClickHouse
+    * `uniqState` materialized-view pattern. Each foreachBatch appends one
+    * delta-sized sketch generation built from the batch's NON-DELETED
+    * upserts before merging the batch into the mirror.
+    *
+    * Insert-only semantics (an HLL sketch cannot forget): deletes are
+    * ignored by the sketch, and an update whose tracked value changes adds
+    * the new value while the old stays counted — the maintained figure is
+    * "distinct values ever observed", not "distinct values live in the
+    * mirror". At-least-once safe via
+    * [[graft.operators.DistinctAgg.refreshBatch]]'s batch-id high-water
+    * mark.
+    *
+    * @param prepare derives the group/tracked columns from the change rows
+    *                (same contract as [[mirrorToParquetWithAgg]])
+    */
+  def mirrorToParquetWithDistinct(changes: Dataset[Change], targetDir: String,
+                                  checkpointDir: String,
+                                  agg: graft.operators.DistinctAgg,
+                                  prepare: DataFrame => DataFrame = identity,
+                                  nBuckets: Int = 64,
+                                  deleteOp: String = "delete",
+                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val upserts = prepare(
+            graft.operators.CdcOps.latestSnapshot(batch.toDF(), Seq("key"), "version")
+              .withColumn("is_deleted", col("op") === deleteOp))
+          agg.refreshBatch(batchId, upserts.where(!col("is_deleted")))
+          mergeBatch(spark, batch, targetDir, nBuckets, deleteOp, batchId)
+        }
+      }
+      .start()
+  }
+
   /** One typed microbatch upsert — also usable directly for backfills. */
   def mergeBatch(spark: SparkSession, batch: Dataset[Change], targetDir: String,
                  nBuckets: Int, deleteOp: String, batchId: Long): Unit = {

@@ -74,4 +74,60 @@ class DistinctAggSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("different"))
   }
+
+  test("streaming maintenance rides microbatches; deletes ignored; replay skipped") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.Change
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_uniq_stream")
+    val target = base.resolve("mirror").toString
+    val ckpt = base.resolve("ckpt").toString
+    val adir = base.resolve("agg").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // group = key parity; tracked value parsed from the payload
+    val prep: DataFrame => DataFrame = df => df
+      .withColumn("grp", when(col("key") % 2 === 0, "even").otherwise("odd"))
+      .withColumn("v", col("payload").cast("long"))
+
+    val empty = prep(Seq.empty[Change].toDS().toDF()
+      .withColumn("is_deleted", lit(false)))
+    val agg = DistinctAgg.create(spark, empty, Seq("grp"), Seq("v"), adir)
+
+    val input = MemoryStream[Change]
+    def run(): Unit = CdcStream.mirrorToParquetWithDistinct(input.toDS(), target,
+      ckpt, agg, prep, nBuckets = 4).awaitTermination()
+
+    input.addData(
+      Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "10"),
+      Change(2L, 2L, "insert", ts("2024-01-01 00:00:01"), "20"),
+      Change(3L, 3L, "insert", ts("2024-01-01 00:00:02"), "10"),
+      Change(4L, 4L, "insert", ts("2024-01-01 00:00:03"), "40"))
+    run()
+    // odd saw {10,10}->1 distinct; even saw {20,40}->2 (exact at this size)
+    assert(asMap(agg.read()) == Map("odd" -> 1L, "even" -> 2L))
+
+    // update key 1 to a NEW value (old stays counted: insert-only), delete
+    // key 2 (ignored by the sketch), insert key 5 re-using an even value
+    input.addData(
+      Change(1L, 5L, "update", ts("2024-01-01 00:01:00"), "30"),
+      Change(2L, 6L, "delete", ts("2024-01-01 00:01:01"), "0"),
+      Change(5L, 7L, "insert", ts("2024-01-01 00:01:02"), "10"))
+    run()
+    // odd values ever observed: 10 (k1), 10 (k3), 30 (k1 update), 10 (k5)
+    // -> {10,30}; even unchanged (the delete is ignored)
+    assert(asMap(agg.read()) == Map("odd" -> 2L, "even" -> 2L))
+
+    // the mirror itself merged normally underneath
+    val mirror = graft.sources.Mirror.readCommitted(spark, target)
+    assert(mirror.where(!col("is_deleted")).count() == 4) // keys 1,3,4,5
+    assert(mirror.where(col("key") === 2L && col("is_deleted")).count() == 1)
+
+    // replayed batch id: skipped
+    val dummy = prep(Seq(Change(9L, 99L, "insert", ts("2024-01-01 00:02:00"), "7"))
+      .toDS().toDF().withColumn("is_deleted", lit(false)))
+    assert(!agg.refreshBatch(agg.lastBatch.toLong, dummy))
+    assert(asMap(agg.read()) == Map("odd" -> 2L, "even" -> 2L))
+  }
 }

@@ -167,6 +167,55 @@ class PipelineSpec extends SparkSpec {
       == expected())
   }
 
+  test("maintained distinct counts ride the polled syncs") {
+    import graft.operators.DistinctAgg
+    import graft.sources.{Incremental, TableConfig}
+    val base = Files.createTempDirectory("graft_pipe_uniq").toString
+    val mdir = s"$base/t"
+    val udir = s"$base/uniq"
+    val cfg = TableConfig("t", Seq("key"), "seq", nBuckets = 4)
+
+    def src(rows: Seq[(Long, Long, String, Long, Boolean)]) =
+      rows.toDF("key", "seq", "grp", "amt", "del")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // snapshot seeds the mirror and the sketch set; each later sync feeds
+    // the SAME non-deleted delta the poll lands. The maintained figure is
+    // "distinct amt values ever observed per group" — insert-only
+    val v0 = (1L to 12L).map(i =>
+      (i, i, if (i % 2 == 0) "even" else "odd", (i % 4) * 10, false))
+    Incremental.snapshot(src(v0), cfg, mdir)
+    val uniq = DistinctAgg.create(spark, src(v0).where(!col("del")),
+      Seq("grp"), Seq("amt"), udir)
+
+    val d1 = Seq((2L, 13L, "even", 999L, false), (3L, 14L, "odd", 0L, true),
+      (13L, 15L, "odd", 130L, false))
+    uniq.refresh(src(d1).where(!col("del")))
+    Incremental.poll(src(v0 ++ d1), cfg, mdir, isDelete = col("del"))
+
+    val d2 = Seq((5L, 16L, "even", 555L, false))
+    uniq.refresh(src(d2).where(!col("del")))
+    Incremental.poll(src(v0 ++ d1 ++ d2), cfg, mdir, isDelete = col("del"))
+
+    // maintained == one-shot sketch over everything ever fed (equality,
+    // not tolerance: HLL union is associative), and exact at this size
+    val fed = src(v0).where(!col("del"))
+      .unionByName(src(d1).where(!col("del")))
+      .unionByName(src(d2).where(!col("del")))
+    val oneShot = fed.groupBy(col("grp"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("amt")))
+        .as("approx_distinct_amt"))
+    assert(asMap(uniq.read()) == asMap(oneShot))
+    val exact = fed.groupBy(col("grp"))
+      .agg(countDistinct(col("amt")).cast("long").as("n"))
+    assert(asMap(uniq.read()) == asMap(exact))
+
+    // the mirror polled normally underneath (key 3 deleted, 13 and 5 live)
+    val live = graft.sources.Mirror.readFinal(spark, mdir, "key")
+    assert(live.count() == 12 && live.where(col("key") === 3L).count() == 0)
+  }
+
   test("stream -> adopt -> warehouse: the full landing path ends in the JDBC target") {
     import graft.sinks.JdbcSink
     import graft.sources.{Incremental, TableConfig}
