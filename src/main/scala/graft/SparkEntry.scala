@@ -351,6 +351,10 @@ object SparkEntry {
 
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+    // exact-substring dedup signal: per-doc fraction of 8-token spans that
+    // recur anywhere in the corpus
+    "docs_dup_ngram_spans" -> ((s, d) =>
+      Dedup.duplicatedSpanStats(t(s, d, "documents"), "doc_id", "text")),
     // prefix-filtered (guaranteed recall, vocabulary-sized block space):
     // the oracle-verified scalable path; the lang-blocked variant remains
     // available as Dedup.ngramJaccardPairs for caller-chosen blocking
@@ -1013,6 +1017,18 @@ object SparkEntry {
     // JaccardIndex lifecycle, so it shares the oracle verbatim
     "dedup_incremental" -> incrementalOracle,
     "dedup_incremental_indexed" -> incrementalOracle,
+    "docs_dup_ngram_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                 FROM toks WHERE len(w) >= 8),
+         grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM pos),
+         cnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram)
+         SELECT g.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+                round(CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 4) AS dup_frac
+         FROM grams g JOIN cnt c USING (gram)
+         GROUP BY g.doc_id""",
     // prefix filtering has guaranteed recall on both engines, so both sides
     // compute the complete J >= 0.8 pair set — the oracle needs no blocking
     // assumptions beyond the same prefix bound
