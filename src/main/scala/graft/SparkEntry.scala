@@ -252,6 +252,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))),
     "docs_oov_rate" -> ((s, d) =>
       Vocabulary.oovStats(t(s, d, "documents"), "doc_id", "text", 1000)),
+    // ---- full-text search --------------------------------------------------
+    "docs_bm25_topk" -> ((s, d) =>
+      TextSearch.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        "spark window dup", 10)),
+    // the same search served by the PERSISTED inverted index (TextIndex):
+    // nine tenths → create, the "freshly landed" tenth → add, then probe —
+    // must equal the one-shot oracle over the whole corpus exactly
+    "docs_bm25_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = TextIndex.create(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+        indexScratch, parts = 16)
+      idx.add(docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+      idx.searchTopK("spark window dup", 10)
+    }),
+    "docs_boolean_search" -> ((s, d) =>
+      TextSearch.booleanSearch(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "window"), Seq("slow"))),
     "orders_profile" -> ((s, d) =>
       Profiler.profile(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
@@ -452,6 +470,24 @@ object SparkEntry {
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
     "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  private val bm25Oracle =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       stats AS (SELECT count(*) AS n_docs,
+                        CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+       tf AS (SELECT doc_id, len(w) AS dl, term, count(*) AS tf
+              FROM (SELECT doc_id, w, unnest(w) AS term FROM toks)
+              WHERE term IN ('spark', 'window', 'dup')
+              GROUP BY doc_id, dl, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       scored AS (
+         SELECT doc_id,
+                round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 4) AS bm25
+         FROM tf t JOIN df d USING (term) CROSS JOIN stats s
+         GROUP BY doc_id)
+       SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+       FROM scored QUALIFY rk <= 10"""
 
   private val incrementalOracle =
     """WITH d AS (SELECT doc_id AS id,
@@ -765,6 +801,16 @@ object SparkEntry {
                      x -> len(x) > 0)) AS BIGINT) AS n_tokens,
                 CAST(COALESCE(o.oov_tokens, 0) AS BIGINT) AS oov_tokens
          FROM documents d LEFT JOIN oov o ON d.doc_id = o.doc_id""",
+    // identical BM25 expression (operand order included) on both engines,
+    // scores rounded to 4 decimals BEFORE ranking, ties broken by doc_id —
+    // serves both the one-shot and the TextIndex lifecycle query
+    "docs_bm25_topk" -> bm25Oracle,
+    "docs_bm25_indexed" -> bm25Oracle,
+    "docs_boolean_search" ->
+      """SELECT doc_id FROM documents
+         WHERE list_contains(string_split(lower(text), ' '), 'spark')
+           AND list_contains(string_split(lower(text), ' '), 'window')
+           AND NOT list_contains(string_split(lower(text), ' '), 'slow')""",
     "events_traffic_spikes" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
