@@ -270,6 +270,9 @@ object SparkEntry {
     "docs_boolean_search" -> ((s, d) =>
       TextSearch.booleanSearch(t(s, d, "documents"), "doc_id", "text",
         Seq("spark", "window"), Seq("slow"))),
+    "docs_phrase_search" -> ((s, d) =>
+      TextSearch.phraseSearch(t(s, d, "documents"), "doc_id", "text",
+        "spark window")),
     "orders_profile" -> ((s, d) =>
       Profiler.profile(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
@@ -811,6 +814,9 @@ object SparkEntry {
          WHERE list_contains(string_split(lower(text), ' '), 'spark')
            AND list_contains(string_split(lower(text), ' '), 'window')
            AND NOT list_contains(string_split(lower(text), ' '), 'slow')""",
+    "docs_phrase_search" ->
+      """SELECT doc_id FROM documents
+         WHERE contains(' ' || lower(text) || ' ', ' spark window ')""",
     "events_traffic_spikes" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt

@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_text_index.json  {"fmt":1,"parts":P,"batches":N,"base":B}
-  *   dir/postings/b=K/p=J/  (doc_id, dl, term, tf)   J = hash(term) mod P
-  *   dir/stats/b=K/         (n_docs, sum_dl)          one row per batch
+  *   dir/_graft_text_index.json  {"fmt":2,"parts":P,"batches":N,"base":B}
+  *   dir/postings/b=K/p=J/  (doc_id, dl, term, tf, positions)  J = hash(term) mod P
+  *   dir/stats/b=K/         (n_docs, sum_dl)                    one row per batch
   * }}}
   * Document length `dl` is denormalized into every posting row (Lucene
   * stores norms with postings for the same reason): BM25 scoring then needs
@@ -69,9 +69,10 @@ final class TextIndex private (spark: SparkSession, val dir: String,
     val toks = batch.select(col(idCol).as("doc_id"),
       TextSearch.tokens(col(textCol)).as("w"))
     toks.select(col("doc_id"), size(col("w")).as("dl"),
-        explode(col("w")).as("term"))
+        posexplode(col("w")).as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("p", partOf(col("term")))
       .repartition(col("p")) // ≈ one file per term dir, not one per task
       .write.mode("overwrite").partitionBy("p").parquet(s"$dir/postings/b=$b")
@@ -103,7 +104,8 @@ final class TextIndex private (spark: SparkSession, val dir: String,
       .collect().head.toSeq.map(_.asInstanceOf[Int]).distinct
     live("postings")
       .where(col("p").isin(keys: _*) && col("term").isin(qTerms: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+        col("positions"))
   }
 
   /** BM25 top-k for one query string against the committed index; equals
@@ -134,6 +136,34 @@ final class TextIndex private (spark: SparkSession, val dir: String,
       .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** Phrase retrieval from the POSITIONAL postings: ids of docs containing
+    * `phrase`'s tokens consecutively, in order — the classic positional-
+    * index intersection (Lucene's PhraseQuery): per doc, keep any start
+    * position `p` of the first term with term `i`'s positions containing
+    * `p + i` for every later `i`. Equals [[TextSearch.phraseSearch]] over
+    * everything fed (spec-pinned). The scan prunes to the phrase's distinct
+    * terms' dirs; the position intersection is per-doc array arithmetic,
+    * bounded by term frequency — no extra shuffle beyond the per-doc
+    * rollup.
+    */
+  def searchPhrase(phrase: String): DataFrame = {
+    val ts = phrase.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    require(ts.nonEmpty, "empty phrase")
+    val rows = matchRows(ts.distinct)
+    if (ts.size == 1) return rows.select(col("doc_id")).distinct()
+    val byDoc = rows
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("term"), col("positions")))).as("m"))
+      // every phrase term must be present before the position check
+      .where(ts.distinct.map(t => col("m").getItem(t).isNotNull).reduce(_ && _))
+    val starts = filter(col("m").getItem(ts.head), p =>
+      ts.zipWithIndex.tail
+        .map { case (t, i) => array_contains(col("m").getItem(t), p + i) }
+        .reduce(_ && _))
+    byDoc.where(size(starts) > 0).select(col("doc_id"))
+  }
+
   /** Per-term-partition live posting counts — the index-health row: hot
     * `p` dirs signal skewed terms (boilerplate tokens) worth a stopword
     * cut. Reads only partition + count, columnar-pruned.
@@ -162,7 +192,7 @@ final class TextIndex private (spark: SparkSession, val dir: String,
 
 object TextIndex {
   private val MetaFile = "_graft_text_index.json"
-  private val FormatVersion = 1
+  private val FormatVersion = 2 // 2: positional postings (positions column)
 
   /** Build a fresh index over `corpus` at `dir` (replacing any previous
     * index there).

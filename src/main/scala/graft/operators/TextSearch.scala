@@ -94,6 +94,21 @@ object TextSearch {
       corpusStats(docs, idCol, textCol), k)
   }
 
+  /** Phrase retrieval: ids of docs containing `phrase`'s tokens
+    * CONSECUTIVELY, in order. Over a single-space-tokenized corpus this is
+    * one bounded substring predicate (the space padding pins word
+    * boundaries) — row-level, zero shuffle; [[TextIndex.searchPhrase]]
+    * answers the same query positionally from pruned postings.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame = {
+    val norm = phrase.toLowerCase.split(" ").filter(_.nonEmpty).mkString(" ")
+    require(norm.nonEmpty, "empty phrase")
+    docs.where(contains(concat(lit(" "), lower(col(textCol)), lit(" ")),
+        lit(" " + norm + " ")))
+      .select(col(idCol).as("doc_id"))
+  }
+
   /** Boolean retrieval: ids of docs whose token set contains EVERY term in
     * `all` and NONE in `none`. Pure row-level predicates — pushes into the
     * scan, no shuffle at all.

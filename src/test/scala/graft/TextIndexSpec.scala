@@ -91,6 +91,28 @@ class TextIndexSpec extends SparkSpec {
       postingScans().map(f => s"filters=${f.partitionFilters}").mkString("; "))
   }
 
+  test("positional phrase search equals the one-shot substring form") {
+    val d = dir()
+    val a = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val b = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    val idx = TextIndex.create(a, "doc_id", "text", d, parts = 8)
+    idx.add(b, "doc_id", "text")
+
+    def oneShot(p: String) =
+      ids(TextSearch.phraseSearch(docs, "doc_id", "text", p))
+    // multi-term, repeated-term, single-term, and absent phrases all agree
+    for (p <- Seq("spark window", "table table", "the fast table",
+        "spark", "spark nosuchtoken")) {
+      assert(ids(idx.searchPhrase(p)) == oneShot(p), s"phrase '$p' disagrees")
+    }
+    // the 2-term phrase set is a strict subset of the boolean AND set
+    // (adjacency is stricter than co-occurrence)
+    val phrase = ids(idx.searchPhrase("spark window"))
+    val conj = ids(idx.booleanSearch(Seq("spark", "window")))
+    assert(phrase.subsetOf(conj) && phrase.nonEmpty)
+    intercept[IllegalArgumentException] { idx.searchPhrase(" ") }
+  }
+
   test("boolean search edge cases: empty must-not, no matches, input checks") {
     val d = dir()
     val idx = TextIndex.create(docs, "doc_id", "text", d, parts = 4)
