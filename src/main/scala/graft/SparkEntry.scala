@@ -69,6 +69,11 @@ object SparkEntry {
       Analytics.topCustomers(t(s, d, "customer"), t(s, d, "orders"), 3000000.0)),
     "nation_revenue_rank" -> ((s, d) =>
       Analytics.nationRevenueRank(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
+    // grouped top-k over RAW fact rows via the bounded aggregator (ships k
+    // rows per group per mapper, never the fact table — window-free)
+    "top_orders_per_nation" -> ((s, d) =>
+      Analytics.topOrdersPerNation(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "nation"), 3)),
     "part_type_share" -> ((s, d) =>
       Analytics.partTypeShare(t(s, d, "part"), t(s, d, "lineitem"))),
     "q22_idle_customers" -> ((s, d) =>
@@ -567,6 +572,14 @@ object SparkEntry {
                  FROM orders GROUP BY o_custkey) o, customer, nation
            WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey)
          WHERE rev_rank <= 3""",
+    "top_orders_per_nation" ->
+      """SELECT n_name, o_orderkey, o_totalprice, rk FROM (
+           SELECT n_name, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY n_name
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders, customer, nation
+           WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey)
+         WHERE rk <= 3""",
     "q8_market_share" ->
       s"""SELECT year(o_orderdate) AS o_year,
          CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN $rev

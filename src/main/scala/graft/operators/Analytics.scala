@@ -132,6 +132,33 @@ object Analytics {
       .where(col("rev_rank") <= 3)
   }
 
+  /** Top-n orders per nation WITHOUT a window: the bounded
+    * [[graft.expressions.TopKAggregator]] over the raw fact rows. A
+    * `row_number()` window here would shuffle EVERY order row to its
+    * nation's partition and sort it; the aggregator combines map-side and
+    * ships at most n rows per nation per mapper — shuffling the answer,
+    * not the corpus (the same lever the ANN top-k paths use, applied to a
+    * plain analytics ranking). Ties break by order key, matching the
+    * oracle's `row_number() OVER (... DESC, o_orderkey)` exactly.
+    */
+  def topOrdersPerNation(customer: DataFrame, orders: DataFrame,
+                         nation: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new graft.expressions.TopKAggregator(n),
+      Encoders.product[graft.expressions.ScoredId])
+    orders
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+      .select(col("n_name"), posexplode(col("top")))
+      .select(col("n_name"), col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + 1).cast("bigint").as("rk"))
+  }
+
   /** TPC-H Q22-style: well-funded customers with no orders — an anti-join.
     * The "above average balance" threshold is evaluated as
     * `balance × N > ΣbalancesN` (all DECIMAL/integer math) so the cut is

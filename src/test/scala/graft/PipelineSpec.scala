@@ -216,6 +216,50 @@ class PipelineSpec extends SparkSpec {
     assert(live.count() == 12 && live.where(col("key") === 3L).count() == 0)
   }
 
+  test("text index rides append-only polled syncs; searches track the mirror") {
+    import graft.operators.{TextIndex, TextSearch}
+    import graft.sources.{Incremental, TableConfig}
+    val base = Files.createTempDirectory("graft_pipe_text").toString
+    val mdir = s"$base/docs"
+    val tdir = s"$base/tidx"
+    val cfg = TableConfig("docs", Seq("doc_id"), "doc_id", nBuckets = 4)
+
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // contiguous id ranges: doc_id doubles as the capture version column,
+    // so later batches must carry later ids (append-only arrival order)
+    val b0 = docs.where(col("doc_id") < 200)
+    val b1 = docs.where(col("doc_id") >= 200 && col("doc_id") < 350)
+    val b2 = docs.where(col("doc_id") >= 350)
+
+    // snapshot seeds both; each append-only sync feeds the index the SAME
+    // fresh docs the poll lands (the index's batches-partition-the-corpus
+    // contract — updates would go through a rebuild, as documented)
+    Incremental.snapshot(b0, cfg, mdir)
+    val idx = TextIndex.create(b0, "doc_id", "text", tdir, parts = 8)
+    idx.add(b1, "doc_id", "text")
+    Incremental.poll(b0.unionByName(b1), cfg, mdir)
+    idx.add(b2, "doc_id", "text")
+    Incremental.poll(b0.unionByName(b1).unionByName(b2), cfg, mdir)
+
+    // the index's answers equal one-shot searches of the mirror's FINAL
+    // state — BM25 (exact, rank + rounded score), boolean, and phrase
+    val live = graft.sources.Mirror.readFinal(spark, mdir, "doc_id")
+    assert(live.count() == docs.count())
+    def rk(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("bm25"), col("rk"))
+        .as[(Long, Double, Long)].collect().sortBy(_._3).toSeq
+    assert(rk(idx.searchTopK("spark window dup", 10)) ==
+      rk(TextSearch.bm25TopK(live, "doc_id", "text", "spark window dup", 10)))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).as[Long].collect().toSet
+    assert(ids(idx.booleanSearch(Seq("spark", "window"), Seq("slow"))) ==
+      ids(TextSearch.booleanSearch(live, "doc_id", "text",
+        Seq("spark", "window"), Seq("slow"))))
+    assert(ids(idx.searchPhrase("spark window")) ==
+      ids(TextSearch.phraseSearch(live, "doc_id", "text", "spark window")))
+  }
+
   test("stream -> adopt -> warehouse: the full landing path ends in the JDBC target") {
     import graft.sinks.JdbcSink
     import graft.sources.{Incremental, TableConfig}
