@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_text_index.json  {"fmt":2,"parts":P,"batches":N,"base":B}
+  *   dir/_graft_text_index.json  {"fmt":3,"parts":P,"batches":N,"base":B,"batch":M}
   *   dir/postings/b=K/p=J/  (doc_id, dl, term, tf, positions)  J = hash(term) mod P
   *   dir/stats/b=K/         (n_docs, sum_dl)                    one row per batch
   * }}}
@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions._
 final class TextIndex private (spark: SparkSession, val dir: String,
                                val parts: Int,
                                @volatile private var committedBatches: Int,
-                               @volatile private var liveBase: Int) {
+                               @volatile private var liveBase: Int,
+                               @volatile private var appliedBatch: Int) {
   import TextIndex._
 
   /** Number of batches committed so far (including the creating corpus). */
@@ -58,13 +59,33 @@ final class TextIndex private (spark: SparkSession, val dir: String,
   /** First live generation: readers scan `base <= b < batches`. */
   def base: Int = liveBase
 
+  /** Highest applied EXTERNAL batch id (−1 until [[addBatch]] is used). */
+  def lastBatch: Int = appliedBatch
+
   private def partOf(c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(parts)).cast("int")
 
   /** Tokenize `batch` and append its postings + stats row under the next
     * `b=K`; O(batch) compute, no corpus-side read.
     */
-  def add(batch: DataFrame, idCol: String, textCol: String): Unit = synchronized {
+  def add(batch: DataFrame, idCol: String, textCol: String): Unit =
+    synchronized { commitGeneration(batch, idCol, textCol, appliedBatch) }
+
+  /** Replay-safe [[add]] for at-least-once feeds (the streaming rider):
+    * a batch id at or below the committed high-water mark is skipped —
+    * re-adding the same docs would double their postings AND inflate the
+    * BM25 corpus stats. Returns whether the batch was applied.
+    */
+  def addBatch(batchId: Long, batch: DataFrame, idCol: String,
+               textCol: String): Boolean = synchronized {
+    require(batchId >= 0 && batchId <= Int.MaxValue, s"bad batch id $batchId")
+    if (batchId.toInt <= appliedBatch) return false
+    commitGeneration(batch, idCol, textCol, batchId.toInt)
+    true
+  }
+
+  private def commitGeneration(batch: DataFrame, idCol: String,
+                               textCol: String, extBatch: Int): Unit = {
     val b = committedBatches
     val toks = batch.select(col(idCol).as("doc_id"),
       TextSearch.tokens(col(textCol)).as("w"))
@@ -80,7 +101,8 @@ final class TextIndex private (spark: SparkSession, val dir: String,
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("double").as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/b=$b")
     committedBatches = b + 1
-    writeMeta(spark, dir, parts, committedBatches, liveBase)
+    appliedBatch = extBatch
+    writeMeta(spark, dir, parts, committedBatches, liveBase, appliedBatch)
   }
 
   private def live(rel: String): DataFrame =
@@ -186,13 +208,14 @@ final class TextIndex private (spark: SparkSession, val dir: String,
     stats().coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/b=$b")
     liveBase = b
     committedBatches = b + 1
-    writeMeta(spark, dir, parts, committedBatches, liveBase)
+    writeMeta(spark, dir, parts, committedBatches, liveBase, appliedBatch)
   }
 }
 
 object TextIndex {
   private val MetaFile = "_graft_text_index.json"
-  private val FormatVersion = 2 // 2: positional postings (positions column)
+  // 2: positional postings (positions column); 3: external-batch mark
+  private val FormatVersion = 3
 
   /** Build a fresh index over `corpus` at `dir` (replacing any previous
     * index there).
@@ -204,7 +227,7 @@ object TextIndex {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val idx = new TextIndex(spark, dir, parts, 0, 0)
+    val idx = new TextIndex(spark, dir, parts, 0, 0, -1)
     idx.add(corpus, idCol, textCol)
     idx
   }
@@ -213,13 +236,14 @@ object TextIndex {
     * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
     */
   def load(spark: SparkSession, dir: String): TextIndex = {
-    val Seq(parts, batches, base) = IndexMeta.load(spark, dir, MetaFile,
-      FormatVersion, "text", Seq("parts", "batches", "base"))
-    new TextIndex(spark, dir, parts, batches, base)
+    val Seq(parts, batches, base, batch) = IndexMeta.load(spark, dir, MetaFile,
+      FormatVersion, "text", Seq("parts", "batches", "base", "batch"))
+    new TextIndex(spark, dir, parts, batches, base, batch)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, parts: Int,
-                        batches: Int, base: Int): Unit =
+                        batches: Int, base: Int, batch: Int): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
-      s"""{"fmt":$FormatVersion,"parts":$parts,"batches":$batches,"base":$base}""")
+      s"""{"fmt":$FormatVersion,"parts":$parts,"batches":$batches,""" +
+        s""""base":$base,"batch":$batch}""")
 }

@@ -173,6 +173,45 @@ object CdcStream {
       .start()
   }
 
+  /** [[mirrorToParquet]] with a maintained full-text index riding the same
+    * microbatches — the third maintained artifact the stream can carry
+    * (exact aggregate, distinct sketches, searchable index): the
+    * PeerDB→ClickHouse premise of a continuously searchable replica. Each
+    * foreachBatch appends the batch's NON-DELETED upserts as one postings
+    * generation before merging the batch into the mirror.
+    *
+    * Append-only contract (the index's batches-partition-the-corpus
+    * assumption): deletes are skipped and an UPDATED doc would double its
+    * postings — feed insert-only streams, or rebuild via
+    * [[graft.operators.TextIndex.create]] on update-carrying mirrors.
+    * At-least-once safe via [[graft.operators.TextIndex.addBatch]]'s
+    * batch-id high-water mark.
+    */
+  def mirrorToParquetWithText(changes: Dataset[Change], targetDir: String,
+                              checkpointDir: String,
+                              idx: graft.operators.TextIndex,
+                              prepare: DataFrame => DataFrame = identity,
+                              textCol: String = "payload",
+                              nBuckets: Int = 64,
+                              deleteOp: String = "delete",
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val upserts = prepare(
+            graft.operators.CdcOps.latestSnapshot(batch.toDF(), Seq("key"), "version")
+              .withColumn("is_deleted", col("op") === deleteOp))
+          idx.addBatch(batchId, upserts.where(!col("is_deleted")), "key", textCol)
+          mergeBatch(spark, batch, targetDir, nBuckets, deleteOp, batchId)
+        }
+      }
+      .start()
+  }
+
   /** One typed microbatch upsert — also usable directly for backfills. */
   def mergeBatch(spark: SparkSession, batch: Dataset[Change], targetDir: String,
                  nBuckets: Int, deleteOp: String, batchId: Long): Unit = {

@@ -113,6 +113,47 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] { idx.searchPhrase(" ") }
   }
 
+  test("streaming maintenance: the searchable index rides microbatches, replay-safe") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.Change
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_stream")
+    val target = base.resolve("mirror").toString
+    val ckpt = base.resolve("ckpt").toString
+    val tdir = base.resolve("tidx").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val empty = Seq.empty[(Long, String)].toDF("key", "payload")
+    val idx = TextIndex.create(empty, "key", "payload", tdir, parts = 4)
+    val input = MemoryStream[Change]
+    def run(): Unit = CdcStream.mirrorToParquetWithText(input.toDS(), target,
+      ckpt, idx, nBuckets = 4).awaitTermination()
+
+    input.addData(
+      Change(1L, 1L, "insert", ts("2024-01-01 00:00:00"), "spark window agg"),
+      Change(2L, 2L, "insert", ts("2024-01-01 00:00:01"), "slow table scan"))
+    run()
+    input.addData(
+      Change(3L, 3L, "insert", ts("2024-01-01 00:01:00"), "spark window join"),
+      Change(4L, 4L, "insert", ts("2024-01-01 00:01:01"), "fast spark merge"))
+    run()
+
+    // the index answers searches of the mirror's FINAL state, exactly
+    val live = graft.sources.Mirror.readCommitted(spark, target)
+      .where(!col("is_deleted"))
+    assert(rk(idx.searchTopK("spark window", 4)) ==
+      rk(TextSearch.bm25TopK(live, "key", "payload", "spark window", 4)))
+    assert(ids(idx.searchPhrase("spark window")) == Set(1L, 3L))
+
+    // a replayed batch id is skipped — postings and stats never double
+    val dupe = Seq((9L, "spark spark spark")).toDF("key", "payload")
+    assert(!idx.addBatch(idx.lastBatch.toLong, dupe, "key", "payload"))
+    assert(ids(idx.booleanSearch(Seq("spark"))) == Set(1L, 3L, 4L))
+    // the mark survives a reopen
+    assert(TextIndex.load(spark, tdir).lastBatch == idx.lastBatch)
+  }
+
   test("boolean search edge cases: empty must-not, no matches, input checks") {
     val d = dir()
     val idx = TextIndex.create(docs, "doc_id", "text", d, parts = 4)
