@@ -257,6 +257,8 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))),
     "docs_oov_rate" -> ((s, d) =>
       Vocabulary.oovStats(t(s, d, "documents"), "doc_id", "text", 1000)),
+    "docs_tfidf_top_terms" -> ((s, d) =>
+      Vocabulary.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)),
     // ---- full-text search --------------------------------------------------
     "docs_bm25_topk" -> ((s, d) =>
       TextSearch.bm25TopK(t(s, d, "documents"), "doc_id", "text",
@@ -817,6 +819,21 @@ object SparkEntry {
                      x -> len(x) > 0)) AS BIGINT) AS n_tokens,
                 CAST(COALESCE(o.oov_tokens, 0) AS BIGINT) AS oov_tokens
          FROM documents d LEFT JOIN oov o ON d.doc_id = o.doc_id""",
+    "docs_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE len(term) > 0 GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+                  round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS tfidf
+           FROM tf t JOIN df d USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tfidf,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+         FROM scored QUALIFY rk <= 3""",
     // identical BM25 expression (operand order included) on both engines,
     // scores rounded to 4 decimals BEFORE ranking, ties broken by doc_id —
     // serves both the one-shot and the TextIndex lifecycle query

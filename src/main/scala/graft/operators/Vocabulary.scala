@@ -61,4 +61,30 @@ object Vocabulary {
       .join(stats, Seq(idCol), "left")
       .na.fill(0L, Seq("n_tokens", "oov_tokens"))
   }
+
+  /** Per-document top-`n` TF-IDF terms — corpus-relative keyword
+    * extraction (`idf = ln(N/df)`, score rounded to 4dp BEFORE the rank,
+    * ties by term). The document-frequency table is vocabulary-bounded and
+    * broadcast; the rank window partitions by doc (per-doc groups are
+    * distinct-terms-per-doc-sized — no global sort, no corpus shuffle
+    * beyond the tf aggregation it already needs).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    require(n > 0, s"bad n=$n")
+    val tf = docs.select(col(idCol).as("doc_id"), toks(textCol))
+      .where(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .select(col("doc_id"), col("term"), col("tfidf"),
+        row_number().over(w).cast("bigint").as("rk"))
+      .where(col("rk") <= n)
+  }
 }
