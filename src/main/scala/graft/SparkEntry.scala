@@ -259,6 +259,8 @@ object SparkEntry {
       Vocabulary.oovStats(t(s, d, "documents"), "doc_id", "text", 1000)),
     "docs_tfidf_top_terms" -> ((s, d) =>
       Vocabulary.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)),
+    "docs_unigram_logprob" -> ((s, d) =>
+      Vocabulary.unigramLogprob(t(s, d, "documents"), "doc_id", "text")),
     // ---- full-text search --------------------------------------------------
     "docs_bm25_topk" -> ((s, d) =>
       TextSearch.bm25TopK(t(s, d, "documents"), "doc_id", "text",
@@ -834,6 +836,21 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf DESC, term) AS rk
          FROM scored QUALIFY rk <= 3""",
+    // tf-weighted formulation on BOTH engines: the float summands are the
+    // identical multiset (tf·lp per distinct term), so 4dp rounding agrees
+    "docs_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                      FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+                WHERE len(w) > 0 GROUP BY doc_id, w),
+         cnt AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY w),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok,
+                        CAST(count(*) AS DOUBLE) AS v FROM cnt)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                round(sum(tf * ln((c.c + 1) / (s.n_tok + s.v))) / sum(tf), 4)
+                  AS avg_logprob
+         FROM tf t JOIN cnt c USING (w) CROSS JOIN tot s
+         GROUP BY doc_id""",
     // identical BM25 expression (operand order included) on both engines,
     // scores rounded to 4 decimals BEFORE ranking, ties broken by doc_id —
     // serves both the one-shot and the TextIndex lifecycle query

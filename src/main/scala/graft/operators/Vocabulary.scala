@@ -62,6 +62,35 @@ object Vocabulary {
       .na.fill(0L, Seq("n_tokens", "oov_tokens"))
   }
 
+  /** Per-document average token log-probability under the corpus' OWN
+    * add-one-smoothed unigram language model — the perplexity-filter
+    * signal (CCNet/KenLM-style: documents whose tokens are improbable
+    * under the corpus LM are gibberish/outlier candidates; here the model
+    * is the corpus itself, so no external artifact is needed).
+    * `lp(w) = ln((count(w)+1)/(N+V))`; the per-doc score is the
+    * tf-WEIGHTED sum over the doc's distinct terms divided by its token
+    * count — the identical formulation (operand shapes included) the
+    * DuckDB oracle computes, rounded to 4dp.
+    *
+    * Scale: one tf aggregation (shared shape with [[tfidfTopTerms]]), a
+    * vocabulary-bounded count table joined back (AQE-broadcastable), a
+    * 1-row totals broadcast — per-doc summands are distinct-terms-sized,
+    * never token-sized.
+    */
+  def unigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"), toks(textCol))
+      .where(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val tot = cnt.agg(sum(col("c")).cast("double").as("n_tok"),
+      count(lit(1)).cast("double").as("v"))
+    tf.join(cnt, "w").crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * log((col("c") + 1) / (col("n_tok") + col("v"))))
+          / sum(col("tf")), 4).as("avg_logprob"))
+  }
+
   /** Per-document top-`n` TF-IDF terms — corpus-relative keyword
     * extraction (`idf = ln(N/df)`, score rounded to 4dp BEFORE the rank,
     * ties by term). The document-frequency table is vocabulary-bounded and
