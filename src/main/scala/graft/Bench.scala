@@ -16,6 +16,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // plan-audit mode: print each picked query's formatted physical plan
+    // (no execution beyond planning) and exit — the ".explain and iterate"
+    // loop without editing code
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      picked.foreach { case (name, fn) =>
+        println(s"===== $name =====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"(plan failed: $e)") }
+      }
+      spark.stop()
+      return
+    }
     // Warm the session AND each query's own codegen/encoder path on the
     // tiny sf0.001 tables, so measured timings reflect steady-state
     // execution cost: janino/encoder compilation is a per-JVM constant
