@@ -246,6 +246,33 @@ object SparkEntry {
       t(s, d, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))),
+    // audience overlap: |users(a) ∩ users(b)| for every unordered pair of
+    // event types — the exact twin anchoring the theta-sketch variant
+    "users_overlap_exact" -> ((s, d) => {
+      val u = t(s, d, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      u.as("a").join(u.as("b"), Seq("user_id"))
+        .where(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    // the same table WITHOUT the user-level join: one theta sketch per
+    // type (KB-scale), pairs intersected sketch-against-sketch — at 100 TB
+    // the exact form joins the distinct-user relation against itself,
+    // this one broadcasts 5 sketches. rows-only (approximate by design);
+    // SetSketchSpec pins equality with the exact twin while the sketches
+    // are below their nominal-entries exact mode
+    "users_overlap_theta" -> ((s, d) => {
+      val sk = t(s, d, "events").groupBy(col("event_type"))
+        .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          theta_sketch_estimate(
+            theta_intersection(col("a.sk"), col("b.sk"))).as("n_users"))
+    }),
 
     // ---- text analysis ----------------------------------------------------
     "text_repetition" -> ((s, d) =>
@@ -759,6 +786,13 @@ object SparkEntry {
          EXCEPT
          SELECT user_id FROM events
          WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-05'""",
+    "users_overlap_exact" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_users
+         FROM u a JOIN u b USING (user_id)
+         WHERE a.event_type < b.event_type
+         GROUP BY 1, 2""",
     "cdc_latest_snapshot" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""",
