@@ -229,6 +229,19 @@ object SparkEntry {
       t(s, d, "events").groupBy(col("event_type"))
         .agg(expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.95)").as("p95"))),
+    // the maintained-sketch path beside the exact twin above: three sync
+    // generations of KLL sketches, read = fold + quantile. rows-only
+    // (randomized KLL compaction); QuantileAggSpec pins the rank contract
+    "value_quantiles_maintained" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def part(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === i)
+        .select(col("event_type"), col("value"))
+      val agg = QuantileAgg.create(s, part(0), Seq("event_type"),
+        Seq("value"), indexScratch)
+      agg.refresh(part(1))
+      agg.refresh(part(2))
+      agg.read(Seq(0.5, 0.95))
+    }),
     "events_json_extract" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_type"),
