@@ -155,7 +155,44 @@ object CdcStream {
                                   prepare: DataFrame => DataFrame = identity,
                                   nBuckets: Int = 64,
                                   deleteOp: String = "delete",
-                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    insertArtifactRider(changes, targetDir, checkpointDir, prepare, nBuckets,
+      deleteOp, trigger) { (batchId, inserts) =>
+      agg.refreshBatch(batchId, inserts); ()
+    }
+
+  /** [[mirrorToParquet]] with maintained approximate QUANTILES riding the
+    * microbatches — the streaming half of the ClickHouse `quantileState`
+    * materialized-view pattern, same insert-only contract and replay
+    * safety as the distinct-count rider.
+    */
+  def mirrorToParquetWithQuantiles(changes: Dataset[Change], targetDir: String,
+                                   checkpointDir: String,
+                                   agg: graft.operators.QuantileAgg,
+                                   prepare: DataFrame => DataFrame = identity,
+                                   nBuckets: Int = 64,
+                                   deleteOp: String = "delete",
+                                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    insertArtifactRider(changes, targetDir, checkpointDir, prepare, nBuckets,
+      deleteOp, trigger) { (batchId, inserts) =>
+      agg.refreshBatch(batchId, inserts); ()
+    }
+
+  /** The shared chassis of the INSERT-ONLY maintained-artifact riders
+    * (distinct sketches, quantile sketches, full-text postings): per
+    * microbatch, collapse to newest-per-key upserts, hand the NON-DELETED
+    * rows (after `prepare`) to `apply` with the batch id — each artifact's
+    * own `refreshBatch`/`addBatch` high-water mark makes redelivery a
+    * no-op — then merge the batch into the mirror. Deletes and updates
+    * reach the MIRROR correctly; the artifact sees only inserts (its
+    * documented contract).
+    */
+  private def insertArtifactRider(changes: Dataset[Change], targetDir: String,
+                                  checkpointDir: String,
+                                  prepare: DataFrame => DataFrame,
+                                  nBuckets: Int, deleteOp: String,
+                                  trigger: Trigger)(
+                                  apply: (Long, DataFrame) => Unit): StreamingQuery = {
     val spark = changes.sparkSession
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -166,7 +203,7 @@ object CdcStream {
           val upserts = prepare(
             graft.operators.CdcOps.latestSnapshot(batch.toDF(), Seq("key"), "version")
               .withColumn("is_deleted", col("op") === deleteOp))
-          agg.refreshBatch(batchId, upserts.where(!col("is_deleted")))
+          apply(batchId, upserts.where(!col("is_deleted")))
           mergeBatch(spark, batch, targetDir, nBuckets, deleteOp, batchId)
         }
       }
@@ -194,23 +231,11 @@ object CdcStream {
                               textCol: String = "payload",
                               nBuckets: Int = 64,
                               deleteOp: String = "delete",
-                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val spark = changes.sparkSession
-    changes.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Update())
-      .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val upserts = prepare(
-            graft.operators.CdcOps.latestSnapshot(batch.toDF(), Seq("key"), "version")
-              .withColumn("is_deleted", col("op") === deleteOp))
-          idx.addBatch(batchId, upserts.where(!col("is_deleted")), "key", textCol)
-          mergeBatch(spark, batch, targetDir, nBuckets, deleteOp, batchId)
-        }
-      }
-      .start()
-  }
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    insertArtifactRider(changes, targetDir, checkpointDir, prepare, nBuckets,
+      deleteOp, trigger) { (batchId, inserts) =>
+      idx.addBatch(batchId, inserts, "key", textCol); ()
+    }
 
   /** One typed microbatch upsert — also usable directly for backfills. */
   def mergeBatch(spark: SparkSession, batch: Dataset[Change], targetDir: String,

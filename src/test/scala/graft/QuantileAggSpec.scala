@@ -90,4 +90,48 @@ class QuantileAggSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("different"))
   }
+
+  test("streaming maintenance rides microbatches on the shared rider chassis") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.Change
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_quant_stream")
+    val target = base.resolve("mirror").toString
+    val ckpt = base.resolve("ckpt").toString
+    val qdir = base.resolve("agg").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val prep: DataFrame => DataFrame = df => df
+      .withColumn("grp", when(col("key") % 2 === 0, "even").otherwise("odd"))
+      .withColumn("v", col("payload").cast("double"))
+
+    val empty = prep(Seq.empty[Change].toDS().toDF()
+      .withColumn("is_deleted", lit(false)))
+    val agg = QuantileAgg.create(spark, empty, Seq("grp"), Seq("v"), qdir)
+
+    val input = MemoryStream[Change]
+    def run(): Unit = CdcStream.mirrorToParquetWithQuantiles(input.toDS(),
+      target, ckpt, agg, prep, nBuckets = 4).awaitTermination()
+
+    input.addData((1 to 40).map(i =>
+      Change(i.toLong, i.toLong, "insert", ts("2024-01-01 00:00:00"), i.toString)): _*)
+    run()
+    input.addData((41 to 80).map(i =>
+      Change(i.toLong, i.toLong, "insert", ts("2024-01-01 00:01:00"), i.toString)): _*)
+    run()
+
+    // medians of 1..80 by parity: odd {1,3,..,79}, even {2,4,..,80} —
+    // KLL is exact at this size (all values retained)
+    val got = asMap(agg.read(Seq(0.5)))
+    assert(math.abs(got("odd").head - 39) <= 2 &&
+      math.abs(got("even").head - 40) <= 2, s"medians off: $got")
+
+    // replay skipped; committed generations untouched
+    val dupe = prep(Seq(Change(9L, 99L, "insert", ts("2024-01-01 00:02:00"), "7"))
+      .toDS().toDF().withColumn("is_deleted", lit(false)))
+    val g0 = agg.gens
+    assert(!agg.refreshBatch(agg.lastBatch.toLong, dupe))
+    assert(agg.gens == g0)
+  }
 }
