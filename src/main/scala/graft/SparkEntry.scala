@@ -124,6 +124,32 @@ object SparkEntry {
           date_trunc("HOUR", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))),
+    // gap-filled time series (ClickHouse ORDER BY ... WITH FILL): every
+    // hour of the global span present per type, missing hours zero-counted,
+    // the hourly sum carried forward LOCF-style. The only corpus-scale work
+    // is the hourly aggregation; the hour spine (span-bounded) and type dim
+    // are broadcast-sized
+    "events_gapfill_1h" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val hourly = ev.groupBy(col("event_type"),
+          date_trunc("HOUR", col("ts")).as("window_start"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      val spine = ev
+        .agg(date_trunc("HOUR", min(col("ts"))).as("h0"),
+          date_trunc("HOUR", max(col("ts"))).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("window_start"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("event_type")).orderBy(col("window_start"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(spine))
+        .join(hourly, Seq("event_type", "window_start"), "left")
+        .select(col("event_type"), col("window_start"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("sum_value_locf"))
+    }),
     "events_sessionization" -> ((s, d) =>
       CdcOps.sessionize(t(s, d, "events"), Seq("user_id"), "ts", 1800L)
         .groupBy(col("user_id"))
@@ -844,6 +870,26 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "events_gapfill_1h" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS window_start,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                           date_trunc('hour', max(ts)) AS h1 FROM events),
+         spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                     AS window_start FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM events)
+         SELECT t.event_type, s.window_start,
+                CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+                last_value(h.sum_value IGNORE NULLS) OVER (
+                  PARTITION BY t.event_type ORDER BY s.window_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sum_value_locf
+         FROM types t CROSS JOIN spine s
+         LEFT JOIN hourly h ON h.event_type = t.event_type
+                           AND h.window_start = s.window_start""",
     "events_sessionization" ->
       """SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
            SELECT user_id,
