@@ -255,6 +255,46 @@ object SparkEntry {
       t(s, d, "events").groupBy(col("event_type"))
         .agg(expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.95)").as("p95"))),
+    // Pareto 80/20: suppliers ranked by DECIMAL-exact gross revenue with
+    // the cumulative share (window cumsum stays DECIMAL; only the final
+    // share division is double), cut at 80%. The window is over the
+    // supplier DIM (already aggregated), never the fact table
+    "supplier_pareto" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val rev = t(s, d, "lineitem").groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+      val w = W.orderBy(col("revenue").desc, col("l_suppkey"))
+      val total = rev.agg(sum(col("revenue")).as("total"))
+      val share = round(sum(col("revenue"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double") / col("total").cast("double"), 6)
+      rev.crossJoin(broadcast(total))
+        .select(col("l_suppkey"), col("revenue").cast("double").as("revenue"),
+          share.as("cum_share"),
+          row_number().over(w).cast("bigint").as("rk"))
+        .where(col("cum_share") <= 0.8)
+    }),
+    // Pearson correlation from DECIMAL-exact moments: the five sums are
+    // exact under any aggregation order, both engines round the identical
+    // decimals to the identical doubles, and the closed-form combination
+    // is the same double expression — so a float statistic hash-matches
+    // cross-engine (native corr() would not: its running-update order
+    // varies). One corpus pass, map-side combinable
+    "lineitem_corr" -> ((s, d) => {
+      val dx = col("l_quantity").cast("decimal(18,2)")
+      val dy = col("l_extendedprice").cast("decimal(18,2)")
+      val m = t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(dx).as("sx"), sum(dy).as("sy"),
+          sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"))
+      val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"),
+        col("syy").cast("double"))
+      m.select(col("l_returnflag"), col("n"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+          .as("corr_qty_price"))
+    }),
     // the maintained-sketch path beside the exact twin above: three sync
     // generations of KLL sketches, read = fold + quantile. rows-only
     // (randomized KLL compaction); QuantileAggSpec pins the rank contract
@@ -809,6 +849,39 @@ object SparkEntry {
          WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
            AND n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)""",
+    "supplier_pareto" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+                      FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(revenue) AS total FROM rev),
+         c AS (SELECT l_suppkey, revenue,
+                      sum(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                      row_number() OVER (ORDER BY revenue DESC, l_suppkey) AS rk
+               FROM rev)
+         SELECT l_suppkey, CAST(revenue AS DOUBLE) AS revenue,
+                round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+                rk
+         FROM c CROSS JOIN tot
+         WHERE round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.8""",
+    "lineitem_corr" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                           * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                  AS corr_qty_price
+         FROM m""",
     "value_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
                 quantile_cont(value, 0.95) AS p95
