@@ -255,6 +255,24 @@ object SparkEntry {
       t(s, d, "events").groupBy(col("event_type"))
         .agg(expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.95)").as("p95"))),
+    // z-score anomaly flags from the same DECIMAL-exact moment trick as
+    // lineitem_corr: per-type mean/std derive from exact sums, the 3σ cut
+    // compares identical doubles on both engines. The moment table is
+    // type-cardinality-sized and broadcast back into the row-level filter
+    "events_value_outliers" -> ((s, d) => {
+      val dv = col("value").cast("decimal(18,2)")
+      val m = t(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dv).as("sv"), sum(dv * dv).as("svv"))
+        .select(col("event_type"),
+          (col("sv").cast("double") / col("n").cast("double")).as("mean"),
+          sqrt(col("svv").cast("double") / col("n").cast("double")
+            - (col("sv").cast("double") / col("n").cast("double"))
+            * (col("sv").cast("double") / col("n").cast("double"))).as("std"))
+      t(s, d, "events").join(broadcast(m), "event_type")
+        .where(abs(col("value") - col("mean")) > lit(3.0) * col("std"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mean")) / col("std"), 4).as("z"))
+    }),
     // Pareto 80/20: suppliers ranked by DECIMAL-exact gross revenue with
     // the cumulative share (window cumsum stays DECIMAL; only the final
     // share division is double), cut at 80%. The window is over the
@@ -491,6 +509,11 @@ object SparkEntry {
     // recur anywhere in the corpus
     "docs_dup_ngram_spans" -> ((s, d) =>
       Dedup.duplicatedSpanStats(t(s, d, "documents"), "doc_id", "text")),
+    // subset duplicates: directed full-containment pairs (every distinct
+    // token of a occurs in the same-lang doc b) — the signal Jaccard
+    // misses for short-inside-long duplication
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text", "lang")),
     // prefix-filtered (guaranteed recall, vocabulary-sized block space):
     // the oracle-verified scalable path; the lang-blocked variant remains
     // available as Dedup.ngramJaccardPairs for caller-chosen blocking
@@ -849,6 +872,23 @@ object SparkEntry {
          WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
            AND n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)""",
+    "events_value_outliers" ->
+      """WITH m AS (
+           SELECT event_type,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS mean,
+                  sqrt(CAST(sum(CAST(value AS DECIMAL(18,2))
+                              * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)
+                       - (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE))
+                       * (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE))) AS std
+           FROM events GROUP BY 1)
+         SELECT event_id, e.event_type, value,
+                round((value - mean) / std, 4) AS z
+         FROM events e JOIN m ON e.event_type = m.event_type
+         WHERE abs(value - mean) > 3.0 * std""",
     "supplier_pareto" ->
       """WITH rev AS (SELECT l_suppkey,
                              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
@@ -1282,6 +1322,17 @@ object SparkEntry {
     // JaccardIndex lifecycle, so it shares the oracle verbatim
     "dedup_incremental" -> incrementalOracle,
     "dedup_incremental_indexed" -> incrementalOracle,
+    "dedup_containment" ->
+      """WITH d AS (SELECT doc_id, lang,
+                           list_distinct(string_split(lower(text), ' ')) AS words
+                    FROM documents),
+         tok AS (SELECT doc_id, lang, len(words) AS n, unnest(words) AS w FROM d)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a,
+                count(*) AS shared
+         FROM tok a JOIN tok b ON a.lang = b.lang AND a.w = b.w
+                              AND a.doc_id <> b.doc_id
+         GROUP BY 1, 2, 3
+         HAVING count(*) * 1 >= a.n * 1""",
     "docs_dup_ngram_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
