@@ -607,6 +607,52 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sampled"),
           sum(octet_length(col("frame")).cast("long")).as("sampled_bytes"))),
+
+    // ---- audit / data-quality surface -------------------------------------
+    // "what changed between sync v1 and sync v2" over the events CDC log;
+    // cutoffs derive from the log itself so the same query text scales
+    // across sf dirs (the oracle computes them with scalar subqueries)
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val events = t(s, d, "events")
+      val vMax = events.agg(max(col("event_id"))).head.getLong(0)
+      CdcOps.snapshotDiff(events, Seq("user_id"), "event_id",
+        vMax / 2, vMax, isDelete)
+    }),
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.exactSurvivors(t(s, d, "documents"), "doc_id", "text")),
+    "ri_orphans" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profiler.referentialOrphans(li, "l_orderkey", t(s, d, "orders"), "o_orderkey",
+          "lineitem->orders")
+        .unionAll(Profiler.referentialOrphans(li, "l_partkey", t(s, d, "part"),
+          "p_partkey", "lineitem->part"))
+        .unionAll(Profiler.referentialOrphans(li, "l_suppkey", t(s, d, "supplier"),
+          "s_suppkey", "lineitem->supplier"))
+        .unionAll(Profiler.referentialOrphans(t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey", "orders->customer"))
+    }),
+    "benford_prices" -> ((s, d) =>
+      Profiler.benfordFirstDigit(t(s, d, "orders"), "o_totalprice")),
+    // per-source PII scan (the synthetic corpus is clean — the counts are
+    // honest zeros; PiiSpec pins detection + redaction on a seeded fixture)
+    "docs_pii_scan" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), TextFunctions.piiCounts(col("text")).as("pii"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("pii.email") + col("pii.ssn") + col("pii.ipv4")
+            + col("pii.phone") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+          sum(col("pii.email")).as("emails"), sum(col("pii.ssn")).as("ssns"),
+          sum(col("pii.ipv4")).as("ipv4s"), sum(col("pii.phone")).as("phones"))),
+    "events_seasonality" -> ((s, d) =>
+      // decimal-cast measure ⇒ exact sum ⇒ engine-reproducible mean
+      Behavior.hourOfWeekProfile(t(s, d, "events"), "ts",
+        col("value").cast("decimal(18,2)"))),
+    "events_value_scaled" -> ((s, d) =>
+      Behavior.minMaxScaled(t(s, d, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"), col("scaled"))),
+    "order_latency" -> ((s, d) =>
+      Analytics.fulfillmentLatency(t(s, d, "orders"), t(s, d, "lineitem"))),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -1389,5 +1435,88 @@ object SparkEntry {
                 min(CAST(64 + doc_id % 448 AS INT)) AS min_width,
                 max(CAST(64 + (doc_id * 7) % 448 AS INT)) AS max_height
          FROM documents GROUP BY media_type""",
+    "cdc_snapshot_diff" ->
+      """WITH vm AS (SELECT max(event_id) AS v2 FROM events),
+         s1 AS (SELECT user_id, max(event_id) AS ver,
+                       arg_max(event_type, event_id) = 'error' AS del
+                FROM events, vm WHERE event_id <= v2 // 2 GROUP BY user_id),
+         s2 AS (SELECT user_id, max(event_id) AS ver,
+                       arg_max(event_type, event_id) = 'error' AS del
+                FROM events, vm WHERE event_id <= v2 GROUP BY user_id)
+         SELECT s2.user_id, s1.ver AS v1_version, s2.ver AS v2_version,
+                CASE WHEN s1.user_id IS NULL OR s1.del THEN 'added'
+                     WHEN s2.del THEN 'removed'
+                     WHEN s1.ver = s2.ver THEN 'unchanged'
+                     ELSE 'changed' END AS change
+         FROM s2 LEFT JOIN s1 USING (user_id)
+         WHERE (s1.user_id IS NOT NULL AND NOT s1.del) OR NOT s2.del""",
+    "dedup_survivors" ->
+      """SELECT doc_id, text, lang, source, n_chars, n_copies FROM (
+           SELECT *, count(*) OVER (PARTITION BY fp) AS n_copies,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM (SELECT *, md5(array_to_string(list_sort(list_distinct(
+                    string_split(lower(text), ' '))), ' ')) AS fp
+                 FROM documents))
+         WHERE rn = 1""",
+    "ri_orphans" ->
+      """SELECT 'lineitem->orders' AS relation,
+                (SELECT count(*) FROM lineitem) AS child_rows,
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+         UNION ALL
+         SELECT 'lineitem->part',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+         UNION ALL
+         SELECT 'lineitem->supplier',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+         UNION ALL
+         SELECT 'orders->customer',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""",
+    "benford_prices" ->
+      """SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit,
+                count(*) AS n,
+                count(*) / sum(count(*)) OVER () AS share
+         FROM orders WHERE o_totalprice > 0
+         GROUP BY 1""",
+    "docs_pii_scan" ->
+      """SELECT source, count(*) AS docs,
+                CAST(sum(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                            + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+                            + len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+                            + len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+                CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+                CAST(sum(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))) AS BIGINT) AS ssns,
+                CAST(sum(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))) AS BIGINT) AS ipv4s,
+                CAST(sum(len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]'))) AS BIGINT) AS phones
+         FROM documents GROUP BY source""",
+    "events_seasonality" ->
+      """SELECT CAST(date_part('isodow', ts) AS BIGINT) AS dow,
+                CAST(date_part('hour', ts) AS BIGINT) AS hod,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+         FROM events GROUP BY 1, 2""",
+    "events_value_scaled" ->
+      """SELECT event_id, event_type, value,
+                CASE WHEN mx = mn THEN 0.5
+                     ELSE (value - mn) / (mx - mn) END AS scaled
+         FROM (SELECT event_id, event_type, value,
+                      min(value) OVER (PARTITION BY event_type) AS mn,
+                      max(value) OVER (PARTITION BY event_type) AS mx
+               FROM events)""",
+    "order_latency" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS avg_days,
+                quantile_cont(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0.5) AS p50_days,
+                quantile_cont(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0.95) AS p95_days,
+                CAST(max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS max_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
   )
 }

@@ -24,6 +24,14 @@ object NativeFunctions {
   def sortedJaccard(a: Column, b: Column, minJ: Double = -1.0): Column =
     bridge.column(SortedJaccard(bridge.expression(a), bridge.expression(b), minJ))
 
+  /** Overlap count |a ∩ b| of two sorted distinct `array<long>` columns.
+    * With a positive per-row `required`, unreachable pairs early-exit and
+    * return −1.
+    */
+  def sortedOverlap(a: Column, b: Column, required: Column): Column =
+    bridge.column(SortedOverlap(bridge.expression(a), bridge.expression(b),
+      bridge.expression(required)))
+
   /** Winnowed rolling-hash fingerprint set of a string column (MOSS). */
   def rollingFingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     bridge.column(RollingFingerprint(bridge.expression(text), k, w))

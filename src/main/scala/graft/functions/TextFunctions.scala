@@ -74,6 +74,40 @@ object TextFunctions {
       .otherwise("es")
   }
 
+  /** PII regexes — RE2-compatible (no lookaround), so detection counts are
+    * reproducible on any regex engine a downstream auditor uses. Public
+    * scrubbing patterns of every open-corpus pipeline (e.g. what C4 / the
+    * BigScience data tooling strip): emails, long digit runs that look
+    * like phone numbers, dotted-quad IPs, SSN-shaped triples.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "phone" -> "\\+?[0-9][0-9() -]{6,}[0-9]")
+
+  /** Per-category PII hit counts: a struct column
+    * (email, ssn, ipv4, phone) of match counts in `text`. Categories are
+    * counted INDEPENDENTLY over the original text, so a phone-shaped SSN
+    * hits both counters — precedence between overlapping categories is
+    * [[redactPii]]'s job, not the counters'. Pure codegen'd
+    * `regexp_count` — fuses into the document scan.
+    */
+  def piiCounts(text: Column): Column =
+    struct(PiiPatterns.map { case (name, re) =>
+      regexp_count(text, lit(re)).cast("long").as(name)
+    }: _*)
+
+  /** Redact PII in place: each category's matches are replaced by a
+    * `<CATEGORY>` tag. Order matters and is fixed — emails before phones
+    * (a phone-shaped digit run inside a local part must not pre-empt the
+    * email tag), SSNs and IPs before phones (both are phone-shaped).
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (name, re)) =>
+      regexp_replace(t, re, s"<${name.toUpperCase(java.util.Locale.ROOT)}>")
+    }
+
   /** Canonical content fingerprint: md5 of the sorted distinct word set of
     * the lowercased text — stable under word reordering and duplication, the
     * classic "fingerprint" dedup key.

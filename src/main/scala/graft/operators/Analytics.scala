@@ -390,4 +390,28 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_revenue"))
   }
+
+  /** Order-fulfillment latency distribution: days from order placement to
+    * each line item's ship date, summarized per order priority — the SLA
+    * view an operations dashboard reads off the replicated target (count,
+    * mean, exact median/p95, max).
+    *
+    * The fact joins the order dates on the fact's own key (one shuffle
+    * each side, AQE free to pick the strategy); both sides are pruned to
+    * two columns before the join, so the shuffle carries (key, date), not
+    * the tables. The percentile aggregation groups into the handful of
+    * priority buckets — partial map-side, exact within each small group.
+    */
+  def fulfillmentLatency(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val days = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        avg(days).as("avg_days"),
+        expr("percentile(datediff(cast(l_shipdate as date), cast(o_orderdate as date)), 0.5)").as("p50_days"),
+        expr("percentile(datediff(cast(l_shipdate as date), cast(o_orderdate as date)), 0.95)").as("p95_days"),
+        max(days).cast("long").as("max_days"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over the event log — the ClickHouse
@@ -42,6 +42,44 @@ object Behavior {
       reach = when(ok, col(s"_t$i")).otherwise(reach)
     }
     agged.select(col(keyCol), level.cast("bigint").as("funnel_level"))
+  }
+
+  /** Hour-of-week seasonality profile: event count and mean value per
+    * (ISO day-of-week, hour-of-day) cell — the 7×24 load heatmap capacity
+    * planning reads over a mirrored event stream. `dow` is ISO (Monday=1 …
+    * Sunday=7).
+    *
+    * One grouped aggregation into at most 168 cells at any scale; partial
+    * aggregation collapses the log map-side, so the shuffle carries ≤168
+    * rows per mapper. The mean is `sum(value)/count` rather than a float
+    * `avg` — pass a decimal-cast measure and the sum is EXACT, making the
+    * mean reproducible across engines and partitionings (a float avg's
+    * partial-sum order isn't).
+    */
+  def hourOfWeekProfile(events: DataFrame, tsCol: String,
+                        value: Column): DataFrame =
+    events.groupBy(
+      (weekday(col(tsCol)) + 1).cast("long").as("dow"),
+      hour(col(tsCol)).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(value).cast("double") / count(lit(1))).as("avg_value"))
+
+  /** Per-group min-max feature scaling: every row gains
+    * `scaled = (value − min) / (max − min)` within its group — the
+    * normalization stage of a feature pipeline (a constant group maps to
+    * 0.5). The group stats frame is one row PER GROUP, aggregated
+    * map-side and BROADCAST back onto the rows — no per-row window sort,
+    * no second shuffle of the input at any scale where group cardinality
+    * is bounded (event types, languages, sources…).
+    */
+  def minMaxScaled(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("_mn"), max(col(valueCol)).as("_mx"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("scaled",
+        when(col("_mx") === col("_mn"), 0.5)
+          .otherwise((col(valueCol) - col("_mn")) / (col("_mx") - col("_mn"))))
+      .drop("_mn", "_mx")
   }
 
   /** Cohort retention matrix: cohort = week of the key's first event;

@@ -147,6 +147,49 @@ object CdcOps {
       byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Audit diff between the mirror's states at two version cutoffs: what a
+    * replication pipeline answers when asked "what changed between sync v1
+    * and sync v2?" (the reference exposes the same question through
+    * `_peerdb_version` ranges on the ClickHouse target). Each key is
+    * classified by comparing its latest ≤`v1Max` row against its latest
+    * ≤`v2Max` row:
+    *
+    *   - `added`     absent (or soft-deleted) at v1, live at v2
+    *   - `removed`   live at v1, soft-deleted at v2
+    *   - `changed`   live at both with different latest versions
+    *   - `unchanged` live at both with the same latest version
+    *
+    * Keys dead at both cutoffs are omitted (they are invisible in both
+    * snapshots). Rows are immutable per version in a CDC log, so "same
+    * latest version" IS "same row" — no payload comparison needed.
+    *
+    * ONE shuffle on the keys over a single `version <= v2Max` scan: both
+    * cutoff states come out of the same grouped aggregation (`max_by`
+    * skips null ordering keys, so the v1 aggregate simply ignores rows
+    * past v1), never two scans joined — at 100 TB the log is read once,
+    * the filter is pushed into the scan, and partial aggregation runs
+    * map-side.
+    */
+  def snapshotDiff(log: DataFrame, keys: Seq[String], versionCol: String,
+                   v1Max: Long, v2Max: Long, isDelete: Column): DataFrame = {
+    require(v1Max <= v2Max, s"snapshotDiff cutoffs out of order: $v1Max > $v2Max")
+    val ver = col(versionCol)
+    val packed = struct(ver.as("ver"), isDelete.cast("boolean").as("del"))
+    val g = log.where(ver <= lit(v2Max))
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(packed, when(ver <= lit(v1Max), ver)).as("_s1"),
+        max_by(packed, ver).as("_s2"))
+    val live1 = col("_s1").isNotNull && !col("_s1.del")
+    val live2 = !col("_s2.del")
+    g.where(live1 || live2)
+      .select(keys.map(col) ++ Seq(
+        col("_s1.ver").as("v1_version"), col("_s2.ver").as("v2_version"),
+        when(!live1, "added")
+          .when(!live2, "removed")
+          .when(col("_s1.ver") === col("_s2.ver"), "unchanged")
+          .otherwise("changed").as("change")): _*)
+  }
+
   /** Traffic-spike days in the change log: days whose event count exceeds
     * `num/den` × the event type's daily average — the load-anomaly check a
     * monitor runs over the mirrored log (the reference's monitor tracks

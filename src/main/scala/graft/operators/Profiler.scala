@@ -35,4 +35,51 @@ object Profiler {
     }
     one.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** Referential-integrity audit for one child→parent relationship: one row
+    * (relation, child_rows, orphan_rows) where an orphan is a child row
+    * whose key (including a NULL key) matches no parent. The cross-table
+    * check a replication pipeline runs after a multi-table sync — FK
+    * consistency is exactly what can break when tables sync independently
+    * (the reference mirrors each table on its own slot cursor).
+    *
+    * Shape: the total is one map-side count; orphans are a LEFT ANTI join
+    * against the parent PROJECTED TO ITS KEY (column pruning reaches the
+    * scan, the dedup is free inside the join), shuffled on the key with
+    * AQE free to broadcast a small parent. The two one-row aggregates then
+    * cross-join — driver-free, no collect.
+    */
+  def referentialOrphans(child: DataFrame, childKey: String,
+                         parent: DataFrame, parentKey: String,
+                         relation: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("child_rows"))
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("orphan_rows"))
+    total.crossJoin(orphans)
+      .select(lit(relation).as("relation"), col("child_rows"), col("orphan_rows"))
+  }
+
+  /** First-significant-digit distribution of a positive measure — the
+    * Benford's-law screen fraud/data-quality audits run over financial
+    * columns: natural growth-process data follows share(d) ≈ log10(1+1/d);
+    * fabricated or truncated data visibly doesn't.
+    *
+    * The digit is extracted arithmetically — `floor(v / 10^floor(log10 v))`
+    * — not by string formatting, so the result is engine-comparable IEEE
+    * math (both sides correctly round `log10` at exact powers of ten; a
+    * float within 1 ulp of a power of ten is itself exact in fixed-decimal
+    * data). Non-positive values are excluded, counted in nothing. One
+    * grouped aggregation; the share then normalizes over the aggregated
+    * frame, which is AT MOST NINE ROWS at any scale — the global window
+    * runs on those nine rows, never the input.
+    */
+  def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("long")
+    df.where(v > 0.0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        (col("n") / sum(col("n")).over()).as("share"))
+  }
 }

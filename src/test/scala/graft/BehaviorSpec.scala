@@ -40,4 +40,31 @@ class BehaviorSpec extends SparkSpec {
     val w2 = ts("2024-01-08 00:00:00")
     assert(m == Map((w1, w1) -> 1L, (w1, w2) -> 1L, (w2, w2) -> 1L))
   }
+
+  test("hourOfWeekProfile buckets by ISO dow and hour with an exact mean") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (ts("2024-01-01 09:15:00"), 1.0), // Monday 9
+      (ts("2024-01-08 09:45:00"), 2.0), // next Monday 9 — same cell
+      (ts("2024-01-07 23:10:00"), 5.0)  // Sunday 23
+    ).toDF("t", "value")
+    val cells = Behavior.hourOfWeekProfile(events, "t",
+        col("value").cast("decimal(18,2)"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(cells == Map((1L, 9L) -> ((2L, 1.5)), (7L, 23L) -> ((1L, 5.0))))
+  }
+
+  test("minMaxScaled normalizes within each group; constant group maps to 0.5") {
+    val df = Seq(
+      ("a", 10.0), ("a", 20.0), ("a", 30.0),
+      ("b", 7.0), ("b", 7.0)
+    ).toDF("g", "v")
+    val out = Behavior.minMaxScaled(df, "g", "v")
+      .select("g", "v", "scaled").as[(String, Double, Double)].collect().toSet
+    assert(out == Set(("a", 10.0, 0.0), ("a", 20.0, 0.5), ("a", 30.0, 1.0),
+      ("b", 7.0, 0.5)))
+    // schema: the helper column pair is dropped, `scaled` appended
+    assert(Behavior.minMaxScaled(df, "g", "v").columns.toSeq == Seq("g", "v", "scaled"))
+  }
 }

@@ -80,6 +80,41 @@ class CdcOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("snapshotDiff classifies keys between two version cutoffs") {
+    val diffLog = Seq(
+      // key 1: updated between the cutoffs            → changed
+      (1L, 1L, "insert"), (1L, 6L, "update"),
+      // key 2: untouched after v1                     → unchanged
+      (2L, 2L, "insert"),
+      // key 3: first appears after v1                 → added
+      (3L, 7L, "insert"),
+      // key 4: live at v1, tombstoned by v2           → removed
+      (4L, 3L, "insert"), (4L, 8L, "delete"),
+      // key 5: deleted at v1, re-inserted by v2       → added (was invisible)
+      (5L, 4L, "delete"), (5L, 9L, "insert"),
+      // key 6: dead at both cutoffs                   → omitted
+      (6L, 5L, "delete"),
+      // key 7: entirely past v2                       → omitted
+      (7L, 11L, "insert")
+    ).toDF("key", "version", "op")
+    val out = CdcOps.snapshotDiff(diffLog, Seq("key"), "version", 5L, 10L,
+        col("op") === "delete")
+      .as[(Long, Option[Long], Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((Some(1L), 6L, "changed")),
+      2L -> ((Some(2L), 2L, "unchanged")),
+      3L -> ((None, 7L, "added")),
+      4L -> ((Some(3L), 8L, "removed")),
+      5L -> ((Some(4L), 9L, "added"))))
+  }
+
+  test("snapshotDiff rejects out-of-order cutoffs") {
+    intercept[IllegalArgumentException] {
+      CdcOps.snapshotDiff(log, Seq("key"), "version", 5L, 3L, col("op") === "delete")
+    }
+  }
+
   test("batchStats counts rows, keys and deletes per batch") {
     val withBatch = log.withColumn("b", when(col("version") <= 3, 1).otherwise(2))
     val stats = CdcOps.batchStats(withBatch, col("b"), Seq("key"), col("op"), lit("delete"))

@@ -22,6 +22,37 @@ class DedupSpec extends SparkSpec {
     assert(dup.length == 1 && dup.head._2 == 0L)
   }
 
+  test("containmentPairs finds directed subset duplicates (prefix-filtered path)") {
+    val cdocs = Seq(
+      (0L, "alpha beta gamma delta", "en"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en"), // superset of 0
+      (2L, "alpha beta", "en"),                                    // inside 0 and 1
+      (3L, "iota kappa", "en"),                                    // disjoint
+      (4L, "alpha beta gamma delta", "fr")                         // other block
+    ).toDF("doc_id", "text", "lang")
+    // full containment: every token of a inside b
+    val full = Dedup.containmentPairs(cdocs, "doc_id", "text", "lang")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == Set((0L, 1L, 4L, 4L), (2L, 0L, 2L, 2L), (2L, 1L, 2L, 2L)))
+    // rational threshold 1/2: the wider prefix re-finds pairs through
+    // several tokens; the output must still be one row per directed pair
+    val half = Dedup.containmentPairs(cdocs, "doc_id", "text", "lang", 1, 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(half == Set((0L, 1L, 4L, 4L), (0L, 2L, 4L, 2L), (1L, 0L, 8L, 4L),
+      (2L, 0L, 2L, 2L), (2L, 1L, 2L, 2L)))
+  }
+
+  test("exactSurvivors keeps the smallest-id full row per content group") {
+    val out = Dedup.exactSurvivors(docs, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang", "n_copies"))
+    val rows = out.as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 (the exact copy) is dropped; its survivor 0 carries n_copies=2
+    assert(rows.keySet == Set(0L, 2L, 3L, 4L))
+    assert(rows(0L) == ((base, "en", 2L)))
+    assert(rows(4L)._3 == 1L)
+  }
+
   test("minhashLsh surfaces exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

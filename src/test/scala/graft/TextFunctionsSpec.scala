@@ -155,4 +155,31 @@ class TextFunctionsSpec extends SparkSpec {
         s"shard $shard skipped a sequence id")
     }
   }
+
+  test("piiCounts detects each category; clean text counts zero") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "ssn 123-45-6789 leaked from host 10.0.255.3 twice: 123-45-6789"),
+      (3L, "a perfectly clean sentence with no identifiers at all")
+    ).toDF("id", "text")
+    val out = df.select($"id", piiCounts($"text").as("pii"))
+      .select("id", "pii.email", "pii.ssn", "pii.ipv4", "pii.phone")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 1L)))
+    // the SSNs are phone-shaped too: categories count independently
+    assert(out(2L) == ((0L, 2L, 1L, 2L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("redactPii replaces matches with category tags, emails before phones") {
+    val df = Seq((1L, "mail a9@ex.com, ip 10.0.0.1, ssn 123-45-6789, tel 555 123 4567"))
+      .toDF("id", "text")
+    val red = df.select(redactPii($"text")).as[String].head()
+    assert(red == "mail <EMAIL>, ip <IPV4>, ssn <SSN>, tel <PHONE>")
+    // idempotent on already-clean text
+    val clean = "no identifiers here at all"
+    assert(Seq(Tuple1(clean)).toDF("text")
+      .select(redactPii($"text")).as[String].head() == clean)
+  }
 }
