@@ -653,6 +653,18 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"), col("scaled"))),
     "order_latency" -> ((s, d) =>
       Analytics.fulfillmentLatency(t(s, d, "orders"), t(s, d, "lineitem"))),
+    // α=1/2 temperature mixing across the 20 sources (integer-exact
+    // allocations ∝ ⌊√tokens⌋, deterministic hash fill per stratum)
+    "docs_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(t(s, d, "documents"), Seq("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")), totalBudget = 20000L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"), col("alloc_tokens"))),
+    "docs_lang_diversity" -> ((s, d) =>
+      Profiler.groupEntropy(t(s, d, "documents"), "source", "lang")),
+    "events_value_deciles" -> ((s, d) =>
+      Behavior.quantileBuckets(
+        t(s, d, "events").select(col("event_id"), col("value")), "value", 10)),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -1510,6 +1522,39 @@ object SparkEntry {
                       min(value) OVER (PARTITION BY event_type) AS mn,
                       max(value) OVER (PARTITION BY event_type) AS mx
                FROM events)""",
+    "docs_temperature_mix" ->
+      """WITH tok AS (SELECT source, doc_id,
+                             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                      FROM documents),
+         st AS (SELECT source,
+                       CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+                FROM tok GROUP BY source),
+         a AS (SELECT source,
+                      CAST((20000 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM st) AS BIGINT)
+                        AS alloc_tokens
+               FROM st),
+         c AS (SELECT source, doc_id, n_tokens,
+                      CAST(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY (doc_id * 2654435761) % 10000, doc_id) AS BIGINT)
+                        AS cum_tokens
+               FROM tok)
+         SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens, a.alloc_tokens
+         FROM c JOIN a USING (source)
+         WHERE cum_tokens <= alloc_tokens""",
+    "docs_lang_diversity" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_values,
+                round(log2(CAST(sum(c) AS DOUBLE))
+                      - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                        / CAST(sum(c) AS BIGINT), 4) AS entropy_bits
+         FROM c GROUP BY source""",
+    "events_value_deciles" ->
+      """WITH b AS (SELECT quantile_cont(value,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+                    FROM events)
+         SELECT event_id, value,
+                CAST(len(list_filter(b.bs, x -> value > x)) AS BIGINT) AS bucket
+         FROM events, b""",
     "order_latency" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS avg_days,

@@ -82,6 +82,28 @@ object Behavior {
       .drop("_mn", "_mx")
   }
 
+  /** Exact quantile-bucket feature binning: every row gains the index of
+    * its `buckets`-quantile bin (0-based; a value EQUAL to a boundary
+    * lands in the lower bin) — equi-depth discretization for feature
+    * pipelines, where [[minMaxScaled]] is the equi-width continuous twin.
+    *
+    * Boundaries come from ONE exact `percentile` aggregation (buckets−1
+    * values) broadcast back onto the rows; the bin is `|{b : value > b}|`
+    * computed row-level over that tiny array — no per-row window, no
+    * global sort, no second shuffle of the input. At extreme scale swap
+    * the exact percentile for `approx_percentile` and keep the rest.
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"bad buckets=$buckets")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as("_b"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"size(filter(_b, x -> $valueCol > x))").cast("long"))
+      .drop("_b")
+  }
+
   /** Cohort retention matrix: cohort = week of the key's first event;
     * one row per (cohort_week, active_week) with distinct active keys.
     */

@@ -60,6 +60,49 @@ object Profiler {
       .select(lit(relation).as("relation"), col("child_rows"), col("orphan_rows"))
   }
 
+  /** Per-group Shannon entropy of a categorical column — the diversity/
+    * drift monitor of a corpus pipeline (a source whose language entropy
+    * collapses has turned monolingual; a mirror whose op-type entropy
+    * spikes is seeing an unusual change mix). Returns one row per group:
+    * (group, n_rows, n_values, entropy_bits).
+    *
+    * H = log2(T) − (Σ c·log2 c)/T over the per-(group, value) counts —
+    * two grouped aggregations, both map-side combined; the float summands
+    * are identical on any engine and the result is rounded to 4dp, below
+    * which partial-sum ordering cannot reach for realistic cardinalities.
+    */
+  def groupEntropy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n_rows"), count(lit(1)).as("n_values"),
+        sum(col("_c").cast("double") * log2(col("_c").cast("double"))).as("_sclc"))
+      .select(col(groupCol), col("n_rows"), col("n_values"),
+        round(log2(col("n_rows").cast("double"))
+          - col("_sclc") / col("n_rows"), 4).as("entropy_bits"))
+  }
+
+  /** Schema drift between two frames (e.g. a source snapshot and its
+    * mirror, or yesterday's and today's landing): one row per differing
+    * column — `added` (only in `b`), `removed` (only in `a`), `retyped`
+    * (both, different types). Pure driver-side metadata — schemas never
+    * touch executors — so it composes with any monitoring query for free.
+    * The empty result (identical schemas) is the healthy case.
+    */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val at = a.schema.map(f => (f.name, f.dataType.simpleString))
+    val bt = b.schema.map(f => (f.name, f.dataType.simpleString))
+    val am = at.toMap
+    val bm = bt.toMap
+    val rows =
+      at.collect { case (n, t) if !bm.contains(n) => (n, "removed", t, null: String) } ++
+      bt.collect { case (n, t) if !am.contains(n) => (n, "added", null: String, t) } ++
+      at.collect { case (n, t) if bm.get(n).exists(_ != t) => (n, "retyped", t, bm(n)) }
+    rows.toDF("column", "change", "from_type", "to_type")
+  }
+
   /** First-significant-digit distribution of a positive measure — the
     * Benford's-law screen fraud/data-quality audits run over financial
     * columns: natural growth-process data follows share(d) ≈ log10(1+1/d);

@@ -75,6 +75,42 @@ object Sampling {
       .where(col("cum_tokens") <= budget)
   }
 
+  /** Temperature-weighted data mixing (the multilingual-pretraining
+    * rebalance of XLM-R / mT5, at α = 1/2): the total token budget is split
+    * across strata ∝ √(stratum tokens) — upsampling small sources relative
+    * to proportional sampling, without letting the head starve the tail —
+    * then each stratum fills its allocation in the same deterministic
+    * hash order as [[tokenBudgetMix]]. Emits `alloc_tokens` beside the
+    * running `cum_tokens` so the mixture is auditable.
+    *
+    * Every step is ENGINE-EXACT integer arithmetic: stratum totals are
+    * exact longs, the weight is the integer ⌊√tokens⌋ (sqrt is IEEE
+    * correctly-rounded, its floor exact far beyond any real token count),
+    * and the allocation is integer `(budget·w) div Σw` — no float shares
+    * whose summation order could flip a boundary row. Shape: one stratum-
+    * keyed aggregation (map-side combined), the weight normalization runs
+    * on the STRATUM-CARDINALITY frame (the global window touches only
+    * those rows), allocations broadcast back onto the per-stratum
+    * running-sum window of [[tokenBudgetMix]].
+    */
+  def temperatureMix(df: DataFrame, strata: Seq[String], key: Column,
+                     tokens: Column, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"bad totalBudget=$totalBudget")
+    val stats = df.groupBy(strata.map(col): _*)
+      .agg(sum(tokens.cast("long")).as("_st"))
+      .withColumn("_w", floor(sqrt(col("_st").cast("double"))).cast("long"))
+    val alloc = stats
+      .withColumn("_sw", sum(col("_w")).over())
+      .withColumn("alloc_tokens", expr(s"($totalBudget * _w) div _sw"))
+      .select(strata.map(col) :+ col("alloc_tokens"): _*)
+    val order = Window.partitionBy(strata.map(col): _*)
+      .orderBy(keyBucket(key), key)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(order))
+      .join(broadcast(alloc), strata)
+      .where(col("cum_tokens") <= col("alloc_tokens"))
+  }
+
   /** Deterministic global shuffle for training epochs: every row gets a
     * stable, dense position `pos` ∈ [0, N) in a pseudo-random total order
     * (re-keyed per `seed`, so each epoch is a fresh permutation), plus a

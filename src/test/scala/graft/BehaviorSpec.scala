@@ -67,4 +67,27 @@ class BehaviorSpec extends SparkSpec {
     // schema: the helper column pair is dropped, `scaled` appended
     assert(Behavior.minMaxScaled(df, "g", "v").columns.toSeq == Seq("g", "v", "scaled"))
   }
+
+  test("quantileBuckets: equi-depth bins, boundary values land in the lower bin") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Behavior.quantileBuckets(df, "v", 4)
+      .select("v", "bucket").as[(Double, Long)].collect().toMap
+    // exact percentile boundaries of 1..100 at 0.25/0.5/0.75 are 25.75/50.5/75.25
+    assert(out(1.0) == 0L && out(25.0) == 0L)
+    assert(out(26.0) == 1L && out(50.0) == 1L)
+    assert(out(51.0) == 2L && out(75.0) == 2L)
+    assert(out(76.0) == 3L && out(100.0) == 3L)
+    // equi-depth: every bucket holds exactly a quarter of the rows
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 25, 1L -> 25, 2L -> 25, 3L -> 25))
+
+    // a value exactly equal to a boundary goes to the LOWER bin
+    val tied = Seq(1.0, 2.0, 2.0, 3.0).toDF("v")
+    val tb = Behavior.quantileBuckets(tied, "v", 2)
+      .select("v", "bucket").as[(Double, Long)].collect().toSet
+    // median of (1,2,2,3) = 2.0; rows at 2.0 are NOT above it → bucket 0
+    assert(tb == Set((1.0, 0L), (2.0, 0L), (3.0, 1L)))
+
+    intercept[IllegalArgumentException](Behavior.quantileBuckets(df, "v", 1))
+  }
 }

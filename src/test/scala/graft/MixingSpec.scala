@@ -77,6 +77,43 @@ class MixingSpec extends SparkSpec {
       "running sum must be a per-stratum window, never a global one")
   }
 
+  test("temperatureMix: sqrt-weighted allocations, within-budget, maximal fill") {
+    val d = Tables.load(spark, docs, "documents")
+    val budget = 5000L
+    val mixed = Sampling.temperatureMix(d, Seq("source"), col("doc_id"),
+      size(split(col("text"), " ")), budget)
+
+    // allocations reproduce the integer formula exactly
+    val totals = d.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = totals.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
+    val sw = w.values.sum
+    val allocs = mixed.select(col("source"), col("alloc_tokens")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    allocs.foreach { case (s, a) =>
+      assert(a == budget * w(s) / sw, s"$s: alloc $a != ${budget * w(s) / sw}")
+    }
+    // per-stratum fill stays within its allocation and is maximal
+    val used = mixed.groupBy(col("source"))
+      .agg(max(col("cum_tokens")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    used.foreach { case (s, u) => assert(u <= allocs(s), s"$s overfilled") }
+    // upsampling property: allocation SHARE of the smallest source exceeds
+    // its token share (α = 1/2 flattens the mixture)
+    val minSrc = totals.minBy(_._2)._1
+    val tokShare = totals(minSrc).toDouble / totals.values.sum
+    val allocShare = allocs(minSrc).toDouble / allocs.values.sum
+    assert(allocShare > tokShare,
+      s"smallest source not upsampled: $allocShare <= $tokShare")
+    // layout-independence
+    def ids(in: DataFrame): Set[Long] =
+      Sampling.temperatureMix(in, Seq("source"), col("doc_id"),
+        size(split(col("text"), " ")), budget)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids(d) == ids(d.repartition(7)))
+  }
+
   test("globalShuffle: dense permutation, balanced shards, epoch-distinct") {
     val d = Tables.load(spark, docs, "documents")
     val n = d.count()

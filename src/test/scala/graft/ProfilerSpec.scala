@@ -22,6 +22,33 @@ class ProfilerSpec extends SparkSpec {
     assert(row == (("r", 3L, 2L)))
   }
 
+  test("groupEntropy: exact bits for uniform and skewed groups") {
+    val df = Seq(
+      ("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"),   // uniform over 4 → 2 bits
+      ("s", "a"), ("s", "a"), ("s", "a"), ("s", "b"),   // 3:1 → ~0.8113 bits
+      ("m", "a"), ("m", "a")                            // single value → 0 bits
+    ).toDF("source", "lang")
+    val out = Profiler.groupEntropy(df, "source", "lang")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("u") == ((4L, 4L, 2.0)))
+    assert(out("m") == ((2L, 1L, 0.0)))
+    val expS = math.round((2.0 - (3.0 * math.log(3.0) / math.log(2.0)) / 4.0) * 1e4) / 1e4
+    assert(out("s") == ((4L, 2L, expS)))
+  }
+
+  test("schemaDrift reports added, removed, and retyped columns; empty when equal") {
+    val a = Seq((1L, "x", 1.0)).toDF("id", "name", "v")
+    val b = Seq((1L, 1, true)).toDF("id", "v", "flag")
+    val out = Profiler.schemaDrift(a, b)
+      .as[(String, String, String, String)].collect().toSet
+    assert(out == Set(
+      ("name", "removed", "string", null),
+      ("flag", "added", null, "boolean"),
+      ("v", "retyped", "double", "int")))
+    assert(Profiler.schemaDrift(a, a).count() == 0L)
+  }
+
   test("benfordFirstDigit extracts leading digits and normalized shares") {
     // values spanning magnitudes; 0 and negatives are excluded
     val df = Seq(1.0, 19.5, 123.4, 0.034, 2.0, 250.0, 999.99, 0.0, -5.0)
