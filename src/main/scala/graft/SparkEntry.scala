@@ -665,6 +665,30 @@ object SparkEntry {
     "events_value_deciles" -> ((s, d) =>
       Behavior.quantileBuckets(
         t(s, d, "events").select(col("event_id"), col("value")), "value", 10)),
+    // robust median/MAD outlier screen — the heavy-tail-safe twin of
+    // events_value_outliers' 3σ z-score cut
+    "events_value_mad" -> ((s, d) =>
+      Behavior.madOutliers(
+        t(s, d, "events").select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", 2.0)),
+    "q19_brand_revenue" -> ((s, d) =>
+      Analytics.disjunctiveRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
+    "cube_revenue" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))),
+    "docs_top_bigrams" -> ((s, d) => {
+      val bg = t(s, d, "documents")
+        .select(explode(TextFunctions.bigrams(lower(col("text")))).as("bigram"))
+      val total = bg.agg(count(lit(1)).as("total"))
+      bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .where(col("n") * 800 > col("total")) // > 0.125% of all bigrams
+        .select(col("bigram"), col("n"))
+    }),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -1555,6 +1579,44 @@ object SparkEntry {
          SELECT event_id, value,
                 CAST(len(list_filter(b.bs, x -> value > x)) AS BIGINT) AS bucket
          FROM events, b""",
+    "events_value_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                    FROM events GROUP BY 1),
+         d AS (SELECT e.event_type, quantile_cont(abs(value - med), 0.5) AS mad
+               FROM events e JOIN m USING (event_type) GROUP BY 1)
+         SELECT event_id, e.event_type, value, med, mad,
+                CASE WHEN mad <> 0
+                     THEN round((value - med) / mad, 4) END AS m_score
+         FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
+         WHERE abs(value - med) > 2.0 * mad""",
+    "q19_brand_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30))""",
+    "cube_revenue" ->
+      """SELECT n_name, year(CAST(o_orderdate AS DATE)) AS o_year,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                count(*) AS n_orders
+         FROM orders, customer, nation
+         WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+         GROUP BY CUBE(n_name, o_year)""",
+    "docs_top_bigrams" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+               FROM w),
+         c AS (SELECT bigram, count(*) AS n, (SELECT count(*) FROM b) AS total
+               FROM b GROUP BY bigram)
+         SELECT bigram, n FROM c WHERE n * 800 > total""",
     "order_latency" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS avg_days,

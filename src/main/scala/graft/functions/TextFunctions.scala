@@ -33,6 +33,18 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast("long")
 
+  /** Adjacent whitespace-token pairs as "w1 w2" strings — the n=2 case of
+    * the n-gram family used for collocation mining and contamination
+    * screens. Pure array arithmetic (two slices zipped), so it stays
+    * inside WholeStageCodegen; a single-token or empty document yields an
+    * empty array.
+    */
+  def bigrams(text: Column): Column = {
+    val w = tokens(text)
+    zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   /** Count of punctuation characters. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))

@@ -263,6 +263,34 @@ object Analytics {
 
   private def vol = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
 
+  /** TPC-H Q19-style disjunctive-predicate revenue: an OR of three
+    * (brand, part-size range, line-quantity range) conjunct groups over the
+    * part⋈lineitem join, summed into one discounted-revenue row. The classic
+    * optimizer exercise: the disjunction itself cannot be pushed anywhere,
+    * but its per-side envelopes can.
+    *
+    * Shape: each scan is pre-cut to its branch-union envelope — lineitem to
+    * the quantity hull, part to the three brands and the size hull — BEFORE
+    * the join (both reach the parquet scan as pushed filters), so the join
+    * sees only candidate rows and the filtered brand slice broadcasts. The
+    * residual OR runs once, codegen'd, over the joined candidates.
+    */
+  def disjunctiveRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    def branch(brand: String, sizeHi: Int, qtyLo: Int, qtyHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qtyLo, qtyHi)
+    val brands = Seq("Brand#12", "Brand#23", "Brand#24")
+    lineitem
+      .where(col("l_quantity").between(1, 30))
+      .join(part.select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .where(col("p_brand").isin(brands: _*) && col("p_size").between(1, 15)),
+        col("l_partkey") === col("p_partkey"))
+      .where(branch("Brand#12", 5, 1, 11) ||
+        branch("Brand#23", 10, 10, 20) ||
+        branch("Brand#24", 15, 20, 30))
+      .agg(sum(vol).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q8-style national market share: per order year, the target
     * nation's supplier revenue vs all suppliers' revenue for one part type
     * sold into one region. Emits numerator and denominator instead of their

@@ -104,6 +104,37 @@ object Behavior {
       .drop("_b")
   }
 
+  /** Robust outlier screen via median/MAD (median absolute deviation) —
+    * the heavy-tail-safe twin of the 3σ z-score cut: one extreme value
+    * shifts a mean/std gate but leaves the median and MAD untouched, so
+    * this flags genuine anomalies even when the anomalies themselves
+    * contaminate the fit. Rows whose |value − median| > k·MAD survive,
+    * carrying `med`, `mad`, and the rounded modified score
+    * `m_score = (value − med)/mad`. A group with MAD = 0 (over half its
+    * values identical) flags every non-median row — by design — with a
+    * null `m_score` (the score is undefined there, and ANSI-mode division
+    * would refuse the literal 0 divide).
+    *
+    * Two grouped exact-percentile aggregations (group-cardinality-sized,
+    * broadcast back onto the rows) — the fact table is scanned, never
+    * shuffled on its own rows. Exact `percentile` sorts per group; at
+    * extreme per-group cardinality swap in `approx_percentile` and keep
+    * the shape.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .where(abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+      .withColumn("m_score", when(col("mad") =!= 0,
+        round((col(valueCol) - col("med")) / col("mad"), 4)))
+  }
+
   /** Cohort retention matrix: cohort = week of the key's first event;
     * one row per (cohort_week, active_week) with distinct active keys.
     */

@@ -90,4 +90,20 @@ class BehaviorSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](Behavior.quantileBuckets(df, "v", 1))
   }
+
+  test("madOutliers: median/MAD cut is robust to the outlier itself") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 100.0), // med=3, mad=1: only this row exceeds 2*mad
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0),
+      ("b", 9L, 9.0)   // mad=0 group: every non-median row flags
+    ).toDF("g", "id", "v")
+    val out = Behavior.madOutliers(df, "g", "v", 2.0)
+      .select("id", "med", "mad", "m_score")
+      .as[(Long, Double, Double, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(5L, 9L))
+    assert(out(5L) == ((5L, 3.0, 1.0, Some(97.0))))
+    assert(out(9L) == ((9L, 5.0, 0.0, None))) // undefined score in a MAD=0 group
+    intercept[IllegalArgumentException](Behavior.madOutliers(df, "g", "v", 0.0))
+  }
 }

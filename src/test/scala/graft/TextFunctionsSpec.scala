@@ -18,6 +18,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n(0L) == 6 && n(3L) == 1)
   }
 
+  test("bigrams emits adjacent token pairs; short docs yield empty arrays") {
+    val bg = docs.select(col("id"), bigrams(col("text"))).as[(Long, Seq[String])]
+      .collect().toMap
+    assert(bg(0L) == Seq("the cat", "cat sat", "sat on", "on the", "the mat."))
+    assert(bg(3L) == Seq.empty)
+    val empty = Seq((9L, "")).toDF("id", "text")
+      .select(col("id"), bigrams(col("text"))).as[(Long, Seq[String])].collect().head._2
+    assert(empty == Seq.empty)
+  }
+
   test("punctCount counts punctuation chars only") {
     val n = docs.select(col("id"), punctCount(col("text"))).as[(Long, Int)].collect().toMap
     assert(n(0L) == 1 && n(3L) == 0)
