@@ -689,6 +689,36 @@ object SparkEntry {
         .where(col("n") * 800 > col("total")) // > 0.125% of all bigrams
         .select(col("bigram"), col("n"))
     }),
+    // the exact Lloyd assignment step as a query — the ORACLED anchor of
+    // the vector family (the ANN paths are rows-only by design)
+    "emb_centroid_assign" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.centroidAssign(e, e.where(col("vec_id") < 8), "vec_id", "embedding")
+    }),
+    // 24h sliding distinct users per hour anchor: each (hour, user) pair is
+    // exploded into the <=24 anchors whose window covers it (bounded fan-out,
+    // no nested-loop range join), anchors clipped to observed hours
+    "events_sliding_users" -> ((s, d) => {
+      val hu = t(s, d, "events")
+        .select(date_trunc("HOUR", col("ts")).as("h"), col("user_id")).distinct()
+      val hours = hu.select(col("h").as("h0")).distinct()
+      hu.withColumn("h0", explode(sequence(col("h"),
+          col("h") + expr("INTERVAL 23 HOURS"), expr("INTERVAL 1 HOUR"))))
+        .join(broadcast(hours), Seq("h0"), "left_semi")
+        .groupBy(col("h0"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+    // signup→purchase conversion latency, exact integer microseconds
+    "funnel_latency" -> ((s, d) => {
+      val lat = t(s, d, "events").groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("s"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+        .where(col("p").isNotNull && col("s").isNotNull && col("p") > col("s"))
+        .select((unix_micros(col("p")) - unix_micros(col("s"))).as("lat_us"))
+      lat.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"))
+    }),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -1617,6 +1647,38 @@ object SparkEntry {
          c AS (SELECT bigram, count(*) AS n, (SELECT count(*) FROM b) AS total
                FROM b GROUP BY bigram)
          SELECT bigram, n FROM c WHERE n * 800 > total""",
+    "emb_centroid_assign" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS kv
+                    FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.kv[i] AS DOUBLE))
+                           * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.kv[i] AS DOUBLE))))
+                        AS d2
+               FROM embeddings e, c),
+         r AS (SELECT vec_id, centroid_id, d2,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, centroid_id) AS rn
+               FROM d)
+         SELECT vec_id, centroid_id, round(d2, 4) AS d2 FROM r WHERE rn = 1""",
+    "events_sliding_users" ->
+      """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+                     FROM events),
+         hrs AS (SELECT DISTINCT h AS h0 FROM hu)
+         SELECT t.h0, count(DISTINCT hu.user_id) AS n_users
+         FROM hu JOIN hrs t ON t.h0 BETWEEN hu.h AND hu.h + INTERVAL 23 HOUR
+         GROUP BY t.h0""",
+    "funnel_latency" ->
+      """WITH u AS (SELECT user_id,
+                           min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+                           min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+                    FROM events GROUP BY 1),
+         l AS (SELECT epoch_us(p) - epoch_us(s) AS lat_us FROM u
+               WHERE p IS NOT NULL AND s IS NOT NULL AND p > s)
+         SELECT count(*) AS n_converted,
+                round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+                round(quantile_cont(lat_us, 0.9), 4) AS p90_us
+         FROM l""",
     "order_latency" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS avg_days,

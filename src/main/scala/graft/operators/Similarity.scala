@@ -35,6 +35,31 @@ object Similarity {
         (col("pos") + 1).cast("bigint").as("rk")) // bigint: row_number() is int64 in DuckDB
   }
 
+  /** Exact nearest-centroid assignment — one Lloyd step surfaced as a
+    * first-class query (the building block [[IvfIndex]]'s k-means
+    * refinement iterates, and the hard clustering step of any corpus
+    * partitioning job). Every corpus vector is scored against every
+    * centroid by squared euclidean distance; ties break toward the lower
+    * centroid id. Emits (vec_id, centroid_id, d2) with `d2` rounded to 4dp.
+    *
+    * Scale shape: `centroids` is k-bounded and broadcast; the n×k scoring
+    * runs inside codegen over the corpus scan, and the arg-min is a
+    * `min(struct(d2, id))` aggregate — map-side combinable, so the shuffle
+    * carries one row per corpus vector, never the n×k cross product.
+    */
+  def centroidAssign(corpus: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val k = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("kv"))
+    c.crossJoin(broadcast(k))
+      .select(col("vec_id"), col("centroid_id"),
+        VectorFunctions.sqDist(col("v"), col("kv")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        round(col("best.d2"), 4).as("d2"))
+  }
+
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * enough to broadcast (it is the "probe" side by construction).
     */

@@ -23,6 +23,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - expected) < 1e-6)
   }
 
+  test("centroidAssign picks the nearest centroid; ties break to the lower id") {
+    val cents = corpus.where($"vec_id".isin(0L, 2L)) // unit x, unit y
+    val out = Similarity.centroidAssign(corpus, cents, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((0L, 0.0)))               // centroid assigns to itself
+    assert(out(1L)._1 == 0L)                     // (0.9,0.1,0) → x axis
+    assert(out(3L)._1 == 2L)                     // (0,0.9,0.1) → y axis
+    assert(out(4L)._1 == 2L)                     // (-1,0,0): d2 4 vs 2 → y axis
+    // exact tie: (1,1,0)/√-free — equidistant from x and y ⇒ lower id wins
+    val tie = Seq((9L, Array(1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.centroidAssign(tie, cents, "vec_id", "embedding")
+      .as[(Long, Long, Double)].head()
+    assert(got == ((9L, 0L, 1.0)))
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self, returns k rows per query") {
     val out = Similarity.bruteForceTopK(corpus, corpus.where($"vec_id" < 2),
       "vec_id", "embedding", 2)
