@@ -193,8 +193,18 @@ object SparkEntry {
     "user_funnel" -> ((s, d) =>
       Behavior.funnelLevels(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
+    // ClickHouse windowFunnel(6h): every chain start counts, all steps
+    // within the window of the chain's FIRST event, strict time order
+    "events_window_funnel" -> ((s, d) =>
+      Behavior.windowFunnel(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"), windowMicros = 6L * 3600 * 1000000)),
     "cohort_retention" -> ((s, d) =>
       Behavior.cohortRetention(t(s, d, "events"), "user_id", "ts")),
+    // ClickHouse quantileExactWeighted: quantity-weighted unit-spend
+    // percentiles — exact smallest-value-reaching-⌈p·W/100⌉, no global sort
+    "price_weighted_percentiles" -> ((s, d) =>
+      Ranking.weightedPercentiles(t(s, d, "lineitem"),
+        "l_extendedprice", "l_quantity", Seq(50, 90, 99))),
     "customer_quartiles" -> ((s, d) => {
       val perCust = t(s, d, "orders").groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
@@ -451,6 +461,15 @@ object SparkEntry {
     "docs_contamination" -> ((s, d) => {
       val tagged = Sampling.splitByKey(t(s, d, "documents"), col("doc_id"), 0.1)
       Contamination.report(
+        tagged.where(!col("is_test")), tagged.where(col("is_test")),
+        "doc_id", "text")
+    }),
+    // the 100 TB shape of the same check: a broadcast Bloom filter over the
+    // eval side's shingles cuts train shingles at the scan — EXACT result
+    // (no false negatives; the equi-join drops fp riders), same oracle
+    "docs_contamination_bloom" -> ((s, d) => {
+      val tagged = Sampling.splitByKey(t(s, d, "documents"), col("doc_id"), 0.1)
+      Contamination.reportBloom(
         tagged.where(!col("is_test")), tagged.where(col("is_test")),
         "doc_id", "text")
     }),
@@ -1216,6 +1235,40 @@ object SparkEntry {
                       min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
                FROM events GROUP BY user_id)""",
+    // same integer-ceil target + smallest-value-reaching-it semantics as
+    // Ranking.weightedPercentiles; the picked value is an EXISTING row
+    // value (no interpolation), so doubles compare bit-exact
+    "price_weighted_percentiles" ->
+      """WITH w AS (SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
+                    FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0),
+         tot AS (SELECT sum(wt) AS tw FROM w),
+         g AS (SELECT v, sum(wt) AS gw FROM w GROUP BY v),
+         c AS (SELECT v, sum(gw) OVER (ORDER BY v) AS cum FROM g)
+         SELECT CAST(p.pct AS BIGINT) AS pct,
+                (SELECT min(c.v) FROM c, tot
+                 WHERE c.cum >= (tot.tw * p.pct + 99) // 100) AS v
+         FROM (VALUES (50), (90), (99)) AS p(pct)""",
+    // same DP as the Spark side: start_i = best chain start of an i-chain
+    // ending at the row (max over strictly-earlier starts, window-gated);
+    // integer-microsecond arithmetic end-to-end so both engines agree
+    "events_window_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
+         s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS start1 FROM e),
+         p1 AS (SELECT *, max(start1) OVER (PARTITION BY user_id ORDER BY tsl
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev1 FROM s1),
+         s2 AS (SELECT *, CASE WHEN op = 'click'
+                  AND prev1 >= tsl - 21600000000 THEN prev1 END AS start2 FROM p1),
+         p2 AS (SELECT *, max(start2) OVER (PARTITION BY user_id ORDER BY tsl
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev2 FROM s2),
+         s3 AS (SELECT *, CASE WHEN op = 'purchase'
+                  AND prev2 >= tsl - 21600000000 THEN prev2 END AS start3 FROM p2)
+         SELECT user_id,
+                CAST(coalesce(max(CASE WHEN start3 IS NOT NULL THEN 3
+                                       WHEN start2 IS NOT NULL THEN 2
+                                       WHEN start1 IS NOT NULL THEN 1 END), 0)
+                     AS BIGINT) AS funnel_level
+         FROM s3 GROUP BY user_id""",
     "cohort_retention" ->
       """SELECT c.cohort_week, date_trunc('week', e.ts) AS active_week,
                 count(DISTINCT e.user_id) AS active_keys
@@ -1354,6 +1407,22 @@ object SparkEntry {
          WHERE event_type <> 'error'
          GROUP BY event_type""",
     "docs_contamination" ->
+      """WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
+                           string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT doc_id, is_test,
+                       unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+                         i -> array_to_string(list_slice(ws, i, i + 3), ' ')))) AS s
+                FROM d WHERE len(ws) >= 4),
+         rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)
+         SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+                count(*) AS n_shared
+         FROM (SELECT * FROM sh WHERE NOT is_test AND s IN (SELECT s FROM rare)) a
+         JOIN (SELECT * FROM sh WHERE is_test) b ON a.s = b.s
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
+    // bit-identical to docs_contamination by construction (Bloom has no
+    // false negatives; the exact equi-join drops false positives)
+    "docs_contamination_bloom" ->
       """WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 10000 < 1000 AS is_test,
                            string_split(lower(text), ' ') AS ws
                     FROM documents),

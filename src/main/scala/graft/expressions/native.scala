@@ -55,4 +55,11 @@ object NativeFunctions {
   /** Cosine of packed int8 codes (`binary`) vs a float/double query vector. */
   def int8CosineSim(codes: Column, q: Column): Column =
     bridge.column(Int8CosineSim(bridge.expression(codes), bridge.expression(q)))
+
+  /** Membership probe of a string column against broadcast Bloom bytes
+    * (built by [[graft.operators.Bloom.buildString]]). No false negatives.
+    */
+  def bloomMightContain(c: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
+    bridge.column(BloomMightContain(bridge.expression(c), bloom))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over the event log — the ClickHouse
@@ -42,6 +43,56 @@ object Behavior {
       reach = when(ok, col(s"_t$i")).otherwise(reach)
     }
     agged.select(col(keyCol), level.cast("bigint").as("funnel_level"))
+  }
+
+  /** Time-bounded EXACT funnel — ClickHouse `windowFunnel(window)(ts,
+    * cond1, cond2, …)`: the per-key level is the largest k such that SOME
+    * chain of events matches steps 1..k at strictly increasing timestamps
+    * t₁ < t₂ < … < t_k with t_k ≤ t₁ + window. Unlike [[funnelLevels]]
+    * (earliest-occurrence greedy, unbounded window), every possible chain
+    * start counts: a late signup can complete a funnel an early one
+    * missed.
+    *
+    * Exactness without enumerating chains: process events in time order
+    * and, per row, let `start_i` = the chain START of the best i-chain
+    * ENDING at this row. `start_1` = own ts on a step-1 row; `start_i` =
+    * the max `start_{i-1}` among strictly-earlier rows, kept if ≥ ts −
+    * window. Taking the MAX start is optimal — the only downstream
+    * constraint is t_k ≤ start + window, monotone in start — so a row's
+    * `start_i` is non-null iff ANY valid i-chain ends there (an exchange
+    * argument over chains, not a greedy heuristic). The strictly-before
+    * RANGE frame over integer microseconds enforces t_{i-1} < t_i
+    * identically in any engine; window arithmetic is integer microseconds
+    * throughout, so the result is engine-exact.
+    *
+    * Shape: all k−1 window passes share one (key, ts) partitioning+sort —
+    * ONE shuffle of the event log, then k−1 linear running-max scans and a
+    * grouped max. No self-joins, no per-chain blowup, no driver state.
+    * Returns (key, funnel_level ∈ [0, k]) for every key in `events`.
+    */
+  def windowFunnel(events: DataFrame, keyCol: String, opCol: String,
+                   tsCol: String, steps: Seq[String],
+                   windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    require(windowMicros > 0, s"bad windowMicros=$windowMicros")
+    val before = Window.partitionBy(col(keyCol)).orderBy(col("__tsl"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var df = events.select(col(keyCol), unix_micros(col(tsCol)).as("__tsl"),
+        col(opCol).as("__op"))
+      .withColumn("__start1", when(col("__op") === steps.head, col("__tsl")))
+    for (i <- 2 to steps.size) {
+      df = df
+        .withColumn(s"__prev${i - 1}", max(col(s"__start${i - 1}")).over(before))
+        .withColumn(s"__start$i",
+          when(col("__op") === steps(i - 1) &&
+            col(s"__prev${i - 1}") >= col("__tsl") - windowMicros,
+            col(s"__prev${i - 1}")))
+    }
+    val level = (steps.size to 1 by -1).foldLeft(lit(null).cast("int")) {
+      (acc, i) => coalesce(acc, when(col(s"__start$i").isNotNull, i))
+    }
+    df.groupBy(col(keyCol))
+      .agg(coalesce(max(level), lit(0)).cast("bigint").as("funnel_level"))
   }
 
   /** Hour-of-week seasonality profile: event count and mean value per

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Train→test decontamination: flag training documents that share distinctive
@@ -18,21 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+                       side: String, width: Int) = {
+    val ws = split(lower(col(textCol)), " ")
+    df.select(col(idCol).as(side), ws.as("ws"))
+      .where(size(col("ws")) >= width)
+      .select(col(side), explode(array_distinct(transform(
+        sequence(lit(0), size(col("ws")) - width),
+        i => array_join(slice(col("ws"), i + lit(1), lit(width)), " ")))).as("sh"))
+  }
+
   /** (train_id, test_id, n_shared): pairs sharing ≥ `minShared` distinct
     * `width`-word shingles, after dropping shingles with total df > `maxDf`.
     */
   def report(train: DataFrame, test: DataFrame, idCol: String, textCol: String,
              width: Int = 4, minShared: Int = 3, maxDf: Int = 100): DataFrame = {
-    def shingled(df: DataFrame, side: String) = {
-      val ws = split(lower(col(textCol)), " ")
-      df.select(col(idCol).as(side), ws.as("ws"))
-        .where(size(col("ws")) >= width)
-        .select(col(side), explode(array_distinct(transform(
-          sequence(lit(0), size(col("ws")) - width),
-          i => array_join(slice(col("ws"), i + lit(1), lit(width)), " ")))).as("sh"))
-    }
-    val tr = shingled(train, "train_id")
-    val te = shingled(test, "test_id")
+    val tr = shingled(train, idCol, textCol, "train_id", width)
+    val te = shingled(test, idCol, textCol, "test_id", width)
     // df cap over BOTH sides so the pruning is symmetric and reproducible
     val rare = tr.select(col("sh")).unionAll(te.select(col("sh")))
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -41,6 +43,46 @@ object Contamination {
     // semijoining the rare set on one side is enough — a pruned shingle
     // can't produce a pair regardless of the other side
     tr.join(rare, "sh").join(te, "sh")
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** [[report]] with a broadcast Bloom pre-filter on the TRAIN side — the
+    * 100 TB shape. `report` shuffles every train shingle into the df count
+    * and the join; here a Bloom filter over the (small) test side's
+    * shingles cuts train shingles at the scan, so the train-side shuffle
+    * carries only shingles that might match the eval set (+fpp riders)
+    * instead of the whole corpus' n-grams.
+    *
+    * The result is EXACTLY `report`'s, not an approximation:
+    *  - no false negatives — every train occurrence of a test-side shingle
+    *    hashes identically, so all survive the filter;
+    *  - the df cut stays exact for every shingle that can pair: a test-side
+    *    shingle keeps ALL its train occurrences (df exact); a train-only
+    *    shingle is either dropped (it could never pair) or rides through as
+    *    a false positive with all its occurrences intact (df exact, joins
+    *    nothing);
+    *  - the equi-join itself discards the false positives.
+    *
+    * Two eager passes over the test side happen at CALL time (a row count
+    * to size the bit array, then the filter build); the test side is the
+    * small side by construction, and both passes are scans, not shuffles.
+    */
+  def reportBloom(train: DataFrame, test: DataFrame, idCol: String,
+                  textCol: String, width: Int = 4, minShared: Int = 3,
+                  maxDf: Int = 100, fpp: Double = 0.01): DataFrame = {
+    val tr = shingled(train, idCol, textCol, "train_id", width)
+    val te = shingled(test, idCol, textCol, "test_id", width)
+    // row count upper-bounds the distinct-shingle count; oversizing only
+    // lowers the realized fpp
+    val bloom = Bloom.buildString(te, "sh", te.count(), fpp)
+    val trF = tr.where(Bloom.mightContain(col("sh"), bloom))
+    val rare = trF.select(col("sh")).unionAll(te.select(col("sh")))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("sh"))
+    trF.join(rare, "sh").join(te, "sh")
       .groupBy(col("train_id"), col("test_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)

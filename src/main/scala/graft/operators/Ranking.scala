@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -87,5 +88,68 @@ object Ranking {
       case ((cum, i), elseExpr) => when(col(rankCol) <= cum, lit(i + 1)).otherwise(elseExpr)
     }
     ranked.withColumn(bucketCol, bucket.cast("bigint")).drop(rankCol)
+  }
+
+  /** Exact WEIGHTED percentiles — ClickHouse `quantileExactWeighted`: the
+    * p-th weighted percentile is the smallest value v whose cumulative
+    * weight (all rows with value ≤ v) reaches ⌈p/100 · W⌉, computed in
+    * integer arithmetic so the cut row is engine-exact. Rows with null
+    * values or non-positive weights are dropped; weights are truncated to
+    * longs (pass integer-valued weights).
+    *
+    * Scale shape — no global sort, no single-partition window:
+    *   1. one aggregate for (min, max, ΣW) — 1 row;
+    *   2. values bin into `fanout` uniform cells of [min, max] (cell id is
+    *      monotone in v); one map-side-combined aggregation gives per-cell
+    *      weights — a bounded `fanout`-row collect turns them into prefix
+    *      offsets, and each requested percentile resolves driver-side to
+    *      (owning cell, remaining target) — O(fanout) arithmetic;
+    *   3. ONLY the owning cells' rows (≤ percents.size of them, predicate
+    *      pushed to the scan) flow into a per-cell running-sum window
+    *      (~N/fanout rows per partition; ties handled by the RANGE frame,
+    *      which accumulates whole value-groups) and a grouped min picks
+    *      each answer.
+    * Value skew concentrates cells (uniform split of the RANGE, not the
+    * mass) — raise `fanout` for heavy-tailed domains; correctness never
+    * depends on the binning, only per-cell row counts do.
+    */
+  def weightedPercentiles(df: DataFrame, valueCol: String, weightCol: String,
+                          percents: Seq[Int], fanout: Int = 256): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100]: $percents")
+    require(fanout > 0 && fanout <= 10000, s"fanout=$fanout out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .where(col("v").isNotNull && col("wt") > 0)
+    val head = rows.agg(min(col("v")), max(col("v")), sum(col("wt"))).head()
+    if (head.isNullAt(2) || head.getLong(2) == 0L)
+      return Seq.empty[(Long, Double)].toDF("pct", "v")
+    val (vmin, vmax, totW) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+    val width = (vmax - vmin) / fanout
+    val cell =
+      if (width == 0) lit(0) // constant column: everything in cell 0
+      else least(lit(fanout - 1),
+        floor((col("v") - vmin) / width)).cast("int")
+    val binned = rows.withColumn("__cell", cell)
+    val cellW = new Array[Long](fanout)
+    binned.groupBy(col("__cell")).agg(sum(col("wt")).as("w"))
+      .as[(Int, Long)].collect().foreach { case (c, w) => cellW(c) = w }
+    val prefix = cellW.scanLeft(0L)(_ + _) // prefix(c) = weight before cell c
+    // per percentile: ceil target, owning cell, weight remaining inside it
+    val targetRows = percents.distinct.sorted.map { p =>
+      val t = (totW * p + 99L) / 100L
+      val c = prefix.indexWhere(_ >= t) - 1 // last cell whose prefix < t
+      (p.toLong, c, t - prefix(c))
+    }
+    val targets = targetRows.toDF("pct", "__cell", "__local_target")
+    val cum = Window.partitionBy(col("__cell")).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.where(col("__cell").isin(targetRows.map(_._2): _*))
+      .withColumn("__cum", sum(col("wt")).over(cum))
+      .join(broadcast(targets), "__cell")
+      .where(col("__cum") >= col("__local_target"))
+      .groupBy(col("pct")).agg(min(col("v")).as("v"))
   }
 }

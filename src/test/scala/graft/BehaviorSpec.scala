@@ -27,6 +27,45 @@ class BehaviorSpec extends SparkSpec {
     assert(levels == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("windowFunnel: every chain start counts, window and order are exact") {
+    val H = 3600L * 1000000 // an hour in micros
+    val events = Seq(
+      // user 1: clean chain inside the 2h window → 3
+      (1L, "s1", ts("2024-01-01 00:00:00")),
+      (1L, "s2", ts("2024-01-01 00:30:00")),
+      (1L, "s3", ts("2024-01-01 01:00:00")),
+      // user 2: the EARLY start can't finish (s3 at +3h), but a LATE
+      // restart can — greedy-from-earliest would report 2, truth is 3
+      (2L, "s1", ts("2024-01-01 00:00:00")),
+      (2L, "s2", ts("2024-01-01 00:10:00")),
+      (2L, "s1", ts("2024-01-01 02:30:00")),
+      (2L, "s2", ts("2024-01-01 02:40:00")),
+      (2L, "s3", ts("2024-01-01 03:00:00")),
+      // user 3: steps in order but s3 falls just OUTSIDE the window of the
+      // only chain start (2h + 1s) → 2
+      (3L, "s1", ts("2024-01-01 00:00:00")),
+      (3L, "s2", ts("2024-01-01 00:30:00")),
+      (3L, "s3", ts("2024-01-01 02:00:01")),
+      // user 4: s3 lands EXACTLY at start + window (inclusive bound) → 3
+      (4L, "s1", ts("2024-01-01 00:00:00")),
+      (4L, "s2", ts("2024-01-01 01:00:00")),
+      (4L, "s3", ts("2024-01-01 02:00:00")),
+      // user 5: s2 at the SAME timestamp as s1 — strict order rejects it
+      (5L, "s1", ts("2024-01-01 00:00:00")),
+      (5L, "s2", ts("2024-01-01 00:00:00")),
+      // user 6: steps present but in the wrong time order → 1
+      (6L, "s2", ts("2024-01-01 00:00:00")),
+      (6L, "s1", ts("2024-01-01 00:30:00")),
+      // user 7: no funnel steps at all → 0
+      (7L, "x", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "t")
+    val levels = Behavior.windowFunnel(events, "user_id", "event_type", "t",
+        Seq("s1", "s2", "s3"), windowMicros = 2 * H)
+      .as[(Long, Long)].collect().toMap
+    assert(levels == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 0L))
+  }
+
   test("cohortRetention assigns each key to its first-event week") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), // Monday week 1

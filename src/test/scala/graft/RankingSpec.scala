@@ -63,4 +63,44 @@ class RankingSpec extends SparkSpec {
     val one = Ranking.exactNtile(df, 1, Seq(col("v"), col("id")), "b")
     assert(one.where(col("b") =!= 1).count() === 0)
   }
+
+  /** Driver-side reference: smallest v whose cumulative weight ≥ ⌈p·W/100⌉. */
+  private def bruteWeighted(rows: Seq[(Double, Long)], p: Int): Double = {
+    val kept = rows.filter(_._2 > 0).sortBy(_._1)
+    val w = kept.map(_._2).sum
+    val target = (w * p + 99L) / 100L
+    var cum = 0L
+    kept.find { case (_, wt) => cum += wt; cum >= target }.get._1
+  }
+
+  test("weightedPercentiles matches the brute-force cut on a skewed corpus") {
+    // heavy tail + duplicated values (ties) + varied weights; fanout far
+    // smaller than the distinct count so cells hold many values
+    val rows = (1 to 3000).map { i =>
+      val v = if (i % 7 == 0) 1000.0 + (i % 13) else (i % 97).toDouble
+      (v, (i % 5 + 1).toLong)
+    }
+    val df = rows.toDF("v", "w")
+    val got = Ranking.weightedPercentiles(df, "v", "w", Seq(10, 50, 90, 99),
+        fanout = 16)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(10L, 50L, 90L, 99L))
+    for (p <- Seq(10, 50, 90, 99))
+      assert(got(p.toLong) == bruteWeighted(rows, p), s"p=$p")
+  }
+
+  test("weightedPercentiles: constant column, null/zero weights, empty input") {
+    val const = Seq((5.0, 3L), (5.0, 2L)).toDF("v", "w")
+    val g = Ranking.weightedPercentiles(const, "v", "w", Seq(50, 100))
+      .as[(Long, Double)].collect().toMap
+    assert(g == Map(50L -> 5.0, 100L -> 5.0))
+    // zero/negative weights and null values are dropped, not counted
+    val mixed = Seq((Some(1.0), 0L), (Some(2.0), -4L), (None, 9L), (Some(3.0), 1L))
+      .toDF("v", "w")
+    val m = Ranking.weightedPercentiles(mixed, "v", "w", Seq(50))
+      .as[(Long, Double)].collect().toMap
+    assert(m == Map(50L -> 3.0))
+    val empty = Seq.empty[(Double, Long)].toDF("v", "w")
+    assert(Ranking.weightedPercentiles(empty, "v", "w", Seq(50)).count() === 0)
+  }
 }
