@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.CdcOps
+import graft.sources.DebeziumEnvelope
+
+class DebeziumEnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType)))
+
+  private def src(lsn: Long, tsMs: Long) =
+    s""""source":{"lsn":$lsn,"ts_ms":$tsMs,"table":"users","db":"app","schema":"public","snapshot":"false"}"""
+
+  test("c/u/r/d map to upserts and deletes; wrapper detected per row") {
+    val events = Seq(
+      // create, wrapped in the schemas.enable=true payload envelope
+      s"""{"schema":{},"payload":{"before":null,"after":{"id":1,"name":"ann"},${src(100, 1000)},"op":"c","ts_ms":1000}}""",
+      // update, unwrapped (schemas.enable=false)
+      s"""{"before":{"id":1,"name":"ann"},"after":{"id":1,"name":"anne"},${src(200, 2000)},"op":"u","ts_ms":2000}""",
+      // snapshot read of another key
+      s"""{"before":null,"after":{"id":2,"name":"bob"},${src(50, 500)},"op":"r","ts_ms":500}""",
+      // delete: image comes from `before`
+      s"""{"before":{"id":2,"name":"bob"},"after":null,${src(300, 3000)},"op":"d","ts_ms":3000}"""
+    ).toDF("value")
+    val p = DebeziumEnvelope.parse(events, "value", rowSchema)
+    assert(p.deadLetter.count() === 0)
+    val rows = p.changes
+      .select(col("id"), col("name"), col("_version"), col("_is_deleted"),
+        col("_source_table"))
+      .as[(Long, String, Long, Boolean, String)].collect().toSet
+    assert(rows == Set(
+      (1L, "ann", 100L, false, "users"),
+      (1L, "anne", 200L, false, "users"),
+      (2L, "bob", 50L, false, "users"),
+      (2L, "bob", 300L, true, "users")))
+    // end-to-end: the parsed log collapses to the engine's FINAL semantics
+    val fin = CdcOps.softDeleteSnapshot(
+      p.changes.select(col("id"), col("name"), col("_version"),
+        col("_is_deleted")),
+      Seq("id"), "_version", col("_is_deleted"))
+      .select(col("id"), col("name")).as[(Long, String)].collect().toSet
+    assert(fin == Set((1L, "anne"))) // id 2 deleted at the newest version
+  }
+
+  test("missing lsn falls back to promoted ts_ms; event ts surfaces") {
+    val events = Seq(
+      s"""{"before":null,"after":{"id":7,"name":"x"},"source":{"ts_ms":5000,"table":"users"},"op":"c","ts_ms":5000}"""
+    ).toDF("value")
+    val p = DebeziumEnvelope.parse(events, "value", rowSchema)
+    val (v, ts) = p.changes.select(col("_version"), col("_event_ts"))
+      .as[(Long, java.sql.Timestamp)].head()
+    assert(v === 5000L * 1000)
+    assert(ts === java.sql.Timestamp.valueOf("1970-01-01 00:00:05.0"))
+  }
+
+  test("tombstones vanish; corrupt and contract-breaking rows dead-letter") {
+    val events = Seq(
+      null, // Kafka compaction tombstone — silently dropped
+      "this is not json at all{{{",
+      """{"hello":"world"}""", // JSON but no op anywhere
+      s"""{"before":null,"after":null,${src(10, 10)},"op":"d","ts_ms":10}""", // d without before
+      s"""{"before":null,"after":{"id":3,"name":"ok"},${src(11, 11)},"op":"c","ts_ms":11}"""
+    ).toDF("value")
+    val p = DebeziumEnvelope.parse(events, "value", rowSchema)
+    assert(p.changes.count() === 1)
+    assert(p.changes.select(col("id")).as[Long].head() === 3L)
+    // the three bad rows survive VERBATIM for replay — the tombstone does not
+    val dead = p.deadLetter.as[String].collect().toSet
+    assert(dead.size === 3)
+    assert(dead.contains("this is not json at all{{{"))
+  }
+}
