@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -241,6 +241,16 @@ object SparkEntry {
         t(s, d, "events").where(col("event_type") === "click")
           .select(col("user_id"), col("event_id"), col("ts"), col("value")),
         Seq("user_id"), "ts", "ts")),
+    // forward as-of with tolerance: click → NEXT purchase within 30 min
+    // (conversion attribution); pandas merge_asof(direction='forward',
+    // tolerance=30m) / QuestDB ASOF TOLERANCE semantics
+    "asof_click_next_purchase" -> ((s, d) =>
+      AsOfJoin.forward(
+        t(s, d, "events").where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        t(s, d, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "ts", toleranceMicros = Some(1800L * 1000000))),
     "range_join_events" -> ((s, d) =>
       RangeJoin.byKeyAndTime(
         t(s, d, "events").where(col("event_type") === "purchase")
@@ -574,6 +584,18 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2,
         bitsPerBand = 4, bands = 32)),
+    // SemDeDup: cluster-then-exact-compare semantic dedup; same 0.2 cut as
+    // dedup_embedding so the two scale paths anchor each other
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2,
+        k = 8, iters = 3)),
+    // distributed spherical k-means fit surfaced as a query: cluster sizes
+    // + centroid summary (rows-only: float means are iteration artifacts)
+    "emb_kmeans" -> ((s, d) =>
+      Similarity.kmeansFit(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 3)
+        .select(col("centroid_id"), col("n_members"),
+          round(VectorFunctions.l2Norm(col("centroid")), 4).as("centroid_norm"))),
     "dedup_clusters" -> ((s, d) => {
       // realistic pipeline order: sparse LSH candidates → clusters → keep-best
       val docs = t(s, d, "documents")
@@ -981,6 +1003,17 @@ object SparkEntry {
          FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
          ASOF JOIN (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // DuckDB ASOF with <= picks the earliest later row; the tolerance is a
+    // post-filter on the matched gap (the picked row is the nearest, so no
+    // other candidate could pass when it fails)
+    "asof_click_next_purchase" ->
+      """SELECT * FROM (
+           SELECT c.user_id, c.event_id, c.ts, c.value,
+                  p.event_id AS r_event_id, p.ts AS r_ts, p.value AS r_value
+           FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click') c
+           ASOF JOIN (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         WHERE epoch_us(r_ts) - epoch_us(ts) <= 1800000000""",
     "range_join_events" ->
       """SELECT p.user_id, p.event_id, c.event_id AS r_event_id
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p,

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward) join — ClickHouse `ASOF JOIN` semantics: each left row
-  * pairs with the newest right row of the same key whose timestamp is
-  * `<=` the left row's timestamp.
+/** As-of join — ClickHouse `ASOF JOIN` semantics: each left row pairs
+  * with the newest right row of the same key whose timestamp is `<=` the
+  * left row's timestamp ([[AsOfJoin.backward]]), or the earliest one `>=`
+  * it ([[AsOfJoin.forward]]), optionally bounded by a max time gap
+  * (pandas `merge_asof` direction/tolerance).
   *
   * Spark has no built-in as-of operator, and the naive formulation
   * (`l JOIN r ON l.key = r.key AND r.ts <= l.ts` + argmax) explodes the
@@ -27,10 +29,36 @@ object AsOfJoin {
     * @param rightPrefix prefix for right payload columns in the output
     * @param inner     true drops unmatched left rows (ClickHouse default);
     *                  false keeps them with null right columns
+    * @param toleranceMicros max allowed staleness (pandas `merge_asof
+    *                  tolerance` / QuestDB `TOLERANCE`): a match older than
+    *                  `leftTs − tolerance` is treated as NO match. Defined
+    *                  for timestamp ts columns. None = unbounded.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightPrefix: String = "r_", inner: Boolean = true): DataFrame = {
+               rightPrefix: String = "r_", inner: Boolean = true,
+               toleranceMicros: Option[Long] = None): DataFrame =
+    merged(left, right, keys, leftTs, rightTs, rightPrefix, inner,
+      toleranceMicros, forward = false)
+
+  /** Forward as-of: each left row pairs with the EARLIEST right row of the
+    * same key at or after its timestamp — "what happened next": click →
+    * next purchase, alert → next deploy. Same merge shape as [[backward]]
+    * with the scan order reversed; `toleranceMicros` bounds how far ahead.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              rightPrefix: String = "r_", inner: Boolean = true,
+              toleranceMicros: Option[Long] = None): DataFrame =
+    merged(left, right, keys, leftTs, rightTs, rightPrefix, inner,
+      toleranceMicros, forward = true)
+
+  private def merged(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String, rightPrefix: String,
+                     inner: Boolean, toleranceMicros: Option[Long],
+                     forward: Boolean): DataFrame = {
+    require(toleranceMicros.forall(_ > 0),
+      s"tolerance must be positive: $toleranceMicros")
     val lPayload = left.columns.filterNot(keys.contains)
     val rPayload = right.columns.filterNot(keys.contains)
 
@@ -47,15 +75,35 @@ object AsOfJoin {
           .as("_asof_l"),
         struct(rPayload.map(col): _*).as("_asof_r")): _*)
 
+    // backward scans time ascending (carry the newest earlier right row
+    // forward); forward scans descending (carry the earliest later right
+    // row backward). Either way right (side 0) sorts before left at equal
+    // instants, so same-timestamp rows match in both directions.
+    val ord = if (forward) col("_asof_ts").desc else col("_asof_ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_asof_ts"), col("_asof_side"))
+      .orderBy(ord, col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = l.unionByName(r)
       .withColumn("_asof_match", last(col("_asof_r"), ignoreNulls = true).over(w))
       .where(col("_asof_side") === 1)
 
-    val filtered = if (inner) matched.where(col("_asof_match").isNotNull) else matched
+    // a match farther than the tolerance is NO match (pandas semantics):
+    // the picked row is the NEAREST in the scan direction, so no other
+    // candidate could be closer
+    val gated = toleranceMicros match {
+      case None => matched
+      case Some(tol) =>
+        val gap =
+          if (forward)
+            unix_micros(col(s"_asof_match.$rightTs")) - unix_micros(col("_asof_ts"))
+          else
+            unix_micros(col("_asof_ts")) - unix_micros(col(s"_asof_match.$rightTs"))
+        matched.withColumn("_asof_match",
+          when(gap <= tol, col("_asof_match")))
+    }
+
+    val filtered = if (inner) gated.where(col("_asof_match").isNotNull) else gated
     filtered.select(
       keys.map(col) ++
         lPayload.map(c => col(s"_asof_l.$c").as(c)) ++

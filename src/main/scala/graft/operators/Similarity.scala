@@ -152,4 +152,79 @@ object Similarity {
           VectorFunctions.cosine(col("qv"), col("cv")).as("cos_sim")),
       k)
   }
+
+  /** Distributed spherical k-means (cosine assignment — the metric every
+    * other vector op here ranks by — with per-cluster coordinate means):
+    * the clustering step of SemDeDup-style semantic dedup and of corpus
+    * partitioning jobs. Deterministic init: the same hash-ordered k-sample
+    * [[ivfTopK]] freezes. Returns (centroidIds 0..k-1, flat row-major
+    * centroid matrix, dim).
+    *
+    * Scale shape per iteration: assignment is a PROJECTION — the k-bounded
+    * codebook rides inside the native [[graft.expressions.NearestCentroids]]
+    * expression, so corpus vectors are never shuffled or joined for it —
+    * and the mean recomputation is one `posexplode` + (cid, pos) grouped
+    * sum whose result is ≤ k·dim rows, collected driver-side (the bounded
+    * collect every distributed k-means makes; MLlib's does the same).
+    * Clusters that lose all members keep their previous centroid.
+    * Within-iteration float sums are shuffle-order dependent, so exact
+    * bits can differ between runs on a nondeterministically-partitioned
+    * corpus — callers pin QUALITY (assignment agreement, inertia), not
+    * centroid bits.
+    */
+  private[operators] def kmeansCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): (Array[Long], Array[Double], Int) = {
+    require(k > 0 && iters >= 0, s"bad k=$k iters=$iters")
+    val init = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(k)
+      .collect()
+    require(init.nonEmpty, "kmeansCentroids: empty corpus")
+    val dim = init.head.getSeq[Double](1).length
+    val ids = Array.tabulate(init.length)(_.toLong)
+    var flat = init.flatMap(_.getSeq[Double](1)).toArray
+    for (_ <- 1 to iters) {
+      val assigned = corpus
+        .select(element_at(nearestOf(col(vecCol), ids, flat, dim, 1), 1).as("cid"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      val stats = assigned.groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect() // ≤ k·dim rows by construction
+      val next = flat.clone() // empty clusters keep their centroid
+      stats.foreach { r =>
+        val (cid, pos) = (r.getLong(0).toInt, r.getInt(1))
+        next(cid * dim + pos) = r.getDouble(2) / r.getLong(3)
+      }
+      flat = next
+    }
+    (ids, flat, dim)
+  }
+
+  /** Nearest-centroid ids of `v` against a driver-side codebook. */
+  private[operators] def nearestOf(v: Column, ids: Array[Long],
+      flat: Array[Double], dim: Int, n: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(graft.expressions.NearestCentroids(
+      org.apache.spark.sql.graft.bridge.expression(v), ids, flat, dim, n))
+
+  /** [[kmeansCentroids]] as a query surface: (centroid_id, centroid,
+    * n_members) — fit then one assignment pass for the member counts.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (ids, flat, dim) = kmeansCentroids(corpus, idCol, vecCol, k, iters)
+    val cents = ids.map(i =>
+      (i, flat.slice(i.toInt * dim, (i.toInt + 1) * dim).toSeq))
+      .toSeq.toDF("centroid_id", "centroid")
+    val sizes = corpus
+      .select(element_at(nearestOf(col(vecCol), ids, flat, dim, 1), 1).as("centroid_id"))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_members"))
+    cents.join(sizes, Seq("centroid_id"), "left_outer")
+      .select(col("centroid_id"), col("centroid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
 }

@@ -26,6 +26,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Set((1L, 10, 100.0), (1L, 20, 101.0)))
   }
 
+  test("forward as-of picks the earliest right row at or after the left ts") {
+    // reuse the fixtures with roles flipped in time: for each trade, the
+    // next quote at or after it
+    val out = AsOfJoin.forward(trades, quotes, Seq("key"), "tts", "qts")
+      .select("key", "qty", "r_price").as[(Long, Int, Double)].collect().toSet
+    // trade@00:03 → quote@00:05; trade@00:05 → equal-ts quote@00:05;
+    // trade@2023 → first 2024 quote; key 3 unmatched
+    assert(out == Set((1L, 10, 101.0), (1L, 20, 101.0), (1L, 30, 100.0)))
+  }
+
+  test("tolerance gates stale matches in both directions; outer keeps the row") {
+    val H = 3600L * 1000000
+    // backward with 4-minute tolerance: trade@00:03's newest quote is
+    // @00:00 (3 min, in); trade@2023 has none; equal ts is gap 0
+    val bw = AsOfJoin.backward(trades, quotes, Seq("key"), "tts", "qts",
+        toleranceMicros = Some(4L * 60 * 1000000))
+      .select("key", "qty", "r_price").as[(Long, Int, Double)].collect().toSet
+    assert(bw == Set((1L, 10, 100.0), (1L, 20, 101.0)))
+    // forward with 1h tolerance: the 2023 trade's next quote is a year
+    // ahead — gated out even though a match EXISTS
+    val fw = AsOfJoin.forward(trades, quotes, Seq("key"), "tts", "qts",
+        toleranceMicros = Some(H))
+      .select("key", "qty", "r_price").as[(Long, Int, Double)].collect().toSet
+    assert(fw == Set((1L, 10, 101.0), (1L, 20, 101.0)))
+    // outer + tolerance: the gated row survives with a null match
+    val outer = AsOfJoin.forward(trades, quotes, Seq("key"), "tts", "qts",
+        inner = false, toleranceMicros = Some(H))
+      .select("key", "qty", "r_price").as[(Long, Int, Option[Double])]
+      .collect().toSet
+    assert(outer == Set((1L, 10, Some(101.0)), (1L, 20, Some(101.0)),
+      (1L, 30, None), (3L, 40, None)))
+  }
+
   test("physical-operator path matches the window formulation on the small case") {
     val out = AsOfJoin.backwardExec(trades, quotes, Seq("key"), "tts", "qts")
       .select("key", "qty", "r_price").as[(Long, Int, Double)].collect().toSet
