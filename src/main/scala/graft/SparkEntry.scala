@@ -399,6 +399,13 @@ object SparkEntry {
         .where(TextFunctions.qualityScore(col("text")) >= 0.5
           && TextFunctions.tokenCount(col("text")) >= 20)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // the published Gopher rule set (integer-exact verdicts per rule)
+    "docs_gopher_rules" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.gopherSignals(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.ok_word_count"),
+          col("g.ok_mean_word_len"), col("g.ok_symbol_ratio"),
+          col("g.ok_alpha_words"), col("g.ok_stopwords"), col("g.keep"))),
     "docs_oov_rate" -> ((s, d) =>
       Vocabulary.oovStats(t(s, d, "documents"), "doc_id", "text", 1000)),
     "docs_tfidf_top_terms" -> ((s, d) =>
@@ -1174,6 +1181,27 @@ object SparkEntry {
                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
          GROUP BY user_id""",
+    "docs_gopher_rules" ->
+      """SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+                ok_alpha_words, ok_stopwords,
+                (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+                 AND ok_alpha_words AND ok_stopwords) AS keep
+         FROM (
+           SELECT doc_id, n_words,
+                  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+                  sl >= n_words * 3 AND sl <= n_words * 10 AS ok_mean_word_len,
+                  sym * 10 < n_words AS ok_symbol_ratio,
+                  aw * 10 >= n_words * 8 AS ok_alpha_words,
+                  st >= 2 AS ok_stopwords
+           FROM (
+             SELECT doc_id,
+                    CAST(len(ws) AS BIGINT) AS n_words,
+                    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sl,
+                    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+                    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS sym,
+                    len(list_intersect(list_distinct(ws),
+                        ['the','a','an','and','of','to','in','is'])) AS st
+             FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)))""",
     "docs_oov_rate" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

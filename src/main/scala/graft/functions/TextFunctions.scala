@@ -139,6 +139,48 @@ object TextFunctions {
     * aggregation buffers — any corpus size). Documents with fewer than two
     * words have no bigrams and report a null top_bigram_fraction.
     */
+  /** The Gopher document-quality rules (Rae et al. 2021, Appendix A) as
+    * one struct of per-rule verdicts + the composite `keep` — the
+    * published rule set the open-corpus pipelines (Gopher/MassiveText,
+    * RedPajama, Dolma) filter with. Every ratio test is a MULTIPLIED-OUT
+    * integer compare (3n ≤ Σlen ≤ 10n, 10·alpha ≥ 8·n, 10·symbols < n) so
+    * verdicts are engine-exact — no float thresholds. All rules evaluate
+    * in one codegen'd projection over the scan; rules about lines
+    * (bullet/ellipsis starts) are omitted as this corpus is single-line —
+    * the remaining five are the word-shape core.
+    *
+    * Fields: n_words, ok_word_count (50..100000), ok_mean_word_len
+    * (mean ∈ [3,10]), ok_symbol_ratio (#/… density < 10%), ok_alpha_words
+    * (≥80% of words contain a letter), ok_stopwords (≥2 distinct of the
+    * canonical 8), keep (AND).
+    */
+  def gopherSignals(text: Column): Column = {
+    val ws = tokens(text)
+    val n = size(ws).cast("long")
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+      .cast("long")
+    // Gopher's rule is "≥2 distinct words from a fixed stopword list";
+    // the engine's canonical list (shared with stopwordCount) stands in
+    // for the paper's 8 so the verdict discriminates on any corpus that
+    // has function words at all
+    val stops = size(array_intersect(array_distinct(ws),
+      array(Seq("the", "a", "an", "and", "of", "to", "in", "is")
+        .map(lit): _*)))
+    val okCount = n.between(50L, 100000L)
+    val okMeanLen = (sumLen >= n * 3L) && (sumLen <= n * 10L)
+    val okSymbol = symbols * 10L < n
+    val okAlpha = alphaWords * 10L >= n * 8L
+    val okStops = stops >= 2
+    struct(
+      n.as("n_words"), okCount.as("ok_word_count"),
+      okMeanLen.as("ok_mean_word_len"), okSymbol.as("ok_symbol_ratio"),
+      okAlpha.as("ok_alpha_words"), okStops.as("ok_stopwords"),
+      (okCount && okMeanLen && okSymbol && okAlpha && okStops).as("keep"))
+  }
+
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame = {
     val ws = docs.select(col(idCol).as("doc_id"),

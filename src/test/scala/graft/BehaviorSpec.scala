@@ -66,6 +66,40 @@ class BehaviorSpec extends SparkSpec {
       5L -> 1L, 6L -> 1L, 7L -> 0L))
   }
 
+  test("windowFunnel equals brute-force chain enumeration on random logs") {
+    val steps = Seq("s1", "s2", "s3")
+    val rnd = new scala.util.Random(20260813L)
+    val types = Array("s1", "s2", "s3", "x")
+    val W = 40L // micros; event times drawn from [0, 100] micros
+    // (user, micros, op) — dense ts range so ties and boundary hits occur
+    val events = (1 to 400).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(101).toLong,
+        types(rnd.nextInt(types.length)))
+    }
+    def brute(evs: Seq[(Long, String)]): Long = {
+      val Seq(a, b, c) = steps.map(s => evs.filter(_._2 == s).map(_._1))
+      val l3 = a.exists(t1 => b.exists(t2 => t1 < t2 &&
+        c.exists(t3 => t2 < t3 && t3 <= t1 + W)))
+      val l2 = a.exists(t1 => b.exists(t2 => t1 < t2 && t2 <= t1 + W))
+      if (l3) 3L else if (l2) 2L else if (a.nonEmpty) 1L else 0L
+    }
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      u -> brute(evs.map(e => (e._2, e._3)))
+    }
+    val df = events.map { case (u, m, op) =>
+      val t = new java.sql.Timestamp(0L)
+      t.setNanos((m * 1000).toInt) // m µs < 1 ms, so epoch-micros == m
+      (u, t, op)
+    }.toDF("user_id", "t", "op")
+    val got = Behavior.windowFunnel(df, "user_id", "op", "t", steps, W)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, {
+      val diff = (got.keySet ++ expected.keySet)
+        .filter(k => got.get(k) != expected.get(k))
+      s"mismatch on users $diff"
+    })
+  }
+
   test("cohortRetention assigns each key to its first-event week") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), // Monday week 1

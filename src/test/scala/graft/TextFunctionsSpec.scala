@@ -192,4 +192,42 @@ class TextFunctionsSpec extends SparkSpec {
     assert(Seq(Tuple1(clean)).toDF("text")
       .select(redactPii($"text")).as[String].head() == clean)
   }
+
+  test("gopherSignals: each rule flips exactly at its integer boundary") {
+    // base doc: 50 four-letter words with both list stopwords spliced in —
+    // passes every rule
+    val base = (Seq("the", "a") ++ Seq.fill(48)("word")).mkString(" ")
+    val cases = Seq(
+      ("pass", base, Seq(true, true, true, true, true)),
+      // 49 words → word-count rule fails, everything else holds
+      ("count49", (Seq("the", "a") ++ Seq.fill(47)("word")).mkString(" "),
+        Seq(false, true, true, true, true)),
+      // mean word length below 3: fifty 2-char words (the+a pull it down)
+      ("short", (Seq("the", "a") ++ Seq.fill(48)("ab")).mkString(" "),
+        Seq(true, false, true, true, true)),
+      // mean word length above 10: 11-char words
+      ("long", (Seq("the", "a") ++ Seq.fill(48)("abcdefghijk")).mkString(" "),
+        Seq(true, false, true, true, true)),
+      // 5 '#' in 50 words: symbol rule needs 5*10 < 50 → fails AT exactly
+      // 10%; alpha stays ok (45/50 = 90% ≥ 80%)
+      ("symbols", (Seq("the", "a") ++ Seq.fill(5)("#") ++
+        Seq.fill(43)("word")).mkString(" "), Seq(true, true, false, true, true)),
+      // 11 digit-only words of 50 → alpha fraction 39/50 < 80%
+      ("digits", (Seq("the", "a") ++ Seq.fill(11)("1234") ++
+        Seq.fill(37)("word")).mkString(" "), Seq(true, true, true, false, true)),
+      // only one distinct stopword
+      ("onestop", (Seq("the") ++ Seq.fill(49)("word")).mkString(" "),
+        Seq(true, true, true, true, false)))
+    val got = cases.map { case (id, t, _) => (id, t) }.toDF("id", "text")
+      .select($"id", gopherSignals($"text").as("g"))
+      .select($"id", $"g.ok_word_count", $"g.ok_mean_word_len",
+        $"g.ok_symbol_ratio", $"g.ok_alpha_words", $"g.ok_stopwords", $"g.keep")
+      .as[(String, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    cases.foreach { case (id, _, exp) =>
+      val r = got(id)
+      assert(Seq(r._2, r._3, r._4, r._5, r._6) == exp, s"case $id: $r")
+      assert(r._7 == exp.forall(identity), s"case $id keep: $r")
+    }
+  }
 }
