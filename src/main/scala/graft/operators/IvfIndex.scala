@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_ivf_index.json  {"fmt":2,"dim":D,"centroids":N,"batches":K,"base":B,"q":0|1}
+  *   dir/_graft_ivf_index.json  {"fmt":3,"dim":D,"centroids":N,"batches":K,"base":B,"q":0|1,"applied":A}
   *   dir/centroids/             (cent_id, v)            the codebook, written once
   *   dir/assigned/b=K/c=J/      (corpus_id, scale, codes)   q=1 (default): int8
   *   dir/assigned/b=K/c=J/      (corpus_id, cv)             q=0: raw float copy
@@ -82,7 +82,9 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
                               @volatile private var committedBatches: Int,
                               @volatile private var liveBase: Int,
                               val quantized: Boolean,
-                              centIds: Array[Long], flat: Array[Double]) {
+                              centIds: Array[Long], flat: Array[Double],
+                              @volatile private var appliedBatch: Int = -1)
+  extends VectorIndexWriter {
 
   /** Number of batches committed so far (including the creating corpus). */
   def batches: Int = committedBatches
@@ -92,13 +94,37 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     */
   def base: Int = liveBase
 
+  /** Highest applied EXTERNAL batch id (−1 until [[addBatch]] is used). */
+  def lastBatch: Int = appliedBatch
+
   private def nearest(v: Column, n: Int): Column =
     IvfIndex.nearestCol(v, centIds, flat, dim, n)
 
   /** Assign `batch` to its nearest centroids and append the assignment
     * lists under the next `b=K`; O(batch) compute, no corpus-side read.
     */
-  def add(batch: DataFrame, idCol: String, vecCol: String): Unit = synchronized {
+  def add(batch: DataFrame, idCol: String, vecCol: String): Unit =
+    synchronized { addWithMark(batch, idCol, vecCol, appliedBatch) }
+
+  /** Replay-safe [[add]] for at-least-once feeds (the streaming rider,
+    * mirroring [[TextIndex.addBatch]]): a batch id at or below the
+    * committed high-water mark is skipped — re-adding the same vectors
+    * would double their postings. Returns whether the batch was applied.
+    */
+  def addBatch(batchId: Long, batch: DataFrame, idCol: String,
+               vecCol: String): Boolean = synchronized {
+    require(batchId >= 0 && batchId <= Int.MaxValue, s"bad batch id $batchId")
+    if (batchId.toInt <= appliedBatch) return false
+    addWithMark(batch, idCol, vecCol, batchId.toInt)
+    true
+  }
+
+  /** Write the generation FIRST, then flip mark + meta in one commit — a
+    * failure mid-write leaves the mark unadvanced (the orphan `b=K` dir is
+    * invisible debris, the standard protocol).
+    */
+  private def addWithMark(batch: DataFrame, idCol: String, vecCol: String,
+                          newApplied: Int): Unit = {
     val b = committedBatches
     val assigned = batch.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       element_at(nearest(col(vecCol), 1), 1).as("c"))
@@ -112,7 +138,9 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
       .repartition(col("c")) // ≈ one file per centroid dir, not one per task
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/assigned/b=$b")
     committedBatches = b + 1
-    IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase, quantized)
+    appliedBatch = newApplied
+    IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase,
+      quantized, appliedBatch)
   }
 
   /** Fold every live generation into ONE — the file-count lever of a
@@ -142,7 +170,8 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/assigned/b=$b")
     liveBase = b
     committedBatches = b + 1
-    IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase, quantized)
+    IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase,
+      quantized, appliedBatch)
   }
 
   /** Per-centroid live posting counts — the index-health row of the
@@ -190,7 +219,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
 
 object IvfIndex {
   private val MetaFile = "_graft_ivf_index.json"
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   private[operators] def nearestCol(v: Column, centIds: Array[Long],
                                     flat: Array[Double], dim: Int, n: Int): Column =
@@ -298,12 +327,13 @@ object IvfIndex {
     * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
     */
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    val Seq(dim, cents, batches, base, q) = IndexMeta.load(spark, dir, MetaFile,
-      FormatVersion, "IVF", Seq("dim", "centroids", "batches", "base", "q"))
+    val Seq(dim, cents, batches, base, q, applied) = IndexMeta.load(spark, dir,
+      MetaFile, FormatVersion, "IVF",
+      Seq("dim", "centroids", "batches", "base", "q", "applied"))
     val centRows = spark.read.parquet(s"$dir/centroids")
       .orderBy(xxhash64(col("id")), col("id")).collect()
     new IvfIndex(spark, dir, dim, cents, batches, base, q != 0,
-      centRows.map(_.getLong(0)), centRows.flatMap(_.getSeq[Double](1)))
+      centRows.map(_.getLong(0)), centRows.flatMap(_.getSeq[Double](1)), applied)
   }
 
   /** Delete `b=K` generation dirs below `base` under `parent` — retired by
@@ -325,8 +355,9 @@ object IvfIndex {
 
   private def writeMeta(spark: SparkSession, dir: String, dim: Int,
                         centroids: Int, batches: Int, base: Int,
-                        quantized: Boolean): Unit =
+                        quantized: Boolean, applied: Int): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
       s"""{"fmt":$FormatVersion,"dim":$dim,"centroids":$centroids,""" +
-        s""""batches":$batches,"base":$base,"q":${if (quantized) 1 else 0}}""")
+        s""""batches":$batches,"base":$base,"q":${if (quantized) 1 else 0},""" +
+        s""""applied":$applied}""")
 }

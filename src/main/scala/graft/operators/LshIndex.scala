@@ -60,7 +60,9 @@ final class LshIndex private (spark: SparkSession, val dir: String,
                               val bits: Int, val tables: Int,
                               @volatile private var committedBatches: Int,
                               @volatile private var liveBase: Int,
-                              val quantized: Boolean) {
+                              val quantized: Boolean,
+                              @volatile private var appliedBatch: Int = -1)
+  extends VectorIndexWriter {
 
   /** Number of batches committed so far (including the creating corpus). */
   def batches: Int = committedBatches
@@ -69,6 +71,9 @@ final class LshIndex private (spark: SparkSession, val dir: String,
     * [[compact]]; 0 until then.
     */
   def base: Int = liveBase
+
+  /** Highest applied EXTERNAL batch id (−1 until [[addBatch]] is used). */
+  def lastBatch: Int = appliedBatch
 
   /** (table, bucket) composed into the single partition key th; the stored
     * vector is packed to int8 BEFORE the per-table explode, so the
@@ -90,13 +95,31 @@ final class LshIndex private (spark: SparkSession, val dir: String,
   /** Sign `batch` and append its bucket postings under the next `b=K`;
     * O(batch) compute, no corpus-side read.
     */
-  def add(batch: DataFrame, idCol: String, vecCol: String): Unit = synchronized {
+  def add(batch: DataFrame, idCol: String, vecCol: String): Unit =
+    synchronized { addWithMark(batch, idCol, vecCol, appliedBatch) }
+
+  /** Replay-safe [[add]] for at-least-once feeds (the streaming rider;
+    * the [[IvfIndex.addBatch]] contract): a batch id at or below the
+    * committed high-water mark is skipped. Returns whether applied.
+    */
+  def addBatch(batchId: Long, batch: DataFrame, idCol: String,
+               vecCol: String): Boolean = synchronized {
+    require(batchId >= 0 && batchId <= Int.MaxValue, s"bad batch id $batchId")
+    if (batchId.toInt <= appliedBatch) return false
+    addWithMark(batch, idCol, vecCol, batchId.toInt)
+    true
+  }
+
+  private def addWithMark(batch: DataFrame, idCol: String, vecCol: String,
+                          newApplied: Int): Unit = {
     val b = committedBatches
     postings(batch, idCol, vecCol)
       .repartition(col("th")) // ≈ one file per bucket dir, not one per task
       .write.mode("overwrite").partitionBy("th").parquet(s"$dir/assigned/b=$b")
     committedBatches = b + 1
-    LshIndex.writeMeta(spark, dir, bits, tables, committedBatches, liveBase, quantized)
+    appliedBatch = newApplied
+    LshIndex.writeMeta(spark, dir, bits, tables, committedBatches, liveBase,
+      quantized, appliedBatch)
   }
 
   /** Fold every live generation into ONE — the file-count lever of a
@@ -120,7 +143,8 @@ final class LshIndex private (spark: SparkSession, val dir: String,
     }
     liveBase = b
     committedBatches = b + 1
-    LshIndex.writeMeta(spark, dir, bits, tables, committedBatches, liveBase, quantized)
+    LshIndex.writeMeta(spark, dir, bits, tables, committedBatches, liveBase,
+      quantized, appliedBatch)
   }
 
   /** Per-bucket live posting counts, keyed by the composed `th` — the
@@ -178,7 +202,7 @@ final class LshIndex private (spark: SparkSession, val dir: String,
 
 object LshIndex {
   private val MetaFile = "_graft_lsh_index.json"
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   /** Build a fresh index over `corpus` at `dir` (replacing any previous
     * index there). `bits`/`tables` are frozen into the meta — every probe
@@ -204,15 +228,17 @@ object LshIndex {
     * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
     */
   def load(spark: SparkSession, dir: String): LshIndex = {
-    val Seq(bits, tables, batches, base, q) = IndexMeta.load(spark, dir, MetaFile,
-      FormatVersion, "LSH", Seq("bits", "tables", "batches", "base", "q"))
-    new LshIndex(spark, dir, bits, tables, batches, base, q != 0)
+    val Seq(bits, tables, batches, base, q, applied) = IndexMeta.load(spark, dir,
+      MetaFile, FormatVersion, "LSH",
+      Seq("bits", "tables", "batches", "base", "q", "applied"))
+    new LshIndex(spark, dir, bits, tables, batches, base, q != 0, applied)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, bits: Int,
                         tables: Int, batches: Int, base: Int,
-                        quantized: Boolean): Unit =
+                        quantized: Boolean, applied: Int): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
       s"""{"fmt":$FormatVersion,"bits":$bits,"tables":$tables,""" +
-        s""""batches":$batches,"base":$base,"q":${if (quantized) 1 else 0}}""")
+        s""""batches":$batches,"base":$base,"q":${if (quantized) 1 else 0},""" +
+        s""""applied":$applied}""")
 }

@@ -1,0 +1,20 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Write surface the streaming rider drives — implemented by both
+  * persisted ANN indexes ([[IvfIndex]], [[LshIndex]]), whose replay-safe
+  * `addBatch` carries the same contract as [[TextIndex.addBatch]]: a batch
+  * id at or below the persisted high-water mark is a no-op, so
+  * at-least-once redelivery never doubles postings.
+  */
+trait VectorIndexWriter {
+  /** Append `batch` under external id `batchId` iff not already applied;
+    * returns whether the batch was applied.
+    */
+  def addBatch(batchId: Long, batch: DataFrame, idCol: String,
+               vecCol: String): Boolean
+
+  /** Highest applied external batch id (−1 before any [[addBatch]]). */
+  def lastBatch: Int
+}

@@ -237,6 +237,27 @@ object CdcStream {
       idx.addBatch(batchId, inserts, "key", textCol); ()
     }
 
+  /** [[mirrorToParquet]] with a maintained PERSISTED VECTOR INDEX riding
+    * the microbatches — the continuously-searchable-embeddings half of the
+    * mirror story (the vector twin of [[mirrorToParquetWithText]], same
+    * insert-only contract and replay safety). `vectorize` turns each
+    * upserted row into its embedding row (`key` + `vecCol`) — typically a
+    * model-inference seam; keep it deterministic so redelivered batches
+    * embed identically.
+    */
+  def mirrorToParquetWithVectors(changes: Dataset[Change], targetDir: String,
+                                 checkpointDir: String,
+                                 idx: graft.operators.VectorIndexWriter,
+                                 vectorize: DataFrame => DataFrame,
+                                 vecCol: String = "embedding",
+                                 nBuckets: Int = 64,
+                                 deleteOp: String = "delete",
+                                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    insertArtifactRider(changes, targetDir, checkpointDir, vectorize, nBuckets,
+      deleteOp, trigger) { (batchId, inserts) =>
+      idx.addBatch(batchId, inserts, "key", vecCol); ()
+    }
+
   /** One typed microbatch upsert — also usable directly for backfills. */
   def mergeBatch(spark: SparkSession, batch: Dataset[Change], targetDir: String,
                  nBuckets: Int, deleteOp: String, batchId: Long): Unit = {

@@ -58,6 +58,43 @@ class DebeziumEnvelopeSpec extends SparkSpec {
     assert(ts === java.sql.Timestamp.valueOf("1970-01-01 00:00:05.0"))
   }
 
+  test("streaming end-to-end: a JSON landing zone mirrors through parse") {
+    import graft.streaming.CdcStream
+    val base = java.nio.file.Files.createTempDirectory("graft_dbz_stream")
+    val landing = base.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val target = base.resolve("mirror").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    def drop(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(landing.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    // batch 1: two creates; batch 2: an update and a delete
+    drop("b1.json",
+      s"""{"before":null,"after":{"id":1,"name":"ann"},${src(100, 1000)},"op":"c","ts_ms":1000}""",
+      s"""{"before":null,"after":{"id":2,"name":"bob"},${src(110, 1100)},"op":"c","ts_ms":1100}""")
+
+    val raw = spark.readStream.text(landing.toString)
+    val changes = DebeziumEnvelope.parse(raw, "value", rowSchema).changes
+      .select(col("id").as("key"), col("_version").as("version"),
+        when(col("_is_deleted"), "delete").otherwise("insert").as("op"),
+        col("_event_ts").as("ts"), col("name").as("payload"))
+      .as[CdcStream.Change]
+    def run(): Unit = CdcStream.mirrorToParquet(changes, target, ckpt,
+      nBuckets = 4).awaitTermination()
+    run()
+    drop("b2.json",
+      s"""{"before":{"id":1,"name":"ann"},"after":{"id":1,"name":"anne"},${src(200, 2000)},"op":"u","ts_ms":2000}""",
+      s"""{"before":{"id":2,"name":"bob"},"after":null,${src(300, 3000)},"op":"d","ts_ms":3000}""")
+    run()
+
+    val fin = graft.sources.Mirror.readCommitted(spark, target)
+      .where(!col("is_deleted"))
+      .select(col("key"), col("payload")).as[(Long, String)].collect().toSet
+    assert(fin == Set((1L, "anne"))) // update applied, delete hides bob
+  }
+
   test("tombstones vanish; corrupt and contract-breaking rows dead-letter") {
     val events = Seq(
       null, // Kafka compaction tombstone — silently dropped

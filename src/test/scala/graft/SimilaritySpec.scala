@@ -541,6 +541,86 @@ class SimilaritySpec extends SparkSpec {
     assert(empty.bucketStats().count() == 0L)
   }
 
+  test("streaming maintenance: the vector index rides microbatches, replay-safe") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.Change
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    val target = base.resolve("mirror").toString
+    val ckpt = base.resolve("ckpt").toString
+    val vdir = base.resolve("ivf").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // deterministic embedding seam: payload chars → 4 hashed coordinates
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", array((0 until 4).map(i =>
+        pmod(xxhash64(col("payload"), lit(i)), lit(1000)).cast("double") / 500.0 - 1.0): _*))
+
+    // snapshot backfill creates the index; the stream adopts from there
+    val seed = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("key", "payload")
+    val idx = graft.operators.IvfIndex.create(embed(seed), "key", "embedding",
+      vdir, numCentroids = 2, kmeansIters = 0, quantizedStore = false)
+    val input = MemoryStream[Change]
+    def run(): Unit = CdcStream.mirrorToParquetWithVectors(input.toDS(), target,
+      ckpt, idx, embed, nBuckets = 4).awaitTermination()
+
+    input.addData(
+      Change(3L, 3L, "insert", ts("2024-01-01 00:00:00"), "gamma doc"),
+      Change(4L, 4L, "insert", ts("2024-01-01 00:00:01"), "delta doc"))
+    run()
+    input.addData(
+      Change(5L, 5L, "insert", ts("2024-01-01 00:01:00"), "epsilon doc"),
+      Change(6L, 6L, "insert", ts("2024-01-01 00:01:01"), "zeta doc"))
+    run()
+
+    // probes answer over snapshot ∪ streamed state, exactly the one-shot
+    // ivfTopK on the union (the create+add equality, through the stream)
+    val live = graft.sources.Mirror.readCommitted(spark, target)
+      .where(!col("is_deleted")).select(col("key"), col("payload"))
+    val union = embed(seed.unionByName(live)).select(col("key"), col("embedding"))
+    val queries = embed(Seq((100L, "alpha doc")).toDF("key", "payload"))
+      .select(col("key"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val got = rows(idx.probe(queries, "key", "embedding", 4, nProbe = 2))
+    val oneShot = rows(Similarity.ivfTopK(union, queries, "key", "embedding", 4,
+      numCentroids = 2, nProbe = 2))
+    assert(got == oneShot, "streamed index diverged from one-shot over the union")
+
+    // a replayed batch id is a no-op: postings never double
+    val before = idx.listStats().agg(sum(col("postings"))).as[Long].head()
+    val dupe = embed(Seq((9L, "gamma doc")).toDF("key", "payload"))
+    assert(!idx.addBatch(idx.lastBatch.toLong, dupe, "key", "embedding"))
+    assert(idx.listStats().agg(sum(col("postings"))).as[Long].head() == before)
+    // the mark survives a reopen
+    assert(graft.operators.IvfIndex.load(spark, vdir).lastBatch == idx.lastBatch)
+  }
+
+  test("LshIndex addBatch carries the same replay-safe mark as IvfIndex") {
+    val embs = clustered
+    val a = embs.where($"vec_id" % 2 === 0)
+    val b = embs.where($"vec_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_mark").toString + "/idx"
+    val idx = graft.operators.LshIndex.create(a, "vec_id", "embedding", dir,
+      bits = 4, tables = 4, quantizedStore = false)
+    assert(idx.lastBatch == -1)
+    assert(idx.addBatch(7L, b, "vec_id", "embedding"))
+    val after = idx.bucketStats().agg(sum(col("postings"))).as[Long].head()
+    // replayed and stale ids are no-ops; postings never double
+    assert(!idx.addBatch(7L, b, "vec_id", "embedding"))
+    assert(!idx.addBatch(3L, b, "vec_id", "embedding"))
+    assert(idx.bucketStats().agg(sum(col("postings"))).as[Long].head() == after)
+    // the union still answers exactly like the one-shot (same fixed seeds)
+    val queries = embs.where($"vec_id" % 40 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(rows(idx.probe(queries, "vec_id", "embedding", 10))
+      == rows(Similarity.lshTopK(embs, queries, "vec_id", "embedding", 10,
+        bits = 4, tables = 4)))
+    // mark survives reopen
+    assert(graft.operators.LshIndex.load(spark, dir).lastBatch == 7)
+  }
+
   test("lsh bucket of identical vectors is identical") {
     val b = corpus.select(VectorFunctions.lshBucket($"embedding", 8).as("b"))
       .where($"b".isNotNull).count()
