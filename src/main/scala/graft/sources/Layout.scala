@@ -102,4 +102,61 @@ object Layout {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(targetDir)
   }
+
+  /** Build a FILE-SKIPPING stats manifest over a parquet layout: one row
+    * per data file with each tracked column's min/max (the Delta/Iceberg
+    * per-file stats idea as a plain sidecar). Parquet already prunes row
+    * groups from footers, but only AFTER listing and opening every file;
+    * on a 100 TB table the listing + footer reads ARE the latency. This
+    * manifest lets [[readSkipping]] prune to the surviving file list
+    * DRIVER-SIDE from one tiny parquet read, so a clustered layout
+    * ([[writeZOrdered]], [[writeMonthly]], a sorted mirror) serves a
+    * narrow range scan by opening only the files whose envelope
+    * intersects it.
+    *
+    * One corpus pass builds it (per-file min/max via a (file) grouped
+    * aggregation — map-side combined, manifest size = files × cols, tiny);
+    * rebuild after rewriting the layout. Committed via tmp + rename so a
+    * torn build never serves half a manifest.
+    */
+  def writeStatsManifest(spark: SparkSession, dir: String,
+                         cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "need at least one tracked column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val manifest = spark.read.parquet(dir)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__file").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val tmp = s"$dir/_graft_stats_tmp"
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
+  /** Range scan through the manifest: keep only files whose [min, max]
+    * envelope intersects `[lo, hi]` on `rangeCol` (files with a null
+    * envelope — all-null or untracked values — are conservatively kept),
+    * then apply the residual predicate exactly. Returns precisely
+    * `full scan WHERE rangeCol BETWEEN lo AND hi`; only the IO differs.
+    * The manifest read is one tiny parquet file; the surviving list is
+    * O(matching files) driver-side — the same order of driver work any
+    * planner spends on partition pruning.
+    */
+  def readSkipping(spark: SparkSession, dir: String, rangeCol: String,
+                   lo: Any, hi: Any): DataFrame = {
+    val m = spark.read.parquet(s"$dir/_graft_stats")
+    val keep = m.where(
+      col(s"min_$rangeCol").isNull || col(s"max_$rangeCol").isNull ||
+        (col(s"min_$rangeCol") <= lit(hi) && col(s"max_$rangeCol") >= lit(lo)))
+      .select(col("file")).collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty)
+        // empty relation with the layout's schema
+        spark.read.parquet(dir).where(lit(false))
+      else spark.read.parquet(keep: _*)
+    base.where(col(rangeCol).between(lit(lo), lit(hi)))
+  }
 }

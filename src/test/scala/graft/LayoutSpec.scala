@@ -131,4 +131,37 @@ class LayoutSpec extends SparkSpec {
         s"$c: z-order mean file span $z should be well under flat $flat")
     }
   }
+
+  test("stats manifest skips files driver-side; result stays exact") {
+    val dir = Files.createTempDirectory("graft_skip").toString + "/t"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // clustered layout → tight per-file envelopes worth skipping over
+    Layout.writeZOrdered(ev, Seq("user_id", "value"), dir, numFiles = 16)
+    Layout.writeStatsManifest(spark, dir, Seq("user_id", "value"))
+
+    def files(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(input_file_name()).distinct().as[String].collect().toSet
+
+    val skimmed = Layout.readSkipping(spark, dir, "user_id", 10L, 20L)
+    val full = spark.read.parquet(dir).where(col("user_id").between(10L, 20L))
+    // exactness: identical rows
+    assert(skimmed.select(col("event_id")).as[Long].collect().sorted.toSeq ==
+      full.select(col("event_id")).as[Long].collect().sorted.toSeq)
+    assert(skimmed.count() > 0)
+    // the skip: strictly fewer files opened than the full scan's 16
+    val opened = files(Layout.readSkipping(spark, dir, "user_id", 10L, 20L))
+    assert(opened.size < 16, s"no files were skipped: ${opened.size}")
+
+    // a second tracked column skips too (the z-layout clusters both)
+    val byValue = Layout.readSkipping(spark, dir, "value", 0.0, 5.0)
+    assert(byValue.count() ==
+      spark.read.parquet(dir).where(col("value").between(0.0, 5.0)).count())
+    assert(files(Layout.readSkipping(spark, dir, "value", 0.0, 5.0)).size < 16)
+
+    // an empty range survives (schema preserved, zero rows)
+    val none = Layout.readSkipping(spark, dir, "user_id", -500L, -400L)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("event_id", "user_id", "value"))
+  }
 }
