@@ -144,6 +144,11 @@ object Layout {
     * The manifest read is one tiny parquet file; the surviving list is
     * O(matching files) driver-side — the same order of driver work any
     * planner spends on partition pruning.
+    *
+    * The surviving files are read with `basePath = dir`, so on a
+    * hive-partitioned layout ([[writeMonthly]]) the partition columns are
+    * recovered from the directory names exactly as a full `read.parquet
+    * (dir)` would — including when `rangeCol` IS the partition column.
     */
   def readSkipping(spark: SparkSession, dir: String, rangeCol: String,
                    lo: Any, hi: Any): DataFrame = {
@@ -156,7 +161,7 @@ object Layout {
       if (keep.isEmpty)
         // empty relation with the layout's schema
         spark.read.parquet(dir).where(lit(false))
-      else spark.read.parquet(keep: _*)
+      else spark.read.option("basePath", dir).parquet(keep: _*)
     base.where(col(rangeCol).between(lit(lo), lit(hi)))
   }
 }

@@ -164,4 +164,35 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() == 0 &&
       none.columns.toSeq == Seq("event_id", "user_id", "value"))
   }
+
+  test("stats manifest skipping recovers partition columns on a monthly layout") {
+    val dir = Files.createTempDirectory("graft_skip_part").toString + "/t"
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+    Layout.writeMonthly(li, "l_shipdate", dir)
+    Layout.writeStatsManifest(spark, dir, Seq("part_month", "l_quantity"))
+
+    // partition columns survive the file-list read (the basePath contract)
+    val byMonth = Layout.readSkipping(spark, dir, "part_month", "1996-01", "1996-03")
+    assert(byMonth.columns.contains("part_month"),
+      s"partition column lost: ${byMonth.columns.mkString(",")}")
+
+    // exactness vs the plain partitioned read, filtering ON the partition col
+    val full = spark.read.parquet(dir)
+      .where(col("part_month").between("1996-01", "1996-03"))
+    assert(byMonth.count() == full.count() && full.count() > 0)
+
+    // the skip is real: fewer files opened than the layout holds
+    def files(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    val allFiles = files(spark.read.parquet(dir))
+    assert(files(byMonth).size < allFiles.size,
+      s"no files skipped: ${files(byMonth).size} of ${allFiles.size}")
+
+    // a non-partition range column also works on the partitioned layout,
+    // and the result still carries the partition column
+    val byQty = Layout.readSkipping(spark, dir, "l_quantity", 1.0, 2.0)
+    val fullQty = spark.read.parquet(dir).where(col("l_quantity").between(1.0, 2.0))
+    assert(byQty.count() == fullQty.count() && byQty.columns.contains("part_month"))
+  }
 }
