@@ -762,7 +762,8 @@ object SparkEntry {
         .agg(min(when(col("event_type") === "signup", col("ts"))).as("s"),
           min(when(col("event_type") === "purchase", col("ts"))).as("p"))
         .where(col("p").isNotNull && col("s").isNotNull && col("p") > col("s"))
-        .select((unix_micros(col("p")) - unix_micros(col("s"))).as("lat_us"))
+        .select((graft.functions.TimeCols.micros(col("p")) -
+          graft.functions.TimeCols.micros(col("s"))).as("lat_us"))
       lat.agg(count(lit(1)).as("n_converted"),
         round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
         round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"))

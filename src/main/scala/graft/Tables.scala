@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loader for the graft engine.
   *
@@ -20,15 +20,24 @@ object Tables {
   /** Load one table. Scans stay declarative so Catalyst pushes filters and
     * prunes columns down to the parquet reader.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
-    * reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set in our
-    * session builders); the long nanos are converted back to a microsecond
-    * timestamp here with exact integral division.
+    * `events.ts` has shipped in two physical flavors across testdata
+    * generations, so the loader dispatches on the type it actually sees:
+    *   - parquet TIMESTAMP(NANOS), which Spark only reads via
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in our session
+    *     builders) — the long nanos are converted back to a microsecond
+    *     timestamp with exact integral division;
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads
+    *     as TIMESTAMP_NTZ — cast to the session-local TIMESTAMP. All graft
+    *     sessions pin `spark.sql.session.timeZone=UTC`, so the cast is
+    *     wall-clock-identical to a naive (DuckDB-style) reading.
+    * Downstream operators therefore always see a plain TimestampType `ts`.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    } else df
   }
 }

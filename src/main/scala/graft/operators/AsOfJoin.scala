@@ -94,11 +94,12 @@ object AsOfJoin {
     val gated = toleranceMicros match {
       case None => matched
       case Some(tol) =>
+        val us = graft.functions.TimeCols.micros _
         val gap =
           if (forward)
-            unix_micros(col(s"_asof_match.$rightTs")) - unix_micros(col("_asof_ts"))
+            us(col(s"_asof_match.$rightTs")) - us(col("_asof_ts"))
           else
-            unix_micros(col("_asof_ts")) - unix_micros(col(s"_asof_match.$rightTs"))
+            us(col("_asof_ts")) - us(col(s"_asof_match.$rightTs"))
         matched.withColumn("_asof_match",
           when(gap <= tol, col("_asof_match")))
     }

@@ -77,7 +77,8 @@ object Behavior {
     require(windowMicros > 0, s"bad windowMicros=$windowMicros")
     val before = Window.partitionBy(col(keyCol)).orderBy(col("__tsl"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    var df = events.select(col(keyCol), unix_micros(col(tsCol)).as("__tsl"),
+    var df = events.select(col(keyCol),
+        graft.functions.TimeCols.micros(col(tsCol)).as("__tsl"),
         col(opCol).as("__op"))
       .withColumn("__start1", when(col("__op") === steps.head, col("__tsl")))
     for (i <- 2 to steps.size) {

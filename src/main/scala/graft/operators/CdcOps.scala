@@ -114,7 +114,7 @@ object CdcOps {
                   versionCol: String): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(versionCol))
-    val us = expr(s"unix_micros($tsCol)")
+    val us = graft.functions.TimeCols.micros(col(tsCol))
     val gap = us - lag(us, 1).over(byKey)
     log.withColumn("gap_us", gap)
       .groupBy(col(keyCol))
@@ -141,8 +141,9 @@ object CdcOps {
                  gapSeconds: Long): DataFrame = {
     val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val prevTs = lag(col(tsCol), 1).over(byKey)
+    val sec = graft.functions.TimeCols.seconds _
     val newSession = when(prevTs.isNull
-      .or(col(tsCol).cast("double") - prevTs.cast("double") > gapSeconds), 1L).otherwise(0L)
+      .or(sec(col(tsCol)) - sec(prevTs) > gapSeconds), 1L).otherwise(0L)
     log.withColumn("session_seq", sum(newSession).over(
       byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

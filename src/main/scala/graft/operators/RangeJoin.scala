@@ -29,8 +29,8 @@ object RangeJoin {
     require(beforeSec >= 0 && afterSec >= 0 && beforeSec + afterSec > 0,
       "window must be non-empty")
     val width = beforeSec + afterSec
-    val lEpoch = col(leftTs).cast("double")
-    val rEpoch = col(rightTs).cast("double")
+    val lEpoch = graft.functions.TimeCols.seconds(col(leftTs))
+    val rEpoch = graft.functions.TimeCols.seconds(col(rightTs))
 
     val l = left.withColumn("_rj_bucket",
       explode(sequence(
@@ -39,10 +39,11 @@ object RangeJoin {
     val r = right.select(
       keys.map(col) ++ right.columns.filterNot(keys.contains)
         .map(c => col(c).as(s"$rightPrefix$c")): _*)
-      .withColumn("_rj_bucket", floor(col(s"$rightPrefix$rightTs").cast("double") / width)
+      .withColumn("_rj_bucket",
+        floor(graft.functions.TimeCols.seconds(col(s"$rightPrefix$rightTs")) / width)
         .cast("long"))
 
-    val rTsP = col(s"$rightPrefix$rightTs").cast("double")
+    val rTsP = graft.functions.TimeCols.seconds(col(s"$rightPrefix$rightTs"))
     l.join(r, keys :+ "_rj_bucket")
       .where(rTsP >= lEpoch - beforeSec && rTsP <= lEpoch + afterSec)
       .drop("_rj_bucket")
