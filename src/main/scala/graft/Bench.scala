@@ -93,5 +93,13 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: $e")
     }
     spark.stop()
+    // a bench with ANY erroring query must not read as a healthy run: the
+    // JSON line above still carries the full picture (timings + errors map),
+    // but the process exit code tells the driver the round is incomplete
+    val nErr = results.count(_._3.isDefined)
+    if (nErr > 0) {
+      System.err.println(s"[bench] $nErr quer${if (nErr == 1) "y" else "ies"} errored")
+      sys.exit(1)
+    }
   }
 }

@@ -32,9 +32,17 @@ private[operators] object IndexMeta {
     * is SKEW (rebuild-with-create error, never "corrupt"), a half-written
     * main file is corruption, a missing/torn tmp without a main file is
     * "no index".
+    *
+    * `compat` lists OLDER formats this build can still open in place:
+    * older fmt → defaults for the fields that fmt did not record (e.g. a
+    * fmt-2 ANN index predates the streaming-batch mark, so `applied`
+    * defaults to −1 = "none applied"). A field missing from the meta and
+    * from the defaults is still corruption; a fmt in neither position is
+    * still skew. Layout-incompatible revisions simply stay out of `compat`.
     */
   def load(spark: SparkSession, dir: String, file: String, fmt: Int,
-           kind: String, fields: Seq[String]): Seq[Int] = {
+           kind: String, fields: Seq[String],
+           compat: Map[Int, Map[String, Int]] = Map.empty): Seq[Int] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parse(p: Path, strict: Boolean): Option[Seq[Int]] =
       if (!fs.exists(p)) None
@@ -44,15 +52,20 @@ private[operators] object IndexMeta {
         def field(k: String): Option[String] =
           """"%s"\s*:\s*(-?\d+)""".format(k).r.findFirstMatchIn(txt).map(_.group(1))
         field("fmt") match {
-          case Some(v) if v.toInt != fmt =>
+          case Some(v) if v.toInt != fmt && !compat.contains(v.toInt) =>
             throw new IllegalStateException(
               s"incompatible $kind index format under $dir (fmt $v; this build " +
                 s"reads fmt $fmt) — rebuild with create()")
-          case _ =>
-            val vals = fields.map(field)
-            if (field("fmt").isDefined && vals.forall(_.isDefined))
-              Some(vals.map(_.get.toInt))
+          case Some(v) =>
+            val defaults =
+              if (v.toInt == fmt) Map.empty[String, Int]
+              else compat(v.toInt)
+            val vals = fields.map(k => field(k).map(_.toInt).orElse(defaults.get(k)))
+            if (vals.forall(_.isDefined)) Some(vals.map(_.get))
             else if (strict) throw new IllegalStateException(s"corrupt $p: $txt")
+            else None
+          case None =>
+            if (strict) throw new IllegalStateException(s"corrupt $p: $txt")
             else None
         }
       }

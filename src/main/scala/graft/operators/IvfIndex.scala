@@ -325,11 +325,15 @@ object IvfIndex {
 
   /** Open the committed index at `dir`; meta protocol (fmt skew vs
     * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
+    * Fmt-2 layouts (pre-streaming-adds) open in place: data dirs are
+    * identical, only the `applied` batch mark is new — default −1 ("no
+    * external batch applied"), exactly a fresh create()'s state.
     */
   def load(spark: SparkSession, dir: String): IvfIndex = {
     val Seq(dim, cents, batches, base, q, applied) = IndexMeta.load(spark, dir,
       MetaFile, FormatVersion, "IVF",
-      Seq("dim", "centroids", "batches", "base", "q", "applied"))
+      Seq("dim", "centroids", "batches", "base", "q", "applied"),
+      compat = Map(2 -> Map("applied" -> -1)))
     val centRows = spark.read.parquet(s"$dir/centroids")
       .orderBy(xxhash64(col("id")), col("id")).collect()
     new IvfIndex(spark, dir, dim, cents, batches, base, q != 0,

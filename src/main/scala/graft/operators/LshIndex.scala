@@ -226,11 +226,14 @@ object LshIndex {
 
   /** Open the committed index at `dir`; meta protocol (fmt skew vs
     * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
+    * Fmt-2 layouts (pre-streaming-adds) open in place with `applied`
+    * defaulted to −1 — see [[IvfIndex.load]].
     */
   def load(spark: SparkSession, dir: String): LshIndex = {
     val Seq(bits, tables, batches, base, q, applied) = IndexMeta.load(spark, dir,
       MetaFile, FormatVersion, "LSH",
-      Seq("bits", "tables", "batches", "base", "q", "applied"))
+      Seq("bits", "tables", "batches", "base", "q", "applied"),
+      compat = Map(2 -> Map("applied" -> -1)))
     new LshIndex(spark, dir, bits, tables, batches, base, q != 0, applied)
   }
 

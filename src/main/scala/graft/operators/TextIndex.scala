@@ -234,10 +234,14 @@ object TextIndex {
 
   /** Open the committed index at `dir`; meta protocol (fmt skew vs
     * corruption, torn-commit tmp fallback) shared via [[IndexMeta]].
+    * Fmt-2 layouts (positional postings, pre-streaming-adds) open in
+    * place with the external-batch mark defaulted to −1; fmt 1 predates
+    * the positions column and still requires a rebuild.
     */
   def load(spark: SparkSession, dir: String): TextIndex = {
     val Seq(parts, batches, base, batch) = IndexMeta.load(spark, dir, MetaFile,
-      FormatVersion, "text", Seq("parts", "batches", "base", "batch"))
+      FormatVersion, "text", Seq("parts", "batches", "base", "batch"),
+      compat = Map(2 -> Map("batch" -> -1)))
     new TextIndex(spark, dir, parts, batches, base, batch)
   }
 

@@ -21,7 +21,15 @@ import org.apache.spark.sql.types._
   *    `_is_deleted` = true);
   *  - `_version` = `source.lsn` when present (Postgres WAL position — the
   *    true total order), else the event `ts_ms` promoted to microsecond
-  *    scale so mixed feeds never order a real LSN behind a fallback;
+  *    scale. Which source won is surfaced per row as `_version_scale`
+  *    (`"lsn"` / `"ts_ms"`): the two scales are NOT comparable (a 2024
+  *    epoch-ms promotes to ~1.7e15, far above any real LSN), so a feed
+  *    that mixes them has no usable total order — count the scales with
+  *    [[scaleCounts]] on every batch, or gate hard with
+  *    [[requireUniformScale]];
+  *  - an event carrying NEITHER `source.lsn` nor `ts_ms` has no position
+  *    in the change order at all: it dead-letters (a null `_version` would
+  *    otherwise sort nowhere and silently lose the change in the collapse);
   *  - Kafka compaction tombstones (null value) are dropped silently: they
   *    carry no data and follow a `d` event that already flagged the key;
   *  - anything else unparseable lands in the DEAD-LETTER frame untouched,
@@ -65,23 +73,48 @@ object DebeziumEnvelope {
     def f(name: String): Column =
       coalesce(col(s"__env.payload.$name"), col(s"__env.$name"))
     val op = f("op")
+    val version = coalesce(f("source.lsn"), f("ts_ms") * 1000L)
+    // version.isNotNull: an event with neither lsn nor ts_ms has no place
+    // in the change order — dead-letter it rather than emit a null that
+    // every max_by / orderBy would drop or sort arbitrarily
     val valid = op.isin("c", "u", "r", "d") &&
-      when(op === "d", f("before").isNotNull).otherwise(f("after").isNotNull)
+      when(op === "d", f("before").isNotNull).otherwise(f("after").isNotNull) &&
+      version.isNotNull
     val tombstone = col(jsonCol).isNull
     val image = when(op === "d", f("before")).otherwise(f("after"))
-    // LSNs and promoted ts_ms share a scale: a 2024 epoch-ms is ~1.7e12,
-    // promoted to 1.7e15 — far above any real Postgres LSN would be mixed
-    // with in one feed; document that a feed should be all-LSN or all-ts.
-    val version = coalesce(f("source.lsn"), f("ts_ms") * 1000L)
+    val scale = when(f("source.lsn").isNotNull, lit("lsn")).otherwise(lit("ts_ms"))
     val rowCols = rowSchema.fieldNames.toSeq.map(n => image.getField(n).as(n))
     val changes = parsed.where(!tombstone && valid)
       .select(rowCols ++ Seq(
         version.as("_version"),
         (op === "d").as("_is_deleted"),
         timestamp_millis(f("ts_ms")).as("_event_ts"),
-        f("source.table").as("_source_table")): _*)
+        f("source.table").as("_source_table"),
+        scale.as("_version_scale")): _*)
     val dead = parsed.where(!tombstone && !coalesce(valid, lit(false)))
       .drop("__env")
     Parsed(changes, dead)
+  }
+
+  /** Rows per `_version_scale` — the per-batch health counter a feed
+    * monitor alerts on. Two rows out means the feed is mixing real LSNs
+    * with ts_ms fallbacks and its `_version` order is meaningless across
+    * the two groups. Streaming-safe inside `foreachBatch`.
+    */
+  def scaleCounts(changes: DataFrame): DataFrame =
+    changes.groupBy(col("_version_scale")).agg(count(lit(1)).as("n"))
+
+  /** Hard gate for batch ingestion: throws if `changes` mixes version
+    * scales (see [[scaleCounts]]); returns `changes` unchanged for
+    * chaining otherwise. The collect is bounded at two rows.
+    */
+  def requireUniformScale(changes: DataFrame): DataFrame = {
+    val scales = scaleCounts(changes).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}")
+    if (scales.length > 1)
+      throw new IllegalStateException(
+        s"mixed _version scales in one feed (${scales.sorted.mkString(", ")}): " +
+          "LSNs and promoted ts_ms are not comparable; split the feed or fix the source")
+    changes
   }
 }

@@ -95,6 +95,39 @@ class DebeziumEnvelopeSpec extends SparkSpec {
     assert(fin == Set((1L, "anne"))) // update applied, delete hides bob
   }
 
+  test("versionless events dead-letter; mixed scales surface and gate") {
+    val noPosition = // neither source.lsn nor ts_ms: no place in the order
+      """{"before":null,"after":{"id":9,"name":"ghost"},"source":{"table":"users"},"op":"c"}"""
+    val events = Seq(
+      s"""{"before":null,"after":{"id":1,"name":"ann"},${src(100, 1000)},"op":"c","ts_ms":1000}""",
+      s"""{"before":null,"after":{"id":2,"name":"bob"},"source":{"ts_ms":2000,"table":"users"},"op":"c","ts_ms":2000}""",
+      noPosition
+    ).toDF("value")
+    val p = DebeziumEnvelope.parse(events, "value", rowSchema)
+    // the versionless event is dead-lettered verbatim, never a null _version
+    assert(p.changes.where(col("_version").isNull).count() === 0)
+    assert(p.deadLetter.as[String].collect().toSet === Set(noPosition))
+    // per-row provenance + per-batch counts expose the mix
+    val scales = p.changes.select(col("_version_scale")).as[String].collect().sorted
+    assert(scales.toSeq === Seq("lsn", "ts_ms"))
+    val counts = DebeziumEnvelope.scaleCounts(p.changes)
+      .as[(String, Long)].collect().toMap
+    assert(counts === Map("lsn" -> 1L, "ts_ms" -> 1L))
+    // the hard gate refuses the mixed feed and names both scales
+    val e = intercept[IllegalStateException] {
+      DebeziumEnvelope.requireUniformScale(p.changes)
+    }
+    assert(e.getMessage.contains("lsn=1") && e.getMessage.contains("ts_ms=1"))
+    // a uniform feed passes through the gate and still collapses correctly
+    val uniform = p.changes.where(col("_version_scale") === "lsn")
+    val fin = CdcOps.softDeleteSnapshot(
+      DebeziumEnvelope.requireUniformScale(uniform)
+        .select(col("id"), col("name"), col("_version"), col("_is_deleted")),
+      Seq("id"), "_version", col("_is_deleted"))
+      .select(col("id"), col("name")).as[(Long, String)].collect().toSet
+    assert(fin === Set((1L, "ann")))
+  }
+
   test("tombstones vanish; corrupt and contract-breaking rows dead-letter") {
     val events = Seq(
       null, // Kafka compaction tombstone — silently dropped

@@ -72,4 +72,43 @@ class SemanticSpec extends SparkSpec {
         iters = 2, maxCluster = 2).collect()
     assert(guarded.isEmpty)
   }
+
+  test("oversized-cluster drops are surfaced, never silent") {
+    // same fixture as the guard test: with maxCluster=2 the dup trio's
+    // cluster is excluded from pairing — the drop must be announced even
+    // though the RESULT is empty (the case an AQE-pruned observe metric
+    // would have lost)
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)), (3L, Seq(1.0, 0.002)),
+      (9L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val out = Console.withErr(errBuf) {
+      // the warning fires at PLAN time (eager bounded probe), not at the
+      // later action — a caller that never runs the frame still hears it
+      val planned = Dedup.semanticPairs(df, "vec_id", "embedding", 0.99,
+        k = 2, iters = 2, maxCluster = 2)
+      planned.collect()
+    }
+    assert(out.isEmpty)
+    val warned = errBuf.toString("UTF-8")
+    assert(warned.contains("1 cluster(s) exceed maxCluster=2") &&
+      warned.contains("3 rows"), s"missing drop warning, got: $warned")
+    // a clean run stays quiet
+    val errBuf2 = new java.io.ByteArrayOutputStream()
+    val n = Console.withErr(errBuf2) {
+      Dedup.semanticPairs(df, "vec_id", "embedding", 0.99, k = 2,
+        iters = 2).count()
+    }
+    assert(n === 3L)
+    assert(!errBuf2.toString("UTF-8").contains("maxCluster"))
+    // the batch-pipeline hard gate names the cap and the mass behind it
+    val e = intercept[IllegalStateException] {
+      Dedup.semanticPairs(df, "vec_id", "embedding", 0.99, k = 2,
+        iters = 2, maxCluster = 2, failOnOversized = true)
+    }
+    assert(e.getMessage.contains("maxCluster=2") && e.getMessage.contains("3 rows"))
+    // and does not fire when nothing exceeds the cap
+    assert(Dedup.semanticPairs(df, "vec_id", "embedding", 0.99, k = 2,
+      iters = 2, failOnOversized = true).count() === 3L)
+  }
 }
