@@ -117,21 +117,31 @@ object Layout {
     * One corpus pass builds it (per-file min/max via a (file) grouped
     * aggregation — map-side combined, manifest size = files × cols, tiny);
     * rebuild after rewriting the layout. Committed via tmp + rename so a
-    * torn build never serves half a manifest.
+    * torn build never serves half a manifest. The full layout's schema —
+    * partition-column types included — is pinned alongside the stats
+    * (`_schema.json`, invisible to parquet listing), so a later
+    * [[readSkipping]] never re-infers partition types from whatever
+    * directory subset happened to survive the prune.
     */
   def writeStatsManifest(spark: SparkSession, dir: String,
                          cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "need at least one tracked column")
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val manifest = spark.read.parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val manifest = corpus
       .withColumn("__file", input_file_name())
       .groupBy(col("__file").as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val tmp = s"$dir/_graft_stats_tmp"
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // schema sidecar joins the tmp dir BEFORE the rename: the commit stays
+    // a single atomic swap
+    val sOut = fs.create(new org.apache.hadoop.fs.Path(tmp, "_schema.json"), true)
+    try sOut.write(corpus.schema.json.getBytes("UTF-8")) finally sOut.close()
     val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_stats")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
   }
@@ -148,7 +158,12 @@ object Layout {
     * The surviving files are read with `basePath = dir`, so on a
     * hive-partitioned layout ([[writeMonthly]]) the partition columns are
     * recovered from the directory names exactly as a full `read.parquet
-    * (dir)` would — including when `rangeCol` IS the partition column.
+    * (dir)` would — including when `rangeCol` IS the partition column;
+    * their TYPES come from the manifest's pinned schema, not re-inferred
+    * from the surviving subset (a manifest predating the sidecar falls
+    * back to inference). Manifest file paths are `input_file_name()` URIs
+    * (URL-encoded), decoded before the read so layouts with encodable
+    * characters (spaces, `%`, `#`) in partition values resolve correctly.
     */
   def readSkipping(spark: SparkSession, dir: String, rangeCol: String,
                    lo: Any, hi: Any): DataFrame = {
@@ -156,12 +171,30 @@ object Layout {
     val keep = m.where(
       col(s"min_$rangeCol").isNull || col(s"max_$rangeCol").isNull ||
         (col(s"min_$rangeCol") <= lit(hi) && col(s"max_$rangeCol") >= lit(lo)))
-      .select(col("file")).collect().map(_.getString(0))
+      .select(col("file")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0))).toString)
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$dir/_graft_stats/_schema.json")
+    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinned: Option[org.apache.spark.sql.types.StructType] =
+      if (!fs.exists(schemaPath)) None
+      else {
+        val in = fs.open(schemaPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      }
     val base =
-      if (keep.isEmpty)
-        // empty relation with the layout's schema
-        spark.read.parquet(dir).where(lit(false))
-      else spark.read.option("basePath", dir).parquet(keep: _*)
+      if (keep.isEmpty) pinned match {
+        // empty relation with the layout's schema — no listing at all
+        case Some(st) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+        case None => spark.read.parquet(dir).where(lit(false))
+      }
+      else {
+        val r = spark.read.option("basePath", dir)
+        pinned.map(r.schema).getOrElse(r).parquet(keep: _*)
+      }
     base.where(col(rangeCol).between(lit(lo), lit(hi)))
   }
 }

@@ -195,4 +195,36 @@ class LayoutSpec extends SparkSpec {
     val fullQty = spark.read.parquet(dir).where(col("l_quantity").between(1.0, 2.0))
     assert(byQty.count() == fullQty.count() && byQty.columns.contains("part_month"))
   }
+
+  test("skipping pins partition types and survives encodable partition values") {
+    val dir = Files.createTempDirectory("graft_skip_enc").toString + "/t"
+    // k's values are type-ambiguous ("01" alone would infer as int) and
+    // carry every character class input_file_name() URL-encodes; each
+    // partition owns a disjoint v range so the prune isolates single dirs
+    val rows = Seq(
+      ("01", 1L, 5.0), ("01", 2L, 7.0),
+      ("a b", 3L, 105.0), ("x%y", 4L, 205.0), ("c#d", 5L, 305.0))
+    rows.toDF("k", "id", "v").write.partitionBy("k").parquet(dir)
+    Layout.writeStatsManifest(spark, dir, Seq("v"))
+
+    // prune down to ONLY the numeric-looking partition: subset-side
+    // inference would type k as int; the pinned schema keeps the full
+    // read's string — values compare as written
+    val only01 = Layout.readSkipping(spark, dir, "v", 0.0, 10.0)
+    assert(only01.schema("k").dataType ==
+      spark.read.parquet(dir).schema("k").dataType)
+    assert(only01.select(col("k")).distinct().as[String].collect().toSeq == Seq("01"))
+    assert(only01.count() === 2)
+
+    // each encodable partition value resolves through the decoded path
+    for ((v, k) <- Seq((105.0, "a b"), (205.0, "x%y"), (305.0, "c#d"))) {
+      val got = Layout.readSkipping(spark, dir, "v", v - 1, v + 1)
+        .select(col("k")).as[String].collect().toSeq
+      assert(got == Seq(k), s"partition value $k did not survive the round trip: $got")
+    }
+
+    // the empty-range branch serves the pinned schema without listing
+    val none = Layout.readSkipping(spark, dir, "v", -50.0, -40.0)
+    assert(none.count() === 0 && none.columns.contains("k"))
+  }
 }
