@@ -22,6 +22,26 @@ object Dedup {
   private val lastBlockedSigs =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** The previous [[semanticPairs]] call's persisted per-cluster size frame,
+    * rotated the same way (at most one ≤k-row cache held per session).
+    */
+  private val lastSemSizes =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Rotate a freshly persisted frame into `slot`, best-effort unpersisting
+    * the previous occupant (it may belong to a since-stopped session —
+    * never fail THIS call, never swallow cancellation or VM errors).
+    */
+  private def rotateCache(
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      next: DataFrame): Unit =
+    Option(slot.getAndSet(next)).foreach(prev =>
+      try prev.unpersist(false) catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(_) => ()
+      })
+
   /** At least the session's shuffle width of partitions before CPU-heavy
     * per-row kernels (shingling, MinHash, SimHash, winnowing): a small
     * corpus arriving as a single parquet row group otherwise serializes
@@ -234,15 +254,7 @@ object Dedup {
       .select(col("id"), col("simhash"), col("mband"), col("mbucket"),
         col("e.band").as("band"), col("e.bv").as("bv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // best-effort: the previous frame may belong to a since-stopped session
-    // (unpersist would RPC a dead block manager) — never fail THIS call,
-    // but never swallow cancellation or VM errors either
-    Option(lastBlockedSigs.getAndSet(banded)).foreach(prev =>
-      try prev.unpersist(false) catch {
-        case e: InterruptedException =>
-          Thread.currentThread().interrupt(); throw e
-        case scala.util.control.NonFatal(_) => ()
-      })
+    rotateCache(lastBlockedSigs, banded)
     val hamming = bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
     banded.repartition(parts, col("mband"), col("mbucket"), col("band"), col("bv"))
       .as("l")
@@ -761,15 +773,16 @@ object Dedup {
     * Clusters beyond `maxCluster` are excluded from pairing (a cluster
     * that size means mass-near-identical vectors — run exact dedup first),
     * but NEVER silently: the per-cluster size frame is persisted (≤ k
-    * rows) and eagerly probed before the pair plan is returned, so a drop
-    * is always reported — `failOnOversized = true` throws, the default
-    * logs a loud warning with the cluster/row counts. The probe job does
-    * the (cid → count) aggregation the pairing would have needed anyway,
-    * and the pairing reuses the persisted result, so total corpus scans
-    * are unchanged. (An `observe` metric was rejected for this: AQE's
-    * empty-relation propagation deletes CollectMetrics nodes when the
-    * output is empty — precisely the all-dropped case that most needs the
-    * signal.)
+    * rows, cache ROTATED per call like [[simhashPairsBlocked]]'s — at
+    * most one held per session) and eagerly probed before the pair plan
+    * is returned, so a drop is always reported — `failOnOversized = true`
+    * throws, the default logs a loud warning with the cluster/row counts.
+    * The probe job does the (cid → count) aggregation the pairing would
+    * have needed anyway, and the pairing reuses the persisted result, so
+    * total corpus scans are unchanged. (An `observe` metric was rejected
+    * for this: AQE's empty-relation propagation deletes CollectMetrics
+    * nodes when the output is empty — precisely the all-dropped case that
+    * most needs the signal.)
     */
   def semanticPairs(embs: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, k: Int, iters: Int = 3,
@@ -786,13 +799,14 @@ object Dedup {
     val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
       .where(col("csz") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rotateCache(lastSemSizes, sizes)
     val over = sizes.where(col("csz") > maxCluster)
       .agg(count(lit(1)).as("n"), sum(col("csz")).as("rows")).collect()(0)
     if (over.getLong(0) > 0) {
       val msg = s"semanticPairs: ${over.getLong(0)} cluster(s) exceed " +
         s"maxCluster=$maxCluster (${over.getLong(1)} rows excluded from " +
         "pairing) — exact-dedup the corpus first or raise maxCluster"
-      if (failOnOversized) { sizes.unpersist(false); throw new IllegalStateException(msg) }
+      if (failOnOversized) throw new IllegalStateException(msg)
       Console.err.println(s"[graft] WARN $msg")
     }
     val keep = sizes.where(col("csz") <= maxCluster).select(col("cid"))

@@ -106,7 +106,10 @@ object DebeziumEnvelope {
 
   /** Hard gate for batch ingestion: throws if `changes` mixes version
     * scales (see [[scaleCounts]]); returns `changes` unchanged for
-    * chaining otherwise. The collect is bounded at two rows.
+    * chaining otherwise. The collected RESULT is bounded at two rows, but
+    * computing it scans (and so re-parses) the whole feed — on a large
+    * batch, persist `changes` before gating so the downstream sink action
+    * reuses the parse instead of running it twice.
     */
   def requireUniformScale(changes: DataFrame): DataFrame = {
     val scales = scaleCounts(changes).collect()

@@ -162,8 +162,12 @@ object Layout {
     * their TYPES come from the manifest's pinned schema, not re-inferred
     * from the surviving subset (a manifest predating the sidecar falls
     * back to inference). Manifest file paths are `input_file_name()` URIs
-    * (URL-encoded), decoded before the read so layouts with encodable
-    * characters (spaces, `%`, `#`) in partition values resolve correctly.
+    * (URL-encoded): they are decoded before the read so layouts with
+    * encodable characters (spaces, `%`, `#`) in path segments resolve,
+    * and then GLOB-ESCAPED, because `spark.read.parquet` pattern-expands
+    * its path arguments — a literal `[`/`*`/`{` in a decoded segment
+    * would otherwise match the wrong files (or nothing) instead of
+    * itself.
     */
   def readSkipping(spark: SparkSession, dir: String, rangeCol: String,
                    lo: Any, hi: Any): DataFrame = {
@@ -172,7 +176,11 @@ object Layout {
       col(s"min_$rangeCol").isNull || col(s"max_$rangeCol").isNull ||
         (col(s"min_$rangeCol") <= lit(hi) && col(s"max_$rangeCol") >= lit(lo)))
       .select(col("file")).collect()
-      .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0))).toString)
+      .map { r =>
+        val decoded =
+          new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0))).toString
+        decoded.replaceAll("([\\\\*?\\[\\]{}])", "\\\\$1")
+      }
     val schemaPath = new org.apache.hadoop.fs.Path(s"$dir/_graft_stats/_schema.json")
     val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pinned: Option[org.apache.spark.sql.types.StructType] =

@@ -227,4 +227,29 @@ class LayoutSpec extends SparkSpec {
     val none = Layout.readSkipping(spark, dir, "v", -50.0, -40.0)
     assert(none.count() === 0 && none.columns.contains("k"))
   }
+
+  test("skipping matches literal glob metacharacters in path segments") {
+    // Spark's own partitionBy escapes glob chars in directory names, but a
+    // hand-laid hive layout can carry them literally — and read.parquet
+    // pattern-expands its path arguments, so an unescaped k=v[12] would
+    // match sibling dirs k=v1/ and k=v2/ (or nothing) instead of itself
+    val dir = Files.createTempDirectory("graft_skip_glob").toString + "/t"
+    def drop(sub: String, rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "v").write.parquet(s"$dir/k=$sub")
+    drop("v1", Seq((1L, 5.0)))
+    drop("v2", Seq((2L, 15.0)))
+    drop("v[12]", Seq((3L, 105.0), (4L, 107.0)))
+    drop("v{a,b}", Seq((5L, 205.0)))
+    Layout.writeStatsManifest(spark, dir, Seq("v"))
+
+    val bracket = Layout.readSkipping(spark, dir, "v", 100.0, 110.0)
+      .select(col("id"), col("k")).as[(Long, String)].collect().toSet
+    assert(bracket == Set((3L, "v[12]"), (4L, "v[12]")),
+      s"glob chars mis-expanded: $bracket")
+    val brace = Layout.readSkipping(spark, dir, "v", 200.0, 210.0)
+      .select(col("id"), col("k")).as[(Long, String)].collect().toSet
+    assert(brace == Set((5L, "v{a,b}")), s"brace glob mis-expanded: $brace")
+    // the plain partitions are untouched by the escaping
+    assert(Layout.readSkipping(spark, dir, "v", 0.0, 20.0).count() === 2)
+  }
 }

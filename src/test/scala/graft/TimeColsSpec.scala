@@ -78,7 +78,9 @@ class TimeColsSpec extends SparkSpec {
       Behavior.windowFunnel(df, "user_id", "event_type", "ts",
         Seq("signup", "purchase"), windowMicros = 3600L * 1000000L)
     }
-    // semantic pin: user 2 completes within window, user 1 too (3900 s > 3600 s fails)
+    // semantic pin: user 2 completes within the window; user 1 stalls at
+    // level 1 (signup→purchase gap 3900 s > the 3600 s window); user 3
+    // never signs up
     val lvl = Behavior.windowFunnel(flavored(ntz = true), "user_id", "event_type",
         "ts", Seq("signup", "purchase"), 3600L * 1000000L)
       .as[(Long, Long)].collect().toMap
