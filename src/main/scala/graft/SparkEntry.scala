@@ -655,6 +655,18 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sampled"),
           sum(octet_length(col("frame")).cast("long")).as("sampled_bytes"))),
+    // real WAV headers synthesized from doc_id, probed by the REAL RIFF
+    // parser, aggregated per stream shape — the oracle re-derives every
+    // field from doc_id arithmetic, so a parser offset bug hash-mismatches
+    "mm_audio_probe" -> ((s, d) =>
+      Multimodal.probeHeaders(
+          Multimodal.withAudioPayloads(t(s, d, "documents"), "doc_id"))
+        .toDF()
+        .groupBy(col("channels").cast("long").as("channels"),
+          col("sampleRateHz").cast("long").as("sample_rate_hz"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("durationMs")).as("sum_duration_ms"),
+          max(col("format")).as("format"))),
 
     // ---- audit / data-quality surface -------------------------------------
     // "what changed between sync v1 and sync v2" over the events CDC log;
@@ -1632,6 +1644,17 @@ object SparkEntry {
                 min(CAST(64 + doc_id % 448 AS INT)) AS min_width,
                 max(CAST(64 + (doc_id * 7) % 448 AS INT)) AS max_height
          FROM documents GROUP BY media_type""",
+    "mm_audio_probe" ->
+      """WITH p AS (SELECT doc_id,
+                           1 + (doc_id % 2) AS channels,
+                           8000 + (doc_id % 3) * 4000 AS sample_rate_hz,
+                           4000 + (doc_id % 5) * 1000 AS data_len
+                    FROM documents)
+         SELECT channels, sample_rate_hz, count(*) AS n_items,
+                CAST(sum((data_len * 1000) // (sample_rate_hz * channels * 2)) AS BIGINT)
+                  AS sum_duration_ms,
+                'wav' AS format
+         FROM p GROUP BY 1, 2""",
     "cdc_snapshot_diff" ->
       """WITH vm AS (SELECT max(event_id) AS v2 FROM events),
          s1 AS (SELECT user_id, max(event_id) AS ver,

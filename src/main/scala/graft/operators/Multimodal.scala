@@ -94,6 +94,65 @@ object Multimodal {
     }
   }
 
+  /** Attach a synthetic WAV payload to each document — the audio sibling
+    * of [[withMediaColumns]], standing in for reading audio files from a
+    * lake. The header is REAL ([[MediaHeader.wavHeader]]) with stream
+    * parameters derived deterministically from the id (channels 1-2,
+    * sample rate 8/12/16 kHz, declared data length 4-8 KB), so a probe of
+    * the generated lake is oracle-checkable from id arithmetic alone.
+    */
+  def withAudioPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val dataLen = 4000 + (id % 5).toInt * 1000
+        (id, MediaHeader.wavHeader(channels, rate, dataLen))
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("audio/wav").as("media_type")).as("meta"))
+  }
+
+  /** Full media-probe result: what the container bytes actually say,
+    * with the declared metadata kept alongside for drift detection.
+    */
+  case class MediaProbe(id: Long, format: String, nBytes: Long, width: Int,
+                        height: Int, channels: Int, sampleRateHz: Int,
+                        durationMs: Long, declaredType: String)
+
+  /** Probe every payload's container header ([[MediaHeader]]: PNG/JPEG/GIF
+    * + WAV + MP4) through the same partition-iterator seam as [[decode]].
+    * Unrecognized payloads report format "unknown" with zeroed stream
+    * properties — mixed lakes are normal, and the declared type column is
+    * retained so a consumer can quantify declared-vs-actual drift (the
+    * bytes cannot lie; catalogs can). Reads only a bounded prefix per
+    * item.
+    */
+  def probeHeaders(media: DataFrame): Dataset[MediaProbe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(
+        col("doc_id").as("id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.media_type").as("mediaType"))
+      .as[MediaItem]
+      .mapPartitions(_.map { it =>
+        MediaHeader.parse(it.payload) match {
+          case Some(info) =>
+            MediaProbe(it.id, info.format, it.payload.length.toLong,
+              info.width, info.height, info.channels, info.sampleRateHz,
+              info.durationMs, it.mediaType)
+          case None =>
+            MediaProbe(it.id, "unknown", it.payload.length.toLong,
+              0, 0, 0, 0, 0L, it.mediaType)
+        }
+      })
+  }
+
   /** Typed decode pass over the media frame produced by [[withMediaColumns]]:
     * `Dataset[MediaItem] → Dataset[MediaFeatures]` via `mapPartitions` with a
     * pluggable [[Codec]] — the per-item kernel is opaque imperative code

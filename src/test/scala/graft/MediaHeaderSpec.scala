@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions.struct
+
+import graft.operators.{MediaHeader, Multimodal}
+import graft.operators.MediaHeader.MediaInfo
+
+/** Crafted-bytes coverage for the WAV/MP4 container parsers and the typed
+  * probe seam — the audio/video siblings of ExtrasSpec's image-header
+  * tests. Every fixture is built field-by-field from the public specs
+  * (RIFF/WAVE; ISO/IEC 14496-12 mvhd/tkhd), so an offset regression fails
+  * loudly.
+  */
+class MediaHeaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+  private def le32(v: Long): Array[Byte] =
+    b((v & 0xff).toInt, ((v >> 8) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+      ((v >> 24) & 0xff).toInt)
+  private def le16(v: Int): Array[Byte] = b(v & 0xff, (v >> 8) & 0xff)
+  private def be32(v: Long): Array[Byte] =
+    b(((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      (v & 0xff).toInt)
+  private def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+  private def t(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  // canonical 44-byte WAV header: stereo, 44.1 kHz, 16-bit, 2 s of data
+  private def wavBytes: Array[Byte] =
+    t("RIFF") ++ le32(36 + 352800) ++ t("WAVE") ++
+      t("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16) ++
+      t("data") ++ le32(352800) // payload bytes themselves not needed
+
+  private def mp4Box(boxType: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ t(boxType) ++ payload
+
+  // mvhd version 0: timescale 600, duration 1500 ticks -> 2500 ms
+  private def mvhdV0: Array[Byte] = mp4Box("mvhd",
+    b(0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1500) ++
+      Array.fill[Byte](80)(0))
+
+  // mvhd version 1: 64-bit times, timescale 90000, duration 90000 -> 1000 ms
+  private def mvhdV1: Array[Byte] = mp4Box("mvhd",
+    b(1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(90000) ++ be64(90000) ++
+      Array.fill[Byte](80)(0))
+
+  // tkhd version 0: zero-filled up to the trailing 16.16 width/height
+  private def tkhd(w: Int, h: Int): Array[Byte] = mp4Box("tkhd",
+    Array.fill[Byte](76)(0) ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+
+  private def mp4Bytes(mvhd: Array[Byte], dims: Option[(Int, Int)]): Array[Byte] = {
+    val traks = dims.map { case (w, h) => mp4Box("trak", tkhd(w, h)) }
+      .getOrElse(Array.empty[Byte])
+    mp4Box("ftyp", t("isom") ++ be32(0)) ++ mp4Box("moov", mvhd ++ traks)
+  }
+
+  test("WAV header: channels, sample rate, duration from fmt + data chunks") {
+    assert(MediaHeader.parse(wavBytes)
+      .contains(MediaInfo("wav", 0, 0, 2, 44100, 2000L)))
+    // an extra chunk before fmt (LIST metadata) is walked over correctly
+    val withList = wavBytes.take(12) ++ t("LIST") ++ le32(6) ++
+      t("INFOxx") ++ wavBytes.drop(12)
+    assert(MediaHeader.parse(withList)
+      .contains(MediaInfo("wav", 0, 0, 2, 44100, 2000L)))
+  }
+
+  test("MP4 header: duration from mvhd (v0 and v1), dimensions from tkhd") {
+    assert(MediaHeader.parse(mp4Bytes(mvhdV0, Some((1920, 1080))))
+      .contains(MediaInfo("mp4", 1920, 1080, 0, 0, 2500L)))
+    assert(MediaHeader.parse(mp4Bytes(mvhdV1, Some((640, 360))))
+      .contains(MediaInfo("mp4", 640, 360, 0, 0, 1000L)))
+    // audio-only: tkhd dims are zero -> skipped, duration still reported
+    val audioTrak = mp4Box("trak", tkhd(0, 0))
+    val audioOnly = mp4Box("ftyp", t("M4A ") ++ be32(0)) ++
+      mp4Box("moov", mvhdV0 ++ audioTrak)
+    assert(MediaHeader.parse(audioOnly)
+      .contains(MediaInfo("mp4", 0, 0, 0, 0, 2500L)))
+  }
+
+  test("image formats delegate to ImageHeader with zeroed stream fields") {
+    val png = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ t("IHDR") ++ b(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    assert(MediaHeader.parse(png).contains(MediaInfo("png", 640, 480, 0, 0, 0L)))
+  }
+
+  test("malformed and foreign payloads are rejected, not misparsed") {
+    assert(MediaHeader.parse(null).isEmpty)
+    assert(MediaHeader.parse("plain text payload".getBytes("UTF-8")).isEmpty)
+    // RIFF but not WAVE (an AVI) is not claimed as wav
+    assert(MediaHeader.parse(t("RIFF") ++ le32(100) ++ t("AVI ")).isEmpty)
+    // WAV with no fmt chunk in the prefix
+    assert(MediaHeader.parse(wavBytes.take(12)).isEmpty)
+    // box soup without a leading ftyp is not claimed as mp4
+    assert(MediaHeader.parse(mp4Box("moov", mvhdV0)).isEmpty)
+    // ftyp alone (no moov in the prefix — the non-faststart layout)
+    assert(MediaHeader.parse(mp4Box("ftyp", t("isom") ++ be32(0))).isEmpty)
+    // a zero-size box cannot loop forever
+    assert(MediaHeader.parse(mp4Box("ftyp", t("isom") ++ be32(0)) ++
+      be32(3) ++ t("junk")).isEmpty)
+  }
+
+  test("probeHeaders: mixed lake probes every container through one seam") {
+    val png = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ t("IHDR") ++ b(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    val media = Seq(
+      (1L, wavBytes, 0, 0, "audio/declared"),
+      (2L, mp4Bytes(mvhdV0, Some((1920, 1080))), 0, 0, "video/declared"),
+      (3L, png, 7, 9, "img/declared"),
+      (4L, "not media".getBytes("UTF-8"), 7, 9, "img/liar"))
+      .toDF("doc_id", "payload", "width", "height", "media_type")
+      .select($"doc_id", $"payload",
+        struct($"width", $"height", $"media_type").as("meta"))
+    val probes = Multimodal.probeHeaders(media).collect().sortBy(_.id)
+    assert(probes.map(_.format).toSeq == Seq("wav", "mp4", "png", "unknown"))
+    assert(probes(0).channels == 2 && probes(0).sampleRateHz == 44100 &&
+      probes(0).durationMs == 2000L)
+    assert(probes(1).width == 1920 && probes(1).height == 1080 &&
+      probes(1).durationMs == 2500L)
+    assert(probes(2).width == 640 && probes(2).height == 480)
+    // declared-vs-actual drift is visible: the liar's declared type survives
+    assert(probes(3).declaredType == "img/liar" && probes(3).format == "unknown")
+  }
+}
