@@ -755,6 +755,13 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.centroidAssign(e, e.where(col("vec_id") < 8), "vec_id", "embedding")
     }),
+    // embedding-space stratified sample: cap every mode at 20 vectors,
+    // picked in deterministic hash order — assignment + pick both oracled
+    "emb_balanced_sample" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.balancedSample(e, e.where(col("vec_id") < 8), "vec_id",
+        "embedding", perCluster = 20)
+    }),
     // 24h sliding distinct users per hour anchor: each (hour, user) pair is
     // exploded into the <=24 anchors whose window covers it (bounded fan-out,
     // no nested-loop range join), anchors clipped to observed hours
@@ -1815,6 +1822,25 @@ object SparkEntry {
                                          ORDER BY d2, centroid_id) AS rn
                FROM d)
          SELECT vec_id, centroid_id, round(d2, 4) AS d2 FROM r WHERE rn = 1""",
+    "emb_balanced_sample" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS kv
+                    FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.kv[i] AS DOUBLE))
+                           * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.kv[i] AS DOUBLE))))
+                        AS d2
+               FROM embeddings e, c),
+         r AS (SELECT vec_id, centroid_id, d2,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, centroid_id) AS rn
+               FROM d),
+         a AS (SELECT vec_id, centroid_id, round(d2, 4) AS d2 FROM r WHERE rn = 1),
+         p AS (SELECT vec_id, centroid_id, d2,
+                      row_number() OVER (PARTITION BY centroid_id
+                        ORDER BY (vec_id * 2654435761) % 10000, vec_id) AS pick
+               FROM a)
+         SELECT vec_id, centroid_id, d2 FROM p WHERE pick <= 20""",
     "events_sliding_users" ->
       """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
                      FROM events),

@@ -30,7 +30,6 @@ object RangeJoin {
       "window must be non-empty")
     val width = beforeSec + afterSec
     val lEpoch = graft.functions.TimeCols.seconds(col(leftTs))
-    val rEpoch = graft.functions.TimeCols.seconds(col(rightTs))
 
     val l = left.withColumn("_rj_bucket",
       explode(sequence(

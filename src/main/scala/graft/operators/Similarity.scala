@@ -3,6 +3,7 @@ package graft.operators
 import graft.expressions.{ScoredId, TopKAggregator}
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -58,6 +59,31 @@ object Similarity {
       .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
       .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
         round(col("best.d2"), 4).as("d2"))
+  }
+
+  /** Cluster-balanced corpus sample: assign each vector to its nearest
+    * centroid ([[centroidAssign]] — broadcast-codebook projection, the
+    * corpus is never shuffled to assign), then keep exactly
+    * min(`perCluster`, cluster size) vectors per cluster in deterministic
+    * hash order (`Sampling.keyBucket`, ties by id — reproducible on any
+    * layout and in any engine). This is the embedding-space stratified
+    * sample a curation pipeline uses to cap dominant modes: a web corpus
+    * where one template cluster is 100× the median would otherwise drown
+    * the mixture.
+    *
+    * One shuffle keyed by centroid; per-group work is bounded by cluster
+    * size — for giant clusters pre-thin with [[Sampling.stableSample]]
+    * before balancing, the same guidance as `stratifiedSample`.
+    */
+  def balancedSample(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String, perCluster: Int): DataFrame = {
+    require(perCluster > 0, s"bad perCluster=$perCluster")
+    val assigned = centroidAssign(corpus, centroids, idCol, vecCol)
+    val picked = Window.partitionBy(col("centroid_id"))
+      .orderBy(Sampling.keyBucket(col("vec_id")), col("vec_id"))
+    assigned.withColumn("__rn", row_number().over(picked))
+      .where(col("__rn") <= perCluster)
+      .drop("__rn")
   }
 
   /** Exact top-k by cosine for each query vector. `queries` must be small

@@ -15,6 +15,26 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(-1f, 0f, 0f))
   ).toDF("vec_id", "embedding")
 
+  test("balancedSample caps every cluster at perCluster, deterministically") {
+    // 40 vectors on the x axis, 3 on the y axis; centroids = unit x, unit y
+    val corpus = ((0L until 40L).map(i => (10L + i, Array(1f, 0.001f * i))) ++
+      Seq((100L, Array(0f, 1f)), (101L, Array(0.01f, 1f)), (102L, Array(0f, 0.9f))))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.balancedSample(corpus, cents, "vec_id", "embedding",
+      perCluster = 5).select($"vec_id", $"centroid_id")
+      .as[(Long, Long)].collect()
+    // dominant mode capped at 5; the small cluster keeps all 3
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster(0L).size == 5)
+    assert(byCluster(1L) == Set(100L, 101L, 102L))
+    // deterministic: the same pick on a different partitioning
+    val again = Similarity.balancedSample(corpus.repartition(7), cents, "vec_id",
+      "embedding", perCluster = 5).select($"vec_id", $"centroid_id")
+      .as[(Long, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("cosine matches a hand-computed value") {
     val c = corpus.where($"vec_id" === 0)
       .crossJoin(corpus.where($"vec_id" === 1).select($"embedding".as("e2")))
