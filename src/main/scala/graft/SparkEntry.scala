@@ -198,6 +198,12 @@ object SparkEntry {
     "events_window_funnel" -> ((s, d) =>
       Behavior.windowFunnel(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("signup", "click", "purchase"), windowMicros = 6L * 3600 * 1000000)),
+    // ClickHouse windowFunnel(24h, 'strict_order'): any intervening event
+    // of another type breaks the chain — steps must be consecutive rows
+    "events_funnel_strict" -> ((s, d) =>
+      Behavior.windowFunnelStrictOrder(t(s, d, "events"), "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase"),
+        windowMicros = 24L * 3600 * 1000000)),
     "cohort_retention" -> ((s, d) =>
       Behavior.cohortRetention(t(s, d, "events"), "user_id", "ts")),
     // ClickHouse quantileExactWeighted: quantity-weighted unit-spend
@@ -1344,6 +1350,21 @@ object SparkEntry {
                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev2 FROM s2),
          s3 AS (SELECT *, CASE WHEN op = 'purchase'
                   AND prev2 >= tsl - 21600000000 THEN prev2 END AS start3 FROM p2)
+         SELECT user_id,
+                CAST(coalesce(max(CASE WHEN start3 IS NOT NULL THEN 3
+                                       WHEN start2 IS NOT NULL THEN 2
+                                       WHEN start1 IS NOT NULL THEN 1 END), 0)
+                     AS BIGINT) AS funnel_level
+         FROM s3 GROUP BY user_id""",
+    "events_funnel_strict" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
+         s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS start1 FROM e),
+         p1 AS (SELECT *, lag(start1) OVER (PARTITION BY user_id ORDER BY tsl) AS prev1 FROM s1),
+         s2 AS (SELECT *, CASE WHEN op = 'click'
+                  AND prev1 >= tsl - 86400000000 THEN prev1 END AS start2 FROM p1),
+         p2 AS (SELECT *, lag(start2) OVER (PARTITION BY user_id ORDER BY tsl) AS prev2 FROM s2),
+         s3 AS (SELECT *, CASE WHEN op = 'purchase'
+                  AND prev2 >= tsl - 86400000000 THEN prev2 END AS start3 FROM p2)
          SELECT user_id,
                 CAST(coalesce(max(CASE WHEN start3 IS NOT NULL THEN 3
                                        WHEN start2 IS NOT NULL THEN 2

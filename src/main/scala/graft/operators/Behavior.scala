@@ -96,6 +96,40 @@ object Behavior {
       .agg(coalesce(max(level), lit(0)).cast("bigint").as("funnel_level"))
   }
 
+  /** ClickHouse `windowFunnel(window, 'strict_order')`: like
+    * [[windowFunnel]], but ANY intervening event of another type breaks
+    * the chain — steps must occur on CONSECUTIVE rows of the key's
+    * timeline. The formulation therefore swaps the running-max window for
+    * a `lag(1)`: a row's `start_i` exists only when the IMMEDIATELY
+    * preceding event carried `start_{i-1}` (and the window still covers
+    * this row). Same single (key, ts) shuffle + sort, k−1 linear lag
+    * passes; per-key ties in `ts` would make `lag` order-dependent, so
+    * pass a total ordering in `tsCol` (the test log's event ids guarantee
+    * distinct micros).
+    */
+  def windowFunnelStrictOrder(events: DataFrame, keyCol: String, opCol: String,
+                              tsCol: String, steps: Seq[String],
+                              windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    require(windowMicros > 0, s"bad windowMicros=$windowMicros")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__tsl"))
+    var df = events.select(col(keyCol),
+        graft.functions.TimeCols.micros(col(tsCol)).as("__tsl"),
+        col(opCol).as("__op"))
+      .withColumn("__start1", when(col("__op") === steps.head, col("__tsl")))
+    for (i <- 2 to steps.size) {
+      val prev = lag(col(s"__start${i - 1}"), 1).over(byKey)
+      df = df.withColumn(s"__start$i",
+        when(col("__op") === steps(i - 1) &&
+          prev >= col("__tsl") - windowMicros, prev))
+    }
+    val level = (steps.size to 1 by -1).foldLeft(lit(null).cast("int")) {
+      (acc, i) => coalesce(acc, when(col(s"__start$i").isNotNull, i))
+    }
+    df.groupBy(col(keyCol))
+      .agg(coalesce(max(level), lit(0)).cast("bigint").as("funnel_level"))
+  }
+
   /** Hour-of-week seasonality profile: event count and mean value per
     * (ISO day-of-week, hour-of-day) cell — the 7×24 load heatmap capacity
     * planning reads over a mirrored event stream. `dow` is ISO (Monday=1 …

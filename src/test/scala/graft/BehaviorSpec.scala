@@ -27,6 +27,47 @@ class BehaviorSpec extends SparkSpec {
     assert(levels == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("windowFunnelStrictOrder: any intervening event breaks the chain") {
+    val H = 3600L * 1000000
+    val events = Seq(
+      // user 1: A->B->C contiguous -> 3
+      (1L, "A", ts("2024-01-01 00:00:00")),
+      (1L, "B", ts("2024-01-01 00:10:00")),
+      (1L, "C", ts("2024-01-01 00:20:00")),
+      // user 2: the ClickHouse doc example A->B->D->C -> stops at 2
+      (2L, "A", ts("2024-01-01 00:00:00")),
+      (2L, "B", ts("2024-01-01 00:10:00")),
+      (2L, "D", ts("2024-01-01 00:15:00")),
+      (2L, "C", ts("2024-01-01 00:20:00")),
+      // user 3: broken once, completed by a later contiguous restart -> 3
+      (3L, "A", ts("2024-01-01 00:00:00")),
+      (3L, "D", ts("2024-01-01 00:05:00")),
+      (3L, "A", ts("2024-01-01 01:00:00")),
+      (3L, "B", ts("2024-01-01 01:10:00")),
+      (3L, "C", ts("2024-01-01 01:20:00")),
+      // user 4: contiguous but the window expires between B and C -> 2
+      (4L, "A", ts("2024-01-01 00:00:00")),
+      (4L, "B", ts("2024-01-01 00:30:00")),
+      (4L, "C", ts("2024-01-01 03:00:00")),
+      // user 5: a repeated first step is itself an intervention for the
+      // earlier chain, but starts a fresh one -> 2
+      (5L, "A", ts("2024-01-01 00:00:00")),
+      (5L, "A", ts("2024-01-01 00:05:00")),
+      (5L, "B", ts("2024-01-01 00:10:00")),
+      // user 6: nothing relevant -> 0
+      (6L, "D", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "t")
+    val strict = Behavior.windowFunnelStrictOrder(events, "user_id",
+        "event_type", "t", Seq("A", "B", "C"), windowMicros = 2 * H)
+      .as[(Long, Long)].collect().toMap
+    assert(strict == Map(1L -> 3L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L, 6L -> 0L))
+    // the default mode tolerates the intervention user 2 was broken by
+    val loose = Behavior.windowFunnel(events, "user_id", "event_type", "t",
+        Seq("A", "B", "C"), windowMicros = 2 * H)
+      .as[(Long, Long)].collect().toMap
+    assert(loose(2L) == 3L)
+  }
+
   test("windowFunnel: every chain start counts, window and order are exact") {
     val H = 3600L * 1000000 // an hour in micros
     val events = Seq(
