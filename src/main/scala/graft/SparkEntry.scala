@@ -193,6 +193,13 @@ object SparkEntry {
     "user_funnel" -> ((s, d) =>
       Behavior.funnelLevels(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
+    // ClickHouse retention(signup, click, purchase): order-free retained-key
+    // counts — of the users who ever signed up, how many also clicked /
+    // purchased (at any time)
+    "events_retention" -> ((s, d) =>
+      Behavior.retention(t(s, d, "events"), "user_id",
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"))),
     // ClickHouse windowFunnel(6h): every chain start counts, all steps
     // within the window of the chain's FIRST event, strict time order
     "events_window_funnel" -> ((s, d) =>
@@ -1356,6 +1363,16 @@ object SparkEntry {
                                        WHEN start1 IS NOT NULL THEN 1 END), 0)
                      AS BIGINT) AS funnel_level
          FROM s3 GROUP BY user_id""",
+    "events_retention" ->
+      """WITH k AS (SELECT user_id,
+                           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c0,
+                           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+                           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+                    FROM events GROUP BY user_id)
+         SELECT CAST(sum(c0) AS BIGINT) AS r0,
+                CAST(sum(c0 * c1) AS BIGINT) AS r1,
+                CAST(sum(c0 * c2) AS BIGINT) AS r2
+         FROM k""",
     "events_funnel_strict" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
          s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS start1 FROM e),

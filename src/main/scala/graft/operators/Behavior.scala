@@ -130,6 +130,28 @@ object Behavior {
       .agg(coalesce(max(level), lit(0)).cast("bigint").as("funnel_level"))
   }
 
+  /** ClickHouse `retention(cond₀, cond₁, …)` rolled up across keys: per
+    * key, flag₀ = cond₀ held on ANY of its events, flagᵢ = cond₀ AND
+    * condᵢ (order-free, unlike the funnels — "did the signed-up user ever
+    * also click / purchase"); the result is ONE row of per-condition
+    * retained-key counts r0..r{n−1}, the numerators of a retention table.
+    *
+    * One grouped aggregation (map-side combined booleans) then a scalar
+    * fold — two shuffles, the second over one row per key with n flags.
+    */
+  def retention(events: DataFrame, keyCol: String, conds: Seq[Column]): DataFrame = {
+    require(conds.size >= 2, "need at least two retention conditions")
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val perKey = events.groupBy(col(keyCol)).agg(flags.head, flags.tail: _*)
+    val counts = conds.indices.map { i =>
+      if (i == 0) sum(col("__c0")).as("r0")
+      else sum(col("__c0") * col(s"__c$i")).as(s"r$i")
+    }
+    perKey.agg(counts.head, counts.tail: _*)
+  }
+
   /** Hour-of-week seasonality profile: event count and mean value per
     * (ISO day-of-week, hour-of-day) cell — the 7×24 load heatmap capacity
     * planning reads over a mirrored event stream. `dow` is ISO (Monday=1 …

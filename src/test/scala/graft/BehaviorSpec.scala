@@ -27,6 +27,22 @@ class BehaviorSpec extends SparkSpec {
     assert(levels == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("retention: order-free retained-key counts, gated on the first condition") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, "signup"), (1L, "click"), (1L, "purchase"), // retained everywhere
+      (2L, "signup"), (2L, "purchase"),                // no click
+      (3L, "click"), (3L, "purchase"),                 // never signed up: excluded
+      (4L, "purchase"), (4L, "signup")                 // order-free: still counts
+    ).map { case (u, t) => (u, t, ts("2024-01-01 00:00:00")) }
+      .toDF("user_id", "event_type", "t")
+    val r = Behavior.retention(events, "user_id",
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .as[(Long, Long, Long)].head()
+    assert(r == ((3L, 1L, 3L))) // 3 signups; 1 also clicked; all 3 purchased
+  }
+
   test("windowFunnelStrictOrder: any intervening event breaks the chain") {
     val H = 3600L * 1000000
     val events = Seq(
