@@ -211,6 +211,12 @@ object SparkEntry {
       Behavior.windowFunnelStrictOrder(t(s, d, "events"), "user_id",
         "event_type", "ts", Seq("signup", "click", "purchase"),
         windowMicros = 24L * 3600 * 1000000)),
+    // ClickHouse sequenceMatch('(?1)(?t<=2h)(?2)(?t<=2h)(?3)'): every
+    // consecutive hop bounded separately, not the whole chain
+    "events_sequence_match" -> ((s, d) =>
+      Behavior.sequenceMatch(t(s, d, "events"), "user_id", "event_type",
+        "ts", Seq("signup", "click", "purchase"),
+        maxGapMicros = 2L * 3600 * 1000000)),
     "cohort_retention" -> ((s, d) =>
       Behavior.cohortRetention(t(s, d, "events"), "user_id", "ts")),
     // ClickHouse quantileExactWeighted: quantity-weighted unit-spend
@@ -1373,6 +1379,19 @@ object SparkEntry {
                 CAST(sum(c0 * c1) AS BIGINT) AS r1,
                 CAST(sum(c0 * c2) AS BIGINT) AS r2
          FROM k""",
+    "events_sequence_match" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
+         s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS reach1 FROM e),
+         p1 AS (SELECT *, max(reach1) OVER (PARTITION BY user_id ORDER BY tsl
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best1 FROM s1),
+         s2 AS (SELECT *, CASE WHEN op = 'click'
+                  AND best1 >= tsl - 7200000000 THEN tsl END AS reach2 FROM p1),
+         p2 AS (SELECT *, max(reach2) OVER (PARTITION BY user_id ORDER BY tsl
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best2 FROM s2),
+         s3 AS (SELECT *, CASE WHEN op = 'purchase'
+                  AND best2 >= tsl - 7200000000 THEN tsl END AS reach3 FROM p2)
+         SELECT user_id, count(reach3) > 0 AS matched
+         FROM s3 GROUP BY user_id""",
     "events_funnel_strict" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
          s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS start1 FROM e),

@@ -130,6 +130,43 @@ object Behavior {
       .agg(coalesce(max(level), lit(0)).cast("bigint").as("funnel_level"))
   }
 
+  /** ClickHouse `sequenceMatch('(?1)(?t<=gap)(?2)(?t<=gap)(?3)…')(ts,
+    * cond₁, …)` per key: does SOME event chain match the steps in time
+    * order with each CONSECUTIVE gap ≤ `maxGapMicros`? Differs from
+    * [[windowFunnel]]'s single window over the whole chain — here every
+    * hop is bounded separately, the pattern of session-ish sequence
+    * queries ("click within 2 h of signup, purchase within 2 h of the
+    * click").
+    *
+    * Same exactness argument as [[windowFunnel]], with the DP carrying
+    * each row's OWN timestamp instead of the chain start: `reach_i` = own
+    * ts on a step-i row whose predecessor max `reach_{i-1}` (over
+    * strictly-earlier rows) lies within the gap — the max predecessor is
+    * optimal because the only downstream constraint (next gap) is monotone
+    * in it. k−1 running-max passes over ONE (key, ts) shuffle+sort.
+    * Returns (key, matched) for every key.
+    */
+  def sequenceMatch(events: DataFrame, keyCol: String, opCol: String,
+                    tsCol: String, steps: Seq[String],
+                    maxGapMicros: Long): DataFrame = {
+    require(steps.size >= 2, "need at least two sequence steps")
+    require(maxGapMicros > 0, s"bad maxGapMicros=$maxGapMicros")
+    val before = Window.partitionBy(col(keyCol)).orderBy(col("__tsl"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var df = events.select(col(keyCol),
+        graft.functions.TimeCols.micros(col(tsCol)).as("__tsl"),
+        col(opCol).as("__op"))
+      .withColumn("__reach1", when(col("__op") === steps.head, col("__tsl")))
+    for (i <- 2 to steps.size) {
+      df = df.withColumn(s"__reach$i",
+        when(col("__op") === steps(i - 1) &&
+          max(col(s"__reach${i - 1}")).over(before) >= col("__tsl") - maxGapMicros,
+          col("__tsl")))
+    }
+    df.groupBy(col(keyCol))
+      .agg((count(col(s"__reach${steps.size}")) > 0).as("matched"))
+  }
+
   /** ClickHouse `retention(cond₀, cond₁, …)` rolled up across keys: per
     * key, flag₀ = cond₀ held on ANY of its events, flagᵢ = cond₀ AND
     * condᵢ (order-free, unlike the funnels — "did the signed-up user ever

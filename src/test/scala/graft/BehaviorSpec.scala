@@ -27,6 +27,39 @@ class BehaviorSpec extends SparkSpec {
     assert(levels == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("sequenceMatch: each consecutive hop bounded separately") {
+    val events = Seq(
+      // user 1: hops of 1h each — total 2h exceeds nothing per-hop -> match
+      (1L, "A", ts("2024-01-01 00:00:00")),
+      (1L, "B", ts("2024-01-01 01:00:00")),
+      (1L, "C", ts("2024-01-01 02:00:00")),
+      // user 2: second hop too wide (3h) -> no match, even though a 4h
+      // TOTAL window funnel would accept it
+      (2L, "A", ts("2024-01-01 00:00:00")),
+      (2L, "B", ts("2024-01-01 00:30:00")),
+      (2L, "C", ts("2024-01-01 03:30:00")),
+      // user 3: early broken chain rescued by a later B within gap of the
+      // FIRST A — interleaved events are fine (no strictness)
+      (3L, "A", ts("2024-01-01 00:00:00")),
+      (3L, "D", ts("2024-01-01 00:10:00")),
+      (3L, "B", ts("2024-01-01 01:30:00")),
+      (3L, "C", ts("2024-01-01 02:30:00")),
+      // user 4: steps out of order -> no match
+      (4L, "B", ts("2024-01-01 00:00:00")),
+      (4L, "A", ts("2024-01-01 00:30:00")),
+      (4L, "C", ts("2024-01-01 01:00:00"))
+    ).toDF("user_id", "event_type", "t")
+    val got = Behavior.sequenceMatch(events, "user_id", "event_type", "t",
+        Seq("A", "B", "C"), maxGapMicros = 2L * 3600 * 1000000)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    // contrast: the total-window funnel DOES accept user 2 at 4h
+    val funnel = Behavior.windowFunnel(events, "user_id", "event_type", "t",
+        Seq("A", "B", "C"), windowMicros = 4L * 3600 * 1000000)
+      .as[(Long, Long)].collect().toMap
+    assert(funnel(2L) == 3L)
+  }
+
   test("retention: order-free retained-key counts, gated on the first condition") {
     import org.apache.spark.sql.functions.col
     val events = Seq(
