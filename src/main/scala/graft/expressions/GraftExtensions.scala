@@ -14,8 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * After either, `spark.sql` understands `token_minhash(tokens, w, k[,
   * bands])`, `simhash64(hashes)`, `sorted_jaccard(a, b)`, `cosine_sim(a, b)`,
-  * `rolling_fingerprint(text[, k, w])`, `pack_int8(vec)` and
-  * `int8_cosine_sim(codes, vec)`.
+  * `rolling_fingerprint(text[, k, w])`, `pack_int8(vec)`,
+  * `int8_cosine_sim(codes, vec)` and `media_info(payload)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -69,5 +69,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => PackInt8(args.head)),
     (FunctionIdentifier("int8_cosine_sim"),
       new ExpressionInfo(classOf[Int8CosineSim].getName, "int8_cosine_sim"),
-      (args: Seq[Expression]) => Int8CosineSim(args.head, args(1))))
+      (args: Seq[Expression]) => Int8CosineSim(args.head, args(1))),
+    (FunctionIdentifier("media_info"),
+      new ExpressionInfo(classOf[MediaInfoExpr].getName, "media_info"),
+      (args: Seq[Expression]) => MediaInfoExpr(args.head)))
 }

@@ -100,6 +100,27 @@ class MediaHeaderSpec extends SparkSpec {
       be32(3) ++ t("junk")).isEmpty)
   }
 
+  test("media_info SQL function probes binary columns inside codegen") {
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    val png = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ t("IHDR") ++ b(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    Seq((1L, wavBytes), (2L, png), (3L, "nope".getBytes("UTF-8")))
+      .toDF("id", "payload").createOrReplaceTempView("media_lake")
+    val rows = spark.sql(
+      """SELECT id, coalesce(media_info(payload).format, 'none') AS fmt,
+                coalesce(media_info(payload).sample_rate_hz, -1) AS rate,
+                coalesce(media_info(payload).duration_ms, -1) AS dur,
+                coalesce(media_info(payload).width, -1) AS w
+         FROM media_lake ORDER BY id""")
+      .as[(Long, String, Int, Long, Int)].collect().toSeq
+    assert(rows == Seq((1L, "wav", 44100, 2000L, 0),
+      (2L, "png", 0, 0L, 640), (3L, "none", -1, -1L, -1)))
+    // container-property predicates work as plain SQL filters
+    assert(spark.sql(
+      "SELECT count(*) FROM media_lake WHERE media_info(payload).format = 'wav'")
+      .head().getLong(0) == 1L)
+  }
+
   test("probeHeaders: mixed lake probes every container through one seam") {
     val png = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
       0, 0, 0, 13) ++ t("IHDR") ++ b(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
