@@ -548,6 +548,22 @@ object SparkEntry {
         .select(explode(col("top")).as("e"))
         .select(col("e._1").as("word"), col("e._2").as("approx_n"))
     }),
+    // the MAINTAINED sketch path beside the one-shot twin above: three sync
+    // generations of Misra-Gries states per source, read = fold + rank.
+    // rows-only (counter values are merge-order artifacts); TopKAggSpec
+    // pins the heavy-hitter survival + count-band contract
+    "top_words_maintained" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("word"))
+      def part(i: Int) = words.where(pmod(col("doc_id"), lit(3)) === i)
+        .withColumn("grp", lit("all")).select(col("grp"), col("word"))
+      val agg = operators.TopKAgg.create(s, part(0), Seq("grp"), "word", 20,
+        indexScratch)
+      agg.refresh(part(1))
+      agg.refresh(part(2))
+      agg.read(10).select(col("item").as("word"), col("est_count"), col("rank"))
+    }),
 
     // context-length-bounded training chunks: 64-word windows, 16 overlap
     "docs_chunks" -> ((s, d) =>

@@ -31,7 +31,24 @@ class FrequentItemsAggregator(k: Int)
         buf.view.mapValues(_ - 1).filter(_._2 > 0).toMap
     }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    FrequentItemsAggregator.mergeCounters(a, b, k)
+
+  override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
+    buf.toSeq.sortBy { case (w, c) => (-c, w) }
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}
+
+object FrequentItemsAggregator {
+  /** The PODS-2012 mergeable-summaries counter merge, shared with the
+    * maintained [[graft.operators.TopKAgg]]'s state folder.
+    */
+  def mergeCounters(a: Map[String, Long], b: Map[String, Long],
+                    k: Int): Map[String, Long] = {
     val combined = b.foldLeft(a) { case (m, (w, c)) =>
       m.updated(w, m.getOrElse(w, 0L) + c)
     }
@@ -41,6 +58,25 @@ class FrequentItemsAggregator(k: Int)
       combined.view.mapValues(_ - cut).filter(_._2 > 0).toMap
     }
   }
+}
+
+/** Folds ALREADY-SKETCHED Misra-Gries states (the `(item, count)` arrays a
+  * [[FrequentItemsAggregator]] generation persists) into one state — the
+  * union half of the maintained top-K pattern, exactly as `hll_union_agg`
+  * is to `hll_sketch_agg`. Same mergeable-summaries bound: error grows to
+  * at most n/(k+1) over the TOTAL weight n, regardless of merge order.
+  */
+class FreqStateMerger(k: Int)
+  extends Aggregator[Seq[(String, Long)], Map[String, Long], Seq[(String, Long)]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long],
+                      state: Seq[(String, Long)]): Map[String, Long] =
+    FrequentItemsAggregator.mergeCounters(buf, state.toMap, k)
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    FrequentItemsAggregator.mergeCounters(a, b, k)
 
   override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
     buf.toSeq.sortBy { case (w, c) => (-c, w) }

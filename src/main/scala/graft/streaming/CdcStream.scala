@@ -178,6 +178,23 @@ object CdcStream {
       agg.refreshBatch(batchId, inserts); ()
     }
 
+  /** [[mirrorToParquet]] with maintained approximate TOP-K (heavy hitters)
+    * riding the microbatches — the streaming half of the ClickHouse
+    * `topKState` materialized-view pattern, same insert-only contract and
+    * replay safety as the distinct-count rider.
+    */
+  def mirrorToParquetWithTopK(changes: Dataset[Change], targetDir: String,
+                              checkpointDir: String,
+                              agg: graft.operators.TopKAgg,
+                              prepare: DataFrame => DataFrame = identity,
+                              nBuckets: Int = 64,
+                              deleteOp: String = "delete",
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    insertArtifactRider(changes, targetDir, checkpointDir, prepare, nBuckets,
+      deleteOp, trigger) { (batchId, inserts) =>
+      agg.refreshBatch(batchId, inserts); ()
+    }
+
   /** The shared chassis of the INSERT-ONLY maintained-artifact riders
     * (distinct sketches, quantile sketches, full-text postings): per
     * microbatch, collapse to newest-per-key upserts, hand the NON-DELETED
