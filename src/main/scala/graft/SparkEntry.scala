@@ -217,6 +217,13 @@ object SparkEntry {
       Behavior.sequenceMatch(t(s, d, "events"), "user_id", "event_type",
         "ts", Seq("signup", "click", "purchase"),
         maxGapMicros = 2L * 3600 * 1000000)),
+    // ClickHouse sequenceCount: disjoint view→click chains per user (an
+    // event feeds at most one chain) — sequential per key, secondary-sort
+    // mapPartitions; rows-only (BehaviorSpec pins the automaton + a
+    // random-log equality against an independent single-machine reference)
+    "events_sequence_count" -> ((s, d) =>
+      Behavior.sequenceCount(t(s, d, "events"), "user_id", "event_type",
+        "ts", Seq("view", "click"), maxGapMicros = 2L * 3600 * 1000000)),
     "cohort_retention" -> ((s, d) =>
       Behavior.cohortRetention(t(s, d, "events"), "user_id", "ts")),
     // ClickHouse quantileExactWeighted: quantity-weighted unit-spend

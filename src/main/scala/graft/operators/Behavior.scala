@@ -167,6 +167,68 @@ object Behavior {
       .agg((count(col(s"__reach${steps.size}")) > 0).as("matched"))
   }
 
+  /** ClickHouse `sequenceCount`-style NON-OVERLAPPING chain counting: how
+    * many disjoint chains of `steps` (time order, each consecutive gap ≤
+    * `maxGapMicros`, no event reused) does each key's timeline contain?
+    * Greedy with a refresh rule: a repeat of the just-matched step slides
+    * the chain forward to the later occurrence (never worse for the next
+    * gap — the exchange argument), a completed chain resets the scan, a
+    * dead chain restarts at the next first-step event.
+    *
+    * Counting disjoint chains is inherently SEQUENTIAL per key (each event
+    * is consumed by at most one chain), so this is the one Behavior
+    * operator on the `mapPartitions` rung: repartition by key + in-
+    * partition (key, ts, op) sort — the secondary-sort pattern, ONE
+    * shuffle, streaming iteration with O(1) state per key run and one
+    * output row per key. Keys are compared as strings (cast, lossless)
+    * so the operator stays type-agnostic.
+    */
+  def sequenceCount(events: DataFrame, keyCol: String, opCol: String,
+                    tsCol: String, steps: Seq[String],
+                    maxGapMicros: Long): DataFrame = {
+    require(steps.size >= 2, "need at least two sequence steps")
+    require(maxGapMicros > 0, s"bad maxGapMicros=$maxGapMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nSteps = steps.size
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val prepared = events.select(col(keyCol).cast("string").as("k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("t"),
+        col(opCol).cast("string").as("o"))
+      .repartition(parts, col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("o"))
+      .as[(String, Long, String)]
+    prepared.mapPartitions { rows =>
+      var curKey: String = null
+      var level = 0
+      var lastTs = 0L
+      var count = 0L
+      def step(o: String, t: Long): Unit =
+        if (level < nSteps && o == steps(level) &&
+            (level == 0 || t - lastTs <= maxGapMicros)) {
+          level += 1; lastTs = t
+          if (level == nSteps) { count += 1; level = 0 }
+        } else if (level > 0 && o == steps(level - 1)) {
+          lastTs = t // refresh to the later occurrence
+        } else if (o == steps.head) {
+          level = 1; lastTs = t // dead chain; restart here
+        }
+      val main = rows.flatMap { case (key, t, o) =>
+        if (key != curKey) {
+          val flush =
+            if (curKey != null) Iterator.single((curKey, count))
+            else Iterator.empty
+          curKey = key; level = 0; count = 0
+          step(o, t)
+          flush
+        } else { step(o, t); Iterator.empty }
+      }
+      // lazy concat: the tail flush runs only after `main` is exhausted
+      main ++ (if (curKey != null) Iterator.single((curKey, count))
+               else Iterator.empty)
+    }.toDF("key", "n_chains")
+  }
+
   /** ClickHouse `retention(cond₀, cond₁, …)` rolled up across keys: per
     * key, flag₀ = cond₀ held on ANY of its events, flagᵢ = cond₀ AND
     * condᵢ (order-free, unlike the funnels — "did the signed-up user ever

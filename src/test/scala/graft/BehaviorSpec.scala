@@ -27,6 +27,70 @@ class BehaviorSpec extends SparkSpec {
     assert(levels == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("sequenceCount: disjoint chains, refresh rule, restarts") {
+    def us(m: Long) = { // m micros since epoch as a timestamp
+      val t = new java.sql.Timestamp(m / 1000)
+      t.setNanos(((m % 1000000) * 1000).toInt)
+      t
+    }
+    val gap = 10L
+    val events = Seq(
+      // key 1: two clean disjoint chains A->B A->B -> 2
+      (1L, "A", 0L), (1L, "B", 5L), (1L, "A", 20L), (1L, "B", 25L),
+      // key 2: A A B B — the second A refreshes, the second B has no A -> 1
+      (2L, "A", 0L), (2L, "A", 2L), (2L, "B", 3L), (2L, "B", 4L),
+      // key 3: the refresh rescue — A(0) is too old for B(11), A(9) isn't
+      (3L, "A", 0L), (3L, "A", 9L), (3L, "B", 11L),
+      // key 4: gap expired, no rescue -> 0
+      (4L, "A", 0L), (4L, "B", 11L),
+      // key 5: interleaved other events don't consume anything -> 1
+      (5L, "A", 0L), (5L, "x", 1L), (5L, "B", 2L),
+      // key 6: B before any A -> 0
+      (6L, "B", 0L), (6L, "A", 1L)
+    ).map { case (k, o, m) => (k, o, us(m)) }.toDF("user_id", "event_type", "t")
+    val got = Behavior.sequenceCount(events, "user_id", "event_type", "t",
+        Seq("A", "B"), maxGapMicros = gap)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("1" -> 2L, "2" -> 1L, "3" -> 1L, "4" -> 0L,
+      "5" -> 1L, "6" -> 0L))
+  }
+
+  test("sequenceCount matches a single-machine reference on random logs") {
+    val rnd = new scala.util.Random(20260814L)
+    val types = Array("A", "B", "C", "x")
+    val gap = 15L
+    val events = (1 to 600).map { _ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(200).toLong,
+        types(rnd.nextInt(types.length)))
+    }
+    // independent reference: same documented automaton, run naively on the
+    // collected per-key logs — catches distribution/partition-boundary bugs
+    val steps = Seq("A", "B", "C")
+    def reference(evs: Seq[(Long, String)]): Long = {
+      var level = 0; var lastTs = 0L; var count = 0L
+      evs.sortBy(e => (e._1, e._2)).foreach { case (t, o) =>
+        if (level < steps.size && o == steps(level) &&
+            (level == 0 || t - lastTs <= gap)) {
+          level += 1; lastTs = t
+          if (level == steps.size) { count += 1; level = 0 }
+        } else if (level > 0 && o == steps(level - 1)) lastTs = t
+        else if (o == steps.head) { level = 1; lastTs = t }
+      }
+      count
+    }
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      u.toString -> reference(evs.map(e => (e._2, e._3)))
+    }
+    val df = events.map { case (u, m, op) =>
+      val t = new java.sql.Timestamp(0L)
+      t.setNanos((m * 1000).toInt)
+      (u, t, op)
+    }.toDF("user_id", "t", "op").repartition(7) // scramble the layout
+    val got = Behavior.sequenceCount(df, "user_id", "op", "t", steps, gap)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("sequenceMatch: each consecutive hop bounded separately") {
     val events = Seq(
       // user 1: hops of 1h each — total 2h exceeds nothing per-hop -> match
