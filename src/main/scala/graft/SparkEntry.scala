@@ -224,6 +224,19 @@ object SparkEntry {
     "events_sequence_count" -> ((s, d) =>
       Behavior.sequenceCount(t(s, d, "events"), "user_id", "event_type",
         "ts", Seq("view", "click"), maxGapMicros = 2L * 3600 * 1000000)),
+    // ClickHouse uniqUpTo(3): exact distinct event types per user while
+    // <= 3, else 4 ("more than 3") — aggregation state capped at 4 items
+    "events_uniq_upto" -> ((s, d) => {
+      val agg = udaf(new graft.expressions.UniqUpToAggregator(3),
+        org.apache.spark.sql.Encoders.STRING)
+      t(s, d, "events").groupBy(col("user_id"))
+        .agg(agg(col("event_type")).as("uniq_upto"))
+    }),
+    // ClickHouse deltaSum: positive-delta totals of each user's value
+    // series — counter-rate accounting tolerant of resets
+    "events_delta_sum" -> ((s, d) =>
+      Behavior.deltaSum(t(s, d, "events"), "user_id", "ts", "value", "event_id")
+        .select(col("user_id"), round(col("delta_sum"), 4).as("delta_sum"))),
     "cohort_retention" -> ((s, d) =>
       Behavior.cohortRetention(t(s, d, "events"), "user_id", "ts")),
     // ClickHouse quantileExactWeighted: quantity-weighted unit-spend
@@ -1392,6 +1405,19 @@ object SparkEntry {
                                        WHEN start1 IS NOT NULL THEN 1 END), 0)
                      AS BIGINT) AS funnel_level
          FROM s3 GROUP BY user_id""",
+    "events_uniq_upto" ->
+      """SELECT user_id,
+                LEAST(count(DISTINCT event_type), 4) AS uniq_upto
+         FROM events GROUP BY user_id""",
+    "events_delta_sum" ->
+      """WITH o AS (SELECT user_id, value,
+                           lag(value) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+                    FROM events)
+         SELECT user_id,
+                round(sum(CASE WHEN value > prev THEN value - prev
+                               ELSE 0 END), 4) AS delta_sum
+         FROM o GROUP BY user_id""",
     "events_retention" ->
       """WITH k AS (SELECT user_id,
                            max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c0,

@@ -167,6 +167,24 @@ object Behavior {
       .agg((count(col(s"__reach${steps.size}")) > 0).as("matched"))
   }
 
+  /** ClickHouse `deltaSum`: per key, the sum of POSITIVE deltas between
+    * consecutive values in time order — monotone-counter rate accounting
+    * that tolerates counter resets (a reset's negative delta contributes
+    * nothing instead of poisoning the total). `tieCol` totally orders
+    * same-timestamp rows so the result is deterministic on any layout.
+    * One (key, ts) shuffle shared by the lag window and the aggregation.
+    */
+  def deltaSum(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(valueCol), 1).over(w)
+    events
+      .withColumn("__d",
+        when(col(valueCol) > prev, col(valueCol) - prev).otherwise(lit(0.0)))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__d")).as("delta_sum"))
+  }
+
   /** ClickHouse `sequenceCount`-style NON-OVERLAPPING chain counting: how
     * many disjoint chains of `steps` (time order, each consecutive gap ≤
     * `maxGapMicros`, no event reused) does each key's timeline contain?

@@ -27,6 +27,39 @@ class BehaviorSpec extends SparkSpec {
     assert(levels == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("uniqUpTo: exact below the cap, capped marker above, merge-safe") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    val agg = udaf(new graft.expressions.UniqUpToAggregator(3),
+      org.apache.spark.sql.Encoders.STRING)
+    val rows = Seq(
+      (1L, Seq("a")), (2L, Seq("a", "b", "c")),
+      (3L, Seq("a", "b", "c", "d")),                      // just over the cap
+      (4L, (0 until 100).map(i => s"v$i")),               // far over the cap
+      (5L, Seq("a", "a", "a"))                            // duplicates
+    ).flatMap { case (k, vs) => vs.map(v => (k, v)) }
+      .toDF("k", "v").repartition(8) // force real partial-state merges
+    val got = rows.groupBy(col("k")).agg(agg(col("v")).as("u"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 4L, 4L -> 4L, 5L -> 1L))
+  }
+
+  test("deltaSum: positive deltas only, reset-tolerant, deterministic ties") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      // key 1: 10 -> 15 -> 3 (reset) -> 8: deltas +5, 0, +5 = 10
+      (1L, 0L, 10.0), (1L, 1L, 15.0), (1L, 2L, 3.0), (1L, 3L, 8.0),
+      // key 2: single value -> 0
+      (2L, 0L, 42.0),
+      // key 3: strictly decreasing -> 0
+      (3L, 0L, 9.0), (3L, 1L, 5.0), (3L, 2L, 1.0)
+    ).map { case (k, seq, v) =>
+      (k, seq, v, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$seq"))
+    }.toDF("k", "seq", "v", "t")
+    val got = Behavior.deltaSum(events, "k", "t", "v", "seq")
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 0.0, 3L -> 0.0))
+  }
+
   test("sequenceCount: disjoint chains, refresh rule, restarts") {
     def us(m: Long) = { // m micros since epoch as a timestamp
       val t = new java.sql.Timestamp(m / 1000)
