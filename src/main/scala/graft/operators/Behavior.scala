@@ -73,22 +73,34 @@ object Behavior {
   def windowFunnel(events: DataFrame, keyCol: String, opCol: String,
                    tsCol: String, steps: Seq[String],
                    windowMicros: Long): DataFrame = {
-    require(steps.size >= 2, "need at least two funnel steps")
-    require(windowMicros > 0, s"bad windowMicros=$windowMicros")
     val before = Window.partitionBy(col(keyCol)).orderBy(col("__tsl"))
       .rangeBetween(Window.unboundedPreceding, -1)
+    funnelChassis(events, keyCol, opCol, tsCol, steps, windowMicros) { i =>
+      val prev = max(col(s"__start${i - 1}")).over(before)
+      when(col("__op") === steps(i - 1) &&
+        prev >= col("__tsl") - windowMicros, prev)
+    }
+  }
+
+  /** Shared chassis of the windowFunnel modes: project (key, epoch-micros
+    * ts, op), seed `__start1` on first-step rows, apply the mode's
+    * per-step start builder for steps 2..k (the ONLY varying piece: how a
+    * row sees its predecessor chain start), then fold the reached level
+    * and aggregate per key. Catalyst collapses the identical window specs,
+    * so both modes keep the single (key, ts) shuffle+sort.
+    */
+  private def funnelChassis(events: DataFrame, keyCol: String, opCol: String,
+                            tsCol: String, steps: Seq[String],
+                            windowMicros: Long)(
+                            stepStart: Int => Column): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    require(windowMicros > 0, s"bad windowMicros=$windowMicros")
     var df = events.select(col(keyCol),
         graft.functions.TimeCols.micros(col(tsCol)).as("__tsl"),
         col(opCol).as("__op"))
       .withColumn("__start1", when(col("__op") === steps.head, col("__tsl")))
-    for (i <- 2 to steps.size) {
-      df = df
-        .withColumn(s"__prev${i - 1}", max(col(s"__start${i - 1}")).over(before))
-        .withColumn(s"__start$i",
-          when(col("__op") === steps(i - 1) &&
-            col(s"__prev${i - 1}") >= col("__tsl") - windowMicros,
-            col(s"__prev${i - 1}")))
-    }
+    for (i <- 2 to steps.size)
+      df = df.withColumn(s"__start$i", stepStart(i))
     val level = (steps.size to 1 by -1).foldLeft(lit(null).cast("int")) {
       (acc, i) => coalesce(acc, when(col(s"__start$i").isNotNull, i))
     }
@@ -110,24 +122,12 @@ object Behavior {
   def windowFunnelStrictOrder(events: DataFrame, keyCol: String, opCol: String,
                               tsCol: String, steps: Seq[String],
                               windowMicros: Long): DataFrame = {
-    require(steps.size >= 2, "need at least two funnel steps")
-    require(windowMicros > 0, s"bad windowMicros=$windowMicros")
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__tsl"))
-    var df = events.select(col(keyCol),
-        graft.functions.TimeCols.micros(col(tsCol)).as("__tsl"),
-        col(opCol).as("__op"))
-      .withColumn("__start1", when(col("__op") === steps.head, col("__tsl")))
-    for (i <- 2 to steps.size) {
+    funnelChassis(events, keyCol, opCol, tsCol, steps, windowMicros) { i =>
       val prev = lag(col(s"__start${i - 1}"), 1).over(byKey)
-      df = df.withColumn(s"__start$i",
-        when(col("__op") === steps(i - 1) &&
-          prev >= col("__tsl") - windowMicros, prev))
+      when(col("__op") === steps(i - 1) &&
+        prev >= col("__tsl") - windowMicros, prev)
     }
-    val level = (steps.size to 1 by -1).foldLeft(lit(null).cast("int")) {
-      (acc, i) => coalesce(acc, when(col(s"__start$i").isNotNull, i))
-    }
-    df.groupBy(col(keyCol))
-      .agg(coalesce(max(level), lit(0)).cast("bigint").as("funnel_level"))
   }
 
   /** ClickHouse `sequenceMatch('(?1)(?t<=gap)(?2)(?t<=gap)(?3)…')(ts,

@@ -9,16 +9,29 @@ package graft.operators
   * Parsing a header touches only the first bytes of the payload, so at
   * 100 TB the per-item cost is independent of media size.
   */
+/** Fixed-width integer readers over raw container bytes, shared by the
+  * header parsers ([[ImageHeader]], [[MediaHeader]]) so a hardening fix
+  * lands once.
+  */
+private[operators] object ByteReaders {
+  def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  def be64(b: Array[Byte], i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
+  def tag(b: Array[Byte], i: Int): String =
+    if (i < 0 || i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+}
+
 object ImageHeader {
+  import ByteReaders._
 
   /** Detected container format + pixel dimensions. */
   case class ImageInfo(format: String, width: Int, height: Int)
-
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def be32(b: Array[Byte], i: Int): Long =
-    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)

@@ -31,19 +31,7 @@ object MediaHeader {
   case class MediaInfo(format: String, width: Int, height: Int,
                        channels: Int, sampleRateHz: Int, durationMs: Long)
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
-    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
-      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
-  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
-  private def be32(b: Array[Byte], i: Int): Long =
-    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
-      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
-  private def be64(b: Array[Byte], i: Int): Long =
-    (be32(b, i) << 32) | be32(b, i + 4)
-  private def tag(b: Array[Byte], i: Int): String =
-    if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+  import ByteReaders._
 
   /** WAV: "RIFF" + size + "WAVE", then (id, LE u32 size) chunks. Duration
     * needs both `fmt ` (byte rate) and `data` (payload size); chunks pad
@@ -56,7 +44,6 @@ object MediaHeader {
     while (i + 8 <= b.length && (channels == 0 || dataLen < 0)) {
       val id = tag(b, i)
       val len = le32(b, i + 4)
-      if (len > Int.MaxValue - 9) return None // would overflow the cursor
       if (id == "fmt " && i + 24 <= b.length) {
         channels = le16(b, i + 10)
         rate = le32(b, i + 12)
@@ -64,7 +51,11 @@ object MediaHeader {
       } else if (id == "data") {
         dataLen = len // payload bytes follow; no need to have them in the prefix
       }
-      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      // Long cursor arithmetic: a crafted chunk size near u32 max would
+      // otherwise wrap the Int cursor negative and crash the tag read
+      val next = i.toLong + 8L + len + (len & 1L) // chunks are word-aligned
+      if (next > Int.MaxValue) return None
+      i = next.toInt
     }
     if (channels <= 0 || rate <= 0 || rate > Int.MaxValue) None
     else {
@@ -93,22 +84,24 @@ object MediaHeader {
 
   /** mvhd: version/flags, then (creation, modification, timescale,
     * duration) — u32s in version 0, u64 times + u32 timescale + u64
-    * duration in version 1.
+    * duration in version 1. The all-ones duration is the ISO 14496-12
+    * "unknown duration" sentinel (fragmented/live files) — reported as
+    * unknown, not as a huge (v0) or negative (v1) value.
     */
   private def mvhdDurationMs(b: Array[Byte], start: Int, end: Long): Option[Long] = {
     if (start + 4 > b.length) return None
     val version = u8(b, start)
-    if (version == 0) {
-      if (start + 20 > b.length) return None
-      val timescale = be32(b, start + 12)
-      val duration = be32(b, start + 16)
-      if (timescale <= 0) None else Some(duration * 1000L / timescale)
-    } else {
-      if (start + 32 > b.length) return None
-      val timescale = be32(b, start + 20)
-      val duration = be64(b, start + 24)
-      if (timescale <= 0) None else Some(duration * 1000L / timescale)
-    }
+    val (timescale, duration) =
+      if (version == 0) {
+        if (start + 20 > b.length) return None
+        (be32(b, start + 12), be32(b, start + 16))
+      } else {
+        if (start + 32 > b.length) return None
+        (be32(b, start + 20), be64(b, start + 24))
+      }
+    val unknown = if (version == 0) 0xffffffffL else -1L // all ones per width
+    if (timescale <= 0 || duration == unknown || duration < 0) None
+    else Some(duration * 1000L / timescale)
   }
 
   /** tkhd: width/height live in the LAST 8 bytes of the box as 16.16 fixed
@@ -122,10 +115,18 @@ object MediaHeader {
     if (w > 0 && h > 0) Some((w.toInt, h.toInt)) else None
   }
 
-  /** Walk the sibling boxes of `[i, limit)`, recursing into containers. */
-  private def mp4Walk(b: Array[Byte], i0: Int, limit: Long,
+  /** Walk the sibling boxes of `[i, limit)`, recursing into containers.
+    * `depth` bounds the recursion: real files nest moov/trak 2-3 deep, and
+    * an unbounded walk over crafted nested container headers would
+    * otherwise overflow the stack (StackOverflowError is unrecoverable in
+    * a task). Leaves receive the box's UNCLAMPED end so their own
+    * `end > b.length` truncation guards fire — clamping here would make a
+    * prefix-truncated tkhd read garbage trailing bytes as dimensions.
+    */
+  private def mp4Walk(b: Array[Byte], i0: Int, limit: Long, depth: Int,
                       state: (Option[Long], Option[(Int, Int)])):
       (Option[Long], Option[(Int, Int)]) = {
+    if (depth <= 0) return state
     var i = i0
     var s = state
     while (i + 8 <= math.min(limit, b.length.toLong) &&
@@ -133,13 +134,13 @@ object MediaHeader {
       box(b, i) match {
         case None => return s
         case Some((payload, end, t)) =>
-          val clampedEnd = math.min(end, b.length.toLong)
           t match {
-            case "moov" | "trak" => s = mp4Walk(b, payload, clampedEnd, s)
+            case "moov" | "trak" =>
+              s = mp4Walk(b, payload, math.min(end, b.length.toLong), depth - 1, s)
             case "mvhd" if s._1.isEmpty =>
-              s = (mvhdDurationMs(b, payload, clampedEnd), s._2)
+              s = (mvhdDurationMs(b, payload, end), s._2)
             case "tkhd" if s._2.isEmpty =>
-              s = (s._1, tkhdDims(b, payload, clampedEnd))
+              s = (s._1, tkhdDims(b, payload, end))
             case _ => ()
           }
           if (end <= i || end > Int.MaxValue) return s // malformed / past prefix
@@ -156,7 +157,7 @@ object MediaHeader {
     if (b.length < 12) return None
     val first = box(b, 0)
     if (!first.exists(_._3 == "ftyp")) return None
-    val (durOpt, dimsOpt) = mp4Walk(b, 0, b.length.toLong, (None, None))
+    val (durOpt, dimsOpt) = mp4Walk(b, 0, b.length.toLong, depth = 8, (None, None))
     if (durOpt.isEmpty && dimsOpt.isEmpty) None
     else {
       val (w, h) = dimsOpt.getOrElse((0, 0))

@@ -141,14 +141,15 @@ object Multimodal {
         col("meta.media_type").as("mediaType"))
       .as[MediaItem]
       .mapPartitions(_.map { it =>
+        // a NULL payload is a normal dirty-lake row, not a crash
+        val nBytes = if (it.payload == null) 0L else it.payload.length.toLong
         MediaHeader.parse(it.payload) match {
           case Some(info) =>
-            MediaProbe(it.id, info.format, it.payload.length.toLong,
+            MediaProbe(it.id, info.format, nBytes,
               info.width, info.height, info.channels, info.sampleRateHz,
               info.durationMs, it.mediaType)
           case None =>
-            MediaProbe(it.id, "unknown", it.payload.length.toLong,
-              0, 0, 0, 0, 0L, it.mediaType)
+            MediaProbe(it.id, "unknown", nBytes, 0, 0, 0, 0, 0L, it.mediaType)
         }
       })
   }

@@ -84,6 +84,52 @@ class MediaHeaderSpec extends SparkSpec {
     assert(MediaHeader.parse(png).contains(MediaInfo("png", 640, 480, 0, 0, 0L)))
   }
 
+  test("adversarial payloads return None instead of crashing or misparsing") {
+    // RIFF chunk size near u32 max: the cursor must not wrap negative
+    val hugeChunk = t("RIFF") ++ le32(100) ++ t("WAVE") ++
+      t("JUNK") ++ le32(0x7ffffff0L)
+    assert(MediaHeader.parse(hugeChunk).isEmpty)
+    // deeply nested container headers: bounded walk, no stack overflow
+    val ftyp = mp4Box("ftyp", t("isom") ++ be32(0))
+    val nested = new Array[Byte](200000 * 8)
+    var off = 0
+    var remaining = nested.length
+    while (remaining > 0) {
+      System.arraycopy(be32(remaining.toLong) ++ t("moov"), 0, nested, off, 8)
+      off += 8; remaining -= 8
+    }
+    assert(MediaHeader.parse(ftyp ++ nested).isEmpty)
+    // an MP4 prefix truncated mid-tkhd must NOT report garbage dimensions
+    val truncated = mp4Bytes(mvhdV0, Some((1920, 1080)))
+    assert(MediaHeader.parse(truncated.dropRight(60))
+      .forall(i => i.width == 0 && i.height == 0))
+    // the ISO "unknown duration" sentinel (all ones) is unknown, not huge
+    val unkV0 = mp4Box("mvhd",
+      b(0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(0xffffffffL) ++
+        Array.fill[Byte](80)(0))
+    assert(MediaHeader.parse(mp4Box("ftyp", t("isom") ++ be32(0)) ++
+      mp4Box("moov", unkV0 ++ mp4Box("trak", tkhd(640, 360))))
+      .contains(MediaInfo("mp4", 640, 360, 0, 0, 0L)))
+    val unkV1 = mp4Box("mvhd",
+      b(1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(90000) ++ be64(-1L) ++
+        Array.fill[Byte](80)(0))
+    val v1Parsed = MediaHeader.parse(mp4Box("ftyp", t("isom") ++ be32(0)) ++
+      mp4Box("moov", unkV1 ++ mp4Box("trak", tkhd(640, 360))))
+    assert(v1Parsed.contains(MediaInfo("mp4", 640, 360, 0, 0, 0L)))
+  }
+
+  test("probeHeaders tolerates NULL payloads as ordinary dirty rows") {
+    val media = Seq((1L, wavBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+      .select($"doc_id", $"payload",
+        struct(org.apache.spark.sql.functions.lit(0).as("width"),
+          org.apache.spark.sql.functions.lit(0).as("height"),
+          org.apache.spark.sql.functions.lit("x").as("media_type")).as("meta"))
+    val probes = Multimodal.probeHeaders(media).collect().sortBy(_.id)
+    assert(probes(0).format == "wav")
+    assert(probes(1).format == "unknown" && probes(1).nBytes == 0L)
+  }
+
   test("malformed and foreign payloads are rejected, not misparsed") {
     assert(MediaHeader.parse(null).isEmpty)
     assert(MediaHeader.parse("plain text payload".getBytes("UTF-8")).isEmpty)
