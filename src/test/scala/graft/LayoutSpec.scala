@@ -32,21 +32,6 @@ class LayoutSpec extends SparkSpec {
     assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
-  /** Count shuffle exchanges in the final adaptive plan (stage plans are
-    * fields, not children, so descend explicitly).
-    */
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    df.collect()
-    def go(p: org.apache.spark.sql.execution.SparkPlan): Int = p.map {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        go(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(s.plan)
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
-      case _ => 0
-    }.sum
-    go(df.queryExecution.executedPlan)
-  }
-
   private def withConf[A](pairs: (String, String)*)(body: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Behavior, CdcOps}
+
+/** Enforced scale contracts: each headline operator's Scaladoc claims a
+  * shuffle budget ("ONE shuffle of the event log, then k−1 linear
+  * passes"); this spec pins those budgets on the REAL events table so a
+  * formulation change that sneaks in an extra exchange fails the suite
+  * instead of only showing up as a benchmark regression at scale. Counts
+  * come from the final adaptive plan ([[SparkSpec.shuffles]]).
+  */
+class ShuffleShapeSpec extends SparkSpec {
+
+  private lazy val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+  private val steps = Seq("signup", "click", "purchase")
+  private val H = 3600L * 1000000
+
+  test("CDC collapse is one shuffle") {
+    assert(shuffles(CdcOps.latestSnapshot(ev, Seq("user_id"), "event_id")) == 1)
+  }
+
+  test("funnel family shares one (key, ts) shuffle across all passes") {
+    assert(shuffles(Behavior.windowFunnel(ev, "user_id", "event_type", "ts",
+      steps, 6 * H)) == 1)
+    assert(shuffles(Behavior.windowFunnelStrictOrder(ev, "user_id",
+      "event_type", "ts", steps, 24 * H)) == 1)
+    assert(shuffles(Behavior.sequenceMatch(ev, "user_id", "event_type", "ts",
+      steps, 2 * H)) == 1)
+    assert(shuffles(Behavior.sequenceCount(ev, "user_id", "event_type", "ts",
+      Seq("view", "click"), 2 * H)) == 1)
+  }
+
+  test("per-key ordered aggregations reuse the window partitioning") {
+    assert(shuffles(Behavior.deltaSum(ev, "user_id", "ts", "value",
+      "event_id")) == 1)
+    assert(shuffles(CdcOps.sessionize(ev, Seq("user_id"), "ts", 1800L)) == 1)
+    assert(shuffles(CdcOps.changeRates(ev, "user_id", "ts", "event_id")) == 1)
+  }
+
+  test("retention is a grouped pass plus one scalar fold") {
+    assert(shuffles(Behavior.retention(ev, "user_id",
+      Seq(col("event_type") === "signup", col("event_type") === "click",
+        col("event_type") === "purchase"))) == 2)
+  }
+
+  test("as-of join is one shuffle over the unioned sides") {
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    assert(shuffles(AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+      "pts", "ts")) == 1)
+  }
+}

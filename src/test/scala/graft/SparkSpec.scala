@@ -24,6 +24,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  /** Count shuffle exchanges in the final adaptive plan after running
+    * `df` (stage plans are fields, not children, so descend explicitly).
+    * The scale contracts ("ONE shuffle of the event log") are pinned with
+    * this — a plan regression fails the suite, not just the benchmarks.
+    */
+  def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Int = p.map {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(s.plan)
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+      case _ => 0
+    }.sum
+    go(df.queryExecution.executedPlan)
+  }
+
   /** Execute DDL/DML statements over a fresh JDBC connection. */
   def jdbcExec(url: String, sqls: String*): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
