@@ -237,6 +237,18 @@ object SparkEntry {
     "events_delta_sum" -> ((s, d) =>
       Behavior.deltaSum(t(s, d, "events"), "user_id", "ts", "value", "event_id")
         .select(col("user_id"), round(col("delta_sum"), 4).as("delta_sum"))),
+    // ClickHouse histogram(10): adaptive equi-height bins beside the exact
+    // fixed-width value_histogram twin — rows-only (bin placement is
+    // merge-order-dependent; the spec pins mass/bounds contracts)
+    "value_histogram_adaptive" -> ((s, d) => {
+      val agg = udaf(new graft.expressions.AdaptiveHistogramAggregator(10),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(agg(col("value")).as("bins"))
+        .select(col("event_type"), explode(col("bins")).as("b"))
+        .select(col("event_type"), col("b._1").as("lower"),
+          col("b._2").as("upper"), col("b._3").as("height"))
+    }),
     "cohort_retention" -> ((s, d) =>
       Behavior.cohortRetention(t(s, d, "events"), "user_id", "ts")),
     // ClickHouse quantileExactWeighted: quantity-weighted unit-spend

@@ -27,6 +27,31 @@ class BehaviorSpec extends SparkSpec {
     assert(levels == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("adaptive histogram: separated clusters recovered; contracts hold anywhere") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    val rnd = new scala.util.Random(42)
+    // three well-separated value clusters with known masses
+    val clustered = (Seq.fill(10)(1.0) ++ Seq.fill(5)(100.0) ++ Seq.fill(3)(1000.0))
+      .map(v => v + rnd.nextDouble() * 0.1)
+    val agg3 = udaf(new graft.expressions.AdaptiveHistogramAggregator(3),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val bins = clustered.toDF("v").coalesce(1)
+      .agg(agg3(col("v")).as("b")).as[Seq[(Double, Double, Long)]].head()
+    assert(bins.map(_._3) == Seq(10L, 5L, 3L), s"cluster masses lost: $bins")
+    assert(bins.forall { case (lo, hi, _) => lo <= hi })
+
+    // merge-order-independent contracts on scrambled random data: mass
+    // conservation, bin budget, exact global bounds
+    val values = Seq.fill(500)(rnd.nextDouble() * 1000)
+    val agg8 = udaf(new graft.expressions.AdaptiveHistogramAggregator(8),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val got = values.toDF("v").repartition(8)
+      .agg(agg8(col("v")).as("b")).as[Seq[(Double, Double, Long)]].head()
+    assert(got.size <= 8 && got.map(_._3).sum == 500L)
+    assert(got.map(_._1).min == values.min && got.map(_._2).max == values.max)
+    assert(got.forall { case (lo, hi, n) => lo <= hi && n > 0 })
+  }
+
   test("uniqUpTo: exact below the cap, capped marker above, merge-safe") {
     import org.apache.spark.sql.functions.{col, udaf}
     val agg = udaf(new graft.expressions.UniqUpToAggregator(3),
