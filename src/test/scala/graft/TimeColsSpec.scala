@@ -113,4 +113,19 @@ class TimeColsSpec extends SparkSpec {
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.limit(1).count() == 1)
   }
+
+  test("Tables.load still converts the legacy long-nanos flavor exactly") {
+    // rounds <= 10 shipped ts as parquet TIMESTAMP(NANOS), read as long
+    // under nanosAsLong — the branch is no longer exercised by the current
+    // testdata, so pin it here against a hand-written long column
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    Seq((1L, 1700000000123456789L), (2L, 1700000001000000000L))
+      .toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    val ev = Tables.load(spark, dir, "events")
+    assert(ev.schema("ts").dataType == TimestampType)
+    val got = ev.select(col("event_id"), TimeCols.micros(col("ts")))
+      .as[(Long, Long)].collect().toMap
+    // exact integral nanos->micros division
+    assert(got == Map(1L -> 1700000000123456L, 2L -> 1700000001000000L))
+  }
 }
