@@ -148,7 +148,19 @@ object Behavior {
     */
   def sequenceMatch(events: DataFrame, keyCol: String, opCol: String,
                     tsCol: String, steps: Seq[String],
-                    maxGapMicros: Long): DataFrame = {
+                    maxGapMicros: Long): DataFrame =
+    sequenceLevels(events, keyCol, opCol, tsCol, steps, maxGapMicros)
+      .select(col(keyCol), (col("seq_level") === steps.size).as("matched"))
+
+  /** The level form of [[sequenceMatch]]: the deepest step some gap-bounded
+    * chain reaches per key (0 = first step never seen). Shares the exact
+    * DP; [[sequenceMatch]] is `seq_level == k`. This is also the batch
+    * anchor of the STREAMING funnel ([[graft.streaming.FunnelStream]]),
+    * whose per-key state is precisely this DP's reach vector.
+    */
+  def sequenceLevels(events: DataFrame, keyCol: String, opCol: String,
+                     tsCol: String, steps: Seq[String],
+                     maxGapMicros: Long): DataFrame = {
     require(steps.size >= 2, "need at least two sequence steps")
     require(maxGapMicros > 0, s"bad maxGapMicros=$maxGapMicros")
     val before = Window.partitionBy(col(keyCol)).orderBy(col("__tsl"))
@@ -163,8 +175,11 @@ object Behavior {
           max(col(s"__reach${i - 1}")).over(before) >= col("__tsl") - maxGapMicros,
           col("__tsl")))
     }
+    val level = (steps.size to 1 by -1).foldLeft(lit(null).cast("int")) {
+      (acc, i) => coalesce(acc, when(count(col(s"__reach$i")) > 0, i))
+    }
     df.groupBy(col(keyCol))
-      .agg((count(col(s"__reach${steps.size}")) > 0).as("matched"))
+      .agg(coalesce(level, lit(0)).cast("bigint").as("seq_level"))
   }
 
   /** ClickHouse `deltaSum`: per key, the sum of POSITIVE deltas between
