@@ -217,6 +217,12 @@ object SparkEntry {
       Behavior.sequenceMatch(t(s, d, "events"), "user_id", "event_type",
         "ts", Seq("signup", "click", "purchase"),
         maxGapMicros = 2L * 3600 * 1000000)),
+    // the level form of sequenceMatch (and the streaming funnel's batch
+    // anchor): deepest gap-bounded step reached per user
+    "events_sequence_levels" -> ((s, d) =>
+      Behavior.sequenceLevels(t(s, d, "events"), "user_id", "event_type",
+        "ts", Seq("signup", "click", "purchase"),
+        maxGapMicros = 2L * 3600 * 1000000)),
     // ClickHouse sequenceCount: disjoint view→click chains per user (an
     // event feeds at most one chain) — sequential per key, secondary-sort
     // mapPartitions; rows-only (BehaviorSpec pins the automaton + a
@@ -1452,6 +1458,23 @@ object SparkEntry {
          s3 AS (SELECT *, CASE WHEN op = 'purchase'
                   AND best2 >= tsl - 7200000000 THEN tsl END AS reach3 FROM p2)
          SELECT user_id, count(reach3) > 0 AS matched
+         FROM s3 GROUP BY user_id""",
+    "events_sequence_levels" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
+         s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS reach1 FROM e),
+         p1 AS (SELECT *, max(reach1) OVER (PARTITION BY user_id ORDER BY tsl
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best1 FROM s1),
+         s2 AS (SELECT *, CASE WHEN op = 'click'
+                  AND best1 >= tsl - 7200000000 THEN tsl END AS reach2 FROM p1),
+         p2 AS (SELECT *, max(reach2) OVER (PARTITION BY user_id ORDER BY tsl
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best2 FROM s2),
+         s3 AS (SELECT *, CASE WHEN op = 'purchase'
+                  AND best2 >= tsl - 7200000000 THEN tsl END AS reach3 FROM p2)
+         SELECT user_id,
+                CAST(CASE WHEN count(reach3) > 0 THEN 3
+                          WHEN count(reach2) > 0 THEN 2
+                          WHEN count(reach1) > 0 THEN 1
+                          ELSE 0 END AS BIGINT) AS seq_level
          FROM s3 GROUP BY user_id""",
     "events_funnel_strict" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
