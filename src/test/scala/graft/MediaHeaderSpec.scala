@@ -84,6 +84,19 @@ class MediaHeaderSpec extends SparkSpec {
     assert(MediaHeader.parse(png).contains(MediaInfo("png", 640, 480, 0, 0, 0L)))
   }
 
+  test("wavHeader/parse round-trip holds across the parameter space") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 200) {
+      val channels = 1 + rnd.nextInt(8)
+      val rate = 1 + rnd.nextInt(192000)
+      val dataLen = rnd.nextInt(1 << 30)
+      val expectMs = dataLen.toLong * 1000L / (rate.toLong * channels * 2)
+      assert(MediaHeader.parse(MediaHeader.wavHeader(channels, rate, dataLen))
+        .contains(MediaInfo("wav", 0, 0, channels, rate, expectMs)),
+        s"round-trip broke at channels=$channels rate=$rate dataLen=$dataLen")
+    }
+  }
+
   test("adversarial payloads return None instead of crashing or misparsing") {
     // RIFF chunk size near u32 max: the cursor must not wrap negative
     val hugeChunk = t("RIFF") ++ le32(100) ++ t("WAVE") ++
