@@ -21,7 +21,9 @@ class UniqUpToAggregator(n: Int)
   override def zero: Set[String] = Set.empty
 
   override def reduce(buf: Set[String], item: String): Set[String] =
-    if (buf.size > n || buf.contains(item)) buf else buf + item
+    // NULLs are not values: count(DISTINCT) and ClickHouse uniqUpTo skip
+    // them, and the DuckDB oracle would otherwise disagree on dirty data
+    if (item == null || buf.size > n || buf.contains(item)) buf else buf + item
 
   override def merge(a: Set[String], b: Set[String]): Set[String] = {
     // union, abandoned as soon as the cap is crossed

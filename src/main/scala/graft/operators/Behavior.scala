@@ -232,6 +232,7 @@ object Behavior {
       .sortWithinPartitions(col("k"), col("t"), col("o"))
       .as[(String, Long, String)]
     prepared.mapPartitions { rows =>
+      var started = false // a null key is a real group, not the sentinel
       var curKey: String = null
       var level = 0
       var lastTs = 0L
@@ -247,17 +248,17 @@ object Behavior {
           level = 1; lastTs = t // dead chain; restart here
         }
       val main = rows.flatMap { case (key, t, o) =>
-        if (key != curKey) {
+        if (!started || key != curKey) {
           val flush =
-            if (curKey != null) Iterator.single((curKey, count))
+            if (started) Iterator.single((curKey, count))
             else Iterator.empty
-          curKey = key; level = 0; count = 0
+          started = true; curKey = key; level = 0; count = 0
           step(o, t)
           flush
         } else { step(o, t); Iterator.empty }
       }
       // lazy concat: the tail flush runs only after `main` is exhausted
-      main ++ (if (curKey != null) Iterator.single((curKey, count))
+      main ++ (if (started) Iterator.single((curKey, count))
                else Iterator.empty)
     }.toDF("key", "n_chains")
   }

@@ -1,14 +1,5 @@
 package graft.operators
 
-/** Public-image-format header parsing — dimensions and format straight from
-  * the container bytes, no codec library. This is the first REAL kernel
-  * behind [[Multimodal.Codec]]'s seam (the pixel decode itself stays out of
-  * this container): PNG and GIF store dimensions at fixed offsets, JPEG in
-  * its start-of-frame segment, all documented public formats (PNG: RFC 2083
-  * §3.1/§4.1.1; JPEG: ITU-T T.81 §B.2.2; GIF: GIF89a specification §18).
-  * Parsing a header touches only the first bytes of the payload, so at
-  * 100 TB the per-item cost is independent of media size.
-  */
 /** Fixed-width integer readers over raw container bytes, shared by the
   * header parsers ([[ImageHeader]], [[MediaHeader]]) so a hardening fix
   * lands once.
@@ -27,6 +18,15 @@ private[operators] object ByteReaders {
     if (i < 0 || i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
 }
 
+/** Public-image-format header parsing — dimensions and format straight from
+  * the container bytes, no codec library. This is the first REAL kernel
+  * behind [[Multimodal.Codec]]'s seam (the pixel decode itself stays out of
+  * this container): PNG and GIF store dimensions at fixed offsets, JPEG in
+  * its start-of-frame segment, all documented public formats (PNG: RFC 2083
+  * §3.1/§4.1.1; JPEG: ITU-T T.81 §B.2.2; GIF: GIF89a specification §18).
+  * Parsing a header touches only the first bytes of the payload, so at
+  * 100 TB the per-item cost is independent of media size.
+  */
 object ImageHeader {
   import ByteReaders._
 

@@ -51,11 +51,15 @@ object MediaHeader {
       } else if (id == "data") {
         dataLen = len // payload bytes follow; no need to have them in the prefix
       }
-      // Long cursor arithmetic: a crafted chunk size near u32 max would
-      // otherwise wrap the Int cursor negative and crash the tag read
-      val next = i.toLong + 8L + len + (len & 1L) // chunks are word-aligned
-      if (next > Int.MaxValue) return None
-      i = next.toInt
+      if (channels == 0 || dataLen < 0) {
+        // Long cursor arithmetic: a crafted chunk size near u32 max would
+        // otherwise wrap the Int cursor negative and crash the tag read.
+        // Only bail when the parse still NEEDS to advance — a huge final
+        // data chunk on an already-satisfied parse is a valid large WAV.
+        val next = i.toLong + 8L + len + (len & 1L) // chunks are word-aligned
+        if (next > Int.MaxValue) return None
+        i = next.toInt
+      } else i = b.length // both chunks found: exit via the loop condition
     }
     if (channels <= 0 || rate <= 0 || rate > Int.MaxValue) None
     else {

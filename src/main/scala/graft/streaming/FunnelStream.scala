@@ -32,8 +32,12 @@ object FunnelStream {
   /** Emitted whenever a key's level deepens. */
   case class FunnelLevel(key: Long, level: Int)
 
-  /** Apply one equal-timestamp group of events: reads see the snapshot
-    * (strictly-earlier reaches only), writes land after.
+  /** Apply one equal-timestamp group of events: reads see the snapshot,
+    * writes land after. The `snapshot(i−1) < e.tsMicros` STRICT comparison
+    * carries the batch DP's strictly-before frame across microbatch
+    * boundaries too (a prior-batch reach at the same instant must not
+    * complete the hop) and rejects stragglers older than an
+    * already-applied reach (a negative gap is not a chain).
     */
   private def applyGroup(group: Seq[FunnelEvent], reach: Array[Long],
                          steps: Seq[String], maxGapMicros: Long): Unit = {
@@ -42,6 +46,7 @@ object FunnelStream {
       val i = steps.indexOf(e.op)
       if (i == 0) reach(0) = math.max(reach(0), e.tsMicros)
       else if (i > 0 && snapshot(i - 1) != Long.MinValue &&
+          snapshot(i - 1) < e.tsMicros &&
           e.tsMicros - snapshot(i - 1) <= maxGapMicros)
         reach(i) = math.max(reach(i), e.tsMicros)
     }
@@ -86,10 +91,18 @@ object FunnelStream {
               applyGroup(grp, reach, steps, maxGapMicros)
               rest = tail
             }
-            state.update(reach.toSeq)
-            stateTtl.foreach { ttl =>
+            // skip the write for keys that never touched the funnel: a
+            // high-cardinality noise stream must not pin an all-empty
+            // reach vector per key in the state store forever
+            if (state.exists || reach.exists(_ != Long.MinValue))
+              state.update(reach.toSeq)
+            if (state.exists) stateTtl.foreach { ttl =>
+              // clamp to the watermark: a straggler's event time may lie
+              // behind it, and a timeout below the watermark is rejected
+              // by the state store (killing the query)
               val lastMs = sorted.lastOption.map(_.tsMicros / 1000L).getOrElse(0L)
-              state.setTimeoutTimestamp(lastMs + ttl.toMillis)
+              val base = math.max(lastMs, state.getCurrentWatermarkMs())
+              state.setTimeoutTimestamp(base + ttl.toMillis)
             }
             val after = levelOf
             if (after > before) Iterator.single(FunnelLevel(key, after))

@@ -60,12 +60,13 @@ class BehaviorSpec extends SparkSpec {
       (1L, Seq("a")), (2L, Seq("a", "b", "c")),
       (3L, Seq("a", "b", "c", "d")),                      // just over the cap
       (4L, (0 until 100).map(i => s"v$i")),               // far over the cap
-      (5L, Seq("a", "a", "a"))                            // duplicates
+      (5L, Seq("a", "a", "a")),                           // duplicates
+      (6L, Seq("a", null, "b", null))                     // NULLs don't count
     ).flatMap { case (k, vs) => vs.map(v => (k, v)) }
       .toDF("k", "v").repartition(8) // force real partial-state merges
     val got = rows.groupBy(col("k")).agg(agg(col("v")).as("u"))
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 4L, 4L -> 4L, 5L -> 1L))
+    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 4L, 4L -> 4L, 5L -> 1L, 6L -> 2L))
   }
 
   test("deltaSum: positive deltas only, reset-tolerant, deterministic ties") {
@@ -111,6 +112,16 @@ class BehaviorSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == Map("1" -> 2L, "2" -> 1L, "3" -> 1L, "4" -> 0L,
       "5" -> 1L, "6" -> 0L))
+
+    // a NULL key is a real group (the windowed siblings emit it too), not
+    // the "no previous key" sentinel — its count must flush
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val withNull = events.withColumn("user_id",
+      when(col("user_id") === 1L, lit(null)).otherwise(col("user_id")))
+    val gotNull = Behavior.sequenceCount(withNull, "user_id", "event_type",
+        "t", Seq("A", "B"), maxGapMicros = gap)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gotNull(None) == 2L && gotNull(Some("2")) == 1L)
   }
 
   test("sequenceCount matches a single-machine reference on random logs") {

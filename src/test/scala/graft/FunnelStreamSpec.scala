@@ -92,6 +92,16 @@ class FunnelStreamSpec extends SparkSpec {
       input.addData(FunnelEvent(7L, "click", 2000))
       q.processAllAvailable()
       assert(finalLevels("funnel_ties") == Map(7L -> 2))
+
+      // the frame holds ACROSS batches too: a same-instant click arriving
+      // in a later microbatch must not complete user 8's hop, and a
+      // straggler OLDER than the applied signup must not fake a chain
+      input.addData(FunnelEvent(8L, "signup", 5000))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(8L, "click", 5000), // same instant, later batch
+        FunnelEvent(8L, "click", 4000))             // straggler before signup
+      q.processAllAvailable()
+      assert(finalLevels("funnel_ties") == Map(7L -> 2, 8L -> 1))
     } finally q.stop()
   }
 }

@@ -102,6 +102,10 @@ class MediaHeaderSpec extends SparkSpec {
     val hugeChunk = t("RIFF") ++ le32(100) ++ t("WAVE") ++
       t("JUNK") ++ le32(0x7ffffff0L)
     assert(MediaHeader.parse(hugeChunk).isEmpty)
+    // ...but a huge FINAL data chunk on an already-satisfied parse is a
+    // legal large WAV, not an overflow bail
+    val bigData = wavBytes.dropRight(8) ++ t("data") ++ le32(0x7ffffff0L)
+    assert(MediaHeader.parse(bigData).exists(_.channels == 2))
     // deeply nested container headers: bounded walk, no stack overflow
     val ftyp = mp4Box("ftyp", t("isom") ++ be32(0))
     val nested = new Array[Byte](200000 * 8)
