@@ -52,9 +52,27 @@ object FunnelStream {
     }
   }
 
+  /** Set an event-time watermark on a funnel stream from its `tsMicros` —
+    * REQUIRED before [[levels]] with `stateTtl` (event-time timeouts only
+    * run against a watermark; without one the query fails at start).
+    * Derives a timestamp column, marks it, and returns the typed view.
+    */
+  def withEventTimeWatermark(events: Dataset[FunnelEvent],
+                             delay: java.time.Duration): Dataset[FunnelEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("__ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("tsMicros")))
+      .withWatermark("__ts", s"${delay.toMillis} milliseconds")
+      .as[FunnelEvent]
+  }
+
   /** Build the update-mode levels stream. `events` may be a streaming or
     * batch Dataset; with `stateTtl` set, keys idle past the TTL (by
-    * watermark) are dropped from the state store.
+    * watermark — set one with [[withEventTimeWatermark]]) are dropped from
+    * the state store.
     */
   def levels(events: Dataset[FunnelEvent], steps: Seq[String],
              maxGapMicros: Long,

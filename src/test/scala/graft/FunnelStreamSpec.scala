@@ -104,4 +104,43 @@ class FunnelStreamSpec extends SparkSpec {
       assert(finalLevels("funnel_ties") == Map(7L -> 2, 8L -> 1))
     } finally q.stop()
   }
+
+  test("stateTtl expires idle keys by watermark; expired keys start fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val Min = 60L * 1000000
+    val withWm = FunnelStream.withEventTimeWatermark(input.toDS(),
+      java.time.Duration.ofMinutes(1))
+    val q = FunnelStream.levels(withWm, steps, Gap,
+        stateTtl = Some(java.time.Duration.ofMinutes(5)))
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val B = 1_700_000_000_000_000L // epoch base well past the 0 watermark
+      // user 9 signs up and clicks
+      input.addData(FunnelEvent(9L, "signup", B),
+        FunnelEvent(9L, "click", B + Min))
+      q.processAllAvailable()
+      assert(finalLevels("funnel_ttl") == Map(9L -> 2))
+
+      // push the watermark far past user 9's TTL via another key, then
+      // again so the expired state is actually evicted
+      input.addData(FunnelEvent(10L, "signup", B + 60 * Min))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(10L, "signup", B + 61 * Min))
+      q.processAllAvailable()
+
+      // user 9's purchase arrives after expiry: the old click is gone, so
+      // NO level-3 completion — the chain restarted from nothing
+      input.addData(FunnelEvent(9L, "purchase", B + 62 * Min))
+      q.processAllAvailable()
+      val levels = finalLevels("funnel_ttl")
+      assert(levels(9L) == 2, s"expired key completed a stale chain: $levels")
+      // and a fresh signup re-enters at level 1... which never re-emits a
+      // LOWER level than already seen (2), so no new row for key 9
+      input.addData(FunnelEvent(9L, "signup", B + 63 * Min))
+      q.processAllAvailable()
+      assert(finalLevels("funnel_ttl")(9L) == 2)
+    } finally q.stop()
+  }
 }
