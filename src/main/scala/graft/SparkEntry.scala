@@ -243,6 +243,16 @@ object SparkEntry {
     "events_delta_sum" -> ((s, d) =>
       Behavior.deltaSum(t(s, d, "events"), "user_id", "ts", "value", "event_id")
         .select(col("user_id"), round(col("delta_sum"), 4).as("delta_sum"))),
+    // ClickHouse groupArrayMovingAvg(5): trailing 5-row mean of each
+    // user's value series — one (key, ts) shuffle, rows frame
+    "events_moving_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          round(avg(col("value")).over(w), 4).as("mov_avg"))
+    }),
     // ClickHouse histogram(10): adaptive equi-height bins beside the exact
     // fixed-width value_histogram twin — rows-only (bin placement is
     // merge-order-dependent; the spec pins mass/bounds contracts)
@@ -1427,6 +1437,12 @@ object SparkEntry {
       """SELECT user_id,
                 LEAST(count(DISTINCT event_type), 4) AS uniq_upto
          FROM events GROUP BY user_id""",
+    "events_moving_avg" ->
+      """SELECT user_id, event_id,
+                round(avg(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+         FROM events""",
     "events_delta_sum" ->
       """WITH o AS (SELECT user_id, value,
                            lag(value) OVER (PARTITION BY user_id
