@@ -243,6 +243,22 @@ object SparkEntry {
     "events_delta_sum" -> ((s, d) =>
       Behavior.deltaSum(t(s, d, "events"), "user_id", "ts", "value", "event_id")
         .select(col("user_id"), round(col("delta_sum"), 4).as("delta_sum"))),
+    // ClickHouse boundingRatio: (last value − first value) / elapsed
+    // seconds per key, first/last by time order — the average rate a
+    // monitor derives from a counter series; one grouped max_by/min_by
+    // pass, no window sort
+    "events_bounding_ratio" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("v_last"),
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("v_first"),
+          (graft.functions.TimeCols.micros(max(col("ts"))) -
+            graft.functions.TimeCols.micros(min(col("ts")))).as("span_us"))
+        .where(col("span_us") > 0)
+        .select(col("user_id"),
+          round((col("v_last") - col("v_first")) * 1000000.0 / col("span_us"), 8)
+            .as("rate_per_sec"))),
     // ClickHouse groupArrayMovingAvg(5): trailing 5-row mean of each
     // user's value series — one (key, ts) shuffle, rows frame
     "events_moving_avg" -> ((s, d) => {
@@ -1443,6 +1459,21 @@ object SparkEntry {
                   ORDER BY ts, event_id
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_avg
          FROM events""",
+    "events_bounding_ratio" ->
+      """WITH o AS (SELECT user_id, value, ts,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn_a,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn_d
+                    FROM events),
+         g AS (SELECT user_id,
+                      max(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+                      max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+                      epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+               FROM o GROUP BY user_id)
+         SELECT user_id,
+                round((v_last - v_first) * 1000000.0 / span_us, 8) AS rate_per_sec
+         FROM g WHERE span_us > 0""",
     "events_delta_sum" ->
       """WITH o AS (SELECT user_id, value,
                            lag(value) OVER (PARTITION BY user_id
