@@ -83,14 +83,21 @@ object Bench {
     // also land the line in a file: stdout tail-capture windows have
     // truncated the first ~17 queries of a round's artifact, making their
     // timings unjudgeable — the file always carries all of them
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    try {
-      val p = java.nio.file.Paths.get(outFile)
-      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(p, line + "\n")
-      System.err.println(s"[bench] wrote $outFile")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: $e")
+    // BENCH_full.json additionally lands IN THE REPO (committed per round):
+    // the driver's BENCH_r*.json artifacts keep only a truncated tail, so
+    // this file is what makes per-query regressions diffable across rounds
+    val outFiles = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"),
+      "BENCH_full.json")
+    outFiles.foreach { outFile =>
+      try {
+        val p = java.nio.file.Paths.get(outFile)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(p, line + "\n")
+        System.err.println(s"[bench] wrote $outFile")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: $e")
+      }
     }
     spark.stop()
     // a bench with ANY erroring query must not read as a healthy run: the

@@ -225,8 +225,9 @@ object SparkEntry {
         maxGapMicros = 2L * 3600 * 1000000)),
     // ClickHouse sequenceCount: disjoint view→click chains per user (an
     // event feeds at most one chain) — sequential per key, secondary-sort
-    // mapPartitions; rows-only (BehaviorSpec pins the automaton + a
-    // random-log equality against an independent single-machine reference)
+    // mapPartitions; oracled as a DuckDB recursive CTE stepping the same
+    // automaton row-by-row (BehaviorSpec additionally pins a random-log
+    // equality against an independent single-machine reference)
     "events_sequence_count" -> ((s, d) =>
       Behavior.sequenceCount(t(s, d, "events"), "user_id", "event_type",
         "ts", Seq("view", "click"), maxGapMicros = 2L * 3600 * 1000000)),
@@ -766,6 +767,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("durationMs")).as("sum_duration_ms"),
           max(col("format")).as("format"))),
+    // REAL payload decode: 16-bit PCM samples read back out of each WAV's
+    // data chunk (MediaHeader.wavPcmStats) — peak / clip-count / RMS per
+    // item. The samples are id-derived, so the oracle regenerates the
+    // exact stream with range() and integer arithmetic: a sample-layout
+    // or sign-extension bug hash-mismatches immediately
+    "mm_audio_stats" -> ((s, d) =>
+      Multimodal.audioStats(
+          Multimodal.withPcmAudioPayloads(t(s, d, "documents"), "doc_id"))
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("peak"), col("n_clipped"),
+          round(sqrt(col("sum_squares").cast("double") / col("n_samples")), 4)
+            .as("rms"))),
 
     // ---- audit / data-quality surface -------------------------------------
     // "what changed between sync v1 and sync v2" over the events CDC log;
@@ -1523,6 +1536,31 @@ object SparkEntry {
                           WHEN count(reach1) > 0 THEN 1
                           ELSE 0 END AS BIGINT) AS seq_level
          FROM s3 GROUP BY user_id""",
+    // the disjoint-chain automaton stepped row-by-row as a recursive CTE:
+    // state (lvl, last_ts, cnt) advances per (ts, event_type)-ordered event,
+    // exactly the mapPartitions scan — counts are engine-exact integers
+    "events_sequence_count" ->
+      """WITH RECURSIVE ev AS (
+           SELECT CAST(user_id AS VARCHAR) AS k, epoch_us(ts) AS t, event_type AS o,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rn
+           FROM events),
+         s AS (
+           SELECT k, 0 AS rn, 0 AS lvl, CAST(0 AS BIGINT) AS last_ts,
+                  CAST(0 AS BIGINT) AS cnt
+           FROM (SELECT DISTINCT k FROM ev)
+           UNION ALL
+           SELECT e.k, e.rn,
+                  CASE WHEN s.lvl = 0 AND e.o = 'view' THEN 1
+                       WHEN s.lvl = 1 AND e.o = 'click'
+                        AND e.t - s.last_ts <= 7200000000 THEN 0
+                       ELSE s.lvl END,
+                  CASE WHEN s.lvl = 0 AND e.o = 'view' THEN e.t
+                       WHEN s.lvl = 1 AND e.o = 'view' THEN e.t
+                       ELSE s.last_ts END,
+                  s.cnt + CASE WHEN s.lvl = 1 AND e.o = 'click'
+                                AND e.t - s.last_ts <= 7200000000 THEN 1 ELSE 0 END
+           FROM s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)
+         SELECT k AS key, CAST(max(cnt) AS BIGINT) AS n_chains FROM s GROUP BY k""",
     "events_funnel_strict" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
          s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS start1 FROM e),
@@ -1850,6 +1888,19 @@ object SparkEntry {
                   AS sum_duration_ms,
                 'wav' AS format
          FROM p GROUP BY 1, 2""",
+    // regenerate the deterministic PCM stream and fold the same stats the
+    // decoder reads out of the payload bytes; all-integer until the final
+    // RMS, whose sqrt both engines compute on the identical double
+    "mm_audio_stats" ->
+      """WITH n AS (SELECT doc_id, 200 + (doc_id % 5) * 50 AS ns FROM documents),
+         s AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM n),
+         v AS (SELECT doc_id, ns, ((doc_id * 31 + i * 7919) % 65536) - 32768 AS x FROM s)
+         SELECT doc_id, CAST(max(ns) AS BIGINT) AS n_samples,
+                CAST(max(abs(x)) AS BIGINT) AS peak,
+                CAST(sum(CASE WHEN x >= 32767 OR x <= -32768 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clipped,
+                round(sqrt(CAST(sum(x * x) AS BIGINT) / max(ns)), 4) AS rms
+         FROM v GROUP BY doc_id""",
     "cdc_snapshot_diff" ->
       """WITH vm AS (SELECT max(event_id) AS v2 FROM events),
          s1 AS (SELECT user_id, max(event_id) AS ver,

@@ -91,13 +91,16 @@ object Behavior {
     */
   private def funnelChassis(events: DataFrame, keyCol: String, opCol: String,
                             tsCol: String, steps: Seq[String],
-                            windowMicros: Long)(
+                            windowMicros: Long,
+                            tieCol: Option[String] = None)(
                             stepStart: Int => Column): DataFrame = {
     require(steps.size >= 2, "need at least two funnel steps")
     require(windowMicros > 0, s"bad windowMicros=$windowMicros")
-    var df = events.select(col(keyCol),
-        graft.functions.TimeCols.micros(col(tsCol)).as("__tsl"),
-        col(opCol).as("__op"))
+    val base = col(keyCol) +:
+      graft.functions.TimeCols.micros(col(tsCol)).as("__tsl") +:
+      col(opCol).as("__op") +:
+      tieCol.map(c => col(c).as("__tie")).toSeq
+    var df = events.select(base: _*)
       .withColumn("__start1", when(col("__op") === steps.head, col("__tsl")))
     for (i <- 2 to steps.size)
       df = df.withColumn(s"__start$i", stepStart(i))
@@ -115,15 +118,18 @@ object Behavior {
     * a `lag(1)`: a row's `start_i` exists only when the IMMEDIATELY
     * preceding event carried `start_{i-1}` (and the window still covers
     * this row). Same single (key, ts) shuffle + sort, k−1 linear lag
-    * passes; per-key ties in `ts` would make `lag` order-dependent, so
-    * pass a total ordering in `tsCol` (the test log's event ids guarantee
-    * distinct micros).
+    * passes; per-key ties in `ts` make `lag` order-dependent, so pass a
+    * `tieCol` that totally orders same-timestamp rows (like [[deltaSum]]'s)
+    * — or guarantee distinct micros per key, as the test log's event ids
+    * do, and omit it.
     */
   def windowFunnelStrictOrder(events: DataFrame, keyCol: String, opCol: String,
                               tsCol: String, steps: Seq[String],
-                              windowMicros: Long): DataFrame = {
-    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__tsl"))
-    funnelChassis(events, keyCol, opCol, tsCol, steps, windowMicros) { i =>
+                              windowMicros: Long,
+                              tieCol: Option[String] = None): DataFrame = {
+    val order = col("__tsl") +: tieCol.map(_ => col("__tie")).toSeq
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    funnelChassis(events, keyCol, opCol, tsCol, steps, windowMicros, tieCol) { i =>
       val prev = lag(col(s"__start${i - 1}"), 1).over(byKey)
       when(col("__op") === steps(i - 1) &&
         prev >= col("__tsl") - windowMicros, prev)

@@ -14,11 +14,11 @@ package graft.operators
   *    reads fixed offsets inside leaves.
   *
   * Like the image path, parsing touches only the byte PREFIX handed in, so
-  * the per-item cost at 100 TB is independent of media size. Caveat that a
-  * real lake must respect: an MP4 written without `-movflags faststart`
-  * carries `moov` after `mdat` (at the file tail) — probe such files with a
-  * tail range-read, or remux; this parser reports what is present in the
-  * prefix and returns None rather than guessing.
+  * the per-item cost at 100 TB is independent of media size. An MP4
+  * written without `-movflags faststart` carries `moov` after `mdat` (at
+  * the file tail) — [[parse]] reports what is present in the prefix and
+  * returns None rather than guessing; [[parseWithTail]] accepts a second
+  * tail range-read and resolves exactly those files.
   *
   * The decode itself (PCM samples, video frames) stays outside this
   * container, exactly as with [[ImageHeader]].
@@ -93,14 +93,17 @@ object MediaHeader {
     * unknown, not as a huge (v0) or negative (v1) value.
     */
   private def mvhdDurationMs(b: Array[Byte], start: Int, end: Long): Option[Long] = {
-    if (start + 4 > b.length) return None
+    if (start + 4 > b.length || start + 4L > end) return None
     val version = u8(b, start)
+    // bound every read by the box's own declared end too: a corrupt mvhd
+    // whose size is smaller than the fields read must not pull its sibling
+    // box's bytes in as timescale/duration
     val (timescale, duration) =
       if (version == 0) {
-        if (start + 20 > b.length) return None
+        if (start + 20 > b.length || start + 20L > end) return None
         (be32(b, start + 12), be32(b, start + 16))
       } else {
-        if (start + 32 > b.length) return None
+        if (start + 32 > b.length || start + 32L > end) return None
         (be32(b, start + 20), be64(b, start + 24))
       }
     val unknown = if (version == 0) 0xffffffffL else -1L // all ones per width
@@ -178,6 +181,110 @@ object MediaHeader {
       .map(i => MediaInfo(i.format, i.width, i.height, 0, 0, 0L))
       .orElse(wav(bytes))
       .orElse(mp4(bytes))
+
+  /** Locate a complete `moov` box inside a tail slice whose absolute file
+    * offset is unknown (the slice may start mid-`mdat`): scan for the box
+    * type fourcc, validate the candidate's size header fits the slice, and
+    * accept only if walking it actually yields mvhd/tkhd content — a
+    * random "moov" byte-string inside media data fails that validation and
+    * the scan continues.
+    */
+  private def findMoovInTail(tail: Array[Byte]): Option[MediaInfo] = {
+    if (tail == null) return None
+    var p = 4
+    while (p + 4 <= tail.length) {
+      if (tail(p) == 'm' && tail(p + 1) == 'o' && tail(p + 2) == 'o' &&
+          tail(p + 3) == 'v') {
+        box(tail, p - 4) match {
+          case Some((payload, end, "moov")) if end <= tail.length =>
+            val (dur, dims) = mp4Walk(tail, payload, end, depth = 7, (None, None))
+            if (dur.nonEmpty || dims.nonEmpty) {
+              val (w, h) = dims.getOrElse((0, 0))
+              return Some(MediaInfo("mp4", w, h, 0, 0, dur.getOrElse(0L)))
+            }
+          case _ => ()
+        }
+      }
+      p += 1
+    }
+    None
+  }
+
+  /** Two-range probe for the commonest real-world MP4 layout: a file
+    * written without `-movflags faststart` carries `moov` AFTER `mdat`, at
+    * the file tail — a prefix read sees only `ftyp` + `mdat` and [[parse]]
+    * honestly returns None. Handing in a tail range-read as well (the
+    * object-store pattern: GET bytes=0..N and bytes=-N..) resolves those
+    * files without remuxing: the prefix identifies the container, the tail
+    * supplies the movie header. Prefix-resolvable payloads never consult
+    * the tail, so faststart files cost one range-read as before.
+    */
+  def parseWithTail(prefix: Array[Byte], tail: Array[Byte]): Option[MediaInfo] = {
+    val head = parse(prefix)
+    val isMp4Ftyp = prefix != null && prefix.length >= 12 &&
+      box(prefix, 0).exists(_._3 == "ftyp")
+    head match {
+      // an MP4 whose prefix yielded nothing beyond the brand: try the tail
+      case None if isMp4Ftyp => findMoovInTail(tail)
+      case Some(info) if info.format == "mp4" && info.durationMs == 0 &&
+          info.width == 0 && info.height == 0 => findMoovInTail(tail).orElse(head)
+      case other => other
+    }
+  }
+
+  /** Decoded PCM sample statistics: count, peak |amplitude|, full-scale
+    * clip count, and the exact integer sum of squares (the RMS numerator —
+    * kept integral so downstream math is engine-exact).
+    */
+  case class PcmStats(nSamples: Long, peak: Int, clipped: Long, sumSquares: Long)
+
+  /** REAL payload decode for PCM WAV: walk the RIFF chunks to `data` and
+    * fold the 16-bit little-endian samples actually PRESENT in the buffer
+    * into [[PcmStats]] — no codec library, just the sample layout the
+    * `fmt ` chunk declares (PCM tag 1, 16-bit). This is the decode step
+    * [[graft.operators.Multimodal]] previously stubbed: the samples
+    * themselves are read, not only the container header.
+    *
+    * Samples are whatever portion of the declared `data` chunk the buffer
+    * holds (a prefix-read of a long file decodes the prefix's samples);
+    * stats cover all channels interleaved. Returns None for non-WAV,
+    * non-PCM or non-16-bit payloads, or when `data` is absent.
+    */
+  def wavPcmStats(b: Array[Byte]): Option[PcmStats] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var i = 12
+    var fmtOk = false
+    while (i + 8 <= b.length) {
+      val id = tag(b, i)
+      val len = le32(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        // PCM format tag 1 at chunk offset 0; 16 bits/sample at offset 14
+        fmtOk = le16(b, i + 8) == 1 && le16(b, i + 22) == 16
+      } else if (id == "data") {
+        if (!fmtOk) return None
+        val start = i + 8
+        val avail = math.min(len, (b.length - start).toLong).toInt
+        val n = avail / 2
+        var peak = 0; var clipped = 0L; var sumSq = 0L
+        var j = 0
+        while (j < n) {
+          val o = start + 2 * j
+          val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          if (v >= 32767 || v <= -32768) clipped += 1
+          sumSq += v.toLong * v
+          j += 1
+        }
+        return Some(PcmStats(n.toLong, peak, clipped, sumSq))
+      }
+      val next = i.toLong + 8L + len + (len & 1L)
+      if (next > Int.MaxValue) return None
+      i = next.toInt
+    }
+    None
+  }
 
   /** Encode a canonical 44-byte PCM WAV header declaring `dataLen` payload
     * bytes — the writer dual of [[parse]]'s WAV reader (16-bit samples).

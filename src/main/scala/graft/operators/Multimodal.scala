@@ -117,6 +117,60 @@ object Multimodal {
           lit("audio/wav").as("media_type")).as("meta"))
   }
 
+  /** Attach a synthetic WAV payload WITH actual PCM sample data — the
+    * full-decode sibling of [[withAudioPayloads]] (which ships headers
+    * only). Samples are the deterministic integer stream
+    * `s(i) = ((id·31 + i·7919) mod 65536) − 32768` over
+    * `n = 200 + (id mod 5)·50` 16-bit LE slots, so every sample — and
+    * therefore every decoded statistic — is re-derivable from id
+    * arithmetic alone by any engine (the DuckDB oracle regenerates the
+    * stream with `range()` and must agree exactly).
+    */
+  def withPcmAudioPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val n = 200 + (id % 5).toInt * 50
+        val pcm = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val v = (((id * 31 + i.toLong * 7919) % 65536L) - 32768L).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        (id, MediaHeader.wavHeader(channels, rate, pcm.length) ++ pcm)
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("audio/wav").as("media_type")).as("meta"))
+  }
+
+  /** Decoded per-item PCM statistics (see [[MediaHeader.wavPcmStats]]). */
+  case class AudioStats(doc_id: Long, n_samples: Long, peak: Long,
+                        n_clipped: Long, sum_squares: Long)
+
+  /** REAL audio decode through the codec seam: fold each WAV payload's
+    * 16-bit PCM samples into per-item statistics. Same partition-iterator
+    * shape as [[decode]] — per-item cost linear in payload bytes, nothing
+    * driver-side. Non-WAV / sampleless payloads are dropped (a mixed lake
+    * filters here; count them upstream with [[probeHeaders]] if needed).
+    */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MediaHeader.wavPcmStats(payload).map(s =>
+          AudioStats(id, s.nSamples, s.peak.toLong, s.clipped, s.sumSquares))
+      })
+  }
+
   /** Full media-probe result: what the container bytes actually say,
     * with the declared metadata kept alongside for drift detection.
     */

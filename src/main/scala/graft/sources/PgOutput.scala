@@ -1,0 +1,546 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decoder for PostgreSQL's `pgoutput` logical-replication protocol — the
+  * binary WAL-message stream a replication slot emits, and the capture
+  * path the reference's flow-worker consumes natively (reference
+  * docker-compose.yml:21-28 wires the PeerDB flow-worker to the Postgres
+  * slot; quickstart_prepare_peers.sh creates the publication it reads).
+  * This closes the one PeerDB capture semantic graft previously
+  * externalized to a Debezium sidecar: feed raw replication frames in,
+  * get the SAME normalized change-log contract out that
+  * [[DebeziumEnvelope.parse]] produces — row columns + `_version`
+  * (= WAL LSN, the true total order), `_is_deleted`, `_event_ts`,
+  * `_source_table` — ready for [[graft.operators.CdcOps.latestSnapshot]] /
+  * `softDeleteSnapshot` and the mirror merge.
+  *
+  * Wire model (PostgreSQL docs, "Streaming Replication Protocol" +
+  * "Logical Replication Message Formats", all public):
+  *  - each CopyData frame is either `w` XLogData (Int64 walStart, Int64
+  *    walEnd, Int64 sendTime, payload = one logical message) or `k`
+  *    keepalive (skipped — it carries no change);
+  *  - logical messages: `B`egin (final LSN, commit ts, xid), `C`ommit,
+  *    `R`elation (relid → column names/type OIDs/typmods — the in-stream
+  *    schema registry), `Y` type, `O`rigin, `I`nsert, `U`pdate, `D`elete,
+  *    each tuple as Int16 ncols then per-column `n`ull / `u`nchanged-toast
+  *    / `t`ext(len,bytes) / `b`inary(len,bytes);
+  *  - timestamps are microseconds since the PostgreSQL epoch 2000-01-01.
+  *
+  * Distribution shape (the 100 TB posture): schema and transaction
+  * boundaries are METADATA — `Relation` and `Begin` messages are collected
+  * to the driver (bounded by #schema-changes and #transactions per batch,
+  * not by row count) and broadcast; the DML decode itself is a single
+  * stateless `mapPartitions` pass over the frame stream, so it scales with
+  * partitions and never funnels rows through the driver. Mid-stream
+  * `Relation` re-sends (ALTER TABLE during capture) version the registry
+  * by LSN: each change row decodes under the relation schema with the
+  * greatest LSN ≤ its own, and the output schema is the by-name union
+  * across versions (rows older than a column's first appearance carry
+  * null — the same additive-evolution posture as the mirror merge).
+  *
+  * Honesty contract, same as DebeziumEnvelope: nothing unparseable is
+  * silently dropped. Unknown message tags (e.g. `T`runcate, `M`essage),
+  * truncated frames, DML for relids the registry never saw, and value
+  * coercion failures all land in the DEAD-LETTER frame with a reason;
+  * keepalives and Begin/Commit/Origin/Type messages are consumed by
+  * design. Unchanged-TOAST columns (`u`) decode to null AND surface their
+  * names in `_unchanged_toast` so a downstream repair join can patch them
+  * from the previous image instead of mistaking them for real nulls.
+  */
+object PgOutput extends Serializable {
+
+  // ── message model ────────────────────────────────────────────────────
+
+  /** One decoded tuple slot. `VUnchanged` is the TOAST marker — distinct
+    * from null because the column HAS a value, the slot just didn't ship it.
+    */
+  sealed trait Value extends Serializable
+  case object VNull extends Value
+  case object VUnchanged extends Value
+  final case class VText(s: String) extends Value
+  final case class VBinary(b: Array[Byte]) extends Value
+
+  /** One column of a Relation message: name, type OID, type modifier,
+    * replica-identity membership.
+    */
+  final case class RelCol(name: String, typeOid: Int, typeMod: Int, isKey: Boolean)
+
+  sealed trait Msg extends Serializable
+  final case class Begin(finalLsn: Long, commitTsMicros: Long, xid: Long) extends Msg
+  final case class Commit(commitLsn: Long, endLsn: Long, commitTsMicros: Long) extends Msg
+  final case class Relation(relid: Int, namespace: String, name: String,
+                            replicaIdentity: Char, cols: IndexedSeq[RelCol]) extends Msg
+  final case class Insert(relid: Int, tuple: IndexedSeq[Value]) extends Msg
+  final case class Update(relid: Int, old: Option[IndexedSeq[Value]],
+                          next: IndexedSeq[Value]) extends Msg
+  final case class Delete(relid: Int, old: IndexedSeq[Value]) extends Msg
+  final case class OriginMsg(lsn: Long, name: String) extends Msg
+  final case class TypeMsg(oid: Int, namespace: String, name: String) extends Msg
+  /** A tag this decoder does not interpret — routed to dead-letter. */
+  final case class Unknown(tag: Char) extends Msg
+
+  sealed trait Frame extends Serializable
+  final case class Keepalive(walEnd: Long, sendTsMicros: Long,
+                             replyRequested: Boolean) extends Frame
+  final case class XLogData(walStart: Long, walEnd: Long, sendTsMicros: Long,
+                            msg: Msg) extends Frame
+
+  /** Micros between 2000-01-01 (PG timestamp epoch) and 1970-01-01. */
+  val PgEpochOffsetMicros: Long = 946684800000000L
+
+  // ── byte-level decode (pure; unit-testable without Spark) ────────────
+
+  private final class Reader(b: Array[Byte]) {
+    val buf: ByteBuffer = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    def u8(): Int = buf.get() & 0xff
+    def i16(): Int = buf.getShort().toInt
+    def i32(): Int = buf.getInt()
+    def i64(): Long = buf.getLong()
+    def remaining: Int = buf.remaining()
+    /** Null-terminated UTF-8 string (pgoutput's String encoding). */
+    def cstr(): String = {
+      val start = buf.position()
+      var end = start
+      while (end < buf.limit() && b(end) != 0) end += 1
+      if (end >= buf.limit()) throw new IllegalArgumentException("unterminated string")
+      val s = new String(b, start, end - start, "UTF-8")
+      buf.position(end + 1)
+      s
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || n > remaining)
+        throw new IllegalArgumentException(s"bad length $n (remaining=$remaining)")
+      val out = new Array[Byte](n)
+      buf.get(out)
+      out
+    }
+  }
+
+  private def tupleData(r: Reader): IndexedSeq[Value] = {
+    val n = r.i16()
+    if (n < 0) throw new IllegalArgumentException(s"negative column count $n")
+    (0 until n).map { _ =>
+      (r.u8(): @unchecked) match {
+        case 'n' => VNull
+        case 'u' => VUnchanged
+        case 't' => VText(new String(r.bytes(r.i32()), "UTF-8"))
+        case 'b' => VBinary(r.bytes(r.i32()))
+        case k => throw new IllegalArgumentException(s"bad tuple kind '${k.toChar}'")
+      }
+    }
+  }
+
+  /** Decode one logical-replication message (the XLogData payload). Throws
+    * on malformed bytes; returns [[Unknown]] for tags outside the decoded
+    * set so the caller can dead-letter rather than fail the partition.
+    */
+  def decodeMsg(payload: Array[Byte]): Msg = {
+    val r = new Reader(payload)
+    (r.u8().toChar: @unchecked) match {
+      case 'B' => Begin(r.i64(), r.i64() + PgEpochOffsetMicros, r.i32().toLong & 0xffffffffL)
+      case 'C' =>
+        r.u8() // flags, currently always 0
+        Commit(r.i64(), r.i64(), r.i64() + PgEpochOffsetMicros)
+      case 'O' => OriginMsg(r.i64(), r.cstr())
+      case 'R' =>
+        val relid = r.i32()
+        val ns = r.cstr(); val name = r.cstr()
+        val replident = r.u8().toChar
+        val ncols = r.i16()
+        if (ncols < 0) throw new IllegalArgumentException(s"negative ncols $ncols")
+        val cols = (0 until ncols).map { _ =>
+          val flags = r.u8()
+          RelCol(r.cstr(), r.i32(), r.i32(), (flags & 1) == 1)
+        }
+        Relation(relid, ns, name, replident, cols)
+      case 'Y' => TypeMsg(r.i32(), r.cstr(), r.cstr())
+      case 'I' =>
+        val relid = r.i32()
+        val kind = r.u8().toChar
+        if (kind != 'N') throw new IllegalArgumentException(s"insert tuple kind '$kind'")
+        Insert(relid, tupleData(r))
+      case 'U' =>
+        val relid = r.i32()
+        (r.u8().toChar: @unchecked) match {
+          case 'N' => Update(relid, None, tupleData(r))
+          case 'K' | 'O' =>
+            val old = tupleData(r)
+            val nk = r.u8().toChar
+            if (nk != 'N') throw new IllegalArgumentException(s"update new-tuple kind '$nk'")
+            Update(relid, Some(old), tupleData(r))
+          case k => throw new IllegalArgumentException(s"update old-tuple kind '$k'")
+        }
+      case 'D' =>
+        val relid = r.i32()
+        (r.u8().toChar: @unchecked) match {
+          case 'K' | 'O' => Delete(relid, tupleData(r))
+          case k => throw new IllegalArgumentException(s"delete tuple kind '$k'")
+        }
+      case t => Unknown(t)
+    }
+  }
+
+  /** Decode one CopyData replication frame (`w` XLogData / `k` keepalive). */
+  def decodeFrame(frame: Array[Byte]): Either[String, Frame] =
+    try {
+      if (frame == null || frame.isEmpty) Left("empty frame")
+      else {
+        val r = new Reader(frame)
+        r.u8().toChar match {
+          case 'w' =>
+            val walStart = r.i64(); val walEnd = r.i64()
+            val sendTs = r.i64() + PgEpochOffsetMicros
+            Right(XLogData(walStart, walEnd, sendTs,
+              decodeMsg(r.bytes(r.remaining))))
+          case 'k' =>
+            Right(Keepalive(r.i64(), r.i64() + PgEpochOffsetMicros, r.u8() != 0))
+          case t => Left(s"unknown frame tag '$t'")
+        }
+      }
+    } catch {
+      case e: RuntimeException => Left(s"malformed frame: ${e.getMessage}")
+    }
+
+  // ── type OID → Spark type, text value → external row value ───────────
+
+  /** Public Postgres type OIDs (pg_type.dat) → Spark types. Types whose PG
+    * text output is already its canonical string form (text, varchar,
+    * bpchar, name, uuid, json, jsonb, xml, interval, arrays, and any OID
+    * we don't know) map to StringType — the text is carried verbatim, so
+    * nothing is lost, only un-narrowed.
+    */
+  def sparkType(typeOid: Int, typeMod: Int): DataType = typeOid match {
+    case 16 => BooleanType // bool
+    case 21 => ShortType // int2
+    case 23 => IntegerType // int4
+    case 20 => LongType // int8
+    case 700 => FloatType // float4
+    case 701 => DoubleType // float8
+    case 1700 => // numeric: typmod = ((precision << 16) | scale) + 4 when constrained
+      if (typeMod >= 4) {
+        val x = typeMod - 4
+        DecimalType(math.min(38, (x >> 16) & 0xffff), math.min(38, x & 0xffff))
+      } else DecimalType(38, 18)
+    case 17 => BinaryType // bytea
+    case 1082 => DateType // date
+    case 1114 => TimestampNTZType // timestamp (no zone — NTZ, same as Tables.load)
+    case 1184 => TimestampType // timestamptz (an instant)
+    case _ => StringType
+  }
+
+  /** PG text-format timestamp: `yyyy-MM-dd HH:mm:ss[.ffffff][±HH[:MM]]`. */
+  private def splitOffset(text: String): (String, Option[String]) = {
+    // the zone offset sign can only appear after the time part — search
+    // from the right, past the date's own dashes
+    val i = math.max(text.lastIndexOf('+'), text.lastIndexOf('-'))
+    if (i > 10) (text.substring(0, i), Some(text.substring(i)))
+    else (text, None)
+  }
+
+  private def parseLocal(text: String): java.time.LocalDateTime =
+    java.time.LocalDateTime.parse(text.trim.replace(' ', 'T'))
+
+  private def parseInstant(text: String): java.time.Instant = {
+    val (local, offOpt) = splitOffset(text.trim)
+    val off = offOpt.map { o =>
+      java.time.ZoneOffset.of(if (o.length <= 3) o + ":00" else o)
+    }.getOrElse(java.time.ZoneOffset.UTC)
+    parseLocal(local).toInstant(off)
+  }
+
+  /** Convert one PG text-format value into the external object the Spark
+    * Row encoder expects for `dt`. Throws on coercion failure (the caller
+    * dead-letters the whole change row).
+    */
+  def convert(text: String, dt: DataType): Any = dt match {
+    case BooleanType => text == "t" || text == "true" || text == "yes" || text == "on" || text == "1"
+    case ShortType => text.trim.toShort
+    case IntegerType => text.trim.toInt
+    case LongType => text.trim.toLong
+    case FloatType => text.trim.toFloat
+    case DoubleType => text.trim.toDouble
+    case d: DecimalType =>
+      new java.math.BigDecimal(text.trim).setScale(d.scale, java.math.RoundingMode.HALF_UP)
+    case BinaryType =>
+      val t = text.trim
+      if (!t.startsWith("\\x"))
+        throw new IllegalArgumentException(s"bytea not in hex form: $t")
+      val hex = t.substring(2)
+      val out = new Array[Byte](hex.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
+        i += 1
+      }
+      out
+    case DateType => java.sql.Date.valueOf(java.time.LocalDate.parse(text.trim))
+    case TimestampNTZType => parseLocal(text)
+    case TimestampType => java.sql.Timestamp.from(parseInstant(text))
+    case _ => text
+  }
+
+  // ── DataFrame adapter ────────────────────────────────────────────────
+
+  /** Normalized changes + the dead-letter frame (raw frame + reason). */
+  final case class Parsed(changes: DataFrame, deadLetter: DataFrame)
+
+  private final case class RelVersion(walStart: Long, relid: Int, cols: IndexedSeq[RelCol])
+  private final case class CommitAt(finalLsn: Long, tsMicros: Long)
+
+  private val deadSchema = StructType(Seq(
+    StructField("frame", BinaryType), StructField("reason", StringType)))
+
+  /** Per-tag frame counts — the feed-health counter a capture monitor
+    * alerts on (the [[DebeziumEnvelope.scaleCounts]] analog): a nonzero
+    * `unknown:*` or `error` row means the dead-letter frame is non-empty.
+    */
+  def frameCounts(raw: DataFrame, dataCol: String): DataFrame = {
+    val tags = raw.select(col(dataCol)).as[Array[Byte]](Encoders.BINARY)
+      .mapPartitions(_.map { bytes =>
+        decodeFrame(bytes) match {
+          case Right(Keepalive(_, _, _)) => "keepalive"
+          case Right(XLogData(_, _, _, m)) => m match {
+            case _: Begin => "begin"
+            case _: Commit => "commit"
+            case _: Relation => "relation"
+            case _: Insert => "insert"
+            case _: Update => "update"
+            case _: Delete => "delete"
+            case _: OriginMsg => "origin"
+            case _: TypeMsg => "type"
+            case Unknown(t) => s"unknown:$t"
+          }
+          case Left(_) => "error"
+        }
+      })(Encoders.STRING)
+    tags.groupBy(col("value").as("tag")).agg(count(lit(1)).as("n"))
+      .select(col("tag"), col("n"))
+  }
+
+  /** Parse the pgoutput frames of `raw(dataCol)` for the one published
+    * table `table`, producing the normalized change log (see class doc).
+    * Throws if the stream carries no Relation message for `table` — a
+    * pgoutput stream always describes a relation before changing it, so
+    * an absent Relation means the frames are not this table's.
+    */
+  def parse(raw: DataFrame, dataCol: String, table: String): Parsed = {
+    val spark = raw.sparkSession
+    val bin = raw.select(col(dataCol).as("__frame")).as[Array[Byte]](Encoders.BINARY)
+
+    // pass 1 (metadata): relation versions + commit timestamps. Both are
+    // bounded by schema-change / transaction counts, not by row count.
+    val rels = bin.mapPartitions(_.flatMap { bytes =>
+      decodeFrame(bytes) match {
+        case Right(XLogData(walStart, _, _, Relation(relid, _, name, _, cols)))
+          if name == table => Iterator.single(RelVersion(walStart, relid, cols))
+        case _ => Iterator.empty
+      }
+    })(Encoders.product[RelVersion]).collect().sortBy(_.walStart)
+    require(rels.nonEmpty, s"no Relation message for table '$table' in the frame stream")
+
+    val commits = bin.mapPartitions(_.flatMap { bytes =>
+      decodeFrame(bytes) match {
+        case Right(XLogData(_, _, _, Begin(finalLsn, ts, _))) =>
+          Iterator.single(CommitAt(finalLsn, ts))
+        case _ => Iterator.empty
+      }
+    })(Encoders.product[CommitAt]).collect().sortBy(_.finalLsn)
+
+    val relids = rels.map(_.relid).toSet
+
+    // unified output schema: by-name union across versions, latest type wins
+    val unifiedCols = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    rels.foreach(_.cols.foreach(c => unifiedCols(c.name) = sparkType(c.typeOid, c.typeMod)))
+    val outSchema = StructType(
+      unifiedCols.toSeq.map { case (n, t) => StructField(n, t) } ++ Seq(
+        StructField("_version", LongType, nullable = false),
+        StructField("_is_deleted", BooleanType, nullable = false),
+        StructField("_event_ts", TimestampType),
+        StructField("_source_table", StringType),
+        StructField("_unchanged_toast", ArrayType(StringType))))
+    val names = unifiedCols.keys.toArray
+
+    val relsB = spark.sparkContext.broadcast(rels)
+    val commitsB = spark.sparkContext.broadcast(commits)
+
+    def relAt(walStart: Long): Option[RelVersion] = {
+      // greatest relation version with walStart ≤ the DML's position
+      val rs = relsB.value
+      var lo = 0; var hi = rs.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (rs(mid).walStart <= walStart) { best = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (best < 0) None else Some(rs(best))
+    }
+
+    def commitTs(walStart: Long, sendTs: Long): Long = {
+      // smallest commit boundary at-or-after the DML: its transaction's ts.
+      // A frame past the last Begin (shouldn't happen in a whole-tx batch)
+      // falls back to the XLogData send time.
+      val cs = commitsB.value
+      var lo = 0; var hi = cs.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (cs(mid).finalLsn >= walStart) { best = mid; hi = mid - 1 } else lo = mid + 1
+      }
+      if (best < 0) sendTs else cs(best).tsMicros
+    }
+
+    def tsFromMicros(micros: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    }
+
+    // one decoded change → Left(reason) | Right(row)
+    def buildRow(walStart: Long, sendTs: Long, isDelete: Boolean,
+                 tuple: IndexedSeq[Value]): Either[String, Row] =
+      relAt(walStart) match {
+        case None => Left(s"dml at lsn=$walStart precedes every Relation message")
+        case Some(rel) =>
+          if (tuple.length != rel.cols.length)
+            Left(s"tuple arity ${tuple.length} != relation arity ${rel.cols.length} at lsn=$walStart")
+          else try {
+            val byName = new java.util.HashMap[String, Any](rel.cols.length * 2)
+            val toasted = IndexedSeq.newBuilder[String]
+            var i = 0
+            while (i < tuple.length) {
+              val cname = rel.cols(i).name
+              tuple(i) match {
+                case VNull => ()
+                case VUnchanged => toasted += cname
+                case VText(s) => byName.put(cname, convert(s, unifiedCols(cname)))
+                case VBinary(b) =>
+                  if (unifiedCols(cname) == BinaryType) byName.put(cname, b)
+                  else return Left(s"binary-format value for non-bytea column $cname at lsn=$walStart")
+              }
+              i += 1
+            }
+            val toast = toasted.result()
+            Right(Row.fromSeq(
+              names.toIndexedSeq.map(byName.get) ++ Seq(
+                walStart, isDelete,
+                tsFromMicros(commitTs(walStart, sendTs)),
+                table, if (toast.isEmpty) null else toast)))
+          } catch {
+            case e: RuntimeException => Left(s"value coercion at lsn=$walStart: ${e.getMessage}")
+          }
+      }
+
+    def decodeChanges(bytes: Array[Byte]): Iterator[Either[String, Row]] =
+      decodeFrame(bytes) match {
+        case Right(XLogData(walStart, _, sendTs, msg)) => msg match {
+          case Insert(relid, tuple) if relids(relid) =>
+            Iterator.single(buildRow(walStart, sendTs, isDelete = false, tuple))
+          case Update(relid, _, next) if relids(relid) =>
+            Iterator.single(buildRow(walStart, sendTs, isDelete = false, next))
+          case Delete(relid, old) if relids(relid) =>
+            Iterator.single(buildRow(walStart, sendTs, isDelete = true, old))
+          case _ => Iterator.empty // other tables' DML, B/C/R/Y/O, unknowns (dead-lettered below)
+        }
+        case _ => Iterator.empty
+      }
+
+    val rowEnc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val changes = bin.mapPartitions(_.flatMap(decodeChanges(_).collect {
+      case Right(row) => row
+    }))(rowEnc)
+
+    val deadEnc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(deadSchema))
+    val dead = bin.mapPartitions(_.flatMap { bytes =>
+      val direct = decodeFrame(bytes) match {
+        case Left(reason) => Some(reason)
+        case Right(XLogData(_, _, _, Unknown(t))) => Some(s"unknown message tag '$t'")
+        case _ => None
+      }
+      val rowErrs = decodeChanges(bytes).collect { case Left(reason) => reason }
+      (direct.iterator ++ rowErrs).map(r => Row(bytes, r))
+    })(deadEnc)
+
+    Parsed(changes.toDF(), dead.toDF())
+  }
+
+  // ── fixture encoder (the writer dual, for tests and synthetic lakes) ──
+
+  /** Binary writers for crafting pgoutput frames — the [[decodeFrame]]
+    * dual, mirroring [[graft.operators.MediaHeader.wavHeader]]'s role for
+    * WAV: deterministic fixtures without a live Postgres.
+    */
+  object Fixture {
+    private def out(): java.io.ByteArrayOutputStream = new java.io.ByteArrayOutputStream()
+    private final class W(val o: java.io.ByteArrayOutputStream = out()) {
+      val d = new java.io.DataOutputStream(o)
+      def u8(v: Int): W = { d.writeByte(v); this }
+      def ch(c: Char): W = u8(c.toInt)
+      def i16(v: Int): W = { d.writeShort(v); this }
+      def i32(v: Int): W = { d.writeInt(v); this }
+      def i64(v: Long): W = { d.writeLong(v); this }
+      def cstr(s: String): W = { d.write(s.getBytes("UTF-8")); d.writeByte(0); this }
+      def raw(b: Array[Byte]): W = { d.write(b); this }
+      def bytes: Array[Byte] = { d.flush(); o.toByteArray }
+    }
+
+    private def tuple(w: W, values: Seq[Value]): W = {
+      w.i16(values.length)
+      values.foreach {
+        case VNull => w.ch('n')
+        case VUnchanged => w.ch('u')
+        case VText(s) =>
+          val b = s.getBytes("UTF-8"); w.ch('t').i32(b.length).raw(b)
+        case VBinary(b) => w.ch('b').i32(b.length).raw(b)
+      }
+      w
+    }
+
+    private def xlog(walStart: Long, payload: Array[Byte]): Array[Byte] =
+      new W().ch('w').i64(walStart).i64(walStart + payload.length)
+        .i64(0L) // send time: PG epoch zero (2000-01-01) — tests pin commit ts instead
+        .raw(payload).bytes
+
+    def keepalive(walEnd: Long, replyRequested: Boolean = false): Array[Byte] =
+      new W().ch('k').i64(walEnd).i64(0L).u8(if (replyRequested) 1 else 0).bytes
+
+    def begin(walStart: Long, finalLsn: Long, commitTsUnixMicros: Long,
+              xid: Long): Array[Byte] =
+      xlog(walStart, new W().ch('B').i64(finalLsn)
+        .i64(commitTsUnixMicros - PgEpochOffsetMicros).i32(xid.toInt).bytes)
+
+    def commit(walStart: Long, commitLsn: Long, endLsn: Long,
+               commitTsUnixMicros: Long): Array[Byte] =
+      xlog(walStart, new W().ch('C').u8(0).i64(commitLsn).i64(endLsn)
+        .i64(commitTsUnixMicros - PgEpochOffsetMicros).bytes)
+
+    def relation(walStart: Long, relid: Int, namespace: String, name: String,
+                 cols: Seq[RelCol], replicaIdentity: Char = 'd'): Array[Byte] = {
+      val w = new W().ch('R').i32(relid).cstr(namespace).cstr(name)
+        .ch(replicaIdentity).i16(cols.length)
+      cols.foreach(c => w.u8(if (c.isKey) 1 else 0).cstr(c.name).i32(c.typeOid).i32(c.typeMod))
+      xlog(walStart, w.bytes)
+    }
+
+    def insert(walStart: Long, relid: Int, values: Seq[Value]): Array[Byte] =
+      xlog(walStart, tuple(new W().ch('I').i32(relid).ch('N'), values).bytes)
+
+    def update(walStart: Long, relid: Int, values: Seq[Value],
+               old: Option[(Char, Seq[Value])] = None): Array[Byte] = {
+      val w = new W().ch('U').i32(relid)
+      old.foreach { case (kind, vs) => tuple(w.ch(kind), vs) }
+      xlog(walStart, tuple(w.ch('N'), values).bytes)
+    }
+
+    def delete(walStart: Long, relid: Int, old: Seq[Value],
+               kind: Char = 'K'): Array[Byte] =
+      xlog(walStart, tuple(new W().ch('D').i32(relid).ch(kind), old).bytes)
+
+    /** An arbitrary unknown-tag logical message (e.g. 'T' truncate). */
+    def unknown(walStart: Long, tag: Char, body: Array[Byte] = Array.emptyByteArray): Array[Byte] =
+      xlog(walStart, new W().ch(tag).raw(body).bytes)
+  }
+}

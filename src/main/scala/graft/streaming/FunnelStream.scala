@@ -37,18 +37,26 @@ object FunnelStream {
     * carries the batch DP's strictly-before frame across microbatch
     * boundaries too (a prior-batch reach at the same instant must not
     * complete the hop) and rejects stragglers older than an
-    * already-applied reach (a negative gap is not a chain).
+    * already-applied reach (a negative gap is not a chain). An op may
+    * appear at SEVERAL step positions (A,B,A funnels): every matching
+    * index advances independently, exactly as the batch DP evaluates each
+    * `__reach_i` column on its own.
     */
   private def applyGroup(group: Seq[FunnelEvent], reach: Array[Long],
                          steps: Seq[String], maxGapMicros: Long): Unit = {
     val snapshot = reach.clone()
     group.foreach { e =>
-      val i = steps.indexOf(e.op)
-      if (i == 0) reach(0) = math.max(reach(0), e.tsMicros)
-      else if (i > 0 && snapshot(i - 1) != Long.MinValue &&
-          snapshot(i - 1) < e.tsMicros &&
-          e.tsMicros - snapshot(i - 1) <= maxGapMicros)
-        reach(i) = math.max(reach(i), e.tsMicros)
+      var i = 0
+      while (i < steps.size) {
+        if (steps(i) == e.op) {
+          if (i == 0) reach(0) = math.max(reach(0), e.tsMicros)
+          else if (snapshot(i - 1) != Long.MinValue &&
+              snapshot(i - 1) < e.tsMicros &&
+              e.tsMicros - snapshot(i - 1) <= maxGapMicros)
+            reach(i) = math.max(reach(i), e.tsMicros)
+        }
+        i += 1
+      }
     }
   }
 

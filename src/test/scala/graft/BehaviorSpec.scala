@@ -250,6 +250,29 @@ class BehaviorSpec extends SparkSpec {
     assert(loose(2L) == 3L)
   }
 
+  test("windowFunnelStrictOrder: tieCol makes same-timestamp rows deterministic") {
+    val H = 3600L * 1000000
+    // A and B land at the SAME instant; the event id (tie=1 for A, tie=2
+    // for B) is the capture order. With tieCol, lag(1) sees A immediately
+    // before B → level 2, on ANY physical layout; without one the sort is
+    // ambiguous. Repartitioned shuffles exercise layout independence.
+    val events = Seq(
+      (1L, "A", 1L, ts("2024-01-01 00:00:00")),
+      (1L, "B", 2L, ts("2024-01-01 00:00:00")),
+      // user 2: capture order B then A at the same instant → no A-before-B
+      // adjacency, level stops at 1 (the A)
+      (2L, "B", 1L, ts("2024-01-01 00:00:00")),
+      (2L, "A", 2L, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "eid", "t")
+    for (parts <- Seq(1, 3)) {
+      val r = Behavior.windowFunnelStrictOrder(events.repartition(parts),
+          "user_id", "event_type", "t", Seq("A", "B"), windowMicros = H,
+          tieCol = Some("eid"))
+        .as[(Long, Long)].collect().toMap
+      assert(r == Map(1L -> 2L, 2L -> 1L), s"parts=$parts: $r")
+    }
+  }
+
   test("windowFunnel: every chain start counts, window and order are exact") {
     val H = 3600L * 1000000 // an hour in micros
     val events = Seq(

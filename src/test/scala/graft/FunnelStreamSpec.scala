@@ -105,6 +105,37 @@ class FunnelStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a step op repeated in the funnel advances EVERY matching position") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val abab = Seq("signup", "click", "signup") // A,B,A — op at two positions
+    val q = FunnelStream.levels(input.toDS(), abab, Gap)
+      .writeStream.format("memory").queryName("funnel_repeat")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val H = 60L * 1000000
+      // signup → click → signup: the SECOND signup must complete position 3,
+      // not merely refresh position 1 (the steps.indexOf trap)
+      input.addData(FunnelEvent(20L, "signup", 0))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(20L, "click", H))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(20L, "signup", 2 * H))
+      q.processAllAvailable()
+      assert(finalLevels("funnel_repeat") == Map(20L -> 3))
+
+      // and the batch twin agrees — the spec-pinned equality holds for
+      // repeated-op step lists too
+      val allEvents = Seq((20L, "signup", 0L), (20L, "click", H),
+          (20L, "signup", 2 * H))
+        .toDF("user_id", "event_type", "us")
+        .withColumn("t", timestamp_micros(col("us")))
+      val batch = Behavior.sequenceLevels(allEvents, "user_id", "event_type",
+        "t", abab, Gap).as[(Long, Long)].collect().toMap
+      assert(batch == Map(20L -> 3L))
+    } finally q.stop()
+  }
+
   test("stateTtl expires idle keys by watermark; expired keys start fresh") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FunnelEvent]

@@ -135,6 +135,72 @@ class MediaHeaderSpec extends SparkSpec {
     assert(v1Parsed.contains(MediaInfo("mp4", 640, 360, 0, 0, 0L)))
   }
 
+  test("wavPcmStats decodes the actual samples: peak, clips, sum of squares") {
+    // four known samples: 1000, -2000, 32767 (clip), -32768 (clip)
+    def le16s(v: Int): Array[Byte] = b(v & 0xff, (v >> 8) & 0xff)
+    val pcm = le16s(1000) ++ le16s(-2000) ++ le16s(32767) ++ le16s(-32768)
+    val payload = MediaHeader.wavHeader(1, 8000, pcm.length) ++ pcm
+    val s = MediaHeader.wavPcmStats(payload).get
+    assert(s.nSamples == 4 && s.peak == 32768 && s.clipped == 2)
+    assert(s.sumSquares == 1000L * 1000 + 2000L * 2000 +
+      32767L * 32767 + 32768L * 32768)
+
+    // a prefix-truncated data chunk decodes the samples actually present
+    val truncated = payload.dropRight(4)
+    val t = MediaHeader.wavPcmStats(truncated).get
+    assert(t.nSamples == 2 && t.peak == 2000 && t.clipped == 0)
+    assert(t.sumSquares == 1000L * 1000 + 2000L * 2000)
+
+    // non-PCM (format tag 3 = IEEE float) and headerless payloads refuse
+    val float32 = payload.clone()
+    float32(20) = 3 // wFormatTag LE at chunk offset 0 (byte 20 of the file)
+    assert(MediaHeader.wavPcmStats(float32).isEmpty)
+    assert(MediaHeader.wavPcmStats("not audio".getBytes("UTF-8")).isEmpty)
+    assert(MediaHeader.wavPcmStats(null).isEmpty)
+  }
+
+  test("parseWithTail resolves moov-after-mdat (non-faststart) MP4s") {
+    val ftyp = mp4Box("ftyp", t("isom") ++ be32(0))
+    val mdat = mp4Box("mdat", Array.fill[Byte](5000)(0x4d))
+    val moov = mp4Box("moov", mvhdV0 ++ mp4Box("trak", tkhd(1280, 720)))
+    val file = ftyp ++ mdat ++ moov
+    // prefix-only parse honestly fails: moov is past the prefix
+    val prefix = file.take(256)
+    assert(MediaHeader.parse(prefix).isEmpty)
+    // ...but prefix + tail resolves it, even with the tail slice starting
+    // mid-mdat at an arbitrary (unknown) alignment
+    for (tailLen <- Seq(moov.length, moov.length + 37, 1024)) {
+      val tail = file.takeRight(tailLen)
+      assert(MediaHeader.parseWithTail(prefix, tail)
+        .contains(MediaInfo("mp4", 1280, 720, 0, 0, 2500L)), s"tailLen=$tailLen")
+    }
+    // a fake "moov" byte-string inside mdat data does not fool the scan:
+    // validation requires a walkable mvhd/tkhd inside the candidate box
+    val trap = mp4Box("mdat",
+      Array.fill[Byte](100)(0) ++ be32(64) ++ t("moov") ++ Array.fill[Byte](200)(0))
+    val trapFile = ftyp ++ trap ++ moov
+    assert(MediaHeader.parseWithTail(trapFile.take(64), trapFile.takeRight(trap.length + moov.length))
+      .contains(MediaInfo("mp4", 1280, 720, 0, 0, 2500L)))
+    // tail without any real moov stays honestly unresolved
+    assert(MediaHeader.parseWithTail(prefix, mdat.takeRight(512)).isEmpty)
+    // a faststart file never needs the tail
+    assert(MediaHeader.parseWithTail(mp4Bytes(mvhdV0, Some((640, 360))), null)
+      .contains(MediaInfo("mp4", 640, 360, 0, 0, 2500L)))
+    // WAV/images pass through untouched
+    assert(MediaHeader.parseWithTail(wavBytes, null).exists(_.format == "wav"))
+  }
+
+  test("a corrupt undersized mvhd must not read its sibling's bytes as duration") {
+    // mvhd declares only 8 payload bytes — fewer than the v0 fields need —
+    // and a trak sibling follows INSIDE the buffer. Reads bounded only by
+    // b.length would pull the sibling's bytes in as timescale/duration.
+    val shortMvhd = mp4Box("mvhd", b(0, 0, 0, 0) ++ be32(0))
+    val parsed = MediaHeader.parse(mp4Box("ftyp", t("isom") ++ be32(0)) ++
+      mp4Box("moov", shortMvhd ++ mp4Box("trak", tkhd(640, 360))))
+    // dimensions still come from the intact trak; duration is unknown, not garbage
+    assert(parsed.contains(MediaInfo("mp4", 640, 360, 0, 0, 0L)))
+  }
+
   test("probeHeaders tolerates NULL payloads as ordinary dirty rows") {
     val media = Seq((1L, wavBytes), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "payload")

@@ -1,0 +1,292 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.CdcOps
+import graft.sources.PgOutput
+import graft.sources.PgOutput._
+import graft.sources.PgOutput.Fixture
+
+/** pgoutput binary protocol decode — crafted replication frames (the
+  * DebeziumEnvelope bar: every claim pinned against hand-built bytes, no
+  * live Postgres needed).
+  */
+class PgOutputSpec extends SparkSpec {
+
+  private val ns = "public"
+  private val itemCols = Seq(
+    RelCol("id", 20, -1, isKey = true), // int8
+    RelCol("name", 25, -1, isKey = false), // text
+    RelCol("qty", 23, -1, isKey = false)) // int4
+
+  private def txTs(n: Int): Long = 1700000000000000L + n * 1000000L // unix micros
+
+  /** One committed transaction's frames: Begin, the given DML, Commit. */
+  private def tx(n: Int, baseLsn: Long, dml: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+    val endLsn = baseLsn + 100
+    Fixture.begin(baseLsn, endLsn, txTs(n), xid = 1000 + n) +:
+      dml :+ Fixture.commit(endLsn, endLsn, endLsn + 1, txTs(n))
+  }
+
+  private def toDf(frames: Seq[Array[Byte]]) = {
+    import spark.implicits._
+    frames.toDF("frame")
+  }
+
+  // ── pure byte-level decode ───────────────────────────────────────────
+
+  test("decodeFrame round-trips every message type") {
+    val rel = Fixture.relation(10, 7, ns, "items", itemCols)
+    decodeFrame(rel) match {
+      case Right(XLogData(10, _, _, Relation(7, s, "items", 'd', cols))) =>
+        assert(s == ns)
+        assert(cols == itemCols.toIndexedSeq)
+      case other => fail(s"relation decoded to $other")
+    }
+
+    decodeFrame(Fixture.begin(20, 120, txTs(1), 42)) match {
+      case Right(XLogData(20, _, _, Begin(120, ts, 42))) => assert(ts == txTs(1))
+      case other => fail(s"begin decoded to $other")
+    }
+
+    decodeFrame(Fixture.commit(120, 120, 121, txTs(1))) match {
+      case Right(XLogData(120, _, _, Commit(120, 121, ts))) => assert(ts == txTs(1))
+      case other => fail(s"commit decoded to $other")
+    }
+
+    val ins = Fixture.insert(30, 7, Seq(VText("1"), VText("ann"), VNull))
+    decodeFrame(ins) match {
+      case Right(XLogData(30, _, _, Insert(7, t))) =>
+        assert(t == IndexedSeq(VText("1"), VText("ann"), VNull))
+      case other => fail(s"insert decoded to $other")
+    }
+
+    val upd = Fixture.update(31, 7, Seq(VText("1"), VText("anne"), VUnchanged),
+      old = Some(('K', Seq(VText("1"), VNull, VNull))))
+    decodeFrame(upd) match {
+      case Right(XLogData(31, _, _, Update(7, Some(old), next))) =>
+        assert(old == IndexedSeq(VText("1"), VNull, VNull))
+        assert(next == IndexedSeq(VText("1"), VText("anne"), VUnchanged))
+      case other => fail(s"update decoded to $other")
+    }
+
+    decodeFrame(Fixture.delete(32, 7, Seq(VText("1"), VNull, VNull))) match {
+      case Right(XLogData(32, _, _, Delete(7, old))) =>
+        assert(old.head == VText("1"))
+      case other => fail(s"delete decoded to $other")
+    }
+
+    decodeFrame(Fixture.keepalive(99, replyRequested = true)) match {
+      case Right(Keepalive(99, _, true)) => ()
+      case other => fail(s"keepalive decoded to $other")
+    }
+
+    decodeFrame(Fixture.unknown(40, 'T', Array[Byte](0, 0, 0, 1))) match {
+      case Right(XLogData(40, _, _, Unknown('T'))) => ()
+      case other => fail(s"truncate decoded to $other")
+    }
+
+    assert(decodeFrame(Array[Byte]('w', 1, 2)).isLeft) // truncated XLogData
+    assert(decodeFrame(Array.emptyByteArray).isLeft)
+    assert(decodeFrame(Array[Byte]('q', 0)).isLeft) // unknown frame tag
+  }
+
+  test("sparkType maps the public OID set; numeric typmod carries precision/scale") {
+    assert(sparkType(16, -1) == BooleanType)
+    assert(sparkType(21, -1) == ShortType)
+    assert(sparkType(23, -1) == IntegerType)
+    assert(sparkType(20, -1) == LongType)
+    assert(sparkType(700, -1) == FloatType)
+    assert(sparkType(701, -1) == DoubleType)
+    assert(sparkType(17, -1) == BinaryType)
+    assert(sparkType(1082, -1) == DateType)
+    assert(sparkType(1114, -1) == TimestampNTZType)
+    assert(sparkType(1184, -1) == TimestampType)
+    assert(sparkType(25, -1) == StringType)
+    assert(sparkType(2950, -1) == StringType) // uuid rides as text
+    // numeric(12,3): typmod = ((12 << 16) | 3) + 4
+    assert(sparkType(1700, ((12 << 16) | 3) + 4) == DecimalType(12, 3))
+    assert(sparkType(1700, -1) == DecimalType(38, 18))
+  }
+
+  // ── DataFrame adapter ────────────────────────────────────────────────
+
+  test("parse: insert/update/delete collapse to the expected snapshot") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))),
+          Fixture.insert(102, 7, Seq(VText("2"), VText("bob"), VText("5"))))) ++
+        Seq(Fixture.keepalive(150)) ++
+        tx(2, 200, Seq(
+          Fixture.update(201, 7, Seq(VText("1"), VText("anne"), VText("4"))),
+          Fixture.insert(202, 7, Seq(VText("3"), VText("cat"), VNull)))) ++
+        tx(3, 300, Seq(
+          Fixture.delete(301, 7, Seq(VText("2"), VNull, VNull))))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.deadLetter.count() == 0)
+
+    val changes = parsed.changes
+    assert(changes.columns.toSeq == Seq("id", "name", "qty", "_version",
+      "_is_deleted", "_event_ts", "_source_table", "_unchanged_toast"))
+    assert(changes.count() == 5)
+    // _version is the WAL position of each DML
+    assert(changes.select("_version").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq == Seq(101L, 102L, 201L, 202L, 301L))
+    // _event_ts is the COMMIT timestamp of the enclosing transaction
+    val ts1 = changes.where(col("_version") === 101)
+      .select(unix_micros(col("_event_ts"))).head().getLong(0)
+    assert(ts1 == txTs(1))
+    val ts3 = changes.where(col("_version") === 301)
+      .select(unix_micros(col("_event_ts"))).head().getLong(0)
+    assert(ts3 == txTs(3))
+
+    // the CDC collapse: latest per key, deletes dropped
+    val snap = CdcOps.softDeleteSnapshot(changes, Seq("id"), "_version",
+        col("_is_deleted"))
+      .select("id", "name", "qty").orderBy("id").collect().toSeq
+    assert(snap == Seq(Row(1L, "anne", 4), Row(3L, "cat", null)))
+  }
+
+  test("parse: mid-stream Relation change versions the schema by LSN") {
+    val v2Cols = itemCols :+ RelCol("note", 25, -1, isKey = false)
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
+        Seq(Fixture.relation(150, 7, ns, "items", v2Cols)) ++ // ALTER TABLE ADD COLUMN
+        tx(2, 200, Seq(
+          Fixture.insert(201, 7, Seq(VText("2"), VText("bob"), VText("5"), VText("hi")))))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.deadLetter.count() == 0)
+    val rows = parsed.changes.orderBy("_version")
+      .select("id", "name", "qty", "note").collect().toSeq
+    // pre-ALTER rows carry null in the new column; post-ALTER rows carry it
+    assert(rows == Seq(Row(1L, "ann", 3, null), Row(2L, "bob", 5, "hi")))
+  }
+
+  test("parse: unknown tags, malformed frames and bad values dead-letter with reasons") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))),
+          // qty is int4 but the value is not a number → coercion dead-letter
+          Fixture.insert(102, 7, Seq(VText("2"), VText("bob"), VText("many"))),
+          // truncate is not interpreted → unknown-tag dead-letter
+          Fixture.unknown(103, 'T', Array[Byte](0, 0, 0, 1, 0, 0, 0, 0, 7)))) ++
+        Seq(Array[Byte]('w', 9)) // truncated frame
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.changes.count() == 1) // only the clean insert survives
+    val reasons = parsed.deadLetter.select("reason")
+      .as[String](spark.implicits.newStringEncoder).collect().toSeq
+    assert(reasons.size == 3)
+    assert(reasons.exists(_.contains("coercion")))
+    assert(reasons.exists(_.contains("unknown message tag 'T'")))
+    assert(reasons.exists(_.contains("malformed")))
+  }
+
+  test("parse: unchanged-TOAST columns decode to null and are named in _unchanged_toast") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
+        tx(2, 200, Seq(
+          Fixture.update(201, 7, Seq(VText("1"), VUnchanged, VText("9")))))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.deadLetter.count() == 0)
+    val upd = parsed.changes.where(col("_version") === 201)
+      .select("name", "_unchanged_toast").head()
+    assert(upd.isNullAt(0)) // the toasted slot is NOT a fake value
+    assert(upd.getSeq[String](1) == Seq("name")) // ...and is named for repair
+  }
+
+  test("parse: the full public type-OID matrix decodes to typed Spark values") {
+    val cols = Seq(
+      RelCol("id", 20, -1, isKey = true),
+      RelCol("b", 16, -1, isKey = false),
+      RelCol("s2", 21, -1, isKey = false),
+      RelCol("i4", 23, -1, isKey = false),
+      RelCol("f4", 700, -1, isKey = false),
+      RelCol("f8", 701, -1, isKey = false),
+      RelCol("num", 1700, ((10 << 16) | 2) + 4, isKey = false),
+      RelCol("raw", 17, -1, isKey = false),
+      RelCol("d", 1082, -1, isKey = false),
+      RelCol("ts", 1114, -1, isKey = false),
+      RelCol("tsz", 1184, -1, isKey = false),
+      RelCol("u", 2950, -1, isKey = false))
+    val frames =
+      Seq(Fixture.relation(5, 9, ns, "typed", cols)) ++
+        tx(1, 100, Seq(Fixture.insert(101, 9, Seq(
+          VText("7"), VText("t"), VText("12"), VText("345"),
+          VText("1.5"), VText("2.25"), VText("12345.67"),
+          VText("\\x0aff"), VText("2024-03-04"),
+          VText("2024-03-04 05:06:07.123456"),
+          VText("2024-03-04 05:06:07.123456+02"),
+          VText("123e4567-e89b-12d3-a456-426614174000")))))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "typed")
+    assert(parsed.deadLetter.count() == 0)
+    val sch = parsed.changes.schema
+    def dt(n: String) = sch(n).dataType
+    assert(dt("b") == BooleanType && dt("s2") == ShortType && dt("i4") == IntegerType)
+    assert(dt("f4") == FloatType && dt("f8") == DoubleType)
+    assert(dt("num") == DecimalType(10, 2) && dt("raw") == BinaryType)
+    assert(dt("d") == DateType && dt("ts") == TimestampNTZType && dt("tsz") == TimestampType)
+    assert(dt("u") == StringType)
+
+    val row = parsed.changes.select(
+      col("b"), col("s2"), col("i4"), col("f4"), col("f8"),
+      col("num").cast("string"), hex(col("raw")), col("d").cast("string"),
+      col("ts").cast("string"), unix_micros(col("tsz")), col("u")).head()
+    assert(row.getBoolean(0))
+    assert(row.getShort(1) == 12.toShort)
+    assert(row.getInt(2) == 345)
+    assert(row.getFloat(3) == 1.5f)
+    assert(row.getDouble(4) == 2.25d)
+    assert(row.getString(5) == "12345.67")
+    assert(row.getString(6) == "0AFF")
+    assert(row.getString(7) == "2024-03-04")
+    assert(row.getString(8) == "2024-03-04 05:06:07.123456")
+    // 05:06:07.123456 at +02 = 03:06:07.123456 UTC
+    val expectedTz = java.time.LocalDateTime.parse("2024-03-04T03:06:07.123456")
+      .toInstant(java.time.ZoneOffset.UTC)
+    assert(row.getLong(9) ==
+      expectedTz.getEpochSecond * 1000000L + expectedTz.getNano / 1000L)
+    assert(row.getString(10) == "123e4567-e89b-12d3-a456-426614174000")
+  }
+
+  test("parse: DML for other relations is ignored; missing Relation throws") {
+    val otherCols = Seq(RelCol("k", 20, -1, isKey = true))
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols),
+        Fixture.relation(6, 8, ns, "other", otherCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))),
+          Fixture.insert(102, 8, Seq(VText("9")))))
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.changes.count() == 1)
+    assert(parsed.deadLetter.count() == 0) // other-table DML is not an error
+
+    assertThrows[IllegalArgumentException] {
+      PgOutput.parse(toDf(frames), "frame", "missing_table")
+    }
+  }
+
+  test("frameCounts tallies the feed by message tag") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
+        Seq(Fixture.keepalive(150), Fixture.unknown(160, 'M'))
+    val counts = PgOutput.frameCounts(toDf(frames), "frame")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("relation" -> 1L, "begin" -> 1L, "insert" -> 1L,
+      "commit" -> 1L, "keepalive" -> 1L, "unknown:M" -> 1L))
+  }
+}
