@@ -15,7 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * After either, `spark.sql` understands `token_minhash(tokens, w, k[,
   * bands])`, `simhash64(hashes)`, `sorted_jaccard(a, b)`, `cosine_sim(a, b)`,
   * `rolling_fingerprint(text[, k, w])`, `pack_int8(vec)`,
-  * `int8_cosine_sim(codes, vec)` and `media_info(payload)`.
+  * `int8_cosine_sim(codes, vec)`, `media_info(payload)`, and the behavior
+  * aggregates `window_funnel(w_us, ts, cond…)`, `sequence_match(gap_us,
+  * ts, cond…)`, `sequence_level(gap_us, ts, cond…)`, `retention(cond…)`
+  * ([[BehaviorAggregates]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -30,6 +33,13 @@ object GraftExtensions {
   private def intLit(args: Seq[Expression], i: Int, name: String): Int =
     args(i) match {
       case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be a literal integer, got $other")
+    }
+
+  private def longLit(args: Seq[Expression], i: Int, name: String): Long =
+    args(i) match {
+      case e if e.foldable => e.eval().asInstanceOf[Number].longValue()
       case other => throw new IllegalArgumentException(
         s"$name: argument ${i + 1} must be a literal integer, got $other")
     }
@@ -72,5 +82,48 @@ object GraftExtensions {
       (args: Seq[Expression]) => Int8CosineSim(args.head, args(1))),
     (FunctionIdentifier("media_info"),
       new ExpressionInfo(classOf[MediaInfoExpr].getName, "media_info"),
-      (args: Seq[Expression]) => MediaInfoExpr(args.head)))
+      (args: Seq[Expression]) => MediaInfoExpr(args.head)),
+    // the ClickHouse behavior suite in its native SQL shape:
+    //   window_funnel(window_us, ts, cond1, …)  — bigint level
+    //   sequence_match(gap_us, ts, cond1, …)    — boolean
+    //   sequence_level(gap_us, ts, cond1, …)    — bigint level
+    //   retention(cond0, cond1, …)              — array<boolean>
+    (FunctionIdentifier("window_funnel"),
+      new ExpressionInfo(classOf[WindowFunnelAgg].getName, "window_funnel"),
+      (args: Seq[Expression]) => WindowFunnelAgg(
+        chainBound(args, "window_funnel"), args(1),
+        chainConds(args.drop(2), "window_funnel"))),
+    (FunctionIdentifier("sequence_match"),
+      new ExpressionInfo(classOf[SequenceLevelAgg].getName, "sequence_match"),
+      (args: Seq[Expression]) => SequenceLevelAgg(
+        chainBound(args, "sequence_match"), args(1),
+        chainConds(args.drop(2), "sequence_match"), matched = true)),
+    (FunctionIdentifier("sequence_level"),
+      new ExpressionInfo(classOf[SequenceLevelAgg].getName, "sequence_level"),
+      (args: Seq[Expression]) => SequenceLevelAgg(
+        chainBound(args, "sequence_level"), args(1),
+        chainConds(args.drop(2), "sequence_level"), matched = false)),
+    (FunctionIdentifier("retention"),
+      new ExpressionInfo(classOf[RetentionAgg].getName, "retention"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 2, "retention: need at least two condition arguments")
+        require(args.size <= 62, "retention: at most 62 conditions supported")
+        RetentionAgg(args)
+      }))
+
+  /** Shared argument validation of the chain aggregates (construction-time,
+    * NOT in the expression constructors — those also run during executor
+    * deserialization with null fields).
+    */
+  private def chainBound(args: Seq[Expression], name: String): Long = {
+    val bound = longLit(args, 0, name)
+    require(bound > 0, s"$name: the window/gap must be positive microseconds")
+    bound
+  }
+
+  private def chainConds(conds: Seq[Expression], name: String): Seq[Expression] = {
+    require(conds.size >= 2, s"$name: need at least two condition arguments")
+    require(conds.size <= 30, s"$name: at most 30 conditions supported")
+    conds
+  }
 }
