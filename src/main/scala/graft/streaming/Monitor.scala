@@ -21,17 +21,35 @@ final class Monitor(retain: Int = 1024) extends StreamingQueryListener {
                        inputRowsPerSecond: Double, processedRowsPerSecond: Double,
                        durationMs: Long)
 
+  /** One stateful operator's store footprint in one microbatch — the lag
+    * table's analog for state (the stateful ops: funnel levels, streaming
+    * dedup, session windows, interval joins). `numRowsTotal` is the live
+    * store size; watch it level off (TTL working) or grow without bound
+    * (missing watermark/TTL — the classic streaming leak).
+    */
+  case class StateStat(queryName: String, batchId: Long, operatorName: String,
+                       numRowsTotal: Long, numRowsUpdated: Long,
+                       numRowsRemoved: Long, memoryUsedBytes: Long)
+
   private val stats = new ConcurrentLinkedQueue[BatchStat]()
+  private val states = new ConcurrentLinkedQueue[StateStat]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    val name = Option(p.name).getOrElse(p.id.toString)
     stats.add(BatchStat(
-      Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows,
+      name, p.batchId, p.numInputRows,
       safe(p.inputRowsPerSecond), safe(p.processedRowsPerSecond),
       p.durationMs.asScala.values.map(_.longValue).sum))
     while (stats.size() > retain) stats.poll()
+    p.stateOperators.foreach { so =>
+      states.add(StateStat(name, p.batchId,
+        Option(so.operatorName).getOrElse(""), so.numRowsTotal,
+        so.numRowsUpdated, so.numRowsRemoved, so.memoryUsedBytes))
+    }
+    while (states.size() > retain) states.poll()
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
@@ -49,6 +67,16 @@ final class Monitor(retain: Int = 1024) extends StreamingQueryListener {
     val bs = batches.filter(_.numInputRows > 0)
     if (bs.isEmpty) 0.0 else bs.map(_.processedRowsPerSecond).sum / bs.size
   }
+
+  /** Snapshot of retained per-operator state stats, oldest first. */
+  def stateOps: Seq[StateStat] = states.asScala.toSeq
+
+  /** Latest live state-store row count per (query, operator) — the number
+    * an alert compares against its expected keyspace.
+    */
+  def latestStateRows: Map[(String, String), Long] =
+    stateOps.groupBy(s => (s.queryName, s.operatorName))
+      .view.mapValues(_.maxBy(_.batchId).numRowsTotal).toMap
 }
 
 object Monitor {

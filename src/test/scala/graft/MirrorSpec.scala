@@ -199,6 +199,39 @@ class MirrorSpec extends SparkSpec {
       assert(m.batches.forall(_.durationMs >= 0))
     } finally q.stop()
   }
+
+  test("Monitor surfaces per-operator state rows for a stateful stream") {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+    val m = Monitor.attach(spark)
+    val input = MemoryStream[FunnelEvent]
+    val q = FunnelStream.levels(input.toDS(), Seq("signup", "click"),
+        maxGapMicros = 3600L * 1000000)
+      .writeStream.format("memory").queryName("mon_state_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      // three keys enter the funnel → three live state-store rows
+      input.addData(
+        FunnelEvent(1L, "signup", 1000), FunnelEvent(2L, "signup", 2000),
+        FunnelEvent(3L, "signup", 3000))
+      q.processAllAvailable()
+      spark.streams.removeListener(m)
+      val deadline = System.currentTimeMillis() + 10000
+      def rows = m.latestStateRows.collectFirst {
+        case ((qn, _), n) if qn == "mon_state_out" => n
+      }
+      while (!rows.exists(_ >= 3) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(rows.contains(3L), s"stateOps=${m.stateOps}")
+      // the flatMapGroupsWithState operator identifies itself by name, and
+      // the batch updated exactly the three keys
+      val latest = m.stateOps.filter(_.queryName == "mon_state_out")
+        .maxBy(_.batchId)
+      assert(latest.operatorName.nonEmpty)
+      assert(latest.numRowsUpdated == 3)
+    } finally q.stop()
+  }
 }
 
 object MirrorSpec {
