@@ -287,10 +287,20 @@ object PgOutput extends Serializable {
 
   // ── DataFrame adapter ────────────────────────────────────────────────
 
-  /** Normalized changes + the dead-letter frame (raw frame + reason). */
-  final case class Parsed(changes: DataFrame, deadLetter: DataFrame)
+  /** One LSN-stamped relation-schema version — the registry entry a
+    * capture loop persists across batches (a batch whose Relation message
+    * arrived in an EARLIER batch must still decode — pgoutput only re-sends
+    * Relation on change or reconnect).
+    */
+  final case class RelationAt(walStart: Long, relid: Int, cols: IndexedSeq[RelCol])
 
-  private final case class RelVersion(walStart: Long, relid: Int, cols: IndexedSeq[RelCol])
+  /** Normalized changes + the dead-letter frame (raw frame + reason) +
+    * the relation registry as of this batch's end (prior ∪ batch, the
+    * state to persist for the next batch).
+    */
+  final case class Parsed(changes: DataFrame, deadLetter: DataFrame,
+                          relations: Seq[RelationAt])
+
   private final case class CommitAt(finalLsn: Long, tsMicros: Long)
 
   private val deadSchema = StructType(Seq(
@@ -325,23 +335,29 @@ object PgOutput extends Serializable {
 
   /** Parse the pgoutput frames of `raw(dataCol)` for the one published
     * table `table`, producing the normalized change log (see class doc).
-    * Throws if the stream carries no Relation message for `table` — a
-    * pgoutput stream always describes a relation before changing it, so
-    * an absent Relation means the frames are not this table's.
+    * `priorRelations` seeds the schema registry from earlier batches (see
+    * [[RelationAt]]); with none given, the frames themselves must carry a
+    * Relation message for `table` — a pgoutput stream always describes a
+    * relation before changing it, so an absent Relation means the frames
+    * are not this table's.
     */
-  def parse(raw: DataFrame, dataCol: String, table: String): Parsed = {
+  def parse(raw: DataFrame, dataCol: String, table: String,
+            priorRelations: Seq[RelationAt] = Nil): Parsed = {
     val spark = raw.sparkSession
     val bin = raw.select(col(dataCol).as("__frame")).as[Array[Byte]](Encoders.BINARY)
 
     // pass 1 (metadata): relation versions + commit timestamps. Both are
     // bounded by schema-change / transaction counts, not by row count.
-    val rels = bin.mapPartitions(_.flatMap { bytes =>
+    val batchRels = bin.mapPartitions(_.flatMap { bytes =>
       decodeFrame(bytes) match {
         case Right(XLogData(walStart, _, _, Relation(relid, _, name, _, cols)))
-          if name == table => Iterator.single(RelVersion(walStart, relid, cols))
+          if name == table => Iterator.single(RelationAt(walStart, relid, cols))
         case _ => Iterator.empty
       }
-    })(Encoders.product[RelVersion]).collect().sortBy(_.walStart)
+    })(Encoders.product[RelationAt]).collect()
+    val rels = (priorRelations ++ batchRels)
+      .groupBy(r => (r.walStart, r.relid)).map(_._2.head)
+      .toArray.sortBy(_.walStart)
     require(rels.nonEmpty, s"no Relation message for table '$table' in the frame stream")
 
     val commits = bin.mapPartitions(_.flatMap { bytes =>
@@ -369,7 +385,7 @@ object PgOutput extends Serializable {
     val relsB = spark.sparkContext.broadcast(rels)
     val commitsB = spark.sparkContext.broadcast(commits)
 
-    def relAt(walStart: Long): Option[RelVersion] = {
+    def relAt(walStart: Long): Option[RelationAt] = {
       // greatest relation version with walStart ≤ the DML's position
       val rs = relsB.value
       var lo = 0; var hi = rs.length - 1; var best = -1
@@ -464,7 +480,7 @@ object PgOutput extends Serializable {
       (direct.iterator ++ rowErrs).map(r => Row(bytes, r))
     })(deadEnc)
 
-    Parsed(changes.toDF(), dead.toDF())
+    Parsed(changes.toDF(), dead.toDF(), rels.toSeq)
   }
 
   // ── fixture encoder (the writer dual, for tests and synthetic lakes) ──

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.PgOutput
+import graft.sources.PgOutput.{Relation, RelationAt, XLogData}
+
+/** Continuous pgoutput capture: the flow-worker loop the reference runs
+  * against a replication slot (docker-compose.yml:21-28), re-expressed as a
+  * Structured Streaming `foreachBatch` over a landing stream of raw
+  * replication frames — decode ([[PgOutput.parse]]) → dead-letter →
+  * mirror upsert ([[CdcStream.upsertBatch]], newest `_version` = LSN per
+  * key), with the relation-schema registry persisted ACROSS batches:
+  * pgoutput sends `Relation` only on change or reconnect, so a microbatch
+  * of bare DML must decode under schemas learned batches ago.
+  *
+  * The registry file reuses the WIRE format itself (length-prefixed
+  * Relation frames, written with [[PgOutput.Fixture.relation]] and read
+  * back through [[PgOutput.decodeFrame]]) — durable state goes through the
+  * same decoder the stream does, so there is no second serialization
+  * format to drift. Single-file temp+rename swap, crash-safe the same way
+  * as the poll-state file: a torn write leaves the old registry, and a
+  * replayed batch re-learns its own Relation messages from its frames.
+  *
+  * Ordering contract: the registry is written AFTER the mirror commit.
+  * Either crash window converges on replay — the mirror upsert is
+  * replay-idempotent, and the batch's own Relation frames re-merge into
+  * the registry.
+  */
+object PgOutputStream {
+
+  /** Start the capture loop. `frames` is a streaming DataFrame whose
+    * `dataCol` holds raw replication frames (one CopyData payload per
+    * row); `deadDir`, when set, accumulates undecodable frames as parquet
+    * (frame + reason + batch id) for replay.
+    */
+  def mirrorFrames(frames: DataFrame, dataCol: String, table: String,
+                   keys: Seq[String], targetDir: String, checkpointDir: String,
+                   deadDir: Option[String] = None, nBuckets: Int = 64,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = frames.sparkSession
+    frames.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val prior = readRegistry(spark, targetDir, table)
+          val parsed = PgOutput.parse(batch, dataCol, table, prior)
+          deadDir.foreach { d =>
+            val dead = parsed.deadLetter.withColumn("_batch_id", lit(batchId))
+            if (!parsed.deadLetter.isEmpty)
+              dead.write.mode("append").parquet(d)
+          }
+          CdcStream.upsertBatch(spark,
+            parsed.changes
+              .withColumn("is_deleted", col("_is_deleted"))
+              .withColumn("_batch_id", lit(batchId)),
+            keys, "_version", targetDir, nBuckets)
+          writeRegistry(spark, targetDir, table, parsed.relations)
+        }
+      }
+      .start()
+  }
+
+  /** The mirror's FINAL read: newest LSN per key, soft-deletes dropped. */
+  def readFinal(spark: SparkSession, targetDir: String, keys: Seq[String]): DataFrame =
+    graft.operators.CdcOps.softDeleteSnapshot(
+      graft.sources.SyncManifest.readCommitted(spark, targetDir),
+      keys, "_version", col("is_deleted"))
+
+  private def registryPath(targetDir: String, table: String) =
+    new Path(targetDir, s"_pg_relations_$table.bin")
+
+  /** Load the persisted relation registry (empty on first batch). Frames
+    * that fail to decode throw — a corrupt registry must stop the capture
+    * loop loudly, not silently decode rows under a wrong schema.
+    */
+  def readRegistry(spark: SparkSession, targetDir: String,
+                   table: String): Seq[RelationAt] = {
+    val p = registryPath(targetDir, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64 * 1024)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = Seq.newBuilder[RelationAt]
+    while (bb.remaining() >= 4) {
+      val len = bb.getInt
+      require(len > 0 && len <= bb.remaining(), s"corrupt registry $p")
+      val frame = new Array[Byte](len)
+      bb.get(frame)
+      PgOutput.decodeFrame(frame) match {
+        case Right(XLogData(walStart, _, _, Relation(relid, _, name, _, cols)))
+          if name == table => out += RelationAt(walStart, relid, cols)
+        case other => throw new IllegalStateException(
+          s"corrupt registry $p: unexpected entry $other")
+      }
+    }
+    out.result()
+  }
+
+  private def writeRegistry(spark: SparkSession, targetDir: String,
+                            table: String, rels: Seq[RelationAt]): Unit = {
+    val dst = registryPath(targetDir, table)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = dst.suffix(".tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val bb = new java.io.DataOutputStream(out)
+      rels.sortBy(_.walStart).foreach { r =>
+        val frame = PgOutput.Fixture.relation(r.walStart, r.relid, "", table, r.cols)
+        bb.writeInt(frame.length)
+        bb.write(frame)
+      }
+      bb.flush()
+    } finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.sources.PgOutput.{Fixture, RelCol, VNull, VText}
+import graft.streaming.PgOutputStream
+
+/** The continuous pgoutput capture loop: microbatched frames → decoded
+  * changes → mirror, with the relation registry surviving ACROSS batches
+  * (bare-DML batches decode under schemas learned earlier) and through
+  * restart — each AvailableNow run below is a fresh query over the same
+  * mirror + checkpoint, the reference flow-worker's stop/start cycle.
+  */
+class PgOutputStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Frame(data: Array[Byte])
+
+  private val ns = "public"
+  private val itemCols = Seq(
+    RelCol("id", 20, -1, isKey = true),
+    RelCol("name", 25, -1, isKey = false),
+    RelCol("qty", 23, -1, isKey = false))
+
+  private def tx(n: Int, baseLsn: Long, dml: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+    val ts = 1700000000000000L + n * 1000000L
+    Fixture.begin(baseLsn, baseLsn + 100, ts, 1000 + n) +:
+      dml :+ Fixture.commit(baseLsn + 100, baseLsn + 100, baseLsn + 101, ts)
+  }
+
+  test("capture loop: registry persists across batches and restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("pgstream").toString
+    val target = s"$root/mirror"
+    val dead = s"$root/dead"
+    val ckpt = s"$root/ckpt"
+    val input = MemoryStream[Frame]
+
+    def runBatch(): Unit = {
+      val q = PgOutputStream.mirrorFrames(input.toDF(), "data", "items",
+        Seq("id"), target, ckpt, deadDir = Some(dead), nBuckets = 4)
+      q.awaitTermination()
+    }
+
+    // batch 1: Relation + two inserts
+    input.addData(
+      (Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))),
+          Fixture.insert(102, 7, Seq(VText("2"), VText("bob"), VText("5"))))))
+        .map(Frame): _*)
+    runBatch()
+    assert(PgOutputStream.readFinal(spark, target, Seq("id"))
+      .select("id", "name", "qty").orderBy("id").collect().toSeq ==
+      Seq(Row(1L, "ann", 3), Row(2L, "bob", 5)))
+
+    // batch 2, NEW query run (restart): BARE DML — no Relation frame;
+    // decodes only via the persisted registry. Update key 1, delete key 2,
+    // plus one undecodable frame that dead-letters instead of poisoning
+    // the batch.
+    input.addData(
+      (tx(2, 200, Seq(
+        Fixture.update(201, 7, Seq(VText("1"), VText("anne"), VText("4"))),
+        Fixture.delete(202, 7, Seq(VText("2"), VNull, VNull)),
+        Fixture.unknown(203, 'T', Array[Byte](0, 0, 0, 1)))))
+        .map(Frame): _*)
+    runBatch()
+    assert(PgOutputStream.readFinal(spark, target, Seq("id"))
+      .select("id", "name", "qty").collect().toSeq == Seq(Row(1L, "anne", 4)))
+    val deadRows = spark.read.parquet(dead)
+    assert(deadRows.count() == 1)
+    assert(deadRows.select("reason").head().getString(0).contains("'T'"))
+
+    // batch 3: a mid-stream ALTER (new Relation version) + rows on both
+    // sides of it — older rows (including pre-restart mirror rows) read
+    // null in the new column
+    val v2Cols = itemCols :+ RelCol("note", 25, -1, isKey = false)
+    input.addData(
+      (tx(3, 300, Seq(
+        Fixture.insert(301, 7, Seq(VText("3"), VText("cat"), VText("9"))))) ++
+        Seq(Fixture.relation(350, 7, ns, "items", v2Cols)) ++
+        tx(4, 400, Seq(
+          Fixture.insert(401, 7, Seq(VText("4"), VText("dog"), VText("2"), VText("hi"))))))
+        .map(Frame): _*)
+    runBatch()
+    val fin = PgOutputStream.readFinal(spark, target, Seq("id"))
+    assert(fin.select("id", "name", "qty", "note").orderBy("id").collect().toSeq ==
+      Seq(Row(1L, "anne", 4, null), Row(3L, "cat", 9, null), Row(4L, "dog", 2, "hi")))
+    // registry now holds both schema versions, LSN-ordered
+    val reg = PgOutputStream.readRegistry(spark, target, "items")
+    assert(reg.map(_.walStart).sorted == Seq(5L, 350L))
+    assert(reg.maxBy(_.walStart).cols.map(_.name) ==
+      Seq("id", "name", "qty", "note"))
+  }
+}
