@@ -270,6 +270,47 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           round(avg(col("value")).over(w), 4).as("mov_avg"))
     }),
+    // ClickHouse groupArrayMovingSum(5): trailing 5-row sum — same single
+    // (key, ts) shuffle as the moving average, shared by Catalyst
+    "events_moving_sum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 4).as("mov_sum"))
+    }),
+    // the ClickHouse -If combinator family (countIf/sumIf/avgIf/minIf/
+    // maxIf) in one grouped pass: conditional aggregates are plain
+    // when()-guarded aggregates in Spark — map-side combined, one shuffle
+    "events_cond_aggs" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          round(coalesce(sum(when(col("event_type") === "purchase", col("value"))),
+            lit(0.0)), 4).as("sum_purchase"),
+          round(avg(when(col("event_type") === "click", col("value"))), 4)
+            .as("avg_click"),
+          min(when(col("event_type") === "view", col("value"))).as("min_view"),
+          max(when(col("event_type") === "view", col("value"))).as("max_view"))),
+    // ClickHouse sequenceNextNode(forward, first_match): the event AFTER
+    // the key's first consecutive view→click pair — two lead() passes over
+    // ONE (key, ts) shuffle, then min_by(first hit) per key; keys without
+    // a match keep a null next_op (every key emits one row)
+    "events_next_after_chain" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("__l1", lead(col("event_type"), 1).over(w))
+        .withColumn("__l2", lead(col("event_type"), 2).over(w))
+        .withColumn("__hit",
+          when(col("event_type") === "view" && col("__l1") === "click",
+            struct(col("ts").as("t"), col("event_id").as("e"),
+              col("__l2").as("nxt"))))
+        .groupBy(col("user_id"))
+        .agg(min(col("__hit")).as("__first"))
+        .select(col("user_id"), col("__first.nxt").as("next_op"))
+    }),
     // ClickHouse histogram(10): adaptive equi-height bins beside the exact
     // fixed-width value_histogram twin — rows-only (bin placement is
     // merge-order-dependent; the spec pins mass/bounds contracts)
@@ -1472,6 +1513,35 @@ object SparkEntry {
                   ORDER BY ts, event_id
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_avg
          FROM events""",
+    "events_moving_sum" ->
+      """SELECT user_id, event_id,
+                round(sum(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_sum
+         FROM events""",
+    "events_cond_aggs" ->
+      """SELECT user_id,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END),
+                  0.0), 4) AS sum_purchase,
+                round(avg(CASE WHEN event_type = 'click' THEN value END), 4)
+                  AS avg_click,
+                min(CASE WHEN event_type = 'view' THEN value END) AS min_view,
+                max(CASE WHEN event_type = 'view' THEN value END) AS max_view
+         FROM events GROUP BY user_id""",
+    "events_next_after_chain" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+                           lead(event_type, 1) OVER w AS l1,
+                           lead(event_type, 2) OVER w AS l2
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         h AS (SELECT user_id, l2,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS rn
+               FROM o WHERE event_type = 'view' AND l1 = 'click'),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id, h.l2 AS next_op
+         FROM u LEFT JOIN h ON u.user_id = h.user_id AND h.rn = 1""",
     "events_bounding_ratio" ->
       """WITH o AS (SELECT user_id, value, ts,
                            row_number() OVER (PARTITION BY user_id
