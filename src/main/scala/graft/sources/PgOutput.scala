@@ -30,7 +30,15 @@ import org.apache.spark.sql.types._
   *    schema registry), `Y` type, `O`rigin, `I`nsert, `U`pdate, `D`elete,
   *    each tuple as Int16 ncols then per-column `n`ull / `u`nchanged-toast
   *    / `t`ext(len,bytes) / `b`inary(len,bytes);
-  *  - timestamps are microseconds since the PostgreSQL epoch 2000-01-01.
+  *  - timestamps are microseconds since the PostgreSQL epoch 2000-01-01;
+  *  - protocol v2 STREAMING of in-progress large transactions: segments
+  *    between Stream Start (`S`) / Stop (`E`) carry xid-prefixed messages,
+  *    resolved later by Stream Commit (`c`) / Abort (`A`). Streamed rows
+  *    emit only once their xid committed (with the stream commit's
+  *    timestamp); aborted xids vanish silently (the tx never happened);
+  *    unresolved xids dead-letter for replay with the batch that carries
+  *    their commit; partial (subtransaction) aborts dead-letter whole,
+  *    since subtransaction membership is not on the wire.
   *
   * Distribution shape (the 100 TB posture): schema and transaction
   * boundaries are METADATA — `Relation` and `Begin` messages are collected
@@ -84,6 +92,19 @@ object PgOutput extends Serializable {
   final case class TypeMsg(oid: Int, namespace: String, name: String) extends Msg
   /** A tag this decoder does not interpret — routed to dead-letter. */
   final case class Unknown(tag: Char) extends Msg
+
+  // protocol v2 streaming of in-progress large transactions: segments of
+  // an uncommitted tx arrive between Stream Start/Stop, DML inside them
+  // carries an xid prefix, and the tx resolves later via Stream
+  // Commit/Abort — exactly how a 100 TB backfill's giant transactions
+  // reach the slot before their commit record does
+  final case class StreamStart(xid: Long, firstSegment: Boolean) extends Msg
+  case object StreamStop extends Msg
+  final case class StreamCommit(xid: Long, commitLsn: Long, endLsn: Long,
+                                commitTsMicros: Long) extends Msg
+  final case class StreamAbort(xid: Long, subXid: Long) extends Msg
+  /** An in-segment message with its transaction id (protocol v2). */
+  final case class Streamed(xid: Long, msg: Msg) extends Msg
 
   sealed trait Frame extends Serializable
   final case class Keepalive(walEnd: Long, sendTsMicros: Long,
@@ -139,10 +160,23 @@ object PgOutput extends Serializable {
   /** Decode one logical-replication message (the XLogData payload). Throws
     * on malformed bytes; returns [[Unknown]] for tags outside the decoded
     * set so the caller can dead-letter rather than fail the partition.
+    * `inStream` marks a payload positioned inside a Stream Start/Stop
+    * segment (protocol v2): Relation/Type/Insert/Update/Delete there carry
+    * an Int32 xid right after the tag, and decode to [[Streamed]].
     */
-  def decodeMsg(payload: Array[Byte]): Msg = {
+  def decodeMsg(payload: Array[Byte], inStream: Boolean = false): Msg = {
     val r = new Reader(payload)
-    (r.u8().toChar: @unchecked) match {
+    val tag = r.u8().toChar
+    if (inStream && (tag == 'R' || tag == 'Y' || tag == 'I' || tag == 'U' ||
+        tag == 'D' || tag == 'T')) {
+      val xid = r.i32().toLong & 0xffffffffL
+      return Streamed(xid, decodeBody(tag, r))
+    }
+    decodeBody(tag, r)
+  }
+
+  private def decodeBody(tag: Char, r: Reader): Msg = {
+    (tag: @unchecked) match {
       case 'B' => Begin(r.i64(), r.i64() + PgEpochOffsetMicros, r.i32().toLong & 0xffffffffL)
       case 'C' =>
         r.u8() // flags, currently always 0
@@ -182,12 +216,25 @@ object PgOutput extends Serializable {
           case 'K' | 'O' => Delete(relid, tupleData(r))
           case k => throw new IllegalArgumentException(s"delete tuple kind '$k'")
         }
+      case 'S' => StreamStart(r.i32().toLong & 0xffffffffL, r.u8() != 0)
+      case 'E' => StreamStop
+      case 'c' =>
+        val xid = r.i32().toLong & 0xffffffffL
+        r.u8() // flags, currently 0
+        StreamCommit(xid, r.i64(), r.i64(), r.i64() + PgEpochOffsetMicros)
+      case 'A' =>
+        StreamAbort(r.i32().toLong & 0xffffffffL, r.i32().toLong & 0xffffffffL)
       case t => Unknown(t)
     }
   }
 
-  /** Decode one CopyData replication frame (`w` XLogData / `k` keepalive). */
-  def decodeFrame(frame: Array[Byte]): Either[String, Frame] =
+  /** Decode one CopyData replication frame (`w` XLogData / `k` keepalive).
+    * `inStream` flags a frame known (from segment bookkeeping — see
+    * [[parse]]) to sit inside a Stream Start/Stop segment, where DML
+    * carries the protocol-v2 xid prefix.
+    */
+  def decodeFrame(frame: Array[Byte],
+                  inStream: Boolean = false): Either[String, Frame] =
     try {
       if (frame == null || frame.isEmpty) Left("empty frame")
       else {
@@ -197,7 +244,7 @@ object PgOutput extends Serializable {
             val walStart = r.i64(); val walEnd = r.i64()
             val sendTs = r.i64() + PgEpochOffsetMicros
             Right(XLogData(walStart, walEnd, sendTs,
-              decodeMsg(r.bytes(r.remaining))))
+              decodeMsg(r.bytes(r.remaining), inStream)))
           case 'k' =>
             Right(Keepalive(r.i64(), r.i64() + PgEpochOffsetMicros, r.u8() != 0))
           case t => Left(s"unknown frame tag '$t'")
@@ -206,6 +253,61 @@ object PgOutput extends Serializable {
     } catch {
       case e: RuntimeException => Left(s"malformed frame: ${e.getMessage}")
     }
+
+  /** Stream-transaction bookkeeping for one batch of frames (driver-side
+    * metadata, bounded by segment/transaction counts): Stream Start/Stop
+    * intervals by WAL position, commit timestamps and aborts by xid.
+    */
+  final case class StreamMeta(segments: Array[(Long, Long)],
+                              commits: Map[Long, Long],
+                              fullAborts: Set[Long],
+                              partialAborts: Set[Long]) extends Serializable {
+    /** Is a frame at `walStart` inside a streamed segment? (S/E boundaries
+      * themselves are not DML.) */
+    def inSegment(walStart: Long): Boolean = {
+      var lo = 0; var hi = segments.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val (s, e) = segments(mid)
+        if (walStart <= s) hi = mid - 1
+        else if (walStart >= e) lo = mid + 1
+        else return true
+      }
+      false
+    }
+  }
+
+  /** Cheap peek at an XLogData frame's WAL start (None for keepalives /
+    * short frames) — used to consult segment bookkeeping BEFORE the full
+    * decode, since the xid prefix shifts every in-segment field.
+    */
+  def xlogWalStart(frame: Array[Byte]): Option[Long] =
+    if (frame == null || frame.length < 25 || frame(0) != 'w') None
+    else Some(ByteBuffer.wrap(frame, 1, 8).order(ByteOrder.BIG_ENDIAN).getLong)
+
+  /** One stream-control event, shipped driver-ward during the metadata
+    * pass (kind 0=start, 1=stop, 2=commit(xid, a=tsMicros), 3=abort(xid,
+    * a=subXid)).
+    */
+  final case class StreamEvt(kind: Int, walStart: Long, xid: Long, a: Long)
+
+  /** Build [[StreamMeta]] from the batch's collected control events.
+    * Segment pairing is by WAL order: the i-th Stream Start closes at the
+    * i-th Stream Stop (segments never overlap on one connection). An
+    * unpaired trailing Start runs to Long.MaxValue — its DML still
+    * resolves only if its xid committed.
+    */
+  def buildStreamMeta(events: Seq[StreamEvt]): StreamMeta = {
+    val ss = events.filter(_.kind == 0).map(_.walStart).sorted
+    val ee = events.filter(_.kind == 1).map(_.walStart).sorted
+    val segs = ss.zipWithIndex.map { case (s, i) =>
+      (s, if (i < ee.length) ee(i) else Long.MaxValue)
+    }.toArray
+    StreamMeta(segs,
+      events.filter(_.kind == 2).map(e => e.xid -> e.a).toMap,
+      events.filter(e => e.kind == 3 && e.xid == e.a).map(_.xid).toSet,
+      events.filter(e => e.kind == 3 && e.xid != e.a).map(_.xid).toSet)
+  }
 
   // ── type OID → Spark type, text value → external row value ───────────
 
@@ -311,24 +413,44 @@ object PgOutput extends Serializable {
     * `unknown:*` or `error` row means the dead-letter frame is non-empty.
     */
   def frameCounts(raw: DataFrame, dataCol: String): DataFrame = {
-    val tags = raw.select(col(dataCol)).as[Array[Byte]](Encoders.BINARY)
-      .mapPartitions(_.map { bytes =>
-        decodeFrame(bytes) match {
+    val spark = raw.sparkSession
+    val bin = raw.select(col(dataCol)).as[Array[Byte]](Encoders.BINARY)
+    // segment bookkeeping first (same metadata pass as parse): in-segment
+    // DML carries the xid prefix and would misdecode without it
+    val evts = bin.mapPartitions(_.flatMap { bytes =>
+      decodeFrame(bytes) match {
+        case Right(XLogData(w, _, _, StreamStart(_, _))) => Iterator.single(StreamEvt(0, w, 0L, 0L))
+        case Right(XLogData(w, _, _, StreamStop)) => Iterator.single(StreamEvt(1, w, 0L, 0L))
+        case _ => Iterator.empty
+      }
+    })(Encoders.product[StreamEvt]).collect()
+    val metaB = spark.sparkContext.broadcast(buildStreamMeta(evts.toSeq))
+    def label(m: Msg): String = m match {
+      case _: Begin => "begin"
+      case _: Commit => "commit"
+      case _: Relation => "relation"
+      case _: Insert => "insert"
+      case _: Update => "update"
+      case _: Delete => "delete"
+      case _: OriginMsg => "origin"
+      case _: TypeMsg => "type"
+      case _: StreamStart => "stream_start"
+      case StreamStop => "stream_stop"
+      case _: StreamCommit => "stream_commit"
+      case _: StreamAbort => "stream_abort"
+      case Streamed(_, inner) => s"stream:${label(inner)}"
+      case Unknown(t) => s"unknown:$t"
+    }
+    val tags = bin.mapPartitions { it =>
+      val m = metaB.value
+      it.map { bytes =>
+        decodeFrame(bytes, xlogWalStart(bytes).exists(m.inSegment)) match {
           case Right(Keepalive(_, _, _)) => "keepalive"
-          case Right(XLogData(_, _, _, m)) => m match {
-            case _: Begin => "begin"
-            case _: Commit => "commit"
-            case _: Relation => "relation"
-            case _: Insert => "insert"
-            case _: Update => "update"
-            case _: Delete => "delete"
-            case _: OriginMsg => "origin"
-            case _: TypeMsg => "type"
-            case Unknown(t) => s"unknown:$t"
-          }
+          case Right(XLogData(_, _, _, msg)) => label(msg)
           case Left(_) => "error"
         }
-      })(Encoders.STRING)
+      }
+    }(Encoders.STRING)
     tags.groupBy(col("value").as("tag")).agg(count(lit(1)).as("n"))
       .select(col("tag"), col("n"))
   }
@@ -346,15 +468,44 @@ object PgOutput extends Serializable {
     val spark = raw.sparkSession
     val bin = raw.select(col(dataCol).as("__frame")).as[Array[Byte]](Encoders.BINARY)
 
-    // pass 1 (metadata): relation versions + commit timestamps. Both are
-    // bounded by schema-change / transaction counts, not by row count.
-    val batchRels = bin.mapPartitions(_.flatMap { bytes =>
+    // pass 0 (metadata): stream-transaction control events — Start/Stop
+    // segment boundaries, stream commits and aborts by xid. Bounded by
+    // segment/transaction counts. Must come first: every later decode
+    // needs to know which WAL positions sit inside streamed segments
+    // (their DML carries the protocol-v2 xid prefix).
+    val streamEvts = bin.mapPartitions(_.flatMap { bytes =>
       decodeFrame(bytes) match {
-        case Right(XLogData(walStart, _, _, Relation(relid, _, name, _, cols)))
-          if name == table => Iterator.single(RelationAt(walStart, relid, cols))
+        case Right(XLogData(w, _, _, m)) => m match {
+          case StreamStart(_, _) => Iterator.single(StreamEvt(0, w, 0L, 0L))
+          case StreamStop => Iterator.single(StreamEvt(1, w, 0L, 0L))
+          case StreamCommit(x, _, _, ts) => Iterator.single(StreamEvt(2, w, x, ts))
+          case StreamAbort(x, sx) => Iterator.single(StreamEvt(3, w, x, sx))
+          case _ => Iterator.empty
+        }
         case _ => Iterator.empty
       }
-    })(Encoders.product[RelationAt]).collect()
+    })(Encoders.product[StreamEvt]).collect()
+    val meta = buildStreamMeta(streamEvts.toSeq)
+    val metaB = spark.sparkContext.broadcast(meta)
+
+    // pass 1 (metadata): relation versions + commit timestamps. Both are
+    // bounded by schema-change / transaction counts, not by row count.
+    // Streamed Relation messages (a DDL inside a streamed tx) register
+    // like plain ones — schema facts are safe regardless of tx outcome
+    // (Postgres re-sends Relation before any use under a different schema).
+    val batchRels = bin.mapPartitions { it =>
+      val m = metaB.value
+      it.flatMap { bytes =>
+        val walStart0 = xlogWalStart(bytes)
+        decodeFrame(bytes, walStart0.exists(m.inSegment)) match {
+          case Right(XLogData(walStart, _, _, Relation(relid, _, name, _, cols)))
+            if name == table => Iterator.single(RelationAt(walStart, relid, cols))
+          case Right(XLogData(walStart, _, _, Streamed(_, Relation(relid, _, name, _, cols))))
+            if name == table => Iterator.single(RelationAt(walStart, relid, cols))
+          case _ => Iterator.empty
+        }
+      }
+    }(Encoders.product[RelationAt]).collect()
     val rels = (priorRelations ++ batchRels)
       .groupBy(r => (r.walStart, r.relid)).map(_._2.head)
       .toArray.sortBy(_.walStart)
@@ -416,7 +567,7 @@ object PgOutput extends Serializable {
     }
 
     // one decoded change → Left(reason) | Right(row)
-    def buildRow(walStart: Long, sendTs: Long, isDelete: Boolean,
+    def buildRow(walStart: Long, eventTsMicros: Long, isDelete: Boolean,
                  tuple: IndexedSeq[Value]): Either[String, Row] =
       relAt(walStart) match {
         case None => Left(s"dml at lsn=$walStart precedes every Relation message")
@@ -443,26 +594,54 @@ object PgOutput extends Serializable {
             Right(Row.fromSeq(
               names.toIndexedSeq.map(byName.get) ++ Seq(
                 walStart, isDelete,
-                tsFromMicros(commitTs(walStart, sendTs)),
+                tsFromMicros(eventTsMicros),
                 table, if (toast.isEmpty) null else toast)))
           } catch {
             case e: RuntimeException => Left(s"value coercion at lsn=$walStart: ${e.getMessage}")
           }
       }
 
-    def decodeChanges(bytes: Array[Byte]): Iterator[Either[String, Row]] =
-      decodeFrame(bytes) match {
-        case Right(XLogData(walStart, _, sendTs, msg)) => msg match {
-          case Insert(relid, tuple) if relids(relid) =>
-            Iterator.single(buildRow(walStart, sendTs, isDelete = false, tuple))
-          case Update(relid, _, next) if relids(relid) =>
-            Iterator.single(buildRow(walStart, sendTs, isDelete = false, next))
-          case Delete(relid, old) if relids(relid) =>
-            Iterator.single(buildRow(walStart, sendTs, isDelete = true, old))
-          case _ => Iterator.empty // other tables' DML, B/C/R/Y/O, unknowns (dead-lettered below)
-        }
+    // one DML body (possibly inside a streamed tx) → change row or reason.
+    // Streamed rows resolve their event time by xid (the Stream Commit's
+    // timestamp): an aborted xid's rows vanish SILENTLY (the transaction
+    // never happened), an unresolved xid dead-letters for replay with the
+    // batch that carries its commit, a partially-aborted xid dead-letters
+    // whole (subtransaction membership is not on the wire).
+    def dmlRow(walStart: Long, sendTs: Long, xid: Option[Long],
+               msg: Msg): Iterator[Either[String, Row]] = {
+      def ts: Either[String, Long] = xid match {
+        case None => Right(commitTs(walStart, sendTs))
+        case Some(x) =>
+          val m = metaB.value
+          if (m.fullAborts(x)) Left(null) // sentinel: silent drop
+          else if (m.partialAborts(x))
+            Left(s"streamed xid=$x partially aborted — subtransaction membership unknown, replay after resolution")
+          else m.commits.get(x).toRight(
+            s"streamed xid=$x has no Stream Commit in this batch — replay with its commit")
+      }
+      def emit(isDelete: Boolean, tuple: IndexedSeq[Value]) = ts match {
+        case Right(t) => Iterator.single(buildRow(walStart, t, isDelete, tuple))
+        case Left(null) => Iterator.empty // aborted: never happened
+        case Left(reason) => Iterator.single(Left(reason))
+      }
+      msg match {
+        case Insert(relid, tuple) if relids(relid) => emit(isDelete = false, tuple)
+        case Update(relid, _, next) if relids(relid) => emit(isDelete = false, next)
+        case Delete(relid, old) if relids(relid) => emit(isDelete = true, old)
+        case _ => Iterator.empty // other tables' DML, control msgs, unknowns
+      }
+    }
+
+    def decodeChanges(bytes: Array[Byte]): Iterator[Either[String, Row]] = {
+      val streamed = xlogWalStart(bytes).exists(metaB.value.inSegment)
+      decodeFrame(bytes, streamed) match {
+        case Right(XLogData(walStart, _, sendTs, Streamed(xid, inner))) =>
+          dmlRow(walStart, sendTs, Some(xid), inner)
+        case Right(XLogData(walStart, _, sendTs, msg)) =>
+          dmlRow(walStart, sendTs, None, msg)
         case _ => Iterator.empty
       }
+    }
 
     val rowEnc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val changes = bin.mapPartitions(_.flatMap(decodeChanges(_).collect {
@@ -471,9 +650,12 @@ object PgOutput extends Serializable {
 
     val deadEnc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(deadSchema))
     val dead = bin.mapPartitions(_.flatMap { bytes =>
-      val direct = decodeFrame(bytes) match {
+      val streamed = xlogWalStart(bytes).exists(metaB.value.inSegment)
+      val direct = decodeFrame(bytes, streamed) match {
         case Left(reason) => Some(reason)
         case Right(XLogData(_, _, _, Unknown(t))) => Some(s"unknown message tag '$t'")
+        case Right(XLogData(_, _, _, Streamed(_, Unknown(t)))) =>
+          Some(s"unknown streamed message tag '$t'")
         case _ => None
       }
       val rowErrs = decodeChanges(bytes).collect { case Left(reason) => reason }
@@ -533,27 +715,60 @@ object PgOutput extends Serializable {
       xlog(walStart, new W().ch('C').u8(0).i64(commitLsn).i64(endLsn)
         .i64(commitTsUnixMicros - PgEpochOffsetMicros).bytes)
 
+    /** `xid` ≥ 0 writes the protocol-v2 streamed form (xid after the tag,
+      * valid only inside a Stream Start/Stop segment); the default −1
+      * writes the plain form.
+      */
     def relation(walStart: Long, relid: Int, namespace: String, name: String,
-                 cols: Seq[RelCol], replicaIdentity: Char = 'd'): Array[Byte] = {
-      val w = new W().ch('R').i32(relid).cstr(namespace).cstr(name)
+                 cols: Seq[RelCol], replicaIdentity: Char = 'd',
+                 xid: Long = -1L): Array[Byte] = {
+      val w = new W().ch('R')
+      if (xid >= 0) w.i32(xid.toInt)
+      w.i32(relid).cstr(namespace).cstr(name)
         .ch(replicaIdentity).i16(cols.length)
       cols.foreach(c => w.u8(if (c.isKey) 1 else 0).cstr(c.name).i32(c.typeOid).i32(c.typeMod))
       xlog(walStart, w.bytes)
     }
 
-    def insert(walStart: Long, relid: Int, values: Seq[Value]): Array[Byte] =
-      xlog(walStart, tuple(new W().ch('I').i32(relid).ch('N'), values).bytes)
+    def insert(walStart: Long, relid: Int, values: Seq[Value],
+               xid: Long = -1L): Array[Byte] = {
+      val w = new W().ch('I')
+      if (xid >= 0) w.i32(xid.toInt)
+      xlog(walStart, tuple(w.i32(relid).ch('N'), values).bytes)
+    }
 
     def update(walStart: Long, relid: Int, values: Seq[Value],
-               old: Option[(Char, Seq[Value])] = None): Array[Byte] = {
-      val w = new W().ch('U').i32(relid)
+               old: Option[(Char, Seq[Value])] = None,
+               xid: Long = -1L): Array[Byte] = {
+      val w = new W().ch('U')
+      if (xid >= 0) w.i32(xid.toInt)
+      w.i32(relid)
       old.foreach { case (kind, vs) => tuple(w.ch(kind), vs) }
       xlog(walStart, tuple(w.ch('N'), values).bytes)
     }
 
     def delete(walStart: Long, relid: Int, old: Seq[Value],
-               kind: Char = 'K'): Array[Byte] =
-      xlog(walStart, tuple(new W().ch('D').i32(relid).ch(kind), old).bytes)
+               kind: Char = 'K', xid: Long = -1L): Array[Byte] = {
+      val w = new W().ch('D')
+      if (xid >= 0) w.i32(xid.toInt)
+      xlog(walStart, tuple(w.i32(relid).ch(kind), old).bytes)
+    }
+
+    def streamStart(walStart: Long, xid: Long,
+                    firstSegment: Boolean = true): Array[Byte] =
+      xlog(walStart, new W().ch('S').i32(xid.toInt)
+        .u8(if (firstSegment) 1 else 0).bytes)
+
+    def streamStop(walStart: Long): Array[Byte] =
+      xlog(walStart, new W().ch('E').bytes)
+
+    def streamCommit(walStart: Long, xid: Long, commitLsn: Long, endLsn: Long,
+                     commitTsUnixMicros: Long): Array[Byte] =
+      xlog(walStart, new W().ch('c').i32(xid.toInt).u8(0).i64(commitLsn)
+        .i64(endLsn).i64(commitTsUnixMicros - PgEpochOffsetMicros).bytes)
+
+    def streamAbort(walStart: Long, xid: Long, subXid: Long): Array[Byte] =
+      xlog(walStart, new W().ch('A').i32(xid.toInt).i32(subXid.toInt).bytes)
 
     /** An arbitrary unknown-tag logical message (e.g. 'T' truncate). */
     def unknown(walStart: Long, tag: Char, body: Array[Byte] = Array.emptyByteArray): Array[Byte] =

@@ -278,15 +278,111 @@ class PgOutputSpec extends SparkSpec {
     }
   }
 
-  test("frameCounts tallies the feed by message tag") {
+  test("protocol v2: streamed-transaction control frames round-trip") {
+    decodeFrame(Fixture.streamStart(500, 77)) match {
+      case Right(XLogData(500, _, _, StreamStart(77, true))) => ()
+      case other => fail(s"stream start decoded to $other")
+    }
+    decodeFrame(Fixture.streamStop(510)) match {
+      case Right(XLogData(510, _, _, StreamStop)) => ()
+      case other => fail(s"stream stop decoded to $other")
+    }
+    decodeFrame(Fixture.streamCommit(540, 77, 600, 601, txTs(9))) match {
+      case Right(XLogData(540, _, _, StreamCommit(77, 600, 601, ts))) =>
+        assert(ts == txTs(9))
+      case other => fail(s"stream commit decoded to $other")
+    }
+    decodeFrame(Fixture.streamAbort(550, 88, 88)) match {
+      case Right(XLogData(550, _, _, StreamAbort(88, 88))) => ()
+      case other => fail(s"stream abort decoded to $other")
+    }
+    // in-segment DML needs the inStream flag: the xid prefix shifts fields
+    val streamedIns = Fixture.insert(501, 7, Seq(VText("1"), VText("a"), VNull), xid = 77)
+    decodeFrame(streamedIns, inStream = true) match {
+      case Right(XLogData(501, _, _, Streamed(77, Insert(7, t)))) =>
+        assert(t == IndexedSeq(VText("1"), VText("a"), VNull))
+      case other => fail(s"streamed insert decoded to $other")
+    }
+  }
+
+  test("parse: a committed streamed transaction lands with its stream-commit ts") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        // segment 1 of xid 77
+        Seq(Fixture.streamStart(500, 77),
+          Fixture.insert(501, 7, Seq(VText("1"), VText("ann"), VText("3")), xid = 77),
+          Fixture.insert(502, 7, Seq(VText("2"), VText("bob"), VText("5")), xid = 77),
+          Fixture.streamStop(510)) ++
+        // an ordinary small tx INTERLEAVED between the segments
+        tx(1, 512, Seq(
+          Fixture.insert(513, 7, Seq(VText("9"), VText("zed"), VText("1"))))) ++
+        // segment 2 of xid 77, then its commit
+        Seq(Fixture.streamStart(520, 77, firstSegment = false),
+          Fixture.update(521, 7, Seq(VText("1"), VText("anne"), VText("4")), xid = 77),
+          Fixture.streamStop(530),
+          Fixture.streamCommit(540, 77, 600, 601, txTs(9)))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.deadLetter.count() == 0)
+    assert(parsed.changes.count() == 4)
+    // streamed rows carry the STREAM COMMIT's timestamp; the interleaved
+    // plain tx keeps its own Begin/Commit ts
+    val ts501 = parsed.changes.where(col("_version") === 501)
+      .select(unix_micros(col("_event_ts"))).head().getLong(0)
+    assert(ts501 == txTs(9))
+    val ts513 = parsed.changes.where(col("_version") === 513)
+      .select(unix_micros(col("_event_ts"))).head().getLong(0)
+    assert(ts513 == txTs(1))
+    // collapse: the second segment's update wins for key 1
+    val snap = CdcOps.softDeleteSnapshot(parsed.changes, Seq("id"), "_version",
+        col("_is_deleted"))
+      .select("id", "name", "qty").orderBy("id").collect().toSeq
+    assert(snap == Seq(Row(1L, "anne", 4), Row(2L, "bob", 5), Row(9L, "zed", 1)))
+  }
+
+  test("parse: aborted / unresolved / partially-aborted streamed xids") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        // xid 88: fully aborted — its rows never happened
+        Seq(Fixture.streamStart(500, 88),
+          Fixture.insert(501, 7, Seq(VText("1"), VText("gone"), VText("0")), xid = 88),
+          Fixture.streamStop(510),
+          Fixture.streamAbort(515, 88, 88)) ++
+        // xid 99: no commit in this batch — dead-letter for replay
+        Seq(Fixture.streamStart(520, 99),
+          Fixture.insert(521, 7, Seq(VText("2"), VText("waiting"), VText("0")), xid = 99),
+          Fixture.streamStop(530)) ++
+        // xid 66: PARTIAL abort (subxid != xid) — dead-letter whole
+        Seq(Fixture.streamStart(540, 66),
+          Fixture.insert(541, 7, Seq(VText("3"), VText("maybe"), VText("0")), xid = 66),
+          Fixture.streamStop(550),
+          Fixture.streamAbort(555, 66, 67),
+          Fixture.streamCommit(560, 66, 600, 601, txTs(5)))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.changes.count() == 0)
+    val reasons = parsed.deadLetter.select("reason")
+      .as[String](spark.implicits.newStringEncoder).collect().toSeq
+    assert(reasons.size == 2, s"reasons=$reasons")
+    assert(reasons.exists(r => r.contains("xid=99") && r.contains("no Stream Commit")))
+    assert(reasons.exists(r => r.contains("xid=66") && r.contains("partially aborted")))
+  }
+
+  test("frameCounts tallies the feed by message tag, streamed DML included") {
     val frames =
       Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
         tx(1, 100, Seq(
           Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
-        Seq(Fixture.keepalive(150), Fixture.unknown(160, 'M'))
+        Seq(Fixture.keepalive(150), Fixture.unknown(160, 'M')) ++
+        Seq(Fixture.streamStart(500, 77),
+          Fixture.insert(501, 7, Seq(VText("2"), VText("bob"), VNull), xid = 77),
+          Fixture.streamStop(510),
+          Fixture.streamCommit(540, 77, 600, 601, txTs(9)))
     val counts = PgOutput.frameCounts(toDf(frames), "frame")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("relation" -> 1L, "begin" -> 1L, "insert" -> 1L,
-      "commit" -> 1L, "keepalive" -> 1L, "unknown:M" -> 1L))
+      "commit" -> 1L, "keepalive" -> 1L, "unknown:M" -> 1L,
+      "stream_start" -> 1L, "stream:insert" -> 1L, "stream_stop" -> 1L,
+      "stream_commit" -> 1L))
   }
 }
