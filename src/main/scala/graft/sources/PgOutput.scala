@@ -52,8 +52,14 @@ import org.apache.spark.sql.types._
   * across versions (rows older than a column's first appearance carry
   * null — the same additive-evolution posture as the mirror merge).
   *
+  * TRUNCATE (`T`) decodes natively: a committed truncate of the parsed
+  * table surfaces as [[TruncateAt]] metadata — everything at-or-below its
+  * LSN is wiped ([[applyTruncates]] for log collapses; the capture loop
+  * tombstones the mirror below it). No per-key tombstones exist on the
+  * wire, so this is the one change kind that is METADATA, not rows.
+  *
   * Honesty contract, same as DebeziumEnvelope: nothing unparseable is
-  * silently dropped. Unknown message tags (e.g. `T`runcate, `M`essage),
+  * silently dropped. Unknown message tags (e.g. `M`essage),
   * truncated frames, DML for relids the registry never saw, and value
   * coercion failures all land in the DEAD-LETTER frame with a reason;
   * keepalives and Begin/Commit/Origin/Type messages are consumed by
@@ -90,6 +96,13 @@ object PgOutput extends Serializable {
   final case class Delete(relid: Int, old: IndexedSeq[Value]) extends Msg
   final case class OriginMsg(lsn: Long, name: String) extends Msg
   final case class TypeMsg(oid: Int, namespace: String, name: String) extends Msg
+  /** TRUNCATE TABLE on the publication: every row of `relids` gone in one
+    * WAL record — no per-key tombstones on the wire. Options bit 1 =
+    * CASCADE, bit 2 = RESTART IDENTITY (both carried for fidelity; neither
+    * changes mirror semantics — cascaded relations arrive in `relids`).
+    */
+  final case class Truncate(relids: IndexedSeq[Int], cascade: Boolean,
+                            restartIdentity: Boolean) extends Msg
   /** A tag this decoder does not interpret — routed to dead-letter. */
   final case class Unknown(tag: Char) extends Msg
 
@@ -216,6 +229,11 @@ object PgOutput extends Serializable {
           case 'K' | 'O' => Delete(relid, tupleData(r))
           case k => throw new IllegalArgumentException(s"delete tuple kind '$k'")
         }
+      case 'T' =>
+        val nrels = r.i32()
+        if (nrels < 0) throw new IllegalArgumentException(s"negative truncate nrels $nrels")
+        val opts = r.u8()
+        Truncate((0 until nrels).map(_ => r.i32()), (opts & 1) != 0, (opts & 2) != 0)
       case 'S' => StreamStart(r.i32().toLong & 0xffffffffL, r.u8() != 0)
       case 'E' => StreamStop
       case 'c' =>
@@ -251,7 +269,8 @@ object PgOutput extends Serializable {
         }
       }
     } catch {
-      case e: RuntimeException => Left(s"malformed frame: ${e.getMessage}")
+      case e: RuntimeException => Left(s"malformed frame: " +
+        Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }
 
   /** Stream-transaction bookkeeping for one batch of frames (driver-side
@@ -396,14 +415,37 @@ object PgOutput extends Serializable {
     */
   final case class RelationAt(walStart: Long, relid: Int, cols: IndexedSeq[RelCol])
 
+  /** One committed TRUNCATE touching the parsed table: everything with
+    * `_version` ≤ `walStart` is gone. Driver-side metadata — truncates are
+    * DDL-frequency events, bounded like Relation messages.
+    */
+  final case class TruncateAt(walStart: Long, tsMicros: Long)
+
   /** Normalized changes + the dead-letter frame (raw frame + reason) +
     * the relation registry as of this batch's end (prior ∪ batch, the
-    * state to persist for the next batch).
+    * state to persist for the next batch) + the batch's committed
+    * truncates of this table (apply with [[applyTruncates]] for a log
+    * collapse, or tombstone the mirror below the truncate LSN — see
+    * [[graft.streaming.PgOutputStream.mirrorFrames]]).
     */
   final case class Parsed(changes: DataFrame, deadLetter: DataFrame,
-                          relations: Seq[RelationAt])
+                          relations: Seq[RelationAt],
+                          truncates: Seq[TruncateAt] = Nil)
+
+  /** Collapse-side truncate semantics: only changes strictly past the
+    * newest committed truncate survive — everything at-or-below its LSN
+    * was wiped by it. A change-log consumer (CdcOps collapse over the
+    * parsed batch) applies this BEFORE the per-key collapse, so a key
+    * inserted before the truncate and untouched after it disappears.
+    */
+  def applyTruncates(changes: DataFrame, truncates: Seq[TruncateAt]): DataFrame =
+    if (truncates.isEmpty) changes
+    else changes.where(col("_version") > lit(truncates.map(_.walStart).max))
 
   private final case class CommitAt(finalLsn: Long, tsMicros: Long)
+
+  private final case class TruncEvt(walStart: Long, sendTs: Long, xid: Long,
+                                    relids: Seq[Int])
 
   private val deadSchema = StructType(Seq(
     StructField("frame", BinaryType), StructField("reason", StringType)))
@@ -438,6 +480,7 @@ object PgOutput extends Serializable {
       case StreamStop => "stream_stop"
       case _: StreamCommit => "stream_commit"
       case _: StreamAbort => "stream_abort"
+      case _: Truncate => "truncate"
       case Streamed(_, inner) => s"stream:${label(inner)}"
       case Unknown(t) => s"unknown:$t"
     }
@@ -560,6 +603,25 @@ object PgOutput extends Serializable {
       if (best < 0) sendTs else cs(best).tsMicros
     }
 
+    // pass 1b (metadata): committed TRUNCATEs touching this table —
+    // DDL-frequency events, bounded like Relation messages. Plain ones
+    // commit with their surrounding transaction (same Begin lookup as
+    // DML); streamed ones resolve by xid exactly like streamed DML
+    // (aborted → never happened; unresolved / partially-aborted →
+    // dead-lettered in the dead pass for replay).
+    val truncEvts = bin.mapPartitions { it =>
+      val m = metaB.value
+      it.flatMap { bytes =>
+        decodeFrame(bytes, xlogWalStart(bytes).exists(m.inSegment)) match {
+          case Right(XLogData(w, _, st, Truncate(rids, _, _))) =>
+            Iterator.single(TruncEvt(w, st, -1L, rids))
+          case Right(XLogData(w, _, st, Streamed(x, Truncate(rids, _, _)))) =>
+            Iterator.single(TruncEvt(w, st, x, rids))
+          case _ => Iterator.empty
+        }
+      }
+    }(Encoders.product[TruncEvt]).collect()
+
     def tsFromMicros(micros: Long): java.sql.Timestamp = {
       val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
       ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
@@ -648,6 +710,17 @@ object PgOutput extends Serializable {
       case Right(row) => row
     }))(rowEnc)
 
+    // driver-side truncate resolution (bounded list): keep only truncates
+    // that touch this table's relids and whose transaction committed
+    val truncates = truncEvts.toSeq
+      .filter(_.relids.exists(relids))
+      .flatMap { e =>
+        if (e.xid < 0) Some(TruncateAt(e.walStart, commitTs(e.walStart, e.sendTs)))
+        else if (meta.fullAborts(e.xid)) None // aborted: never happened
+        else meta.commits.get(e.xid).map(ts => TruncateAt(e.walStart, ts))
+      }.sortBy(_.walStart)
+
+    val relidsB = spark.sparkContext.broadcast(relids)
     val deadEnc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(deadSchema))
     val dead = bin.mapPartitions(_.flatMap { bytes =>
       val streamed = xlogWalStart(bytes).exists(metaB.value.inSegment)
@@ -656,13 +729,21 @@ object PgOutput extends Serializable {
         case Right(XLogData(_, _, _, Unknown(t))) => Some(s"unknown message tag '$t'")
         case Right(XLogData(_, _, _, Streamed(_, Unknown(t)))) =>
           Some(s"unknown streamed message tag '$t'")
+        // a streamed TRUNCATE of this table whose xid never resolved in
+        // this batch must not vanish: it is a pending whole-table wipe
+        case Right(XLogData(_, _, _, Streamed(x, Truncate(rids, _, _))))
+          if rids.exists(relidsB.value) && !metaB.value.fullAborts(x) &&
+            !metaB.value.commits.contains(x) =>
+          Some(if (metaB.value.partialAborts(x))
+            s"streamed truncate xid=$x partially aborted — replay after resolution"
+          else s"streamed truncate xid=$x has no Stream Commit in this batch — replay with its commit")
         case _ => None
       }
       val rowErrs = decodeChanges(bytes).collect { case Left(reason) => reason }
       (direct.iterator ++ rowErrs).map(r => Row(bytes, r))
     })(deadEnc)
 
-    Parsed(changes.toDF(), dead.toDF(), rels.toSeq)
+    Parsed(changes.toDF(), dead.toDF(), rels.toSeq, truncates)
   }
 
   // ── fixture encoder (the writer dual, for tests and synthetic lakes) ──
@@ -770,7 +851,17 @@ object PgOutput extends Serializable {
     def streamAbort(walStart: Long, xid: Long, subXid: Long): Array[Byte] =
       xlog(walStart, new W().ch('A').i32(xid.toInt).i32(subXid.toInt).bytes)
 
-    /** An arbitrary unknown-tag logical message (e.g. 'T' truncate). */
+    def truncate(walStart: Long, relids: Seq[Int], cascade: Boolean = false,
+                 restartIdentity: Boolean = false, xid: Long = -1L): Array[Byte] = {
+      val w = new W().ch('T')
+      if (xid >= 0) w.i32(xid.toInt)
+      w.i32(relids.length)
+        .u8((if (cascade) 1 else 0) | (if (restartIdentity) 2 else 0))
+      relids.foreach(w.i32)
+      xlog(walStart, w.bytes)
+    }
+
+    /** An arbitrary unknown-tag logical message (e.g. 'M' message). */
     def unknown(walStart: Long, tag: Char, body: Array[Byte] = Array.emptyByteArray): Array[Byte] =
       xlog(walStart, new W().ch(tag).raw(body).bytes)
   }

@@ -54,10 +54,35 @@ object PgOutputStream {
             if (!parsed.deadLetter.isEmpty)
               dead.write.mode("append").parquet(d)
           }
-          CdcStream.upsertBatch(spark,
-            parsed.changes
-              .withColumn("is_deleted", col("_is_deleted"))
-              .withColumn("_batch_id", lit(batchId)),
+          val batchDf = parsed.changes
+            .withColumn("is_deleted", col("_is_deleted"))
+            .withColumn("_batch_id", lit(batchId))
+          // committed TRUNCATE: no per-key tombstones exist on the wire, so
+          // synthesize them — every key the committed mirror holds below
+          // the truncate LSN gets a tombstone AT that LSN (a same-batch
+          // reinsert carries a higher LSN and wins the FINAL merge), and
+          // batch changes at-or-below it are wiped history. Replay-safe:
+          // regenerated tombstones upsert idempotently, and keys already
+          // at-or-past the LSN are untouched by the newest-version merge.
+          val upserts = parsed.truncates match {
+            case Nil => batchDf
+            case ts =>
+              val lsn = ts.map(_.walStart).max
+              val survivors = PgOutput.applyTruncates(batchDf, ts)
+              if (!CdcStream.hasVisibleParquet(spark, targetDir)) survivors
+              else {
+                val tomb = graft.sources.SyncManifest
+                  .readCommitted(spark, targetDir)
+                  .where(col("_version") <= lsn)
+                  .select(keys.map(col) ++ Seq(
+                    lit(lsn).as("_version"), lit(true).as("_is_deleted"),
+                    lit(true).as("is_deleted"),
+                    lit(table).as("_source_table"),
+                    lit(batchId).as("_batch_id")): _*)
+                survivors.unionByName(tomb, allowMissingColumns = true)
+              }
+          }
+          CdcStream.upsertBatch(spark, upserts,
             keys, "_version", targetDir, nBuckets)
           writeRegistry(spark, targetDir, table, parsed.relations)
         }

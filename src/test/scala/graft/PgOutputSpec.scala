@@ -83,9 +83,9 @@ class PgOutputSpec extends SparkSpec {
       case other => fail(s"keepalive decoded to $other")
     }
 
-    decodeFrame(Fixture.unknown(40, 'T', Array[Byte](0, 0, 0, 1))) match {
-      case Right(XLogData(40, _, _, Unknown('T'))) => ()
-      case other => fail(s"truncate decoded to $other")
+    decodeFrame(Fixture.unknown(40, 'M')) match {
+      case Right(XLogData(40, _, _, Unknown('M'))) => ()
+      case other => fail(s"logical Message decoded to $other")
     }
 
     assert(decodeFrame(Array[Byte]('w', 1, 2)).isLeft) // truncated XLogData
@@ -176,8 +176,8 @@ class PgOutputSpec extends SparkSpec {
           Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))),
           // qty is int4 but the value is not a number → coercion dead-letter
           Fixture.insert(102, 7, Seq(VText("2"), VText("bob"), VText("many"))),
-          // truncate is not interpreted → unknown-tag dead-letter
-          Fixture.unknown(103, 'T', Array[Byte](0, 0, 0, 1, 0, 0, 0, 0, 7)))) ++
+          // logical decoding Message is not interpreted → unknown-tag dead-letter
+          Fixture.unknown(103, 'M'))) ++
         Seq(Array[Byte]('w', 9)) // truncated frame
 
     val parsed = PgOutput.parse(toDf(frames), "frame", "items")
@@ -186,7 +186,7 @@ class PgOutputSpec extends SparkSpec {
       .as[String](spark.implicits.newStringEncoder).collect().toSeq
     assert(reasons.size == 3)
     assert(reasons.exists(_.contains("coercion")))
-    assert(reasons.exists(_.contains("unknown message tag 'T'")))
+    assert(reasons.exists(_.contains("unknown message tag 'M'")))
     assert(reasons.exists(_.contains("malformed")))
   }
 
@@ -366,6 +366,78 @@ class PgOutputSpec extends SparkSpec {
     assert(reasons.size == 2, s"reasons=$reasons")
     assert(reasons.exists(r => r.contains("xid=99") && r.contains("no Stream Commit")))
     assert(reasons.exists(r => r.contains("xid=66") && r.contains("partially aborted")))
+  }
+
+  test("truncate: decodes with options, streamed form carries the xid") {
+    decodeFrame(Fixture.truncate(40, Seq(7, 9), cascade = true,
+        restartIdentity = true)) match {
+      case Right(XLogData(40, _, _, Truncate(rids, true, true))) =>
+        assert(rids == IndexedSeq(7, 9))
+      case other => fail(s"truncate decoded to $other")
+    }
+    // streamed form sits inside a segment: xid prefix shifts the fields
+    decodeFrame(Fixture.truncate(41, Seq(7), xid = 55), inStream = true) match {
+      case Right(XLogData(41, _, _, Streamed(55, Truncate(rids, false, false)))) =>
+        assert(rids == IndexedSeq(7))
+      case other => fail(s"streamed truncate decoded to $other")
+    }
+  }
+
+  test("parse: committed truncate wipes at-or-below its LSN; reinserts survive") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))),
+          Fixture.insert(102, 7, Seq(VText("2"), VText("bob"), VText("5"))))) ++
+        // tx 2: TRUNCATE items, then reinsert key 2 in the SAME transaction
+        tx(2, 200, Seq(
+          Fixture.truncate(201, Seq(7)),
+          Fixture.insert(202, 7, Seq(VText("2"), VText("bob2"), VText("9"))))) ++
+        // a truncate of some OTHER table is not ours
+        tx(3, 300, Seq(Fixture.truncate(301, Seq(999))))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.deadLetter.count() == 0)
+    assert(parsed.truncates.map(_.walStart) == Seq(201L))
+    assert(parsed.truncates.head.tsMicros == txTs(2)) // commit ts of tx 2
+    // the faithful log still carries all three inserts…
+    assert(parsed.changes.count() == 3)
+    // …and applyTruncates + collapse yields only the post-truncate world
+    val snap = CdcOps.softDeleteSnapshot(
+        PgOutput.applyTruncates(parsed.changes, parsed.truncates),
+        Seq("id"), "_version", col("_is_deleted"))
+      .select("id", "name", "qty").orderBy("id").collect().toSeq
+    assert(snap == Seq(Row(2L, "bob2", 9)))
+  }
+
+  test("truncate: aborted streamed one never happened; unresolved dead-letters") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
+        // xid 88 truncates but aborts: the wipe never happened
+        Seq(Fixture.streamStart(500, 88),
+          Fixture.truncate(501, Seq(7), xid = 88),
+          Fixture.streamStop(510),
+          Fixture.streamAbort(515, 88, 88)) ++
+        // xid 99 truncates with no commit in this batch: pending wipe must
+        // not vanish — dead-letter for replay
+        Seq(Fixture.streamStart(520, 99),
+          Fixture.truncate(521, Seq(7), xid = 99),
+          Fixture.streamStop(530)) ++
+        // xid 77's truncate is for another table: ignored entirely
+        Seq(Fixture.streamStart(540, 77),
+          Fixture.truncate(541, Seq(999), xid = 77),
+          Fixture.streamStop(550))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.truncates.isEmpty)
+    assert(parsed.changes.count() == 1)
+    val reasons = parsed.deadLetter.select("reason")
+      .as[String](spark.implicits.newStringEncoder).collect().toSeq
+    assert(reasons.size == 1, s"reasons=$reasons")
+    assert(reasons.head.contains("truncate xid=99") &&
+      reasons.head.contains("no Stream Commit"))
   }
 
   test("frameCounts tallies the feed by message tag, streamed DML included") {

@@ -63,14 +63,14 @@ class PgOutputStreamSpec extends SparkSpec {
       (tx(2, 200, Seq(
         Fixture.update(201, 7, Seq(VText("1"), VText("anne"), VText("4"))),
         Fixture.delete(202, 7, Seq(VText("2"), VNull, VNull)),
-        Fixture.unknown(203, 'T', Array[Byte](0, 0, 0, 1)))))
+        Fixture.unknown(203, 'M'))))
         .map(Frame): _*)
     runBatch()
     assert(PgOutputStream.readFinal(spark, target, Seq("id"))
       .select("id", "name", "qty").collect().toSeq == Seq(Row(1L, "anne", 4)))
     val deadRows = spark.read.parquet(dead)
     assert(deadRows.count() == 1)
-    assert(deadRows.select("reason").head().getString(0).contains("'T'"))
+    assert(deadRows.select("reason").head().getString(0).contains("'M'"))
 
     // batch 3: a mid-stream ALTER (new Relation version) + rows on both
     // sides of it — older rows (including pre-restart mirror rows) read
@@ -92,5 +92,19 @@ class PgOutputStreamSpec extends SparkSpec {
     assert(reg.map(_.walStart).sorted == Seq(5L, 350L))
     assert(reg.maxBy(_.walStart).cols.map(_.name) ==
       Seq("id", "name", "qty", "note"))
+
+    // batch 4: TRUNCATE then reinsert one key in the same transaction —
+    // keys mirrored in EARLIER batches tombstone at the truncate LSN
+    // (no per-key deletes on the wire), the same-batch reinsert survives
+    // with its higher LSN, and a replay of the batch converges
+    input.addData(
+      (tx(5, 500, Seq(
+        Fixture.truncate(501, Seq(7)),
+        Fixture.insert(502, 7, Seq(VText("3"), VText("cat2"), VText("1"), VNull)))))
+        .map(Frame): _*)
+    runBatch()
+    assert(PgOutputStream.readFinal(spark, target, Seq("id"))
+      .select("id", "name", "qty").orderBy("id").collect().toSeq ==
+      Seq(Row(3L, "cat2", 1)))
   }
 }
