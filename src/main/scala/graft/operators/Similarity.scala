@@ -235,6 +235,235 @@ object Similarity {
     org.apache.spark.sql.graft.bridge.column(graft.expressions.NearestCentroids(
       org.apache.spark.sql.graft.bridge.expression(v), ids, flat, dim, n))
 
+  /** Product-quantization model: `m` subspaces of `dsub` dims, `ksub`
+    * centroids each, codebooks flat row-major `[j][c][d]`. Trained by
+    * [[pqTrain]]; `dim = m * dsub`; a coded vector is `m` bytes.
+    */
+  final case class PqModel(m: Int, ksub: Int, dsub: Int,
+                           codebooks: Array[Double]) extends Serializable {
+    def dim: Int = m * dsub
+    /** codebook entry (j, c) starts at this flat offset */
+    @inline def off(j: Int, c: Int): Int = (j * ksub + c) * dsub
+  }
+
+  /** Train a product quantizer (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011 — public): split the dim into
+    * `m` subspaces and k-means each independently, so a corpus vector
+    * compresses to `m` BYTES (64 float dims at m=8 → 32× smaller than
+    * float, 8× smaller than the int8 store) while ADC probing still scores
+    * against real float sub-centroids.
+    *
+    * Deterministic, driver-side, bounded: the training set is the same
+    * hash-ordered sample [[ivfTopK]] freezes its codebook from (one
+    * TakeOrdered collect of ≤ `sampleN` rows — never a corpus shuffle),
+    * sub-k-means inits from the sample's first `ksub` rows in hash order
+    * and runs `iters` Lloyd steps sequentially per subspace (sampleN·ksub·
+    * dsub flops — microseconds at any corpus scale, since sampleN is
+    * capped). Empty clusters keep their centroid, ties break to the lower
+    * code — the same conventions as [[kmeansCentroids]].
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, sampleN: Int = 1024,
+              iters: Int = 5): PqModel = {
+    require(m > 0 && ksub > 1 && ksub <= 256,
+      s"bad m=$m ksub=$ksub (codes are one byte)")
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .collect()
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample.head.getSeq[Double](1).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val vecs = sample.map(_.getSeq[Double](1).toArray)
+    val cb = new Array[Double](m * ksub * dsub)
+    val model = PqModel(m, ksub, dsub, cb)
+    for (j <- 0 until m) {
+      val base = j * dsub
+      // init: first ksub sample subvectors in hash order (wrap if fewer)
+      for (c <- 0 until ksub; d <- 0 until dsub)
+        cb(model.off(j, c) + d) = vecs(c % vecs.length)(base + d)
+      for (_ <- 1 to iters) {
+        val sums = new Array[Double](ksub * dsub)
+        val counts = new Array[Long](ksub)
+        vecs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d2 = 0.0; var d = 0
+            while (d < dsub) {
+              val diff = v(base + d) - cb(model.off(j, c) + d)
+              d2 += diff * diff; d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < dsub) { sums(best * dsub + d) += v(base + d); d += 1 }
+        }
+        for (c <- 0 until ksub if counts(c) > 0; d <- 0 until dsub)
+          cb(model.off(j, c) + d) = sums(c * dsub + d) / counts(c)
+      }
+    }
+    model
+  }
+
+  /** Encode the corpus to PQ codes: (corpus_id, codes BINARY(m)) — one
+    * stateless pass against the broadcast codebooks, nothing shuffled.
+    * This is the posting payload an IVF-PQ index would persist: probe IO
+    * per candidate is `m` bytes instead of `4·dim` (float) or `dim`
+    * (int8).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mdl = model // avoid closing over the enclosing object
+    corpus.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        require(v.length == mdl.dim,
+          s"vector dim ${v.length} != model dim ${mdl.dim}")
+        val codes = new Array[Byte](mdl.m)
+        var j = 0
+        while (j < mdl.m) {
+          val base = j * mdl.dsub
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < mdl.ksub) {
+            var d2 = 0.0; var d = 0
+            while (d < mdl.dsub) {
+              val diff = v(base + d) - mdl.codebooks(mdl.off(j, c) + d)
+              d2 += diff * diff; d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          codes(j) = best.toByte
+          j += 1
+        }
+        (id, codes)
+      }).toDF("corpus_id", "codes")
+  }
+
+  /** PQ approximate top-k by cosine — asymmetric distance computation
+    * (ADC): each query precomputes an m×ksub lookup table of sub-dots
+    * against the codebooks (driver-side — queries are the small probe side
+    * by construction, and the LUTs are nq·m·ksub doubles), then ONE
+    * mapPartitions pass over the coded corpus scores every candidate with
+    * m table lookups instead of dim multiplies, keeping a bounded
+    * per-query k-heap per partition — the map-side combine that ships
+    * ≤ nq·k rows per partition into the same [[rankTopK]] merge every
+    * other ANN path uses. `cos ≈ Σⱼ lut[j][code] / (‖q‖·‖x̂‖)` with
+    * `‖x̂‖² = Σⱼ ‖cb[j][code]‖²` (subspaces concatenate, so the
+    * reconstruction norm is exact for the code).
+    *
+    * The heap's total order is [[TopKAggregator]]'s (score desc, id asc),
+    * so per-partition pre-filtering never changes the global answer —
+    * deterministic on any partitioning.
+    *
+    * Scale: corpus never shuffled (the only shuffle is the nq·k-row rank
+    * merge); compose with IVF pruning (probe the coded postings of
+    * `nProbe` lists) for the full IVFADC shape once lists outgrow a scan.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             sampleN: Int = 1024, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nonEmpty = corpus.select(col(idCol)).limit(1).count() > 0
+    if (!nonEmpty) return bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val mdl = pqTrain(corpus, idCol, vecCol, m, ksub, sampleN, iters)
+    val qRows = queries
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .collect()
+    val qIds = qRows.map(_.getLong(0))
+    val nq = qIds.length
+    // per-query sub-dot LUTs + shared reconstruction-norm LUT
+    val dots = new Array[Double](nq * m * ksub)
+    val qNorm = new Array[Double](nq)
+    val cNorm2 = new Array[Double](m * ksub)
+    for (j <- 0 until m; c <- 0 until ksub) {
+      var n2 = 0.0
+      var d = 0
+      while (d < mdl.dsub) {
+        val x = mdl.codebooks(mdl.off(j, c) + d); n2 += x * x; d += 1
+      }
+      cNorm2(j * ksub + c) = n2
+    }
+    for (qi <- 0 until nq) {
+      val v = qRows(qi).getSeq[Double](1).toArray
+      require(v.length == mdl.dim, s"query dim ${v.length} != ${mdl.dim}")
+      var n2 = 0.0
+      var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      qNorm(qi) = math.sqrt(n2)
+      for (j <- 0 until m; c <- 0 until ksub) {
+        var s = 0.0; var d = 0
+        while (d < mdl.dsub) {
+          s += v(j * mdl.dsub + d) * mdl.codebooks(mdl.off(j, c) + d); d += 1
+        }
+        dots((qi * m + j) * ksub + c) = s
+      }
+    }
+    val dotsB = spark.sparkContext.broadcast(dots)
+    val qNormB = spark.sparkContext.broadcast(qNorm)
+    val cNorm2B = spark.sparkContext.broadcast(cNorm2)
+    val qIdsB = spark.sparkContext.broadcast(qIds)
+    val ksubL = ksub; val mL = m; val kL = k
+    val partials = pqEncode(corpus, idCol, vecCol, mdl)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val luts = dotsB.value; val qn = qNormB.value
+        val cn2 = cNorm2B.value; val ids = qIdsB.value
+        // per-query bounded buffers in TopKAggregator's total order
+        val heaps = Array.fill(ids.length)(
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+        def offer(qi: Int, id: Long, score: Double): Unit = {
+          val h = heaps(qi)
+          h += ((id, score))
+          if (h.length >= 4 * kL) {
+            val trimmed = h.sortBy(e => (-e._2, e._1)).take(kL)
+            h.clear(); h ++= trimmed
+          }
+        }
+        rows.foreach { case (cid, codes) =>
+          var recon2 = 0.0
+          var j = 0
+          while (j < mL) {
+            recon2 += cn2(j * ksubL + (codes(j) & 0xff)); j += 1
+          }
+          val rnorm = math.sqrt(recon2)
+          var qi = 0
+          while (qi < ids.length) {
+            if (ids(qi) != cid) {
+              var s = 0.0
+              var jj = 0
+              while (jj < mL) {
+                s += luts((qi * mL + jj) * ksubL + (codes(jj) & 0xff)); jj += 1
+              }
+              val denom = qn(qi) * rnorm
+              offer(qi, cid, if (denom > 0) s / denom else 0.0)
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sortBy(e => (-e._2, e._1)).take(kL)
+            .map { case (id, sc) => (qIdsB.value(qi), id, sc) }
+        }
+      }.toDF("query_id", "corpus_id", "cos_sim")
+    rankTopK(partials, k)
+  }
+
   /** [[kmeansCentroids]] as a query surface: (centroid_id, centroid,
     * n_members) — fit then one assignment pass for the member counts.
     */

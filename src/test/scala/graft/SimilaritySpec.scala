@@ -641,6 +641,40 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.operators.LshIndex.load(spark, dir).lastBatch == 7)
   }
 
+  test("pqTopK: recall vs brute force, 32x compression, deterministic on any layout") {
+    val embs = clustered // dim 16: m=4 subspaces of 4 dims
+    val queries = embs.where($"vec_id" % 40 === 0)
+    val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
+    val pqDf = Similarity.pqTopK(embs, queries, "vec_id", "embedding", 10,
+      m = 4, ksub = 16)
+    val recall = recallOf(exact, tops(pqDf))
+    assert(recall >= 0.7, s"PQ recall $recall below 0.7")
+    // per-partition heap pre-filtering must not change the answer
+    val again = Similarity.pqTopK(embs.repartition(13), queries, "vec_id",
+      "embedding", 10, m = 4, ksub = 16)
+    assert(tops(again) == tops(pqDf))
+
+    // the compression claim is structural: m bytes per coded vector
+    val mdl = Similarity.pqTrain(embs, "vec_id", "embedding", m = 4, ksub = 16)
+    val codes = Similarity.pqEncode(embs, "vec_id", "embedding", mdl)
+      .as[(Long, Array[Byte])].collect()
+    assert(codes.length == 320 && codes.forall(_._2.length == 4))
+    // encode is deterministic and code values stay inside ksub
+    assert(codes.forall(_._2.forall(b => (b & 0xff) < 16)))
+
+    // guards: byte codes cap ksub; dim must split evenly
+    intercept[IllegalArgumentException](
+      Similarity.pqTrain(embs, "vec_id", "embedding", m = 4, ksub = 300))
+    intercept[IllegalArgumentException](
+      Similarity.pqTrain(embs, "vec_id", "embedding", m = 5, ksub = 16))
+  }
+
+  test("pqTopK falls back to brute force on an empty corpus slice") {
+    val out = Similarity.pqTopK(corpus.where($"vec_id" < 0), corpus,
+      "vec_id", "embedding", 3)
+    assert(out.count() == 0)
+  }
+
   test("lsh bucket of identical vectors is identical") {
     val b = corpus.select(VectorFunctions.lshBucket($"embedding", 8).as("b"))
       .where($"b".isNotNull).count()
