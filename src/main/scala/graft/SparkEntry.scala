@@ -311,6 +311,80 @@ object SparkEntry {
         .agg(min(col("__hit")).as("__first"))
         .select(col("user_id"), col("__first.nxt").as("next_op"))
     }),
+    // ClickHouse runningAccumulate: per-user cumulative value sum in
+    // (ts, id) order — same single (key, ts) shuffle as the moving
+    // family; incremental frame evaluation both engines share makes the
+    // float cumsum order-identical
+    "events_running_total" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 4).as("running_total"))
+    }),
+    // ClickHouse GROUPING SETS (the rollup/cube sibling with hand-picked
+    // cells): priority×status lattice over DECIMAL-exact revenue in ONE
+    // grouped pass — Catalyst expands the sets map-side, no per-set scans
+    "grouping_sets_revenue" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupingSets(
+          Seq(Seq(col("priority"), col("status")), Seq(col("priority")),
+            Seq(col("status")), Seq()),
+          col("priority"), col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("p")).cast("double").as("revenue"))),
+    // ClickHouse exponentialMovingAverage (event-order smoothing; pandas
+    // ewm(adjust=False)): sequential recurrence on the secondary-sort
+    // mapPartitions rung — one shuffle, one EMA row per event. α = 0.5
+    // keeps both recurrence multiplies exact; the add is the single
+    // correctly-rounded op per row, so DuckDB's recursive-CTE stepping
+    // reproduces identical bits
+    "events_ema" -> ((s, d) =>
+      Behavior.exponentialMovingAvg(t(s, d, "events"),
+          "user_id", "event_id", "value", "ts", alpha = 0.5)
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("ema"))),
+    // ClickHouse intervalLengthSum: per-user union-of-spans active time —
+    // each event covers [ts, ts + value·1s); overlaps merge via the
+    // island sweep (one (key, start) shuffle, integer micros, exact)
+    "events_interval_union" -> ((s, d) =>
+      Behavior.intervalUnionLength(t(s, d, "events"), "user_id", "ts",
+          floor(col("value") * lit(1000000.0)).cast("long"))
+        .select(col("k").as("user_id"), col("covered_micros"),
+          col("n_islands"))),
+    // ClickHouse SAMPLE clause: deterministic consistent hash-sampling on
+    // the key — the same ~10% of USERS (never a row-level coin flip) on
+    // any engine, any partitioning, any run. Multiplicative integer hash
+    // both engines evaluate exactly; the scan reads only the sampled
+    // stripe before any aggregation (at scale: the predicate prunes at
+    // the source, and a keyed layout prunes whole buckets)
+    "events_sampled" -> ((s, d) =>
+      t(s, d, "events")
+        .where(pmod(col("user_id") * lit(1000003L) + lit(7L), lit(97L)) < 10)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sampled_rows"),
+          countDistinct(col("user_id")).as("sampled_users"))),
+    // ClickHouse groupUniqArray: per-user sorted distinct event-type set,
+    // emitted as a canonical CSV string (engine-portable array encoding) —
+    // one grouped pass, map-side-combined set union
+    "events_type_sets" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("type_set"))),
+    // ClickHouse largestTriangleThreeBuckets(12): per-type series
+    // downsampled to 12 visually-representative points (y in integer
+    // cents so every bucket average and triangle area is
+    // engine-deterministic) — sequential selection on the secondary-sort
+    // rung, oracled by a DuckDB recursive CTE stepping the identical rule
+    "events_lttb" -> ((s, d) =>
+      Behavior.lttbDownsample(t(s, d, "events"), "event_type", "event_id",
+          "ts", floor(col("value") * 100 + 0.5), 12)
+        .select(col("key").as("event_type"), col("id").as("event_id"),
+          col("x"), col("y"))),
     // ClickHouse histogram(10): adaptive equi-height bins beside the exact
     // fixed-width value_histogram twin — rows-only (bin placement is
     // merge-order-dependent; the spec pins mass/bounds contracts)
@@ -774,6 +848,15 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       Similarity.ivfTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    // product quantization (Jégou PQ/ADC): corpus compressed to m=8 bytes
+    // per 64-dim vector (32x vs float), candidates scored via per-query
+    // lookup tables — m adds per candidate, never a dim-length dot; the
+    // only shuffle is the nq·k rank merge (rows-only; recall vs brute
+    // force + determinism across partitionings spec-pinned)
+    "ann_pq" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      Similarity.pqTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
     // the PERSISTED lifecycle of the same search (IvfIndex): create freezes
     // a k-means-refined codebook (recall >= the sampled pick, spec-pinned)
@@ -1542,6 +1625,123 @@ object SparkEntry {
          u AS (SELECT DISTINCT user_id FROM events)
          SELECT u.user_id, h.l2 AS next_op
          FROM u LEFT JOIN h ON u.user_id = h.user_id AND h.rn = 1""",
+    "events_running_total" ->
+      """SELECT user_id, event_id,
+                round(sum(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                  AS running_total
+         FROM events""",
+    "grouping_sets_revenue" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS revenue
+         FROM orders
+         GROUP BY GROUPING SETS ((priority, status), (priority),
+           (status), ())""",
+    // steps the identical α·v + (1−α)·prev recurrence in the identical
+    // (ts, event_id) order — bit-equal doubles by IEEE determinism
+    "events_ema" ->
+      """WITH RECURSIVE o AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, value AS ema, rn FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.user_id, o.event_id, 0.5 * o.value + 0.5 * r.ema, o.rn
+           FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+         SELECT user_id, event_id, ema FROM r""",
+    "events_interval_union" ->
+      """WITH s AS (
+           SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + greatest(
+                    CAST(floor(value * 1000000.0) AS BIGINT), 0) AS e
+           FROM events),
+         m AS (
+           SELECT user_id, s, e,
+                  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM s),
+         f AS (
+           SELECT user_id, s, e,
+                  CASE WHEN prev_max IS NULL OR s > prev_max
+                       THEN 1 ELSE 0 END AS new_island
+           FROM m),
+         isl AS (
+           SELECT user_id, s, e,
+                  sum(new_island) OVER (PARTITION BY user_id
+                    ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+           FROM f),
+         per AS (
+           SELECT user_id, island, max(e) - min(s) AS len
+           FROM isl GROUP BY user_id, island)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_micros,
+                count(*) AS n_islands
+         FROM per GROUP BY user_id""",
+    // steps the identical LTTB rule: same integer bucket split, same
+    // exact-integer-sum averages, same area product of exactly-
+    // representable differences, same earlier-point tie-break
+    "events_lttb" ->
+      """WITH RECURSIVE pts AS (
+           SELECT event_type AS k, epoch_us(ts) AS x,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+                  event_id AS eid,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS len
+           FROM events),
+         mid AS (
+           SELECT k, x, y, eid, rn, len,
+                  CAST(((rn - 2) * 10) // (len - 2) AS BIGINT) AS b
+           FROM pts WHERE rn > 1 AND rn < len AND len > 12),
+         bavg AS (
+           SELECT k, b, CAST(sum(x) AS DOUBLE) / count(*) AS ax,
+                  CAST(sum(y) AS DOUBLE) / count(*) AS ay
+           FROM mid GROUP BY k, b),
+         lastp AS (SELECT k, x, y FROM pts WHERE rn = len),
+         nxt AS (
+           SELECT m.k, m.b, coalesce(ba.ax, CAST(lp.x AS DOUBLE)) AS xn,
+                  coalesce(ba.ay, CAST(lp.y AS DOUBLE)) AS yn
+           FROM (SELECT DISTINCT k, b FROM mid) m
+           JOIN lastp lp ON lp.k = m.k
+           LEFT JOIN bavg ba ON ba.k = m.k AND ba.b = m.b + 1),
+         small AS (SELECT k, eid, x, y FROM pts WHERE len <= 12),
+         r AS (
+           SELECT k, CAST(-1 AS BIGINT) AS b, rn, x, y, eid
+           FROM pts WHERE rn = 1 AND len > 12
+           UNION ALL
+           SELECT r.k, r.b + 1, c.rn, c.x, c.y, c.eid
+           FROM r JOIN LATERAL (
+             SELECT m.rn, m.x, m.y, m.eid
+             FROM mid m JOIN nxt nx ON nx.k = r.k AND nx.b = r.b + 1
+             WHERE m.k = r.k AND m.b = r.b + 1
+             ORDER BY abs((CAST(r.x AS DOUBLE) - nx.xn) * CAST(m.y - r.y AS DOUBLE)
+               - CAST(r.x - m.x AS DOUBLE) * (nx.yn - CAST(r.y AS DOUBLE))) DESC,
+               m.rn ASC
+             LIMIT 1) c ON true
+           WHERE r.b + 1 <= 9)
+         SELECT k AS event_type, eid AS event_id, x, y FROM r
+         UNION ALL
+         SELECT k, eid, x, y FROM pts WHERE rn = len AND len > 12
+         UNION ALL
+         SELECT k, eid, x, y FROM small""",
+    "events_sampled" ->
+      """SELECT event_type, count(*) AS sampled_rows,
+                count(DISTINCT user_id) AS sampled_users
+         FROM events
+         WHERE (user_id * 1000003 + 7) % 97 < 10
+         GROUP BY event_type""",
+    "events_type_sets" ->
+      """SELECT user_id,
+                string_agg(DISTINCT event_type, ','
+                  ORDER BY event_type) AS type_set
+         FROM events GROUP BY user_id""",
     "events_bounding_ratio" ->
       """WITH o AS (SELECT user_id, value, ts,
                            row_number() OVER (PARTITION BY user_id

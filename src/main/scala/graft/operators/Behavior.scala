@@ -393,4 +393,214 @@ object Behavior {
       .groupBy(col("cohort_week"), col("active_week"))
       .agg(countDistinct(col(keyCol)).as("active_keys"))
   }
+
+  /** Per-key exponential smoothing (ClickHouse `exponentialMovingAverage`
+    * by event order; pandas `ewm(alpha, adjust=False).mean()`): one EMA row
+    * per event, `ema₀ = v₀`, `emaᵢ = α·vᵢ + (1−α)·emaᵢ₋₁` in (ts, id)
+    * order. Inherently sequential (each row depends on the previous
+    * result), so it rides the same secondary-sort `mapPartitions` rung as
+    * [[sequenceCount]]: repartition by key + in-partition (key, ts, id)
+    * sort — ONE shuffle, streaming iteration, O(1) state per key run,
+    * one output row per input row.
+    *
+    * Cross-engine float determinism: the recurrence is evaluated as
+    * literally `α·v + (1−α)·prev` — two exact-or-correctly-rounded IEEE
+    * ops per row in a fixed order — so any engine stepping the same
+    * recurrence over the same doubles reproduces the identical bits
+    * (the DuckDB oracle steps it as a recursive CTE). No row-order
+    * nondeterminism: `idCol` totally orders same-timestamp rows.
+    */
+  def exponentialMovingAvg(events: DataFrame, keyCol: String, idCol: String,
+                           valCol: String, tsCol: String,
+                           alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"bad alpha=$alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val prepared = events.select(col(keyCol).cast("long").as("k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("i"),
+        col(valCol).cast("double").as("v"))
+      .repartition(parts, col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("i"))
+      .as[(Long, Long, Long, Double)]
+    val oneMinus = 1.0 - alpha
+    prepared.mapPartitions { rows =>
+      var started = false
+      var curKey = 0L
+      var prev = 0.0
+      rows.map { case (key, _, id, v) =>
+        val ema =
+          if (!started || key != curKey) { started = true; curKey = key; v }
+          else alpha * v + oneMinus * prev
+        prev = ema
+        (key, id, ema)
+      }
+    }.toDF("key", "id", "ema")
+  }
+
+  /** Largest-Triangle-Three-Buckets downsampling (ClickHouse
+    * `largestTriangleThreeBuckets(n)`; Steinarsson 2013, public): per key,
+    * reduce the (ts, y) series to `nBuckets` visually-representative
+    * points — first and last always kept, the middle split into equal
+    * count-range buckets, each bucket contributing the point that forms
+    * the largest triangle with the PREVIOUSLY selected point and the NEXT
+    * bucket's average. Series of ≤ `nBuckets` points pass through whole.
+    *
+    * Selection is sequential (each pick depends on the previous), so it
+    * rides the secondary-sort `mapPartitions` rung like
+    * [[exponentialMovingAvg]] — ONE key shuffle — but buffers each key's
+    * RUN (LTTB needs the length for bucketing and the next bucket's
+    * average before selecting; ClickHouse's aggregate buffers the same).
+    * Per-key memory is the series, the cost class of any per-series
+    * downsampler — pre-thin giant keys first if a key's series outgrows
+    * an executor.
+    *
+    * Determinism contract: `y` must be INTEGRAL (pass cents, counts, …):
+    * bucket averages then divide exact integer sums, and the triangle
+    * areas are products of exactly-representable differences — every
+    * engine stepping the same rule picks identical points (ties break to
+    * the earlier point). A float `y` would make bucket sums
+    * accumulation-order-dependent.
+    */
+  def lttbDownsample(events: DataFrame, keyCol: String, idCol: String,
+                     tsCol: String, yCol: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 3, s"bad nBuckets=$nBuckets")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val prepared = events.select(col(keyCol).cast("string").as("k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("i"),
+        yCol.cast("long").as("y"))
+      .repartition(parts, col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("i"))
+      .as[(String, Long, Long, Long)]
+    val nb = nBuckets
+    prepared.mapPartitions { rows =>
+      def select(key: String,
+                 pts: IndexedSeq[(Long, Long, Long)]): Iterator[(String, Long, Long, Long)] = {
+        val n = pts.length
+        if (n <= nb) pts.iterator.map(p => (key, p._2, p._1, p._3))
+        else {
+          val m = n - 2
+          // bucket of 0-based middle index i; buckets may be EMPTY when a
+          // boundary rounds past them — an empty bucket selects nothing
+          // and the previous pick carries forward, exactly the reference
+          // rule
+          val bucketOf = (i: Int) => (i.toLong * (nb - 2) / m).toInt
+          val starts = Array.fill(nb - 2 + 1)(-1)
+          var i = 0
+          while (i < m) {
+            val b = bucketOf(i)
+            if (starts(b) < 0) starts(b) = i
+            i += 1
+          }
+          starts(nb - 2) = m
+          // fill ends: next non-empty start
+          def range(b: Int): (Int, Int) = {
+            if (starts(b) < 0) return (0, 0)
+            var e = b + 1
+            while (starts(e) < 0) e += 1
+            (starts(b), starts(e))
+          }
+          val out = IndexedSeq.newBuilder[(Long, Long, Long)]
+          out += pts(0)
+          var prev = pts(0)
+          var b = 0
+          while (b < nb - 2) {
+            val (s, e) = range(b)
+            if (e > s) {
+              // next representative: bucket b+1's integer-exact average,
+              // or the last point when b+1 is empty / past the end
+              val (ns, ne) = if (b + 1 < nb - 2) range(b + 1) else (0, 0)
+              val (xn, yn) =
+                if (ne > ns) {
+                  var sx = 0L; var sy = 0L
+                  var j = ns
+                  while (j < ne) { sx += pts(1 + j)._1; sy += pts(1 + j)._3; j += 1 }
+                  val cnt = (ne - ns).toDouble
+                  (sx.toDouble / cnt, sy.toDouble / cnt)
+                } else (pts(n - 1)._1.toDouble, pts(n - 1)._3.toDouble)
+              val xp = prev._1; val yp = prev._3
+              var best = -1; var bestA = -1.0
+              var j = s
+              while (j < e) {
+                val p = pts(1 + j)
+                val a = math.abs((xp.toDouble - xn) * (p._3 - yp).toDouble -
+                  (xp - p._1).toDouble * (yn - yp.toDouble))
+                if (a > bestA) { bestA = a; best = j }
+                j += 1
+              }
+              val sel = pts(1 + best)
+              out += sel
+              prev = sel
+            }
+            b += 1
+          }
+          out += pts(n - 1)
+          out.result().iterator.map(p => (key, p._2, p._1, p._3))
+        }
+      }
+      var curKey: String = null
+      var started = false
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val main = rows.flatMap { case (key, t, id, y) =>
+        if (!started || key != curKey) {
+          val flush =
+            if (started) select(curKey, buf.toIndexedSeq) else Iterator.empty
+          started = true; curKey = key; buf.clear()
+          buf += ((t, id, y))
+          flush
+        } else { buf += ((t, id, y)); Iterator.empty }
+      }
+      main ++ new Iterator[(String, Long, Long, Long)] {
+        private var inner: Iterator[(String, Long, Long, Long)] = _
+        private def it = {
+          if (inner == null)
+            inner = if (started) select(curKey, buf.toIndexedSeq) else Iterator.empty
+          inner
+        }
+        def hasNext = it.hasNext
+        def next() = it.next()
+      }
+    }.toDF("key", "id", "x", "y")
+  }
+
+  /** Per-key union-of-intervals length (ClickHouse `intervalLengthSum`):
+    * each event spans `[t, t + dur)` in integer microseconds; overlapping
+    * spans merge, and the result is the total covered time per key — the
+    * "how long was this user actually active" statistic that naive
+    * duration sums double-count.
+    *
+    * Classic sweep, but expressed as windows so it stays distributed and
+    * exact: order spans by start within the key, carry the running max of
+    * PRIOR ends; a span whose start clears that max begins a new island
+    * (flag cumsum = island id); each island contributes
+    * `max(end) − min(start)`. ONE (key, start) shuffle shared by both
+    * window passes + one island-sized aggregation — the event log is
+    * never self-joined. All arithmetic is integer micros → exact on any
+    * engine.
+    */
+  def intervalUnionLength(events: DataFrame, keyCol: String, tsCol: String,
+                          durMicrosCol: Column): DataFrame = {
+    val spans = events.select(col(keyCol).as("k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("s"),
+        (graft.functions.TimeCols.micros(col(tsCol)) +
+          greatest(durMicrosCol, lit(0L))).as("e"))
+    val byStart = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val islanded = spans
+      .withColumn("__new_island",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new_island")).over(
+          byStart.rowsBetween(Window.unboundedPreceding, 0)))
+    islanded.groupBy(col("k"), col("__island"))
+      .agg((max(col("e")) - min(col("s"))).as("__len"))
+      .groupBy(col("k"))
+      .agg(sum(col("__len")).as("covered_micros"),
+        count(lit(1)).as("n_islands"))
+  }
 }

@@ -425,4 +425,94 @@ class BehaviorSpec extends SparkSpec {
     assert(out(9L) == ((9L, 5.0, 0.0, None))) // undefined score in a MAD=0 group
     intercept[IllegalArgumentException](Behavior.madOutliers(df, "g", "v", 0.0))
   }
+
+  test("exponentialMovingAvg: recurrence exact per key, partitioning-proof") {
+    val df = Seq(
+      (1L, 10L, 4.0, ts("2024-01-01 00:00:00")),
+      (1L, 11L, 8.0, ts("2024-01-01 00:01:00")),
+      (1L, 12L, 2.0, ts("2024-01-01 00:02:00")),
+      (2L, 20L, 6.0, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_id", "value", "t")
+    val got = Behavior.exponentialMovingAvg(df, "user_id", "event_id",
+        "value", "t", alpha = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // 4 → .5·8+.5·4 = 6 → .5·2+.5·6 = 4; key 2 restarts at its own first
+    assert(got == Map((1L, 10L) -> 4.0, (1L, 11L) -> 6.0, (1L, 12L) -> 4.0,
+      (2L, 20L) -> 6.0))
+
+    // same-timestamp rows: event_id tie-break makes the order (and the
+    // EMA) deterministic under any input layout
+    val tied = Seq(
+      (5L, 2L, 100.0, ts("2024-01-01 00:00:00")),
+      (5L, 1L, 0.0, ts("2024-01-01 00:00:00")),
+      (5L, 3L, 50.0, ts("2024-01-01 00:00:01"))
+    ).toDF("user_id", "event_id", "value", "t")
+    for (parts <- Seq(1, 3)) {
+      val r = Behavior.exponentialMovingAvg(tied.repartition(parts),
+          "user_id", "event_id", "value", "t", 0.5)
+        .as[(Long, Long, Double)].collect().sortBy(_._2).map(_._3).toSeq
+      assert(r == Seq(0.0, 50.0, 50.0), s"parts=$parts: $r")
+    }
+    intercept[IllegalArgumentException](
+      Behavior.exponentialMovingAvg(df, "user_id", "event_id", "value", "t", 0.0))
+  }
+
+  test("lttbDownsample: keeps endpoints, picks max-area points, passes short series") {
+    import org.apache.spark.sql.functions.col
+    // epoch seconds 0..4 mapped onto timestamps; y integral by contract
+    def r(id: Long, sec: Int, y: Long) =
+      ("a", id, ts(f"2024-01-01 00:00:0$sec"), y)
+    val df = Seq(r(10, 0, 0), r(11, 1, 10), r(12, 2, 0), r(13, 3, 0),
+      r(14, 4, 5)).toDF("k", "event_id", "t", "y")
+    // nb=3: one middle bucket vs the last point as next representative —
+    // (1,10) has area 35 vs 10 and 15: the spike is kept
+    val got = Behavior.lttbDownsample(df, "k", "event_id", "t", col("y"), 3)
+      .as[(String, Long, Long, Long)].collect().map(_._2).sorted.toSeq
+    assert(got == Seq(10L, 11L, 14L))
+
+    // short series pass through whole
+    val short = Behavior.lttbDownsample(df, "k", "event_id", "t", col("y"), 5)
+      .as[(String, Long, Long, Long)].collect().map(_._2).sorted.toSeq
+    assert(short == Seq(10L, 11L, 12L, 13L, 14L))
+
+    // determinism across partitionings on a longer two-key series
+    val big = (0 until 80).flatMap { i =>
+      Seq(("p", 100L + i, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+        ((i * 37) % 23).toLong),
+        ("q", 300L + i, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:30"),
+          ((i * 17) % 31).toLong))
+    }.toDF("k", "event_id", "t", "y")
+    val a = Behavior.lttbDownsample(big, "k", "event_id", "t", col("y"), 12)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val b = Behavior.lttbDownsample(big.repartition(7), "k", "event_id", "t",
+        col("y"), 12)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.count(_._1 == "p") == 12 && a.count(_._1 == "q") == 12)
+    intercept[IllegalArgumentException](
+      Behavior.lttbDownsample(df, "k", "event_id", "t", col("y"), 2))
+  }
+
+  test("intervalUnionLength: overlaps merge, gaps split, touching spans fuse") {
+    def row(k: Long, sec: Int, durUs: Long) =
+      (k, ts(f"2024-01-01 00:00:$sec%02d"), durUs)
+    val df = Seq(
+      // key 1: [0,5s) ∪ [3s,9s) merge → 9s; [20s,21s) separate island
+      row(1L, 0, 5000000L), row(1L, 3, 6000000L), row(1L, 20, 1000000L),
+      // key 2: [0,2s) then [2s,3s) touch (end == next start): ONE island
+      row(2L, 0, 2000000L), row(2L, 2, 1000000L),
+      // key 3: zero-duration span covers nothing but counts as an island
+      row(3L, 0, 0L),
+      // key 4: containment — [0,10s) swallows [2s,3s)
+      row(4L, 0, 10000000L), row(4L, 2, 1000000L)
+    ).toDF("user_id", "t", "dur")
+    val got = Behavior.intervalUnionLength(df, "user_id", "t",
+        org.apache.spark.sql.functions.col("dur"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> ((10000000L, 2L)),
+      2L -> ((3000000L, 1L)),
+      3L -> ((0L, 1L)),
+      4L -> ((10000000L, 1L))))
+  }
 }
