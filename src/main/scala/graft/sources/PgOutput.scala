@@ -52,6 +52,17 @@ import org.apache.spark.sql.types._
   * across versions (rows older than a column's first appearance carry
   * null — the same additive-evolution posture as the mirror merge).
   *
+  * Protocol v3 TWO-PHASE commit: a prepared transaction's DML arrives
+  * between Begin Prepare (`b`) and Prepare (`P`) — or, streamed, its
+  * segments end with Stream Prepare (`p`) — and resolves via Commit
+  * Prepared (`K`) or Rollback Prepared (`r`), often batches later. Until
+  * resolution it gets the unresolved-streamed treatment: committed → rows
+  * emit with the COMMIT PREPARED timestamp, rolled back → the tx never
+  * happened, pending → dead-letter for replay with the batch that carries
+  * the resolution. Interval membership (two-phase txs arrive contiguously
+  * from the decoder) identifies a plain prepared tx's DML; the xid prefix
+  * identifies streamed-prepared DML.
+  *
   * TRUNCATE (`T`) decodes natively: a committed truncate of the parsed
   * table surfaces as [[TruncateAt]] metadata — everything at-or-below its
   * LSN is wiped ([[applyTruncates]] for log collapses; the capture loop
@@ -118,6 +129,28 @@ object PgOutput extends Serializable {
   final case class StreamAbort(xid: Long, subXid: Long) extends Msg
   /** An in-segment message with its transaction id (protocol v2). */
   final case class Streamed(xid: Long, msg: Msg) extends Msg
+
+  // protocol v3 TWO-PHASE commit (PREPARE TRANSACTION): a prepared tx's
+  // DML arrives between Begin Prepare and Prepare, then resolves — often
+  // batches later — via Commit Prepared or Rollback Prepared. Until then
+  // it is exactly as undecided as an unresolved streamed xid and gets the
+  // same treatment: committed → emit with the COMMIT PREPARED timestamp,
+  // rolled back → never happened, unresolved in this batch → dead-letter
+  // for replay with the batch that carries its resolution.
+  final case class BeginPrepare(prepareLsn: Long, endLsn: Long,
+                                tsMicros: Long, xid: Long, gid: String) extends Msg
+  final case class Prepare(prepareLsn: Long, endLsn: Long, tsMicros: Long,
+                           xid: Long, gid: String) extends Msg
+  final case class CommitPrepared(commitLsn: Long, endLsn: Long,
+                                  tsMicros: Long, xid: Long, gid: String) extends Msg
+  final case class RollbackPrepared(prepareEndLsn: Long, rollbackEndLsn: Long,
+                                    prepareTsMicros: Long, rollbackTsMicros: Long,
+                                    xid: Long, gid: String) extends Msg
+  /** Stream Prepare: a STREAMED tx ended with PREPARE TRANSACTION instead
+    * of COMMIT — its segments resolve via Commit/Rollback Prepared.
+    */
+  final case class StreamPrepare(prepareLsn: Long, endLsn: Long,
+                                 tsMicros: Long, xid: Long, gid: String) extends Msg
 
   sealed trait Frame extends Serializable
   final case class Keepalive(walEnd: Long, sendTsMicros: Long,
@@ -242,6 +275,25 @@ object PgOutput extends Serializable {
         StreamCommit(xid, r.i64(), r.i64(), r.i64() + PgEpochOffsetMicros)
       case 'A' =>
         StreamAbort(r.i32().toLong & 0xffffffffL, r.i32().toLong & 0xffffffffL)
+      case 'b' =>
+        BeginPrepare(r.i64(), r.i64(), r.i64() + PgEpochOffsetMicros,
+          r.i32().toLong & 0xffffffffL, r.cstr())
+      case 'P' =>
+        r.u8() // flags, currently 0
+        Prepare(r.i64(), r.i64(), r.i64() + PgEpochOffsetMicros,
+          r.i32().toLong & 0xffffffffL, r.cstr())
+      case 'K' =>
+        r.u8() // flags, currently 0
+        CommitPrepared(r.i64(), r.i64(), r.i64() + PgEpochOffsetMicros,
+          r.i32().toLong & 0xffffffffL, r.cstr())
+      case 'r' =>
+        r.u8() // flags, currently 0
+        RollbackPrepared(r.i64(), r.i64(), r.i64() + PgEpochOffsetMicros,
+          r.i64() + PgEpochOffsetMicros, r.i32().toLong & 0xffffffffL, r.cstr())
+      case 'p' =>
+        r.u8() // flags, currently 0
+        StreamPrepare(r.i64(), r.i64(), r.i64() + PgEpochOffsetMicros,
+          r.i32().toLong & 0xffffffffL, r.cstr())
       case t => Unknown(t)
     }
   }
@@ -280,7 +332,11 @@ object PgOutput extends Serializable {
   final case class StreamMeta(segments: Array[(Long, Long)],
                               commits: Map[Long, Long],
                               fullAborts: Set[Long],
-                              partialAborts: Set[Long]) extends Serializable {
+                              partialAborts: Set[Long],
+                              prepIntervals: Array[(Long, Long, Long)] = Array.empty,
+                              prepCommits: Map[Long, Long] = Map.empty,
+                              prepRollbacks: Set[Long] = Set.empty,
+                              streamPrepared: Set[Long] = Set.empty) extends Serializable {
     /** Is a frame at `walStart` inside a streamed segment? (S/E boundaries
       * themselves are not DML.) */
     def inSegment(walStart: Long): Boolean = {
@@ -294,6 +350,33 @@ object PgOutput extends Serializable {
       }
       false
     }
+
+    /** The prepared-transaction xid whose Begin Prepare .. Prepare
+      * interval encloses `walStart`, if any (two-phase txs arrive
+      * contiguously from the decoder, so interval membership IS
+      * transaction membership; an unpaired Begin Prepare at a batch
+      * boundary runs to Long.MaxValue).
+      */
+    def preparedXidAt(walStart: Long): Option[Long] = {
+      var lo = 0; var hi = prepIntervals.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val (s, e, x) = prepIntervals(mid)
+        if (walStart <= s) hi = mid - 1
+        else if (walStart >= e) lo = mid + 1
+        else return Some(x)
+      }
+      None
+    }
+
+    /** Resolve a two-phase xid: Right(ts) when COMMIT PREPARED landed,
+      * Left(None) for a rollback (the tx never happened), Left(Some(why))
+      * when still pending — the caller dead-letters for replay.
+      */
+    def resolvePrepared(x: Long, what: String): Either[Option[String], Long] =
+      if (prepRollbacks(x)) Left(None)
+      else prepCommits.get(x).toRight(Some(
+        s"$what xid=$x awaits Commit Prepared — replay with its resolution"))
   }
 
   /** Cheap peek at an XLogData frame's WAL start (None for keepalives /
@@ -304,9 +387,11 @@ object PgOutput extends Serializable {
     if (frame == null || frame.length < 25 || frame(0) != 'w') None
     else Some(ByteBuffer.wrap(frame, 1, 8).order(ByteOrder.BIG_ENDIAN).getLong)
 
-  /** One stream-control event, shipped driver-ward during the metadata
-    * pass (kind 0=start, 1=stop, 2=commit(xid, a=tsMicros), 3=abort(xid,
-    * a=subXid)).
+  /** One stream/two-phase control event, shipped driver-ward during the
+    * metadata pass (kind 0=stream start, 1=stream stop, 2=stream
+    * commit(xid, a=tsMicros), 3=stream abort(xid, a=subXid), 4=begin
+    * prepare(xid), 5=prepare(xid), 6=commit prepared(xid, a=tsMicros),
+    * 7=rollback prepared(xid), 8=stream prepare(xid)).
     */
   final case class StreamEvt(kind: Int, walStart: Long, xid: Long, a: Long)
 
@@ -314,7 +399,9 @@ object PgOutput extends Serializable {
     * Segment pairing is by WAL order: the i-th Stream Start closes at the
     * i-th Stream Stop (segments never overlap on one connection). An
     * unpaired trailing Start runs to Long.MaxValue — its DML still
-    * resolves only if its xid committed.
+    * resolves only if its xid committed. Prepared intervals pair Begin
+    * Prepare with Prepare BY XID (two-phase txs arrive contiguously); an
+    * unpaired Begin Prepare (batch split mid-tx) runs to Long.MaxValue.
     */
   def buildStreamMeta(events: Seq[StreamEvt]): StreamMeta = {
     val ss = events.filter(_.kind == 0).map(_.walStart).sorted
@@ -322,10 +409,18 @@ object PgOutput extends Serializable {
     val segs = ss.zipWithIndex.map { case (s, i) =>
       (s, if (i < ee.length) ee(i) else Long.MaxValue)
     }.toArray
+    val prepEnd = events.filter(_.kind == 5).map(e => e.xid -> e.walStart).toMap
+    val prepIvals = events.filter(_.kind == 4)
+      .map(e => (e.walStart, prepEnd.getOrElse(e.xid, Long.MaxValue), e.xid))
+      .sortBy(_._1).toArray
     StreamMeta(segs,
       events.filter(_.kind == 2).map(e => e.xid -> e.a).toMap,
       events.filter(e => e.kind == 3 && e.xid == e.a).map(_.xid).toSet,
-      events.filter(e => e.kind == 3 && e.xid != e.a).map(_.xid).toSet)
+      events.filter(e => e.kind == 3 && e.xid != e.a).map(_.xid).toSet,
+      prepIvals,
+      events.filter(_.kind == 6).map(e => e.xid -> e.a).toMap,
+      events.filter(_.kind == 7).map(_.xid).toSet,
+      events.filter(_.kind == 8).map(_.xid).toSet)
   }
 
   // ── type OID → Spark type, text value → external row value ───────────
@@ -481,6 +576,11 @@ object PgOutput extends Serializable {
       case _: StreamCommit => "stream_commit"
       case _: StreamAbort => "stream_abort"
       case _: Truncate => "truncate"
+      case _: BeginPrepare => "begin_prepare"
+      case _: Prepare => "prepare"
+      case _: CommitPrepared => "commit_prepared"
+      case _: RollbackPrepared => "rollback_prepared"
+      case _: StreamPrepare => "stream_prepare"
       case Streamed(_, inner) => s"stream:${label(inner)}"
       case Unknown(t) => s"unknown:$t"
     }
@@ -523,6 +623,11 @@ object PgOutput extends Serializable {
           case StreamStop => Iterator.single(StreamEvt(1, w, 0L, 0L))
           case StreamCommit(x, _, _, ts) => Iterator.single(StreamEvt(2, w, x, ts))
           case StreamAbort(x, sx) => Iterator.single(StreamEvt(3, w, x, sx))
+          case BeginPrepare(_, _, _, x, _) => Iterator.single(StreamEvt(4, w, x, 0L))
+          case Prepare(_, _, _, x, _) => Iterator.single(StreamEvt(5, w, x, 0L))
+          case CommitPrepared(_, _, ts, x, _) => Iterator.single(StreamEvt(6, w, x, ts))
+          case RollbackPrepared(_, _, _, _, x, _) => Iterator.single(StreamEvt(7, w, x, 0L))
+          case StreamPrepare(_, _, _, x, _) => Iterator.single(StreamEvt(8, w, x, 0L))
           case _ => Iterator.empty
         }
         case _ => Iterator.empty
@@ -672,14 +777,34 @@ object PgOutput extends Serializable {
     def dmlRow(walStart: Long, sendTs: Long, xid: Option[Long],
                msg: Msg): Iterator[Either[String, Row]] = {
       def ts: Either[String, Long] = xid match {
-        case None => Right(commitTs(walStart, sendTs))
+        case None =>
+          // two-phase: DML inside a Begin Prepare .. Prepare interval is
+          // undecided until COMMIT/ROLLBACK PREPARED (often a later batch)
+          metaB.value.preparedXidAt(walStart) match {
+            case Some(px) => metaB.value.resolvePrepared(px, "prepared") match {
+              case Right(t) => Right(t)
+              case Left(None) => Left(null) // rolled back: never happened
+              case Left(Some(reason)) => Left(reason)
+            }
+            case None => Right(commitTs(walStart, sendTs))
+          }
         case Some(x) =>
           val m = metaB.value
           if (m.fullAborts(x)) Left(null) // sentinel: silent drop
           else if (m.partialAborts(x))
             Left(s"streamed xid=$x partially aborted — subtransaction membership unknown, replay after resolution")
-          else m.commits.get(x).toRight(
-            s"streamed xid=$x has no Stream Commit in this batch — replay with its commit")
+          else m.commits.get(x) match {
+            case Some(t) => Right(t)
+            // streamed tx that ended with STREAM PREPARE: two-phase rules
+            case None if m.streamPrepared(x) =>
+              m.resolvePrepared(x, "streamed-prepared") match {
+                case Right(t) => Right(t)
+                case Left(None) => Left(null)
+                case Left(Some(reason)) => Left(reason)
+              }
+            case None => Left(
+              s"streamed xid=$x has no Stream Commit in this batch — replay with its commit")
+          }
       }
       def emit(isDelete: Boolean, tuple: IndexedSeq[Value]) = ts match {
         case Right(t) => Iterator.single(buildRow(walStart, t, isDelete, tuple))
@@ -715,9 +840,17 @@ object PgOutput extends Serializable {
     val truncates = truncEvts.toSeq
       .filter(_.relids.exists(relids))
       .flatMap { e =>
-        if (e.xid < 0) Some(TruncateAt(e.walStart, commitTs(e.walStart, e.sendTs)))
+        if (e.xid < 0) meta.preparedXidAt(e.walStart) match {
+          case Some(px) => meta.resolvePrepared(px, "prepared truncate")
+            .toOption.map(ts => TruncateAt(e.walStart, ts))
+          case None => Some(TruncateAt(e.walStart, commitTs(e.walStart, e.sendTs)))
+        }
         else if (meta.fullAborts(e.xid)) None // aborted: never happened
-        else meta.commits.get(e.xid).map(ts => TruncateAt(e.walStart, ts))
+        else meta.commits.get(e.xid)
+          .orElse(if (meta.streamPrepared(e.xid))
+            meta.resolvePrepared(e.xid, "streamed-prepared truncate").toOption
+          else None)
+          .map(ts => TruncateAt(e.walStart, ts))
       }.sortBy(_.walStart)
 
     val relidsB = spark.sparkContext.broadcast(relids)
@@ -729,14 +862,25 @@ object PgOutput extends Serializable {
         case Right(XLogData(_, _, _, Unknown(t))) => Some(s"unknown message tag '$t'")
         case Right(XLogData(_, _, _, Streamed(_, Unknown(t)))) =>
           Some(s"unknown streamed message tag '$t'")
-        // a streamed TRUNCATE of this table whose xid never resolved in
+        // a TRUNCATE of this table whose transaction never resolved in
         // this batch must not vanish: it is a pending whole-table wipe
         case Right(XLogData(_, _, _, Streamed(x, Truncate(rids, _, _))))
           if rids.exists(relidsB.value) && !metaB.value.fullAborts(x) &&
-            !metaB.value.commits.contains(x) =>
+            !metaB.value.commits.contains(x) &&
+            !metaB.value.prepRollbacks(x) &&
+            !metaB.value.prepCommits.contains(x) =>
           Some(if (metaB.value.partialAborts(x))
             s"streamed truncate xid=$x partially aborted — replay after resolution"
+          else if (metaB.value.streamPrepared(x))
+            s"streamed-prepared truncate xid=$x awaits Commit Prepared — replay with its resolution"
           else s"streamed truncate xid=$x has no Stream Commit in this batch — replay with its commit")
+        case Right(XLogData(w, _, _, Truncate(rids, _, _)))
+          if rids.exists(relidsB.value) &&
+            metaB.value.preparedXidAt(w).exists(px =>
+              metaB.value.resolvePrepared(px, "").isLeft &&
+                !metaB.value.prepRollbacks(px)) =>
+          val px = metaB.value.preparedXidAt(w).get
+          Some(s"prepared truncate xid=$px awaits Commit Prepared — replay with its resolution")
         case _ => None
       }
       val rowErrs = decodeChanges(bytes).collect { case Left(reason) => reason }
@@ -850,6 +994,34 @@ object PgOutput extends Serializable {
 
     def streamAbort(walStart: Long, xid: Long, subXid: Long): Array[Byte] =
       xlog(walStart, new W().ch('A').i32(xid.toInt).i32(subXid.toInt).bytes)
+
+    def beginPrepare(walStart: Long, prepareLsn: Long, endLsn: Long,
+                     tsUnixMicros: Long, xid: Long, gid: String): Array[Byte] =
+      xlog(walStart, new W().ch('b').i64(prepareLsn).i64(endLsn)
+        .i64(tsUnixMicros - PgEpochOffsetMicros).i32(xid.toInt).cstr(gid).bytes)
+
+    def prepare(walStart: Long, prepareLsn: Long, endLsn: Long,
+                tsUnixMicros: Long, xid: Long, gid: String): Array[Byte] =
+      xlog(walStart, new W().ch('P').u8(0).i64(prepareLsn).i64(endLsn)
+        .i64(tsUnixMicros - PgEpochOffsetMicros).i32(xid.toInt).cstr(gid).bytes)
+
+    def commitPrepared(walStart: Long, commitLsn: Long, endLsn: Long,
+                       tsUnixMicros: Long, xid: Long, gid: String): Array[Byte] =
+      xlog(walStart, new W().ch('K').u8(0).i64(commitLsn).i64(endLsn)
+        .i64(tsUnixMicros - PgEpochOffsetMicros).i32(xid.toInt).cstr(gid).bytes)
+
+    def rollbackPrepared(walStart: Long, prepareEndLsn: Long, rollbackEndLsn: Long,
+                         prepareTsUnixMicros: Long, rollbackTsUnixMicros: Long,
+                         xid: Long, gid: String): Array[Byte] =
+      xlog(walStart, new W().ch('r').u8(0).i64(prepareEndLsn).i64(rollbackEndLsn)
+        .i64(prepareTsUnixMicros - PgEpochOffsetMicros)
+        .i64(rollbackTsUnixMicros - PgEpochOffsetMicros)
+        .i32(xid.toInt).cstr(gid).bytes)
+
+    def streamPrepare(walStart: Long, prepareLsn: Long, endLsn: Long,
+                      tsUnixMicros: Long, xid: Long, gid: String): Array[Byte] =
+      xlog(walStart, new W().ch('p').u8(0).i64(prepareLsn).i64(endLsn)
+        .i64(tsUnixMicros - PgEpochOffsetMicros).i32(xid.toInt).cstr(gid).bytes)
 
     def truncate(walStart: Long, relids: Seq[Int], cascade: Boolean = false,
                  restartIdentity: Boolean = false, xid: Long = -1L): Array[Byte] = {

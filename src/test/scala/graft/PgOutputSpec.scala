@@ -440,6 +440,114 @@ class PgOutputSpec extends SparkSpec {
       reasons.head.contains("no Stream Commit"))
   }
 
+  test("two-phase: control messages round-trip") {
+    decodeFrame(Fixture.beginPrepare(10, 100, 101, txTs(1), 42, "gid-a")) match {
+      case Right(XLogData(10, _, _, BeginPrepare(100, 101, ts, 42, "gid-a"))) =>
+        assert(ts == txTs(1))
+      case other => fail(s"begin-prepare decoded to $other")
+    }
+    decodeFrame(Fixture.prepare(20, 100, 101, txTs(1), 42, "gid-a")) match {
+      case Right(XLogData(20, _, _, Prepare(100, 101, _, 42, "gid-a"))) => ()
+      case other => fail(s"prepare decoded to $other")
+    }
+    decodeFrame(Fixture.commitPrepared(30, 100, 101, txTs(2), 42, "gid-a")) match {
+      case Right(XLogData(30, _, _, CommitPrepared(100, 101, ts, 42, "gid-a"))) =>
+        assert(ts == txTs(2))
+      case other => fail(s"commit-prepared decoded to $other")
+    }
+    decodeFrame(Fixture.rollbackPrepared(40, 101, 102, txTs(1), txTs(3),
+        42, "gid-a")) match {
+      case Right(XLogData(40, _, _,
+          RollbackPrepared(101, 102, pts, rts, 42, "gid-a"))) =>
+        assert(pts == txTs(1) && rts == txTs(3))
+      case other => fail(s"rollback-prepared decoded to $other")
+    }
+    decodeFrame(Fixture.streamPrepare(50, 100, 101, txTs(1), 42, "gid-a")) match {
+      case Right(XLogData(50, _, _, StreamPrepare(100, 101, _, 42, "gid-a"))) => ()
+      case other => fail(s"stream-prepare decoded to $other")
+    }
+  }
+
+  test("two-phase: commit-prepared emits with its ts, rollback vanishes, pending dead-letters") {
+    def preparedTx(xid: Long, gid: String, baseLsn: Long,
+                   dml: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      (Fixture.beginPrepare(baseLsn, baseLsn + 90, baseLsn + 91, txTs(1), xid, gid) +:
+        dml) :+ Fixture.prepare(baseLsn + 90, baseLsn + 90, baseLsn + 91, txTs(1), xid, gid)
+
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        // xid 41: prepared then COMMIT PREPARED in this batch
+        preparedTx(41, "gid-commit", 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
+        Seq(Fixture.commitPrepared(195, 190, 191, txTs(7), 41, "gid-commit")) ++
+        // xid 42: prepared then ROLLBACK PREPARED — never happened
+        preparedTx(42, "gid-roll", 200, Seq(
+          Fixture.insert(201, 7, Seq(VText("2"), VText("bob"), VText("5"))))) ++
+        Seq(Fixture.rollbackPrepared(295, 290, 291, txTs(1), txTs(8), 42, "gid-roll")) ++
+        // xid 43: prepared, unresolved in this batch — pending
+        preparedTx(43, "gid-wait", 300, Seq(
+          Fixture.insert(301, 7, Seq(VText("3"), VText("cat"), VText("9"))))) ++
+        // a NORMAL tx after the prepared ones still resolves by its Begin
+        tx(4, 400, Seq(
+          Fixture.insert(401, 7, Seq(VText("4"), VText("dog"), VText("2")))))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    val byId = parsed.changes.select("id", "_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == Set(1L, 4L), s"got $byId")
+    // the committed-prepared row carries the COMMIT PREPARED timestamp
+    val ts1 = parsed.changes.where(col("id") === 1)
+      .select(unix_micros(col("_event_ts"))).head().getLong(0)
+    assert(ts1 == txTs(7))
+    val reasons = parsed.deadLetter.select("reason")
+      .as[String](spark.implicits.newStringEncoder).collect().toSeq
+    assert(reasons.size == 1, s"reasons=$reasons")
+    assert(reasons.head.contains("prepared xid=43") &&
+      reasons.head.contains("Commit Prepared"))
+
+    // replay contract: the pending tx's frames re-parsed WITH the batch
+    // that carries its Commit Prepared now emit
+    val replay = PgOutput.parse(toDf(
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        preparedTx(43, "gid-wait", 300, Seq(
+          Fixture.insert(301, 7, Seq(VText("3"), VText("cat"), VText("9"))))) ++
+        Seq(Fixture.commitPrepared(395, 390, 391, txTs(9), 43, "gid-wait"))),
+      "frame", "items")
+    assert(replay.deadLetter.count() == 0)
+    assert(replay.changes.select("id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSeq == Seq(3L))
+  }
+
+  test("two-phase: streamed tx ending in Stream Prepare resolves via Commit Prepared") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        Seq(Fixture.streamStart(500, 88),
+          Fixture.insert(501, 7, Seq(VText("1"), VText("sp"), VText("0")), xid = 88),
+          Fixture.streamStop(510),
+          Fixture.streamPrepare(520, 515, 516, txTs(1), 88, "gid-sp"),
+          Fixture.commitPrepared(530, 525, 526, txTs(6), 88, "gid-sp")) ++
+        // xid 99: stream-prepared but unresolved — dead-letter, prepared wording
+        Seq(Fixture.streamStart(600, 99),
+          Fixture.insert(601, 7, Seq(VText("2"), VText("wait"), VText("0")), xid = 99),
+          Fixture.streamStop(610),
+          Fixture.streamPrepare(620, 615, 616, txTs(1), 99, "gid-sw")) ++
+        // xid 77: stream-prepared then ROLLBACK PREPARED — vanishes
+        Seq(Fixture.streamStart(700, 77),
+          Fixture.insert(701, 7, Seq(VText("3"), VText("gone"), VText("0")), xid = 77),
+          Fixture.streamStop(710),
+          Fixture.streamPrepare(720, 715, 716, txTs(1), 77, "gid-sr"),
+          Fixture.rollbackPrepared(730, 725, 726, txTs(1), txTs(8), 77, "gid-sr"))
+
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    val rows = parsed.changes.select(col("id"), unix_micros(col("_event_ts")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> txTs(6)))
+    val reasons = parsed.deadLetter.select("reason")
+      .as[String](spark.implicits.newStringEncoder).collect().toSeq
+    assert(reasons.size == 1, s"reasons=$reasons")
+    assert(reasons.head.contains("streamed-prepared xid=99"))
+  }
+
   test("frameCounts tallies the feed by message tag, streamed DML included") {
     val frames =
       Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
