@@ -849,6 +849,17 @@ object SparkEntry {
       val embs = t(s, d, "embeddings")
       Similarity.ivfTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // the PERSISTED IVFADC lifecycle: IVF prunes the probed lists, ADC
+    // scores m-byte PQ codes off the frozen sub-codebooks — 8 bytes per
+    // posting (32x vs float), probe IO independent of corpus size
+    // (rows-only; recall + reload bit-equality + append spec-pinned)
+    "ann_pq_indexed" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val idx = IvfIndex.create(embs, "vec_id", "embedding", indexScratch,
+        numCentroids = 32, kmeansIters = 2, pqM = 8)
+      idx.probe(embs.where(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nProbe = 8)
+    }),
     // product quantization (Jégou PQ/ADC): corpus compressed to m=8 bytes
     // per 64-dim vector (32x vs float), candidates scored via per-query
     // lookup tables — m adds per candidate, never a dim-length dot; the

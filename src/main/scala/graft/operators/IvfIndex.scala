@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_ivf_index.json  {"fmt":3,"dim":D,"centroids":N,"batches":K,"base":B,"q":0|1,"applied":A}
+  *   dir/_graft_ivf_index.json  {"fmt":4,"dim":D,"centroids":N,"batches":K,"base":B,"q":0|1|2,"applied":A[,"pq_m","pq_ksub"]}
   *   dir/centroids/             (cent_id, v)            the codebook, written once
+  *   dir/pq/                    (m, ksub, dsub, cb)     q=2: frozen sub-codebooks
   *   dir/assigned/b=K/c=J/      (corpus_id, scale, codes)   q=1 (default): int8
+  *   dir/assigned/b=K/c=J/      (corpus_id, codes)          q=2: m-byte PQ codes
   *   dir/assigned/b=K/c=J/      (corpus_id, cv)             q=0: raw float copy
   * }}}
   * Batches append under fresh `b=K` dirs and the meta commits last via
@@ -52,6 +54,21 @@ import org.apache.spark.sql.functions._
   * float scoring only by the int8 rounding — top-k overlap ≥ 0.95 is
   * spec-pinned.
   *
+  * == PQ posting store (IVFADC) ==
+  * `pqM > 0` stores each posting as `pqM` one-byte product-quantization
+  * sub-codes instead — `pqM` bytes per vector (64 dims at m=8: 32× less
+  * than float, 8× less than int8), the full IVFADC shape: IVF prunes the
+  * lists, ADC scores the codes. Sub-codebooks train at create on the SAME
+  * bounded hash-ordered sample as the centroid refinement
+  * ([[Similarity.pqFit]] — the `pqTopK` kernel) and freeze beside the
+  * centroids; encode and probe run the native codegen'd
+  * [[graft.expressions.PqEncode]] / [[graft.expressions.PqCosineSim]]
+  * kernels `Similarity.pqEncode`/`pqTopK` score with — one shared code
+  * path, so batch and indexed PQ agree by construction. Recall and
+  * reload-bit-equality are spec-pinned; the rougher quantization trades
+  * recall for IO — size `pqM`/`pqKsub` to the corpus as the PQ
+  * literature does.
+  *
   * == Equivalence ==
   * With `kmeansIters = 0` and `quantizedStore = false` the index picks the
   * codebook exactly as [[Similarity.ivfTopK]] does and [[probe]] scores
@@ -81,10 +98,14 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
                               val dim: Int, val centroids: Int,
                               @volatile private var committedBatches: Int,
                               @volatile private var liveBase: Int,
-                              val quantized: Boolean,
+                              val store: Int, // 0 float, 1 int8, 2 PQ
                               centIds: Array[Long], flat: Array[Double],
+                              pqModel: Option[Similarity.PqModel] = None,
                               @volatile private var appliedBatch: Int = -1)
   extends VectorIndexWriter {
+
+  /** int8-packed posting store (the fmt-3 `q=1` layout). */
+  def quantized: Boolean = store == IvfIndex.StoreInt8
 
   /** Number of batches committed so far (including the creating corpus). */
   def batches: Int = committedBatches
@@ -128,19 +149,28 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     val b = committedBatches
     val assigned = batch.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       element_at(nearest(col(vecCol), 1), 1).as("c"))
-    val rows =
-      if (quantized) assigned
+    val rows = store match {
+      case IvfIndex.StoreInt8 => assigned
         .withColumn("q8", graft.expressions.NativeFunctions.packInt8(col("cv")))
         .select(col("corpus_id"), col("q8.scale").as("scale"),
           col("q8.codes").as("codes"), col("c"))
-      else assigned
+      case IvfIndex.StorePq =>
+        val mdl = pqModel.get
+        assigned.select(col("corpus_id"),
+          org.apache.spark.sql.graft.bridge.column(graft.expressions.PqEncode(
+            org.apache.spark.sql.graft.bridge.expression(
+              col("cv").cast("array<double>")),
+            mdl.codebooks, mdl.m, mdl.ksub, mdl.dsub)).as("codes"),
+          col("c"))
+      case _ => assigned
+    }
     rows
       .repartition(col("c")) // ≈ one file per centroid dir, not one per task
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/assigned/b=$b")
     committedBatches = b + 1
     appliedBatch = newApplied
     IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase,
-      quantized, appliedBatch)
+      store, appliedBatch, pqModel)
   }
 
   /** Fold every live generation into ONE — the file-count lever of a
@@ -171,7 +201,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     liveBase = b
     committedBatches = b + 1
     IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase,
-      quantized, appliedBatch)
+      store, appliedBatch, pqModel)
   }
 
   /** Per-centroid live posting counts — the index-health row of the
@@ -206,9 +236,18 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     val live = spark.read.parquet(s"$dir/assigned")
       .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
     val assigned = IvfIndex.pruneKeys(live, probes, "c", maxPrunedKeys)
-    val score =
-      if (quantized) graft.expressions.NativeFunctions.int8CosineSim(col("codes"), col("qv"))
-      else graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
+    val score = store match {
+      case IvfIndex.StoreInt8 =>
+        graft.expressions.NativeFunctions.int8CosineSim(col("codes"), col("qv"))
+      case IvfIndex.StorePq =>
+        val mdl = pqModel.get
+        org.apache.spark.sql.graft.bridge.column(graft.expressions.PqCosineSim(
+          org.apache.spark.sql.graft.bridge.expression(col("codes")),
+          org.apache.spark.sql.graft.bridge.expression(
+            col("qv").cast("array<double>")),
+          mdl.codebooks, mdl.m, mdl.ksub, mdl.dsub))
+      case _ => graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
+    }
     Similarity.rankTopK(
       assigned.join(broadcast(probes), "c")
         .where(col("query_id") =!= col("corpus_id"))
@@ -219,7 +258,10 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
 
 object IvfIndex {
   private val MetaFile = "_graft_ivf_index.json"
-  private val FormatVersion = 3
+  private val FormatVersion = 4
+  private[operators] val StoreFloat = 0
+  private[operators] val StoreInt8 = 1
+  private[operators] val StorePq = 2
 
   private[operators] def nearestCol(v: Column, centIds: Array[Long],
                                     flat: Array[Double], dim: Int, n: Int): Column =
@@ -253,8 +295,11 @@ object IvfIndex {
     */
   def create(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
              numCentroids: Int = 256, kmeansIters: Int = 4,
-             quantizedStore: Boolean = true): IvfIndex = {
+             quantizedStore: Boolean = true, pqM: Int = 0,
+             pqKsub: Int = 16): IvfIndex = {
     require(kmeansIters >= 0, s"bad kmeansIters=$kmeansIters")
+    require(pqM >= 0 && pqKsub > 1 && pqKsub <= 256,
+      s"bad pqM=$pqM pqKsub=$pqKsub (codes are one byte)")
     val spark = corpus.sparkSession
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -267,7 +312,8 @@ object IvfIndex {
     // driver-side through the SAME NearestCentroids kernel probes use
     // (cosine, smaller-id ties): sequential and deterministic, with no
     // per-iteration job or codegen cost.
-    val sampleCap = if (kmeansIters > 0) numCentroids * 32 else numCentroids
+    val sampleCap =
+      if (kmeansIters > 0 || pqM > 0) numCentroids * 32 else numCentroids
     val sampleRows: Array[(Long, Array[Double])] = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
       .orderBy(xxhash64(col("id")), col("id")) // ivfTopK's deterministic pick
@@ -317,8 +363,23 @@ object IvfIndex {
       import spark.implicits._
       centRows.toSeq.toDF("id", "v").coalesce(1).write.parquet(s"$dir/centroids")
     }
-    val idx = new IvfIndex(spark, dir, dim, centRows.length, 0, 0, quantizedStore,
-      centRows.map(_._1), centRows.flatMap(_._2))
+    // PQ store: train the sub-codebooks on the SAME bounded hash-ordered
+    // sample the centroid refinement uses (Similarity.pqFit — the one
+    // kernel pqTrain wraps), freeze them beside the centroids
+    val pqModel =
+      if (pqM > 0) {
+        require(dim % pqM == 0, s"dim=$dim not divisible by pqM=$pqM")
+        val mdl = Similarity.pqFit(sampleRows.map(_._2), pqM, pqKsub,
+          dim / pqM, iters = 5)
+        import spark.implicits._
+        Seq((mdl.m, mdl.ksub, mdl.dsub, mdl.codebooks.toSeq))
+          .toDF("m", "ksub", "dsub", "cb").coalesce(1).write.parquet(s"$dir/pq")
+        Some(mdl)
+      } else None
+    val store =
+      if (pqM > 0) StorePq else if (quantizedStore) StoreInt8 else StoreFloat
+    val idx = new IvfIndex(spark, dir, dim, centRows.length, 0, 0, store,
+      centRows.map(_._1), centRows.flatMap(_._2), pqModel)
     idx.add(corpus, idCol, vecCol)
     idx
   }
@@ -333,11 +394,20 @@ object IvfIndex {
     val Seq(dim, cents, batches, base, q, applied) = IndexMeta.load(spark, dir,
       MetaFile, FormatVersion, "IVF",
       Seq("dim", "centroids", "batches", "base", "q", "applied"),
-      compat = Map(2 -> Map("applied" -> -1)))
+      // fmt 2 predates the streaming-batch mark; fmt 3 predates the PQ
+      // store (q was 0/1 only) — both layouts open in place
+      compat = Map(2 -> Map("applied" -> -1), 3 -> Map.empty))
     val centRows = spark.read.parquet(s"$dir/centroids")
       .orderBy(xxhash64(col("id")), col("id")).collect()
-    new IvfIndex(spark, dir, dim, cents, batches, base, q != 0,
-      centRows.map(_.getLong(0)), centRows.flatMap(_.getSeq[Double](1)), applied)
+    val pqModel =
+      if (q == StorePq) {
+        val r = spark.read.parquet(s"$dir/pq").head()
+        Some(Similarity.PqModel(r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getSeq[Double](3).toArray))
+      } else None
+    new IvfIndex(spark, dir, dim, cents, batches, base, q,
+      centRows.map(_.getLong(0)), centRows.flatMap(_.getSeq[Double](1)),
+      pqModel, applied)
   }
 
   /** Delete `b=K` generation dirs below `base` under `parent` — retired by
@@ -359,9 +429,12 @@ object IvfIndex {
 
   private def writeMeta(spark: SparkSession, dir: String, dim: Int,
                         centroids: Int, batches: Int, base: Int,
-                        quantized: Boolean, applied: Int): Unit =
+                        store: Int, applied: Int,
+                        pq: Option[Similarity.PqModel]): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
       s"""{"fmt":$FormatVersion,"dim":$dim,"centroids":$centroids,""" +
-        s""""batches":$batches,"base":$base,"q":${if (quantized) 1 else 0},""" +
-        s""""applied":$applied}""")
+        s""""batches":$batches,"base":$base,"q":$store,""" +
+        s""""applied":$applied""" +
+        pq.map(m => s""","pq_m":${m.m},"pq_ksub":${m.ksub}""").getOrElse("") +
+        "}")
 }

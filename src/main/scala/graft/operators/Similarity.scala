@@ -278,7 +278,15 @@ object Similarity {
     val dim = sample.head.getSeq[Double](1).length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val vecs = sample.map(_.getSeq[Double](1).toArray)
+    pqFit(sample.map(_.getSeq[Double](1).toArray), m, ksub, dsub, iters)
+  }
+
+  /** The driver-side sub-k-means fit behind [[pqTrain]], on an
+    * already-collected sample — shared with [[IvfIndex]]'s PQ store, which
+    * trains on the same bounded sample its codebook refinement uses.
+    */
+  private[operators] def pqFit(vecs: Array[Array[Double]], m: Int, ksub: Int,
+                               dsub: Int, iters: Int): PqModel = {
     val cb = new Array[Double](m * ksub * dsub)
     val model = PqModel(m, ksub, dsub, cb)
     for (j <- 0 until m) {
@@ -319,38 +327,12 @@ object Similarity {
     * (int8).
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               model: PqModel): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val mdl = model // avoid closing over the enclosing object
+               model: PqModel): DataFrame =
     corpus.select(col(idCol).cast("long").as("corpus_id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions(_.map { case (id, vSeq) =>
-        val v = vSeq.toArray
-        require(v.length == mdl.dim,
-          s"vector dim ${v.length} != model dim ${mdl.dim}")
-        val codes = new Array[Byte](mdl.m)
-        var j = 0
-        while (j < mdl.m) {
-          val base = j * mdl.dsub
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < mdl.ksub) {
-            var d2 = 0.0; var d = 0
-            while (d < mdl.dsub) {
-              val diff = v(base + d) - mdl.codebooks(mdl.off(j, c) + d)
-              d2 += diff * diff; d += 1
-            }
-            if (d2 < bestD) { bestD = d2; best = c }
-            c += 1
-          }
-          codes(j) = best.toByte
-          j += 1
-        }
-        (id, codes)
-      }).toDF("corpus_id", "codes")
-  }
+      org.apache.spark.sql.graft.bridge.column(graft.expressions.PqEncode(
+        org.apache.spark.sql.graft.bridge.expression(
+          col(vecCol).cast("array<double>")),
+        model.codebooks, model.m, model.ksub, model.dsub)).as("codes"))
 
   /** PQ approximate top-k by cosine — asymmetric distance computation
     * (ADC): each query precomputes an m×ksub lookup table of sub-dots

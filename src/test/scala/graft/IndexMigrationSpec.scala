@@ -40,11 +40,12 @@ class IndexMigrationSpec extends SparkSpec {
     Files.deleteIfExists(Paths.get(dir, s".$file.crc"))
   }
 
-  // rewrite dir/file to the fmt-2 shape: stamp fmt 2, drop the given mark
-  private def downgrade(dir: String, file: String, dropField: String): Unit =
-    rewrite(dir, file) {
-      _.replace("\"fmt\":3", "\"fmt\":2")
-        .replaceAll(s""","$dropField":-?\\d+""", "")
+  // rewrite dir/file to the fmt-2 shape: stamp fmt 2, drop the given marks
+  private def downgrade(dir: String, file: String, dropFields: String*): Unit =
+    rewrite(dir, file) { txt =>
+      dropFields.foldLeft(txt.replaceAll("\"fmt\":\\d+", "\"fmt\":2")) {
+        (t, f) => t.replaceAll(s""","$f":-?\\d+""", "")
+      }
     }
 
   test("fmt-2 IVF meta opens in place and probes identically") {
@@ -88,10 +89,26 @@ class IndexMigrationSpec extends SparkSpec {
     assert(top(TextIndex.load(spark, dir)) == before, "fmt-2 search diverged")
   }
 
+  test("fmt-3 IVF meta (pre-PQ, q boolean-valued) opens in place") {
+    val dir = tmp("graft_ivf_fmt3")
+    val idx = IvfIndex.create(embs, "vec_id", "embedding", dir, numCentroids = 8)
+    val queries = embs.where($"vec_id" % 25 === 0)
+    def rows(i: IvfIndex) =
+      i.probe(queries, "vec_id", "embedding", 5, nProbe = 3)
+        .as[(Long, Long, Long)].collect().toSet
+    val before = rows(idx)
+    // fmt 3 carried the same fields with q limited to 0/1 — only the stamp
+    // differs for a non-PQ index
+    rewrite(dir, "_graft_ivf_index.json")(
+      _.replace("\"fmt\":4", "\"fmt\":3"))
+    assert(rows(IvfIndex.load(spark, dir)) == before, "fmt-3 probe diverged")
+  }
+
   test("a format outside the compat set still skews, never opens") {
     val dir = tmp("graft_ivf_fmt9")
     IvfIndex.create(embs, "vec_id", "embedding", dir, numCentroids = 8)
-    rewrite(dir, "_graft_ivf_index.json")(_.replace("\"fmt\":3", "\"fmt\":9"))
+    rewrite(dir, "_graft_ivf_index.json")(
+      _.replaceAll("\"fmt\":\\d+", "\"fmt\":9"))
     val e = intercept[IllegalStateException] { IvfIndex.load(spark, dir) }
     assert(e.getMessage.contains("rebuild with create()"))
   }

@@ -45,6 +45,21 @@ class ShuffleShapeSpec extends SparkSpec {
         col("event_type") === "purchase"))) == 2)
   }
 
+  test("sequential per-key operators ride one key shuffle") {
+    assert(shuffles(Behavior.exponentialMovingAvg(ev, "user_id", "event_id",
+      "value", "ts", 0.5)) == 1)
+    assert(shuffles(Behavior.lttbDownsample(ev, "event_type", "event_id",
+      "ts", floor(col("value") * 100 + 0.5), 12)) == 1)
+  }
+
+  test("interval union: both window passes and the island agg share shuffles") {
+    // one (key, start) exchange feeds both windows; the island aggregation
+    // re-keys on (k, island) and the final per-key rollup reuses that
+    // partitioning's prefix — budget 3, never the event log twice
+    assert(shuffles(Behavior.intervalUnionLength(ev, "user_id", "ts",
+      lit(1000000L))) <= 3)
+  }
+
   test("as-of join is one shuffle over the unioned sides") {
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("pts"))

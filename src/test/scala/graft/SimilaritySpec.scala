@@ -669,6 +669,48 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTrain(embs, "vec_id", "embedding", m = 5, ksub = 16))
   }
 
+  test("IvfIndex PQ store (IVFADC): m-byte postings, recall, reload bit-equality") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    val embs = clustered
+    val queries = embs.where($"vec_id" % 40 === 0)
+    val idx = graft.operators.IvfIndex.create(embs, "vec_id", "embedding", dir,
+      numCentroids = 16, kmeansIters = 2, pqM = 4, pqKsub = 16)
+    def rows(i: graft.operators.IvfIndex) =
+      i.probe(queries, "vec_id", "embedding", 10, nProbe = 8)
+        .as[(Long, Long, Long)].collect().toSet
+    val got = rows(idx)
+    val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
+    val gotSets = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val recall = recallOf(exact, gotSets)
+    assert(recall >= 0.6, s"IVFADC recall $recall below 0.6")
+
+    // postings really are m bytes: read a live generation's codes column
+    val stored = spark.read.parquet(s"$dir/assigned")
+      .select($"codes").as[Array[Byte]].collect()
+    assert(stored.nonEmpty && stored.forall(_.length == 4))
+
+    // reload serves the identical result (codebooks + sub-codebooks both
+    // round-trip through disk)
+    assert(rows(graft.operators.IvfIndex.load(spark, dir)) == got)
+
+    // appends encode under the frozen sub-codebooks and stay probeable.
+    // PQ collapses near-identical vectors onto one code (ties then break
+    // to the lower id), so probe deep enough to cover the whole cluster
+    // the appended vector lands in.
+    val extra = Seq((9000L, Array.tabulate(16)(j => if (j == 0) 5f else 0.01f)))
+      .toDF("vec_id", "embedding")
+    idx.add(extra, "vec_id", "embedding")
+    val q0 = embs.where($"vec_id" === 0L) // cluster 0 queries point along x0
+    val hit = graft.operators.IvfIndex.load(spark, dir)
+      .probe(q0, "vec_id", "embedding", 60, nProbe = 8)
+      .as[(Long, Long, Long)].collect().map(_._2)
+    assert(hit.contains(9000L), s"appended vector not retrieved: ${hit.toSeq}")
+
+    intercept[IllegalArgumentException](
+      graft.operators.IvfIndex.create(embs, "vec_id", "embedding", dir + "2",
+        numCentroids = 8, pqM = 5)) // 16 dims not divisible by 5
+  }
+
   test("pqTopK falls back to brute force on an empty corpus slice") {
     val out = Similarity.pqTopK(corpus.where($"vec_id" < 0), corpus,
       "vec_id", "embedding", 3)
