@@ -348,6 +348,16 @@ object SparkEntry {
           "user_id", "event_id", "value", "ts", alpha = 0.5)
         .select(col("key").as("user_id"), col("id").as("event_id"),
           col("ema"))),
+    // ClickHouse exponentialTimeDecayedAvg (1h half-life): decay
+    // quantizes to whole half-lives so every 2^(−k) multiply is an exact
+    // exponent shift — the float recurrence hash-matches cross-engine
+    // (Behavior.timeDecayedAvg scaladoc)
+    "events_ema_time" -> ((s, d) =>
+      Behavior.timeDecayedAvg(t(s, d, "events"),
+          "user_id", "event_id", "value", "ts",
+          halfLifeMicros = 3600000000L)
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("ema_t"))),
     // ClickHouse intervalLengthSum: per-user union-of-spans active time —
     // each event covers [ts, ts + value·1s); overlaps merge via the
     // island sweep (one (key, start) shuffle, integer micros, exact)
@@ -375,6 +385,49 @@ object SparkEntry {
       t(s, d, "events").groupBy(col("user_id"))
         .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
           .as("type_set"))),
+    // ClickHouse studentTTest + welchTTest: did 'view' and 'click' value
+    // distributions diverge, per hour-of-day? Six exact integer
+    // cent-moments per bucket in one map-side-combined pass, then both t
+    // statistics from the same fixed scalar tree (StatTests scaladoc)
+    "events_ab_ttest" -> ((s, d) =>
+      StatTests.abTTest(t(s, d, "events"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"),
+        col("event_type") === "view", col("event_type") === "click",
+        floor(col("value") * 100 + 0.5))),
+    // ClickHouse mannWhitneyUTest: the rank-based sibling — doubled
+    // average ranks at the (bucket, distinct cents) grain keep the rank
+    // sum, U, and the tie-correction term exact int64s
+    "events_mann_whitney" -> ((s, d) =>
+      StatTests.mannWhitneyU(t(s, d, "events"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"),
+        col("event_type") === "view", col("event_type") === "click",
+        floor(col("value") * 100 + 0.5))),
+    // ClickHouse cramersV/theilsU groundwork: the χ² contingency
+    // decomposition of event_type × hour-of-day at cell grain — every
+    // value a fixed scalar over exact counts (V itself is pinned in
+    // StatTestsSpec; a summed statistic would float-order-depend)
+    "events_contingency" -> ((s, d) =>
+      StatTests.contingencyChi2(t(s, d, "events"), col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"))),
+    // ClickHouse maxIntersections(Position): peak concurrent open spans
+    // per user ([ts, ts+value·1s) half-open) and the earliest sweep point
+    // attaining it — one (key, point) shuffle, integer micros
+    "events_max_concurrent" -> ((s, d) =>
+      Behavior.maxIntersections(t(s, d, "events"), "user_id", "ts",
+          floor(col("value") * lit(1000000.0)).cast("long"))
+        .select(col("k").as("user_id"), col("max_concurrent"),
+          col("peak_at_micros"))),
+    // ClickHouse sumMap: per-user event_type → Σcents map, emitted as the
+    // canonical sorted "type:cents" CSV (engine-portable map encoding) —
+    // two map-side-combined grouped passes, integer cents exact
+    "events_sum_map" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_list(
+            concat_ws(":", col("event_type"), col("cents")))), ",")
+          .as("value_map"))),
     // ClickHouse largestTriangleThreeBuckets(12): per-type series
     // downsampled to 12 visually-representative points (y in integer
     // cents so every bucket average and triangle area is
@@ -611,6 +664,14 @@ object SparkEntry {
       Vocabulary.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)),
     "docs_unigram_logprob" -> ((s, d) =>
       Vocabulary.unigramLogprob(t(s, d, "documents"), "doc_id", "text")),
+    // DSIR importance weights (Xie et al. 2023): hashed char-bigram LLR
+    // against the English-docs target distribution, frozen to integer
+    // micro-nats so per-doc totals are exact int64 sums (Importance
+    // scaladoc) — the resampling score a domain-targeted pretraining mix
+    // ranks by
+    "docs_dsir_weights" -> ((s, d) =>
+      Importance.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en")),
     // ---- full-text search --------------------------------------------------
     "docs_bm25_topk" -> ((s, d) =>
       TextSearch.bm25TopK(t(s, d, "documents"), "doc_id", "text",
@@ -1516,6 +1577,37 @@ object SparkEntry {
                   AS avg_logprob
          FROM tf t JOIN cnt c USING (w) CROSS JOIN tot s
          GROUP BY doc_id""",
+    // same hashed-bigram buckets (ord = ascii = code point), same add-one
+    // LLR frozen to integer micro-nats, same exact int64 per-doc totals
+    "docs_dsir_weights" ->
+      """WITH pos AS (
+           SELECT doc_id, lang, text,
+                  unnest(range(1, length(text))) AS i
+           FROM documents WHERE length(text) >= 2),
+         big AS (
+           SELECT doc_id, lang = 'en' AS tgt,
+                  (ord(substring(text, CAST(i AS INTEGER), 1)) * 131 +
+                   ord(substring(text, CAST(i AS INTEGER) + 1, 1))) % 64 AS b
+           FROM pos),
+         pd AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+                FROM big GROUP BY doc_id, b),
+         gl AS (SELECT b,
+                       CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ctg,
+                       CAST(count(*) AS BIGINT) AS cr
+                FROM big GROUP BY b),
+         tot AS (SELECT CAST(sum(ctg) AS BIGINT) AS tt,
+                        CAST(sum(cr) AS BIGINT) AS tr FROM gl),
+         lr AS (SELECT b,
+                       CAST(floor(ln(CAST((ctg + 1) * (tr + 64) AS DOUBLE)
+                         / CAST((cr + 1) * (tt + 64) AS DOUBLE))
+                         * 1000000.0) AS BIGINT) AS lr_micro
+                FROM gl CROSS JOIN tot)
+         SELECT pd.doc_id, CAST(sum(pd.cnt) AS BIGINT) AS n_bigrams,
+                CAST(sum(pd.cnt * lr.lr_micro) AS BIGINT) AS w_micro_nats,
+                round(CAST(sum(pd.cnt * lr.lr_micro) AS DOUBLE)
+                  / (1000000.0 * CAST(sum(pd.cnt) AS DOUBLE)), 6) AS avg_lognat
+         FROM pd JOIN lr ON lr.b = pd.b
+         GROUP BY pd.doc_id""",
     // identical BM25 expression (operand order included) on both engines,
     // scores rounded to 4 decimals BEFORE ranking, ties broken by doc_id —
     // serves both the one-shot and the TextIndex lifecycle query
@@ -1665,6 +1757,26 @@ object SparkEntry {
            SELECT o.user_id, o.event_id, 0.5 * o.value + 0.5 * r.ema, o.rn
            FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
          SELECT user_id, event_id, ema FROM r""",
+    // steps the identical num/den recurrence; pow(2, −whole-half-lives)
+    // is an exact power of two on any engine, so the doubles match bits
+    "events_ema_time" ->
+      """WITH RECURSIVE o AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS t,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, rn, t,
+                  value AS num, CAST(1.0 AS DOUBLE) AS den
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.user_id, o.event_id, o.rn, o.t,
+                  o.value + r.num * pow(2.0, -CAST(least(
+                    (o.t - r.t) // 3600000000, 2000) AS DOUBLE)),
+                  1.0 + r.den * pow(2.0, -CAST(least(
+                    (o.t - r.t) // 3600000000, 2000) AS DOUBLE))
+           FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+         SELECT user_id, event_id, num / den AS ema_t FROM r""",
     "events_interval_union" ->
       """WITH s AS (
            SELECT user_id, epoch_us(ts) AS s,
@@ -1753,6 +1865,144 @@ object SparkEntry {
                 string_agg(DISTINCT event_type, ','
                   ORDER BY event_type) AS type_set
          FROM events GROUP BY user_id""",
+    // mirrors the exact integer cent-moments and the identical scalar
+    // expression trees — both t statistics are bit-deterministic from the
+    // six int64 sums
+    "events_ab_ttest" ->
+      """WITH m AS (
+           SELECT (epoch_us(ts) // 3600000000) % 24 AS bucket,
+                  event_type = 'view' AS a, event_type = 'click' AS b,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events WHERE event_type IN ('view', 'click')),
+         g AS (
+           SELECT bucket,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN a THEN y ELSE 0 END) AS BIGINT) AS s1a,
+                  CAST(sum(CASE WHEN a THEN y * y ELSE 0 END) AS BIGINT) AS s2a,
+                  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                  CAST(sum(CASE WHEN b THEN y ELSE 0 END) AS BIGINT) AS s1b,
+                  CAST(sum(CASE WHEN b THEN y * y ELSE 0 END) AS BIGINT) AS s2b
+           FROM m GROUP BY bucket
+           HAVING na >= 2 AND nb >= 2),
+         v AS (
+           SELECT bucket, na, nb,
+                  CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                  CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                  CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                  (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+                     / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+                  (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+                     / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+           FROM g),
+         w AS (
+           SELECT bucket, na, nb, nad, nbd, ma, mb, va, vb,
+                  va / nad AS vna, vb / nbd AS vnb
+           FROM v),
+         f AS (
+           SELECT bucket, na, nb, nad, nbd, ma, mb, va, vb, vna, vnb,
+                  vna + vnb AS se2,
+                  ((nad - 1.0) * va + (nbd - 1.0) * vb) / (nad + nbd - 2.0) AS sp2
+           FROM w)
+         SELECT bucket, na, nb,
+                round(ma / 100.0, 6) AS mean_a, round(mb / 100.0, 6) AS mean_b,
+                round((ma - mb) / sqrt(se2), 6) AS welch_t,
+                round(se2 * se2 / (vna * vna / (nad - 1.0)
+                  + vnb * vnb / (nbd - 1.0)), 6) AS welch_df,
+                round((ma - mb) / sqrt(sp2 * (1.0 / nad + 1.0 / nbd)), 6)
+                  AS student_t,
+                na + nb - 2 AS student_df
+         FROM f WHERE se2 > 0 AND sp2 > 0""",
+    // doubled average ranks at the (bucket, distinct cents) grain: rank
+    // sum, U and the tie term are exact int64s; z from the same tree
+    "events_mann_whitney" ->
+      """WITH m AS (
+           SELECT (epoch_us(ts) // 3600000000) % 24 AS bucket,
+                  event_type = 'view' AS a, event_type = 'click' AS b,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events WHERE event_type IN ('view', 'click')),
+         pv AS (
+           SELECT bucket, y,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM m GROUP BY bucket, y),
+         r AS (
+           SELECT bucket, ca, cb, ca + cb AS cn,
+                  2 * coalesce(sum(ca + cb) OVER (PARTITION BY bucket
+                    ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) + (ca + cb) + 1 AS r2
+           FROM pv),
+         g AS (
+           SELECT bucket, CAST(sum(ca) AS BIGINT) AS n1,
+                  CAST(sum(cb) AS BIGINT) AS n2,
+                  CAST(sum(ca * r2) AS BIGINT) AS r1x2,
+                  CAST(sum(cn * cn * cn - cn) AS BIGINT) AS tsum
+           FROM r GROUP BY bucket
+           HAVING n1 >= 1 AND n2 >= 1),
+         f AS (
+           SELECT bucket, n1, n2,
+                  CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+                  CAST(tsum AS DOUBLE) AS tsumd
+           FROM g),
+         q AS (
+           SELECT bucket, n1, n2, n1d, n2d, u1,
+                  n1d * n2d / 12.0 * ((n1d + n2d + 1.0)
+                    - tsumd / ((n1d + n2d) * (n1d + n2d - 1.0))) AS sigma2
+           FROM f)
+         SELECT bucket, n1, n2, u1,
+                round((u1 - n1d * n2d / 2.0) / sqrt(sigma2), 6) AS z
+         FROM q WHERE sigma2 > 0""",
+    "events_contingency" ->
+      """WITH cells AS (
+           SELECT event_type AS r, (epoch_us(ts) // 3600000000) % 24 AS c,
+                  CAST(count(*) AS BIGINT) AS observed
+           FROM events GROUP BY 1, 2),
+         rt AS (SELECT r, CAST(sum(observed) AS BIGINT) AS rt
+                FROM cells GROUP BY r),
+         ct AS (SELECT c, CAST(sum(observed) AS BIGINT) AS ct
+                FROM cells GROUP BY c),
+         n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells),
+         j AS (
+           SELECT cells.r, cells.c, cells.observed,
+                  CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                    / CAST(n.n AS DOUBLE) AS e
+           FROM cells JOIN rt ON rt.r = cells.r
+           JOIN ct ON ct.c = cells.c CROSS JOIN n)
+         SELECT r, c, observed, round(e, 6) AS expected,
+                round((CAST(observed AS DOUBLE) - e)
+                  * (CAST(observed AS DOUBLE) - e) / e, 6) AS chi2_term
+         FROM j""",
+    // the identical sweep: ±1 deltas in (point, delta) order, running sum,
+    // earliest point attaining the max — integer micros throughout
+    "events_max_concurrent" ->
+      """WITH sp AS (
+           SELECT user_id AS k, epoch_us(ts) AS s,
+                  epoch_us(ts) + greatest(
+                    CAST(floor(value * 1000000.0) AS BIGINT), 0) AS e
+           FROM events),
+         de AS (
+           SELECT k, s AS p, 1 AS delta FROM sp
+           UNION ALL
+           SELECT k, e AS p, -1 AS delta FROM sp),
+         sw AS (
+           SELECT k, p, sum(delta) OVER (PARTITION BY k ORDER BY p, delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+           FROM de),
+         mx AS (SELECT k, max(active) AS m FROM sw GROUP BY k)
+         SELECT sw.k AS user_id, CAST(mx.m AS BIGINT) AS max_concurrent,
+                min(sw.p) FILTER (WHERE sw.active = mx.m) AS peak_at_micros
+         FROM sw JOIN mx ON mx.k = sw.k
+         GROUP BY sw.k, mx.m""",
+    "events_sum_map" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM events GROUP BY user_id, event_type)
+         SELECT user_id,
+                string_agg(event_type || ':' || cents, ','
+                  ORDER BY event_type) AS value_map
+         FROM s GROUP BY user_id""",
     "events_bounding_ratio" ->
       """WITH o AS (SELECT user_id, value, ts,
                            row_number() OVER (PARTITION BY user_id

@@ -439,6 +439,60 @@ object Behavior {
     }.toDF("key", "id", "ema")
   }
 
+  /** ClickHouse `exponentialTimeDecayedAvg`: per-event time-decayed mean
+    * of the key's value series — `ema = Σvᵢ·2^(−kᵢ) / Σ2^(−kᵢ)` carried
+    * as the num/den recurrence `num = v + num·d`, `den = 1 + den·d` with
+    * `d = 2^(−Δ div halfLife)` (whole half-lives elapsed since the
+    * previous event).
+    *
+    * Determinism contract, and why the decay quantizes to WHOLE
+    * half-lives: `2^(−k)` for integer k is a power of two, and
+    * multiplying a double by a power of two is EXACT (exponent shift) —
+    * so the only rounded op per row is the one addition, and any IEEE-754
+    * engine stepping the same recurrence reproduces identical bits (the
+    * DuckDB oracle does, as a recursive CTE). A continuous
+    * `exp(−Δ/τ)` would hostage the hash to last-ulp `exp` agreement
+    * across libms. Same secondary-sort `mapPartitions` rung as
+    * [[exponentialMovingAvg]]: ONE key shuffle, O(1) state per key run.
+    */
+  def timeDecayedAvg(events: DataFrame, keyCol: String, idCol: String,
+                     valCol: String, tsCol: String,
+                     halfLifeMicros: Long): DataFrame = {
+    require(halfLifeMicros > 0, s"bad halfLifeMicros=$halfLifeMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val prepared = events.select(col(keyCol).cast("long").as("k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("i"),
+        col(valCol).cast("double").as("v"))
+      .repartition(parts, col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("i"))
+      .as[(Long, Long, Long, Double)]
+    val hl = halfLifeMicros
+    prepared.mapPartitions { rows =>
+      var started = false
+      var curKey = 0L
+      var num = 0.0
+      var den = 0.0
+      var lastT = 0L
+      rows.map { case (key, t, id, v) =>
+        if (!started || key != curKey) {
+          started = true; curKey = key; num = v; den = 1.0; lastT = t
+        } else {
+          // whole half-lives since the previous event; 2^(−k) is exact,
+          // ·2^(−k) is an exponent shift — no mantissa rounding
+          val k = math.min((t - lastT) / hl, 2000L).toInt
+          val decay = java.lang.Math.scalb(1.0, -k)
+          num = v + num * decay
+          den = 1.0 + den * decay
+          lastT = t
+        }
+        (key, id, num / den)
+      }
+    }.toDF("key", "id", "ema_t")
+  }
+
   /** Largest-Triangle-Three-Buckets downsampling (ClickHouse
     * `largestTriangleThreeBuckets(n)`; Steinarsson 2013, public): per key,
     * reduce the (ts, y) series to `nBuckets` visually-representative
@@ -602,5 +656,38 @@ object Behavior {
       .groupBy(col("k"))
       .agg(sum(col("__len")).as("covered_micros"),
         count(lit(1)).as("n_islands"))
+  }
+
+  /** ClickHouse `maxIntersections` / `maxIntersectionsPosition`: the peak
+    * number of simultaneously-open spans per key, and the sweep position
+    * (integer micros) where that peak is FIRST reached. Spans are
+    * half-open `[t, t + dur)` — at a shared boundary the closing span
+    * closes before the opening one opens, so touching spans never count
+    * as concurrent and a zero-length span intersects nothing.
+    *
+    * The classic sweep stays distributed: every span contributes a +1
+    * delta at its start and a −1 at its end, the running delta sum over
+    * (point, delta) order is the live span count, and one grouped pass
+    * takes its max and the earliest point attaining it
+    * (`max_by(point, (active, −point))`). Ties in the window order are
+    * harmless: equal-delta rows at one point produce the same multiset of
+    * running sums whatever their order, and rows tying on
+    * (active, −point) carry the same point. ONE (key, point) shuffle,
+    * integer arithmetic throughout → exact on any engine.
+    */
+  def maxIntersections(events: DataFrame, keyCol: String, tsCol: String,
+                       durMicrosCol: Column): DataFrame = {
+    val s = graft.functions.TimeCols.micros(col(tsCol))
+    val starts = events.select(col(keyCol).as("k"), s.as("p"), lit(1L).as("delta"))
+    val ends = events.select(col(keyCol).as("k"),
+      (s + greatest(durMicrosCol, lit(0L))).as("p"), lit(-1L).as("delta"))
+    val byPoint = Window.partitionBy(col("k")).orderBy(col("p"), col("delta"))
+    starts.unionAll(ends)
+      .withColumn("__active",
+        sum(col("delta")).over(byPoint.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("k"))
+      .agg(max(col("__active")).as("max_concurrent"),
+        max_by(col("p"), struct(col("__active"), (-col("p")).as("np")))
+          .as("peak_at_micros"))
   }
 }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample hypothesis tests and association measures — the ClickHouse
+  * `studentTTest` / `welchTTest` / `mannWhitneyUTest` / `cramersV` family
+  * (reference target: the ClickHouse warehouse the mirror feeds;
+  * docker-compose.yml:38-53), re-expressed as single grouped Spark passes.
+  * These are the drift detectors a CDC mirror runs against its source: "did
+  * the value distribution of A/B arms diverge", "is event mix independent
+  * of hour-of-day".
+  *
+  * Cross-engine determinism strategy (the `lineitem_corr` decimal-moment
+  * pattern): every sum the shuffle performs is an exact int64 sum of
+  * integer-encoded values — cents, doubled ranks, tie cubes, cell counts —
+  * which is order-independent by construction; the statistic itself is one
+  * fixed scalar expression tree over those exact sums, so any IEEE-754
+  * engine reproduces the same doubles bit-for-bit. Nothing order-dependent
+  * is ever summed in floating point, which is what lets a DuckDB oracle
+  * hash-match the distributed answer.
+  *
+  * Scale shape: t-tests are ONE map-side-combined `groupBy(bucket)` over
+  * six conditional integer moments (state = 6 longs per bucket);
+  * Mann-Whitney compresses the log to the (bucket, distinct value) grain
+  * FIRST — one hash aggregation — and only then ranks, so the window sort
+  * is over distinct values, not rows; the contingency table aggregates
+  * once at cell grain and joins broadcast margins. No self-joins, no
+  * per-row windows over the raw log.
+  */
+object StatTests {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Student's (pooled) and Welch's (unpooled) two-sample t-test between
+    * rows matching `condA` and rows matching `condB`, per `bucket` —
+    * ClickHouse `studentTTest(value, sample_index)` /
+    * `welchTTest(value, sample_index)` with a GROUP BY.
+    *
+    * `cents` must be an integral-valued column (scaled measurements):
+    * the aggregation sums it and its square as exact int64 moments, then
+    * evaluates both statistics from the six moments. Means are reported on
+    * the cents scale / 100. Buckets where either side has < 2 samples, or
+    * where both sample variances vanish, are dropped (the statistic is
+    * undefined there).
+    */
+  def abTTest(events: DataFrame, bucket: Column, condA: Column, condB: Column,
+              cents: Column): DataFrame =
+    tStatsFromMoments(
+      events
+        .select(bucket.as("bucket"), condA.as("a"), condB.as("b"),
+          cents.cast("long").as("y"))
+        .where(col("a") || col("b"))
+        .groupBy(col("bucket"))
+        .agg(abMoments.head, abMoments.tail: _*))
+
+  /** The six conditional integer-moment aggregates (n, Σy, Σy² per arm)
+    * the t statistics derive from — exact int64 partial-aggregable sums,
+    * usable in a batch `groupBy` and, unchanged, in a watermarked
+    * streaming window aggregation (see `streaming/DriftStream`). Input
+    * frame must carry `a`, `b`, `y` columns.
+    */
+  def abMoments: Seq[Column] = Seq(
+    sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+    sum(when(col("a"), col("y")).otherwise(0L)).as("s1a"),
+    sum(when(col("a"), col("y") * col("y")).otherwise(0L)).as("s2a"),
+    sum(when(col("b"), 1L).otherwise(0L)).as("nb"),
+    sum(when(col("b"), col("y")).otherwise(0L)).as("s1b"),
+    sum(when(col("b"), col("y") * col("y")).otherwise(0L)).as("s2b"))
+
+  /** Evaluates both t statistics from a frame of exact integer moments
+    * (`na,s1a,s2a,nb,s1b,s2b`; any other columns pass through as the
+    * grouping identity) — the fixed scalar tree shared by the batch
+    * [[abTTest]] and the streaming drift monitor, so both paths agree by
+    * construction. Rows where either side has < 2 samples or a variance
+    * vanishes are dropped (the statistic is undefined there).
+    */
+  def tStatsFromMoments(moments: DataFrame): DataFrame = {
+    val momentCols = Set("na", "s1a", "s2a", "nb", "s1b", "s2b")
+    val keep = moments.columns.filterNot(momentCols).map(col).toSeq
+    val m = moments.where(col("na") >= 2 && col("nb") >= 2)
+    val na = d(col("na")); val nb = d(col("nb"))
+    val ma = d(col("s1a")) / na
+    val mb = d(col("s1b")) / nb
+    // sample variance from exact moments: (Σy² − (Σy)²/n) / (n−1), every
+    // operand an exact integer cast once to double
+    val va = (d(col("s2a")) - d(col("s1a")) * d(col("s1a")) / na) / (na - lit(1.0))
+    val vb = (d(col("s2b")) - d(col("s1b")) * d(col("s1b")) / nb) / (nb - lit(1.0))
+    val vna = va / na
+    val vnb = vb / nb
+    val se2 = vna + vnb
+    val welchT = (ma - mb) / sqrt(se2)
+    val welchDf = se2 * se2 /
+      (vna * vna / (na - lit(1.0)) + vnb * vnb / (nb - lit(1.0)))
+    val sp2 = ((na - lit(1.0)) * va + (nb - lit(1.0)) * vb) /
+      (na + nb - lit(2.0))
+    val studentT = (ma - mb) / sqrt(sp2 * (lit(1.0) / na + lit(1.0) / nb))
+    m.where(se2 > 0 && sp2 > 0)
+      .select(keep ++ Seq(col("na"), col("nb"),
+        round(ma / 100.0, 6).as("mean_a"),
+        round(mb / 100.0, 6).as("mean_b"),
+        round(welchT, 6).as("welch_t"),
+        round(welchDf, 6).as("welch_df"),
+        round(studentT, 6).as("student_t"),
+        (col("na") + col("nb") - 2L).as("student_df")): _*)
+  }
+
+  /** Mann-Whitney U rank-sum test (two-sided normal approximation with
+    * tie correction) between `condA` and `condB` rows per `bucket` —
+    * ClickHouse `mannWhitneyUTest(value, sample_index)` with a GROUP BY.
+    *
+    * Rank bookkeeping happens at the (bucket, distinct value) grain:
+    * doubled average ranks `2·r̄ = 2·(count before) + ties + 1` are exact
+    * integers, so the rank sum, U, and the tie term Σ(t³−t) are all exact
+    * int64 sums. `u1` is the U statistic of the A side (a half-integer);
+    * `z` is `(U₁ − n₁n₂/2) / σ` with
+    * `σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`. Buckets where either
+    * side is empty or σ = 0 (all values tied) are dropped.
+    */
+  def mannWhitneyU(events: DataFrame, bucket: Column, condA: Column,
+                   condB: Column, cents: Column): DataFrame = {
+    val perVal = events
+      .select(bucket.as("bucket"), condA.as("a"), condB.as("b"),
+        cents.cast("long").as("y"))
+      .where(col("a") || col("b"))
+      .groupBy(col("bucket"), col("y"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("cn", col("ca") + col("cb"))
+    val byY = Window.partitionBy(col("bucket")).orderBy(col("y"))
+    val cumBefore = coalesce(
+      sum(col("cn")).over(byY.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val agg = perVal
+      .withColumn("__r2", lit(2L) * cumBefore + col("cn") + lit(1L))
+      .groupBy(col("bucket"))
+      .agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+        sum(col("ca") * col("__r2")).as("r1x2"),
+        sum(col("cn") * col("cn") * col("cn") - col("cn")).as("tsum"))
+      .where(col("n1") >= 1 && col("n2") >= 1)
+    val n1 = d(col("n1")); val n2 = d(col("n2")); val n = n1 + n2
+    // U₁ = R₁ − n₁(n₁+1)/2, carried doubled to stay integral
+    val u1x2 = col("r1x2") - col("n1") * (col("n1") + lit(1L))
+    val u1 = d(u1x2) / 2.0
+    val sigma2 = n1 * n2 / lit(12.0) *
+      ((n + lit(1.0)) - d(col("tsum")) / (n * (n - lit(1.0))))
+    val z = (u1 - n1 * n2 / lit(2.0)) / sqrt(sigma2)
+    agg.where(sigma2 > 0)
+      .select(col("bucket"), col("n1"), col("n2"), u1.as("u1"),
+        round(z, 6).as("z"))
+  }
+
+  /** Pearson χ² contingency decomposition between two categorical
+    * columns — the table behind ClickHouse `cramersV(a, b)` /
+    * `theilsU(a, b)`, kept at cell grain so every output value is a fixed
+    * scalar expression over exact integer counts (a single summed χ² or V
+    * would order-depend on float addition across cells; the per-cell
+    * decomposition is deterministic AND more useful operationally — it
+    * shows WHICH cell drifted). Cramér's V is Σ chi2_term over this frame
+    * divided by n·(min(r,c)−1), square-rooted — see StatTestsSpec.
+    *
+    * One hash aggregation at cell grain; row/column margins re-aggregate
+    * from the cells (margin grain, tiny) and join back broadcast.
+    */
+  def contingencyChi2(events: DataFrame, rowC: Column, colC: Column): DataFrame = {
+    val cells = events.groupBy(rowC.as("r"), colC.as("c"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col("r")).agg(sum(col("observed")).as("rt"))
+    val colTot = cells.groupBy(col("c")).agg(sum(col("observed")).as("ct"))
+    val tot = cells.agg(sum(col("observed")).as("n"))
+    val expected = d(col("rt")) * d(col("ct")) / d(col("n"))
+    val dev = d(col("observed")) - expected
+    cells.join(broadcast(rowTot), "r").join(broadcast(colTot), "c")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("observed"),
+        round(expected, 6).as("expected"),
+        round(dev * dev / expected, 6).as("chi2_term"))
+  }
+}

@@ -457,6 +457,52 @@ class BehaviorSpec extends SparkSpec {
       Behavior.exponentialMovingAvg(df, "user_id", "event_id", "value", "t", 0.0))
   }
 
+  test("timeDecayedAvg: whole-half-life decay, restarts, no-gap degenerates to mean") {
+    val H = 3600L * 1000000
+    val df = Seq(
+      (1L, 10L, 10.0, ts("2024-01-01 00:00:00")),
+      (1L, 11L, 20.0, ts("2024-01-01 01:00:00")), // 1 half-life → d=0.5
+      (1L, 12L, 30.0, ts("2024-01-01 03:00:00")), // 2 half-lives → d=0.25
+      (2L, 20L, 7.0, ts("2024-01-01 00:00:00"))   // restart
+    ).toDF("user_id", "event_id", "value", "t")
+    val got = Behavior.timeDecayedAvg(df, "user_id", "event_id", "value",
+        "t", H)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // 10 → (20+10·.5)/(1+.5) = 25/1.5 → (30+25·.25)/(1+1.5·.25) = 36.25/1.375
+    assert(got((1L, 10L)) == 10.0)
+    assert(got((1L, 11L)) == 25.0 / 1.5)
+    assert(got((1L, 12L)) == 36.25 / 1.375)
+    assert(got((2L, 20L)) == 7.0)
+
+    // gaps shorter than a half-life decay by 2^0 = 1: the running MEAN
+    val dense = Seq(
+      (3L, 1L, 3.0, ts("2024-01-01 00:00:00")),
+      (3L, 2L, 6.0, ts("2024-01-01 00:10:00")),
+      (3L, 3L, 9.0, ts("2024-01-01 00:20:00"))
+    ).toDF("user_id", "event_id", "value", "t")
+    val m = Behavior.timeDecayedAvg(dense, "user_id", "event_id", "value",
+        "t", H)
+      .as[(Long, Long, Double)].collect().sortBy(_._2).map(_._3).toSeq
+    assert(m == Seq(3.0, 4.5, 6.0))
+
+    // partitioning invariance (bit-level)
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val rnd = new scala.util.Random(11)
+    val big = (1 to 400).map(i => (i % 7L, i.toLong,
+      rnd.nextDouble() * 100, ts("2024-01-01 00:00:00").getTime / 1000 +
+        rnd.nextInt(100000)))
+      .toDF("user_id", "event_id", "value", "secs")
+      .select(col("user_id"), col("event_id"), col("value"),
+        timestamp_seconds(col("secs")).as("t"))
+    def run(parts: Int) =
+      Behavior.timeDecayedAvg(big.repartition(parts), "user_id", "event_id",
+          "value", "t", H)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(1) == run(13))
+    intercept[IllegalArgumentException](
+      Behavior.timeDecayedAvg(df, "user_id", "event_id", "value", "t", 0L))
+  }
+
   test("lttbDownsample: keeps endpoints, picks max-area points, passes short series") {
     import org.apache.spark.sql.functions.col
     // epoch seconds 0..4 mapped onto timestamps; y integral by contract

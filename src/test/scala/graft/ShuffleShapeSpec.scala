@@ -48,8 +48,31 @@ class ShuffleShapeSpec extends SparkSpec {
   test("sequential per-key operators ride one key shuffle") {
     assert(shuffles(Behavior.exponentialMovingAvg(ev, "user_id", "event_id",
       "value", "ts", 0.5)) == 1)
+    assert(shuffles(Behavior.timeDecayedAvg(ev, "user_id", "event_id",
+      "value", "ts", H)) == 1)
     assert(shuffles(Behavior.lttbDownsample(ev, "event_type", "event_id",
       "ts", floor(col("value") * 100 + 0.5), 12)) == 1)
+  }
+
+  test("t-test moments fold in one map-side-combined grouped pass") {
+    assert(shuffles(graft.operators.StatTests.abTTest(ev,
+      expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"),
+      col("event_type") === "view", col("event_type") === "click",
+      floor(col("value") * 100 + 0.5))) == 1)
+  }
+
+  test("Mann-Whitney ranks distinct values, not rows: value-grain agg + one bucket window") {
+    // (bucket, y) aggregation, then the bucket window + final bucket agg
+    // share the bucket partitioning — budget 2, the raw log shuffles once
+    assert(shuffles(graft.operators.StatTests.mannWhitneyU(ev,
+      expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"),
+      col("event_type") === "view", col("event_type") === "click",
+      floor(col("value") * 100 + 0.5))) <= 2)
+  }
+
+  test("max-intersections sweep is one (key, point) shuffle plus the rollup") {
+    assert(shuffles(Behavior.maxIntersections(ev, "user_id", "ts",
+      floor(col("value") * lit(1000000.0)).cast("long"))) <= 2)
   }
 
   test("interval union: both window passes and the island agg share shuffles") {

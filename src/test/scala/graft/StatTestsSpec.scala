@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Behavior, StatTests}
+import org.apache.spark.sql.functions._
+
+class StatTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fixture: arm A = {10, 12, 14, 16}, arm B = {20, 24, 28} (cents),
+  // one bucket. Hand math:
+  //   n_a=4 mean_a=13 var_a = ((100+144+196+256) - 52²/4)/3 = (696-676)/3
+  //     = 20/3; n_b=3 mean_b=24 var_b = ((400+576+784) - 72²/3)/2
+  //     = (1760-1728)/2 = 16
+  //   welch: se2 = 20/12 + 16/3 = 7, t = -11/sqrt(7)
+  //   student: sp2 = (3·20/3 + 2·16)/5 = 52/5, t = -11/sqrt(52/5 · 7/12)
+  private val abRows = Seq(
+    (1L, "a", 10L), (1L, "a", 12L), (1L, "a", 14L), (1L, "a", 16L),
+    (1L, "b", 20L), (1L, "b", 24L), (1L, "b", 28L),
+    (1L, "x", 999L) // neither arm: must be ignored
+  ).toDF("bucket", "arm", "y")
+
+  test("abTTest matches hand-computed Welch and Student statistics") {
+    val r = StatTests.abTTest(abRows, col("bucket"),
+      col("arm") === "a", col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double, Long)]
+      .collect()
+    assert(r.length == 1)
+    val (_, na, nb, ma, mb, wt, wdf, st, sdf) = r.head
+    assert(na == 4 && nb == 3)
+    assert(ma == 0.13 && mb == 0.24) // cents/100
+    val se2 = 20.0 / 3 / 4 + 16.0 / 3
+    assert(math.abs(wt - (0.13 - 0.24) * 100 / math.sqrt(se2)) < 1e-6)
+    val vna = 20.0 / 3 / 4; val vnb = 16.0 / 3
+    val expectDf = se2 * se2 / (vna * vna / 3 + vnb * vnb / 2)
+    assert(math.abs(wdf - expectDf) < 1e-6)
+    val sp2 = (3 * (20.0 / 3) + 2 * 16.0) / 5
+    assert(math.abs(st - (-11.0) / math.sqrt(sp2 * (1.0 / 4 + 1.0 / 3))) < 1e-6)
+    assert(sdf == 5)
+  }
+
+  test("abTTest drops undefined buckets: tiny samples and zero variance") {
+    val bad = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "b", 21L), // n_a = 1
+      (2L, "a", 5L), (2L, "a", 5L), (2L, "b", 5L), (2L, "b", 5L) // var 0
+    ).toDF("bucket", "arm", "y")
+    val r = StatTests.abTTest(bad, col("bucket"),
+      col("arm") === "a", col("arm") === "b", col("y")).collect()
+    assert(r.isEmpty)
+  }
+
+  // Mann-Whitney with ties, hand-computed: A = {1, 2, 2}, B = {2, 3}.
+  // Sorted: 1(r=1), 2,2,2 (avg rank 3), 3 (r=5).
+  //   R1 = 1 + 3 + 3 = 7; U1 = 7 − 3·4/2 = 1
+  //   ties: one group of 3 → T = 27 − 3 = 24; n=5
+  //   σ² = (3·2/12)·((5+1) − 24/(5·4)) = 0.5·4.8 = 2.4
+  //   z = (1 − 3)/√2.4
+  test("mannWhitneyU matches hand-computed U and tie-corrected z") {
+    val rows = Seq(
+      (1L, "a", 1L), (1L, "a", 2L), (1L, "a", 2L),
+      (1L, "b", 2L), (1L, "b", 3L)
+    ).toDF("bucket", "arm", "y")
+    val r = StatTests.mannWhitneyU(rows, col("bucket"),
+      col("arm") === "a", col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.length == 1)
+    val (_, n1, n2, u1, z) = r.head
+    assert(n1 == 3 && n2 == 2)
+    assert(u1 == 1.0)
+    assert(math.abs(z - (1.0 - 3.0) / math.sqrt(2.4)) < 1e-6)
+  }
+
+  test("mannWhitneyU is invariant to partitioning and drops all-tied buckets") {
+    val rows = (1 to 40).map(i =>
+      (i % 3L, if (i % 2 == 0) "a" else "b", (i * 7 % 11).toLong)) ++
+      Seq((9L, "a", 5L), (9L, "b", 5L)) // bucket 9: every value tied → σ=0
+    val df1 = rows.toDF("bucket", "arm", "y").repartition(7)
+    val df2 = rows.toDF("bucket", "arm", "y").coalesce(1)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StatTests.mannWhitneyU(df, col("bucket"), col("arm") === "a",
+        col("arm") === "b", col("y"))
+        .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val a = run(df1)
+    assert(a == run(df2))
+    assert(!a.exists(_._1 == 9L), "all-tied bucket must be dropped")
+  }
+
+  test("contingencyChi2 cells recompose to the textbook Cramér's V") {
+    // 2×2 with known margins: rows (x: 30|10), (y: 20|40)
+    val rows = Seq.fill(30)(("x", 0L)) ++ Seq.fill(10)(("x", 1L)) ++
+      Seq.fill(20)(("y", 0L)) ++ Seq.fill(40)(("y", 1L))
+    val cells = StatTests.contingencyChi2(rows.toDF("r", "c"),
+      col("r"), col("c"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(cells.length == 4)
+    assert(cells.map(_._3).sum == 100)
+    // expected counts from margins: rt(x)=40, rt(y)=60, ct(0)=50, ct(1)=50
+    val byCell = cells.map(c => (c._1, c._2) -> c).toMap
+    assert(byCell(("x", 0L))._4 == 20.0 && byCell(("y", 1L))._4 == 30.0)
+    val chi2 = cells.map(_._5).sum
+    // hand χ²: Σ(o−e)²/e = 100/20+100/20+100/30+100/30 = 50/3
+    assert(math.abs(chi2 - 50.0 / 3) < 1e-4)
+    val v = math.sqrt(chi2 / (100.0 * (math.min(2, 2) - 1)))
+    assert(math.abs(v - math.sqrt(1.0 / 6)) < 1e-4)
+  }
+
+  test("maxIntersections: overlap peak, first-attained position, half-open ends") {
+    val spans = Seq(
+      // key 1: [0,10), [5,15), [10,20) → peak 2 first at t=5
+      (1L, 0L, 10L), (1L, 5L, 10L), (1L, 10L, 10L),
+      // key 2: touching spans never overlap: [0,5), [5,5) zero-len, [5,10)
+      (2L, 0L, 5L), (2L, 5L, 0L), (2L, 5L, 5L),
+      // key 3: three nested spans → peak 3 at the innermost start
+      (3L, 0L, 100L), (3L, 10L, 50L), (3L, 20L, 10L)
+    ).toDF("k", "start_us", "dur_us")
+      .select(col("k"), timestamp_micros(col("start_us")).as("t"), col("dur_us"))
+    val r = Behavior.maxIntersections(spans, "k", "t", col("dur_us"))
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(1L) == (2L, 5L), s"got ${r(1L)}")
+    assert(r(2L) == (1L, 0L), s"touching spans must not stack: ${r(2L)}")
+    assert(r(3L) == (3L, 20L), s"got ${r(3L)}")
+  }
+
+  test("maxIntersections is partitioning-invariant") {
+    val rnd = new scala.util.Random(7)
+    val spans = (1 to 300).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong))
+    def run(np: Int) = {
+      val df = spans.toDF("k", "s", "d")
+        .repartition(np)
+        .select(col("k"), timestamp_micros(col("s")).as("t"), col("d"))
+      Behavior.maxIntersections(df, "k", "t", col("d"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(run(1) == run(13))
+  }
+}
