@@ -18,9 +18,28 @@ import org.apache.spark.sql.functions._
   *                   serial / updated-at-epoch analog); the incremental tail
   *                   polls `versionCol > watermark`
   * @param nBuckets   hash-bucket count of the parquet mirror layout
+  * @param excludeCols columns the mirror must NOT carry (PeerDB's per-table
+  *                   `exclude` mapping — PII/bulk columns kept out of the
+  *                   replica). Dropped from every snapshot/poll delta
+  *                   before stamping, so excluded data never lands on
+  *                   disk. Keys and the version column cannot be excluded
+  *                   (the capture contract needs them) — rejected loudly.
+  *                   Matched case-insensitively (JDBC dialects fold
+  *                   identifier case).
   */
 case class TableConfig(table: String, keys: Seq[String], versionCol: String,
-                       nBuckets: Int = 64)
+                       nBuckets: Int = 64, excludeCols: Seq[String] = Nil) {
+  require(!excludeCols.exists(e => keys.exists(_.equalsIgnoreCase(e))),
+    s"cannot exclude key column(s): ${excludeCols.mkString(",")}")
+  require(!excludeCols.exists(_.equalsIgnoreCase(versionCol)),
+    s"cannot exclude the version column $versionCol")
+
+  /** The source frame minus the excluded columns (no-op when none). */
+  def applyExclusions(df: DataFrame): DataFrame =
+    if (excludeCols.isEmpty) df
+    else df.drop(df.columns.filter(c =>
+      excludeCols.exists(_.equalsIgnoreCase(c))).toIndexedSeq: _*)
+}
 
 /** Polling incremental capture: the watermark/sequence-column change tail
   * that the reference's flow-worker runs continuously against the WAL
@@ -162,14 +181,20 @@ object Incremental {
     * copy is complete. Only the very first load of an empty directory uses
     * a plain overwrite bootstrap.
     */
-  def snapshot(source: DataFrame, cfg: TableConfig, mirrorDir: String,
+  def snapshot(rawSource: DataFrame, cfg: TableConfig, mirrorDir: String,
                isDelete: Column = lit(false),
-               syncedAt: Column = current_timestamp()): SyncState = {
+               syncedAt: Column = current_timestamp(),
+               watermarkOverride: Option[Long] = None): SyncState = {
+    val source = cfg.applyExclusions(rawSource)
     val spark = source.sparkSession
-    val wm = source.agg(max(col(cfg.versionCol).cast("long"))).collect()(0) match {
-      case r if r.isNullAt(0) => Long.MinValue // empty source
-      case r => r.getLong(0)
-    }
+    // an override LOWER than the loaded data's max (the parallel-JDBC
+    // path's pre-read probe) is deliberate: the first poll then re-reads
+    // anything that moved during the load — heal-forward consistency
+    val wm = watermarkOverride.getOrElse(
+      source.agg(max(col(cfg.versionCol).cast("long"))).collect()(0) match {
+        case r if r.isNullAt(0) => Long.MinValue // empty source
+        case r => r.getLong(0)
+      })
     val stamped =
       CdcOps.withMirrorMeta(source, cfg.keys, cfg.versionCol, isDelete, lit(0L), syncedAt)
         .withColumn("bucket", pmod(hash(cfg.keys.map(col): _*), lit(cfg.nBuckets)))
@@ -252,9 +277,10 @@ object Incremental {
     * the stored watermark into the mirror, advance the watermark. A poll
     * with no new rows leaves the mirror and watermark untouched.
     */
-  def poll(source: DataFrame, cfg: TableConfig, mirrorDir: String,
+  def poll(rawSource: DataFrame, cfg: TableConfig, mirrorDir: String,
            isDelete: Column = lit(false),
            syncedAt: Column = current_timestamp()): PollResult = {
+    val source = cfg.applyExclusions(rawSource)
     val spark = source.sparkSession
     val st0 = readState(spark, mirrorDir).getOrElse(
       throw new IllegalStateException(
@@ -604,6 +630,74 @@ object Incremental {
     spark.read.jdbc(url,
       s"(SELECT * FROM $table WHERE $seqCol > $watermark) graft_incr",
       connectionProps)
+
+  /** One-row probe backing [[jdbcSnapshotPartitioned]]: key-range bounds of
+    * `partCol` and the capture watermark, all computed INSIDE the database
+    * (one aggregate query) BEFORE any chunk reads — freezing the watermark
+    * first is what makes the parallel snapshot heal-forward consistent.
+    * `empty` marks a row-less table (bounds meaningless).
+    */
+  case class SnapshotBounds(lower: Long, upper: Long, watermark: Long,
+                            empty: Boolean)
+
+  def probeSnapshotBounds(spark: SparkSession, url: String, table: String,
+                          partCol: String, versionCol: String,
+                          connectionProps: java.util.Properties = new java.util.Properties()): SnapshotBounds = {
+    val row = spark.read.jdbc(url,
+        s"(SELECT MIN($partCol) AS mn, MAX($partCol) AS mx, " +
+          s"MAX($versionCol) AS wm FROM $table) graft_snap_probe",
+        connectionProps)
+      .selectExpr("CAST(mn AS BIGINT)", "CAST(mx AS BIGINT)",
+        "CAST(wm AS BIGINT)")
+      .collect()(0)
+    if (row.isNullAt(0)) SnapshotBounds(0L, 0L, Long.MinValue, empty = true)
+    else SnapshotBounds(row.getLong(0), row.getLong(1), row.getLong(2),
+      empty = false)
+  }
+
+  /** PeerDB-style PARALLEL initial snapshot over JDBC — the reference's
+    * snapshot phase reads the source in concurrent key-range chunks
+    * (PeerDB's `snapshot_num_rows_per_partition` / parallel snapshot
+    * workers; quickstart_prepare_peers.sh relies on it for the initial
+    * copy of customers/products/orders), then tails changes from a
+    * consistent point. `chunks` concurrent range queries on `partCol` (a
+    * numeric key column) stream the table into the bucketed mirror;
+    * Spark's partitioned JDBC scan leaves the first/last ranges unbounded,
+    * so every key is covered whatever the bound staleness.
+    *
+    * Consistency contract — HEAL-FORWARD, not point-in-time: plain JDBC
+    * has no exported-snapshot transaction to pin all chunks to one LSN
+    * (PeerDB pins chunks to a replication-slot snapshot; that is the one
+    * capture semantic a sidecar-less JDBC path cannot replicate), so
+    * instead the capture watermark is frozen BEFORE any chunk reads
+    * ([[probeSnapshotBounds]]). A row mutated while chunks stream may be
+    * captured torn (chunk A pre-image, chunk B post-image — whichever its
+    * range read saw), but its version is > the frozen watermark, so the
+    * FIRST [[poll]] re-captures it and the newest-version FINAL merge
+    * heals the mirror; rows deleted mid-snapshot heal on the first
+    * [[reconcileDeletes]] round. The mirror is exactly consistent from
+    * the first poll onward — the same "target flips correct once the tail
+    * catches up" contract the reference's resync documents.
+    *
+    * `probed` injects a pre-computed probe (tests reproduce the
+    * mid-snapshot mutation window deterministically with it); production
+    * callers omit it.
+    */
+  def jdbcSnapshotPartitioned(spark: SparkSession, url: String,
+                              cfg: TableConfig, mirrorDir: String,
+                              partCol: String, chunks: Int,
+                              connectionProps: java.util.Properties = new java.util.Properties(),
+                              probed: Option[SnapshotBounds] = None): SyncState = {
+    require(chunks >= 1, s"bad chunks=$chunks")
+    val b = probed.getOrElse(probeSnapshotBounds(spark, url, cfg.table,
+      partCol, cfg.versionCol, connectionProps))
+    val source =
+      if (b.empty) spark.read.jdbc(url, cfg.table, connectionProps)
+      else spark.read.jdbc(url, cfg.table, partCol, b.lower, b.upper,
+        chunks, connectionProps)
+    snapshot(source, cfg, mirrorDir,
+      watermarkOverride = Some(if (b.empty) Long.MinValue else b.watermark))
+  }
 }
 
 /** Config-driven multi-table mirror orchestration — the reference mirrors a

@@ -332,4 +332,98 @@ class JdbcCaptureSpec extends SparkSpec {
       .select("lag_rows", "sync_status").as[(Long, String)].collect()(0)
     assert(synced == ((0L, "SYNCED")))
   }
+
+  test("jdbcSnapshotPartitioned: chunked parallel load, correct mirror, frozen watermark") {
+    mkTable("psnap_t", (1L to 97L).map(i => (i, i, s"s$i")))
+    val dir = Files.createTempDirectory("graft_psnap").toString + "/psnap_t"
+    val cfg = TableConfig("psnap_t", Seq("ID"), "SEQ", nBuckets = 4)
+
+    // the probe computes bounds + watermark inside the database
+    val b = Incremental.probeSnapshotBounds(spark, url, "psnap_t", "id", "seq", props)
+    assert(b == Incremental.SnapshotBounds(1L, 97L, 97L, empty = false))
+
+    // the partitioned scan really is chunked: Spark plans `chunks` range
+    // partitions over the key column
+    val chunked = spark.read.jdbc(url, "psnap_t", "id", b.lower, b.upper, 4, props)
+    assert(chunked.rdd.getNumPartitions == 4)
+
+    val st = Incremental.jdbcSnapshotPartitioned(spark, url, cfg, dir, "id", 4, props)
+    assert(st.watermark == 97L)
+    val fin = graft.sources.Mirror.readFinal(spark, dir, "ID")
+      .select("ID", "SEQ", "PAYLOAD").as[(Long, Long, String)].collect().toSet
+    assert(fin == (1L to 97L).map(i => (i, i, s"s$i")).toSet)
+
+    // and the tail continues exactly from the frozen watermark
+    exec("INSERT INTO psnap_t VALUES (98, 98, 's98')")
+    val r = Incremental.poll(jdbcTable("psnap_t"), cfg, dir)
+    assert(r.rowsSynced == 1L && r.state.watermark == 98L)
+  }
+
+  test("jdbcSnapshotPartitioned heals a mid-snapshot mutation at the first poll") {
+    mkTable("torn_t", (1L to 30L).map(i => (i, i, s"t$i")))
+    val dir = Files.createTempDirectory("graft_torn").toString + "/torn_t"
+    val cfg = TableConfig("torn_t", Seq("ID"), "SEQ", nBuckets = 4)
+
+    // freeze the probe, THEN mutate — deterministically reproducing a row
+    // that changes while the chunk reads stream (the torn-snapshot window)
+    val b = Incremental.probeSnapshotBounds(spark, url, "torn_t", "id", "seq", props)
+    exec("UPDATE torn_t SET seq = 40, payload = 'torn-post' WHERE id = 7",
+      "INSERT INTO torn_t VALUES (31, 41, 'mid-insert')")
+
+    val st = Incremental.jdbcSnapshotPartitioned(spark, url, cfg, dir, "id", 3,
+      props, probed = Some(b))
+    // the chunk reads saw the post-images, but the watermark stayed frozen
+    // at the pre-mutation probe — so the mutations are still "in the tail"
+    assert(st.watermark == 30L)
+
+    // first poll re-captures both mutated rows; the FINAL merge heals any
+    // torn chunk images (newest version wins, replay is idempotent)
+    val r = Incremental.poll(jdbcTable("torn_t"), cfg, dir)
+    assert(r.rowsSynced == 2L && r.state.watermark == 41L)
+    val fin = graft.sources.Mirror.readFinal(spark, dir, "ID")
+      .select("ID", "SEQ", "PAYLOAD").as[(Long, Long, String)].collect().toSet
+    val truth = jdbcRows(url, "SELECT id, seq, payload FROM torn_t")(x =>
+      (x.getLong(1), x.getLong(2), x.getString(3))).toSet
+    assert(fin == truth)
+  }
+
+  test("jdbcSnapshotPartitioned of an empty table bootstraps a pollable mirror") {
+    exec("CREATE TABLE empty_t (id BIGINT PRIMARY KEY, seq BIGINT NOT NULL, " +
+      "payload VARCHAR(64))")
+    val dir = Files.createTempDirectory("graft_esnap").toString + "/empty_t"
+    val cfg = TableConfig("empty_t", Seq("ID"), "SEQ", nBuckets = 2)
+    val st = Incremental.jdbcSnapshotPartitioned(spark, url, cfg, dir, "id", 4, props)
+    assert(st.watermark == Long.MinValue)
+    exec("INSERT INTO empty_t VALUES (1, 1, 'first')")
+    val r = Incremental.poll(jdbcTable("empty_t"), cfg, dir)
+    assert(r.rowsSynced == 1L && r.state.watermark == 1L)
+  }
+
+  test("excludeCols keeps PII columns out of the mirror across snapshot and poll") {
+    exec("CREATE TABLE excl_t (id BIGINT PRIMARY KEY, seq BIGINT NOT NULL, " +
+      "payload VARCHAR(64), ssn VARCHAR(16))",
+      "INSERT INTO excl_t VALUES (1, 1, 'p1', '111-11-1111')",
+      "INSERT INTO excl_t VALUES (2, 2, 'p2', '222-22-2222')")
+    val dir = Files.createTempDirectory("graft_excl").toString + "/excl_t"
+    // case-insensitive match: Derby folds to SSN, the config says ssn
+    val cfg = TableConfig("excl_t", Seq("ID"), "SEQ", nBuckets = 2,
+      excludeCols = Seq("ssn"))
+    Incremental.snapshot(jdbcTable("excl_t"), cfg, dir)
+    val snapCols = graft.sources.Mirror.readFinal(spark, dir, "ID").columns
+    assert(!snapCols.exists(_.equalsIgnoreCase("ssn")),
+      s"excluded column landed on disk: ${snapCols.mkString(",")}")
+
+    exec("INSERT INTO excl_t VALUES (3, 3, 'p3', '333-33-3333')")
+    val r = Incremental.poll(jdbcTable("excl_t"), cfg, dir)
+    assert(r.rowsSynced == 1L)
+    val fin = graft.sources.Mirror.readFinal(spark, dir, "ID")
+    assert(!fin.columns.exists(_.equalsIgnoreCase("ssn")))
+    assert(fin.select("ID").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    // the capture contract cannot be excluded away
+    intercept[IllegalArgumentException](
+      TableConfig("excl_t", Seq("ID"), "SEQ", excludeCols = Seq("id")))
+    intercept[IllegalArgumentException](
+      TableConfig("excl_t", Seq("ID"), "SEQ", excludeCols = Seq("SEQ")))
+  }
 }
