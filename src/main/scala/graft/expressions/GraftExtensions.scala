@@ -18,7 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `int8_cosine_sim(codes, vec)`, `media_info(payload)`, and the behavior
   * aggregates `window_funnel(w_us, ts, cond…)`, `sequence_match(gap_us,
   * ts, cond…)`, `sequence_level(gap_us, ts, cond…)`, `retention(cond…)`
-  * ([[BehaviorAggregates]]).
+  * ([[BehaviorAggregates]]), and the stat tests `welch_ttest` /
+  * `student_ttest` / `mann_whitney_u` (y, cond_a, cond_b) with real
+  * p-values (StatAggregates.scala, [[StatMath]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -109,6 +111,29 @@ object GraftExtensions {
         require(args.size >= 2, "retention: need at least two condition arguments")
         require(args.size <= 62, "retention: at most 62 conditions supported")
         RetentionAgg(args)
+      }),
+    // the ClickHouse stat-test call shapes (conditions instead of a 0/1
+    // sample index; integral-valued y):
+    //   welch_ttest(y, cond_a, cond_b)    — struct(t, df, p_value)
+    //   student_ttest(y, cond_a, cond_b)  — struct(t, df, p_value)
+    //   mann_whitney_u(y, cond_a, cond_b) — struct(u1, z, p_value)
+    (FunctionIdentifier("welch_ttest"),
+      new ExpressionInfo(classOf[WelchTTestAgg].getName, "welch_ttest"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "welch_ttest: need (y, cond_a, cond_b)")
+        WelchTTestAgg(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("student_ttest"),
+      new ExpressionInfo(classOf[StudentTTestAgg].getName, "student_ttest"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "student_ttest: need (y, cond_a, cond_b)")
+        StudentTTestAgg(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("mann_whitney_u"),
+      new ExpressionInfo(classOf[MannWhitneyUAgg].getName, "mann_whitney_u"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "mann_whitney_u: need (y, cond_a, cond_b)")
+        MannWhitneyUAgg(args(0), args(1), args(2))
       }))
 
   /** Shared argument validation of the chain aggregates (construction-time,

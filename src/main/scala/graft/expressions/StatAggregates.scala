@@ -1,0 +1,305 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.types._
+
+/** Special-function kernel behind the SQL stat aggregates' p-values —
+  * standard public formulas (Lanczos log-Γ; the regularized incomplete
+  * beta via its modified-Lentz continued fraction; the A&S 7.1.26 erfc
+  * bound for the normal tail), implemented from the math, not from any
+  * library source. Accuracy: the beta CF converges to ~1e-14 relative;
+  * erfc7126 is ~1.5e-7 absolute — both far inside what a p-value is used
+  * for. StatAggregatesSpec pins closed-form anchors (t with 1 df is
+  * Cauchy, with 2 df has an elementary CDF; the large-df limit is
+  * normal).
+  */
+object StatMath {
+
+  // Lanczos approximation, g = 7, 9 coefficients (public constants)
+  private val lanczos = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  def logGamma(xIn: Double): Double = {
+    require(xIn > 0, s"logGamma domain: $xIn")
+    val x = xIn - 1.0
+    var a = lanczos(0)
+    var i = 1
+    while (i < lanczos.length) { a += lanczos(i) / (x + i); i += 1 }
+    val t = x + 7.5
+    0.5 * math.log(2 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+  }
+
+  /** The continued fraction of the incomplete beta (modified Lentz). */
+  private def betaCf(x: Double, a: Double, b: Double): Double = {
+    val tiny = 1e-300
+    var c = 1.0
+    var d = 1.0 - (a + b) * x / (a + 1.0)
+    if (math.abs(d) < tiny) d = tiny
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= 300) {
+      val m2 = 2 * m
+      // even step: d_{2m} = m(b−m)x / ((a+2m−1)(a+2m))
+      var aa = m * (b - m) * x / ((a + m2 - 1.0) * (a + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + aa / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      h *= d * c
+      // odd step: d_{2m+1} = −(a+m)(a+b+m)x / ((a+2m)(a+2m+1))
+      aa = -(a + m) * (a + b + m) * x / ((a + m2) * (a + m2 + 1.0))
+      d = 1.0 + aa * d
+      if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + aa / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < 1e-14) return h
+      m += 1
+    }
+    h // converged enough for any p-value use
+  }
+
+  /** Regularized incomplete beta I_x(a, b). */
+  def regIncBeta(x: Double, a: Double, b: Double): Double = {
+    if (x <= 0) return 0.0
+    if (x >= 1) return 1.0
+    val lnBt = logGamma(a + b) - logGamma(a) - logGamma(b) +
+      a * math.log(x) + b * math.log(1.0 - x)
+    val bt = math.exp(lnBt)
+    if (x < (a + 1.0) / (a + b + 2.0)) bt * betaCf(x, a, b) / a
+    else 1.0 - bt * betaCf(1.0 - x, b, a) / b
+  }
+
+  /** Two-sided p-value of Student's t with `df` degrees of freedom:
+    * `I_{df/(df+t²)}(df/2, 1/2)`.
+    */
+  def tTwoSidedP(t: Double, df: Double): Double =
+    if (df <= 0 || t.isNaN) Double.NaN
+    else regIncBeta(df / (df + t * t), df / 2.0, 0.5)
+
+  /** erfc via Abramowitz & Stegun 7.1.26 (~1.5e-7 absolute). */
+  def erfc(x: Double): Double = {
+    val z = math.abs(x)
+    val t = 1.0 / (1.0 + 0.5 * z)
+    val ans = t * math.exp(-z * z - 1.26551223 + t * (1.00002368 +
+      t * (0.37409196 + t * (0.09678418 + t * (-0.18628806 +
+        t * (0.27886807 + t * (-1.13520398 + t * (1.48851587 +
+          t * (-0.82215223 + t * 0.17087277)))))))))
+    if (x >= 0) ans else 2.0 - ans
+  }
+
+  /** Two-sided p of a standard-normal z. */
+  def zTwoSidedP(z: Double): Double = erfc(math.abs(z) / math.sqrt(2.0))
+}
+
+/** Shared moment bookkeeping of the two-sample t SQL aggregates: six
+  * exact int64 sums (n, Σy, Σy² per arm) — the same moments as
+  * [[graft.operators.StatTests.abMoments]], so SQL and DataFrame paths
+  * agree by construction. Rows where `y` is null or neither arm holds
+  * are ignored; a row matching BOTH arms counts in both (caller's
+  * conditions decide).
+  */
+abstract class TTestAgg extends TypedImperativeAggregate[Array[Long]] {
+  def y: Expression
+  def isA: Expression
+  def isB: Expression
+  def welch: Boolean
+
+  override def children: Seq[Expression] = Seq(y, isA, isB)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("t", DoubleType), StructField("df", DoubleType),
+    StructField("p_value", DoubleType)))
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](6)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val yv = y.eval(input)
+    if (yv != null) {
+      val v = yv.asInstanceOf[Number].longValue()
+      if (isA.eval(input) == true) {
+        buf(0) += 1; buf(1) += v; buf(2) += v * v
+      }
+      if (isB.eval(input) == true) {
+        buf(3) += 1; buf(4) += v; buf(5) += v * v
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 6) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(48)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(6)(bb.getLong)
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val na = buf(0).toDouble; val nb = buf(3).toDouble
+    if (buf(0) < 2 || buf(3) < 2) return null
+    val ma = buf(1) / na; val mb = buf(4) / nb
+    val va = (buf(2) - buf(1).toDouble * buf(1) / na) / (na - 1.0)
+    val vb = (buf(5) - buf(4).toDouble * buf(4) / nb) / (nb - 1.0)
+    val (t, df) =
+      if (welch) {
+        val vna = va / na; val vnb = vb / nb
+        val se2 = vna + vnb
+        if (se2 <= 0) return null
+        ((ma - mb) / math.sqrt(se2),
+          se2 * se2 / (vna * vna / (na - 1.0) + vnb * vnb / (nb - 1.0)))
+      } else {
+        val sp2 = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+        if (sp2 <= 0) return null
+        ((ma - mb) / math.sqrt(sp2 * (1.0 / na + 1.0 / nb)), na + nb - 2.0)
+      }
+    new GenericInternalRow(Array[Any](t, df, StatMath.tTwoSidedP(t, df)))
+  }
+}
+
+/** `welch_ttest(y, cond_a, cond_b)` → struct(t, df, p_value) — the
+  * ClickHouse `welchTTest(value, sample_index)` call shape (conditions
+  * instead of a 0/1 index; `y` integral-valued). NULL when a side has
+  * < 2 samples or the variance vanishes.
+  */
+case class WelchTTestAgg(y: Expression, isA: Expression, isB: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0) extends TTestAgg {
+  override def welch: Boolean = true
+  override def prettyName: String = "welch_ttest"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(y = newChildren(0), isA = newChildren(1), isB = newChildren(2))
+}
+
+/** `student_ttest(y, cond_a, cond_b)` → struct(t, df, p_value) — the
+  * pooled-variance ClickHouse `studentTTest` shape.
+  */
+case class StudentTTestAgg(y: Expression, isA: Expression, isB: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0) extends TTestAgg {
+  override def welch: Boolean = false
+  override def prettyName: String = "student_ttest"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(y = newChildren(0), isA = newChildren(1), isB = newChildren(2))
+}
+
+/** `mann_whitney_u(y, cond_a, cond_b)` → struct(u1, z, p_value) — the
+  * ClickHouse `mannWhitneyUTest` call shape. Buffers the group's
+  * (y, arm) pairs (16 bytes per arm row — ClickHouse's own cost class
+  * for this test; the value-grain library operator
+  * [[graft.operators.StatTests.mannWhitneyU]] is the whole-log scale
+  * path), sorts at eval, average ranks with ties, tie-corrected normal
+  * approximation. NULL when a side is empty or every value ties.
+  */
+case class MannWhitneyUAgg(y: Expression, isA: Expression, isB: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+
+  override def children: Seq[Expression] = Seq(y, isA, isB)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("u1", DoubleType), StructField("z", DoubleType),
+    StructField("p_value", DoubleType)))
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] = new ArrayBuffer[Long]()
+
+  override def update(buf: ArrayBuffer[Long], input: InternalRow): ArrayBuffer[Long] = {
+    val yv = y.eval(input)
+    if (yv != null) {
+      val v = yv.asInstanceOf[Number].longValue()
+      val a = isA.eval(input) == true
+      val b = isB.eval(input) == true
+      if (a) buf += v += 0L
+      if (b) buf += v += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[Long], other: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    buf ++= other
+    buf
+  }
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] =
+    BehaviorAggregates.serializeBuffer(buf)
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] =
+    BehaviorAggregates.deserializeBuffer(bytes)
+
+  override def eval(buf: ArrayBuffer[Long]): Any = {
+    val n = buf.length / 2
+    if (n == 0) return null
+    val order = Array.range(0, n).sortBy(i => buf(2 * i))
+    var n1 = 0L; var n2 = 0L
+    var r1x2 = 0L // doubled rank sum of arm A
+    var tieSum = 0L // Σ(t³ − t)
+    var i = 0
+    var rankBefore = 0L
+    while (i < n) {
+      val v = buf(2 * order(i))
+      var j = i
+      var ca = 0L; var cb = 0L
+      while (j < n && buf(2 * order(j)) == v) {
+        if (buf(2 * order(j) + 1) == 0L) ca += 1 else cb += 1
+        j += 1
+      }
+      val cn = ca + cb
+      val r2 = 2 * rankBefore + cn + 1 // doubled average rank of this value
+      r1x2 += ca * r2
+      tieSum += cn * cn * cn - cn
+      n1 += ca; n2 += cb
+      rankBefore += cn
+      i = j
+    }
+    if (n1 == 0 || n2 == 0) return null
+    val u1 = (r1x2 - n1 * (n1 + 1)).toDouble / 2.0
+    val n1d = n1.toDouble; val n2d = n2.toDouble; val nd = n1d + n2d
+    val sigma2 = n1d * n2d / 12.0 *
+      ((nd + 1.0) - tieSum / (nd * (nd - 1.0)))
+    if (sigma2 <= 0) return null
+    val z = (u1 - n1d * n2d / 2.0) / math.sqrt(sigma2)
+    new GenericInternalRow(Array[Any](u1, z, StatMath.zTwoSidedP(z)))
+  }
+
+  override def prettyName: String = "mann_whitney_u"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(y = newChildren(0), isA = newChildren(1), isB = newChildren(2))
+}

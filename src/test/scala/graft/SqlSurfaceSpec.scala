@@ -128,4 +128,67 @@ class SqlSurfaceSpec extends SparkSpec {
                    FROM sql_surface_events""").collect()
     }
   }
+
+  test("stat-test SQL aggregates equal the library operators and carry real p-values") {
+    import graft.operators.StatTests
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    val rnd = new scala.util.Random(99)
+    val rows = for (i <- 1 to 500) yield
+      (i % 6L, if (rnd.nextBoolean()) "a" else "b",
+        (rnd.nextInt(40) + (i % 6) * 3).toLong) // coarse values force rank ties
+    val df = rows.toDF("bucket", "arm", "y").repartition(7)
+    df.createOrReplaceTempView("stat_events")
+    val sql = spark.sql(
+      """SELECT bucket,
+                welch_ttest(y, arm = 'a', arm = 'b') AS w,
+                student_ttest(y, arm = 'a', arm = 'b') AS s,
+                mann_whitney_u(y, arm = 'a', arm = 'b') AS m
+         FROM stat_events GROUP BY bucket""")
+      .selectExpr("bucket", "w.t", "w.df", "w.p_value", "s.t", "s.df",
+        "s.p_value", "m.u1", "m.z", "m.p_value")
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+
+    val lib = StatTests.abTTest(df, col("bucket"), col("arm") === "a",
+        col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val mw = StatTests.mannWhitneyU(df, col("bucket"), col("arm") === "a",
+        col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+
+    assert(sql.keySet == lib.keySet && sql.keySet == mw.keySet)
+    sql.foreach { case (k, r) =>
+      val l = lib(k)
+      assert(math.abs(r._2 - l._6) < 1e-6, s"welch t bucket $k") // lib rounds 6dp
+      assert(math.abs(r._3 - l._7) < 1e-6, s"welch df bucket $k")
+      assert(math.abs(r._5 - l._8) < 1e-6, s"student t bucket $k")
+      assert(r._6 == l._9.toDouble, s"student df bucket $k")
+      val m = mw(k)
+      assert(r._8 == m._4, s"u1 bucket $k") // exact half-integer
+      assert(math.abs(r._9 - m._5) < 1e-6, s"z bucket $k")
+      // p-values are genuine probabilities, consistent with their statistic
+      assert(r._4 > 0 && r._4 <= 1 && r._7 > 0 && r._7 <= 1 && r._10 > 0 && r._10 <= 1)
+      assert(math.abs(r._4 -
+        graft.expressions.StatMath.tTwoSidedP(r._2, r._3)) < 1e-12)
+    }
+  }
+
+  test("stat-test SQL aggregates return NULL for undefined groups") {
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    Seq((1L, "a", 10L), (1L, "b", 20L), (1L, "b", 30L)) // n_a = 1
+      .toDF("bucket", "arm", "y").createOrReplaceTempView("stat_tiny")
+    val r = spark.sql(
+      """SELECT welch_ttest(y, arm = 'a', arm = 'b') AS w,
+                student_ttest(y, arm = 'a', arm = 'b') AS s
+         FROM stat_tiny GROUP BY bucket""").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // all-tied values: z undefined -> NULL
+    Seq((1L, "a", 5L), (1L, "a", 5L), (1L, "b", 5L))
+      .toDF("bucket", "arm", "y").createOrReplaceTempView("stat_tied")
+    val m = spark.sql(
+      """SELECT mann_whitney_u(y, arm = 'a', arm = 'b') AS m
+         FROM stat_tied GROUP BY bucket""").collect()(0)
+    assert(m.isNullAt(0))
+  }
 }
