@@ -36,6 +36,10 @@ object NativeFunctions {
   def rollingFingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     bridge.column(RollingFingerprint(bridge.expression(text), k, w))
 
+  /** Hashed char-bigram DSIR feature buckets — one linear code-point pass. */
+  def charBigramBuckets(text: Column, buckets: Int): Column =
+    bridge.column(CharBigramBuckets(bridge.expression(text), buckets))
+
   /** One-pass cosine similarity of two `array<float|double>` columns. */
   def cosineSim(a: Column, b: Column): Column =
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))

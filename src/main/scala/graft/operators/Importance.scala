@@ -49,18 +49,23 @@ object Importance {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 64): DataFrame = {
     require(buckets >= 2, s"need at least 2 feature buckets, got $buckets")
+    // feature extraction is the native one-pass CharBigramBuckets kernel —
+    // code-point-identical to the declarative ascii(substring(…)) form the
+    // oracle uses, but O(len) instead of O(len²) per document
     val feats = docs
       .where(length(col(textCol)) >= 2)
       .select(col(idCol).as("doc_id"), isTarget.as("tgt"),
-        explode(expr(
-          s"transform(sequence(1, length($textCol) - 1), i -> " +
-            s"(ascii(substring($textCol, i, 1)) * 131 + " +
-            s"ascii(substring($textCol, i + 1, 1))) % $buckets)")).as("b"))
-    val perDoc = feats.groupBy(col("doc_id"), col("b"))
+        explode(graft.expressions.NativeFunctions.charBigramBuckets(
+          col(textCol), buckets)).as("b"))
+    // the (doc, bucket) grain is the ONLY aggregation of the exploded
+    // stream; the global bucket models re-aggregate from it (identical
+    // subtree → Spark reuses the exchange, the explode runs once — not
+    // once per model)
+    val perDoc = feats.groupBy(col("doc_id"), col("tgt"), col("b"))
       .agg(count(lit(1)).as("cnt"))
-    val global = feats.groupBy(col("b"))
-      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
+    val global = perDoc.groupBy(col("b"))
+      .agg(sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("ct"),
+        sum(col("cnt")).as("cr"))
     val tots = global.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     // add-one smoothed LLR per bucket, frozen to integer micro-nats; the
     // ratio's numerator/denominator are exact int64 products cast once
