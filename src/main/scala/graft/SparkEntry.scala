@@ -129,6 +129,59 @@ object SparkEntry {
     // the hourly sum carried forward LOCF-style. The only corpus-scale work
     // is the hourly aggregation; the hour spine (span-bounded) and type dim
     // are broadcast-sized
+    // ClickHouse ORDER BY … WITH FILL INTERPOLATE: the hourly grid again,
+    // but gaps LINEARLY interpolated between the bracketing observed
+    // points (trailing gaps LOCF, leading gaps stay null). Integer-cent
+    // hourly sums and integer epoch-hours make the interpolation a fixed
+    // scalar tree over exact ints — engine-deterministic
+    "events_gapfill_interp" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val hourly = ev.groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("hr"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val spine = ev
+        .agg(min(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")).as("h0"),
+          max(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val back = W.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val fwd = W.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(spine))
+        .join(hourly, Seq("event_type", "hr"), "left")
+      val prevV = last(col("cents"), ignoreNulls = true).over(back)
+      val prevH = last(when(col("cents").isNotNull, col("hr")), ignoreNulls = true).over(back)
+      val nextV = first(col("cents"), ignoreNulls = true).over(fwd)
+      val nextH = first(when(col("cents").isNotNull, col("hr")), ignoreNulls = true).over(fwd)
+      val interp = prevV.cast("double") +
+        (nextV.cast("double") - prevV.cast("double")) *
+          (col("hr") - prevH).cast("double") / (nextH - prevH).cast("double")
+      grid.select(col("event_type"), col("hr"),
+        col("cents").isNotNull.as("observed"),
+        round(when(col("cents").isNotNull, col("cents").cast("double"))
+          .when(prevV.isNotNull && nextV.isNotNull, interp)
+          .when(prevV.isNotNull, prevV.cast("double"))
+          .otherwise(lit(null).cast("double")), 6).as("filled_cents"))
+    }),
+    // ClickHouse groupArrayLast(3): each user's three newest values
+    // (ts, id DESC) as a newest-first CSV — one (key, ts) shuffle, rank
+    // cutoff before the collect so only 3 rows per key reach the rollup
+    "events_last_n" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val byRecency = W.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          row_number().over(byRecency).as("rn"))
+        .where(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(array_sort(collect_list(
+            struct(col("rn"), col("cents")))), x => x("cents").cast("string")), ",")
+          .as("last_values"))
+    }),
     "events_gapfill_1h" -> ((s, d) => {
       val ev = t(s, d, "events")
       val hourly = ev.groupBy(col("event_type"),
@@ -664,6 +717,22 @@ object SparkEntry {
       Vocabulary.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)),
     "docs_unigram_logprob" -> ((s, d) =>
       Vocabulary.unigramLogprob(t(s, d, "documents"), "doc_id", "text")),
+    // CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/tail
+    // corpus tertiles by unigram-LM average log-prob — the standard
+    // quality stratification before sampling. Exact ntile WITHOUT a
+    // single-partition global window (Ranking.exactNtile's two-pass
+    // shared-shuffle rank); 4dp-rounded scores + doc_id tiebreak make the
+    // order engine-total
+    "docs_ppl_buckets" -> ((s, d) => {
+      val scored = Vocabulary.unigramLogprob(t(s, d, "documents"),
+        "doc_id", "text")
+      Ranking.exactNtile(scored, 3,
+          Seq(col("avg_logprob").desc, col("doc_id")), "tertile")
+        .select(col("doc_id"), col("avg_logprob"),
+          when(col("tertile") === 1, "head")
+            .when(col("tertile") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    }),
     // DSIR importance weights (Xie et al. 2023): hashed char-bigram LLR
     // against the English-docs target distribution, frozen to integer
     // micro-nats so per-doc totals are exact int64 sums (Importance
@@ -778,6 +847,22 @@ object SparkEntry {
         .crossJoin(broadcast(total))
         .where(col("n") * 50 > col("total")) // > 2% of all tokens
         .select(col("word"), col("n"))
+    }),
+    // ClickHouse topKWeighted(20)(user, cents): heaviest spenders by
+    // TOTAL WEIGHT under bounded state — shuffle carries ≤20 counters per
+    // partition whatever the log size; the exact twin for the contract is
+    // a plain grouped sum (rows-only; the spec pins the W/(k+1) bound)
+    "top_spenders_sketch" -> ((s, d) => {
+      val agg = udaf(new graft.expressions.WeightedFrequentItemsAggregator(20),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      t(s, d, "events")
+        .select(col("user_id").cast("string").as("u"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .agg(agg(col("u"), col("cents")).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e._1").as("user_id"), col("e._2").as("approx_cents"))
     }),
     "top_words_sketch" -> ((s, d) => {
       // Misra-Gries bounded-state heavy hitters (ClickHouse topK) — rows-only
@@ -1482,6 +1567,59 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    // identical windows and the identical interpolation scalar tree over
+    // exact integer cents / epoch-hours
+    "events_gapfill_interp" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT min(epoch_us(ts) // 3600000000) AS h0,
+                           max(epoch_us(ts) // 3600000000) AS h1 FROM events),
+         spine AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM events),
+         grid AS (
+           SELECT t.event_type, s.hr, h.cents
+           FROM types t CROSS JOIN spine s
+           LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hr = s.hr),
+         w AS (
+           SELECT event_type, hr, cents,
+                  last_value(cents IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN cents IS NOT NULL THEN hr END
+                    IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+                  first_value(cents IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN cents IS NOT NULL THEN hr END
+                    IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+           FROM grid)
+         SELECT event_type, hr, cents IS NOT NULL AS observed,
+                round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                             CAST(pv AS DOUBLE)
+                               + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                                 * CAST(hr - ph AS DOUBLE)
+                                 / CAST(nh - ph AS DOUBLE)
+                           WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+                           ELSE NULL END, 6) AS filled_cents
+         FROM w""",
+    "events_last_n" ->
+      """WITH o AS (
+           SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id,
+                string_agg(CAST(cents AS VARCHAR), ',' ORDER BY rn)
+                  AS last_values
+         FROM o WHERE rn <= 3 GROUP BY user_id""",
     "events_gapfill_1h" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS window_start,
@@ -1577,6 +1715,32 @@ object SparkEntry {
                   AS avg_logprob
          FROM tf t JOIN cnt c USING (w) CROSS JOIN tot s
          GROUP BY doc_id""",
+    // the unigram-logprob oracle wrapped in an exact front-loaded tertile:
+    // cum boundaries ceil(n/3) / ceil(2n/3) match exactNtile's layout
+    "docs_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                      FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+                WHERE len(w) > 0 GROUP BY doc_id, w),
+         cnt AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY w),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok,
+                        CAST(count(*) AS DOUBLE) AS v FROM cnt),
+         scored AS (
+           SELECT doc_id,
+                  round(sum(tf * ln((c.c + 1) / (s.n_tok + s.v))) / sum(tf), 4)
+                    AS avg_logprob
+           FROM tf t JOIN cnt c USING (w) CROSS JOIN tot s
+           GROUP BY doc_id),
+         r AS (
+           SELECT doc_id, avg_logprob,
+                  row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS rk,
+                  count(*) OVER () AS n
+           FROM scored)
+         SELECT doc_id, avg_logprob,
+                CASE WHEN rk <= (n + 2) // 3 THEN 'head'
+                     WHEN rk <= (2 * n + 2) // 3 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM r""",
     // same hashed-bigram buckets (ord = ascii = code point), same add-one
     // LLR frozen to integer micro-nats, same exact int64 per-doc totals
     "docs_dsir_weights" ->

@@ -43,6 +43,48 @@ class FrequentItemsAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }
 
+/** WEIGHTED Misra-Gries — ClickHouse `topKWeighted(k)(item, weight)`:
+  * each occurrence carries an integral weight (bytes, cents, counts) and
+  * the guarantee is over TOTAL WEIGHT W: any item with true weight
+  * > W/(k+1) survives, and reported weights underestimate by at most
+  * W/(k+1). The insert step generalizes decrement-all: a new item under a
+  * full sketch subtracts min(w, smallest counter) from every counter —
+  * every subtracted unit accounts (k+1) units of total weight, which is
+  * what preserves the bound. Merge is unchanged (the PODS-2012 counter
+  * merge is already weight-agnostic). Non-positive weights are ignored.
+  */
+class WeightedFrequentItemsAggregator(k: Int)
+  extends Aggregator[(String, Long), Map[String, Long], Seq[(String, Long)]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long],
+                      in: (String, Long)): Map[String, Long] = {
+    val (item, w) = in
+    if (w <= 0) return buf
+    buf.get(item) match {
+      case Some(c) => buf.updated(item, c + w)
+      case None if buf.size < k => buf.updated(item, w)
+      case None =>
+        val m = buf.values.min
+        if (w > m)
+          buf.view.mapValues(_ - m).filter(_._2 > 0).toMap.updated(item, w - m)
+        else buf.view.mapValues(_ - w).filter(_._2 > 0).toMap
+    }
+  }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    FrequentItemsAggregator.mergeCounters(a, b, k)
+
+  override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
+    buf.toSeq.sortBy { case (w, c) => (-c, w) }
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}
+
 object FrequentItemsAggregator {
   /** The PODS-2012 mergeable-summaries counter merge, shared with the
     * maintained [[graft.operators.TopKAgg]]'s state folder.

@@ -134,6 +134,26 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 3, "mann_whitney_u: need (y, cond_a, cond_b)")
         MannWhitneyUAgg(args(0), args(1), args(2))
+      }),
+    // categorical association (ClickHouse cramersV / cramersVBiasCorrected
+    // / theilsU): buffered contingency map, sorted-cell deterministic eval
+    (FunctionIdentifier("cramers_v"),
+      new ExpressionInfo(classOf[CramersVAgg].getName, "cramers_v"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "cramers_v: need (a, b)")
+        CramersVAgg(args(0), args(1), corrected = false)
+      }),
+    (FunctionIdentifier("cramers_v_bias_corrected"),
+      new ExpressionInfo(classOf[CramersVAgg].getName, "cramers_v_bias_corrected"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "cramers_v_bias_corrected: need (a, b)")
+        CramersVAgg(args(0), args(1), corrected = true)
+      }),
+    (FunctionIdentifier("theils_u"),
+      new ExpressionInfo(classOf[TheilsUAgg].getName, "theils_u"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "theils_u: need (a, b)")
+        TheilsUAgg(args(0), args(1))
       }))
 
   /** Shared argument validation of the chain aggregates (construction-time,

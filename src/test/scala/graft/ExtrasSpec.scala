@@ -141,6 +141,35 @@ class ExtrasSpec extends SparkSpec {
     assert(out.size <= 10)
   }
 
+  test("weighted Misra-Gries honors the total-weight heavy-hitter bound") {
+    import graft.expressions.WeightedFrequentItemsAggregator
+    // weights: "whale" 50000 across few rows, "mid" 20000, 500 minnows ×100
+    val rows = Seq.fill(5)(("whale", 10000L)) ++ Seq.fill(20)(("mid", 1000L)) ++
+      (1 to 500).map(i => (s"minnow$i", 100L))
+    val shuffled = new scala.util.Random(13).shuffle(rows)
+    val agg = udaf(new WeightedFrequentItemsAggregator(10),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val out = shuffled.toDF("w", "c").repartition(4)
+      .agg(agg($"w", $"c").as("top"))
+      .select(explode($"top").as("e")).select($"e._1", $"e._2")
+      .as[(String, Long)].collect().toMap
+    val totalW = rows.map(_._2).sum // 120000
+    val bound = totalW / 11
+    // guarantee: weight > W/(k+1) survives; reported ≤ true ≤ reported + W/(k+1)
+    assert(out.contains("whale") && out.contains("mid"), s"got $out")
+    assert(out("whale") <= 50000 && out("whale") >= 50000 - bound)
+    assert(out("mid") <= 20000 && out("mid") >= 20000 - bound)
+    assert(out.size <= 10)
+    // zero/negative weights are no-ops
+    val z = Seq(("a", 5L), ("b", 0L), ("b", -3L)).toDF("w", "c")
+      .agg(agg($"w", $"c").as("top"))
+      .select(explode($"top").as("e")).select($"e._1", $"e._2")
+      .as[(String, Long)].collect().toMap
+    assert(z == Map("a" -> 5L))
+  }
+
   test("saltedAgg matches the unsalted aggregation") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L)).toDF("k", "v")
     val out = Skew.saltedAgg(df, Seq("k"), saltBuckets = 8, Seq(

@@ -191,4 +191,65 @@ class SqlSurfaceSpec extends SparkSpec {
          FROM stat_tied GROUP BY bucket""").collect()(0)
     assert(m.isNullAt(0))
   }
+
+  test("association SQL aggregates: textbook anchors, contracts, bit-determinism") {
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    // the StatTestsSpec 2x2: rows (x: 30|10), (y: 20|40) -> chi2 = 50/3
+    val rows = Seq.fill(30)(("x", "0")) ++ Seq.fill(10)(("x", "1")) ++
+      Seq.fill(20)(("y", "0")) ++ Seq.fill(40)(("y", "1"))
+    rows.toDF("a", "b").repartition(7).createOrReplaceTempView("assoc_t")
+    val r = spark.sql(
+      """SELECT cramers_v(a, b) AS v, cramers_v_bias_corrected(a, b) AS vc,
+                theils_u(a, b) AS u
+         FROM assoc_t""").as[(Double, Double, Double)].collect()(0)
+    assert(math.abs(r._1 - math.sqrt(1.0 / 6)) < 1e-12, s"V = ${r._1}")
+    assert(r._2 < r._1 && r._2 >= 0, s"corrected ${r._2} vs ${r._1}")
+    // hand U(a|b): H(a) with p = .4/.6; H(a|b) from the four cells
+    def h(ps: Seq[Double]) = -ps.filter(_ > 0).map(p => p * math.log(p)).sum
+    val ha = h(Seq(0.4, 0.6))
+    val hab = 0.5 * h(Seq(0.6, 0.4)) + 0.5 * h(Seq(0.2, 0.8))
+    assert(math.abs(r._3 - (ha - hab) / ha) < 1e-12, s"U = ${r._3}")
+
+    // determinism: identical bits under any partitioning (sorted-cell eval)
+    rows.toDF("a", "b").coalesce(1).createOrReplaceTempView("assoc_t1")
+    val r1 = spark.sql("SELECT cramers_v(a, b), theils_u(a, b) FROM assoc_t1")
+      .as[(Double, Double)].collect()(0)
+    assert(r1 == ((r._1, r._3)))
+
+    // independence -> V = 0, U = 0; determinism a = f(b) -> U = 1
+    val indep = (for (a <- Seq("p", "q"); b <- Seq("0", "1"); _ <- 1 to 10)
+      yield (a, b)).toDF("a", "b")
+    indep.createOrReplaceTempView("assoc_ind")
+    val ri = spark.sql("SELECT cramers_v(a, b), theils_u(a, b) FROM assoc_ind")
+      .as[(Double, Double)].collect()(0)
+    assert(math.abs(ri._1) < 1e-12 && math.abs(ri._2) < 1e-12)
+    val det = Seq(("u", "0"), ("v", "1"), ("u", "0"), ("v", "1"))
+      .toDF("a", "b")
+    det.createOrReplaceTempView("assoc_det")
+    val rd = spark.sql("SELECT theils_u(a, b) FROM assoc_det")
+      .as[Double].collect()(0)
+    assert(math.abs(rd - 1.0) < 1e-12)
+
+    // degenerate: constant column -> NULL, not NaN
+    Seq(("k", "0"), ("k", "1")).toDF("a", "b").createOrReplaceTempView("assoc_const")
+    val rc = spark.sql(
+      "SELECT cramers_v(a, b), theils_u(a, b) FROM assoc_const").collect()(0)
+    assert(rc.isNullAt(0) && rc.isNullAt(1))
+  }
+
+  test("cramers_v recomposes from the contingencyChi2 cell decomposition") {
+    import graft.operators.StatTests
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    events.createOrReplaceTempView("assoc_events")
+    val viaSql = spark.sql(
+      """SELECT cramers_v(event_type, CAST((us DIV 600000000) % 5 AS STRING)) FROM assoc_events""")
+      .as[Double].collect()(0)
+    val cells = StatTests.contingencyChi2(events, col("event_type"),
+        expr("(us DIV 600000000) % 5").cast("string"))
+      .as[(String, String, Long, Double, Double)].collect()
+    val chi2 = cells.map(_._5).sum
+    val n = cells.map(_._3).sum.toDouble
+    val k = math.min(cells.map(_._1).distinct.size, cells.map(_._2).distinct.size) - 1
+    assert(math.abs(viaSql - math.sqrt(chi2 / n / k)) < 1e-4) // cells round 6dp
+  }
 }
