@@ -973,6 +973,14 @@ object SparkEntry {
     }),
 
     // ---- similarity search ------------------------------------------------
+    // exact top-8 covariance eigenpairs of the embedding corpus — the
+    // whitening/decorrelation stage ahead of cosine dedup; one treeAggregate
+    // scatter pass + driver Jacobi (rows-only: float accumulation is
+    // merge-order dependent; SimilaritySpec pins recovery/orthonormality)
+    "emb_pca" -> ((s, d) =>
+      Similarity.pcaTopK(t(s, d, "embeddings"), "embedding", 8)
+        .select(col("component"), round(col("eigenvalue"), 4).as("eigenvalue"),
+          round(col("explained_var"), 4).as("explained_var"))),
     "knn_brute_force" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       Similarity.bruteForceTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)

@@ -678,9 +678,12 @@ object Behavior {
   def maxIntersections(events: DataFrame, keyCol: String, tsCol: String,
                        durMicrosCol: Column): DataFrame = {
     val s = graft.functions.TimeCols.micros(col(tsCol))
+    // a null duration is a zero-length span (not a null sweep point that
+    // would sort nondeterministically)
+    val dur = greatest(coalesce(durMicrosCol, lit(0L)), lit(0L))
     val starts = events.select(col(keyCol).as("k"), s.as("p"), lit(1L).as("delta"))
     val ends = events.select(col(keyCol).as("k"),
-      (s + greatest(durMicrosCol, lit(0L))).as("p"), lit(-1L).as("delta"))
+      (s + dur).as("p"), lit(-1L).as("delta"))
     val byPoint = Window.partitionBy(col("k")).orderBy(col("p"), col("delta"))
     starts.unionAll(ends)
       .withColumn("__active",

@@ -464,4 +464,156 @@ object Similarity {
       .select(col("centroid_id"), col("centroid"),
         coalesce(col("n_members"), lit(0L)).as("n_members"))
   }
+
+  /** Exact top-k PCA of the embedding corpus (covariance eigenpairs) — the
+    * decorrelation/whitening stage in front of cosine dedup (SemDeDup-style
+    * pipelines) and the rotation init of OPQ-style quantizers.
+    *
+    * Distribution shape — the classic "big n, small d" covariance: ONE
+    * `treeAggregate` pass folds every vector into a per-partition
+    * (n, Σx, Σxxᵀ) accumulator (d=64 → ~33 KB), partials merge by
+    * addition, and the driver receives ONE d×d scatter regardless of
+    * corpus size. The eigen-solve is driver-side cyclic Jacobi on the
+    * symmetric d×d covariance — O(d³), microseconds at d=64. Float
+    * accumulation is merge-order dependent, so callers pin QUALITY
+    * (direction recovery, orthonormality, eigenvalue order — SimilaritySpec),
+    * not bits: the [[kmeansCentroids]] convention.
+    *
+    * Sign convention: each component's largest-|loading| coordinate is made
+    * positive (first such index on exact ties), so directions are stable up
+    * to float noise. Returns one row per component:
+    * (component 1..k, eigenvalue, explained_var, loadings array<double>).
+    */
+  def pcaTopK(corpus: DataFrame, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .as[Seq[Double]].rdd.map(_.toArray)
+    // acc = (n, sum(d), scatter(d*d)); dim fixed by the first vector seen
+    val zero = (0L, Array.emptyDoubleArray, Array.emptyDoubleArray)
+    val (n, s, ss) = vecs.treeAggregate(zero)(
+      seqOp = { case ((n0, s0, ss0), x) =>
+        val d = x.length
+        val s1 = if (s0.isEmpty) new Array[Double](d) else s0
+        val ss1 = if (ss0.isEmpty) new Array[Double](d * d) else ss0
+        require(s1.length == d, s"mixed embedding dims: ${s1.length} vs $d")
+        var i = 0
+        while (i < d) {
+          s1(i) += x(i)
+          var j = 0
+          val row = i * d
+          while (j < d) { ss1(row + j) += x(i) * x(j); j += 1 }
+          i += 1
+        }
+        (n0 + 1, s1, ss1)
+      },
+      combOp = { case ((na, sa, ssa), (nb, sb, ssb)) =>
+        if (sa.isEmpty) (nb, sb, ssb)
+        else if (sb.isEmpty) (na, sa, ssa)
+        else {
+          require(sa.length == sb.length,
+            s"mixed embedding dims: ${sa.length} vs ${sb.length}")
+          var i = 0
+          while (i < sa.length) { sa(i) += sb(i); i += 1 }
+          i = 0
+          while (i < ssa.length) { ssa(i) += ssb(i); i += 1 }
+          (na + nb, sa, ssa)
+        }
+      })
+    require(n >= 2, s"pcaTopK needs at least 2 vectors, got $n")
+    val d = s.length
+    require(k <= d, s"k=$k exceeds embedding dim $d")
+    // covariance C = Σxxᵀ/n − μμᵀ
+    val cov = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        cov(i * d + j) = ss(i * d + j) / n - (s(i) / n) * (s(j) / n)
+        j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until d).map(i => cov(i * d + i)).sum
+    val (eig, vecsM) = Similarity.jacobiEigen(cov, d)
+    val order = (0 until d).sortBy(i => -eig(i)).take(k)
+    val rows = order.zipWithIndex.map { case (ei, rank) =>
+      val loadings = Array.tabulate(d)(r => vecsM(r * d + ei))
+      // sign: largest-|loading| coordinate positive
+      var best = 0
+      var bi = 0
+      while (bi < d) {
+        if (math.abs(loadings(bi)) > math.abs(loadings(best))) best = bi
+        bi += 1
+      }
+      val signed = if (loadings(best) < 0) loadings.map(-_) else loadings
+      (rank + 1, eig(ei), if (trace > 0) eig(ei) / trace else 0.0,
+        signed.toSeq)
+    }
+    rows.toDF("component", "eigenvalue", "explained_var", "loadings")
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric d×d matrix
+    * (row-major, DESTROYED). Returns (eigenvalues, eigenvector matrix
+    * row-major with eigenvector j in COLUMN j). Textbook two-sided
+    * rotations; converges quadratically, bounded at 100 sweeps.
+    */
+  private[graft] def jacobiEigen(a: Array[Double], d: Int): (Array[Double], Array[Double]) = {
+    val v = Array.tabulate(d * d)(idx => if (idx / d == idx % d) 1.0 else 0.0)
+    var sweep = 0
+    var converged = false
+    while (sweep < 100 && !converged) {
+      var off = 0.0
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) { off += a(p * d + q) * a(p * d + q); q += 1 }
+        p += 1
+      }
+      if (off < 1e-20) converged = true
+      else {
+        p = 0
+        while (p < d) {
+          var q = p + 1
+          while (q < d) {
+            val apq = a(p * d + q)
+            if (math.abs(apq) > 1e-300) {
+              val theta = (a(q * d + q) - a(p * d + p)) / (2.0 * apq)
+              val t = (if (theta >= 0) 1.0 else -1.0) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+              val c = 1.0 / math.sqrt(t * t + 1.0)
+              val sn = t * c
+              var i = 0
+              while (i < d) { // column rotation: A·J
+                val aip = a(i * d + p); val aiq = a(i * d + q)
+                a(i * d + p) = c * aip - sn * aiq
+                a(i * d + q) = sn * aip + c * aiq
+                i += 1
+              }
+              i = 0
+              while (i < d) { // row rotation: Jᵀ·A
+                val api = a(p * d + i); val aqi = a(q * d + i)
+                a(p * d + i) = c * api - sn * aqi
+                a(q * d + i) = sn * api + c * aqi
+                i += 1
+              }
+              i = 0
+              while (i < d) { // accumulate V·J
+                val vip = v(i * d + p); val viq = v(i * d + q)
+                v(i * d + p) = c * vip - sn * viq
+                v(i * d + q) = sn * vip + c * viq
+                i += 1
+              }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        sweep += 1
+      }
+    }
+    (Array.tabulate(d)(i => a(i * d + i)), v)
+  }
 }

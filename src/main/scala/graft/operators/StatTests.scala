@@ -51,7 +51,9 @@ object StatTests {
       events
         .select(bucket.as("bucket"), condA.as("a"), condB.as("b"),
           cents.cast("long").as("y"))
-        .where(col("a") || col("b"))
+        // null measurements carry no moment — dropping the row keeps n and
+        // Σy consistent (a null inside sum() would skip Σy but not n)
+        .where((col("a") || col("b")) && col("y").isNotNull)
         .groupBy(col("bucket"))
         .agg(abMoments.head, abMoments.tail: _*))
 
@@ -123,7 +125,7 @@ object StatTests {
     val perVal = events
       .select(bucket.as("bucket"), condA.as("a"), condB.as("b"),
         cents.cast("long").as("y"))
-      .where(col("a") || col("b"))
+      .where((col("a") || col("b")) && col("y").isNotNull)
       .groupBy(col("bucket"), col("y"))
       .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("b"), 1L).otherwise(0L)).as("cb"))

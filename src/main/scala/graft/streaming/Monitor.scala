@@ -31,8 +31,20 @@ final class Monitor(retain: Int = 1024) extends StreamingQueryListener {
                        numRowsTotal: Long, numRowsUpdated: Long,
                        numRowsRemoved: Long, memoryUsedBytes: Long)
 
+  /** Event-time clock position of one microbatch: the watermark and the
+    * max event time the batch saw, both as epoch millis (−1 when absent —
+    * stateless queries carry no watermark), plus the EVENT-TIME LAG
+    * `maxEventTime − watermark`: how far the emitted-results clock trails
+    * the freshest data. A lag that grows batch over batch means closed
+    * windows are falling further behind the live edge — the event-time
+    * twin of the row-lag table.
+    */
+  case class ClockStat(queryName: String, batchId: Long, watermarkMs: Long,
+                       maxEventTimeMs: Long, eventTimeLagMs: Long)
+
   private val stats = new ConcurrentLinkedQueue[BatchStat]()
   private val states = new ConcurrentLinkedQueue[StateStat]()
+  private val clocks = new ConcurrentLinkedQueue[ClockStat]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
 
@@ -50,7 +62,20 @@ final class Monitor(retain: Int = 1024) extends StreamingQueryListener {
         so.numRowsUpdated, so.numRowsRemoved, so.memoryUsedBytes))
     }
     while (states.size() > retain) states.poll()
+    val et = Option(p.eventTime).map(_.asScala)
+      .getOrElse(scala.collection.mutable.Map.empty[String, String])
+    if (et.nonEmpty) {
+      val wm = parseIsoMs(et.get("watermark"))
+      val mx = parseIsoMs(et.get("max"))
+      clocks.add(ClockStat(name, p.batchId, wm, mx,
+        if (wm >= 0 && mx >= 0) mx - wm else -1L))
+      while (clocks.size() > retain) clocks.poll()
+    }
   }
+
+  private def parseIsoMs(s: Option[String]): Long =
+    s.flatMap(v => scala.util.Try(java.time.Instant.parse(v).toEpochMilli).toOption)
+      .getOrElse(-1L)
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
 
@@ -77,6 +102,19 @@ final class Monitor(retain: Int = 1024) extends StreamingQueryListener {
   def latestStateRows: Map[(String, String), Long] =
     stateOps.groupBy(s => (s.queryName, s.operatorName))
       .view.mapValues(_.maxBy(_.batchId).numRowsTotal).toMap
+
+  /** Snapshot of retained event-time clock stats, oldest first. */
+  def clockStats: Seq[ClockStat] = clocks.asScala.toSeq
+
+  /** Latest DEFINED event-time lag (max event − watermark, millis) per
+    * query. No-data batches advance the watermark but see no events (no
+    * `max`), so their lag is undefined — the latest batch that actually
+    * carried data is the operationally meaningful reading. Queries that
+    * never established both clocks are absent.
+    */
+  def latestEventTimeLag: Map[String, Long] =
+    clockStats.filter(_.eventTimeLagMs >= 0).groupBy(_.queryName)
+      .view.mapValues(_.maxBy(_.batchId).eventTimeLagMs).toMap
 }
 
 object Monitor {

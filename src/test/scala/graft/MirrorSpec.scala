@@ -232,6 +232,41 @@ class MirrorSpec extends SparkSpec {
       assert(latest.numRowsUpdated == 3)
     } finally q.stop()
   }
+
+  test("Monitor surfaces the event-time clock: watermark, max event, lag") {
+    import graft.streaming.DriftStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = Monitor.attach(spark)
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = DriftStream.abDrift(input.toDF().toDF("ts", "arm", "y"), "ts",
+        lit(0L), col("arm") === "a", col("arm") === "b", col("y"),
+        windowDur = "1 hour", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("mon_clock_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "a", 1L), (ts("2024-01-01 00:00:10"), "b", 2L))
+      q.processAllAvailable()
+      // second batch: watermark derives from batch 1's max (00:00:10 - 10m),
+      // freshest event now 01:00:00 -> lag is defined and positive
+      input.addData((ts("2024-01-01 01:00:00"), "a", 3L))
+      q.processAllAvailable()
+      spark.streams.removeListener(m)
+      val deadline = System.currentTimeMillis() + 10000
+      def lag = m.latestEventTimeLag.get("mon_clock_out")
+      while (!lag.exists(_ > 0) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(lag.exists(_ > 0), s"clockStats=${m.clockStats}")
+      // the latest DATA batch defines the reading; no-data batches (max
+      // undefined) must have been skipped by the accessor
+      val cs = m.clockStats.filter(c =>
+        c.queryName == "mon_clock_out" && c.eventTimeLagMs >= 0).maxBy(_.batchId)
+      assert(cs.maxEventTimeMs >= cs.watermarkMs)
+      assert(cs.eventTimeLagMs == cs.maxEventTimeMs - cs.watermarkMs)
+      assert(lag.contains(cs.eventTimeLagMs))
+    } finally q.stop()
+  }
 }
 
 object MirrorSpec {

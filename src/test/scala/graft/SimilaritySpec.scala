@@ -727,4 +727,76 @@ class SimilaritySpec extends SparkSpec {
       .select(VectorFunctions.lshBucket($"embedding", 8)).as[Int].head()
     assert(b0 == b0again)
   }
+
+  test("jacobiEigen: hand-solvable symmetric matrices") {
+    // [[2,1],[1,2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (1,-1)/sqrt2
+    val (e2, v2) = Similarity.jacobiEigen(Array(2.0, 1.0, 1.0, 2.0), 2)
+    val pairs = (0 until 2).map(i => e2(i) -> Array(v2(i), v2(2 + i)))
+      .sortBy(-_._1)
+    assert(math.abs(pairs(0)._1 - 3.0) < 1e-12 && math.abs(pairs(1)._1 - 1.0) < 1e-12)
+    val r2 = 1.0 / math.sqrt(2.0)
+    val top = (0 until 2).map(r => v2(r * 2 + (0 until 2).maxBy(i => e2(i))))
+    assert(math.abs(math.abs(top(0) * r2 + top(1) * r2) - 1.0) < 1e-10,
+      s"top vector ${top.toSeq} not aligned with (1,1)/sqrt2")
+    // diagonal matrix passes through
+    val (e3, _) = Similarity.jacobiEigen(
+      Array(5.0, 0, 0, 0, 2.0, 0, 0, 0, 9.0), 3)
+    assert(e3.sorted.toSeq == Seq(2.0, 5.0, 9.0))
+  }
+
+  test("pcaTopK recovers planted principal directions, orthonormal, ordered") {
+    val rnd = new scala.util.Random(31)
+    val d = 8
+    // orthonormal planted directions e0 and (e1+e2)/sqrt2
+    val u1 = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    val u2 = Array.tabulate(d)(i => if (i == 1 || i == 2) 1.0 / math.sqrt(2) else 0.0)
+    val rows = (1 to 400).map { _ =>
+      val a = rnd.nextGaussian() * 10 // dominant variance
+      val b = rnd.nextGaussian() * 3
+      Array.tabulate(d)(i =>
+        (a * u1(i) + b * u2(i) + rnd.nextGaussian() * 0.05).toFloat)
+    }
+    val df = rows.map(Tuple1(_)).toDF("embedding").repartition(5)
+    val out = Similarity.pcaTopK(df, "embedding", 4)
+      .select("component", "eigenvalue", "explained_var", "loadings")
+      .as[(Int, Double, Double, Seq[Double])].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // eigenvalues sorted desc, roughly 100 / 9 / noise
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2)
+    assert(out(0)._2 > 60 && out(1)._2 > 5 && out(2)._2 < 1)
+    // direction recovery
+    def dot(x: Seq[Double], y: Array[Double]) = x.zip(y).map(p => p._1 * p._2).sum
+    assert(math.abs(dot(out(0)._4, u1)) > 0.95, s"pc1 = ${out(0)._4}")
+    assert(math.abs(dot(out(1)._4, u2)) > 0.95, s"pc2 = ${out(1)._4}")
+    // orthonormal loadings
+    for (i <- 0 until 4; j <- i until 4) {
+      val g = dot(out(i)._4, out(j)._4.toArray)
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(g - want) < 1e-8, s"gram($i,$j) = $g")
+    }
+    // explained variance consistent and bounded
+    assert(out.map(_._3).sum <= 1.0 + 1e-9)
+    assert(math.abs(out(0)._3 - out(0)._2 / (out.map(_._2).sum +
+      (4 until d).map(_ => 0.0).sum) ) < 0.2) // pc1 dominates
+    // sign convention: largest-|loading| coordinate positive
+    out.foreach { r =>
+      val m = r._4.maxBy(math.abs)
+      assert(m > 0, s"sign convention violated: ${r._4}")
+    }
+    // partition-layout tolerance (quality, not bits)
+    val out1 = Similarity.pcaTopK(df.coalesce(1), "embedding", 2)
+      .select("eigenvalue").as[Double].collect().sorted.toSeq
+    val outN = out.take(2).map(_._2).sorted.toSeq
+    assert(out1.zip(outN).forall { case (x, y) => math.abs(x - y) < 1e-6 * (1 + y) })
+  }
+
+  test("pcaTopK guards: empty/degenerate corpora fail loudly") {
+    intercept[IllegalArgumentException](
+      Similarity.pcaTopK(Seq(Tuple1(Array(1f, 2f))).toDF("embedding"),
+        "embedding", 5).collect())
+    intercept[Exception](
+      Similarity.pcaTopK(
+        spark.emptyDataset[Tuple1[Array[Float]]].toDF("embedding"),
+        "embedding", 1).collect())
+  }
 }

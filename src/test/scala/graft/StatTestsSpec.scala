@@ -120,6 +120,32 @@ class StatTestsSpec extends SparkSpec {
     assert(r(3L) == (3L, 20L), s"got ${r(3L)}")
   }
 
+  test("null measurements drop whole (n and moments stay consistent); null durations are zero spans") {
+    val rows = Seq(
+      (1L, "a", Some(10L)), (1L, "a", Some(12L)), (1L, "a", None),
+      (1L, "b", Some(20L)), (1L, "b", Some(24L)), (1L, "b", None)
+    ).toDF("bucket", "arm", "y")
+    val t = StatTests.abTTest(rows, col("bucket"),
+        col("arm") === "a", col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double, Long)]
+      .collect()
+    assert(t.length == 1 && t.head._2 == 2 && t.head._3 == 2,
+      s"null rows must not count toward n: ${t.toSeq}")
+    assert(!t.head._6.isNaN && !t.head._8.isNaN)
+    val m = StatTests.mannWhitneyU(rows, col("bucket"),
+        col("arm") === "a", col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(m.length == 1 && m.head._2 == 2 && m.head._3 == 2)
+
+    val spans = Seq((1L, 0L, Some(10L)), (1L, 5L, None), (1L, 20L, Some(5L)))
+      .toDF("k", "s", "d")
+      .select(col("k"), timestamp_micros(col("s")).as("t"), col("d"))
+    val r = Behavior.maxIntersections(spans, "k", "t", col("d"))
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == 1 && r.head._2 == 1L,
+      s"null duration must be a zero span: ${r.toSeq}")
+  }
+
   test("maxIntersections is partitioning-invariant") {
     val rnd = new scala.util.Random(7)
     val spans = (1 to 300).map(_ =>
