@@ -86,9 +86,11 @@ object Bench {
     // BENCH_full.json additionally lands IN THE REPO (committed per round):
     // the driver's BENCH_r*.json artifacts keep only a truncated tail, so
     // this file is what makes per-query regressions diffable across rounds
+    // a filtered (SPARK_GRAFT_ONLY) dev run must not clobber the committed
+    // full-suite artifact with a partial timing set
     val outFiles = Seq(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"),
-      "BENCH_full.json")
+      Some(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")),
+      if (only.isEmpty) Some("BENCH_full.json") else None).flatten
     outFiles.foreach { outFile =>
       try {
         val p = java.nio.file.Paths.get(outFile)

@@ -462,6 +462,28 @@ object SparkEntry {
     "events_contingency" -> ((s, d) =>
       StatTests.contingencyChi2(t(s, d, "events"), col("event_type"),
         expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"))),
+    // ClickHouse kolmogorovSmirnovTest: CDF supremum between 'view' and
+    // 'click' value distributions per day-of-month — the gap max runs over
+    // exact integer cross-scaled counts at distinct-value grain, the
+    // asymptotic p is a fixed 3-term Kolmogorov series (StatTests scaladoc)
+    "events_ks_test" -> ((s, d) =>
+      StatTests.ksTest(t(s, d, "events"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 31"),
+        col("event_type") === "view", col("event_type") === "click",
+        floor(col("value") * 100 + 0.5))),
+    // ClickHouse rankCorr: Spearman ρ between value and event time per
+    // event type — doubled average ranks at distinct-value grain keep all
+    // five rank moments exact int64s
+    "events_rank_corr" -> ((s, d) =>
+      StatTests.spearmanCorr(t(s, d, "events"), col("event_type"),
+        floor(col("value") * 100 + 0.5),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))"))),
+    // ClickHouse simpleLinearRegression + R²: value-cents on hour index
+    // per event type from five exact int64 moments in one combinable pass
+    "events_linreg" -> ((s, d) =>
+      StatTests.linReg(t(s, d, "events"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"),
+        floor(col("value") * 100 + 0.5))),
     // ClickHouse maxIntersections(Position): peak concurrent open spans
     // per user ([ts, ts+value·1s) half-open) and the earliest sweep point
     // attaining it — one (key, point) shuffle, integer micros
@@ -717,6 +739,15 @@ object SparkEntry {
       Vocabulary.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)),
     "docs_unigram_logprob" -> ((s, d) =>
       Vocabulary.unigramLogprob(t(s, d, "documents"), "doc_id", "text")),
+    // the order-sensitive sibling: add-one bigram LM over the corpus' own
+    // bigrams — scrambled/templated text scores low even with a normal
+    // unigram mix (Vocabulary.bigramLogprob scaladoc)
+    "docs_bigram_logprob" -> ((s, d) =>
+      Vocabulary.bigramLogprob(t(s, d, "documents"), "doc_id", "text")),
+    // corpus health profile: vocabulary size, hapax fraction, fitted Zipf
+    // slope over the top-1000 ranks (Vocabulary.zipfStats scaladoc)
+    "docs_zipf_hapax" -> ((s, d) =>
+      Vocabulary.zipfStats(t(s, d, "documents"), "text", 1000)),
     // CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/tail
     // corpus tertiles by unigram-LM average log-prob — the standard
     // quality stratification before sampling. Exact ntile WITHOUT a
@@ -1723,6 +1754,61 @@ object SparkEntry {
                   AS avg_logprob
          FROM tf t JOIN cnt c USING (w) CROSS JOIN tot s
          GROUP BY doc_id""",
+    // the identical bigram tf/count tables and scalar tree (DuckDB lists
+    // are 1-based: a[i], a[i+1] over i ∈ range(1, len) pairs neighbors)
+    "docs_bigram_logprob" ->
+      """WITH arr AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                    w -> len(w) > 0) AS a
+           FROM documents),
+         bg AS (
+           SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+           FROM arr, unnest(range(1, len(a))) AS t(i)
+           WHERE len(a) >= 2),
+         tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg
+                GROUP BY doc_id, w1, w2),
+         c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM tf
+                GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+         vb AS (
+           SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents) WHERE len(w) > 0)
+         SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+                round(sum(t.tf * ln((c2.c2 + 1) / (c1.c1 + vb.v)))
+                  / sum(t.tf), 4) AS avg_logprob
+         FROM tf t JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2
+         JOIN c1 ON c1.w1 = t.w1 CROSS JOIN vb
+         GROUP BY t.doc_id""",
+    // the identical capped rank table and OLS scalar tree
+    "docs_zipf_hapax" ->
+      """WITH cnt AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents)
+           WHERE len(w) > 0 GROUP BY w),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+                  CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_hapax
+           FROM cnt),
+         top AS (
+           SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+           FROM cnt ORDER BY c DESC, w LIMIT 1000),
+         xy AS (
+           SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+           FROM top),
+         fit AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM xy)
+         SELECT vocab_size, n_tokens, n_hapax,
+                round(CAST(n_hapax AS DOUBLE) / vocab_size, 6) AS hapax_frac,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                  AS zipf_slope
+         FROM tot CROSS JOIN fit""",
     // the unigram-logprob oracle wrapped in an exact front-loaded tertile:
     // cum boundaries ceil(n/3) / ceil(2n/3) match exactNtile's layout
     "docs_ppl_buckets" ->
@@ -2144,6 +2230,131 @@ object SparkEntry {
                 round((CAST(observed AS DOUBLE) - e)
                   * (CAST(observed AS DOUBLE) - e) / e, 6) AS chi2_term
          FROM j""",
+    // the identical integer gap-max at distinct-value grain + the same
+    // fixed 3-term Kolmogorov series scalar tree
+    "events_ks_test" ->
+      """WITH m AS (
+           SELECT (epoch_us(ts) // 86400000000) % 31 AS bucket,
+                  event_type = 'view' AS a, event_type = 'click' AS b,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events WHERE event_type IN ('view', 'click')),
+         pv AS (
+           SELECT bucket, y,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM m GROUP BY bucket, y),
+         tot AS (
+           SELECT bucket, CAST(sum(ca) AS BIGINT) AS n1,
+                  CAST(sum(cb) AS BIGINT) AS n2
+           FROM pv GROUP BY bucket
+           HAVING n1 >= 1 AND n2 >= 1),
+         cum AS (
+           SELECT bucket, y,
+                  sum(ca) OVER (PARTITION BY bucket ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                  sum(cb) OVER (PARTITION BY bucket ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+           FROM pv),
+         g AS (
+           SELECT cum.bucket, max(tot.n1) AS n1, max(tot.n2) AS n2,
+                  max(abs(cum.cuma * tot.n2 - cum.cumb * tot.n1)) AS maxgap
+           FROM cum JOIN tot ON tot.bucket = cum.bucket
+           GROUP BY cum.bucket),
+         f AS (
+           SELECT bucket, n1, n2, CAST(n1 AS DOUBLE) AS n1d,
+                  CAST(n2 AS DOUBLE) AS n2d,
+                  CAST(maxgap AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS dd
+           FROM g),
+         l AS (
+           SELECT bucket, n1, n2, dd,
+                  sqrt(n1d * n2d / (n1d + n2d)) * dd AS lam
+           FROM f),
+         l2 AS (SELECT bucket, n1, n2, dd, lam * lam AS lam2 FROM l)
+         SELECT bucket, n1, n2, round(dd, 6) AS ks_d,
+                round(least(1.0, greatest(0.0,
+                  2.0 * (exp(-2.0 * lam2) - exp(-8.0 * lam2)
+                    + exp(-18.0 * lam2)))), 6) AS p_asymp
+         FROM l2""",
+    // the identical doubled-average-rank maps joined back per row, then
+    // the same exact five-moment scalar tree
+    "events_rank_corr" ->
+      """WITH base AS (
+           SELECT event_type AS bucket,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                  epoch_us(ts) AS y
+           FROM events),
+         rx AS (
+           SELECT bucket, x,
+                  2 * coalesce(sum(count(*)) OVER (PARTITION BY bucket
+                    ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) + count(*) + 1 AS r2x
+           FROM base GROUP BY bucket, x),
+         ry AS (
+           SELECT bucket, y,
+                  2 * coalesce(sum(count(*)) OVER (PARTITION BY bucket
+                    ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) + count(*) + 1 AS r2y
+           FROM base GROUP BY bucket, y),
+         j AS (
+           SELECT base.bucket, base.x, base.y, rx.r2x, ry.r2y
+           FROM base JOIN rx ON rx.bucket = base.bucket AND rx.x = base.x
+           JOIN ry ON ry.bucket = base.bucket AND ry.y = base.y),
+         g AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(r2x) AS BIGINT) AS sx,
+                  CAST(sum(r2y) AS BIGINT) AS sy,
+                  CAST(sum(r2x * r2y) AS BIGINT) AS sxy,
+                  CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+                  CAST(sum(r2y * r2y) AS BIGINT) AS syy
+           FROM j GROUP BY bucket
+           HAVING count(*) >= 2 AND min(x) <> max(x) AND min(y) <> max(y)),
+         f AS (
+           SELECT bucket, n,
+                  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+                  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+           FROM g)
+         SELECT bucket, n, round(cov / sqrt(vx * vy), 6) AS rho
+         FROM f""",
+    // the identical five exact integer moments and coefficient tree
+    "events_linreg" ->
+      """WITH m AS (
+           SELECT event_type AS bucket,
+                  epoch_us(ts) // 3600000000 AS x,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events),
+         g AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(y * y) AS BIGINT) AS syy,
+                  min(x) AS xmin, max(x) AS xmax,
+                  min(y) AS ymin, max(y) AS ymax
+           FROM m GROUP BY bucket
+           HAVING count(*) >= 2 AND min(x) <> max(x)),
+         f AS (
+           SELECT bucket, n, ymin, ymax,
+                  CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                  CAST(sy AS DOUBLE) AS syd,
+                  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+                  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+           FROM g),
+         s AS (SELECT bucket, n, ymin, ymax, cov, vx, vy, syd, sxd, nd,
+                      cov / vx AS slope FROM f)
+         SELECT bucket, n, round(slope / 100.0, 6) AS slope,
+                round(((syd - slope * sxd) / nd) / 100.0, 6) AS intercept,
+                CASE WHEN ymin <> ymax
+                  THEN round(cov * cov / (vx * vy), 6) END AS r2
+         FROM s""",
     // the identical sweep: ±1 deltas in (point, delta) order, running sum,
     // earliest point attaining the max — integer micros throughout
     "events_max_concurrent" ->

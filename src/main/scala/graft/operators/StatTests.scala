@@ -153,6 +153,151 @@ object StatTests {
         round(z, 6).as("z"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov test between `condA` and `condB` rows
+    * per `bucket` — ClickHouse `kolmogorovSmirnovTest(value, sample_index)`
+    * with a GROUP BY.
+    *
+    * Exactness: the supremum is taken over INTEGER cross-scaled CDF gaps —
+    * at each distinct value, `|cumA·n₂ − cumB·n₁|` is an exact int64
+    * (max |gap| ≤ n₁·n₂), so `max()` is order-independent and
+    * D = max_gap / (n₁·n₂) is one deterministic division. The p-value is
+    * the standard asymptotic Kolmogorov series at fixed depth 3,
+    * `p ≈ 2(e^{−2λ²} − e^{−8λ²} + e^{−18λ²})` with
+    * `λ = √(n₁n₂/(n₁+n₂))·D`, clamped to [0,1] — a fixed scalar tree any
+    * IEEE engine reproduces bit-for-bit.
+    *
+    * Scale shape: same as [[mannWhitneyU]] — compress to the (bucket,
+    * distinct value) grain FIRST (one map-side-combined hash aggregation),
+    * then the window sort runs over distinct values, not rows.
+    */
+  def ksTest(events: DataFrame, bucket: Column, condA: Column, condB: Column,
+             cents: Column): DataFrame = {
+    val perVal = events
+      .select(bucket.as("bucket"), condA.as("a"), condB.as("b"),
+        cents.cast("long").as("y"))
+      .where((col("a") || col("b")) && col("y").isNotNull)
+      .groupBy(col("bucket"), col("y"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("cb"))
+    val byY = Window.partitionBy(col("bucket")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // the gap needs the bucket totals, which the window pass doesn't have
+    // yet — so take the max AFTER joining totals back at distinct-value
+    // grain (broadcast: one row per bucket)
+    val totals = perVal.groupBy(col("bucket"))
+      .agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
+      .where(col("n1") >= 1 && col("n2") >= 1)
+    val gaps = perVal
+      .withColumn("__cuma", sum(col("ca")).over(byY))
+      .withColumn("__cumb", sum(col("cb")).over(byY))
+      .join(broadcast(totals), "bucket")
+      .groupBy(col("bucket"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("__cuma") * col("n2") - col("__cumb") * col("n1")))
+          .as("maxgap"))
+    val n1 = d(col("n1")); val n2 = d(col("n2"))
+    val dStat = d(col("maxgap")) / (n1 * n2)
+    val lambda = sqrt(n1 * n2 / (n1 + n2)) * dStat
+    val l2 = lambda * lambda
+    val p = lit(2.0) * (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2)
+      + exp(lit(-18.0) * l2))
+    gaps.select(col("bucket"), col("n1"), col("n2"),
+      round(dStat, 6).as("ks_d"),
+      round(least(lit(1.0), greatest(lit(0.0), p)), 6).as("p_asymp"))
+  }
+
+  /** Spearman rank correlation between two integral-valued columns per
+    * `bucket` — ClickHouse `rankCorr(x, y)` with a GROUP BY, ties handled
+    * by average ranks (the fractional variant).
+    *
+    * Rank bookkeeping rides the [[mannWhitneyU]] doubled-average-rank
+    * trick at the (bucket, distinct value) grain — `2·r̄` is an exact
+    * integer — and each row picks up its two doubled ranks via joins
+    * against the two rank maps. All five rank moments are exact int64
+    * sums of doubled-rank products (the ×4 scale cancels in ρ), so the
+    * statistic is one fixed scalar tree over exact integers.
+    *
+    * Scale shape: two hash aggregations at distinct-value grain + two
+    * shuffle joins on the value columns + one map-side-combined moment
+    * aggregation. No per-row global sort.
+    */
+  def spearmanCorr(events: DataFrame, bucket: Column, xInt: Column,
+                   yInt: Column): DataFrame = {
+    val base = events
+      .select(bucket.as("bucket"), xInt.cast("long").as("x"),
+        yInt.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    def rankMap(c: String): DataFrame = {
+      val byV = Window.partitionBy(col("bucket")).orderBy(col(c))
+      val cumBefore = coalesce(
+        sum(col("cn")).over(byV.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))
+      base.groupBy(col("bucket"), col(c))
+        .agg(count(lit(1)).as("cn"))
+        .withColumn(s"__r2$c", lit(2L) * cumBefore + col("cn") + lit(1L))
+        .drop("cn")
+    }
+    val ranked = base
+      .join(rankMap("x"), Seq("bucket", "x"))
+      .join(rankMap("y"), Seq("bucket", "y"))
+    val m = ranked.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__r2x")).as("sx"), sum(col("__r2y")).as("sy"),
+      sum(col("__r2x") * col("__r2y")).as("sxy"),
+      sum(col("__r2x") * col("__r2x")).as("sxx"),
+      sum(col("__r2y") * col("__r2y")).as("syy"),
+      // zero-variance guard via exact extremes — a product guard like
+      // n·Σr² ≠ (Σr)² overflows int64 at scale
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      .where(col("n") >= 2 &&
+        col("xmin") =!= col("xmax") && col("ymin") =!= col("ymax"))
+    val n = d(col("n"))
+    val cov = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = n * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    m.select(col("bucket"), col("n"),
+      round(cov / sqrt(vx * vy), 6).as("rho"))
+  }
+
+  /** Per-bucket simple linear regression of `cents` on `xInt` — ClickHouse
+    * `simpleLinearRegression(x, y)` with a GROUP BY, plus R². Five exact
+    * int64 moments (Σx, Σy, Σxy, Σx², Σy²) per bucket in ONE map-side-
+    * combined aggregation; slope/intercept/R² are a fixed scalar tree over
+    * them. Buckets with < 2 points or zero x-variance are dropped.
+    */
+  def linReg(events: DataFrame, bucket: Column, xInt: Column,
+             cents: Column): DataFrame = {
+    val m = events
+      .select(bucket.as("bucket"), xInt.cast("long").as("x"),
+        cents.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        // zero-variance guards via exact extremes — a product guard like
+        // n·Σx² ≠ (Σx)² overflows int64 at scale
+        min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      .where(col("n") >= 2 && col("xmin") =!= col("xmax"))
+    val n = d(col("n"))
+    val cov = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = n * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val slope = cov / vx
+    val intercept = (d(col("sy")) - slope * d(col("sx"))) / n
+    // cents scale divides out once at the end: both coefficients report in
+    // value units (slope = value units per x unit)
+    m.select(col("bucket"), col("n"),
+      round(slope / 100.0, 6).as("slope"),
+      round(intercept / 100.0, 6).as("intercept"),
+      when(col("ymin") =!= col("ymax"),
+        round(cov * cov / (vx * vy), 6)).as("r2"))
+  }
+
   /** Pearson χ² contingency decomposition between two categorical
     * columns — the table behind ClickHouse `cramersV(a, b)` /
     * `theilsU(a, b)`, kept at cell grain so every output value is a fixed

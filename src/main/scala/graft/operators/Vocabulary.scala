@@ -91,6 +91,90 @@ object Vocabulary {
           / sum(col("tf")), 4).as("avg_logprob"))
   }
 
+  /** Per-document average BIGRAM log-probability under the corpus' own
+    * add-one-smoothed bigram language model — the order-sensitive sibling
+    * of [[unigramLogprob]] (a KenLM-style perplexity filter one order up:
+    * scrambled or templated text scores low under the bigram model even
+    * when its unigram mix looks normal).
+    * `lp(w₂|w₁) = ln((c(w₁,w₂)+1)/(c₁(w₁)+V))` with `c₁(w₁)` = count of
+    * w₁ in bigram-left position and `V` = corpus unigram vocabulary; the
+    * per-doc score is the tf-weighted sum over the doc's distinct bigrams
+    * divided by its bigram count, rounded to 4dp — formulation mirrored
+    * exactly by the DuckDB oracle. Documents with < 2 tokens have no
+    * bigram and are excluded (the model is undefined there).
+    *
+    * Scale: the bigram explode is linear in tokens; tf aggregates at
+    * (doc, bigram) grain with map-side combine; the bigram count table is
+    * vocabulary²-bounded in theory but Zipf-bounded in practice (AQE picks
+    * broadcast vs shuffle); left-counts re-aggregate from it; the totals
+    * frame is one broadcast row.
+    */
+  def bigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = docs.select(col(idCol).as("doc_id"),
+      filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
+        w => length(w) > 0).as("a"))
+    val bg = arr
+      .where(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // V = the corpus' full unigram vocabulary (all positions, not just
+    // bigram-left), matching the unigram model's V
+    val vocab = docs.select(toks(textCol)).where(length(col("w")) > 0)
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    tf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * log((col("c2") + 1) / (col("c1") + col("v"))))
+          / sum(col("tf")), 4).as("avg_logprob"))
+  }
+
+  /** Corpus-level Zipf/hapax profile — one row: vocabulary size, token
+    * total, hapax-legomena count and fraction (terms occurring once — the
+    * classic OCR-noise / boilerplate-divergence signal), and the fitted
+    * Zipf slope (OLS of ln freq on ln rank over the top-`k` ranks; healthy
+    * natural-language corpora sit near −1, templated or synthetic corpora
+    * flatten). Counts are exact integers; the slope is a float OLS over a
+    * k-bounded rank table rounded to 4dp (the [[unigramLogprob]] float
+    * posture).
+    *
+    * Scale: one token aggregation; the rank table is capped at `k` with a
+    * deterministic (freq desc, term) tie-break planned as
+    * TakeOrderedAndProject; everything after is k-bounded.
+    */
+  def zipfStats(docs: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    val cnt = docs.select(toks(textCol))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = cnt.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("c")).as("n_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val top = cnt.orderBy(col("c").desc, col("w")).limit(k)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("c").desc, col("w"))))
+    val xy = top.select(log(col("rk").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val fit = xy.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    totals.crossJoin(fit).select(
+      col("vocab_size"), col("n_tokens"), col("n_hapax"),
+      round(col("n_hapax").cast("double") / col("vocab_size"), 6)
+        .as("hapax_frac"),
+      round((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+        .as("zipf_slope"))
+  }
+
   /** Per-document top-`n` TF-IDF terms — corpus-relative keyword
     * extraction (`idf = ln(N/df)`, score rounded to 4dp BEFORE the rank,
     * ties by term). The document-frequency table is vocabulary-bounded and

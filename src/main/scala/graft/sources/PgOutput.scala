@@ -537,6 +537,97 @@ object PgOutput extends Serializable {
     if (truncates.isEmpty) changes
     else changes.where(col("_version") > lit(truncates.map(_.walStart).max))
 
+  /** Repair unchanged-TOAST columns — the downstream half of the
+    * `_unchanged_toast` contract (see class doc): a toasted column decoded
+    * to null is semantically "same value as the previous row image", so
+    * each one is patched from the newest TRANSMITTED value at a lower
+    * `_version` for its key — earlier rows of the same batch first, then
+    * the committed mirror's newest image (`mirror`). This is what PeerDB /
+    * Debezium do with the pre-image when Postgres elides big unchanged
+    * values from the new tuple.
+    *
+    * Correctness notes:
+    *  - a GENUINELY transmitted null (a real `UPDATE ... SET big = NULL`)
+    *    is a legitimate heal source — transmission is tracked via a
+    *    non-null struct wrapper, not via the value itself, so heal-to-null
+    *    works and is distinguishable from "could not heal";
+    *  - a toasted column with NO prior transmitted image (capture started
+    *    mid-history with no snapshot) stays null and KEEPS its name in
+    *    `_unchanged_toast` — unresolved is loud, not silently null;
+    *  - delete rows never carry a toast list (the wire sends key/old
+    *    tuples), so they pass through untouched.
+    *
+    * Scale shape: ONE window pass partitioned by key (the same hash the
+    * mirror upsert buckets by), with the mirror side pruned to the batch's
+    * touched keys by a semi-join before it joins the window — the heal
+    * cost tracks the DELTA, not the mirror size.
+    */
+  def healUnchangedToast(changes: DataFrame, keys: Seq[String],
+                         mirror: Option[DataFrame] = None,
+                         versionCol: String = "_version",
+                         toastCol: String = "_unchanged_toast"): DataFrame = {
+    require(changes.columns.contains(toastCol),
+      s"healUnchangedToast: changes has no $toastCol column")
+    val metaCols = Set(versionCol, toastCol, "_is_deleted", "_event_ts", "_source_table")
+    val dataCols = changes.columns.filterNot(c => metaCols(c) || keys.contains(c)).toSeq
+    if (dataCols.isEmpty) return changes
+    val outCols = changes.columns.toSeq
+
+    // base image rows from the mirror: newest version per touched key,
+    // transmitted by definition (the mirror never stores a toast marker)
+    val withBase = mirror match {
+      case None => changes.withColumn("__base", lit(0))
+      case Some(m) =>
+        val mcols = m.columns.toSet
+        val touched = changes.select(keys.map(col): _*).distinct()
+        val newest = graft.operators.CdcOps.latestSnapshot(
+          m.join(touched, keys, "left_semi"), keys, versionCol)
+        val base = newest.select(
+          keys.map(col) ++
+            dataCols.map(c => (if (mcols(c)) col(c)
+              else lit(null)).cast(changes.schema(c).dataType).as(c)) ++ Seq(
+            col(versionCol).cast(LongType).as(versionCol),
+            lit(false).as("_is_deleted"),
+            lit(null).cast(TimestampType).as("_event_ts"),
+            lit(null).cast(StringType).as("_source_table"),
+            // a mirror image whose own toast list is still unresolved
+            // (capture began mid-history) must not transmit those columns
+            // as if their nulls were real values — propagate its list
+            (if (mcols(toastCol)) col(toastCol)
+             else lit(null).cast(ArrayType(StringType))).as(toastCol)): _*)
+        changes.withColumn("__base", lit(0))
+          .unionByName(base.withColumn("__base", lit(1)), allowMissingColumns = true)
+    }
+
+    // one window pass: per column, the newest transmitted image at-or-below
+    // this row's version (the row's own toasted null is skipped by
+    // ignoreNulls on the struct wrapper; base rows sort first at equal
+    // version so a replayed batch heals from the mirror image)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).asc, col("__base").desc)
+      .rowsBetween(Long.MinValue, 0)
+    def toasted(c: String) =
+      coalesce(array_contains(col(toastCol), lit(c)), lit(false))
+    val withTx = dataCols.foldLeft(withBase) { (df, c) =>
+      df.withColumn(s"__tx_$c",
+        last(when(!toasted(c), struct(col(c).as("v"))), ignoreNulls = true).over(w))
+    }
+    val healed = dataCols.foldLeft(withTx) { (df, c) =>
+      df.withColumn(c,
+        when(toasted(c) && col(s"__tx_$c").isNotNull, col(s"__tx_$c").getField("v"))
+          .otherwise(col(c)))
+    }
+    val unhealed = filter(
+      array(dataCols.map(c =>
+        when(toasted(c) && col(s"__tx_$c").isNull, lit(c))): _*),
+      x => x.isNotNull)
+    healed
+      .withColumn(toastCol, when(size(unhealed) > 0, unhealed))
+      .where(col("__base") === 0)
+      .select(outCols.map(col): _*)
+  }
+
   private final case class CommitAt(finalLsn: Long, tsMicros: Long)
 
   private final case class TruncEvt(walStart: Long, sendTs: Long, xid: Long,

@@ -40,7 +40,8 @@ object PgOutputStream {
   def mirrorFrames(frames: DataFrame, dataCol: String, table: String,
                    keys: Seq[String], targetDir: String, checkpointDir: String,
                    deadDir: Option[String] = None, nBuckets: Int = 64,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   healToast: Boolean = true): StreamingQuery = {
     val spark = frames.sparkSession
     frames.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -54,7 +55,17 @@ object PgOutputStream {
             if (!parsed.deadLetter.isEmpty)
               dead.write.mode("append").parquet(d)
           }
-          val batchDf = parsed.changes
+          // unchanged-TOAST repair against earlier same-batch rows + the
+          // committed mirror's newest image — BEFORE the upsert, so the
+          // mirror only ever stores healed rows (a toasted null must not
+          // win the FINAL merge over the real prior value)
+          val healedChanges =
+            if (!healToast) parsed.changes
+            else PgOutput.healUnchangedToast(parsed.changes, keys,
+              mirror = if (CdcStream.hasVisibleParquet(spark, targetDir))
+                Some(graft.sources.SyncManifest.readCommitted(spark, targetDir))
+              else None)
+          val batchDf = healedChanges
             .withColumn("is_deleted", col("_is_deleted"))
             .withColumn("_batch_id", lit(batchId))
           // committed TRUNCATE: no per-key tombstones exist on the wire, so

@@ -565,4 +565,58 @@ class PgOutputSpec extends SparkSpec {
       "stream_start" -> 1L, "stream:insert" -> 1L, "stream_stop" -> 1L,
       "stream_commit" -> 1L))
   }
+
+  // ── unchanged-TOAST repair ───────────────────────────────────────────
+
+  test("healUnchangedToast: in-batch chain, heal-to-null, unresolved stays loud") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("bigA"), VText("1"))))) ++
+        tx(2, 200, Seq(
+          // toasted update: name unchanged on the wire
+          Fixture.update(201, 7, Seq(VText("1"), VUnchanged, VText("2"))),
+          // a key with NO prior image anywhere: unresolved
+          Fixture.update(202, 7, Seq(VText("2"), VUnchanged, VText("9"))))) ++
+        tx(3, 300, Seq(
+          // GENUINE transmitted null (UPDATE ... SET name = NULL)
+          Fixture.update(301, 7, Seq(VText("1"), VNull, VText("3"))))) ++
+        tx(4, 400, Seq(
+          // toasted again: must heal to the transmitted NULL, flag cleared
+          Fixture.update(401, 7, Seq(VText("1"), VUnchanged, VText("4")))))
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    val healed = PgOutput.healUnchangedToast(parsed.changes, Seq("id"))
+      .select("id", "_version", "name", "qty", "_unchanged_toast")
+      .orderBy("_version").collect().toSeq
+    assert(healed == Seq(
+      Row(1L, 101L, "bigA", 1, null),
+      Row(1L, 201L, "bigA", 2, null), // healed from the insert
+      Row(2L, 202L, null, 9, Seq("name")), // no prior image: loud
+      Row(1L, 301L, null, 3, null), // real transmitted null
+      Row(1L, 401L, null, 4, null))) // healed TO null, flag cleared
+  }
+
+  test("healUnchangedToast: mirror base image heals, its own unresolved marker propagates") {
+    import spark.implicits._
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 500, Seq(
+          Fixture.update(501, 7, Seq(VText("1"), VUnchanged, VText("7"))),
+          Fixture.update(502, 7, Seq(VText("2"), VUnchanged, VText("8")))))
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    // committed mirror: key 1 has a real image (two versions — the NEWEST
+    // must win as base); key 2's newest image is itself unresolved for
+    // `name`, so its null must NOT transmit
+    val mirror = Seq(
+      (1L, "old", 1, 10L, null.asInstanceOf[Seq[String]]),
+      (1L, "bigB", 2, 20L, null.asInstanceOf[Seq[String]]),
+      (2L, null.asInstanceOf[String], 3, 30L, Seq("name")))
+      .toDF("id", "name", "qty", "_version", "_unchanged_toast")
+    val healed = PgOutput.healUnchangedToast(parsed.changes, Seq("id"), Some(mirror))
+      .select("id", "name", "qty", "_unchanged_toast")
+      .orderBy("id").collect().toSeq
+    assert(healed == Seq(
+      Row(1L, "bigB", 7, null), // healed from the newest mirror image
+      Row(2L, null, 8, Seq("name")))) // mirror null was itself unresolved
+  }
 }

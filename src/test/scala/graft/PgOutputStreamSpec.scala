@@ -107,4 +107,40 @@ class PgOutputStreamSpec extends SparkSpec {
       .select("id", "name", "qty").orderBy("id").collect().toSeq ==
       Seq(Row(3L, "cat2", 1)))
   }
+
+  test("capture loop: unchanged-TOAST updates heal from the committed mirror") {
+    import graft.sources.PgOutput.VUnchanged
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("pgtoast").toString
+    val target = s"$root/mirror"
+    val ckpt = s"$root/ckpt"
+    val input = MemoryStream[Frame]
+
+    def runBatch(): Unit = {
+      val q = PgOutputStream.mirrorFrames(input.toDF(), "data", "items",
+        Seq("id"), target, ckpt, nBuckets = 4)
+      q.awaitTermination()
+    }
+
+    // batch 1: the big value is transmitted once
+    input.addData(
+      (Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("huge-payload"), VText("1"))))))
+        .map(Frame): _*)
+    runBatch()
+
+    // batch 2: bare toasted update — `name` arrives as `u`, and must heal
+    // from the MIRROR image (the transmitting row is a batch behind)
+    input.addData(
+      tx(2, 200, Seq(
+        Fixture.update(201, 7, Seq(VText("1"), VUnchanged, VText("2")))))
+        .map(Frame): _*)
+    runBatch()
+    val fin = PgOutputStream.readFinal(spark, target, Seq("id"))
+    assert(fin.select("id", "name", "qty").collect().toSeq ==
+      Seq(Row(1L, "huge-payload", 2)))
+    // the stored image is healed, not just the read: the toast flag is gone
+    assert(fin.select("_unchanged_toast").head().isNullAt(0))
+  }
 }

@@ -159,4 +159,78 @@ class StatTestsSpec extends SparkSpec {
     }
     assert(run(1) == run(13))
   }
+
+  // A = {1,2,3}, B = {2,3,4}: cum gaps |cumA·n₂ − cumB·n₁| over distinct
+  // values = 3,3,3,0 → D = 3/9 = 1/3; λ² = (9/6)·(1/9) = 1/6 and the
+  // 3-term series 2(e^{−1/3} − e^{−4/3} + e^{−3}) ≈ 1.005 clamps to 1
+  test("ksTest matches the hand-computed supremum and clamps the series") {
+    val rows = Seq(
+      (1L, "a", 1L), (1L, "a", 2L), (1L, "a", 3L),
+      (1L, "b", 2L), (1L, "b", 3L), (1L, "b", 4L),
+      (1L, "x", 99L) // neither arm: ignored
+    ).toDF("bucket", "arm", "y")
+    val r = StatTests.ksTest(rows, col("bucket"),
+      col("arm") === "a", col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.length == 1)
+    val (_, n1, n2, d, p) = r.head
+    assert(n1 == 3 && n2 == 3)
+    assert(d == 0.333333)
+    assert(p == 1.0)
+  }
+
+  test("ksTest: identical samples give D = 0, disjoint give D = 1; partitioning-invariant") {
+    val same = Seq((1L, "a", 5L), (1L, "a", 7L), (1L, "b", 5L), (1L, "b", 7L))
+      .toDF("bucket", "arm", "y")
+    val sr = StatTests.ksTest(same, col("bucket"),
+      col("arm") === "a", col("arm") === "b", col("y"))
+      .select("ks_d").as[Double].collect()
+    assert(sr.toSeq == Seq(0.0))
+    val rnd = new scala.util.Random(11)
+    val big = (1 to 500).map(_ => (rnd.nextInt(3).toLong,
+      if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(40).toLong))
+    def run(np: Int) = {
+      val df = big.toDF("bucket", "arm", "y").repartition(np)
+      StatTests.ksTest(df, col("bucket"), col("arm") === "a",
+        col("arm") === "b", col("y"))
+        .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    }
+    assert(run(1) == run(13))
+    val disj = Seq((1L, "a", 1L), (1L, "a", 2L), (1L, "b", 10L), (1L, "b", 11L))
+      .toDF("bucket", "arm", "y")
+    assert(StatTests.ksTest(disj, col("bucket"), col("arm") === "a",
+      col("arm") === "b", col("y")).select("ks_d").as[Double].head() == 1.0)
+  }
+
+  // x ties {1,1,2} → average ranks (1.5, 1.5, 3) against y ranks (1,2,3):
+  // Pearson over ranks = 1.5/√(1.5·2) = √3/2
+  test("spearmanCorr: monotone ±1, tie-averaged ranks, zero-variance dropped") {
+    val mono = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 40L),
+      (2L, 1L, 9L), (2L, 2L, 5L), (2L, 3L, 1L), // anti-monotone
+      (3L, 4L, 4L), (3L, 4L, 7L)) // x all tied: dropped
+      .toDF("bucket", "x", "y")
+    val r = StatTests.spearmanCorr(mono, col("bucket"), col("x"), col("y"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 3L, 1.0), (2L, 3L, -1.0)))
+    val tied = Seq((9L, 1L, 5L), (9L, 1L, 6L), (9L, 2L, 7L))
+      .toDF("bucket", "x", "y")
+    val rho = StatTests.spearmanCorr(tied, col("bucket"), col("x"), col("y"))
+      .select("rho").as[Double].head()
+    assert(math.abs(rho - math.sqrt(3.0) / 2) < 1e-6)
+  }
+
+  test("linReg recovers an exact line; zero x-variance dropped; constant y has null R²") {
+    val rows = Seq(
+      (1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 300L), // y = x (in cents)
+      (2L, 5L, 70L), (2L, 5L, 90L), // no x variance: dropped
+      (3L, 1L, 40L), (3L, 2L, 40L), (3L, 3L, 40L)) // flat: r2 undefined
+      .toDF("bucket", "x", "y")
+    val r = StatTests.linReg(rows, col("bucket"), col("x"), col("y"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), if (x.isNullAt(4)) None else Some(x.getDouble(4))))
+      .sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 3L, 1.0, 0.0, Some(1.0)),
+      (3L, 3L, 0.0, 0.4, None)))
+  }
 }
