@@ -748,6 +748,14 @@ object SparkEntry {
     // slope over the top-1000 ranks (Vocabulary.zipfStats scaladoc)
     "docs_zipf_hapax" -> ((s, d) =>
       Vocabulary.zipfStats(t(s, d, "documents"), "text", 1000)),
+    // BPE tokenizer training (Sennrich 2016): the corpus' top-24 merges in
+    // learned priority order — each iteration is a narrow map + one
+    // combinable pair aggregation over the WORD-FREQUENCY table (never the
+    // corpus), only the argmax pair reaching the driver. No SQL oracle
+    // (iterative fixpoint); the merge sequence is pinned exactly by
+    // BpeSpec's textbook fixture and a partitioning-invariance check.
+    "docs_bpe_merges" -> ((s, d) =>
+      Bpe.mergeTable(s, t(s, d, "documents"), "text", 24)),
     // CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/tail
     // corpus tertiles by unigram-LM average log-prob — the standard
     // quality stratification before sampling. Exact ntile WITHOUT a
