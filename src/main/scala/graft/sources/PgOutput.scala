@@ -70,13 +70,20 @@ import org.apache.spark.sql.types._
   * wire, so this is the one change kind that is METADATA, not rows.
   *
   * Honesty contract, same as DebeziumEnvelope: nothing unparseable is
-  * silently dropped. Unknown message tags (e.g. `M`essage),
-  * truncated frames, DML for relids the registry never saw, and value
-  * coercion failures all land in the DEAD-LETTER frame with a reason;
-  * keepalives and Begin/Commit/Origin/Type messages are consumed by
-  * design. Unchanged-TOAST columns (`u`) decode to null AND surface their
-  * names in `_unchanged_toast` so a downstream repair join can patch them
+  * silently dropped. Unknown message tags, truncated frames, DML for
+  * relids the registry never saw, and value coercion failures all land in
+  * the DEAD-LETTER frame with a reason; keepalives and
+  * Begin/Commit/Origin/Type messages are consumed by design, and
+  * `M`essage (`pg_logical_emit_message`) frames decode natively —
+  * consumed by [[parse]], surfaced by [[logicalMessages]].
+  * Unchanged-TOAST columns (`u`) decode to null AND surface their
+  * names in `_unchanged_toast` so [[healUnchangedToast]] can patch them
   * from the previous image instead of mistaking them for real nulls.
+  * Updates under REPLICA IDENTITY FULL additionally carry
+  * `_changed_cols` — the old-vs-new image diff (empty = no-op update;
+  * null = no full old image on the wire). Transactions marked by a
+  * skipped replication Origin are filtered whole (`skipOrigins` —
+  * bidirectional-mirror loop prevention, pglogical semantics).
   */
 object PgOutput extends Serializable {
 
@@ -102,11 +109,22 @@ object PgOutput extends Serializable {
   final case class Relation(relid: Int, namespace: String, name: String,
                             replicaIdentity: Char, cols: IndexedSeq[RelCol]) extends Msg
   final case class Insert(relid: Int, tuple: IndexedSeq[Value]) extends Msg
-  final case class Update(relid: Int, old: Option[IndexedSeq[Value]],
+  /** `oldKind`: 'O' = full old row image (REPLICA IDENTITY FULL — enables
+    * the `_changed_cols` diff), 'K' = key columns only (DEFAULT identity
+    * after a key change), None = no old tuple on the wire.
+    */
+  final case class Update(relid: Int, oldKind: Option[Char],
+                          old: Option[IndexedSeq[Value]],
                           next: IndexedSeq[Value]) extends Msg
   final case class Delete(relid: Int, old: IndexedSeq[Value]) extends Msg
   final case class OriginMsg(lsn: Long, name: String) extends Msg
   final case class TypeMsg(oid: Int, namespace: String, name: String) extends Msg
+  /** `M`essage — `pg_logical_emit_message()` side-channel payloads
+    * (watermarks, app-level barriers). Not row DML: [[parse]] consumes
+    * them by design; [[logicalMessages]] surfaces them as a frame.
+    */
+  final case class LogicalMsg(transactional: Boolean, lsn: Long,
+                              prefix: String, content: Array[Byte]) extends Msg
   /** TRUNCATE TABLE on the publication: every row of `relids` gone in one
     * WAL record — no per-key tombstones on the wire. Options bit 1 =
     * CASCADE, bit 2 = RESTART IDENTITY (both carried for fidelity; neither
@@ -214,7 +232,7 @@ object PgOutput extends Serializable {
     val r = new Reader(payload)
     val tag = r.u8().toChar
     if (inStream && (tag == 'R' || tag == 'Y' || tag == 'I' || tag == 'U' ||
-        tag == 'D' || tag == 'T')) {
+        tag == 'D' || tag == 'T' || tag == 'M')) {
       val xid = r.i32().toLong & 0xffffffffL
       return Streamed(xid, decodeBody(tag, r))
     }
@@ -240,6 +258,11 @@ object PgOutput extends Serializable {
         }
         Relation(relid, ns, name, replident, cols)
       case 'Y' => TypeMsg(r.i32(), r.cstr(), r.cstr())
+      case 'M' =>
+        val flags = r.u8()
+        val lsn = r.i64()
+        val prefix = r.cstr()
+        LogicalMsg((flags & 1) != 0, lsn, prefix, r.bytes(r.i32()))
       case 'I' =>
         val relid = r.i32()
         val kind = r.u8().toChar
@@ -248,12 +271,12 @@ object PgOutput extends Serializable {
       case 'U' =>
         val relid = r.i32()
         (r.u8().toChar: @unchecked) match {
-          case 'N' => Update(relid, None, tupleData(r))
-          case 'K' | 'O' =>
+          case 'N' => Update(relid, None, None, tupleData(r))
+          case k @ ('K' | 'O') =>
             val old = tupleData(r)
             val nk = r.u8().toChar
             if (nk != 'N') throw new IllegalArgumentException(s"update new-tuple kind '$nk'")
-            Update(relid, Some(old), tupleData(r))
+            Update(relid, Some(k), Some(old), tupleData(r))
           case k => throw new IllegalArgumentException(s"update old-tuple kind '$k'")
         }
       case 'D' =>
@@ -568,7 +591,8 @@ object PgOutput extends Serializable {
                          toastCol: String = "_unchanged_toast"): DataFrame = {
     require(changes.columns.contains(toastCol),
       s"healUnchangedToast: changes has no $toastCol column")
-    val metaCols = Set(versionCol, toastCol, "_is_deleted", "_event_ts", "_source_table")
+    val metaCols = Set(versionCol, toastCol, "_is_deleted", "_event_ts",
+      "_source_table", "_changed_cols")
     val dataCols = changes.columns.filterNot(c => metaCols(c) || keys.contains(c)).toSeq
     if (dataCols.isEmpty) return changes
     val outCols = changes.columns.toSeq
@@ -662,6 +686,7 @@ object PgOutput extends Serializable {
       case _: Delete => "delete"
       case _: OriginMsg => "origin"
       case _: TypeMsg => "type"
+      case _: LogicalMsg => "message"
       case _: StreamStart => "stream_start"
       case StreamStop => "stream_stop"
       case _: StreamCommit => "stream_commit"
@@ -689,6 +714,57 @@ object PgOutput extends Serializable {
       .select(col("tag"), col("n"))
   }
 
+  private val logicalMsgSchema = StructType(Seq(
+    StructField("wal_start", LongType, nullable = false),
+    StructField("lsn", LongType, nullable = false),
+    StructField("prefix", StringType),
+    StructField("content", BinaryType),
+    StructField("transactional", BooleanType, nullable = false),
+    StructField("xid", LongType),
+    StructField("tx_state", StringType)))
+
+  /** `pg_logical_emit_message()` side-channel frames as a DataFrame — the
+    * watermark/barrier channel PeerDB-style pipelines coordinate on.
+    * `tx_state`: `immediate` (non-transactional — decoded outside any tx),
+    * `committed` (plain transactional — logical decoding only emits
+    * committed transactions), or for protocol-v2 streamed messages the
+    * xid resolution: `committed` / `aborted` / `pending` (aborted and
+    * pending ones are SURFACED with their state, not dropped — a consumer
+    * filters; the honesty contract for a side channel).
+    */
+  def logicalMessages(raw: DataFrame, dataCol: String): DataFrame = {
+    val spark = raw.sparkSession
+    val bin = raw.select(col(dataCol)).as[Array[Byte]](Encoders.BINARY)
+    val evts = bin.mapPartitions(_.flatMap { bytes =>
+      decodeFrame(bytes) match {
+        case Right(XLogData(w, _, _, StreamStart(_, _))) => Iterator.single(StreamEvt(0, w, 0L, 0L))
+        case Right(XLogData(w, _, _, StreamStop)) => Iterator.single(StreamEvt(1, w, 0L, 0L))
+        case Right(XLogData(w, _, _, StreamCommit(x, _, _, ts))) => Iterator.single(StreamEvt(2, w, x, ts))
+        case Right(XLogData(w, _, _, StreamAbort(x, sx))) => Iterator.single(StreamEvt(3, w, x, sx))
+        case _ => Iterator.empty
+      }
+    })(Encoders.product[StreamEvt]).collect()
+    val metaB = spark.sparkContext.broadcast(buildStreamMeta(evts.toSeq))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(logicalMsgSchema))
+    bin.mapPartitions { it =>
+      val m = metaB.value
+      it.flatMap { bytes =>
+        decodeFrame(bytes, xlogWalStart(bytes).exists(m.inSegment)) match {
+          case Right(XLogData(w, _, _, LogicalMsg(tx, lsn, prefix, content))) =>
+            Iterator.single(Row(w, lsn, prefix, content, tx, null,
+              if (tx) "committed" else "immediate"))
+          case Right(XLogData(w, _, _, Streamed(x, LogicalMsg(tx, lsn, prefix, content)))) =>
+            val state =
+              if (m.commits.contains(x)) "committed"
+              else if (m.fullAborts(x) || m.partialAborts(x)) "aborted"
+              else "pending"
+            Iterator.single(Row(w, lsn, prefix, content, tx, x, state))
+          case _ => Iterator.empty
+        }
+      }
+    }(enc).toDF()
+  }
+
   /** Parse the pgoutput frames of `raw(dataCol)` for the one published
     * table `table`, producing the normalized change log (see class doc).
     * `priorRelations` seeds the schema registry from earlier batches (see
@@ -698,7 +774,8 @@ object PgOutput extends Serializable {
     * are not this table's.
     */
   def parse(raw: DataFrame, dataCol: String, table: String,
-            priorRelations: Seq[RelationAt] = Nil): Parsed = {
+            priorRelations: Seq[RelationAt] = Nil,
+            skipOrigins: Set[String] = Set.empty): Parsed = {
     val spark = raw.sparkSession
     val bin = raw.select(col(dataCol).as("__frame")).as[Array[Byte]](Encoders.BINARY)
 
@@ -758,6 +835,37 @@ object PgOutput extends Serializable {
       }
     })(Encoders.product[CommitAt]).collect().sortBy(_.finalLsn)
 
+    // replication-origin loop prevention (pglogical / PeerDB
+    // bidirectional-mirror semantics): a transaction whose Origin message
+    // names a skipped origin is filtered whole — its DML and truncates
+    // never re-enter the mirror they came from. Origin messages are
+    // transaction-frequency metadata (bounded collect). Streamed (v2)
+    // transactions do not carry Origin messages on the wire, so only plain
+    // transactions participate.
+    val skippedTx: Set[Long] =
+      if (skipOrigins.isEmpty) Set.empty
+      else {
+        val origins = bin.mapPartitions(_.flatMap { bytes =>
+          decodeFrame(bytes) match {
+            case Right(XLogData(w, _, _, OriginMsg(_, name)))
+              if skipOrigins(name) => Iterator.single(w)
+            case _ => Iterator.empty
+          }
+        })(Encoders.scalaLong).collect()
+        origins.map { w =>
+          // governing transaction: smallest commit boundary at-or-after
+          // the origin frame (the commitTs lookup's identity)
+          val cs = commits
+          var lo = 0; var hi = cs.length - 1; var best = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (cs(mid).finalLsn >= w) { best = mid; hi = mid - 1 } else lo = mid + 1
+          }
+          if (best < 0) -1L else cs(best).finalLsn
+        }.filter(_ >= 0).toSet
+      }
+    val skippedTxB = spark.sparkContext.broadcast(skippedTx)
+
     val relids = rels.map(_.relid).toSet
 
     // unified output schema: by-name union across versions, latest type wins
@@ -769,7 +877,12 @@ object PgOutput extends Serializable {
         StructField("_is_deleted", BooleanType, nullable = false),
         StructField("_event_ts", TimestampType),
         StructField("_source_table", StringType),
-        StructField("_unchanged_toast", ArrayType(StringType))))
+        StructField("_unchanged_toast", ArrayType(StringType)),
+        // update rows under REPLICA IDENTITY FULL: names of the columns
+        // whose value differs from the old image (empty = no-op update);
+        // null = no full old image on the wire (inserts, deletes, DEFAULT
+        // identity)
+        StructField("_changed_cols", ArrayType(StringType))))
     val names = unifiedCols.keys.toArray
 
     val relsB = spark.sparkContext.broadcast(rels)
@@ -799,6 +912,17 @@ object PgOutput extends Serializable {
       if (best < 0) sendTs else cs(best).tsMicros
     }
 
+    // governing commit boundary LSN for origin-skip membership (-1 = none)
+    def commitLsnAt(walStart: Long): Long = {
+      val cs = commitsB.value
+      var lo = 0; var hi = cs.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (cs(mid).finalLsn >= walStart) { best = mid; hi = mid - 1 } else lo = mid + 1
+      }
+      if (best < 0) -1L else cs(best).finalLsn
+    }
+
     // pass 1b (metadata): committed TRUNCATEs touching this table —
     // DDL-frequency events, bounded like Relation messages. Plain ones
     // commit with their surrounding transaction (same Begin lookup as
@@ -824,9 +948,21 @@ object PgOutput extends Serializable {
       ts
     }
 
-    // one decoded change → Left(reason) | Right(row)
+    // wire-value equality for the changed-column diff: a toasted new value
+    // is unchanged by definition; text/binary compare by content
+    def valuesDiffer(o: Value, n: Value): Boolean = (o, n) match {
+      case (_, VUnchanged) => false
+      case (VNull, VNull) => false
+      case (VText(a), VText(b)) => a != b
+      case (VBinary(a), VBinary(b)) => !java.util.Arrays.equals(a, b)
+      case _ => true // null↔value or representation change
+    }
+
+    // one decoded change → Left(reason) | Right(row). `oldFull` is the
+    // REPLICA IDENTITY FULL old image of an update (None elsewhere).
     def buildRow(walStart: Long, eventTsMicros: Long, isDelete: Boolean,
-                 tuple: IndexedSeq[Value]): Either[String, Row] =
+                 tuple: IndexedSeq[Value],
+                 oldFull: Option[IndexedSeq[Value]] = None): Either[String, Row] =
       relAt(walStart) match {
         case None => Left(s"dml at lsn=$walStart precedes every Relation message")
         case Some(rel) =>
@@ -849,11 +985,20 @@ object PgOutput extends Serializable {
               i += 1
             }
             val toast = toasted.result()
+            // changed-column mask from the full old image (arity-guarded:
+            // a mid-stream ALTER between the old and new image makes the
+            // diff undefined — null, not wrong)
+            val changed = oldFull.filter(_.length == tuple.length).map { old =>
+              rel.cols.indices.collect {
+                case i if valuesDiffer(old(i), tuple(i)) => rel.cols(i).name
+              }
+            }.orNull
             Right(Row.fromSeq(
               names.toIndexedSeq.map(byName.get) ++ Seq(
                 walStart, isDelete,
                 tsFromMicros(eventTsMicros),
-                table, if (toast.isEmpty) null else toast)))
+                table, if (toast.isEmpty) null else toast,
+                changed)))
           } catch {
             case e: RuntimeException => Left(s"value coercion at lsn=$walStart: ${e.getMessage}")
           }
@@ -897,14 +1042,20 @@ object PgOutput extends Serializable {
               s"streamed xid=$x has no Stream Commit in this batch — replay with its commit")
           }
       }
-      def emit(isDelete: Boolean, tuple: IndexedSeq[Value]) = ts match {
-        case Right(t) => Iterator.single(buildRow(walStart, t, isDelete, tuple))
+      def emit(isDelete: Boolean, tuple: IndexedSeq[Value],
+               oldFull: Option[IndexedSeq[Value]] = None) = ts match {
+        case Right(t) =>
+          Iterator.single(buildRow(walStart, t, isDelete, tuple, oldFull))
         case Left(null) => Iterator.empty // aborted: never happened
         case Left(reason) => Iterator.single(Left(reason))
       }
-      msg match {
+      // origin loop-prevention: DML whose governing transaction carries a
+      // skipped-origin marker is filtered silently (policy, not loss)
+      if (xid.isEmpty && skippedTxB.value(commitLsnAt(walStart))) Iterator.empty
+      else msg match {
         case Insert(relid, tuple) if relids(relid) => emit(isDelete = false, tuple)
-        case Update(relid, _, next) if relids(relid) => emit(isDelete = false, next)
+        case Update(relid, kind, old, next) if relids(relid) =>
+          emit(isDelete = false, next, old.filter(_ => kind.contains('O')))
         case Delete(relid, old) if relids(relid) => emit(isDelete = true, old)
         case _ => Iterator.empty // other tables' DML, control msgs, unknowns
       }
@@ -928,8 +1079,19 @@ object PgOutput extends Serializable {
 
     // driver-side truncate resolution (bounded list): keep only truncates
     // that touch this table's relids and whose transaction committed
+    def commitLsnAtDriver(walStart: Long): Long = {
+      var lo = 0; var hi = commits.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (commits(mid).finalLsn >= walStart) { best = mid; hi = mid - 1 }
+        else lo = mid + 1
+      }
+      if (best < 0) -1L else commits(best).finalLsn
+    }
     val truncates = truncEvts.toSeq
       .filter(_.relids.exists(relids))
+      // a skipped-origin transaction's truncate is filtered with its DML
+      .filterNot(e => e.xid < 0 && skippedTx(commitLsnAtDriver(e.walStart)))
       .flatMap { e =>
         if (e.xid < 0) meta.preparedXidAt(e.walStart) match {
           case Some(px) => meta.resolvePrepared(px, "prepared truncate")
@@ -1124,7 +1286,21 @@ object PgOutput extends Serializable {
       xlog(walStart, w.bytes)
     }
 
-    /** An arbitrary unknown-tag logical message (e.g. 'M' message). */
+    def origin(walStart: Long, originLsn: Long, name: String): Array[Byte] =
+      xlog(walStart, new W().ch('O').i64(originLsn).cstr(name).bytes)
+
+    /** `xid` ≥ 0 writes the protocol-v2 streamed form. */
+    def message(walStart: Long, lsn: Long, prefix: String,
+                content: Array[Byte], transactional: Boolean = true,
+                xid: Long = -1L): Array[Byte] = {
+      val w = new W().ch('M')
+      if (xid >= 0) w.i32(xid.toInt)
+      w.u8(if (transactional) 1 else 0).i64(lsn).cstr(prefix)
+        .i32(content.length).raw(content)
+      xlog(walStart, w.bytes)
+    }
+
+    /** An arbitrary unknown-tag logical message. */
     def unknown(walStart: Long, tag: Char, body: Array[Byte] = Array.emptyByteArray): Array[Byte] =
       xlog(walStart, new W().ch(tag).raw(body).bytes)
   }

@@ -66,7 +66,7 @@ class PgOutputSpec extends SparkSpec {
     val upd = Fixture.update(31, 7, Seq(VText("1"), VText("anne"), VUnchanged),
       old = Some(('K', Seq(VText("1"), VNull, VNull))))
     decodeFrame(upd) match {
-      case Right(XLogData(31, _, _, Update(7, Some(old), next))) =>
+      case Right(XLogData(31, _, _, Update(7, Some('K'), Some(old), next))) =>
         assert(old == IndexedSeq(VText("1"), VNull, VNull))
         assert(next == IndexedSeq(VText("1"), VText("anne"), VUnchanged))
       case other => fail(s"update decoded to $other")
@@ -83,9 +83,15 @@ class PgOutputSpec extends SparkSpec {
       case other => fail(s"keepalive decoded to $other")
     }
 
-    decodeFrame(Fixture.unknown(40, 'M')) match {
-      case Right(XLogData(40, _, _, Unknown('M'))) => ()
+    decodeFrame(Fixture.message(40, 40, "wm", "x".getBytes("UTF-8"))) match {
+      case Right(XLogData(40, _, _, LogicalMsg(true, 40, "wm", c))) =>
+        assert(new String(c, "UTF-8") == "x")
       case other => fail(s"logical Message decoded to $other")
+    }
+
+    decodeFrame(Fixture.unknown(41, 'Z')) match {
+      case Right(XLogData(41, _, _, Unknown('Z'))) => ()
+      case other => fail(s"unknown tag decoded to $other")
     }
 
     assert(decodeFrame(Array[Byte]('w', 1, 2)).isLeft) // truncated XLogData
@@ -131,7 +137,8 @@ class PgOutputSpec extends SparkSpec {
 
     val changes = parsed.changes
     assert(changes.columns.toSeq == Seq("id", "name", "qty", "_version",
-      "_is_deleted", "_event_ts", "_source_table", "_unchanged_toast"))
+      "_is_deleted", "_event_ts", "_source_table", "_unchanged_toast",
+      "_changed_cols"))
     assert(changes.count() == 5)
     // _version is the WAL position of each DML
     assert(changes.select("_version").as[Long](spark.implicits.newLongEncoder)
@@ -177,7 +184,7 @@ class PgOutputSpec extends SparkSpec {
           // qty is int4 but the value is not a number → coercion dead-letter
           Fixture.insert(102, 7, Seq(VText("2"), VText("bob"), VText("many"))),
           // logical decoding Message is not interpreted → unknown-tag dead-letter
-          Fixture.unknown(103, 'M'))) ++
+          Fixture.unknown(103, 'Z'))) ++
         Seq(Array[Byte]('w', 9)) // truncated frame
 
     val parsed = PgOutput.parse(toDf(frames), "frame", "items")
@@ -186,7 +193,7 @@ class PgOutputSpec extends SparkSpec {
       .as[String](spark.implicits.newStringEncoder).collect().toSeq
     assert(reasons.size == 3)
     assert(reasons.exists(_.contains("coercion")))
-    assert(reasons.exists(_.contains("unknown message tag 'M'")))
+    assert(reasons.exists(_.contains("unknown message tag 'Z'")))
     assert(reasons.exists(_.contains("malformed")))
   }
 
@@ -553,7 +560,7 @@ class PgOutputSpec extends SparkSpec {
       Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
         tx(1, 100, Seq(
           Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
-        Seq(Fixture.keepalive(150), Fixture.unknown(160, 'M')) ++
+        Seq(Fixture.keepalive(150), Fixture.unknown(160, 'Z')) ++
         Seq(Fixture.streamStart(500, 77),
           Fixture.insert(501, 7, Seq(VText("2"), VText("bob"), VNull), xid = 77),
           Fixture.streamStop(510),
@@ -561,9 +568,113 @@ class PgOutputSpec extends SparkSpec {
     val counts = PgOutput.frameCounts(toDf(frames), "frame")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("relation" -> 1L, "begin" -> 1L, "insert" -> 1L,
-      "commit" -> 1L, "keepalive" -> 1L, "unknown:M" -> 1L,
+      "commit" -> 1L, "keepalive" -> 1L, "unknown:Z" -> 1L,
       "stream_start" -> 1L, "stream:insert" -> 1L, "stream_stop" -> 1L,
       "stream_commit" -> 1L))
+  }
+
+  // ── REPLICA IDENTITY FULL: changed-column masks ──────────────────────
+
+  test("_changed_cols diffs the full old image; key-only and absent old give null") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols, replicaIdentity = 'f')) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))),
+          // full old image: only name changed
+          Fixture.update(102, 7, Seq(VText("1"), VText("anne"), VText("3")),
+            old = Some(('O', Seq(VText("1"), VText("ann"), VText("3"))))),
+          // no-op update: empty mask, not null
+          Fixture.update(103, 7, Seq(VText("1"), VText("anne"), VText("3")),
+            old = Some(('O', Seq(VText("1"), VText("anne"), VText("3"))))),
+          // null→value and value→null both count; toasted new value never does
+          Fixture.update(104, 7, Seq(VText("1"), VUnchanged, VNull),
+            old = Some(('O', Seq(VText("1"), VText("anne"), VText("3"))))),
+          // key-only old image: diff undefined
+          Fixture.update(105, 7, Seq(VText("1"), VText("ax"), VText("9")),
+            old = Some(('K', Seq(VText("1"), VNull, VNull)))),
+          Fixture.delete(106, 7, Seq(VText("1"), VNull, VNull))))
+    val rows = PgOutput.parse(toDf(frames), "frame", "items").changes
+      .select("_version", "_changed_cols").orderBy("_version")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toSeq
+    assert(rows == Seq(
+      (101L, null), (102L, List("name")), (103L, Nil),
+      (104L, List("qty")), (105L, null), (106L, null)))
+  }
+
+  // ── logical 'M' messages ─────────────────────────────────────────────
+
+  test("logicalMessages surfaces plain, immediate, and streamed frames with tx state") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.message(101, 101, "wm", "b1".getBytes("UTF-8")))) ++
+        Seq(
+          Fixture.message(150, 150, "tick", "t0".getBytes("UTF-8"),
+            transactional = false),
+          Fixture.streamStart(200, xid = 77),
+          Fixture.message(201, 201, "s", "in-stream".getBytes("UTF-8"), xid = 77),
+          Fixture.streamStop(210),
+          Fixture.streamCommit(211, 77, 211, 212, txTs(2)),
+          Fixture.streamStart(300, xid = 88),
+          Fixture.message(301, 301, "s", "doomed".getBytes("UTF-8"), xid = 88),
+          Fixture.streamStop(310),
+          Fixture.streamAbort(311, 88, 88),
+          Fixture.streamStart(400, xid = 99),
+          Fixture.message(401, 401, "s", "later".getBytes("UTF-8"), xid = 99),
+          Fixture.streamStop(410))
+    val m = PgOutput.logicalMessages(toDf(frames), "frame")
+      .orderBy("wal_start")
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8"), r.getBoolean(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getString(6))).toSeq
+    assert(m == Seq(
+      (101L, "wm", "b1", true, -1L, "committed"),
+      (150L, "tick", "t0", false, -1L, "immediate"),
+      (201L, "s", "in-stream", true, 77L, "committed"),
+      (301L, "s", "doomed", true, 88L, "aborted"),
+      (401L, "s", "later", true, 99L, "pending")))
+    // parse consumes messages by design: none dead-letter, none are rows
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(parsed.deadLetter.isEmpty)
+    assert(parsed.changes.isEmpty)
+    // frameCounts tags them
+    val counts = PgOutput.frameCounts(toDf(frames), "frame")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("message") == 2L && counts("stream:message") == 3L)
+  }
+
+  // ── replication-origin loop prevention ───────────────────────────────
+
+  test("skipOrigins filters a marked transaction whole, including its truncate") {
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        // tx 1: local write — kept
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
+        // tx 2: replicated from peer_b — filtered whole
+        (Fixture.begin(200, 300, txTs(2), 1002) +:
+          Seq(
+            Fixture.origin(201, 42, "peer_b"),
+            Fixture.truncate(202, Seq(7)),
+            Fixture.insert(203, 7, Seq(VText("2"), VText("bob"), VText("5")))) :+
+          Fixture.commit(300, 300, 301, txTs(2))) ++
+        // tx 3: from a different origin — kept
+        (Fixture.begin(400, 500, txTs(3), 1003) +:
+          Seq(
+            Fixture.origin(401, 43, "peer_c"),
+            Fixture.insert(402, 7, Seq(VText("3"), VText("cat"), VText("9")))) :+
+          Fixture.commit(500, 500, 501, txTs(3)))
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items",
+      skipOrigins = Set("peer_b"))
+    assert(parsed.truncates.isEmpty)
+    assert(parsed.deadLetter.isEmpty)
+    assert(parsed.changes.select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // without the filter everything lands (truncate included)
+    val all = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(all.truncates.length == 1)
+    assert(all.changes.count() == 3)
   }
 
   // ── unchanged-TOAST repair ───────────────────────────────────────────

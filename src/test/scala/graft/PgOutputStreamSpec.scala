@@ -63,14 +63,14 @@ class PgOutputStreamSpec extends SparkSpec {
       (tx(2, 200, Seq(
         Fixture.update(201, 7, Seq(VText("1"), VText("anne"), VText("4"))),
         Fixture.delete(202, 7, Seq(VText("2"), VNull, VNull)),
-        Fixture.unknown(203, 'M'))))
+        Fixture.unknown(203, 'Z'))))
         .map(Frame): _*)
     runBatch()
     assert(PgOutputStream.readFinal(spark, target, Seq("id"))
       .select("id", "name", "qty").collect().toSeq == Seq(Row(1L, "anne", 4)))
     val deadRows = spark.read.parquet(dead)
     assert(deadRows.count() == 1)
-    assert(deadRows.select("reason").head().getString(0).contains("'M'"))
+    assert(deadRows.select("reason").head().getString(0).contains("'Z'"))
 
     // batch 3: a mid-stream ALTER (new Relation version) + rows on both
     // sides of it — older rows (including pre-restart mirror rows) read
