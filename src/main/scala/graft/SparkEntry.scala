@@ -484,6 +484,14 @@ object SparkEntry {
       StatTests.linReg(t(s, d, "events"), col("event_type"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"),
         floor(col("value") * 100 + 0.5))),
+    // ClickHouse analysisOfVariance: one-way ANOVA F of value-cents across
+    // event types per day bucket — exact int64 group moments; the one
+    // cross-group float sum runs as a group-key-ordered running sum so the
+    // additions sequence identically on any engine (StatTests scaladoc)
+    "events_anova" -> ((s, d) =>
+      StatTests.anovaF(t(s, d, "events"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7"),
+        col("event_type"), floor(col("value") * 100 + 0.5))),
     // ClickHouse maxIntersections(Position): peak concurrent open spans
     // per user ([ts, ts+value·1s) half-open) and the earliest sweep point
     // attaining it — one (key, point) shuffle, integer micros
@@ -756,6 +764,11 @@ object SparkEntry {
     // BpeSpec's textbook fixture and a partitioning-invariance check.
     "docs_bpe_merges" -> ((s, d) =>
       Bpe.mergeTable(s, t(s, d, "documents"), "text", 24)),
+    // domain-shift signal: Jensen-Shannon divergence of each language
+    // slice's unigram distribution from the whole corpus blend
+    // (Vocabulary.jsDivergence scaladoc)
+    "docs_js_divergence" -> ((s, d) =>
+      Vocabulary.jsDivergence(t(s, d, "documents"), "lang", "text")),
     // CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/tail
     // corpus tertiles by unigram-LM average log-prob — the standard
     // quality stratification before sampling. Exact ntile WITHOUT a
@@ -1789,6 +1802,26 @@ object SparkEntry {
          FROM tf t JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2
          JOIN c1 ON c1.w1 = t.w1 CROSS JOIN vb
          GROUP BY t.doc_id""",
+    // the identical present-pairs-only JS decomposition and scalar tree
+    "docs_js_divergence" ->
+      """WITH tok AS (
+           SELECT lang AS g, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         tf AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c FROM tok
+                WHERE len(w) > 0 GROUP BY g, w),
+         gw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM tf GROUP BY w),
+         gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM tf GROUP BY g),
+         tot AS (SELECT CAST(sum(cg) AS DOUBLE) AS nn FROM gw),
+         j AS (
+           SELECT tf.g, gt.ng,
+                  CAST(tf.c AS DOUBLE) / CAST(gt.ng AS DOUBLE) AS p,
+                  CAST(gw.cg AS DOUBLE) / tot.nn AS q
+           FROM tf JOIN gw USING (w) JOIN gt USING (g) CROSS JOIN tot)
+         SELECT g AS lang, max(ng) AS n_tokens,
+                round(ln(2.0) / 2.0 + sum((p * ln(2.0 * p / (p + q))
+                  + q * ln(2.0 * q / (p + q)) - q * ln(2.0)) / 2.0), 4)
+                  AS js_div
+         FROM j GROUP BY g""",
     // the identical capped rank table and OLS scalar tree
     "docs_zipf_hapax" ->
       """WITH cnt AS (
@@ -2363,6 +2396,46 @@ object SparkEntry {
                 CASE WHEN ymin <> ymax
                   THEN round(cov * cov / (vx * vy), 6) END AS r2
          FROM s""",
+    // the identical exact group moments; the cross-group float term sum
+    // mirrors the group-key-ordered running-sum sequence via arg_max
+    "events_anova" ->
+      """WITH m AS (
+           SELECT (epoch_us(ts) // 86400000000) % 7 AS bucket,
+                  event_type AS grp,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events),
+         g AS (
+           SELECT bucket, grp, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(y * y) AS BIGINT) AS syy
+           FROM m GROUP BY bucket, grp),
+         c AS (
+           SELECT bucket, grp, n, sy, syy,
+                  sum(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                    OVER (PARTITION BY bucket ORDER BY grp
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+           FROM g),
+         a AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(n) AS BIGINT) AS nn,
+                  CAST(sum(sy) AS BIGINT) AS syt,
+                  CAST(sum(syy) AS BIGINT) AS syyt,
+                  arg_max(cumt, grp) AS tsum
+           FROM c GROUP BY bucket
+           HAVING k >= 2 AND nn > k),
+         f AS (
+           SELECT bucket, k, nn,
+                  tsum - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE)
+                    / CAST(nn AS DOUBLE) AS ssb,
+                  CAST(syyt AS DOUBLE) - tsum AS ssw,
+                  CAST(k AS DOUBLE) - 1.0 AS dfb,
+                  CAST(nn AS DOUBLE) - CAST(k AS DOUBLE) AS dfw
+           FROM a)
+         SELECT bucket, k, nn AS n,
+                round((ssb / dfb) / (ssw / dfw), 6) AS f_stat,
+                k - 1 AS df_between, nn - k AS df_within
+         FROM f WHERE ssw > 0""",
     // the identical sweep: ±1 deltas in (point, delta) order, running sum,
     // earliest point attaining the max — integer micros throughout
     "events_max_concurrent" ->

@@ -298,6 +298,48 @@ object StatTests {
         round(cov * cov / (vx * vy), 6)).as("r2"))
   }
 
+  /** One-way ANOVA per `bucket` across the groups of `grp` — ClickHouse
+    * `analysisOfVariance(value, group)` with a GROUP BY (F statistic and
+    * both degrees of freedom; the p-value needs the F distribution's
+    * incomplete beta and is intentionally not emitted).
+    *
+    * Per-(bucket, group) moments (n, Σy, Σy²) are exact int64s; the one
+    * float reduction across groups — Σ_g (Σy_g)²/n_g — runs as a window
+    * running sum in GROUP-KEY ORDER, so the float additions happen in the
+    * same fixed sequence on any engine/partitioning (the cross-engine
+    * determinism rule: nothing order-dependent is ever hash-aggregated in
+    * floating point). Buckets with < 2 groups, no residual df, or zero
+    * within-group variance are dropped.
+    */
+  def anovaF(events: DataFrame, bucket: Column, grp: Column,
+             cents: Column): DataFrame = {
+    val g = events
+      .select(bucket.as("bucket"), grp.as("grp"), cents.cast("long").as("y"))
+      .where(col("y").isNotNull)
+      .groupBy(col("bucket"), col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    val byG = Window.partitionBy(col("bucket")).orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = g.withColumn("cumt",
+      sum(d(col("sy")) * d(col("sy")) / d(col("n"))).over(byG))
+    val agg = withCum.groupBy(col("bucket")).agg(
+      count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("sy")).as("syt"), sum(col("syy")).as("syyt"),
+      max_by(col("cumt"), col("grp")).as("tsum"))
+      .where(col("k") >= 2 && col("nn") > col("k"))
+    val nN = d(col("nn"))
+    val ssb = col("tsum") - d(col("syt")) * d(col("syt")) / nN
+    val ssw = d(col("syyt")) - col("tsum")
+    val dfb = d(col("k")) - lit(1.0)
+    val dfw = nN - d(col("k"))
+    agg.where(ssw > 0)
+      .select(col("bucket"), col("k"), col("nn").as("n"),
+        round((ssb / dfb) / (ssw / dfw), 6).as("f_stat"),
+        (col("k") - 1L).as("df_between"),
+        (col("nn") - col("k")).as("df_within"))
+  }
+
   /** Pearson χ² contingency decomposition between two categorical
     * columns — the table behind ClickHouse `cramersV(a, b)` /
     * `theilsU(a, b)`, kept at cell grain so every output value is a fixed

@@ -175,6 +175,39 @@ object Vocabulary {
         .as("zipf_slope"))
   }
 
+  /** Jensen-Shannon divergence of each group's unigram distribution from
+    * the whole corpus' — the standard domain-shift / slice-drift signal of
+    * a pretraining mix (which language/source slices diverge most from the
+    * blend they feed). For vocabulary terms ABSENT from a group the
+    * p-side term vanishes and the q-side contributes `½q·ln2`, which sums
+    * to `½ln2·(1 − Σ_present q)` — so the computation only ever joins the
+    * PRESENT (group, term) pairs against the global count table:
+    * `JS = ½ln2 + Σ_present [½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q)) − ½q·ln2]`.
+    * Bounded in [0, ln 2]; float summands form the identical multiset on
+    * both engines (the [[unigramLogprob]] posture), rounded to 4dp.
+    *
+    * Scale: one tf aggregation at (group, term) grain, the Zipf-bounded
+    * global count table joined back, two broadcast totals frames.
+    */
+  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(groupCol).as("g"), toks(textCol))
+      .where(length(col("w")) > 0)
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
+    val glob = tf.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+    val gTot = tf.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+    val tot = glob.agg(sum(col("cg")).cast("double").as("nn"))
+    val p = col("c").cast("double") / col("ng").cast("double")
+    val q = col("cg").cast("double") / col("nn")
+    val ln2 = lit(math.log(2.0))
+    val term = (p * log(lit(2.0) * p / (p + q))
+      + q * log(lit(2.0) * q / (p + q)) - q * ln2) / 2.0
+    tf.join(glob, "w").join(broadcast(gTot), "g").crossJoin(broadcast(tot))
+      .groupBy(col("g"))
+      .agg(max(col("ng")).as("n_tokens"),
+        round(ln2 / 2.0 + sum(term), 4).as("js_div"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("js_div"))
+  }
+
   /** Per-document top-`n` TF-IDF terms — corpus-relative keyword
     * extraction (`idf = ln(N/df)`, score rounded to 4dp BEFORE the rank,
     * ties by term). The document-frequency table is vocabulary-bounded and

@@ -219,6 +219,31 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(rho - math.sqrt(3.0) / 2) < 1e-6)
   }
 
+  // groups {10,20,30} vs {40,50,60}: tsum = 1200+7500, SSB = 8700−7350 =
+  // 1350, SSW = 9100−8700 = 400 → F = 1350/(400/4) = 13.5
+  test("anovaF matches the hand-computed F; degenerate buckets drop") {
+    val rows = Seq(
+      (1L, "a", 10L), (1L, "a", 20L), (1L, "a", 30L),
+      (1L, "b", 40L), (1L, "b", 50L), (1L, "b", 60L),
+      (2L, "a", 5L), (2L, "a", 6L), // single group: dropped
+      (3L, "a", 7L), (3L, "b", 9L)) // zero within-group variance: dropped
+      .toDF("bucket", "grp", "y")
+    val r = StatTests.anovaF(rows, col("bucket"), col("grp"), col("y"))
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 6L, 13.5, 1L, 4L)))
+  }
+
+  test("anovaF is partitioning-invariant") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map(_ => (rnd.nextInt(3).toLong,
+      s"g${rnd.nextInt(4)}", rnd.nextInt(50).toLong))
+    def run(np: Int) =
+      StatTests.anovaF(rows.toDF("bucket", "grp", "y").repartition(np),
+        col("bucket"), col("grp"), col("y"))
+        .as[(Long, Long, Long, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("linReg recovers an exact line; zero x-variance dropped; constant y has null R²") {
     val rows = Seq(
       (1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 300L), // y = x (in cents)

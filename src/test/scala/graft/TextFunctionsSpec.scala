@@ -230,4 +230,21 @@ class TextFunctionsSpec extends SparkSpec {
       assert(r._7 == exp.forall(identity), s"case $id keep: $r")
     }
   }
+
+  test("jsDivergence: identity slice is 0, disjoint equal slices hit the hand value") {
+    import graft.operators.Vocabulary
+    // one slice = the corpus: p = q everywhere, JS = 0 exactly
+    val one = Seq((1L, "en", "x y x"), (2L, "en", "y z"))
+      .toDF("doc_id", "lang", "text")
+    val r0 = Vocabulary.jsDivergence(one, "lang", "text")
+      .select("js_div").as[Double].head()
+    assert(r0 == 0.0)
+    // two disjoint equal-mass slices: per-term p = 1, q = 1/2 →
+    // JS = ln2/2 + (ln(4/3) + ln(2/3)/2 − ln2/2)/2 ≈ 0.2158 for both
+    val two = Seq((1L, "en", "aa aa"), (2L, "fr", "bb bb"))
+      .toDF("doc_id", "lang", "text")
+    val r = Vocabulary.jsDivergence(two, "lang", "text")
+      .select("lang", "js_div").as[(String, Double)].collect().toMap
+    assert(r == Map("en" -> 0.2158, "fr" -> 0.2158))
+  }
 }
