@@ -1120,6 +1120,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_samples"), col("peak"), col("n_clipped"),
           round(sqrt(col("sum_squares").cast("double") / col("n_samples")), 4)
             .as("rms"))),
+    // REAL pixel decode: 24-bit BMP pixel arrays read back out of each
+    // payload (MediaHeader.bmpPixelStats — BGR order, padded stride,
+    // bottom-up AND top-down layouts) into exact channel sums + the peak
+    // BT.601 integer luminance. Pixels are id-derived, so the oracle
+    // regenerates every channel with range() arithmetic: a stride,
+    // channel-order, or row-order bug hash-mismatches immediately
+    "mm_image_stats" -> ((s, d) =>
+      Multimodal.imageStats(
+          Multimodal.withBmpPayloads(t(s, d, "documents"), "doc_id"))
+        .toDF()),
 
     // ---- audit / data-quality surface -------------------------------------
     // "what changed between sync v1 and sync v2" over the events CDC log;
@@ -2896,6 +2906,25 @@ object SparkEntry {
                      AS BIGINT) AS n_clipped,
                 round(sqrt(CAST(sum(x * x) AS BIGINT) / max(ns)), 4) AS rms
          FROM v GROUP BY doc_id""",
+    // the identical id-derived pixel field re-generated arithmetically —
+    // channel sums and the BT.601 peak are row-order-invariant, so one
+    // formula covers the bottom-up and top-down halves of the lake
+    "mm_image_stats" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+                    FROM documents),
+         px AS (
+           SELECT d.doc_id,
+                  (d.doc_id * 7 + x.x * 13 + y.y * 31) % 256 AS r,
+                  (d.doc_id * 11 + x.x * 17 + y.y * 37) % 256 AS g,
+                  (d.doc_id * 13 + x.x * 19 + y.y * 41) % 256 AS b2
+           FROM d, unnest(range(0, d.w)) AS x(x),
+                unnest(range(0, d.h)) AS y(y))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(g) AS BIGINT) AS sum_g,
+                CAST(sum(b2) AS BIGINT) AS sum_b,
+                CAST(max(299 * r + 587 * g + 114 * b2) AS BIGINT) AS peak_luma
+         FROM px GROUP BY doc_id""",
     "cdc_snapshot_diff" ->
       """WITH vm AS (SELECT max(event_id) AS v2 FROM events),
          s1 AS (SELECT user_id, max(event_id) AS ver,

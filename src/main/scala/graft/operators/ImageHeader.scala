@@ -95,10 +95,24 @@ object ImageHeader {
     None
   }
 
+  /** BMP (Windows BITMAPINFOHEADER layout, public): 'BM', then the info
+    * header at offset 14 with width/height as LE i32 at 18/22 — a negative
+    * height means top-down row order (dimensions report |h|).
+    */
+  private def bmp(b: Array[Byte]): Option[ImageInfo] = {
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+    if (le32(b, 14) < 40) return None // pre-BITMAPINFOHEADER cores unsupported
+    val w = le32(b, 18).toInt
+    val h = le32(b, 22).toInt
+    if (w > 0 && h != 0 && h != Int.MinValue)
+      Some(ImageInfo("bmp", w, math.abs(h)))
+    else None
+  }
+
   /** Parse the payload's image header, if it is one of the supported public
     * container formats.
     */
   def parse(bytes: Array[Byte]): Option[ImageInfo] =
     if (bytes == null) None
-    else png(bytes).orElse(gif(bytes)).orElse(jpeg(bytes))
+    else png(bytes).orElse(gif(bytes)).orElse(jpeg(bytes)).orElse(bmp(bytes))
 }

@@ -286,6 +286,96 @@ object MediaHeader {
     None
   }
 
+  /** Decoded pixel statistics: count, exact per-channel integer sums, and
+    * the peak integer luminance (ITU-R BT.601 weights ×1000:
+    * `299·R + 587·G + 114·B`, range 0..255000) — all integral so
+    * downstream math is engine-exact.
+    */
+  case class PixelStats(nPixels: Long, sumR: Long, sumG: Long, sumB: Long,
+                        peakLuma: Long)
+
+  /** REAL payload decode for uncompressed 24-bit BMP: read the pixel array
+    * the headers declare (BGR byte order, 4-byte-padded row stride,
+    * bottom-up or top-down) and fold every pixel into [[PixelStats]] — no
+    * codec library; the image sibling of [[wavPcmStats]], closing the
+    * pixel half of the decode seam. Only COMPLETE rows present in the
+    * buffer are decoded (a prefix-read of a long file decodes its full
+    * rows; channel sums and the luma peak are row-order-invariant, so
+    * bottom-up and top-down files with the same pixels agree). Returns
+    * None for non-BMP, compressed, or non-24bpp payloads.
+    */
+  def bmpPixelStats(b: Array[Byte]): Option[PixelStats] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    if (le32(b, 14) < 40) return None
+    val w = le32(b, 18).toInt
+    val hRaw = le32(b, 22).toInt
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue) return None
+    if (bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw)
+    val off = le32(b, 10)
+    if (off < 54 || off > b.length) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    val fullRows = math.min(h.toLong,
+      (b.length - off) / stride).toInt.max(0)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var peak = 0L
+    var r = 0
+    while (r < fullRows) {
+      var x = 0
+      val rowStart = off.toInt + r * stride
+      while (x < w) {
+        val o = rowStart + 3 * x
+        val bb = u8(b, o).toLong
+        val gg = u8(b, o + 1).toLong
+        val rr = u8(b, o + 2).toLong
+        sumB += bb; sumG += gg; sumR += rr
+        val luma = 299L * rr + 587L * gg + 114L * bb
+        if (luma > peak) peak = luma
+        x += 1
+      }
+      r += 1
+    }
+    Some(PixelStats(fullRows.toLong * w, sumR, sumG, sumB, peak))
+  }
+
+  /** Encode a complete uncompressed 24-bit BMP — the writer dual of
+    * [[bmpPixelStats]] (BGR bytes, padded stride, bottom-up storage unless
+    * `topDown`). `pixel(x, y)` returns (r, g, b) with y = 0 the TOP row in
+    * both storage orders, so the same function yields pixel-identical
+    * images either way (spec-pinned).
+    */
+  def bmpImage(width: Int, height: Int,
+               pixel: (Int, Int) => (Int, Int, Int),
+               topDown: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad bmp dims ${width}x$height")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val dataLen = stride * height
+    val out = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(if (topDown) -height else height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, no palette
+    var row = 0
+    while (row < height) {
+      // storage row `row` holds image row y: bottom-up stores the bottom
+      // image row first
+      val y = if (topDown) row else height - 1 - row
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = pixel(x, y)
+        out.put((bl & 0xff).toByte).put((g & 0xff).toByte).put((r & 0xff).toByte)
+        x += 1
+      }
+      var pad = stride - 3 * width
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      row += 1
+    }
+    out.array()
+  }
+
   /** Encode a canonical 44-byte PCM WAV header declaring `dataLen` payload
     * bytes — the writer dual of [[parse]]'s WAV reader (16-bit samples).
     * Used to synthesize deterministic audio lakes in tests/fixtures; a

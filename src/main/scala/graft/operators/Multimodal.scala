@@ -150,6 +150,54 @@ object Multimodal {
           lit("audio/wav").as("media_type")).as("meta"))
   }
 
+  /** Attach a synthetic 24-bit BMP payload to each document — the image
+    * sibling of [[withPcmAudioPayloads]]: REAL container bytes
+    * ([[MediaHeader.bmpImage]]) whose dimensions (`2+id%6 × 1+id%4`) and
+    * per-pixel channels (`r = (id·7 + x·13 + y·31) mod 256` and siblings)
+    * derive from the id alone, so every decoded statistic is re-derivable
+    * arithmetically by the oracle. Alternating ids store bottom-up vs
+    * top-down — the decoder must agree on both layouts.
+    */
+  def withBmpPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 2 + (id % 6).toInt
+        val h = 1 + (id % 4).toInt
+        val img = MediaHeader.bmpImage(w, h, (x, y) => (
+          ((id * 7 + x * 13 + y * 31) % 256).toInt,
+          ((id * 11 + x * 17 + y * 37) % 256).toInt,
+          ((id * 13 + x * 19 + y * 41) % 256).toInt),
+          topDown = id % 2 == 1)
+        (id, img)
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("image/bmp").as("media_type")).as("meta"))
+  }
+
+  /** Decoded per-item pixel statistics (see [[MediaHeader.bmpPixelStats]]). */
+  case class ImageStats(doc_id: Long, n_pixels: Long, sum_r: Long,
+                        sum_g: Long, sum_b: Long, peak_luma: Long)
+
+  /** REAL image decode through the codec seam: fold each BMP payload's
+    * pixels into per-item statistics — the pixel half of the decode seam,
+    * same partition-iterator shape as [[audioStats]]. Non-BMP payloads are
+    * dropped (mixed lakes filter here).
+    */
+  def imageStats(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MediaHeader.bmpPixelStats(payload).map(s =>
+          ImageStats(id, s.nPixels, s.sumR, s.sumG, s.sumB, s.peakLuma))
+      })
+  }
+
   /** Decoded per-item PCM statistics (see [[MediaHeader.wavPcmStats]]). */
   case class AudioStats(doc_id: Long, n_samples: Long, peak: Long,
                         n_clipped: Long, sum_squares: Long)

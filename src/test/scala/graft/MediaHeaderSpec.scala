@@ -271,4 +271,47 @@ class MediaHeaderSpec extends SparkSpec {
     // declared-vs-actual drift is visible: the liar's declared type survives
     assert(probes(3).declaredType == "img/liar" && probes(3).format == "unknown")
   }
+
+  // ── BMP pixel decode (the image half of the decode seam) ─────────────
+
+  test("bmpPixelStats round-trips bmpImage exactly, both row orders") {
+    def pix(x: Int, y: Int) = (x * 40 + y, 255 - x * 30, (x + y) * 50 % 256)
+    val up = MediaHeader.bmpImage(3, 2, pix)
+    val down = MediaHeader.bmpImage(3, 2, pix, topDown = true)
+    // same pixel function → identical stats regardless of storage order
+    val su = MediaHeader.bmpPixelStats(up).get
+    val sd = MediaHeader.bmpPixelStats(down).get
+    assert(su == sd)
+    assert(su.nPixels == 6)
+    // hand sums over pix(x,y) for x∈0..2, y∈0..1
+    val ps = for (y <- 0 to 1; x <- 0 to 2) yield pix(x, y)
+    assert(su.sumR == ps.map(_._1).sum)
+    assert(su.sumG == ps.map(_._2).sum)
+    assert(su.sumB == ps.map(_._3).sum)
+    assert(su.peakLuma ==
+      ps.map(p => 299L * p._1 + 587L * p._2 + 114L * p._3).max)
+    // header probe sees the dims (top-down reports |h|)
+    assert(MediaHeader.parse(up).contains(MediaInfo("bmp", 3, 2, 0, 0, 0L)))
+    assert(MediaHeader.parse(down).contains(MediaInfo("bmp", 3, 2, 0, 0, 0L)))
+  }
+
+  test("bmpPixelStats: stride padding, truncation to complete rows, rejects") {
+    // width 3 → 9 pixel bytes pad to stride 12: padding must not leak in
+    val img = MediaHeader.bmpImage(3, 4, (x, y) => (10, 20, 30))
+    assert(img.length == 54 + 12 * 4)
+    val s = MediaHeader.bmpPixelStats(img).get
+    assert(s.nPixels == 12 && s.sumR == 120 && s.sumG == 240 && s.sumB == 360)
+    // a prefix cut mid-row decodes only the complete rows
+    val cut = java.util.Arrays.copyOfRange(img, 0, 54 + 12 * 2 + 5)
+    val sc = MediaHeader.bmpPixelStats(cut).get
+    assert(sc.nPixels == 6)
+    // rejects: wrong magic, compressed, 32bpp
+    assert(MediaHeader.bmpPixelStats("XXnot a bmp".getBytes("UTF-8")).isEmpty)
+    val comp = img.clone(); comp(30) = 1 // BI_RLE8
+    assert(MediaHeader.bmpPixelStats(comp).isEmpty)
+    val deep = img.clone(); deep(28) = 32
+    assert(MediaHeader.bmpPixelStats(deep).isEmpty)
+    // ...but the dimension PROBE still reads rejected-depth headers
+    assert(MediaHeader.parse(deep).contains(MediaInfo("bmp", 3, 4, 0, 0, 0L)))
+  }
 }
