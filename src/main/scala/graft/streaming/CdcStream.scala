@@ -297,10 +297,20 @@ object CdcStream {
     * Reads the manifest-committed mirror and commits through
     * [[commitBuckets]], so a concurrent FINAL read observes exactly the
     * previous or the new sync — never a mix of buckets.
+    *
+    * `bucketCols` (default: the keys) lets a mirror bucket by a DIFFERENT
+    * column than it dedups by — the secondary-index layout
+    * [[graft.operators.MaterializedJoin]] uses to co-locate A's
+    * foreign-key copy with B. Caveat owned by the caller: when a row's
+    * bucket column CHANGES value, the old bucket keeps a stale lower-
+    * version copy (merges are bucket-local) — readers must version-verify
+    * candidates against the primary mirror.
     */
   def upsertBatch(spark: SparkSession, batchDf: DataFrame, keys: Seq[String],
-                  versionCol: String, targetDir: String, nBuckets: Int): Unit = {
+                  versionCol: String, targetDir: String, nBuckets: Int,
+                  bucketCols: Seq[String] = Nil): Unit = {
     import spark.implicits._
+    val bCols = if (bucketCols.isEmpty) keys else bucketCols
     // materialize the batch ONCE: the touched-bucket collect, the merge,
     // and the append below all re-evaluate it, and a non-deterministic
     // source (a live JDBC tail handed in directly) could otherwise write
@@ -308,7 +318,7 @@ object CdcStream {
     // adopts, i.e. silently lost. Persisting the batch (delta-sized) is
     // far cheaper than the old whole-merged-bucket materialization.
     val withBucket = batchDf
-      .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+      .withColumn("bucket", pmod(hash(bCols.map(col): _*), lit(nBuckets)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = withBucket.select("bucket").distinct().as[Int].collect()

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MaterializedJoin
+import graft.operators.MaterializedJoin.Config
+import graft.sources.SyncManifest
+
+/** Incrementally-maintained join view. The gold contract checked after
+  * EVERY batch: the maintained view equals the from-scratch inner join of
+  * both sides' FINAL snapshots.
+  */
+class MaterializedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = Config("oid", "cid", "cid", nBuckets = 4)
+
+  private def dA(rows: (Long, Long, String, Long, Boolean)*): DataFrame =
+    rows.toDF("oid", "cid", "item", "_version", "is_deleted")
+
+  private def dB(rows: (Long, String, Long, Boolean)*): DataFrame =
+    rows.toDF("cid", "cname", "_version", "is_deleted")
+
+  /** From-scratch recompute over the primary mirrors — the oracle. */
+  private def recompute(root: String): Seq[(Long, Long, String, String)] = {
+    import graft.operators.CdcOps
+    def fin(dir: String, key: String) =
+      CdcOps.softDeleteSnapshot(SyncManifest.readCommitted(spark, dir),
+        Seq(key), "_version", coalesce(col("is_deleted"), lit(false)))
+    val a = fin(s"$root/a_by_key", "oid").select("oid", "cid", "item")
+    val b = fin(s"$root/b_by_key", "cid").select("cid", "cname")
+    a.join(b, "cid").select("oid", "cid", "item", "cname")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+  }
+
+  private def readView(root: String): Seq[(Long, Long, String, String)] = {
+    val df = MaterializedJoin.read(spark, root, cfg)
+    if (!df.columns.contains("oid")) Nil // view never saw a joinable batch
+    else df.select("oid", "cid", "item", "cname")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+  }
+
+  test("join view tracks inserts, updates on both sides, fk changes, deletes") {
+    val root = java.nio.file.Files.createTempDirectory("mjoin").toString
+
+    // batch 1: two customers, two orders
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      Some(dA((1L, 10L, "ax", 1L, false), (2L, 20L, "by", 1L, false))),
+      Some(dB((10L, "ann", 1L, false), (20L, "bob", 1L, false))),
+      batchVersion = 1L)
+    assert(readView(root) == Seq((1L, 10L, "ax", "ann"), (2L, 20L, "by", "bob")))
+    assert(readView(root) == recompute(root))
+
+    // batch 2: B-side update only — must propagate via the join index
+    // (no ΔA at all)
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      None, Some(dB((10L, "ANN", 2L, false))), batchVersion = 2L)
+    assert(readView(root) == Seq((1L, 10L, "ax", "ANN"), (2L, 20L, "by", "bob")))
+    assert(readView(root) == recompute(root))
+
+    // batch 3: fk CHANGE — order 1 re-points from customer 10 to 20; a
+    // later update of customer 10 must NOT resurrect the old pair
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      Some(dA((1L, 20L, "ax2", 3L, false))), None, batchVersion = 3L)
+    assert(readView(root) == Seq((1L, 20L, "ax2", "bob"), (2L, 20L, "by", "bob")))
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      None, Some(dB((10L, "ann3", 4L, false))), batchVersion = 4L)
+    assert(readView(root) == Seq((1L, 20L, "ax2", "bob"), (2L, 20L, "by", "bob")))
+    assert(readView(root) == recompute(root))
+
+    // batch 5: delete customer 20 → both join rows dissolve (inner join)
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      None, Some(dB((20L, null.asInstanceOf[String], 5L, true))),
+      batchVersion = 5L)
+    assert(readView(root) == Nil)
+    assert(readView(root) == recompute(root))
+
+    // batch 6: customer 20 returns, plus an order with a dangling fk and
+    // one with a NULL fk — neither may surface
+    val nullFkRow = Seq((4L, "dz", 6L, false))
+      .toDF("oid", "item", "_version", "is_deleted")
+      .withColumn("cid", lit(null).cast("long"))
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      Some(dA((3L, 99L, "cz", 6L, false)).unionByName(nullFkRow)),
+      Some(dB((20L, "bob2", 6L, false))), batchVersion = 6L)
+    assert(readView(root) == Seq((1L, 20L, "ax2", "bob2"), (2L, 20L, "by", "bob2")))
+    assert(readView(root) == recompute(root))
+
+    // batch 7: the dangling fk heals — customer 99 arrives
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      None, Some(dB((99L, "zed", 7L, false))), batchVersion = 7L)
+    assert(readView(root).map(_._1).contains(3L))
+    assert(readView(root) == recompute(root))
+
+    // batch 8: A-side delete
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      Some(dA((2L, 20L, null.asInstanceOf[String], 8L, true))), None,
+      batchVersion = 8L)
+    assert(readView(root).map(_._1).sorted == Seq(1L, 3L))
+    assert(readView(root) == recompute(root))
+
+    // vacuum drops stale old-fk index copies; the view is unchanged
+    MaterializedJoin.vacuumIndex(spark, root, cfg)
+    val before = readView(root)
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      None, Some(dB((10L, "ann9", 9L, false))), batchVersion = 9L)
+    assert(readView(root) == before) // nothing references 10 anymore
+    assert(readView(root) == recompute(root))
+  }
+
+  test("replaying a batch is a no-op; B-only bootstrap then A arrival") {
+    val root = java.nio.file.Files.createTempDirectory("mjoin2").toString
+    // B arrives before any A exists
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      None, Some(dB((10L, "ann", 1L, false))), batchVersion = 1L)
+    assert(readView(root).isEmpty)
+    val a1 = dA((1L, 10L, "ax", 2L, false))
+    MaterializedJoin.applyBatch(spark, root, cfg, Some(a1), None, 2L)
+    val v = readView(root)
+    assert(v == Seq((1L, 10L, "ax", "ann")))
+    // replay the same batch: converges to the same view
+    MaterializedJoin.applyBatch(spark, root, cfg, Some(a1), None, 2L)
+    assert(readView(root) == v)
+    assert(readView(root) == recompute(root))
+  }
+}
