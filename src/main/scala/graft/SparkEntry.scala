@@ -215,6 +215,37 @@ object SparkEntry {
     // materialized-view maintenance: snapshot -> one sync batch of partial
     // aggregates (retractions negated) -> collapsed read; equals the full
     // re-aggregation of the final live state, which is what the oracle runs
+    // the maintained DENORMALIZED mirror, driver-checked: replay
+    // orders ⋈ customer as CDC batches through MaterializedJoin (even
+    // orders + all customers, then the odd half as a delta plus a
+    // customer re-upsert propagated via the join index), read the view
+    // FINAL; DuckDB recomputes the whole join from scratch — any
+    // maintenance bug (missed propagation, stale index row, wrong
+    // tombstone) hash-mismatches
+    "cdc_materialized_join" -> ((s, d) => {
+      val cfg = MaterializedJoin.Config("o_orderkey", "o_custkey",
+        "c_custkey", nBuckets = 8)
+      val root = indexScratch
+      // a 20% key-slice keeps the in-query rebuild bench-cheap; the
+      // maintenance semantics (two batches, index propagation, re-upsert)
+      // are unchanged and the oracle mirrors the slice
+      val orders = t(s, d, "orders")
+        .where(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      def stamp(df: DataFrame, v: Long) = df
+        .withColumn("_version", lit(v)).withColumn("is_deleted", lit(false))
+      MaterializedJoin.applyBatch(s, root, cfg,
+        Some(stamp(orders.where(pmod(col("o_orderkey"), lit(2)) === 0), 1L)),
+        Some(stamp(cust, 1L)), batchVersion = 1L)
+      MaterializedJoin.applyBatch(s, root, cfg,
+        Some(stamp(orders.where(pmod(col("o_orderkey"), lit(2)) === 1), 2L)),
+        Some(stamp(cust.where(pmod(col("c_custkey"), lit(7)) === 0), 2L)),
+        batchVersion = 2L)
+      MaterializedJoin.read(s, root, cfg)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("o_totalprice"))
+    }),
     "cdc_materialized_agg" -> ((s, d) => {
       val ev = t(s, d, "events")
         .withColumn("cents", floor(col("value") * 100).cast("long"))
@@ -2710,6 +2741,10 @@ object SparkEntry {
          GROUP BY user_id""",
     // the maintained aggregate must equal the full re-aggregation of the
     // final live snapshot — which is exactly what the oracle computes
+    "cdc_materialized_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         WHERE o_orderkey % 5 = 0""",
     "cdc_materialized_agg" ->
       """SELECT event_type, count(*) AS n_rows,
                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

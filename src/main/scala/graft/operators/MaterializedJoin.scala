@@ -90,6 +90,22 @@ object MaterializedJoin {
                  deltaA: Option[DataFrame], deltaB: Option[DataFrame],
                  batchVersion: Long): Unit = {
     val (aKeyDir, aFkDir, bKeyDir, viewDir) = dirs(root)
+    // each delta is consumed several times (two mirror upserts, the
+    // affected-key set, emptiness probes) — pin it once, delta-sized
+    val pinned = (deltaA.toSeq ++ deltaB.toSeq).map(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      applyBatchPinned(spark, root, cfg,
+        deltaA.map(_ => pinned.head), deltaB.map(_ => pinned.last),
+        batchVersion, aKeyDir, aFkDir, bKeyDir, viewDir)
+    } finally pinned.foreach(_.unpersist(false))
+  }
+
+  private def applyBatchPinned(spark: SparkSession, root: String, cfg: Config,
+                               deltaA: Option[DataFrame],
+                               deltaB: Option[DataFrame], batchVersion: Long,
+                               aKeyDir: String, aFkDir: String,
+                               bKeyDir: String, viewDir: String): Unit = {
     val dA = deltaA.filter(d => !d.isEmpty)
     val dB = deltaB.filter(d => !d.isEmpty)
     if (dA.isEmpty && dB.isEmpty) return
@@ -124,6 +140,17 @@ object MaterializedJoin {
     val affectedParts = fromA ++ fromB
     if (affectedParts.isEmpty) return
     val affected = affectedParts.reduce(_ unionByName _).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      recomputeAffected(spark, cfg, affected, aKeyDir, bKeyDir, viewDir,
+        batchVersion)
+    } finally affected.unpersist(false)
+  }
+
+  private def recomputeAffected(spark: SparkSession, cfg: Config,
+                                affected: DataFrame, aKeyDir: String,
+                                bKeyDir: String, viewDir: String,
+                                batchVersion: Long): Unit = {
     // e.g. a ΔB touching keys nothing references: mirrors updated, no
     // view work
     if (affected.isEmpty) return

@@ -336,7 +336,13 @@ object CdcStream {
         .map(withBucket.unionByName(_, allowMissingColumns = true))
         .getOrElse(withBucket)
       val merged = graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
-      commitBuckets(spark, merged, targetDir, touched.toSeq)
+      // cluster the write by bucket: without this, every one of the
+      // shuffle partitions opens a file in every touched bucket dir —
+      // partitions × buckets small files per sync, which compounds into
+      // listing/read cost for every later batch. One shuffle keyed by the
+      // bucket id yields one file per touched bucket per sync.
+      commitBuckets(spark, merged.repartition(col("bucket")), targetDir,
+        touched.toSeq)
     } finally withBucket.unpersist(false)
   }
 
