@@ -215,6 +215,39 @@ object MaterializedJoin {
       .drop("bucket", "_batch_id")
   }
 
+  /** Continuous maintenance from ONE multiplexed change stream — the
+    * shape a multi-table CDC capture emits (both tables' changes in one
+    * ordered feed, rows tagged by `tableCol`): each microbatch splits into
+    * ΔA/ΔB by tag, projects each side's columns, and applies at the
+    * BATCH id as the view version — replayed batches re-apply the same
+    * version and converge, so the checkpoint contract is the usual
+    * foreachBatch idempotency. The stream's schema is the by-name union
+    * of both sides (each row nulls the other side's columns).
+    */
+  def mirrorChanges(changes: DataFrame, tableCol: String,
+                    aName: String, bName: String,
+                    aCols: Seq[String], bCols: Seq[String],
+                    root: String, cfg: Config, checkpointDir: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val dA = batch.where(col(tableCol) === aName)
+            .select(aCols.map(col): _*)
+          val dB = batch.where(col(tableCol) === bName)
+            .select(bCols.map(col): _*)
+          applyBatch(spark, root, cfg, Some(dA), Some(dB),
+            batchVersion = batchId)
+        }
+      }
+      .start()
+  }
+
   /** Rewrite the join index clean from the primary mirror — drops the
     * stale old-fk copies bucket-local merges leave behind (fk-churn
     * bounded; run on the compaction cadence).

@@ -109,6 +109,43 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(readView(root) == recompute(root))
   }
 
+  test("streaming maintenance: one multiplexed change feed keeps the view current") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("mjoin3").toString
+    val ckpt = s"$root/ckpt"
+    // union schema: (table, oid, cid, item, cname, _version, is_deleted)
+    case class Chg(table: String, oid: java.lang.Long, cid: java.lang.Long,
+                   item: String, cname: String, _version: Long,
+                   is_deleted: Boolean)
+    val input = MemoryStream[(String, java.lang.Long, java.lang.Long, String,
+      String, Long, Boolean)]
+    def runBatch(): Unit = {
+      val q = MaterializedJoin.mirrorChanges(
+        input.toDF().toDF("table", "oid", "cid", "item", "cname",
+          "_version", "is_deleted"),
+        "table", "orders", "customers",
+        aCols = Seq("oid", "cid", "item", "_version", "is_deleted"),
+        bCols = Seq("cid", "cname", "_version", "is_deleted"),
+        root, cfg, ckpt)
+      q.awaitTermination()
+    }
+    input.addData(
+      ("customers", null, 10L: java.lang.Long, null, "ann", 1L, false),
+      ("orders", 1L: java.lang.Long, 10L: java.lang.Long, "ax", null, 1L, false))
+    runBatch()
+    assert(readView(root) == Seq((1L, 10L, "ax", "ann")))
+    // second microbatch (fresh query run over the same checkpoint):
+    // B-side rename propagates, a second order arrives
+    input.addData(
+      ("customers", null, 10L: java.lang.Long, null, "ANN", 2L, false),
+      ("orders", 2L: java.lang.Long, 10L: java.lang.Long, "by", null, 2L, false))
+    runBatch()
+    assert(readView(root) ==
+      Seq((1L, 10L, "ax", "ANN"), (2L, 10L, "by", "ANN")))
+    assert(readView(root) == recompute(root))
+  }
+
   test("replaying a batch is a no-op; B-only bootstrap then A arrival") {
     val root = java.nio.file.Files.createTempDirectory("mjoin2").toString
     // B arrives before any A exists
