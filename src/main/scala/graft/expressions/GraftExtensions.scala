@@ -135,6 +135,34 @@ object GraftExtensions {
         require(args.size == 3, "mann_whitney_u: need (y, cond_a, cond_b)")
         MannWhitneyUAgg(args(0), args(1), args(2))
       }),
+    //   kolmogorov_smirnov(y, cond_a, cond_b) — struct(d, p_value)
+    //   rank_corr(x, y)                       — double ρ
+    //   simple_linreg(x, y)                   — struct(slope, intercept, r2)
+    //   anova_f(y, grp)                       — struct(f, dfs, p_value)
+    (FunctionIdentifier("kolmogorov_smirnov"),
+      new ExpressionInfo(classOf[KolmogorovSmirnovAgg].getName, "kolmogorov_smirnov"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "kolmogorov_smirnov: need (y, cond_a, cond_b)")
+        KolmogorovSmirnovAgg(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("rank_corr"),
+      new ExpressionInfo(classOf[RankCorrAgg].getName, "rank_corr"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "rank_corr: need (x, y)")
+        RankCorrAgg(args(0), args(1))
+      }),
+    (FunctionIdentifier("simple_linreg"),
+      new ExpressionInfo(classOf[SimpleLinRegAgg].getName, "simple_linreg"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "simple_linreg: need (x, y)")
+        SimpleLinRegAgg(args(0), args(1))
+      }),
+    (FunctionIdentifier("anova_f"),
+      new ExpressionInfo(classOf[AnovaFAgg].getName, "anova_f"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "anova_f: need (y, grp)")
+        AnovaFAgg(args(0), args(1))
+      }),
     // categorical association (ClickHouse cramersV / cramersVBiasCorrected
     // / theilsU): buffered contingency map, sorted-cell deterministic eval
     (FunctionIdentifier("cramers_v"),

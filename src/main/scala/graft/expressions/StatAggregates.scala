@@ -103,6 +103,27 @@ object StatMath {
 
   /** Two-sided p of a standard-normal z. */
   def zTwoSidedP(z: Double): Double = erfc(math.abs(z) / math.sqrt(2.0))
+
+  /** Kolmogorov distribution tail `Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}`
+    * (the KS asymptotic p-value), clamped to [0,1]. The alternating series
+    * converges hopelessly slowly for small λ, so below the standard
+    * crossover the dual theta-function form of the CDF is used instead
+    * (`P(λ) = √(2π)/λ · Σ e^{−(2k−1)²π²/(8λ²)}`) — both series are the
+    * public Jacobi-theta identities for this distribution.
+    */
+  def kolmogorovQ(lambda: Double): Double = {
+    if (lambda <= 0) return 1.0
+    val q =
+      if (lambda < 1.18) {
+        val u = math.exp(-math.Pi * math.Pi / (8.0 * lambda * lambda))
+        1.0 - math.sqrt(2.0 * math.Pi) / lambda *
+          (u + math.pow(u, 9) + math.pow(u, 25) + math.pow(u, 49))
+      } else {
+        val v = math.exp(-2.0 * lambda * lambda)
+        2.0 * (v - math.pow(v, 4) + math.pow(v, 9) - math.pow(v, 16))
+      }
+    math.min(1.0, math.max(0.0, q))
+  }
 }
 
 /** Shared moment bookkeeping of the two-sample t SQL aggregates: six
@@ -302,4 +323,362 @@ case class MannWhitneyUAgg(y: Expression, isA: Expression, isB: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(y = newChildren(0), isA = newChildren(1), isB = newChildren(2))
+}
+
+/** `kolmogorov_smirnov(y, cond_a, cond_b)` → struct(d, p_value) — the
+  * ClickHouse `kolmogorovSmirnovTest` call shape. Buffers the group's
+  * (y, arm) pairs (the [[MannWhitneyUAgg]] cost class; the value-grain
+  * library operator [[graft.operators.StatTests.ksTest]] is the whole-log
+  * scale path); the supremum walks INTEGER cross-scaled CDF gaps, and the
+  * p-value is the Kolmogorov distribution tail summed to convergence —
+  * richer than the oracle-constrained 3-term series of the DataFrame op.
+  * NULL when a side is empty.
+  */
+case class KolmogorovSmirnovAgg(y: Expression, isA: Expression, isB: Expression,
+                                mutableAggBufferOffset: Int = 0,
+                                inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+
+  override def children: Seq[Expression] = Seq(y, isA, isB)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType), StructField("p_value", DoubleType)))
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] = new ArrayBuffer[Long]()
+
+  override def update(buf: ArrayBuffer[Long], input: InternalRow): ArrayBuffer[Long] = {
+    val yv = y.eval(input)
+    if (yv != null) {
+      val v = yv.asInstanceOf[Number].longValue()
+      if (isA.eval(input) == true) buf += v += 0L
+      if (isB.eval(input) == true) buf += v += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[Long], other: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    buf ++= other; buf
+  }
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] =
+    BehaviorAggregates.serializeBuffer(buf)
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] =
+    BehaviorAggregates.deserializeBuffer(bytes)
+
+  override def eval(buf: ArrayBuffer[Long]): Any = {
+    val n = buf.length / 2
+    if (n == 0) return null
+    val order = Array.range(0, n).sortBy(i => buf(2 * i))
+    var n1 = 0L; var n2 = 0L
+    var i = 0
+    while (i < n) {
+      if (buf(2 * order(i) + 1) == 0L) n1 += 1 else n2 += 1
+      i += 1
+    }
+    if (n1 == 0 || n2 == 0) return null
+    var cumA = 0L; var cumB = 0L; var maxGap = 0L
+    i = 0
+    while (i < n) {
+      val v = buf(2 * order(i))
+      // consume the whole tie run before evaluating the gap
+      while (i < n && buf(2 * order(i)) == v) {
+        if (buf(2 * order(i) + 1) == 0L) cumA += 1 else cumB += 1
+        i += 1
+      }
+      val gap = math.abs(cumA * n2 - cumB * n1)
+      if (gap > maxGap) maxGap = gap
+    }
+    val d = maxGap.toDouble / (n1.toDouble * n2.toDouble)
+    val lambda = math.sqrt(n1.toDouble * n2.toDouble / (n1 + n2).toDouble) * d
+    new GenericInternalRow(Array[Any](d, StatMath.kolmogorovQ(lambda)))
+  }
+
+  override def prettyName: String = "kolmogorov_smirnov"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(y = newChildren(0), isA = newChildren(1), isB = newChildren(2))
+}
+
+/** `rank_corr(x, y)` → double — the ClickHouse `rankCorr` call shape:
+  * Spearman ρ with tie-averaged (fractional) ranks. Buffers the group's
+  * (x, y) pairs; ranks and the Pearson moments evaluate single-node at
+  * the group grain (ClickHouse's own cost class; the distinct-value-grain
+  * library operator [[graft.operators.StatTests.spearmanCorr]] is the
+  * whole-log scale path). NULL when n < 2 or either side is constant.
+  */
+case class RankCorrAgg(x: Expression, yE: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+
+  override def children: Seq[Expression] = Seq(x, yE)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] = new ArrayBuffer[Long]()
+
+  override def update(buf: ArrayBuffer[Long], input: InternalRow): ArrayBuffer[Long] = {
+    val xv = x.eval(input); val yv = yE.eval(input)
+    if (xv != null && yv != null)
+      buf += xv.asInstanceOf[Number].longValue() +=
+        yv.asInstanceOf[Number].longValue()
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[Long], other: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    buf ++= other; buf
+  }
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] =
+    BehaviorAggregates.serializeBuffer(buf)
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] =
+    BehaviorAggregates.deserializeBuffer(bytes)
+
+  /** Doubled tie-averaged ranks of `vals` (exact integers). */
+  private def doubledRanks(vals: Array[Long]): Array[Long] = {
+    val n = vals.length
+    val order = Array.range(0, n).sortBy(vals)
+    val r2 = new Array[Long](n)
+    var i = 0
+    var before = 0L
+    while (i < n) {
+      val v = vals(order(i))
+      var j = i
+      while (j < n && vals(order(j)) == v) j += 1
+      val cn = (j - i).toLong
+      val rank2 = 2 * before + cn + 1
+      var k = i
+      while (k < j) { r2(order(k)) = rank2; k += 1 }
+      before += cn
+      i = j
+    }
+    r2
+  }
+
+  override def eval(buf: ArrayBuffer[Long]): Any = {
+    val n = buf.length / 2
+    if (n < 2) return null
+    val xs = Array.tabulate(n)(i => buf(2 * i))
+    val ys = Array.tabulate(n)(i => buf(2 * i + 1))
+    if (xs.min == xs.max || ys.min == ys.max) return null
+    val rx = doubledRanks(xs); val ry = doubledRanks(ys)
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    var i = 0
+    while (i < n) {
+      val a = rx(i).toDouble; val b = ry(i).toDouble
+      sx += a; sy += b; sxy += a * b; sxx += a * a; syy += b * b
+      i += 1
+    }
+    val nd = n.toDouble
+    val cov = nd * sxy - sx * sy
+    val vx = nd * sxx - sx * sx
+    val vy = nd * syy - sy * sy
+    cov / math.sqrt(vx * vy)
+  }
+
+  override def prettyName: String = "rank_corr"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(x = newChildren(0), yE = newChildren(1))
+}
+
+/** `simple_linreg(x, y)` → struct(slope, intercept, r2) — the ClickHouse
+  * `simpleLinearRegression` call shape over integral-valued columns.
+  * Fixed 10-long buffer (five exact moments + min/max variance guards) —
+  * fully map-side combinable, O(1) state. Coefficients report in the
+  * caller's own y units (the DataFrame op [[graft.operators.StatTests.linReg]]
+  * additionally divides its cents convention out). NULL when n < 2 or x
+  * is constant; `r2` NULL when y is constant.
+  */
+case class SimpleLinRegAgg(x: Expression, yE: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(x, yE)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("slope", DoubleType), StructField("intercept", DoubleType),
+    StructField("r2", DoubleType)))
+
+  // n, sx, sy, sxy, sxx, syy, xmin, xmax, ymin, ymax
+  override def createAggregationBuffer(): Array[Long] = {
+    val b = new Array[Long](10)
+    b(6) = Long.MaxValue; b(7) = Long.MinValue
+    b(8) = Long.MaxValue; b(9) = Long.MinValue
+    b
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val xv = x.eval(input); val yv = yE.eval(input)
+    if (xv != null && yv != null) {
+      val a = xv.asInstanceOf[Number].longValue()
+      val b = yv.asInstanceOf[Number].longValue()
+      buf(0) += 1; buf(1) += a; buf(2) += b
+      buf(3) += a * b; buf(4) += a * a; buf(5) += b * b
+      if (a < buf(6)) buf(6) = a
+      if (a > buf(7)) buf(7) = a
+      if (b < buf(8)) buf(8) = b
+      if (b > buf(9)) buf(9) = b
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 6) { buf(i) += other(i); i += 1 }
+    buf(6) = math.min(buf(6), other(6)); buf(7) = math.max(buf(7), other(7))
+    buf(8) = math.min(buf(8), other(8)); buf(9) = math.max(buf(9), other(9))
+    buf
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(80)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(10)(bb.getLong)
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    if (buf(0) < 2 || buf(6) == buf(7)) return null
+    val n = buf(0).toDouble
+    val cov = n * buf(3).toDouble - buf(1).toDouble * buf(2).toDouble
+    val vx = n * buf(4).toDouble - buf(1).toDouble * buf(1).toDouble
+    val vy = n * buf(5).toDouble - buf(2).toDouble * buf(2).toDouble
+    val slope = cov / vx
+    val intercept = (buf(2).toDouble - slope * buf(1).toDouble) / n
+    val r2: Any = if (buf(8) == buf(9)) null else cov * cov / (vx * vy)
+    new GenericInternalRow(Array[Any](slope, intercept, r2))
+  }
+
+  override def prettyName: String = "simple_linreg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(x = newChildren(0), yE = newChildren(1))
+}
+
+/** `anova_f(y, grp)` → struct(f, df_between, df_within, p_value) — the
+  * ClickHouse `analysisOfVariance` call shape: one-way ANOVA of
+  * integral-valued `y` across the groups of `grp`, with the F tail from
+  * the regularized incomplete beta. State is one (n, Σy, Σy²) triple per
+  * DISTINCT group — map-side combinable, bounded by group cardinality
+  * (loud failure past 100k groups: an ANOVA over that many groups is a
+  * mis-specified query, not a workload). Rows with a null y or group are
+  * ignored. NULL when < 2 groups, no residual df, or zero within-group
+  * variance.
+  */
+case class AnovaFAgg(yE: Expression, grp: Expression,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Array[Long]]] {
+
+  private type Buf = scala.collection.mutable.HashMap[String, Array[Long]]
+
+  override def children: Seq[Expression] = Seq(yE, grp)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("f", DoubleType), StructField("df_between", LongType),
+    StructField("df_within", LongType), StructField("p_value", DoubleType)))
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  private def add(buf: Buf, k: String, n: Long, sy: Long, syy: Long): Unit = {
+    val cell = buf.getOrElseUpdate(k, new Array[Long](3))
+    cell(0) += n; cell(1) += sy; cell(2) += syy
+    require(buf.size <= 100000,
+      "anova_f: more than 100000 distinct groups — mis-specified grouping")
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val yv = yE.eval(input); val gv = grp.eval(input)
+    if (yv != null && gv != null) {
+      val v = yv.asInstanceOf[Number].longValue()
+      add(buf, gv.toString, 1L, v, v * v)
+    }
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    other.foreach { case (k, c) => add(buf, k, c(0), c(1), c(2)) }
+    buf
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = buf.toSeq
+    val keyBytes = entries.map(_._1.getBytes("UTF-8"))
+    val size = 4 + keyBytes.map(_.length + 4 + 24).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(entries.size)
+    entries.zip(keyBytes).foreach { case ((_, c), kb) =>
+      bb.putInt(kb.length); bb.put(kb)
+      bb.putLong(c(0)); bb.putLong(c(1)); bb.putLong(c(2))
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Buf()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](bb.getInt)
+      bb.get(kb)
+      val c = new Array[Long](3)
+      c(0) = bb.getLong; c(1) = bb.getLong; c(2) = bb.getLong
+      buf.put(new String(kb, "UTF-8"), c)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    val k = buf.size
+    if (k < 2) return null
+    var nn = 0L; var syt = 0L; var syyt = 0L
+    var tsum = 0.0
+    // deterministic float accumulation: groups in sorted-key order
+    buf.toSeq.sortBy(_._1).foreach { case (_, c) =>
+      nn += c(0); syt += c(1); syyt += c(2)
+      tsum += c(1).toDouble * c(1).toDouble / c(0).toDouble
+    }
+    if (nn <= k) return null
+    val nd = nn.toDouble
+    val ssb = tsum - syt.toDouble * syt.toDouble / nd
+    val ssw = syyt.toDouble - tsum
+    if (ssw <= 0) return null
+    val dfb = (k - 1).toDouble
+    val dfw = (nn - k).toDouble
+    val f = (ssb / dfb) / (ssw / dfw)
+    // P(F_{dfb,dfw} > f) = I_{dfw/(dfw + dfb·f)}(dfw/2, dfb/2)
+    val p = StatMath.regIncBeta(dfw / (dfw + dfb * f), dfw / 2.0, dfb / 2.0)
+    new GenericInternalRow(Array[Any](f, (k - 1).toLong, nn - k, p))
+  }
+
+  override def prettyName: String = "anova_f"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(yE = newChildren(0), grp = newChildren(1))
 }

@@ -252,4 +252,71 @@ class SqlSurfaceSpec extends SparkSpec {
     val k = math.min(cells.map(_._1).distinct.size, cells.map(_._2).distinct.size) - 1
     assert(math.abs(viaSql - math.sqrt(chi2 / n / k)) < 1e-4) // cells round 6dp
   }
+
+  test("ks / rank_corr / simple_linreg / anova_f SQL forms equal the library operators") {
+    import graft.operators.StatTests
+    import graft.expressions.StatMath
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    val rnd = new scala.util.Random(123)
+    val rows = for (i <- 1 to 600) yield
+      (i % 5L, if (rnd.nextBoolean()) "a" else "b",
+        (rnd.nextInt(30) + (i % 5) * 2).toLong, // coarse y: rank ties
+        (i % 97).toLong) // x co-variate
+    val df = rows.toDF("bucket", "arm", "y", "x").repartition(7)
+    df.createOrReplaceTempView("stat_events2")
+    val sql = spark.sql(
+      """SELECT bucket,
+                kolmogorov_smirnov(y, arm = 'a', arm = 'b') AS k,
+                rank_corr(x, y) AS rho,
+                simple_linreg(x, y) AS lr,
+                anova_f(y, arm) AS af
+         FROM stat_events2 GROUP BY bucket""")
+      .selectExpr("bucket", "k.d", "k.p_value", "rho", "lr.slope",
+        "lr.intercept", "lr.r2", "af.f", "af.df_between", "af.df_within",
+        "af.p_value")
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double,
+        Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+
+    val ks = StatTests.ksTest(df, col("bucket"), col("arm") === "a",
+        col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val sp = StatTests.spearmanCorr(df, col("bucket"), col("x"), col("y"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val lr = StatTests.linReg(df, col("bucket"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    val av = StatTests.anovaF(df, col("bucket"), col("arm"), col("y"))
+      .as[(Long, Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val tt = StatTests.abTTest(df, col("bucket"), col("arm") === "a",
+        col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+
+    assert(sql.keySet == ks.keySet)
+    sql.foreach { case (b, r) =>
+      // KS: identical exact D; p is the convergent Kolmogorov tail at the
+      // same λ (the library emits the oracle-constrained 3-term form)
+      assert(math.abs(r._2 - ks(b)._4) < 1e-6, s"ks d bucket $b")
+      val (n1, n2) = (ks(b)._2.toDouble, ks(b)._3.toDouble)
+      val lam = math.sqrt(n1 * n2 / (n1 + n2)) * r._2
+      assert(math.abs(r._3 - StatMath.kolmogorovQ(lam)) < 1e-12)
+      // Spearman: same ρ (library rounds 6dp)
+      assert(math.abs(r._4 - sp(b)._3) < 1e-6, s"rho bucket $b")
+      // linreg: the library reports in y/100 units (cents convention)
+      assert(math.abs(r._5 / 100.0 - lr(b)._1) < 5e-7, s"slope bucket $b")
+      assert(math.abs(r._6 / 100.0 - lr(b)._2) < 5e-7, s"intercept bucket $b")
+      assert(math.abs(r._7 - lr(b)._3) < 1e-6, s"r2 bucket $b")
+      // ANOVA: same F and dfs; with two groups F = t² of the pooled t-test
+      // and the F tail equals the two-sided t tail EXACTLY (same incomplete
+      // beta) — the textbook identity, pinned bit-tight
+      assert(math.abs(r._8 - av(b)._4) < 1e-6, s"f bucket $b")
+      assert(r._9 == av(b)._5 && r._10 == av(b)._6, s"dfs bucket $b")
+      val st = tt(b)._8 // student t
+      assert(math.abs(r._8 - st * st) < 1e-5 * math.max(1.0, st * st))
+      // (st carries the library's 6dp rounding, which propagates ~1e-7)
+      assert(math.abs(r._11 - StatMath.tTwoSidedP(st, tt(b)._9.toDouble)) < 1e-6)
+    }
+  }
 }

@@ -66,4 +66,14 @@ class StatAggregatesSpec extends AnyFunSuite {
     // odd symmetry: erfc(−x) = 2 − erfc(x)
     assert(math.abs(StatMath.erfc(-1.0) - (2.0 - StatMath.erfc(1.0))) < 1e-12)
   }
+
+  test("kolmogorovQ: critical values, bounds, monotonicity") {
+    // textbook KS critical values: Q(1.358) ≈ 0.05, Q(1.628) ≈ 0.01
+    assert(math.abs(StatMath.kolmogorovQ(1.358) - 0.05) < 5e-4)
+    assert(math.abs(StatMath.kolmogorovQ(1.628) - 0.01) < 2e-4)
+    assert(StatMath.kolmogorovQ(0.0) == 1.0)
+    assert(StatMath.kolmogorovQ(1e-6) == 1.0) // tiny λ clamps at 1
+    assert(StatMath.kolmogorovQ(0.5) > StatMath.kolmogorovQ(1.0))
+    assert(StatMath.kolmogorovQ(5.0) < 1e-10)
+  }
 }
