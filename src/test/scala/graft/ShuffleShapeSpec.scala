@@ -70,6 +70,26 @@ class ShuffleShapeSpec extends SparkSpec {
       floor(col("value") * 100 + 0.5))) <= 2)
   }
 
+  test("round-13 stat family: moment passes stay lean, rank/CDF ops stay at distinct grain") {
+    val b = expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24")
+    val cents = floor(col("value") * 100 + 0.5)
+    // five exact moments in ONE combinable pass
+    assert(shuffles(graft.operators.StatTests.linReg(ev, col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"), cents)) == 1)
+    // group moments + the ordered cross-group running sum share grain
+    assert(shuffles(graft.operators.StatTests.anovaF(ev, b,
+      col("event_type"), cents)) <= 2)
+    // KS: raw log shuffles ONCE into the distinct-value grain; the
+    // remaining exchanges move distinct-grain relations only
+    assert(shuffles(graft.operators.StatTests.ksTest(ev, b,
+      col("event_type") === "view", col("event_type") === "click",
+      cents)) <= 3)
+    // Spearman: two rank maps + their joins, all at distinct-value grain
+    assert(shuffles(graft.operators.StatTests.spearmanCorr(ev,
+      col("event_type"), cents,
+      expr("unix_micros(CAST(ts AS TIMESTAMP))"))) <= 4)
+  }
+
   test("max-intersections sweep is one (key, point) shuffle plus the rollup") {
     assert(shuffles(Behavior.maxIntersections(ev, "user_id", "ts",
       floor(col("value") * lit(1000000.0)).cast("long"))) <= 2)
