@@ -795,6 +795,15 @@ object SparkEntry {
     // BpeSpec's textbook fixture and a partitioning-invariance check.
     "docs_bpe_merges" -> ((s, d) =>
       Bpe.mergeTable(s, t(s, d, "documents"), "text", 24)),
+    // the apply half: greedy priority-order inference with the corpus' own
+    // learned merges — per-doc subword counts (the REAL tokens-per-doc
+    // signal the ~4-chars heuristic approximates). rows-only; inference
+    // exactness is pinned by BpeSpec's composed-unit encoding test.
+    "docs_bpe_token_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Bpe.encodeStats(docs, "doc_id", "text",
+        Bpe.learnMerges(docs, "text", 24))
+    }),
     // domain-shift signal: Jensen-Shannon divergence of each language
     // slice's unigram distribution from the whole corpus blend
     // (Vocabulary.jsDivergence scaladoc)
