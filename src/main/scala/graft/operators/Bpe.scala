@@ -35,6 +35,36 @@ object Bpe {
   // Seq (not IndexedSeq) field: the implicit product encoder covers it
   private[graft] final case class SymWord(freq: Long, syms: Seq[String])
 
+  /** Word → initial symbol sequence, split by CODE POINT (not UTF-16
+    * unit): lone surrogates would not survive the Dataset round-trip
+    * (UTF-8 encoding replaces them), silently diverging the two merge
+    * paths on emoji-bearing corpora.
+    */
+  private[graft] def initialSyms(w: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (out += EndOfWord).result()
+  }
+
+  /** Code-POINT lexicographic comparison — the order UTF8String's binary
+    * comparison (the distributed `orderBy`) induces; Java's
+    * `String.compareTo` is code-UNIT order and disagrees beyond the BMP.
+    */
+  private[graft] def cpLess(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
   /** One learned merge. */
   final case class Merge(step: Int, left: String, right: String, freq: Long)
 
@@ -79,24 +109,29 @@ object Bpe {
     require(nMerges > 0, s"bad nMerges=$nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
+    // pinned: the over-cap path would otherwise pay the corpus-sized
+    // word aggregation twice (once for the bounded probe, once to seed
+    // the distributed vocab)
     val wf = words(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (driverWordCap > 0) {
       // bounded detection: limit(cap+1) never ships more than cap+1 rows
       val sample = wf.select(col("freq"), col("w")).limit(driverWordCap + 1)
         .as[(Long, String)].collect()
-      if (sample.length <= driverWordCap)
+      if (sample.length <= driverWordCap) {
+        wf.unpersist(false)
         return learnMergesLocal(sample, nMerges)
+      }
     }
     var vocab: Dataset[SymWord] = wf
       .select(col("freq"), col("w"))
       .as[(Long, String)]
-      .map { case (f, w) =>
-        SymWord(f, w.map(_.toString).toIndexedSeq :+ EndOfWord)
-      }
+      .map { case (f, w) => SymWord(f, initialSyms(w)) }
     // localCheckpoint per iteration: truncates the lineage a 50-deep loop
     // would otherwise grow quadratic analysis cost on (the table is
     // vocabulary-sized — cheap to materialize)
     vocab = vocab.localCheckpoint()
+    wf.unpersist(false)
     val merges = Seq.newBuilder[Merge]
     var step = 0
     var exhausted = false
@@ -134,7 +169,7 @@ object Bpe {
   private def learnMergesLocal(wordFreqs: Array[(Long, String)],
                                nMerges: Int): Seq[Merge] = {
     var vocab: Array[(Long, IndexedSeq[String])] = wordFreqs.map {
-      case (f, w) => (f, w.map(_.toString).toIndexedSeq :+ EndOfWord)
+      case (f, w) => (f, initialSyms(w))
     }
     val merges = Seq.newBuilder[Merge]
     var step = 0
@@ -155,8 +190,8 @@ object Bpe {
         var best: ((String, String), Long) = null
         counts.forEach { (k, v) =>
           if (best == null || v > best._2 ||
-            (v == best._2 && (k._1 < best._1._1 ||
-              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+            (v == best._2 && (cpLess(k._1, best._1._1) ||
+              (k._1 == best._1._1 && cpLess(k._2, best._1._2))))) best = (k, v)
         }
         val ((a, b), pf) = best
         step += 1
@@ -183,24 +218,45 @@ object Bpe {
     val mergeList = merges.sortBy(_.step).map(m => (m.left, m.right))
     val mb = spark.sparkContext.broadcast(mergeList)
     docs.select(col(idCol).cast("long").as("doc_id"),
-      lower(col(textCol)).as("text"))
+      // a null text is an ordinary dirty row (zero subwords), not a crash
+      coalesce(lower(col(textCol)), lit("")).as("text"))
+      .where(col("doc_id").isNotNull)
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val toks = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
-          var syms: IndexedSeq[String] =
-            w.map(_.toString).toIndexedSeq :+ EndOfWord
-          mb.value.foreach { case (a, b) =>
-            if (syms.length >= 2) syms = applyMerge(syms, a, b)
+      .mapPartitions { it =>
+        // per-word memo: Zipf repetition means the same word re-encodes
+        // constantly — cache (n_subwords, payload_chars) per distinct word
+        // seen in this partition (the training half's word-frequency
+        // compression, applied to inference)
+        val memo = new java.util.HashMap[String, (Long, Long)]()
+        val mergeList = mb.value
+        def encodeWord(w: String): (Long, Long) = {
+          var r = memo.get(w)
+          if (r == null) {
+            var syms: IndexedSeq[String] = initialSyms(w)
+            mergeList.foreach { case (a, b) =>
+              if (syms.length >= 2) syms = applyMerge(syms, a, b)
+            }
+            var n = 0L; var chars = 0L
+            syms.foreach { t =>
+              n += 1
+              chars += (t.length -
+                (if (t.endsWith(EndOfWord)) EndOfWord.length else 0))
+            }
+            r = (n, chars)
+            if (memo.size < (1 << 20)) memo.put(w, r)
           }
-          syms
+          r
         }
-        var n = 0L
-        var chars = 0L
-        toks.foreach { t =>
-          n += 1
-          chars += (t.length - (if (t.endsWith(EndOfWord)) EndOfWord.length else 0))
+        it.map { case (id, text) =>
+          var n = 0L; var chars = 0L
+          text.split(" ").foreach { w =>
+            if (w.nonEmpty) {
+              val (wn, wc) = encodeWord(w)
+              n += wn; chars += wc
+            }
+          }
+          (id, n, chars)
         }
-        (id, n, chars)
       }
       .toDF("doc_id", "n_subwords", "n_chars_encoded")
   }

@@ -110,6 +110,23 @@ object MaterializedJoin {
     val dB = deltaB.filter(d => !d.isEmpty)
     if (dA.isEmpty && dB.isEmpty) return
 
+    // fk/bKey Spark types must MATCH exactly: `hash()` is type-sensitive
+    // (hash(10: int) ≠ hash(10L: long)), so a silently-cast mismatch would
+    // prune the WRONG index buckets and the view would go permanently
+    // stale with no error. Loud beats wrong.
+    val fkType = dA.map(_.schema(cfg.fk).dataType).orElse(
+      if (CdcStream.hasVisibleParquet(spark, aKeyDir))
+        Some(SyncManifest.readCommitted(spark, aKeyDir).schema(cfg.fk).dataType)
+      else None)
+    val bKeyType = dB.map(_.schema(cfg.bKey).dataType).orElse(
+      if (CdcStream.hasVisibleParquet(spark, bKeyDir))
+        Some(SyncManifest.readCommitted(spark, bKeyDir).schema(cfg.bKey).dataType)
+      else None)
+    for (f <- fkType; b <- bKeyType)
+      require(f == b, s"MaterializedJoin: fk '${cfg.fk}' is $f but B key " +
+        s"'${cfg.bKey}' is $b — hash bucketing is type-sensitive; align the " +
+        "delta schemas before applyBatch")
+
     // 1. mirror upserts (ΔA lands in both the primary and the join index)
     dA.foreach { d =>
       CdcStream.upsertBatch(spark, d, Seq(cfg.aKey), cfg.versionCol,

@@ -654,6 +654,21 @@ object PgOutput extends Serializable {
 
   private final case class CommitAt(finalLsn: Long, tsMicros: Long)
 
+  /** Index of the smallest commit boundary with `finalLsn ≥ walStart`
+    * (−1 when none) — the single definition of "the governing plain
+    * transaction of a frame", shared by the commit-ts lookup, the
+    * origin-skip binding, and the driver-side truncate filter.
+    */
+  private def lowerBoundCommit(cs: Array[CommitAt], walStart: Long): Int = {
+    var lo = 0; var hi = cs.length - 1; var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (cs(mid).finalLsn >= walStart) { best = mid; hi = mid - 1 }
+      else lo = mid + 1
+    }
+    best
+  }
+
   private final case class TruncEvt(walStart: Long, sendTs: Long, xid: Long,
                                     relids: Seq[Int])
 
@@ -735,12 +750,23 @@ object PgOutput extends Serializable {
   def logicalMessages(raw: DataFrame, dataCol: String): DataFrame = {
     val spark = raw.sparkSession
     val bin = raw.select(col(dataCol)).as[Array[Byte]](Encoders.BINARY)
+    // the FULL control-event set (stream segments AND two-phase markers):
+    // a message inside a prepared transaction must resolve by its
+    // Commit/Rollback Prepared, exactly as parse() resolves its DML
     val evts = bin.mapPartitions(_.flatMap { bytes =>
       decodeFrame(bytes) match {
-        case Right(XLogData(w, _, _, StreamStart(_, _))) => Iterator.single(StreamEvt(0, w, 0L, 0L))
-        case Right(XLogData(w, _, _, StreamStop)) => Iterator.single(StreamEvt(1, w, 0L, 0L))
-        case Right(XLogData(w, _, _, StreamCommit(x, _, _, ts))) => Iterator.single(StreamEvt(2, w, x, ts))
-        case Right(XLogData(w, _, _, StreamAbort(x, sx))) => Iterator.single(StreamEvt(3, w, x, sx))
+        case Right(XLogData(w, _, _, m)) => m match {
+          case StreamStart(_, _) => Iterator.single(StreamEvt(0, w, 0L, 0L))
+          case StreamStop => Iterator.single(StreamEvt(1, w, 0L, 0L))
+          case StreamCommit(x, _, _, ts) => Iterator.single(StreamEvt(2, w, x, ts))
+          case StreamAbort(x, sx) => Iterator.single(StreamEvt(3, w, x, sx))
+          case BeginPrepare(_, _, _, x, _) => Iterator.single(StreamEvt(4, w, x, 0L))
+          case Prepare(_, _, _, x, _) => Iterator.single(StreamEvt(5, w, x, 0L))
+          case CommitPrepared(_, _, ts, x, _) => Iterator.single(StreamEvt(6, w, x, ts))
+          case RollbackPrepared(_, _, _, _, x, _) => Iterator.single(StreamEvt(7, w, x, 0L))
+          case StreamPrepare(_, _, _, x, _) => Iterator.single(StreamEvt(8, w, x, 0L))
+          case _ => Iterator.empty
+        }
         case _ => Iterator.empty
       }
     })(Encoders.product[StreamEvt]).collect()
@@ -748,15 +774,26 @@ object PgOutput extends Serializable {
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(logicalMsgSchema))
     bin.mapPartitions { it =>
       val m = metaB.value
+      def prepState(px: Long): String = m.resolvePrepared(px, "") match {
+        case Right(_) => "committed"
+        case Left(None) => "aborted"
+        case Left(Some(_)) => "pending"
+      }
       it.flatMap { bytes =>
         decodeFrame(bytes, xlogWalStart(bytes).exists(m.inSegment)) match {
           case Right(XLogData(w, _, _, LogicalMsg(tx, lsn, prefix, content))) =>
-            Iterator.single(Row(w, lsn, prefix, content, tx, null,
-              if (tx) "committed" else "immediate"))
+            val state =
+              if (!tx) "immediate"
+              else m.preparedXidAt(w) match {
+                case Some(px) => prepState(px)
+                case None => "committed" // plain txs in the feed committed
+              }
+            Iterator.single(Row(w, lsn, prefix, content, tx, null, state))
           case Right(XLogData(w, _, _, Streamed(x, LogicalMsg(tx, lsn, prefix, content)))) =>
             val state =
               if (m.commits.contains(x)) "committed"
               else if (m.fullAborts(x) || m.partialAborts(x)) "aborted"
+              else if (m.streamPrepared(x)) prepState(x)
               else "pending"
             Iterator.single(Row(w, lsn, prefix, content, tx, x, state))
           case _ => Iterator.empty
@@ -842,8 +879,8 @@ object PgOutput extends Serializable {
     // transaction-frequency metadata (bounded collect). Streamed (v2)
     // transactions do not carry Origin messages on the wire, so only plain
     // transactions participate.
-    val skippedTx: Set[Long] =
-      if (skipOrigins.isEmpty) Set.empty
+    val (skippedTx: Set[Long], skippedPrepXids: Set[Long]) =
+      if (skipOrigins.isEmpty) (Set.empty[Long], Set.empty[Long])
       else {
         val origins = bin.mapPartitions(_.flatMap { bytes =>
           decodeFrame(bytes) match {
@@ -852,19 +889,23 @@ object PgOutput extends Serializable {
             case _ => Iterator.empty
           }
         })(Encoders.scalaLong).collect()
-        origins.map { w =>
-          // governing transaction: smallest commit boundary at-or-after
-          // the origin frame (the commitTs lookup's identity)
-          val cs = commits
-          var lo = 0; var hi = cs.length - 1; var best = -1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (cs(mid).finalLsn >= w) { best = mid; hi = mid - 1 } else lo = mid + 1
+        val plain = Set.newBuilder[Long]
+        val prep = Set.newBuilder[Long]
+        origins.foreach { w =>
+          // an origin INSIDE a two-phase interval governs that prepared
+          // transaction — binding it to the next plain Begin would skip
+          // an unrelated local transaction's DML
+          meta.preparedXidAt(w) match {
+            case Some(px) => prep += px
+            case None =>
+              val i = lowerBoundCommit(commits, w)
+              if (i >= 0) plain += commits(i).finalLsn
           }
-          if (best < 0) -1L else cs(best).finalLsn
-        }.filter(_ >= 0).toSet
+        }
+        (plain.result(), prep.result())
       }
     val skippedTxB = spark.sparkContext.broadcast(skippedTx)
+    val skippedPrepB = spark.sparkContext.broadcast(skippedPrepXids)
 
     val relids = rels.map(_.relid).toSet
 
@@ -904,23 +945,15 @@ object PgOutput extends Serializable {
       // A frame past the last Begin (shouldn't happen in a whole-tx batch)
       // falls back to the XLogData send time.
       val cs = commitsB.value
-      var lo = 0; var hi = cs.length - 1; var best = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (cs(mid).finalLsn >= walStart) { best = mid; hi = mid - 1 } else lo = mid + 1
-      }
-      if (best < 0) sendTs else cs(best).tsMicros
+      val i = lowerBoundCommit(cs, walStart)
+      if (i < 0) sendTs else cs(i).tsMicros
     }
 
     // governing commit boundary LSN for origin-skip membership (-1 = none)
     def commitLsnAt(walStart: Long): Long = {
       val cs = commitsB.value
-      var lo = 0; var hi = cs.length - 1; var best = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (cs(mid).finalLsn >= walStart) { best = mid; hi = mid - 1 } else lo = mid + 1
-      }
-      if (best < 0) -1L else cs(best).finalLsn
+      val i = lowerBoundCommit(cs, walStart)
+      if (i < 0) -1L else cs(i).finalLsn
     }
 
     // pass 1b (metadata): committed TRUNCATEs touching this table —
@@ -1050,8 +1083,14 @@ object PgOutput extends Serializable {
         case Left(reason) => Iterator.single(Left(reason))
       }
       // origin loop-prevention: DML whose governing transaction carries a
-      // skipped-origin marker is filtered silently (policy, not loss)
-      if (xid.isEmpty && skippedTxB.value(commitLsnAt(walStart))) Iterator.empty
+      // skipped-origin marker is filtered silently (policy, not loss);
+      // prepared-interval DML resolves by xid, everything else by its
+      // plain commit boundary
+      def originSkipped: Boolean = metaB.value.preparedXidAt(walStart) match {
+        case Some(px) => skippedPrepB.value(px)
+        case None => skippedTxB.value(commitLsnAt(walStart))
+      }
+      if (xid.isEmpty && originSkipped) Iterator.empty
       else msg match {
         case Insert(relid, tuple) if relids(relid) => emit(isDelete = false, tuple)
         case Update(relid, kind, old, next) if relids(relid) =>
@@ -1079,19 +1118,17 @@ object PgOutput extends Serializable {
 
     // driver-side truncate resolution (bounded list): keep only truncates
     // that touch this table's relids and whose transaction committed
-    def commitLsnAtDriver(walStart: Long): Long = {
-      var lo = 0; var hi = commits.length - 1; var best = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (commits(mid).finalLsn >= walStart) { best = mid; hi = mid - 1 }
-        else lo = mid + 1
+    def originSkippedAtDriver(walStart: Long): Boolean =
+      meta.preparedXidAt(walStart) match {
+        case Some(px) => skippedPrepXids(px)
+        case None =>
+          val i = lowerBoundCommit(commits, walStart)
+          i >= 0 && skippedTx(commits(i).finalLsn)
       }
-      if (best < 0) -1L else commits(best).finalLsn
-    }
     val truncates = truncEvts.toSeq
       .filter(_.relids.exists(relids))
       // a skipped-origin transaction's truncate is filtered with its DML
-      .filterNot(e => e.xid < 0 && skippedTx(commitLsnAtDriver(e.walStart)))
+      .filterNot(e => e.xid < 0 && originSkippedAtDriver(e.walStart))
       .flatMap { e =>
         if (e.xid < 0) meta.preparedXidAt(e.walStart) match {
           case Some(px) => meta.resolvePrepared(px, "prepared truncate")

@@ -65,4 +65,38 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(empty == Seq((7L, 0L, 0L)))
   }
+
+  test("non-BMP corpora: code-point symbols, path equality, encode round-trip") {
+    // emoji are lone-surrogate landmines for a UTF-16-unit split: the
+    // Dataset round-trip would mangle them and diverge the two paths
+    val docs = Seq((0L, "😀😀x 😀😀x y😀"), (1L, "😀😀x 𝄞y"))
+      .toDF("doc_id", "text")
+    val local = Bpe.learnMerges(docs, "text", 4)
+    val dist = Bpe.learnMerges(docs, "text", 4, driverWordCap = 0)
+    assert(local == dist)
+    // tie at freq 3: (😀,😀), (😀,x), (x,</w>) — code-point order puts
+    // "x" (U+0078) before "😀" (U+1F600), so (x,</w>) merges first
+    assert(local.head == Bpe.Merge(1, "x", Bpe.EndOfWord, 3L))
+    // every learned symbol is well-formed: no unpaired surrogates survive
+    local.flatMap(m => Seq(m.left, m.right)).foreach { sym =>
+      val it = sym.codePoints().iterator()
+      while (it.hasNext) {
+        val cp = it.next()
+        assert(cp < 0xD800 || cp > 0xDFFF, s"lone surrogate in '$sym'")
+      }
+    }
+    val enc = Bpe.encodeStats(docs, "doc_id", "text", local)
+      .orderBy("doc_id").collect()
+    assert(enc.length == 2 && enc(0).getLong(1) > 0)
+  }
+
+  test("encodeStats tolerates null text as an ordinary zero-subword row") {
+    val merges = Bpe.learnMerges(corpus, "text", 4)
+    val dirty = Seq((1L, "low"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encodeStats(dirty, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(enc == Seq((1L, enc.head._2, 3L), (2L, 0L, 0L)))
+  }
 }

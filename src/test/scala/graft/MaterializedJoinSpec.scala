@@ -161,4 +161,17 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(readView(root) == v)
     assert(readView(root) == recompute(root))
   }
+
+  test("mismatched fk/bKey Spark types fail loudly instead of pruning wrong buckets") {
+    val root = java.nio.file.Files.createTempDirectory("mjoin4").toString
+    val aInt = Seq((1, 10, "ax", 1L, false))
+      .toDF("oid", "cid", "item", "_version", "is_deleted") // cid: INT
+    val bLong = dB((10L, "ann", 1L, false)) // cid: LONG
+    val e = intercept[IllegalArgumentException] {
+      MaterializedJoin.applyBatch(spark, root,
+        Config("oid", "cid", "cid", nBuckets = 4),
+        Some(aInt), Some(bLong), batchVersion = 1L)
+    }
+    assert(e.getMessage.contains("type-sensitive"))
+  }
 }

@@ -677,6 +677,61 @@ class PgOutputSpec extends SparkSpec {
     assert(all.changes.count() == 3)
   }
 
+  test("skipOrigins: an origin inside a prepared tx binds to THAT tx, not the next local one") {
+    // the two-phase trap: BeginPrepare..Prepare interval carrying the
+    // origin, then an unrelated LOCAL transaction — naive next-plain-Begin
+    // binding would silently drop the local insert (data loss)
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        Seq(
+          Fixture.beginPrepare(100, 110, 111, txTs(1), 501, "gid1"),
+          Fixture.origin(101, 42, "peer_b"),
+          Fixture.insert(102, 7, Seq(VText("1"), VText("rep"), VText("1"))),
+          Fixture.prepare(110, 110, 111, txTs(1), 501, "gid1"),
+          Fixture.commitPrepared(150, 110, 151, txTs(2), 501, "gid1")) ++
+        (Fixture.begin(200, 300, txTs(3), 1003) +:
+          Seq(Fixture.insert(202, 7, Seq(VText("2"), VText("local"), VText("5")))) :+
+          Fixture.commit(300, 300, 301, txTs(3)))
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items",
+      skipOrigins = Set("peer_b"))
+    assert(parsed.deadLetter.isEmpty)
+    // the replicated prepared tx is filtered; the local tx SURVIVES
+    assert(parsed.changes.select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // without the filter both land
+    assert(PgOutput.parse(toDf(frames), "frame", "items").changes.count() == 2)
+  }
+
+  test("logicalMessages resolves two-phase states: committed, aborted, pending") {
+    val frames = Seq(
+      // prepared + committed
+      Fixture.beginPrepare(100, 110, 111, txTs(1), 601, "g1"),
+      Fixture.message(101, 101, "p", "c1".getBytes("UTF-8")),
+      Fixture.prepare(110, 110, 111, txTs(1), 601, "g1"),
+      Fixture.commitPrepared(120, 110, 121, txTs(2), 601, "g1"),
+      // prepared + rolled back
+      Fixture.beginPrepare(200, 210, 211, txTs(3), 602, "g2"),
+      Fixture.message(201, 201, "p", "r1".getBytes("UTF-8")),
+      Fixture.prepare(210, 210, 211, txTs(3), 602, "g2"),
+      Fixture.rollbackPrepared(220, 211, 221, txTs(3), txTs(4), 602, "g2"),
+      // prepared + unresolved in this batch
+      Fixture.beginPrepare(300, 310, 311, txTs(5), 603, "g3"),
+      Fixture.message(301, 301, "p", "u1".getBytes("UTF-8")),
+      Fixture.prepare(310, 310, 311, txTs(5), 603, "g3"),
+      // streamed tx ending in Stream Prepare, then Commit Prepared
+      Fixture.streamStart(400, xid = 604),
+      Fixture.message(401, 401, "p", "s1".getBytes("UTF-8"), xid = 604),
+      Fixture.streamStop(410),
+      Fixture.streamPrepare(411, 411, 412, txTs(6), 604, "g4"),
+      Fixture.commitPrepared(420, 411, 421, txTs(7), 604, "g4"))
+    val m = PgOutput.logicalMessages(toDf(frames), "frame")
+      .orderBy("wal_start")
+      .collect().map(r => (new String(r.getAs[Array[Byte]](3), "UTF-8"),
+        r.getString(6))).toSeq
+    assert(m == Seq(("c1", "committed"), ("r1", "aborted"),
+      ("u1", "pending"), ("s1", "committed")))
+  }
+
   // ── unchanged-TOAST repair ───────────────────────────────────────────
 
   test("healUnchangedToast: in-batch chain, heal-to-null, unresolved stays loud") {
