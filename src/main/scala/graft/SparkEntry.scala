@@ -515,6 +515,13 @@ object SparkEntry {
       StatTests.linReg(t(s, d, "events"), col("event_type"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"),
         floor(col("value") * 100 + 0.5))),
+    // ClickHouse quantileTiming: fixed-resolution latency quantiles on the
+    // timing grid (exact <1024 ms, 16 ms buckets <30720, 512 ms above) —
+    // the fixed-state sketch semantic, deterministic and exactly oracled
+    // (Ranking.timingQuantiles scaladoc)
+    "events_quantile_timing" -> ((s, d) =>
+      Ranking.timingQuantiles(t(s, d, "events"), "event_type",
+        floor(col("value") * 1000), Seq(50, 90, 99))),
     // ClickHouse analysisOfVariance: one-way ANOVA F of value-cents across
     // event types per day bucket — exact int64 group moments; the one
     // cross-group float sum runs as a group-key-ordered running sum so the
@@ -2446,6 +2453,29 @@ object SparkEntry {
                 CASE WHEN ymin <> ymax
                   THEN round(cov * cov / (vx * vy), 6) END AS r2
          FROM s""",
+    // the identical timing grid and lower-bound rule, integers throughout
+    "events_quantile_timing" ->
+      """WITH m AS (
+           SELECT event_type AS g,
+                  greatest(CAST(floor(value * 1000) AS BIGINT), 0) AS ms
+           FROM events),
+         gr AS (
+           SELECT g, CASE WHEN ms < 1024 THEN ms
+                          WHEN ms < 30720 THEN (ms // 16) * 16
+                          ELSE (ms // 512) * 512 END AS v
+           FROM m),
+         pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM gr
+                GROUP BY g, v),
+         tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM pv GROUP BY g),
+         cum AS (
+           SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM pv),
+         q AS (SELECT unnest([50, 90, 99]) AS pct)
+         SELECT cum.g AS event_type, q.pct, CAST(min(cum.v) AS BIGINT) AS ms
+         FROM cum JOIN tot ON tot.g = cum.g CROSS JOIN q
+         WHERE cum.cum * 100 >= q.pct * tot.n
+         GROUP BY cum.g, q.pct""",
     // the identical exact group moments; the cross-group float term sum
     // mirrors the group-key-ordered running-sum sequence via arg_max
     "events_anova" ->

@@ -152,4 +152,47 @@ object Ranking {
       .where(col("__cum") >= col("__local_target"))
       .groupBy(col("pct")).agg(min(col("v")).as("v"))
   }
+
+  /** ClickHouse `quantileTiming`-style fixed-resolution latency quantiles
+    * per group: millisecond values bucketize on the timing grid — exact
+    * below 1024 ms, 16 ms buckets below 30720 ms, 512 ms buckets above
+    * (the public quantileTiming resolution scheme: human-latency ranges
+    * stay exact, the long tail coarsens) — and each requested quantile is
+    * the SMALLEST grid value whose cumulative count reaches `⌈q·n⌉`
+    * (lower-bound rule). Everything is integer arithmetic over the
+    * (group, grid value) grain — one hash aggregation, then a window over
+    * DISTINCT grid values (≤ 1024 + 1856 + tail buckets per group,
+    * bounded by the grid, not the data), so the result is deterministic
+    * and exactly DuckDB-mirrorable: the fixed-state sketch semantic
+    * without the sketch.
+    *
+    * Negative values clamp to 0 (ClickHouse stores timings unsigned).
+    * Output: one row per (group, q) with the grid-value quantile.
+    */
+  def timingQuantiles(df: DataFrame, grpCol: String, msCol: Column,
+                      qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"bad percentiles $qs")
+    val ms = greatest(msCol.cast("long"), lit(0L))
+    val grid = when(ms < 1024, ms)
+      .when(ms < 30720, (ms / 16).cast("long") * 16)
+      .otherwise((ms / 512).cast("long") * 512)
+    val perVal = df.select(col(grpCol).as("g"), grid.as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val byV = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = perVal.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val cum = perVal.withColumn("cum", sum(col("c")).over(byV))
+      .join(broadcast(totals), "g")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qDf = broadcast(qs.distinct.sorted.toDF("pct"))
+    cum.crossJoin(qDf)
+      // lower-bound rule: ⌈q·n/100⌉ without floats
+      .where(col("cum") * 100 >= col("pct") * col("n"))
+      .groupBy(col("g"), col("pct"))
+      .agg(min(col("v")).as("ms"))
+      .select(col("g").as(grpCol), col("pct"), col("ms"))
+  }
 }

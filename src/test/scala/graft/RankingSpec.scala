@@ -103,4 +103,16 @@ class RankingSpec extends SparkSpec {
     val empty = Seq.empty[(Double, Long)].toDF("v", "w")
     assert(Ranking.weightedPercentiles(empty, "v", "w", Seq(50)).count() === 0)
   }
+
+  test("timingQuantiles: grid zones, lower-bound rule, negative clamp") {
+    import graft.operators.Ranking
+    // all three grid zones + a negative (clamps to 0):
+    // grid values with counts: 0(1), 5(2), 100(1), 1023(1), 1024(2),
+    // 30704(1), 30720(2) — n = 10
+    val ms = Seq(5L, 5L, 100L, 1023L, 1024L, 1039L, 30719L, 30720L, 31000L, -7L)
+    val df = ms.map(("a", _)).toDF("g", "ms").repartition(5)
+    val r = Ranking.timingQuantiles(df, "g", col("ms"), Seq(10, 50, 90, 99))
+      .as[(String, Int, Long)].collect().map(x => x._2 -> x._3).toMap
+    assert(r == Map(10 -> 0L, 50 -> 1023L, 90 -> 30720L, 99 -> 30720L))
+  }
 }
