@@ -519,6 +519,13 @@ object SparkEntry {
     // timing grid (exact <1024 ms, 16 ms buckets <30720, 512 ms above) —
     // the fixed-state sketch semantic, deterministic and exactly oracled
     // (Ranking.timingQuantiles scaladoc)
+    // ClickHouse windowFunnel 'strict_dedup': a repeat of an
+    // already-matched condition interrupts the chain (one key shuffle +
+    // O(1) automaton; Behavior.windowFunnelStrictDedup scaladoc)
+    "events_funnel_dedup" -> ((s, d) =>
+      Behavior.windowFunnelStrictDedup(t(s, d, "events"), "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase"),
+        24L * 3600000000L)),
     "events_quantile_timing" -> ((s, d) =>
       Ranking.timingQuantiles(t(s, d, "events"), "event_type",
         floor(col("value") * 1000), Seq(50, 90, 99))),
@@ -2453,6 +2460,42 @@ object SparkEntry {
                 CASE WHEN ymin <> ymax
                   THEN round(cov * cov / (vx * vy), 6) END AS r2
          FROM s""",
+    // the identical (lvl, start_ts, best) strict-dedup automaton stepped
+    // per (ts, event_type)-ordered event by a recursive CTE
+    "events_funnel_dedup" ->
+      """WITH RECURSIVE ev AS (
+           SELECT CAST(user_id AS VARCHAR) AS k, epoch_us(ts) AS t,
+                  event_type AS o,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_type) AS rn
+           FROM events),
+         s AS (
+           SELECT k, 0 AS rn, 0 AS lvl, CAST(0 AS BIGINT) AS st,
+                  CAST(0 AS BIGINT) AS best
+           FROM (SELECT DISTINCT k FROM ev)
+           UNION ALL
+           SELECT e.k, e.rn,
+             CASE WHEN s.lvl = 0 AND e.o = 'signup' THEN 1
+                  WHEN s.lvl = 1 AND e.o = 'click'
+                   AND e.t - s.st <= 86400000000 THEN 2
+                  WHEN s.lvl = 2 AND e.o = 'purchase'
+                   AND e.t - s.st <= 86400000000 THEN 0
+                  WHEN s.lvl >= 1 AND e.o = 'signup' THEN 1
+                  WHEN s.lvl = 2 AND e.o = 'click' THEN 0
+                  WHEN s.lvl = 1 AND e.o = 'click' THEN 0
+                  WHEN s.lvl = 2 AND e.o = 'purchase' THEN 0
+                  ELSE s.lvl END,
+             CASE WHEN e.o = 'signup' THEN e.t ELSE s.st END,
+             greatest(s.best,
+               CASE WHEN s.lvl = 2 AND e.o = 'purchase'
+                     AND e.t - s.st <= 86400000000 THEN 3
+                    WHEN s.lvl = 0 AND e.o = 'signup' THEN 1
+                    WHEN s.lvl = 1 AND e.o = 'click'
+                     AND e.t - s.st <= 86400000000 THEN 2
+                    ELSE s.lvl END)
+           FROM s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)
+         SELECT k AS key, CAST(max(best) AS BIGINT) AS funnel_level
+         FROM s GROUP BY k""",
     // the identical timing grid and lower-bound rule, integers throughout
     "events_quantile_timing" ->
       """WITH m AS (

@@ -222,6 +222,82 @@ object Behavior {
     * output row per key. Keys are compared as strings (cast, lossless)
     * so the operator stays type-agnostic.
     */
+  /** ClickHouse `windowFunnel(window, 'strict_dedup')`: the funnel mode
+    * where a REPEAT of a condition already matched in the active chain
+    * INTERRUPTS it (the chain's level is final; a repeat of the first
+    * step starts a fresh chain at that event). The per-key answer is the
+    * maximum level any chain reached. Steps must be distinct ops — the
+    * same precondition the streaming funnel documents — so "already
+    * matched" is well-defined.
+    *
+    * Inherently sequential (the interruption depends on chain membership,
+    * which the window DP cannot carry), so it rides the [[sequenceCount]]
+    * mapPartitions rung: repartition by key + in-partition (key, ts, op)
+    * sort — ONE shuffle — and an O(1) automaton per key run. The DuckDB
+    * oracle steps the IDENTICAL (lvl, start_ts, best) automaton per
+    * ordered event via a recursive CTE (the sequence_count pattern).
+    */
+  def windowFunnelStrictDedup(events: DataFrame, keyCol: String,
+                              opCol: String, tsCol: String,
+                              steps: Seq[String],
+                              windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    require(steps.distinct.size == steps.size,
+      "strict_dedup needs distinct step ops")
+    require(windowMicros > 0, s"bad windowMicros=$windowMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nSteps = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val prepared = events.select(col(keyCol).cast("string").as("k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("t"),
+        col(opCol).cast("string").as("o"))
+      .repartition(parts, col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("o"))
+      .as[(String, Long, String)]
+    prepared.mapPartitions { rows =>
+      var started = false
+      var curKey: String = null
+      var lvl = 0
+      var st = 0L
+      var best = 0L
+      def step(o: String, t: Long): Unit = {
+        if (lvl < nSteps && o == steps(lvl) &&
+            (lvl == 0 || t - st <= windowMicros)) {
+          if (lvl == 0) st = t
+          lvl += 1
+          if (lvl == nSteps) { best = nSteps.toLong; lvl = 0 }
+          else if (lvl > best) best = lvl
+        } else stepIdx.get(o) match {
+          case Some(i) if lvl > 0 && i < lvl =>
+            // dedup interruption: the chain dies at its current level; a
+            // first-step repeat starts a fresh chain at this event
+            if (lvl > best) best = lvl
+            if (i == 0) { lvl = 1; st = t } else lvl = 0
+          case Some(i) if lvl > 0 && i == lvl =>
+            // the next expected step, but outside the window: chain expired
+            if (lvl > best) best = lvl
+            lvl = 0
+          case _ => () // unrelated op (or steps past lvl): no effect
+        }
+      }
+      val main = rows.flatMap { case (key, t, o) =>
+        if (!started || key != curKey) {
+          val flush =
+            if (started) Iterator.single((curKey, math.max(best, lvl.toLong)))
+            else Iterator.empty
+          started = true; curKey = key; lvl = 0; st = 0L; best = 0L
+          step(o, t)
+          flush
+        } else { step(o, t); Iterator.empty }
+      }
+      main ++ (if (started)
+        Iterator.single((curKey, math.max(best, lvl.toLong)))
+      else Iterator.empty)
+    }.toDF("key", "funnel_level")
+  }
+
   def sequenceCount(events: DataFrame, keyCol: String, opCol: String,
                     tsCol: String, steps: Seq[String],
                     maxGapMicros: Long): DataFrame = {

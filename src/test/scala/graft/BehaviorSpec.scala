@@ -561,4 +561,46 @@ class BehaviorSpec extends SparkSpec {
       3L -> ((0L, 1L)),
       4L -> ((10000000L, 1L))))
   }
+
+  test("windowFunnelStrictDedup: matched-repeat interrupts, first-step repeat restarts") {
+    import graft.operators.Behavior
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val H = 3600L * 1000000
+    def df(rows: (Long, String, Long)*) =
+      rows.toDF("u", "op", "tm")
+        .select(col("u"), col("op"), timestamp_micros(col("tm")).as("ts"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Behavior.windowFunnelStrictDedup(d, "u", "op", "ts",
+        Seq("signup", "click", "purchase"), 24 * H)
+        .as[(String, Long)].collect().toMap
+    // a repeated matched step (click) kills the chain: the later purchase
+    // cannot complete it — plain windowFunnel would report 3
+    val interrupted = df((1L, "signup", 0L), (1L, "click", H),
+      (1L, "click", 2 * H), (1L, "purchase", 3 * H))
+    assert(run(interrupted) == Map("1" -> 2L))
+    assert(Behavior.windowFunnel(interrupted, "u", "op", "ts",
+      Seq("signup", "click", "purchase"), 24 * H)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 3L))
+    // a first-step repeat restarts the chain AT that event
+    val restarted = df((2L, "signup", 0L), (2L, "signup", H),
+      (2L, "click", 2 * H), (2L, "purchase", 3 * H))
+    assert(run(restarted) == Map("2" -> 3L))
+    // window expiry kills the chain without a repeat
+    val expired = df((3L, "signup", 0L), (3L, "click", 30 * H),
+      (3L, "purchase", 31 * H))
+    assert(run(expired) == Map("3" -> 1L))
+    // clean chains agree with the plain funnel; unrelated ops ignored
+    val clean = df((4L, "signup", 0L), (4L, "view", H), (4L, "click", 2 * H),
+      (4L, "purchase", 3 * H), (5L, "view", 0L))
+    assert(run(clean) == Map("4" -> 3L, "5" -> 0L))
+    // partitioning invariance on a seeded random log
+    val rnd = new scala.util.Random(77)
+    val ops = Seq("view", "signup", "click", "purchase")
+    val big = (1 to 800).map(_ => (rnd.nextInt(40).toLong,
+      ops(rnd.nextInt(4)), rnd.nextInt(100).toLong * 600L * 1000000))
+    val bigDf = df(big: _*)
+    val a = run(bigDf.repartition(1))
+    val b = run(bigDf.repartition(13))
+    assert(a == b)
+  }
 }
