@@ -785,4 +785,27 @@ class PgOutputSpec extends SparkSpec {
       Row(1L, "bigB", 7, null), // healed from the newest mirror image
       Row(2L, null, 8, Seq("name")))) // mirror null was itself unresolved
   }
+
+  test("healUnchangedToast: additive schema evolution — mirror lacking the new column") {
+    import spark.implicits._
+    val v2Cols = itemCols :+ RelCol("note", 25, -1, isKey = false)
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", v2Cols)) ++
+        tx(1, 600, Seq(
+          // toasted name heals from a PRE-EVOLUTION mirror image (no
+          // `note` column there); a toasted NEW column heals to null —
+          // the pre-evolution image's value IS null under the additive-
+          // evolution posture ("older rows carry null"), so the flag
+          // clears rather than staying unresolved
+          Fixture.update(601, 7,
+            Seq(VText("1"), VUnchanged, VText("4"), VUnchanged))))
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    val mirror = Seq((1L, "bigC", 3, 50L))
+      .toDF("id", "name", "qty", "_version") // note never mirrored
+    val healed = PgOutput.healUnchangedToast(parsed.changes, Seq("id"),
+      Some(mirror))
+      .select("id", "name", "qty", "note", "_unchanged_toast")
+      .collect().toSeq
+    assert(healed == Seq(Row(1L, "bigC", 4, null, null)))
+  }
 }
