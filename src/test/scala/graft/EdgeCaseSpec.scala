@@ -110,4 +110,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(AsOfJoin.backwardExec(l, r, Seq("key"), "lts", "rts", inner = false).count() == 1)
     assert(AsOfJoin.backward(l, r, Seq("key"), "lts", "rts").count() == 0)
   }
+
+  test("round-13 stat/behavior operators accept empty and degenerate inputs") {
+    import graft.operators.{Behavior, Ranking, StatTests}
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val empty = spark.emptyDataFrame
+      .withColumn("bucket", lit(1L)).withColumn("grp", lit("g"))
+      .withColumn("y", lit(1L)).withColumn("x", lit(1L)).limit(0)
+    assert(StatTests.ksTest(empty, col("bucket"), col("grp") === "a",
+      col("grp") === "b", col("y")).count() == 0)
+    assert(StatTests.spearmanCorr(empty, col("bucket"), col("x"),
+      col("y")).count() == 0)
+    assert(StatTests.linReg(empty, col("bucket"), col("x"),
+      col("y")).count() == 0)
+    assert(StatTests.anovaF(empty, col("bucket"), col("grp"),
+      col("y")).count() == 0)
+    assert(Ranking.timingQuantiles(empty, "grp", col("y"),
+      Seq(50)).count() == 0)
+    val ev = Seq.empty[(Long, String, Long)].toDF("u", "op", "tm")
+      .select(col("u"), col("op"), timestamp_micros(col("tm")).as("ts"))
+    assert(Behavior.windowFunnelStrictDedup(ev, "u", "op", "ts",
+      Seq("a", "b"), 1000L).count() == 0)
+    // single-event key: level reflects whether it matches step 0
+    val one = Seq((1L, "a", 5L), (2L, "x", 5L)).toDF("u", "op", "tm")
+      .select(col("u"), col("op"), timestamp_micros(col("tm")).as("ts"))
+    assert(Behavior.windowFunnelStrictDedup(one, "u", "op", "ts",
+      Seq("a", "b"), 1000L).as[(String, Long)].collect().toMap ==
+      Map("1" -> 1L, "2" -> 0L))
+  }
 }
