@@ -182,6 +182,67 @@ case class WindowFunnelAgg(boundMicros: Long, ts: Expression, conds: Seq[Express
     copy(ts = newChildren.head, conds = newChildren.tail)
 }
 
+/** `window_funnel_dedup(window_micros, ts, cond1, …, condk)` → the
+  * ClickHouse `'strict_dedup'` funnel mode in SQL: a repeat of a condition
+  * already matched in the active chain interrupts it (a first-condition
+  * repeat restarts the chain at that event); result is the best level any
+  * chain reached. Same buffered (ts, mask) state as the chain family;
+  * eval sorts by (ts, mask) — a TOTAL order, so same-instant collisions
+  * are deterministic (the DataFrame twin
+  * [[graft.operators.Behavior.windowFunnelStrictDedup]] breaks ties by op
+  * STRING instead; the two agree whenever per-key timestamps are
+  * distinct, which SqlSurfaceSpec pins). An event matching several
+  * conditions tries to ADVANCE first, then interrupt — advance wins.
+  */
+case class WindowFunnelDedupAgg(boundMicros: Long, ts: Expression,
+                                conds: Seq[Expression],
+                                mutableAggBufferOffset: Int = 0,
+                                inputAggBufferOffset: Int = 0) extends ChainAgg {
+  override def chainStart: Boolean = true // unused: custom eval below
+  override def dataType: DataType = LongType
+
+  override def eval(buffer: ArrayBuffer[Long]): Any = {
+    val n = buffer.length / 2
+    if (n == 0) return 0L
+    val k = conds.size
+    val order = Array.range(0, n).sortBy(i => (buffer(2 * i), buffer(2 * i + 1)))
+    var lvl = 0
+    var st = 0L
+    var best = 0L
+    var gi = 0
+    while (gi < n) {
+      val t = buffer(2 * order(gi))
+      val mask = buffer(2 * order(gi) + 1).toInt
+      if (lvl < k && ((mask >> lvl) & 1) == 1 &&
+          (lvl == 0 || t - st <= boundMicros)) {
+        if (lvl == 0) st = t
+        lvl += 1
+        if (lvl == k) { best = k.toLong; lvl = 0 }
+        else if (lvl > best) best = lvl
+      } else if (lvl > 0 && (mask & ((1 << lvl) - 1)) != 0) {
+        // repeat of a matched condition: dedup interruption
+        if (lvl > best) best = lvl
+        if ((mask & 1) == 1) { lvl = 1; st = t } else lvl = 0
+      } else if (lvl > 0 && lvl < k && ((mask >> lvl) & 1) == 1) {
+        // the next expected condition, outside the window: chain expired
+        if (lvl > best) best = lvl
+        lvl = 0
+      }
+      gi += 1
+    }
+    best
+  }
+
+  override def prettyName: String = "window_funnel_dedup"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ts = newChildren.head, conds = newChildren.tail)
+}
+
 /** `sequence_level(gap_micros, ts, cond1, …)` → deepest per-hop-gap-bounded
   * step (bigint); `sequence_match` is `level == k` (boolean). SQL twins of
   * [[graft.operators.Behavior.sequenceLevels]] / `sequenceMatch`.

@@ -319,4 +319,58 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(math.abs(r._11 - StatMath.tTwoSidedP(st, tt(b)._9.toDouble)) < 1e-6)
     }
   }
+
+  test("window_funnel_dedup in SQL equals the library automaton on tie-free logs") {
+    import graft.operators.Behavior
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    val H = 3600L * 1000000
+    // tie-FREE per-key timestamps: the SQL form breaks same-instant ties
+    // by condition bitmask, the library op by op string — they coincide
+    // exactly when per-key instants are distinct
+    val rnd = new scala.util.Random(31)
+    val ops = Seq("view", "signup", "click", "purchase")
+    val rows = (for (u <- 1L to 50L) yield {
+      val ts = rnd.shuffle((1 to 2000).toList).take(30)
+      ts.map(t => (u, ops(rnd.nextInt(4)), t.toLong * 60L * 1000000))
+    }).flatten
+    val df = rows.toDF("u", "op", "tm").repartition(7)
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    df.createOrReplaceTempView("funnel_dedup_events")
+    val sql = spark.sql(
+      s"""SELECT CAST(u AS STRING) AS key,
+                 window_funnel_dedup(${24 * H}, ts,
+                   op = 'signup', op = 'click', op = 'purchase') AS lvl
+          FROM funnel_dedup_events GROUP BY u""")
+      .as[(String, Long)].collect().toMap
+    val lib = Behavior.windowFunnelStrictDedup(df, "u", "op", "ts",
+      Seq("signup", "click", "purchase"), 24 * H)
+      .as[(String, Long)].collect().toMap
+    assert(sql == lib)
+    // the hand interrupt case survives the SQL path too
+    val hand = Seq((9L, "signup", 0L), (9L, "click", H),
+      (9L, "click", 2 * H), (9L, "purchase", 3 * H))
+      .toDF("u", "op", "tm")
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    hand.createOrReplaceTempView("funnel_dedup_hand")
+    assert(spark.sql(s"""SELECT window_funnel_dedup(${24 * H}, ts,
+        op = 'signup', op = 'click', op = 'purchase')
+      FROM funnel_dedup_hand""").head().getLong(0) == 2L)
+    // with ties present the SQL form is still partitioning-deterministic
+    // (total (ts, mask) order at eval)
+    val tied = (1 to 300).map(i => (i % 9L, ops(i % 4),
+      (i % 11L) * 600L * 1000000))
+    val tdf = tied.toDF("u", "op", "tm")
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    def runTied(np: Int) = {
+      tdf.repartition(np).createOrReplaceTempView("funnel_dedup_tied")
+      spark.sql(s"""SELECT u, window_funnel_dedup(${24 * H}, ts,
+          op = 'signup', op = 'click', op = 'purchase') AS lvl
+        FROM funnel_dedup_tied GROUP BY u""")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(runTied(1) == runTied(13))
+  }
 }
