@@ -519,6 +519,22 @@ object SparkEntry {
     // timing grid (exact <1024 ms, 16 ms buckets <30720, 512 ms above) —
     // the fixed-state sketch semantic, deterministic and exactly oracled
     // (Ranking.timingQuantiles scaladoc)
+    // ClickHouse argMin/argMax: the value carried by each group's earliest
+    // and latest event — deterministic under ts ties via the (ts,
+    // event_id) composite order (event_id unique), one map-side-combined
+    // min_by/max_by pass
+    "events_arg_extremes" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tm"),
+          col("event_id"), floor(col("value") * 100 + 0.5).as("cents"))
+        .groupBy(col("event_type"))
+        .agg(
+          min_by(col("cents"), struct(col("tm"), col("event_id")))
+            .as("first_cents"),
+          max_by(col("cents"), struct(col("tm"), col("event_id")))
+            .as("last_cents"),
+          count(lit(1)).as("n"))),
     // ClickHouse windowFunnel 'strict_dedup': a repeat of an
     // already-matched condition interrupts the chain (one key shuffle +
     // O(1) automaton; Behavior.windowFunnelStrictDedup scaladoc)
@@ -2460,6 +2476,24 @@ object SparkEntry {
                 CASE WHEN ymin <> ymax
                   THEN round(cov * cov / (vx * vy), 6) END AS r2
          FROM s""",
+    // the identical composite-ordered extremes
+    "events_arg_extremes" ->
+      """WITH m AS (
+           SELECT event_type, epoch_us(ts) AS tm, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         r AS (
+           SELECT event_type, cents,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY tm, event_id) AS ra,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY tm DESC, event_id DESC) AS rd
+           FROM m)
+         SELECT event_type,
+                max(CASE WHEN ra = 1 THEN cents END) AS first_cents,
+                max(CASE WHEN rd = 1 THEN cents END) AS last_cents,
+                CAST(count(*) AS BIGINT) AS n
+         FROM r GROUP BY event_type""",
     // the identical (lvl, start_ts, best) strict-dedup automaton stepped
     // per (ts, event_type)-ordered event by a recursive CTE
     "events_funnel_dedup" ->
