@@ -5,10 +5,36 @@ import java.nio.ByteBuffer
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.types._
+
+/** Input-type guards shared by the stat SQL aggregates: measurement
+  * columns must be INTEGRAL (the cents convention — a DoubleType child
+  * would be silently truncated toward zero by `Number.longValue`, quietly
+  * changing the statistic; loud beats wrong), condition columns boolean.
+  */
+private[expressions] object StatInputChecks {
+  def integral(name: String, what: String, e: Expression): Option[String] =
+    e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | NullType => None
+      case other => Some(s"$name requires an integral-valued $what column " +
+        s"(scale measurements to cents first; got ${other.catalogString})")
+    }
+  def boolean(name: String, what: String, e: Expression): Option[String] =
+    e.dataType match {
+      case BooleanType | NullType => None
+      case other => Some(s"$name requires a boolean $what column " +
+        s"(got ${other.catalogString})")
+    }
+  def check(problems: Option[String]*): TypeCheckResult =
+    problems.flatten.headOption match {
+      case Some(msg) => TypeCheckResult.TypeCheckFailure(msg)
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+}
 
 /** Special-function kernel behind the SQL stat aggregates' p-values —
   * standard public formulas (Lanczos log-Γ; the regularized incomplete
@@ -145,17 +171,29 @@ abstract class TTestAgg extends TypedImperativeAggregate[Array[Long]] {
     StructField("t", DoubleType), StructField("df", DoubleType),
     StructField("p_value", DoubleType)))
 
+  override def checkInputDataTypes(): TypeCheckResult = StatInputChecks.check(
+    StatInputChecks.integral(prettyName, "measurement", y),
+    StatInputChecks.boolean(prettyName, "condition", isA),
+    StatInputChecks.boolean(prettyName, "condition", isB))
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](6)
 
+  // exact arithmetic throughout: a wrapped Σy² silently corrupts the
+  // variance, so the moment sums fail loudly at int64 instead
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val yv = y.eval(input)
     if (yv != null) {
       val v = yv.asInstanceOf[Number].longValue()
+      val v2 = Math.multiplyExact(v, v)
       if (isA.eval(input) == true) {
-        buf(0) += 1; buf(1) += v; buf(2) += v * v
+        buf(0) += 1
+        buf(1) = Math.addExact(buf(1), v)
+        buf(2) = Math.addExact(buf(2), v2)
       }
       if (isB.eval(input) == true) {
-        buf(3) += 1; buf(4) += v; buf(5) += v * v
+        buf(3) += 1
+        buf(4) = Math.addExact(buf(4), v)
+        buf(5) = Math.addExact(buf(5), v2)
       }
     }
     buf
@@ -163,7 +201,7 @@ abstract class TTestAgg extends TypedImperativeAggregate[Array[Long]] {
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < 6) { buf(i) += other(i); i += 1 }
+    while (i < 6) { buf(i) = Math.addExact(buf(i), other(i)); i += 1 }
     buf
   }
 
@@ -255,6 +293,11 @@ case class MannWhitneyUAgg(y: Expression, isA: Expression, isB: Expression,
     StructField("u1", DoubleType), StructField("z", DoubleType),
     StructField("p_value", DoubleType)))
 
+  override def checkInputDataTypes(): TypeCheckResult = StatInputChecks.check(
+    StatInputChecks.integral(prettyName, "measurement", y),
+    StatInputChecks.boolean(prettyName, "condition", isA),
+    StatInputChecks.boolean(prettyName, "condition", isB))
+
   override def createAggregationBuffer(): ArrayBuffer[Long] = new ArrayBuffer[Long]()
 
   override def update(buf: ArrayBuffer[Long], input: InternalRow): ArrayBuffer[Long] = {
@@ -299,14 +342,16 @@ case class MannWhitneyUAgg(y: Expression, isA: Expression, isB: Expression,
       }
       val cn = ca + cb
       val r2 = 2 * rankBefore + cn + 1 // doubled average rank of this value
-      r1x2 += ca * r2
-      tieSum += cn * cn * cn - cn
+      // exact ops: a wrapped rank sum or tie cube silently corrupts U/σ
+      r1x2 = Math.addExact(r1x2, Math.multiplyExact(ca, r2))
+      tieSum = Math.addExact(tieSum,
+        Math.multiplyExact(Math.multiplyExact(cn, cn), cn) - cn)
       n1 += ca; n2 += cb
       rankBefore += cn
       i = j
     }
     if (n1 == 0 || n2 == 0) return null
-    val u1 = (r1x2 - n1 * (n1 + 1)).toDouble / 2.0
+    val u1 = (r1x2 - Math.multiplyExact(n1, n1 + 1)).toDouble / 2.0
     val n1d = n1.toDouble; val n2d = n2.toDouble; val nd = n1d + n2d
     val sigma2 = n1d * n2d / 12.0 *
       ((nd + 1.0) - tieSum / (nd * (nd - 1.0)))
@@ -343,6 +388,11 @@ case class KolmogorovSmirnovAgg(y: Expression, isA: Expression, isB: Expression,
   override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("d", DoubleType), StructField("p_value", DoubleType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = StatInputChecks.check(
+    StatInputChecks.integral(prettyName, "measurement", y),
+    StatInputChecks.boolean(prettyName, "condition", isA),
+    StatInputChecks.boolean(prettyName, "condition", isB))
 
   override def createAggregationBuffer(): ArrayBuffer[Long] = new ArrayBuffer[Long]()
 
@@ -386,7 +436,8 @@ case class KolmogorovSmirnovAgg(y: Expression, isA: Expression, isB: Expression,
         if (buf(2 * order(i) + 1) == 0L) cumA += 1 else cumB += 1
         i += 1
       }
-      val gap = math.abs(cumA * n2 - cumB * n1)
+      val gap = math.abs(Math.subtractExact(
+        Math.multiplyExact(cumA, n2), Math.multiplyExact(cumB, n1)))
       if (gap > maxGap) maxGap = gap
     }
     val d = maxGap.toDouble / (n1.toDouble * n2.toDouble)
@@ -419,6 +470,10 @@ case class RankCorrAgg(x: Expression, yE: Expression,
   override def children: Seq[Expression] = Seq(x, yE)
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = StatInputChecks.check(
+    StatInputChecks.integral(prettyName, "x", x),
+    StatInputChecks.integral(prettyName, "y", yE))
 
   override def createAggregationBuffer(): ArrayBuffer[Long] = new ArrayBuffer[Long]()
 
@@ -468,17 +523,23 @@ case class RankCorrAgg(x: Expression, yE: Expression,
     val ys = Array.tabulate(n)(i => buf(2 * i + 1))
     if (xs.min == xs.max || ys.min == ys.max) return null
     val rx = doubledRanks(xs); val ry = doubledRanks(ys)
-    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    // exact int64 rank moments — a float accumulation here would depend
+    // on buffer (merge) order past 2^53; these instead fail loudly at
+    // ~1.3M rows per group (4n³ > int64), which beats a silently wrong ρ
+    var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L; var syy = 0L
     var i = 0
     while (i < n) {
-      val a = rx(i).toDouble; val b = ry(i).toDouble
-      sx += a; sy += b; sxy += a * b; sxx += a * a; syy += b * b
+      val a = rx(i); val b = ry(i)
+      sx = Math.addExact(sx, a); sy = Math.addExact(sy, b)
+      sxy = Math.addExact(sxy, Math.multiplyExact(a, b))
+      sxx = Math.addExact(sxx, Math.multiplyExact(a, a))
+      syy = Math.addExact(syy, Math.multiplyExact(b, b))
       i += 1
     }
     val nd = n.toDouble
-    val cov = nd * sxy - sx * sy
-    val vx = nd * sxx - sx * sx
-    val vy = nd * syy - sy * sy
+    val cov = nd * sxy - sx.toDouble * sy
+    val vx = nd * sxx - sx.toDouble * sx
+    val vy = nd * syy - sy.toDouble * sy
     cov / math.sqrt(vx * vy)
   }
 
@@ -511,6 +572,10 @@ case class SimpleLinRegAgg(x: Expression, yE: Expression,
     StructField("slope", DoubleType), StructField("intercept", DoubleType),
     StructField("r2", DoubleType)))
 
+  override def checkInputDataTypes(): TypeCheckResult = StatInputChecks.check(
+    StatInputChecks.integral(prettyName, "x", x),
+    StatInputChecks.integral(prettyName, "y", yE))
+
   // n, sx, sy, sxy, sxx, syy, xmin, xmax, ymin, ymax
   override def createAggregationBuffer(): Array[Long] = {
     val b = new Array[Long](10)
@@ -524,8 +589,14 @@ case class SimpleLinRegAgg(x: Expression, yE: Expression,
     if (xv != null && yv != null) {
       val a = xv.asInstanceOf[Number].longValue()
       val b = yv.asInstanceOf[Number].longValue()
-      buf(0) += 1; buf(1) += a; buf(2) += b
-      buf(3) += a * b; buf(4) += a * a; buf(5) += b * b
+      // exact ops: a wrapped Σy² (cents-scale y hits int64 past ~1e5
+      // rows/group) silently corrupts slope/R² — fail loudly instead
+      buf(0) += 1
+      buf(1) = Math.addExact(buf(1), a)
+      buf(2) = Math.addExact(buf(2), b)
+      buf(3) = Math.addExact(buf(3), Math.multiplyExact(a, b))
+      buf(4) = Math.addExact(buf(4), Math.multiplyExact(a, a))
+      buf(5) = Math.addExact(buf(5), Math.multiplyExact(b, b))
       if (a < buf(6)) buf(6) = a
       if (a > buf(7)) buf(7) = a
       if (b < buf(8)) buf(8) = b
@@ -536,7 +607,7 @@ case class SimpleLinRegAgg(x: Expression, yE: Expression,
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < 6) { buf(i) += other(i); i += 1 }
+    while (i < 6) { buf(i) = Math.addExact(buf(i), other(i)); i += 1 }
     buf(6) = math.min(buf(6), other(6)); buf(7) = math.max(buf(7), other(7))
     buf(8) = math.min(buf(8), other(8)); buf(9) = math.max(buf(9), other(9))
     buf
@@ -600,18 +671,39 @@ case class AnovaFAgg(yE: Expression, grp: Expression,
 
   override def createAggregationBuffer(): Buf = new Buf()
 
+  override def checkInputDataTypes(): TypeCheckResult = StatInputChecks.check(
+    StatInputChecks.integral(prettyName, "measurement", yE))
+
   private def add(buf: Buf, k: String, n: Long, sy: Long, syy: Long): Unit = {
     val cell = buf.getOrElseUpdate(k, new Array[Long](3))
-    cell(0) += n; cell(1) += sy; cell(2) += syy
+    cell(0) += n
+    cell(1) = Math.addExact(cell(1), sy)
+    cell(2) = Math.addExact(cell(2), syy)
     require(buf.size <= 100000,
       "anova_f: more than 100000 distinct groups — mis-specified grouping")
+  }
+
+  /** Type-normalized group key: internal values don't all stringify by
+    * content — a BinaryType group arrives as `Array[Byte]`, whose
+    * `toString` is identity-hash gibberish that would make every ROW its
+    * own group. Strings copy out of their (possibly reused) UTF8String
+    * backing; binary encodes as hex; primitives stringify by value.
+    */
+  private def keyOf(gv: Any): String = gv match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case b: Array[Byte] =>
+      val sb = new java.lang.StringBuilder(2 + b.length * 2)
+      sb.append("0x")
+      b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+      sb.toString
+    case other => other.toString
   }
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val yv = yE.eval(input); val gv = grp.eval(input)
     if (yv != null && gv != null) {
       val v = yv.asInstanceOf[Number].longValue()
-      add(buf, gv.toString, 1L, v, v * v)
+      add(buf, keyOf(gv), 1L, v, Math.multiplyExact(v, v))
     }
     buf
   }
@@ -657,7 +749,9 @@ case class AnovaFAgg(yE: Expression, grp: Expression,
     var tsum = 0.0
     // deterministic float accumulation: groups in sorted-key order
     buf.toSeq.sortBy(_._1).foreach { case (_, c) =>
-      nn += c(0); syt += c(1); syyt += c(2)
+      nn += c(0)
+      syt = Math.addExact(syt, c(1))
+      syyt = Math.addExact(syyt, c(2))
       tsum += c(1).toDouble * c(1).toDouble / c(0).toDouble
     }
     if (nn <= k) return null

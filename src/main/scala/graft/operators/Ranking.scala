@@ -155,9 +155,12 @@ object Ranking {
 
   /** ClickHouse `quantileTiming`-style fixed-resolution latency quantiles
     * per group: millisecond values bucketize on the timing grid — exact
-    * below 1024 ms, 16 ms buckets below 30720 ms, 512 ms buckets above
-    * (the public quantileTiming resolution scheme: human-latency ranges
-    * stay exact, the long tail coarsens) — and each requested quantile is
+    * below 1024 ms, 16 ms buckets below 30720 ms, 512 ms buckets above.
+    * The two lower zones follow the public quantileTiming resolution
+    * scheme (human-latency ranges stay exact, the tail coarsens); the
+    * >30720 ms zone INTENTIONALLY diverges from ClickHouse, which clamps
+    * everything above ~30 s to 30000 ms — 512 ms buckets keep the long
+    * tail rankable instead of flattening it. Each requested quantile is
     * the SMALLEST grid value whose cumulative count reaches `⌈q·n⌉`
     * (lower-bound rule). Everything is integer arithmetic over the
     * (group, grid value) grain — one hash aggregation, then a window over

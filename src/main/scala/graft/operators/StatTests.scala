@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * of hour-of-day".
   *
   * Cross-engine determinism strategy (the `lineitem_corr` decimal-moment
-  * pattern): every sum the shuffle performs is an exact int64 sum of
-  * integer-encoded values — cents, doubled ranks, tie cubes, cell counts —
+  * pattern): every sum the shuffle performs is an exact integer sum —
+  * counts and first moments in int64, squared/cross moments in
+  * decimal(38,0) (see [[xprod]]) so no product can wrap — of
+  * integer-encoded values (cents, doubled ranks, tie cubes, cell counts),
   * which is order-independent by construction; the statistic itself is one
   * fixed scalar expression tree over those exact sums, so any IEEE-754
   * engine reproduces the same doubles bit-for-bit. Nothing order-dependent
@@ -32,6 +34,19 @@ import org.apache.spark.sql.functions._
 object StatTests {
 
   private def d(c: Column): Column = c.cast("double")
+
+  /** Exact wide-integer product for squared/cross moments. A long×long
+    * product can reach ~8.5e37 — past int64 but always inside
+    * decimal(38,0) — so casting both factors to decimal(19,0) FIRST makes
+    * the multiply exact by construction, and the decimal sum stays an
+    * exact order-independent integer until ~1e38 (where Spark nulls the
+    * sum rather than wrapping — loud, not wrong). This is what keeps the
+    * squared moments honest at 100 TB row counts where a raw int64
+    * Σy² wraps silently (e.g. cents-scale values overflow int64 past
+    * ~1e5 rows/group).
+    */
+  private def xprod(a: Column, b: Column): Column =
+    a.cast("decimal(19,0)") * b.cast("decimal(19,0)")
 
   /** Student's (pooled) and Welch's (unpooled) two-sample t-test between
     * rows matching `condA` and rows matching `condB`, per `bucket` —
@@ -66,10 +81,12 @@ object StatTests {
   def abMoments: Seq[Column] = Seq(
     sum(when(col("a"), 1L).otherwise(0L)).as("na"),
     sum(when(col("a"), col("y")).otherwise(0L)).as("s1a"),
-    sum(when(col("a"), col("y") * col("y")).otherwise(0L)).as("s2a"),
+    sum(when(col("a"), xprod(col("y"), col("y")))
+      .otherwise(lit(0).cast("decimal(38,0)"))).as("s2a"),
     sum(when(col("b"), 1L).otherwise(0L)).as("nb"),
     sum(when(col("b"), col("y")).otherwise(0L)).as("s1b"),
-    sum(when(col("b"), col("y") * col("y")).otherwise(0L)).as("s2b"))
+    sum(when(col("b"), xprod(col("y"), col("y")))
+      .otherwise(lit(0).cast("decimal(38,0)"))).as("s2b"))
 
   /** Evaluates both t statistics from a frame of exact integer moments
     * (`na,s1a,s2a,nb,s1b,s2b`; any other columns pass through as the
@@ -138,12 +155,15 @@ object StatTests {
       .withColumn("__r2", lit(2L) * cumBefore + col("cn") + lit(1L))
       .groupBy(col("bucket"))
       .agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
-        sum(col("ca") * col("__r2")).as("r1x2"),
-        sum(col("cn") * col("cn") * col("cn") - col("cn")).as("tsum"))
+        sum(xprod(col("ca"), col("__r2"))).as("r1x2"),
+        // cube in decimal: (12,0)³ → (38,0), exact below 1e12 ties per
+        // value (beyond that the cast nulls loudly rather than wrapping)
+        sum(col("cn").cast("decimal(12,0)") * col("cn").cast("decimal(12,0)")
+          * col("cn").cast("decimal(12,0)") - col("cn")).as("tsum"))
       .where(col("n1") >= 1 && col("n2") >= 1)
     val n1 = d(col("n1")); val n2 = d(col("n2")); val n = n1 + n2
     // U₁ = R₁ − n₁(n₁+1)/2, carried doubled to stay integral
-    val u1x2 = col("r1x2") - col("n1") * (col("n1") + lit(1L))
+    val u1x2 = col("r1x2") - xprod(col("n1"), col("n1") + lit(1L))
     val u1 = d(u1x2) / 2.0
     val sigma2 = n1 * n2 / lit(12.0) *
       ((n + lit(1.0)) - d(col("tsum")) / (n * (n - lit(1.0))))
@@ -193,8 +213,8 @@ object StatTests {
       .join(broadcast(totals), "bucket")
       .groupBy(col("bucket"))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-        max(abs(col("__cuma") * col("n2") - col("__cumb") * col("n1")))
-          .as("maxgap"))
+        max(abs(xprod(col("__cuma"), col("n2"))
+          - xprod(col("__cumb"), col("n1")))).as("maxgap"))
     val n1 = d(col("n1")); val n2 = d(col("n2"))
     val dStat = d(col("maxgap")) / (n1 * n2)
     val lambda = sqrt(n1 * n2 / (n1 + n2)) * dStat
@@ -243,9 +263,9 @@ object StatTests {
     val m = ranked.groupBy(col("bucket")).agg(
       count(lit(1)).as("n"),
       sum(col("__r2x")).as("sx"), sum(col("__r2y")).as("sy"),
-      sum(col("__r2x") * col("__r2y")).as("sxy"),
-      sum(col("__r2x") * col("__r2x")).as("sxx"),
-      sum(col("__r2y") * col("__r2y")).as("syy"),
+      sum(xprod(col("__r2x"), col("__r2y"))).as("sxy"),
+      sum(xprod(col("__r2x"), col("__r2x"))).as("sxx"),
+      sum(xprod(col("__r2y"), col("__r2y"))).as("syy"),
       // zero-variance guard via exact extremes — a product guard like
       // n·Σr² ≠ (Σr)² overflows int64 at scale
       min(col("x")).as("xmin"), max(col("x")).as("xmax"),
@@ -275,9 +295,9 @@ object StatTests {
       .groupBy(col("bucket")).agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
+        sum(xprod(col("x"), col("y"))).as("sxy"),
+        sum(xprod(col("x"), col("x"))).as("sxx"),
+        sum(xprod(col("y"), col("y"))).as("syy"),
         // zero-variance guards via exact extremes — a product guard like
         // n·Σx² ≠ (Σx)² overflows int64 at scale
         min(col("x")).as("xmin"), max(col("x")).as("xmax"),
@@ -318,7 +338,7 @@ object StatTests {
       .where(col("y").isNotNull)
       .groupBy(col("bucket"), col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(xprod(col("y"), col("y"))).as("syy"))
     val byG = Window.partitionBy(col("bucket")).orderBy(col("grp"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val withCum = g.withColumn("cumt",

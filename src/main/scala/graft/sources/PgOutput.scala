@@ -83,7 +83,12 @@ import org.apache.spark.sql.types._
   * `_changed_cols` — the old-vs-new image diff (empty = no-op update;
   * null = no full old image on the wire). Transactions marked by a
   * skipped replication Origin are filtered whole (`skipOrigins` —
-  * bidirectional-mirror loop prevention, pglogical semantics).
+  * bidirectional-mirror loop prevention, pglogical semantics). Caveat:
+  * only plain and prepared transactions carry Origin messages on the
+  * wire; streamed (protocol v2) transactions never do, so while
+  * `skipOrigins` is non-empty their resolved DML and truncates are
+  * DEAD-LETTERED (origin unknowable — loud, not silently applied); turn
+  * streaming off on the publication to keep big transactions filterable.
   */
 object PgOutput extends Serializable {
 
@@ -877,8 +882,9 @@ object PgOutput extends Serializable {
     // names a skipped origin is filtered whole — its DML and truncates
     // never re-enter the mirror they came from. Origin messages are
     // transaction-frequency metadata (bounded collect). Streamed (v2)
-    // transactions do not carry Origin messages on the wire, so only plain
-    // transactions participate.
+    // transactions do not carry Origin messages on the wire, so they
+    // cannot participate — their resolved rows dead-letter instead while
+    // the filter is active (see originFilterActive).
     val (skippedTx: Set[Long], skippedPrepXids: Set[Long]) =
       if (skipOrigins.isEmpty) (Set.empty[Long], Set.empty[Long])
       else {
@@ -906,6 +912,12 @@ object PgOutput extends Serializable {
       }
     val skippedTxB = spark.sparkContext.broadcast(skippedTx)
     val skippedPrepB = spark.sparkContext.broadcast(skippedPrepXids)
+    // loop prevention can only vouch for transactions that CAN carry an
+    // Origin message — plain and prepared ones. Streamed (v2) transactions
+    // never do, so while the filter is active their resolved rows and
+    // truncates dead-letter (see dmlRow / the truncate passes) rather than
+    // silently bypassing it.
+    val originFilterActive = skipOrigins.nonEmpty
 
     val relids = rels.map(_.relid).toSet
 
@@ -1077,6 +1089,16 @@ object PgOutput extends Serializable {
       }
       def emit(isDelete: Boolean, tuple: IndexedSeq[Value],
                oldFull: Option[IndexedSeq[Value]] = None) = ts match {
+        // streamed (protocol v2) transactions carry no Origin message on
+        // the wire, so their provenance is unknowable: with loop
+        // prevention active, a resolved streamed row dead-letters loudly
+        // instead of silently re-entering the mirror it may have come
+        // from (streaming=on is the common big-transaction setup in
+        // bidirectional mirrors — exactly the rows a loop ships)
+        case Right(_) if xid.isDefined && originFilterActive =>
+          Iterator.single(Left(s"streamed xid=${xid.get} cannot be " +
+            "origin-filtered (protocol v2 streams carry no Origin " +
+            "message) — apply manually or disable streaming on the publication"))
         case Right(t) =>
           Iterator.single(buildRow(walStart, t, isDelete, tuple, oldFull))
         case Left(null) => Iterator.empty // aborted: never happened
@@ -1129,6 +1151,9 @@ object PgOutput extends Serializable {
       .filter(_.relids.exists(relids))
       // a skipped-origin transaction's truncate is filtered with its DML
       .filterNot(e => e.xid < 0 && originSkippedAtDriver(e.walStart))
+      // streamed truncates are origin-unknowable — dead-lettered (dead
+      // pass below) instead of applied while loop prevention is active
+      .filterNot(e => e.xid >= 0 && originFilterActive)
       .flatMap { e =>
         if (e.xid < 0) meta.preparedXidAt(e.walStart) match {
           case Some(px) => meta.resolvePrepared(px, "prepared truncate")
@@ -1152,6 +1177,16 @@ object PgOutput extends Serializable {
         case Right(XLogData(_, _, _, Unknown(t))) => Some(s"unknown message tag '$t'")
         case Right(XLogData(_, _, _, Streamed(_, Unknown(t)))) =>
           Some(s"unknown streamed message tag '$t'")
+        // a resolved streamed TRUNCATE under active loop prevention is
+        // origin-unknowable (no Origin message on v2 streams): loud, not
+        // silently applied
+        case Right(XLogData(_, _, _, Streamed(x, Truncate(rids, _, _))))
+          if rids.exists(relidsB.value) && originFilterActive &&
+            (metaB.value.commits.contains(x) ||
+              metaB.value.prepCommits.contains(x)) =>
+          Some(s"streamed truncate xid=$x cannot be origin-filtered " +
+            "(protocol v2 streams carry no Origin message) — apply " +
+            "manually or disable streaming on the publication")
         // a TRUNCATE of this table whose transaction never resolved in
         // this batch must not vanish: it is a pending whole-table wipe
         case Right(XLogData(_, _, _, Streamed(x, Truncate(rids, _, _))))

@@ -702,6 +702,43 @@ class PgOutputSpec extends SparkSpec {
     assert(PgOutput.parse(toDf(frames), "frame", "items").changes.count() == 2)
   }
 
+  test("skipOrigins: streamed transactions are origin-unknowable — dead-lettered, not silently applied") {
+    // protocol-v2 streamed transactions carry no Origin message, so loop
+    // prevention cannot vouch for them: while the filter is active their
+    // resolved DML and truncates must surface in the dead-letter frame
+    // (loud) instead of re-entering the mirror (a possible loop)
+    val frames =
+      Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        // local plain tx — kept
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
+        Seq(
+          // streamed committed tx: DML + truncate → both dead-letter
+          Fixture.streamStart(200, xid = 77),
+          Fixture.insert(201, 7, Seq(VText("2"), VText("bob"), VText("5")), xid = 77),
+          Fixture.truncate(202, Seq(7), xid = 77),
+          Fixture.streamStop(210),
+          Fixture.streamCommit(211, 77, 211, 212, txTs(2)),
+          // streamed ABORTED tx: never happened — stays silent
+          Fixture.streamStart(300, xid = 88),
+          Fixture.insert(301, 7, Seq(VText("9"), VText("zed"), VText("1")), xid = 88),
+          Fixture.streamStop(310),
+          Fixture.streamAbort(311, 88, 88))
+    val parsed = PgOutput.parse(toDf(frames), "frame", "items",
+      skipOrigins = Set("peer_b"))
+    assert(parsed.changes.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(parsed.truncates.isEmpty)
+    val reasons = parsed.deadLetter.select("reason")
+      .collect().map(_.getString(0)).toSeq
+    assert(reasons.size == 2)
+    assert(reasons.forall(_.contains("cannot be origin-filtered")))
+    // with the filter OFF the streamed committed tx applies normally
+    val open = PgOutput.parse(toDf(frames), "frame", "items")
+    assert(open.deadLetter.isEmpty)
+    assert(open.changes.count() == 2)
+    assert(open.truncates.length == 1)
+  }
+
   test("logicalMessages resolves two-phase states: committed, aborted, pending") {
     val frames = Seq(
       // prepared + committed

@@ -373,4 +373,60 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(runTied(1) == runTied(13))
   }
+
+  test("stat aggregates reject non-integral measurement columns at analysis") {
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    Seq((1.5, true, 2L)).toDF("yd", "c", "x")
+      .createOrReplaceTempView("stat_type_guard")
+    // a DoubleType measurement would be silently truncated toward zero by
+    // the cents-convention longValue coercion — must fail loudly instead
+    for (q <- Seq(
+      "SELECT welch_ttest(yd, c, NOT c) FROM stat_type_guard",
+      "SELECT student_ttest(yd, c, NOT c) FROM stat_type_guard",
+      "SELECT mann_whitney_u(yd, c, NOT c) FROM stat_type_guard",
+      "SELECT kolmogorov_smirnov(yd, c, NOT c) FROM stat_type_guard",
+      "SELECT rank_corr(x, yd) FROM stat_type_guard",
+      "SELECT simple_linreg(x, yd) FROM stat_type_guard",
+      "SELECT anova_f(yd, x) FROM stat_type_guard")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.contains("integral-valued"), s"query: $q → ${e.getMessage}")
+    }
+    // non-boolean condition also rejected
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT welch_ttest(x, x, x) FROM stat_type_guard").collect())
+    assert(e2.getMessage.contains("boolean"))
+  }
+
+  test("squared-moment overflow fails loudly instead of wrapping") {
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    // y ≈ 3.1e9 ⇒ y² ≈ 9.6e18 > Long.MaxValue: a wrapping sum would
+    // return a plausible-but-wrong slope; the exact ops must throw
+    Seq((1L, 3100000000L), (2L, 3100000001L), (3L, 3100000002L))
+      .toDF("x", "y").createOrReplaceTempView("stat_overflow")
+    val e = intercept[Exception](
+      spark.sql("SELECT simple_linreg(x, y) FROM stat_overflow").collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $e")
+  }
+
+  test("anova_f groups binary columns by content, not identity") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    // two logical groups, every row a FRESH byte array: an identity-keyed
+    // (toString) map would see one group per row → wrong F / null
+    val rows = (1 to 40).map(i => (if (i % 2 == 0) "g1" else "g2", (i % 7 + 1).toLong))
+    rows.toDF("g", "y").selectExpr("CAST(g AS BINARY) AS g", "y")
+      .createOrReplaceTempView("anova_binary")
+    rows.toDF("g", "y").createOrReplaceTempView("anova_string")
+    val viaBin = spark.sql(
+      "SELECT anova_f(y, g) AS af FROM anova_binary")
+      .selectExpr("af.f", "af.df_between", "af.df_within").collect()(0)
+    val viaStr = spark.sql(
+      "SELECT anova_f(y, g) AS af FROM anova_string")
+      .selectExpr("af.f", "af.df_between", "af.df_within").collect()(0)
+    assert(viaBin.getLong(1) == 1L && viaBin.getLong(2) == 38L)
+    assert(viaBin.getDouble(0) == viaStr.getDouble(0))
+  }
 }
