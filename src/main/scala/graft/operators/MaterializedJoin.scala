@@ -26,13 +26,16 @@ import graft.streaming.CdcStream
   *  - `view`      — the joined rows, keyed and bucketed by A's key, with
   *    tombstones where the join pair dissolved.
   *
-  * Maintenance per batch (all delta-proportional):
-  *  1. upsert the deltas into their mirrors (ΔA into both A copies);
+  * Maintenance per batch (all delta-proportional, and the mirror commits
+  * overlap the view work — see applyBatch):
+  *  1. upsert the deltas into their mirrors (ΔA into both A copies from
+  *     one materialized pass, all three mirror commits concurrent);
   *  2. affected = ΔA's keys ∪ keys of index rows in ΔB's fk-buckets
   *     (version-verified);
-  *  3. recompute exactly the affected keys: newest live A rows, inner
-  *     join against the newest live B rows for just their fks (both reads
-  *     bucket-pruned); affected keys with no surviving pair tombstone;
+  *  3. recompute exactly the affected keys from (committed generation ∪
+  *     pinned delta): newest live A rows, inner join against the newest
+  *     live B rows for just their fks (both reads bucket-pruned);
+  *     affected keys with no surviving pair tombstone;
   *  4. upsert the recomputed rows into `view` at the batch's version.
   *
   * Replay-idempotent end to end: re-applying a batch re-upserts identical
@@ -57,29 +60,48 @@ object MaterializedJoin {
 
   private def bucketOf(c: String, n: Int) = pmod(hash(col(c)), lit(n))
 
-  /** Newest live rows of a bucketed mirror, pruned to the buckets the
-    * `probe` keys hash to, then semi-joined to the probe — delta-
-    * proportional reads (the touched-bucket pattern of upsertBatch).
+  /** Newest rows for the probe's keys, merged from the mirror's COMMITTED
+    * generation (pruned to the buckets the probe keys hash to) and the
+    * batch's own pinned delta — the recompute's source of truth, which
+    * deliberately does NOT depend on this batch's mirror commits having
+    * landed (see applyBatch's concurrency note). The union can carry up
+    * to two generations of a key (mirror + delta), so the newest-per-key
+    * collapse applies here; both inputs are delta/affected-sized.
     */
-  private def prunedNewest(spark: SparkSession, dir: String, keyCol: String,
-                           versionCol: String, probe: DataFrame,
-                           probeKey: String, n: Int): DataFrame = {
-    if (!CdcStream.hasVisibleParquet(spark, dir))
-      return spark.emptyDataFrame
+  private def mergedNewest(spark: SparkSession, dir: String, keyCol: String,
+                           versionCol: String, delta: Option[DataFrame],
+                           probe: DataFrame, probeKey: String,
+                           n: Int): DataFrame = {
     import spark.implicits._
     val buckets = probe
       .select(pmod(hash(col(probeKey)), lit(n)).as("b")).distinct()
-      .as[Int].collect()
-    // schema-preserving empty result: downstream column refs must resolve
-    if (buckets.isEmpty)
-      return CdcOps.latestSnapshot(
-        SyncManifest.readCommitted(spark, dir).limit(0), Seq(keyCol),
-        versionCol)
-    val pruned = SyncManifest.readCommitted(spark, dir)
-      .where(col("bucket").isin(buckets.toSeq: _*))
-      .join(probe.select(col(probeKey).as(keyCol)).distinct(), Seq(keyCol),
-        "left_semi")
-    CdcOps.latestSnapshot(pruned, Seq(keyCol), versionCol)
+      .as[Int].collect().toSeq
+    mergedNewestAt(spark, dir, keyCol, versionCol, delta, probe, probeKey,
+      buckets)
+  }
+
+  /** [[mergedNewest]] with the probe's bucket set already collected —
+    * callers that need the same set elsewhere (e.g. the view commit's
+    * touched buckets) collect it once and share.
+    */
+  private def mergedNewestAt(spark: SparkSession, dir: String, keyCol: String,
+                             versionCol: String, delta: Option[DataFrame],
+                             probe: DataFrame, probeKey: String,
+                             buckets: Seq[Int]): DataFrame = {
+    val mirror =
+      if (!CdcStream.hasVisibleParquet(spark, dir)) None
+      // schema-preserving empty: downstream column refs must resolve
+      else if (buckets.isEmpty)
+        Some(SyncManifest.readCommitted(spark, dir).limit(0))
+      else Some(SyncManifest.readCommitted(spark, dir)
+        .where(col("bucket").isin(buckets: _*)))
+    val parts = mirror.toSeq ++ delta.toSeq
+    if (parts.isEmpty) return spark.emptyDataFrame
+    val base = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // left_semi dedups inherently — no distinct() exchange on the probe
+    val probed = base.join(probe.select(col(probeKey).as(keyCol)),
+      Seq(keyCol), "left_semi")
+    CdcOps.latestSnapshot(probed, Seq(keyCol), versionCol)
   }
 
   /** Apply one CDC batch (either delta may be empty) at `batchVersion` —
@@ -106,9 +128,12 @@ object MaterializedJoin {
                                deltaB: Option[DataFrame], batchVersion: Long,
                                aKeyDir: String, aFkDir: String,
                                bKeyDir: String, viewDir: String): Unit = {
-    val dA = deltaA.filter(d => !d.isEmpty)
-    val dB = deltaB.filter(d => !d.isEmpty)
-    if (dA.isEmpty && dB.isEmpty) return
+    // no up-front isEmpty probes: an empty delta flows through as an
+    // empty frame — its mirror upserts commit nothing (touched empty) and
+    // the affected-bucket gate below ends the batch — saving two Spark
+    // jobs per batch on the common non-empty path
+    val dA = deltaA
+    val dB = deltaB
 
     // fk/bKey Spark types must MATCH exactly: `hash()` is type-sensitive
     // (hash(10: int) ≠ hash(10L: long)), so a silently-cast mismatch would
@@ -127,99 +152,156 @@ object MaterializedJoin {
         s"'${cfg.bKey}' is $b — hash bucketing is type-sensitive; align the " +
         "delta schemas before applyBatch")
 
-    // 1. mirror upserts (ΔA lands in both the primary and the join index)
-    dA.foreach { d =>
-      CdcStream.upsertBatch(spark, d, Seq(cfg.aKey), cfg.versionCol,
-        aKeyDir, cfg.nBuckets)
-      CdcStream.upsertBatch(spark, d, Seq(cfg.aKey), cfg.versionCol,
-        aFkDir, cfg.nBuckets, bucketCols = Seq(cfg.fk))
-    }
-    dB.foreach(d => CdcStream.upsertBatch(spark, d, Seq(cfg.bKey),
-      cfg.versionCol, bKeyDir, cfg.nBuckets))
+    // 1. mirror upserts — ΔA lands in both the primary and the join index
+    // from ONE materialized delta (upsertPinnedMulti: the two layouts are
+    // derived from the same cached rows and committed concurrently), and
+    // ΔB's independent mirror rides the same concurrent round. The deltas
+    // are already pinned by applyBatch, so nothing re-materializes. The
+    // futures are awaited at the END of the batch: the view recompute
+    // below reads (pre-commit generation ∪ pinned delta), never the
+    // post-commit mirrors, so it runs CONCURRENTLY with these commits —
+    // the batch's wall-clock is max(mirror round, view round), not their
+    // sum. Either side of the manifest-swap race is correct: a read that
+    // lands post-commit just unions the delta in twice and the
+    // newest-per-key collapse converges on identical rows; a pre-commit
+    // read's generation stays on disk under the one-sync vacuum grace.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val mirrorCommits =
+      dA.map(d => Future(CdcStream.upsertPinnedMulti(spark, d, Seq(cfg.aKey),
+        cfg.versionCol, Seq(
+          CdcStream.UpsertTarget(aKeyDir, cfg.nBuckets),
+          CdcStream.UpsertTarget(aFkDir, cfg.nBuckets, Seq(cfg.fk)))))).toSeq ++
+      dB.map(d => Future(CdcStream.upsertPinnedMulti(spark, d, Seq(cfg.bKey),
+        cfg.versionCol, Seq(CdcStream.UpsertTarget(bKeyDir, cfg.nBuckets)))))
 
-    // 2. affected A keys
-    val fromA = dA.map(_.select(col(cfg.aKey))).toSeq
-    val fromB = dB.toSeq.flatMap { d =>
-      if (!CdcStream.hasVisibleParquet(spark, aFkDir)) Nil
-      else {
-        import spark.implicits._
-        val fkBuckets = d
-          .select(pmod(hash(col(cfg.bKey)), lit(cfg.nBuckets)).as("b"))
-          .distinct().as[Int].collect()
-        if (fkBuckets.isEmpty) Nil
-        else Seq(SyncManifest.readCommitted(spark, aFkDir)
-          .where(col("bucket").isin(fkBuckets.toSeq: _*))
-          .join(d.select(col(cfg.bKey).as(cfg.fk)).distinct(), Seq(cfg.fk),
-            "left_semi")
-          .select(col(cfg.aKey)))
-      }
-    }
-    val affectedParts = fromA ++ fromB
-    if (affectedParts.isEmpty) return
-    val affected = affectedParts.reduce(_ unionByName _).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      recomputeAffected(spark, cfg, affected, aKeyDir, bKeyDir, viewDir,
-        batchVersion)
-    } finally affected.unpersist(false)
+      // 2. affected A keys. ΔA's keys are all affected by definition; the
+      // index probe only needs to surface EXISTING rows referencing ΔB's
+      // keys, so whichever index generation the race serves is complete
+      // (ΔA's own rows are already in fromA).
+      val fromA = dA.map(_.select(col(cfg.aKey))).toSeq
+      val fromB = dB.toSeq.flatMap { d =>
+        if (!CdcStream.hasVisibleParquet(spark, aFkDir)) Nil
+        else {
+          import spark.implicits._
+          val fkBuckets = d
+            .select(pmod(hash(col(cfg.bKey)), lit(cfg.nBuckets)).as("b"))
+            .distinct().as[Int].collect()
+          if (fkBuckets.isEmpty) Nil
+          else Seq(SyncManifest.readCommitted(spark, aFkDir)
+            .where(col("bucket").isin(fkBuckets.toSeq: _*))
+            .join(d.select(col(cfg.bKey).as(cfg.fk)).distinct(), Seq(cfg.fk),
+              "left_semi")
+            .select(col(cfg.aKey)))
+        }
+      }
+      val affectedParts = fromA ++ fromB
+      if (affectedParts.isEmpty) return
+      val affected = affectedParts.reduce(_ unionByName _).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        recomputeAffected(spark, cfg, affected, dA, dB, aKeyDir, bKeyDir,
+          viewDir, batchVersion)
+      } finally affected.unpersist(false)
+    } finally
+      // the NEXT batch (and the caller's read) must observe the committed
+      // mirrors — and a commit failure must fail the batch loudly
+      Await.result(Future.sequence(mirrorCommits),
+        scala.concurrent.duration.Duration.Inf)
   }
 
   private def recomputeAffected(spark: SparkSession, cfg: Config,
-                                affected: DataFrame, aKeyDir: String,
+                                affected: DataFrame, dA: Option[DataFrame],
+                                dB: Option[DataFrame], aKeyDir: String,
                                 bKeyDir: String, viewDir: String,
                                 batchVersion: Long): Unit = {
-    // e.g. a ΔB touching keys nothing references: mirrors updated, no
-    // view work
-    if (affected.isEmpty) return
+    import spark.implicits._
+    // ONE bucket collect serves three uses: pruning the A-side read, the
+    // emptiness gate (empty ⟺ no affected keys — e.g. a ΔB touching keys
+    // nothing references: mirrors updated, no view work), and the view
+    // commit's touched set (the view upserts carry exactly one row per
+    // affected key under the same bucketing, so the sets coincide).
+    val affBuckets = affected
+      .select(bucketOf(cfg.aKey, cfg.nBuckets).as("b")).distinct()
+      .as[Int].collect().toSeq
+    if (affBuckets.isEmpty) return
 
-    // 3. recompute exactly the affected keys. Index hits are implicitly
-    // version-verified here: the newest row comes from the PRIMARY mirror,
-    // so a stale old-fk index copy only ever costs a redundant (correct)
-    // recompute, never a wrong row.
-    val aNewest = prunedNewest(spark, aKeyDir, cfg.aKey, cfg.versionCol,
-      affected, cfg.aKey, cfg.nBuckets)
+    // 3. recompute exactly the affected keys from (committed generation ∪
+    // pinned delta) — independent of this batch's in-flight mirror
+    // commits. Index hits are implicitly version-verified here: the
+    // newest row comes from the primary merge, so a stale old-fk index
+    // copy only ever costs a redundant (correct) recompute, never a
+    // wrong row.
+    val aNewest = mergedNewestAt(spark, aKeyDir, cfg.aKey, cfg.versionCol,
+      dA, affected, cfg.aKey, affBuckets)
     val aLive = aNewest.where(!isDeletedCol(aNewest))
     val aMeta = Set(cfg.versionCol, "is_deleted", "_is_deleted", "bucket",
       "_batch_id")
     val aPayload = aLive.columns.filterNot(aMeta).toSeq // includes aKey, fk
+    // pinned: the A-side newest-row plan (manifest read + merge window)
+    // feeds BOTH the B-side probe and the join below — caching it
+    // executes that plan once instead of twice
     val aRows = aLive.select(aPayload.map(col): _*)
-    val bNewest = prunedNewest(spark, bKeyDir, cfg.bKey, cfg.versionCol,
-      aRows.select(col(cfg.fk)).where(col(cfg.fk).isNotNull), cfg.fk,
-      cfg.nBuckets)
-    val bLive =
-      if (bNewest.columns.isEmpty) bNewest
-      else bNewest.where(!isDeletedCol(bNewest))
-    val joined =
-      if (bLive.columns.isEmpty) aRows.limit(0) // no B yet: nothing joins
-      else {
-        val bPayload = bLive.columns.filterNot(aMeta).toSeq
-        val renamed = bPayload.foldLeft(bLive.select(bPayload.map(col): _*)) {
-          (df, c) =>
-            if (c != cfg.bKey && aPayload.contains(c))
-              df.withColumnRenamed(c, s"b_$c")
-            else df
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bNewest = mergedNewest(spark, bKeyDir, cfg.bKey, cfg.versionCol,
+        dB, aRows.select(col(cfg.fk)).where(col(cfg.fk).isNotNull), cfg.fk,
+        cfg.nBuckets)
+      val bLive =
+        if (bNewest.columns.isEmpty) bNewest
+        else bNewest.where(!isDeletedCol(bNewest))
+      val joined =
+        if (bLive.columns.isEmpty) aRows.limit(0) // no B yet: nothing joins
+        else {
+          val bPayload = bLive.columns.filterNot(aMeta).toSeq
+          // the B key is aliased to a fresh internal name: both sides can
+          // share attribute lineage (the deltas may come from ONE
+          // multiplexed batch frame — see mirrorChanges — and the merge
+          // unions them in), and an alias mints a new expression id, so
+          // the join condition and the drop below stay unambiguous where
+          // a same-name reference would silently self-resolve
+          val bk = "__graft_b_key"
+          val renamed = bPayload.foldLeft(bLive.select(bPayload.map(c =>
+            if (c == cfg.bKey) col(c).as(bk) else col(c)): _*)) {
+            (df, c) =>
+              if (c != cfg.bKey && aPayload.contains(c))
+                df.withColumnRenamed(c, s"b_$c")
+              else df
+          }
+          aRows.join(renamed, col(cfg.fk) === col(bk), "inner").drop(bk)
         }
-        aRows.join(renamed, aRows(cfg.fk) === renamed(cfg.bKey), "inner")
-          .drop(renamed(cfg.bKey))
-      }
-    // affected keys with no surviving pair dissolve into tombstones
-    val tombs = affected
-      .join(joined.select(col(cfg.aKey)), Seq(cfg.aKey), "left_anti")
-      .withColumn("is_deleted", lit(true))
-    val upserts = joined.withColumn("is_deleted", lit(false))
-      .unionByName(tombs, allowMissingColumns = true)
-      .withColumn(cfg.versionCol, lit(batchVersion))
+      // affected keys with no surviving pair dissolve into tombstones
+      val tombs = affected
+        .join(joined.select(col(cfg.aKey)), Seq(cfg.aKey), "left_anti")
+        .withColumn("is_deleted", lit(true))
+      val upserts = joined.withColumn("is_deleted", lit(false))
+        .unionByName(tombs, allowMissingColumns = true)
+        .withColumn(cfg.versionCol, lit(batchVersion))
+        .withColumn("bucket", bucketOf(cfg.aKey, cfg.nBuckets))
 
-    // 4. commit the view delta
-    CdcStream.upsertBatch(spark, upserts, Seq(cfg.aKey), cfg.versionCol,
-      viewDir, cfg.nBuckets)
+      // 4. commit the view delta. The touched set is affBuckets (every
+      // upsert row's key is an affected key), so the merge-commit needs
+      // no extra collect and the upsert plan executes exactly once — the
+      // write job itself (its inputs are committed files + cached frames,
+      // so the single evaluation is deterministic).
+      CdcStream.mergeCommitTouched(spark, upserts, Seq(cfg.aKey),
+        cfg.versionCol, viewDir, affBuckets,
+        // one row per affected key at the batch's (strictly increasing)
+        // version ⇒ anti-join replace, no newest-per-key sort
+        newWins = true)
+    } finally aRows.unpersist(false)
   }
 
   private def isDeletedCol(df: DataFrame) =
     Seq("is_deleted", "_is_deleted").find(df.columns.contains)
       .map(c => coalesce(col(c), lit(false))).getOrElse(lit(false))
 
-  /** The view's FINAL read: newest version per A key, tombstones dropped.
+  /** The view's FINAL read: live rows, tombstones dropped. No
+    * newest-per-key collapse is needed — every view commit rewrites its
+    * touched buckets fully merged (one newest row per key, see
+    * [[CdcStream.mergeCommitTouched]]) and a key's bucket never changes,
+    * so the committed content IS the newest snapshot by construction.
     * A view that never saw a joinable batch (e.g. B-only bootstrap) reads
     * as a zero-column empty frame.
     */
@@ -227,8 +309,8 @@ object MaterializedJoin {
     val (_, _, _, viewDir) = dirs(root)
     if (!CdcStream.hasVisibleParquet(spark, viewDir))
       return spark.emptyDataFrame
-    CdcOps.softDeleteSnapshot(SyncManifest.readCommitted(spark, viewDir),
-      Seq(cfg.aKey), cfg.versionCol, col("is_deleted"))
+    val v = SyncManifest.readCommitted(spark, viewDir)
+    v.where(!coalesce(col("is_deleted"), lit(false)))
       .drop("bucket", "_batch_id")
   }
 

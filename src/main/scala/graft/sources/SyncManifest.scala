@@ -55,8 +55,29 @@ object SyncManifest {
   /** `files`: the committed sync's relative file set (what readers see).
     * `retired`: the previous generation, still on disk for in-flight
     * readers, vacuumed at the next commit.
+    * `schemaB64`: optional base64-encoded Spark schema JSON of the
+    * committed content (data columns + the `bucket` partition column
+    * last). When present, [[readCommitted]] passes it straight to the
+    * reader — skipping the per-read parquet footer-inference Spark job,
+    * which dominates lifecycle operators that open a mirror many times
+    * per batch. Base64 keeps the line-oriented manifest regex-parsable
+    * (no brackets/quotes inside the value). Absent on manifests written
+    * by older builds or commits that could not prove full coverage —
+    * readers fall back to inference.
     */
-  case class Manifest(files: Seq[String], retired: Seq[String])
+  case class Manifest(files: Seq[String], retired: Seq[String],
+                      schemaB64: Option[String] = None) {
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaB64.flatMap { b64 =>
+        scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+      }
+  }
+
+  private[sources] def encodeSchema(
+      s: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,8 +113,11 @@ object SyncManifest {
           s"incompatible mirror manifest format under $dir (fmt ${fmt.get}; " +
             s"this build reads fmt $FormatVersion) — upgrade the reader or " +
             "re-snapshot the mirror")
+      val schemaB64 =
+        """"schema"\s*:\s*"([A-Za-z0-9+/=]*)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).filter(_.nonEmpty)
       (arr("files"), arr("retired")) match {
-        case (Some(f), Some(r)) => Some(Manifest(f, r))
+        case (Some(f), Some(r)) => Some(Manifest(f, r, schemaB64))
         case _ if strict => throw new IllegalStateException(s"corrupt $p: $txt")
         case _ => None
       }
@@ -107,9 +131,11 @@ object SyncManifest {
     val tmp = new Path(dir, ManifestFile + ".tmp")
     val dst = new Path(dir, ManifestFile)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val schemaField =
+      m.schemaB64.map(b => s""","schema":"$b"""").getOrElse("")
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"fmt":$FormatVersion,"files":${arr(m.files)},"retired":${arr(m.retired)}}"""
+      s"""{"fmt":$FormatVersion,"files":${arr(m.files)},"retired":${arr(m.retired)}$schemaField}"""
         .getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
@@ -180,9 +206,13 @@ object SyncManifest {
 
   /** Commit after a FULL overwrite (snapshot / initial load): adopt every
     * visible file, nothing retired (the overwrite already cleared the dir).
+    * `schema` (the written frame's, bucket-last) covers every adopted file
+    * by construction, so it always lands in the manifest when given.
     */
-  def commitFull(spark: SparkSession, dir: String): Unit =
-    write(spark, dir, Manifest(listVisible(spark, dir).sorted, Seq.empty))
+  def commitFull(spark: SparkSession, dir: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
+    write(spark, dir, Manifest(listVisible(spark, dir).sorted, Seq.empty,
+      schema.map(encodeSchema)))
 
   /** Commit after an APPEND that replaced the contents of `touched` buckets
     * with `newFiles`: carry the untouched buckets' entries, retire the
@@ -195,7 +225,8 @@ object SyncManifest {
     *                    become the carried baseline)
     */
   def commitAfterAppend(spark: SparkSession, dir: String, touched: Set[Int],
-                        newFiles: Set[String], preexisting: => Seq[String]): Unit = {
+                        newFiles: Set[String], preexisting: => Seq[String],
+                        newSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     // a zero-data commit is not a sync: rewriting the manifest unchanged
     // would still vacuum the previous retired generation and break the
     // one-subsequent-sync reader grace for nothing
@@ -210,7 +241,29 @@ object SyncManifest {
     val retired =
       if ((kept ++ newFiles).isEmpty) (replaced ++ old.retired).distinct.sorted
       else replaced.sorted
-    write(spark, dir, Manifest((kept ++ newFiles).sorted, retired))
+    // schema carried forward only when it provably covers every live file:
+    // the new generation's frame covers the touched buckets; kept
+    // (untouched) files are covered by the OLD stored schema, merged in
+    // by name (new field type wins — the merge frame already coerced).
+    // A kept set under a legacy schemaless manifest cannot be proven →
+    // store none, readers fall back to footer inference.
+    val mergedSchema: Option[String] = newSchema match {
+      case None => None
+      case Some(ns) =>
+        if (kept.isEmpty) Some(encodeSchema(ns))
+        else old.schema match {
+          case Some(os) =>
+            val newNames = ns.fieldNames.toSet
+            val carried = os.fields.filterNot(f => newNames(f.name))
+            // bucket partition column stays LAST (the inferred-read order)
+            val (carriedData, carriedBucket) = carried.partition(_.name != "bucket")
+            val (nsData, nsBucket) = ns.fields.partition(_.name != "bucket")
+            Some(encodeSchema(org.apache.spark.sql.types.StructType(
+              nsData ++ carriedData ++ nsBucket ++ carriedBucket)))
+          case None => None
+        }
+    }
+    write(spark, dir, Manifest((kept ++ newFiles).sorted, retired, mergedSchema))
     val adopted = (kept ++ newFiles).toSet ++ retired
     val debris = listVisible(spark, dir, Some(touched)).filterNot(adopted)
     for (f <- (old.retired.filterNot(adopted) ++ debris).distinct)
@@ -235,11 +288,17 @@ object SyncManifest {
     */
   def readCommitted(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir) match {
-      case Some(m) if m.files.nonEmpty => graced(dir)(
-        spark.read.option("basePath", dir).parquet(m.files.map(f => s"$dir/$f"): _*))
-      case Some(m) if m.retired.nonEmpty => graced(dir)(
-        spark.read.option("basePath", dir)
-          .parquet(m.retired.map(f => s"$dir/$f"): _*).limit(0))
+      case Some(m) if m.files.nonEmpty =>
+        // a stored schema skips the per-read footer-inference Spark job;
+        // older kept files missing newly-added columns read them as null
+        // (the standard parquet evolution contract)
+        val reader = m.schema.foldLeft(
+          spark.read.option("basePath", dir))((r, s) => r.schema(s))
+        graced(dir)(reader.parquet(m.files.map(f => s"$dir/$f"): _*))
+      case Some(m) if m.retired.nonEmpty =>
+        val reader = m.schema.foldLeft(
+          spark.read.option("basePath", dir))((r, s) => r.schema(s))
+        graced(dir)(reader.parquet(m.retired.map(f => s"$dir/$f"): _*).limit(0))
       // pre-manifest fallback stays untranslated: a missing DIRECTORY here
       // is "no mirror", not a grace overrun
       case _ => spark.read.parquet(dir)

@@ -309,41 +309,115 @@ object CdcStream {
   def upsertBatch(spark: SparkSession, batchDf: DataFrame, keys: Seq[String],
                   versionCol: String, targetDir: String, nBuckets: Int,
                   bucketCols: Seq[String] = Nil): Unit = {
-    import spark.implicits._
-    val bCols = if (bucketCols.isEmpty) keys else bucketCols
     // materialize the batch ONCE: the touched-bucket collect, the merge,
     // and the append below all re-evaluate it, and a non-deterministic
     // source (a live JDBC tail handed in directly) could otherwise write
     // rows into buckets absent from `touched` — rows the manifest never
     // adopts, i.e. silently lost. Persisting the batch (delta-sized) is
     // far cheaper than the old whole-merged-bucket materialization.
-    val withBucket = batchDf
-      .withColumn("bucket", pmod(hash(bCols.map(col): _*), lit(nBuckets)))
+    val pinned = batchDf
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val touched = withBucket.select("bucket").distinct().as[Int].collect()
-      if (touched.isEmpty) return // empty batch: not a sync, commit nothing
-      // No visible data files = first batch (see hasVisibleParquet). Any
-      // other read failure (transient IO, permissions, corrupt file) must
-      // propagate: swallowing it here would replace the touched buckets
-      // with batch-only rows and silently drop every previously mirrored
-      // row in them.
-      val existing =
-        if (!hasVisibleParquet(spark, targetDir)) None
-        else Some(graft.sources.SyncManifest.readCommitted(spark, targetDir)
-          .where(col("bucket").isin(touched.toSeq: _*)))
-      val unioned = existing
-        .map(withBucket.unionByName(_, allowMissingColumns = true))
-        .getOrElse(withBucket)
-      val merged = graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
-      // cluster the write by bucket: without this, every one of the
-      // shuffle partitions opens a file in every touched bucket dir —
-      // partitions × buckets small files per sync, which compounds into
-      // listing/read cost for every later batch. One shuffle keyed by the
-      // bucket id yields one file per touched bucket per sync.
-      commitBuckets(spark, merged.repartition(col("bucket")), targetDir,
-        touched.toSeq)
-    } finally withBucket.unpersist(false)
+    try upsertPinnedMulti(spark, pinned, keys, versionCol,
+      Seq(UpsertTarget(targetDir, nBuckets, bucketCols)))
+    finally pinned.unpersist(false)
+  }
+
+  /** One layout destination of a multi-target upsert: `bucketCols`
+    * empty = bucket by the dedup keys (the primary-mirror layout).
+    */
+  final case class UpsertTarget(dir: String, nBuckets: Int,
+                                bucketCols: Seq[String] = Nil)
+
+  /** Upsert ONE already-persisted batch into SEVERAL bucketed-mirror
+    * layouts — the secondary-index shape of
+    * [[graft.operators.MaterializedJoin]], where ΔA lands both in the
+    * primary (bucketed by key) and in the join index (bucketed by fk).
+    * The delta is scanned from its cached blocks once per layout instead
+    * of re-materialized, and the per-target merge+commit jobs run
+    * CONCURRENTLY (distinct dirs ⇒ independent manifests ⇒ no ordering
+    * between them; Spark schedules jobs from multiple driver threads
+    * fine) — the wall-clock is the slowest layout, not the sum.
+    *
+    * Caller owns the persistence of `pinned` (so a caller that reuses
+    * the delta afterwards — e.g. for an affected-key set — doesn't see
+    * it evicted mid-flight).
+    */
+  def upsertPinnedMulti(spark: SparkSession, pinned: DataFrame,
+                        keys: Seq[String], versionCol: String,
+                        targets: Seq[UpsertTarget]): Unit = {
+    if (targets.isEmpty) return
+    require(targets.map(_.dir).distinct.size == targets.size,
+      s"upsertPinnedMulti: duplicate target dirs ${targets.map(_.dir)}")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val work = targets.map(t => Future(upsertOneTarget(spark, pinned, keys,
+      versionCol, t)))
+    Await.result(Future.sequence(work), scala.concurrent.duration.Duration.Inf)
+    ()
+  }
+
+  private def upsertOneTarget(spark: SparkSession, pinned: DataFrame,
+                              keys: Seq[String], versionCol: String,
+                              target: UpsertTarget): Unit = {
+    import spark.implicits._
+    val bCols = if (target.bucketCols.isEmpty) keys else target.bucketCols
+    val withBucket = pinned
+      .withColumn("bucket", pmod(hash(bCols.map(col): _*), lit(target.nBuckets)))
+    val touched = withBucket.select("bucket").distinct().as[Int].collect()
+    if (touched.isEmpty) return // empty batch: not a sync, commit nothing
+    mergeCommitTouched(spark, withBucket, keys, versionCol, target.dir,
+      touched.toSeq)
+  }
+
+  /** Merge `withBucket` (batch rows already carrying their `bucket` id)
+    * into the committed content of exactly the `touched` buckets and
+    * commit. Caller contract: every row's bucket MUST be in `touched` —
+    * a row outside it would be appended to an unadopted bucket dir and
+    * silently lost ([[upsertOneTarget]] collects the set from the batch
+    * itself; [[graft.operators.MaterializedJoin]] derives it from the
+    * affected-key set it already holds, skipping the extra collect job
+    * and the double evaluation of an expensive batch plan).
+    */
+  private[graft] def mergeCommitTouched(spark: SparkSession,
+                                        withBucket: DataFrame,
+                                        keys: Seq[String], versionCol: String,
+                                        targetDir: String,
+                                        touched: Seq[Int],
+                                        newWins: Boolean = false): Unit = {
+    if (touched.isEmpty) return
+    // No visible data files = first batch (see hasVisibleParquet). Any
+    // other read failure (transient IO, permissions, corrupt file) must
+    // propagate: swallowing it here would replace the touched buckets
+    // with batch-only rows and silently drop every previously mirrored
+    // row in them.
+    val existing =
+      if (!hasVisibleParquet(spark, targetDir)) None
+      else Some(graft.sources.SyncManifest.readCommitted(spark, targetDir)
+        .where(col("bucket").isin(touched: _*)))
+    // newWins: caller guarantees the batch carries at most one row per
+    // key at a version ≥ every existing same-key row (the strictly-
+    // increasing batch-version contract of MaterializedJoin's view) — the
+    // merge is then an anti-join replace (broadcast-sized batch keys, no
+    // sort) instead of a newest-per-key window over the unioned
+    // generations. Replaying the latest batch re-lands identical rows;
+    // out-of-order replay is outside the contract.
+    val merged = existing match {
+      case Some(ex) if newWins =>
+        ex.join(withBucket.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(withBucket, allowMissingColumns = true)
+      case _ =>
+        val unioned = existing
+          .map(withBucket.unionByName(_, allowMissingColumns = true))
+          .getOrElse(withBucket)
+        graft.operators.CdcOps.latestSnapshot(unioned, keys, versionCol)
+    }
+    // cluster the write by bucket: without this, every one of the
+    // shuffle partitions opens a file in every touched bucket dir —
+    // partitions × buckets small files per sync, which compounds into
+    // listing/read cost for every later batch. One shuffle keyed by the
+    // bucket id yields one file per touched bucket per sync.
+    commitBuckets(spark, merged.repartition(col("bucket")), targetDir,
+      touched)
   }
 
   /** True when `dir` holds at least one parquet data file that
@@ -396,7 +470,7 @@ object CdcStream {
       commitBuckets(spark, df, targetDir, touched.toSeq.sorted)
     } else {
       df.write.mode("overwrite").partitionBy("bucket").parquet(targetDir)
-      SyncManifest.commitFull(spark, targetDir)
+      SyncManifest.commitFull(spark, targetDir, Some(readSchemaOf(df)))
     }
   }
 
@@ -426,7 +500,17 @@ object CdcStream {
     val newFiles =
       SyncManifest.listVisible(spark, targetDir, Some(touched.toSet)).toSet -- before
     SyncManifest.commitAfterAppend(spark, targetDir, touched.toSet, newFiles,
-      legacyBaseline)
+      legacyBaseline, Some(readSchemaOf(df)))
+  }
+
+  /** The schema a manifest-pinned read of `df`'s written content returns:
+    * data columns in frame order, the `bucket` partition column LAST (the
+    * order parquet inference would produce) — stored in the manifest so
+    * readCommitted can skip footer inference.
+    */
+  private def readSchemaOf(df: DataFrame): org.apache.spark.sql.types.StructType = {
+    val (data, bucket) = df.schema.fields.partition(_.name != "bucket")
+    org.apache.spark.sql.types.StructType(data ++ bucket)
   }
 
   private def fs(spark: SparkSession, path: String) =
