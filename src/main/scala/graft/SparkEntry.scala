@@ -223,8 +223,12 @@ object SparkEntry {
     // maintenance bug (missed propagation, stale index row, wrong
     // tombstone) hash-mismatches
     "cdc_materialized_join" -> ((s, d) => {
+      // nBuckets=4 for the bench slice: the in-query lifecycle commits 4
+      // mirrors × 2 batches, so file count (and manifest listing) scales
+      // with nBuckets — 4 keeps the same maintenance semantics at half
+      // the small-file overhead (production sizing stays the caller's)
       val cfg = MaterializedJoin.Config("o_orderkey", "o_custkey",
-        "c_custkey", nBuckets = 8)
+        "c_custkey", nBuckets = 4)
       val root = indexScratch
       // a 20% key-slice keeps the in-query rebuild bench-cheap; the
       // maintenance semantics (two batches, index propagation, re-upsert)
@@ -315,6 +319,15 @@ object SparkEntry {
     "events_sequence_count" -> ((s, d) =>
       Behavior.sequenceCount(t(s, d, "events"), "user_id", "event_type",
         "ts", Seq("view", "click"), maxGapMicros = 2L * 3600 * 1000000)),
+    // the same disjoint-chain automaton through the SQL surface
+    // (sequence_count aggregate; ties break by condition bitmask, which
+    // the oracle mirrors with a CASE tie-break)
+    "events_sequence_count_sql" -> ((s, d) => {
+      org.apache.spark.sql.graft.bridge.registerFunctions(s)
+      t(s, d, "events").groupBy(col("user_id").cast("string").as("key"))
+        .agg(expr("sequence_count(7200000000, ts, event_type = 'view', " +
+          "event_type = 'click')").as("n_chains"))
+    }),
     // ClickHouse uniqUpTo(3): exact distinct event types per user while
     // <= 3, else 4 ("more than 3") — aggregation state capped at 4 items
     "events_uniq_upto" -> ((s, d) => {
@@ -1028,6 +1041,11 @@ object SparkEntry {
     // recur anywhere in the corpus
     "docs_dup_ngram_spans" -> ((s, d) =>
       Dedup.duplicatedSpanStats(t(s, d, "documents"), "doc_id", "text")),
+    // the REMOVAL transform over the same signal (Lee et al. 2022): first
+    // occurrence survives corpus-wide, later ones excised, fragments
+    // re-joined — the cleaned text itself is the oracle check
+    "docs_drop_dup_spans" -> ((s, d) =>
+      Dedup.dropDupSpans(t(s, d, "documents"), "doc_id", "text")),
     // subset duplicates: directed full-containment pairs (every distinct
     // token of a occurs in the same-lang doc b) — the signal Jaccard
     // misses for short-inside-long duplication
@@ -1199,6 +1217,16 @@ object SparkEntry {
     "mm_image_stats" -> ((s, d) =>
       Multimodal.imageStats(
           Multimodal.withBmpPayloads(t(s, d, "documents"), "doc_id"))
+        .toDF()),
+    // REAL compressed-image decode: synthesize PNGs through the full
+    // pipeline (per-row filters cycling all five types, deflate,
+    // alternating RGBA) and decode them back — inflate + Paeth-family
+    // filter reconstruction + BT.601 luma. Pixels are id-derived, so the
+    // oracle regenerates every channel arithmetically: a filter
+    // reconstruction, inflate, or alpha-handling bug hash-mismatches
+    "mm_png_stats" -> ((s, d) =>
+      Multimodal.pngStats(
+          Multimodal.withPngPayloads(t(s, d, "documents"), "doc_id"))
         .toDF()),
 
     // ---- audit / data-quality surface -------------------------------------
@@ -2713,6 +2741,33 @@ object SparkEntry {
                                 AND e.t - s.last_ts <= 7200000000 THEN 1 ELSE 0 END
            FROM s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)
          SELECT k AS key, CAST(max(cnt) AS BIGINT) AS n_chains FROM s GROUP BY k""",
+    // same automaton, but ties ordered by condition BITMASK (view=1,
+    // click=2) — the SQL aggregate's total (ts, mask) eval order; events
+    // matching no condition never touch the automaton, so their tie
+    // position is irrelevant
+    "events_sequence_count_sql" ->
+      """WITH RECURSIVE ev AS (
+           SELECT CAST(user_id AS VARCHAR) AS k, epoch_us(ts) AS t, event_type AS o,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts,
+                    CASE o WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END) AS rn
+           FROM events),
+         s AS (
+           SELECT k, 0 AS rn, 0 AS lvl, CAST(0 AS BIGINT) AS last_ts,
+                  CAST(0 AS BIGINT) AS cnt
+           FROM (SELECT DISTINCT k FROM ev)
+           UNION ALL
+           SELECT e.k, e.rn,
+                  CASE WHEN s.lvl = 0 AND e.o = 'view' THEN 1
+                       WHEN s.lvl = 1 AND e.o = 'click'
+                        AND e.t - s.last_ts <= 7200000000 THEN 0
+                       ELSE s.lvl END,
+                  CASE WHEN s.lvl = 0 AND e.o = 'view' THEN e.t
+                       WHEN s.lvl = 1 AND e.o = 'view' THEN e.t
+                       ELSE s.last_ts END,
+                  s.cnt + CASE WHEN s.lvl = 1 AND e.o = 'click'
+                                AND e.t - s.last_ts <= 7200000000 THEN 1 ELSE 0 END
+           FROM s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)
+         SELECT k AS key, CAST(max(cnt) AS BIGINT) AS n_chains FROM s GROUP BY k""",
     "events_funnel_strict" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
          s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS start1 FROM e),
@@ -2989,6 +3044,32 @@ object SparkEntry {
                       / count(*), 4) AS dup_frac
          FROM grams g JOIN cnt c USING (gram)
          GROUP BY g.doc_id""",
+    // the same window enumeration, then reconstruction: a token goes iff
+    // some non-first occurrence's 8-token window covers it
+    "docs_drop_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                 FROM toks WHERE len(w) >= 8),
+         grams AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram FROM pos),
+         ranked AS (SELECT doc_id, i,
+                           row_number() OVER (PARTITION BY gram
+                             ORDER BY doc_id, i) AS rn,
+                           count(*) OVER (PARTITION BY gram) AS c
+                    FROM grams),
+         removed AS (SELECT doc_id, i FROM ranked WHERE c > 1 AND rn > 1),
+         tokpos AS (SELECT doc_id, unnest(w) AS tok,
+                           unnest(range(1, len(w) + 1)) AS p
+                    FROM toks),
+         kept AS (SELECT t.doc_id, t.tok, t.p,
+                         EXISTS (SELECT 1 FROM removed r
+                                 WHERE r.doc_id = t.doc_id
+                                   AND t.p BETWEEN r.i AND r.i + 7) AS gone
+                  FROM tokpos t)
+         SELECT doc_id,
+                coalesce(string_agg(CASE WHEN NOT gone THEN tok END,
+                         ' ' ORDER BY p), '') AS clean_text,
+                CAST(sum(CASE WHEN gone THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         FROM kept GROUP BY doc_id""",
     // prefix filtering has guaranteed recall on both engines, so both sides
     // compute the complete J >= 0.8 pair set — the oracle needs no blocking
     // assumptions beyond the same prefix bound
@@ -3068,6 +3149,25 @@ object SparkEntry {
                   (d.doc_id * 7 + x.x * 13 + y.y * 31) % 256 AS r,
                   (d.doc_id * 11 + x.x * 17 + y.y * 37) % 256 AS g,
                   (d.doc_id * 13 + x.x * 19 + y.y * 41) % 256 AS b2
+           FROM d, unnest(range(0, d.w)) AS x(x),
+                unnest(range(0, d.h)) AS y(y))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(g) AS BIGINT) AS sum_g,
+                CAST(sum(b2) AS BIGINT) AS sum_b,
+                CAST(max(299 * r + 587 * g + 114 * b2) AS BIGINT) AS peak_luma
+         FROM px GROUP BY doc_id""",
+    // the PNG lake's id-derived pixel field, regenerated arithmetically —
+    // the decode ran inflate + filter reconstruction to get here, the
+    // oracle never touches a byte of it
+    "mm_png_stats" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS w, 1 + doc_id % 3 AS h
+                    FROM documents),
+         px AS (
+           SELECT d.doc_id,
+                  (d.doc_id * 5 + x.x * 11 + y.y * 23) % 256 AS r,
+                  (d.doc_id * 7 + x.x * 13 + y.y * 29) % 256 AS g,
+                  (d.doc_id * 9 + x.x * 17 + y.y * 31) % 256 AS b2
            FROM d, unnest(range(0, d.w)) AS x(x),
                 unnest(range(0, d.h)) AS y(y))
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,

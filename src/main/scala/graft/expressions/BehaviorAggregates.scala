@@ -265,6 +265,63 @@ case class SequenceLevelAgg(boundMicros: Long, ts: Expression, conds: Seq[Expres
     copy(ts = newChildren.head, conds = newChildren.tail)
 }
 
+/** `sequence_count(gap_micros, ts, cond1, …, condk)` → how many DISJOINT
+  * per-hop-gap-bounded chains of the conditions the group's timeline
+  * contains (bigint) — the ClickHouse `sequenceCount` shape, SQL twin of
+  * [[graft.operators.Behavior.sequenceCount]]. Same greedy automaton:
+  * an event matching the next expected condition inside the gap advances
+  * (a completed chain counts and resets), a repeat of the just-matched
+  * condition refreshes the gap clock to the later occurrence (never worse
+  * — the exchange argument), anything matching the FIRST condition
+  * restarts a dead chain at that event; priority advance > refresh >
+  * restart when an event's mask matches several. Eval sorts the buffered
+  * (ts, mask) pairs — a TOTAL order, so same-instant collisions are
+  * partitioning-deterministic (the DataFrame twin breaks ties by op
+  * string; the two agree on tie-free logs, which SqlSurfaceSpec pins).
+  */
+case class SequenceCountAgg(boundMicros: Long, ts: Expression,
+                            conds: Seq[Expression],
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0) extends ChainAgg {
+  override def chainStart: Boolean = false // unused: custom eval below
+  override def dataType: DataType = LongType
+
+  override def eval(buffer: ArrayBuffer[Long]): Any = {
+    val n = buffer.length / 2
+    if (n == 0) return 0L
+    val k = conds.size
+    val order = Array.range(0, n).sortBy(i => (buffer(2 * i), buffer(2 * i + 1)))
+    var lvl = 0
+    var lastTs = 0L
+    var count = 0L
+    var gi = 0
+    while (gi < n) {
+      val t = buffer(2 * order(gi))
+      val mask = buffer(2 * order(gi) + 1).toInt
+      if (lvl < k && ((mask >> lvl) & 1) == 1 &&
+          (lvl == 0 || t - lastTs <= boundMicros)) {
+        lvl += 1; lastTs = t
+        if (lvl == k) { count += 1; lvl = 0 }
+      } else if (lvl > 0 && ((mask >> (lvl - 1)) & 1) == 1) {
+        lastTs = t // refresh to the later occurrence
+      } else if ((mask & 1) == 1) {
+        lvl = 1; lastTs = t // dead chain; restart here
+      }
+      gi += 1
+    }
+    count
+  }
+
+  override def prettyName: String = "sequence_count"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ts = newChildren.head, conds = newChildren.tail)
+}
+
 /** `retention(cond0, cond1, …)` → array<boolean>: r(0) = cond0 held on any
   * row, r(i) = cond0 AND condi each held on some row (order-free) — the
   * ClickHouse retention array, SQL twin of

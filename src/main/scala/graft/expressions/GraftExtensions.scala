@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `int8_cosine_sim(codes, vec)`, `media_info(payload)`, and the behavior
   * aggregates `window_funnel(w_us, ts, cond…)`, `window_funnel_dedup(w_us,
   * ts, cond…)` (the 'strict_dedup' mode), `sequence_match(gap_us,
-  * ts, cond…)`, `sequence_level(gap_us, ts, cond…)`, `retention(cond…)`
+  * ts, cond…)`, `sequence_level(gap_us, ts, cond…)`,
+  * `sequence_count(gap_us, ts, cond…)`, `retention(cond…)`
   * ([[BehaviorAggregates]]), and the stat tests `welch_ttest` /
   * `student_ttest` / `mann_whitney_u` (y, cond_a, cond_b) with real
   * p-values (StatAggregates.scala, [[StatMath]]).
@@ -111,6 +112,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => SequenceLevelAgg(
         chainBound(args, "sequence_level"), args(1),
         chainConds(args.drop(2), "sequence_level"), matched = false)),
+    //   sequence_count(gap_us, ts, cond1, …)    — bigint disjoint chains
+    (FunctionIdentifier("sequence_count"),
+      new ExpressionInfo(classOf[SequenceCountAgg].getName, "sequence_count"),
+      (args: Seq[Expression]) => SequenceCountAgg(
+        chainBound(args, "sequence_count"), args(1),
+        chainConds(args.drop(2), "sequence_count"))),
     (FunctionIdentifier("retention"),
       new ExpressionInfo(classOf[RetentionAgg].getName, "retention"),
       (args: Seq[Expression]) => {

@@ -94,6 +94,79 @@ object PqEncode {
   * the frozen codebook), so scoring reads `m` bytes per candidate and
   * touches the codebook rows the codes name — never a stored vector.
   */
+/** Residual-ADC cosine (classic IVFADC, Jégou et al. TPAMI 2011 §IV-A):
+  * the codes quantize the RESIDUAL `x − c` of the candidate against its
+  * list's centroid, so the reconstruction is `x̂ = c + cb[j][code]` — the
+  * centroid adds back in here. Same O(dim)-per-row cost class as
+  * [[PqCosineSim]] (which already walks the query's dims), same codegen
+  * shape; `cos = dot(q, x̂) / (‖q‖·‖x̂‖)` with every term accumulated in
+  * one pass over the dims.
+  */
+case class PqResidualCosineSim(first: Expression, second: Expression,
+                               third: Expression,
+                               codebooks: Array[Double], m: Int, ksub: Int,
+                               dsub: Int)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def vec(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (first.dataType == BinaryType && vec(second.dataType) && vec(third.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_residual_cosine_sim needs (binary codes, array query, array centroid), got " +
+        s"${first.dataType}, ${second.dataType}, ${third.dataType}")
+  }
+
+  private def isFloat(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  def evalFor(codes: Array[Byte], q: ArrayData, cv: ArrayData): Double = {
+    val qF = isFloat(second); val cF = isFloat(third)
+    var dot = 0.0; var recon2 = 0.0; var qn2 = 0.0
+    var j = 0
+    while (j < m) {
+      val code = codes(j) & 0xff
+      val off = (j * ksub + code) * dsub
+      val base = j * dsub
+      var d = 0
+      while (d < dsub) {
+        val qv = if (qF) q.getFloat(base + d).toDouble else q.getDouble(base + d)
+        val cd = if (cF) cv.getFloat(base + d).toDouble else cv.getDouble(base + d)
+        val xd = cd + codebooks(off + d) // reconstruction: centroid + residual code
+        dot += qv * xd
+        recon2 += xd * xd
+        qn2 += qv * qv
+        d += 1
+      }
+      j += 1
+    }
+    dot / (math.sqrt(qn2) * math.sqrt(recon2))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    evalFor(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqResCosineSim", this,
+      classOf[PqResidualCosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $ref.evalFor($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqResidualCosineSim =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "pq_residual_cosine_sim"
+}
+
 case class PqCosineSim(left: Expression, right: Expression,
                        codebooks: Array[Double], m: Int, ksub: Int,
                        dsub: Int) extends BinaryExpression {

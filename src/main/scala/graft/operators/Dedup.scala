@@ -323,6 +323,56 @@ object Dedup {
           / count(lit(1)), 4).as("dup_frac"))
   }
 
+  /** Exact-substring span REMOVAL — the transform half of
+    * [[duplicatedSpanStats]], after Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): every `n`-token span
+    * that occurs more than once corpus-wide keeps its globally FIRST
+    * occurrence (minimal (doc id, position)) and is EXCISED everywhere
+    * else — a token goes if any removed occurrence's window covers it —
+    * then the surviving tokens re-join into the cleaned text. Docs
+    * shorter than `n` tokens pass through unchanged.
+    *
+    * Plan shape for 100 TB: one exploded-gram shuffle with a map-side-
+    * combined (count, min-occurrence) aggregate; only grams with count > 1
+    * travel back (the count-1 overwhelming majority drops before the
+    * join); removed start positions roll up per doc (bounded by doc
+    * length), and the excision itself is a per-row higher-order-function
+    * walk — no second corpus shuffle beyond the doc-keyed join.
+    */
+  def dropDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      split(col(textCol), " ").as("w"))
+    val grams = toks.where(size(col("w")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> struct(i AS i, concat_ws(' ', slice(w, i, $n)) AS gram))"))
+        .as("g"))
+      .select(col("id"), col("g.i").as("i"), col("g.gram").as("gram"))
+    // duplicated grams with their globally-first occurrence — exact
+    // integer/struct min, so "first" is engine-independent
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("id"), col("i"))).as("first"))
+      .where(col("c") > 1)
+    val removed = grams.join(dup, Seq("gram"))
+      .where(!(col("id") === col("first.id") && col("i") === col("first.i")))
+      .select(col("id"), col("i"))
+    val removedPerDoc = removed.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    toks.join(removedPerDoc, Seq("id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .select(col("id").as(idCol),
+        concat_ws(" ", expr(
+          s"transform(filter(transform(w, (t, i) -> struct(t AS t, i + 1 AS p)), " +
+            s"s -> NOT exists(starts, st -> s.p >= st AND s.p <= st + ${n - 1})), " +
+            "s -> s.t)")).as("clean_text"),
+        expr(s"size(filter(transform(w, (t, i) -> i + 1), " +
+          s"p -> exists(starts, st -> p >= st AND p <= st + ${n - 1})))")
+          .cast("bigint").as("n_removed"))
+  }
+
   /** Asymmetric CONTAINMENT pairs (Broder): directed (a → b) pairs where
     * at least `num/den` of a's distinct tokens also occur in b — the
     * subset-duplicate signal Jaccard misses (a short doc quoted inside a

@@ -101,8 +101,20 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
                               val store: Int, // 0 float, 1 int8, 2 PQ
                               centIds: Array[Long], flat: Array[Double],
                               pqModel: Option[Similarity.PqModel] = None,
-                              @volatile private var appliedBatch: Int = -1)
+                              @volatile private var appliedBatch: Int = -1,
+                              val pqResidual: Boolean = false)
   extends VectorIndexWriter {
+
+  /** Broadcastable (centroid id, centroid vector) frame — the join side
+    * residual encode/score needs (k rows; built once from the codebook
+    * the driver already holds).
+    */
+  @transient private lazy val centroidFrame: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    centIds.indices
+      .map(i => (centIds(i), flat.slice(i * dim, (i + 1) * dim).toSeq))
+      .toDF("c", "cvec")
+  }
 
   /** int8-packed posting store (the fmt-3 `q=1` layout). */
   def quantized: Boolean = store == IvfIndex.StoreInt8
@@ -156,10 +168,18 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
           col("q8.codes").as("codes"), col("c"))
       case IvfIndex.StorePq =>
         val mdl = pqModel.get
-        assigned.select(col("corpus_id"),
+        // residual mode (classic IVFADC): the codes quantize x − centroid,
+        // not x — the centroid joins in broadcast (k rows) and the
+        // subtraction is a codegen'd zip_with
+        val src =
+          if (!pqResidual) assigned
+            .withColumn("enc", col("cv").cast("array<double>"))
+          else assigned.join(broadcast(centroidFrame), "c")
+            .withColumn("enc", expr(
+              "zip_with(CAST(cv AS ARRAY<DOUBLE>), cvec, (a, b) -> a - b)"))
+        src.select(col("corpus_id"),
           org.apache.spark.sql.graft.bridge.column(graft.expressions.PqEncode(
-            org.apache.spark.sql.graft.bridge.expression(
-              col("cv").cast("array<double>")),
+            org.apache.spark.sql.graft.bridge.expression(col("enc")),
             mdl.codebooks, mdl.m, mdl.ksub, mdl.dsub)).as("codes"),
           col("c"))
       case _ => assigned
@@ -170,7 +190,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     committedBatches = b + 1
     appliedBatch = newApplied
     IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase,
-      store, appliedBatch, pqModel)
+      store, appliedBatch, pqModel, pqResidual)
   }
 
   /** Fold every live generation into ONE — the file-count lever of a
@@ -201,7 +221,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     liveBase = b
     committedBatches = b + 1
     IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase,
-      store, appliedBatch, pqModel)
+      store, appliedBatch, pqModel, pqResidual)
   }
 
   /** Per-centroid live posting counts — the index-health row of the
@@ -239,6 +259,15 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     val score = store match {
       case IvfIndex.StoreInt8 =>
         graft.expressions.NativeFunctions.int8CosineSim(col("codes"), col("qv"))
+      case IvfIndex.StorePq if pqResidual =>
+        val mdl = pqModel.get
+        org.apache.spark.sql.graft.bridge.column(
+          graft.expressions.PqResidualCosineSim(
+            org.apache.spark.sql.graft.bridge.expression(col("codes")),
+            org.apache.spark.sql.graft.bridge.expression(
+              col("qv").cast("array<double>")),
+            org.apache.spark.sql.graft.bridge.expression(col("cvec")),
+            mdl.codebooks, mdl.m, mdl.ksub, mdl.dsub))
       case IvfIndex.StorePq =>
         val mdl = pqModel.get
         org.apache.spark.sql.graft.bridge.column(graft.expressions.PqCosineSim(
@@ -248,8 +277,15 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
           mdl.codebooks, mdl.m, mdl.ksub, mdl.dsub))
       case _ => graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
     }
+    // residual scoring reconstructs x̂ = centroid + coded residual, so the
+    // probed rows pick their list's centroid vector up broadcast
+    val candidates0 = assigned.join(broadcast(probes), "c")
+    val candidates =
+      if (store == IvfIndex.StorePq && pqResidual)
+        candidates0.join(broadcast(centroidFrame), "c")
+      else candidates0
     Similarity.rankTopK(
-      assigned.join(broadcast(probes), "c")
+      candidates
         .where(col("query_id") =!= col("corpus_id"))
         .select(col("query_id"), col("corpus_id"), score.as("cos_sim")),
       k)
@@ -258,7 +294,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
 
 object IvfIndex {
   private val MetaFile = "_graft_ivf_index.json"
-  private val FormatVersion = 4
+  private val FormatVersion = 5
   private[operators] val StoreFloat = 0
   private[operators] val StoreInt8 = 1
   private[operators] val StorePq = 2
@@ -296,7 +332,7 @@ object IvfIndex {
   def create(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
              numCentroids: Int = 256, kmeansIters: Int = 4,
              quantizedStore: Boolean = true, pqM: Int = 0,
-             pqKsub: Int = 16): IvfIndex = {
+             pqKsub: Int = 16, pqResidual: Boolean = true): IvfIndex = {
     require(kmeansIters >= 0, s"bad kmeansIters=$kmeansIters")
     require(pqM >= 0 && pqKsub > 1 && pqKsub <= 256,
       s"bad pqM=$pqM pqKsub=$pqKsub (codes are one byte)")
@@ -365,12 +401,40 @@ object IvfIndex {
     }
     // PQ store: train the sub-codebooks on the SAME bounded hash-ordered
     // sample the centroid refinement uses (Similarity.pqFit — the one
-    // kernel pqTrain wraps), freeze them beside the centroids
+    // kernel pqTrain wraps), freeze them beside the centroids. In
+    // residual mode (classic IVFADC, Jégou §IV-A — the default) the
+    // training vectors are the sample's residuals against the FROZEN
+    // refined codebook, the same quantity the codes later carry: residual
+    // magnitudes are far smaller than raw coordinates, so the same m
+    // bytes buy materially finer quantization (recall-at-equal-m spec).
     val pqModel =
       if (pqM > 0) {
         require(dim % pqM == 0, s"dim=$dim not divisible by pqM=$pqM")
-        val mdl = Similarity.pqFit(sampleRows.map(_._2), pqM, pqKsub,
-          dim / pqM, iters = 5)
+        val trainVecs =
+          if (!pqResidual) sampleRows.map(_._2)
+          else {
+            val k = centRows.length
+            val ids = centRows.map(_._1)
+            val flat = new Array[Double](k * dim)
+            val norms = new Array[Double](k)
+            var c = 0
+            while (c < k) {
+              val v = centRows(c)._2
+              var s = 0.0; var i = 0
+              while (i < dim) { flat(c * dim + i) = v(i); s += v(i) * v(i); i += 1 }
+              norms(c) = math.sqrt(s)
+              c += 1
+            }
+            val idxOf = ids.zipWithIndex.toMap
+            sampleRows.map { case (_, v) =>
+              val nearest = graft.expressions.NearestCentroids.compute(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+                ids, flat, norms, dim, 1, isFloat = false)
+              val ci = idxOf(nearest(0))
+              Array.tabulate(dim)(d => v(d) - flat(ci * dim + d))
+            }
+          }
+        val mdl = Similarity.pqFit(trainVecs, pqM, pqKsub, dim / pqM, iters = 5)
         import spark.implicits._
         Seq((mdl.m, mdl.ksub, mdl.dsub, mdl.codebooks.toSeq))
           .toDF("m", "ksub", "dsub", "cb").coalesce(1).write.parquet(s"$dir/pq")
@@ -379,7 +443,8 @@ object IvfIndex {
     val store =
       if (pqM > 0) StorePq else if (quantizedStore) StoreInt8 else StoreFloat
     val idx = new IvfIndex(spark, dir, dim, centRows.length, 0, 0, store,
-      centRows.map(_._1), centRows.flatMap(_._2), pqModel)
+      centRows.map(_._1), centRows.flatMap(_._2), pqModel,
+      pqResidual = pqM > 0 && pqResidual)
     idx.add(corpus, idCol, vecCol)
     idx
   }
@@ -391,12 +456,14 @@ object IvfIndex {
     * external batch applied"), exactly a fresh create()'s state.
     */
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    val Seq(dim, cents, batches, base, q, applied) = IndexMeta.load(spark, dir,
-      MetaFile, FormatVersion, "IVF",
-      Seq("dim", "centroids", "batches", "base", "q", "applied"),
+    val Seq(dim, cents, batches, base, q, applied, pqRes) = IndexMeta.load(
+      spark, dir, MetaFile, FormatVersion, "IVF",
+      Seq("dim", "centroids", "batches", "base", "q", "applied", "pq_res"),
       // fmt 2 predates the streaming-batch mark; fmt 3 predates the PQ
-      // store (q was 0/1 only) — both layouts open in place
-      compat = Map(2 -> Map("applied" -> -1), 3 -> Map.empty))
+      // store (q was 0/1 only); fmt 4 predates residual PQ (codes always
+      // quantized raw vectors) — all three layouts open in place
+      compat = Map(2 -> Map("applied" -> -1, "pq_res" -> 0),
+        3 -> Map("pq_res" -> 0), 4 -> Map("pq_res" -> 0)))
     val centRows = spark.read.parquet(s"$dir/centroids")
       .orderBy(xxhash64(col("id")), col("id")).collect()
     val pqModel =
@@ -407,7 +474,7 @@ object IvfIndex {
       } else None
     new IvfIndex(spark, dir, dim, cents, batches, base, q,
       centRows.map(_.getLong(0)), centRows.flatMap(_.getSeq[Double](1)),
-      pqModel, applied)
+      pqModel, applied, pqResidual = pqRes == 1)
   }
 
   /** Delete `b=K` generation dirs below `base` under `parent` — retired by
@@ -430,11 +497,12 @@ object IvfIndex {
   private def writeMeta(spark: SparkSession, dir: String, dim: Int,
                         centroids: Int, batches: Int, base: Int,
                         store: Int, applied: Int,
-                        pq: Option[Similarity.PqModel]): Unit =
+                        pq: Option[Similarity.PqModel],
+                        pqResidual: Boolean): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
       s"""{"fmt":$FormatVersion,"dim":$dim,"centroids":$centroids,""" +
         s""""batches":$batches,"base":$base,"q":$store,""" +
-        s""""applied":$applied""" +
+        s""""applied":$applied,"pq_res":${if (pqResidual) 1 else 0}""" +
         pq.map(m => s""","pq_m":${m.m},"pq_ksub":${m.ksub}""").getOrElse("") +
         "}")
 }

@@ -376,6 +376,201 @@ object MediaHeader {
     out.array()
   }
 
+  /** REAL payload decode for PNG — the compressed-image sibling of
+    * [[bmpPixelStats]], closing real decode for the commonest web-corpus
+    * format using only public JDK primitives: chunk walk → IDAT
+    * concatenation → `java.util.zip.Inflater` → per-row filter
+    * reconstruction (None/Sub/Up/Average/Paeth, the five PNG filter
+    * types) → [[PixelStats]] fold. Supports the dominant web shapes:
+    * 8-bit truecolor (color type 2) and truecolor+alpha (6, alpha
+    * excluded from the channel sums), non-interlaced. Only COMPLETE
+    * reconstructed rows are folded (a truncated IDAT decodes the rows its
+    * bytes reach — the [[bmpPixelStats]] prefix contract). Returns None
+    * for non-PNG signatures, other color types/bit depths, or interlaced
+    * images.
+    */
+  def pngPixelStats(b: Array[Byte]): Option[PixelStats] = {
+    if (b == null || b.length < 8) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var s = 0
+    while (s < 8) { if ((b(s) & 0xff) != sig(s)) return None; s += 1 }
+    def be32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var w = 0; var h = 0; var bpp = 0
+    var haveIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= b.length) {
+      val len = be32(i)
+      if (len < 0 || len > Int.MaxValue - 12) return None
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      val dataStart = i + 8
+      val avail = math.min(len, (b.length - dataStart).toLong).toInt
+      typ match {
+        case "IHDR" =>
+          if (avail < 13) return None
+          w = be32(dataStart).toInt
+          h = be32(dataStart + 4).toInt
+          val bitDepth = b(dataStart + 8) & 0xff
+          val colorType = b(dataStart + 9) & 0xff
+          val interlace = b(dataStart + 12) & 0xff
+          if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+          bpp = colorType match {
+            case 2 => 3
+            case 6 => 4
+            case _ => return None
+          }
+          haveIhdr = true
+        case "IDAT" => idat.write(b, dataStart, avail)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks carry no pixels
+      }
+      i = dataStart + avail + 4 // skip CRC (trust the container in a lake)
+      if (avail.toLong < len) done = true // truncated read: stop the walk
+    }
+    if (!haveIhdr) return None
+    val rowLen = 1 + w * bpp
+    // inflate what the buffer holds (a truncated stream yields a prefix)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte](rowLen * h)
+    var got = 0
+    try {
+      var n = -1
+      while (n != 0 && got < raw.length && !inf.finished()) {
+        n = try inf.inflate(raw, got, raw.length - got)
+        catch { case _: java.util.zip.DataFormatException => 0 }
+        got += n
+      }
+    } finally inf.end()
+    val fullRows = got / rowLen
+    // filter reconstruction: cur[i] = raw + predictor(left, up, upleft)
+    val prev = new Array[Int](w * bpp)
+    val cur = new Array[Int](w * bpp)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var peak = 0L
+    var r = 0
+    while (r < fullRows) {
+      val rowStart = r * rowLen
+      val ft = raw(rowStart) & 0xff
+      if (ft > 4) return None // invalid filter type: corrupt stream
+      var x = 0
+      while (x < w * bpp) {
+        val v = raw(rowStart + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val up = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        cur(x) = (v + pred) & 0xff
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        val o = px * bpp
+        val rr = cur(o).toLong; val gg = cur(o + 1).toLong
+        val bb2 = cur(o + 2).toLong
+        sumR += rr; sumG += gg; sumB += bb2
+        val luma = 299L * rr + 587L * gg + 114L * bb2
+        if (luma > peak) peak = luma
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, w * bpp)
+      r += 1
+    }
+    Some(PixelStats(fullRows.toLong * w, sumR, sumG, sumB, peak))
+  }
+
+  /** Encode a complete PNG — the writer dual of [[pngPixelStats]].
+    * `filterFor(y)` picks each row's filter type (0..4), so fixtures can
+    * exercise every reconstruction path; `withAlpha` writes color type 6
+    * (alpha = 255·, ignored by the reader's sums). The encode applies the
+    * chosen filter EXACTLY per the spec (subtract predictor mod 256), so
+    * any reconstruction bug in the reader breaks the round trip loudly.
+    */
+  def pngImage(width: Int, height: Int,
+               pixel: (Int, Int) => (Int, Int, Int),
+               filterFor: Int => Int = _ % 5,
+               withAlpha: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad png dims ${width}x$height")
+    val bpp = if (withAlpha) 4 else 3
+    val rowLen = 1 + width * bpp
+    val raw = new Array[Byte](rowLen * height)
+    val prev = new Array[Int](width * bpp)
+    val cur = new Array[Int](width * bpp)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        val o = x * bpp
+        cur(o) = r & 0xff; cur(o + 1) = g & 0xff; cur(o + 2) = b & 0xff
+        if (withAlpha) cur(o + 3) = 0xff
+        x += 1
+      }
+      val ft = filterFor(y)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+      raw(y * rowLen) = ft.toByte
+      var i = 0
+      while (i < width * bpp) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw(y * rowLen + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, width * bpp)
+      y += 1
+    }
+    // deflate the filtered scanlines
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(raw); def_.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    while (!def_.finished()) zBuf.write(chunk, 0, def_.deflate(chunk))
+    def_.end()
+    val z = zBuf.toByteArray
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + (12 + z.length) + 12)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def putChunk(typ: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length)
+      val tb = typ.getBytes("US-ASCII")
+      out.put(tb).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put((if (withAlpha) 6 else 2).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    putChunk("IHDR", ihdr.array())
+    putChunk("IDAT", z)
+    putChunk("IEND", Array.empty[Byte])
+    out.array()
+  }
+
   /** Encode a canonical 44-byte PCM WAV header declaring `dataLen` payload
     * bytes — the writer dual of [[parse]]'s WAV reader (16-bit samples).
     * Used to synthesize deterministic audio lakes in tests/fixtures; a

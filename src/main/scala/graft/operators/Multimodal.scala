@@ -178,6 +178,35 @@ object Multimodal {
           lit("image/bmp").as("media_type")).as("meta"))
   }
 
+  /** Deterministic synthetic PNG lake — the compressed sibling of
+    * [[withBmpPayloads]]: same id-derived pixel field (shifted constants),
+    * but stored through the FULL PNG pipeline (per-row filters cycling
+    * through all five types, deflate). Alternating ids carry an alpha
+    * channel (color type 6; the decoder must exclude it from sums). Every
+    * decoded statistic is re-derivable arithmetically by the oracle, so a
+    * filter-reconstruction, inflate, or channel-order bug hash-mismatches.
+    */
+  def withPngPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 2 + (id % 5).toInt
+        val h = 1 + (id % 3).toInt
+        val img = MediaHeader.pngImage(w, h, (x, y) => (
+          ((id * 5 + x * 11 + y * 23) % 256).toInt,
+          ((id * 7 + x * 13 + y * 29) % 256).toInt,
+          ((id * 9 + x * 17 + y * 31) % 256).toInt),
+          filterFor = y => ((id + y) % 5).toInt,
+          withAlpha = id % 2 == 1)
+        (id, img)
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("image/png").as("media_type")).as("meta"))
+  }
+
   /** Decoded per-item pixel statistics (see [[MediaHeader.bmpPixelStats]]). */
   case class ImageStats(doc_id: Long, n_pixels: Long, sum_r: Long,
                         sum_g: Long, sum_b: Long, peak_luma: Long)
@@ -194,6 +223,22 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
         MediaHeader.bmpPixelStats(payload).map(s =>
+          ImageStats(id, s.nPixels, s.sumR, s.sumG, s.sumB, s.peakLuma))
+      })
+  }
+
+  /** REAL compressed-image decode through the codec seam: inflate + filter
+    * reconstruction per [[MediaHeader.pngPixelStats]], folded to the same
+    * per-item statistics as [[imageStats]]. Non-PNG payloads drop (mixed
+    * lakes filter here).
+    */
+  def pngStats(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MediaHeader.pngPixelStats(payload).map(s =>
           ImageStats(id, s.nPixels, s.sumR, s.sumG, s.sumB, s.peakLuma))
       })
   }

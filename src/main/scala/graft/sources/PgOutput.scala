@@ -415,6 +415,90 @@ object PgOutput extends Serializable {
     if (frame == null || frame.length < 25 || frame(0) != 'w') None
     else Some(ByteBuffer.wrap(frame, 1, 8).order(ByteOrder.BIG_ENDIAN).getLong)
 
+  /** Cheap peek at a frame's server WAL-end position — the highest WAL the
+    * server reports with this frame (`w` XLogData bytes 9-16, `k`
+    * keepalive bytes 1-8). This is what feedback acknowledges: confirming
+    * up to the walEnd of the last DURABLY LANDED frame lets the server
+    * recycle everything below it.
+    */
+  def frameWalEnd(frame: Array[Byte]): Option[Long] =
+    if (frame == null || frame.length < 9) None
+    else frame(0) match {
+      case 'w' if frame.length >= 17 =>
+        Some(ByteBuffer.wrap(frame, 9, 8).order(ByteOrder.BIG_ENDIAN).getLong)
+      case 'k' =>
+        Some(ByteBuffer.wrap(frame, 1, 8).order(ByteOrder.BIG_ENDIAN).getLong)
+      case _ => None
+    }
+
+  /** Max server walEnd across a frame column (None for an empty/peekless
+    * batch) — the candidate confirmed-flush LSN after the batch lands
+    * durably. One map-side-combined aggregation over the cheap
+    * [[frameWalEnd]] peek; never decodes full messages.
+    */
+  def maxFrameWalEnd(df: DataFrame, dataCol: String): Option[Long] = {
+    import org.apache.spark.sql.Encoders
+    val maxes = df.select(col(dataCol)).as[Array[Byte]](Encoders.BINARY)
+      .mapPartitions { it =>
+        var best = Long.MinValue
+        it.foreach(frameWalEnd(_).foreach(w => if (w > best) best = w))
+        if (best == Long.MinValue) Iterator.empty else Iterator.single(best)
+      }(Encoders.scalaLong)
+      .collect()
+    if (maxes.isEmpty) None else Some(maxes.max)
+  }
+
+  // ── Standby Status Update: the client→server feedback half ───────────
+
+  /** The client→server Standby Status Update (`r`) body — the feedback
+    * half of the streaming-replication protocol. Without it the server
+    * never learns the confirmed-flush LSN of the slot and retains WAL
+    * forever (the reference's flow-worker sends these continuously while
+    * holding the slot; docker-compose.yml:21-28). LSN semantics
+    * (postgres protocol docs): `writtenLsn` = last WAL + 1 received and
+    * written to durable storage, `flushedLsn` = last + 1 flushed (THIS is
+    * what lets the server recycle WAL and what restarts resume from),
+    * `appliedLsn` = last + 1 applied to the mirror. A conservative client
+    * may report the same value for all three. `clientTsMicros` is the
+    * client's wall clock in Unix micros (encoded on the wire as PG-epoch);
+    * `replyRequested` asks the SERVER to respond promptly (used to probe
+    * liveness — rarely needed from a batch mirror).
+    */
+  final case class StandbyStatus(writtenLsn: Long, flushedLsn: Long,
+                                 appliedLsn: Long, clientTsMicros: Long,
+                                 replyRequested: Boolean = false)
+
+  /** Encode a [[StandbyStatus]] as the `r` CopyData message the client
+    * sends on the replication connection.
+    */
+  def standbyStatusUpdate(s: StandbyStatus): Array[Byte] = {
+    val bb = ByteBuffer.allocate(34).order(ByteOrder.BIG_ENDIAN)
+    bb.put('r'.toByte)
+    bb.putLong(s.writtenLsn)
+    bb.putLong(s.flushedLsn)
+    bb.putLong(s.appliedLsn)
+    bb.putLong(s.clientTsMicros - PgEpochOffsetMicros)
+    bb.put((if (s.replyRequested) 1 else 0).toByte)
+    bb.array()
+  }
+
+  /** Decode an `r` message — the writer's dual, used by the round-trip
+    * specs (and by anything that replays a feedback log).
+    */
+  def decodeStandbyStatus(frame: Array[Byte]): Either[String, StandbyStatus] =
+    try {
+      if (frame == null || frame.length != 34) Left(
+        s"standby status must be 34 bytes, got ${if (frame == null) -1 else frame.length}")
+      else if (frame(0) != 'r') Left(s"not a standby status frame: tag '${frame(0).toChar}'")
+      else {
+        val bb = ByteBuffer.wrap(frame, 1, 33).order(ByteOrder.BIG_ENDIAN)
+        Right(StandbyStatus(bb.getLong, bb.getLong, bb.getLong,
+          bb.getLong + PgEpochOffsetMicros, bb.get() != 0))
+      }
+    } catch {
+      case e: RuntimeException => Left(s"malformed standby status: ${e.getMessage}")
+    }
+
   /** One stream/two-phase control event, shipped driver-ward during the
     * metadata pass (kind 0=stream start, 1=stream stop, 2=stream
     * commit(xid, a=tsMicros), 3=stream abort(xid, a=subXid), 4=begin

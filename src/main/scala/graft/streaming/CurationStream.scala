@@ -23,11 +23,18 @@ object CurationStream {
 
   /** Quality-gate then first-seen content dedup. Emits the surviving rows
     * with their `fp` fingerprint column (the dedup key) attached.
+    *
+    * The quality gate goes through [[WatermarkGuard.clockSafeFilter]]: a
+    * plain `where` here is pushed below the watermark by Catalyst, so a
+    * garbage-only stretch of the feed (exactly when a curation stream
+    * earns its keep) would stop advancing the event-time clock and the
+    * dedup state would never evict.
     */
   def curate(docs: DataFrame, textCol: String, tsCol: String,
              minQuality: Double, dupWindow: String = "10 minutes"): DataFrame =
-    docs.withWatermark(tsCol, dupWindow)
-      .where(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+    WatermarkGuard.clockSafeFilter(
+        docs.withWatermark(tsCol, dupWindow),
+        TextFunctions.qualityScore(col(textCol)) >= minQuality)
       .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("fp")
 }

@@ -96,10 +96,90 @@ object PgOutputStream {
           CdcStream.upsertBatch(spark, upserts,
             keys, "_version", targetDir, nBuckets)
           writeRegistry(spark, targetDir, table, parsed.relations)
+          // feedback bookkeeping LAST (after the mirror + registry are
+          // durable): the confirmed-flush LSN advances to the batch's max
+          // frame walEnd, but ONLY when nothing was lost — dead-lettered
+          // frames count as landed only if deadDir persisted them. A crash
+          // between the mirror commit and this write re-acks the OLD
+          // (lower) LSN on restart: the server resends the tail and the
+          // replay-idempotent upsert converges — never the reverse
+          // (acking WAL that never landed).
+          val deadSafe = deadDir.isDefined ||
+            PgOutput.maxFrameWalEnd(parsed.deadLetter, "frame").isEmpty
+          if (deadSafe)
+            PgOutput.maxFrameWalEnd(batch, dataCol)
+              .foreach(advanceConfirmedLsn(spark, targetDir, table, _))
         }
       }
       .start()
   }
+
+  // ── replication-slot feedback (Standby Status Update bookkeeping) ────
+
+  private def confirmedLsnPath(targetDir: String, table: String) =
+    new Path(targetDir, s"_pg_confirmed_lsn_$table.bin")
+
+  /** The confirmed-flush LSN this mirror can safely report to the server
+    * (0 = nothing confirmed yet). Durable across restarts — the value the
+    * resumed capture loop's first Standby Status Update carries, which is
+    * where the server resumes the slot.
+    */
+  def readConfirmedLsn(spark: SparkSession, targetDir: String,
+                       table: String): Long = {
+    val p = confirmedLsnPath(targetDir, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val in = fs.open(p)
+    try in.readLong() finally in.close()
+  }
+
+  /** Monotonically advance the confirmed-flush LSN (temp+rename, same
+    * crash contract as the registry). Re-acking an already-confirmed LSN
+    * is a no-op — the crash-replay path re-processes a batch whose LSN was
+    * already confirmed and must not regress or churn the file.
+    *
+    * @return true when the stored LSN actually advanced
+    */
+  def advanceConfirmedLsn(spark: SparkSession, targetDir: String,
+                          table: String, lsn: Long): Boolean = {
+    val current = readConfirmedLsn(spark, targetDir, table)
+    if (lsn <= current) return false
+    val dst = confirmedLsnPath(targetDir, table)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = dst.suffix(".tmp")
+    val out = fs.create(tmp, true)
+    try out.writeLong(lsn) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    true
+  }
+
+  /** The Standby Status Update this mirror should send right now: all
+    * three LSNs report the durable confirmed-flush position (the
+    * conservative single-position form — the mirror applies at commit, so
+    * written = flushed = applied).
+    */
+  def feedback(spark: SparkSession, targetDir: String, table: String,
+               clientTsMicros: Long,
+               replyRequested: Boolean = false): Array[Byte] = {
+    val lsn = readConfirmedLsn(spark, targetDir, table)
+    PgOutput.standbyStatusUpdate(PgOutput.StandbyStatus(
+      lsn, lsn, lsn, clientTsMicros, replyRequested))
+  }
+
+  /** The socket loop's per-frame reply contract: a server keepalive with
+    * the reply-requested bit set (the server's liveness deadline — unmet,
+    * it drops the connection) MUST be answered immediately with the
+    * current status; every other frame needs no inline reply (the loop
+    * acks in batch cadence via [[feedback]] after each commit).
+    */
+  def replyTo(frame: Array[Byte], spark: SparkSession, targetDir: String,
+              table: String, clientTsMicros: Long): Option[Array[Byte]] =
+    PgOutput.decodeFrame(frame) match {
+      case Right(PgOutput.Keepalive(_, _, true)) =>
+        Some(feedback(spark, targetDir, table, clientTsMicros))
+      case _ => None
+    }
 
   /** The mirror's FINAL read: newest LSN per key, soft-deletes dropped. */
   def readFinal(spark: SparkSession, targetDir: String, keys: Seq[String]): DataFrame =

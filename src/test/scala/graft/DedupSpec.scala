@@ -335,4 +335,41 @@ class DedupSpec extends SparkSpec {
     val hit = expected.count(found.contains).toDouble / expected.size
     assert(hit >= 0.95, s"only ${hit * 100}% of planted near-dups found")
   }
+
+  test("dropDupSpans keeps the first occurrence corpus-wide, excises the rest, and is idempotent") {
+    import spark.implicits._
+    // doc 1 carries an 8-token span; doc 2 quotes it verbatim inside other
+    // text; doc 3 is too short to carry any span; doc 4 repeats the span
+    // INSIDE ITSELF (both occurrences after doc 1's — both excised)
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"intro $span outro"),
+      (2L, s"alpha beta $span gamma delta"),
+      (3L, "tiny doc"),
+      (4L, s"$span and again $span")).toDF("doc_id", "text")
+    val out = Dedup.dropDupSpans(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: first occurrence — untouched
+    assert(out(1L) == ((s"intro $span outro", 0L)))
+    // doc 2: the quoted window excised, fragments re-joined
+    assert(out(2L) == (("alpha beta gamma delta", 8L)))
+    // doc 3: shorter than n — untouched
+    assert(out(3L) == (("tiny doc", 0L)))
+    // doc 4: BOTH its occurrences are non-first. Overlapping removal
+    // windows compound: every span occurrence of doc 4 is duplicated
+    // (each 8-gram it contains appears in doc 1 or earlier in doc 4), so
+    // coverage reaches the connector too — exactly Lee et al.'s
+    // "remove the duplicated span" semantics, applied per window
+    val (t4, n4) = out(4L)
+    assert(!t4.contains("one two three four five six seven eight"))
+    assert(n4 >= 16L, s"doc 4 removed only $n4 tokens: '$t4'")
+    // idempotence on this corpus: a second pass removes nothing
+    val second = Dedup.dropDupSpans(
+      Dedup.dropDupSpans(docs, "doc_id", "text")
+        .selectExpr("doc_id", "clean_text AS text"),
+      "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+    assert(second.forall(_._3 == 0L),
+      s"second pass removed tokens: ${second.filter(_._3 > 0).toSeq}")
+  }
 }

@@ -56,7 +56,7 @@ class IndexMigrationSpec extends SparkSpec {
       i.probe(queries, "vec_id", "embedding", 5, nProbe = 3)
         .as[(Long, Long, Long)].collect().toSet
     val before = rows(idx)
-    downgrade(dir, "_graft_ivf_index.json", "applied")
+    downgrade(dir, "_graft_ivf_index.json", "applied", "pq_res")
     val migrated = IvfIndex.load(spark, dir)
     assert(rows(migrated) == before, "fmt-2 probe diverged")
   }
@@ -97,11 +97,33 @@ class IndexMigrationSpec extends SparkSpec {
       i.probe(queries, "vec_id", "embedding", 5, nProbe = 3)
         .as[(Long, Long, Long)].collect().toSet
     val before = rows(idx)
-    // fmt 3 carried the same fields with q limited to 0/1 — only the stamp
-    // differs for a non-PQ index
+    // fmt 3 carried the same fields with q limited to 0/1 and no residual
+    // flag — only the stamp differs for a non-PQ index
     rewrite(dir, "_graft_ivf_index.json")(
-      _.replace("\"fmt\":4", "\"fmt\":3"))
+      _.replaceAll("\"fmt\":\\d+", "\"fmt\":3")
+        .replaceAll(""","pq_res":\d+""", ""))
     assert(rows(IvfIndex.load(spark, dir)) == before, "fmt-3 probe diverged")
+  }
+
+  test("fmt-4 IVF meta (raw PQ, pre-residual) opens in place") {
+    val dir = tmp("graft_ivf_fmt4")
+    // a fmt-4 index quantized RAW vectors: build one the old way
+    // (pqResidual = false), then stamp its meta back to fmt 4 without the
+    // residual flag — load must default to raw decoding and probe
+    // identically (reading raw codes as residuals would score garbage)
+    val idx = IvfIndex.create(embs, "vec_id", "embedding", dir,
+      numCentroids = 8, pqM = 4, pqKsub = 16, pqResidual = false)
+    val queries = embs.where($"vec_id" % 25 === 0)
+    def rows(i: IvfIndex) =
+      i.probe(queries, "vec_id", "embedding", 5, nProbe = 3)
+        .as[(Long, Long, Long)].collect().toSet
+    val before = rows(idx)
+    rewrite(dir, "_graft_ivf_index.json")(
+      _.replaceAll("\"fmt\":\\d+", "\"fmt\":4")
+        .replaceAll(""","pq_res":\d+""", ""))
+    val migrated = IvfIndex.load(spark, dir)
+    assert(!migrated.pqResidual)
+    assert(rows(migrated) == before, "fmt-4 probe diverged")
   }
 
   test("a format outside the compat set still skews, never opens") {

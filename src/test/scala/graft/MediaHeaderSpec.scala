@@ -314,4 +314,62 @@ class MediaHeaderSpec extends SparkSpec {
     // ...but the dimension PROBE still reads rejected-depth headers
     assert(MediaHeader.parse(deep).contains(MediaInfo("bmp", 3, 4, 0, 0, 0L)))
   }
+
+  test("pngPixelStats round-trips pngImage through every filter type") {
+    def px(x: Int, y: Int) = ((x * 37 + y * 101 + 5) % 256,
+      (x * 53 + y * 7 + 90) % 256, (x * 11 + y * 191 + 200) % 256)
+    def expected(w: Int, h: Int) = {
+      val pts = for (x <- 0 until w; y <- 0 until h) yield px(x, y)
+      (pts.size.toLong, pts.map(_._1.toLong).sum, pts.map(_._2.toLong).sum,
+        pts.map(_._3.toLong).sum,
+        pts.map(p => 299L * p._1 + 587L * p._2 + 114L * p._3).max)
+    }
+    // each filter type alone (a reconstruction bug in any single
+    // predictor path breaks its round trip), then cycling all five
+    for (ft <- 0 to 4; alpha <- Seq(false, true)) {
+      val img = MediaHeader.pngImage(6, 5, px, filterFor = _ => ft,
+        withAlpha = alpha)
+      val s = MediaHeader.pngPixelStats(img)
+        .getOrElse(fail(s"filter $ft alpha=$alpha did not decode"))
+      val (n, r, g, b, peak) = expected(6, 5)
+      assert((s.nPixels, s.sumR, s.sumG, s.sumB, s.peakLuma) ==
+        ((n, r, g, b, peak)), s"filter $ft alpha=$alpha")
+    }
+    val cyc = MediaHeader.pngImage(9, 7, px, filterFor = _ % 5)
+    val s = MediaHeader.pngPixelStats(cyc).get
+    val (n, r, g, b, peak) = expected(9, 7)
+    assert((s.nPixels, s.sumR, s.sumG, s.sumB, s.peakLuma) ==
+      ((n, r, g, b, peak)))
+    // 1x1 and single-row/column edges (no left / no up neighbors)
+    for ((w, h) <- Seq((1, 1), (1, 6), (6, 1))) {
+      val e = expected(w, h)
+      val st = MediaHeader.pngPixelStats(
+        MediaHeader.pngImage(w, h, px, filterFor = _ % 5)).get
+      assert((st.nPixels, st.sumR, st.sumG, st.sumB, st.peakLuma) == e,
+        s"${w}x$h")
+    }
+  }
+
+  test("pngPixelStats rejects foreign/unsupported payloads, survives truncation") {
+    def px(x: Int, y: Int) = (x % 256, y % 256, (x + y) % 256)
+    // foreign bytes and other containers → None
+    assert(MediaHeader.pngPixelStats(null).isEmpty)
+    assert(MediaHeader.pngPixelStats(Array.fill[Byte](40)(7)).isEmpty)
+    assert(MediaHeader.pngPixelStats(
+      MediaHeader.bmpImage(3, 3, px)).isEmpty)
+    // interlaced flag → None (Adam7 is out of the decode contract)
+    val img = MediaHeader.pngImage(4, 4, px)
+    val interlaced = img.clone()
+    // IHDR interlace byte sits at offset 8 (sig) + 8 (len+type) + 12
+    interlaced(8 + 8 + 12) = 1
+    assert(MediaHeader.pngPixelStats(interlaced).isEmpty)
+    // truncation mid-IDAT must not crash: decodes the complete rows the
+    // inflated prefix reaches (possibly zero), never garbage
+    for (cut <- Seq(8, 33, 60, img.length - 5)) {
+      val t = java.util.Arrays.copyOf(img, cut)
+      MediaHeader.pngPixelStats(t).foreach { s =>
+        assert(s.nPixels <= 16 && s.nPixels % 4 == 0)
+      }
+    }
+  }
 }

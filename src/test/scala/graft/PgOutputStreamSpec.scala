@@ -143,4 +143,83 @@ class PgOutputStreamSpec extends SparkSpec {
     // the stored image is healed, not just the read: the toast flag is gone
     assert(fin.select("_unchanged_toast").head().isNullAt(0))
   }
+
+  test("standby feedback: confirmed LSN tracks durable batches, deadline keepalives get replies, re-ack is a no-op") {
+    import graft.sources.PgOutput
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("pgfeedback").toString
+    val target = s"$root/mirror"
+    val input = MemoryStream[Frame]
+    def runBatch(): Unit = {
+      val q = PgOutputStream.mirrorFrames(input.toDF(), "data", "items",
+        Seq("id"), target, s"$root/ckpt", deadDir = Some(s"$root/dead"),
+        nBuckets = 4)
+      q.awaitTermination()
+    }
+
+    // nothing confirmed before the first durable batch
+    assert(PgOutputStream.readConfirmedLsn(spark, target, "items") == 0L)
+
+    // batch 1: relation + one tx + a trailing server keepalive at 900 —
+    // the confirmed-flush LSN advances to the batch's max frame walEnd
+    // (the keepalive's 900: consumed WAL counts even without row data)
+    input.addData(
+      (Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
+        Seq(Fixture.keepalive(900))).map(Frame): _*)
+    runBatch()
+    val lsn1 = PgOutputStream.readConfirmedLsn(spark, target, "items")
+    assert(lsn1 == 900L)
+
+    // the feedback message round-trips through the writer dual: all three
+    // LSNs report the confirmed position, client clock survives the
+    // PG-epoch encoding exactly
+    val ts = 1700000000123456L
+    val fb = PgOutputStream.feedback(spark, target, "items", ts)
+    assert(PgOutput.decodeStandbyStatus(fb) ==
+      Right(PgOutput.StandbyStatus(900L, 900L, 900L, ts, replyRequested = false)))
+
+    // scripted exchange: a reply-requested keepalive (the server's
+    // liveness deadline) MUST be answered inline with the current status;
+    // an ordinary keepalive or a data frame needs no inline reply
+    val deadline = Fixture.keepalive(950, replyRequested = true)
+    val reply = PgOutputStream.replyTo(deadline, spark, target, "items", ts)
+    assert(reply.isDefined)
+    assert(PgOutput.decodeStandbyStatus(reply.get).toOption.get.flushedLsn == 900L)
+    assert(PgOutputStream.replyTo(Fixture.keepalive(950), spark, target,
+      "items", ts).isEmpty)
+    assert(PgOutputStream.replyTo(
+      Fixture.insert(960, 7, Seq(VText("9"), VText("x"), VText("1"))),
+      spark, target, "items", ts).isEmpty)
+
+    // crash-replay: re-acking an already-confirmed (or older) LSN is a
+    // no-op — the stored position never regresses or churns
+    assert(!PgOutputStream.advanceConfirmedLsn(spark, target, "items", 900L))
+    assert(!PgOutputStream.advanceConfirmedLsn(spark, target, "items", 850L))
+    assert(PgOutputStream.readConfirmedLsn(spark, target, "items") == 900L)
+
+    // batch 2 advances monotonically
+    input.addData(
+      tx(2, 2000, Seq(
+        Fixture.update(2001, 7, Seq(VText("1"), VText("anne"), VText("4")))))
+        .map(Frame): _*)
+    runBatch()
+    assert(PgOutputStream.readConfirmedLsn(spark, target, "items") > 900L)
+
+    // safety direction: WITHOUT a dead-letter store, a batch that drops
+    // an undecodable frame must NOT confirm past it (acking WAL that
+    // never landed anywhere loses it forever; with deadDir the frame is
+    // durably parked and confirming is correct — exercised above)
+    val target2 = s"$root/mirror2"
+    val input2 = MemoryStream[Frame]
+    input2.addData(
+      (Seq(Fixture.relation(5, 7, ns, "items", itemCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))))) ++
+        Seq(Fixture.unknown(800, 'Z'))).map(Frame): _*)
+    PgOutputStream.mirrorFrames(input2.toDF(), "data", "items", Seq("id"),
+      target2, s"$root/ckpt2", deadDir = None, nBuckets = 4).awaitTermination()
+    assert(PgOutputStream.readConfirmedLsn(spark, target2, "items") == 0L)
+  }
 }

@@ -711,6 +711,38 @@ class SimilaritySpec extends SparkSpec {
         numCentroids = 8, pqM = 5)) // 16 dims not divisible by 5
   }
 
+  test("residual IVFADC (fmt 5) beats raw-vector PQ at equal m, round-trips reload") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfres").toString
+    val embs = clustered
+    val queries = embs.where($"vec_id" % 40 === 0)
+    val exact = tops(Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10))
+    def recallAt(dir: String, residual: Boolean): Double = {
+      val idx = graft.operators.IvfIndex.create(embs, "vec_id", "embedding",
+        dir, numCentroids = 16, kmeansIters = 2, pqM = 4, pqKsub = 4,
+        pqResidual = residual)
+      val got: Set[(Long, Long, Long)] =
+        idx.probe(queries, "vec_id", "embedding", 10, nProbe = 8)
+          .as[(Long, Long, Long)].collect().toSet
+      recallOf(exact, got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+    }
+    val raw = recallAt(s"$base/raw", residual = false)
+    val res = recallAt(s"$base/res", residual = true)
+    // the Jégou §IV-A claim at equal m: residual magnitudes are smaller
+    // than raw coordinates on a clustered corpus, so the same 4 bytes
+    // quantize finer — recall must not be worse, and must clear the
+    // family's floor
+    assert(res >= raw, s"residual recall $res < raw recall $raw")
+    assert(res >= 0.7, s"residual IVFADC recall $res below 0.7")
+    // residual flag survives the meta round trip and probes identically
+    val reload = graft.operators.IvfIndex.load(spark, s"$base/res")
+    assert(reload.pqResidual)
+    val again: Set[(Long, Long, Long)] =
+      reload.probe(queries, "vec_id", "embedding", 10, nProbe = 8)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(recallOf(exact,
+      again.groupBy(_._1).view.mapValues(_.map(_._2)).toMap) == res)
+  }
+
   test("pqTopK falls back to brute force on an empty corpus slice") {
     val out = Similarity.pqTopK(corpus.where($"vec_id" < 0), corpus,
       "vec_id", "embedding", 3)

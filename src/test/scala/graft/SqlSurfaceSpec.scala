@@ -374,6 +374,63 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(runTied(1) == runTied(13))
   }
 
+  test("sequence_count in SQL equals the library automaton on tie-free logs") {
+    import graft.operators.Behavior
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    val H = 3600L * 1000000
+    // tie-free per-key instants: the SQL form breaks same-instant ties by
+    // condition bitmask, the library op by op string — they coincide
+    // exactly when per-key timestamps are distinct
+    val rnd = new scala.util.Random(47)
+    val ops = Seq("view", "signup", "click", "purchase")
+    val rows = (for (u <- 1L to 50L) yield {
+      val ts = rnd.shuffle((1 to 2000).toList).take(40)
+      ts.map(t => (u, ops(rnd.nextInt(4)), t.toLong * 60L * 1000000))
+    }).flatten
+    val df = rows.toDF("u", "op", "tm").repartition(7)
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    df.createOrReplaceTempView("seq_count_events")
+    val sql = spark.sql(
+      s"""SELECT CAST(u AS STRING) AS key,
+                 sequence_count(${6 * H}, ts,
+                   op = 'signup', op = 'click', op = 'purchase') AS n
+          FROM seq_count_events GROUP BY u""")
+      .as[(String, Long)].collect().toMap
+    val lib = Behavior.sequenceCount(df, "u", "op", "ts",
+      Seq("signup", "click", "purchase"), 6 * H)
+      .as[(String, Long)].collect().toMap
+    assert(sql == lib)
+    // hand case: two disjoint chains; the middle 'signup' repeat
+    // refreshes the gap clock, making the second chain possible
+    val hand = Seq(
+      (1L, "signup", 0L), (1L, "click", H), (1L, "purchase", 2 * H),
+      (1L, "signup", 3 * H), (1L, "signup", 9 * H),
+      (1L, "click", 13 * H), (1L, "purchase", 14 * H))
+      .toDF("u", "op", "tm")
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    hand.createOrReplaceTempView("seq_count_hand")
+    assert(spark.sql(s"""SELECT sequence_count(${6 * H}, ts,
+        op = 'signup', op = 'click', op = 'purchase')
+      FROM seq_count_hand""").head().getLong(0) == 2L)
+    // with ties present the SQL form is still partitioning-deterministic
+    // (total (ts, mask) order at eval)
+    val tied = (1 to 300).map(i => (i % 9L, ops(i % 4),
+      (i % 11L) * 600L * 1000000))
+    val tdf = tied.toDF("u", "op", "tm")
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    def runTied(np: Int) = {
+      tdf.repartition(np).createOrReplaceTempView("seq_count_tied")
+      spark.sql(s"""SELECT u, sequence_count(${6 * H}, ts,
+          op = 'signup', op = 'click', op = 'purchase') AS n
+        FROM seq_count_tied GROUP BY u""")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(runTied(1) == runTied(13))
+  }
+
   test("stat aggregates reject non-integral measurement columns at analysis") {
     org.apache.spark.sql.graft.bridge.registerFunctions(spark)
     Seq((1.5, true, 2L)).toDF("yd", "c", "x")
