@@ -28,6 +28,12 @@ object Dedup {
   private val lastSemSizes =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** The previous [[winnowPairs]] call's persisted fingerprint explosion,
+    * rotated the same way.
+    */
+  private val lastWinnowFps =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Rotate a freshly persisted frame into `slot`, best-effort unpersisting
     * the previous occupant (it may belong to a since-stopped session —
     * never fail THIS call, never swallow cancellation or VM errors).
@@ -278,9 +284,15 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 16, w: Int = 32, minShared: Int = 3,
                   maxDf: Int = 50): DataFrame = {
+    // the winnowing kernel (rolling hash over every char) is the expensive
+    // leg and feeds THREE consumers (the df count and both self-join
+    // sides) — pin its output once per call, rotated like the simhash
+    // signature cache so at most one generation stays resident
     val ex = widen(docs).select(col(idCol).as("id"),
         explode(graft.expressions.NativeFunctions.rollingFingerprint(
           col(textCol), k, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rotateCache(lastWinnowFps, ex)
     val rare = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf)) // df=1 can't pair; df>maxDf is noise
     val pruned = ex.join(rare.select("fp"), "fp")
