@@ -1228,6 +1228,14 @@ object SparkEntry {
       Multimodal.pngStats(
           Multimodal.withPngPayloads(t(s, d, "documents"), "doc_id"))
         .toDF()),
+    // REAL LZW decode: synthesize GIFs through genuine LZW compression
+    // (dictionary growth, variable code widths, clears) and decode them
+    // back via the GIF-variant LZW + palette mapping. Pixels and palette
+    // are id-derived, so the oracle regenerates both arithmetically
+    "mm_gif_stats" -> ((s, d) =>
+      Multimodal.gifStats(
+          Multimodal.withGifPayloads(t(s, d, "documents"), "doc_id"))
+        .toDF()),
 
     // ---- audit / data-quality surface -------------------------------------
     // "what changed between sync v1 and sync v2" over the events CDC log;
@@ -3157,6 +3165,29 @@ object SparkEntry {
                 CAST(sum(b2) AS BIGINT) AS sum_b,
                 CAST(max(299 * r + 587 * g + 114 * b2) AS BIGINT) AS peak_luma
          FROM px GROUP BY doc_id""",
+    // the GIF lake's id-derived palette + index field, regenerated
+    // arithmetically — the decode ran genuine LZW to get here, the oracle
+    // never touches a byte of it
+    "mm_gif_stats" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+                    FROM documents),
+         px AS (
+           SELECT d.doc_id,
+                  (d.doc_id + x.x * 5 + y.y * 17) % 256 AS idx
+           FROM d, unnest(range(0, d.w)) AS x(x),
+                unnest(range(0, d.h)) AS y(y)),
+         rgb AS (
+           SELECT doc_id,
+                  (doc_id * 3 + idx * 7) % 256 AS r,
+                  (doc_id * 5 + idx * 11) % 256 AS g,
+                  (doc_id * 7 + idx * 13) % 256 AS b2
+           FROM px)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(g) AS BIGINT) AS sum_g,
+                CAST(sum(b2) AS BIGINT) AS sum_b,
+                CAST(max(299 * r + 587 * g + 114 * b2) AS BIGINT) AS peak_luma
+         FROM rgb GROUP BY doc_id""",
     // the PNG lake's id-derived pixel field, regenerated arithmetically —
     // the decode ran inflate + filter reconstruction to get here, the
     // oracle never touches a byte of it

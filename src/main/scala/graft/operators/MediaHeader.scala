@@ -571,6 +571,248 @@ object MediaHeader {
     out.array()
   }
 
+  /** REAL payload decode for GIF — the palette-indexed sibling of
+    * [[pngPixelStats]], using no library at all: header + logical screen
+    * descriptor + global color table walk, extension skip, then the GIF
+    * variant of LZW (variable code width from the image's min-code-size,
+    * LSB-first bit packing across sub-blocks, Clear/End codes, 12-bit
+    * dictionary cap) decodes the pixel indices, which map through the
+    * color table into [[PixelStats]]. First image frame only (animated
+    * GIFs report their first frame — the thumbnail/card contract);
+    * local color tables override the global one. Interlaced images
+    * decode too: GIF interlacing is a ROW PERMUTATION of the identical
+    * pixel multiset, and every statistic folded here is order-invariant
+    * (the JDK's own GIF writer emits interlaced files, which the spec
+    * cross-validates against). Truncated streams fold the complete
+    * pixels their bytes reach.
+    */
+  def gifPixelStats(b: Array[Byte]): Option[PixelStats] = {
+    if (b == null || b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val packed = b(10) & 0xff
+    var i = 13
+    var gctSize = 0
+    var gctOff = -1
+    if ((packed & 0x80) != 0) {
+      gctSize = 2 << (packed & 7)
+      gctOff = 13
+      i = 13 + 3 * gctSize
+    }
+    // walk blocks to the first image descriptor
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val w = u16(i + 5); val h = u16(i + 7)
+          val ip = b(i + 9) & 0xff
+          if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue) return None
+          // interlace (ip bit 0x40) is a row permutation — stats-invariant
+          var ctOff = gctOff; var ctSize = gctSize
+          var j = i + 10
+          if ((ip & 0x80) != 0) {
+            ctSize = 2 << (ip & 7); ctOff = j; j += 3 * ctSize
+          }
+          if (ctOff < 0 || ctOff + 3 * ctSize > b.length) return None
+          if (j >= b.length) return None
+          val minCode = b(j) & 0xff
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the LZW sub-blocks present in the buffer
+          val data = new java.io.ByteArrayOutputStream()
+          var p = j + 1
+          var open = true
+          while (open && p < b.length) {
+            val len = b(p) & 0xff
+            if (len == 0) open = false
+            else {
+              val avail = math.min(len, b.length - p - 1)
+              data.write(b, p + 1, avail)
+              p += 1 + len
+            }
+          }
+          val indices = lzwDecode(data.toByteArray, minCode,
+            maxPixels = w.toLong * h)
+          var sumR = 0L; var sumG = 0L; var sumB = 0L; var peak = 0L
+          var n = 0L
+          indices.foreach { idx =>
+            if (idx < ctSize) {
+              val o = ctOff + 3 * idx
+              val rr = u8(b, o).toLong
+              val gg = u8(b, o + 1).toLong
+              val bb2 = u8(b, o + 2).toLong
+              sumR += rr; sumG += gg; sumB += bb2
+              val luma = 299L * rr + 587L * gg + 114L * bb2
+              if (luma > peak) peak = luma
+              n += 1
+            }
+          }
+          return Some(PixelStats(n, sumR, sumG, sumB, peak))
+        case 0x3b => return None // trailer before any image
+        case _ => return None // corrupt block stream
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW decode (public algorithm): variable code width
+    * starting at `minCode + 1`, LSB-first bits, Clear resets the
+    * dictionary, End stops, width grows when the dictionary fills its
+    * current code space (12-bit cap). Decodes at most `maxPixels` indices
+    * (a corrupt stream cannot balloon) and stops cleanly on truncation.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        maxPixels: Long): Iterator[Int] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val clear = 1 << minCode
+    val end = clear + 1
+    // dictionary entries as (prefix code, appended index); roots implicit
+    val prefix = new Array[Int](4096)
+    val append = new Array[Int](4096)
+    var dictSize = end + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L; var bits = 0; var pos = 0
+    val buf = new Array[Byte](4096)
+    def emit(code: Int): Int = { // writes the code's string, returns its FIRST index
+      var c = code; var n = 0
+      while (c >= clear + 2) { buf(n) = append(c).toByte; n += 1; c = prefix(c) }
+      buf(n) = c.toByte; n += 1
+      var k = n - 1
+      while (k >= 0) { out.write(buf(k) & 0xff); k -= 1 }
+      c
+    }
+    var done = false
+    while (!done && out.size() < maxPixels) {
+      while (bits < width && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << bits; bits += 8; pos += 1
+      }
+      if (bits < width) done = true // truncated stream: stop cleanly
+      else {
+        val code = (acc & ((1 << width) - 1)).toInt
+        acc >>>= width; bits -= width
+        if (code == clear) {
+          dictSize = end + 1; width = minCode + 1; prev = -1
+        } else if (code == end) done = true
+        else if (prev == -1) {
+          if (code >= clear) done = true // first code must be a root
+          else { out.write(code); prev = code }
+        } else if (code < dictSize || code == dictSize) {
+          val first =
+            if (code == dictSize) { // the KwKwK case
+              val f = emitFirst(prefix, append, clear, prev)
+              emit(prev); out.write(f); f
+            } else emit(code)
+          if (dictSize < 4096) {
+            prefix(dictSize) = prev; append(dictSize) = first
+            dictSize += 1
+            if (dictSize == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        } else done = true // corrupt code
+      }
+    }
+    val bytes = out.toByteArray
+    if (bytes.length > maxPixels) bytes.iterator.take(maxPixels.toInt).map(_ & 0xff)
+    else bytes.iterator.map(_ & 0xff)
+  }
+
+  /** First pixel index of a dictionary code's expansion. */
+  private def emitFirst(prefix: Array[Int], append: Array[Int],
+                        clear: Int, code: Int): Int = {
+    var c = code
+    while (c >= clear + 2) c = prefix(c)
+    c
+  }
+
+  /** Encode a complete non-interlaced GIF89a with a full 256-color global
+    * palette — the writer dual of [[gifPixelStats]]: real LZW compression
+    * (dictionary up to 4096 entries, Clear emitted when full, variable
+    * code width, LSB-first packing, 255-byte sub-blocks), so any decoder
+    * bug in code-width growth, the KwKwK case, or dictionary resets
+    * breaks the round trip. `palette(i)` gives entry i's (r, g, b);
+    * `pixelIdx(x, y)` the palette index at (x, y).
+    */
+  def gifImage(width: Int, height: Int, palette: Int => (Int, Int, Int),
+               pixelIdx: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad gif dims ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(width); w16(height)
+    out.write(0x80 | 7) // global color table, 256 entries
+    out.write(0); out.write(0)
+    for (i <- 0 until 256) {
+      val (r, g, bl) = palette(i)
+      out.write(r & 0xff); out.write(g & 0xff); out.write(bl & 0xff)
+    }
+    out.write(0x2c) // image descriptor
+    w16(0); w16(0); w16(width); w16(height)
+    out.write(0) // no local table, not interlaced
+    val minCode = 8
+    out.write(minCode)
+    // LZW compress the index stream
+    val z = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var bits = 0
+    def put(code: Int, width0: Int): Unit = {
+      acc |= code.toLong << bits; bits += width0
+      while (bits >= 8) { z.write((acc & 0xff).toInt); acc >>>= 8; bits -= 8 }
+    }
+    val clear = 1 << minCode
+    val end = clear + 1
+    var cw = minCode + 1
+    val dict = new java.util.HashMap[Long, Integer]()
+    var dictSize = end + 1
+    put(clear, cw)
+    var prev = -1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val k = pixelIdx(x, y) & 0xff
+        if (prev == -1) prev = k
+        else {
+          val key = (prev.toLong << 12) | k
+          val hit = dict.get(key)
+          if (hit != null) prev = hit.intValue()
+          else {
+            put(prev, cw)
+            if (dictSize < 4096) {
+              dict.put(key, Integer.valueOf(dictSize))
+              dictSize += 1
+              // encoder grows width when the NEXT code would not fit
+              if (dictSize == (1 << cw) + 1 && cw < 12) cw += 1
+            } else {
+              put(clear, cw)
+              dict.clear(); dictSize = end + 1; cw = minCode + 1
+            }
+            prev = k
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (prev != -1) put(prev, cw)
+    put(end, cw)
+    if (bits > 0) z.write((acc & 0xff).toInt)
+    // wrap in 255-byte sub-blocks
+    val zb = z.toByteArray
+    var off = 0
+    while (off < zb.length) {
+      val n = math.min(255, zb.length - off)
+      out.write(n); out.write(zb, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** Encode a canonical 44-byte PCM WAV header declaring `dataLen` payload
     * bytes — the writer dual of [[parse]]'s WAV reader (16-bit samples).
     * Used to synthesize deterministic audio lakes in tests/fixtures; a

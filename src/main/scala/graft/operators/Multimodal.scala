@@ -227,6 +227,49 @@ object Multimodal {
       })
   }
 
+  /** Deterministic synthetic GIF lake — the palette-indexed sibling of
+    * [[withPngPayloads]]: a 256-entry id-derived palette and id-derived
+    * pixel indices, stored through REAL LZW compression
+    * ([[MediaHeader.gifImage]]: dictionary growth, variable code widths,
+    * clears). Every decoded statistic is re-derivable arithmetically by
+    * the oracle, so an LZW, code-width, or palette bug hash-mismatches.
+    */
+  def withGifPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 3 + (id % 6).toInt
+        val h = 2 + (id % 4).toInt
+        val img = MediaHeader.gifImage(w, h,
+          palette = i => (
+            ((id * 3 + i * 7) % 256).toInt,
+            ((id * 5 + i * 11) % 256).toInt,
+            ((id * 7 + i * 13) % 256).toInt),
+          pixelIdx = (x, y) => ((id + x * 5 + y * 17) % 256).toInt)
+        (id, img)
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("image/gif").as("media_type")).as("meta"))
+  }
+
+  /** REAL LZW decode through the codec seam: GIF pixel indices →
+    * palette → the same per-item statistics as [[imageStats]]
+    * ([[MediaHeader.gifPixelStats]]). Non-GIF payloads drop.
+    */
+  def gifStats(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MediaHeader.gifPixelStats(payload).map(s =>
+          ImageStats(id, s.nPixels, s.sumR, s.sumG, s.sumB, s.peakLuma))
+      })
+  }
+
   /** REAL compressed-image decode through the codec seam: inflate + filter
     * reconstruction per [[MediaHeader.pngPixelStats]], folded to the same
     * per-item statistics as [[imageStats]]. Non-PNG payloads drop (mixed

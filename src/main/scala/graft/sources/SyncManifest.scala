@@ -154,29 +154,30 @@ object SyncManifest {
     if (!fs.exists(root)) return Seq.empty
     val qualified = fs.makeQualified(root)
     val prefix = qualified.toString + "/"
-    def visible(p: Path): Boolean = {
-      var cur = p
-      while (cur != null && cur != qualified) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return false
-        cur = cur.getParent
-      }
-      true
-    }
     val roots = buckets match {
       case Some(bs) => bs.toSeq.sorted.map(b => new Path(root, s"bucket=$b"))
         .filter(fs.exists(_))
       case None => Seq(root)
     }
     val out = Seq.newBuilder[String]
-    for (r <- roots) {
-      val it = fs.listFiles(r, true)
-      while (it.hasNext) {
-        val p = it.next().getPath
-        if (p.getName.endsWith(".parquet") && visible(p))
-          out += fs.makeQualified(p).toString.stripPrefix(prefix)
+    // hidden-PRUNING lazy walk (see CdcStream.hasVisibleParquet): never
+    // descends into `_temporary`/dot debris — the eager recursive lister
+    // stats such files and crashes when they vanish mid-churn — and a
+    // path vanishing between readdir and here simply isn't listed
+    def walk(p: Path): Unit = {
+      val entries =
+        try fs.listStatus(p)
+        catch { case _: java.io.FileNotFoundException => return }
+      entries.foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (n.endsWith(".parquet"))
+            out += fs.makeQualified(st.getPath).toString.stripPrefix(prefix)
+        }
       }
     }
+    roots.foreach(walk)
     out.result()
   }
 

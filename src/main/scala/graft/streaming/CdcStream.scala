@@ -434,23 +434,25 @@ object CdcStream {
     val target = new org.apache.hadoop.fs.Path(dir)
     val fsys = fs(spark, dir)
     if (!fsys.exists(target)) return false
-    val qualifiedTarget = fsys.makeQualified(target)
-    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
-      var cur = p
-      while (cur != null && cur != qualifiedTarget) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return false
-        cur = cur.getParent
+    // hidden-PRUNING lazy walk, not fs.listFiles(recursive): the probe may
+    // run concurrently with another thread's in-flight write to this dir
+    // (MaterializedJoin overlaps its mirror commits with the view round),
+    // and the eager recursive lister stats every `_temporary` attempt file
+    // it meets — files that vanish mid-churn crash it (local-FS permission
+    // stat). Pruning hidden directories never descends into `_temporary`
+    // at all, and a file vanishing between readdir and our check simply
+    // doesn't count — it was never committed.
+    def walk(p: org.apache.hadoop.fs.Path): Boolean = {
+      val entries =
+        try fsys.listStatus(p)
+        catch { case _: java.io.FileNotFoundException => return false }
+      entries.exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (if (st.isDirectory) walk(st.getPath) else n.endsWith(".parquet"))
       }
-      true
     }
-    val files = fsys.listFiles(target, true)
-    var found = false
-    while (!found && files.hasNext) {
-      val p = files.next().getPath
-      found = p.getName.endsWith(".parquet") && visible(p)
-    }
-    found
+    walk(target)
   }
 
   /** Replace the ENTIRE mirror content with `df` (a snapshot / full

@@ -350,6 +350,74 @@ class MediaHeaderSpec extends SparkSpec {
     }
   }
 
+  test("gifPixelStats: LZW round trip, cross-validated against the JDK codec both ways") {
+    def palette(i: Int) = ((i * 3 + 40) % 256, (i * 5 + 9) % 256, (i * 7 + 77) % 256)
+    def idx(x: Int, y: Int) = (x * 5 + y * 17 + 3) % 256
+    def expected(w: Int, h: Int) = {
+      val pts = for (x <- 0 until w; y <- 0 until h) yield palette(idx(x, y))
+      (pts.size.toLong, pts.map(_._1.toLong).sum, pts.map(_._2.toLong).sum,
+        pts.map(_._3.toLong).sum,
+        pts.map(p => 299L * p._1 + 587L * p._2 + 114L * p._3).max)
+    }
+    // big enough to force dictionary growth through several code widths
+    for ((w, h) <- Seq((3, 2), (40, 30), (1, 1), (200, 90))) {
+      val img = MediaHeader.gifImage(w, h, palette, idx)
+      // our decoder agrees with the generative formula
+      val s = MediaHeader.gifPixelStats(img).getOrElse(fail(s"${w}x$h no decode"))
+      val e = expected(w, h)
+      assert((s.nPixels, s.sumR, s.sumG, s.sumB, s.peakLuma) == e, s"${w}x$h")
+      // the JDK's independent GIF decoder agrees pixel-for-pixel with the
+      // formula — validating OUR ENCODER's LZW (widths, clears, packing)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))
+      assert(bi.getWidth == w && bi.getHeight == h)
+      for (x <- 0 until w; y <- 0 until h) {
+        val rgb = bi.getRGB(x, y)
+        val (er, eg, eb) = palette(idx(x, y))
+        assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ==
+          ((er, eg, eb)), s"pixel ($x,$y) of ${w}x$h vs JDK")
+      }
+    }
+    // reverse direction: OUR DECODER reads the JDK's encoder output
+    val w2 = 37; val h2 = 23
+    val src = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w2; y <- 0 until h2) {
+      val (r, g, b) = palette(idx(x, y))
+      src.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "gif", bos))
+    val jdkGif = bos.toByteArray
+    val s2 = MediaHeader.gifPixelStats(jdkGif)
+      .getOrElse(fail("JDK-encoded gif did not decode"))
+    val e2 = expected(w2, h2)
+    assert((s2.nPixels, s2.sumR, s2.sumG, s2.sumB, s2.peakLuma) == e2,
+      "JDK-encoded gif stats diverged")
+  }
+
+  test("gifPixelStats rejects foreign payloads and survives truncation") {
+    def palette(i: Int) = (i, 255 - i, (i * 2) % 256)
+    val img = MediaHeader.gifImage(20, 20, palette, (x, y) => (x + y) % 256)
+    assert(MediaHeader.gifPixelStats(null).isEmpty)
+    assert(MediaHeader.gifPixelStats("GIF89a".getBytes("US-ASCII")).isEmpty)
+    assert(MediaHeader.gifPixelStats(
+      MediaHeader.bmpImage(3, 3, (x, y) => (x, y, 0))).isEmpty)
+    // interlace flag is a row permutation of the same pixel multiset —
+    // identical stats (the JDK cross-validation feeds real interlaced
+    // files through the full path; this pins the flag's invariance alone)
+    val inter = img.clone()
+    // descriptor: 6 (sig) + 7 (lsd) + 768 (gct) at 0x2c; packed at +9
+    val descOff = 6 + 7 + 768
+    assert((inter(descOff) & 0xff) == 0x2c)
+    inter(descOff + 9) = 0x40.toByte
+    assert(MediaHeader.gifPixelStats(inter) == MediaHeader.gifPixelStats(img))
+    // truncation: decodes the pixels its bytes reach, never crashes
+    for (cut <- Seq(10, 700, descOff + 11, img.length / 2, img.length - 3)) {
+      val t = java.util.Arrays.copyOf(img, cut)
+      MediaHeader.gifPixelStats(t).foreach(s => assert(s.nPixels <= 400))
+    }
+  }
+
   test("pngPixelStats rejects foreign/unsupported payloads, survives truncation") {
     def px(x: Int, y: Int) = (x % 256, y % 256, (x + y) % 256)
     // foreign bytes and other containers → None
