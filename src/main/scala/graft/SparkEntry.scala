@@ -1041,6 +1041,19 @@ object SparkEntry {
     // recur anywhere in the corpus
     "docs_dup_ngram_spans" -> ((s, d) =>
       Dedup.duplicatedSpanStats(t(s, d, "documents"), "doc_id", "text")),
+    // fastText/CCNet-style learned quality filter: hashed bag-of-words
+    // logistic regression trained in-query on a weak label (is-English —
+    // the learnable stand-in for CCNet's wiki-vs-crawl signal), then one
+    // stateless scoring pass. Training is iters x one treeAggregate of
+    // the dense gradient — corpus never collected (QualityModel scaladoc)
+    "docs_quality_model" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+      val model = QualityModel.train(labeled, "text", "y",
+        dim = 1 << 15, iters = 8)
+      QualityModel.score(docs, "doc_id", "text", model)
+        .select(col("doc_id"), round(col("quality_prob"), 4).as("quality_prob"))
+    }),
     // the REMOVAL transform over the same signal (Lee et al. 2022): first
     // occurrence survives corpus-wide, later ones excised, fragments
     // re-joined — the cleaned text itself is the oracle check
@@ -1208,6 +1221,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_samples"), col("peak"), col("n_clipped"),
           round(sqrt(col("sum_squares").cast("double") / col("n_samples")), 4)
             .as("rms"))),
+    // REAL G.711 telephony decode: µ-law (even ids) and A-law (odd ids)
+    // WAVs expand through the CCITT reference formulas — pure integer bit
+    // math, so the oracle regenerates both the code stream AND the
+    // expansion arithmetically; an expansion or sign bug hash-mismatches
+    "mm_audio_g711" -> ((s, d) =>
+      Multimodal.audioStats(
+          Multimodal.withG711Payloads(t(s, d, "documents"), "doc_id"))
+        .toDF()),
     // REAL pixel decode: 24-bit BMP pixel arrays read back out of each
     // payload (MediaHeader.bmpPixelStats — BGR order, padded stride,
     // bottom-up AND top-down layouts) into exact channel sums + the peak
@@ -3146,6 +3167,36 @@ object SparkEntry {
                      AS BIGINT) AS n_clipped,
                 round(sqrt(CAST(sum(x * x) AS BIGINT) / max(ns)), 4) AS rms
          FROM v GROUP BY doc_id""",
+    // the G.711 expansions re-run as integer bit math in SQL (µ-law:
+    // complement, mantissa<<3 + 0x84 shifted by the segment; A-law:
+    // xor 0x55, segment-0/1 offsets then shifts) — the exact CCITT
+    // reference formulas the decoder implements
+    "mm_audio_g711" ->
+      """WITH d AS (SELECT doc_id, 150 + (doc_id % 4) * 50 AS n,
+                           doc_id % 2 = 0 AS ulaw
+                    FROM documents),
+         codes AS (SELECT doc_id, ulaw, (doc_id * 13 + i.i * 97) % 256 AS c
+                   FROM d, unnest(range(0, d.n)) AS i(i)),
+         u AS (SELECT doc_id, 255 - c AS u FROM codes WHERE ulaw),
+         udec AS (SELECT doc_id, CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS v
+                  FROM (SELECT doc_id, u,
+                          ((u % 16) * 8 + 132) * (1 << ((u % 128) // 16)) AS t
+                        FROM u)),
+         a AS (SELECT doc_id, xor(c, 85) AS a FROM codes WHERE NOT ulaw),
+         adec AS (SELECT doc_id, CASE WHEN a >= 128 THEN t ELSE -t END AS v
+                  FROM (SELECT doc_id, a,
+                          CASE WHEN (a % 128) // 16 = 0 THEN (a % 16) * 16 + 8
+                               WHEN (a % 128) // 16 = 1 THEN (a % 16) * 16 + 264
+                               ELSE ((a % 16) * 16 + 264)
+                                    * (1 << ((a % 128) // 16 - 1)) END AS t
+                        FROM a)),
+         allv AS (SELECT * FROM udec UNION ALL SELECT * FROM adec)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(max(abs(v)) AS BIGINT) AS peak,
+                CAST(sum(CASE WHEN v >= 32767 OR v <= -32768 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clipped,
+                CAST(sum(v * v) AS BIGINT) AS sum_squares
+         FROM allv GROUP BY doc_id""",
     // the identical id-derived pixel field re-generated arithmetically —
     // channel sums and the BT.601 peak are row-order-invariant, so one
     // formula covers the bottom-up and top-down halves of the lake

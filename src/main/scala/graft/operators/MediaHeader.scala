@@ -238,39 +238,72 @@ object MediaHeader {
     */
   case class PcmStats(nSamples: Long, peak: Int, clipped: Long, sumSquares: Long)
 
-  /** REAL payload decode for PCM WAV: walk the RIFF chunks to `data` and
-    * fold the 16-bit little-endian samples actually PRESENT in the buffer
-    * into [[PcmStats]] — no codec library, just the sample layout the
-    * `fmt ` chunk declares (PCM tag 1, 16-bit). This is the decode step
+  /** G.711 µ-law expansion (the CCITT/Sun reference formula — public):
+    * one companded byte → a linear 16-bit sample.
+    */
+  def ulaw2linear(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion (the CCITT/Sun reference formula — public). */
+  def alaw2linear(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xff
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** REAL payload decode for WAV: walk the RIFF chunks to `data` and fold
+    * the samples actually PRESENT in the buffer into [[PcmStats]] — no
+    * codec library, just the sample layout the `fmt ` chunk declares:
+    * PCM (tag 1, 16-bit little-endian) or the G.711 telephony codings
+    * (tag 6 A-law / tag 7 µ-law, 8-bit bytes expanded through the public
+    * CCITT reference formulas). This is the decode step
     * [[graft.operators.Multimodal]] previously stubbed: the samples
     * themselves are read, not only the container header.
     *
     * Samples are whatever portion of the declared `data` chunk the buffer
     * holds (a prefix-read of a long file decodes the prefix's samples);
-    * stats cover all channels interleaved. Returns None for non-WAV,
-    * non-PCM or non-16-bit payloads, or when `data` is absent.
+    * stats cover all channels interleaved. Returns None for non-WAV
+    * payloads, undecoded format tags, mismatched bit depths, or when
+    * `data` is absent.
     */
   def wavPcmStats(b: Array[Byte]): Option[PcmStats] = {
     if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
       return None
     var i = 12
-    var fmtOk = false
+    var fmtTag = -1
     while (i + 8 <= b.length) {
       val id = tag(b, i)
       val len = le32(b, i + 4)
       if (id == "fmt " && i + 24 <= b.length) {
-        // PCM format tag 1 at chunk offset 0; 16 bits/sample at offset 14
-        fmtOk = le16(b, i + 8) == 1 && le16(b, i + 22) == 16
+        // format tag at chunk offset 0; bits/sample at offset 14
+        val t = le16(b, i + 8)
+        val bits = le16(b, i + 22)
+        fmtTag =
+          if (t == 1 && bits == 16) 1
+          else if (t == 6 && bits == 8) 6
+          else if (t == 7 && bits == 8) 7
+          else -1
       } else if (id == "data") {
-        if (!fmtOk) return None
+        if (fmtTag < 0) return None
         val start = i + 8
         val avail = math.min(len, (b.length - start).toLong).toInt
-        val n = avail / 2
+        val n = if (fmtTag == 1) avail / 2 else avail
         var peak = 0; var clipped = 0L; var sumSq = 0L
         var j = 0
         while (j < n) {
-          val o = start + 2 * j
-          val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+          val v = fmtTag match {
+            case 1 =>
+              val o = start + 2 * j
+              ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+            case 6 => alaw2linear(b(start + j) & 0xff)
+            case _ => ulaw2linear(b(start + j) & 0xff)
+          }
           val a = math.abs(v)
           if (a > peak) peak = a
           if (v >= 32767 || v <= -32768) clipped += 1
@@ -818,19 +851,23 @@ object MediaHeader {
     * Used to synthesize deterministic audio lakes in tests/fixtures; a
     * real encoder would append the PCM data after it.
     */
-  def wavHeader(channels: Int, sampleRateHz: Int, dataLen: Int): Array[Byte] = {
+  def wavHeader(channels: Int, sampleRateHz: Int, dataLen: Int,
+                formatTag: Int = 1, bitsPerSample: Int = 16): Array[Byte] = {
     require(channels > 0 && sampleRateHz > 0 && dataLen >= 0,
       s"bad wav params: channels=$channels rate=$sampleRateHz dataLen=$dataLen")
-    val blockAlign = channels * 2
+    require(bitsPerSample % 8 == 0 && bitsPerSample > 0,
+      s"bad bitsPerSample=$bitsPerSample")
+    val blockAlign = channels * (bitsPerSample / 8)
     val byteRate = sampleRateHz.toLong * blockAlign
     val out = java.nio.ByteBuffer.allocate(44)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1) // PCM
+      .putShort(formatTag.toShort) // 1 PCM, 6 A-law, 7 µ-law
       .putShort(channels.toShort).putInt(sampleRateHz)
-      .putInt(byteRate.toInt).putShort(blockAlign.toShort).putShort(16)
+      .putInt(byteRate.toInt).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     out.array()
   }

@@ -178,6 +178,30 @@ object Multimodal {
           lit("image/bmp").as("media_type")).as("meta"))
   }
 
+  /** Deterministic synthetic G.711 telephony lake — the COMPANDED sibling
+    * of [[withPcmAudioPayloads]]: even ids carry µ-law (fmt tag 7), odd
+    * ids A-law (fmt tag 6), each `n = 150 + (id mod 4)·50` code bytes of
+    * the stream `c(i) = (id·13 + i·97) mod 256`. The decoder must run the
+    * real G.711 expansion; the oracle regenerates the codes AND the
+    * expansion arithmetically (both formulas are pure integer bit math),
+    * so an expansion-table bug hash-mismatches.
+    */
+  def withG711Payloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = 150 + (id % 4).toInt * 50
+        val codes = Array.tabulate(n)(i => ((id * 13 + i * 97) % 256).toByte)
+        val fmtTag = if (id % 2 == 0) 7 else 6
+        (id, MediaHeader.wavHeader(1, 8000, n, fmtTag, 8) ++ codes)
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("audio/wav").as("media_type")).as("meta"))
+  }
+
   /** Deterministic synthetic PNG lake — the compressed sibling of
     * [[withBmpPayloads]]: same id-derived pixel field (shifted constants),
     * but stored through the FULL PNG pipeline (per-row filters cycling

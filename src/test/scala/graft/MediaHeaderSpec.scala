@@ -350,6 +350,44 @@ class MediaHeaderSpec extends SparkSpec {
     }
   }
 
+  test("G.711 expansion: published anchors, sign symmetry, wav integration") {
+    import MediaHeader.{alaw2linear, ulaw2linear}
+    // published anchor points of the CCITT/Sun reference tables
+    assert(ulaw2linear(0xff) == 0) // positive zero
+    assert(ulaw2linear(0x7f) == 0) // negative zero
+    assert(ulaw2linear(0x00) == -32124) // largest negative magnitude
+    assert(ulaw2linear(0x80) == 32124) // largest positive magnitude
+    assert(alaw2linear(0x55) == -8) // smallest negative magnitude
+    assert(alaw2linear(0xd5) == 8) // smallest positive magnitude
+    assert(alaw2linear(0x2a) == -32256)
+    assert(alaw2linear(0xaa) == 32256)
+    // sign symmetry: flipping the sign bit negates (zeros stay zero)
+    for (c <- 0 until 128) {
+      assert(ulaw2linear(c) == -ulaw2linear(c ^ 0x80), s"ulaw $c")
+      assert(alaw2linear(c) == -alaw2linear(c ^ 0x80), s"alaw $c")
+    }
+    // monotone magnitude within the positive half (valid companding)
+    val uMags = (0 to 127).map(c => ulaw2linear(0x80 | (127 - c)))
+    assert(uMags == uMags.sorted, "ulaw not monotone")
+    // wav integration: tag 7 / tag 6 data decodes through wavPcmStats,
+    // foreign tags reject
+    val codes = Array.tabulate(64)(i => ((i * 37 + 5) % 256).toByte)
+    val ul = MediaHeader.wavHeader(1, 8000, codes.length, 7, 8) ++ codes
+    val su = MediaHeader.wavPcmStats(ul).getOrElse(fail("ulaw wav no decode"))
+    val expectedU = codes.map(c => ulaw2linear(c & 0xff))
+    assert(su.nSamples == 64 && su.peak == expectedU.map(math.abs).max &&
+      su.sumSquares == expectedU.map(v => v.toLong * v).sum)
+    val al = MediaHeader.wavHeader(1, 8000, codes.length, 6, 8) ++ codes
+    val sa = MediaHeader.wavPcmStats(al).getOrElse(fail("alaw wav no decode"))
+    val expectedA = codes.map(c => alaw2linear(c & 0xff))
+    assert(sa.sumSquares == expectedA.map(v => v.toLong * v).sum)
+    // IEEE-float tag (3) and mismatched widths reject, not misparse
+    val bad = MediaHeader.wavHeader(1, 8000, codes.length, 3, 8) ++ codes
+    assert(MediaHeader.wavPcmStats(bad).isEmpty)
+    val bad2 = MediaHeader.wavHeader(1, 8000, codes.length, 7, 16) ++ codes
+    assert(MediaHeader.wavPcmStats(bad2).isEmpty)
+  }
+
   test("gifPixelStats: LZW round trip, cross-validated against the JDK codec both ways") {
     def palette(i: Int) = ((i * 3 + 40) % 256, (i * 5 + 9) % 256, (i * 7 + 77) % 256)
     def idx(x: Int, y: Int) = (x * 5 + y * 17 + 3) % 256
