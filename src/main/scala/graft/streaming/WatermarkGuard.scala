@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Filter}
-import org.apache.spark.sql.functions.monotonically_increasing_id
 
 /** Guard against the filter-below-watermark Catalyst hazard.
   *
@@ -66,12 +65,16 @@ object WatermarkGuard {
   }
 
   /** `df.where(pred)` pinned ABOVE any upstream watermark: the predicate
-    * is OR-ed with an always-false NON-DETERMINISTIC term
-    * (`monotonically_increasing_id() < 0`), which the optimizer refuses
-    * to push through `EventTimeWatermark` — so every row, kept or
-    * dropped, still advances the clock. Exactly equivalent to
-    * `df.where(pred)` row-wise (x || false ≡ x in three-valued logic).
+    * is wrapped in [[graft.expressions.ClockSafeBarrier]], an identity
+    * that reports itself non-deterministic — Catalyst refuses to push or
+    * fold non-deterministic predicates, so every row, kept or dropped,
+    * still flows through (and advances) the watermark operator. Exactly
+    * equivalent to `df.where(pred)` row-wise; see the barrier's scaladoc
+    * for why the simpler tricks (`monotonically_increasing_id`, `rand()`
+    * terms) don't survive streaming checks / the optimizer.
     */
   def clockSafeFilter(df: DataFrame, pred: Column): DataFrame =
-    df.where(pred || monotonically_increasing_id() < 0)
+    df.where(org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.ClockSafeBarrier(
+        org.apache.spark.sql.graft.bridge.expression(pred))))
 }
