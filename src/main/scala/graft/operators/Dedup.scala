@@ -349,7 +349,12 @@ object Dedup {
     * travel back (the count-1 overwhelming majority drops before the
     * join); removed start positions roll up per doc (bounded by doc
     * length), and the excision itself is a per-row higher-order-function
-    * walk — no second corpus shuffle beyond the doc-keyed join.
+    * walk — no second corpus shuffle beyond the doc-keyed join. Per-row
+    * cost is O(tokens × removed windows): for a LONG document that is
+    * almost entirely duplicated this approaches quadratic in its length —
+    * an accepted corner, since such documents are exactly what the
+    * upstream exact/near dedup passes delete outright, and the cost is
+    * per-doc, never cross-doc.
     */
   def dropDupSpans(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 8): DataFrame = {

@@ -128,6 +128,29 @@ object QualityModel {
     } finally feats.unpersist(false)
   }
 
+  /** Persist a fitted model (weights + bias + loss path) as one small
+    * parquet — a production pipeline trains once on a labeled slice and
+    * scores every later ingest batch; the artifact is a few hundred KB
+    * and loads driver-side like a codebook.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+           dir: String): Unit = {
+    import spark.implicits._
+    Seq((model.dim, model.weights.toSeq, model.bias, model.lossPath))
+      .toDF("dim", "weights", "bias", "loss_path")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a model persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val r = spark.read.parquet(dir).head()
+    val m = Model(r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+      r.getSeq[Double](3))
+    require(m.weights.length == m.dim,
+      s"corrupt quality model at $dir: ${m.weights.length} weights, dim ${m.dim}")
+    m
+  }
+
   /** Score every row: `quality_prob` = σ(w·x + b) against the broadcast
     * model — one stateless pass, no shuffle.
     */

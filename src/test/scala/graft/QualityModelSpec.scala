@@ -68,6 +68,20 @@ class QualityModelSpec extends SparkSpec {
       s"semi-supervised separation failed: ${scored(1L)}, ${scored(101L)}")
   }
 
+  test("save/load round-trips the model and scores identically") {
+    val m = QualityModel.train(corpus, "text", "y", dim = 1 << 12, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm").toString + "/m"
+    QualityModel.save(spark, m, dir)
+    val m2 = QualityModel.load(spark, dir)
+    assert(m2.dim == m.dim && m2.bias == m.bias &&
+      m2.weights.sameElements(m.weights) && m2.lossPath == m.lossPath)
+    val a = QualityModel.score(corpus, "doc_id", "text", m)
+      .as[(Long, Double)].collect().toMap
+    val b = QualityModel.score(corpus, "doc_id", "text", m2)
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+  }
+
   test("contracts fail loudly") {
     intercept[IllegalArgumentException](
       QualityModel.train(corpus, "text", "y", dim = 1000)) // not a power of 2
