@@ -299,6 +299,16 @@ object SparkEntry {
       Behavior.windowFunnelStrictOrder(t(s, d, "events"), "user_id",
         "event_type", "ts", Seq("signup", "click", "purchase"),
         windowMicros = 24L * 3600 * 1000000)),
+    // the same strict_order mode through the SQL surface (ties break by
+    // condition bitmask; the oracle mirrors that order) — completes the
+    // funnel-mode family in SQL: default, strict_order, strict_dedup
+    "events_funnel_strict_sql" -> ((s, d) => {
+      org.apache.spark.sql.graft.bridge.registerFunctions(s)
+      t(s, d, "events").groupBy(col("user_id"))
+        .agg(expr("window_funnel_strict(86400000000, ts, " +
+          "event_type = 'signup', event_type = 'click', " +
+          "event_type = 'purchase')").as("funnel_level"))
+    }),
     // ClickHouse sequenceMatch('(?1)(?t<=2h)(?2)(?t<=2h)(?3)'): every
     // consecutive hop bounded separately, not the whole chain
     "events_sequence_match" -> ((s, d) =>
@@ -2797,6 +2807,28 @@ object SparkEntry {
                                 AND e.t - s.last_ts <= 7200000000 THEN 1 ELSE 0 END
            FROM s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)
          SELECT k AS key, CAST(max(cnt) AS BIGINT) AS n_chains FROM s GROUP BY k""",
+    // same lag construction, ties ordered by condition bitmask — the SQL
+    // aggregate's total (ts, mask) eval order
+    "events_funnel_strict_sql" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op,
+                CASE op WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                        WHEN 'purchase' THEN 4 ELSE 0 END AS mask
+         FROM events),
+         s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS start1 FROM e),
+         p1 AS (SELECT *, lag(start1) OVER (PARTITION BY user_id
+                  ORDER BY tsl, mask) AS prev1 FROM s1),
+         s2 AS (SELECT *, CASE WHEN op = 'click'
+                  AND prev1 >= tsl - 86400000000 THEN prev1 END AS start2 FROM p1),
+         p2 AS (SELECT *, lag(start2) OVER (PARTITION BY user_id
+                  ORDER BY tsl, mask) AS prev2 FROM s2),
+         s3 AS (SELECT *, CASE WHEN op = 'purchase'
+                  AND prev2 >= tsl - 86400000000 THEN prev2 END AS start3 FROM p2)
+         SELECT user_id,
+                CAST(coalesce(max(CASE WHEN start3 IS NOT NULL THEN 3
+                                       WHEN start2 IS NOT NULL THEN 2
+                                       WHEN start1 IS NOT NULL THEN 1 END), 0)
+                     AS BIGINT) AS funnel_level
+         FROM s3 GROUP BY user_id""",
     "events_funnel_strict" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
          s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS start1 FROM e),

@@ -265,6 +265,83 @@ case class SequenceLevelAgg(boundMicros: Long, ts: Expression, conds: Seq[Expres
     copy(ts = newChildren.head, conds = newChildren.tail)
 }
 
+/** `window_funnel_strict(window_micros, ts, cond1, …, condk)` → deepest
+  * step under ClickHouse's `'strict_order'` mode: ANY intervening event
+  * matching none of the expected conditions breaks the chain — steps must
+  * occur on CONSECUTIVE events of the group's timeline. SQL twin of
+  * [[graft.operators.Behavior.windowFunnelStrictOrder]]. Unlike the other
+  * chain aggregates, NON-MATCHING rows must be buffered too (they are
+  * what breaks chains), so update keeps every timestamped row including
+  * mask 0. Eval mirrors the library's lag formulation: each event's
+  * reachable chain-start vector derives only from the IMMEDIATELY
+  * preceding event's vector (window bound on the chain start); total
+  * (ts, mask) eval order keeps ties partitioning-deterministic.
+  */
+case class WindowFunnelStrictAgg(boundMicros: Long, ts: Expression,
+                                 conds: Seq[Expression],
+                                 mutableAggBufferOffset: Int = 0,
+                                 inputAggBufferOffset: Int = 0) extends ChainAgg {
+  override def chainStart: Boolean = true // unused: custom update/eval below
+
+  override def update(buffer: ArrayBuffer[Long], input: InternalRow): ArrayBuffer[Long] = {
+    // strict_order must SEE non-matching rows — they break chains — so
+    // mask-0 events buffer too (the one chain aggregate that keeps them)
+    val t = ts.eval(input)
+    if (t != null) {
+      var mask = 0
+      var i = 0
+      while (i < conds.length) {
+        if (conds(i).eval(input) == true) mask |= 1 << i
+        i += 1
+      }
+      buffer += t.asInstanceOf[Long] += mask.toLong
+    }
+    buffer
+  }
+
+  override def dataType: DataType = LongType
+
+  override def eval(buffer: ArrayBuffer[Long]): Any = {
+    val n = buffer.length / 2
+    if (n == 0) return 0L
+    val k = conds.size
+    val order = Array.range(0, n).sortBy(i => (buffer(2 * i), buffer(2 * i + 1)))
+    val none = Long.MinValue
+    var prev = Array.fill(k + 1)(none)
+    var cur = Array.fill(k + 1)(none)
+    var best = 0L
+    var gi = 0
+    while (gi < n) {
+      val t = buffer(2 * order(gi))
+      val mask = buffer(2 * order(gi) + 1).toInt
+      java.util.Arrays.fill(cur, none)
+      if ((mask & 1) == 1) cur(1) = t
+      var i = 2
+      while (i <= k) {
+        if (((mask >> (i - 1)) & 1) == 1 && prev(i - 1) != none &&
+            prev(i - 1) >= t - boundMicros)
+          cur(i) = prev(i - 1)
+        i += 1
+      }
+      var lvl = k
+      while (lvl >= 1 && cur(lvl) == none) lvl -= 1
+      if (lvl > best) best = lvl
+      val tmp = prev; prev = cur; cur = tmp
+      gi += 1
+    }
+    best
+  }
+
+  override def prettyName: String = "window_funnel_strict"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ts = newChildren.head, conds = newChildren.tail)
+}
+
 /** `sequence_count(gap_micros, ts, cond1, …, condk)` → how many DISJOINT
   * per-hop-gap-bounded chains of the conditions the group's timeline
   * contains (bigint) — the ClickHouse `sequenceCount` shape, SQL twin of

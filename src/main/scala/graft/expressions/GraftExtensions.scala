@@ -16,7 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * bands])`, `simhash64(hashes)`, `sorted_jaccard(a, b)`, `cosine_sim(a, b)`,
   * `rolling_fingerprint(text[, k, w])`, `pack_int8(vec)`,
   * `int8_cosine_sim(codes, vec)`, `media_info(payload)`, and the behavior
-  * aggregates `window_funnel(w_us, ts, cond…)`, `window_funnel_dedup(w_us,
+  * aggregates `window_funnel(w_us, ts, cond…)`, `window_funnel_strict(w_us,
+  * ts, cond…)` (the 'strict_order' mode), `window_funnel_dedup(w_us,
   * ts, cond…)` (the 'strict_dedup' mode), `sequence_match(gap_us,
   * ts, cond…)`, `sequence_level(gap_us, ts, cond…)`,
   * `sequence_count(gap_us, ts, cond…)`, `retention(cond…)`
@@ -97,6 +98,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => WindowFunnelAgg(
         chainBound(args, "window_funnel"), args(1),
         chainConds(args.drop(2), "window_funnel"))),
+    (FunctionIdentifier("window_funnel_strict"),
+      new ExpressionInfo(classOf[WindowFunnelStrictAgg].getName, "window_funnel_strict"),
+      (args: Seq[Expression]) => WindowFunnelStrictAgg(
+        chainBound(args, "window_funnel_strict"), args(1),
+        chainConds(args.drop(2), "window_funnel_strict"))),
     (FunctionIdentifier("window_funnel_dedup"),
       new ExpressionInfo(classOf[WindowFunnelDedupAgg].getName, "window_funnel_dedup"),
       (args: Seq[Expression]) => WindowFunnelDedupAgg(

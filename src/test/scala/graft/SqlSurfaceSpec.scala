@@ -374,6 +374,60 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(runTied(1) == runTied(13))
   }
 
+  test("window_funnel_strict in SQL equals the library lag formulation on tie-free logs") {
+    import graft.operators.Behavior
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    val H = 3600L * 1000000
+    val rnd = new scala.util.Random(53)
+    val ops = Seq("view", "signup", "click", "purchase")
+    val rows = (for (u <- 1L to 50L) yield {
+      val ts = rnd.shuffle((1 to 2000).toList).take(35)
+      ts.map(t => (u, ops(rnd.nextInt(4)), t.toLong * 60L * 1000000))
+    }).flatten
+    val df = rows.toDF("u", "op", "tm").repartition(7)
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    df.createOrReplaceTempView("strict_funnel_events")
+    val sql = spark.sql(
+      s"""SELECT CAST(u AS STRING) AS key,
+                 window_funnel_strict(${24 * H}, ts,
+                   op = 'signup', op = 'click', op = 'purchase') AS lvl
+          FROM strict_funnel_events GROUP BY u""")
+      .as[(String, Long)].collect().toMap
+    val lib = Behavior.windowFunnelStrictOrder(df, "u", "op", "ts",
+      Seq("signup", "click", "purchase"), 24 * H)
+      .select(col("u").cast("string"), col("funnel_level"))
+      .as[(String, Long)].collect().toMap
+    assert(sql == lib)
+    // hand case: an intervening unrelated event breaks the chain
+    val hand = Seq(
+      (1L, "signup", 0L), (1L, "view", H), (1L, "click", 2 * H),
+      (2L, "signup", 0L), (2L, "click", H), (2L, "purchase", 2 * H))
+      .toDF("u", "op", "tm")
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    hand.createOrReplaceTempView("strict_funnel_hand")
+    val got = spark.sql(s"""SELECT u, window_funnel_strict(${24 * H}, ts,
+        op = 'signup', op = 'click', op = 'purchase') AS lvl
+      FROM strict_funnel_hand GROUP BY u""")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 3L))
+    // partitioning-deterministic under ties (total (ts, mask) order)
+    val tied = (1 to 300).map(i => (i % 9L, ops(i % 4),
+      (i % 11L) * 600L * 1000000))
+    val tdf = tied.toDF("u", "op", "tm")
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    def runTied(np: Int) = {
+      tdf.repartition(np).createOrReplaceTempView("strict_funnel_tied")
+      spark.sql(s"""SELECT u, window_funnel_strict(${24 * H}, ts,
+          op = 'signup', op = 'click', op = 'purchase') AS lvl
+        FROM strict_funnel_tied GROUP BY u""")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(runTied(1) == runTied(13))
+  }
+
   test("sequence_count in SQL equals the library automaton on tie-free logs") {
     import graft.operators.Behavior
     org.apache.spark.sql.graft.bridge.registerFunctions(spark)
