@@ -433,6 +433,43 @@ class MediaHeaderSpec extends SparkSpec {
       "JDK-encoded gif stats diverged")
   }
 
+  test("gif LZW: randomized cross-validation against the JDK decoder") {
+    // 20 random (size, palette, pixel-field) draws — every one must
+    // decode pixel-identically under javax.imageio AND sum-identically
+    // under our reader; catches code-width / clear / KwKwK edge
+    // combinations a fixed fixture might miss
+    val rnd = new scala.util.Random(4711)
+    for (trial <- 1 to 20) {
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(40)
+      val pr = rnd.nextInt(1000); val pg = rnd.nextInt(1000)
+      val pb = rnd.nextInt(1000); val px = rnd.nextInt(1000)
+      def palette(i: Int) = ((i * 3 + pr) % 256, (i * 5 + pg) % 256,
+        (i * 7 + pb) % 256)
+      // low-entropy index fields (mod small k) exercise deep dictionary
+      // chains; high-entropy ones exercise clears
+      val k = 1 + rnd.nextInt(255)
+      def idx(x: Int, y: Int) = (x * 5 + y * 17 + px) % k
+      val img = MediaHeader.gifImage(w, h, palette, idx)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))
+      assert(bi != null && bi.getWidth == w && bi.getHeight == h,
+        s"trial $trial ${w}x$h k=$k: JDK reject")
+      var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        val rgb = bi.getRGB(x, y)
+        val (er, eg, eb) = palette(idx(x, y))
+        assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ==
+          ((er, eg, eb)), s"trial $trial pixel ($x,$y)")
+        sr += er; sg += eg; sb += eb
+        val l = 299L * er + 587L * eg + 114L * eb
+        if (l > peak) peak = l
+      }
+      val s = MediaHeader.gifPixelStats(img).get
+      assert((s.nPixels, s.sumR, s.sumG, s.sumB, s.peakLuma) ==
+        ((w.toLong * h, sr, sg, sb, peak)), s"trial $trial our-decoder")
+    }
+  }
+
   test("gifPixelStats rejects foreign payloads and survives truncation") {
     def palette(i: Int) = (i, 255 - i, (i * 2) % 256)
     val img = MediaHeader.gifImage(20, 20, palette, (x, y) => (x + y) % 256)
