@@ -130,12 +130,31 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     false
   }
 
+  /** Per-path-shape schema cache: every relation's layout is fixed by
+    * this writer, so the FIRST read's footer inference serves every later
+    * read of the same shape — a probe/add cycle otherwise pays one
+    * schema-inference Spark job per `spark.read.parquet` call (the same
+    * per-read tax the SyncManifest mirrors eliminated by storing their
+    * schema; an index instance can simply remember its own).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readParquetCached(kind: String, path: String): DataFrame = {
+    val cached = schemaCache.get(kind)
+    val df =
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else spark.read.parquet(path)
+    if (cached == null) schemaCache.put(kind, df.schema)
+    df
+  }
+
   /** Committed vocabulary rows; `fallback` supplies the empty schema before
     * the first committed row exists.
     */
   private def readTokens(fallback: => DataFrame, upTo: Int): DataFrame =
     if (upTo <= 0 || !hasData("tokens")) fallback.limit(0)
-    else spark.read.parquet(rel("tokens"))
+    else readParquetCached("tokens", rel("tokens"))
       .where(col("b") >= lit(liveBase) && col("b") < lit(upTo)).drop("b")
 
   /** Committed rows of a hash-partitioned relation, PRUNED to the partition
@@ -145,7 +164,7 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
   private def readPruned(name: String, fallback: => DataFrame, upTo: Int,
                          partCol: String, vals: Seq[Int]): DataFrame =
     if (upTo <= 0 || !hasData(name)) fallback.limit(0)
-    else spark.read.parquet(rel(name))
+    else readParquetCached(name, rel(name))
       .where(col("b") >= lit(liveBase) && col("b") < lit(upTo)
         && col(partCol).isin(vals: _*))
       .drop("b", partCol)
@@ -157,7 +176,8 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
   private def committedBatch(name: String, k: Int, partCol: String,
                              fallback: => DataFrame): DataFrame =
     if (!hasData(name)) fallback.limit(0)
-    else spark.read.parquet(rel(name)).where(col("b") === lit(k)).drop("b", partCol)
+    else readParquetCached(name, rel(name))
+      .where(col("b") === lit(k)).drop("b", partCol)
 
   /** Batch-side derivations, shared by probe and add so both sides agree on
     * new-token order keys by construction. `words` is the root of all three
@@ -252,7 +272,8 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
                       fallback: => DataFrame): DataFrame = {
     val path = s"$probeSpillRoot/$name"
     if (!hasDataAt(path)) fallback.limit(0)
-    else spark.read.parquet(path).drop(partCol)
+    // spill trees lack the b=K level, so they cache under their own shape
+    else readParquetCached(s"spill-$name", path).drop(partCol)
   }
 
   private def probeAgainst(bpost: DataFrame, bsets: DataFrame,
@@ -362,14 +383,14 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     Seq("tokens", "postings", "sets")
       .foreach(r => IvfIndex.vacuumBelow(spark, rel(r), liveBase))
     if (hasData("tokens"))
-      live(spark.read.parquet(rel("tokens")))
+      live(readParquetCached("tokens", rel("tokens")))
         .write.mode("overwrite").parquet(rel(s"tokens/b=$b"))
     if (hasData("postings"))
-      live(spark.read.parquet(rel("postings")))
+      live(readParquetCached("postings", rel("postings")))
         .repartition(col("p"))
         .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b"))
     if (hasData("sets"))
-      live(spark.read.parquet(rel("sets")))
+      live(readParquetCached("sets", rel("sets")))
         .repartition(col("q"))
         .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b"))
     liveBase = b
