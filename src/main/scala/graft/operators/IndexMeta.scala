@@ -15,6 +15,27 @@ import org.apache.spark.sql.SparkSession
   */
 private[operators] object IndexMeta {
 
+  /** Per-INSTANCE parquet reader that remembers each relation shape's
+    * schema: every relation of a persisted index is written by the
+    * index's own code, so its layout is fixed for the instance's
+    * lifetime — the first read's footer-inference job serves every later
+    * read of the same `kind`. Instance-scoped (not global-by-path) so a
+    * dir re-created under a different store layout in the same JVM can
+    * never serve a stale schema.
+    */
+  final class CachedReads(spark: SparkSession) {
+    private val schemas = new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+    def parquet(kind: String, path: String): org.apache.spark.sql.DataFrame = {
+      val cached = schemas.get(kind)
+      val df =
+        if (cached != null) spark.read.schema(cached).parquet(path)
+        else spark.read.parquet(path)
+      if (cached == null) schemas.put(kind, df.schema)
+      df
+    }
+  }
+
   /** Commit `json` to `dir/file` via the tmp + rename single-file swap. */
   def commit(spark: SparkSession, dir: String, file: String, json: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -116,6 +116,8 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
       .toDF("c", "cvec")
   }
 
+  private val reads = new IndexMeta.CachedReads(spark)
+
   /** int8-packed posting store (the fmt-3 `q=1` layout). */
   def quantized: Boolean = store == IvfIndex.StoreInt8
 
@@ -213,7 +215,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     if (b - liveBase <= 1) return // already a single (or no) live generation
     // vacuum generations the PREVIOUS compact retired (grace expired)
     IvfIndex.vacuumBelow(spark, s"$dir/assigned", liveBase)
-    spark.read.parquet(s"$dir/assigned")
+    reads.parquet("assigned", s"$dir/assigned")
       .where(col("b") >= lit(liveBase) && col("b") < lit(b))
       .drop("b")
       .repartition(col("c"))
@@ -232,7 +234,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     * vector data out of it entirely.
     */
   def listStats(): DataFrame =
-    spark.read.parquet(s"$dir/assigned")
+    reads.parquet("assigned", s"$dir/assigned")
       .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
       .groupBy(col("c")).agg(count(lit(1)).as("postings"))
 
@@ -253,7 +255,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
             nProbe: Int = 4, maxPrunedKeys: Int = 10000): DataFrame = {
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(nearest(col(vecCol), nProbe)).as("c"))
-    val live = spark.read.parquet(s"$dir/assigned")
+    val live = reads.parquet("assigned", s"$dir/assigned")
       .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
     val assigned = IvfIndex.pruneKeys(live, probes, "c", maxPrunedKeys)
     val score = store match {

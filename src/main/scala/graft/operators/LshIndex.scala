@@ -64,6 +64,8 @@ final class LshIndex private (spark: SparkSession, val dir: String,
                               @volatile private var appliedBatch: Int = -1)
   extends VectorIndexWriter {
 
+  private val reads = new IndexMeta.CachedReads(spark)
+
   /** Number of batches committed so far (including the creating corpus). */
   def batches: Int = committedBatches
 
@@ -135,7 +137,7 @@ final class LshIndex private (spark: SparkSession, val dir: String,
     if (b - liveBase <= 1) return // already a single (or no) live generation
     IvfIndex.vacuumBelow(spark, s"$dir/assigned", liveBase)
     if (graft.streaming.CdcStream.hasVisibleParquet(spark, s"$dir/assigned")) {
-      spark.read.parquet(s"$dir/assigned")
+      reads.parquet("assigned", s"$dir/assigned")
         .where(col("b") >= lit(liveBase) && col("b") < lit(b))
         .drop("b")
         .repartition(col("th"))
@@ -155,7 +157,7 @@ final class LshIndex private (spark: SparkSession, val dir: String,
   def bucketStats(): DataFrame = {
     if (!graft.streaming.CdcStream.hasVisibleParquet(spark, s"$dir/assigned"))
       return spark.range(0).select(col("id").as("th"), col("id").as("postings"))
-    spark.read.parquet(s"$dir/assigned")
+    reads.parquet("assigned", s"$dir/assigned")
       .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
       .groupBy(col("th")).agg(count(lit(1)).as("postings"))
   }
@@ -185,7 +187,7 @@ final class LshIndex private (spark: SparkSession, val dir: String,
       // bigint regardless of the id column's own type
       return q.select(col("query_id"), col("query_id").cast("long").as("corpus_id"),
         lit(1L).as("rk")).limit(0)
-    val live = spark.read.parquet(s"$dir/assigned")
+    val live = reads.parquet("assigned", s"$dir/assigned")
       .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
     val assigned = IvfIndex.pruneKeys(live, q, "th", maxPrunedKeys)
     val score =

@@ -53,6 +53,8 @@ final class TextIndex private (spark: SparkSession, val dir: String,
                                @volatile private var appliedBatch: Int) {
   import TextIndex._
 
+  private val reads = new IndexMeta.CachedReads(spark)
+
   /** Number of batches committed so far (including the creating corpus). */
   def batches: Int = committedBatches
 
@@ -106,7 +108,7 @@ final class TextIndex private (spark: SparkSession, val dir: String,
   }
 
   private def live(rel: String): DataFrame =
-    spark.read.parquet(s"$dir/$rel")
+    reads.parquet(rel, s"$dir/$rel")
       .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
 
   /** Corpus constants summed across the live batch rows — batch-count-sized
