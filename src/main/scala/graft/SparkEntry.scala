@@ -315,6 +315,14 @@ object SparkEntry {
       Behavior.sequenceMatch(t(s, d, "events"), "user_id", "event_type",
         "ts", Seq("signup", "click", "purchase"),
         maxGapMicros = 2L * 3600 * 1000000)),
+    // the FULL sequenceMatch pattern grammar, incl. a MINIMUM gap — a hop
+    // the running-max DP cannot express; each hop's predecessor window is
+    // a range frame [ts-hi, ts-lo] and existence inside it advances
+    // ("click between 10 minutes and 2 hours after a view")
+    "events_sequence_pattern" -> ((s, d) =>
+      Behavior.sequenceMatchPattern(t(s, d, "events"), "user_id",
+        "event_type", "ts", "(?1)(?t>=600000000)(?t<=7200000000)(?2)",
+        Seq("view", "click"))),
     // the level form of sequenceMatch (and the streaming funnel's batch
     // anchor): deepest gap-bounded step reached per user
     "events_sequence_levels" -> ((s, d) =>
@@ -2738,6 +2746,16 @@ object SparkEntry {
                   AND best2 >= tsl - 7200000000 THEN tsl END AS reach3 FROM p2)
          SELECT user_id, count(reach3) > 0 AS matched
          FROM s3 GROUP BY user_id""",
+    // the pattern form: the hop's gap interval is the range frame itself
+    // ([tsl-2h, tsl-10min]) — existence inside it advances
+    "events_sequence_pattern" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
+         r1 AS (SELECT *, CASE WHEN op = 'view' THEN tsl END AS reach1 FROM e),
+         r2 AS (SELECT *, CASE WHEN op = 'click' AND max(reach1) OVER (
+                  PARTITION BY user_id ORDER BY tsl
+                  RANGE BETWEEN 7200000000 PRECEDING AND 600000000 PRECEDING)
+                  IS NOT NULL THEN tsl END AS reach2 FROM r1)
+         SELECT user_id, count(reach2) > 0 AS matched FROM r2 GROUP BY user_id""",
     "events_sequence_levels" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
          s1 AS (SELECT *, CASE WHEN op = 'signup' THEN tsl END AS reach1 FROM e),

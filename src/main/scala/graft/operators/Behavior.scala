@@ -188,6 +188,110 @@ object Behavior {
       .agg(coalesce(level, lit(0)).cast("bigint").as("seq_level"))
   }
 
+  /** One parsed hop of a sequenceMatch pattern: which step it matches and
+    * the allowed gap interval [loMicros, hiMicros] from the PREVIOUS
+    * matched event (lo defaults to 1 — strictly after — and hi to
+    * unbounded, the plain `(?1)(?2)` adjacency).
+    */
+  private[operators] final case class PatternHop(step: Int, loMicros: Long,
+                                                 hiMicros: Long)
+
+  private val RefTok = """\(\?(\d+)\)""".r
+  private val TimeTok = """\(\?t(<=|>=|<|>)(\d+)\)""".r
+
+  /** Parse the ClickHouse `sequenceMatch` pattern grammar — `(?N)` step
+    * refs, `(?t<=X)`/`(?t<X)`/`(?t>=X)`/`(?t>X)` gap constraints BETWEEN
+    * refs (micros here; combine freely, tightest wins), `.*` (a no-op:
+    * intervening events are always allowed in this DP). Loud on garbage,
+    * out-of-range refs, leading constraints, or an empty gap interval.
+    */
+  private[operators] def parsePattern(pattern: String,
+                                      nSteps: Int): Seq[PatternHop] = {
+    var i = 0
+    var lo = 1L
+    var hi = Long.MaxValue
+    val hops = Seq.newBuilder[PatternHop]
+    var nRefs = 0
+    while (i < pattern.length) {
+      val rest = pattern.substring(i)
+      val m = RefTok.findPrefixMatchOf(rest)
+        .orElse(TimeTok.findPrefixMatchOf(rest))
+      if (m.isDefined) {
+        val tok = m.get
+        tok.matched match {
+          case RefTok(n) =>
+            val step = n.toInt
+            require(step >= 1 && step <= nSteps,
+              s"pattern ref (?$step) outside 1..$nSteps")
+            require(lo <= hi,
+              s"empty gap interval before (?$step): lo=$lo hi=$hi micros")
+            hops += PatternHop(step - 1, lo, hi)
+            nRefs += 1
+            lo = 1L; hi = Long.MaxValue
+          case TimeTok(op, v) =>
+            require(nRefs > 0,
+              s"pattern starts with a time constraint ($op$v) — nothing precedes it")
+            val x = v.toLong
+            op match {
+              case "<=" => hi = math.min(hi, x)
+              case "<" => hi = math.min(hi, x - 1)
+              case ">=" => lo = math.max(lo, x)
+              case ">" => lo = math.max(lo, x + 1)
+            }
+        }
+        i += tok.matched.length
+      } else if (rest.startsWith(".*")) i += 2
+      else throw new IllegalArgumentException(
+        s"unparsable pattern at offset $i: '$rest'")
+    }
+    require(lo == 1L && hi == Long.MaxValue,
+      "pattern ends with a dangling time constraint — nothing follows it")
+    val out = hops.result()
+    require(out.size >= 2, s"pattern needs at least two step refs: $pattern")
+    out
+  }
+
+  /** ClickHouse `sequenceMatch('(?1)(?t>=X)(?t<=Y)(?2)…')(ts, cond…)` with
+    * the FULL pattern grammar: per-hop gap INTERVALS, including minimum
+    * gaps (`(?t>X)` — "click at least ten minutes after signup"), repeated
+    * and out-of-order step refs, and `.*`. [[sequenceMatch]] is the
+    * uniform-`(?t<=gap)` special case (spec-pinned equal there).
+    *
+    * The DP generalizes [[sequenceLevels]]: each hop's predecessor window
+    * becomes a RANGE frame `[ts − hi, ts − lo]` over the same (key, ts)
+    * sort, and reach_i fires on EXISTENCE of a reach_{i−1} inside it
+    * (max-over-frame is non-null ⟺ some valid predecessor) — exact, not
+    * greedy, because each constraint binds only the CONSECUTIVE pair.
+    * Still ONE shuffle; n−1 window passes sharing the sort. Note a
+    * min-gap hop is exactly what the running-max DP of [[sequenceLevels]]
+    * cannot express (a larger predecessor reach is worse there), which is
+    * why the frame carries the interval instead.
+    */
+  def sequenceMatchPattern(events: DataFrame, keyCol: String, opCol: String,
+                           tsCol: String, pattern: String,
+                           steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one step condition")
+    val hops = parsePattern(pattern, steps.size)
+    var df = events.select(col(keyCol),
+        graft.functions.TimeCols.micros(col(tsCol)).as("__tsl"),
+        col(opCol).as("__op"))
+      .withColumn("__reach1",
+        when(col("__op") === steps(hops.head.step), col("__tsl")))
+    for (i <- 2 to hops.size) {
+      val h = hops(i - 1)
+      val frame = Window.partitionBy(col(keyCol)).orderBy(col("__tsl"))
+        .rangeBetween(
+          if (h.hiMicros == Long.MaxValue) Window.unboundedPreceding
+          else -h.hiMicros,
+          -h.loMicros)
+      df = df.withColumn(s"__reach$i",
+        when(col("__op") === steps(h.step) &&
+          max(col(s"__reach${i - 1}")).over(frame).isNotNull, col("__tsl")))
+    }
+    df.groupBy(col(keyCol))
+      .agg((count(col(s"__reach${hops.size}")) > 0).as("matched"))
+  }
+
   /** ClickHouse `deltaSum`: per key, the sum of POSITIVE deltas between
     * consecutive values in time order — monotone-counter rate accounting
     * that tolerates counter resets (a reset's negative delta contributes

@@ -603,4 +603,70 @@ class BehaviorSpec extends SparkSpec {
     val b = run(bigDf.repartition(13))
     assert(a == b)
   }
+
+  test("sequenceMatchPattern: minimum gaps, intervals, repeated refs, parser guards") {
+    val H = 3600L * 1000000
+    val events = Seq(
+      // user 1: B exactly 1h after A — inside [30min, 2h] -> match
+      (1L, "A", ts("2024-01-01 00:00:00")),
+      (1L, "B", ts("2024-01-01 01:00:00")),
+      // user 2: B only 10min after A — VIOLATES the minimum gap -> no match
+      (2L, "A", ts("2024-01-01 00:00:00")),
+      (2L, "B", ts("2024-01-01 00:10:00")),
+      // user 3: first B too early, a LATER B at 90min rescues -> match
+      (3L, "A", ts("2024-01-01 00:00:00")),
+      (3L, "B", ts("2024-01-01 00:05:00")),
+      (3L, "B", ts("2024-01-01 01:30:00")),
+      // user 4: B too late (3h) -> no match
+      (4L, "A", ts("2024-01-01 00:00:00")),
+      (4L, "B", ts("2024-01-01 03:00:00"))
+    ).toDF("user_id", "event_type", "t")
+    val got = Behavior.sequenceMatchPattern(events, "user_id", "event_type",
+        "t", s"(?1)(?t>=${H / 2})(?t<=${2 * H})(?2)", Seq("A", "B"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+
+    // repeated refs: A .. A again (≥1h apart) .. B
+    val rep = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00")),
+      (1L, "A", ts("2024-01-01 02:00:00")),
+      (1L, "B", ts("2024-01-01 02:30:00")),
+      (2L, "A", ts("2024-01-01 00:00:00")), // only one A -> no match
+      (2L, "B", ts("2024-01-01 02:30:00"))
+    ).toDF("user_id", "event_type", "t")
+    val got2 = Behavior.sequenceMatchPattern(rep, "user_id", "event_type",
+        "t", s"(?1)(?t>=$H)(?1).*(?2)", Seq("A", "B"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got2 == Map(1L -> true, 2L -> false))
+
+    // the uniform-(?t<=gap) pattern equals sequenceMatch exactly,
+    // including on a scrambled random log
+    val rnd = new scala.util.Random(71)
+    val ops = Seq("A", "B", "C", "D")
+    val big = (for (u <- 1L to 40L) yield {
+      val t0 = 1700000000000000L
+      (0 until 30).map(i => (u, ops(rnd.nextInt(4)),
+        new java.sql.Timestamp((t0 + rnd.nextInt(864000) * 100000L) / 1000)))
+    }).flatten.toDF("user_id", "event_type", "t").repartition(7)
+    val viaPattern = Behavior.sequenceMatchPattern(big, "user_id",
+        "event_type", "t", s"(?1)(?t<=${2 * H})(?2)(?t<=${2 * H})(?3)",
+        Seq("A", "B", "C"))
+      .as[(Long, Boolean)].collect().toMap
+    val viaUniform = Behavior.sequenceMatch(big, "user_id", "event_type",
+        "t", Seq("A", "B", "C"), 2 * H)
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaPattern == viaUniform)
+
+    // parser guards fail loudly
+    intercept[IllegalArgumentException](Behavior.sequenceMatchPattern(
+      events, "user_id", "event_type", "t", "(?t<=5)(?1)(?2)", Seq("A", "B")))
+    intercept[IllegalArgumentException](Behavior.sequenceMatchPattern(
+      events, "user_id", "event_type", "t", "(?1)(?3)", Seq("A", "B")))
+    intercept[IllegalArgumentException](Behavior.sequenceMatchPattern(
+      events, "user_id", "event_type", "t", "(?1)(?t>=9)(?t<=5)(?2)", Seq("A", "B")))
+    intercept[IllegalArgumentException](Behavior.sequenceMatchPattern(
+      events, "user_id", "event_type", "t", "(?1)(?2)(?t<=5)", Seq("A", "B")))
+    intercept[IllegalArgumentException](Behavior.sequenceMatchPattern(
+      events, "user_id", "event_type", "t", "(?1)garbage(?2)", Seq("A", "B")))
+  }
 }
