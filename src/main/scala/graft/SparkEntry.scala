@@ -323,6 +323,16 @@ object SparkEntry {
       Behavior.sequenceMatchPattern(t(s, d, "events"), "user_id",
         "event_type", "ts", "(?1)(?t>=600000000)(?t<=7200000000)(?2)",
         Seq("view", "click"))),
+    // the same pattern through ClickHouse's literal SQL call shape; the
+    // value-interval semantics are tie-independent, so both forms share
+    // the oracle verbatim
+    "events_sequence_pattern_sql" -> ((s, d) => {
+      org.apache.spark.sql.graft.bridge.registerFunctions(s)
+      t(s, d, "events").groupBy(col("user_id"))
+        .agg(expr("sequence_match_pattern(" +
+          "'(?1)(?t>=600000000)(?t<=7200000000)(?2)', ts, " +
+          "event_type = 'view', event_type = 'click')").as("matched"))
+    }),
     // the level form of sequenceMatch (and the streaming funnel's batch
     // anchor): deepest gap-bounded step reached per user
     "events_sequence_levels" -> ((s, d) =>
@@ -2749,6 +2759,15 @@ object SparkEntry {
     // the pattern form: the hop's gap interval is the range frame itself
     // ([tsl-2h, tsl-10min]) — existence inside it advances
     "events_sequence_pattern" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
+         r1 AS (SELECT *, CASE WHEN op = 'view' THEN tsl END AS reach1 FROM e),
+         r2 AS (SELECT *, CASE WHEN op = 'click' AND max(reach1) OVER (
+                  PARTITION BY user_id ORDER BY tsl
+                  RANGE BETWEEN 7200000000 PRECEDING AND 600000000 PRECEDING)
+                  IS NOT NULL THEN tsl END AS reach2 FROM r1)
+         SELECT user_id, count(reach2) > 0 AS matched FROM r2 GROUP BY user_id""",
+    // the SQL aggregate form: same value-interval semantics, same oracle
+    "events_sequence_pattern_sql" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsl, event_type AS op FROM events),
          r1 AS (SELECT *, CASE WHEN op = 'view' THEN tsl END AS reach1 FROM e),
          r2 AS (SELECT *, CASE WHEN op = 'click' AND max(reach1) OVER (

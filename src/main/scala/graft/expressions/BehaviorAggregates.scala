@@ -399,6 +399,83 @@ case class SequenceCountAgg(boundMicros: Long, ts: Expression,
     copy(ts = newChildren.head, conds = newChildren.tail)
 }
 
+/** `sequence_match_pattern('(?1)(?t>=X)(?t<=Y)(?2)…', ts, cond1, …)` →
+  * boolean — ClickHouse's literal `sequenceMatch` call shape with the
+  * FULL pattern grammar, SQL twin of
+  * [[graft.operators.Behavior.sequenceMatchPattern]]. The pattern is
+  * parsed ONCE at registration (it must be a string literal); `hops`
+  * carries (step index, loMicros, hiMicros) per ref. Eval sweeps the
+  * buffered (ts, mask) events in time order keeping, per hop, the sorted
+  * list of reach timestamps; a hop fires when binary search finds any
+  * predecessor reach inside `[t − hi, t − lo]`. Because the intervals are
+  * over timestamp VALUES with lo ≥ 1, same-instant events can never feed
+  * each other — the answer is tie-independent and agrees with the
+  * DataFrame twin's range-frame DP on ANY log, not just tie-free ones.
+  * O(n log n · hops) per group.
+  */
+case class SequencePatternAgg(hops: Seq[(Int, Long, Long)], ts: Expression,
+                              conds: Seq[Expression],
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0) extends ChainAgg {
+  override def boundMicros: Long = 0L // unused: per-hop bounds in `hops`
+  override def chainStart: Boolean = false // unused: custom eval below
+  override def dataType: DataType = BooleanType
+
+  override def eval(buffer: ArrayBuffer[Long]): Any = {
+    val n = buffer.length / 2
+    if (n == 0) return false
+    val order = Array.range(0, n).sortBy(i => buffer(2 * i))
+    val m = hops.size
+    val reaches = Array.fill(m + 1)(new ArrayBuffer[Long]())
+    // any predecessor reach inside [t - hi, t - lo]?
+    def existsIn(list: ArrayBuffer[Long], t: Long, lo: Long, hi: Long): Boolean = {
+      val floor = if (hi == Long.MaxValue) Long.MinValue else t - hi
+      val ceil = t - lo
+      if (ceil < floor) return false
+      // lower bound of floor
+      var a = 0; var b = list.length
+      while (a < b) {
+        val mid = (a + b) >>> 1
+        if (list(mid) < floor) a = mid + 1 else b = mid
+      }
+      a < list.length && list(a) <= ceil
+    }
+    var gi = 0
+    while (gi < n) {
+      val t = buffer(2 * order(gi))
+      val mask = buffer(2 * order(gi) + 1).toInt
+      // compute every hop against the PRE-event lists, then insert — one
+      // event can never satisfy two consecutive hops of the same chain
+      var fired = 0L // bitset of hops this event reaches
+      var i = m
+      while (i >= 2) {
+        val (step, lo, hi) = hops(i - 1)
+        if (((mask >> step) & 1) == 1 && existsIn(reaches(i - 1), t, lo, hi))
+          fired |= 1L << i
+        i -= 1
+      }
+      if (((mask >> hops.head._1) & 1) == 1) fired |= 1L << 1
+      if (((fired >> m) & 1L) == 1L) return true
+      i = 1
+      while (i <= m) {
+        if (((fired >> i) & 1L) == 1L) reaches(i) += t
+        i += 1
+      }
+      gi += 1
+    }
+    false
+  }
+
+  override def prettyName: String = "sequence_match_pattern"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ts = newChildren.head, conds = newChildren.tail)
+}
+
 /** `retention(cond0, cond1, …)` → array<boolean>: r(0) = cond0 held on any
   * row, r(i) = cond0 AND condi each held on some row (order-free) — the
   * ClickHouse retention array, SQL twin of

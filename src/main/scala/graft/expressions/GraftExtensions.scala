@@ -118,6 +118,31 @@ object GraftExtensions {
       (args: Seq[Expression]) => SequenceLevelAgg(
         chainBound(args, "sequence_level"), args(1),
         chainConds(args.drop(2), "sequence_level"), matched = false)),
+    //   sequence_match_pattern('(?1)(?t>=X)(?2)…', ts, cond1, …) — boolean
+    //   (ClickHouse's literal pattern-string call shape; min gaps incl.)
+    (FunctionIdentifier("sequence_match_pattern"),
+      new ExpressionInfo(classOf[SequencePatternAgg].getName, "sequence_match_pattern"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 3,
+          "sequence_match_pattern: need (pattern, ts, cond1, …)")
+        val pattern = args.head match {
+          case e if e.foldable => e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"sequence_match_pattern: pattern must be a string literal, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"sequence_match_pattern: argument 1 must be a literal pattern, got $other")
+        }
+        val conds = args.drop(2)
+        require(conds.size <= 30,
+          "sequence_match_pattern: at most 30 conditions supported")
+        val hops = graft.operators.Behavior.parsePattern(pattern, conds.size)
+        require(hops.size <= 62,
+          "sequence_match_pattern: at most 62 step refs supported")
+        SequencePatternAgg(hops.map(h => (h.step, h.loMicros, h.hiMicros)),
+          args(1), conds)
+      }),
     //   sequence_count(gap_us, ts, cond1, …)    — bigint disjoint chains
     (FunctionIdentifier("sequence_count"),
       new ExpressionInfo(classOf[SequenceCountAgg].getName, "sequence_count"),

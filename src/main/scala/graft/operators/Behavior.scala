@@ -193,8 +193,8 @@ object Behavior {
     * matched event (lo defaults to 1 — strictly after — and hi to
     * unbounded, the plain `(?1)(?2)` adjacency).
     */
-  private[operators] final case class PatternHop(step: Int, loMicros: Long,
-                                                 hiMicros: Long)
+  private[graft] final case class PatternHop(step: Int, loMicros: Long,
+                                             hiMicros: Long)
 
   private val RefTok = """\(\?(\d+)\)""".r
   private val TimeTok = """\(\?t(<=|>=|<|>)(\d+)\)""".r
@@ -205,8 +205,8 @@ object Behavior {
     * intervening events are always allowed in this DP). Loud on garbage,
     * out-of-range refs, leading constraints, or an empty gap interval.
     */
-  private[operators] def parsePattern(pattern: String,
-                                      nSteps: Int): Seq[PatternHop] = {
+  private[graft] def parsePattern(pattern: String,
+                                  nSteps: Int): Seq[PatternHop] = {
     var i = 0
     var lo = 1L
     var hi = Long.MaxValue

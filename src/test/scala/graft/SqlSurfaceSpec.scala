@@ -485,6 +485,54 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(runTied(1) == runTied(13))
   }
 
+  test("sequence_match_pattern in SQL equals the DataFrame range-frame DP, ties included") {
+    import graft.operators.Behavior
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    val H = 3600L * 1000000
+    // value-interval semantics (lo >= 1) make the answer tie-INDEPENDENT,
+    // so equality is pinned on a log WITH same-instant collisions
+    val rnd = new scala.util.Random(97)
+    val ops = Seq("view", "signup", "click", "purchase")
+    val rows = (for (u <- 1L to 60L) yield {
+      (0 until 30).map(_ => (u, ops(rnd.nextInt(4)),
+        rnd.nextInt(200).toLong * 600L * 1000000)) // coarse grid: many ties
+    }).flatten
+    val df = rows.toDF("u", "op", "tm").repartition(7)
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+    df.createOrReplaceTempView("seq_pattern_events")
+    val pattern = s"(?1)(?t>=${H / 2})(?t<=${6 * H})(?2).*(?3)"
+    val viaSql = spark.sql(
+      s"""SELECT u, sequence_match_pattern('$pattern', ts,
+            op = 'signup', op = 'click', op = 'purchase') AS matched
+          FROM seq_pattern_events GROUP BY u""")
+      .as[(Long, Boolean)].collect().toMap
+    val viaLib = Behavior.sequenceMatchPattern(df, "u", "op", "ts", pattern,
+        Seq("signup", "click", "purchase"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaSql == viaLib)
+    assert(viaSql.values.exists(identity) && viaSql.values.exists(!_),
+      "degenerate fixture: all keys agree")
+    // hand min-gap case through SQL
+    Seq((1L, "signup", 0L), (1L, "click", H / 4), // too close: no match
+      (2L, "signup", 0L), (2L, "click", H)) // inside [30min, 6h]: match
+      .toDF("u", "op", "tm")
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tm")).as("ts"))
+      .createOrReplaceTempView("seq_pattern_hand")
+    val hand = spark.sql(
+      s"""SELECT u, sequence_match_pattern('(?1)(?t>=${H / 2})(?t<=${6 * H})(?2)',
+            ts, op = 'signup', op = 'click') AS matched
+          FROM seq_pattern_hand GROUP BY u""")
+      .as[(Long, Boolean)].collect().toMap
+    assert(hand == Map(1L -> false, 2L -> true))
+    // bad patterns fail loudly at registration
+    val e = intercept[Exception](spark.sql(
+      """SELECT sequence_match_pattern('(?1)(?9)', ts, op = 'a', op = 'b')
+         FROM seq_pattern_hand""").collect())
+    assert(e.getMessage.contains("outside"))
+  }
+
   test("stat aggregates reject non-integral measurement columns at analysis") {
     org.apache.spark.sql.graft.bridge.registerFunctions(spark)
     Seq((1.5, true, 2L)).toDF("yd", "c", "x")
