@@ -266,9 +266,15 @@ case class SequenceLevelAgg(boundMicros: Long, ts: Expression, conds: Seq[Expres
 }
 
 /** `window_funnel_strict(window_micros, ts, cond1, …, condk)` → deepest
-  * step under ClickHouse's `'strict_order'` mode: ANY intervening event
-  * matching none of the expected conditions breaks the chain — steps must
-  * occur on CONSECUTIVE events of the group's timeline. SQL twin of
+  * step under strict ordering: steps must occur on CONSECUTIVE events of
+  * the group's timeline — ANY intervening event breaks the chain, whether
+  * it matches none of the funnel conditions or a different (out-of-order)
+  * one. This is deliberately stricter than ClickHouse's documented
+  * `'strict_order'` example (which only shows an unrelated event D
+  * breaking A→B→C): an A,C,B,C stream scores level 1 here, because the
+  * C between A and B is itself an intervention. The consecutive-events
+  * rule is simpler to reason about and partition-deterministic; the
+  * out-of-order-condition case is pinned by test. SQL twin of
   * [[graft.operators.Behavior.windowFunnelStrictOrder]]. Unlike the other
   * chain aggregates, NON-MATCHING rows must be buffered too (they are
   * what breaks chains), so update keeps every timestamped row including

@@ -358,7 +358,12 @@ object Dedup {
     */
   def dropDupSpans(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 8): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("id"),
+    // key by the ORIGINAL id column, not a cast-to-long: a non-numeric
+    // string id would cast to null, silently bypass span removal (null
+    // join keys never match) and lose its value in the output. min(struct)
+    // orders any orderable id type, and for numeric ids the "globally
+    // first" choice is unchanged.
+    val toks = docs.select(col(idCol).as("id"),
       split(col(textCol), " ").as("w"))
     val grams = toks.where(size(col("w")) >= n)
       .select(col("id"), explode(expr(

@@ -159,7 +159,15 @@ object QualityModel {
     val spark = docs.sparkSession
     import spark.implicits._
     val mB = spark.sparkContext.broadcast(model)
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    // loud numeric-id contract: a non-numeric string id casts to null and
+    // would silently drop the row's identity — raise instead (codegen'd
+    // branch, zero cost on valid ids)
+    val idAsLong = when(
+      col(idCol).isNotNull && col(idCol).cast("long").isNull,
+      raise_error(lit(s"QualityModel.score requires a numeric id column; " +
+        s"'$idCol' has values that do not cast to long")))
+      .otherwise(col(idCol).cast("long"))
+    docs.select(idAsLong.as("doc_id"),
         col(textCol).cast("string").as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>

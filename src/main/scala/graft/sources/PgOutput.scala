@@ -741,7 +741,10 @@ object PgOutput extends Serializable {
       .select(outCols.map(col): _*)
   }
 
-  private final case class CommitAt(finalLsn: Long, tsMicros: Long)
+  // Public (not `private`) so SafeProjection/Encoder codegen can reference
+  // the class from generated code instead of falling back to the
+  // interpreted path (~20 interpreter fallbacks per run when private).
+  final case class CommitAt(finalLsn: Long, tsMicros: Long)
 
   /** Index of the smallest commit boundary with `finalLsn ≥ walStart`
     * (−1 when none) — the single definition of "the governing plain
@@ -758,8 +761,9 @@ object PgOutput extends Serializable {
     best
   }
 
-  private final case class TruncEvt(walStart: Long, sendTs: Long, xid: Long,
-                                    relids: Seq[Int])
+  // Public for the same codegen reason as [[CommitAt]].
+  final case class TruncEvt(walStart: Long, sendTs: Long, xid: Long,
+                            relids: Seq[Int])
 
   private val deadSchema = StructType(Seq(
     StructField("frame", BinaryType), StructField("reason", StringType)))

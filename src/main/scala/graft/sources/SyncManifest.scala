@@ -138,8 +138,28 @@ object SyncManifest {
       s"""{"fmt":$FormatVersion,"files":${arr(m.files)},"retired":${arr(m.retired)}$schemaField}"""
         .getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    // ATOMIC swap: rename-with-overwrite via FileContext (local FS and HDFS
+    // implement it as an atomic replace), so a concurrent readCommitted
+    // never observes the no-manifest third state that a delete-then-rename
+    // opens — that state falls back to a raw directory read listing retired
+    // generations and unadopted debris, and is not grace-translated.
+    // Filesystems without FileContext support fall back to the old
+    // delete+rename (readCommitted's vanish-retry covers that window).
+    val fc =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sparkContext.hadoopConfiguration))
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+      }
+    fc match {
+      case Some(c) =>
+        c.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
   }
 
   /** Relative paths of the visible parquet data files under `dir`,
@@ -253,7 +273,17 @@ object SyncManifest {
       case Some(ns) =>
         if (kept.isEmpty) Some(encodeSchema(ns))
         else old.schema match {
-          case Some(os) =>
+          // shared columns must agree on TYPE between the kept buckets'
+          // stored schema and the new frame: letting the new frame's type
+          // win after a cross-batch widening (int→long via unionByName
+          // coercion) pins a schema that no longer matches the kept files'
+          // physical parquet type, and the vectorized reader throws on
+          // those buckets until they are rewritten. On any type change,
+          // store no schema — readers fall back to footer inference, which
+          // handles per-file physical types.
+          case Some(os) if os.fields.forall(f =>
+              ns.fields.find(_.name == f.name)
+                .forall(_.dataType == f.dataType)) =>
             val newNames = ns.fieldNames.toSet
             val carried = os.fields.filterNot(f => newNames(f.name))
             // bucket partition column stays LAST (the inferred-read order)
@@ -261,7 +291,7 @@ object SyncManifest {
             val (nsData, nsBucket) = ns.fields.partition(_.name != "bucket")
             Some(encodeSchema(org.apache.spark.sql.types.StructType(
               nsData ++ carriedData ++ nsBucket ++ carriedBucket)))
-          case None => None
+          case _ => None // schemaless legacy manifest, or a type change
         }
     }
     write(spark, dir, Manifest((kept ++ newFiles).sorted, retired, mergedSchema))
@@ -288,7 +318,7 @@ object SyncManifest {
     * planning-time listing inside this method is already translated).
     */
   def readCommitted(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir) match {
+    readWithVanishRetry(spark, dir) match {
       case Some(m) if m.files.nonEmpty =>
         // a stored schema skips the per-read footer-inference Spark job;
         // older kept files missing newly-added columns read them as null
@@ -304,6 +334,32 @@ object SyncManifest {
       // is "no mirror", not a grace overrun
       case _ => spark.read.parquet(dir)
     }
+
+  /** [[read]], but when the manifest is ABSENT for a dir that plainly has
+    * committed parquet data, retry briefly before giving up: on filesystems
+    * whose [[write]] falls back to delete-then-rename (no FileContext
+    * atomic overwrite), a concurrent commit opens a short no-manifest
+    * window, and falling through to the raw directory read there would
+    * list retired generations and unadopted debris un-grace-translated.
+    * Genuinely pre-manifest mirrors (no manifest was EVER committed) pay
+    * only the retries' latency once per read, and only when data exists.
+    */
+  private def readWithVanishRetry(spark: SparkSession,
+                                  dir: String): Option[Manifest] = {
+    // the delete→rename window is microseconds — two short retries cover
+    // it; a genuinely pre-manifest mirror pays ≤50 ms per read, once
+    var attempt = 0
+    while (true) {
+      val m = read(spark, dir)
+      if (m.isDefined || attempt >= 2) return m
+      // only a dir with visible committed parquet could be mid-swap;
+      // an empty/absent dir is simply "no mirror"
+      if (!graft.streaming.CdcStream.hasVisibleParquet(spark, dir)) return m
+      attempt += 1
+      Thread.sleep(25L)
+    }
+    None // unreachable
+  }
 
   /** Run `action` (typically an action on a held [[readCommitted]] frame)
     * translating a vanished-pinned-file failure into the manifest-grace

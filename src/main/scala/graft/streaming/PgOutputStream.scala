@@ -104,8 +104,12 @@ object PgOutputStream {
           // (lower) LSN on restart: the server resends the tail and the
           // replay-idempotent upsert converges — never the reverse
           // (acking WAL that never landed).
-          val deadSafe = deadDir.isDefined ||
-            PgOutput.maxFrameWalEnd(parsed.deadLetter, "frame").isEmpty
+          // Gate on frame-COUNT emptiness, not on the max-walEnd peek:
+          // frameWalEnd returns None for frames shorter than 9 bytes or
+          // with an outer tag other than w/k, so a batch whose only dead
+          // frames are peekless would pass a peek-based guard and let the
+          // confirmed-flush LSN advance past WAL that landed nowhere.
+          val deadSafe = deadDir.isDefined || parsed.deadLetter.isEmpty
           if (deadSafe)
             PgOutput.maxFrameWalEnd(batch, dataCol)
               .foreach(advanceConfirmedLsn(spark, targetDir, table, _))

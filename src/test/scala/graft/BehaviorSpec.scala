@@ -237,12 +237,31 @@ class BehaviorSpec extends SparkSpec {
       (5L, "A", ts("2024-01-01 00:05:00")),
       (5L, "B", ts("2024-01-01 00:10:00")),
       // user 6: nothing relevant -> 0
-      (6L, "D", ts("2024-01-01 00:00:00"))
+      (6L, "D", ts("2024-01-01 00:00:00")),
+      // user 7: the intervening event matches a DIFFERENT funnel condition
+      // (C, out of order, between A and B) — consecutive-events semantics
+      // break the chain here too, stricter than ClickHouse's documented
+      // unrelated-event example -> 1
+      (7L, "A", ts("2024-01-01 00:00:00")),
+      (7L, "C", ts("2024-01-01 00:05:00")),
+      (7L, "B", ts("2024-01-01 00:10:00")),
+      (7L, "C", ts("2024-01-01 00:15:00"))
     ).toDF("user_id", "event_type", "t")
     val strict = Behavior.windowFunnelStrictOrder(events, "user_id",
         "event_type", "t", Seq("A", "B", "C"), windowMicros = 2 * H)
       .as[(Long, Long)].collect().toMap
-    assert(strict == Map(1L -> 3L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L, 6L -> 0L))
+    assert(strict == Map(1L -> 3L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L,
+      6L -> 0L, 7L -> 1L))
+    // the SQL aggregate implements the same consecutive-events rule
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    events.createOrReplaceTempView("wfso_events")
+    val sqlGot = spark.sql(
+      s"""SELECT user_id, window_funnel_strict(${2 * H}, t,
+            event_type = 'A', event_type = 'B', event_type = 'C') AS lvl
+          FROM wfso_events GROUP BY user_id""")
+      .as[(Long, Long)].collect().toMap
+    assert(sqlGot == Map(1L -> 3L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L,
+      6L -> 0L, 7L -> 1L))
     // the default mode tolerates the intervention user 2 was broken by
     val loose = Behavior.windowFunnel(events, "user_id", "event_type", "t",
         Seq("A", "B", "C"), windowMicros = 2 * H)
