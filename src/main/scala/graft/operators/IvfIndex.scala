@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * == On-disk layout ==
   * {{{
-  *   dir/_graft_ivf_index.json  {"fmt":4,"dim":D,"centroids":N,"batches":K,"base":B,"q":0|1|2,"applied":A[,"pq_m","pq_ksub"]}
+  *   dir/_graft_ivf_index.json  {"fmt":6,"dim":D,"centroids":N,"batches":K,"base":B,"q":0|1|2,"applied":A,"pq_res":0|1,"pq_rot":0|1[,"pq_m","pq_ksub"]}
   *   dir/centroids/             (cent_id, v)            the codebook, written once
-  *   dir/pq/                    (m, ksub, dsub, cb)     q=2: frozen sub-codebooks
+  *   dir/pq/                    (m, ksub, dsub, cb, rot)  q=2: frozen sub-codebooks + OPQ rotation
   *   dir/assigned/b=K/c=J/      (corpus_id, scale, codes)   q=1 (default): int8
   *   dir/assigned/b=K/c=J/      (corpus_id, codes)          q=2: m-byte PQ codes
   *   dir/assigned/b=K/c=J/      (corpus_id, cv)             q=0: raw float copy
@@ -67,7 +67,13 @@ import org.apache.spark.sql.functions._
   * path, so batch and indexed PQ agree by construction. Recall and
   * reload-bit-equality are spec-pinned; the rougher quantization trades
   * recall for IO — size `pqM`/`pqKsub` to the corpus as the PQ
-  * literature does.
+  * literature does. Since fmt 6 the PQ path defaults to an OPQ-lite
+  * PCA rotation before the subspace split ([[Similarity.opqRotation]]:
+  * principal axes interleaved across subspaces) — codes quantize the
+  * rotated residual, probes rotate their side once; orthogonality keeps
+  * every cosine identical to what the unrotated kernel would compute on
+  * the same reconstruction, and the rotated-recall ≥ unrotated-recall
+  * claim is spec-pinned on a correlated-dims fixture.
   *
   * == Equivalence ==
   * With `kmeansIters = 0` and `quantizedStore = false` the index picks the
@@ -102,7 +108,8 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
                               centIds: Array[Long], flat: Array[Double],
                               pqModel: Option[Similarity.PqModel] = None,
                               @volatile private var appliedBatch: Int = -1,
-                              val pqResidual: Boolean = false)
+                              val pqResidual: Boolean = false,
+                              val pqRot: Option[Array[Double]] = None)
   extends VectorIndexWriter {
 
   /** Broadcastable (centroid id, centroid vector) frame — the join side
@@ -114,6 +121,36 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     centIds.indices
       .map(i => (centIds(i), flat.slice(i * dim, (i + 1) * dim).toSeq))
       .toDF("c", "cvec")
+  }
+
+  /** [[centroidFrame]] with the OPQ rotation applied (identity when no
+    * rotation): residual PROBES join this one, so the scoring kernel sees
+    * c̃ = R·c and x̂̃ = c̃ + decode(codes) = R·x̂ — orthogonality keeps the
+    * cosine exactly what the unrotated kernel would compute on x̂.
+    */
+  @transient private lazy val centroidFrameScore: org.apache.spark.sql.DataFrame =
+    pqRot match {
+      case None => centroidFrame
+      case Some(r) =>
+        import spark.implicits._
+        centIds.indices.map { i =>
+          val c = flat.slice(i * dim, (i + 1) * dim)
+          val out = new Array[Double](dim)
+          var ri = 0
+          while (ri < dim) {
+            var s = 0.0; var ci = 0
+            while (ci < dim) { s += r(ri * dim + ci) * c(ci); ci += 1 }
+            out(ri) = s; ri += 1
+          }
+          (centIds(i), out.toSeq)
+        }.toDF("c", "cvec")
+    }
+
+  private def rotated(v: Column): Column = pqRot match {
+    case None => v.cast("array<double>")
+    case Some(r) => org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.RotateVector(
+        org.apache.spark.sql.graft.bridge.expression(v), r, dim))
   }
 
   private val reads = new IndexMeta.CachedReads(spark)
@@ -179,9 +216,12 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
           else assigned.join(broadcast(centroidFrame), "c")
             .withColumn("enc", expr(
               "zip_with(CAST(cv AS ARRAY<DOUBLE>), cvec, (a, b) -> a - b)"))
+        // OPQ-lite: codes quantize the ROTATED residual/vector — the
+        // rotation composes before the subspace split (identity when the
+        // index was built without one)
         src.select(col("corpus_id"),
           org.apache.spark.sql.graft.bridge.column(graft.expressions.PqEncode(
-            org.apache.spark.sql.graft.bridge.expression(col("enc")),
+            org.apache.spark.sql.graft.bridge.expression(rotated(col("enc"))),
             mdl.codebooks, mdl.m, mdl.ksub, mdl.dsub)).as("codes"),
           col("c"))
       case _ => assigned
@@ -192,7 +232,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     committedBatches = b + 1
     appliedBatch = newApplied
     IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase,
-      store, appliedBatch, pqModel, pqResidual)
+      store, appliedBatch, pqModel, pqResidual, pqRot.isDefined)
   }
 
   /** Fold every live generation into ONE — the file-count lever of a
@@ -223,7 +263,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     liveBase = b
     committedBatches = b + 1
     IvfIndex.writeMeta(spark, dir, dim, centroids, committedBatches, liveBase,
-      store, appliedBatch, pqModel, pqResidual)
+      store, appliedBatch, pqModel, pqResidual, pqRot.isDefined)
   }
 
   /** Per-centroid live posting counts — the index-health row of the
@@ -253,8 +293,15 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     */
   def probe(queries: DataFrame, idCol: String, vecCol: String, k: Int,
             nProbe: Int = 4, maxPrunedKeys: Int = 10000): DataFrame = {
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    // list selection always runs in the ORIGINAL space (the codebook is
+    // unrotated); PQ scoring consumes the pre-rotated `qvr` — computed
+    // once per probe row here, the small side, never per candidate
+    val probes0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(nearest(col(vecCol), nProbe)).as("c"))
+    val probes =
+      if (store == IvfIndex.StorePq)
+        probes0.withColumn("qvr", rotated(col("qv")))
+      else probes0
     val live = reads.parquet("assigned", s"$dir/assigned")
       .where(col("b") >= lit(liveBase) && col("b") < lit(committedBatches))
     val assigned = IvfIndex.pruneKeys(live, probes, "c", maxPrunedKeys)
@@ -267,7 +314,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
           graft.expressions.PqResidualCosineSim(
             org.apache.spark.sql.graft.bridge.expression(col("codes")),
             org.apache.spark.sql.graft.bridge.expression(
-              col("qv").cast("array<double>")),
+              col("qvr").cast("array<double>")),
             org.apache.spark.sql.graft.bridge.expression(col("cvec")),
             mdl.codebooks, mdl.m, mdl.ksub, mdl.dsub))
       case IvfIndex.StorePq =>
@@ -275,7 +322,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
         org.apache.spark.sql.graft.bridge.column(graft.expressions.PqCosineSim(
           org.apache.spark.sql.graft.bridge.expression(col("codes")),
           org.apache.spark.sql.graft.bridge.expression(
-            col("qv").cast("array<double>")),
+            col("qvr").cast("array<double>")),
           mdl.codebooks, mdl.m, mdl.ksub, mdl.dsub))
       case _ => graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
     }
@@ -284,7 +331,9 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
     val candidates0 = assigned.join(broadcast(probes), "c")
     val candidates =
       if (store == IvfIndex.StorePq && pqResidual)
-        candidates0.join(broadcast(centroidFrame), "c")
+        // rotated centroids when the index carries a rotation: the kernel
+        // then reconstructs R·x̂ against R·q — cosines identical
+        candidates0.join(broadcast(centroidFrameScore), "c")
       else candidates0
     Similarity.rankTopK(
       candidates
@@ -296,7 +345,7 @@ final class IvfIndex private (spark: SparkSession, val dir: String,
 
 object IvfIndex {
   private val MetaFile = "_graft_ivf_index.json"
-  private val FormatVersion = 5
+  private val FormatVersion = 6
   private[operators] val StoreFloat = 0
   private[operators] val StoreInt8 = 1
   private[operators] val StorePq = 2
@@ -334,7 +383,8 @@ object IvfIndex {
   def create(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
              numCentroids: Int = 256, kmeansIters: Int = 4,
              quantizedStore: Boolean = true, pqM: Int = 0,
-             pqKsub: Int = 16, pqResidual: Boolean = true): IvfIndex = {
+             pqKsub: Int = 16, pqResidual: Boolean = true,
+             pqRotate: Boolean = true): IvfIndex = {
     require(kmeansIters >= 0, s"bad kmeansIters=$kmeansIters")
     require(pqM >= 0 && pqKsub > 1 && pqKsub <= 256,
       s"bad pqM=$pqM pqKsub=$pqKsub (codes are one byte)")
@@ -436,17 +486,37 @@ object IvfIndex {
               Array.tabulate(dim)(d => v(d) - flat(ci * dim + d))
             }
           }
-        val mdl = Similarity.pqFit(trainVecs, pqM, pqKsub, dim / pqM, iters = 5)
+        // OPQ-lite (fmt 6): PCA rotation of the TRAINING quantity (the
+        // residuals in residual mode — their correlation structure is
+        // what the sub-codebooks must fit), interleaved across subspaces;
+        // codes then quantize rotated vectors, probes rotate their side
+        // once — see Similarity.opqRotation for the allocation argument
+        val rot: Option[Array[Double]] =
+          if (pqRotate) Some(Similarity.opqRotation(trainVecs, pqM)) else None
+        val fitVecs = rot match {
+          case None => trainVecs
+          case Some(r) => trainVecs.map { v =>
+            Array.tabulate(dim) { ri =>
+              var s = 0.0; var ci = 0
+              while (ci < dim) { s += r(ri * dim + ci) * v(ci); ci += 1 }
+              s
+            }
+          }
+        }
+        val mdl = Similarity.pqFit(fitVecs, pqM, pqKsub, dim / pqM, iters = 5)
         import spark.implicits._
-        Seq((mdl.m, mdl.ksub, mdl.dsub, mdl.codebooks.toSeq))
-          .toDF("m", "ksub", "dsub", "cb").coalesce(1).write.parquet(s"$dir/pq")
-        Some(mdl)
+        Seq((mdl.m, mdl.ksub, mdl.dsub, mdl.codebooks.toSeq,
+            rot.map(_.toSeq).getOrElse(Seq.empty[Double])))
+          .toDF("m", "ksub", "dsub", "cb", "rot")
+          .coalesce(1).write.parquet(s"$dir/pq")
+        Some((mdl, rot))
       } else None
     val store =
       if (pqM > 0) StorePq else if (quantizedStore) StoreInt8 else StoreFloat
     val idx = new IvfIndex(spark, dir, dim, centRows.length, 0, 0, store,
-      centRows.map(_._1), centRows.flatMap(_._2), pqModel,
-      pqResidual = pqM > 0 && pqResidual)
+      centRows.map(_._1), centRows.flatMap(_._2), pqModel.map(_._1),
+      pqResidual = pqM > 0 && pqResidual,
+      pqRot = pqModel.flatMap(_._2))
     idx.add(corpus, idCol, vecCol)
     idx
   }
@@ -458,25 +528,41 @@ object IvfIndex {
     * external batch applied"), exactly a fresh create()'s state.
     */
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    val Seq(dim, cents, batches, base, q, applied, pqRes) = IndexMeta.load(
-      spark, dir, MetaFile, FormatVersion, "IVF",
-      Seq("dim", "centroids", "batches", "base", "q", "applied", "pq_res"),
-      // fmt 2 predates the streaming-batch mark; fmt 3 predates the PQ
-      // store (q was 0/1 only); fmt 4 predates residual PQ (codes always
-      // quantized raw vectors) — all three layouts open in place
-      compat = Map(2 -> Map("applied" -> -1, "pq_res" -> 0),
-        3 -> Map("pq_res" -> 0), 4 -> Map("pq_res" -> 0)))
+    val Seq(dim, cents, batches, base, q, applied, pqRes, pqRotF) =
+      IndexMeta.load(
+        spark, dir, MetaFile, FormatVersion, "IVF",
+        Seq("dim", "centroids", "batches", "base", "q", "applied", "pq_res",
+          "pq_rot"),
+        // fmt 2 predates the streaming-batch mark; fmt 3 predates the PQ
+        // store (q was 0/1 only); fmt 4 predates residual PQ (codes always
+        // quantized raw vectors); fmt 5 predates the OPQ rotation (codes
+        // quantized unrotated vectors) — all four layouts open in place
+        compat = Map(2 -> Map("applied" -> -1, "pq_res" -> 0, "pq_rot" -> 0),
+          3 -> Map("pq_res" -> 0, "pq_rot" -> 0),
+          4 -> Map("pq_res" -> 0, "pq_rot" -> 0),
+          5 -> Map("pq_rot" -> 0)))
     val centRows = spark.read.parquet(s"$dir/centroids")
       .orderBy(xxhash64(col("id")), col("id")).collect()
-    val pqModel =
+    val (pqModel, pqRot) =
       if (q == StorePq) {
-        val r = spark.read.parquet(s"$dir/pq").head()
-        Some(Similarity.PqModel(r.getInt(0), r.getInt(1), r.getInt(2),
+        val pq = spark.read.parquet(s"$dir/pq")
+        val r = pq.head()
+        val mdl = Some(Similarity.PqModel(r.getInt(0), r.getInt(1), r.getInt(2),
           r.getSeq[Double](3).toArray))
-      } else None
+        // the meta flag is authoritative; a fmt-6 store with the flag off
+        // has an empty rot column (and pre-fmt-6 stores have none at all)
+        val rot =
+          if (pqRotF == 1 && pq.columns.contains("rot")) {
+            val arr = r.getSeq[Double](pq.columns.indexOf("rot")).toArray
+            require(arr.length == dim * dim,
+              s"corrupt PQ rotation at $dir: ${arr.length} values, dim $dim")
+            Some(arr)
+          } else None
+        (mdl, rot)
+      } else (None, None)
     new IvfIndex(spark, dir, dim, cents, batches, base, q,
       centRows.map(_.getLong(0)), centRows.flatMap(_.getSeq[Double](1)),
-      pqModel, applied, pqResidual = pqRes == 1)
+      pqModel, applied, pqResidual = pqRes == 1, pqRot = pqRot)
   }
 
   /** Delete `b=K` generation dirs below `base` under `parent` — retired by
@@ -500,11 +586,12 @@ object IvfIndex {
                         centroids: Int, batches: Int, base: Int,
                         store: Int, applied: Int,
                         pq: Option[Similarity.PqModel],
-                        pqResidual: Boolean): Unit =
+                        pqResidual: Boolean, pqRotated: Boolean): Unit =
     IndexMeta.commit(spark, dir, MetaFile,
       s"""{"fmt":$FormatVersion,"dim":$dim,"centroids":$centroids,""" +
         s""""batches":$batches,"base":$base,"q":$store,""" +
-        s""""applied":$applied,"pq_res":${if (pqResidual) 1 else 0}""" +
+        s""""applied":$applied,"pq_res":${if (pqResidual) 1 else 0},""" +
+        s""""pq_rot":${if (pqRotated) 1 else 0}""" +
         pq.map(m => s""","pq_m":${m.m},"pq_ksub":${m.ksub}""").getOrElse("") +
         "}")
 }

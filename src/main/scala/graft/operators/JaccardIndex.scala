@@ -256,12 +256,17 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
   }
 
   private def writeProbeSpill(p: Prepared): Unit = {
-    p.post.withColumn("p", partOf(col("w")))
-      .repartition(col("p"))
-      .write.mode("overwrite").partitionBy("p").parquet(s"$probeSpillRoot/postings")
-    p.sets.withColumn("q", partOf(col("id")))
-      .repartition(col("q"))
-      .write.mode("overwrite").partitionBy("q").parquet(s"$probeSpillRoot/sets")
+    // force the lazy val ON THIS THREAD: scala lazy-val init takes the
+    // instance monitor, which probe() (synchronized) already holds — a
+    // future thread initializing it would deadlock against us
+    val root = probeSpillRoot
+    JaccardIndex.concurrently(
+      () => p.post.withColumn("p", partOf(col("w")))
+        .repartition(col("p"))
+        .write.mode("overwrite").partitionBy("p").parquet(s"$root/postings"),
+      () => p.sets.withColumn("q", partOf(col("id")))
+        .repartition(col("q"))
+        .write.mode("overwrite").partitionBy("q").parquet(s"$root/sets"))
   }
 
   /** Read one spilled batch relation back; `fallback` supplies the schema
@@ -341,20 +346,27 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
   /** Write the batch's postings and sets under `b=$b` (no meta commit —
     * the caller decides whether the write is an add or a probe spill).
     */
-  private def writeBatchRelations(p: Prepared, b: Int): Unit = {
-    p.post.withColumn("p", partOf(col("w")))
-      .repartition(col("p")) // ≈ one file per partition dir, not one per task
-      .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b"))
-    p.sets.withColumn("q", partOf(col("id")))
-      .repartition(col("q"))
-      .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b"))
-  }
+  /** The batch's two (or, in [[addWith]], three) relation writes derive
+    * from the SAME materialized batch and land in disjoint dirs — they run
+    * CONCURRENTLY ([[JaccardIndex.concurrently]]): build wall-clock is the
+    * slowest relation, not the sum, and the meta still commits strictly
+    * after all of them (the visibility flip is unchanged).
+    */
+  private def writeBatchRelations(p: Prepared, b: Int): Unit =
+    JaccardIndex.concurrently(
+      () => p.post.withColumn("p", partOf(col("w")))
+        .repartition(col("p")) // ≈ one file per partition dir, not one per task
+        .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b")),
+      () => p.sets.withColumn("q", partOf(col("id")))
+        .repartition(col("q"))
+        .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b")))
 
   private def addWith(p: Prepared): Unit = synchronized {
     materialized(p) {
       val b = committedBatches
-      p.newTokens.write.mode("overwrite").parquet(rel(s"tokens/b=$b"))
-      writeBatchRelations(p, b)
+      JaccardIndex.concurrently(
+        () => p.newTokens.write.mode("overwrite").parquet(rel(s"tokens/b=$b")),
+        () => writeBatchRelations(p, b))
       committedBatches = b + 1
       writeMeta(spark, dir, threshold, parts, committedBatches, liveBase)
     }
@@ -382,17 +394,18 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
       df.where(col("b") >= lit(liveBase) && col("b") < lit(b)).drop("b")
     Seq("tokens", "postings", "sets")
       .foreach(r => IvfIndex.vacuumBelow(spark, rel(r), liveBase))
-    if (hasData("tokens"))
-      live(readParquetCached("tokens", rel("tokens")))
-        .write.mode("overwrite").parquet(rel(s"tokens/b=$b"))
-    if (hasData("postings"))
-      live(readParquetCached("postings", rel("postings")))
-        .repartition(col("p"))
-        .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b"))
-    if (hasData("sets"))
-      live(readParquetCached("sets", rel("sets")))
-        .repartition(col("q"))
-        .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b"))
+    JaccardIndex.concurrently(
+      () => if (hasData("tokens"))
+        live(readParquetCached("tokens", rel("tokens")))
+          .write.mode("overwrite").parquet(rel(s"tokens/b=$b")),
+      () => if (hasData("postings"))
+        live(readParquetCached("postings", rel("postings")))
+          .repartition(col("p"))
+          .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b")),
+      () => if (hasData("sets"))
+        live(readParquetCached("sets", rel("sets")))
+          .repartition(col("q"))
+          .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b")))
     liveBase = b
     committedBatches = b + 1
     writeMeta(spark, dir, threshold, parts, committedBatches, liveBase)
@@ -507,6 +520,19 @@ object JaccardIndex {
       .getOrElse(throw new IllegalStateException(
         s"no Jaccard index under $dir — run create() first"))
     new JaccardIndex(spark, dir, meta._1, meta._2, meta._3, meta._4)
+  }
+
+  /** Run independent write thunks concurrently (disjoint target dirs;
+    * Spark schedules jobs from several driver threads fine) and await all
+    * — a failure in any one fails the call loudly.
+    */
+  private[operators] def concurrently(thunks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(thunks.map(t => Future(t()))),
+      scala.concurrent.duration.Duration.Inf)
+    ()
   }
 
   private def writeMeta(spark: SparkSession, dir: String, threshold: Double,

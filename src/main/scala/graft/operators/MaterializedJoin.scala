@@ -83,6 +83,15 @@ object MaterializedJoin {
   /** [[mergedNewest]] with the probe's bucket set already collected —
     * callers that need the same set elsewhere (e.g. the view commit's
     * touched buckets) collect it once and share.
+    *
+    * The newest-per-key collapse is the windowed [[CdcOps.latestSnapshot]]
+    * on purpose: the measured alternative (pin the delta collapsed, then
+    * merge with a broadcast anti-join instead of the window) swapped one
+    * ~delta-sized sort for two extra broadcast builds per merge and a
+    * window over each pin, and benched ~70% SLOWER on batches whose delta
+    * is comparable to the touched mirror slice — the CDC lifecycle shape
+    * this operator serves. The window's sort cost tracks the probed slice
+    * (delta-proportional), so it also scales fine.
     */
   private def mergedNewestAt(spark: SparkSession, dir: String, keyCol: String,
                              versionCol: String, delta: Option[DataFrame],
@@ -111,13 +120,32 @@ object MaterializedJoin {
   def applyBatch(spark: SparkSession, root: String, cfg: Config,
                  deltaA: Option[DataFrame], deltaB: Option[DataFrame],
                  batchVersion: Long): Unit = {
+    // MAINTENANCE SESSION: the batch runs in an isolated child session
+    // (shared SparkContext, cache, and catalog; own SQLConf) with AQE
+    // off and bucket-sized shuffle parallelism. Rationale, measured: AQE
+    // materializes every exchange of every maintenance plan as its own
+    // driver job — ~50 jobs for one warm-mirror batch vs ~10 structural
+    // ones — and at high batch cadence the batch cost IS that driver
+    // latency chain, not data volume (the per-job win AQE buys, runtime
+    // coalescing, matters on multi-GB exchanges, which delta-proportional
+    // maintenance never has). The caller's own session and its AQE
+    // settings are untouched.
+    val maint = spark.newSession()
+    maint.conf.set("spark.sql.adaptive.enabled", "false")
+    // enough tasks to spread a big delta's merge, few enough that tiny
+    // lifecycle batches aren't 32 tasks per stage; callers can override
+    val parts = spark.conf.getOption("graft.mjoin.maintenancePartitions")
+      .map(_.toInt).getOrElse(math.max(cfg.nBuckets, 8))
+    maint.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    def rebind(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.bridge.ofRows(maint, df.queryExecution.logical)
     val (aKeyDir, aFkDir, bKeyDir, viewDir) = dirs(root)
     // each delta is consumed several times (two mirror upserts, the
     // affected-key set, emptiness probes) — pin it once, delta-sized
-    val pinned = (deltaA.toSeq ++ deltaB.toSeq).map(
-      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pinned = (deltaA.toSeq ++ deltaB.toSeq).map(d =>
+      rebind(d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
-      applyBatchPinned(spark, root, cfg,
+      applyBatchPinned(maint, root, cfg,
         deltaA.map(_ => pinned.head), deltaB.map(_ => pinned.last),
         batchVersion, aKeyDir, aFkDir, bKeyDir, viewDir)
     } finally pinned.foreach(_.unpersist(false))
@@ -152,28 +180,60 @@ object MaterializedJoin {
         s"'${cfg.bKey}' is $b — hash bucketing is type-sensitive; align the " +
         "delta schemas before applyBatch")
 
+    // 0. ONE job over the pinned deltas computes EVERY bucket set the
+    // batch needs: the three mirror targets' touched sets AND the index
+    // probe's fk-bucket prune — which equals ΔB's bKey set by
+    // construction (both are pmod(hash(value), nBuckets) over the same
+    // values). The old shape paid one collect per mirror target inside
+    // the upsert lane plus a separate fkBuckets collect in the view
+    // chain; this fuses four delta-scan jobs into one cache-local pass,
+    // shortening both the concurrent mirror lanes (write-only now) and
+    // the sequential view chain by one action.
+    import spark.implicits._
+    def mark(label: String, t0: Long): Unit =
+      if (sys.env.contains("SPARK_GRAFT_MJ_TIMING"))
+        System.err.println(f"[mj] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val tA0 = System.nanoTime()
+    val bucketParts =
+      dA.toSeq.flatMap(d => Seq(
+        d.select(lit(0).as("t"),
+          pmod(hash(col(cfg.aKey)), lit(cfg.nBuckets)).as("b")),
+        d.select(lit(1).as("t"),
+          pmod(hash(col(cfg.fk)), lit(cfg.nBuckets)).as("b")))) ++
+      dB.toSeq.map(d => d.select(lit(2).as("t"),
+        pmod(hash(col(cfg.bKey)), lit(cfg.nBuckets)).as("b")))
+    val buckets: Map[Int, Seq[Int]] =
+      if (bucketParts.isEmpty) Map.empty
+      else bucketParts.reduce(_ union _).distinct().as[(Int, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    mark("A0 buckets", tA0)
+
     // 1. mirror upserts — ΔA lands in both the primary and the join index
-    // from ONE materialized delta (upsertPinnedMulti: the two layouts are
-    // derived from the same cached rows and committed concurrently), and
-    // ΔB's independent mirror rides the same concurrent round. The deltas
-    // are already pinned by applyBatch, so nothing re-materializes. The
-    // futures are awaited at the END of the batch: the view recompute
-    // below reads (pre-commit generation ∪ pinned delta), never the
-    // post-commit mirrors, so it runs CONCURRENTLY with these commits —
-    // the batch's wall-clock is max(mirror round, view round), not their
-    // sum. Either side of the manifest-swap race is correct: a read that
-    // lands post-commit just unions the delta in twice and the
-    // newest-per-key collapse converges on identical rows; a pre-commit
-    // read's generation stays on disk under the one-sync vacuum grace.
+    // from the same cached delta; ΔB's independent mirror rides the same
+    // concurrent round. With the touched sets precomputed above, each
+    // lane is a single merge+commit write. The futures are awaited at the
+    // END of the batch: the view recompute below reads (pre-commit
+    // generation ∪ pinned delta), never the post-commit mirrors, so it
+    // runs CONCURRENTLY with these commits — the batch's wall-clock is
+    // max(mirror round, view round), not their sum. Either side of the
+    // manifest-swap race is correct: a read that lands post-commit just
+    // unions the delta in twice and the newest-per-key collapse converges
+    // on identical rows; a pre-commit read's generation stays on disk
+    // under the one-sync vacuum grace.
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
     val mirrorCommits =
-      dA.map(d => Future(CdcStream.upsertPinnedMulti(spark, d, Seq(cfg.aKey),
-        cfg.versionCol, Seq(
-          CdcStream.UpsertTarget(aKeyDir, cfg.nBuckets),
-          CdcStream.UpsertTarget(aFkDir, cfg.nBuckets, Seq(cfg.fk)))))).toSeq ++
-      dB.map(d => Future(CdcStream.upsertPinnedMulti(spark, d, Seq(cfg.bKey),
-        cfg.versionCol, Seq(CdcStream.UpsertTarget(bKeyDir, cfg.nBuckets)))))
+      dA.toSeq.flatMap(d => Seq(
+        Future(CdcStream.upsertOneTargetAt(spark, d, Seq(cfg.aKey),
+          cfg.versionCol, CdcStream.UpsertTarget(aKeyDir, cfg.nBuckets),
+          buckets.getOrElse(0, Nil))),
+        Future(CdcStream.upsertOneTargetAt(spark, d, Seq(cfg.aKey),
+          cfg.versionCol,
+          CdcStream.UpsertTarget(aFkDir, cfg.nBuckets, Seq(cfg.fk)),
+          buckets.getOrElse(1, Nil))))) ++
+      dB.map(d => Future(CdcStream.upsertOneTargetAt(spark, d, Seq(cfg.bKey),
+        cfg.versionCol, CdcStream.UpsertTarget(bKeyDir, cfg.nBuckets),
+        buckets.getOrElse(2, Nil))))
 
     try {
       // 2. affected A keys. ΔA's keys are all affected by definition; the
@@ -184,13 +244,10 @@ object MaterializedJoin {
       val fromB = dB.toSeq.flatMap { d =>
         if (!CdcStream.hasVisibleParquet(spark, aFkDir)) Nil
         else {
-          import spark.implicits._
-          val fkBuckets = d
-            .select(pmod(hash(col(cfg.bKey)), lit(cfg.nBuckets)).as("b"))
-            .distinct().as[Int].collect()
+          val fkBuckets = buckets.getOrElse(2, Nil)
           if (fkBuckets.isEmpty) Nil
           else Seq(SyncManifest.readCommitted(spark, aFkDir)
-            .where(col("bucket").isin(fkBuckets.toSeq: _*))
+            .where(col("bucket").isin(fkBuckets: _*))
             .join(d.select(col(cfg.bKey).as(cfg.fk)).distinct(), Seq(cfg.fk),
               "left_semi")
             .select(col(cfg.aKey)))
@@ -201,14 +258,19 @@ object MaterializedJoin {
       val affected = affectedParts.reduce(_ unionByName _).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        val tV = System.nanoTime()
         recomputeAffected(spark, cfg, affected, dA, dB, aKeyDir, bKeyDir,
           viewDir, batchVersion)
+        mark("view round", tV)
       } finally affected.unpersist(false)
-    } finally
+    } finally {
       // the NEXT batch (and the caller's read) must observe the committed
       // mirrors — and a commit failure must fail the batch loudly
+      val tM = System.nanoTime()
       Await.result(Future.sequence(mirrorCommits),
         scala.concurrent.duration.Duration.Inf)
+      mark("mirror await", tM)
+    }
   }
 
   private def recomputeAffected(spark: SparkSession, cfg: Config,
@@ -222,9 +284,14 @@ object MaterializedJoin {
     // nothing references: mirrors updated, no view work), and the view
     // commit's touched set (the view upserts carry exactly one row per
     // affected key under the same bucketing, so the sets coincide).
+    def mark(label: String, t0: Long): Unit =
+      if (sys.env.contains("SPARK_GRAFT_MJ_TIMING"))
+        System.err.println(f"[mj] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val tA2 = System.nanoTime()
     val affBuckets = affected
       .select(bucketOf(cfg.aKey, cfg.nBuckets).as("b")).distinct()
       .as[Int].collect().toSeq
+    mark("A2 affected collect", tA2)
     if (affBuckets.isEmpty) return
 
     // 3. recompute exactly the affected keys from (committed generation ∪
@@ -245,9 +312,11 @@ object MaterializedJoin {
     val aRows = aLive.select(aPayload.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val tA3 = System.nanoTime()
       val bNewest = mergedNewest(spark, bKeyDir, cfg.bKey, cfg.versionCol,
         dB, aRows.select(col(cfg.fk)).where(col(cfg.fk).isNotNull), cfg.fk,
         cfg.nBuckets)
+      mark("A3 aRows+bBuckets", tA3)
       val bLive =
         if (bNewest.columns.isEmpty) bNewest
         else bNewest.where(!isDeletedCol(bNewest))
@@ -285,11 +354,13 @@ object MaterializedJoin {
       // no extra collect and the upsert plan executes exactly once — the
       // write job itself (its inputs are committed files + cached frames,
       // so the single evaluation is deterministic).
+      val tA4 = System.nanoTime()
       CdcStream.mergeCommitTouched(spark, upserts, Seq(cfg.aKey),
         cfg.versionCol, viewDir, affBuckets,
         // one row per affected key at the batch's (strictly increasing)
         // version ⇒ anti-join replace, no newest-per-key sort
         newWins = true)
+      mark("A4 view commit", tA4)
     } finally aRows.unpersist(false)
   }
 

@@ -171,15 +171,23 @@ object Ranking {
     *
     * Negative values clamp to 0 (ClickHouse stores timings unsigned).
     * Output: one row per (group, q) with the grid-value quantile.
+    *
+    * `clampToClickHouse = true` restores drop-in ClickHouse parity for the
+    * tail: every value above 30720 ms clamps to 30000 ms (ClickHouse's
+    * documented "considered an error" sentinel), instead of this
+    * implementation's default 512 ms tail buckets. Default off — the
+    * rankable tail is strictly more informative; flip it only when
+    * migrating dashboards that assert the 30000 sentinel.
     */
   def timingQuantiles(df: DataFrame, grpCol: String, msCol: Column,
-                      qs: Seq[Int]): DataFrame = {
+                      qs: Seq[Int], clampToClickHouse: Boolean = false): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
       s"bad percentiles $qs")
     val ms = greatest(msCol.cast("long"), lit(0L))
     val grid = when(ms < 1024, ms)
       .when(ms < 30720, (ms / 16).cast("long") * 16)
-      .otherwise((ms / 512).cast("long") * 512)
+      .otherwise(if (clampToClickHouse) lit(30000L)
+                 else (ms / 512).cast("long") * 512)
     val perVal = df.select(col(grpCol).as("g"), grid.as("v"))
       .where(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))

@@ -448,6 +448,49 @@ object PgOutput extends Serializable {
     if (maxes.isEmpty) None else Some(maxes.max)
   }
 
+  /** ONE-pass relid tagging for a multi-table split
+    * ([[graft.streaming.PgOutputStream.mirrorFramesMulti]]): each frame
+    * gains `relids` (the tables it belongs to — one for DML/Relation, the
+    * whole list for TRUNCATE) and `rel_name` (the table name, Relation
+    * frames only — the driver joins these to map names to relid sets).
+    * An EMPTY `relids` marks a transaction-control / keepalive / broken
+    * frame, which every table's parse must see (commit stamping needs the
+    * control frames; a broken frame must reach every table's
+    * dead-letter). Stream-segment state is resolved exactly as
+    * [[parse]]'s pass 0 does, so v2 xid-prefixed DML peeks correctly.
+    */
+  def tagRelids(raw: DataFrame, dataCol: String): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val bin = raw.select(col(dataCol).as("__frame")).as[Array[Byte]](Encoders.BINARY)
+    val streamEvts = bin.mapPartitions(_.flatMap { bytes =>
+      decodeFrame(bytes) match {
+        case Right(XLogData(w, _, _, StreamStart(_, _))) => Iterator.single(StreamEvt(0, w, 0L, 0L))
+        case Right(XLogData(w, _, _, StreamStop)) => Iterator.single(StreamEvt(1, w, 0L, 0L))
+        case _ => Iterator.empty
+      }
+    })(Encoders.product[StreamEvt]).collect()
+    val metaB = spark.sparkContext.broadcast(buildStreamMeta(streamEvts.toSeq))
+    bin.mapPartitions { it =>
+      val m = metaB.value
+      it.map { bytes =>
+        val msg = decodeFrame(bytes, xlogWalStart(bytes).exists(m.inSegment)) match {
+          case Right(XLogData(_, _, _, Streamed(_, inner))) => Some(inner)
+          case Right(XLogData(_, _, _, inner)) => Some(inner)
+          case _ => None
+        }
+        msg match {
+          case Some(Relation(relid, _, name, _, _)) => (bytes, Seq(relid), name)
+          case Some(Insert(relid, _)) => (bytes, Seq(relid), null)
+          case Some(Update(relid, _, _, _)) => (bytes, Seq(relid), null)
+          case Some(Delete(relid, _)) => (bytes, Seq(relid), null)
+          case Some(Truncate(relids, _, _)) => (bytes, relids.toSeq, null)
+          case _ => (bytes, Seq.empty[Int], null) // control / broken: all tables
+        }
+      }
+    }.toDF(dataCol, "relids", "rel_name")
+  }
+
   // ── Standby Status Update: the client→server feedback half ───────────
 
   /** The client→server Standby Status Update (`r`) body — the feedback

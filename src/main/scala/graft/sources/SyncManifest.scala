@@ -153,6 +153,24 @@ object SyncManifest {
       }
     fc match {
       case Some(c) =>
+        // the rename of the DATA file is atomic, but ChecksumFs moves the
+        // `.crc` sidecar in a SECOND rename — a concurrent reader in that
+        // window validates the new data against the old sidecar and dies
+        // with a ChecksumException. Drop both sidecars (via the raw FS —
+        // the checksum layer hides them) before the swap: a missing crc
+        // simply skips verification, and the manifest's own fmt/shape
+        // checks already catch torn content.
+        val raw = fs match {
+          case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+          case f => f
+        }
+        def dropCrc(p: Path): Unit = {
+          val crc = new Path(p.getParent, "." + p.getName + ".crc")
+          try raw.delete(crc, false)
+          catch { case _: java.io.IOException => () }
+        }
+        dropCrc(tmp)
+        dropCrc(dst)
         c.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       case None =>

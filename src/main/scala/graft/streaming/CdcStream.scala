@@ -364,9 +364,29 @@ object CdcStream {
     val withBucket = pinned
       .withColumn("bucket", pmod(hash(bCols.map(col): _*), lit(target.nBuckets)))
     val touched = withBucket.select("bucket").distinct().as[Int].collect()
+    upsertOneTargetAt(spark, pinned, keys, versionCol, target, touched.toSeq)
+  }
+
+  /** [[upsertOneTarget]] with the batch's touched-bucket set already
+    * collected — the driver-latency fusion seam: a caller maintaining
+    * several layouts ([[graft.operators.MaterializedJoin]]) computes every
+    * target's set in ONE job over the pinned delta instead of one job per
+    * target, then the merge+commit writes are the only Spark work left
+    * per target. Caller contract: `touched` is exactly the delta's bucket
+    * set under this target's bucketing (a superset would vacuum-replace
+    * untouched buckets with their own content — wasteful but correct; a
+    * SUBSET would lose rows, see [[mergeCommitTouched]]).
+    */
+  private[graft] def upsertOneTargetAt(spark: SparkSession, pinned: DataFrame,
+                                       keys: Seq[String], versionCol: String,
+                                       target: UpsertTarget,
+                                       touched: Seq[Int]): Unit = {
     if (touched.isEmpty) return // empty batch: not a sync, commit nothing
+    val bCols = if (target.bucketCols.isEmpty) keys else target.bucketCols
+    val withBucket = pinned
+      .withColumn("bucket", pmod(hash(bCols.map(col): _*), lit(target.nBuckets)))
     mergeCommitTouched(spark, withBucket, keys, versionCol, target.dir,
-      touched.toSeq)
+      touched)
   }
 
   /** Merge `withBucket` (batch rows already carrying their `bucket` id)

@@ -47,8 +47,110 @@ object PgOutputStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          syncTableBatch(spark, batch, dataCol, table, keys, targetDir,
+            deadDir, nBuckets, healToast, batchId)
+      }
+      .start()
+  }
+
+  /** One mirrored table of a multiplexed capture stream. */
+  final case class TableSpec(table: String, keys: Seq[String], nBuckets: Int = 64)
+
+  /** Multi-table capture from ONE multiplexed frame stream — a postgres
+    * publication usually carries several tables over a single slot, and
+    * running [[mirrorFrames]] per table would decode every frame once PER
+    * TABLE. Here each microbatch is tagged in a single decode pass
+    * ([[PgOutput.tagRelids]]): every DML/Relation frame learns the one
+    * relid it belongs to (TRUNCATE its list), transaction-control frames
+    * belong to all tables, and the driver resolves table names to relid
+    * sets from the batch's own Relation frames plus each table's
+    * persisted registry. Each table then syncs from its OWN frame subset
+    * (its relids + the shared control frames) through the exact
+    * single-table body ([[syncTableBatch]]): per-table mirror under
+    * `targetDir/<table>`, per-table registry, per-table dead-letter under
+    * `deadRoot/<table>`, per-table confirmed-flush LSN. The per-table
+    * syncs touch disjoint directories and run CONCURRENTLY, the
+    * [[graft.operators.MaterializedJoin]] pattern.
+    *
+    * A DML frame whose relid maps to NO named table is dropped silently —
+    * exactly what the single-table loop does with other tables' DML.
+    * Broken frames reach EVERY table's dead-letter (loud beats lost).
+    */
+  def mirrorFramesMulti(frames: DataFrame, dataCol: String,
+                        tables: Seq[TableSpec], targetDir: String,
+                        checkpointDir: String,
+                        deadRoot: Option[String] = None,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        healToast: Boolean = true): StreamingQuery = {
+    require(tables.nonEmpty, "mirrorFramesMulti needs at least one table")
+    require(tables.map(_.table).distinct.size == tables.size,
+      s"duplicate table names in ${tables.map(_.table)}")
+    val spark = frames.sparkSession
+    frames.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val prior = readRegistry(spark, targetDir, table)
+          val tagged = PgOutput.tagRelids(batch, dataCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // name → relids: the batch's own Relation frames (one small
+            // collect over the pinned tagged batch) + each persisted
+            // registry (pgoutput re-describes a relation only on change
+            // or reconnect — bare-DML batches resolve via the registry)
+            val batchPairs = tagged.where(col("rel_name").isNotNull)
+              .select(col("rel_name"), element_at(col("relids"), 1).as("relid"))
+              .distinct().collect()
+              .map(r => (r.getString(0), r.getInt(1)))
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            implicit val ec: ExecutionContext = ExecutionContext.global
+            val work = tables.map { t =>
+              val relids = (batchPairs.collect { case (n, r) if n == t.table => r } ++
+                readRegistry(spark, targetDir, t.table).map(_.relid)).toSet
+              if (relids.isEmpty)
+                // never-described table: no frames can be its, and parse
+                // (rightly) refuses to run without a Relation — its LSN
+                // simply doesn't advance this batch, the safe direction
+                Future.successful(())
+              else {
+                val subset = tagged
+                  .where(size(col("relids")) === 0 ||
+                    arrays_overlap(col("relids"), lit(relids.toArray.sorted)))
+                  .select(col(dataCol))
+                Future(syncTableBatch(spark, subset, dataCol, t.table, t.keys,
+                  s"$targetDir/${t.table}",
+                  deadRoot.map(d => s"$d/${t.table}"), t.nBuckets,
+                  healToast, batchId, stateDirOpt = Some(targetDir)))
+              }
+            }
+            Await.result(Future.sequence(work),
+              scala.concurrent.duration.Duration.Inf)
+            ()
+          } finally tagged.unpersist(false)
+        }
+      }
+      .start()
+  }
+
+  /** One table's batch sync — the body both capture loops share: parse,
+    * dead-letter, TOAST heal, truncate tombstones, mirror upsert, registry
+    * write, then (only when nothing was lost) the confirmed-flush LSN
+    * advance. `batch` carries this table's frames plus the stream's
+    * transaction-control frames.
+    */
+  private[graft] def syncTableBatch(spark: SparkSession, batch: DataFrame,
+                                    dataCol: String, table: String,
+                                    keys: Seq[String], targetDir: String,
+                                    deadDir: Option[String], nBuckets: Int,
+                                    healToast: Boolean, batchId: Long,
+                                    stateDirOpt: Option[String] = None): Unit = {
+        {
+          // single-table loop: registry + LSN live beside the mirror;
+          // multi-table: they share the ROOT (one registry store for the
+          // stream) while each table's mirror lives in its own subdir
+          val stateDir = stateDirOpt.getOrElse(targetDir)
+          val prior = readRegistry(spark, stateDir, table)
           val parsed = PgOutput.parse(batch, dataCol, table, prior)
           deadDir.foreach { d =>
             val dead = parsed.deadLetter.withColumn("_batch_id", lit(batchId))
@@ -95,7 +197,7 @@ object PgOutputStream {
           }
           CdcStream.upsertBatch(spark, upserts,
             keys, "_version", targetDir, nBuckets)
-          writeRegistry(spark, targetDir, table, parsed.relations)
+          writeRegistry(spark, stateDir, table, parsed.relations)
           // feedback bookkeeping LAST (after the mirror + registry are
           // durable): the confirmed-flush LSN advances to the batch's max
           // frame walEnd, but ONLY when nothing was lost — dead-lettered
@@ -112,10 +214,8 @@ object PgOutputStream {
           val deadSafe = deadDir.isDefined || parsed.deadLetter.isEmpty
           if (deadSafe)
             PgOutput.maxFrameWalEnd(batch, dataCol)
-              .foreach(advanceConfirmedLsn(spark, targetDir, table, _))
+              .foreach(advanceConfirmedLsn(spark, stateDir, table, _))
         }
-      }
-      .start()
   }
 
   // ── replication-slot feedback (Standby Status Update bookkeeping) ────

@@ -112,7 +112,8 @@ class IndexMigrationSpec extends SparkSpec {
     // residual flag — load must default to raw decoding and probe
     // identically (reading raw codes as residuals would score garbage)
     val idx = IvfIndex.create(embs, "vec_id", "embedding", dir,
-      numCentroids = 8, pqM = 4, pqKsub = 16, pqResidual = false)
+      numCentroids = 8, pqM = 4, pqKsub = 16, pqResidual = false,
+      pqRotate = false) // fmt-4 builds predate the OPQ rotation too
     val queries = embs.where($"vec_id" % 25 === 0)
     def rows(i: IvfIndex) =
       i.probe(queries, "vec_id", "embedding", 5, nProbe = 3)
@@ -120,10 +121,33 @@ class IndexMigrationSpec extends SparkSpec {
     val before = rows(idx)
     rewrite(dir, "_graft_ivf_index.json")(
       _.replaceAll("\"fmt\":\\d+", "\"fmt\":4")
-        .replaceAll(""","pq_res":\d+""", ""))
+        .replaceAll(""","pq_res":\d+""", "")
+        .replaceAll(""","pq_rot":\d+""", ""))
     val migrated = IvfIndex.load(spark, dir)
     assert(!migrated.pqResidual)
     assert(rows(migrated) == before, "fmt-4 probe diverged")
+  }
+
+  test("fmt-5 IVF meta (residual PQ, pre-rotation) opens in place") {
+    val dir = tmp("graft_ivf_fmt5")
+    // a fmt-5 index quantized UNROTATED residuals: build one the old way
+    // (pqRotate = false), stamp back to fmt 5 without the rotation flag —
+    // load must default to identity rotation and probe identically
+    // (decoding rotated codes without the rotation would score garbage,
+    // which is why the rotation bumps the format at all)
+    val idx = IvfIndex.create(embs, "vec_id", "embedding", dir,
+      numCentroids = 8, pqM = 4, pqKsub = 16, pqRotate = false)
+    val queries = embs.where($"vec_id" % 25 === 0)
+    def rows(i: IvfIndex) =
+      i.probe(queries, "vec_id", "embedding", 5, nProbe = 3)
+        .as[(Long, Long, Long)].collect().toSet
+    val before = rows(idx)
+    rewrite(dir, "_graft_ivf_index.json")(
+      _.replaceAll("\"fmt\":\\d+", "\"fmt\":5")
+        .replaceAll(""","pq_rot":\d+""", ""))
+    val migrated = IvfIndex.load(spark, dir)
+    assert(migrated.pqResidual && migrated.pqRot.isEmpty)
+    assert(rows(migrated) == before, "fmt-5 probe diverged")
   }
 
   test("a format outside the compat set still skews, never opens") {

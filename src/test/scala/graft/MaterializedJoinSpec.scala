@@ -162,6 +162,48 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(readView(root) == recompute(root))
   }
 
+  test("warm-mirror batch runs a bounded driver-job chain (the latency budget)") {
+    // at high batch cadence on a real cluster the batch cost is the
+    // SEQUENTIAL driver-action chain, not data volume — pin the job count
+    // the way ShuffleShapeSpec pins exchanges. Budget for a both-sides
+    // batch over warm mirrors: 1 fused bucket-collect (A0: all three
+    // mirror touched sets + the index probe's fk prune in ONE cache-local
+    // job), 1 affected collect, 1 A-side merge + B-bucket collect, 1 view
+    // commit write, 3 concurrent mirror merge writes — 7 structural jobs,
+    // plus the broadcast-relation builds the merge joins run as their own
+    // jobs (bounded by plan shape, not data): measured steady state is 15.
+    // Before this budget existed the same batch ran ~50 jobs (per-target
+    // bucket collects + AQE materializing every exchange of every tiny
+    // maintenance plan as its own job — why applyBatch now runs in an
+    // AQE-off child session). The assert carries headroom over 15 so a
+    // Spark version bump doesn't flake it, while still catching either
+    // regression class (each re-adds 3+ jobs at once).
+    val root = java.nio.file.Files.createTempDirectory("mjoin_jobs").toString
+    MaterializedJoin.applyBatch(spark, root, cfg,
+      Some(dA((1L, 10L, "a1", 1L, false), (2L, 11L, "a2", 1L, false))),
+      Some(dB((10L, "ann", 1L, false), (11L, "bob", 1L, false))), 1L)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      MaterializedJoin.applyBatch(spark, root, cfg,
+        Some(dA((1L, 11L, "a1x", 2L, false), (3L, 10L, "a3", 2L, false))),
+        Some(dB((11L, "bea", 2L, false))), 2L)
+      // listener events are posted asynchronously; give the bus a moment
+      // (job STARTS all precede applyBatch's return — only delivery lags)
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val jobs = counter.get()
+    assert(jobs <= 20, s"warm-mirror applyBatch ran $jobs driver jobs — " +
+      "the driver-latency budget (7 structural + broadcast builds, " +
+      "measured 15) has regressed")
+    assert(readView(root) == recompute(root))
+  }
+
   test("mismatched fk/bKey Spark types fail loudly instead of pruning wrong buckets") {
     val root = java.nio.file.Files.createTempDirectory("mjoin4").toString
     val aInt = Seq((1, 10, "ax", 1L, false))

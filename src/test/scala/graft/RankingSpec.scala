@@ -114,5 +114,13 @@ class RankingSpec extends SparkSpec {
     val r = Ranking.timingQuantiles(df, "g", col("ms"), Seq(10, 50, 90, 99))
       .as[(String, Int, Long)].collect().map(x => x._2 -> x._3).toMap
     assert(r == Map(10 -> 0L, 50 -> 1023L, 90 -> 30720L, 99 -> 30720L))
+    // clampToClickHouse: the >=30720 ms tail flattens to the 30000
+    // sentinel, which sorts BELOW the 16 ms zone's top cells (30704 here)
+    // — ClickHouse's own non-monotonic corner, reproduced: the sentinel
+    // absorbs q90 but the last in-zone cell still carries q99
+    val c = Ranking.timingQuantiles(df, "g", col("ms"), Seq(10, 50, 90, 99),
+        clampToClickHouse = true)
+      .as[(String, Int, Long)].collect().map(x => x._2 -> x._3).toMap
+    assert(c == Map(10 -> 0L, 50 -> 1023L, 90 -> 30000L, 99 -> 30704L))
   }
 }

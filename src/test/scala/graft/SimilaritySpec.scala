@@ -743,6 +743,54 @@ class SimilaritySpec extends SparkSpec {
       again.groupBy(_._1).view.mapValues(_.map(_._2)).toMap) == res)
   }
 
+  test("OPQ-lite rotation (fmt 6): rotated-residual recall >= unrotated on correlated dims, reload-identical") {
+    // correlate dims ACROSS the m=4 subspace boundaries: 45° Givens
+    // rotations on pairs (3,4), (7,8), (11,12) smear each cluster's
+    // signal over two adjacent subspaces — the exact failure mode plain
+    // subspace splitting has on correlated data and the case Ge et al.'s
+    // rotation exists for. The mixing is orthogonal, so brute-force
+    // ground truth is the same neighbor set as the unmixed fixture.
+    val c = math.cos(math.Pi / 4).toFloat
+    def mix(v: Array[Float]): Array[Float] = {
+      val out = v.clone()
+      for (a <- Seq(3, 7, 11)) {
+        val (x, y) = (v(a), v(a + 1))
+        out(a) = c * x - c * y
+        out(a + 1) = c * x + c * y
+      }
+      out
+    }
+    val correlated = clustered.as[(Long, Array[Float])]
+      .map { case (id, v) => (id, mix(v)) }.toDF("vec_id", "embedding")
+      .cache()
+    val queries = correlated.where($"vec_id" % 40 === 0)
+    val exact = tops(Similarity.bruteForceTopK(correlated, queries,
+      "vec_id", "embedding", 10))
+    val base = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    def recallAt(dir: String, rotate: Boolean): Double = {
+      val idx = graft.operators.IvfIndex.create(correlated, "vec_id",
+        "embedding", dir, numCentroids = 16, kmeansIters = 2, pqM = 4,
+        pqKsub = 4, pqRotate = rotate)
+      val got: Set[(Long, Long, Long)] =
+        idx.probe(queries, "vec_id", "embedding", 10, nProbe = 8)
+          .as[(Long, Long, Long)].collect().toSet
+      recallOf(exact, got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+    }
+    val plain = recallAt(s"$base/plain", rotate = false)
+    val rotated = recallAt(s"$base/rot", rotate = true)
+    assert(rotated >= plain,
+      s"OPQ rotation lowered recall: $rotated < $plain")
+    assert(rotated >= 0.7, s"rotated recall $rotated below 0.7")
+    // the rotation survives the meta round trip and probes identically
+    val reload = graft.operators.IvfIndex.load(spark, s"$base/rot")
+    assert(reload.pqRot.isDefined)
+    val again: Set[(Long, Long, Long)] =
+      reload.probe(queries, "vec_id", "embedding", 10, nProbe = 8)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(recallOf(exact,
+      again.groupBy(_._1).view.mapValues(_.map(_._2)).toMap) == rotated)
+  }
+
   test("pqTopK falls back to brute force on an empty corpus slice") {
     val out = Similarity.pqTopK(corpus.where($"vec_id" < 0), corpus,
       "vec_id", "embedding", 3)
