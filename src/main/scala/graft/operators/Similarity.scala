@@ -264,7 +264,19 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, ksub: Int, sampleN: Int = 1024,
-              iters: Int = 5): PqModel = {
+              iters: Int = 5): PqModel =
+    pqTrainRotated(corpus, idCol, vecCol, m, ksub, sampleN, iters,
+      rotate = false)._1
+
+  /** [[pqTrain]] with the OPQ-lite option: when `rotate`, the returned
+    * rotation was applied to the training vectors before the subspace
+    * split and MUST be applied to everything later encoded or LUT'd
+    * against the model (see [[opqRotation]]).
+    */
+  def pqTrainRotated(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, ksub: Int, sampleN: Int = 1024,
+                     iters: Int = 5,
+                     rotate: Boolean = true): (PqModel, Option[Array[Double]]) = {
     require(m > 0 && ksub > 1 && ksub <= 256,
       s"bad m=$m ksub=$ksub (codes are one byte)")
     val sample = corpus
@@ -278,7 +290,23 @@ object Similarity {
     val dim = sample.head.getSeq[Double](1).length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    pqFit(sample.map(_.getSeq[Double](1).toArray), m, ksub, dsub, iters)
+    val vecs = sample.map(_.getSeq[Double](1).toArray)
+    val rot = if (rotate) Some(opqRotation(vecs, m)) else None
+    val fitVecs = rot match {
+      case None => vecs
+      case Some(r) => vecs.map(rotateVec(r, _))
+    }
+    (pqFit(fitVecs, m, ksub, dsub, iters), rot)
+  }
+
+  private[operators] def rotateVec(r: Array[Double],
+                                   v: Array[Double]): Array[Double] = {
+    val d = v.length
+    Array.tabulate(d) { ri =>
+      var s = 0.0; var ci = 0
+      while (ci < d) { s += r(ri * d + ci) * v(ci); ci += 1 }
+      s
+    }
   }
 
   /** The driver-side sub-k-means fit behind [[pqTrain]], on an
@@ -377,12 +405,18 @@ object Similarity {
     * (int8).
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               model: PqModel): DataFrame =
+               model: PqModel,
+               rot: Option[Array[Double]] = None): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val enc = rot match {
+      case None => org.apache.spark.sql.graft.bridge.expression(vec)
+      case Some(r) => graft.expressions.RotateVector(
+        org.apache.spark.sql.graft.bridge.expression(vec), r, model.dim)
+    }
     corpus.select(col(idCol).cast("long").as("corpus_id"),
       org.apache.spark.sql.graft.bridge.column(graft.expressions.PqEncode(
-        org.apache.spark.sql.graft.bridge.expression(
-          col(vecCol).cast("array<double>")),
-        model.codebooks, model.m, model.ksub, model.dsub)).as("codes"))
+        enc, model.codebooks, model.m, model.ksub, model.dsub)).as("codes"))
+  }
 
   /** PQ approximate top-k by cosine — asymmetric distance computation
     * (ADC): each query precomputes an m×ksub lookup table of sub-dots
@@ -411,7 +445,11 @@ object Similarity {
     import spark.implicits._
     val nonEmpty = corpus.select(col(idCol)).limit(1).count() > 0
     if (!nonEmpty) return bruteForceTopK(corpus, queries, idCol, vecCol, k)
-    val mdl = pqTrain(corpus, idCol, vecCol, m, ksub, sampleN, iters)
+    // OPQ-lite rotation by default (see opqRotation): orthogonal, so the
+    // ADC math below is IDENTICAL on rotated inputs — only the
+    // quantization cells align better with the data's principal axes
+    val (mdl, rot) = pqTrainRotated(corpus, idCol, vecCol, m, ksub,
+      sampleN, iters)
     val qRows = queries
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
@@ -432,8 +470,9 @@ object Similarity {
       cNorm2(j * ksub + c) = n2
     }
     for (qi <- 0 until nq) {
-      val v = qRows(qi).getSeq[Double](1).toArray
-      require(v.length == mdl.dim, s"query dim ${v.length} != ${mdl.dim}")
+      val v0 = qRows(qi).getSeq[Double](1).toArray
+      require(v0.length == mdl.dim, s"query dim ${v0.length} != ${mdl.dim}")
+      val v = rot.map(rotateVec(_, v0)).getOrElse(v0)
       var n2 = 0.0
       var i = 0
       while (i < v.length) { n2 += v(i) * v(i); i += 1 }
@@ -451,7 +490,7 @@ object Similarity {
     val cNorm2B = spark.sparkContext.broadcast(cNorm2)
     val qIdsB = spark.sparkContext.broadcast(qIds)
     val ksubL = ksub; val mL = m; val kL = k
-    val partials = pqEncode(corpus, idCol, vecCol, mdl)
+    val partials = pqEncode(corpus, idCol, vecCol, mdl, rot)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val luts = dotsB.value; val qn = qNormB.value
