@@ -755,6 +755,10 @@ object SparkEntry {
     // is the same double expression — so a float statistic hash-matches
     // cross-engine (native corr() would not: its running-update order
     // varies). One corpus pass, map-side combinable
+    // the matrix form beside the single-pair twin: 6 pairs from ONE scan
+    "lineitem_corr_matrix" -> ((s, d) =>
+      Profiler.corrMatrix(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "lineitem_corr" -> ((s, d) => {
       val dx = col("l_quantity").cast("decimal(18,2)")
       val dy = col("l_extendedprice").cast("decimal(18,2)")
@@ -1713,6 +1717,58 @@ object SparkEntry {
                 rk
          FROM c CROSS JOIN tot
          WHERE round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.8""",
+    "lineitem_corr_matrix" ->
+      """WITH m AS (SELECT count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_0,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_1,
+                  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_2,
+                  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_3,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p_0_0,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_0_1,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p_0_2,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p_0_3,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_1_1,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p_1_2,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p_1_3,
+                  CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p_2_2,
+                  CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p_2_3,
+                  CAST(sum(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p_3_3
+           FROM lineitem)
+           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+                  round((CAST(n AS DOUBLE) * p_0_1 - s_0 * s_1)
+                        / sqrt((CAST(n AS DOUBLE) * p_0_0 - s_0 * s_0)
+                             * (CAST(n AS DOUBLE) * p_1_1 - s_1 * s_1)), 6) AS corr
+           FROM m
+           UNION ALL
+           SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, n,
+                  round((CAST(n AS DOUBLE) * p_0_2 - s_0 * s_2)
+                        / sqrt((CAST(n AS DOUBLE) * p_0_0 - s_0 * s_0)
+                             * (CAST(n AS DOUBLE) * p_2_2 - s_2 * s_2)), 6) AS corr
+           FROM m
+           UNION ALL
+           SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, n,
+                  round((CAST(n AS DOUBLE) * p_0_3 - s_0 * s_3)
+                        / sqrt((CAST(n AS DOUBLE) * p_0_0 - s_0 * s_0)
+                             * (CAST(n AS DOUBLE) * p_3_3 - s_3 * s_3)), 6) AS corr
+           FROM m
+           UNION ALL
+           SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n,
+                  round((CAST(n AS DOUBLE) * p_1_2 - s_1 * s_2)
+                        / sqrt((CAST(n AS DOUBLE) * p_1_1 - s_1 * s_1)
+                             * (CAST(n AS DOUBLE) * p_2_2 - s_2 * s_2)), 6) AS corr
+           FROM m
+           UNION ALL
+           SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, n,
+                  round((CAST(n AS DOUBLE) * p_1_3 - s_1 * s_3)
+                        / sqrt((CAST(n AS DOUBLE) * p_1_1 - s_1 * s_1)
+                             * (CAST(n AS DOUBLE) * p_3_3 - s_3 * s_3)), 6) AS corr
+           FROM m
+           UNION ALL
+           SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n,
+                  round((CAST(n AS DOUBLE) * p_2_3 - s_2 * s_3)
+                        / sqrt((CAST(n AS DOUBLE) * p_2_2 - s_2 * s_2)
+                             * (CAST(n AS DOUBLE) * p_3_3 - s_3 * s_3)), 6) AS corr
+           FROM m""",
     "lineitem_corr" ->
       """WITH m AS (
            SELECT l_returnflag, count(*) AS n,

@@ -96,6 +96,33 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
 
   private def rel(name: String): String = s"$dir/$name"
 
+  /** AQE-off maintenance child session for the BUILD lanes (addWith /
+    * compact writes) — the [[MaterializedJoin]] finding applies here too:
+    * AQE materializes every exchange of every small lifecycle plan as its
+    * own driver job, and the build cost at batch cadence is that driver
+    * chain, not data volume. Probes stay on the caller's session (their
+    * candidate joins are the data-scale part, where AQE earns its keep).
+    * Initialized lazily ON the (synchronized) writer thread — a plain
+    * `lazy val` would let a future thread take the instance monitor the
+    * writer already holds (the deadlock class documented at
+    * [[writeProbeSpill]]).
+    */
+  @volatile private var maintSession: org.apache.spark.sql.SparkSession = null
+  private def maint: org.apache.spark.sql.SparkSession = {
+    if (maintSession == null) {
+      val m = spark.newSession()
+      m.conf.set("spark.sql.adaptive.enabled", "false")
+      maintSession = m
+    }
+    maintSession
+  }
+
+  /** Rebuild a caller-session frame against the maintenance session —
+    * shared SparkContext/cache, so persisted inputs still hit.
+    */
+  private def onMaint(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.bridge.ofRows(maint, df.queryExecution.logical)
+
   /** The write-time (and probe-time) partition key: which `p=J` / `q=J`
     * directory a token / id lands in.
     */
@@ -352,20 +379,24 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     * slowest relation, not the sum, and the meta still commits strictly
     * after all of them (the visibility flip is unchanged).
     */
-  private def writeBatchRelations(p: Prepared, b: Int): Unit =
+  private def writeBatchRelations(p: Prepared, b: Int): Unit = {
+    maint // force session init on the calling thread
     JaccardIndex.concurrently(
-      () => p.post.withColumn("p", partOf(col("w")))
-        .repartition(col("p")) // ≈ one file per partition dir, not one per task
+      () => onMaint(p.post.withColumn("p", partOf(col("w")))
+        .repartition(col("p"))) // ≈ one file per partition dir, not one per task
         .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b")),
-      () => p.sets.withColumn("q", partOf(col("id")))
-        .repartition(col("q"))
+      () => onMaint(p.sets.withColumn("q", partOf(col("id")))
+        .repartition(col("q")))
         .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b")))
+  }
 
   private def addWith(p: Prepared): Unit = synchronized {
     materialized(p) {
       val b = committedBatches
+      maint // force session init on the calling thread
       JaccardIndex.concurrently(
-        () => p.newTokens.write.mode("overwrite").parquet(rel(s"tokens/b=$b")),
+        () => onMaint(p.newTokens).write.mode("overwrite")
+          .parquet(rel(s"tokens/b=$b")),
         () => writeBatchRelations(p, b))
       committedBatches = b + 1
       writeMeta(spark, dir, threshold, parts, committedBatches, liveBase)
@@ -394,17 +425,18 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
       df.where(col("b") >= lit(liveBase) && col("b") < lit(b)).drop("b")
     Seq("tokens", "postings", "sets")
       .foreach(r => IvfIndex.vacuumBelow(spark, rel(r), liveBase))
+    maint // force session init on the calling thread
     JaccardIndex.concurrently(
       () => if (hasData("tokens"))
-        live(readParquetCached("tokens", rel("tokens")))
+        onMaint(live(readParquetCached("tokens", rel("tokens"))))
           .write.mode("overwrite").parquet(rel(s"tokens/b=$b")),
       () => if (hasData("postings"))
-        live(readParquetCached("postings", rel("postings")))
-          .repartition(col("p"))
+        onMaint(live(readParquetCached("postings", rel("postings")))
+          .repartition(col("p")))
           .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b")),
       () => if (hasData("sets"))
-        live(readParquetCached("sets", rel("sets")))
-          .repartition(col("q"))
+        onMaint(live(readParquetCached("sets", rel("sets")))
+          .repartition(col("q")))
           .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b")))
     liveBase = b
     committedBatches = b + 1

@@ -125,4 +125,41 @@ object Profiler {
       .select(col("digit"), col("n"),
         (col("n") / sum(col("n")).over()).as("share"))
   }
+
+  /** ONE-pass pairwise Pearson correlation matrix over `cols` — the
+    * profiling companion of the single-pair per-group corr: every moment
+    * the k(k−1)/2 pairs need (k sums + k(k+1)/2 cross-products + one
+    * count) comes from ONE map-side-combined aggregation over ONE scan,
+    * never a pass per pair. Moments accumulate in DECIMAL (exact, so the
+    * result is independent of partitioning — the engine's stat-moment
+    * convention) and only the final ratio runs in doubles, rounded to
+    * `decimals` for engine-exact comparison. The pair explosion happens on
+    * the single aggregated row (an `explode` of k(k−1)/2 structs), so the
+    * scan executes once no matter how many pairs are requested.
+    *
+    * Output: (col_a, col_b, n, corr) for every a < b in `cols` order.
+    * Scale: shuffle carries one moments row; k² terms are map-side state —
+    * k is a column-list, never data-scale.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 decimals: Int = 6): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got $cols")
+    val k = cols.size
+    def dec(i: Int) = col(cols(i)).cast("decimal(18,2)")
+    val sums = cols.indices.map(i => sum(dec(i)).as(s"s_$i"))
+    val prods = for (i <- cols.indices; j <- i until k)
+      yield sum(dec(i) * dec(j)).as(s"p_${i}_$j")
+    val aggs = (count(lit(1)).as("n") +: (sums ++ prods)).toSeq
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    def sd(i: Int) = col(s"s_$i").cast("double")
+    def pd(i: Int, j: Int) = col(s"p_${i}_$j").cast("double")
+    val pairs = for (i <- cols.indices; j <- (i + 1) until k) yield struct(
+      lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+      col("n").as("n"),
+      round((n * pd(i, j) - sd(i) * sd(j)) /
+        sqrt((n * pd(i, i) - sd(i) * sd(i)) *
+             (n * pd(j, j) - sd(j) * sd(j))), decimals).as("corr"))
+    m.select(explode(array(pairs: _*)).as("pr")).select(col("pr.*"))
+  }
 }

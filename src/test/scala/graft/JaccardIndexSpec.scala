@@ -272,6 +272,34 @@ class JaccardIndexSpec extends SparkSpec {
       "a foreign probe's spill corrupted this probe's open plan")
   }
 
+  test("add runs a bounded driver-job chain (the build-latency budget)") {
+    // the MaterializedJoinSpec pattern: wall-clock on this box is noise,
+    // driver-job count is not. An add = the batch materialize + the
+    // order-key/vocabulary jobs of prepare + 3 concurrent relation writes
+    // in the AQE-off maintenance session — measured 11. AQE regressing
+    // into the build lanes (a job per exchange of every small plan) shows
+    // as a jump well past the headroom below.
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("graft_jidx_budget").toString + "/idx"
+    val idx = JaccardIndex.create(
+      real.where(pmod(col("doc_id"), lit(5)) > 0), "doc_id", "text", 0.8, dir)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      idx.add(real.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      Thread.sleep(500) // listener delivery lag; starts precede add's return
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val jobs = counter.get()
+    assert(jobs <= 15, s"index add ran $jobs driver jobs — the build-latency " +
+      "budget (materialize + prepare + 3 AQE-off writes, measured 11) has " +
+      "regressed")
+  }
+
   test("load tells format skew apart from corruption") {
     val dir = Files.createTempDirectory("graft_jidx_fmt").toString + "/idx"
     JaccardIndex.create(Seq((1L, "aa bb cc")).toDF("doc_id", "text"),

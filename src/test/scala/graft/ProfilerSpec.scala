@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Profiler
+import org.apache.spark.sql.functions
 
 class ProfilerSpec extends SparkSpec {
   import spark.implicits._
@@ -59,5 +60,31 @@ class ProfilerSpec extends SparkSpec {
     assert(out == Map(
       1L -> ((3L, 3.0 / 7)), 2L -> ((2L, 2.0 / 7)),
       3L -> ((1L, 1.0 / 7)), 9L -> ((1L, 1.0 / 7))))
+  }
+
+  test("corrMatrix: all pairs from one pass equal per-pair corr; scan count pinned") {
+    // hand-checkable: b = 2a (corr 1), c = -a (corr -1), d uncorrelated-ish
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 1.0),
+      (3.0, 6.0, -3.0, 4.0), (4.0, 8.0, -4.0, 2.0), (5.0, 10.0, -5.0, 9.0))
+      .toDF("a", "b", "c", "d").repartition(3)
+    val got = Profiler.corrMatrix(df, Seq("a", "b", "c", "d"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got.size == 6)
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == -1.0)
+    assert(got(("b", "c")) == -1.0)
+    // the off pairs agree with the engine's own per-pair corr to 6dp
+    for ((x, y) <- Seq(("a", "d"), ("b", "d"), ("c", "d"))) {
+      val want = df.agg(functions.round(functions.corr(
+        functions.col(x), functions.col(y)), 6)).head().getDouble(0)
+      assert(got((x, y)) == want, s"($x,$y): ${got((x, y))} vs $want")
+    }
+    // ONE scan no matter how many pairs: the plan reads the source once
+    val scans = Profiler.corrMatrix(df, Seq("a", "b", "c", "d"))
+      .queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Scan"))
+    assert(scans <= 1, s"corrMatrix plan scans the source $scans times")
   }
 }
