@@ -1379,6 +1379,12 @@ object SparkEntry {
     }),
     // embedding-space stratified sample: cap every mode at 20 vectors,
     // picked in deterministic hash order — assignment + pick both oracled
+    // per-cluster distance outliers: the embedding-space quality screen
+    "emb_outlier_dist" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.clusterOutliers(e, e.where(col("vec_id") < 8), "vec_id",
+        "embedding")
+    }),
     "emb_balanced_sample" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.balancedSample(e, e.where(col("vec_id") < 8), "vec_id",
@@ -3543,6 +3549,37 @@ object SparkEntry {
                                          ORDER BY d2, centroid_id) AS rn
                FROM d)
          SELECT vec_id, centroid_id, round(d2, 4) AS d2 FROM r WHERE rn = 1""",
+    "emb_outlier_dist" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS kv
+                    FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.kv[i] AS DOUBLE))
+                           * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.kv[i] AS DOUBLE))))
+                        AS d2
+               FROM embeddings e, c),
+         r AS (SELECT vec_id, centroid_id, d2,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, centroid_id) AS rn
+               FROM d),
+         a AS (SELECT vec_id, centroid_id,
+                      CAST(round(sqrt(round(d2, 4)), 6) AS DECIMAL(18,6)) AS dist
+               FROM r WHERE rn = 1),
+         m AS (SELECT vec_id, centroid_id, dist,
+                      CAST(count(*) OVER (PARTITION BY centroid_id) AS DOUBLE) AS n,
+                      CAST(sum(dist) OVER (PARTITION BY centroid_id) AS DOUBLE) AS sx,
+                      CAST(sum(dist * dist) OVER (PARTITION BY centroid_id) AS DOUBLE) AS sxx
+               FROM a)
+         SELECT vec_id, centroid_id, CAST(dist AS DOUBLE) AS dist,
+                CASE WHEN n > 1 AND sqrt((n * sxx - sx * sx) / (n * n)) > 0
+                     THEN round((CAST(dist AS DOUBLE) - sx / n)
+                                / sqrt((n * sxx - sx * sx) / (n * n)), 4)
+                END AS z,
+                coalesce(CASE WHEN n > 1 AND sqrt((n * sxx - sx * sx) / (n * n)) > 0
+                              THEN round((CAST(dist AS DOUBLE) - sx / n)
+                                         / sqrt((n * sxx - sx * sx) / (n * n)), 4) >= 2.0
+                         END, false) AS is_outlier
+         FROM m""",
     "emb_balanced_sample" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS kv
                     FROM embeddings WHERE vec_id < 8),

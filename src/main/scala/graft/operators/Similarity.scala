@@ -61,6 +61,43 @@ object Similarity {
         round(col("best.d2"), 4).as("d2"))
   }
 
+  /** Per-cluster distance outliers — the embedding-space quality screen of
+    * a curation pipeline (vectors far from every mode are mislabeled,
+    * corrupt, or off-distribution; SemDeDup-adjacent housekeeping): assign
+    * each vector to its nearest centroid ([[centroidAssign]]), then score
+    * each vector's distance against its OWN cluster's distribution —
+    * `z = (d − mean_c) / std_c` — and flag `z ≥ zCut`.
+    *
+    * Engine-exactness (the stat-moment convention): the distance
+    * `d = √d2` rounds to DECIMAL(18,6) BEFORE aggregation, so the
+    * per-cluster moment sums are exact integers-in-decimal and the
+    * mean/std/z doubles derive from exact sums identically on any
+    * partitioning and any engine; z rounds to 4dp and the flag compares
+    * the ROUNDED z. A singleton cluster (std 0) reports z null and never
+    * flags. One broadcast-codebook projection + ONE shuffle keyed by
+    * centroid (the moments aggregate + the window share it).
+    */
+  def clusterOutliers(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                      vecCol: String, zCut: Double = 2.0): DataFrame = {
+    val assigned = centroidAssign(corpus, centroids, idCol, vecCol)
+      .withColumn("dist", round(sqrt(col("d2")), 6).cast("decimal(18,6)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("centroid_id"))
+    val n = count(lit(1)).over(w).cast("double")
+    val sx = sum(col("dist")).over(w).cast("double")
+    val sxx = sum(col("dist") * col("dist")).over(w).cast("double")
+    val mean = sx / n
+    val variance = (n * sxx - sx * sx) / (n * n)
+    val std = sqrt(variance)
+    // n > 1 gates out singletons robustly: their variance is an exact 0 in
+    // theory but ulp noise in double space (sum-of-squares vs squared-sum
+    // cast orders differ), so the count — exact — is the reliable gate
+    val z = when(n > 1 && std > 0,
+      round((col("dist").cast("double") - mean) / std, 4))
+    assigned.select(col("vec_id"), col("centroid_id"),
+      col("dist").cast("double").as("dist"), z.as("z"),
+      coalesce(z >= zCut, lit(false)).as("is_outlier"))
+  }
+
   /** Cluster-balanced corpus sample: assign each vector to its nearest
     * centroid ([[centroidAssign]] — broadcast-codebook projection, the
     * corpus is never shuffled to assign), then keep exactly

@@ -791,6 +791,31 @@ class SimilaritySpec extends SparkSpec {
       again.groupBy(_._1).view.mapValues(_.map(_._2)).toMap) == rotated)
   }
 
+  test("clusterOutliers: per-cluster z-scores, singleton clusters never flag, layout-deterministic") {
+    // cluster 0 (centroid = unit x): four tight members + one far outlier;
+    // cluster 1 (centroid = unit y): exactly one member (singleton)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f, 0f)
+    val cents = Seq((0L, v(1, 0)), (1L, v(0, 1))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, v(1.00, 0.01)), (11L, v(0.99, 0.02)), (12L, v(1.01, 0.01)),
+      (13L, v(1.00, 0.02)), (14L, v(3.00, 0.00)), // far outlier, cluster 0
+      (20L, v(0.10, 0.90))) // the only cluster-1 member
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterOutliers(corpus, cents, "vec_id", "embedding")
+      .as[(Long, Long, Double, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(14L)._2 == 0L && got(14L)._5, s"far point not flagged: ${got(14L)}")
+    assert(got(14L)._4.exists(_ >= 2.0))
+    for (id <- Seq(10L, 11L, 12L, 13L)) assert(!got(id)._5, s"$id flagged")
+    // singleton cluster: std 0 -> z null, never an outlier
+    assert(got(20L)._2 == 1L && got(20L)._4.isEmpty && !got(20L)._5)
+    // layout-deterministic (exact decimal moments): identical on 1 vs 7 parts
+    val again = Similarity.clusterOutliers(corpus.repartition(7), cents,
+      "vec_id", "embedding")
+      .as[(Long, Long, Double, Option[Double], Boolean)].collect().toSet
+    assert(again == got.values.toSet)
+  }
+
   test("pqTopK falls back to brute force on an empty corpus slice") {
     val out = Similarity.pqTopK(corpus.where($"vec_id" < 0), corpus,
       "vec_id", "embedding", 3)
