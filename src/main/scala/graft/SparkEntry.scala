@@ -1313,6 +1313,10 @@ object SparkEntry {
         .unionAll(Profiler.referentialOrphans(t(s, d, "orders"), "o_custkey",
           t(s, d, "customer"), "c_custkey", "orders->customer"))
     }),
+    // CUSUM level-shift candidate per type: the drift detector a CDC
+    // monitor runs over a feed's hourly means
+    "events_changepoint" -> ((s, d) =>
+      Profiler.changepointCusum(t(s, d, "events"), "event_type", "ts", "value")),
     "benford_prices" -> ((s, d) =>
       Profiler.benfordFirstDigit(t(s, d, "orders"), "o_totalprice")),
     // per-source PII scan (the synthetic corpus is clean — the counts are
@@ -3432,6 +3436,36 @@ object SparkEntry {
                 (SELECT count(*) FROM orders),
                 (SELECT count(*) FROM orders o WHERE NOT EXISTS
                    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""",
+    "events_changepoint" ->
+      """WITH hourly AS (
+           SELECT event_type AS g, date_trunc('hour', ts) AS h, count(*) AS hn,
+                  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                             / count(*), 6) AS DECIMAL(18,6)) AS m
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT g, h, m,
+                  count(*) OVER (PARTITION BY g) AS n_hours,
+                  CAST(count(*) OVER (PARTITION BY g) AS DOUBLE) AS n,
+                  CAST(sum(m) OVER (PARTITION BY g) AS DOUBLE) AS sx,
+                  CAST(sum(m * m) OVER (PARTITION BY g) AS DOUBLE) AS sxx
+           FROM hourly),
+         dev AS (
+           SELECT g, h, n_hours,
+                  (CAST(m AS DOUBLE) - sx / n)
+                    / sqrt((n * sxx - sx * sx) / (n * n)) AS dev
+           FROM st
+           WHERE n > 1 AND sqrt((n * sxx - sx * sx) / (n * n)) > 0),
+         cs AS (
+           SELECT g, h, n_hours,
+                  round(sum(dev) OVER (PARTITION BY g ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cusum
+           FROM dev),
+         r AS (SELECT g, h, n_hours, cusum,
+                      row_number() OVER (PARTITION BY g
+                                         ORDER BY abs(cusum) DESC, h) AS rn
+               FROM cs)
+         SELECT g AS event_type, n_hours, h AS cp_hour, cusum
+         FROM r WHERE rn = 1""",
     "benford_prices" ->
       """SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit,
                 count(*) AS n,

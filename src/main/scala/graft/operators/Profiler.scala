@@ -126,6 +126,57 @@ object Profiler {
         (col("n") / sum(col("n")).over()).as("share"))
   }
 
+  /** CUSUM changepoint candidate per group — the level-shift detector a
+    * CDC monitor runs over a feed's hourly means (did the value
+    * distribution move mid-stream?): standardized hourly deviations from
+    * the group's grand mean accumulate in hour order, and the hour where
+    * |CUSUM| peaks is the classic changepoint estimate (Page 1954's
+    * cumulative-sum idea in its offline scan form).
+    *
+    * Engine-exactness: hourly means round to DECIMAL(18,6) (exact moment
+    * sums per group), grand mean/std derive from those exact sums, the
+    * running CUSUM adds doubles in a FIXED order (hour ascending — IEEE
+    * addition is deterministic given order), the peak ranks on the
+    * 4dp-rounded |CUSUM| with the hour as tie-break, and single-hour or
+    * zero-variance groups are filtered by exact counts before ranking.
+    * ONE shuffle to the (group, hour) grain; the per-group windows share
+    * the group partitioning.
+    *
+    * Output: (group, n_hours, cp_hour, cusum) — one row per group.
+    */
+  def changepointCusum(df: DataFrame, groupCol: String, tsCol: String,
+                       valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df.groupBy(col(groupCol).as("g"),
+        date_trunc("hour", col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("hn"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sv"))
+      .withColumn("m",
+        round(col("sv").cast("double") / col("hn"), 6).cast("decimal(18,6)"))
+    val byG = Window.partitionBy(col("g"))
+    val n = count(lit(1)).over(byG).cast("double")
+    val sx = sum(col("m")).over(byG).cast("double")
+    val sxx = sum(col("m") * col("m")).over(byG).cast("double")
+    val grand = sx / n
+    val std = sqrt((n * sxx - sx * sx) / (n * n))
+    val run = Window.partitionBy(col("g")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hourly
+      .withColumn("n_hours", count(lit(1)).over(byG))
+      .withColumn("__grand", grand)
+      .withColumn("__std", std)
+      // window expressions cannot sit in WHERE — materialize, then filter
+      .where(col("n_hours") > 1 && col("__std") > 0)
+      .withColumn("dev",
+        (col("m").cast("double") - col("__grand")) / col("__std"))
+      .withColumn("cusum", round(sum(col("dev")).over(run), 4))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
+        .orderBy(abs(col("cusum")).desc, col("h"))))
+    scored.where(col("rn") === 1)
+      .select(col("g").as(groupCol), col("n_hours"),
+        col("h").as("cp_hour"), col("cusum"))
+  }
+
   /** ONE-pass pairwise Pearson correlation matrix over `cols` — the
     * profiling companion of the single-pair per-group corr: every moment
     * the k(k−1)/2 pairs need (k sums + k(k+1)/2 cross-products + one

@@ -62,6 +62,31 @@ class ProfilerSpec extends SparkSpec {
       3L -> ((1L, 1.0 / 7)), 9L -> ((1L, 1.0 / 7))))
   }
 
+  test("changepointCusum finds the level-shift hour; stable on any layout") {
+    // type "a": 6 hours at value ~1 then 6 hours at ~10 — the classic
+    // offline CUSUM estimate peaks at the LAST pre-shift hour; type "b"
+    // has a single hour and must be filtered (no variance to standardize)
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    val rows =
+      (0 until 6).flatMap(h => Seq(("a", ts(h), 1.0), ("a", ts(h), 1.2))) ++
+      (6 until 12).flatMap(h => Seq(("a", ts(h), 10.0), ("a", ts(h), 9.8))) ++
+      Seq(("b", ts(0), 5.0))
+    val df = rows.toDF("event_type", "ts", "value").repartition(5)
+    val got = Profiler.changepointCusum(df, "event_type", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq("a")) // "b" filtered
+    val (_, nHours, cp, cusum) = got.head
+    assert(nHours == 12)
+    assert(cp == java.sql.Timestamp.valueOf("2024-01-01 05:00:00"),
+      s"changepoint at $cp")
+    assert(cusum < 0) // pre-shift hours sit below the grand mean
+    // exact decimal moments + fixed-order running sum: layout-stable
+    val again = Profiler.changepointCusum(df.repartition(11), "event_type",
+      "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)].collect().toSeq
+    assert(again == got.toSeq)
+  }
+
   test("corrMatrix: all pairs from one pass equal per-pair corr; scan count pinned") {
     // hand-checkable: b = 2a (corr 1), c = -a (corr -1), d uncorrelated-ish
     val df = Seq(
