@@ -1419,6 +1419,58 @@ object SparkEntry {
         round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
         round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"))
     }),
+    // market-basket association at brand granularity: which brand pairs
+    // co-occur in an order beyond chance (support/confidence/lift)
+    "basket_brand_pairs" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      Insights.marketBasket(items, "l_orderkey", "p_brand")
+    }),
+    // supplier Pareto frontier: max revenue at min average discount —
+    // sort-based exact 2D skyline, no self-join
+    "supplier_skyline" -> ((s, d) => {
+      val per = t(s, d, "lineitem").groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+          (sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)).cast("double")).as("avg_disc"))
+      Insights.skyline2d(per, "revenue", "avg_disc")
+        .select(col("l_suppkey"), col("revenue"), col("avg_disc"))
+    }),
+    // ABC inventory classification of parts by revenue share (A<=80%,
+    // B<=95%, C tail) — exact-decimal boundary, engine-reproducible
+    "part_abc_classes" -> ((s, d) => {
+      val per = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("rev"))
+      Insights.abcClasses(per, "l_partkey", "rev")
+    }),
+    // concentration of activity: Gini of per-user event counts per type
+    "events_user_gini" -> ((s, d) => {
+      val per = t(s, d, "events").groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+      Insights.giniByGroup(per, "event_type", "user_id", "n_ev")
+    }),
+    // RFM quintile segmentation of the customer base from the order log
+    "customer_rfm" -> ((s, d) =>
+      Insights.rfmCells(t(s, d, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice")),
+    // first-order Markov transition matrix between event types
+    "events_markov" -> ((s, d) =>
+      Behavior.markovTransitions(t(s, d, "events"), "user_id", "event_type",
+        "ts", "event_id")),
+    // lag-1/24/168h autocorrelation of the dense hourly traffic series
+    "events_autocorr" -> ((s, d) =>
+      Behavior.hourlyAutocorr(t(s, d, "events"), "ts", Seq(1, 24, 168))
+        .withColumnRenamed("lag", "lag_h")),
+    // per-user time-weighted mean gauge value (step-function holds)
+    "events_time_weighted" -> ((s, d) =>
+      Behavior.timeWeightedAvg(t(s, d, "events"), "user_id", "ts",
+        "event_id", "value")),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -3659,5 +3711,129 @@ object SparkEntry {
                 CAST(max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS max_days
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    "basket_brand_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+                        FROM lineitem JOIN part ON l_partkey = p_partkey),
+         marg AS (SELECT it, count(*) AS n FROM items GROUP BY 1),
+         tot AS (SELECT count(DISTINCT bk) AS nb FROM items),
+         pairs AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
+                   FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+                   GROUP BY 1, 2)
+         SELECT item_a, item_b, n_ab,
+                round(CAST(n_ab AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS support,
+                round(CAST(n_ab AS DOUBLE) / CAST(ma.n AS DOUBLE), 6) AS confidence,
+                round(CAST(n_ab AS DOUBLE) * CAST(nb AS DOUBLE)
+                      / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)), 6) AS lift
+         FROM pairs JOIN marg ma ON ma.it = item_a
+                    JOIN marg mb ON mb.it = item_b CROSS JOIN tot""",
+    "supplier_skyline" ->
+      ("""WITH per AS (SELECT l_suppkey, CAST(sum(""" + rev + """) AS DOUBLE) AS revenue,
+                CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS avg_disc
+              FROM lineitem GROUP BY 1),
+         lv AS (SELECT revenue, min(avg_disc) AS md FROM per GROUP BY 1),
+         cm AS (SELECT revenue,
+                  min(md) OVER (ORDER BY revenue DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mge,
+                  min(md) OVER (ORDER BY revenue DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mgt
+                FROM lv)
+         SELECT p.l_suppkey, p.revenue, p.avg_disc
+         FROM per p JOIN cm USING (revenue)
+         WHERE NOT (cm.mge < p.avg_disc
+                    OR (cm.mgt IS NOT NULL AND cm.mgt <= p.avg_disc))"""),
+    "part_abc_classes" ->
+      ("""WITH per AS (SELECT l_partkey, sum(""" + rev + """) AS rev
+              FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(rev) AS t FROM per),
+         c AS (SELECT rev, sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM per),
+         cls AS (SELECT CASE WHEN cum * 20 <= t * 16 THEN 'A'
+                             WHEN cum * 20 <= t * 19 THEN 'B'
+                             ELSE 'C' END AS abc_class, rev
+                 FROM c CROSS JOIN tot)
+         SELECT abc_class, count(*) AS n_units,
+                CAST(sum(rev) AS DOUBLE) AS class_total
+         FROM cls GROUP BY 1"""),
+    "events_user_gini" ->
+      """WITH per AS (SELECT event_type, user_id, count(*) AS n_ev
+                      FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, n_ev, row_number() OVER (
+                 PARTITION BY event_type ORDER BY n_ev, user_id) AS i FROM per)
+         SELECT event_type, count(*) AS n_keys,
+                (2.0 * CAST(sum(i * n_ev) AS DOUBLE)
+                 - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(n_ev) AS DOUBLE))
+                / (CAST(count(*) AS DOUBLE) * CAST(sum(n_ev) AS DOUBLE)) AS gini
+         FROM r GROUP BY 1""",
+    "customer_rfm" ->
+      """WITH per AS (SELECT o_custkey, max(o_orderdate) AS rec, count(*) AS freq,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+              FROM orders GROUP BY 1),
+         sc AS (SELECT CAST(ntile(5) OVER (ORDER BY rec, o_custkey) AS BIGINT) AS r_score,
+                       CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_score,
+                       CAST(ntile(5) OVER (ORDER BY mon, o_custkey) AS BIGINT) AS m_score,
+                       mon
+                FROM per)
+         SELECT r_score, f_score, m_score, count(*) AS n_customers,
+                CAST(sum(mon) AS DOUBLE) AS total_spend
+         FROM sc GROUP BY 1, 2, 3""",
+    "events_markov" ->
+      """WITH seq AS (SELECT event_type AS from_op,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS to_op
+              FROM events),
+         pairs AS (SELECT from_op, to_op, count(*) AS n FROM seq
+                   WHERE to_op IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT from_op, sum(n) AS tot FROM pairs GROUP BY 1)
+         SELECT from_op, to_op, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+         FROM pairs JOIN m USING (from_op)""",
+    "events_autocorr" ->
+      """WITH obs AS (SELECT date_trunc('hour', ts) AS h, count(*) AS x
+                      FROM events GROUP BY 1),
+         sp AS (SELECT unnest(generate_series(min(h), max(h),
+                  INTERVAL 1 HOUR)) AS h FROM obs),
+         ser AS (SELECT sp.h, coalesce(obs.x, 0) AS x
+                 FROM sp LEFT JOIN obs ON sp.h = obs.h),
+         l AS (SELECT x, lag(x, 1) OVER w AS l1, lag(x, 24) OVER w AS l24,
+                      lag(x, 168) OVER w AS l168
+               FROM ser WINDOW w AS (ORDER BY h)),
+         m AS (SELECT 1 AS lag_h, count(l1) AS n,
+                      sum(CASE WHEN l1 IS NOT NULL THEN x END) AS sx,
+                      sum(l1) AS sy, sum(x * l1) AS sxy,
+                      sum(CASE WHEN l1 IS NOT NULL THEN x * x END) AS sxx,
+                      sum(l1 * l1) AS syy FROM l
+               UNION ALL
+               SELECT 24, count(l24),
+                      sum(CASE WHEN l24 IS NOT NULL THEN x END),
+                      sum(l24), sum(x * l24),
+                      sum(CASE WHEN l24 IS NOT NULL THEN x * x END),
+                      sum(l24 * l24) FROM l
+               UNION ALL
+               SELECT 168, count(l168),
+                      sum(CASE WHEN l168 IS NOT NULL THEN x END),
+                      sum(l168), sum(x * l168),
+                      sum(CASE WHEN l168 IS NOT NULL THEN x * x END),
+                      sum(l168 * l168) FROM l)
+         SELECT lag_h, n,
+                round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                  AS autocorr
+         FROM m""",
+    "events_time_weighted" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                CAST(value AS DECIMAL(18,2)) AS v, event_id FROM events),
+         h AS (SELECT user_id, v,
+                 lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+                   AS hold
+               FROM e)
+         SELECT user_id, count(*) AS n_holds,
+                round(CAST(sum(v * hold) AS DOUBLE)
+                      / CAST(sum(hold) AS DOUBLE), 6) AS twa_value
+         FROM h WHERE hold IS NOT NULL
+         GROUP BY 1 HAVING sum(hold) > 0""",
   )
 }

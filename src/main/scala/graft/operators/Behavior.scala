@@ -873,4 +873,108 @@ object Behavior {
         max_by(col("p"), struct(col("__active"), (-col("p")).as("np")))
           .as("peak_at_micros"))
   }
+
+  /** First-order Markov transition matrix of `opCol` per key stream: one
+    * row per observed (from_op, to_op) of CONSECUTIVE events within a key
+    * (ordered by ts, id-tiebroken), with the transition count and the
+    * row-normalized probability P(to | from).
+    *
+    * One key-partitioned lead window (the per-key sort every sequence
+    * operator here pays, parallel across keys), one pair-key aggregate
+    * map-side combined, and the from-marginals come back as a
+    * dimension-sized broadcast — the event log shuffles twice total,
+    * never self-joins.
+    */
+  def markovTransitions(events: DataFrame, keyCol: String, opCol: String,
+                        tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(keyCol), col(opCol).as("from_op"), col(tsCol), col(idCol))
+      .withColumn("to_op", lead(col("from_op"), 1).over(w))
+      .where(col("to_op").isNotNull)
+      .groupBy(col("from_op"), col("to_op")).agg(count(lit(1)).as("n"))
+    val marginals = pairs.groupBy(col("from_op")).agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(marginals), Seq("from_op"))
+      .select(col("from_op"), col("to_op"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("p"))
+  }
+
+  /** Lag-k autocorrelations of the hourly event-count series: one row per
+    * requested lag with (lag, n pairs, Pearson r of count_t vs count_{t−k})
+    * over hours ON the observed hourly grid (sequence-densified between
+    * the observed min and max hour, absent hours counting 0 — a lag is a
+    * real k-hour step, not k observed rows).
+    *
+    * Exact by construction: counts are integers, so all six moments per
+    * lag are exact longs from ONE aggregate over the lagged frame; the
+    * single double expression at the end is engine-reproducible (same
+    * moment form as the corr family). The series is an hour-grained
+    * aggregate — window sorts hours, not events.
+    */
+  def hourlyAutocorr(events: DataFrame, tsCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags=$lags")
+    val observed = events
+      .groupBy(date_trunc("HOUR", col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = observed
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = spine.join(observed, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.orderBy(col("h"))
+    val lagged = lags.foldLeft(series) { (df, k) =>
+      df.withColumn(s"_l$k", lag(col("x"), k).over(w))
+    }
+    val perLag = lags.map { k =>
+      val y = col(s"_l$k")
+      struct(lit(k).as("lag"),
+        count(y).as("n"),
+        sum(when(y.isNotNull, col("x"))).as("sx"), sum(y).as("sy"),
+        sum(col("x") * y).as("sxy"),
+        sum(when(y.isNotNull, col("x") * col("x"))).as("sxx"),
+        sum(y * y).as("syy")).as(s"_m$k")
+    }
+    lagged.agg(perLag.head, perLag.tail: _*)
+      .select(explode(array(lags.map(k => col(s"_m$k")): _*)).as("m"))
+      .select(col("m.lag").as("lag"), col("m.n").as("n"),
+        round((col("m.n").cast("double") * col("m.sxy").cast("double")
+          - col("m.sx").cast("double") * col("m.sy").cast("double"))
+          / sqrt((col("m.n").cast("double") * col("m.sxx").cast("double")
+            - col("m.sx").cast("double") * col("m.sx").cast("double"))
+            * (col("m.n").cast("double") * col("m.syy").cast("double")
+              - col("m.sy").cast("double") * col("m.sy").cast("double"))), 6)
+          .as("autocorr"))
+  }
+
+  /** Time-weighted average of `valueCol` per key — each observation
+    * weighted by how long it HELD (until the next event), the
+    * step-function mean a metrics store reports for irregularly-sampled
+    * gauges (last observation carries no weight; keys with one event drop).
+    *
+    * Exact until the last step: value is decimal(18,2), hold duration is
+    * integer microseconds, the weighted sum is an exact decimal, and the
+    * single final division is the only floating-point op. One key-
+    * partitioned window (parallel across keys), one aggregate.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val us = graft.functions.TimeCols.micros(col(tsCol))
+    events
+      .select(col(keyCol), col(tsCol), col(idCol),
+        col(valueCol).cast("decimal(18,2)").as("_v"), us.as("_t"))
+      .withColumn("_hold", lead(col("_t"), 1).over(w) - col("_t"))
+      .where(col("_hold").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("_v") * col("_hold")).as("_wsum"),
+        sum(col("_hold")).as("_wtot"))
+      .where(col("_wtot") > 0)
+      // rounded: the exact decimal weighted sum can exceed 2^53, so the
+      // one decimal→double cast rounds engine-specifically at the last ulp
+      .select(col(keyCol), col("n_holds"),
+        round(col("_wsum").cast("double") / col("_wtot").cast("double"), 6)
+          .as("twa_value"))
+  }
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-row "insight" analytics — market-basket association, Pareto
+  * frontiers, ABC / RFM segmentation, concentration (Gini) — the
+  * warehouse-report layer a replicated target serves once the mirror is
+  * live (reference: the ClickHouse-side analytics the PeerDB stack
+  * replicates INTO, quickstart_prepare_peers.sh:80's published tables).
+  *
+  * Shared scale shape: every operator aggregates the fact table down to a
+  * DIMENSION-sized frame first (brands, parts, suppliers, customers) in
+  * one map-side-combined shuffle, and only then applies the cross-row
+  * step (self-join, cumulative window, ntile) to that small frame — the
+  * fact table is never self-joined or globally sorted. The global windows
+  * below therefore sort dimension cardinality, not data volume; at a
+  * dimension too big for one task, each has a documented decomposition
+  * (noted per method).
+  */
+object Insights {
+
+  /** Market-basket pair association at `itemCol` granularity: for every
+    * unordered item pair {a, b} co-occurring in at least one basket,
+    * (n_ab, support, confidence P(b|a), lift). Baskets are `basketCol`
+    * groups; multiplicity within a basket is ignored (set semantics).
+    *
+    * Plan: distinct (basket, item) pairs — one exchange — then a
+    * self-join co-partitioned on the basket key (pair fan-out is bounded
+    * by per-basket item count squared, the classic a-priori shape) and a
+    * pair-key aggregate. Item marginals are a dimension-sized broadcast;
+    * the basket total is a 1-row broadcast. No fact-table self-join: the
+    * join runs on the deduplicated basket-item frame.
+    */
+  def marketBasket(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+    val marginals = items.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+    val totals = items.select(col("_bk")).distinct()
+      .agg(count(lit(1)).as("_nb"))
+    val a = items.select(col("_bk"), col("_it").as("item_a"))
+    val b = items.select(col("_bk"), col("_it").as("item_b"))
+    a.join(b, Seq("_bk")).where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marginals.select(col("_it").as("item_a"), col("_n").as("_na"))), Seq("item_a"))
+      .join(broadcast(marginals.select(col("_it").as("item_b"), col("_n").as("_nb_i"))), Seq("item_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("_nb").cast("double"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("_na").cast("double"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("_nb").cast("double")
+          / (col("_na").cast("double") * col("_nb_i").cast("double")), 6).as("lift"))
+  }
+
+  /** 2-D skyline (Pareto frontier): rows not dominated by any other row,
+    * where `better` = strictly higher `maxCol` or strictly lower `minCol`
+    * with the other no worse (the standard weak-dominance skyline;
+    * duplicate points both survive).
+    *
+    * Sort-based exactness without a self-join: collapse to one row per
+    * distinct `maxCol` value (its best `minCol`), then two cumulative
+    * windows over that frame ordered by `maxCol` DESC give, per value,
+    * the best `minCol` at `maxCol` ≥ v (`_mge`) and at `maxCol` > v
+    * (`_mgt`); a row is dominated iff `_mge < min` (someone no-worse-x is
+    * strictly-better-y) or `_mgt ≤ min` (someone strictly-better-x is
+    * no-worse-y). The windows sort DISTINCT x values — dimension-sized by
+    * construction when `df` is a per-group aggregate. For a frontier over
+    * raw fact rows at extreme scale, prefilter with a partition-local
+    * skyline first (mapPartitions; the global step is unchanged).
+    */
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    val lv = df.groupBy(col(maxCol)).agg(min(col(minCol)).as("_md"))
+    val wGe = Window.orderBy(col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGt = Window.orderBy(col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cm = lv.select(col(maxCol),
+      min(col("_md")).over(wGe).as("_mge"),
+      min(col("_md")).over(wGt).as("_mgt"))
+    df.join(cm, Seq(maxCol))
+      .where(!(col("_mge") < col(minCol) ||
+        (col("_mgt").isNotNull && col("_mgt") <= col(minCol))))
+      .drop("_mge", "_mgt")
+  }
+
+  /** ABC (Pareto) classification: rank units by a measure DESC, classify
+    * by cumulative share — A ≤ 80%, B ≤ 95%, C the tail — and report one
+    * row per class (n_units, class total). `measure` must be an exact
+    * (decimal/integer) column: the class cut compares `cum·20 ≤ total·16`
+    * and `cum·20 ≤ total·19` in exact arithmetic, so the boundary is
+    * engine-reproducible — no floating-point share ever materializes.
+    *
+    * The cumulative window sorts the per-unit aggregate (dimension-sized;
+    * `idCol` breaks measure ties deterministically). A unit dimension too
+    * large for one task partitions by measure range first (the cumsum
+    * then composes from per-range totals).
+    */
+  def abcClasses(perUnit: DataFrame, idCol: String, measureCol: String): DataFrame = {
+    val w = Window.orderBy(col(measureCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perUnit.agg(sum(col(measureCol)).as("_tot"))
+    perUnit
+      .withColumn("_cum", sum(col(measureCol)).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(col("_cum") * 20 <= col("_tot") * 16, "A")
+          .when(col("_cum") * 20 <= col("_tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col(measureCol)).cast("double").as("class_total"))
+  }
+
+  /** Gini concentration coefficient of `weightCol` across `keyCol`
+    * members, one row per `groupCol` value: 0 = evenly spread, →1 = all
+    * weight on one member. Exact integer rank-sum form
+    * `G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)` over members sorted by
+    * (weight, key) — every term is exact integer arithmetic; the single
+    * final division is the only floating-point step, so the value is
+    * engine-reproducible bit-for-bit.
+    *
+    * The rank window partitions by group — parallel across groups; within
+    * a group it sorts member cardinality (dimension-sized).
+    */
+  def giniByGroup(perKey: DataFrame, groupCol: String, keyCol: String,
+                  weightCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(weightCol), col(keyCol))
+    perKey
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col(weightCol)).as("_sx"),
+        sum(col("_i") * col(weightCol)).as("_six"))
+      .select(col(groupCol), col("n_keys"),
+        ((lit(2.0) * col("_six").cast("double")
+          - (col("n_keys") + 1).cast("double") * col("_sx").cast("double"))
+          / (col("n_keys").cast("double") * col("_sx").cast("double")))
+          .as("gini"))
+  }
+
+  /** RFM segmentation: per customer recency (latest order), frequency
+    * (order count), monetary (exact decimal total) → quintile scores
+    * (ntile(5); 5 = most recent / most frequent / highest spend, ties
+    * broken by the key for determinism) → one row per (r, f, m) cell with
+    * customer count and the cell's exact total spend.
+    *
+    * Three [[Ranking.exactNtile]] passes over the customer-sized
+    * aggregate (the fact table shuffles once, map-side combined) — exact
+    * window-ntile semantics WITHOUT a single-partition global sort; the
+    * chained sorts reuse each predecessor's shuffle files.
+    */
+  def rfmCells(orders: DataFrame, custCol: String, dateCol: String,
+               amountCol: String): DataFrame = {
+    val perCust = orders.groupBy(col(custCol))
+      .agg(max(col(dateCol)).as("_rec"), count(lit(1)).as("_freq"),
+        sum(col(amountCol).cast("decimal(18,2)")).as("_mon"))
+    val scored = Seq(("_rec", "r_score"), ("_freq", "f_score"),
+      ("_mon", "m_score")).foldLeft(perCust) { case (df, (c, s)) =>
+        Ranking.exactNtile(df, 5, Seq(col(c), col(custCol)), s)
+      }
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("_mon")).cast("double").as("total_spend"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.{Behavior, Insights}
+import org.apache.spark.sql.functions._
+
+/** Hand-verified contracts for the insight layer — association rules,
+  * skyline, ABC/RFM segmentation, Gini, Markov transitions,
+  * autocorrelation, time-weighted means.
+  */
+class InsightsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("marketBasket: counts, support, confidence, lift on a hand case") {
+    // baskets: {a,b}, {a,b}, {a,c}, {b} → pairs: (a,b)=2, (a,c)=1
+    val df = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+      (4, "b"), (2, "a") /* dup in-basket: set semantics */)
+      .toDF("bk", "it")
+    val got = Insights.marketBasket(df, "bk", "it")
+      .orderBy("item_a", "item_b").collect()
+    assert(got.length === 2)
+    val ab = got(0)
+    assert((ab.getString(0), ab.getString(1), ab.getLong(2)) === ("a", "b", 2L))
+    assert(ab.getDouble(3) === 0.5)      // support 2/4
+    assert(ab.getDouble(4) === 0.666667) // confidence 2/n(a)=3, round 6
+    assert(ab.getDouble(5) === 0.888889) // lift n_ab·N/(n_a·n_b) = 8/9
+    val ac = got(1)
+    assert((ac.getString(0), ac.getString(1), ac.getLong(2)) === ("a", "c", 1L))
+  }
+
+  test("skyline2d keeps exactly the non-dominated rows, duplicates survive") {
+    // max x, min y. frontier: (5,1), (9,3); dominated: (4,2) by (5,1),
+    // (5,4) by (5,1) [tie-x, worse y], (3,1) by (5,1) [worse x, tie-y].
+    // (9,3) has the best x so only a lower-y tie-x could dominate it.
+    val df = Seq((1, 5.0, 1.0), (2, 9.0, 3.0), (3, 4.0, 2.0), (4, 5.0, 4.0),
+      (5, 3.0, 1.0), (6, 5.0, 1.0) /* duplicate of id 1 */)
+      .toDF("id", "x", "y")
+    val got = Insights.skyline2d(df, "x", "y")
+      .select("id").as[Int].collect().toSet
+    assert(got === Set(1, 2, 6))
+  }
+
+  test("abcClasses: exact-decimal 80/95 boundaries, ties id-broken") {
+    // measures 50, 30, 15, 5 (total 100): cum 50(A), 80(A: 80% EXACTLY),
+    // 95(B: 95% exactly), 100(C)
+    val df = Seq((1, 50), (2, 30), (3, 15), (4, 5))
+      .toDF("id", "m").select(col("id"), col("m").cast("decimal(18,2)").as("m"))
+    val got = Insights.abcClasses(df, "id", "m")
+      .orderBy("abc_class")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("A", 2L, 80.0), ("B", 1L, 15.0), ("C", 1L, 5.0)))
+  }
+
+  test("giniByGroup: 0 when uniform, (n-1)/n when one key holds all") {
+    val uniform = Seq(("g", "a", 5L), ("g", "b", 5L), ("g", "c", 5L),
+      ("h", "a", 9L), ("h", "b", 1L), ("h", "c", 1L), ("h", "d", 1L))
+      .toDF("grp", "k", "w")
+    val got = Insights.giniByGroup(uniform, "grp", "k", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("g") === 0.0)
+    // h: sorted w = 1,1,1,9 → Σi·x = 1+2+3+36 = 42, n=4, Σx=12
+    // G = (2·42 − 5·12)/(4·12) = 24/48 = 0.5
+    assert(got("h") === 0.5)
+    // degenerate concentration: all weight on one of n keys → (n−1)/n
+    val all = Seq(("z", "a", 0L), ("z", "b", 0L), ("z", "c", 12L))
+      .toDF("grp", "k", "w")
+    // Σx=12, Σi·x=36, n=3 → (72 − 48)/36 = 2/3
+    val g = Insights.giniByGroup(all, "grp", "k", "w").collect()(0).getDouble(2)
+    assert(math.abs(g - 2.0 / 3) < 1e-12)
+  }
+
+  test("rfmCells equals the single-window ntile formulation") {
+    val orders = (1 to 40).flatMap { c =>
+      (1 to (c % 4 + 1)).map(i =>
+        (c, java.sql.Date.valueOf(f"1997-${c % 12 + 1}%02d-15"), c * 10.0 + i))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Insights.rfmCells(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    val W = org.apache.spark.sql.expressions.Window
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("r"), count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
+    val ref = per
+      .withColumn("r_score", ntile(5).over(W.orderBy(col("r"), col("o_custkey"))).cast("long"))
+      .withColumn("f_score", ntile(5).over(W.orderBy(col("f"), col("o_custkey"))).cast("long"))
+      .withColumn("m_score", ntile(5).over(W.orderBy(col("m"), col("o_custkey"))).cast("long"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum(col("m")).cast("double").as("total_spend"))
+    assert(got.unionAll(ref).distinct().count() === ref.count())
+    // every customer lands in exactly one cell
+    assert(got.agg(sum(col("n_customers"))).collect()(0).getLong(0) === 40L)
+  }
+
+  test("markovTransitions: row-normalized counts of consecutive pairs") {
+    val ev = Seq(
+      ("u1", "a", 1L, 1L), ("u1", "b", 2L, 2L), ("u1", "a", 3L, 3L),
+      ("u1", "b", 4L, 4L),
+      ("u2", "a", 1L, 5L), ("u2", "a", 2L, 6L), ("u2", "c", 3L, 7L))
+      .toDF("u", "op", "tsl", "id")
+      .select(col("u"), col("op"), timestamp_seconds(col("tsl")).as("ts"), col("id"))
+    val got = Behavior.markovTransitions(ev, "u", "op", "ts", "id")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // from a: a→b ×2, a→a ×1, a→c ×1 (4 total)
+    assert(got(("a", "b")) === (2L, 0.5))
+    assert(got(("a", "a")) === (1L, 0.25))
+    assert(got(("a", "c")) === (1L, 0.25))
+    // from b: b→a ×1 (the trailing b has no successor)
+    assert(got(("b", "a")) === (1L, 1.0))
+    assert(!got.contains(("c", "a")))
+  }
+
+  test("hourlyAutocorr: period-2 series has lag-2 r = 1, lag-1 r = −1") {
+    // hours 0..9 alternating 10,2,10,2,… — all hours observed
+    val ev = (0 until 10).flatMap { h =>
+      val n = if (h % 2 == 0) 10 else 2
+      (1 to n).map(i => (h * 3600L + i, i))
+    }.toDF("tsl", "i").select(timestamp_seconds(col("tsl")).as("ts"))
+    val got = Behavior.hourlyAutocorr(ev, "ts", Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got(1) === -1.0)
+    assert(got(2) === 1.0)
+  }
+
+  test("hourlyAutocorr densifies gaps: absent hours count zero") {
+    // events only at hours 0 and 2 — the spine inserts hour 1 with x=0,
+    // so lag-1 sees pairs (x0,·),(0,x0),(x2,0) instead of pairing the two
+    // observed hours as adjacent
+    val ev = Seq(10L, 2 * 3600L + 10L).toDF("tsl")
+      .select(timestamp_seconds(col("tsl")).as("ts"))
+    val got = Behavior.hourlyAutocorr(ev, "ts", Seq(1)).collect()(0)
+    assert(got.getLong(1) === 2L) // two lag-1 pairs over the 3-hour spine
+  }
+
+  test("timeWeightedAvg: step-function mean, last value carries no weight") {
+    // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
+    // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
+    val ev = Seq(("u1", 0L, 10.0, 1L), ("u1", 2L, 20.0, 2L),
+      ("u1", 3L, 99.0, 3L), ("u2", 5L, 7.0, 4L))
+      .toDF("u", "tsl", "v", "id")
+      .select(col("u"), timestamp_seconds(col("tsl")).as("ts"), col("v"), col("id"))
+    val got = Behavior.timeWeightedAvg(ev, "u", "ts", "id", "v").collect()
+    assert(got.length === 1) // u2 has a single event → no holds → dropped
+    assert(got(0).getString(0) === "u1")
+    assert(got(0).getLong(1) === 2L)
+    assert(got(0).getDouble(2) === 13.333333)
+  }
+}
