@@ -1115,8 +1115,12 @@ object SparkEntry {
     // pipeline runs per sync, O(batch) compute + partition-pruned index scans
     "dedup_incremental_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // parts=16 for the bench slice: the in-query lifecycle writes all
+      // three relations, and file count scales with the partition grain —
+      // 16 keeps the same pruning semantics at a quarter of the
+      // small-file overhead (production sizing stays the caller's)
       JaccardIndex.create(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
-          "doc_id", "text", 0.8, indexScratch)
+          "doc_id", "text", 0.8, indexScratch, parts = 16)
         .probeAndAdd(docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
     }),
     // probabilistic screen over the same measure (rows-only; its recall

@@ -315,8 +315,10 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     // of the batch's prefix tokens (bounded collect: ≤ `parts` values), then
     // prune surviving rows to exactly those tokens with a semi-join whose
     // right side is batch-vocabulary-sized (broadcast in the CDC regime)
+    val tP = System.nanoTime()
     val pvals = bpost.select(partOf(col("w")).as("p")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    mark("probe pvals", tP)
     val cp = readPruned("postings", bpost, corpusUpTo, "p", pvals)
       .join(bpost.select(col("w")).distinct(), Seq("w"), "left_semi")
     // prune the corpus sets SCAN to the partition dirs that can hold a
@@ -328,8 +330,10 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     // set, whose size tracks the batch's vocabulary overlap with the corpus
     // (≈ the whole postings relation when a large batch shares the corpus
     // vocabulary — benchmarked 2.5x slower as a spill at sf0.1)
+    val tQ = System.nanoTime()
     val qvals = cp.select(partOf(col("id")).as("q")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    mark("probe qvals", tQ)
     // attach each doc's hash set BEFORE the candidate join so thresholded
     // verification runs inline in the join's codegen pipeline (the shape of
     // jaccardPairsPrefix)
@@ -358,16 +362,19 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
   def add(batch: DataFrame, idCol: String, textCol: String): Unit =
     addWith(prepare(batch, idCol, textCol))
 
-  /** Materialize the tokenized batch once, run `body` against the cached
-    * copy, release. Every write (and the probe spill) derives from ONE
-    * execution of the batch pipeline — a non-deterministic batch source (a
-    * live JDBC tail between two runs) can never commit postings disagreeing
-    * with the sets written from a different execution, which would silently
-    * break frozen-order recall.
+  /** Pin the tokenized batch, run `body` against the cached copy, release.
+    * Every write (and the probe spill) derives from ONE execution of the
+    * batch pipeline — a non-deterministic batch source (a live JDBC tail
+    * between two runs) can never commit postings disagreeing with the sets
+    * written from a different execution, which would silently break
+    * frozen-order recall. No up-front count: the block manager locks each
+    * cached partition while the first reader computes it, so the
+    * concurrent write lanes still materialize every partition exactly once
+    * — the dedicated pin job was one driver action per batch for nothing.
     */
   private def materialized[A](p: Prepared)(body: => A): A = {
     p.words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try { p.words.count(); body } finally p.words.unpersist(false)
+    try body finally p.words.unpersist(false)
   }
 
   /** Write the batch's postings and sets under `b=$b` (no meta commit —
@@ -390,14 +397,22 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
         .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b")))
   }
 
+  private def mark(label: String, t0: Long): Unit =
+    if (sys.env.contains("SPARK_GRAFT_JI_TIMING"))
+      System.err.println(f"[ji] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+
   private def addWith(p: Prepared): Unit = synchronized {
+    val tM = System.nanoTime()
     materialized(p) {
+      mark("materialize batch", tM)
       val b = committedBatches
       maint // force session init on the calling thread
+      val tW = System.nanoTime()
       JaccardIndex.concurrently(
         () => onMaint(p.newTokens).write.mode("overwrite")
           .parquet(rel(s"tokens/b=$b")),
         () => writeBatchRelations(p, b))
+      mark("relation writes", tW)
       committedBatches = b + 1
       writeMeta(spark, dir, threshold, parts, committedBatches, liveBase)
     }

@@ -107,10 +107,42 @@ object MaterializedJoin {
     val parts = mirror.toSeq ++ delta.toSeq
     if (parts.isEmpty) return spark.emptyDataFrame
     val base = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    // left_semi dedups inherently — no distinct() exchange on the probe
-    val probed = base.join(probe.select(col(probeKey).as(keyCol)),
+    // left_semi dedups inherently — no distinct() exchange on the probe.
+    // The probe is key-only and delta/affected-sized (the bounded-batch
+    // CDC contract), so it broadcasts: the semi filter then runs BEFORE
+    // the collapse's key exchange, which ships only surviving rows —
+    // strictly fewer rows moved than sort-merging base against the probe
+    val probed = base.join(
+      broadcast(probe.select(col(probeKey).as(keyCol))),
       Seq(keyCol), "left_semi")
     CdcOps.latestSnapshot(probed, Seq(keyCol), versionCol)
+  }
+
+  /** [[mergedNewestAt]] with the mirror's bucket prune done by a
+    * broadcast (key, bucket) semi-join instead of a pre-collected bucket
+    * list — the probe-side bucket id is `pmod(hash(key), n)`, identical
+    * to the mirror's layout, and dynamic partition pruning reuses the
+    * broadcast to restrict the scan to the probed buckets. Same
+    * delta-proportional IO as the isin prune, zero driver actions.
+    */
+  private def mergedNewestProbed(spark: SparkSession, dir: String,
+                                 keyCol: String, versionCol: String,
+                                 delta: Option[DataFrame], probe: DataFrame,
+                                 probeKey: String, n: Int): DataFrame = {
+    val keyed = probe.select(col(probeKey).as(keyCol))
+    val mirror =
+      if (!CdcStream.hasVisibleParquet(spark, dir)) None
+      else Some(SyncManifest.readCommitted(spark, dir)
+        .join(broadcast(keyed.withColumn("bucket",
+          pmod(hash(col(keyCol)), lit(n)))), Seq(keyCol, "bucket"),
+          "left_semi"))
+    // the delta is in-memory (nothing to prune): plain key semi-join
+    val deltaProbed = delta.map(_.join(broadcast(keyed), Seq(keyCol),
+      "left_semi"))
+    val parts = mirror.toSeq ++ deltaProbed.toSeq
+    if (parts.isEmpty) return spark.emptyDataFrame
+    val base = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    CdcOps.latestSnapshot(base, Seq(keyCol), versionCol)
   }
 
   /** Apply one CDC batch (either delta may be empty) at `batchVersion` —
@@ -180,38 +212,55 @@ object MaterializedJoin {
         s"'${cfg.bKey}' is $b — hash bucketing is type-sensitive; align the " +
         "delta schemas before applyBatch")
 
-    // 0. ONE job over the pinned deltas computes EVERY bucket set the
-    // batch needs: the three mirror targets' touched sets AND the index
-    // probe's fk-bucket prune — which equals ΔB's bKey set by
-    // construction (both are pmod(hash(value), nBuckets) over the same
-    // values). The old shape paid one collect per mirror target inside
-    // the upsert lane plus a separate fkBuckets collect in the view
-    // chain; this fuses four delta-scan jobs into one cache-local pass,
-    // shortening both the concurrent mirror lanes (write-only now) and
-    // the sequential view chain by one action.
+    // 0. the batch's ONLY sequential driver collect: materialize the
+    // affected-key frame into cache and collect its bucket set in one
+    // job. The probe reads the PRE-batch committed join index (strictly
+    // before this batch's commits launch), which is complete for its
+    // purpose: it only surfaces EXISTING rows referencing ΔB's keys, and
+    // ΔA's own rows enter `affected` directly. The mirror lanes collect
+    // their own touched sets INSIDE their concurrent futures (step 1) —
+    // off the critical path, which at high batch cadence IS the
+    // sequential driver-action chain: it is now collect → recompute+
+    // commit, two actions per batch.
     import spark.implicits._
     def mark(label: String, t0: Long): Unit =
       if (sys.env.contains("SPARK_GRAFT_MJ_TIMING"))
         System.err.println(f"[mj] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
     val tA0 = System.nanoTime()
-    val bucketParts =
-      dA.toSeq.flatMap(d => Seq(
-        d.select(lit(0).as("t"),
-          pmod(hash(col(cfg.aKey)), lit(cfg.nBuckets)).as("b")),
-        d.select(lit(1).as("t"),
-          pmod(hash(col(cfg.fk)), lit(cfg.nBuckets)).as("b")))) ++
-      dB.toSeq.map(d => d.select(lit(2).as("t"),
-        pmod(hash(col(cfg.bKey)), lit(cfg.nBuckets)).as("b")))
-    val buckets: Map[Int, Seq[Int]] =
-      if (bucketParts.isEmpty) Map.empty
-      else bucketParts.reduce(_ union _).distinct().as[(Int, Int)].collect()
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    mark("A0 buckets", tA0)
+    val fromA = dA.map(_.select(col(cfg.aKey))).toSeq
+    val fromB = dB.toSeq.flatMap { d =>
+      if (!CdcStream.hasVisibleParquet(spark, aFkDir)) Nil
+      else {
+        // the fk-bucket prune can't use a collected list here (this IS
+        // the collecting job), so the probe joins on (fk, bucket) with
+        // the bucket id recomputed from the delta: index bucket =
+        // pmod(hash(fk), n) by construction, the probe keys are
+        // broadcast (delta-key-sized), and dynamic partition pruning
+        // reuses that broadcast to prune the index READ to the probed
+        // buckets — same delta-proportional IO as the isin prune,
+        // without the extra driver action that produced the list
+        val probe = broadcast(d.select(col(cfg.bKey).as(cfg.fk),
+          pmod(hash(col(cfg.bKey)), lit(cfg.nBuckets)).as("bucket"))
+          .distinct())
+        Seq(SyncManifest.readCommitted(spark, aFkDir)
+          .join(probe, Seq(cfg.fk, "bucket"), "left_semi")
+          .select(col(cfg.aKey)))
+      }
+    }
+    val affectedParts = fromA ++ fromB
+    val affected =
+      if (affectedParts.isEmpty) None
+      else Some(affectedParts.reduce(_ unionByName _).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val affBuckets: Seq[Int] = affected.toSeq.flatMap(
+      _.select(bucketOf(cfg.aKey, cfg.nBuckets).as("b")).distinct()
+        .as[Int].collect().toSeq)
+    mark("A0 affected", tA0)
 
     // 1. mirror upserts — ΔA lands in both the primary and the join index
     // from the same cached delta; ΔB's independent mirror rides the same
-    // concurrent round. With the touched sets precomputed above, each
-    // lane is a single merge+commit write. The futures are awaited at the
+    // concurrent round. Each lane collects its own touched set and runs
+    // its merge+commit write. The futures are awaited at the
     // END of the batch: the view recompute below reads (pre-commit
     // generation ∪ pinned delta), never the post-commit mirrors, so it
     // runs CONCURRENTLY with these commits — the batch's wall-clock is
@@ -224,45 +273,29 @@ object MaterializedJoin {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val mirrorCommits =
       dA.toSeq.flatMap(d => Seq(
-        Future(CdcStream.upsertOneTargetAt(spark, d, Seq(cfg.aKey),
-          cfg.versionCol, CdcStream.UpsertTarget(aKeyDir, cfg.nBuckets),
-          buckets.getOrElse(0, Nil))),
-        Future(CdcStream.upsertOneTargetAt(spark, d, Seq(cfg.aKey),
+        Future(CdcStream.upsertOneTarget(spark, d, Seq(cfg.aKey),
+          cfg.versionCol, CdcStream.UpsertTarget(aKeyDir, cfg.nBuckets))),
+        Future(CdcStream.upsertOneTarget(spark, d, Seq(cfg.aKey),
           cfg.versionCol,
-          CdcStream.UpsertTarget(aFkDir, cfg.nBuckets, Seq(cfg.fk)),
-          buckets.getOrElse(1, Nil))))) ++
-      dB.map(d => Future(CdcStream.upsertOneTargetAt(spark, d, Seq(cfg.bKey),
-        cfg.versionCol, CdcStream.UpsertTarget(bKeyDir, cfg.nBuckets),
-        buckets.getOrElse(2, Nil))))
+          CdcStream.UpsertTarget(aFkDir, cfg.nBuckets, Seq(cfg.fk)))))) ++
+      dB.map(d => Future(CdcStream.upsertOneTarget(spark, d, Seq(cfg.bKey),
+        cfg.versionCol, CdcStream.UpsertTarget(bKeyDir, cfg.nBuckets))))
 
     try {
-      // 2. affected A keys. ΔA's keys are all affected by definition; the
-      // index probe only needs to surface EXISTING rows referencing ΔB's
-      // keys, so whichever index generation the race serves is complete
-      // (ΔA's own rows are already in fromA).
-      val fromA = dA.map(_.select(col(cfg.aKey))).toSeq
-      val fromB = dB.toSeq.flatMap { d =>
-        if (!CdcStream.hasVisibleParquet(spark, aFkDir)) Nil
-        else {
-          val fkBuckets = buckets.getOrElse(2, Nil)
-          if (fkBuckets.isEmpty) Nil
-          else Seq(SyncManifest.readCommitted(spark, aFkDir)
-            .where(col("bucket").isin(fkBuckets: _*))
-            .join(d.select(col(cfg.bKey).as(cfg.fk)).distinct(), Seq(cfg.fk),
-              "left_semi")
-            .select(col(cfg.aKey)))
-        }
+      // 2. the affected frame is already cached and its bucket set
+      // already collected by the job above; an empty set means no view
+      // work (e.g. a ΔB touching keys nothing references: mirrors
+      // updated above, nothing joins).
+      affected.foreach { aff =>
+        try {
+          if (affBuckets.nonEmpty) {
+            val tV = System.nanoTime()
+            recomputeAffected(spark, cfg, aff, affBuckets, dA, dB, aKeyDir,
+              bKeyDir, viewDir, batchVersion)
+            mark("view round", tV)
+          }
+        } finally aff.unpersist(false)
       }
-      val affectedParts = fromA ++ fromB
-      if (affectedParts.isEmpty) return
-      val affected = affectedParts.reduce(_ unionByName _).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val tV = System.nanoTime()
-        recomputeAffected(spark, cfg, affected, dA, dB, aKeyDir, bKeyDir,
-          viewDir, batchVersion)
-        mark("view round", tV)
-      } finally affected.unpersist(false)
     } finally {
       // the NEXT batch (and the caller's read) must observe the committed
       // mirrors — and a commit failure must fail the batch loudly
@@ -273,26 +306,21 @@ object MaterializedJoin {
     }
   }
 
+  /** `affBuckets` (the affected keys' bucket set, collected by the fused
+    * batch job) serves three uses here: pruning the A-side read, and the
+    * view commit's touched set (the view upserts carry exactly one row
+    * per affected key under the same bucketing, so the sets coincide);
+    * the caller already used it as the emptiness gate.
+    */
   private def recomputeAffected(spark: SparkSession, cfg: Config,
-                                affected: DataFrame, dA: Option[DataFrame],
+                                affected: DataFrame, affBuckets: Seq[Int],
+                                dA: Option[DataFrame],
                                 dB: Option[DataFrame], aKeyDir: String,
                                 bKeyDir: String, viewDir: String,
                                 batchVersion: Long): Unit = {
-    import spark.implicits._
-    // ONE bucket collect serves three uses: pruning the A-side read, the
-    // emptiness gate (empty ⟺ no affected keys — e.g. a ΔB touching keys
-    // nothing references: mirrors updated, no view work), and the view
-    // commit's touched set (the view upserts carry exactly one row per
-    // affected key under the same bucketing, so the sets coincide).
     def mark(label: String, t0: Long): Unit =
       if (sys.env.contains("SPARK_GRAFT_MJ_TIMING"))
         System.err.println(f"[mj] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    val tA2 = System.nanoTime()
-    val affBuckets = affected
-      .select(bucketOf(cfg.aKey, cfg.nBuckets).as("b")).distinct()
-      .as[Int].collect().toSeq
-    mark("A2 affected collect", tA2)
-    if (affBuckets.isEmpty) return
 
     // 3. recompute exactly the affected keys from (committed generation ∪
     // pinned delta) — independent of this batch's in-flight mirror
@@ -312,16 +340,34 @@ object MaterializedJoin {
     val aRows = aLive.select(aPayload.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tA3 = System.nanoTime()
-      val bNewest = mergedNewest(spark, bKeyDir, cfg.bKey, cfg.versionCol,
-        dB, aRows.select(col(cfg.fk)).where(col(cfg.fk).isNotNull), cfg.fk,
+      // B-side prune WITHOUT a driver action: the probe (aRows' fks) is
+      // broadcast and the mirror semi-joins on (key, bucket) with the
+      // bucket id recomputed probe-side — dynamic partition pruning
+      // reuses the broadcast to restrict the B read to the probed
+      // buckets, so the whole recompute+commit is ONE driver action
+      // (aRows' cache materializes inside it and is shared by the three
+      // subplans referencing it)
+      val bNewest = mergedNewestProbed(spark, bKeyDir, cfg.bKey,
+        cfg.versionCol, dB,
+        aRows.select(col(cfg.fk)).where(col(cfg.fk).isNotNull), cfg.fk,
         cfg.nBuckets)
-      mark("A3 aRows+bBuckets", tA3)
       val bLive =
         if (bNewest.columns.isEmpty) bNewest
         else bNewest.where(!isDeletedCol(bNewest))
-      val joined =
-        if (bLive.columns.isEmpty) aRows.limit(0) // no B yet: nothing joins
+      // ONE left-join chain builds live rows AND tombstones together: an
+      // affected key whose A row died (left miss on aRows) or whose fk
+      // finds no live B (left miss on the B side) lands with a null B
+      // key, which IS the tombstone condition. The previous shape
+      // (inner join + anti-join tombstones + union) evaluated the A⋈B
+      // join twice — once for the union leg, once as the anti-join's
+      // build side. Both right sides are delta-proportional (newest rows
+      // of affected keys / their fks — the bounded-batch CDC contract),
+      // so they broadcast: no exchange anywhere in the upsert plan until
+      // the commit's bucket clustering.
+      val base = affected.join(broadcast(aRows), Seq(cfg.aKey), "left")
+      val upserts0 =
+        if (bLive.columns.isEmpty)
+          base.withColumn("is_deleted", lit(true)) // no B yet: all dissolve
         else {
           val bPayload = bLive.columns.filterNot(aMeta).toSeq
           // the B key is aliased to a fresh internal name: both sides can
@@ -338,28 +384,27 @@ object MaterializedJoin {
                 df.withColumnRenamed(c, s"b_$c")
               else df
           }
-          aRows.join(renamed, col(cfg.fk) === col(bk), "inner").drop(bk)
+          base.join(broadcast(renamed), col(cfg.fk) === col(bk), "left")
+            .withColumn("is_deleted", col(bk).isNull)
+            .drop(bk)
         }
-      // affected keys with no surviving pair dissolve into tombstones
-      val tombs = affected
-        .join(joined.select(col(cfg.aKey)), Seq(cfg.aKey), "left_anti")
-        .withColumn("is_deleted", lit(true))
-      val upserts = joined.withColumn("is_deleted", lit(false))
-        .unionByName(tombs, allowMissingColumns = true)
+      val upserts = upserts0
         .withColumn(cfg.versionCol, lit(batchVersion))
         .withColumn("bucket", bucketOf(cfg.aKey, cfg.nBuckets))
 
       // 4. commit the view delta. The touched set is affBuckets (every
       // upsert row's key is an affected key), so the merge-commit needs
-      // no extra collect and the upsert plan executes exactly once — the
-      // write job itself (its inputs are committed files + cached frames,
-      // so the single evaluation is deterministic).
+      // no extra collect; the CACHED affected frame doubles as the
+      // anti-join build side (its keys ARE the upsert keys: joined ∪
+      // tombs partition `affected`), so the expensive upsert plan
+      // streams once into the union instead of also being re-evaluated
+      // for a key projection.
       val tA4 = System.nanoTime()
       CdcStream.mergeCommitTouched(spark, upserts, Seq(cfg.aKey),
         cfg.versionCol, viewDir, affBuckets,
         // one row per affected key at the batch's (strictly increasing)
         // version ⇒ anti-join replace, no newest-per-key sort
-        newWins = true)
+        newWins = true, newKeys = Some(affected.select(col(cfg.aKey))))
       mark("A4 view commit", tA4)
     } finally aRows.unpersist(false)
   }

@@ -356,9 +356,9 @@ object CdcStream {
     ()
   }
 
-  private def upsertOneTarget(spark: SparkSession, pinned: DataFrame,
-                              keys: Seq[String], versionCol: String,
-                              target: UpsertTarget): Unit = {
+  private[graft] def upsertOneTarget(spark: SparkSession, pinned: DataFrame,
+                                     keys: Seq[String], versionCol: String,
+                                     target: UpsertTarget): Unit = {
     import spark.implicits._
     val bCols = if (target.bucketCols.isEmpty) keys else target.bucketCols
     val withBucket = pinned
@@ -403,7 +403,9 @@ object CdcStream {
                                         keys: Seq[String], versionCol: String,
                                         targetDir: String,
                                         touched: Seq[Int],
-                                        newWins: Boolean = false): Unit = {
+                                        newWins: Boolean = false,
+                                        newKeys: Option[DataFrame] = None)
+      : Unit = {
     if (touched.isEmpty) return
     // No visible data files = first batch (see hasVisibleParquet). Any
     // other read failure (transient IO, permissions, corrupt file) must
@@ -420,10 +422,15 @@ object CdcStream {
     // merge is then an anti-join replace (broadcast-sized batch keys, no
     // sort) instead of a newest-per-key window over the unioned
     // generations. Replaying the latest batch re-lands identical rows;
-    // out-of-order replay is outside the contract.
+    // out-of-order replay is outside the contract. `newKeys` (must equal
+    // withBucket's key set exactly) lets a caller holding the batch's key
+    // frame CACHED supply it as the anti-join build side — otherwise the
+    // whole batch plan would evaluate twice in this one commit (once
+    // projected to keys for the build, once streamed into the union).
     val merged = existing match {
       case Some(ex) if newWins =>
-        ex.join(withBucket.select(keys.map(col): _*), keys, "left_anti")
+        ex.join(broadcast(newKeys.getOrElse(
+            withBucket.select(keys.map(col): _*))), keys, "left_anti")
           .unionByName(withBucket, allowMissingColumns = true)
       case _ =>
         val unioned = existing
