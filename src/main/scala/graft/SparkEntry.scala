@@ -1475,6 +1475,24 @@ object SparkEntry {
     "events_time_weighted" -> ((s, d) =>
       Behavior.timeWeightedAvg(t(s, d, "events"), "user_id", "ts",
         "event_id", "value")),
+    // cohort LTV curve: cumulative spend per cohort customer by age
+    "orders_cohort_ltv" -> ((s, d) =>
+      Insights.cohortLtv(t(s, d, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice")),
+    // Goh–Barabási burstiness of each user's inter-event gaps
+    "events_burstiness" -> ((s, d) =>
+      Behavior.burstiness(t(s, d, "events"), "user_id", "ts", "event_id")),
+    // language concentration per source (HHI, the entropy screen's dual)
+    "docs_source_hhi" -> ((s, d) =>
+      Profiler.groupHhi(t(s, d, "documents"), "source", "lang")),
+    // k-NN majority-vote classification over the embedding space, labels
+    // synthesized as vec_id mod 4 (the exact-oracle anchor; ANN paths
+    // swap in for the neighbor step)
+    "emb_knn_classify" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.knnClassify(e.withColumn("label", pmod(col("vec_id"), lit(4))),
+        e.where(col("vec_id") < 10), "vec_id", "embedding", "label", 5)
+    }),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -3839,5 +3857,67 @@ object SparkEntry {
                       / CAST(sum(hold) AS DOUBLE), 6) AS twa_value
          FROM h WHERE hold IS NOT NULL
          GROUP BY 1 HAVING sum(hold) > 0""",
+    "orders_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+              FROM orders),
+         pc AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+         sz AS (SELECT cohort, count(*) AS n_cohort FROM pc GROUP BY 1),
+         aged AS (SELECT cohort, m - cohort AS age_months, sum(amt) AS rev,
+                         count(DISTINCT o.o_custkey) AS n_active
+                  FROM o JOIN pc USING (o_custkey) GROUP BY 1, 2),
+         c AS (SELECT cohort, age_months, n_active, rev,
+                      sum(rev) OVER (PARTITION BY cohort ORDER BY age_months
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM aged)
+         SELECT cohort AS cohort_month, age_months, n_active,
+                CAST(rev AS DOUBLE) AS revenue,
+                round(CAST(cum AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+                  AS cum_ltv_per_customer
+         FROM c JOIN sz USING (cohort)""",
+    "events_burstiness" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+         g AS (SELECT user_id,
+                 lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+                   AS gap
+               FROM e),
+         m AS (SELECT user_id, count(*) AS n_gaps, sum(gap) AS sg,
+                      sum(CAST(gap AS DECIMAL(38,0)) * gap) AS sg2
+               FROM g WHERE gap IS NOT NULL
+               GROUP BY 1 HAVING count(*) >= 2 AND sum(gap) > 0)
+         SELECT user_id, n_gaps,
+                round((sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                            - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                              * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                       - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                      / (sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                              - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                                * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                         + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+                  AS burstiness
+         FROM m""",
+    "docs_source_hhi" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c FROM documents
+                    GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+                count(*) AS n_values,
+                CAST(sum(c * c) AS DOUBLE)
+                  / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS hhi
+         FROM c GROUP BY 1""",
+    "emb_knn_classify" ->
+      """WITH knn AS (SELECT query_id, corpus_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                        DESC, c.vec_id) AS rk
+             FROM embeddings c, embeddings q
+             WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+           WHERE rk <= 5),
+         v AS (SELECT query_id, corpus_id % 4 AS pred_label, count(*) AS votes
+               FROM knn GROUP BY 1, 2)
+         SELECT query_id, pred_label, votes FROM v
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY votes DESC, pred_label) = 1""",
   )
 }

@@ -947,6 +947,36 @@ object Behavior {
           .as("autocorr"))
   }
 
+  /** Burstiness coefficient of each key's inter-event gaps — Goh &
+    * Barabási's B = (σ−μ)/(σ+μ) over the gap distribution: −1 for a
+    * metronome, 0 for a Poisson process, →1 for extreme bursts. Gaps are
+    * exact integer microseconds from one key-partitioned lead window;
+    * the population moments accumulate exactly (Σg as long, Σg² as
+    * decimal(38,0) — gap squares overflow a long), and the closed form
+    * at the end is the only floating-point step, rounded to 6dp because
+    * Σg² can exceed 2⁵³ (the decimal→double cast is the one
+    * engine-specific ulp). Keys need ≥ 2 gaps.
+    */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val us = graft.functions.TimeCols.micros(col(tsCol))
+    events
+      .select(col(keyCol), col(tsCol), col(idCol), us.as("_t"))
+      .withColumn("_gap", lead(col("_t"), 1).over(w) - col("_t"))
+      .where(col("_gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("_gap")).as("_sg"),
+        sum(col("_gap").cast("decimal(38,0)") * col("_gap")).as("_sg2"))
+      .where(col("n_gaps") >= 2 && col("_sg") > 0)
+      .select(col(keyCol), col("n_gaps"), {
+        val n = col("n_gaps").cast("double")
+        val mu = col("_sg").cast("double") / n
+        val sd = sqrt(col("_sg2").cast("double") / n - mu * mu)
+        round((sd - mu) / (sd + mu), 6).as("burstiness")
+      })
+  }
+
   /** Time-weighted average of `valueCol` per key — each observation
     * weighted by how long it HELD (until the next event), the
     * step-function mean a metrics store reports for irregularly-sampled

@@ -140,6 +140,39 @@ object Insights {
           .as("gini"))
   }
 
+  /** Cohort lifetime value: customers cohorted by their FIRST order
+    * month, revenue rolled up per (cohort, months-since-cohort), and the
+    * cumulative spend per cohort customer (LTV curve) accumulated across
+    * ages. Months index as `year·12 + month` — exact integer arithmetic,
+    * engine-reproducible. Revenue sums in exact decimal; the per-customer
+    * division at the end is the only float (6dp).
+    *
+    * The fact table shuffles twice (first-order pass, cohort-age rollup);
+    * the cumulative window runs per cohort over its ages —
+    * dimension-sized and parallel across cohorts.
+    */
+  def cohortLtv(orders: DataFrame, custCol: String, dateCol: String,
+                amountCol: String): DataFrame = {
+    val mi = (year(col(dateCol)) * 12 + month(col(dateCol))).cast("long")
+    val perCust = orders.groupBy(col(custCol)).agg(min(mi).as("_cohort"))
+    val sized = perCust.groupBy(col("_cohort")).agg(count(lit(1)).as("n_cohort"))
+    val aged = orders
+      .select(col(custCol), mi.as("_m"),
+        col(amountCol).cast("decimal(18,2)").as("_amt"))
+      .join(perCust, Seq(custCol))
+      .groupBy(col("_cohort"), (col("_m") - col("_cohort")).as("age_months"))
+      .agg(sum(col("_amt")).as("_rev"),
+        count_distinct(col(custCol)).as("n_active"))
+    val w = Window.partitionBy(col("_cohort")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged.withColumn("_cum", sum(col("_rev")).over(w))
+      .join(broadcast(sized), Seq("_cohort"))
+      .select(col("_cohort").as("cohort_month"), col("age_months"),
+        col("n_active"), col("_rev").cast("double").as("revenue"),
+        round(col("_cum").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("cum_ltv_per_customer"))
+  }
+
   /** RFM segmentation: per customer recency (latest order), frequency
     * (order count), monetary (exact decimal total) → quintile scores
     * (ntile(5); 5 = most recent / most frequent / highest spend, ties

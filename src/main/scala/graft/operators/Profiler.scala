@@ -82,6 +82,25 @@ object Profiler {
           - col("_sclc") / col("n_rows"), 4).as("entropy_bits"))
   }
 
+  /** Herfindahl–Hirschman concentration of `valueCol` within each
+    * `groupCol` — Σ pᵥ² over the value shares (1/n_values = perfectly
+    * even, 1 = single value), the diversity screen dual to
+    * [[groupEntropy]]. HHI = Σc² / (Σc)² with both sums exact longs, so
+    * the single final division is engine-reproducible bit-for-bit. Two
+    * map-side-combined aggregations, no window.
+    */
+  def groupHhi(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n_rows"), count(lit(1)).as("n_values"),
+        sum(col("_c") * col("_c")).as("_s2"))
+      .select(col(groupCol), col("n_rows"), col("n_values"),
+        (col("_s2").cast("double")
+          / (col("n_rows").cast("double") * col("n_rows").cast("double")))
+          .as("hhi"))
+  }
+
   /** Schema drift between two frames (e.g. a source snapshot and its
     * mirror, or yesterday's and today's landing): one row per differing
     * column — `added` (only in `b`), `removed` (only in `a`), `retyped`

@@ -138,6 +138,29 @@ object Similarity {
       k)
   }
 
+  /** k-NN majority-vote classification: each query takes the most common
+    * `labelCol` among its k cosine-nearest corpus vectors (ties break to
+    * the smallest label — deterministic). Output (query_id, pred_label,
+    * votes). Built on [[bruteForceTopK]] — the exact-oracle anchor of the
+    * classification family; the scale path swaps in [[lshTopK]] /
+    * [[IvfIndex]] probes for the neighbor step unchanged, since the vote
+    * only consumes (query_id, corpus_id) pairs. The corpus streams
+    * against the BROADCAST neighbor list (queries·k rows) for the label
+    * attach — no corpus shuffle; the vote window partitions by query.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val knn = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("_lbl"))
+    val votes = labels.join(broadcast(knn), Seq("corpus_id"))
+      .groupBy(col("query_id"), col("_lbl")).agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("votes").desc, col("_lbl"))
+    votes.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("query_id"), col("_lbl").as("pred_label"), col("votes"))
+  }
+
   /** LSH-bucketed approximate top-k: equi-join on the signature bucket, then
     * exact scoring + ranking over the candidate set only.
     *

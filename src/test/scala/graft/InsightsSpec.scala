@@ -130,6 +130,71 @@ class InsightsSpec extends SparkSpec {
     assert(got.getLong(1) === 2L) // two lag-1 pairs over the 3-hour spine
   }
 
+  test("cohortLtv: cumulative per-customer spend by cohort age") {
+    // cohort 1997-01 (custs 1,2), cohort 1997-02 (cust 3)
+    val orders = Seq(
+      (1, "1997-01-10", 10.0), (1, "1997-02-11", 30.0),
+      (2, "1997-01-20", 20.0),
+      (3, "1997-02-05", 50.0), (3, "1997-04-01", 70.0))
+      .toDF("o_custkey", "d", "o_totalprice")
+      .select(col("o_custkey"), to_date(col("d")).as("o_orderdate"),
+        col("o_totalprice"))
+    val got = Insights.cohortLtv(orders, "o_custkey", "o_orderdate",
+        "o_totalprice")
+      .orderBy("cohort_month", "age_months").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val c1 = 1997L * 12 + 1
+    // cohort1 age0: rev 30, ltv 15; age1: rev 30, cum 60, ltv 30
+    // cohort2 age0: rev 50, ltv 50; age2: rev 70, cum 120, ltv 120
+    assert(got.toSeq === Seq(
+      (c1, 0L, 2L, 30.0, 15.0), (c1, 1L, 1L, 30.0, 30.0),
+      (c1 + 1, 0L, 1L, 50.0, 50.0), (c1 + 1, 2L, 1L, 70.0, 120.0)))
+  }
+
+  test("burstiness: metronome → −1, and the two-gap hand case") {
+    val ev = Seq(
+      // u1: gaps 10s, 10s, 10s → σ=0 → B = −1
+      ("u1", 0L, 1L), ("u1", 10L, 2L), ("u1", 20L, 3L), ("u1", 30L, 4L),
+      // u2: gaps 10s, 30s → μ=20, σ=10 → B = (10−20)/(10+20) = −1/3
+      ("u2", 0L, 5L), ("u2", 10L, 6L), ("u2", 40L, 7L))
+      .toDF("u", "tsl", "id")
+      .select(col("u"), timestamp_seconds(col("tsl")).as("ts"), col("id"))
+    val got = graft.operators.Behavior.burstiness(ev, "u", "ts", "id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got("u1") === ((3L, -1.0)))
+    assert(got("u2") === ((2L, -0.333333)))
+  }
+
+  test("groupHhi: single value → 1, even split → 1/n") {
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "en"),
+      ("s2", "en"), ("s2", "de"), ("s2", "fr"), ("s2", "it"))
+      .toDF("source", "lang")
+    val got = graft.operators.Profiler.groupHhi(df, "source", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("s1") === ((3L, 1L, 1.0)))
+    assert(got("s2") === ((4L, 4L, 0.25)))
+  }
+
+  test("knnClassify: majority vote with smallest-label tie-break") {
+    // query 100 at origin-ish; corpus: two label-0 and two label-1
+    // vectors near it, one far label-2. k=4 → 2 vs 2 tie → label 0.
+    val rows = Seq(
+      (100L, Array(1.0f, 0.0f), 9L),      // query (label col present, unused)
+      (0L, Array(0.9f, 0.1f), 0L), (4L, Array(0.8f, 0.2f), 0L),
+      (1L, Array(0.7f, 0.3f), 1L), (5L, Array(0.6f, 0.4f), 1L),
+      (2L, Array(-1.0f, 0.0f), 2L))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.knnClassify(rows,
+      rows.where(col("vec_id") === 100), "vec_id", "embedding", "label", 4)
+      .collect()
+    assert(got.length === 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2))
+      === ((100L, 0L, 2L)))
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
