@@ -1493,6 +1493,14 @@ object SparkEntry {
       Similarity.knnClassify(e.withColumn("label", pmod(col("vec_id"), lit(4))),
         e.where(col("vec_id") < 10), "vec_id", "embedding", "label", 5)
     }),
+    // interpolated Kneser-Ney bigram signal (D=0.75), the smoothing the
+    // CCNet-style quality buckets actually want; add-one twin above
+    "docs_bigram_kn" -> ((s, d) =>
+      Vocabulary.bigramKnLogprob(t(s, d, "documents"), "doc_id", "text")),
+    // top session journeys: first-5-step paths with session/user counts
+    "events_session_paths" -> ((s, d) =>
+      Behavior.sessionPaths(t(s, d, "events"), "user_id", "event_type",
+        "ts", "event_id", 1800L)),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -3919,5 +3927,47 @@ object SparkEntry {
          SELECT query_id, pred_label, votes FROM v
          QUALIFY row_number() OVER (PARTITION BY query_id
            ORDER BY votes DESC, pred_label) = 1""",
+    "docs_bigram_kn" ->
+      """WITH arr AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                    w -> len(w) > 0) AS a
+           FROM documents),
+         bg AS (
+           SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+           FROM arr, unnest(range(1, len(a))) AS t(i)
+           WHERE len(a) >= 2),
+         tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg
+                GROUP BY doc_id, w1, w2),
+         c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM tf
+                GROUP BY w1, w2),
+         l AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+                      count(*) AS n1l FROM c2 GROUP BY w1),
+         r AS (SELECT w2, count(*) AS nc FROM c2 GROUP BY w2),
+         tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM c2)
+         SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+                round(sum(t.tf * ln(
+                    (greatest(c2.c2 - 0.75, 0.0)
+                     + 0.75 * l.n1l * (r.nc / tt.tt)) / l.c1))
+                  / sum(t.tf), 4) AS avg_kn_logprob
+         FROM tf t JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2
+         JOIN l ON l.w1 = t.w1 JOIN r ON r.w2 = t.w2 CROSS JOIN tt
+         GROUP BY t.doc_id""",
+    "events_session_paths" ->
+      """WITH b AS (SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+               FROM b),
+         p AS (SELECT user_id, array_to_string(list_slice(
+                 list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+               FROM s GROUP BY user_id, seq)
+         SELECT path, count(*) AS n_sessions,
+                count(DISTINCT user_id) AS n_users
+         FROM p GROUP BY 1""",
   )
 }

@@ -947,6 +947,33 @@ object Behavior {
           .as("autocorr"))
   }
 
+  /** Top session journeys: sessionize each key's stream
+    * ([[CdcOps.sessionize]] gap semantics), render the first `maxSteps`
+    * event types of every session as a `>`-joined path, and count
+    * sessions and distinct keys per path — the "what do users actually
+    * do" report over the replicated event log.
+    *
+    * Session ids are tie-insensitive (equal-timestamp rows land in the
+    * same session whatever their internal order), and the path itself
+    * sorts (ts, id) so it is deterministic. Per-session state is bounded
+    * by session length; two key-grained shuffles, no self-join.
+    */
+  def sessionPaths(events: DataFrame, keyCol: String, opCol: String,
+                   tsCol: String, idCol: String, gapSeconds: Long,
+                   maxSteps: Int = 5): DataFrame = {
+    require(maxSteps >= 1, s"bad maxSteps=$maxSteps")
+    val s = CdcOps.sessionize(events, Seq(keyCol), tsCol, gapSeconds)
+    val paths = s.groupBy(col(keyCol), col("session_seq"))
+      .agg(collect_list(struct(col(tsCol).as("s"), col(idCol).as("i"),
+        col(opCol).as("t"))).as("evs"))
+      .select(col(keyCol), expr("concat_ws('>', " +
+        s"slice(transform(array_sort(evs), e -> e.t), 1, $maxSteps))")
+        .as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count_distinct(col(keyCol)).as("n_users"))
+  }
+
   /** Burstiness coefficient of each key's inter-event gaps — Goh &
     * Barabási's B = (σ−μ)/(σ+μ) over the gap distribution: −1 for a
     * metronome, 0 for a Poisson process, →1 for extreme bursts. Gaps are

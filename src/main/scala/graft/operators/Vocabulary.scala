@@ -135,6 +135,54 @@ object Vocabulary {
           / sum(col("tf")), 4).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram signal (Kneser & Ney 1995, the
+    * standard n-gram smoothing): per doc, the mean log of
+    * `P_KN(w2|w1) = (max(c(w1,w2) − D, 0) + D·N1+(w1,·)·P_cont(w2)) / c(w1)`
+    * with discount D = 0.75 and the continuation probability
+    * `P_cont(w2) = N1+(·,w2) / |bigram types|` — the model CCNet-style
+    * quality bucketing actually uses, where [[bigramLogprob]] is the
+    * add-one baseline. Trained on the corpus itself (the perplexity-
+    * signal convention here), so every bigram is in-vocabulary and the
+    * interpolation term handles the low-count mass.
+    *
+    * All counts are exact integers from the same one-exploded-pass
+    * aggregation tree as [[bigramLogprob]]; the discounted closed form is
+    * float only at the end, rounded 4dp (the family's float posture).
+    * Count tables join vocab-keyed (co-partitioned aggregates), the
+    * type total is a 1-row broadcast.
+    */
+  def bigramKnLogprob(docs: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"bad discount=$discount")
+    val arr = docs.select(col(idCol).as("doc_id"),
+      filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
+        w => length(w) > 0).as("a"))
+    val bg = arr
+      .where(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    // per left word: total count and distinct continuations N1+(w1,·)
+    val left = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1l"))
+    // per right word: distinct histories N1+(·,w2); their grand total is
+    // the bigram type count (each type contributes once)
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val types = c2.agg(count(lit(1)).cast("double").as("tt"))
+    val d = lit(discount)
+    val p = (greatest(col("c2") - d, lit(0.0))
+      + d * col("n1l") * (col("nc") / col("tt"))) / col("c1")
+    tf.join(c2, Seq("w1", "w2")).join(left, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * log(p)) / sum(col("tf")), 4).as("avg_kn_logprob"))
+  }
+
   /** Corpus-level Zipf/hapax profile — one row: vocabulary size, token
     * total, hapax-legomena count and fraction (terms occurring once — the
     * classic OCR-noise / boilerplate-divergence signal), and the fitted

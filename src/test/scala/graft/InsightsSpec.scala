@@ -195,6 +195,43 @@ class InsightsSpec extends SparkSpec {
       === ((100L, 0L, 2L)))
   }
 
+  test("bigramKnLogprob: hand-computed Kneser-Ney probabilities") {
+    // corpus: d1 = "a b a b" (bigrams ab, ba, ab), d2 = "a c"
+    // c2: ab=2 ba=1 ac=1; left a: c1=3 n1l=2; left b: c1=1 n1l=1
+    // cont: a=1 b=1 c=1 of 3 types
+    // P(b|a) = (2−.75 + .75·2/3)/3 = 1.75/3; P(a|b) = .25+.25 = .5
+    // P(c|a) = (.25 + .5)/3 = .25
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.operators.Vocabulary
+      .bigramKnLogprob(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val d1 = (2 * math.log(1.75 / 3) + math.log(0.5)) / 3
+    assert(got(1L) === ((3L, math.rint(d1 * 1e4) / 1e4)))
+    assert(got(2L) === ((1L, math.rint(math.log(0.25) * 1e4) / 1e4)))
+  }
+
+  test("sessionPaths: gap splitting, step cap, tie-deterministic order") {
+    val ev = Seq(
+      // u1 session 1: view>click; session 2 (gap > 30 min): purchase
+      ("u1", 0L, 1L, "view"), ("u1", 10L, 2L, "click"),
+      ("u1", 4000L, 3L, "purchase"),
+      // u2: six events in one session → path truncates to 5 steps;
+      // two share ts=1 → event_id breaks the tie (ids 5 then 6)
+      ("u2", 1L, 5L, "a"), ("u2", 1L, 6L, "b"), ("u2", 2L, 7L, "c"),
+      ("u2", 3L, 8L, "d"), ("u2", 4L, 9L, "e"), ("u2", 5L, 10L, "f"))
+      .toDF("u", "tsl", "id", "op")
+      .select(col("u"), timestamp_seconds(col("tsl")).as("ts"), col("id"),
+        col("op"))
+    val got = graft.operators.Behavior
+      .sessionPaths(ev, "u", "op", "ts", "id", 1800L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map(
+      "view>click" -> ((1L, 1L)), "purchase" -> ((1L, 1L)),
+      "a>b>c>d>e" -> ((1L, 1L))))
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
