@@ -881,9 +881,11 @@ object Behavior {
     *
     * One key-partitioned lead window (the per-key sort every sequence
     * operator here pays, parallel across keys), one pair-key aggregate
-    * map-side combined, and the from-marginals come back as a
-    * dimension-sized broadcast — the event log shuffles twice total,
-    * never self-joins.
+    * map-side combined, and the row normalization is a window over the
+    * aggregated type×type matrix itself (op-cardinality² rows — the
+    * third exchange moves the ANSWER, and the pair pipeline executes
+    * once; a marginals join would re-run it for the build side). The
+    * event log itself shuffles twice, never self-joins.
     */
   def markovTransitions(events: DataFrame, keyCol: String, opCol: String,
                         tsCol: String, idCol: String): DataFrame = {
@@ -893,10 +895,11 @@ object Behavior {
       .withColumn("to_op", lead(col("from_op"), 1).over(w))
       .where(col("to_op").isNotNull)
       .groupBy(col("from_op"), col("to_op")).agg(count(lit(1)).as("n"))
-    val marginals = pairs.groupBy(col("from_op")).agg(sum(col("n")).as("_tot"))
-    pairs.join(broadcast(marginals), Seq("from_op"))
-      .select(col("from_op"), col("to_op"), col("n"),
-        (col("n").cast("double") / col("_tot").cast("double")).as("p"))
+    val byFrom = Window.partitionBy(col("from_op"))
+    pairs
+      .withColumn("p", col("n").cast("double")
+        / sum(col("n")).over(byFrom).cast("double"))
+      .select(col("from_op"), col("to_op"), col("n"), col("p"))
   }
 
   /** Lag-k autocorrelations of the hourly event-count series: one row per

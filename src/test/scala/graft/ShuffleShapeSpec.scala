@@ -111,4 +111,26 @@ class ShuffleShapeSpec extends SparkSpec {
     assert(shuffles(AsOfJoin.backward(purchases, clicks, Seq("user_id"),
       "pts", "ts")) == 1)
   }
+
+  test("round-15 insight layer keeps its shuffle budgets") {
+    // markov: lead window (1) + pair aggregate (1) + the normalization
+    // window over the type×type matrix itself (answer-sized)
+    assert(shuffles(Behavior.markovTransitions(ev, "user_id", "event_type",
+      "ts", "event_id")) <= 3)
+    // time-weighted mean / burstiness: window + grouped pass share the
+    // key partitioning — the window's exchange is the only one
+    assert(shuffles(Behavior.timeWeightedAvg(ev, "user_id", "ts",
+      "event_id", "value")) == 1)
+    assert(shuffles(Behavior.burstiness(ev, "user_id", "ts",
+      "event_id")) == 1)
+    // gini: per-key aggregate, rank window reusing its partitioning
+    // prefix, group rollup
+    val perKey = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    assert(shuffles(graft.operators.Insights.giniByGroup(perKey,
+      "event_type", "user_id", "n_ev")) <= 3)
+    // autocorr runs on the hour-grained aggregate: one grain shuffle, the
+    // spine join + ordered window + final fold over ~thousands of rows
+    assert(shuffles(Behavior.hourlyAutocorr(ev, "ts", Seq(1, 24))) <= 4)
+  }
 }
