@@ -291,6 +291,44 @@ object PgOutputStream {
       graft.sources.SyncManifest.readCommitted(spark, targetDir),
       keys, "_version", col("is_deleted"))
 
+  /** The initial-load→CDC handoff — PeerDB's snapshot phase for the frame
+    * path: seed the mirror from a snapshot read pinned at the slot's
+    * consistent point (the LSN `CREATE_REPLICATION_SLOT` reports; its
+    * exported snapshot is what `snapshot` should have been read under),
+    * then stream from EXACTLY there. Every snapshot row lands versioned
+    * AT `consistentLsn`; every post-snapshot WAL commit carries a higher
+    * LSN, so its image wins the FINAL merge — updates and deletes of
+    * snapshot rows apply, and re-sent WAL the snapshot already contains
+    * converges idempotently.
+    *
+    * Crash contract: the mirror commit lands BEFORE the confirmed-flush
+    * LSN file. A crash between the two leaves `readConfirmedLsn` at 0 —
+    * the recovery path is to re-run bootstrap (the upsert replays the
+    * same rows at the same version and converges; `advanceConfirmedLsn`
+    * is monotone) and only then start the socket loop, which handshakes
+    * at the consistent point. Never the reverse order: an LSN written
+    * first would let a crash skip the snapshot entirely while the server
+    * believes it delivered.
+    */
+  def bootstrapSnapshot(spark: SparkSession, snapshot: DataFrame,
+                        keys: Seq[String], consistentLsn: Long,
+                        targetDir: String, table: String,
+                        nBuckets: Int = 16): Unit = {
+    require(consistentLsn > 0, s"bad consistent point $consistentLsn")
+    val confirmed = readConfirmedLsn(spark, targetDir, table)
+    require(confirmed == 0L || confirmed == consistentLsn,
+      s"mirror at $targetDir already confirmed ${confirmed} — bootstrap " +
+        "would rewind an active capture; use a fresh target or resume the " +
+        "stream instead")
+    val seeded = snapshot
+      .withColumn("_version", lit(consistentLsn))
+      .withColumn("is_deleted", lit(false))
+      .withColumn("_source_table", lit(table))
+    CdcStream.upsertBatch(spark, seeded, keys, "_version", targetDir,
+      nBuckets)
+    advanceConfirmedLsn(spark, targetDir, table, consistentLsn)
+  }
+
   private def registryPath(targetDir: String, table: String) =
     new Path(targetDir, s"_pg_relations_$table.bin")
 

@@ -184,4 +184,46 @@ class ReplicationClientSpec extends SparkSpec {
       .select("id", "name", "qty").orderBy("id").collect().toSeq ==
       Seq(Row(1L, "anne", 4), Row(3L, "cat", 7)))
   }
+
+  test("snapshot bootstrap: seed at the consistent point, stream the tail") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("replboot").toString
+    val mirror = s"$root/mirror"
+    // the snapshot a CREATE_REPLICATION_SLOT's exported snapshot would
+    // have produced at consistent point 250: tx1 applied (ids 1, 2)
+    val snap = Seq((1L, "ann", 3), (2L, "bob", 5)).toDF("id", "name", "qty")
+    PgOutputStream.bootstrapSnapshot(spark, snap, Seq("id"),
+      consistentLsn = 250L, targetDir = mirror, table = "items", nBuckets = 4)
+    // crash-recovery path: re-running the bootstrap converges (same rows,
+    // same version; the LSN advance is monotone-idempotent)
+    PgOutputStream.bootstrapSnapshot(spark, snap, Seq("id"),
+      consistentLsn = 250L, targetDir = mirror, table = "items", nBuckets = 4)
+    assert(PgOutputStream.readConfirmedLsn(spark, mirror, "items") == 250L)
+
+    // the socket loop now handshakes AT the consistent point: the server
+    // resume-filter serves only the post-250 tail (tx2 update+insert,
+    // tx3 delete) — pre-snapshot WAL is never re-pumped
+    val srv = new FixtureServer(dropAfter = Int.MaxValue)
+    val client = new ReplicationClient(spark, "127.0.0.1", srv.port,
+      slot = "testslot", table = "items", keys = Seq("id"),
+      targetDir = mirror, spoolDir = s"$root/spool",
+      checkpointDir = s"$root/ckpt", nBuckets = 4)
+    client.run(untilLsn = 700L, maxReconnects = 2)
+    srv.server.close()
+    srv.thread.join(10000)
+    assert(srv.failure.isEmpty, s"server failure: ${srv.failure}")
+    val starts = srv.startLsns.toArray.map(_.asInstanceOf[Long]).toSeq
+    assert(starts.head == 250L,
+      s"bootstrap handshake should start at the consistent point: $starts")
+    // FINAL = snapshot ∪ applied tail: id1 updated, id2 deleted, id3 new
+    assert(PgOutputStream.readFinal(spark, mirror, Seq("id"))
+      .select("id", "name", "qty").orderBy("id").collect().toSeq ==
+      Seq(Row(1L, "anne", 4), Row(3L, "cat", 7)))
+    // rewind guard: bootstrapping over the advanced mirror refuses
+    val ex = intercept[IllegalArgumentException] {
+      PgOutputStream.bootstrapSnapshot(spark, snap, Seq("id"), 250L,
+        mirror, "items", 4)
+    }
+    assert(ex.getMessage.contains("rewind"))
+  }
 }
