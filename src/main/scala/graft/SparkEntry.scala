@@ -1501,6 +1501,14 @@ object SparkEntry {
     "events_session_paths" -> ((s, d) =>
       Behavior.sessionPaths(t(s, d, "events"), "user_id", "event_type",
         "ts", "event_id", 1800L)),
+    // exact tie-averaged ROC-AUC: does value predict a purchase event
+    "events_value_auc" -> ((s, d) =>
+      StatTests.binaryAuc(t(s, d, "events"), col("value"),
+        col("event_type") === "purchase")),
+    // decile lift table for the same classifier framing
+    "events_purchase_lift" -> ((s, d) =>
+      StatTests.liftTable(t(s, d, "events"), col("value"),
+        col("event_type") === "purchase", col("event_id"))),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -3969,5 +3977,36 @@ object SparkEntry {
          SELECT path, count(*) AS n_sessions,
                 count(DISTINCT user_id) AS n_users
          FROM p GROUP BY 1""",
+    "events_value_auc" ->
+      """WITH s AS (SELECT value AS s,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+              FROM events WHERE value IS NOT NULL),
+         g AS (SELECT s, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+               FROM s GROUP BY 1),
+         r AS (SELECT *, coalesce(sum(c) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+               FROM g)
+         SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
+                CAST(sum(p * (2 * cb + c + 1))
+                     - sum(p) * (sum(p) + 1) AS DOUBLE)
+                  / (2.0 * CAST(sum(p) AS DOUBLE)
+                     * CAST(sum(c) - sum(p) AS DOUBLE)) AS auc
+         FROM r""",
+    "events_purchase_lift" ->
+      """WITH s AS (SELECT value AS s, event_id AS i,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+              FROM events WHERE value IS NOT NULL),
+         dd AS (SELECT y, CAST(ntile(10) OVER (ORDER BY s DESC, i)
+                  AS BIGINT) AS decile FROM s),
+         tot AS (SELECT count(*) AS n_all,
+                        CAST(sum(y) AS BIGINT) AS p_all FROM s)
+         SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+                round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS pos_rate,
+                round((CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                      / (CAST(p_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6)
+                  AS lift
+         FROM dd CROSS JOIN tot GROUP BY decile, p_all, n_all""",
   )
 }

@@ -386,4 +386,57 @@ object StatTests {
         round(expected, 6).as("expected"),
         round(dev * dev / expected, 6).as("chi2_term"))
   }
+
+  /** Exact ROC-AUC of a binary classifier — P(score of a random positive
+    * > random negative), ties counting half: the rank-sum (Mann–Whitney)
+    * form with AVERAGE ranks, kept integer throughout. Grouping by the
+    * DISTINCT score gives per-score (count, positives); one cumulative
+    * window over that score-grained frame yields each group's doubled
+    * average rank `2·below + c + 1` exactly, so
+    * `AUC = (2·Σ_pos rank − nPos(nPos+1)) / (2·nPos·nNeg)` is a single
+    * division of exact integers — engine-reproducible bit-for-bit.
+    *
+    * The window sorts DISTINCT scores (score-cardinality, not row count —
+    * real-world scores repeat heavily); at extreme score cardinality, bin
+    * the score first and the formula is unchanged (binning = coarser
+    * ties). One grouped pass over the rows, everything after is
+    * score-grained.
+    */
+  def binaryAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val s = df.select(score.as("s"), when(label, 1L).otherwise(0L).as("y"))
+      .where(col("s").isNotNull)
+    val g = s.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cb", coalesce(sum(col("c")).over(below), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"),
+        (sum(col("c")) - sum(col("p"))).as("n_neg"),
+        sum(col("p") * (lit(2) * col("cb") + col("c") + 1)).as("_r2"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("_r2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+          / (lit(2.0) * d(col("n_pos")) * d(col("n_neg")))).as("auc"))
+  }
+
+  /** Decile lift table of a binary classifier: rows ranked by score DESC
+    * into ten exact deciles ([[Ranking.exactNtile]] — no single-partition
+    * window), per decile the positive rate and its lift over the global
+    * rate. Counts exact; the two divisions compose one double expression,
+    * rounded 6dp. `idCol` breaks score ties deterministically.
+    */
+  def liftTable(df: DataFrame, score: Column, label: Column,
+                idCol: Column): DataFrame = {
+    val s = df.select(score.as("s"), idCol.as("i"),
+      when(label, 1L).otherwise(0L).as("y")).where(col("s").isNotNull)
+    val deciled = Ranking.exactNtile(s, 10, Seq(col("s").desc, col("i")),
+      "decile")
+    val tot = s.agg(count(lit(1)).as("n_all"), sum(col("y")).as("p_all"))
+    deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(d(col("n_pos")) / d(col("n")), 6).as("pos_rate"),
+        round((d(col("n_pos")) / d(col("n")))
+          / (d(col("p_all")) / d(col("n_all"))), 6).as("lift"))
+  }
 }

@@ -232,6 +232,37 @@ class InsightsSpec extends SparkSpec {
       "a>b>c>d>e" -> ((1L, 1L))))
   }
 
+  test("binaryAuc: perfect ranking 1.0, constant score 0.5, ties half") {
+    import graft.operators.StatTests
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      StatTests.binaryAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect()(0).getDouble(2)
+    // positives strictly above negatives
+    assert(auc(Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))) === 1.0)
+    // constant score: every pair is a tie → 0.5
+    assert(auc(Seq((7.0, true), (7.0, false), (7.0, true), (7.0, false))) === 0.5)
+    // hand case with a tie: pos at 3, 2; neg at 2, 1 →
+    // pairs (3>2)=1, (3>1)=1, (2=2)=.5, (2>1)=1 → 3.5/4
+    assert(auc(Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false))) === 0.875)
+  }
+
+  test("liftTable: deciles partition rows, lifts average to 1") {
+    import graft.operators.StatTests
+    // 100 rows, score = id desc ⇒ decile = ceil(id/10) reversed; positives
+    // concentrated at high scores (id > 80 → label true)
+    val rows = (1 to 100).map(i => (i.toDouble, i.toLong, i > 80))
+      .toDF("s", "i", "y")
+    val got = StatTests.liftTable(rows, col("s"), col("y"), col("i"))
+      .orderBy("decile").collect()
+    assert(got.length === 10)
+    assert(got.map(_.getLong(1)).sum === 100L) // all rows land in a decile
+    // decile 1 = scores 91..100 → all positive → pos_rate 1.0, lift 5.0
+    assert(got(0).getDouble(3) === 1.0 && got(0).getDouble(4) === 5.0)
+    // decile 2 = scores 81..90 → pos_rate 1.0; deciles 3+ all zero
+    assert(got(1).getDouble(3) === 1.0)
+    assert(got.drop(2).forall(_.getLong(2) === 0L))
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
