@@ -1509,6 +1509,18 @@ object SparkEntry {
     "events_purchase_lift" -> ((s, d) =>
       StatTests.liftTable(t(s, d, "events"), col("value"),
         col("event_type") === "purchase", col("event_id"))),
+    // fixed-point integer PageRank over the supplier co-order graph —
+    // deterministic nano-unit ranks that hash-match an independent
+    // engine (float PageRank never could)
+    "supplier_pagerank" -> ((s, d) => {
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs.select(col("ok"), col("sk").as("src"))
+        .join(pairs.select(col("ok"), col("sk").as("dst")), Seq("ok"))
+        .where(col("src") =!= col("dst"))
+      Graph.pageRankFixedPoint(edges, "src", "dst", 5)
+    }),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -4008,5 +4020,28 @@ object SparkEntry {
                       / (CAST(p_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6)
                   AS lift
          FROM dd CROSS JOIN tot GROUP BY decile, p_all, n_all""",
+    "supplier_pagerank" -> {
+      // the five damping iterations unroll as chained CTEs, each the same
+      // integer-exact grouped left join the Spark loop runs
+      def it(k: Int): String =
+        s"""w$k AS (SELECT n.node,
+             CAST(coalesce(150000000
+               + (sum(w.p // d.deg) * 850) // 1000, 150000000)
+               AS BIGINT) AS p
+           FROM n
+           LEFT JOIN e ON e.dst = n.node
+           LEFT JOIN w${k - 1} w ON w.node = e.src
+           LEFT JOIN deg d ON d.src = e.src
+           GROUP BY n.node)"""
+      """WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+                        FROM lineitem),
+         e AS (SELECT DISTINCT a.s AS src, b.s AS dst
+               FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s <> b.s),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         w0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS p FROM n),
+         """ + (1 to 5).map(it).mkString(",\n         ") + """
+         SELECT node, p AS rank_nano FROM w5"""
+    },
   )
 }

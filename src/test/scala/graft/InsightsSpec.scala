@@ -263,6 +263,24 @@ class InsightsSpec extends SparkSpec {
     assert(got.drop(2).forall(_.getLong(2) === 0L))
   }
 
+  test("pageRankFixedPoint: hand-computed path graph and floor case") {
+    import graft.operators.Graph
+    // undirected path a—b—c (both directions): after two iterations
+    // p_a = p_c = 936250000, p_b = 1127500000 (hand-derived nano-units)
+    val path = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val got = Graph.pageRankFixedPoint(path, "src", "dst", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 936250000L, "b" -> 1127500000L,
+      "c" -> 936250000L))
+    // a node with no in-edges drops to the bare damping floor
+    val oneWay = Seq(("x", "y")).toDF("src", "dst")
+    val g2 = Graph.pageRankFixedPoint(oneWay, "src", "dst", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2("x") === 150000000L)
+    assert(g2("y") === 150000000L + 850000000L) // full rank of x flows in
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
