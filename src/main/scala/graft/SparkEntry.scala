@@ -1521,6 +1521,16 @@ object SparkEntry {
         .where(col("src") =!= col("dst"))
       Graph.pageRankFixedPoint(edges, "src", "dst", 5)
     }),
+    // topology profile of the same graph: exact-moment assortativity
+    "supplier_graph_stats" -> ((s, d) => {
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs.select(col("ok"), col("sk").as("src"))
+        .join(pairs.select(col("ok"), col("sk").as("dst")), Seq("ok"))
+        .where(col("src") =!= col("dst"))
+      Graph.degreeStats(edges, "src", "dst")
+    }),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -4043,5 +4053,39 @@ object SparkEntry {
          """ + (1 to 5).map(it).mkString(",\n         ") + """
          SELECT node, p AS rank_nano FROM w5"""
     },
+    "supplier_graph_stats" ->
+      """WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+                        FROM lineitem),
+         e AS (SELECT DISTINCT a.s AS src, b.s AS dst
+               FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s <> b.s),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         p AS (SELECT ds.deg AS x, dd.deg AS y
+               FROM e JOIN deg ds ON ds.src = e.src
+                      LEFT JOIN deg dd ON dd.src = e.dst
+               WHERE dd.deg IS NOT NULL),
+         m AS (SELECT count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+                      sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+                      sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+               FROM p),
+         nn AS (SELECT count(*) AS n_nodes FROM
+                  (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+         ne AS (SELECT count(*) AS n_edges FROM e),
+         md AS (SELECT CAST(max(deg) AS BIGINT) AS max_out_deg FROM deg)
+         SELECT n_nodes, n_edges, max_out_deg,
+                CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0
+                     THEN NULL
+                     ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                END AS assortativity
+         FROM m CROSS JOIN nn CROSS JOIN ne CROSS JOIN md""",
   )
 }

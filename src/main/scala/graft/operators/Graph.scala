@@ -75,4 +75,53 @@ object Graph {
       out
     } finally withDeg.unpersist(false)
   }
+
+  /** One-row topology profile of a directed edge list: node/edge counts,
+    * degree extremes, and the DEGREE ASSORTATIVITY — the Pearson
+    * correlation of (out-degree(src), out-degree(dst)) over edges, the
+    * classic "do hubs link to hubs" coefficient (Newman 2002). Exact by
+    * the engine's stat-moment convention: degrees are exact longs, all
+    * six correlation moments accumulate as exact integers (decimal(38,0)
+    * for the products), and the closed form is one rounded double.
+    * Shape: one distinct + one degree aggregate + one co-partitioned join
+    * back to edges + one scalar fold. The distinct edge list feeds four
+    * subplans (pairing, degree, node count, edge count) — it checkpoints
+    * eagerly so the distinct runs once, and the returned plan reads the
+    * materialized blocks (reclaimed by the context cleaner when the frame
+    * goes unreachable).
+    */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val paired = e
+      .join(deg, Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dd")),
+        Seq("dst"), "left")
+      // dst nodes with no out-edges have no out-degree pair to correlate
+      .where(col("dd").isNotNull)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = paired.agg(count(lit(1)).as("n"),
+      sum(col("deg")).as("sx"), sum(col("dd")).as("sy"),
+      sum(dec(col("deg")) * dec(col("dd"))).as("sxy"),
+      sum(dec(col("deg")) * dec(col("deg"))).as("sxx"),
+      sum(dec(col("dd")) * dec(col("dd"))).as("syy"))
+    val totals = e.agg(count(lit(1)).as("n_edges"))
+    val nodeTot = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val degTot = deg.agg(max(col("deg")).as("max_out_deg"))
+    def d(c: String) = col(c).cast("double")
+    // a zero-variance degree distribution (e.g. a complete graph — every
+    // node the same degree) has no defined assortativity: NULL, loudly
+    // not a division error and not a fake 0
+    val denom = sqrt((d("n") * d("sxx") - d("sx") * d("sx"))
+      * (d("n") * d("syy") - d("sy") * d("sy")))
+    m.crossJoin(broadcast(totals)).crossJoin(broadcast(nodeTot))
+      .crossJoin(broadcast(degTot))
+      .select(col("n_nodes"), col("n_edges"), col("max_out_deg"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round((d("n") * d("sxy") - d("sx") * d("sy")) / denom, 6))
+          .as("assortativity"))
+  }
 }

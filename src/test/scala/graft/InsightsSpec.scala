@@ -281,6 +281,42 @@ class InsightsSpec extends SparkSpec {
     assert(g2("y") === 150000000L + 850000000L) // full rank of x flows in
   }
 
+  test("degreeStats: hand graph assortativity and counts") {
+    import graft.operators.Graph
+    // directed: a→b, a→c, b→a, c→a (a is the hub, out-deg 2; b, c out-deg 1)
+    // pairs (x=deg(src), y=deg(dst)): (2,1), (2,1), (1,2), (1,2) →
+    // perfect anti-correlation r = −1 (hubs link to leaves)
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    val got = Graph.degreeStats(e, "src", "dst").collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2))
+      === ((3L, 4L, 2L)))
+    assert(got.getDouble(3) === -1.0)
+  }
+
+  test("insight operators accept empty and degenerate inputs") {
+    import graft.operators.{Graph, Insights}
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.pageRankFixedPoint(noEdges, "src", "dst", 2).count() === 0)
+    val noBaskets = Seq.empty[(Long, String)].toDF("bk", "it")
+    assert(Insights.marketBasket(noBaskets, "bk", "it").count() === 0)
+    val noPoints = Seq.empty[(Double, Double)].toDF("x", "y")
+    assert(Insights.skyline2d(noPoints, "x", "y").count() === 0)
+    // single-key group: gini = (2·1·x − 2x)/(1·x) = 0 (a lone member
+    // holds everything evenly by definition)
+    val lone = Seq(("g", "k", 5L)).toDF("grp", "k", "w")
+    assert(Insights.giniByGroup(lone, "grp", "k", "w")
+      .collect()(0).getDouble(2) === 0.0)
+    // single-event users produce no gaps/holds: empty, not an error
+    val oneEvent = Seq(("u", 0L, 1L, 1.0)).toDF("u", "tsl", "id", "v")
+      .select(col("u"), timestamp_seconds(col("tsl")).as("ts"), col("id"),
+        col("v"))
+    assert(graft.operators.Behavior.burstiness(oneEvent, "u", "ts", "id")
+      .count() === 0)
+    assert(graft.operators.Behavior
+      .timeWeightedAvg(oneEvent, "u", "ts", "id", "v").count() === 0)
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
