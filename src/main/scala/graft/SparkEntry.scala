@@ -1521,6 +1521,10 @@ object SparkEntry {
         .where(col("src") =!= col("dst"))
       Graph.pageRankFixedPoint(edges, "src", "dst", 5)
     }),
+    // Heaps'-law vocabulary growth exponent: the corpus-health dual of
+    // docs_zipf_hapax, exact growth curve via the first-occurrence trick
+    "docs_heaps_law" -> ((s, d) =>
+      Vocabulary.heapsLaw(t(s, d, "documents"), "doc_id", "text")),
     // topology profile of the same graph: exact-moment assortativity
     "supplier_graph_stats" -> ((s, d) => {
       val pairs = t(s, d, "lineitem")
@@ -4053,6 +4057,28 @@ object SparkEntry {
          """ + (1 to 5).map(it).mkString(",\n         ") + """
          SELECT node, p AS rank_nano FROM w5"""
     },
+    "docs_heaps_law" ->
+      """WITH tok AS (SELECT doc_id AS d, unnest(list_filter(
+                string_split(lower(text), ' '), w -> len(w) > 0)) AS w
+              FROM documents),
+         pd AS (SELECT d, count(*) AS toks FROM tok GROUP BY 1),
+         fo AS (SELECT d, count(*) AS news FROM
+                  (SELECT w, min(d) AS d FROM tok GROUP BY 1) GROUP BY 1),
+         curve AS (SELECT pd.d, pd.toks, coalesce(fo.news, 0) AS news
+                   FROM pd LEFT JOIN fo ON fo.d = pd.d),
+         c AS (SELECT sum(toks) OVER win AS t, sum(news) OVER win AS v
+               FROM curve WINDOW win AS (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pts AS (SELECT ln(CAST(t AS DOUBLE)) AS x,
+                        ln(CAST(v AS DOUBLE)) AS y, t, v
+                 FROM c WHERE t > 0 AND v > 0)
+         SELECT count(*) AS n_docs, CAST(max(t) AS BIGINT) AS total_tokens,
+                CAST(max(v) AS BIGINT) AS vocab_size,
+                round((CAST(count(*) AS DOUBLE) * sum(x * y)
+                       - sum(x) * sum(y))
+                      / (CAST(count(*) AS DOUBLE) * sum(x * x)
+                         - sum(x) * sum(x)), 4) AS heaps_beta
+         FROM pts""",
     "supplier_graph_stats" ->
       """WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
                         FROM lineitem),

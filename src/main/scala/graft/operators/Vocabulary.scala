@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-relative vocabulary statistics for training-data curation: the
@@ -181,6 +182,48 @@ object Vocabulary {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"),
         round(sum(col("tf") * log(p)) / sum(col("tf")), 4).as("avg_kn_logprob"))
+  }
+
+  /** Heaps'-law vocabulary-growth fit — one row: corpus size, vocabulary,
+    * and the fitted Heaps exponent β from `V(T) ≈ k·T^β` (OLS of ln V on
+    * ln T over the per-doc growth curve; natural-language corpora sit
+    * near β ≈ 0.4-0.6, templated/synthetic corpora diverge — the
+    * vocabulary-health dual of [[zipfStats]]).
+    *
+    * The growth curve is EXACT without any sequential scan: a token's
+    * first occurrence is `min(doc id)` (one aggregation), so the
+    * vocabulary after doc d is the cumsum of first-occurrence counts —
+    * two integer cumsum windows over the DOC-grained frame (doc
+    * cardinality, not token volume). Only the final OLS is float, rounded
+    * 4dp (the [[zipfStats]] posture).
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("d"),
+        explode(filter(graft.functions.TextFunctions.tokens(
+          lower(col(textCol))), w => length(w) > 0)).as("w"))
+    val perDoc = tok.groupBy(col("d")).agg(count(lit(1)).as("toks"))
+    val firstOcc = tok.groupBy(col("w")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("news"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perDoc.join(firstOcc, Seq("d"), "left")
+      .select(col("d"), col("toks"), coalesce(col("news"), lit(0L)).as("news"))
+      .withColumn("t", sum(col("toks")).over(w))
+      .withColumn("v", sum(col("news")).over(w))
+      // a leading run of empty docs has no defined log point
+      .where(col("t") > 0 && col("v") > 0)
+      .select(log(col("t").cast("double")).as("x"),
+        log(col("v").cast("double")).as("y"),
+        col("t"), col("v"))
+    curve.agg(count(lit(1)).as("n_docs"), max(col("t")).as("total_tokens"),
+        max(col("v")).as("vocab_size"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+        round((col("n_docs").cast("double") * col("sxy")
+          - col("sx") * col("sy"))
+          / (col("n_docs").cast("double") * col("sxx")
+            - col("sx") * col("sx")), 4).as("heaps_beta"))
   }
 
   /** Corpus-level Zipf/hapax profile — one row: vocabulary size, token

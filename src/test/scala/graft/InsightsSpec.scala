@@ -317,6 +317,21 @@ class InsightsSpec extends SparkSpec {
       .timeWeightedAvg(oneEvent, "u", "ts", "id", "v").count() === 0)
   }
 
+  test("heapsLaw: exact growth curve, hand-checked OLS slope") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Vocabulary.heapsLaw(docs, "doc_id", "text")
+      .collect()(0)
+    // curve: (t,v) = (2,2), (4,3), (8,4) — doubling tokens adds one type
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((3L, 8L, 4L)))
+    val xs = Seq(2.0, 4.0, 8.0).map(math.log)
+    val ys = Seq(2.0, 3.0, 4.0).map(math.log)
+    val n = 3.0
+    val beta = (n * xs.zip(ys).map { case (a, b) => a * b }.sum
+      - xs.sum * ys.sum) / (n * xs.map(a => a * a).sum - xs.sum * xs.sum)
+    assert(got.getDouble(3) === math.rint(beta * 1e4) / 1e4)
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
