@@ -1525,6 +1525,14 @@ object SparkEntry {
     // docs_zipf_hapax, exact growth curve via the first-occurrence trick
     "docs_heaps_law" -> ((s, d) =>
       Vocabulary.heapsLaw(t(s, d, "documents"), "doc_id", "text")),
+    // MMR diversity re-rank of each query's top-20 pool (λ=0.75 — both
+    // weights exact binary doubles, so the score expression is literal-
+    // identical cross-engine); integer-only output
+    "emb_mmr_diversify" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.mmrDiversify(e, e.where(col("vec_id") < 10), "vec_id",
+        "embedding", poolK = 20, select = 5, lambda = 0.75)
+    }),
     // topology profile of the same graph: exact-moment assortativity
     "supplier_graph_stats" -> ((s, d) => {
       val pairs = t(s, d, "lineitem")
@@ -4056,6 +4064,55 @@ object SparkEntry {
          w0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS p FROM n),
          """ + (1 to 5).map(it).mkString(",\n         ") + """
          SELECT node, p AS rank_nano FROM w5"""
+    },
+    "emb_mmr_diversify" -> {
+      // the greedy selection unrolls: each step scores the remaining pool
+      // against the union of prior picks and takes the per-query max
+      def sel(k: Int): String = {
+        val prior = (1 until k).map(j => s"SELECT * FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""s$k AS (SELECT query_id, CAST($k AS BIGINT) AS step,
+             corpus_id AS selected_id FROM (
+           SELECT t.query_id, t.corpus_id,
+                  row_number() OVER (PARTITION BY t.query_id
+                    ORDER BY 0.75 * t.qsim - 0.25 * p.pen DESC,
+                             t.corpus_id) AS rn
+           FROM top t
+           JOIN (SELECT ps.query_id, ps.ca AS corpus_id,
+                        max(ps.sim) AS pen
+                 FROM ps JOIN ($prior) s
+                   ON s.query_id = ps.query_id
+                  AND s.selected_id = ps.cb
+                 GROUP BY 1, 2) p
+             ON p.query_id = t.query_id AND p.corpus_id = t.corpus_id
+           WHERE NOT EXISTS (SELECT 1 FROM ($prior) s2
+             WHERE s2.query_id = t.query_id
+               AND s2.selected_id = t.corpus_id))
+           WHERE rn = 1)"""
+      }
+      """WITH top AS (SELECT query_id, corpus_id, qsim, rk FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                  list_cosine_similarity(q.embedding, c.embedding) AS qsim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                      DESC, c.vec_id) AS rk
+           FROM embeddings c, embeddings q
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         WHERE rk <= 20),
+         ps AS (SELECT a.query_id, a.corpus_id AS ca, b.corpus_id AS cb,
+                       list_cosine_similarity(ea.embedding, eb.embedding)
+                         AS sim
+                FROM top a JOIN top b ON a.query_id = b.query_id
+                  AND a.corpus_id <> b.corpus_id
+                JOIN embeddings ea ON ea.vec_id = a.corpus_id
+                JOIN embeddings eb ON eb.vec_id = b.corpus_id),
+         s1 AS (SELECT query_id, CAST(1 AS BIGINT) AS step,
+                       corpus_id AS selected_id
+                FROM top WHERE rk = 1),
+         """ + (2 to 5).map(sel).mkString(",\n         ") + """
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         UNION ALL SELECT * FROM s5"""
     },
     "docs_heaps_law" ->
       """WITH tok AS (SELECT doc_id AS d, unnest(list_filter(

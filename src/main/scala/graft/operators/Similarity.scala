@@ -138,6 +138,78 @@ object Similarity {
       k)
   }
 
+  /** Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    * Goldstein 1998): from each query's `poolK` cosine-nearest
+    * candidates, greedily select `select` results maximizing
+    * `λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — the standard
+    * redundancy-penalized re-rank of a RAG/retrieval stage. Output
+    * (query_id, step, selected_id): integer-only, so it hash-matches an
+    * independent engine wherever the cosine ORDERING agrees (the
+    * `knn_brute_force` precedent); ties break to the smaller id.
+    *
+    * Fully relational — the greedy loop unrolls into `select−1` rounds of
+    * [pool anti-join selected] ⋈ [candidate-pair sims where the partner
+    * is selected] → per-query max-score window. The pair-sim frame is
+    * poolK²-per-query (bounded, built once); no driver loop state, no
+    * UDAF — every round is ordinary joins over query-keyed frames. The
+    * scale path swaps [[lshTopK]]/[[IvfIndex]] probes in for the pool
+    * step unchanged.
+    */
+  def mmrDiversify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, poolK: Int, select: Int,
+                   lambda: Double = 0.7): DataFrame = {
+    require(select >= 1 && poolK >= select, s"bad poolK=$poolK select=$select")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val top = bruteForceTopK(corpus, queries, idCol, vecCol, poolK)
+    // pool with its query similarity re-attached (rank order came from
+    // the same expression, so rk==1 IS the max-qsim candidate).
+    // Checkpointed eagerly: the pool (queries·poolK rows) and its pair
+    // sims (·poolK² rows) feed EVERY unrolled round — without the cut,
+    // each round would re-run the corpus-wide top-k underneath.
+    val pool = top.join(c, Seq("corpus_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("rk"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("qsim"), col("cv"))
+      .localCheckpoint(true)
+    val psim = pool.select(col("query_id"), col("corpus_id").as("a"), col("cv"))
+      .join(pool.select(col("query_id"), col("corpus_id").as("b"),
+        col("cv").as("bv")), Seq("query_id"))
+      .where(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        VectorFunctions.cosine(col("cv"), col("bv")).as("sim"))
+      .localCheckpoint(true)
+    val slim = pool.select(col("query_id"), col("corpus_id"), col("qsim"))
+    var selected = pool.where(col("rk") === 1)
+      .select(col("query_id"), lit(1L).as("step"),
+        col("corpus_id").as("selected_id"))
+    for (i <- 2 to select) {
+      val pen = psim
+        .join(selected.select(col("query_id"), col("selected_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("pen"))
+      val remaining = slim
+        .join(selected.select(col("query_id"),
+          col("selected_id").as("corpus_id")), Seq("query_id", "corpus_id"),
+          "left_anti")
+      val byScore = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy((lit(lambda) * col("qsim")
+          - lit(1.0 - lambda) * col("pen")).desc, col("corpus_id"))
+      val pick = remaining
+        .join(pen.withColumnRenamed("a", "corpus_id"),
+          Seq("query_id", "corpus_id"))
+        .withColumn("_rn", row_number().over(byScore))
+        .where(col("_rn") === 1)
+        .select(col("query_id"), lit(i.toLong).as("step"),
+          col("corpus_id").as("selected_id"))
+      // each round's result is consumed by every LATER round (penalty ∪
+      // anti-join ∪ output) — materialize the queries-sized pick so the
+      // lineage doesn't branch exponentially across rounds
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** k-NN majority-vote classification: each query takes the most common
     * `labelCol` among its k cosine-nearest corpus vectors (ties break to
     * the smallest label — deterministic). Output (query_id, pred_label,

@@ -332,6 +332,44 @@ class InsightsSpec extends SparkSpec {
     assert(got.getDouble(3) === math.rint(beta * 1e4) / 1e4)
   }
 
+  test("mmrDiversify matches a direct greedy reference on a hand pool") {
+    import graft.operators.Similarity
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum)
+        * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val vecs = Map(
+      100L -> Array(1f, 0f, 0f),          // the query
+      1L -> Array(0.95f, 0.31f, 0f),      // closest
+      2L -> Array(0.95f, 0.31f, 0f),      // exact duplicate of 1
+      3L -> Array(0.9f, -0.43f, 0f),      // close but opposite flank
+      4L -> Array(0.5f, 0f, 0.86f),       // off-plane
+      5L -> Array(-1f, 0f, 0f))           // anti-query
+    val df = vecs.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrDiversify(df, df.where(col("vec_id") === 100),
+        "vec_id", "embedding", poolK = 5, select = 3, lambda = 0.75)
+      .orderBy("step").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // direct greedy reference over the same pool
+    val q = vecs(100L)
+    val pool = vecs.keys.filter(_ != 100L).toSeq.sorted
+    var sel = Seq(pool.maxBy(id => (cos(q, vecs(id)), -id)))
+    for (_ <- 2 to 3) {
+      val rem = pool.filterNot(sel.contains)
+      val next = rem.maxBy { id =>
+        val pen = sel.map(s => cos(vecs(id), vecs(s))).max
+        (0.75 * cos(q, vecs(id)) - 0.25 * pen, -id)
+      }
+      sel = sel :+ next
+    }
+    assert(got.map(_._2).toSeq === sel)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // the duplicate of the first pick must NOT be chosen while a
+    // non-redundant candidate remains
+    assert(!sel.take(3).contains(2L) || sel.indexOf(2L) > sel.indexOf(3L))
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
