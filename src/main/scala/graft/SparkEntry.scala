@@ -1525,6 +1525,11 @@ object SparkEntry {
     // docs_zipf_hapax, exact growth curve via the first-occurrence trick
     "docs_heaps_law" -> ((s, d) =>
       Vocabulary.heapsLaw(t(s, d, "documents"), "doc_id", "text")),
+    // last-touch attribution: which channel gets credit for a purchase
+    // (24h window), composed from the engine's own backward as-of join
+    "events_last_touch" -> ((s, d) =>
+      Behavior.lastTouchAttribution(t(s, d, "events"), "user_id",
+        "event_type", "ts", "value", "purchase", 86400000000L)),
     // MMR diversity re-rank of each query's top-20 pool (λ=0.75 — both
     // weights exact binary doubles, so the score expression is literal-
     // identical cross-engine); integer-only output
@@ -4065,6 +4070,18 @@ object SparkEntry {
          """ + (1 to 5).map(it).mkString(",\n         ") + """
          SELECT node, p AS rank_nano FROM w5"""
     },
+    "events_last_touch" ->
+      """WITH j AS (
+           SELECT p.v, t.event_type AS channel,
+                  epoch_us(p.ts) - epoch_us(t.ts) AS gap
+           FROM (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+                 FROM events WHERE event_type = 'purchase') p
+           ASOF JOIN (SELECT user_id, ts, event_type FROM events
+                      WHERE event_type <> 'purchase') t
+             ON p.user_id = t.user_id AND p.ts >= t.ts)
+         SELECT channel, count(*) AS n_conversions,
+                CAST(sum(v) AS DOUBLE) AS attributed_value
+         FROM j WHERE gap <= 86400000000 GROUP BY 1""",
     "emb_mmr_diversify" -> {
       // the greedy selection unrolls: each step scores the remaining pool
       // against the union of prior picks and takes the per-query max

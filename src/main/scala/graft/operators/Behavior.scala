@@ -977,6 +977,29 @@ object Behavior {
         count_distinct(col(keyCol)).as("n_users"))
   }
 
+  /** Last-touch conversion attribution: each `convertOp` event attributes
+    * to the LATEST preceding non-conversion event of the same key within
+    * `windowMicros` (the marketing last-touch model), rolled up per
+    * channel with exact-decimal attributed value. A composition of the
+    * engine's own [[AsOfJoin]] — one backward as-of (its union-sort
+    * shape, one shuffle) plus a channel rollup; conversions with no
+    * touch in the window drop (unattributed).
+    */
+  def lastTouchAttribution(events: DataFrame, keyCol: String, opCol: String,
+                           tsCol: String, valueCol: String, convertOp: String,
+                           windowMicros: Long): DataFrame = {
+    val conv = events.where(col(opCol) === convertOp)
+      .select(col(keyCol), col(tsCol),
+        col(valueCol).cast("decimal(18,2)").as("_v"))
+    val touch = events.where(col(opCol) =!= convertOp)
+      .select(col(keyCol), col(tsCol), col(opCol))
+    AsOfJoin.backward(conv, touch, Seq(keyCol), tsCol, tsCol,
+        toleranceMicros = Some(windowMicros))
+      .groupBy(col(s"r_$opCol").as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("_v")).cast("double").as("attributed_value"))
+  }
+
   /** Burstiness coefficient of each key's inter-event gaps — Goh &
     * Barabási's B = (σ−μ)/(σ+μ) over the gap distribution: −1 for a
     * metronome, 0 for a Poisson process, →1 for extreme bursts. Gaps are

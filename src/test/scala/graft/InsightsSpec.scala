@@ -370,6 +370,25 @@ class InsightsSpec extends SparkSpec {
     assert(!sel.take(3).contains(2L) || sel.indexOf(2L) > sel.indexOf(3L))
   }
 
+  test("lastTouchAttribution: latest touch wins, window expires") {
+    val ev = Seq(
+      // u1: view@0, click@100 → purchase@200 (40.0): click gets credit
+      ("u1", 0L, "view", 0.0), ("u1", 100L, "click", 0.0),
+      ("u1", 200L, "purchase", 40.0),
+      // u2: view@0 → purchase@999999 (60.0): outside the 1000s window
+      ("u2", 0L, "view", 0.0), ("u2", 999999L, "purchase", 60.0),
+      // u3: purchase with no touches at all → unattributed (dropped)
+      ("u3", 5L, "purchase", 10.0))
+      .toDF("u", "tsl", "op", "v")
+      .select(col("u"), timestamp_seconds(col("tsl")).as("ts"), col("op"),
+        col("v"))
+    val got = graft.operators.Behavior.lastTouchAttribution(
+        ev, "u", "op", "ts", "v", "purchase", 1000L * 1000000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got === Map("click" -> ((1L, 40.0))))
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
