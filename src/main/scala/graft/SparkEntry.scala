@@ -1530,6 +1530,42 @@ object SparkEntry {
     "events_last_touch" -> ((s, d) =>
       Behavior.lastTouchAttribution(t(s, d, "events"), "user_id",
         "event_type", "ts", "value", "purchase", 86400000000L)),
+    // daily new vs returning actives: a user's first-seen day marks them
+    // new exactly once; the day grain keeps every frame day×user-bounded
+    "events_new_vs_returning" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val first = du.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      du.join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("new_users"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("returning_users"))
+    }),
+    // DAU / 7-day WAU / 30-day MAU + stickiness per day: each (day, user)
+    // explodes into the <=30 trailing anchors it keeps active (bounded
+    // fan-out, the events_sliding_users shape), anchors clipped to
+    // observed days
+    "events_dau_mau" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("d0")).distinct()
+      val anchored = du.withColumn("d0",
+          explode(sequence(col("day"), date_add(col("day"), 29),
+            expr("INTERVAL 1 DAY"))))
+        .join(broadcast(days), Seq("d0"), "left_semi")
+      anchored.groupBy(col("d0").as("day"))
+        .agg(
+          count_distinct(when(col("d0") === col("day"), col("user_id")))
+            .as("dau"),
+          count_distinct(when(datediff(col("d0"), col("day")) < 7,
+            col("user_id"))).as("wau"),
+          count_distinct(col("user_id")).as("mau"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"), 6)
+            .as("stickiness"))
+    }),
     // MMR diversity re-rank of each query's top-20 pool (λ=0.75 — both
     // weights exact binary doubles, so the score expression is literal-
     // identical cross-engine); integer-only output
@@ -4070,6 +4106,32 @@ object SparkEntry {
          """ + (1 to 5).map(it).mkString(",\n         ") + """
          SELECT node, p AS rank_nano FROM w5"""
     },
+    "events_new_vs_returning" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+         f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1)
+         SELECT day,
+                CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_users,
+                CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS returning_users
+         FROM du JOIN f USING (user_id) GROUP BY 1""",
+    "events_dau_mau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+         days AS (SELECT DISTINCT day AS d0 FROM du),
+         a AS (SELECT d.d0, du.day, du.user_id FROM du JOIN days d
+               ON d.d0 >= du.day AND d.d0 <= du.day + INTERVAL 29 DAY)
+         SELECT d0 AS day,
+                count(DISTINCT CASE WHEN d0 = a.day THEN user_id END) AS dau,
+                count(DISTINCT CASE WHEN d0 - a.day < 7 THEN user_id END)
+                  AS wau,
+                count(DISTINCT user_id) AS mau,
+                round(CAST(count(DISTINCT CASE WHEN d0 = a.day
+                        THEN user_id END) AS DOUBLE)
+                      / CAST(count(DISTINCT user_id) AS DOUBLE), 6)
+                  AS stickiness
+         FROM a GROUP BY 1""",
     "events_last_touch" ->
       """WITH j AS (
            SELECT p.v, t.event_type AS channel,
