@@ -1566,6 +1566,18 @@ object SparkEntry {
           round(col("dau").cast("double") / col("mau").cast("double"), 6)
             .as("stickiness"))
     }),
+    // isolation-forest anomaly screen over (value, hour): driver-held
+    // seeded trees compiled into when() expression columns — rows-only
+    // (no SQL oracle for the randomized forest; determinism, planted-
+    // outlier separation, and partitioning-independence are spec-pinned)
+    "events_iforest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("hod", hour(col("ts")).cast("double"))
+      val m = IsolationForest.train(ev, "event_id", Seq("value", "hod"))
+      m.score(ev, "iforest_score")
+        .select(col("event_id"), col("iforest_score"))
+        .orderBy(col("iforest_score").desc, col("event_id")).limit(50)
+    }),
     // MMR diversity re-rank of each query's top-20 pool (λ=0.75 — both
     // weights exact binary doubles, so the score expression is literal-
     // identical cross-engine); integer-only output

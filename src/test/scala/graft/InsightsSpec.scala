@@ -389,6 +389,38 @@ class InsightsSpec extends SparkSpec {
     assert(got === Map("click" -> ((1L, 40.0))))
   }
 
+  test("isolation forest: planted outlier scores highest, deterministic") {
+    import graft.operators.IsolationForest
+    // inlier grid in [0,1]² plus one far point
+    val inliers = (1 to 400).map { i =>
+      (i.toLong, (i % 20) / 20.0, (i / 20) / 20.0)
+    }
+    val all = (inliers :+ (999L, 50.0, 50.0)).toDF("id", "x", "y")
+    val m = IsolationForest.train(all, "id", Seq("x", "y"),
+      nTrees = 10, sampleSize = 64, seed = 7L)
+    val scored = m.score(all, "s")
+    val top = scored.orderBy(col("s").desc, col("id")).limit(1)
+      .collect()(0)
+    assert(top.getLong(0) === 999L)
+    val sOut = top.getDouble(3)
+    val sInMax = scored.where(col("id") =!= 999L).agg(max(col("s")))
+      .collect()(0).getDouble(0)
+    assert(sOut > sInMax + 0.03, s"outlier $sOut vs inlier max $sInMax")
+    // same model, any partitioning → identical scores (pure expressions)
+    val re = m.score(all.repartition(7, col("y")), "s")
+      .select("id", "s").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val base = scored.select("id", "s").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re === base)
+    // retrain with the same seed on a reshuffled frame → same model
+    val m2 = IsolationForest.train(all.repartition(5), "id", Seq("x", "y"),
+      nTrees = 10, sampleSize = 64, seed = 7L)
+    val re2 = m2.score(all, "s").select("id", "s").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re2 === base)
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
