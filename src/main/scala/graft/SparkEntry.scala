@@ -1566,6 +1566,10 @@ object SparkEntry {
           round(col("dau").cast("double") / col("mau").cast("double"), 6)
             .as("stickiness"))
     }),
+    // Dickey-Fuller stationarity of the hourly traffic series — the
+    // unit-root companion of events_autocorr on the same dense grid
+    "events_adf_test" -> ((s, d) =>
+      Behavior.hourlyAdf(t(s, d, "events"), "ts")),
     // isolation-forest anomaly screen over (value, hour): driver-held
     // seeded trees compiled into when() expression columns — rows-only
     // (no SQL oracle for the randomized forest; determinism, planted-
@@ -4118,6 +4122,29 @@ object SparkEntry {
          """ + (1 to 5).map(it).mkString(",\n         ") + """
          SELECT node, p AS rank_nano FROM w5"""
     },
+    "events_adf_test" ->
+      """WITH obs AS (SELECT date_trunc('hour', ts) AS h, count(*) AS x
+                      FROM events GROUP BY 1),
+         sp AS (SELECT unnest(generate_series(min(h), max(h),
+                  INTERVAL 1 HOUR)) AS h FROM obs),
+         ser AS (SELECT sp.h, coalesce(obs.x, 0) AS x
+                 FROM sp LEFT JOIN obs ON sp.h = obs.h),
+         lg AS (SELECT x - lag(x) OVER (ORDER BY h) AS y,
+                       lag(x) OVER (ORDER BY h) AS z
+                FROM ser),
+         m AS (SELECT count(*) AS n, CAST(sum(z * y) AS BIGINT) AS szy,
+                      CAST(sum(z * z) AS BIGINT) AS szz,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM lg WHERE z IS NOT NULL)
+         SELECT n,
+                round(CAST(szy AS DOUBLE) / CAST(szz AS DOUBLE), 6) AS gamma,
+                round((CAST(szy AS DOUBLE) / CAST(szz AS DOUBLE))
+                      / sqrt(((CAST(syy AS DOUBLE)
+                               - (CAST(szy AS DOUBLE) / CAST(szz AS DOUBLE))
+                                 * CAST(szy AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0))
+                             / CAST(szz AS DOUBLE)), 6) AS df_t
+         FROM m WHERE szz > 0 AND n > 1""",
     "events_new_vs_returning" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
                      FROM events),

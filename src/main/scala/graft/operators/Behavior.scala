@@ -1030,6 +1030,44 @@ object Behavior {
       })
   }
 
+  /** Dickey–Fuller stationarity statistic of the dense hourly
+    * event-count series (the zero-lag, no-drift form): regress
+    * Δxₜ = γ·xₜ₋₁ + ε through the origin and report γ̂ and its
+    * t-statistic — strongly negative t ⇒ mean-reverting (stationary)
+    * traffic, t near 0 ⇒ a unit root (drifting level). The companion of
+    * [[hourlyAutocorr]] on the same sequence-densified hourly grid.
+    *
+    * Counts are integers, so Σzy, Σz², Σy² are exact longs from one
+    * aggregate over the lagged frame; γ̂ = Σzy/Σz², SE² =
+    * ((Σy²−γ̂Σzy)/(n−1))/Σz², and the two output doubles round to 6dp —
+    * engine-reproducible (the stat-moment convention).
+    */
+  def hourlyAdf(events: DataFrame, tsCol: String): DataFrame = {
+    val observed = events
+      .groupBy(date_trunc("HOUR", col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = observed
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = spine.join(observed, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.orderBy(col("h"))
+    val lagged = series.withColumn("z", lag(col("x"), 1).over(w))
+      .where(col("z").isNotNull)
+      .select((col("x") - col("z")).as("y"), col("z"))
+    lagged.agg(count(lit(1)).as("n"), sum(col("z") * col("y")).as("szy"),
+        sum(col("z") * col("z")).as("szz"), sum(col("y") * col("y")).as("syy"))
+      .where(col("szz") > 0 && col("n") > 1)
+      .select(col("n") +: {
+        val g = col("szy").cast("double") / col("szz").cast("double")
+        val ss = col("syy").cast("double") - g * col("szy").cast("double")
+        val se = sqrt((ss / (col("n").cast("double") - 1.0))
+          / col("szz").cast("double"))
+        Seq(round(g, 6).as("gamma"), round(g / se, 6).as("df_t"))
+      }: _*)
+  }
+
   /** Time-weighted average of `valueCol` per key — each observation
     * weighted by how long it HELD (until the next event), the
     * step-function mean a metrics store reports for irregularly-sampled

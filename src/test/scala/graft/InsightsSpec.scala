@@ -421,6 +421,27 @@ class InsightsSpec extends SparkSpec {
     assert(re2 === base)
   }
 
+  test("hourlyAdf: alternating series strongly rejects a unit root") {
+    // 10,2,10,2,... → Δx = −γ·x-ish mean reversion: γ = Σzy/Σz²
+    val ev = (0 until 20).flatMap { h =>
+      val n = if (h % 2 == 0) 10 else 2
+      (1 to n).map(i => (h * 3600L + i, i))
+    }.toDF("tsl", "i").select(timestamp_seconds(col("tsl")).as("ts"))
+    val got = graft.operators.Behavior.hourlyAdf(ev, "ts").collect()(0)
+    assert(got.getLong(0) === 19L)
+    // hand moments: pairs (z=10,y=−8) ×10? — compute directly instead
+    val xs = (0 until 20).map(h => if (h % 2 == 0) 10L else 2L)
+    val pairs = xs.sliding(2).map(p => (p(0), p(1) - p(0))).toSeq
+    val szy = pairs.map { case (z, y) => z * y }.sum.toDouble
+    val szz = pairs.map { case (z, _) => z * z }.sum.toDouble
+    val syy = pairs.map { case (_, y) => y * y }.sum.toDouble
+    val g = szy / szz
+    val se = math.sqrt(((syy - g * szy) / 18.0) / szz)
+    assert(got.getDouble(1) === math.rint(g * 1e6) / 1e6)
+    assert(got.getDouble(2) === math.rint(g / se * 1e6) / 1e6)
+    assert(got.getDouble(2) < -2.86) // deep in the stationary region
+  }
+
   test("timeWeightedAvg: step-function mean, last value carries no weight") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no weight)
     // → (10·2e6 + 20·1e6) / 3e6 = 13.333333
