@@ -1570,6 +1570,12 @@ object SparkEntry {
     // unit-root companion of events_autocorr on the same dense grid
     "events_adf_test" -> ((s, d) =>
       Behavior.hourlyAdf(t(s, d, "events"), "ts")),
+    // event-mix diversity as a TIME SERIES: Shannon entropy of the type
+    // mix per day (the drift signal a feed monitor charts)
+    "events_daily_entropy" -> ((s, d) =>
+      Profiler.groupEntropy(
+        t(s, d, "events").withColumn("day", to_date(col("ts"))),
+        "day", "event_type")),
     // isolation-forest anomaly screen over (value, hour): driver-held
     // seeded trees compiled into when() expression columns — rows-only
     // (no SQL oracle for the randomized forest; determinism, planted-
@@ -4122,6 +4128,16 @@ object SparkEntry {
          """ + (1 to 5).map(it).mkString(",\n         ") + """
          SELECT node, p AS rank_nano FROM w5"""
     },
+    "events_daily_entropy" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2)
+         SELECT day, CAST(sum(c) AS BIGINT) AS n_rows,
+                count(*) AS n_values,
+                round(log2(CAST(sum(c) AS DOUBLE))
+                      - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                        / CAST(sum(c) AS BIGINT), 4) AS entropy_bits
+         FROM c GROUP BY day""",
     "events_adf_test" ->
       """WITH obs AS (SELECT date_trunc('hour', ts) AS h, count(*) AS x
                       FROM events GROUP BY 1),
