@@ -1576,6 +1576,31 @@ object SparkEntry {
       Profiler.groupEntropy(
         t(s, d, "events").withColumn("day", to_date(col("ts"))),
         "day", "event_type")),
+    // full supplier-nation × customer-nation trade-flow matrix (q7 is
+    // the two-nation slice): star join, nation dims broadcast, exact
+    // decimal revenue
+    "nation_trade_matrix" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey").as("cust_nk")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier").select(col("s_suppkey"),
+          col("s_nationkey").as("supp_nk")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation").select(
+          col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))),
+          Seq("supp_nk"))
+        .join(broadcast(t(s, d, "nation").select(
+          col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))),
+          Seq("cust_nk"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)")
+              - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))),
     // isolation-forest anomaly screen over (value, hour): driver-held
     // seeded trees compiled into when() expression columns — rows-only
     // (no SQL oracle for the randomized forest; determinism, planted-
@@ -4128,6 +4153,17 @@ object SparkEntry {
          """ + (1 to 5).map(it).mkString(",\n         ") + """
          SELECT node, p AS rank_nano FROM w5"""
     },
+    "nation_trade_matrix" ->
+      ("""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                count(*) AS n_items,
+                CAST(sum(""" + rev + """) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ns ON ns.n_nationkey = s_nationkey
+         JOIN nation nc ON nc.n_nationkey = c_nationkey
+         GROUP BY 1, 2"""),
     "events_daily_entropy" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type,
                            count(*) AS c
