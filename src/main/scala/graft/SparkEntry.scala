@@ -1576,6 +1576,25 @@ object SparkEntry {
       Profiler.groupEntropy(
         t(s, d, "events").withColumn("day", to_date(col("ts"))),
         "day", "event_type")),
+    // how seasonal IS the load: R² of the hour-of-week profile (share
+    // of value variance the 168 seasonal means explain) — one row, all
+    // moments exact decimal, per-cell terms fold over the 168-cell frame
+    "events_seasonal_strength" -> ((s, d) => {
+      val dv = col("value").cast("decimal(18,2)")
+      val cells = t(s, d, "events")
+        .groupBy((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"), sum(dv).as("sy"), sum(dv * dv).as("syy"))
+      cells.agg(sum(col("n")).as("n_all"), sum(col("sy")).as("s_all"),
+          sum(col("syy")).as("ss_all"),
+          sum(col("sy").cast("double") * col("sy").cast("double")
+            / col("n").cast("double")).as("ss_cells"))
+        .select(col("n_all"),
+          round(lit(1.0)
+            - (col("ss_all").cast("double") - col("ss_cells"))
+            / (col("ss_all").cast("double")
+              - col("s_all").cast("double") * col("s_all").cast("double")
+                / col("n_all").cast("double")), 6).as("seasonal_r2"))
+    }),
     // full supplier-nation × customer-nation trade-flow matrix (q7 is
     // the two-nation slice): star join, nation dims broadcast, exact
     // decimal revenue
@@ -4153,6 +4172,22 @@ object SparkEntry {
          """ + (1 to 5).map(it).mkString(",\n         ") + """
          SELECT node, p AS rank_nano FROM w5"""
     },
+    "events_seasonal_strength" ->
+      """WITH cells AS (
+           SELECT date_part('isodow', ts) AS dow, date_part('hour', ts) AS hod,
+                  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sy,
+                  sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS syy
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(sum(n) AS BIGINT) AS n_all,
+                round(1.0
+                  - (CAST(sum(syy) AS DOUBLE)
+                     - sum(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+                  / (CAST(sum(syy) AS DOUBLE)
+                     - CAST(sum(sy) AS DOUBLE) * CAST(sum(sy) AS DOUBLE)
+                       / CAST(sum(n) AS DOUBLE)), 6) AS seasonal_r2
+         FROM cells""",
     "nation_trade_matrix" ->
       ("""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
                 count(*) AS n_items,
