@@ -1650,6 +1650,41 @@ object SparkEntry {
         .where(col("src") =!= col("dst"))
       Graph.degreeStats(edges, "src", "dst")
     }),
+    // exact triangle census + local clustering of the promo-part
+    // co-order graph (the supplier co-order graph is near-complete at
+    // this SF — deliberately the sparse slice): compact-forward
+    // orientation caps wedge fan-out at O(m^1.5) where the naive Σdeg²
+    // wedge join melts on hubs
+    "part_triangles" -> ((s, d) => {
+      val promo = t(s, d, "part").where(col("p_type").startsWith("PROMO"))
+        .select(col("p_partkey"))
+      val items = t(s, d, "lineitem")
+        .join(promo, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("k"))
+        .distinct()
+      val edges = items.select(col("ok"), col("k").as("src"))
+        .join(items.select(col("ok"), col("k").as("dst")), Seq("ok"))
+        .where(col("src") =!= col("dst"))
+      Graph.triangleStats(edges, "src", "dst")
+        .withColumnRenamed("node", "p_partkey")
+    }),
+    // ClickHouse skewPop/kurtPop moment family: distribution shape per
+    // event type from four exact integer power sums, one shuffle
+    "events_moments" -> ((s, d) =>
+      StatTests.momentStats(t(s, d, "events"), col("event_type"),
+        floor(col("value") * 100 + 0.5))
+        .withColumnRenamed("g", "event_type")),
+    // inter-purchase cadence: day gaps between consecutive orders per
+    // customer, summarized with exact counts + interpolated quantiles
+    "orders_interpurchase" -> ((s, d) =>
+      Insights.interpurchaseGaps(t(s, d, "orders"), "o_custkey",
+        "o_orderdate", "o_orderkey")),
+    // ClickHouse sparkBar: hour-of-day activity bar per event type —
+    // integer-only glyph levels, so the string is engine-exact
+    "events_sparkbar" -> ((s, d) =>
+      Insights.sparkbar(t(s, d, "events"), col("event_type"),
+        hour(col("ts")), 24)
+        .withColumnRenamed("g", "event_type")),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -4375,5 +4410,122 @@ object SparkEntry {
                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                 END AS assortativity
          FROM m CROSS JOIN nn CROSS JOIN ne CROSS JOIN md""",
+    // same compact-forward construction: orient low→high under (deg, id),
+    // wedge self-join on the shared source, close with one more join —
+    // each triangle found exactly once at its lowest-order vertex
+    "part_triangles" ->
+      """WITH promo AS (SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%'),
+         items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS k
+                   FROM lineitem SEMI JOIN promo ON l_partkey = p_partkey),
+         e AS (SELECT DISTINCT least(a.k, b.k) AS a, greatest(a.k, b.k) AS b
+               FROM items a JOIN items b ON a.ok = b.ok AND a.k <> b.k),
+         deg AS (SELECT v, count(*) AS deg FROM
+                   (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY 1),
+         o AS (SELECT CASE WHEN da.deg < db.deg
+                             OR (da.deg = db.deg AND e.a < e.b)
+                           THEN e.a ELSE e.b END AS src,
+                      CASE WHEN da.deg < db.deg
+                             OR (da.deg = db.deg AND e.a < e.b)
+                           THEN e.b ELSE e.a END AS dst,
+                      CASE WHEN da.deg < db.deg
+                             OR (da.deg = db.deg AND e.a < e.b)
+                           THEN db.deg ELSE da.deg END AS dd
+               FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         w AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+               FROM o o1 JOIN o o2 ON o1.src = o2.src
+               WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+         tri AS (SELECT u, v, w FROM w SEMI JOIN o ON w.v = o.src AND w.w = o.dst),
+         pern AS (SELECT node, count(*) AS triangles FROM
+                    (SELECT u AS node FROM tri
+                     UNION ALL SELECT v FROM tri
+                     UNION ALL SELECT w FROM tri)
+                  GROUP BY 1)
+         SELECT deg.v AS p_partkey, deg.deg AS degree,
+                COALESCE(pern.triangles, 0) AS triangles,
+                CASE WHEN deg.deg >= 2 THEN
+                  round(2.0 * CAST(COALESCE(pern.triangles, 0) AS DOUBLE)
+                    / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0)), 6)
+                END AS clustering
+         FROM deg LEFT JOIN pern ON pern.node = deg.v""",
+    // the four exact integer power sums (Σy int64; Σy²/Σy³/Σy⁴ as
+    // decimal(19,0)-factor products) then one fixed scalar tree — the
+    // binomial central-moment expansion, skew = m3/(m2·√m2),
+    // kurt = m4/m2² (ClickHouse non-excess convention)
+    "events_moments" ->
+      """WITH m AS (SELECT event_type,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                    FROM events WHERE value IS NOT NULL),
+         g AS (SELECT event_type, count(*) AS n,
+                      CAST(sum(y) AS BIGINT) AS s1,
+                      sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s2,
+                      sum(CAST(y * y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s3,
+                      sum(CAST(y * y AS DECIMAL(19,0)) * CAST(y * y AS DECIMAL(19,0))) AS s4
+               FROM m GROUP BY 1 HAVING count(*) >= 2),
+         f AS (SELECT event_type, n,
+                      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                      CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                      CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+               FROM g),
+         c AS (SELECT event_type, n, mu,
+                      r2 - mu * mu AS m2,
+                      r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                      r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                         - 3.0 * mu * mu * mu * mu AS m4
+               FROM f)
+         SELECT event_type, n, round(mu / 100.0, 6) AS mean,
+                round(sqrt(m2) / 100.0, 6) AS stddev_pop,
+                round(m3 / (m2 * sqrt(m2)), 6) AS skew_pop,
+                round(m4 / (m2 * m2), 6) AS kurt_pop,
+                round(m4 / (m2 * m2) - 3.0, 6) AS kurt_excess
+         FROM c WHERE m2 > 0.0""",
+    // lag over (date, key) per customer; quantile_cont matches Spark
+    // percentile's linear interpolation on the integer day gaps
+    "orders_interpurchase" ->
+      """WITH g AS (
+           SELECT o_custkey AS c,
+                  date_diff('day',
+                    CAST(lag(o_orderdate) OVER win AS DATE),
+                    CAST(o_orderdate AS DATE)) AS gap
+           FROM orders
+           WINDOW win AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)),
+         k AS (SELECT c, CAST(gap AS DOUBLE) AS g FROM g WHERE gap IS NOT NULL)
+         SELECT CAST(count(DISTINCT c) AS BIGINT) AS repeat_customers,
+                count(*) AS n_gaps,
+                round(avg(g), 6) AS avg_gap_days,
+                CAST(min(g) AS BIGINT) AS min_gap_days,
+                CAST(max(g) AS BIGINT) AS max_gap_days,
+                round(quantile_cont(g, 0.25), 6) AS p25,
+                round(quantile_cont(g, 0.5), 6) AS p50,
+                round(quantile_cont(g, 0.75), 6) AS p75,
+                round(quantile_cont(g, 0.9), 6) AS p90
+         FROM k""",
+    // integer-only glyph levels: level = ceil(cnt·8/max) via
+    // (cnt*8 + max - 1) // max — no float at the level boundaries
+    "events_sparkbar" ->
+      """WITH cnt AS (SELECT event_type AS g,
+                             CAST(hour(ts) AS INT) AS slot,
+                             count(*) AS cnt
+                      FROM events GROUP BY 1, 2),
+         grid AS (SELECT g, r.range AS slot
+                  FROM (SELECT DISTINCT g FROM cnt) CROSS JOIN range(0, 24) r),
+         dense AS (SELECT grid.g, CAST(grid.slot AS INT) AS slot,
+                          COALESCE(cnt.cnt, 0) AS cnt
+                   FROM grid LEFT JOIN cnt
+                     ON cnt.g = grid.g AND cnt.slot = grid.slot),
+         mx AS (SELECT g, max(cnt) AS mx FROM dense GROUP BY 1),
+         ch AS (SELECT dense.g, slot, cnt, mx.mx,
+                       CASE WHEN cnt = 0 THEN ' '
+                            ELSE substr('▁▂▃▄▅▆▇█',
+                              CAST((cnt * 8 + mx.mx - 1) // mx.mx AS INT), 1)
+                       END AS ch
+                FROM dense JOIN mx ON mx.g = dense.g)
+         SELECT g AS event_type,
+                string_agg(ch, '' ORDER BY slot) AS bar,
+                CAST(sum(cnt) AS BIGINT) AS total,
+                CAST(min(CASE WHEN cnt = mx THEN slot END) AS INT) AS peak_slot
+         FROM ch GROUP BY 1""",
   )
 }

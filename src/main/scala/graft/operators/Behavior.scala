@@ -1068,6 +1068,84 @@ object Behavior {
       }: _*)
   }
 
+  /** Holt linear-trend (double-exponential) smoothing of the dense hourly
+    * event-count series, α = β = 1/2. Both smoothing constants are EXACT
+    * binary doubles on purpose — a recurrence ACCUMULATES representation
+    * error, so the textbook 0.3 (inexact in binary) would make the fold
+    * engine-visible; with dyadic constants every step is an
+    * order-determined IEEE expression any engine reproduces bit-for-bit.
+    *
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁); bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ is
+    * inherently sequential — but the SERIES is time-grained, bounded by
+    * the observed hour span, never by row count. So the raw events
+    * collapse in one grouped pass, and the recurrence folds over a
+    * single `array_sort(collect_list(...))` with the Catalyst
+    * higher-order `aggregate` — 3-scalar fold state, no driver loop, no
+    * UDF. Init l₁ = x₁, b₁ = 0 (zero-trend prior). Output one row:
+    * hour count, final level/trend, linear forecasts level + h·trend.
+    * (At an unbounded series length the same fold runs per bounded
+    * window — the state is 2 scalars, so it streams.)
+    */
+  def hourlyHolt(events: DataFrame, tsCol: String): DataFrame = {
+    val observed = events
+      .groupBy(date_trunc("HOUR", col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = observed
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = spine.join(observed, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    series
+      .agg(array_sort(collect_list(struct(col("h"), col("x")))).as("s"))
+      .select(size(col("s")).cast("long").as("n_hours"),
+        expr("""aggregate(
+            slice(transform(s, e -> CAST(e.x AS DOUBLE)), 2, size(s) - 1),
+            named_struct('l', CAST(s[0].x AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)),
+            (acc, x) -> named_struct(
+              'l', 0.5D * x + 0.5D * (acc.l + acc.b),
+              'b', 0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l)
+                   + 0.5D * acc.b))""").as("st"))
+      .select(col("n_hours"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + col("st.b"), 6).as("forecast_1h"),
+        round(col("st.l") + lit(24.0) * col("st.b"), 6).as("forecast_24h"))
+  }
+
+  /** Theil–Sen robust trend of the daily event-count series: the MEDIAN
+    * of all pairwise slopes (xⱼ−xᵢ)/(tⱼ−tᵢ) over day indices, plus the
+    * matching median intercept — the outlier-immune answer to "is
+    * traffic growing" (a single anomalous day drags OLS, not this).
+    *
+    * Slopes are rationals of exact integers evaluated in ONE double
+    * division each; the median interpolation is the `percentile` ≡
+    * `quantile_cont` convention. Pair count is O(T²) in the DAY span T
+    * — a time-grained bound independent of row volume (150 days = 11k
+    * pairs whether the log holds 10⁴ or 10¹² events); the raw log
+    * collapses to the day grain in one map-side-combined pass first.
+    * Output one row: n_days, n_pairs, slope, intercept.
+    */
+  def dailyTheilSen(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val indexed = daily
+      .crossJoin(broadcast(daily.agg(min(col("d")).as("d0"))))
+      .select(datediff(col("d"), col("d0")).as("t"), col("x"))
+      .localCheckpoint(true) // feeds the pair join twice + intercept pass
+    val pairs = indexed.as("a")
+      .join(indexed.as("b"), col("a.t") < col("b.t"))
+      .select(((col("b.x") - col("a.x")).cast("double")
+        / (col("b.t") - col("a.t")).cast("double")).as("slope"))
+    val sl = pairs.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile(slope, 0.5)").as("m"))
+    indexed.crossJoin(broadcast(sl))
+      .agg(count(lit(1)).as("n_days"), max(col("n_pairs")).as("n_pairs"),
+        round(max(col("m")), 6).as("slope"),
+        round(expr("percentile(CAST(x AS DOUBLE) - m * CAST(t AS DOUBLE), 0.5)"),
+          6).as("intercept"))
+  }
+
   /** Time-weighted average of `valueCol` per key — each observation
     * weighted by how long it HELD (until the next event), the
     * step-function mean a metrics store reports for irregularly-sampled

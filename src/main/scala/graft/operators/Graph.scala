@@ -76,6 +76,72 @@ object Graph {
     } finally withDeg.unpersist(false)
   }
 
+  /** Exact per-node triangle counts + local clustering coefficient over an
+    * UNDIRECTED graph given as a (possibly both-direction, possibly
+    * duplicated) edge list — the "how clubby is the co-supply network"
+    * metric (Watts–Strogatz local clustering).
+    *
+    * Algorithm: degree-ordered orientation ("compact-forward"). Each
+    * canonical undirected edge {a,b} is oriented from its lower endpoint
+    * to its higher endpoint under the total order (degree, id); a wedge
+    * join of the oriented list with itself on the shared source, keeping
+    * only ordered out-neighbor pairs, enumerates each triangle EXACTLY
+    * once at its lowest-order vertex, and one inner join against the
+    * oriented list checks the closing edge. Orientation is the
+    * scale-defining choice: out-degree under the (deg, id) order is
+    * O(√m), so total wedge fan-out is O(m^1.5) worst case and output-
+    * bound in practice — the naive unoriented wedge join is Σdeg² and
+    * dies on hub nodes, this one cannot. All three joins shuffle on node
+    * keys (AQE skew handling applies unchanged); the triangle→node
+    * explode is a bounded ×3 fan-out aggregated with map-side combine.
+    *
+    * Output: (node, degree, triangles, clustering) for every node, where
+    * clustering = 2·T / (deg·(deg−1)) rounded to 6 (NULL for deg < 2 —
+    * undefined, loudly not 0). Exact integers throughout; the one double
+    * is the final ratio, so any engine hash-matches.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge list feeds degree, orientation, wedge and
+    // closing-edge subplans: materialize the distinct once
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    // orient low → high under (deg, id); carry the head's order key so the
+    // wedge pair can be ordered without re-joining degrees
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(lowFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
+        Seq("src"))
+      .where(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(tris, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")
+            / (col("deg").cast("double") * (col("deg").cast("double") - 1.0)), 6))
+          .as("clustering"))
+  }
+
   /** One-row topology profile of a directed edge list: node/edge counts,
     * degree extremes, and the DEGREE ASSORTATIVITY — the Pearson
     * correlation of (out-degree(src), out-degree(dst)) over edges, the

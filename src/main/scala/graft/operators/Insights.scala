@@ -198,4 +198,74 @@ object Insights {
       .agg(count(lit(1)).as("n_customers"),
         sum(col("_mon")).cast("double").as("total_spend"))
   }
+
+  /** One-row inter-purchase cadence summary: day gaps between each
+    * customer's CONSECUTIVE orders (lag over (date, key) — the key breaks
+    * same-day ties deterministically), then repeat-customer count, gap
+    * count, mean, min/max, and interpolated quartiles + p90 over all
+    * gaps. The per-customer lag window partitions on the customer key —
+    * per-partition state is one row, never a sort of the whole fact
+    * table — and the final percentile is one scalar aggregate whose
+    * interpolation convention (linear, like `quantile_cont`) both engines
+    * share. Gap of 0 days (same-day repeat orders) counts: cadence
+    * includes bursts.
+    */
+  def interpurchaseGaps(orders: DataFrame, custCol: String, dateCol: String,
+                        keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(custCol))
+      .orderBy(col(dateCol), col(keyCol))
+    val gaps = orders
+      .withColumn("_gap",
+        datediff(col(dateCol), lag(col(dateCol), 1).over(w)))
+      .where(col("_gap").isNotNull)
+      .select(col(custCol).as("c"), col("_gap").cast("double").as("g"))
+    gaps.agg(
+      count_distinct(col("c")).as("repeat_customers"),
+      count(lit(1)).as("n_gaps"),
+      round(avg(col("g")), 6).as("avg_gap_days"),
+      min(col("g")).cast("long").as("min_gap_days"),
+      max(col("g")).cast("long").as("max_gap_days"),
+      percentile(col("g"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("_q"))
+      .select(col("repeat_customers"), col("n_gaps"), col("avg_gap_days"),
+        col("min_gap_days"), col("max_gap_days"),
+        round(element_at(col("_q"), 1), 6).as("p25"),
+        round(element_at(col("_q"), 2), 6).as("p50"),
+        round(element_at(col("_q"), 3), 6).as("p75"),
+        round(element_at(col("_q"), 4), 6).as("p90"))
+  }
+
+  /** ClickHouse `sparkBar` analog: per group, a fixed-width unicode bar
+    * chart of activity over `nSlots` integer slots (e.g. hour-of-day) as
+    * a string — plus the total and the deterministic peak slot (lowest
+    * slot on count ties). Dense slot grid: every group × every slot, so
+    * flat groups render flat instead of collapsing.
+    *
+    * Bar levels are INTEGER arithmetic only — level = ⌈cnt·8 / max⌉ via
+    * `(cnt*8 + max - 1) DIV max` — so the glyph string is engine-exact
+    * (no float rounding at level boundaries). Shape: one slot-grain
+    * aggregate with map-side combine, then a group-grain sort of ≤nSlots
+    * elements inside `array_sort` — no window over the raw rows.
+    */
+  def sparkbar(df: DataFrame, groupCol: Column, slotCol: Column,
+               nSlots: Int): DataFrame = {
+    require(nSlots >= 1 && nSlots <= 1024, s"bad nSlots=$nSlots")
+    val blocks = "▁▂▃▄▅▆▇█"
+    val cnt = df.select(groupCol.as("g"), slotCol.cast("int").as("slot"))
+      .groupBy(col("g"), col("slot")).agg(count(lit(1)).as("cnt"))
+    val dense = cnt.select(col("g")).distinct()
+      .withColumn("slot", explode(sequence(lit(0), lit(nSlots - 1))))
+      .join(cnt, Seq("g", "slot"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    dense
+      .withColumn("mx", max(col("cnt")).over(Window.partitionBy(col("g"))))
+      .withColumn("ch", when(col("cnt") === 0, lit(" "))
+        .otherwise(expr(s"substr('$blocks', CAST((cnt * 8 + mx - 1) DIV mx AS INT), 1)")))
+      .groupBy(col("g"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("slot"),
+          col("ch")))), x => x.getField("ch")), "").as("bar"),
+        sum(col("cnt")).as("total"),
+        min(when(col("cnt") === col("mx"), col("slot"))).as("peak_slot"))
+  }
 }

@@ -439,4 +439,78 @@ object StatTests {
         round((d(col("n_pos")) / d(col("n")))
           / (d(col("p_all")) / d(col("n_all"))), 6).as("lift"))
   }
+
+  /** Per-group distribution-shape moments — the ClickHouse `skewPop` /
+    * `kurtPop` family as ONE grouped pass over exact integer power sums.
+    * `cents` must be an integral-valued column (scaled measurements);
+    * skewness and kurtosis are scale-invariant, so the cent scaling
+    * cancels and only the reported mean/stddev divide by 100.
+    *
+    * The four sums: Σy (int64), Σy² / Σy³ / Σy⁴ via [[xprod]] (y² is an
+    * exact int64 for |y| < 3e9, then decimal(19,0)×decimal(19,0) products
+    * keep y³/y⁴ exact in decimal(38,0) — a cents-scale y⁴ wraps int64 at
+    * ONE row, so the wide sums are load-bearing, not defensive). From the
+    * exact sums, one fixed scalar tree: mₖ central moments via the
+    * binomial expansion, skew_pop = m₃/(m₂·√m₂), kurt_pop = m₄/m₂²
+    * (ClickHouse's non-excess convention), kurt_excess = kurt_pop − 3.
+    * Groups with n < 2 or zero variance are dropped (shape undefined).
+    * State per group = 4 numbers → map-side combine does almost all the
+    * work; one shuffle total.
+    */
+  /** ClickHouse `minSampleSizeConversion`: per group, the minimum per-arm
+    * sample size for a two-proportion z-test to detect an absolute `mde`
+    * shift in the group's observed share — the "how long must this A/B
+    * run" planner. n = (z_{α/2}·√(2·p̄·(1−p̄)) + z_β·√(p(1−p) +
+    * p₂(1−p₂)))² / mde², p the group's exact count share, p₂ = p + mde,
+    * p̄ their midpoint. The z quantiles arrive as exact double literals
+    * (defaults: α=0.05 two-sided, power 0.8) and mde² is computed as a
+    * DOUBLE product (never a decimal literal — a decimal 0.0001 casts to
+    * a different double than the 0.01² product), so the whole scalar
+    * tree is engine-identical over exact counts; one shuffle + a 1-row
+    * broadcast total.
+    */
+  def minSampleSize(df: DataFrame, group: Column, mde: Double,
+                    zAlpha: Double = 1.9599639845400545,
+                    zBeta: Double = 0.8416212335729143): DataFrame = {
+    require(mde > 0 && mde < 1, s"bad mde=$mde")
+    val cnt = df.select(group.as("g")).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("n_all"))
+    val p = d(col("n")) / d(col("n_all"))
+    val p2 = p + lit(mde)
+    val pbar = (p + p2) / lit(2.0)
+    val se = lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zBeta) * sqrt(p * (lit(1.0) - p) + p2 * (lit(1.0) - p2))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("g"), col("n"), round(p, 6).as("share"),
+        ceil(se * se / (lit(mde) * lit(mde))).as("min_n_per_arm"))
+  }
+
+  def momentStats(df: DataFrame, group: Column, cents: Column): DataFrame = {
+    val base = df.select(group.as("g"), cents.cast("long").as("y"))
+      .where(col("y").isNotNull)
+      .withColumn("y2", col("y") * col("y"))
+    val m = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+        sum(xprod(col("y"), col("y"))).as("s2"),
+        sum(xprod(col("y2"), col("y"))).as("s3"),
+        sum(xprod(col("y2"), col("y2"))).as("s4"))
+      .where(col("n") >= 2)
+    val nd = d(col("n"))
+    val mu = d(col("s1")) / nd
+    val r2 = d(col("s2")) / nd
+    val r3 = d(col("s3")) / nd
+    val r4 = d(col("s4")) / nd
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+      lit(3.0) * mu * mu * mu * mu
+    m.withColumn("m2", m2).where(col("m2") > 0.0)
+      .select(col("g"), col("n"),
+        round(mu / 100.0, 6).as("mean"),
+        round(sqrt(col("m2")) / 100.0, 6).as("stddev_pop"),
+        round(m3 / (col("m2") * sqrt(col("m2"))), 6).as("skew_pop"),
+        round(m4 / (col("m2") * col("m2")), 6).as("kurt_pop"),
+        round(m4 / (col("m2") * col("m2")) - 3.0, 6).as("kurt_excess"))
+  }
 }

@@ -281,6 +281,58 @@ class InsightsSpec extends SparkSpec {
     assert(g2("y") === 150000000L + 850000000L) // full rank of x flows in
   }
 
+  test("triangleStats: K4-minus-an-edge hand census, dedup, deg-1 node") {
+    import graft.operators.Graph
+    // K4 on {a,b,c,d} minus edge a–d, plus pendant d–e. Triangles: abc,
+    // bcd. Per node: a:1 b:2 c:2 d:1 e:0. Degrees: a2 b3 c3 d3 e1.
+    // Input deliberately messy: duplicates, both directions, a self-loop.
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "c") /* dup reversed */, ("d", "e"), ("a", "a"))
+      .toDF("src", "dst")
+    val got = Graph.triangleStats(e, "src", "dst").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3)))))
+      .toMap
+    assert(got("a") === ((2L, 1L, Some(1.0))))
+    assert(got("b") === ((3L, 2L, Some(0.666667))))
+    assert(got("c") === ((3L, 2L, Some(0.666667))))
+    assert(got("d") === ((3L, 1L, Some(0.333333))))
+    // degree-1 node: clustering undefined → NULL, loudly not 0
+    assert(got("e") === ((1L, 0L, None)))
+    // triangle-free graph: all zeros, nobody dropped
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("src", "dst")
+    val s = Graph.triangleStats(star, "src", "dst").collect()
+    assert(s.length === 4 && s.forall(_.getLong(2) === 0L))
+  }
+
+  test("interpurchaseGaps: hand gaps incl. same-day ties and lone buyers") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${1 + d}%02d 00:00:00")
+    // cust 1: gaps 2, 8; cust 2: single order (no gap); cust 3: same-day
+    // repeat (gap 0, key-ordered) then +5
+    val orders = Seq((1L, 10L, ts(0)), (1L, 11L, ts(2)), (1L, 12L, ts(10)),
+      (2L, 20L, ts(4)), (3L, 30L, ts(1)), (3L, 31L, ts(1)), (3L, 32L, ts(6)))
+      .toDF("c", "k", "dt")
+    val r = Insights.interpurchaseGaps(orders, "c", "dt", "k").collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)   // repeat custs, gaps
+    assert(r.getDouble(2) === 3.75)                       // mean of 0,2,5,8
+    assert(r.getLong(3) === 0L && r.getLong(4) === 8L)
+    // linear interpolation over sorted {0,2,5,8}
+    assert(r.getDouble(5) === 1.5 && r.getDouble(6) === 3.5)
+    assert(r.getDouble(7) === 5.75 && r.getDouble(8) === 7.1)
+  }
+
+  test("sparkbar: integer glyph levels, dense grid, deterministic peak") {
+    val df = Seq.fill(4)(("g", 0)) ++ Seq(("g", 1)) ++ Seq.fill(2)(("g", 3)) ++
+      Seq(("h", 2)) // flat single-slot group
+    val got = Insights.sparkbar(df.toDF("grp", "slot"), col("grp"),
+      col("slot"), 4).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    // levels: 4/4→8 '█', 1/4→⌈2⌉ '▂', missing slot ' ', 2/4→4 '▄'
+    assert(got("g") === (("█▂ ▄", 7L, 0)))
+    assert(got("h") === (("  █ ", 1L, 2)))
+  }
+
   test("degreeStats: hand graph assortativity and counts") {
     import graft.operators.Graph
     // directed: a→b, a→c, b→a, c→a (a is the hub, out-deg 2; b, c out-deg 1)

@@ -258,4 +258,25 @@ class StatTestsSpec extends SparkSpec {
       (1L, 3L, 1.0, 0.0, Some(1.0)),
       (3L, 3L, 0.0, 0.4, None)))
   }
+
+  test("momentStats: hand moments; degenerate groups dropped; order-free") {
+    // g: cents {1,2,3} → mean 0.02, m2 = 2/3, skew 0 (symmetric),
+    //    kurt_pop = m4/m2² = (2/3)/(4/9) = 1.5, excess −1.5
+    // h: skewed {0,0,0,4} → mu=1, m2=3, m3=(−1·3+27)/4=6,
+    //    skew = 6/(3√3) = 1.154701; m4=(3+81)/4=21, kurt=21/9=2.333333
+    // z: constant (m2=0) dropped; w: single row (n<2) dropped
+    val rows = Seq(("g", 1L), ("g", 2L), ("g", 3L),
+      ("h", 0L), ("h", 0L), ("h", 0L), ("h", 4L),
+      ("z", 7L), ("z", 7L), ("w", 9L)).toDF("grp", "y")
+    def run(np: Int) =
+      StatTests.momentStats(rows.repartition(np), col("grp"), col("y"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).sortBy(_._1).toSeq
+    val got = run(1)
+    assert(got === Seq(
+      ("g", 3L, 0.02, 0.0, 1.5, -1.5),
+      ("h", 4L, 0.01, 1.154701, 2.333333, -0.666667)))
+    // exact integer sums → identical on any partitioning
+    assert(run(7) === got)
+  }
 }
