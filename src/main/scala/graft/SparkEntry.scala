@@ -1685,6 +1685,21 @@ object SparkEntry {
       Insights.sparkbar(t(s, d, "events"), col("event_type"),
         hour(col("ts")), 24)
         .withColumnRenamed("g", "event_type")),
+    // Holt linear-trend smoothing of the dense hourly series: the
+    // sequential recurrence folds over the time-grained array with the
+    // Catalyst higher-order aggregate; dyadic α=β=1/2 keeps every step
+    // bit-reproducible cross-engine
+    "events_holt" -> ((s, d) =>
+      Behavior.hourlyHolt(t(s, d, "events"), "ts")),
+    // Theil–Sen robust daily trend: median pairwise slope + intercept —
+    // pair count is day-span-bounded, independent of row volume
+    "events_theil_sen" -> ((s, d) =>
+      Behavior.dailyTheilSen(t(s, d, "events"), "ts")),
+    // ClickHouse minSampleSizeConversion: per-type A/B run-length
+    // planner at MDE = 1pp (α=0.05 two-sided, power 0.8)
+    "events_min_sample_size" -> ((s, d) =>
+      StatTests.minSampleSize(t(s, d, "events"), col("event_type"), 0.01)
+        .withColumnRenamed("g", "event_type")),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -4527,5 +4542,75 @@ object SparkEntry {
                 CAST(sum(cnt) AS BIGINT) AS total,
                 CAST(min(CASE WHEN cnt = mx THEN slot END) AS INT) AS peak_slot
          FROM ch GROUP BY 1""",
+    // the recurrence runs row-by-row in a recursive CTE — the same
+    // sequential order as the engine's aggregate() fold, so with dyadic
+    // α=β every IEEE step matches bit-for-bit
+    "events_holt" ->
+      """WITH RECURSIVE obs AS (
+           SELECT date_trunc('hour', ts) AS h, count(*) AS x
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM obs),
+         spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                     AS h FROM bounds),
+         ser AS (SELECT row_number() OVER (ORDER BY s.h) AS i,
+                        COALESCE(o.x, 0) AS x
+                 FROM spine s LEFT JOIN obs o ON o.h = s.h),
+         rec AS (
+           SELECT i, CAST(x AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+           FROM ser WHERE i = 1
+           UNION ALL
+           SELECT s.i,
+                  0.5 * CAST(s.x AS DOUBLE) + 0.5 * (r.l + r.b),
+                  0.5 * ((0.5 * CAST(s.x AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+                    + 0.5 * r.b
+           FROM rec r JOIN ser s ON s.i = r.i + 1),
+         fin AS (SELECT l, b FROM rec ORDER BY i DESC LIMIT 1)
+         SELECT (SELECT count(*) FROM ser) AS n_hours,
+                round(l, 6) AS level, round(b, 6) AS trend,
+                round(l + b, 6) AS forecast_1h,
+                round(l + 24.0 * b, 6) AS forecast_24h
+         FROM fin""",
+    // slopes are integer rationals in one double division each; median
+    // via quantile_cont ≡ percentile
+    "events_theil_sen" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
+                        FROM events GROUP BY 1),
+         dmin AS (SELECT min(d) AS d0 FROM daily),
+         idx AS (SELECT date_diff('day', dmin.d0, daily.d) AS t, daily.x
+                 FROM daily CROSS JOIN dmin),
+         p AS (SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+                 AS slope
+               FROM idx a JOIN idx b ON a.t < b.t),
+         s AS (SELECT count(*) AS n_pairs, quantile_cont(slope, 0.5) AS m
+               FROM p)
+         SELECT (SELECT count(*) FROM idx) AS n_days, n_pairs,
+                round(m, 6) AS slope,
+                (SELECT round(quantile_cont(
+                   CAST(x AS DOUBLE) - s.m * CAST(t AS DOUBLE), 0.5), 6)
+                 FROM idx) AS intercept
+         FROM s""",
+    // mde² as a DOUBLE product and explicit double z literals: the whole
+    // scalar tree is then literal-identical to the engine's
+    "events_min_sample_size" ->
+      """WITH cnt AS (SELECT event_type AS g, count(*) AS n
+                      FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM cnt),
+         f AS (SELECT g, n, CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE) AS p
+               FROM cnt CROSS JOIN tot),
+         e AS (SELECT g, n, p,
+                      p + CAST(0.01 AS DOUBLE) AS p2,
+                      (p + (p + CAST(0.01 AS DOUBLE))) / 2.0 AS pbar
+               FROM f),
+         z AS (SELECT g, n, p,
+                      CAST(1.9599639845400545 AS DOUBLE)
+                        * sqrt(2.0 * pbar * (1.0 - pbar))
+                      + CAST(0.8416212335729143 AS DOUBLE)
+                        * sqrt(p * (1.0 - p) + p2 * (1.0 - p2)) AS se
+               FROM e)
+         SELECT g AS event_type, n, round(p, 6) AS share,
+                CAST(ceil(se * se
+                  / (CAST(0.01 AS DOUBLE) * CAST(0.01 AS DOUBLE))) AS BIGINT)
+                  AS min_n_per_arm
+         FROM z""",
   )
 }

@@ -130,6 +130,51 @@ class InsightsSpec extends SparkSpec {
     assert(got.getLong(1) === 2L) // two lag-1 pairs over the 3-hour spine
   }
 
+  test("hourlyHolt: hand-folded dyadic recurrence over a gapped series") {
+    // hours 0..3 with counts 4, (gap→0), 2, 6. α=β=1/2 hand fold:
+    // l₁=4 b₁=0 → (2,−1) → (1.5,−0.75) → (3.375, 0.5625). All dyadic —
+    // every assertion is exact, no tolerance.
+    val ev = ((1 to 4).map(i => 0L * 3600 + i) ++
+      (1 to 2).map(i => 2L * 3600 + i) ++ (1 to 6).map(i => 3L * 3600 + i))
+      .toDF("tsl").select(timestamp_seconds(col("tsl")).as("ts"))
+    val r = Behavior.hourlyHolt(ev, "ts").collect()(0)
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 3.375 && r.getDouble(2) === 0.5625)
+    assert(r.getDouble(3) === 3.9375)  // level + trend
+    assert(r.getDouble(4) === 16.875)  // level + 24·trend
+    // single observed hour: fold is just the init state
+    val one = Seq(5L).toDF("tsl")
+      .select(timestamp_seconds(col("tsl")).as("ts"))
+    val r1 = Behavior.hourlyHolt(one, "ts").collect()(0)
+    assert(r1.getLong(0) === 1L && r1.getDouble(1) === 1.0
+      && r1.getDouble(2) === 0.0)
+  }
+
+  test("dailyTheilSen: median pairwise slope over observed (gapped) days") {
+    // days 0, 1, 3 with counts 1, 5, 3: slopes 4, 2/3, −1 → median 2/3;
+    // residuals vs the 2/3 line: 1, 13/3, 1 → median 1
+    val ev = (Seq.fill(1)(0) ++ Seq.fill(5)(1) ++ Seq.fill(3)(3))
+      .zipWithIndex.map { case (d, i) => (d * 86400L + i, i) }
+      .toDF("tsl", "i").select(timestamp_seconds(col("tsl")).as("ts"))
+    val r = Behavior.dailyTheilSen(ev, "ts").collect()(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.666667 && r.getDouble(3) === 1.0)
+  }
+
+  test("minSampleSize: textbook 50% baseline, 10pp MDE → 388 per arm") {
+    import graft.operators.StatTests
+    val df = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("g")
+    val got = StatTests.minSampleSize(df, col("g"), 0.1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // classic two-proportion result for p₁=0.5, p₂=0.6, α=.05, power=.8
+    assert(got("a") === ((50L, 0.5, 388L)))
+    assert(got("b") === ((50L, 0.5, 388L)))
+    intercept[IllegalArgumentException] {
+      StatTests.minSampleSize(df, col("g"), 0.0)
+    }
+  }
+
   test("cohortLtv: cumulative per-customer spend by cohort age") {
     // cohort 1997-01 (custs 1,2), cohort 1997-02 (cust 3)
     val orders = Seq(
