@@ -1293,6 +1293,15 @@ object SparkEntry {
       Multimodal.gifStats(
           Multimodal.withGifPayloads(t(s, d, "documents"), "doc_id"))
         .toDF()),
+    // REAL baseline-JPEG entropy decode: synthesize JPEGs through the
+    // writer dual (Annex-K DC Huffman, byte stuffing) and decode them
+    // back — canonical Huffman tables + EXTEND + DPCM DC. Diffs are
+    // id-derived, so the oracle regenerates the prefix-summed DC values
+    // with range() arithmetic; a table, stuffing, or sign bug mismatches
+    "mm_jpeg_dc" -> ((s, d) =>
+      Multimodal.jpegDcStats(
+          Multimodal.withJpegPayloads(t(s, d, "documents"), "doc_id"))
+        .toDF()),
 
     // ---- audit / data-quality surface -------------------------------------
     // "what changed between sync v1 and sync v2" over the events CDC log;
@@ -1700,6 +1709,22 @@ object SparkEntry {
     "events_min_sample_size" -> ((s, d) =>
       StatTests.minSampleSize(t(s, d, "events"), col("event_type"), 0.01)
         .withColumnRenamed("g", "event_type")),
+    // ClickHouse minMap/maxMap: per-user event_type → (min,max) cents,
+    // canonical sorted CSV (the events_sum_map encoding)
+    "events_minmax_map" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(floor(col("value") * 100 + 0.5).cast("long")).as("mn"),
+          max(floor(col("value") * 100 + 0.5).cast("long")).as("mx"))
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_list(
+            concat_ws(":", col("event_type"), col("mn"), col("mx")))), ",")
+          .as("minmax_map"))),
+    // seriesPeriodDetectFFT intent via the autocorrelation sweep (exact
+    // integer moments per lag, deterministic argmax — no FFT floats):
+    // dominant period of hourly traffic over lags 2..48h
+    "events_period_detect" -> ((s, d) =>
+      Behavior.periodDetect(t(s, d, "events"), "ts", 2, 48)),
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -4612,5 +4637,69 @@ object SparkEntry {
                   / (CAST(0.01 AS DOUBLE) * CAST(0.01 AS DOUBLE))) AS BIGINT)
                   AS min_n_per_arm
          FROM z""",
+    "events_minmax_map" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+                  min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS mn,
+                  max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS mx
+           FROM events GROUP BY user_id, event_type)
+         SELECT user_id,
+                string_agg(event_type || ':' || mn || ':' || mx, ','
+                  ORDER BY event_type) AS minmax_map
+         FROM s GROUP BY user_id""",
+    // the 47-lag autocorrelation sweep by index join (same exact integer
+    // moments as events_autocorr's window form), then the deterministic
+    // (autocorr DESC, lag) argmax
+    "events_period_detect" ->
+      """WITH obs AS (SELECT date_trunc('hour', ts) AS h, count(*) AS x
+                      FROM events GROUP BY 1),
+         sp AS (SELECT unnest(generate_series(min(h), max(h),
+                  INTERVAL 1 HOUR)) AS h FROM obs),
+         ser AS (SELECT row_number() OVER (ORDER BY sp.h) AS i,
+                        coalesce(obs.x, 0) AS x
+                 FROM sp LEFT JOIN obs ON sp.h = obs.h),
+         lags AS (SELECT CAST(range AS INT) AS k FROM range(2, 49)),
+         p AS (SELECT l.k, b.x AS x, a.x AS y
+               FROM lags l JOIN ser a ON TRUE JOIN ser b ON b.i = a.i + l.k),
+         m AS (SELECT k, count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM p GROUP BY k),
+         r AS (SELECT k, n,
+                      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                        AS autocorr
+               FROM m)
+         SELECT k AS period_hours, n, autocorr
+         FROM r ORDER BY autocorr DESC NULLS LAST, k LIMIT 1""",
+    // regenerates the id-derived DC diffs and their DPCM prefix sums in
+    // pure range() arithmetic — the decoder's Huffman/EXTEND/stuffing
+    // path must reproduce them exactly from the entropy-coded bytes
+    "mm_jpeg_dc" ->
+      """WITH blk AS (
+           SELECT doc_id, CAST(r.range AS BIGINT) AS b,
+                  (doc_id * 31 + CAST(r.range AS BIGINT) * 17) % 65 - 32
+                    AS diff
+           FROM documents CROSS JOIN range(0, 8) r
+           WHERE r.range < 1 + doc_id % 8),
+         dc AS (
+           SELECT doc_id, b,
+                  CAST(sum(diff) OVER (PARTITION BY doc_id ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS dc
+           FROM blk)
+         SELECT doc_id,
+                CAST(8 * (1 + doc_id % 8) AS INT) AS width,
+                count(*) AS n_blocks,
+                CAST(sum(dc) AS BIGINT) AS dc_sum,
+                CAST(min(dc) AS BIGINT) AS dc_min,
+                CAST(max(dc) AS BIGINT) AS dc_max
+         FROM dc GROUP BY doc_id""",
   )
 }

@@ -1113,6 +1113,26 @@ object Behavior {
         round(col("st.l") + lit(24.0) * col("st.b"), 6).as("forecast_24h"))
   }
 
+  /** Dominant-period detection over the dense hourly series — the
+    * ClickHouse `seriesPeriodDetectFFT` intent, deliberately re-expressed
+    * by the AUTOCORRELATION method: the lag in [minLag, maxLag] whose
+    * Pearson autocorrelation is highest (6dp-rounded, lowest lag on
+    * ties). An FFT answers the same question but in engine-specific
+    * float butterflies; the autocorrelation sweep is exact integer
+    * moments per lag ([[hourlyAutocorr]]) and one deterministic argmax —
+    * cross-engine reproducible, and O(lags × T) on the TIME-grained
+    * series (never row volume). One row: (period_hours, n, autocorr).
+    */
+  def periodDetect(events: DataFrame, tsCol: String,
+                   minLag: Int, maxLag: Int): DataFrame = {
+    require(2 <= minLag && minLag <= maxLag && maxLag <= 1024,
+      s"bad lag range [$minLag,$maxLag]")
+    hourlyAutocorr(events, tsCol, minLag to maxLag)
+      .orderBy(col("autocorr").desc_nulls_last, col("lag"))
+      .limit(1)
+      .select(col("lag").as("period_hours"), col("n"), col("autocorr"))
+  }
+
   /** Theil–Sen robust trend of the daily event-count series: the MEDIAN
     * of all pairwise slopes (xⱼ−xᵢ)/(tⱼ−tᵢ) over day indices, plus the
     * matching median intercept — the outlier-immune answer to "is

@@ -310,6 +310,46 @@ object Multimodal {
       })
   }
 
+  /** Synthetic baseline JPEGs through the real writer dual
+    * ([[Jpeg.encodeGrayDcOnly]]): per doc a `1 + id % 8`-block grayscale
+    * strip whose quantized DC DIFFS are id-derived
+    * (`((id·31 + b·17) mod 65) − 32`), so the DPCM-decoded DC values are
+    * prefix sums the oracle regenerates with pure `range()` arithmetic —
+    * a Huffman-table, bit-stuffing, EXTEND or DPCM bug hash-mismatches
+    * immediately.
+    */
+  def withJpegPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val k = 1 + (id % 8).toInt
+        val diffs = Array.tabulate(k)(b => ((id * 31 + b * 17) % 65).toInt - 32)
+        (id, Jpeg.encodeGrayDcOnly(k, diffs))
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("image/jpeg").as("media_type")).as("meta"))
+  }
+
+  /** Per-item luma-DC statistics through the real baseline-JPEG entropy
+    * decode ([[Jpeg.dcStats]]). Non-JPEG / progressive payloads drop.
+    */
+  case class JpegDcStats(doc_id: Long, width: Int, n_blocks: Long,
+                         dc_sum: Long, dc_min: Long, dc_max: Long)
+
+  def jpegDcStats(media: DataFrame): Dataset[JpegDcStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Jpeg.dcStats(payload).map(s =>
+          JpegDcStats(id, s.width, s.nBlocks, s.dcSum, s.dcMin, s.dcMax))
+      })
+  }
+
   /** Decoded per-item PCM statistics (see [[MediaHeader.wavPcmStats]]). */
   case class AudioStats(doc_id: Long, n_samples: Long, peak: Long,
                         n_clipped: Long, sum_squares: Long)

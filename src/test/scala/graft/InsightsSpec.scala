@@ -120,6 +120,16 @@ class InsightsSpec extends SparkSpec {
     assert(got(2) === 1.0)
   }
 
+  test("periodDetect: period-2 series wins at lag 2, lag tie-break low") {
+    val ev = (0 until 10).flatMap { h =>
+      val n = if (h % 2 == 0) 10 else 2
+      (1 to n).map(i => (h * 3600L + i, i))
+    }.toDF("tsl", "i").select(timestamp_seconds(col("tsl")).as("ts"))
+    val r = Behavior.periodDetect(ev, "ts", 2, 5).collect()(0)
+    // lags 2 and 4 both hit r = 1.0 on a period-2 series → lowest wins
+    assert(r.getInt(0) === 2 && r.getDouble(2) === 1.0)
+  }
+
   test("hourlyAutocorr densifies gaps: absent hours count zero") {
     // events only at hours 0 and 2 — the spine inserts hour 1 with x=0,
     // so lag-1 sees pairs (x0,·),(0,x0),(x2,0) instead of pairing the two
