@@ -138,4 +138,28 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("a", "b"), 1000L).as[(String, Long)].collect().toMap ==
       Map("1" -> 1L, "2" -> 0L))
   }
+
+  test("round-15 operators accept empty and degenerate inputs") {
+    import graft.operators.{Behavior, Graph, Insights, StatTests}
+    val noEv = Seq.empty[(Long, String, Long, Long)].toDF("u", "op", "tm", "y")
+      .select(col("u"), col("op"), timestamp_micros(col("tm")).as("ts"),
+        col("y"))
+    // empty log: no moments, no bars, no gaps, no graph — never an error
+    assert(StatTests.momentStats(noEv, col("op"), col("y")).count() == 0)
+    assert(StatTests.minSampleSize(noEv, col("op"), 0.01).count() == 0)
+    assert(Insights.sparkbar(noEv, col("op"), hour(col("ts")), 24)
+      .count() == 0)
+    assert(Insights.interpurchaseGaps(noEv, "u", "ts", "y")
+      .collect()(0).getLong(1) == 0L) // summary row exists, zero gaps
+    assert(Graph.triangleStats(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").count() == 0)
+    // one-hour log: Holt init state only; Theil-Sen has no pair → NULLs
+    val oneHour = Seq((1L, "a", 5L, 1L), (2L, "a", 6L, 1L))
+      .toDF("u", "op", "tm", "y")
+      .select(col("u"), col("op"), timestamp_micros(col("tm")).as("ts"))
+    val h = Behavior.hourlyHolt(oneHour, "ts").collect()(0)
+    assert(h.getLong(0) == 1L && h.getDouble(1) == 2.0 && h.getDouble(2) == 0.0)
+    val t = Behavior.dailyTheilSen(oneHour, "ts").collect()(0)
+    assert(t.getLong(0) == 1L && t.getLong(1) == 0L && t.isNullAt(2))
+  }
 }

@@ -133,4 +133,26 @@ class ShuffleShapeSpec extends SparkSpec {
     // spine join + ordered window + final fold over ~thousands of rows
     assert(shuffles(Behavior.hourlyAutocorr(ev, "ts", Seq(1, 24))) <= 4)
   }
+
+  test("round-15 additions: moment/map/cadence/series ops stay lean") {
+    val cents = floor(col("value") * 100 + 0.5)
+    // four power sums in ONE map-side-combined grouped pass
+    assert(shuffles(graft.operators.StatTests.momentStats(ev,
+      col("event_type"), cents)) == 1)
+    // group counts + a 1-row broadcast total
+    assert(shuffles(graft.operators.StatTests.minSampleSize(ev,
+      col("event_type"), 0.01)) <= 2)
+    // customer-key lag window + the one-row summary fold — the orders
+    // table never globally sorts
+    assert(shuffles(graft.operators.Insights.interpurchaseGaps(
+      ev.select(col("user_id"), col("ts"), col("event_id")),
+      "user_id", "ts", "event_id")) <= 3)
+    // slot-grain aggregate, dense-grid join, group window, final rollup —
+    // all at group×slot grain, the raw log shuffles once
+    assert(shuffles(graft.operators.Insights.sparkbar(ev, col("event_type"),
+      hour(col("ts")), 24)) <= 5)
+    // Holt folds over the hour-grained array: the raw log shuffles once
+    // into the hour grain; everything after is spine-sized
+    assert(shuffles(Behavior.hourlyHolt(ev, "ts")) <= 4)
+  }
 }
