@@ -1683,11 +1683,60 @@ object SparkEntry {
       StatTests.momentStats(t(s, d, "events"), col("event_type"),
         floor(col("value") * 100 + 0.5))
         .withColumnRenamed("g", "event_type")),
+    // CUPED variance-reduced A/B readout: pre-period spend as the control
+    // variate, variants keyed user_id % 2, split at the span midpoint
+    "events_cuped" -> ((s, d) =>
+      StatTests.cuped(t(s, d, "events"), col("user_id"),
+        floor(col("value") * 100 + 0.5), expr("unix_micros(ts)"))),
+    // Benjamini–Hochberg step-up over per-event-type Welch z-tests
+    // (even vs odd user cohorts) — FDR-controlled "which types differ"
+    "events_bh_fdr" -> ((s, d) =>
+      StatTests.bhFdr(t(s, d, "events"), col("event_type"),
+        col("user_id") % 2 === 0, floor(col("value") * 100 + 0.5))
+        .withColumnRenamed("g", "event_type")),
     // inter-purchase cadence: day gaps between consecutive orders per
     // customer, summarized with exact counts + interpolated quantiles
     "orders_interpurchase" -> ((s, d) =>
       Insights.interpurchaseGaps(t(s, d, "orders"), "o_custkey",
         "o_orderdate", "o_orderkey")),
+    // Kaplan–Meier time-to-next-order: inter-order gaps observed, the
+    // final open gap right-censored at the window edge
+    "orders_survival_km" -> ((s, d) =>
+      Survival.kaplanMeier(t(s, d, "orders"), "o_custkey", "o_orderdate")),
+    // BFS blast radius over the strong co-order supplier graph (≥2 shared
+    // orders keeps the graph sparse at every scale factor)
+    "supplier_bfs_hops" -> ((s, d) => {
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = pairs.select(col("ok"), col("sk").as("src"))
+        .join(pairs.select(col("ok"), col("sk").as("dst")), Seq("ok"))
+        .where(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+      Graph.bfsHops(e, "src", "dst", 4)
+    }),
+    // Flesch reading ease per doc from exact word/sentence/vowel-run counts
+    "text_readability" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.alphaWordCount(col("text")).as("n_words"),
+        TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+        TextFunctions.syllableEstimate(col("text")).as("n_syllables"),
+        TextFunctions.fleschReadingEase(col("text")).as("flesch"))),
+    // encoding-damage screen: U+FFFD / control chars / UTF-8-as-Latin-1
+    // digraph markers, flagged above 1 per mille of the doc's chars
+    "docs_mojibake" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.mojibakeCounts(col("text")).as("mc"),
+          col("n_chars"))
+        .select(col("doc_id"),
+          col("mc.n_replacement").as("n_replacement"),
+          col("mc.n_control").as("n_control"),
+          col("mc.n_latin1_marks").as("n_latin1_marks"),
+          (((col("mc.n_replacement") + col("mc.n_control") +
+            col("mc.n_latin1_marks")).cast("double") * lit(1000.0)) /
+            greatest(col("n_chars"), lit(1L)).cast("double") > lit(1.0))
+            .as("damaged"))),
     // ClickHouse sparkBar: hour-of-day activity bar per event type —
     // integer-only glyph levels, so the string is engine-exact
     "events_sparkbar" -> ((s, d) =>
@@ -4520,6 +4569,199 @@ object SparkEntry {
                 round(m4 / (m2 * m2), 6) AS kurt_pop,
                 round(m4 / (m2 * m2) - 3.0, 6) AS kurt_excess
          FROM c WHERE m2 > 0.0""",
+    // CUPED: exact int64/decimal moments at unit then variant grain; the
+    // scalar trees below mirror the Spark expressions operation-for-operation
+    "events_cuped" ->
+      """WITH base AS (SELECT user_id AS u,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+                              epoch_us(ts) AS us
+                       FROM events WHERE value IS NOT NULL),
+         mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM base),
+         units AS (
+           SELECT u,
+                  CAST(sum(CASE WHEN us < mid_us THEN y ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN us >= mid_us THEN y ELSE 0 END) AS BIGINT) AS yv,
+                  u % 2 AS variant
+           FROM base CROSS JOIN mid GROUP BY u
+           HAVING max(CASE WHEN us >= mid_us THEN 1 ELSE 0 END) = 1),
+         byv AS (
+           SELECT variant, count(*) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+                  sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+                  sum(CAST(x AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0))) AS sxy,
+                  sum(CAST(yv AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0))) AS syy
+           FROM units GROUP BY variant),
+         pooled AS (SELECT CAST(sum(n) AS DOUBLE) AS n_all,
+                           CAST(sum(sx) AS DOUBLE) AS gx,
+                           CAST(sum(sy) AS DOUBLE) AS gy,
+                           CAST(sum(sxx) AS DOUBLE) AS gxx,
+                           CAST(sum(sxy) AS DOUBLE) AS gxy FROM byv),
+         th AS (SELECT gx / n_all AS gmx,
+                       CASE WHEN (gxx - gx * gx / n_all) / n_all > 0.0
+                            THEN ((gxy - gx * gy / n_all) / n_all)
+                               / ((gxx - gx * gx / n_all) / n_all)
+                            ELSE 0.0 END AS theta FROM pooled),
+         v AS (SELECT variant, n, CAST(n AS DOUBLE) AS nd,
+                      CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                      CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+                      CAST(syy AS DOUBLE) AS syyd FROM byv)
+         SELECT variant, n AS n_units,
+                round((syd / nd) / 100.0, 6) AS mean_raw,
+                round((syd / nd - theta * (sxd / nd - gmx)) / 100.0, 6)
+                  AS mean_cuped,
+                round(((syyd - syd * syd / nd) / nd) / 10000.0, 6) AS var_raw,
+                round(((syyd - syd * syd / nd) / nd
+                       - 2.0 * theta * ((sxyd - sxd * syd / nd) / nd)
+                       + theta * theta * ((sxxd - sxd * sxd / nd) / nd))
+                      / 10000.0, 6) AS var_cuped,
+                round(theta, 6) AS theta
+         FROM v CROSS JOIN th ORDER BY variant""",
+    // BH step-up on 6dp-rounded Welch-z p-values (A&S 26.2.17 Φ), ranked
+    // (p, group) ascending; p_adj = suffix-min of m·p/i capped at 1
+    "events_bh_fdr" ->
+      """WITH m AS (SELECT event_type AS g, user_id % 2 = 0 AS a,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                    FROM events WHERE value IS NOT NULL),
+         g AS (SELECT g,
+                      CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                      CAST(sum(CASE WHEN a THEN y ELSE 0 END) AS BIGINT) AS s1a,
+                      sum(CASE WHEN a THEN CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                               ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2a,
+                      CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+                      CAST(sum(CASE WHEN a THEN 0 ELSE y END) AS BIGINT) AS s1b,
+                      sum(CASE WHEN a THEN CAST(0 AS DECIMAL(38,0))
+                               ELSE CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) END) AS s2b
+               FROM m GROUP BY 1 HAVING na >= 2 AND nb >= 2),
+         w AS (SELECT g, na, nb,
+                      (CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE))
+                      / sqrt((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+                                / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+                               / CAST(na AS DOUBLE)
+                             + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+                                / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)
+                               / CAST(nb AS DOUBLE)) AS z
+               FROM g
+               WHERE sqrt((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+                             / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+                            / CAST(na AS DOUBLE)
+                          + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+                             / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)
+                            / CAST(nb AS DOUBLE)) > 0.0),
+         p AS (SELECT g, na, nb, round(w.z, 6) AS z,
+                      round(2.0 * (exp(abs(w.z) * abs(w.z) * -0.5) * 0.3989422804014327)
+                            * ((1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                               * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                  * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                     * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                        * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                           * 1.330274429))))), 6) AS p
+               FROM w),
+         r AS (SELECT g, na, nb, z, p,
+                      row_number() OVER (ORDER BY p, g) AS i,
+                      count(*) OVER () AS m_tests
+               FROM p),
+         adj AS (SELECT g, na, nb, z, p,
+                        round(least(min(p * CAST(m_tests AS DOUBLE)
+                                        / CAST(i AS DOUBLE))
+                          OVER (ORDER BY p DESC, g DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                          1.0), 6) AS p_adj
+                 FROM r)
+         SELECT g AS event_type, na AS n_a, nb AS n_b, z, p, p_adj,
+                p_adj <= 0.05 AS reject
+         FROM adj ORDER BY event_type""",
+    // KM: exact integer day durations; survival = exp(Σ ln((n−d)/n)) over
+    // ascending event times, absorbed-at-zero guarded — same tree as Spark
+    "orders_survival_km" ->
+      """WITH base AS (SELECT o_custkey AS u, epoch_us(o_orderdate) AS us
+                       FROM orders),
+         h AS (SELECT max(us) AS h_us FROM base),
+         lagd AS (SELECT u, us, lead(us) OVER (PARTITION BY u ORDER BY us)
+                    AS nxt FROM base),
+         durs AS (SELECT CASE WHEN nxt IS NOT NULL
+                              THEN (nxt - us) // 86400000000
+                              ELSE (h_us - us) // 86400000000 END AS t,
+                         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+                  FROM lagd CROSS JOIN h),
+         grain AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                          CAST(sum(1 - ev) AS BIGINT) AS c
+                   FROM durs GROUP BY t),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM grain),
+         s1 AS (SELECT t, d, c,
+                       CAST(n_total - sum(d + c) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         + d + c AS BIGINT) AS n_risk
+                FROM grain CROSS JOIN tot),
+         s2 AS (SELECT t, d, c, n_risk,
+                       sum(CASE WHEN d < n_risk
+                                THEN ln(CAST(n_risk - d AS DOUBLE)
+                                        / CAST(n_risk AS DOUBLE))
+                                ELSE 0.0 END)
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ln_s,
+                       max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS absorbed
+                FROM s1)
+         SELECT t AS duration_days, n_risk, d AS n_events, c AS n_censored,
+                CASE WHEN absorbed = 1 THEN 0.0
+                     ELSE round(exp(ln_s), 6) END AS survival
+         FROM s2 WHERE d > 0 ORDER BY 1""",
+    // level-synchronous reachability: UNION-dedup keeps STATES (node,hop),
+    // never paths; min(hop) per node is the BFS distance
+    "supplier_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         e AS (SELECT a.sk AS src, b.sk AS dst
+               FROM pairs a JOIN pairs b USING (ok)
+               WHERE a.sk <> b.sk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         seed AS (SELECT min(src) AS s FROM e),
+         walk(node, hop) AS (
+           SELECT s, 0 FROM seed
+           UNION
+           SELECT e.dst, w.hop + 1
+           FROM walk w JOIN e ON e.src = w.node WHERE w.hop < 4),
+         best AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+         SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
+         FROM best GROUP BY hop ORDER BY hop""",
+    // Flesch over exact counts; vowel-run syllables + all-consonant words
+    "text_readability" ->
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+                CASE WHEN n_words > 0 THEN
+                  round(206.835
+                        - 1.015 * (CAST(n_words AS DOUBLE)
+                                   / CAST(n_sentences AS DOUBLE))
+                        - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                  / CAST(n_words AS DOUBLE)), 4)
+                END AS flesch
+         FROM (SELECT doc_id,
+                      CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                        AS BIGINT) AS n_words,
+                      CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                        AS BIGINT) AS n_sentences,
+                      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           + len(list_filter(
+                               regexp_extract_all(lower(text), '[a-z]+'),
+                               w -> NOT regexp_matches(w, '[aeiouy]')))
+                        AS BIGINT) AS n_syllables
+               FROM documents)""",
+    "docs_mojibake" ->
+      """SELECT doc_id, n_replacement, n_control, n_latin1_marks,
+                (CAST(n_replacement + n_control + n_latin1_marks AS DOUBLE)
+                 * 1000.0) / CAST(greatest(n_chars, 1) AS DOUBLE) > 1.0
+                  AS damaged
+         FROM (SELECT doc_id, n_chars,
+                      CAST(len(regexp_extract_all(text, '\x{FFFD}'))
+                        AS BIGINT) AS n_replacement,
+                      CAST(len(regexp_extract_all(text,
+                          '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT)
+                        AS n_control,
+                      CAST(len(regexp_extract_all(text,
+                          '\x{00C3}[\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}|\x{00C2}[\x{00A0}-\x{00BF}]'))
+                        AS BIGINT) AS n_latin1_marks
+               FROM documents)""",
     // lag over (date, key) per customer; quantile_cont matches Spark
     // percentile's linear interpolation on the integer day gaps
     "orders_interpurchase" ->

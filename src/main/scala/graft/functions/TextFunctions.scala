@@ -202,4 +202,58 @@ object TextFunctions {
       "top_bigram_fraction")
     words.join(bigrams, Seq("doc_id"), "left_outer")
   }
+
+  /** Alphabetic word count — the readability denominator ([A-Za-z]+ runs,
+    * so "don't" counts 2 and digits/punct never inflate the word count).
+    */
+  def alphaWordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))).cast("long")
+
+  /** Sentence count for readability: runs of terminal punctuation, floored
+    * at 1 so fragment-only docs divide by one sentence instead of zero.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+
+  /** Deterministic syllable estimate: vowel-group runs ([aeiouy]+) across
+    * the lowercased text, plus one for every all-consonant word ("rhythm"
+    * minus its y's, acronyms) so each word contributes ≥ 1 — the standard
+    * cheap heuristic; a dictionary pass is out of scope for a scan-fused
+    * scalar and the Flesch formula only needs syllables/word to ~0.1.
+    */
+  def syllableEstimate(text: Column): Column =
+    (size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))) +
+      size(filter(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)),
+        w => !w.rlike("[aeiouy]")))).cast("long")
+
+  /** Flesch reading ease (206.835 − 1.015·words/sentences −
+    * 84.6·syllables/words), 4dp, NULL for wordless docs — the
+    * quality-filter signal "is this prose or a symbol dump".
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val w = alphaWordCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableEstimate(text).cast("double")
+    when(w > 0.0, round(lit(206.835) - lit(1.015) * (w / s) -
+      lit(84.6) * (sy / w), 4))
+  }
+
+  /** Encoding-damage counters, the mojibake screen a web-scrape pipeline
+    * runs before training: U+FFFD replacement characters (decoder already
+    * gave up), C0 control characters that never appear in clean text (all
+    * but \t \n \r), and the UTF-8-read-as-Latin-1 digraph markers
+    * (Ã/Â/â€ sequences — every non-ASCII UTF-8 char mis-decoded that way
+    * starts with one). Returns the three counts as a struct; combine with
+    * doc length for a rate threshold.
+    */
+  def mojibakeCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit("\\uFFFD"), lit(0))).cast("long")
+      .as("n_replacement"),
+    size(regexp_extract_all(text,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit(0))).cast("long")
+      .as("n_control"),
+    size(regexp_extract_all(text,
+      lit("\\u00C3[\\u0080-\\u00BF]|\\u00E2\\u20AC|\\u00C2[\\u00A0-\\u00BF]"),
+      lit(0))).cast("long").as("n_latin1_marks"))
 }

@@ -190,4 +190,51 @@ object Graph {
           .otherwise(round((d("n") * d("sxy") - d("sx") * d("sy")) / denom, 6))
           .as("assortativity"))
   }
+
+  /** Breadth-first hop census from the graph's minimum node id: how many
+    * nodes sit at shortest-path distance 0, 1, … maxHops from the seed —
+    * the "blast radius" readout (how far does an outage/defect at one
+    * supplier propagate through shared orders).
+    *
+    * Implementation is frontier-iterated set BFS, the only shape that
+    * survives scale: each of the ≤ maxHops rounds is ONE distributed
+    * join of the edge list against the current frontier plus an
+    * anti-join against the visited set — never an all-pairs or
+    * path-enumerating pass (paths proliferate exponentially in a dense
+    * graph; STATES are bounded by the node count, and that is what the
+    * visited-set dedup keeps). The driver holds only loop control (a
+    * per-round emptiness check), never node data; the edge list is
+    * materialized once and reused by every round.
+    *
+    * Determinism: the seed is min(src); hop levels are unique per node
+    * (first visit wins = min hop, the BFS invariant). Output:
+    * (hop, n_nodes), hop 0 = the seed row.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"bad maxHops=$maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seed = e.agg(min(col("src"))).as[Option[Long]].head() match {
+      case Some(s) => s
+      case None => return Seq.empty[(Long, Long)].toDF("hop", "n_nodes")
+    }
+    var visited = Seq((seed, 0L)).toDF("node", "hop").localCheckpoint(true)
+    var frontier = visited
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = e.join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("hop"))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop"))
+  }
 }

@@ -486,6 +486,144 @@ object StatTests {
         ceil(se * se / (lit(mde) * lit(mde))).as("min_n_per_arm"))
   }
 
+  /** CUPED variance reduction for an A/B readout (Deng et al., WSDM'13 —
+    * the standard trick every large experimentation platform runs): use
+    * each unit's PRE-period metric X as a control variate for its
+    * post-period metric Y, reporting the adjusted mean
+    * ȳᵥ − θ·(x̄ᵥ − x̄) per variant with θ = cov(X,Y)/var(X) pooled over
+    * all units (variant-blind, so the adjustment is unbiased under
+    * randomization). The reference stack would run this as a ClickHouse
+    * query over the mirrored events table; here it is two grouped passes.
+    *
+    * Determinism: the experiment window splits at the exact integer
+    * microsecond midpoint of the observed span; units are keyed by
+    * `unit`, variants by `unit % 2`; X/Y are exact int64 sums of
+    * `cents`; all second moments go through [[xprod]] (decimal(38,0),
+    * overflow-loud); θ and every output is one fixed scalar tree over
+    * those exact sums — engine-identical.
+    *
+    * Scale shape: shuffle 1 collapses the raw log to the UNIT grain
+    * (map-side combined conditional sums); shuffle 2 collapses units to
+    * the 2-row variant grain; the pooled moments come from those 2 rows
+    * (no third pass over data) and join back broadcast. No per-row
+    * windows, no self-joins — the same shape at 10⁹ units as at 10³.
+    * Output: variant, n_units, mean_raw, mean_cuped, var_raw, var_cuped,
+    * theta (cents scale /100; 6dp).
+    */
+  def cuped(events: DataFrame, unit: Column, cents: Column,
+            ts: Column): DataFrame = {
+    val base = events.select(unit.as("u"), cents.cast("long").as("y"),
+      ts.cast("long").as("us")).where(col("y").isNotNull)
+    val mid = base.agg((min(col("us")) + max(col("us"))).as("mm"))
+      .select(expr("mm DIV 2").as("mid_us"))
+    // unit grain: pre-period sum X (0 if absent), post-period sum Y;
+    // units with no post activity carry no readout and drop out
+    val units = base.crossJoin(broadcast(mid))
+      .groupBy(col("u"))
+      .agg(sum(when(col("us") < col("mid_us"), col("y")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("mid_us"), col("y")).otherwise(0L)).as("yy"),
+        max(when(col("us") >= col("mid_us"), 1L).otherwise(0L)).as("has_post"))
+      .where(col("has_post") === 1L)
+      .select(col("u"), col("x"), col("yy").as("y"),
+        (col("u") % 2).cast("long").as("variant"))
+    val byV = units.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(xprod(col("x"), col("x"))).as("sxx"),
+        sum(xprod(col("x"), col("y"))).as("sxy"),
+        sum(xprod(col("y"), col("y"))).as("syy"))
+    // pooled moments over all units = exact sums of the 2 variant rows
+    val pooled = byV.agg(sum(col("n")).as("n_all"), sum(col("sx")).as("gx"),
+      sum(col("sy")).as("gy"), sum(col("sxx")).as("gxx"),
+      sum(col("sxy")).as("gxy"))
+    val nAll = d(col("n_all"))
+    val covXY = (d(col("gxy")) - d(col("gx")) * d(col("gy")) / nAll) / nAll
+    val varX = (d(col("gxx")) - d(col("gx")) * d(col("gx")) / nAll) / nAll
+    val withTheta = pooled.select(col("n_all"),
+      (d(col("gx")) / nAll).as("gmx"),
+      when(varX > 0.0, covXY / varX).otherwise(lit(0.0)).as("theta"))
+    val nv = d(col("n"))
+    val mx = d(col("sx")) / nv
+    val my = d(col("sy")) / nv
+    val vy = (d(col("syy")) - d(col("sy")) * d(col("sy")) / nv) / nv
+    val vx = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / nv) / nv
+    val cxy = (d(col("sxy")) - d(col("sx")) * d(col("sy")) / nv) / nv
+    // var(Y − θX) = var(Y) − 2θ·cov(X,Y) + θ²·var(X), per variant
+    val vAdj = vy - lit(2.0) * col("theta") * cxy +
+      col("theta") * col("theta") * vx
+    byV.crossJoin(broadcast(withTheta))
+      .select(col("variant"), col("n").as("n_units"),
+        round(my / 100.0, 6).as("mean_raw"),
+        round((my - col("theta") * (mx - col("gmx"))) / 100.0, 6)
+          .as("mean_cuped"),
+        round(vy / 10000.0, 6).as("var_raw"),
+        round(vAdj / 10000.0, 6).as("var_cuped"),
+        round(col("theta"), 6).as("theta"))
+      .orderBy(col("variant"))
+  }
+
+  /** Benjamini–Hochberg FDR correction over a family of per-group Welch
+    * z-tests — "which event types ACTUALLY differ between the two user
+    * cohorts, at a controlled false-discovery rate" instead of the
+    * per-test p < .05 that multiplies false positives across groups.
+    * p_adj(i) = min_{j ≥ i}(m·p(j)/j) over the p-ascending ranking,
+    * capped at 1 — the step-up procedure verbatim.
+    *
+    * Cross-engine determinism: z is a fixed scalar tree over exact
+    * integer moments ([[welch z]]); Φ(|z|) uses the Abramowitz–Stegun
+    * 26.2.17 five-term polynomial — the SAME explicit formula the oracle
+    * SQL spells out, with one `exp` whose argument is the bit-identical
+    * z² (a last-ulp libm divergence would have to cross a 5e-7 rounding
+    * boundary to surface; p is rounded to 6dp BEFORE the BH ranking so
+    * both engines rank identical keys, tie-broken by group).
+    *
+    * Scale shape: ONE map-side-combined groupBy over six conditional
+    * integer moments, then windows over the m-row group frame (m = #
+    * groups, never row count). Output per group: n_a, n_b, z, p, p_adj,
+    * reject (q = 0.05).
+    */
+  def bhFdr(events: DataFrame, group: Column, condA: Column,
+            cents: Column, q: Double = 0.05): DataFrame = {
+    val base = events.select(group.as("g"), condA.as("a"),
+      cents.cast("long").as("y")).where(col("y").isNotNull)
+    val m = base.groupBy(col("g")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("a"), col("y")).otherwise(0L)).as("s1a"),
+      sum(when(col("a"), xprod(col("y"), col("y"))).otherwise(lit(0).cast("decimal(38,0)"))).as("s2a"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("a"), col("y")).otherwise(0L)).as("s1b"),
+      sum(when(!col("a"), xprod(col("y"), col("y"))).otherwise(lit(0).cast("decimal(38,0)"))).as("s2b"))
+      .where(col("na") >= 2 && col("nb") >= 2)
+    val nad = d(col("na")); val nbd = d(col("nb"))
+    val ma = d(col("s1a")) / nad; val mb = d(col("s1b")) / nbd
+    val va = (d(col("s2a")) - d(col("s1a")) * d(col("s1a")) / nad) / (nad - 1.0)
+    val vb = (d(col("s2b")) - d(col("s1b")) * d(col("s1b")) / nbd) / (nbd - 1.0)
+    val se = sqrt(va / nad + vb / nbd)
+    val z = (ma - mb) / se
+    // Φ(|z|) via A&S 26.2.17: 1 − φ(z)·(b1·k + b2·k² + … + b5·k⁵),
+    // k = 1/(1 + 0.2316419·|z|) — max abs error 7.5e-8, well under 6dp
+    val az = abs(z)
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) +
+        k * lit(1.330274429)))))
+    val phi = exp(az * az * lit(-0.5)) * lit(0.3989422804014327)
+    val p = round(lit(2.0) * phi * poly, 6)
+    val tested = m.where(se > 0.0)
+      .select(col("g"), col("na"), col("nb"), round(z, 6).as("z"), p.as("p"))
+    val ord = Window.orderBy(col("p"), col("g"))
+    val suffix = Window.orderBy(col("p").desc, col("g").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tested
+      .crossJoin(broadcast(tested.agg(count(lit(1)).as("m_tests"))))
+      .withColumn("i", row_number().over(ord))
+      .withColumn("p_adj", round(least(min(col("p") * d(col("m_tests")) /
+        d(col("i"))).over(suffix), lit(1.0)), 6))
+      .select(col("g"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("z"), col("p"), col("p_adj"),
+        (col("p_adj") <= lit(q)).as("reject"))
+      .orderBy(col("g"))
+  }
+
   def momentStats(df: DataFrame, group: Column, cents: Column): DataFrame = {
     val base = df.select(group.as("g"), cents.cast("long").as("y"))
       .where(col("y").isNotNull)

@@ -279,4 +279,52 @@ class StatTestsSpec extends SparkSpec {
     // exact integer sums → identical on any partitioning
     assert(run(7) === got)
   }
+
+  test("cuped: hand-computed theta/means; pre-only units dropped; order-free") {
+    // mid = (0+90)/2 = 45; units 1..4 carry (x,y) = (10,20)(20,10)(30,40)
+    // (40,30); unit 5 is pre-only and drops. Pooled: x̄=25 ȳ=25,
+    // cov=75 varX=125 → θ=0.6. Variant 1 (u1,u3): ȳ=30 x̄=20 →
+    // adj = 30 − 0.6·(20−25) = 33; variant 0: 20 − 0.6·5 = 17.
+    // var_cuped both arms: 100 − 2·0.6·100 + 0.36·100 = 16.
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 60L, 20L),
+      (2L, 10L, 20L), (2L, 70L, 10L),
+      (3L, 20L, 30L), (3L, 80L, 40L),
+      (4L, 30L, 40L), (4L, 90L, 30L),
+      (5L, 5L, 99L)).toDF("u", "us", "y")
+    def run(np: Int) =
+      StatTests.cuped(ev.repartition(np), col("u"), col("y"), col("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .toSeq
+    val got = run(1)
+    assert(got === Seq(
+      (0L, 2L, 0.2, 0.17, 0.01, 0.0016, 0.6),
+      (1L, 2L, 0.3, 0.33, 0.01, 0.0016, 0.6)))
+    assert(run(7) === got)
+  }
+
+  test("bhFdr: step-up adjusted p, one-sided reject; degenerate groups drop") {
+    // g1: a={0,0,2,2} b={10,10,12,12} → z = −10/√(2/3) = −12.247449,
+    //   p≈0; g2: identical arms → z=0, p≈1. BH with m=2: p_adj(g1)=0
+    //   (reject), p_adj(g2)=p₂ (keep). g3 has one-sided data and drops;
+    //   g4 has zero variance (se=0) and drops.
+    val ev = Seq(
+      ("g1", true, 0L), ("g1", true, 0L), ("g1", true, 2L), ("g1", true, 2L),
+      ("g1", false, 10L), ("g1", false, 10L), ("g1", false, 12L), ("g1", false, 12L),
+      ("g2", true, 5L), ("g2", true, 5L), ("g2", true, 5L), ("g2", true, 7L),
+      ("g2", false, 5L), ("g2", false, 5L), ("g2", false, 5L), ("g2", false, 7L),
+      ("g3", true, 1L), ("g3", true, 2L),
+      ("g4", true, 3L), ("g4", true, 3L), ("g4", false, 3L), ("g4", false, 3L))
+      .toDF("g", "a", "y")
+    val r = StatTests.bhFdr(ev, col("g"), col("a"), col("y"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5), x.getBoolean(6)))
+      .toSeq
+    assert(r.map(_._1) == Seq("g1", "g2"))
+    val g1 = r(0); val g2 = r(1)
+    assert(g1._2 == 4L && g1._3 == 4L && g1._4 == -12.247449)
+    assert(g1._5 == 0.0 && g1._6 == 0.0 && g1._7)
+    assert(g2._4 == 0.0 && g2._5 > 0.9 && g2._6 == g2._5 && !g2._7)
+  }
 }
