@@ -1119,9 +1119,10 @@ object SparkEntry {
       // three relations, and file count scales with the partition grain —
       // 16 keeps the same pruning semantics at a quarter of the
       // small-file overhead (production sizing stays the caller's)
-      JaccardIndex.create(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
-          "doc_id", "text", 0.8, indexScratch, parts = 16)
-        .probeAndAdd(docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+      JaccardIndex.createWithFirstSync(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", 0.8, indexScratch, parts = 16)._2
     }),
     // probabilistic screen over the same measure (rows-only; its recall
     // relative to the exact prefix path is spec-pinned in DedupSpec)

@@ -221,20 +221,32 @@ object Graph {
       case Some(s) => s
       case None => return Seq.empty[(Long, Long)].toDF("hop", "n_nodes")
     }
-    var visited = Seq((seed, 0L)).toDF("node", "hop").localCheckpoint(true)
+    // ONE driver action per round: count() both materializes the level's
+    // cache and is the loop guard. The visited set is the plain union of
+    // the ≤ maxHops cached levels — each level's plan reads the previous
+    // level's CACHE, so lineage stays one-hop deep and nothing recomputes;
+    // re-checkpointing visited every round would cost a second job per hop
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var visited = Seq((seed, 0L)).toDF("node", "hop").persist()
+    levels += visited
     var frontier = visited
     var hop = 0L
-    while (hop < maxHops && !frontier.isEmpty) {
+    var grew = true
+    while (hop < maxHops && grew) {
       hop += 1
       val next = e.join(frontier.select(col("node").as("src")), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("hop"))
-        .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+        .persist()
+      grew = next.count() > 0
+      levels += next
+      visited = visited.union(next)
       frontier = next
     }
-    visited.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("hop"))
+    val census = visited.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop")).localCheckpoint(true)
+    levels.foreach(_.unpersist(false))
+    census
   }
 }

@@ -112,6 +112,11 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     if (maintSession == null) {
       val m = spark.newSession()
       m.conf.set("spark.sql.adaptive.enabled", "false")
+      // the only shuffles on the build lanes are repartition(p)/(q) at the
+      // index's own partition grain — `parts` shuffle partitions is the
+      // exact task count those need (32 tasks for 16 dirs is pure overhead
+      // per lane, ×6 concurrent lanes in a bootstrap wave)
+      m.conf.set("spark.sql.shuffle.partitions", parts.toString)
       maintSession = m
     }
     maintSession
@@ -214,12 +219,18 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
   private case class Prepared(words: DataFrame, newTokens: DataFrame,
                               post: DataFrame, sets: DataFrame)
 
-  private def prepare(batch: DataFrame, idCol: String, textCol: String): Prepared = {
+  private def prepare(batch: DataFrame, idCol: String, textCol: String,
+                      knownOverride: Option[DataFrame] = None): Prepared = {
     val words = Dedup.widen(batch).select(col(idCol).as("id"),
       array_distinct(split(lower(col(textCol)), " ")).as("words"))
     val tok = words.select(col("id"), size(col("words")).as("n"),
       explode(col("words")).as("w"))
-    val known = readTokens(tok.select(col("w"), lit(0L).as("odf")), committedBatches)
+    // knownOverride lets [[bootstrapFirstSync]] hand the batch the corpus
+    // vocabulary IN MEMORY (it is exactly what the tokens relation will
+    // hold once the concurrent wave commits) instead of reading it back
+    // from not-yet-written files
+    val known = knownOverride.getOrElse(
+      readTokens(tok.select(col("w"), lit(0L).as("odf")), committedBatches))
     // a token unseen by every committed batch gets its order key HERE — its
     // df within this batch — and keeps it forever (see class doc)
     val newTokens = tok.join(known, Seq("w"), "left_anti")
@@ -458,6 +469,45 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     writeMeta(spark, dir, threshold, parts, committedBatches, liveBase)
   }
 
+  /** Bootstrap (`corpus` → `b=0`) and first sync (`batch` → `b=1`, probed)
+    * in ONE commit wave — the snapshot-plus-first-CDC-batch handoff of a
+    * fresh mirror (the reference's initial-load-then-stream flow,
+    * quickstart_prepare_peers.sh:80). Result and on-disk state are
+    * byte-equal to `create(corpus)` followed by `probeAndAdd(batch)`: the
+    * batch's order keys come from the corpus vocabulary handed over in
+    * memory (exactly what the sequential path reads back from the just-
+    * committed tokens relation), and the probe reads only committed files.
+    * The win is wall-clock: all SIX relation writes (tokens/postings/sets
+    * × two batches, disjoint dirs) run concurrently, so bootstrap latency
+    * is the slowest write, not the sum of two sequential add waves.
+    */
+  private[operators] def bootstrapFirstSync(corpus: DataFrame, batch: DataFrame,
+                                            idCol: String, textCol: String): DataFrame = synchronized {
+    require(committedBatches == 0 && liveBase == 0,
+      s"bootstrapFirstSync needs a fresh index (batches=$committedBatches)")
+    val p0 = prepare(corpus, idCol, textCol)
+    val p1 = prepare(batch, idCol, textCol, knownOverride = Some(p0.newTokens))
+    materialized(p0) {
+      // the corpus vocabulary feeds its own tokens write AND the batch's
+      // whole pipeline — pin it so the groupBy runs once, not four times
+      p0.newTokens.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try materialized(p1) {
+        maint // force session init on the calling thread
+        JaccardIndex.concurrently(
+          () => onMaint(p0.newTokens).write.mode("overwrite")
+            .parquet(rel("tokens/b=0")),
+          () => writeBatchRelations(p0, 0),
+          () => onMaint(p1.newTokens).write.mode("overwrite")
+            .parquet(rel("tokens/b=1")),
+          () => writeBatchRelations(p1, 1))
+        committedBatches = 2
+        writeMeta(spark, dir, threshold, parts, committedBatches, liveBase)
+      } finally p0.newTokens.unpersist(false)
+    }
+    probeAgainst(committedBatch("postings", 1, "p", p1.post),
+      committedBatch("sets", 1, "q", p1.sets), 1)
+  }
+
   /** Commit `batch`, then return its pairs — the per-sync step of a
     * continuous pipeline. The probe runs against the COMMITTED `b=K` copy of
     * the batch with the corpus cutoff pinned below it, which is byte-equal
@@ -527,6 +577,23 @@ object JaccardIndex {
     val idx = new JaccardIndex(spark, dir, threshold, parts, 0, 0)
     idx.add(corpus, idCol, textCol)
     idx
+  }
+
+  /** [[create]] + first [[JaccardIndex.probeAndAdd]] fused into one commit
+    * wave (six concurrent relation writes instead of two sequential add
+    * waves) — byte-equal result and on-disk state, bootstrap wall-clock =
+    * the slowest single write. Returns (index, first sync's pairs).
+    */
+  def createWithFirstSync(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String, threshold: Double,
+                          dir: String, parts: Int = 64): (JaccardIndex, DataFrame) = {
+    val spark = corpus.sparkSession
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val idx = new JaccardIndex(spark, dir, threshold, parts, 0, 0)
+    val firstSync = idx.bootstrapFirstSync(corpus, batch, idCol, textCol)
+    (idx, firstSync)
   }
 
   /** Open the committed index at `dir`. When the meta file is missing but a

@@ -326,9 +326,35 @@ class JaccardIndexSpec extends SparkSpec {
     val bad = intercept[IllegalStateException](JaccardIndex.load(spark, dir))
     assert(bad.getMessage.contains("corrupt"), bad.getMessage)
   }
+
+  test("createWithFirstSync is byte-equal to create + probeAndAdd, on disk too") {
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = real.where(pmod(col("doc_id"), lit(7)) > 1)
+    val batch1 = real.where(pmod(col("doc_id"), lit(7)) === 0)
+    val batch2 = real.where(pmod(col("doc_id"), lit(7)) === 1)
+    val dSeq = Files.createTempDirectory("graft_jseq").toString + "/idx"
+    val dFus = Files.createTempDirectory("graft_jfus").toString + "/idx"
+
+    val seqPairs = pairs(JaccardIndex.create(corpus, "doc_id", "text", 0.8, dSeq)
+      .probeAndAdd(batch1, "doc_id", "text"))
+    val (fused, firstSync) = JaccardIndex.createWithFirstSync(
+      corpus, batch1, "doc_id", "text", 0.8, dFus)
+    assert(pairs(firstSync) == seqPairs && seqPairs.nonEmpty)
+    assert(fused.batches == 2 && fused.base == 0)
+
+    // the committed state must be indistinguishable: a LATER batch probed
+    // through a reload of each index returns identical pairs
+    val next1 = pairs(JaccardIndex.load(spark, dSeq)
+      .probeAndAdd(batch2, "doc_id", "text"))
+    val next2 = pairs(JaccardIndex.load(spark, dFus)
+      .probeAndAdd(batch2, "doc_id", "text"))
+    assert(next1 == next2 && next1.nonEmpty)
+  }
 }
 
 object JaccardIndexSpec {
   /** Evaluation counter for the non-deterministic-source fixture. */
   val evals = new java.util.concurrent.atomic.AtomicInteger()
+
+
 }
