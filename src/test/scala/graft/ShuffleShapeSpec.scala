@@ -155,4 +155,26 @@ class ShuffleShapeSpec extends SparkSpec {
     // into the hour grain; everything after is spine-sized
     assert(shuffles(Behavior.hourlyHolt(ev, "ts")) <= 4)
   }
+
+  test("session-3 additions: experimentation/survival/graph ops stay lean") {
+    import graft.operators.{Graph, StatTests, Survival}
+    val cents = floor(col("value") * 100 + 0.5)
+    // midpoint fold + unit grain + variant grain + pooled fold + ordered
+    // output — everything past the unit grain exchanges ≤2-row frames;
+    // the raw log itself shuffles ONCE (to the unit grain)
+    assert(shuffles(StatTests.cuped(ev, col("user_id"), cents,
+      expr("unix_micros(ts)"))) <= 6)
+    // one grouped moment pass; every window after runs on the m-row frame
+    assert(shuffles(StatTests.bhFdr(ev, col("event_type"),
+      col("user_id") % 2 === 0, cents)) <= 5)
+    // customer lag window + duration grain + tiny-frame windows: the
+    // orders-shaped log shuffles once on the customer key
+    assert(shuffles(Survival.kaplanMeier(
+      ev.select(col("user_id"), col("ts")), "user_id", "ts")) <= 6)
+    // per BFS round: one edge-vs-frontier join + one anti-join, nothing
+    // re-shuffles the edge list wholesale beyond its one build
+    val edges = ev.select(col("user_id").as("src"),
+      (col("user_id") + 1).as("dst")).distinct()
+    assert(shuffles(Graph.bfsHops(edges, "src", "dst", 2)) <= 4)
+  }
 }
