@@ -1717,6 +1717,15 @@ object SparkEntry {
         .where(col("w") >= 2)
       Graph.bfsHops(e, "src", "dst", 4)
     }),
+    // additive Holt–Winters: hourlyHolt + the 24-slot seasonal state,
+    // bit-replayed by the oracle's recursive CTE
+    "events_holt_winters" -> ((s, d) =>
+      Behavior.hourlyHoltWinters(t(s, d, "events"), "ts")),
+    // Efraimidis–Spirakis exact-k weighted sample, length-proportional
+    "docs_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(t(s, d, "documents"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)), 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
     // Flesch reading ease per doc from exact word/sentence/vowel-run counts
     "text_readability" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -4727,6 +4736,63 @@ object SparkEntry {
          best AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
          SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
          FROM best GROUP BY hop ORDER BY hop""",
+    // Holt–Winters: exact integer init (sums of counts in doubles), then
+    // the order-determined recurrence replayed step-for-step; the seasonal
+    // list updates by slicing, lnew bound once in the inner subquery (the
+    // VALUE matches Spark's textually-repeated tree)
+    "events_holt_winters" ->
+      """WITH RECURSIVE obs AS (
+           SELECT date_trunc('hour', ts) AS h, count(*) AS x
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM obs),
+         spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                     AS h FROM bounds),
+         ser AS (SELECT row_number() OVER (ORDER BY s.h) AS i,
+                        CAST(COALESCE(o.x, 0) AS DOUBLE) AS x
+                 FROM spine s LEFT JOIN obs o ON o.h = s.h),
+         par AS (SELECT count(*) AS n FROM ser),
+         m AS (SELECT sum(x) FILTER (WHERE i <= 24) / 24.0 AS m1,
+                      CASE WHEN (SELECT n FROM par) >= 48
+                           THEN (sum(x) FILTER (WHERE i > 24 AND i <= 48)
+                                   / 24.0
+                                 - sum(x) FILTER (WHERE i <= 24) / 24.0)
+                                / 24.0
+                           ELSE 0.0 END AS b0
+               FROM ser),
+         s0 AS (SELECT list(x - (SELECT m1 FROM m) ORDER BY i) AS s
+                FROM ser WHERE i <= 24),
+         rec AS (
+           SELECT 24 AS i, (SELECT m1 FROM m) AS l, (SELECT b0 FROM m) AS b,
+                  (SELECT s FROM s0) AS s
+           FROM par WHERE n >= 24
+           UNION ALL
+           SELECT t.i, t.lnew,
+                  0.5 * (t.lnew - t.l) + 0.5 * t.b,
+                  t.s[1:t.sl-1]
+                    || [0.5 * (t.x - t.lnew) + 0.5 * t.sv]
+                    || t.s[t.sl+1:24]
+           FROM (SELECT sr.i AS i, r.l AS l, r.b AS b, r.s AS s, sr.x AS x,
+                        (r.i % 24) + 1 AS sl,
+                        r.s[(r.i % 24) + 1] AS sv,
+                        0.5 * (sr.x - r.s[(r.i % 24) + 1])
+                          + 0.5 * (r.l + r.b) AS lnew
+                 FROM rec r JOIN ser sr ON sr.i = r.i + 1) t),
+         fin AS (SELECT i, l, b, s FROM rec ORDER BY i DESC LIMIT 1)
+         SELECT CAST(h AS BIGINT) AS h,
+                round(l + CAST(h AS DOUBLE) * b
+                      + s[((i + h - 1) % 24) + 1], 6) AS forecast
+         FROM fin CROSS JOIN
+              (SELECT unnest(generate_series(1, 24)) AS h) hs""",
+    // A-ES keys replayed verbatim: ln of the same hash-uniform over the
+    // same weight; the (es, doc_id) ordering is unique so LIMIT is stable
+    "docs_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  ln(CAST((doc_id * 2654435761) % 10000 + 1 AS DOUBLE)
+                     / 10001.0)
+                    / CAST(greatest(n_chars, 1) AS DOUBLE) AS es
+           FROM documents
+           ORDER BY es DESC, doc_id LIMIT 100)""",
     // Flesch over exact counts; vowel-run syllables + all-consonant words
     "text_readability" ->
       """SELECT doc_id, n_words, n_sentences, n_syllables,

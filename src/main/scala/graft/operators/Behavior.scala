@@ -1113,6 +1113,81 @@ object Behavior {
         round(col("st.l") + lit(24.0) * col("st.b"), 6).as("forecast_24h"))
   }
 
+  /** Additive Holt–Winters (triple-exponential) forecast of the dense
+    * hourly series — [[hourlyHolt]] plus the SEASONAL component, the
+    * member of the smoothing family that actually fits diurnal traffic:
+    * level/trend/season recurrences with α = β = γ = 1/2 (dyadic on
+    * purpose — every IEEE step of the recurrence is order-determined, so
+    * the DuckDB oracle replays it in a recursive CTE and hash-matches
+    * bit-for-bit, the [[hourlyHolt]] argument extended to a `period`-slot
+    * seasonal state vector).
+    *
+    * Init is the textbook one, exact by construction: season[j] = x[j] −
+    * mean(first period); level = that mean; trend = (mean of period 2 −
+    * mean of period 1)/period when two full periods exist, else 0 — all
+    * sums of integer counts in doubles (exact below 2⁵³), so the handoff
+    * into the recurrence is bit-identical on any engine. Series shorter
+    * than one period yield an empty frame (nothing to init from).
+    *
+    * Scale shape: identical to [[hourlyHolt]] — the raw log collapses to
+    * the hour grain in one map-side-combined pass; the fold runs over the
+    * TIME-grained array (state = 2 scalars + `period` doubles), never row
+    * volume; output is `horizon` rows of (h, forecast).
+    */
+  def hourlyHoltWinters(events: DataFrame, tsCol: String,
+                        period: Int = 24, horizon: Int = 24): DataFrame = {
+    require(period >= 2 && period <= 8760, s"bad period=$period")
+    require(horizon >= 1 && horizon <= 8760, s"bad horizon=$horizon")
+    val observed = events
+      .groupBy(date_trunc("HOUR", col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = observed
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = spine.join(observed, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val p = period
+    // one row holding the whole time-grained series, ascending
+    val arr = series
+      .agg(array_sort(collect_list(struct(col("h"), col("x")))).as("s"))
+      .select(expr("transform(s, e -> CAST(e.x AS DOUBLE))").as("xs"))
+      .where(size(col("xs")) >= lit(p))
+    // slot of element index i (0-based) is i % p; element_at is 1-based.
+    // lnew is repeated textually inside bnew/snew — a fold lambda has no
+    // let-binding, and the VALUE is what must match the oracle, not the
+    // syntax (same expression tree ⇒ same IEEE result)
+    val lnew = s"0.5D * (x - element_at(acc.s, pmod(acc.i, $p) + 1)) " +
+      s"+ 0.5D * (acc.l + acc.b)"
+    val folded = arr.select(size(col("xs")).cast("long").as("n_hours"),
+      expr(
+        s"""aggregate(
+            slice(xs, $p + 1, size(xs) - $p),
+            named_struct(
+              'l', aggregate(slice(xs, 1, $p), 0.0D, (a, v) -> a + v) / $p.0D,
+              'b', IF(size(xs) >= 2 * $p,
+                (aggregate(slice(xs, $p + 1, $p), 0.0D, (a, v) -> a + v) / $p.0D
+                 - aggregate(slice(xs, 1, $p), 0.0D, (a, v) -> a + v) / $p.0D)
+                / $p.0D,
+                0.0D),
+              's', transform(slice(xs, 1, $p), v ->
+                v - aggregate(slice(xs, 1, $p), 0.0D, (a, v2) -> a + v2) / $p.0D),
+              'i', $p),
+            (acc, x) -> named_struct(
+              'l', $lnew,
+              'b', 0.5D * (($lnew) - acc.l) + 0.5D * acc.b,
+              's', transform(acc.s, (v, j) -> IF(j = pmod(acc.i, $p),
+                     0.5D * (x - ($lnew)) + 0.5D * v, v)),
+              'i', acc.i + 1))""").as("st"))
+    folded
+      .select(col("n_hours"), col("st"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col("h").cast("long").as("h"),
+        round(col("st.l") + col("h").cast("double") * col("st.b") +
+          expr(s"element_at(st.s, CAST(pmod(n_hours + h - 1, $p) + 1 AS INT))"),
+          6).as("forecast"))
+  }
+
   /** Dominant-period detection over the dense hourly series — the
     * ClickHouse `seriesPeriodDetectFFT` intent, deliberately re-expressed
     * by the AUTOCORRELATION method: the lag in [minLag, maxLag] whose

@@ -125,6 +125,30 @@ object Sampling {
     * position = range offset + local rank. `fanout` bounds both the driver
     * collect and the per-partition sort — raise it with corpus size.
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * Inf. Proc. Letters 2006): keep the k rows with the LARGEST
+    * ln(u)/w — u a deterministic per-key uniform in (0,1] derived from
+    * [[keyBucket]]'s integer hash, w > 0 the row's weight — which draws
+    * each row with probability proportional to its weight, exactly the
+    * length- or quality-proportional document pick a token-budgeted
+    * training mix needs (Bernoulli thresholding, cf. `stableSample`,
+    * cannot pin the SAMPLE SIZE; a weighted exact-k needs the A-ES keys).
+    *
+    * Deterministic: same keys and weights → same sample, any partitioning.
+    * Scale shape: ONE distributed top-k (TakeOrdered — per-partition heaps
+    * + a k-row merge, never a global sort); k rows land on the driver side
+    * of the plan only as the query RESULT. Ties are broken by key.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val u = (keyBucket(key) + lit(1L)).cast("double") / lit(10001.0)
+    df.withColumn("__es", log(u) / weight.cast("double"))
+      .orderBy(col("__es").desc, key)
+      .limit(k)
+      .drop("__es")
+  }
+
   def globalShuffle(df: DataFrame, key: Column, seed: Long, numShards: Int,
                     fanout: Int = 256): DataFrame = {
     require(numShards > 0 && fanout > 0 && fanout <= 10000,

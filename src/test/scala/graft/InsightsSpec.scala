@@ -160,6 +160,25 @@ class InsightsSpec extends SparkSpec {
       && r1.getDouble(2) === 0.0)
   }
 
+  test("hourlyHoltWinters: hand-folded seasonal recurrence, period 2") {
+    // hourly counts [1, 3, 2, 6], p=2: m1=2 m2=4 → l=2 b=1 s=[−1,1].
+    // x=2 slot0: l=3 b=1 s=[−1,1]; x=6 slot1: l=4.5 b=1.25 s=[−1,1.25].
+    // forecasts: h=1 slot0 → 4.5+1.25−1 = 4.75; h=2 slot1 → 4.5+2.5+1.25
+    // = 8.25. All dyadic — exact assertions.
+    val ev = ((1 to 1).map(i => 0L * 3600 + i) ++
+      (1 to 3).map(i => 1L * 3600 + i) ++
+      (1 to 2).map(i => 2L * 3600 + i) ++
+      (1 to 6).map(i => 3L * 3600 + i))
+      .toDF("tsl").select(timestamp_seconds(col("tsl")).as("ts"))
+    val r = Behavior.hourlyHoltWinters(ev, "ts", period = 2, horizon = 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(r === Seq((1L, 4.75), (2L, 8.25)))
+    // shorter than one period → empty frame, loudly nothing to init from
+    val one = Seq(5L).toDF("tsl")
+      .select(timestamp_seconds(col("tsl")).as("ts"))
+    assert(Behavior.hourlyHoltWinters(one, "ts", period = 2).count() == 0)
+  }
+
   test("dailyTheilSen: median pairwise slope over observed (gapped) days") {
     // days 0, 1, 3 with counts 1, 5, 3: slopes 4, 2/3, −1 → median 2/3;
     // residuals vs the 2/3 line: 1, 13/3, 1 → median 1

@@ -151,4 +151,23 @@ class MixingSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "row numbering must be per hash-range, never a single global window")
   }
+
+  test("weightedSample: exact A-ES top-k, weight-monotone and order-free") {
+    import spark.implicits._
+    // replicate the key formula: es = ln(((id·prime) mod 1e4 + 1)/10001)/w
+    val rows = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10000L),
+      (5L, 10L), (6L, 10L))
+    def es(id: Long, w: Long): Double =
+      math.log((Math.floorMod(id * 2654435761L, 10000L) + 1).toDouble
+        / 10001.0) / w.toDouble
+    val want = rows.sortBy { case (id, w) => (-es(id, w), id) }.take(3)
+      .map(_._1).toSet
+    def run(np: Int) = Sampling.weightedSample(
+      rows.toDF("id", "w").repartition(np), col("id"), col("w"), 3)
+      .select("id").as[Long].collect().toSet
+    assert(run(1) == want && run(7) == want)
+    // the heavy row (weight 1000x) holds the key closest to zero — it is
+    // mathematically guaranteed a member for ANY hash draw here
+    assert(want.contains(4L))
+  }
 }
