@@ -162,4 +162,28 @@ class EdgeCaseSpec extends SparkSpec {
     val t = Behavior.dailyTheilSen(oneHour, "ts").collect()(0)
     assert(t.getLong(0) == 1L && t.getLong(1) == 0L && t.isNullAt(2))
   }
+
+  test("session-3 operators accept empty and degenerate inputs") {
+    import graft.operators.{Sampling, StatTests, Survival}
+    val noEv = Seq.empty[(Long, Long, Long)].toDF("u", "us", "y")
+    // empty log: no variants, no tests — never a crash
+    assert(StatTests.cuped(noEv, col("u"), col("y"), col("us")).count() == 0)
+    assert(StatTests.bhFdr(noEv.withColumn("g", lit("a")), col("g"),
+      col("u") % 2 === 0, col("y")).count() == 0)
+    // constant pre-period covariate → varX = 0 → theta pins to 0 and the
+    // adjusted mean equals the raw mean (never a division blowup)
+    val constX = Seq((1L, 0L, 5L), (1L, 100L, 7L),
+      (2L, 0L, 5L), (2L, 100L, 9L)).toDF("u", "us", "y")
+    val c = StatTests.cuped(constX, col("u"), col("y"), col("us"))
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(6)))
+    assert(c.forall { case (raw, adj, theta) => raw == adj && theta == 0.0 })
+    // single order per customer: only censored durations → no event rows
+    val lone = Seq((1L, 0L), (2L, 86400000000L)).toDF("cust", "us")
+      .select(col("cust"), timestamp_micros(col("us")).as("ots"))
+    assert(Survival.kaplanMeier(lone, "cust", "ots").count() == 0)
+    // k past the row count returns everything, still deterministic
+    val tiny = Seq((1L, 10L), (2L, 20L)).toDF("id", "w")
+    assert(Sampling.weightedSample(tiny, col("id"), col("w"), 99)
+      .count() == 2)
+  }
 }
