@@ -1695,6 +1695,21 @@ object SparkEntry {
       StatTests.bhFdr(t(s, d, "events"), col("event_type"),
         col("user_id") % 2 === 0, floor(col("value") * 100 + 0.5))
         .withColumnRenamed("g", "event_type")),
+    // ClickHouse proportionsZTest: purchase-rate z/p/CI per hour bucket
+    "events_prop_ztest" -> ((s, d) =>
+      StatTests.proportionsZTest(t(s, d, "events"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24"),
+        col("user_id") % 2 === 0, col("event_type") === "purchase")
+        .withColumnRenamed("g", "bucket")),
+    // within-subject change across the span midpoint, same-unit pairing
+    "events_ttest_paired" -> ((s, d) =>
+      StatTests.pairedTTest(t(s, d, "events"), col("user_id"),
+        floor(col("value") * 100 + 0.5), expr("unix_micros(ts)"))),
+    // continuous-metric A/B duration planner from observed variance
+    "events_min_sample_means" -> ((s, d) =>
+      StatTests.minSampleSizeMeans(t(s, d, "events"), col("event_type"),
+        floor(col("value") * 100 + 0.5), 0.05)
+        .withColumnRenamed("g", "event_type")),
     // inter-purchase cadence: day gaps between consecutive orders per
     // customer, summarized with exact counts + interpolated quantiles
     "orders_interpurchase" -> ((s, d) =>
@@ -4681,6 +4696,90 @@ object SparkEntry {
          SELECT g AS event_type, na AS n_a, nb AS n_b, z, p, p_adj,
                 p_adj <= 0.05 AS reject
          FROM adj ORDER BY event_type""",
+    // pooled-variance proportion z; p via the same A&S Φ tree as bh_fdr;
+    // unpooled CI with the exact z_{α/2} literal
+    "events_prop_ztest" ->
+      """WITH m AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS g,
+                           user_id % 2 = 0 AS a,
+                           event_type = 'purchase' AS s
+                    FROM events),
+         g AS (SELECT g,
+                      CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                      CAST(sum(CASE WHEN a AND s THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+                      CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+                      CAST(sum(CASE WHEN NOT a AND s THEN 1 ELSE 0 END) AS BIGINT) AS xb
+               FROM m GROUP BY 1 HAVING na >= 1 AND nb >= 1),
+         v AS (SELECT g, na, nb,
+                      CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                      CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+                      CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+                      (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE))
+                        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pp
+               FROM g),
+         w AS (SELECT g, na, nb, pa, pb,
+                      (pa - pb) / sqrt(pp * (1.0 - pp)
+                                       * (1.0 / nad + 1.0 / nbd)) AS z,
+                      sqrt(pa * (1.0 - pa) / nad
+                           + pb * (1.0 - pb) / nbd) AS seci
+               FROM v WHERE pp > 0.0 AND pp < 1.0)
+         SELECT g AS bucket, na AS n_a, nb AS n_b,
+                round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+                round(w.z, 6) AS z,
+                round(2.0 * (exp(abs(w.z) * abs(w.z) * -0.5)
+                             * 0.3989422804014327)
+                      * ((1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                         * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                            * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                               * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                  * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                     * 1.330274429))))), 6) AS p_value,
+                round(pa - pb - 1.9599639845400545 * seci, 6) AS ci_lo,
+                round(pa - pb + 1.9599639845400545 * seci, 6) AS ci_hi
+         FROM w""",
+    // per-unit post-minus-pre diffs across the exact integer midpoint
+    "events_ttest_paired" ->
+      """WITH base AS (SELECT user_id AS u,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+                              epoch_us(ts) AS us
+                       FROM events WHERE value IS NOT NULL),
+         mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM base),
+         units AS (
+           SELECT u,
+                  CAST(sum(CASE WHEN us >= mid_us THEN y ELSE 0 END) AS BIGINT)
+                  - CAST(sum(CASE WHEN us < mid_us THEN y ELSE 0 END) AS BIGINT)
+                    AS dd
+           FROM base CROSS JOIN mid GROUP BY u
+           HAVING max(CASE WHEN us >= mid_us THEN 1 ELSE 0 END) = 1
+              AND max(CASE WHEN us < mid_us THEN 1 ELSE 0 END) = 1),
+         f AS (SELECT count(*) AS n, CAST(sum(dd) AS BIGINT) AS s1,
+                      sum(CAST(dd AS DECIMAL(19,0)) * CAST(dd AS DECIMAL(19,0))) AS s2
+               FROM units HAVING count(*) >= 2),
+         v AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS sv
+               FROM f)
+         SELECT n AS n_units, round(mean / 100.0, 6) AS mean_diff,
+                round(mean / sqrt(sv / CAST(n AS DOUBLE)), 6) AS t
+         FROM v WHERE sv > 0.0""",
+    // mean-metric planner: observed σ² from exact moments; z quantiles and
+    // mde² stay DOUBLE products (the min_sample_size pitfall)
+    "events_min_sample_means" ->
+      """WITH m AS (SELECT event_type AS g,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                    FROM events WHERE value IS NOT NULL),
+         g AS (SELECT g, count(*) AS n, CAST(sum(y) AS BIGINT) AS s1,
+                      sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s2
+               FROM m GROUP BY 1 HAVING count(*) >= 2),
+         v AS (SELECT g, n,
+                      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS v
+               FROM g)
+         SELECT g AS event_type, n, round(sqrt(v) / 100.0, 6) AS stddev,
+                CAST(ceil(2.0 * (1.9599639845400545 + 0.8416212335729143)
+                          * (1.9599639845400545 + 0.8416212335729143) * v
+                          / ((0.05 * 100.0) * (0.05 * 100.0))) AS BIGINT)
+                  AS min_n_per_arm
+         FROM v WHERE v > 0.0""",
     // KM: exact integer day durations; survival = exp(Σ ln((n−d)/n)) over
     // ascending event times, absorbed-at-zero guarded — same tree as Spark
     "orders_survival_km" ->

@@ -599,15 +599,7 @@ object StatTests {
     val vb = (d(col("s2b")) - d(col("s1b")) * d(col("s1b")) / nbd) / (nbd - 1.0)
     val se = sqrt(va / nad + vb / nbd)
     val z = (ma - mb) / se
-    // Φ(|z|) via A&S 26.2.17: 1 − φ(z)·(b1·k + b2·k² + … + b5·k⁵),
-    // k = 1/(1 + 0.2316419·|z|) — max abs error 7.5e-8, well under 6dp
-    val az = abs(z)
-    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
-    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
-      k * (lit(1.781477937) + k * (lit(-1.821255978) +
-        k * lit(1.330274429)))))
-    val phi = exp(az * az * lit(-0.5)) * lit(0.3989422804014327)
-    val p = round(lit(2.0) * phi * poly, 6)
+    val p = round(twoSidedP(z), 6)
     val tested = m.where(se > 0.0)
       .select(col("g"), col("na"), col("nb"), round(z, 6).as("z"), p.as("p"))
     val ord = Window.orderBy(col("p"), col("g"))
@@ -622,6 +614,120 @@ object StatTests {
         col("z"), col("p"), col("p_adj"),
         (col("p_adj") <= lit(q)).as("reject"))
       .orderBy(col("g"))
+  }
+
+  /** Φ(|z|)'s upper tail doubled — the two-sided normal p-value via the
+    * Abramowitz–Stegun 26.2.17 five-term polynomial (max abs error
+    * 7.5e-8, far under the 6dp the callers round to). One fixed scalar
+    * tree over `z`, spelled out identically in every oracle SQL.
+    */
+  private def twoSidedP(z: Column): Column = {
+    val az = abs(z)
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) +
+        k * lit(1.330274429)))))
+    lit(2.0) * (exp(az * az * lit(-0.5)) * lit(0.3989422804014327)) * poly
+  }
+
+  /** ClickHouse `proportionsZTest`: two-sample proportion z-test per
+    * group between the two cohorts — pooled-variance z, two-sided p
+    * ([[twoSidedP]]), and the unpooled 95% CI for p_a − p_b. "Success" is
+    * `success`; every row is a trial. Exact int64 counts only — the four
+    * cells per group fold in ONE map-side-combined pass and every output
+    * is a fixed scalar tree over them (engine-identical). Groups missing
+    * a cohort, or with a pooled proportion of 0 or 1 (zero variance),
+    * drop loudly. Output: g, n_a, n_b, p_a, p_b, z, p_value, ci_lo,
+    * ci_hi (6dp).
+    */
+  def proportionsZTest(events: DataFrame, group: Column, condA: Column,
+                       success: Column): DataFrame = {
+    val base = events.select(group.as("g"), condA.as("a"),
+      success.cast("boolean").as("s"))
+    val m = base.groupBy(col("g")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("a") && col("s"), 1L).otherwise(0L)).as("xa"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("a") && col("s"), 1L).otherwise(0L)).as("xb"))
+      .where(col("na") >= 1 && col("nb") >= 1)
+    val nad = d(col("na")); val nbd = d(col("nb"))
+    val pa = d(col("xa")) / nad
+    val pb = d(col("xb")) / nbd
+    val pp = (d(col("xa")) + d(col("xb"))) / (nad + nbd)
+    val se0 = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / nad + lit(1.0) / nbd))
+    val z = (pa - pb) / se0
+    val seCi = sqrt(pa * (lit(1.0) - pa) / nad + pb * (lit(1.0) - pb) / nbd)
+    val zq = lit(1.9599639845400545)
+    m.withColumn("pp", pp).where(col("pp") > 0.0 && col("pp") < 1.0)
+      .select(col("g"), col("na").as("n_a"), col("nb").as("n_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round(z, 6).as("z"), round(twoSidedP(z), 6).as("p_value"),
+        round(pa - pb - zq * seCi, 6).as("ci_lo"),
+        round(pa - pb + zq * seCi, 6).as("ci_hi"))
+  }
+
+  /** Paired t-test on each unit's post-minus-pre metric change across the
+    * span midpoint — the within-subject sibling of [[abTTest]] (same
+    * units observed twice beats two independent cohorts whenever
+    * between-unit variance dominates). Units need activity in BOTH
+    * halves; d = post-sum − pre-sum of `cents` per unit. One unit-grain
+    * grouped pass (exact int64 diffs, decimal(38,0) squares) + a 1-row
+    * fold. Output: n_units, mean_diff (value scale), t (6dp).
+    */
+  def pairedTTest(events: DataFrame, unit: Column, cents: Column,
+                  ts: Column): DataFrame = {
+    val base = events.select(unit.as("u"), cents.cast("long").as("y"),
+      ts.cast("long").as("us")).where(col("y").isNotNull)
+    val mid = base.agg((min(col("us")) + max(col("us"))).as("mm"))
+      .select(expr("mm DIV 2").as("mid_us"))
+    val diffs = base.crossJoin(broadcast(mid))
+      .groupBy(col("u"))
+      .agg(sum(when(col("us") >= col("mid_us"), col("y")).otherwise(0L)).as("post"),
+        sum(when(col("us") < col("mid_us"), col("y")).otherwise(0L)).as("pre"),
+        max(when(col("us") >= col("mid_us"), 1L).otherwise(0L)).as("hp"),
+        max(when(col("us") < col("mid_us"), 1L).otherwise(0L)).as("hq"))
+      .where(col("hp") === 1L && col("hq") === 1L)
+      .select((col("post") - col("pre")).as("dd"))
+    val f = diffs.agg(count(lit(1)).as("n"), sum(col("dd")).as("s1"),
+      sum(xprod(col("dd"), col("dd"))).as("s2"))
+      .where(col("n") >= 2)
+    val nd = d(col("n"))
+    val mean = d(col("s1")) / nd
+    val sv = (d(col("s2")) - d(col("s1")) * d(col("s1")) / nd) / (nd - 1.0)
+    f.withColumn("sv", sv).where(col("sv") > 0.0)
+      .select(col("n").as("n_units"),
+        round(mean / 100.0, 6).as("mean_diff"),
+        round(mean / sqrt(col("sv") / nd), 6).as("t"))
+  }
+
+  /** Per-group sample-size planner for a CONTINUOUS metric — the
+    * [[minSampleSize]] sibling for means: n per arm =
+    * ⌈2·(z_{α/2}+z_β)²·σ²/mde²⌉ with σ² the group's OBSERVED population
+    * variance from exact integer moments and `mde` an absolute shift on
+    * the value scale (converted to cents as a DOUBLE product — the
+    * [[minSampleSize]] decimal-literal pitfall). One map-side-combined
+    * grouped pass; zero-variance groups drop (nothing to power against).
+    */
+  def minSampleSizeMeans(df: DataFrame, group: Column, cents: Column,
+                         mde: Double,
+                         zAlpha: Double = 1.9599639845400545,
+                         zBeta: Double = 0.8416212335729143): DataFrame = {
+    require(mde > 0, s"bad mde=$mde")
+    val base = df.select(group.as("g"), cents.cast("long").as("y"))
+      .where(col("y").isNotNull)
+    val m = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+        sum(xprod(col("y"), col("y"))).as("s2"))
+      .where(col("n") >= 2)
+    val nd = d(col("n"))
+    val varPop = (d(col("s2")) - d(col("s1")) * d(col("s1")) / nd) / nd
+    val zsum = lit(zAlpha + zBeta)
+    val mdeCents = lit(mde) * lit(100.0)
+    m.withColumn("v", varPop).where(col("v") > 0.0)
+      .select(col("g"), col("n"),
+        round(sqrt(col("v")) / 100.0, 6).as("stddev"),
+        ceil(lit(2.0) * zsum * zsum * col("v") / (mdeCents * mdeCents))
+          .as("min_n_per_arm"))
   }
 
   def momentStats(df: DataFrame, group: Column, cents: Column): DataFrame = {

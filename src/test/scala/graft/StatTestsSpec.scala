@@ -327,4 +327,60 @@ class StatTestsSpec extends SparkSpec {
     assert(g1._5 == 0.0 && g1._6 == 0.0 && g1._7)
     assert(g2._4 == 0.0 && g2._5 > 0.9 && g2._6 == g2._5 && !g2._7)
   }
+
+  test("proportionsZTest: pooled z, A&S p, unpooled CI vs a direct replica") {
+    // one bucket: cohort a = 2/4 successes, cohort b = 1/4
+    val ev = Seq(
+      (0L, true, true), (0L, true, true), (0L, true, false), (0L, true, false),
+      (0L, false, true), (0L, false, false), (0L, false, false), (0L, false, false))
+      .toDF("g", "a", "s")
+    val r = StatTests.proportionsZTest(ev, col("g"), col("a"), col("s"))
+      .collect()(0)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pa, pb, pp) = (0.5, 0.25, 3.0 / 8.0)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / 4.0 + 1.0 / 4.0))
+    val k = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+    val poly = k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 +
+      k * (-1.821255978 + k * 1.330274429))))
+    val pv = 2.0 * (math.exp(math.abs(z) * math.abs(z) * -0.5)
+      * 0.3989422804014327) * poly
+    val seci = math.sqrt(pa * (1 - pa) / 4.0 + pb * (1 - pb) / 4.0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.25)
+    assert(r.getDouble(5) == rnd(z) && r.getDouble(6) == rnd(pv))
+    assert(r.getDouble(7) == rnd(pa - pb - 1.9599639845400545 * seci))
+    assert(r.getDouble(8) == rnd(pa - pb + 1.9599639845400545 * seci))
+    // all-success pooled proportion = 1 → zero variance → dropped
+    val flat = Seq((0L, true, true), (0L, false, true)).toDF("g", "a", "s")
+    assert(StatTests.proportionsZTest(flat, col("g"), col("a"), col("s"))
+      .count() == 0)
+  }
+
+  test("pairedTTest: within-unit diffs; one-sided units drop") {
+    // mid = (0+100)/2 = 50. diffs: u1 = 20−10 = 10, u2 = 25−30 = −5,
+    // u3 = 20−5 = 15; u4 (post-only) drops.
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 60L, 20L), (2L, 10L, 30L), (2L, 70L, 25L),
+      (3L, 20L, 5L), (3L, 80L, 20L), (4L, 90L, 99L)).toDF("u", "us", "y")
+    val r = StatTests.pairedTTest(ev, col("u"), col("y"), col("us"))
+      .collect()(0)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean = 20.0 / 3.0
+    val sv = ((100.0 + 25.0 + 225.0) - 20.0 * 20.0 / 3.0) / 2.0
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == rnd(mean / 100.0))
+    assert(r.getDouble(2) == rnd(mean / math.sqrt(sv / 3.0)))
+  }
+
+  test("minSampleSizeMeans: observed-variance planner; flat groups drop") {
+    // g: cents {100, 200} → σ²_pop = 2500 (σ = $0.50); z: constant drops
+    val ev = Seq(("g", 100L), ("g", 200L), ("z", 7L), ("z", 7L))
+      .toDF("grp", "y")
+    val r = StatTests.minSampleSizeMeans(ev, col("grp"), col("y"), 0.05)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3))).toSeq
+    val zs = 1.9599639845400545 + 0.8416212335729143
+    val want = math.ceil(2.0 * zs * zs * 2500.0 / ((0.05 * 100.0) * (0.05 * 100.0))).toLong
+    assert(r === Seq(("g", 2L, 0.5, want)))
+  }
 }
