@@ -1246,6 +1246,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("durationMs")).as("sum_duration_ms"),
           max(col("format")).as("format"))),
+    // real STREAMINFO bit-field decode: 20-bit rate / 3-bit channels /
+    // 36-bit sample count unpacked from the FLAC container bytes
+    "mm_flac_probe" -> ((s, d) =>
+      Multimodal.probeHeaders(
+          Multimodal.withFlacPayloads(t(s, d, "documents"), "doc_id"))
+        .toDF()
+        .groupBy(col("channels").cast("long").as("channels"),
+          col("sampleRateHz").cast("long").as("sample_rate_hz"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("durationMs")).as("sum_duration_ms"),
+          max(col("format")).as("format"))),
     // REAL payload decode: 16-bit PCM samples read back out of each WAV's
     // data chunk (MediaHeader.wavPcmStats) — peak / clip-count / RMS per
     // item. The samples are id-derived, so the oracle regenerates the
@@ -3668,6 +3679,19 @@ object SparkEntry {
                 CAST(sum((data_len * 1000) // (sample_rate_hz * channels * 2)) AS BIGINT)
                   AS sum_duration_ms,
                 'wav' AS format
+         FROM p GROUP BY 1, 2""",
+    // the probe's decoded fields re-derived from the id arithmetic the
+    // payload builder used — duration floors exactly like the decoder
+    "mm_flac_probe" ->
+      """WITH p AS (SELECT doc_id,
+                           1 + (doc_id % 2) AS channels,
+                           8000 + (doc_id % 5) * 8000 AS sample_rate_hz,
+                           10000 + (doc_id % 7) * 4410 AS total_samples
+                    FROM documents)
+         SELECT channels, sample_rate_hz, count(*) AS n_items,
+                CAST(sum((total_samples * 1000) // sample_rate_hz) AS BIGINT)
+                  AS sum_duration_ms,
+                'flac' AS format
          FROM p GROUP BY 1, 2""",
     // regenerate the deterministic PCM stream and fold the same stats the
     // decoder reads out of the payload bytes; all-integer until the final

@@ -172,14 +172,53 @@ object MediaHeader {
     }
   }
 
+  /** FLAC: "fLaC" magic, then metadata blocks (1-byte last-flag+type,
+    * u24 big-endian length). STREAMINFO (type 0, 34 bytes, xiph.org FLAC
+    * format §METADATA_BLOCK_STREAMINFO) bit-packs the stream parameters:
+    * after min/max block size (u16×2) and min/max frame size (u24×2) come
+    * 20 bits sample rate, 3 bits channels−1, 5 bits bits-per-sample−1 and
+    * a 36-bit total-sample count — unpacked here with explicit shifts (a
+    * real bit-field decode, not a fixed-offset read). Walks past leading
+    * non-STREAMINFO blocks (spec requires STREAMINFO first; tolerate
+    * writers that don't) and returns None on truncation or a zero rate.
+    */
+  private def flac(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 8 || tag(b, 0) != "fLaC") return None
+    var i = 4
+    while (i + 4 <= b.length) {
+      val head = u8(b, i)
+      val last = (head & 0x80) != 0
+      val btype = head & 0x7f
+      val len = (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+      if (btype == 0) {
+        val s = i + 4
+        if (len < 18 || s + 18 > b.length) return None
+        val rate = (u8(b, s + 10) << 12) | (u8(b, s + 11) << 4) |
+          (u8(b, s + 12) >> 4)
+        val channels = ((u8(b, s + 12) >> 1) & 0x7) + 1
+        val totalSamples = ((u8(b, s + 13) & 0x0f).toLong << 32) |
+          be32(b, s + 14)
+        if (rate <= 0) return None
+        val durMs = totalSamples * 1000L / rate
+        return Some(MediaInfo("flac", 0, 0, channels, rate, durMs))
+      }
+      if (last) return None
+      val next = i.toLong + 4L + len
+      if (next > Int.MaxValue) return None
+      i = next.toInt
+    }
+    None
+  }
+
   /** Parse the payload prefix as any supported public container: images
-    * (via [[ImageHeader]], duration/channels 0), WAV, or MP4.
+    * (via [[ImageHeader]], duration/channels 0), WAV, FLAC, or MP4.
     */
   def parse(bytes: Array[Byte]): Option[MediaInfo] =
     if (bytes == null) None
     else ImageHeader.parse(bytes)
       .map(i => MediaInfo(i.format, i.width, i.height, 0, 0, 0L))
       .orElse(wav(bytes))
+      .orElse(flac(bytes))
       .orElse(mp4(bytes))
 
   /** Locate a complete `moov` box inside a tail slice whose absolute file
@@ -851,6 +890,41 @@ object MediaHeader {
     * Used to synthesize deterministic audio lakes in tests/fixtures; a
     * real encoder would append the PCM data after it.
     */
+  /** Build a real FLAC signature + STREAMINFO metadata block (the writer
+    * dual of [[flac]]'s bit-field decode — same packing, reversed): 4096
+    * min/max block size, unknown frame sizes, zeroed MD5. `totalSamples`
+    * must fit the format's 36-bit field.
+    */
+  def flacHeader(sampleRateHz: Int, channels: Int, bitsPerSample: Int,
+                 totalSamples: Long): Array[Byte] = {
+    require(sampleRateHz > 0 && sampleRateHz < (1 << 20),
+      s"bad rate=$sampleRateHz (20-bit field)")
+    require(channels >= 1 && channels <= 8, s"bad channels=$channels")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, s"bad bps=$bitsPerSample")
+    require(totalSamples >= 0 && totalSamples < (1L << 36),
+      s"bad totalSamples=$totalSamples (36-bit field)")
+    val out = new Array[Byte](4 + 4 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last metadata block, type 0 = STREAMINFO
+    out(5) = 0; out(6) = 0; out(7) = 34
+    val s = 8
+    out(s) = 0x10; out(s + 1) = 0x00 // min block size 4096
+    out(s + 2) = 0x10; out(s + 3) = 0x00 // max block size 4096
+    // min/max frame size u24 = 0 (unknown): bytes 4..9 stay zero
+    out(s + 10) = ((sampleRateHz >> 12) & 0xff).toByte
+    out(s + 11) = ((sampleRateHz >> 4) & 0xff).toByte
+    out(s + 12) = (((sampleRateHz & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    out(s + 13) = ((((bitsPerSample - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf)).toInt.toByte
+    out(s + 14) = ((totalSamples >> 24) & 0xff).toByte
+    out(s + 15) = ((totalSamples >> 16) & 0xff).toByte
+    out(s + 16) = ((totalSamples >> 8) & 0xff).toByte
+    out(s + 17) = (totalSamples & 0xff).toByte
+    // 16-byte MD5 stays zero (unknown)
+    out
+  }
+
   def wavHeader(channels: Int, sampleRateHz: Int, dataLen: Int,
                 formatTag: Int = 1, bitsPerSample: Int = 16): Array[Byte] = {
     require(channels > 0 && sampleRateHz > 0 && dataLen >= 0,

@@ -117,6 +117,28 @@ object Multimodal {
           lit("audio/wav").as("media_type")).as("meta"))
   }
 
+  /** Attach a real FLAC signature + STREAMINFO block per document — the
+    * bit-packed-container sibling of [[withAudioPayloads]]: sample rate /
+    * channels / total samples derive from the id alone, so the probe's
+    * decoded fields (including the 36-bit sample-count unpack) are
+    * re-derivable arithmetically by the oracle.
+    */
+  def withFlacPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = 8000 + (id % 5).toInt * 8000
+        val channels = 1 + (id % 2).toInt
+        val totalSamples = 10000L + (id % 7) * 4410L
+        (id, MediaHeader.flacHeader(rate, channels, 16, totalSamples))
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("audio/flac").as("media_type")).as("meta"))
+  }
+
   /** Attach a synthetic WAV payload WITH actual PCM sample data — the
     * full-decode sibling of [[withAudioPayloads]] (which ships headers
     * only). Samples are the deterministic integer stream

@@ -515,4 +515,33 @@ class MediaHeaderSpec extends SparkSpec {
       }
     }
   }
+
+  test("FLAC STREAMINFO: bit-field round trip, walked blocks, corrupt bytes") {
+    import graft.operators.MediaHeader
+    // writer-dual round trip at ordinary and field-boundary values
+    for ((rate, ch, bps, total) <- Seq(
+        (44100, 2, 16, 123456L),
+        ((1 << 20) - 1, 8, 32, (1L << 36) - 1),
+        (8000, 1, 4, 0L))) {
+      val info = MediaHeader.parse(
+        MediaHeader.flacHeader(rate, ch, bps, total)).get
+      assert(info.format == "flac" && info.channels == ch &&
+        info.sampleRateHz == rate &&
+        info.durationMs == total * 1000L / rate)
+    }
+    // STREAMINFO behind a leading PADDING block still found (tolerant walk)
+    val si = MediaHeader.flacHeader(16000, 1, 16, 16000L)
+    val padded = si.take(4) ++
+      Array[Byte](0x01, 0, 0, 2, 0, 0) ++ // PADDING block, 2 bytes, not last
+      si.drop(4)
+    val walked = MediaHeader.parse(padded).get
+    assert(walked.sampleRateHz == 16000 && walked.durationMs == 1000L)
+    // truncated mid-STREAMINFO, zero rate, wrong magic: None, never a crash
+    assert(MediaHeader.parse(si.take(20)).isEmpty)
+    val zeroRate = si.clone()
+    zeroRate(18) = 0; zeroRate(19) = 0
+    zeroRate(20) = (zeroRate(20) & 0x0f).toByte
+    assert(MediaHeader.parse(zeroRate).isEmpty)
+    assert(MediaHeader.parse("fLaX-not-flac".getBytes("US-ASCII")).isEmpty)
+  }
 }
