@@ -1706,6 +1706,15 @@ object SparkEntry {
       StatTests.bhFdr(t(s, d, "events"), col("event_type"),
         col("user_id") % 2 === 0, floor(col("value") * 100 + 0.5))
         .withColumnRenamed("g", "event_type")),
+    // SRM guardrail: realized unit split vs 50/50, alarm at p < 0.001
+    "events_srm_check" -> ((s, d) =>
+      StatTests.srmCheck(t(s, d, "events"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24"),
+        col("user_id"), col("user_id") % 2 === 0)
+        .withColumnRenamed("g", "bucket")),
+    // CCNet-style corpus-frequency sentence dedup (boilerplate removal)
+    "docs_sentence_dedup" -> ((s, d) =>
+      Dedup.sentenceDedup(t(s, d, "documents"), "doc_id", "text")),
     // ClickHouse proportionsZTest: purchase-rate z/p/CI per hour bucket
     "events_prop_ztest" -> ((s, d) =>
       StatTests.proportionsZTest(t(s, d, "events"),
@@ -4720,6 +4729,51 @@ object SparkEntry {
          SELECT g AS event_type, na AS n_a, nb AS n_b, z, p, p_adj,
                 p_adj <= 0.05 AS reject
          FROM adj ORDER BY event_type""",
+    // SRM: unit-grain distinct, exact counts, the same A&S Φ p as bh_fdr
+    "events_srm_check" ->
+      """WITH units AS (SELECT DISTINCT (epoch_us(ts) // 3600000000) % 24 AS g,
+                               user_id AS u, user_id % 2 = 0 AS a
+                        FROM events),
+         m AS (SELECT g,
+                      CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                      CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+               FROM units GROUP BY g HAVING na + nb >= 1),
+         w AS (SELECT g, na, nb,
+                      (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+                        / sqrt(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS z
+               FROM m),
+         p AS (SELECT g, na, nb, round(w.z, 6) AS z,
+                      round(2.0 * (exp(abs(w.z) * abs(w.z) * -0.5)
+                                   * 0.3989422804014327)
+                            * ((1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                               * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                  * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                     * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                        * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                           * 1.330274429))))), 6) AS p
+               FROM w)
+         SELECT g AS bucket, na AS n_a, nb AS n_b, z, p,
+                p < 0.001 AS srm_alarm
+         FROM p""",
+    // pieces exploded with positions; boilerplate = piece in ≥3 distinct
+    // docs; rebuild preserves order (string_agg skips the dropped NULLs)
+    "docs_sentence_dedup" ->
+      """WITH s AS (SELECT doc_id,
+                           unnest(string_split(text, '. ')) AS piece,
+                           unnest(generate_series(1,
+                             len(string_split(text, '. ')))) AS pos
+                    FROM documents),
+         b AS (SELECT piece FROM s GROUP BY piece
+               HAVING count(DISTINCT doc_id) >= 3),
+         f AS (SELECT s.doc_id, s.pos, s.piece,
+                      b.piece IS NOT NULL AS dropped
+               FROM s LEFT JOIN b ON s.piece = b.piece)
+         SELECT doc_id, count(*) AS n_sentences,
+                CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed,
+                COALESCE(string_agg(CASE WHEN NOT dropped THEN piece END,
+                  '. ' ORDER BY pos), '') AS clean_text
+         FROM f GROUP BY doc_id""",
     // pooled-variance proportion z; p via the same A&S Φ tree as bh_fdr;
     // unpooled CI with the exact z_{α/2} literal
     "events_prop_ztest" ->

@@ -890,4 +890,51 @@ object Dedup {
         round(cos, 4).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** Corpus-frequency sentence dedup — the CCNet/"paragraph hash" pass
+    * (Wenzek et al. 2020) every open web-corpus pipeline runs before
+    * training: a sentence appearing in ≥ `minDocs` DISTINCT documents is
+    * boilerplate (cookie banners, nav bars, license footers) and is
+    * removed from every document, preserving each document's remaining
+    * sentence order. Complements [[dropDupSpans]] (which excises PAIRWISE
+    * n-gram overlap): this pass is corpus-frequency-based and catches the
+    * ten-thousand-document footer no pair enumeration should ever touch.
+    *
+    * Sentence unit = `". "`-separated pieces — a deterministic,
+    * regex-engine-free split both engines reproduce byte-identically
+    * (lookbehind sentence splitters are not RE2-expressible, and the
+    * orthographic edge cases don't matter for an exact-match frequency
+    * key). Matching is on the exact piece.
+    *
+    * Scale shape: explode to (doc, pos, piece) — linear; ONE grouped
+    * count-distinct-docs per piece (the frequency frame is
+    * corpus-vocabulary-scale, so the join back is a plain hash join, not
+    * a broadcast); one regroup to docs. Nothing pairwise, nothing
+    * quadratic: this is the pass that still works when the corpus holds
+    * 10¹⁰ documents and one footer appears in 10⁸ of them.
+    *
+    * Output per document: n_sentences, n_removed, clean_text (possibly
+    * empty — a fully-boilerplate doc keeps its row, loudly empty).
+    */
+  def sentenceDedup(docs: DataFrame, idCol: String, textCol: String,
+                    minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs")
+    val pieces = widen(docs).select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "piece")))
+    val boiler = pieces.groupBy(col("piece"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("piece"), lit(true).as("is_boiler"))
+    val flagged = pieces.join(boiler, Seq("piece"), "left")
+      .select(col("id"), col("pos"), col("piece"),
+        coalesce(col("is_boiler"), lit(false)).as("drop"))
+    flagged.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(". ", expr(
+          "transform(filter(array_sort(collect_list(named_struct(" +
+            "'pos', pos, 'piece', piece, 'drop', drop))), " +
+            "e -> NOT e.drop), e -> e.piece)")).as("clean_text"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -666,6 +666,31 @@ object StatTests {
         round(pa - pb + zq * seCi, 6).as("ci_hi"))
   }
 
+  /** Sample-ratio-mismatch guardrail — the FIRST check any experimentation
+    * platform runs before reading an A/B test: does the realized unit
+    * split match the designed 50/50? A mismatch means broken assignment
+    * (redirect loops, bot filters firing asymmetrically) and invalidates
+    * every downstream readout. Per group: z = (n_a − n_b)/√(n_a + n_b)
+    * (the 1-df χ² in z form), two-sided p via [[twoSidedP]], alarm at the
+    * conventional p < 0.001. UNITS are counted (each distinct `unit`
+    * once), not events — event-count imbalance is expected; unit-count
+    * imbalance is the bug. Two map-side-combined grouped passes (unit
+    * grain, then group grain); exact int64 counts.
+    */
+  def srmCheck(events: DataFrame, group: Column, unit: Column,
+               condA: Column): DataFrame = {
+    val units = events.select(group.as("g"), unit.as("u"), condA.as("a"))
+      .distinct()
+    val m = units.groupBy(col("g")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+      .where(col("na") + col("nb") >= 1)
+    val z = (d(col("na")) - d(col("nb"))) / sqrt(d(col("na")) + d(col("nb")))
+    m.select(col("g"), col("na").as("n_a"), col("nb").as("n_b"),
+      round(z, 6).as("z"), round(twoSidedP(z), 6).as("p"),
+      (round(twoSidedP(z), 6) < lit(0.001)).as("srm_alarm"))
+  }
+
   /** Paired t-test on each unit's post-minus-pre metric change across the
     * span midpoint — the within-subject sibling of [[abTTest]] (same
     * units observed twice beats two independent cohorts whenever

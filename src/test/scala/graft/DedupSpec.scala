@@ -372,4 +372,26 @@ class DedupSpec extends SparkSpec {
     assert(second.forall(_._3 == 0L),
       s"second pass removed tokens: ${second.filter(_._3 > 0).toSeq}")
   }
+
+  test("sentenceDedup removes corpus-frequent pieces, keeps order, empties loudly") {
+    val docs = Seq(
+      (1L, "FOO. alpha beta. BAR"),
+      (2L, "FOO. gamma. BAR"),
+      (3L, "FOO. delta"),
+      (4L, "unique only"),
+      (5L, "FOO")).toDF("doc_id", "text")
+    def run(np: Int) =
+      Dedup.sentenceDedup(docs.repartition(np), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    val got = run(1)
+    // "FOO" appears in 4 distinct docs → boilerplate; "BAR" in 2 → kept
+    assert(got === Seq(
+      (1L, 3L, 1L, "alpha beta. BAR"),
+      (2L, 3L, 1L, "gamma. BAR"),
+      (3L, 2L, 1L, "delta"),
+      (4L, 1L, 0L, "unique only"),
+      (5L, 1L, 1L, "")))
+    assert(run(7) === got)
+  }
 }

@@ -383,4 +383,18 @@ class StatTestsSpec extends SparkSpec {
     val want = math.ceil(2.0 * zs * zs * 2500.0 / ((0.05 * 100.0) * (0.05 * 100.0))).toLong
     assert(r === Seq(("g", 2L, 0.5, want)))
   }
+
+  test("srmCheck counts UNITS, not events; alarm fires on a broken split") {
+    // bucket 0: units a = {2,4,6} (user 2 has 3 events — still one unit),
+    // b = {1} → z = 2/√4 = 1.0, no alarm. bucket 1: 100 a-units, 0 b →
+    // z = 10, p ≈ 0 → alarm.
+    val ev = (Seq((0L, 2L), (0L, 2L), (0L, 2L), (0L, 4L), (0L, 6L), (0L, 1L))
+      ++ (1 to 100).map(i => (1L, 2L * i.toLong + 100L)))
+      .toDF("g", "u")
+    val r = StatTests.srmCheck(ev, col("g"), col("u"), col("u") % 2 === 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getBoolean(5))).sortBy(_._1).toSeq
+    assert(r(0) == ((0L, 3L, 1L, 1.0, false)))
+    assert(r(1)._2 == 100L && r(1)._3 == 0L && r(1)._4 == 10.0 && r(1)._5)
+  }
 }
