@@ -177,4 +177,26 @@ class ShuffleShapeSpec extends SparkSpec {
       (col("user_id") + 1).as("dst")).distinct()
     assert(shuffles(Graph.bfsHops(edges, "src", "dst", 2)) <= 4)
   }
+
+  test("session-3 second batch: dedup/guardrail/planner ops stay lean") {
+    import graft.operators.{Dedup, StatTests}
+    val cents = floor(col("value") * 100 + 0.5)
+    val docs = ev.select(col("event_id").as("doc_id"),
+      col("props").as("text"))
+    // explode is narrow; piece-grain count-distinct + the doc regroup are
+    // the only wide steps (plus the piece-frequency hash join)
+    assert(shuffles(Dedup.sentenceDedup(docs, "doc_id", "text")) <= 4)
+    // unit-grain distinct + group counts
+    assert(shuffles(StatTests.srmCheck(ev, col("event_type"),
+      col("user_id"), col("user_id") % 2 === 0)) <= 2)
+    // one grouped pass of four int64 cells
+    assert(shuffles(StatTests.proportionsZTest(ev, col("event_type"),
+      col("user_id") % 2 === 0, col("value") > 100)) <= 1)
+    // midpoint fold + unit grain + the 1-row moment fold
+    assert(shuffles(StatTests.pairedTTest(ev, col("user_id"), cents,
+      expr("unix_micros(ts)"))) <= 4)
+    // one moment pass
+    assert(shuffles(StatTests.minSampleSizeMeans(ev, col("event_type"),
+      cents, 0.05)) <= 1)
+  }
 }
