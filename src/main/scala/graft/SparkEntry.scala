@@ -1739,6 +1739,13 @@ object SparkEntry {
     // final open gap right-censored at the window edge
     "orders_survival_km" -> ((s, d) =>
       Survival.kaplanMeier(t(s, d, "orders"), "o_custkey", "o_orderdate")),
+    // one survival curve per market segment, shared observation horizon
+    "orders_survival_by_segment" -> ((s, d) =>
+      Survival.kaplanMeierBySegment(
+        t(s, d, "orders").join(
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")),
+        "o_custkey", "o_orderdate", "c_mktsegment")),
     // BFS blast radius over the strong co-order supplier graph (≥2 shared
     // orders keeps the graph sparse at every scale factor)
     "supplier_bfs_hops" -> ((s, d) => {
@@ -4895,6 +4902,49 @@ object SparkEntry {
                 CASE WHEN absorbed = 1 THEN 0.0
                      ELSE round(exp(ln_s), 6) END AS survival
          FROM s2 WHERE d > 0 ORDER BY 1""",
+    // the KM SQL with every window partitioned by segment; global horizon
+    "orders_survival_by_segment" ->
+      """WITH base AS (SELECT c.c_mktsegment AS seg, o.o_custkey AS u,
+                              epoch_us(o.o_orderdate) AS us
+                       FROM orders o JOIN customer c
+                         ON o.o_custkey = c.c_custkey),
+         h AS (SELECT max(us) AS h_us FROM base),
+         lagd AS (SELECT seg, u, us,
+                         lead(us) OVER (PARTITION BY seg, u ORDER BY us)
+                           AS nxt FROM base),
+         durs AS (SELECT seg,
+                         CASE WHEN nxt IS NOT NULL
+                              THEN (nxt - us) // 86400000000
+                              ELSE (h_us - us) // 86400000000 END AS t,
+                         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+                  FROM lagd CROSS JOIN h),
+         grain AS (SELECT seg, t, CAST(sum(ev) AS BIGINT) AS d,
+                          CAST(sum(1 - ev) AS BIGINT) AS c
+                   FROM durs GROUP BY seg, t),
+         s1 AS (SELECT seg, t, d, c,
+                       CAST(sum(d + c) OVER (PARTITION BY seg)
+                            - sum(d + c) OVER (PARTITION BY seg ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            + d + c AS BIGINT) AS n_risk
+                FROM grain),
+         s2 AS (SELECT seg, t, d, c, n_risk,
+                       sum(CASE WHEN d < n_risk
+                                THEN ln(CAST(n_risk - d AS DOUBLE)
+                                        / CAST(n_risk AS DOUBLE))
+                                ELSE 0.0 END)
+                         OVER (PARTITION BY seg ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS ln_s,
+                       max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY seg ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS absorbed
+                FROM s1)
+         SELECT seg AS c_mktsegment, t AS duration_days, n_risk,
+                d AS n_events, c AS n_censored,
+                CASE WHEN absorbed = 1 THEN 0.0
+                     ELSE round(exp(ln_s), 6) END AS survival
+         FROM s2 WHERE d > 0 ORDER BY 1, 2""",
     // level-synchronous reachability: UNION-dedup keeps STATES (node,hop),
     // never paths; min(hop) per node is the BFS distance
     "supplier_bfs_hops" ->

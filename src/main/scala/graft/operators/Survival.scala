@@ -76,4 +76,56 @@ object Survival {
           .otherwise(round(exp(col("ln_s")), 6)).as("survival"))
       .orderBy(col("duration_days"))
   }
+
+  /** [[kaplanMeier]] per segment — one survival curve per cohort, the
+    * "which customer segment churns faster" comparison. Identical
+    * estimator; every window gains the segment partition, the at-risk
+    * totals come from a segment-partitioned window over the tiny
+    * (segment × duration) grain frame, and censoring still ends at the
+    * GLOBAL observation horizon (the study window is shared — censoring
+    * each segment at its own last order would bias late-quiet segments).
+    *
+    * Scale shape unchanged: one (segment, customer) lag window, one
+    * map-side-combined groupBy to (segment, duration), windows over that
+    * grain. Skewed segments are ordinary window-key skew.
+    */
+  def kaplanMeierBySegment(orders: DataFrame, idCol: String, tsCol: String,
+                           segCol: String): DataFrame = {
+    val base = orders.select(col(segCol).as("seg"), col(idCol).as("u"),
+      col(tsCol).cast("timestamp").as("ts"))
+    val horizon = base.agg(max(unix_micros(col("ts"))).as("h_us"))
+    val byU = Window.partitionBy(col("seg"), col("u"))
+      .orderBy(col("ts"), col("us"))
+    val durs = base
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("nxt", lead(col("us"), 1).over(byU))
+      .crossJoin(broadcast(horizon))
+      .select(col("seg"),
+        when(col("nxt").isNotNull, expr("(nxt - us) DIV 86400000000"))
+          .otherwise(expr("(h_us - us) DIV 86400000000")).as("t"),
+        when(col("nxt").isNotNull, 1L).otherwise(0L).as("ev"))
+    val grain = durs.groupBy(col("seg"), col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val seg = Window.partitionBy(col("seg"))
+    val asc = seg.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = grain
+      .withColumn("n_total", sum(col("d") + col("c")).over(
+        seg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("ended_upto", sum(col("d") + col("c")).over(asc))
+      .withColumn("n_risk", col("n_total") - col("ended_upto") + col("d") + col("c"))
+      .withColumn("term",
+        when(col("d") < col("n_risk"),
+          log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("ln_s", sum(col("term")).over(asc))
+      .withColumn("absorbed",
+        max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(asc))
+    stepped.where(col("d") > 0)
+      .select(col("seg").as(segCol), col("t").as("duration_days"),
+        col("n_risk"), col("d").as("n_events"), col("c").as("n_censored"),
+        when(col("absorbed") === 1L, lit(0.0))
+          .otherwise(round(exp(col("ln_s")), 6)).as("survival"))
+      .orderBy(col(segCol), col("duration_days"))
+  }
 }

@@ -40,6 +40,20 @@ class SurvivalSpec extends SparkSpec {
       r(0).getDouble(4) == 0.0)
   }
 
+  test("kaplanMeierBySegment: independent curves, shared global horizon") {
+    // segment A = the single-customer fixture from the hand case above;
+    // segment B has one order AT the horizon → censored gap 0 only.
+    // B's presence must not change A's curve (its own at-risk set), but
+    // the HORIZON is global: A's last order (day 25) defines it.
+    val orders = Seq(("A", 1L, 0L), ("A", 1L, 10L * DAY), ("A", 1L, 25L * DAY),
+      ("A", 2L, 0L), ("B", 9L, 25L * DAY)).toDF("seg", "cust", "us")
+      .select(col("seg"), col("cust"), timestamp_micros(col("us")).as("ots"))
+    val r = Survival.kaplanMeierBySegment(orders, "cust", "ots", "seg")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(5))).toSeq
+    assert(r === Seq(("A", 10L, 3L, 0.666667), ("A", 15L, 2L, 0.333333)))
+  }
+
   test("bfsHops: chain distances from the min node; unreachable excluded") {
     // path 1–2–3–4 plus a disconnected pair {10,11}: hop census from
     // seed 1 is 1/1/1/1 over hops 0..3; the island never appears
