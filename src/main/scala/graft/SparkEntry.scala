@@ -1725,6 +1725,11 @@ object SparkEntry {
     "events_ttest_paired" -> ((s, d) =>
       StatTests.pairedTTest(t(s, d, "events"), col("user_id"),
         floor(col("value") * 100 + 0.5), expr("unix_micros(ts)"))),
+    // robust central tendency: exact integer trimmed mean, 10% each tail
+    "events_trimmed_mean" -> ((s, d) =>
+      StatTests.trimmedMean(t(s, d, "events"), col("event_type"),
+        floor(col("value") * 100 + 0.5))
+        .withColumnRenamed("g", "event_type")),
     // continuous-metric A/B duration planner from observed variance
     "events_min_sample_means" -> ((s, d) =>
       StatTests.minSampleSizeMeans(t(s, d, "events"), col("event_type"),
@@ -4846,6 +4851,36 @@ object SparkEntry {
          SELECT n AS n_units, round(mean / 100.0, 6) AS mean_diff,
                 round(mean / sqrt(sv / CAST(n AS DOUBLE)), 6) AS t
          FROM v WHERE sv > 0.0""",
+    // distinct-value-grain trim: integer clamp of per-value kept copies,
+    // exact Σ kept·y / Σ kept — no row windows, no interpolation
+    "events_trimmed_mean" ->
+      """WITH m AS (SELECT event_type AS g,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                    FROM events WHERE value IS NOT NULL),
+         vals AS (SELECT g, y, count(*) AS c FROM m GROUP BY g, y),
+         st AS (SELECT g, y, c,
+                       CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+                       CAST(sum(c) OVER (PARTITION BY g ORDER BY y
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS upto
+                FROM vals),
+         kk AS (SELECT g, y, c, n, upto - c AS below, n - upto AS above,
+                       CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS k
+                FROM st),
+         kept AS (SELECT g, y, c, n, k,
+                         c - greatest(CAST(0 AS BIGINT), least(k - below, c))
+                           - greatest(CAST(0 AS BIGINT), least(k - above, c))
+                           AS kept
+                  FROM kk)
+         SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+                CAST(max(k) AS BIGINT) AS n_trimmed_each,
+                round(CAST(sum(greatest(CAST(0 AS BIGINT), kept)
+                                * CAST(y AS DECIMAL(19,0))) AS DOUBLE)
+                      / CAST(sum(greatest(CAST(0 AS BIGINT), kept)) AS DOUBLE)
+                      / 100.0, 6) AS mean_trimmed,
+                round(CAST(sum(CAST(y AS DECIMAL(19,0)) * c) AS DOUBLE)
+                      / CAST(max(n) AS DOUBLE) / 100.0, 6) AS mean_raw
+         FROM kept GROUP BY g HAVING sum(greatest(CAST(0 AS BIGINT), kept)) > 0""",
     // mean-metric planner: observed σ² from exact moments; z quantiles and
     // mde² stay DOUBLE products (the min_sample_size pitfall)
     "events_min_sample_means" ->

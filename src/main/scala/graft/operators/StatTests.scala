@@ -755,6 +755,51 @@ object StatTests {
           .as("min_n_per_arm"))
   }
 
+  /** Exact trimmed mean per group — drop the ⌊n·p⌋ smallest and largest
+    * observations, average the rest: the robust central-tendency readout
+    * (a fat-finger order or a bot burst drags the mean, not this).
+    *
+    * Computed at the DISTINCT-VALUE grain, the [[mannWhitneyU]] shape —
+    * never a per-row rank window: aggregate to (group, value, count),
+    * then per boundary value integer-clamp how many of its copies fall
+    * inside the trim (`kept = c − clamp(k − below, 0, c) − clamp(k −
+    * above, 0, c)`), and the trimmed mean is an EXACT integer
+    * Σ kept·y / Σ kept — ties at the trim boundary contribute identical
+    * values, so the multiset kept (and the sum) is well-defined without
+    * any tie-break. Groups where the trim swallows everything
+    * (2·⌊n·p⌋ ≥ n) drop loudly. Output: g, n, n_trimmed_each,
+    * mean_trimmed, mean_raw (value scale, 6dp).
+    */
+  def trimmedMean(df: DataFrame, group: Column, cents: Column,
+                  p: Double = 0.1): DataFrame = {
+    require(p > 0 && p < 0.5, s"bad trim fraction p=$p")
+    val vals = df.select(group.as("g"), cents.cast("long").as("y"))
+      .where(col("y").isNotNull)
+      .groupBy(col("g"), col("y")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = vals
+      .withColumn("n", sum(col("c")).over(tot))
+      .withColumn("upto", sum(col("c")).over(w))
+      .withColumn("below", col("upto") - col("c"))
+      .withColumn("above", col("n") - col("upto"))
+      .withColumn("k", floor(col("n").cast("double") * lit(p)).cast("long"))
+      .withColumn("kept", col("c") -
+        greatest(lit(0L), least(col("k") - col("below"), col("c"))) -
+        greatest(lit(0L), least(col("k") - col("above"), col("c"))))
+    staged.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("n_trimmed_each"),
+        sum(greatest(col("kept"), lit(0L))).as("kn"),
+        sum(xprod(greatest(col("kept"), lit(0L)), col("y"))).as("ks"),
+        sum(xprod(col("y"), col("c"))).as("s1"))
+      .where(col("kn") > 0)
+      .select(col("g"), col("n"), col("n_trimmed_each"),
+        round(d(col("ks")) / d(col("kn")) / 100.0, 6).as("mean_trimmed"),
+        round(d(col("s1")) / d(col("n")) / 100.0, 6).as("mean_raw"))
+  }
+
   def momentStats(df: DataFrame, group: Column, cents: Column): DataFrame = {
     val base = df.select(group.as("g"), cents.cast("long").as("y"))
       .where(col("y").isNotNull)

@@ -397,4 +397,21 @@ class StatTestsSpec extends SparkSpec {
     assert(r(0) == ((0L, 3L, 1L, 1.0, false)))
     assert(r(1)._2 == 100L && r(1)._3 == 0L && r(1)._4 == 10.0 && r(1)._5)
   }
+
+  test("trimmedMean: exact integer trim at distinct-value grain, ties clamp") {
+    // g: {0, 2..9, 100} — k=1 drops the 0 and the 100: mean 44/8 = 5.5
+    // cents vs raw 14.4; h (p=0.25): {1,1,2,3} k=1 → drop one 1 and the
+    // 3, keep {1,2} → 1.5 cents
+    val g = (Seq(0L, 100L) ++ (2L to 9L)).map(("g", _))
+    val h = Seq(("h", 1L), ("h", 1L), ("h", 2L), ("h", 3L))
+    def run(df: org.apache.spark.sql.DataFrame, p: Double, np: Int) =
+      StatTests.trimmedMean(df.repartition(np), col("grp"), col("y"), p)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val got = run(g.toDF("grp", "y"), 0.1, 1)
+    assert(got === Seq(("g", 10L, 1L, 0.055, 0.144)))
+    assert(run(g.toDF("grp", "y"), 0.1, 7) === got)
+    assert(run(h.toDF("grp", "y"), 0.25, 1) ===
+      Seq(("h", 4L, 1L, 0.015, 0.0175)))
+  }
 }
