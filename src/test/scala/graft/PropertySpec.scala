@@ -1,0 +1,192 @@
+package graft
+
+import graft.operators.{Behavior, CdcOps, Dedup, Sampling, StatTests, Survival}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property layer: operator invariants checked on RANDOMIZED (but
+  * seed-pinned, fully deterministic) datasets against independent plain-
+  * Scala replicas — the complement of the hand-case specs (which pin
+  * exact known answers) and the DuckDB oracles (which pin cross-engine
+  * agreement). Each property samples several generated datasets; a
+  * failure prints the seed index so the case reproduces exactly.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sample of `gen` under seed `i` — scalacheck as a pure
+    * generator library, no forAll runner dependency.
+    */
+  private def sample[A](gen: Gen[A], i: Long): A =
+    gen.apply(Gen.Parameters.default, Seed(i)).get
+
+  private val rounds = 8L
+
+  test("property: latestSnapshot is idempotent and partitioning-invariant") {
+    val gen = Gen.listOfN(120, for {
+      k <- Gen.choose(1L, 12L)
+      v <- Gen.choose(1L, 40L)
+      x <- Gen.choose(0L, 999L)
+    } yield (k, v, x))
+    for (i <- 1L to rounds) {
+      val rows = sample(gen, i)
+      val log = rows.toDF("user_id", "event_id", "value")
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        CdcOps.latestSnapshot(df, Seq("user_id"), "event_id")
+      val once = snap(log).as[(Long, Long, Long)].collect().toSet
+      // the replica compares on version-unique logs (max_by ties on the
+      // version are unspecified on both sides); the raw log still runs
+      // above to prove ties never crash
+      val uniq = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val ulog = uniq.toDF("user_id", "event_id", "value")
+      val got = snap(ulog).as[(Long, Long, Long)].collect().toSet
+      val want = uniq.groupBy(_._1).map { case (_, g) =>
+        g.maxBy(r => (r._2, r._3))
+      }.toSet
+      assert(got.map(r => (r._1, r._2)) == want.map(r => (r._1, r._2)),
+        s"seed $i")
+      // idempotent: collapsing the collapsed snapshot changes nothing
+      assert(snap(snap(ulog)).as[(Long, Long, Long)].collect().toSet == got,
+        s"seed $i")
+      // partitioning-invariant
+      assert(snap(ulog.repartition(7)).as[(Long, Long, Long)]
+        .collect().toSet == got, s"seed $i")
+      assert(once.nonEmpty)
+    }
+  }
+
+  test("property: windowFunnel level is monotone in the window size") {
+    val steps = Seq("a", "b", "c")
+    val gen = Gen.listOfN(150, for {
+      u <- Gen.choose(1L, 10L)
+      t <- Gen.choose(0L, 100L)
+      s <- Gen.oneOf("a", "b", "c", "x")
+    } yield (u, t, s))
+    for (i <- 1L to rounds) {
+      val rows = sample(gen, i).zipWithIndex
+        .map { case ((u, t, s), j) => (u, t * 1000000L, s, j.toLong) }
+      val ev = rows.toDF("u", "us", "etype", "eid")
+        .select(col("u"), timestamp_micros(col("us")).as("ts"),
+          col("etype"), col("eid"))
+      def levels(windowUs: Long) =
+        Behavior.windowFunnel(ev, "u", "etype", "ts", steps, windowUs)
+          .as[(Long, Long)].collect().toMap
+      val small = levels(10L * 1000000L)
+      val big = levels(200L * 1000000L)
+      assert(small.keySet == big.keySet, s"seed $i")
+      small.foreach { case (u, lv) =>
+        assert(lv <= big(u), s"seed $i user $u: $lv > ${big(u)}")
+        assert(lv >= 0L && lv <= steps.length.toLong, s"seed $i")
+      }
+    }
+  }
+
+  test("property: trimmedMean equals the sort-drop-average replica") {
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      ys <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+    } yield ys
+    for (i <- 1L to rounds) {
+      val ys = sample(gen, i)
+      val got = StatTests.trimmedMean(
+        ys.map(("g", _)).toDF("grp", "y"), col("grp"), col("y"), 0.1)
+        .collect()(0)
+      val k = math.floor(ys.length * 0.1).toLong
+      val kept = ys.sorted.drop(k.toInt).dropRight(k.toInt)
+      val want = BigDecimal(kept.sum.toDouble / kept.length / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.getLong(2) == k, s"seed $i")
+      assert(got.getDouble(3) == want, s"seed $i: ${got.getDouble(3)} != $want")
+    }
+  }
+
+  test("property: kaplanMeier matches a direct replica; survival is monotone") {
+    val DAY = 86400000000L
+    val gen = Gen.listOfN(40, for {
+      c <- Gen.choose(1L, 8L)
+      d <- Gen.choose(0L, 30L)
+    } yield (c, d))
+    for (i <- 1L to rounds) {
+      val rows = sample(gen, i).distinct
+      val orders = rows.map { case (c, d) => (c, d * DAY) }
+        .toDF("cust", "us")
+        .select(col("cust"), timestamp_micros(col("us")).as("ots"))
+      val got = Survival.kaplanMeier(orders, "cust", "ots")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      // replica: per customer sorted days → gaps (events) + final censor
+      val horizon = rows.map(_._2).max
+      val durs = rows.groupBy(_._1).values.flatMap { g =>
+        val ds = g.map(_._2).sorted
+        ds.zip(ds.tail).map { case (a, b) => (b - a, true) } :+
+          ((horizon - ds.last, false))
+      }.toSeq
+      val n = durs.size
+      val eventTimes = durs.filter(_._2).map(_._1).distinct.sorted
+      var logS = 0.0
+      var absorbed = false
+      val want = eventTimes.map { t =>
+        val nRisk = durs.count(_._1 >= t).toLong
+        val d = durs.count(x => x._2 && x._1 == t).toLong
+        val s =
+          if (absorbed || d >= nRisk) { absorbed = true; 0.0 }
+          else {
+            logS += math.log((nRisk - d).toDouble / nRisk.toDouble)
+            BigDecimal(math.exp(logS))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        (t, nRisk, d, s)
+      }
+      assert(got.map(r => (r._1, r._2, r._3, r._5)) == want, s"seed $i")
+      // survival never increases along durations
+      got.map(_._5).sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a, s"seed $i")
+        case _ => ()
+      }
+      assert(n == durs.size)
+    }
+  }
+
+  test("property: sentenceDedup is idempotent (removal never creates work)") {
+    val pieceGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val gen = Gen.listOfN(25, Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, pieceGen).map(_.mkString(". "))))
+    for (i <- 1L to rounds) {
+      val texts = sample(gen, i).zipWithIndex
+        .map { case (t, j) => (j.toLong, t) }
+      val docs = texts.toDF("doc_id", "text")
+      // idempotence holds on docs that survive non-empty: their kept
+      // pieces' corpus frequency can only DROP when other docs shed
+      // pieces. (Docs that empty introduce a new "" piece — the one
+      // legitimate second-pass removal — so they are excluded here.)
+      val once = Dedup.sentenceDedup(docs, "doc_id", "text")
+        .where(col("clean_text") =!= "")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val onceRows = once.as[(Long, String)].collect().toMap
+      val twice = Dedup.sentenceDedup(once, "doc_id", "text")
+        .as[(Long, Long, Long, String)].collect()
+      twice.foreach { case (id, _, removed, clean) =>
+        assert(removed == 0L, s"seed $i doc $id: second pass removed rows")
+        assert(clean == onceRows(id), s"seed $i doc $id")
+      }
+    }
+  }
+
+  test("property: weightedSample equals the exact A-ES top-k replica") {
+    val gen = Gen.listOfN(30, for {
+      id <- Gen.choose(1L, 10000L)
+      w <- Gen.choose(1L, 5000L)
+    } yield (id, w))
+    for (i <- 1L to rounds) {
+      val rows = sample(gen, i).distinctBy(_._1)
+      def es(id: Long, w: Long): Double =
+        math.log((Math.floorMod(id * 2654435761L, 10000L) + 1).toDouble
+          / 10001.0) / w.toDouble
+      val want = rows.sortBy { case (id, w) => (-es(id, w), id) }
+        .take(10).map(_._1).toSet
+      val got = Sampling.weightedSample(rows.toDF("id", "w"),
+        col("id"), col("w"), 10).select("id").as[Long].collect().toSet
+      assert(got == want, s"seed $i")
+    }
+  }
+}
