@@ -1715,6 +1715,9 @@ object SparkEntry {
     // CCNet-style corpus-frequency sentence dedup (boilerplate removal)
     "docs_sentence_dedup" -> ((s, d) =>
       Dedup.sentenceDedup(t(s, d, "documents"), "doc_id", "text")),
+    // novelty curve: share of each doc's 4-gram shingles first seen there
+    "docs_ngram_novelty" -> ((s, d) =>
+      Contamination.noveltyCurve(t(s, d, "documents"), "doc_id", "text")),
     // ClickHouse proportionsZTest: purchase-rate z/p/CI per hour bucket
     "events_prop_ztest" -> ((s, d) =>
       StatTests.proportionsZTest(t(s, d, "events"),
@@ -4767,6 +4770,24 @@ object SparkEntry {
          SELECT g AS bucket, na AS n_a, nb AS n_b, z, p,
                 p < 0.001 AS srm_alarm
          FROM p""",
+    // the contamination shingle convention; first-seen = min doc_id
+    "docs_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                         range(1, len(ws) - 2),
+                         i -> array_to_string(list_slice(ws, i, i + 3), ' '))))
+                         AS s
+                FROM d WHERE len(ws) >= 4),
+         fs AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY s)
+         SELECT sh.doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                round(CAST(sum(CASE WHEN fs.first_id = sh.doc_id
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS novelty
+         FROM sh JOIN fs ON sh.s = fs.s GROUP BY sh.doc_id""",
     // pieces exploded with positions; boilerplate = piece in ≥3 distinct
     // docs; rebuild preserves order (string_agg skips the dropped NULLs)
     "docs_sentence_dedup" ->

@@ -28,6 +28,34 @@ object Contamination {
         i => array_join(slice(col("ws"), i + lit(1), lit(width)), " ")))).as("sh"))
   }
 
+  /** Corpus novelty curve — per document the share of its distinct
+    * `width`-word shingles whose FIRST appearance (minimum doc id over
+    * the whole corpus) is this document: the "how much genuinely new
+    * text does each successive document add" readout a curation pipeline
+    * tracks as a dataset grows (a falling novelty curve means the crawl
+    * is re-collecting itself; near-zero marginal novelty is the stop
+    * signal for that source). Documents shorter than one shingle carry
+    * no signal and are excluded, same as [[report]].
+    *
+    * Scale shape: shingle explode (linear) → ONE map-side-combined
+    * min-per-shingle pass → hash join back at the shingle grain → doc
+    * rollup. No pairwise step of any kind; the first-seen frame is
+    * shingle-vocabulary-scale.
+    */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int = 4): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, "id", width)
+    val firstSeen = sh.groupBy(col("sh")).agg(min(col("id")).as("first_id"))
+    sh.join(firstSeen, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
+  }
+
   /** (train_id, test_id, n_shared): pairs sharing ≥ `minShared` distinct
     * `width`-word shingles, after dropping shingles with total df > `maxDf`.
     */

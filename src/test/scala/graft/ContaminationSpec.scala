@@ -60,4 +60,16 @@ class ContaminationSpec extends SparkSpec {
     assert(probed(None) == None)
     assert(probed(Some("zzz")) == Some(false) || probed(Some("zzz")) == Some(true))
   }
+
+  test("noveltyCurve: first-seen shingle shares; short docs excluded") {
+    val docs = Seq(
+      (1L, "a b c d e"),  // both 4-grams first seen here → 1.0
+      (2L, "a b c d x"),  // "a b c d" seen in d1, "b c d x" novel → 0.5
+      (3L, "z")).toDF("doc_id", "text")
+    val r = graft.operators.Contamination
+      .noveltyCurve(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).sortBy(_._1).toSeq
+    assert(r === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)))
+  }
 }
