@@ -685,10 +685,20 @@ object StatTests {
       sum(when(col("a"), 1L).otherwise(0L)).as("na"),
       sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
       .where(col("na") + col("nb") >= 1)
+    srmColumns(m).select(col("g"), col("na").as("n_a"), col("nb").as("n_b"),
+      col("z"), col("p"), col("srm_alarm"))
+  }
+
+  /** Shared z/p/alarm scalar tree over `na`/`nb` count columns — the one
+    * formulation both [[srmCheck]] and the streaming
+    * [[graft.streaming.SrmStream]] evaluate, so their answers agree
+    * exactly by construction.
+    */
+  private[graft] def srmColumns(counts: DataFrame): DataFrame = {
     val z = (d(col("na")) - d(col("nb"))) / sqrt(d(col("na")) + d(col("nb")))
-    m.select(col("g"), col("na").as("n_a"), col("nb").as("n_b"),
-      round(z, 6).as("z"), round(twoSidedP(z), 6).as("p"),
-      (round(twoSidedP(z), 6) < lit(0.001)).as("srm_alarm"))
+    counts.withColumn("z", round(z, 6))
+      .withColumn("p", round(twoSidedP(z), 6))
+      .withColumn("srm_alarm", round(twoSidedP(z), 6) < lit(0.001))
   }
 
   /** Paired t-test on each unit's post-minus-pre metric change across the
