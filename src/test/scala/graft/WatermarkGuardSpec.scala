@@ -5,7 +5,7 @@ import java.time.Duration
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{CdcStream, CurationStream, DriftStream, FunnelStream, WatermarkGuard}
+import graft.streaming.{CdcStream, CurationStream, DriftStream, FunnelStream, SrmStream, WatermarkGuard}
 
 /** The filter-below-watermark Catalyst hazard, pinned as a lint over every
   * streaming entry point (see [[graft.streaming.WatermarkGuard]]'s
@@ -43,6 +43,11 @@ class WatermarkGuardSpec extends SparkSpec {
       .toDF("ts", "key", "version")
     WatermarkGuard.assertClockSafe(
       CdcStream.normalize(changes, "ts", "key", "version"))
+
+    // SrmStream: watermark + chained dedup/aggregate, no row filter
+    WatermarkGuard.assertClockSafe(SrmStream.srm(
+      eventsStream, "ts", col("bucket"), col("cents"),
+      col("arm") === "a", "10 minutes", "5 minutes"))
 
     // FunnelStream: typed watermark + stateful levels
     val funnel = MemoryStream[FunnelStream.FunnelEvent].toDS()
