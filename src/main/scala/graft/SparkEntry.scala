@@ -1776,13 +1776,19 @@ object SparkEntry {
       Sampling.weightedSample(t(s, d, "documents"), col("doc_id"),
         greatest(col("n_chars"), lit(1L)), 100)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
-    // Flesch reading ease per doc from exact word/sentence/vowel-run counts
-    "text_readability" -> ((s, d) =>
+    // Flesch reading ease per doc — counts from the fused one-pass native
+    // kernel (TextStats; ≡ the regex formulation, property-pinned), the
+    // formula tree unchanged so the oracle is untouched
+    "text_readability" -> ((s, d) => {
+      val st = graft.expressions.NativeFunctions.textStats(col("text"))
+      val w = st(0).cast("double"); val sn = st(1).cast("double")
+      val sy = st(2).cast("double")
       t(s, d, "documents").select(col("doc_id"),
-        TextFunctions.alphaWordCount(col("text")).as("n_words"),
-        TextFunctions.sentenceCount(col("text")).as("n_sentences"),
-        TextFunctions.syllableEstimate(col("text")).as("n_syllables"),
-        TextFunctions.fleschReadingEase(col("text")).as("flesch"))),
+        st(0).as("n_words"), st(1).as("n_sentences"),
+        st(2).as("n_syllables"),
+        when(w > 0.0, round(lit(206.835) - lit(1.015) * (w / sn) -
+          lit(84.6) * (sy / w), 4)).as("flesch"))
+    }),
     // encoding-damage screen: U+FFFD / control chars / UTF-8-as-Latin-1
     // digraph markers, flagged above 1 per mille of the doc's chars
     "docs_mojibake" -> ((s, d) =>

@@ -66,4 +66,10 @@ object NativeFunctions {
   def bloomMightContain(c: Column,
       bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
     bridge.column(BloomMightContain(bridge.expression(c), bloom))
+
+  /** Readability counters [words, sentences, syllables] — one fused char
+    * pass (see [[TextStats]]).
+    */
+  def textStats(text: Column): Column =
+    bridge.column(TextStats(bridge.expression(text)))
 }
