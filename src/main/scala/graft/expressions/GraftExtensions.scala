@@ -88,6 +88,9 @@ object GraftExtensions {
     (FunctionIdentifier("media_info"),
       new ExpressionInfo(classOf[MediaInfoExpr].getName, "media_info"),
       (args: Seq[Expression]) => MediaInfoExpr(args.head)),
+    (FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (args: Seq[Expression]) => TextStats(args.head)),
     // the ClickHouse behavior suite in its native SQL shape:
     //   window_funnel(window_us, ts, cond1, …)  — bigint level
     //   sequence_match(gap_us, ts, cond1, …)    — boolean

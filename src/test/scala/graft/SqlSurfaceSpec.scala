@@ -588,4 +588,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaBin.getLong(1) == 1L && viaBin.getLong(2) == 38L)
     assert(viaBin.getDouble(0) == viaStr.getDouble(0))
   }
+
+  test("text_stats SQL scalar equals the Column kernel; media_info reads FLAC") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    Seq((1L, "Hello world. This is great stuff!"), (2L, "xyz 123"))
+      .toDF("id", "text").createOrReplaceTempView("ts_docs")
+    val viaSql = spark.sql(
+      "SELECT id, text_stats(text) AS st FROM ts_docs ORDER BY id")
+      .selectExpr("st[0]", "st[1]", "st[2]")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaSql == Seq((6L, 2L, 7L), (1L, 1L, 1L)))
+    // the media_info scalar dispatches through the same parse chain the
+    // probe uses — a FLAC payload resolves without any new SQL surface
+    val flac = graft.operators.MediaHeader.flacHeader(16000, 2, 16, 32000L)
+    Seq(Tuple1(flac)).toDF("payload").createOrReplaceTempView("ts_flac")
+    val mi = spark.sql(
+      """SELECT media_info(payload).format AS f,
+                media_info(payload).channels AS ch,
+                media_info(payload).sample_rate_hz AS r,
+                media_info(payload).duration_ms AS d
+         FROM ts_flac""").collect()(0)
+    assert(mi.getString(0) == "flac" && mi.getInt(1) == 2 &&
+      mi.getInt(2) == 16000 && mi.getLong(3) == 2000L)
+  }
 }
