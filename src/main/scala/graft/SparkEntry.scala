@@ -1718,6 +1718,17 @@ object SparkEntry {
     // novelty curve: share of each doc's 4-gram shingles first seen there
     "docs_ngram_novelty" -> ((s, d) =>
       Contamination.noveltyCurve(t(s, d, "documents"), "doc_id", "text")),
+    // persisted boilerplate-index lifecycle: bootstrap 90%, clean the 10%
+    // sync batch against accumulated ∪ batch piece frequencies — equals
+    // the one-shot pass over everything, restricted to the batch
+    "docs_boiler_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = BoilerplateIndex.create(s, indexScratch, minDocs = 3)
+      idx.cleanAndAdd(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text")
+      idx.cleanAndAdd(docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text")
+    }),
     // ClickHouse proportionsZTest: purchase-rate z/p/CI per hour bucket
     "events_prop_ztest" -> ((s, d) =>
       StatTests.proportionsZTest(t(s, d, "events"),
@@ -4776,6 +4787,25 @@ object SparkEntry {
          SELECT g AS bucket, na AS n_a, nb AS n_b, z, p,
                 p < 0.001 AS srm_alarm
          FROM p""",
+    // incremental ≡ one-shot (spec-pinned), so the oracle is the whole-
+    // corpus pass restricted to the sync batch
+    "docs_boiler_indexed" ->
+      """WITH s AS (SELECT doc_id,
+                           unnest(string_split(text, '. ')) AS piece,
+                           unnest(generate_series(1,
+                             len(string_split(text, '. ')))) AS pos
+                    FROM documents),
+         b AS (SELECT piece FROM s GROUP BY piece
+               HAVING count(DISTINCT doc_id) >= 3),
+         f AS (SELECT s.doc_id, s.pos, s.piece,
+                      b.piece IS NOT NULL AS dropped
+               FROM s LEFT JOIN b ON s.piece = b.piece)
+         SELECT doc_id, count(*) AS n_sentences,
+                CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed,
+                COALESCE(string_agg(CASE WHEN NOT dropped THEN piece END,
+                  '. ' ORDER BY pos), '') AS clean_text
+         FROM f WHERE doc_id % 10 = 0 GROUP BY doc_id""",
     // the contamination shingle convention; first-seen = min doc_id
     "docs_ngram_novelty" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws

@@ -919,13 +919,30 @@ object Dedup {
   def sentenceDedup(docs: DataFrame, idCol: String, textCol: String,
                     minDocs: Int = 3): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs")
-    val pieces = widen(docs).select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "piece")))
+    val pieces = sentencePieces(docs, idCol, textCol)
     val boiler = pieces.groupBy(col("piece"))
       .agg(countDistinct(col("id")).as("df"))
       .where(col("df") >= minDocs)
-      .select(col("piece"), lit(true).as("is_boiler"))
-    val flagged = pieces.join(boiler, Seq("piece"), "left")
+      .select(col("piece"))
+    removeBoiler(pieces, boiler).withColumnRenamed("id", idCol)
+  }
+
+  /** The `". "`-piece explode of [[sentenceDedup]] — shared with
+    * [[BoilerplateIndex]] so the incremental path splits byte-identically.
+    */
+  private[operators] def sentencePieces(docs: DataFrame, idCol: String,
+                                        textCol: String): DataFrame =
+    widen(docs).select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "piece")))
+
+  /** Drop every piece in `boiler` (a `piece` column) and rebuild each
+    * document in original order — the removal half of [[sentenceDedup]].
+    */
+  private[operators] def removeBoiler(pieces: DataFrame,
+                                      boiler: DataFrame): DataFrame = {
+    val flagged = pieces
+      .join(boiler.select(col("piece"), lit(true).as("is_boiler")),
+        Seq("piece"), "left")
       .select(col("id"), col("pos"), col("piece"),
         coalesce(col("is_boiler"), lit(false)).as("drop"))
     flagged.groupBy(col("id"))
@@ -935,6 +952,5 @@ object Dedup {
           "transform(filter(array_sort(collect_list(named_struct(" +
             "'pos', pos, 'piece', piece, 'drop', drop))), " +
             "e -> NOT e.drop), e -> e.piece)")).as("clean_text"))
-      .withColumnRenamed("id", idCol)
   }
 }
