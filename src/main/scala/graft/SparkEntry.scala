@@ -92,9 +92,17 @@ object SparkEntry {
       Analytics.marketShare(t(s, d, "region"), t(s, d, "nation"), t(s, d, "customer"),
         t(s, d, "supplier"), t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "part"),
         "NATION_3", "STANDARD", "ASIA")),
+    // q9 adapted: retail price proxies the missing ps_supplycost — the
+    // join SHAPE (fact on its own keys, nation broadcast) is the point
+    "q9_product_profit" -> ((s, d) =>
+      Analytics.productProfit(t(s, d, "nation"), t(s, d, "supplier"),
+        t(s, d, "part"), t(s, d, "orders"), t(s, d, "lineitem"), "red")),
     "q10_returned_items" -> ((s, d) =>
       Analytics.returnedItems(t(s, d, "customer"), t(s, d, "orders"),
         t(s, d, "lineitem"), t(s, d, "nation"))),
+    // repeat-purchase cohorts of the mirrored orders table
+    "orders_repeat_rate" -> ((s, d) =>
+      Analytics.repeatRate(t(s, d, "orders"))),
     "q14_promo_revenue" -> ((s, d) =>
       Analytics.promoRevenue(t(s, d, "part"), t(s, d, "lineitem"))),
     "q15_top_supplier" -> ((s, d) =>
@@ -1971,6 +1979,26 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY year(o_orderdate)""",
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         CAST(sum($rev
+                  - CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+         FROM lineitem, part, supplier, orders, nation
+         WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+           AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+           AND s_nationkey = n_nationkey
+         GROUP BY n_name, year(o_orderdate)""",
+    "orders_repeat_rate" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS n_orders
+                     FROM orders GROUP BY o_custkey),
+         bc AS (SELECT n_orders, count(*) AS n_customers
+                FROM pc GROUP BY n_orders),
+         t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS n_all FROM bc)
+         SELECT n_orders, n_customers,
+                round(CAST(n_customers AS DOUBLE) / CAST(n_all AS DOUBLE), 6)
+                  AS share
+         FROM bc CROSS JOIN t ORDER BY n_orders""",
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name,
          CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,

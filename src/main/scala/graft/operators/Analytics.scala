@@ -328,6 +328,52 @@ object Analytics {
         sum(vol).cast("double").as("total_revenue"))
   }
 
+  /** TPC-H Q9-style product-type profit by supplier nation and order year,
+    * ADAPTED to this schema's lack of `partsupp` (reference quickstart
+    * ships no ps_supplycost): unit cost is proxied by `p_retailprice`, the
+    * reference-price column the part table does carry, so profit =
+    * Σ(l_extendedprice·(1−l_discount) − p_retailprice·l_quantity) over
+    * parts whose name contains `nameToken`. The join SHAPE is the classic
+    * q9 — the fact table shuffles on its own join keys, nation broadcast,
+    * part/supplier/orders AQE-decided — which is the point of carrying
+    * the query; all money math stays DECIMAL-exact.
+    */
+  def productProfit(nation: DataFrame, supplier: DataFrame, part: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame,
+                    nameToken: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val profit = dec("l_extendedprice") * (one - dec("l_discount")) -
+      dec("p_retailprice") * dec("l_quantity")
+    lineitem
+      .join(part.where(col("p_name").contains(nameToken)),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(sum(profit).cast("double").as("profit"))
+  }
+
+  /** Repeat-purchase distribution: how many customers placed exactly k
+    * orders, with each cohort's share — the retention-health readout of
+    * the mirrored orders table. Two map-side-combined grouped passes
+    * (customer grain, then the ≤dozens-row order-count grain) and a 1-row
+    * broadcast total.
+    */
+  def repeatRate(orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val byCount = perCust.groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+    val total = byCount.agg(sum(col("n_customers")).as("n_all"))
+    byCount.crossJoin(broadcast(total))
+      .select(col("n_orders"), col("n_customers"),
+        round(col("n_customers").cast("double") /
+          col("n_all").cast("double"), 6).as("share"))
+      .orderBy(col("n_orders"))
+  }
+
   /** TPC-H Q10-style returned-item reporting: revenue a customer's returned
     * lineitems cost in one quarter, with the customer's nation. Group keys
     * are the customer attributes, so the aggregation shuffles once on the
