@@ -366,7 +366,9 @@ class PgOutputSpec extends SparkSpec {
           Fixture.streamAbort(555, 66, 67),
           Fixture.streamCommit(560, 66, 600, 601, txTs(5)))
 
-    val parsed = PgOutput.parse(toDf(frames), "frame", "items")
+    val parsed = PgOutput.parse(
+      toDf(Fixture.relation(5, 7, ns, "items", itemCols) +: frames),
+      "frame", "items")
     assert(parsed.changes.count() == 0)
     val reasons = parsed.deadLetter.select("reason")
       .as[String](spark.implicits.newStringEncoder).collect().toSeq
@@ -844,5 +846,43 @@ class PgOutputSpec extends SparkSpec {
       .select("id", "name", "qty", "note", "_unchanged_toast")
       .collect().toSeq
     assert(healed == Seq(Row(1L, "bigC", 4, null, null)))
+  }
+
+  test("fuzz: decodeFrame never throws and parse dead-letters arbitrary bytes") {
+    // parse's metadata passes call decodeFrame bare — a throw on ANY byte
+    // sequence would crash the whole capture batch, so no-throw is a load-
+    // bearing contract, fuzzed here with seeded deterministic garbage:
+    // pure noise, frames with valid outer tags, and valid XLogData headers
+    // wrapping noise message bodies (penetrating every decodeMsg branch)
+    val rnd = new scala.util.Random(42)
+    val msgTags = "BCIUDRTMSOEcPKwkZ?".toCharArray
+    val frames = (1 to 400).map { i =>
+      val body = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(body)
+      i % 4 match {
+        case 0 => body // pure noise
+        case 1 => Array[Byte]('w') ++ body // XLogData tag, noisy header
+        case 2 => Array[Byte]('k') ++ body // keepalive tag, noisy header
+        case _ => // valid 25-byte XLogData header + tagged noise message
+          val hdr = java.nio.ByteBuffer.allocate(25)
+          hdr.put('w'.toByte).putLong(i.toLong).putLong(i.toLong + 1)
+            .putLong(0L)
+          hdr.array() ++ Array[Byte](msgTags(i % msgTags.length).toByte) ++ body
+      }
+    }
+    frames.foreach { f =>
+      PgOutput.decodeFrame(f) // Either, never a throw
+      PgOutput.decodeFrame(f, inStream = true)
+    }
+    // the DataFrame-level parse survives the same garbage: frames that
+    // decode to nothing interpretable land in the dead letter with a
+    // reason, and nothing ever reaches changes (no Relation registered)
+    val parsed = PgOutput.parse(
+      toDf(Fixture.relation(5, 7, ns, "items", itemCols) +: frames),
+      "frame", "items")
+    assert(parsed.changes.count() == 0)
+    val dead = parsed.deadLetter.select("reason")
+      .as[String](spark.implicits.newStringEncoder).collect()
+    assert(dead.nonEmpty && dead.forall(r => r != null && r.nonEmpty))
   }
 }
