@@ -1747,6 +1747,17 @@ object SparkEntry {
     "events_ttest_paired" -> ((s, d) =>
       StatTests.pairedTTest(t(s, d, "events"), col("user_id"),
         floor(col("value") * 100 + 0.5), expr("unix_micros(ts)"))),
+    // Lorenz concentration curve over per-user event counts (the curve
+    // behind events_user_gini's scalar), NTILE decile rule
+    "events_lorenz" -> ((s, d) =>
+      Insights.lorenzCurve(
+        t(s, d, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_ev")),
+        "user_id", "n_ev")),
+    // is per-user activity Poisson: exponential MLE + one-sample KS
+    "events_interarrival_fit" -> ((s, d) =>
+      StatTests.interarrivalExpFit(t(s, d, "events"), col("user_id"),
+        col("ts"), col("event_id"))),
     // robust central tendency: exact integer trimmed mean, 10% each tail
     "events_trimmed_mean" -> ((s, d) =>
       StatTests.trimmedMean(t(s, d, "events"), col("event_type"),
@@ -4936,6 +4947,56 @@ object SparkEntry {
          SELECT n AS n_units, round(mean / 100.0, 6) AS mean_diff,
                 round(mean / sqrt(sv / CAST(n AS DOUBLE)), 6) AS t
          FROM v WHERE sv > 0.0""",
+    // NTILE deciles over (count, user) asc, cumulative int64 sums
+    "events_lorenz" ->
+      """WITH pk AS (SELECT user_id AS k, count(*) AS x
+                     FROM events GROUP BY user_id),
+         b AS (SELECT k, x, ntile(10) OVER (ORDER BY x, k) AS decile
+               FROM pk),
+         g AS (SELECT decile, count(*) AS n_keys,
+                      CAST(sum(x) AS BIGINT) AS sx
+               FROM b GROUP BY decile),
+         t AS (SELECT CAST(sum(sx) AS BIGINT) AS total FROM g)
+         SELECT CAST(decile AS BIGINT) AS decile,
+                CAST(sum(n_keys) OVER w AS BIGINT) AS n_keys_cum,
+                CAST(sum(sx) OVER w AS BIGINT) AS weight_cum,
+                round(CAST(sum(sx) OVER w AS DOUBLE)
+                      / CAST(total AS DOUBLE), 6) AS share
+         FROM g CROSS JOIN t
+         WHERE total > 0
+         WINDOW w AS (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY decile""",
+    // per-user lag gaps pooled at the distinct-second grain; λ̂ = n/Σg;
+    // the sup checks both CDF step sides per value
+    "events_interarrival_fit" ->
+      """WITH base AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id AS e
+                       FROM events),
+         lagd AS (SELECT k, us,
+                         lag(us) OVER (PARTITION BY k ORDER BY us, e) AS prev
+                  FROM base),
+         gaps AS (SELECT (us - prev) // 1000000 AS g
+                  FROM lagd WHERE prev IS NOT NULL),
+         grain AS (SELECT g, count(*) AS c FROM gaps GROUP BY g),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                        CAST(sum(g * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS sgd,
+                        CAST(sum(c) AS DOUBLE) AS nd
+                 FROM grain HAVING sum(g * CAST(c AS DECIMAL(19,0))) > 0),
+         st AS (SELECT g, c, n, nd / sgd AS lam,
+                       CAST(sum(c) OVER (ORDER BY g
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum
+                FROM grain CROSS JOIN tot),
+         f AS (SELECT n, lam,
+                      CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS f_at,
+                      (CAST(cum AS DOUBLE) - CAST(c AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS f_before,
+                      1.0 - exp((-lam) * CAST(g AS DOUBLE)) AS f_exp
+               FROM st)
+         SELECT max(n) AS n_gaps, round(max(lam), 6) AS lambda_per_sec,
+                round(max(greatest(abs(f_at - f_exp),
+                                   abs(f_before - f_exp))), 6) AS ks_d
+         FROM f HAVING max(n) IS NOT NULL""",
     // distinct-value-grain trim: integer clamp of per-value kept copies,
     // exact Σ kept·y / Σ kept — no row windows, no interpolation
     "events_trimmed_mean" ->

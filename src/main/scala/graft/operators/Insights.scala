@@ -268,4 +268,36 @@ object Insights {
         sum(col("cnt")).as("total"),
         min(when(col("cnt") === col("mx"), col("slot"))).as("peak_slot"))
   }
+
+  /** Lorenz concentration curve of a per-key weight — the curve behind
+    * [[giniByGroup]]'s scalar: per decile of KEYS (users ranked ascending
+    * by weight, NTILE bucket rule: the first n%10 deciles hold the extra
+    * key), the cumulative share of total weight — "the bottom 80% of
+    * users generate 12% of events" read directly.
+    *
+    * Scale shape: the fact table collapses to the key grain BEFORE this;
+    * deciles come from [[Ranking.exactNtile]] (the zipWithIndex global
+    * rank — no single-partition window over the key dimension); the
+    * cumulative fold then runs on the 10-row decile frame. Exact int64
+    * sums until the final share ratio.
+    */
+  def lorenzCurve(perKey: DataFrame, keyCol: String,
+                  weightCol: String): DataFrame = {
+    val bucketed = Ranking.exactNtile(
+      perKey.select(col(keyCol).as("k"), col(weightCol).cast("long").as("x")),
+      10, Seq(col("x"), col("k")), "decile")
+    val byDecile = bucketed.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("sx"))
+    val tiny = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byDecile.agg(sum(col("sx")).as("total"))
+    byDecile.crossJoin(broadcast(tot))
+      .where(col("total") > 0)
+      .select(col("decile"),
+        sum(col("n_keys")).over(tiny).as("n_keys_cum"),
+        sum(col("sx")).over(tiny).as("weight_cum"),
+        round(sum(col("sx")).over(tiny).cast("double") /
+          col("total").cast("double"), 6).as("share"))
+      .orderBy(col("decile"))
+  }
 }

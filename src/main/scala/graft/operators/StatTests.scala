@@ -810,6 +810,51 @@ object StatTests {
         round(d(col("s1")) / d(col("n")) / 100.0, 6).as("mean_raw"))
   }
 
+  /** Exponential fit of the per-key inter-arrival gaps — "is activity a
+    * Poisson process": λ̂ = n/Σgaps (the MLE) plus the one-sample
+    * Kolmogorov–Smirnov distance between the empirical gap CDF and
+    * Exponential(λ̂). A large D says bursty/periodic, not memoryless —
+    * the arrival-model check behind capacity planning and anomaly
+    * thresholds.
+    *
+    * Per-KEY gaps (a key-partitioned lag window — never a global total
+    * order over the log), pooled at the DISTINCT-SECOND grain: the CDF
+    * sup runs over distinct gap values ([[ksTest]]'s shape), λ̂ comes
+    * from exact integer sums (gap·count products via [[xprod]]), and the
+    * one float per distinct value is exp(−λ̂·g). Both CDF step sides are
+    * compared at each value (the sup of a step function against a
+    * continuous one is attained at a step edge). Output one row: n_gaps,
+    * lambda_per_sec, ks_d (6dp).
+    */
+  def interarrivalExpFit(events: DataFrame, key: Column, ts: Column,
+                         tie: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("us"), col("e"))
+    val gaps = events
+      .select(key.as("k"), ts.cast("timestamp").as("t"), tie.as("e"))
+      .withColumn("us", unix_micros(col("t")))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(expr("(us - prev) DIV 1000000").as("g"))
+    val grain = gaps.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val tot = grain.agg(sum(col("c")).as("n"),
+      sum(xprod(col("g"), col("c"))).as("sg"))
+      .where(col("sg") > 0)
+      .select(col("n"), (d(col("n")) / d(col("sg"))).as("lam"))
+    val byG = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = grain.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("c")).over(byG))
+      .withColumn("f_at", d(col("cum")) / d(col("n")))
+      .withColumn("f_before", (d(col("cum")) - d(col("c"))) / d(col("n")))
+      .withColumn("f_exp", lit(1.0) - exp((lit(0.0) - col("lam")) * d(col("g"))))
+    stepped
+      .agg(max(col("n")).as("n_gaps"),
+        round(max(col("lam")), 6).as("lambda_per_sec"),
+        round(max(greatest(abs(col("f_at") - col("f_exp")),
+          abs(col("f_before") - col("f_exp")))), 6).as("ks_d"))
+      .where(col("n_gaps").isNotNull)
+  }
+
   def momentStats(df: DataFrame, group: Column, cents: Column): DataFrame = {
     val base = df.select(group.as("g"), cents.cast("long").as("y"))
       .where(col("y").isNotNull)

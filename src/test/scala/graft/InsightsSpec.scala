@@ -581,4 +581,18 @@ class InsightsSpec extends SparkSpec {
     assert(got(0).getLong(1) === 2L)
     assert(got(0).getDouble(2) === 13.333333)
   }
+
+  test("lorenzCurve: hand deciles, cumulative shares, NTILE extras rule") {
+    val perKey = ((1L to 9L).map((_, 1L)) :+ (10L, 91L)).toDF("u", "n")
+    val r = graft.operators.Insights.lorenzCurve(perKey, "u", "n")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSeq
+    assert(r === (1L to 9L).map(d => (d, d, d, d * 0.01)) :+
+      (10L, 10L, 100L, 1.0))
+    // 12 keys: NTILE gives the first two deciles 2 keys each
+    val r12 = graft.operators.Insights.lorenzCurve(
+      (1L to 12L).map((_, 1L)).toDF("u", "n"), "u", "n")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r12.take(3) == Seq((1L, 2L), (2L, 4L), (3L, 5L)))
+  }
 }

@@ -414,4 +414,29 @@ class StatTestsSpec extends SparkSpec {
     assert(run(h.toDF("grp", "y"), 0.25, 1) ===
       Seq(("h", 4L, 1L, 0.015, 0.0175)))
   }
+
+  test("interarrivalExpFit matches a direct replica on hand gaps") {
+    // one user at seconds {0,1,3,7} → gaps {1,2,4}: λ = 3/7, KS vs the
+    // fitted exponential computed by an independent replica
+    val ev = Seq((1L, 0L, 1L), (1L, 1000000L, 2L), (1L, 3000000L, 3L),
+      (1L, 7000000L, 4L), (2L, 5000000L, 5L)) // lone event: no gap
+      .toDF("u", "us", "eid")
+      .select(col("u"), timestamp_micros(col("us")).as("ts"), col("eid"))
+    val r = StatTests.interarrivalExpFit(ev, col("u"), col("ts"),
+      col("eid")).collect()(0)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lam = 3.0 / 7.0
+    val gaps = Seq(1L, 2L, 4L)
+    val d = gaps.zipWithIndex.flatMap { case (g, i) =>
+      val fExp = 1.0 - math.exp(-lam * g.toDouble)
+      Seq(math.abs((i + 1) / 3.0 - fExp), math.abs(i / 3.0 - fExp))
+    }.max
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == rnd(lam) && r.getDouble(2) == rnd(d))
+    // all-zero gaps: λ undefined → empty, loudly
+    val burst = Seq((1L, 0L, 1L), (1L, 0L, 2L)).toDF("u", "us", "eid")
+      .select(col("u"), timestamp_micros(col("us")).as("ts"), col("eid"))
+    assert(StatTests.interarrivalExpFit(burst, col("u"), col("ts"),
+      col("eid")).count() == 0)
+  }
 }
