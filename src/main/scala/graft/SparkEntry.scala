@@ -1747,6 +1747,12 @@ object SparkEntry {
     "events_ttest_paired" -> ((s, d) =>
       StatTests.pairedTTest(t(s, d, "events"), col("user_id"),
         floor(col("value") * 100 + 0.5), expr("unix_micros(ts)"))),
+    // does a monotone trend EXIST (Theil–Sen's hypothesis-test sibling)
+    "events_mann_kendall" -> ((s, d) =>
+      Behavior.dailyMannKendall(t(s, d, "events"), "ts")),
+    // is day-to-day traffic random around its level, or regime-sticky
+    "events_runs_test" -> ((s, d) =>
+      Behavior.dailyRunsTest(t(s, d, "events"), "ts")),
     // Lorenz concentration curve over per-user event counts (the curve
     // behind events_user_gini's scalar), NTILE decile rule
     "events_lorenz" -> ((s, d) =>
@@ -4947,6 +4953,95 @@ object SparkEntry {
          SELECT n AS n_units, round(mean / 100.0, 6) AS mean_diff,
                 round(mean / sqrt(sv / CAST(n AS DOUBLE)), 6) AS t
          FROM v WHERE sv > 0.0""",
+    // exact sign-pair S, integer tie term, continuity-corrected z, A&S p
+    "events_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
+                        FROM events GROUP BY 1),
+         idx AS (SELECT date_diff('day', (SELECT min(d) FROM daily), d)
+                   AS t, x FROM daily),
+         sp AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                     WHEN b.x < a.x THEN -1
+                                     ELSE 0 END) AS BIGINT) AS s
+                FROM idx a JOIN idx b ON a.t < b.t),
+         tie AS (SELECT CAST(COALESCE(sum(tk * (tk - 1) * (2 * tk + 5)), 0)
+                   AS BIGINT) AS tie_term
+                 FROM (SELECT count(*) AS tk FROM idx GROUP BY x)),
+         nn AS (SELECT count(*) AS n_days FROM idx),
+         v AS (SELECT n_days, s,
+                      CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                           - tie_term AS DOUBLE) / 18.0 AS var_s
+               FROM nn CROSS JOIN sp CROSS JOIN tie
+               WHERE n_days >= 3
+                 AND CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                          - tie_term AS DOUBLE) / 18.0 > 0.0),
+         zz AS (SELECT n_days, s,
+                       CASE WHEN s > 0
+                            THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                            WHEN s < 0
+                            THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                            ELSE 0.0 END AS z
+                FROM v),
+         pp AS (SELECT n_days, s, round(zz.z, 6) AS z,
+                       round(2.0 * (exp(abs(zz.z) * abs(zz.z) * -0.5)
+                                    * 0.3989422804014327)
+                             * ((1.0 / (1.0 + 0.2316419 * abs(zz.z)))
+                                * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(zz.z)))
+                                   * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(zz.z)))
+                                      * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(zz.z)))
+                                         * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(zz.z)))
+                                            * 1.330274429))))), 6) AS p
+                FROM zz)
+         SELECT n_days, s, z, p,
+                CAST(CASE WHEN p >= 0.05 THEN 0
+                          WHEN s > 0 THEN 1
+                          WHEN s < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend
+         FROM pp""",
+    // run breaks via lag over the day frame; exact integer E[R]/Var(R)
+    // terms in one fixed double tree
+    "events_runs_test" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
+                        FROM events GROUP BY 1),
+         med AS (SELECT quantile_cont(CAST(x AS DOUBLE), 0.5) AS m
+                 FROM daily),
+         signed AS (SELECT d, CAST(x AS DOUBLE) > m AS up
+                    FROM daily CROSS JOIN med
+                    WHERE CAST(x AS DOUBLE) <> m),
+         runs AS (SELECT up,
+                         CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                                OR lag(up) OVER (ORDER BY d) <> up
+                              THEN 1 ELSE 0 END AS brk
+                  FROM signed),
+         agg AS (SELECT count(*) AS n_days,
+                        CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                        CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+                        CAST(sum(brk) AS BIGINT) AS r
+                 FROM runs
+                 HAVING n1 >= 1 AND n2 >= 1 AND n1 + n2 >= 3),
+         v AS (SELECT n_days, n1, n2, r,
+                      CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+               FROM agg),
+         w AS (SELECT n_days, n1, n2, r,
+                      (CAST(r AS DOUBLE)
+                       - (2.0 * n1d * n2d / (n1d + n2d) + 1.0))
+                        / sqrt(2.0 * n1d * n2d
+                               * (2.0 * n1d * n2d - n1d - n2d)
+                               / ((n1d + n2d) * (n1d + n2d)
+                                  * ((n1d + n2d) - 1.0))) AS z,
+                      2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d)
+                        / ((n1d + n2d) * (n1d + n2d)
+                           * ((n1d + n2d) - 1.0)) AS var_r
+               FROM v)
+         SELECT n_days, n1 AS n_above, n2 AS n_below, r AS n_runs,
+                round(w.z, 6) AS z,
+                round(2.0 * (exp(abs(w.z) * abs(w.z) * -0.5)
+                             * 0.3989422804014327)
+                      * ((1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                         * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                            * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                               * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                  * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                     * 1.330274429))))), 6) AS p
+         FROM w WHERE var_r > 0.0""",
     // NTILE deciles over (count, user) asc, cumulative int64 sums
     "events_lorenz" ->
       """WITH pk AS (SELECT user_id AS k, count(*) AS x

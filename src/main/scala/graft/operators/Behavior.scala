@@ -1241,6 +1241,92 @@ object Behavior {
           6).as("intercept"))
   }
 
+  /** Mann–Kendall trend test of the daily series — [[dailyTheilSen]]'s
+    * hypothesis-test sibling (Theil–Sen estimates HOW steep, this says
+    * whether a monotone trend EXISTS at all, distribution-free):
+    * S = Σ_{i<j} sign(xⱼ − xᵢ), Var(S) = [n(n−1)(2n+5) −
+    * Σₜ t(t−1)(2t+5)]/18 with the tie correction over equal values, and
+    * the continuity-corrected z = (S ∓ 1)/√Var (0 when S = 0); two-sided
+    * p via the shared A&S Φ ([[StatTests]] convention).
+    *
+    * All exact integers until the final two divisions: S from an exact
+    * sign-pair count, both Var terms integer products. Pair count is
+    * O(T²) in the DAY span (time-grained — the [[dailyTheilSen]]
+    * argument), the tie term one grouped pass over distinct counts.
+    * Output one row: n_days, s, z, p, trend (+1/−1/0 at α = 0.05).
+    */
+  def dailyMannKendall(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val indexed = daily
+      .crossJoin(broadcast(daily.agg(min(col("d")).as("d0"))))
+      .select(datediff(col("d"), col("d0")).as("t"), col("x"))
+      .localCheckpoint(true) // feeds the pair join twice + the tie pass
+    val s = indexed.as("a").join(indexed.as("b"), col("a.t") < col("b.t"))
+      .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val ties = indexed.groupBy(col("x")).agg(count(lit(1)).as("tk"))
+      .agg(coalesce(sum(col("tk") * (col("tk") - 1L) *
+        (lit(2L) * col("tk") + 5L)), lit(0L)).as("tie_term"))
+    val n = indexed.agg(count(lit(1)).as("n_days"))
+    val varS = (col("n_days") * (col("n_days") - 1L) *
+      (lit(2L) * col("n_days") + 5L) - col("tie_term")).cast("double") /
+      lit(18.0)
+    val z = when(col("s") > 0L, (col("s").cast("double") - 1.0) / sqrt(varS))
+      .when(col("s") < 0L, (col("s").cast("double") + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    n.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .where(col("n_days") >= 3 && varS > 0.0)
+      .select(col("n_days"), col("s"), round(z, 6).as("z"),
+        round(StatTests.normalTwoSidedP(z), 6).as("p"),
+        when(round(StatTests.normalTwoSidedP(z), 6) >= 0.05, 0L)
+          .otherwise(signum(col("s")).cast("long")).as("trend"))
+  }
+
+  /** Wald–Wolfowitz runs test of the daily series against its median —
+    * "is day-to-day traffic RANDOM around its level, or does it stick in
+    * regimes": too few runs of consecutive above/below-median days means
+    * autocorrelated regimes, too many means oscillation. R = number of
+    * sign runs over the day-ordered sequence (median-equal days are
+    * excluded, the standard convention); E[R] = 2n₁n₂/(n₁+n₂) + 1,
+    * Var(R) = 2n₁n₂(2n₁n₂−n₁−n₂)/((n₁+n₂)²(n₁+n₂−1)); z = (R−E)/√Var,
+    * two-sided p via the shared Φ.
+    *
+    * The median is the [[dailyTheilSen]] `percentile` convention; runs
+    * count via one lag window over the TIME-grained day frame; every
+    * Var/E term is an exact integer ratio evaluated in one fixed double
+    * tree. Output one row: n_days, n_above, n_below, n_runs, z, p.
+    */
+  def dailyRunsTest(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val med = daily.agg(expr("percentile(CAST(x AS DOUBLE), 0.5)").as("m"))
+    val signed = daily.crossJoin(broadcast(med))
+      .where(col("x").cast("double") =!= col("m"))
+      .select(col("d"), (col("x").cast("double") > col("m")).as("up"))
+    val w = Window.orderBy(col("d"))
+    val runs = signed
+      .withColumn("brk",
+        when(lag(col("up"), 1).over(w).isNull ||
+          lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("up"), 1L).otherwise(0L)).as("n2"),
+        sum(col("brk")).as("r"))
+      .where(col("n1") >= 1 && col("n2") >= 1 && col("n1") + col("n2") >= 3)
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val nd = n1d + n2d
+    val eR = lit(2.0) * n1d * n2d / nd + lit(1.0)
+    val varR = lit(2.0) * n1d * n2d * (lit(2.0) * n1d * n2d - n1d - n2d) /
+      (nd * nd * (nd - lit(1.0)))
+    val z = (col("r").cast("double") - eR) / sqrt(varR)
+    runs.where(varR > 0.0)
+      .select(col("n_days"), col("n1").as("n_above"),
+        col("n2").as("n_below"), col("r").as("n_runs"),
+        round(z, 6).as("z"),
+        round(StatTests.normalTwoSidedP(z), 6).as("p"))
+  }
+
   /** Time-weighted average of `valueCol` per key — each observation
     * weighted by how long it HELD (until the next event), the
     * step-function mean a metrics store reports for irregularly-sampled

@@ -599,7 +599,7 @@ object StatTests {
     val vb = (d(col("s2b")) - d(col("s1b")) * d(col("s1b")) / nbd) / (nbd - 1.0)
     val se = sqrt(va / nad + vb / nbd)
     val z = (ma - mb) / se
-    val p = round(twoSidedP(z), 6)
+    val p = round(normalTwoSidedP(z), 6)
     val tested = m.where(se > 0.0)
       .select(col("g"), col("na"), col("nb"), round(z, 6).as("z"), p.as("p"))
     val ord = Window.orderBy(col("p"), col("g"))
@@ -621,7 +621,7 @@ object StatTests {
     * 7.5e-8, far under the 6dp the callers round to). One fixed scalar
     * tree over `z`, spelled out identically in every oracle SQL.
     */
-  private def twoSidedP(z: Column): Column = {
+  private[operators] def normalTwoSidedP(z: Column): Column = {
     val az = abs(z)
     val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
     val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
@@ -661,7 +661,7 @@ object StatTests {
     m.withColumn("pp", pp).where(col("pp") > 0.0 && col("pp") < 1.0)
       .select(col("g"), col("na").as("n_a"), col("nb").as("n_b"),
         round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
-        round(z, 6).as("z"), round(twoSidedP(z), 6).as("p_value"),
+        round(z, 6).as("z"), round(normalTwoSidedP(z), 6).as("p_value"),
         round(pa - pb - zq * seCi, 6).as("ci_lo"),
         round(pa - pb + zq * seCi, 6).as("ci_hi"))
   }
@@ -697,8 +697,8 @@ object StatTests {
   private[graft] def srmColumns(counts: DataFrame): DataFrame = {
     val z = (d(col("na")) - d(col("nb"))) / sqrt(d(col("na")) + d(col("nb")))
     counts.withColumn("z", round(z, 6))
-      .withColumn("p", round(twoSidedP(z), 6))
-      .withColumn("srm_alarm", round(twoSidedP(z), 6) < lit(0.001))
+      .withColumn("p", round(normalTwoSidedP(z), 6))
+      .withColumn("srm_alarm", round(normalTwoSidedP(z), 6) < lit(0.001))
   }
 
   /** Paired t-test on each unit's post-minus-pre metric change across the

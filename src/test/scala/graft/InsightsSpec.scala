@@ -595,4 +595,49 @@ class InsightsSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(r12.take(3) == Seq((1L, 2L), (2L, 4L), (3L, 5L)))
   }
+
+  test("dailyMannKendall: monotone series detected, all-tied series drops") {
+    // daily counts 1,2,3,4,5 → S = 10, no ties: Var = 5·4·15/18,
+    // z = 9/sqrt(Var); expected p via the same A&S replica
+    def mk(counts: Seq[Int]) = {
+      val ev = counts.zipWithIndex.flatMap { case (k, day) =>
+        (1 to k).map(j => day.toLong * 86400 + j) }
+        .toDF("tsl").select(timestamp_seconds(col("tsl")).as("ts"))
+      Behavior.dailyMannKendall(ev, "ts").collect()
+    }
+    val r = mk(Seq(1, 2, 3, 4, 5))(0)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val varS = 5.0 * 4.0 * 15.0 / 18.0
+    val z = 9.0 / math.sqrt(varS)
+    val k = 1.0 / (1.0 + 0.2316419 * z)
+    val poly = k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 +
+      k * (-1.821255978 + k * 1.330274429))))
+    val pv = 2.0 * (math.exp(z * z * -0.5) * 0.3989422804014327) * poly
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == rnd(z) && r.getDouble(3) == rnd(pv))
+    assert(r.getLong(4) == (if (rnd(pv) < 0.05) 1L else 0L))
+    // flat series: the tie term swallows the variance → dropped loudly
+    assert(mk(Seq(2, 2, 2)).isEmpty)
+  }
+
+  test("dailyRunsTest: oscillation vs regimes, hand E[R]/Var(R)") {
+    def rt(counts: Seq[Int]) = {
+      val ev = counts.zipWithIndex.flatMap { case (k, day) =>
+        (1 to k).map(j => day.toLong * 86400 + j) }
+        .toDF("tsl").select(timestamp_seconds(col("tsl")).as("ts"))
+      Behavior.dailyRunsTest(ev, "ts").collect()
+    }
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1,9,1,9,1,9 (median 5): 6 runs of 3+3 → z = (6−4)/√1.2
+    val osc = rt(Seq(1, 9, 1, 9, 1, 9))(0)
+    assert(osc.getLong(0) == 6L && osc.getLong(3) == 6L)
+    assert(osc.getDouble(4) == rnd(2.0 / math.sqrt(1.2)))
+    // 1,1,1,9,9,9: two regimes → z = −(same magnitude)
+    val reg = rt(Seq(1, 1, 1, 9, 9, 9))(0)
+    assert(reg.getLong(3) == 2L)
+    assert(reg.getDouble(4) == rnd(-2.0 / math.sqrt(1.2)))
+    // a day sitting exactly on the median is excluded from the sequence
+    val excl = rt(Seq(1, 9, 5, 1, 9))(0) // median 5 → 4 signed days
+    assert(excl.getLong(0) == 4L)
+  }
 }
