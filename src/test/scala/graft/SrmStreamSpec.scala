@@ -70,6 +70,14 @@ class SrmStreamSpec extends SparkSpec {
         .collect().sortBy(_._1.getTime).toSeq
       assert(streamed.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) ==
         batch, s"\nstream: $streamed\nbatch:  $batch")
+
+      // BOTH stateful operators (unit dedup + windowed counts) must evict
+      // closed windows — the dedup state holds one row per live
+      // (window, unit), so an unevicted run would carry all 21 units here
+      val state = q.lastProgress.stateOperators
+      assert(state.length >= 2, s"expected 2 stateful ops, got ${state.length}")
+      assert(state.map(_.numRowsTotal).sum <= 6,
+        s"state rows not evicted: ${state.map(_.numRowsTotal).mkString(",")}")
     } finally q.stop()
   }
 }
