@@ -1732,8 +1732,8 @@ object SparkEntry {
     "docs_boiler_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val idx = BoilerplateIndex.create(s, indexScratch, minDocs = 3)
-      idx.cleanAndAdd(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
-        "doc_id", "text")
+      idx.add(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text") // bootstrap: counts only, nothing to clean
       idx.cleanAndAdd(docs.where(pmod(col("doc_id"), lit(10)) === 0),
         "doc_id", "text")
     }),

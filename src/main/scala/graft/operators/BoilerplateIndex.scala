@@ -74,12 +74,27 @@ final class BoilerplateIndex private (spark: SparkSession, val dir: String,
       val cleaned = Dedup.removeBoiler(pieces, boiler)
         .withColumnRenamed("id", idCol)
         .localCheckpoint(true)
-      val b = committedBatches
-      newCounts.write.mode("overwrite").parquet(s"$countsDir/b=$b")
-      committedBatches = b + 1
-      BoilerplateIndex.writeMeta(spark, dir, minDocs, committedBatches, liveBase)
+      commitCounts(newCounts)
       cleaned
     } finally pieces.unpersist(false)
+  }
+
+  /** Commit `batch`'s piece counts WITHOUT cleaning it — the bootstrap
+    * path: an initial-load corpus whose cleaned output nobody reads
+    * should not pay the removal regroup and the eager checkpoint
+    * [[cleanAndAdd]] materializes (90% of the corpus on a typical
+    * snapshot-then-sync split). State-wise identical to cleanAndAdd.
+    */
+  def add(batch: DataFrame, idCol: String, textCol: String): Unit = synchronized {
+    commitCounts(Dedup.sentencePieces(batch, idCol, textCol)
+      .groupBy(col("piece")).agg(countDistinct(col("id")).as("df")))
+  }
+
+  private def commitCounts(newCounts: DataFrame): Unit = {
+    val b = committedBatches
+    newCounts.write.mode("overwrite").parquet(s"$countsDir/b=$b")
+    committedBatches = b + 1
+    BoilerplateIndex.writeMeta(spark, dir, minDocs, committedBatches, liveBase)
   }
 
   /** Fold the live counts generations into one (summed per piece) — the
@@ -90,8 +105,11 @@ final class BoilerplateIndex private (spark: SparkSession, val dir: String,
     */
   def compact(): Unit = synchronized {
     val b = committedBatches
-    if (b - liveBase <= 1) return
+    // vacuum BEFORE the single-generation early return: the generations
+    // the previous compact superseded must be reclaimed even when the
+    // index has gone quiet since (no new adds to fold)
     IvfIndex.vacuumBelow(spark, countsDir, liveBase)
+    if (b - liveBase <= 1) return
     val folded = committedCounts.groupBy(col("piece"))
       .agg(sum(col("df")).cast("long").as("df"))
     folded.write.mode("overwrite").parquet(s"$countsDir/b=$b")

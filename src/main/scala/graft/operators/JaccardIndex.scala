@@ -112,11 +112,6 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     if (maintSession == null) {
       val m = spark.newSession()
       m.conf.set("spark.sql.adaptive.enabled", "false")
-      // the only shuffles on the build lanes are repartition(p)/(q) at the
-      // index's own partition grain — `parts` shuffle partitions is the
-      // exact task count those need (32 tasks for 16 dirs is pure overhead
-      // per lane, ×6 concurrent lanes in a bootstrap wave)
-      m.conf.set("spark.sql.shuffle.partitions", parts.toString)
       maintSession = m
     }
     maintSession
@@ -300,10 +295,10 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     val root = probeSpillRoot
     JaccardIndex.concurrently(
       () => p.post.withColumn("p", partOf(col("w")))
-        .repartition(col("p"))
+        .repartition(parts, col("p"))
         .write.mode("overwrite").partitionBy("p").parquet(s"$root/postings"),
       () => p.sets.withColumn("q", partOf(col("id")))
-        .repartition(col("q"))
+        .repartition(parts, col("q"))
         .write.mode("overwrite").partitionBy("q").parquet(s"$root/sets"))
   }
 
@@ -399,12 +394,16 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     */
   private def writeBatchRelations(p: Prepared, b: Int): Unit = {
     maint // force session init on the calling thread
+    // repartition(parts, ·): ≈ one file per partition dir AND the task-
+    // count cap scoped to THIS exchange only — capping the maint session's
+    // shuffle.partitions instead would throttle the row-scale vocabulary
+    // aggregation and prefix window that feed these writes
     JaccardIndex.concurrently(
       () => onMaint(p.post.withColumn("p", partOf(col("w")))
-        .repartition(col("p"))) // ≈ one file per partition dir, not one per task
+        .repartition(parts, col("p")))
         .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b")),
       () => onMaint(p.sets.withColumn("q", partOf(col("id")))
-        .repartition(col("q")))
+        .repartition(parts, col("q")))
         .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b")))
   }
 
@@ -458,11 +457,11 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
           .write.mode("overwrite").parquet(rel(s"tokens/b=$b")),
       () => if (hasData("postings"))
         onMaint(live(readParquetCached("postings", rel("postings")))
-          .repartition(col("p")))
+          .repartition(parts, col("p")))
           .write.mode("overwrite").partitionBy("p").parquet(rel(s"postings/b=$b")),
       () => if (hasData("sets"))
         onMaint(live(readParquetCached("sets", rel("sets")))
-          .repartition(col("q")))
+          .repartition(parts, col("q")))
           .write.mode("overwrite").partitionBy("q").parquet(rel(s"sets/b=$b")))
     liveBase = b
     committedBatches = b + 1

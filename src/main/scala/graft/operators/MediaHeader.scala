@@ -885,11 +885,6 @@ object MediaHeader {
     out.toByteArray
   }
 
-  /** Encode a canonical 44-byte PCM WAV header declaring `dataLen` payload
-    * bytes — the writer dual of [[parse]]'s WAV reader (16-bit samples).
-    * Used to synthesize deterministic audio lakes in tests/fixtures; a
-    * real encoder would append the PCM data after it.
-    */
   /** Build a real FLAC signature + STREAMINFO metadata block (the writer
     * dual of [[flac]]'s bit-field decode — same packing, reversed): 4096
     * min/max block size, unknown frame sizes, zeroed MD5. `totalSamples`
@@ -925,6 +920,11 @@ object MediaHeader {
     out
   }
 
+  /** Encode a canonical 44-byte PCM WAV header declaring `dataLen` payload
+    * bytes — the writer dual of [[parse]]'s WAV reader (16-bit samples).
+    * Used to synthesize deterministic audio lakes in tests/fixtures; a
+    * real encoder would append the PCM data after it.
+    */
   def wavHeader(channels: Int, sampleRateHz: Int, dataLen: Int,
                 formatTag: Int = 1, bitsPerSample: Int = 16): Array[Byte] = {
     require(channels > 0 && sampleRateHz > 0 && dataLen >= 0,

@@ -143,7 +143,15 @@ object Sampling {
                      k: Int): DataFrame = {
     require(k > 0, s"k=$k")
     val u = (keyBucket(key) + lit(1L)).cast("double") / lit(10001.0)
-    df.withColumn("__es", log(u) / weight.cast("double"))
+    // loud, not wrong: a negative weight would flip its key's SIGN and
+    // deterministically win the top-k (ln u < 0), a zero/null weight
+    // would silently never sample — corrupted weights fail the job
+    // instead of corrupting the draw (the exact-or-loud convention)
+    val w = weight.cast("double")
+    val guarded = when(w.isNull || w <= 0.0,
+      raise_error(concat(lit("weightedSample: weight must be > 0, got "),
+        w.cast("string")))).otherwise(w)
+    df.withColumn("__es", log(u) / guarded)
       .orderBy(col("__es").desc, key)
       .limit(k)
       .drop("__es")

@@ -36,46 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object Survival {
 
-  def kaplanMeier(orders: DataFrame, idCol: String, tsCol: String): DataFrame = {
-    val base = orders.select(col(idCol).as("u"),
-      col(tsCol).cast("timestamp").as("ts"))
-    val horizon = base.agg(max(unix_micros(col("ts"))).as("h_us"))
-    val byU = Window.partitionBy(col("u")).orderBy(col("ts"), col("us"))
-    // one row per inter-order gap (event) + one per final open gap
-    // (censored); ties inside a customer-timestamp are ordered by the
-    // exact microsecond value so the lag is deterministic
-    val durs = base
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("nxt", lead(col("us"), 1).over(byU))
-      .crossJoin(broadcast(horizon))
-      .select(
-        when(col("nxt").isNotNull, expr("(nxt - us) DIV 86400000000"))
-          .otherwise(expr("(h_us - us) DIV 86400000000")).as("t"),
-        when(col("nxt").isNotNull, 1L).otherwise(0L).as("ev"))
-    val grain = durs.groupBy(col("t"))
-      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
-    val asc = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = grain.agg(sum(col("d") + col("c")).as("n_total"))
-    val stepped = grain.crossJoin(broadcast(total))
-      // at-risk BEFORE this duration's events: total minus everything
-      // that ended strictly earlier = suffix count including ties
-      .withColumn("ended_upto", sum(col("d") + col("c")).over(asc))
-      .withColumn("n_risk", col("n_total") - col("ended_upto") + col("d") + col("c"))
-      .withColumn("term",
-        when(col("d") < col("n_risk"),
-          log((col("n_risk") - col("d")).cast("double") /
-            col("n_risk").cast("double"))).otherwise(lit(0.0)))
-      .withColumn("ln_s", sum(col("term")).over(asc))
-      .withColumn("absorbed",
-        max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(asc))
-    stepped.where(col("d") > 0)
-      .select(col("t").as("duration_days"), col("n_risk"),
-        col("d").as("n_events"), col("c").as("n_censored"),
-        when(col("absorbed") === 1L, lit(0.0))
-          .otherwise(round(exp(col("ln_s")), 6)).as("survival"))
-      .orderBy(col("duration_days"))
-  }
+  def kaplanMeier(orders: DataFrame, idCol: String, tsCol: String): DataFrame =
+    // the single-curve form IS the segmented estimator with one constant
+    // segment — one implementation carries the subtle invariants (at-risk
+    // tie arithmetic, the absorbed guard) instead of two drifting copies;
+    // the constant-partition windows run over the tiny duration grain
+    kaplanMeierBySegment(
+      orders.withColumn("__seg", lit(0)), idCol, tsCol, "__seg")
+      .drop("__seg")
 
   /** [[kaplanMeier]] per segment — one survival curve per cohort, the
     * "which customer segment churns faster" comparison. Identical
