@@ -186,4 +186,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Sampling.weightedSample(tiny, col("id"), col("w"), 99)
       .count() == 2)
   }
+
+  test("session-3 late additions accept empty and degenerate inputs") {
+    import graft.operators.{Analytics, Behavior, Contamination, Insights, StatTests}
+    val noEv = Seq.empty[(Long, Long, Long)].toDF("u", "tm", "eid")
+      .select(col("u"), timestamp_micros(col("tm")).as("ts"), col("eid"))
+    // empty logs: every daily-series test and the fit return empty frames
+    assert(Behavior.dailyMannKendall(noEv, "ts").count() == 0)
+    assert(Behavior.dailyRunsTest(noEv, "ts").count() == 0)
+    assert(StatTests.interarrivalExpFit(noEv, col("u"), col("ts"),
+      col("eid")).count() == 0)
+    // single observed day: no pairs, no runs — never a crash
+    val oneDay = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("u", "tm", "eid")
+      .select(col("u"), timestamp_micros(col("tm")).as("ts"), col("eid"))
+    assert(Behavior.dailyMannKendall(oneDay, "ts").count() == 0)
+    assert(Behavior.dailyRunsTest(oneDay, "ts").count() == 0)
+    // lorenz over an empty key frame / all-zero weights: empty, loudly
+    assert(Insights.lorenzCurve(
+      Seq.empty[(Long, Long)].toDF("k", "x"), "k", "x").count() == 0)
+    assert(Insights.lorenzCurve(
+      Seq((1L, 0L), (2L, 0L)).toDF("k", "x"), "k", "x").count() == 0)
+    // novelty over an all-short corpus (no shingles): empty
+    assert(Contamination.noveltyCurve(
+      Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    // repeat-rate of an empty orders table: empty
+    assert(Analytics.repeatRate(
+      Seq.empty[(Long, Long)].toDF("o_custkey", "o_orderkey")).count() == 0)
+  }
 }
