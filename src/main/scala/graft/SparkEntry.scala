@@ -1530,10 +1530,14 @@ object SparkEntry {
     "events_session_paths" -> ((s, d) =>
       Behavior.sessionPaths(t(s, d, "events"), "user_id", "event_type",
         "ts", "event_id", 1800L)),
-    // exact tie-averaged ROC-AUC: does value predict a purchase event
+    // exact tie-averaged ROC-AUC: does value predict a purchase event.
+    // value is a CONTINUOUS double, so the score is binned (×16) before
+    // the score-grain cumulative window — without it distinct-score
+    // cardinality ≈ row count and the window degenerates to one task at
+    // scale; the oracle bins with the identical IEEE floor(s·16)
     "events_value_auc" -> ((s, d) =>
       StatTests.binaryAuc(t(s, d, "events"), col("value"),
-        col("event_type") === "purchase")),
+        col("event_type") === "purchase", binScale = 16.0)),
     // decile lift table for the same classifier framing
     "events_purchase_lift" -> ((s, d) =>
       StatTests.liftTable(t(s, d, "events"), col("value"),
@@ -4378,7 +4382,7 @@ object SparkEntry {
                 count(DISTINCT user_id) AS n_users
          FROM p GROUP BY 1""",
     "events_value_auc" ->
-      """WITH s AS (SELECT value AS s,
+      """WITH s AS (SELECT floor(CAST(value AS DOUBLE) * CAST(16.0 AS DOUBLE)) AS s,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
               FROM events WHERE value IS NOT NULL),
          g AS (SELECT s, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
@@ -5437,7 +5441,8 @@ object SparkEntry {
          e AS (SELECT g, n, p,
                       p + CAST(0.01 AS DOUBLE) AS p2,
                       (p + (p + CAST(0.01 AS DOUBLE))) / 2.0 AS pbar
-               FROM f),
+               FROM f
+               WHERE p + CAST(0.01 AS DOUBLE) < 1.0),
          z AS (SELECT g, n, p,
                       CAST(1.9599639845400545 AS DOUBLE)
                         * sqrt(2.0 * pbar * (1.0 - pbar))

@@ -57,9 +57,16 @@ object Graph {
           .join(cur.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), expr("p DIV deg").as("c"))
           // a node with in-edges gets damped contributions; in-edge-less
-          // nodes keep the floor via the left join below
+          // nodes keep the floor via the left join below. The contribution
+          // sum accumulates as decimal(38,0): a hub funnelling rank from
+          // ~1e7+ nodes pushes Σc past ~1.08e16 nano-units where the int64
+          // ·850 product would wrap SILENTLY in non-ANSI mode — decimal
+          // keeps the same integer value on every realistic graph (overflow
+          // at 1e38 would null, loudly breaking the hash, not wrapping) and
+          // the damped per-node result always fits the bigint cast-back
           .groupBy(col("node"))
-          .agg((lit(150000000L) + expr("sum(c) * 850 DIV 1000")).as("p"))
+          .agg(expr("CAST(150000000 + (sum(CAST(c AS DECIMAL(38,0))) * 850)" +
+            " DIV 1000 AS BIGINT)").as("p"))
         cur = nodes
           .join(next, Seq("node"), "left")
           .select(col("node"), coalesce(col("p"), lit(150000000L)).as("p"))

@@ -401,9 +401,22 @@ object StatTests {
     * the score first and the formula is unchanged (binning = coarser
     * ties). One grouped pass over the rows, everything after is
     * score-grained.
+    *
+    * `binScale` applies that binning HERE instead of trusting every
+    * caller to remember: when > 0 the score becomes
+    * `floor(score · binScale)` (an exact IEEE multiply+floor, so any
+    * engine bins identically), bounding the window's cardinality at
+    * (score range)·binScale regardless of row count — the continuous-
+    * double-score case where distinct-score cardinality approaches row
+    * count and the unpartitioned cumulative window would otherwise
+    * collapse to ONE task at scale. 0 (default) keeps the exact
+    * ungrouped-score AUC for already-discrete scores.
     */
-  def binaryAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val s = df.select(score.as("s"), when(label, 1L).otherwise(0L).as("y"))
+  def binaryAuc(df: DataFrame, score: Column, label: Column,
+                binScale: Double = 0.0): DataFrame = {
+    val sc = if (binScale > 0) floor(score.cast("double") * lit(binScale))
+      else score
+    val s = df.select(sc.as("s"), when(label, 1L).otherwise(0L).as("y"))
       .where(col("s").isNotNull)
     val g = s.groupBy(col("s"))
       .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
@@ -482,6 +495,12 @@ object StatTests {
     val se = lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
       lit(zBeta) * sqrt(p * (lit(1.0) - p) + p2 * (lit(1.0) - p2))
     cnt.crossJoin(broadcast(tot))
+      // a group whose observed share already satisfies p + mde >= 1 has no
+      // valid target proportion p2 < 1 to plan for: p2(1-p2) goes negative,
+      // sqrt yields NaN, and min_n_per_arm would silently emit NaN — DROP
+      // such groups instead (the proportionsZTest zero-variance convention:
+      // an unanswerable planning question produces no row, not a NaN row)
+      .where(p + lit(mde) < 1.0)
       .select(col("g"), col("n"), round(p, 6).as("share"),
         ceil(se * se / (lit(mde) * lit(mde))).as("min_n_per_arm"))
   }
@@ -856,9 +875,19 @@ object StatTests {
   }
 
   def momentStats(df: DataFrame, group: Column, cents: Column): DataFrame = {
+    // |y| <= floor(sqrt(Long.MaxValue)) keeps y*y an exact int64; past it
+    // the square would wrap SILENTLY in non-ANSI mode, corrupting s3/s4 —
+    // so fail loudly instead (the file's exact-or-loud convention; routing
+    // y2 through xprod would instead null on the decimal(19,0) cast-back,
+    // which is the same silent corruption with extra steps)
     val base = df.select(group.as("g"), cents.cast("long").as("y"))
       .where(col("y").isNotNull)
-      .withColumn("y2", col("y") * col("y"))
+      .withColumn("y2",
+        when(abs(col("y")) > lit(3037000499L),
+          raise_error(format_string(
+            "momentStats: |cents|=%d exceeds the exact int64 square bound" +
+              " (3037000499); pre-scale the measurement", abs(col("y")))))
+          .otherwise(col("y") * col("y")))
     val m = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
         sum(xprod(col("y"), col("y"))).as("s2"),

@@ -73,9 +73,14 @@ object PgOutputStream {
     * syncs touch disjoint directories and run CONCURRENTLY, the
     * [[graft.operators.MaterializedJoin]] pattern.
     *
-    * A DML frame whose relid maps to NO named table is dropped silently —
-    * exactly what the single-table loop does with other tables' DML.
-    * Broken frames reach EVERY table's dead-letter (loud beats lost).
+    * A DML frame whose relid maps to NO named table is counted and logged
+    * per batch (and dead-lettered under `deadRoot/_unmatched_relid` when a
+    * deadRoot is set) — unlike the single-table loop, where other tables'
+    * DML is explicitly out of scope, a multi-table spec NAMES the full
+    * intended capture set, so unmatched DML here usually means a typo'd
+    * table name silently losing a whole table's changes while its LSN
+    * still advances via control frames. Broken frames reach EVERY table's
+    * dead-letter (loud beats lost).
     */
   def mirrorFramesMulti(frames: DataFrame, dataCol: String,
                         tables: Seq[TableSpec], targetDir: String,
@@ -105,9 +110,37 @@ object PgOutputStream {
               .map(r => (r.getString(0), r.getInt(1)))
             import scala.concurrent.{Await, ExecutionContext, Future}
             implicit val ec: ExecutionContext = ExecutionContext.global
-            val work = tables.map { t =>
-              val relids = (batchPairs.collect { case (n, r) if n == t.table => r } ++
+            val perTable = tables.map { t =>
+              t -> (batchPairs.collect { case (n, r) if n == t.table => r } ++
                 readRegistry(spark, targetDir, t.table).map(_.relid)).toSet
+            }
+            // misconfiguration tripwire: DML whose relid matches NO
+            // configured table would otherwise vanish while the LSN still
+            // advances — count it, log it, and dead-letter it when a dead
+            // root exists (its own subdir: the reason schema differs from
+            // the parse dead-letter's)
+            val allRelids = perTable.flatMap(_._2).toSet
+            val unmatched = tagged.where(col("rel_name").isNull &&
+              size(col("relids")) > 0 &&
+              (if (allRelids.isEmpty) lit(true)
+               else !arrays_overlap(col("relids"),
+                 lit(allRelids.toArray.sorted))))
+            val nUnmatched = unmatched.count()
+            if (nUnmatched > 0) {
+              System.err.println(s"[mirrorFramesMulti] batch $batchId: " +
+                s"$nUnmatched DML frame(s) match no configured table " +
+                s"(configured: ${tables.map(_.table).mkString(",")}) — " +
+                "check the table specs for typos" +
+                deadRoot.fold("")(d => s"; dead-lettered under $d/_unmatched_relid"))
+              deadRoot.foreach { d =>
+                unmatched
+                  .select(col(dataCol), col("relids"),
+                    lit("unmatched_relid").as("_reason"),
+                    lit(batchId).as("_batch_id"))
+                  .write.mode("append").parquet(s"$d/_unmatched_relid")
+              }
+            }
+            val work = perTable.map { case (t, relids) =>
               if (relids.isEmpty)
                 // never-described table: no frames can be its, and parse
                 // (rightly) refuses to run without a Relation — its LSN

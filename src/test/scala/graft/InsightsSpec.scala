@@ -204,6 +204,37 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("minSampleSize: saturated groups (p + mde >= 1) drop, not NaN") {
+    import graft.operators.StatTests
+    // "big" holds 99 of 100 rows → p = 0.99; with mde = 0.02 the target
+    // p2 = 1.01 is not a proportion — the group must DROP (the planning
+    // question is unanswerable), never emit a NaN/null min_n_per_arm
+    val df = (Seq.fill(99)("big") ++ Seq.fill(1)("small")).toDF("g")
+    val got = StatTests.minSampleSize(df, col("g"), 0.02).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("small"))
+    assert(!got(0).isNullAt(3) && got(0).getLong(3) > 0L)
+  }
+
+  test("binaryAuc: binScale quantizes identically to a pre-floored score") {
+    import graft.operators.StatTests
+    // continuous scores; binScale=4 must equal running the exact AUC over
+    // floor(s*4) — the documented contract that lets the oracle bin too
+    val rows = Seq((0.11, true), (0.13, false), (0.37, true), (0.62, false),
+      (0.88, true), (0.91, true), (0.40, false), (0.05, false))
+    val binned = StatTests.binaryAuc(rows.toDF("s", "y"), col("s"), col("y"),
+      binScale = 4.0).collect()(0)
+    val manual = StatTests.binaryAuc(
+      rows.map { case (s, y) => (math.floor(s * 4.0), y) }.toDF("s", "y"),
+      col("s"), col("y")).collect()(0)
+    assert(binned.getDouble(2) === manual.getDouble(2))
+    assert(binned.getLong(0) === 4L && binned.getLong(1) === 4L)
+    // and binning coarsens ties: 0.11 vs 0.13 land in the same bin, so
+    // the binned AUC differs from the exact one (sanity that the knob acts)
+    val exact = StatTests.binaryAuc(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect()(0).getDouble(2)
+    assert(binned.getDouble(2) !== exact)
+  }
+
   test("cohortLtv: cumulative per-customer spend by cohort age") {
     // cohort 1997-01 (custs 1,2), cohort 1997-02 (cust 3)
     val orders = Seq(

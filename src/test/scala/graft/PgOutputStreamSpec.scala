@@ -323,4 +323,40 @@ class PgOutputStreamSpec extends SparkSpec {
     assert(jobs1 <= 38, s"multiplexed batch ran $jobs1 driver jobs (budget " +
       "38, measured 30)")
   }
+
+  test("multi-table capture: unmatched-relid DML is counted + dead-lettered") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("pgmulti2").toString
+    val dead = s"$root/dead"
+    val input = MemoryStream[Frame]
+    // the spec names "items" only — the stream ALSO carries a table the
+    // spec misses ("orderz", the typo scenario): its DML must not vanish
+    // silently; it lands in the dead root's _unmatched_relid subdir
+    val specs = Seq(PgOutputStream.TableSpec("items", Seq("id"), nBuckets = 4))
+    val orderCols = Seq(
+      RelCol("oid", 20, -1, isKey = true),
+      RelCol("amount", 23, -1, isKey = false))
+    input.addData(
+      (Seq(Fixture.relation(5, 7, ns, "items", itemCols),
+        Fixture.relation(6, 8, ns, "orderz", orderCols)) ++
+        tx(1, 100, Seq(
+          Fixture.insert(101, 7, Seq(VText("1"), VText("ann"), VText("3"))),
+          Fixture.insert(102, 8, Seq(VText("10"), VText("500"))),
+          Fixture.insert(103, 8, Seq(VText("11"), VText("700"))))))
+        .map(Frame): _*)
+    PgOutputStream.mirrorFramesMulti(input.toDF(), "data", specs,
+      s"$root/mirror", s"$root/ckpt", deadRoot = Some(dead))
+      .awaitTermination()
+    // the configured table synced normally
+    assert(PgOutputStream.readFinal(spark, s"$root/mirror/items", Seq("id"))
+      .count() == 1)
+    // BOTH orderz DML frames parked with the reason; the Relation frame
+    // itself is a description, not data — only DML is dead-lettered
+    val parked = spark.read.parquet(s"$dead/_unmatched_relid")
+    assert(parked.count() == 2)
+    assert(parked.select("_reason").distinct().collect().toSeq ==
+      Seq(Row("unmatched_relid")))
+    assert(parked.select("relids").collect()
+      .forall(_.getSeq[Int](0) == Seq(8)))
+  }
 }

@@ -280,6 +280,21 @@ class StatTestsSpec extends SparkSpec {
     assert(run(7) === got)
   }
 
+  test("momentStats: |cents| past the exact-square bound fails LOUDLY") {
+    // y² wraps int64 past |y| = 3037000499 — the exact-or-loud convention
+    // demands raise_error, never a silently corrupted s3/s4
+    val bad = Seq(("g", 3037000500L), ("g", 1L), ("g", 2L)).toDF("grp", "y")
+    val e = intercept[Exception] {
+      StatTests.momentStats(bad, col("grp"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("exact int64 square bound") ||
+      Option(e.getCause).exists(_.getMessage.contains("exact int64 square bound")))
+    // the bound itself is still exact and fine
+    val ok = Seq(("g", 3037000499L), ("g", 0L), ("g", -3037000499L))
+      .toDF("grp", "y")
+    assert(StatTests.momentStats(ok, col("grp"), col("y")).count() === 1L)
+  }
+
   test("cuped: hand-computed theta/means; pre-only units dropped; order-free") {
     // mid = (0+90)/2 = 45; units 1..4 carry (x,y) = (10,20)(20,10)(30,40)
     // (40,30); unit 5 is pre-only and drops. Pooled: x̄=25 ȳ=25,
