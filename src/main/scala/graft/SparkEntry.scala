@@ -1546,12 +1546,11 @@ object SparkEntry {
     // deterministic nano-unit ranks that hash-match an independent
     // engine (float PageRank never could)
     "supplier_pagerank" -> ((s, d) => {
-      val pairs = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = pairs.select(col("ok"), col("sk").as("src"))
-        .join(pairs.select(col("ok"), col("sk").as("dst")), Seq("ok"))
-        .where(col("src") =!= col("dst"))
+      // guarded co-occurrence build: a hub order would otherwise fan the
+      // pair self-join out quadratically (TPC-H orders hold <= 7 lineitems,
+      // so the cap never fires here — the guard is for hub-shaped data)
+      val edges = Graph.coOccurrenceEdges(t(s, d, "lineitem"),
+        "l_orderkey", "l_suppkey")
       Graph.pageRankFixedPoint(edges, "src", "dst", 5)
     }),
     // Heaps'-law vocabulary growth exponent: the corpus-health dual of
@@ -1675,12 +1674,8 @@ object SparkEntry {
     }),
     // topology profile of the same graph: exact-moment assortativity
     "supplier_graph_stats" -> ((s, d) => {
-      val pairs = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = pairs.select(col("ok"), col("sk").as("src"))
-        .join(pairs.select(col("ok"), col("sk").as("dst")), Seq("ok"))
-        .where(col("src") =!= col("dst"))
+      val edges = Graph.coOccurrenceEdges(t(s, d, "lineitem"),
+        "l_orderkey", "l_suppkey")
       Graph.degreeStats(edges, "src", "dst")
     }),
     // exact triangle census + local clustering of the promo-part
@@ -1693,11 +1688,8 @@ object SparkEntry {
         .select(col("p_partkey"))
       val items = t(s, d, "lineitem")
         .join(promo, col("l_partkey") === col("p_partkey"), "left_semi")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("k"))
-        .distinct()
-      val edges = items.select(col("ok"), col("k").as("src"))
-        .join(items.select(col("ok"), col("k").as("dst")), Seq("ok"))
-        .where(col("src") =!= col("dst"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = Graph.coOccurrenceEdges(items, "l_orderkey", "l_partkey")
       Graph.triangleStats(edges, "src", "dst")
         .withColumnRenamed("node", "p_partkey")
     }),
@@ -1797,12 +1789,8 @@ object SparkEntry {
     // BFS blast radius over the strong co-order supplier graph (≥2 shared
     // orders keeps the graph sparse at every scale factor)
     "supplier_bfs_hops" -> ((s, d) => {
-      val pairs = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val e = pairs.select(col("ok"), col("sk").as("src"))
-        .join(pairs.select(col("ok"), col("sk").as("dst")), Seq("ok"))
-        .where(col("src") =!= col("dst"))
+      val e = Graph.coOccurrenceEdges(t(s, d, "lineitem"),
+          "l_orderkey", "l_suppkey")
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
         .where(col("w") >= 2)
       Graph.bfsHops(e, "src", "dst", 4)

@@ -18,6 +18,48 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Directed co-occurrence edge list: an edge (a → b) for every ordered
+    * pair of DISTINCT items sharing a group (order → suppliers, basket →
+    * brands, doc → entities) — the standard edge build for [[
+    * pageRankFixedPoint]] / [[triangleStats]] inputs.
+    *
+    * The self-join fans out as per-group size², so one hub group (a
+    * container order with 10⁵ items) quadratically dominates the whole
+    * build — the same failure mode as [[Dedup.semanticPairs]]'s oversized
+    * cluster, guarded the same way: groups past `maxGroupSize` distinct
+    * items are EXCLUDED from pairing, counted, and reported loudly (or
+    * fatally with `failOnOversized`) — never silently paired at 10¹⁰
+    * edges or silently dropped. Size-1 groups pair with nothing and are
+    * skipped for free. On bounded-fanout data (TPC-H orders hold ≤ 7
+    * lineitems) no group ever nears a sane cap and the output equals the
+    * unguarded self-join.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        maxGroupSize: Int = 1 << 12,
+                        failOnOversized: Boolean = false): DataFrame = {
+    require(maxGroupSize >= 2, s"bad maxGroupSize=$maxGroupSize")
+    val pairs = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .distinct()
+    val sizes = pairs.groupBy(col("g")).agg(count(lit(1)).as("gsz"))
+      .where(col("gsz") >= 2)
+    val over = sizes.where(col("gsz") > maxGroupSize)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("gsz")), lit(0L)).as("rows"))
+      .collect()(0)
+    if (over.getLong(0) > 0) {
+      val msg = s"coOccurrenceEdges: ${over.getLong(0)} group(s) exceed " +
+        s"maxGroupSize=$maxGroupSize (${over.getLong(1)} member rows " +
+        "excluded from pairing) — cap hub groups upstream or raise the limit"
+      if (failOnOversized) throw new IllegalStateException(msg)
+      Console.err.println(s"[graft] WARN $msg")
+    }
+    val inPlay = pairs
+      .join(sizes.where(col("gsz") <= maxGroupSize).select(col("g")), "g")
+    inPlay.select(col("g"), col("i").as("src"))
+      .join(inPlay.select(col("g"), col("i").as("dst")), Seq("g"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
   /** `iterations` rounds of damped PageRank (d = 0.85) over DIRECTED
     * `edges` (srcCol, dstCol; for an undirected graph pass both
     * directions). Nodes are the edge endpoints — an isolated node has no

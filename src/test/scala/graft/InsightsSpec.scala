@@ -368,6 +368,26 @@ class InsightsSpec extends SparkSpec {
     assert(got.drop(2).forall(_.getLong(2) === 0L))
   }
 
+  test("coOccurrenceEdges: pairs per group; planted hub group is guarded") {
+    import graft.operators.Graph
+    // groups: g1 = {a,b} → 2 directed edges; g2 = {c} → none;
+    // hub = {h1..h5} exceeds maxGroupSize=4 → excluded with a loud WARN
+    // (failOnOversized=true upgrades it to a throw)
+    val rows = Seq(("g1", "a"), ("g1", "b"), ("g1", "b") /* dup */,
+      ("g2", "c")) ++ (1 to 5).map(i => ("hub", s"h$i"))
+    val df = rows.toDF("grp", "item")
+    val got = Graph.coOccurrenceEdges(df, "grp", "item", maxGroupSize = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "b"), ("b", "a")))
+    intercept[IllegalStateException] {
+      Graph.coOccurrenceEdges(df, "grp", "item", maxGroupSize = 4,
+        failOnOversized = true).collect()
+    }
+    // under the cap everything pairs: 5·4 hub edges + 2
+    assert(Graph.coOccurrenceEdges(df, "grp", "item", maxGroupSize = 5)
+      .count() === 22L)
+  }
+
   test("pageRankFixedPoint: hand-computed path graph and floor case") {
     import graft.operators.Graph
     // undirected path a—b—c (both directions): after two iterations
