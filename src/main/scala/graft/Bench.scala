@@ -4,13 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    // GraftSession.builder carries the self-sizing exchange rule (floor =
+    // cpus, ceiling = 16x, 64 MB advisory) — the bench must measure the
+    // exact session a user of the engine gets
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // local-iteration filter: comma-separated query names (unset = all)
@@ -44,6 +42,10 @@ object Bench {
     // regression audits three rounds running); the min of two back-to-back
     // runs is a far better estimator of the code's actual cost. A failed
     // first rep is reported as-is (no retry — an error is not noise).
+    // each result: (name, min time, |t1−t2| spread, error). The spread map
+    // is the variance signal the round-over-round regression check needs:
+    // a query whose spread rivals its min is box noise, not a regression —
+    // no more manual box-shift adjudication.
     val results = picked.map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -52,7 +54,7 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (t1, e1) = once()
-      if (e1.isDefined) (name, t1, e1)
+      if (e1.isDefined) (name, t1, 0.0, e1)
       else {
         // rep-1 success wins: a transient rep-2 failure (co-tenant spike)
         // must not report a working query as errored with a bogus fast time
@@ -60,10 +62,14 @@ object Bench {
         val (t2, e2) = once()
         e2.foreach(e => System.err.println(s"[bench] $name rep-2 failed " +
           s"(rep-1 time kept): $e"))
-        if (e2.isDefined) (name, t1, None) else (name, math.min(t1, t2), None)
+        if (e2.isDefined) (name, t1, 0.0, None)
+        else (name, math.min(t1, t2), math.abs(t1 - t2), None)
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val spreads = results.map { case (k, _, s, _) => s"\"" + k + "\":" + r4(s) }
       .mkString("{", ",", "}")
     // JSON string escape: backslash, quote, and all control chars < 0x20
     def esc(s: String): String = s.flatMap {
@@ -72,27 +78,15 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // a crashed query must be distinguishable from a fast one: its timing
-    // still appears, but its name is listed in "errors"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // still appears, but its name is listed in "errors"; "spread" carries
+    // each query's |rep1−rep2| so noise is self-evident in the artifact
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
-    // the driver's per-round artifact keeps only a TAIL of stdout, which
-    // has truncated the alphabetical front of the per-query map (r14: only
-    // ~58/186 queries survived) — so ALSO print the full line gzipped to
-    // ~25% size as the LAST line, where a tail capture always keeps it
-    // whole: `base64 -d | gunzip` (or python gzip+b64decode) recovers the
-    // complete map regardless of how the plain line was cut
-    val gzB64 = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos)
-      g.write(line.getBytes("UTF-8")); g.close()
-      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-    }
-    println(s"""{"metric":"bench_gz","encoding":"gzip+base64","line":"$gzB64"}""")
     // also land the line in a file: stdout tail-capture windows have
     // truncated the first ~17 queries of a round's artifact, making their
     // timings unjudgeable — the file always carries all of them
@@ -114,11 +108,31 @@ object Bench {
         System.err.println(s"[bench] could not write $outFile: $e")
       }
     }
+    // LAST stdout line: a COMPACT summary guaranteed to fit whole inside
+    // the driver's ~2 KB stdout-tail capture window. The full per-query
+    // map cannot (251 names ≈ 8 KB; even gzip+base64 overflows the window,
+    // which is exactly how the r14/r15 artifacts ended up front-truncated)
+    // — so the artifact-of-record for per-query timings is the committed
+    // BENCH_full.json, and this line carries everything judgeable at a
+    // glance (total, counts, spread profile, slowest queries) plus the
+    // full file's SHA-256 so the committed copy is verifiable.
+    val sha = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest((line + "\n").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
+    val sortedSpreads = results.map(_._3).sorted
+    val spreadP50 = if (sortedSpreads.isEmpty) 0.0
+      else sortedSpreads(sortedSpreads.length / 2)
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"reps":2,"spread_p50":${r4(spreadP50)},"spread_max":${r4(sortedSpreads.lastOption.getOrElse(0.0))},"slowest":$slowest,"full":"BENCH_full.json","full_sha256":"$sha"}""")
     spark.stop()
     // a bench with ANY erroring query must not read as a healthy run: the
     // JSON line above still carries the full picture (timings + errors map),
     // but the process exit code tells the driver the round is incomplete
-    val nErr = results.count(_._3.isDefined)
+    val nErr = results.count(_._4.isDefined)
     if (nErr > 0) {
       System.err.println(s"[bench] $nErr quer${if (nErr == 1) "y" else "ies"} errored")
       sys.exit(1)

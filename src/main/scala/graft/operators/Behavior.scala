@@ -353,7 +353,7 @@ object Behavior {
     import spark.implicits._
     val nSteps = steps.size
     val stepIdx = steps.zipWithIndex.toMap
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(spark)
     val prepared = events.select(col(keyCol).cast("string").as("k"),
         graft.functions.TimeCols.micros(col(tsCol)).as("t"),
         col(opCol).cast("string").as("o"))
@@ -410,7 +410,7 @@ object Behavior {
     val spark = events.sparkSession
     import spark.implicits._
     val nSteps = steps.size
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(spark)
     val prepared = events.select(col(keyCol).cast("string").as("k"),
         graft.functions.TimeCols.micros(col(tsCol)).as("t"),
         col(opCol).cast("string").as("o"))
@@ -596,7 +596,7 @@ object Behavior {
     require(alpha > 0 && alpha <= 1, s"bad alpha=$alpha")
     val spark = events.sparkSession
     import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(spark)
     val prepared = events.select(col(keyCol).cast("long").as("k"),
         graft.functions.TimeCols.micros(col(tsCol)).as("t"),
         col(idCol).cast("long").as("i"),
@@ -641,7 +641,7 @@ object Behavior {
     require(halfLifeMicros > 0, s"bad halfLifeMicros=$halfLifeMicros")
     val spark = events.sparkSession
     import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(spark)
     val prepared = events.select(col(keyCol).cast("long").as("k"),
         graft.functions.TimeCols.micros(col(tsCol)).as("t"),
         col(idCol).cast("long").as("i"),
@@ -702,7 +702,7 @@ object Behavior {
     require(nBuckets >= 3, s"bad nBuckets=$nBuckets")
     val spark = events.sparkSession
     import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(spark)
     val prepared = events.select(col(keyCol).cast("string").as("k"),
         graft.functions.TimeCols.micros(col(tsCol)).as("t"),
         col(idCol).cast("long").as("i"),

@@ -56,7 +56,7 @@ object Dedup {
     */
   private[operators] def widen(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(docs.sparkSession)
     // Partition-count probe (`.rdd`) only for scan-like plans, where
     // planning triggers no jobs. On a derived frame (joins/aggregates
     // upstream) the probe would finalize the adaptive plan and EXECUTE its
@@ -127,7 +127,7 @@ object Dedup {
       .where(size(col("ids")).between(2, maxBucket))
       // keep the m² pair expansion parallel under AQE coalescing (see
       // jaccardPairsBanded)
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(graft.GraftSession.parallelismFloor(docs.sparkSession),
         col("band"), col("bucket"))
     buckets.select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -189,7 +189,7 @@ object Dedup {
   }
 
   def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int = 8): DataFrame = {
-    val parts = sigs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(sigs.sparkSession)
     val banded = sigs.select(col("id"), col("simhash"),
         explode(pigeonholeBands(maxDist)).as("e"))
       .select(col("id"), col("simhash"), col("e.band").as("band"), col("e.bv").as("bv"))
@@ -243,7 +243,7 @@ object Dedup {
   def simhashPairsBlocked(docs: DataFrame, idCol: String, textCol: String,
                           maxDist: Int = 8, k: Int = 64, bands: Int = 16,
                           shingleWidth: Int = 3): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(docs.sparkSession)
     val toks = widen(docs).select(col(idCol).as("id"),
       split(lower(col(textCol)), " ").as("toks"))
     // one pass computes both signatures; each (minhash band, pigeonhole
@@ -492,7 +492,18 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // self-sizing (GraftSession class doc): the pair-join exchange carries
+    // prefix postings WITH each doc's attached hash set — measured ~128×
+    // the compressed scan bytes — and its per-partition cost is candidate
+    // EMISSION (skewed by token group), so it targets 4 MB/partition, an
+    // order under the scan advisory (swept 1/2/4/8 MB at 10×: 4 MB gave
+    // the best wall with the 1× baseline unchanged). At bench SF this
+    // lands on the floor (plan unchanged); at 10×+ the join fans wider
+    // and skew-splits finer instead of deepening 32 fixed partitions —
+    // the one measured super-linear term in SCALING.md r15 (r10 16× →
+    // 11.9×, inside the n log n prediction)
+    val parts = graft.GraftSession.sizedPartitions(docs, expansion = 128.0,
+      targetBytes = 4L << 20)
     val src = widen(docs)
     val words = src.select(col(idCol).as("id"),
       array_distinct(split(lower(col(textCol)), " ")).as("words"))
@@ -534,12 +545,18 @@ object Dedup {
     // measured as the whole verification stage running in a single task.
     // A user-specified repartition is exempt from coalescing, keeping the
     // explosive probe parallel at every scale (at sizes where AQE would
-    // not coalesce anyway, this is one extra small exchange).
-    post.repartition(parts, col("id")).as("l").join(post.as("r"),
+    // not coalesce anyway, this is one extra small exchange). The join's
+    // own w-exchanges stay IMPLICIT — an explicit repartition on the join
+    // key was measured 3× slower at sf0.1 because it exempts the join
+    // from AQE's skew split, and hot prefix tokens are exactly the skew
+    // case — so they are sized by [[graft.GraftSession.sizedExchanges]]
+    // instead (initialPartitionNum = `parts` for THIS plan only).
+    graft.GraftSession.sizedExchanges(
+      post.repartition(parts, col("id")).as("l").join(post.as("r"),
         col("l.w") === col("r.w") && col("l.id") < col("r.id") && positional)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), jac.as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .distinct()
+      .distinct(), parts, targetBytes = 4L << 20)
   }
 
   /** Incremental exact-Jaccard dedup: all J ≥ t pairs that TOUCH a newly
@@ -566,7 +583,7 @@ object Dedup {
                               idCol: String, textCol: String,
                               threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = newDocs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(newDocs.sparkSession)
     def tag(df: DataFrame, isNew: Boolean) =
       widen(df).select(col(idCol).as("id"), lit(isNew).as("isNew"),
         array_distinct(split(lower(col(textCol)), " ")).as("words"))
@@ -629,7 +646,7 @@ object Dedup {
     // it to one task that then runs the m² explode AND the downstream
     // verification serially (the same trap as in [[jaccardPairsPrefix]];
     // user repartitions are exempt from coalescing)
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(docs.sparkSession)
     val cands = banded.groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
@@ -798,7 +815,7 @@ object Dedup {
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bitsPerBand: Int = 8, bands: Int = 16,
                      maxBucket: Int = 4096): DataFrame = {
-    val parts = embs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(embs.sparkSession)
     val withBands = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       graft.expressions.NativeFunctions.hyperplaneBands(
         col(vecCol), bitsPerBand, bands).as("bnds"))
@@ -860,7 +877,7 @@ object Dedup {
                     threshold: Double, k: Int, iters: Int = 3,
                     maxCluster: Int = 1 << 16,
                     failOnOversized: Boolean = false): DataFrame = {
-    val parts = embs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.GraftSession.parallelismFloor(embs.sparkSession)
     val (ids, flat, dim) = Similarity.kmeansCentroids(embs, idCol, vecCol, k, iters)
     val assigned = embs.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"),

@@ -316,7 +316,6 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
 
   private def probeAgainst(bpost: DataFrame, bsets: DataFrame,
                            corpusUpTo: Int): DataFrame = {
-    val nParts = spark.sessionState.conf.numShufflePartitions
     // prune the corpus postings SCAN to the partition dirs that can hold one
     // of the batch's prefix tokens (bounded collect: ≤ `parts` values), then
     // prune surviving rows to exactly those tokens with a semi-join whose
@@ -345,7 +344,16 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     // jaccardPairsPrefix)
     val bv = bpost.join(bsets, "id")
     val cv = cp.join(readPruned("sets", bsets, corpusUpTo, "q", qvals), "id")
-    val all = cv.unionByName(bv)
+    pairJoin(bv, cv.unionByName(bv))
+  }
+
+  /** The verified pair join both probe forms share: batch side `bv` against
+    * `all` = corpus candidates ∪ batch (so batch×batch pairs emerge too),
+    * positional prefix upper bound inline, exact sortedJaccard verify,
+    * canonical (id_a < id_b) dedup.
+    */
+  private def pairJoin(bv: DataFrame, all: DataFrame): DataFrame = {
+    val nParts = graft.GraftSession.parallelismFloor(spark)
     val ubound = (lit(1) + least(col("l.n") - col("l.rn"), col("r.n") - col("r.rn")))
       .cast("double") * lit(1.0 + threshold)
     val positional =
@@ -359,6 +367,25 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
         greatest(col("l.id"), col("r.id")).as("id_b"), jac.as("jaccard"))
       .where(col("jaccard") >= threshold)
       .distinct()
+  }
+
+  /** [[probeAgainst]]'s in-memory twin for [[bootstrapFirstSync]]: both
+    * sides come straight from the pinned Prepared relations instead of
+    * committed files, so the probe can EXECUTE concurrently with the
+    * commit wave that is writing those same relations. No pruning
+    * collects — pruning exists to avoid corpus-sized scans of committed
+    * dirs, and here the corpus relations are already in this plan (and in
+    * memory); the semi-join keeps the candidate row flow identical. Output
+    * equals [[probeAgainst]] on the committed copies by construction: the
+    * committed files are written FROM these very pinned frames, and the
+    * pair join is shared ([[pairJoin]]).
+    */
+  private def probeInMemory(corpus: Prepared, batch: Prepared): DataFrame = {
+    val cp = corpus.post
+      .join(batch.post.select(col("w")).distinct(), Seq("w"), "left_semi")
+    val bv = batch.post.join(batch.sets, "id")
+    val cv = cp.join(corpus.sets, "id")
+    pairJoin(bv, cv.unionByName(bv))
   }
 
   /** Append `batch` to the index (new tokens + its postings + its sets) and
@@ -475,10 +502,14 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     * byte-equal to `create(corpus)` followed by `probeAndAdd(batch)`: the
     * batch's order keys come from the corpus vocabulary handed over in
     * memory (exactly what the sequential path reads back from the just-
-    * committed tokens relation), and the probe reads only committed files.
-    * The win is wall-clock: all SIX relation writes (tokens/postings/sets
-    * × two batches, disjoint dirs) run concurrently, so bootstrap latency
-    * is the slowest write, not the sum of two sequential add waves.
+    * committed tokens relation), and the probe ([[probeInMemory]]) reads
+    * the SAME pinned frames the wave is committing — the committed files
+    * are written FROM those frames, so the results agree by construction.
+    * The win is wall-clock, twice over: all SIX relation writes
+    * (tokens/postings/sets × two batches, disjoint dirs) run concurrently,
+    * AND the probe EXECUTES inside that wave as a seventh lane (it needs
+    * no committed files), so bootstrap+first-sync latency is
+    * max(build, probe) — not build + probe as in the sequential path.
     */
   private[operators] def bootstrapFirstSync(corpus: DataFrame, batch: DataFrame,
                                             idCol: String, textCol: String): DataFrame = synchronized {
@@ -488,23 +519,32 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     val p1 = prepare(batch, idCol, textCol, knownOverride = Some(p0.newTokens))
     materialized(p0) {
       // the corpus vocabulary feeds its own tokens write AND the batch's
-      // whole pipeline — pin it so the groupBy runs once, not four times
-      p0.newTokens.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // whole pipeline — pin it so the groupBy runs once, not four times;
+      // postings/sets feed both their write lane AND the concurrent probe
+      val waved = Seq(p0.newTokens, p0.post, p0.sets, p1.post, p1.sets)
+      waved.foreach(_.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       try materialized(p1) {
         maint // force session init on the calling thread
+        @volatile var pairs: DataFrame = null
         JaccardIndex.concurrently(
           () => onMaint(p0.newTokens).write.mode("overwrite")
             .parquet(rel("tokens/b=0")),
           () => writeBatchRelations(p0, 0),
           () => onMaint(p1.newTokens).write.mode("overwrite")
             .parquet(rel("tokens/b=1")),
-          () => writeBatchRelations(p1, 1))
+          () => writeBatchRelations(p1, 1),
+          // the probe needs NO committed files (probeInMemory reads the
+          // pinned frames the lanes above are committing), so it executes
+          // as a seventh lane: bootstrap latency = max(build, probe).
+          // localCheckpoint materializes the (tiny) pair list so the
+          // returned frame outlives the wave's unpersist.
+          () => pairs = probeInMemory(p0, p1).localCheckpoint(true))
         committedBatches = 2
         writeMeta(spark, dir, threshold, parts, committedBatches, liveBase)
-      } finally p0.newTokens.unpersist(false)
+        pairs
+      } finally waved.foreach(_.unpersist(false))
     }
-    probeAgainst(committedBatch("postings", 1, "p", p1.post),
-      committedBatch("sets", 1, "q", p1.sets), 1)
   }
 
   /** Commit `batch`, then return its pairs — the per-sync step of a

@@ -92,7 +92,12 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
   override def requiredChildDistribution: Seq[Distribution] =
     if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil
     else {
-      val n = conf.numShufflePartitions
+      // the configured floor, NOT numShufflePartitions: with AQE +
+      // initialPartitionNum the latter is the self-sizing ceiling, and a
+      // stateful-op distribution at the ceiling would pin 16x partitions
+      // that AQE may never coalesce (same finding as
+      // GraftSession.parallelismFloor)
+      val n = conf.defaultNumShufflePartitions
       StatefulOpClusteredDistribution(leftKeys, n) ::
         StatefulOpClusteredDistribution(rightKeys, n) :: Nil
     }
