@@ -1123,14 +1123,16 @@ object SparkEntry {
     // pipeline runs per sync, O(batch) compute + partition-pruned index scans
     "dedup_incremental_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // parts=16 for the bench slice: the in-query lifecycle writes all
+      // parts=8 for the bench slice: the in-query lifecycle writes all
       // three relations, and file count scales with the partition grain —
-      // 16 keeps the same pruning semantics at a quarter of the
-      // small-file overhead (production sizing stays the caller's)
+      // 8 keeps the same pruning semantics at an eighth of the
+      // small-file overhead (production sizing stays the caller's; the
+      // r16 probe now overlaps the commit wave, so the write lanes' file
+      // overhead is the remaining floor)
       JaccardIndex.createWithFirstSync(
         docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
         docs.where(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", "text", 0.8, indexScratch, parts = 16)._2
+        "doc_id", "text", 0.8, indexScratch, parts = 8)._2
     }),
     // probabilistic screen over the same measure (rows-only; its recall
     // relative to the exact prefix path is spec-pinned in DedupSpec)
