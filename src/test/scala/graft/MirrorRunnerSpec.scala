@@ -1,0 +1,214 @@
+package graft
+
+import graft.streaming.{MirrorConfig, MirrorRunner}
+import java.nio.file.Files
+import java.util.Properties
+import org.apache.spark.sql.functions.col
+
+/** The config-file-driven mirror lifecycle, end-to-end against a LIVE
+  * embedded Derby source: a two-table mirror is defined by nothing but a
+  * YAML spec — snapshot bootstrap, poll rounds, warehouse sink, and the
+  * PeerDB-style lifecycle verbs (status/pause/resume/drop) all derive from
+  * it, restart-safe (a fresh runner over the same file resumes exactly).
+  */
+class MirrorRunnerSpec extends SparkSpec {
+
+  private lazy val dbHome = {
+    val home = Files.createTempDirectory("graft_mrderby").toString
+    System.setProperty("derby.system.home", home)
+    home
+  }
+  private lazy val url = { dbHome; s"jdbc:derby:mrdb;create=true" }
+  private def props: Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+  private def exec(sqls: String*): Unit = jdbcExec(url, sqls: _*)
+
+  private def writeConfig(root: String, sink: Boolean): String = {
+    val cfgPath = s"$root/mirror.yaml"
+    val sinkLines = if (sink)
+      s"""sink_url: "$url"
+         |sink_dual: derby
+         |""".stripMargin else ""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""# two-table mirror, the quickstart_prepare_peers shape
+         |mirror: mr_test
+         |source_url: "$url"
+         |target_dir: $root/mirror
+         |$sinkLines
+         |tables:
+         |  - name: mr_cust
+         |    keys: [ID]
+         |    version_col: SEQ
+         |    buckets: 4
+         |    target: wh_cust
+         |  - name: mr_ord
+         |    keys: [OID]
+         |    version_col: SEQ
+         |    buckets: 4
+         |    target: wh_ord
+         |""".stripMargin)
+    cfgPath
+  }
+
+  test("config parser: full shape, defaults, loud errors with line numbers") {
+    val c = MirrorConfig.parse(
+      """mirror: m1
+        |source_url: jdbc:x
+        |target_dir: /tmp/t
+        |sink_dual: derby
+        |reconcile_deletes: true
+        |tables:
+        |  - name: a
+        |    keys: [k1, k2]
+        |    version_col: v
+        |    exclude: [secret]
+        |  - name: b
+        |    keys: [k]
+        |    version_col: v2
+        |    buckets: 8
+        |    target: wh_b
+        |""".stripMargin)
+    assert(c.mirror === "m1" && c.reconcileDeletes)
+    assert(c.sinkDual === graft.sinks.JdbcSink.DerbyDual)
+    assert(c.tables.map(_.name) === Seq("a", "b"))
+    assert(c.tables(0).keys === Seq("k1", "k2"))
+    assert(c.tables(0).exclude === Seq("secret"))
+    assert(c.tables(0).buckets === 64 && c.tables(0).target === "a")
+    assert(c.tables(1).buckets === 8 && c.tables(1).target === "wh_b")
+    // the pgoutput twin derives from the same spec
+    assert(c.toFrameSpecs.map(s => (s.table, s.keys, s.nBuckets)) ===
+      Seq(("a", Seq("k1", "k2"), 64), ("b", Seq("k"), 8)))
+
+    def err(cfg: String): String =
+      intercept[IllegalArgumentException](MirrorConfig.parse(cfg)).getMessage
+    assert(err("mirror: m\nbogus_key: v").contains("line 2"))
+    assert(err("""mirror: m
+                 |source_url: u
+                 |target_dir: d
+                 |tables:
+                 |  - name: a
+                 |    keys: [k]
+                 |""".stripMargin).contains("version_col"))
+    assert(err("""mirror: m
+                 |source_url: u
+                 |target_dir: d
+                 |tables:
+                 |  - name: a
+                 |    keys: k
+                 |    version_col: v
+                 |""".stripMargin).contains("inline"))
+  }
+
+  test("two-table mirror from a config file alone: bootstrap, poll, sink, " +
+    "pause/resume/drop, restart-safe, FINAL-correct") {
+    val root = Files.createTempDirectory("mrroot").toString
+    exec("CREATE TABLE mr_cust (id BIGINT PRIMARY KEY, seq BIGINT NOT NULL, " +
+      "payload VARCHAR(64))",
+      "CREATE TABLE mr_ord (oid BIGINT PRIMARY KEY, seq BIGINT NOT NULL, " +
+        "payload VARCHAR(64))")
+    exec((1L to 5L).map(i => s"INSERT INTO mr_cust VALUES ($i, $i, 'c$i')"): _*)
+    exec((1L to 3L).map(i => s"INSERT INTO mr_ord VALUES ($i, $i, 'o$i')"): _*)
+    // warehouse targets pre-exist, as the reference's ClickHouse targets do
+    exec("CREATE TABLE wh_cust (id BIGINT PRIMARY KEY, seq BIGINT, " +
+      "payload VARCHAR(64), \"_peerdb_version\" BIGINT)",
+      "CREATE TABLE wh_ord (oid BIGINT PRIMARY KEY, seq BIGINT, " +
+        "payload VARCHAR(64), \"_peerdb_version\" BIGINT)")
+
+    val cfgPath = writeConfig(root, sink = true)
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+
+    // fresh → bootstrap snapshot both tables in one round
+    assert(runner.status().map(s => s.table -> s.state).toMap ===
+      Map("mr_cust" -> "fresh", "mr_ord" -> "fresh"))
+    runner.runOnce()
+    assert(runner.status().forall(_.state == "active"))
+    assert(runner.readFinal("mr_cust").count() === 5L)
+    assert(runner.readFinal("mr_ord").count() === 3L)
+    // the sink delivered to the per-table warehouse targets named in config
+    assert(spark.read.jdbc(url, "wh_cust", props).count() === 5L)
+    assert(spark.read.jdbc(url, "wh_ord", props).count() === 3L)
+
+    // source moves: update + inserts; one round converges the FINAL read
+    exec("UPDATE mr_cust SET payload = 'c1x', seq = 10 WHERE id = 1",
+      "INSERT INTO mr_ord VALUES (4, 11, 'o4')")
+    runner.runOnce()
+    val c1 = runner.readFinal("mr_cust").where(col("ID") === 1)
+      .select("PAYLOAD").collect()(0).getString(0)
+    assert(c1 === "c1x")
+    assert(runner.readFinal("mr_ord").count() === 4L)
+    assert(spark.read.jdbc(url, "wh_ord", props).count() === 4L)
+
+    // pause is persisted and skips capture for THAT table only
+    runner.pause("mr_cust")
+    exec("UPDATE mr_cust SET payload = 'c2x', seq = 12 WHERE id = 2",
+      "INSERT INTO mr_ord VALUES (5, 13, 'o5')")
+    runner.runOnce()
+    assert(runner.readFinal("mr_cust").where(col("ID") === 2)
+      .select("PAYLOAD").collect()(0).getString(0) === "c2")
+    assert(runner.readFinal("mr_ord").count() === 5L)
+
+    // RESTART: a brand-new runner over the same config file resumes the
+    // same on-disk state — cust still paused, ord active at its watermark
+    val runner2 = MirrorRunner.load(spark, cfgPath, props)
+    val st2 = runner2.status().map(s => s.table -> s).toMap
+    assert(st2("mr_cust").state === "paused")
+    assert(st2("mr_ord").state === "active")
+    assert(st2("mr_ord").watermark === Some(13L))
+
+    // resume catches the paused table up from its persisted watermark
+    runner2.resume("mr_cust")
+    runner2.runOnce()
+    assert(runner2.readFinal("mr_cust").where(col("ID") === 2)
+      .select("PAYLOAD").collect()(0).getString(0) === "c2x")
+
+    // drop: the table's mirror is gone; next round re-snapshots (resync)
+    runner2.drop("mr_ord")
+    assert(runner2.status().find(_.table == "mr_ord").get.state === "fresh")
+    runner2.runOnce()
+    assert(runner2.readFinal("mr_ord").count() === 5L)
+
+    // unknown table names are refused by every verb
+    intercept[IllegalArgumentException](runner2.pause("nope"))
+    intercept[IllegalArgumentException](runner2.drop("nope"))
+  }
+
+  test("continuous mode: the loop drives rounds; a broken round is " +
+    "recorded, survivors keep committing") {
+    val root = Files.createTempDirectory("mrloop").toString
+    exec("CREATE TABLE mr_loop (id BIGINT PRIMARY KEY, seq BIGINT NOT NULL, " +
+      "payload VARCHAR(64))",
+      "INSERT INTO mr_loop VALUES (1, 1, 'a')")
+    val cfgPath = s"$root/mirror.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""mirror: mr_loop
+         |source_url: "$url"
+         |target_dir: $root/mirror
+         |tables:
+         |  - name: mr_loop
+         |    keys: [ID]
+         |    version_col: SEQ
+         |    buckets: 4
+         |""".stripMargin)
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+    runner.start(200L)
+    try {
+      intercept[IllegalStateException](runner.start(200L)) // one loop only
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        runner.status().head.state != "active") Thread.sleep(100)
+      assert(runner.status().head.state === "active")
+      exec("INSERT INTO mr_loop VALUES (2, 5, 'b')")
+      while (System.currentTimeMillis() < deadline &&
+        runner.status().head.watermark != Some(5L)) Thread.sleep(100)
+      assert(runner.status().head.watermark === Some(5L))
+      assert(runner.lastRoundError.isEmpty)
+    } finally runner.stop()
+    assert(runner.readFinal("mr_loop").count() === 2L)
+    // loop can be restarted after stop
+    runner.start(200L)
+    runner.stop()
+  }
+}
