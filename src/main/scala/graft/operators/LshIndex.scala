@@ -74,6 +74,9 @@ final class LshIndex private (spark: SparkSession, val dir: String,
     */
   def base: Int = liveBase
 
+  /** Live generation count — see [[VectorIndexWriter.liveGenerations]]. */
+  override def liveGenerations: Int = committedBatches - liveBase
+
   /** Highest applied EXTERNAL batch id (−1 until [[addBatch]] is used). */
   def lastBatch: Int = appliedBatch
 

@@ -17,4 +17,17 @@ trait VectorIndexWriter {
 
   /** Highest applied external batch id (−1 before any [[addBatch]]). */
   def lastBatch: Int
+
+  /** Live generation count (`batches − base`) — the fragmentation signal
+    * the streaming rider's periodic compaction watches: every appended
+    * batch lays down its own generation, so a long-running stream without
+    * compaction fragments each probed list into thousands of small files.
+    */
+  def liveGenerations: Int
+
+  /** Fold every live generation into one, with the family's reader-grace
+    * contract (superseded generations stay readable for one full cycle;
+    * the NEXT compact vacuums them). Idempotent when already compact.
+    */
+  def compact(): Unit
 }

@@ -269,10 +269,20 @@ object CdcStream {
                                  vecCol: String = "embedding",
                                  nBuckets: Int = 64,
                                  deleteOp: String = "delete",
-                                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                                 trigger: Trigger = Trigger.AvailableNow(),
+                                 compactEvery: Int = 0): StreamingQuery =
     insertArtifactRider(changes, targetDir, checkpointDir, vectorize, nBuckets,
       deleteOp, trigger) { (batchId, inserts) =>
-      idx.addBatch(batchId, inserts, "key", vecCol); ()
+      idx.addBatch(batchId, inserts, "key", vecCol)
+      // periodic compact-with-grace riding the stream: every appended batch
+      // is its own on-disk generation, so an uncompacted long-running
+      // stream fragments each probed list into thousands of files. The
+      // compact is SAFE mid-stream — superseded generations stay readable
+      // for one full cycle (the family's reader-grace contract) and a
+      // crash between add and compact just compacts next batch. 0 = never
+      // (the batch/off-peak caller owns compaction cadence instead).
+      if (compactEvery > 0 && idx.liveGenerations > compactEvery)
+        idx.compact()
     }
 
   /** One typed microbatch upsert — also usable directly for backfills. */

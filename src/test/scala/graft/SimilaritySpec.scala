@@ -616,6 +616,62 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.operators.IvfIndex.load(spark, vdir).lastBatch == idx.lastBatch)
   }
 
+  test("streaming maintenance: compact-with-grace rides the stream; " +
+    "probes equal the batch-built index; restart-safe") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.Change
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_lsh_stream")
+    val target = base.resolve("mirror").toString
+    val ckpt = base.resolve("ckpt").toString
+    val vdir = base.resolve("lsh").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", array((0 until 8).map(i =>
+        pmod(xxhash64(col("payload"), lit(i)), lit(1000)).cast("double") / 500.0 - 1.0): _*))
+
+    val seed = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("key", "payload")
+    val idx = graft.operators.LshIndex.create(embed(seed), "key", "embedding",
+      vdir, bits = 4, tables = 4, quantizedStore = false)
+    val input = MemoryStream[Change]
+    def run(): Unit = CdcStream.mirrorToParquetWithVectors(input.toDS(), target,
+      ckpt, idx, embed, nBuckets = 4, compactEvery = 2).awaitTermination()
+
+    // stream FOUR batches; with compactEvery = 2 the sink folds mid-stream
+    val names = Seq("gamma", "delta", "epsilon", "zeta", "eta", "theta",
+      "iota", "kappa")
+    names.zipWithIndex.foreach { case (n, i) =>
+      input.addData(Change(3L + i, 3L + i, "insert",
+        ts(f"2024-01-01 00:0$i%01d:00"), s"$n doc"))
+      run()
+    }
+    // the stream compacted: live generations stay bounded by the cadence,
+    // never one-per-appended-batch
+    assert(idx.liveGenerations <= 3,
+      s"stream never compacted: ${idx.liveGenerations} live generations")
+
+    // probe answers EQUAL the one-shot lshTopK over snapshot ∪ streamed
+    // rows (same fixed seeds) — compaction changed layout, not answers
+    val live = graft.sources.Mirror.readCommitted(spark, target)
+      .where(!col("is_deleted")).select(col("key"), col("payload"))
+    val union = embed(seed.unionByName(live)).select(col("key"), col("embedding"))
+    val queries = embed(Seq((100L, "alpha doc"), (101L, "zeta doc"))
+      .toDF("key", "payload")).select(col("key"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(rows(idx.probe(queries, "key", "embedding", 5))
+      == rows(Similarity.lshTopK(union, queries, "key", "embedding", 5,
+        bits = 4, tables = 4)),
+      "streamed+compacted index diverged from the one-shot over the union")
+
+    // restart-safe: a reopened index carries the mark and the same answers
+    val reopened = graft.operators.LshIndex.load(spark, vdir)
+    assert(reopened.lastBatch == idx.lastBatch)
+    assert(rows(reopened.probe(queries, "key", "embedding", 5))
+      == rows(idx.probe(queries, "key", "embedding", 5)))
+  }
+
   test("LshIndex addBatch carries the same replay-safe mark as IvfIndex") {
     val embs = clustered
     val a = embs.where($"vec_id" % 2 === 0)
