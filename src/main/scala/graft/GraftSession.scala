@@ -74,13 +74,24 @@ object GraftSession {
     * weight must bound WORK skew and sort spill, not raw scan bytes.
     */
   def sizedPartitions(input: DataFrame, expansion: Double = 1.0,
-                      targetBytes: Long = 0L): Int = {
-    val spark = input.sparkSession
+                      targetBytes: Long = 0L): Int =
+    sizedPartitionsFromBytes(input.sparkSession,
+      input.queryExecution.optimizedPlan.stats.sizeInBytes, expansion,
+      targetBytes)
+
+  /** The bytes-based core of [[sizedPartitions]] for callers that estimate
+    * their exchange weight directly (e.g. a partition-pruned index probe:
+    * relation bytes × pruned-directory fraction — plan stats cannot see
+    * partition pruning on file sources, so the DataFrame form would
+    * overestimate a small probe at the FULL index size).
+    */
+  def sizedPartitionsFromBytes(spark: SparkSession, bytes: BigInt,
+                               expansion: Double = 1.0,
+                               targetBytes: Long = 0L): Int = {
     val floor = parallelismFloor(spark)
     val target = if (targetBytes > 0) targetBytes
       else spark.sessionState.conf.getConf(
         org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
-    val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
     val want = (BigDecimal(bytes) * expansion / BigDecimal(target.max(1L)))
       .setScale(0, BigDecimal.RoundingMode.CEILING)
     val ceil = BigDecimal(floor.toLong * PartitionCeilingFactor)

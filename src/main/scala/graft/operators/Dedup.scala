@@ -583,7 +583,11 @@ object Dedup {
                               idCol: String, textCol: String,
                               threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = graft.GraftSession.parallelismFloor(newDocs.sparkSession)
+    // same self-sizing as jaccardPairsPrefix (the shared posting/hash-set
+    // exchange shape), sized from the CORPUS scan — the index side is what
+    // grows; floor at bench SF, wider + finer-skew-split at 10×+
+    val parts = graft.GraftSession.sizedPartitions(corpus, expansion = 128.0,
+      targetBytes = 4L << 20)
     def tag(df: DataFrame, isNew: Boolean) =
       widen(df).select(col(idCol).as("id"), lit(isNew).as("isNew"),
         array_distinct(split(lower(col(textCol)), " ")).as("words"))
@@ -606,13 +610,14 @@ object Dedup {
     val jac = graft.expressions.NativeFunctions.sortedJaccard(col("l.wh"), col("r.wh"), threshold)
     // probe side = the batch's postings ONLY; a new×new pair is found from
     // both of its sides and collapsed by the final distinct
-    post.where(col("isNew")).repartition(parts, col("id")).as("l")
+    graft.GraftSession.sizedExchanges(
+      post.where(col("isNew")).repartition(parts, col("id")).as("l")
       .join(post.as("r"),
         col("l.w") === col("r.w") && col("l.id") =!= col("r.id") && positional)
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"), jac.as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .distinct()
+      .distinct(), parts, targetBytes = 4L << 20)
   }
 
   /** Exact-Jaccard near-dup pairs at scale: banded-MinHash candidate

@@ -344,7 +344,21 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     // jaccardPairsPrefix)
     val bv = bpost.join(bsets, "id")
     val cv = cp.join(readPruned("sets", bsets, corpusUpTo, "q", qvals), "id")
-    pairJoin(bv, cv.unionByName(bv))
+    // sized from relation bytes × the pruned-directory fraction (plan
+    // stats cannot see partition pruning on file sources, so the frame's
+    // own stats would weigh a small probe at the FULL index size); ×4
+    // covers the attached hash sets on both join sides
+    val probeParts = if (!hasData("postings"))
+      graft.GraftSession.parallelismFloor(spark)
+    else {
+      val relBytes = readParquetCached("postings", rel("postings"))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val frac = BigDecimal(math.min(pvals.size, parts)) / math.max(parts, 1)
+      graft.GraftSession.sizedPartitionsFromBytes(spark,
+        (BigDecimal(relBytes) * frac).toBigInt, expansion = 4.0,
+        targetBytes = 4L << 20)
+    }
+    pairJoin(bv, cv.unionByName(bv), probeParts)
   }
 
   /** The verified pair join both probe forms share: batch side `bv` against
@@ -352,8 +366,13 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     * positional prefix upper bound inline, exact sortedJaccard verify,
     * canonical (id_a < id_b) dedup.
     */
-  private def pairJoin(bv: DataFrame, all: DataFrame): DataFrame = {
-    val nParts = graft.GraftSession.parallelismFloor(spark)
+  /** `parts` sizes both the probe-side repartition and (via
+    * [[graft.GraftSession.sizedExchanges]]) the join's implicit exchanges —
+    * callers compute it from their corpus side's byte statistics so the
+    * candidate join fans wider at big indexes instead of deepening the
+    * session floor (the jaccardPairsPrefix sizing rule).
+    */
+  private def pairJoin(bv: DataFrame, all: DataFrame, parts: Int): DataFrame = {
     val ubound = (lit(1) + least(col("l.n") - col("l.rn"), col("r.n") - col("r.rn")))
       .cast("double") * lit(1.0 + threshold)
     val positional =
@@ -361,12 +380,13 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
     val jac = graft.expressions.NativeFunctions.sortedJaccard(col("l.wh"), col("r.wh"), threshold)
     // explicit repartition of the probe side — the AQE single-task
     // coalescing trap, same as jaccardPairsIncremental
-    bv.repartition(nParts, col("id")).as("l").join(all.as("r"),
+    graft.GraftSession.sizedExchanges(
+      bv.repartition(parts, col("id")).as("l").join(all.as("r"),
         col("l.w") === col("r.w") && col("l.id") =!= col("r.id") && positional)
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"), jac.as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .distinct()
+      .distinct(), parts, targetBytes = 4L << 20)
   }
 
   /** [[probeAgainst]]'s in-memory twin for [[bootstrapFirstSync]]: both
@@ -385,7 +405,10 @@ final class JaccardIndex private (spark: SparkSession, val dir: String,
       .join(batch.post.select(col("w")).distinct(), Seq("w"), "left_semi")
     val bv = batch.post.join(batch.sets, "id")
     val cv = cp.join(corpus.sets, "id")
-    pairJoin(bv, cv.unionByName(bv))
+    // sized from the corpus' widened scan (the jaccardPairsPrefix rule and
+    // fan-out: compressed text → postings-with-attached-hash-sets)
+    pairJoin(bv, cv.unionByName(bv), graft.GraftSession.sizedPartitions(
+      corpus.words, expansion = 128.0, targetBytes = 4L << 20))
   }
 
   /** Append `batch` to the index (new tokens + its postings + its sets) and
