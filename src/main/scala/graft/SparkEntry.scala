@@ -1564,6 +1564,20 @@ object SparkEntry {
     "events_last_touch" -> ((s, d) =>
       Behavior.lastTouchAttribution(t(s, d, "events"), "user_id",
         "event_type", "ts", "value", "purchase", 86400000000L)),
+    // ClickHouse sequenceNextNode('forward','first_match'): where users go
+    // right after their first consecutive view→click adjacency (r16)
+    "events_sequence_next_node" -> ((s, d) =>
+      Behavior.sequenceNextNode(t(s, d, "events"), "user_id", "event_type",
+        "ts", "event_id", Seq("view", "click"))),
+    // ClickHouse deltaSum per event type: positive increments of each
+    // user's value counter, exact cents (r16)
+    "events_delta_sum" -> ((s, d) =>
+      Behavior.deltaSumCents(t(s, d, "events"), "event_type", "user_id",
+        floor(col("value") * 100 + 0.5), "ts", "event_id")),
+    // exact pairwise 3-gram Jaccard between corpus sources — the
+    // multi-source overlap readout before choosing mix weights (r16)
+    "docs_source_overlap" -> ((s, d) =>
+      Vocabulary.groupShingleOverlap(t(s, d, "documents"), "source", "text")),
     // daily new vs returning actives: a user's first-seen day marks them
     // new exactly once; the day grain keeps every frame day×user-bounded
     "events_new_vs_returning" -> ((s, d) => {
@@ -4523,6 +4537,43 @@ object SparkEntry {
          SELECT channel, count(*) AS n_conversions,
                 CAST(sum(v) AS DOUBLE) AS attributed_value
          FROM j WHERE gap <= 86400000000 GROUP BY 1""",
+    "events_sequence_next_node" ->
+      """WITH o AS (SELECT user_id AS k, event_type AS op,
+                lead(event_type, 1) OVER w AS l1,
+                coalesce(lead(event_type, 2) OVER w, '(end)') AS nxt,
+                row_number() OVER w AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         m AS (SELECT k, arg_min(nxt, rn) AS next_type FROM o
+               WHERE op = 'view' AND l1 = 'click' GROUP BY k)
+         SELECT next_type, count(*) AS n_keys FROM m GROUP BY 1""",
+    "events_delta_sum" ->
+      """WITH s AS (SELECT event_type AS g, user_id AS k, ts, event_id,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL),
+         d AS (SELECT g, k, c, lag(c) OVER (PARTITION BY g, k
+                 ORDER BY ts, event_id) AS p FROM s),
+         e AS (SELECT g, k, CASE WHEN c > p THEN c - p ELSE 0 END AS dd
+               FROM d WHERE p IS NOT NULL)
+         SELECT g AS event_type, CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+                CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_increments,
+                CAST(sum(dd) AS DOUBLE) / 100.0 AS delta_sum
+         FROM e GROUP BY 1""",
+    "docs_source_overlap" ->
+      """WITH t AS (SELECT source AS g, string_split(lower(text), ' ') AS tk
+                    FROM documents),
+         s AS (SELECT DISTINCT g,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+               FROM t, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) u
+               WHERE len(tk) >= 3),
+         z AS (SELECT g, count(*) AS n FROM s GROUP BY 1),
+         x AS (SELECT a.g AS ga, b.g AS gb, count(*) AS n_inter
+               FROM s a JOIN s b ON a.sh = b.sh AND a.g < b.g GROUP BY 1, 2)
+         SELECT ga, gb, za.n AS na, zb.n AS nb, n_inter,
+                round(CAST(n_inter AS DOUBLE)
+                  / CAST(za.n + zb.n - n_inter AS DOUBLE), 6) AS jaccard
+         FROM x JOIN z za ON za.g = x.ga JOIN z zb ON zb.g = x.gb""",
     "emb_mmr_diversify" -> {
       // the greedy selection unrolls: each step scores the remaining pool
       // against the union of prior picks and takes the per-query max

@@ -1000,6 +1000,72 @@ object Behavior {
         sum(col("_v")).cast("double").as("attributed_value"))
   }
 
+  /** ClickHouse `sequenceNextNode('forward', 'first_match')`: per key
+    * (events ordered by ts, tie), find the FIRST run of CONSECUTIVE
+    * events matching `chain` and report the event type immediately after
+    * it — the "where do users go after view→click" readout. A chain that
+    * ends the key's stream reports `(end)`; keys whose chain never occurs
+    * contribute no row. Output: (next_type, n_keys).
+    *
+    * Deterministic and exact: the per-key order is total ((ts, tie) with
+    * a unique tie column), the first match is picked by `min_by` on the
+    * row number, and the `(end)` sentinel is applied BEFORE the pick so a
+    * stream-ending first match can never be skipped in favor of a later
+    * one. Scale: chain-length `lead`s over per-key windows (never a
+    * global order), then two key-grain aggregations — state per key is
+    * one row, the same shape at 10⁹ keys as at 10³.
+    */
+  def sequenceNextNode(events: DataFrame, keyCol: String, opCol: String,
+                       tsCol: String, tieCol: String,
+                       chain: Seq[String]): DataFrame = {
+    require(chain.nonEmpty, "need a non-empty chain")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__tsl"), col("__tie"))
+    var df = events.select(col(keyCol).as("__k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("__tsl"),
+        col(tieCol).as("__tie"), col(opCol).as("__op"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__next",
+        coalesce(lead(col("__op"), chain.size).over(w), lit("(end)")))
+    for (i <- 1 until chain.size)
+      df = df.withColumn(s"__l$i", lead(col("__op"), i).over(w))
+    val matched = chain.zipWithIndex.map { case (c, i) =>
+      (if (i == 0) col("__op") else col(s"__l$i")) === c
+    }.reduce(_ && _)
+    df.where(matched)
+      .groupBy(col("__k"))
+      .agg(min_by(col("__next"), col("__rn")).as("next_type"))
+      .groupBy(col("next_type"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** ClickHouse `deltaSum` over per-key counters, aggregated to the group
+    * grain: the sum of POSITIVE increments of `cents` per key in (ts,
+    * tie) order — decreases (counter resets) contribute nothing rather
+    * than subtracting, the standard monotone-counter rate readout. Exact:
+    * integer cents deltas summed as int64; one per-(group, key) lag
+    * window, then one grouped pass (map-side combined). Output: (group,
+    * n_keys — keys with ≥ 2 observations, n_increments, delta_sum =
+    * cents/100 as one exact-long-over-constant division).
+    */
+  def deltaSumCents(events: DataFrame, groupCol: String, keyCol: String,
+                    cents: Column, tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__g"), col("__k"))
+      .orderBy(col("__tsl"), col("__tie"))
+    events.select(col(groupCol).as("__g"), col(keyCol).as("__k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("__tsl"),
+        col(tieCol).as("__tie"), cents.cast("long").as("__c"))
+      .where(col("__c").isNotNull)
+      .withColumn("__prev", lag(col("__c"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .withColumn("__d", when(col("__c") > col("__prev"),
+        col("__c") - col("__prev")).otherwise(lit(0L)))
+      .groupBy(col("__g"))
+      .agg(countDistinct(col("__k")).as("n_keys"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("n_increments"),
+        (sum(col("__d")).cast("double") / lit(100.0)).as("delta_sum"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** Burstiness coefficient of each key's inter-event gaps — Goh &
     * Barabási's B = (σ−μ)/(σ+μ) over the gap distribution: −1 for a
     * metronome, 0 for a Poisson process, →1 for extreme bursts. Gaps are

@@ -324,4 +324,42 @@ object Vocabulary {
         row_number().over(w).cast("bigint").as("rk"))
       .where(col("rk") <= n)
   }
+
+  /** EXACT pairwise n-gram Jaccard between corpus GROUPS (sources,
+    * crawls, snapshots): each group's distinct `width`-gram shingle set,
+    * then |A∩B| / |A∪B| for every group pair — the corpus-diagnostics
+    * dual of per-document dedup ("how much does crawl B re-cover crawl
+    * A", the overlap readout every multi-source pretraining mix needs
+    * before choosing sampling weights).
+    *
+    * Scale: the shingle explode is narrow and linear; distinct (group,
+    * shingle) shuffles once on the shingle; the intersection join groups
+    * BY SHINGLE first, so its fan-out per shingle is bounded by the
+    * GROUP COUNT squared (a handful), never document-pair-shaped — no
+    * all-pairs path at any corpus size. Counts are exact integers; the
+    * one double is the final ratio (6dp).
+    */
+  def groupShingleOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                          width: Int = 3): DataFrame = {
+    require(width >= 1, s"bad shingle width $width")
+    val sh = docs.select(col(groupCol).as("g"),
+        split(lower(col(textCol)), " ").as("tk"))
+      .where(size(col("tk")) >= width)
+      .select(col("g"), explode(expr(
+        s"transform(sequence(0, size(tk) - $width), " +
+          s"i -> concat_ws(' ', slice(tk, i + 1, $width)))")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("g").as("ga"), col("sh"))
+      .join(sh.select(col("g").as("gb"), col("sh")), Seq("sh"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("g").as("ga"), col("n").as("na")), Seq("ga"))
+      .join(sizes.select(col("g").as("gb"), col("n").as("nb")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("na"), col("nb"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

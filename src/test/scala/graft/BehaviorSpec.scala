@@ -688,4 +688,49 @@ class BehaviorSpec extends SparkSpec {
     intercept[IllegalArgumentException](Behavior.sequenceMatchPattern(
       events, "user_id", "event_type", "t", "(?1)garbage(?2)", Seq("A", "B")))
   }
+
+  test("sequenceNextNode: first consecutive match wins; (end) sentinel; tie order") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      // u1: view,click,purchase -> next after FIRST view>click = purchase
+      //     (a later view,click,error chain must NOT win)
+      (1L, "view", 0L, 1L), (1L, "click", 1L, 2L), (1L, "purchase", 2L, 3L),
+      (1L, "view", 3L, 4L), (1L, "click", 4L, 5L), (1L, "error", 5L, 6L),
+      // u2: view,click ends the stream -> "(end)"
+      (2L, "view", 0L, 7L), (2L, "click", 1L, 8L),
+      // u3: view then purchase (no adjacency) -> no row
+      (3L, "view", 0L, 9L), (3L, "purchase", 1L, 10L),
+      // u4: same-ts view/click ordered by the tie column, then signup
+      (4L, "view", 0L, 11L), (4L, "click", 0L, 12L), (4L, "signup", 1L, 13L))
+      .toDF("u", "op", "tsl", "id")
+      .select(col("u"), col("op"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("tsl")).as("t"),
+        col("id"))
+    val got = Behavior.sequenceNextNode(events, "u", "op", "t", "id",
+        Seq("view", "click"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("purchase" -> 1L, "(end)" -> 1L, "signup" -> 1L))
+    intercept[IllegalArgumentException](
+      Behavior.sequenceNextNode(events, "u", "op", "t", "id", Nil))
+  }
+
+  test("deltaSumCents: only positive increments count; resets contribute 0") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // g1/u1 counter: 100 -> 150 -> 120 -> 200: deltas +50, 0, +80 = 130
+    // g1/u2: single observation -> no deltas, excluded from n_keys
+    // g2/u1: 10 -> 10 -> 30: deltas 0, +20
+    val rows = Seq(
+      ("g1", 1L, 0L, 1L, 100L), ("g1", 1L, 1L, 2L, 150L),
+      ("g1", 1L, 2L, 3L, 120L), ("g1", 1L, 3L, 4L, 200L),
+      ("g1", 2L, 0L, 5L, 999L),
+      ("g2", 1L, 0L, 6L, 10L), ("g2", 1L, 1L, 7L, 10L), ("g2", 1L, 2L, 8L, 30L))
+      .toDF("g", "u", "tsl", "id", "c")
+      .select(col("g"), col("u"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("tsl")).as("t"),
+        col("id"), col("c"))
+    val got = Behavior.deltaSumCents(rows, "g", "u", col("c"), "t", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map("g1" -> ((1L, 2L, 1.3)), "g2" -> ((1L, 1L, 0.2))))
+  }
 }

@@ -691,4 +691,16 @@ class InsightsSpec extends SparkSpec {
     val excl = rt(Seq(1, 9, 5, 1, 9))(0) // median 5 → 4 signed days
     assert(excl.getLong(0) == 4L)
   }
+
+  test("groupShingleOverlap: exact pairwise 3-gram Jaccard; short docs skip") {
+    import graft.operators.Vocabulary
+    // A: "a b c d" -> shingles {a b c, b c d}; B: "a b c" -> {a b c};
+    // C: "x y" too short -> contributes nothing and pairs with nobody
+    val docs = Seq(("A", "a b c d"), ("B", "a b c"), ("C", "x y"))
+      .toDF("src", "text")
+    val got = Vocabulary.groupShingleOverlap(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(("A", "B", 2L, 1L, 1L, 0.5)))
+  }
 }
