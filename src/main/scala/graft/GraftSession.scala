@@ -139,23 +139,33 @@ object GraftSession {
     }
   }
 
+  /** The session-conf wiring [[builder]]/[[create]] apply — exposed so a
+    * caller holding an EXISTING SparkContext (tests, notebook kernels) can
+    * apply identical wiring to a `newSession()` instead of constructing —
+    * and worse, stopping — a context-owning session of its own.
+    *
+    * The 64 MB advisory is the sizedPartitions target, aligned with AQE's
+    * coalesce target so implicit and operator-sized exchanges agree on
+    * what one partition should weigh. The 64k `minPartitionSize`: AQE
+    * coalesces by shuffle BYTES, and compute-dense narrow rows (hash
+    * sets, LSH postings) can collapse a heavy stage onto one task at the
+    * default 1 MB floor — 64k keeps coalescing for genuinely empty
+    * partitions while preserving parallelism for small-but-hot data.
+    */
+  def sessionConfs(shufflePartitions: Int): Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      // the sizedPartitions advisory target, aligned with AQE's coalesce
-      // target so implicit and operator-sized exchanges agree on what one
-      // partition should weigh
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-      // AQE coalesces by shuffle BYTES; compute-dense narrow rows (hash
-      // sets, LSH postings) can collapse a heavy stage onto one task at the
-      // default 1 MB floor. 64k keeps coalescing for genuinely empty
-      // partitions while preserving parallelism for small-but-hot data.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sessionConfs(shufflePartitions).foldLeft(
+      SparkSession.builder().master(master)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 
   def create(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
