@@ -54,7 +54,16 @@ object SparkEntry {
 
   private val isDelete = col("event_type") === "error"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Map literal that REFUSES duplicate keys — a repeated query name must
+    * fail the build, not silently shadow the earlier entry (a real r16
+    * near-miss: a second `events_delta_sum` hid the round-12 one). */
+  private def uniqueMap[V](entries: (String, V)*): Map[String, V] = {
+    val dups = entries.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    entries.toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = uniqueMap(
     // ---- analytics on the replicated target -------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(t(s, d, "lineitem"))),
     "q3_unshipped_revenue" -> ((s, d) =>
@@ -217,6 +226,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))),
     "events_traffic_spikes" -> ((s, d) =>
       CdcOps.trafficSpikes(t(s, d, "events"), "ts", "event_type")),
+    // Tukey box-plot fences over per-type hourly revenue: the exact
+    // order-statistic quartile screen beside the mean-ratio spike test (r16)
+    "events_tukey_outliers" -> ((s, d) =>
+      Profiler.tukeyOutliers(t(s, d, "events"), "event_type",
+        date_trunc("hour", col("ts")),
+        floor(col("value") * 100 + 0.5).cast("long"))),
     // hot/idle-key profile: exact integer-microsecond inter-change gaps
     "cdc_change_rates" -> ((s, d) =>
       CdcOps.changeRates(t(s, d, "events"), "user_id", "ts", "event_id")),
@@ -1570,8 +1585,9 @@ object SparkEntry {
       Behavior.sequenceNextNode(t(s, d, "events"), "user_id", "event_type",
         "ts", "event_id", Seq("view", "click"))),
     // ClickHouse deltaSum per event type: positive increments of each
-    // user's value counter, exact cents (r16)
-    "events_delta_sum" -> ((s, d) =>
+    // user's value counter, exact cents (r16) — distinct from the
+    // per-user `events_delta_sum`, which this must not shadow
+    "events_delta_sum_by_type" -> ((s, d) =>
       Behavior.deltaSumCents(t(s, d, "events"), "event_type", "user_id",
         floor(col("value") * 100 + 0.5), "ts", "event_id")),
     // exact pairwise 3-gram Jaccard between corpus sources — the
@@ -1811,6 +1827,16 @@ object SparkEntry {
         .where(col("w") >= 2)
       Graph.bfsHops(e, "src", "dst", 4)
     }),
+    // 3-core of the strong co-order graph: the mutually-reinforcing
+    // supplier backbone no single removal breaks — iterative peel,
+    // hash-matching a 12-round unrolled-peel oracle (r16)
+    "supplier_kcore" -> ((s, d) => {
+      val e = Graph.coOccurrenceEdges(t(s, d, "lineitem"),
+          "l_orderkey", "l_suppkey")
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2).select(col("src"), col("dst"))
+      Graph.kCore(e, "src", "dst", 3)
+    }),
     // additive Holt–Winters: hourlyHolt + the 24-slot seasonal state,
     // bit-replayed by the oracle's recursive CTE
     "events_holt_winters" -> ((s, d) =>
@@ -1928,7 +1954,7 @@ object SparkEntry {
                / len(list_distinct(list_concat(a.words, b.words))) >= 0.8
          AND (c.id_a % 10 = 0 OR c.id_b % 10 = 0)"""
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = uniqueMap(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2647,6 +2673,32 @@ object SparkEntry {
          SELECT d.event_type, d.day, d.cnt
          FROM daily d JOIN per_type p ON d.event_type = p.event_type
          WHERE d.cnt * p.days * 10 > 11 * p.total""",
+    // quartiles as order statistics (rank floor((n-1)q)+1, no
+    // interpolation); deci-cent multiplied-out fences — all integer
+    "events_tukey_outliers" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT *,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY total_cents) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM hourly),
+         q AS (SELECT event_type,
+                      max(CASE WHEN rn = (n - 1) // 4 + 1
+                               THEN total_cents END) AS q1,
+                      max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1
+                               THEN total_cents END) AS q3
+               FROM r GROUP BY 1)
+         SELECT h.event_type, h.bucket_ts, h.total_cents,
+                CASE WHEN 10 * h.total_cents
+                          < 10 * q.q1 - 15 * (q.q3 - q.q1)
+                     THEN 'low' ELSE 'high' END AS side
+         FROM hourly h JOIN q USING (event_type)
+         WHERE 10 * h.total_cents < 10 * q.q1 - 15 * (q.q3 - q.q1)
+            OR 10 * h.total_cents > 10 * q.q3 + 15 * (q.q3 - q.q1)""",
     "fuzzy_part_names" ->
       """SELECT l.p_partkey AS key_a, r.p_partkey AS key_b,
                 CAST(levenshtein(l.p_name, r.p_name) AS INT) AS edit_dist
@@ -4547,7 +4599,7 @@ object SparkEntry {
          m AS (SELECT k, arg_min(nxt, rn) AS next_type FROM o
                WHERE op = 'view' AND l1 = 'click' GROUP BY k)
          SELECT next_type, count(*) AS n_keys FROM m GROUP BY 1""",
-    "events_delta_sum" ->
+    "events_delta_sum_by_type" ->
       """WITH s AS (SELECT event_type AS g, user_id AS k, ts, event_id,
                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
               FROM events WHERE value IS NOT NULL),
@@ -5284,6 +5336,26 @@ object SparkEntry {
          best AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
          SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
          FROM best GROUP BY hop ORDER BY hop""",
+    // 12 unrolled peel rounds — the Spark side iterates to the fixed
+    // point and THROWS if 12 rounds don't reach it, so both engines
+    // evaluate the same converged core
+    "supplier_kcore" -> {
+      val peels = (1 to 12).map { i =>
+        s"""d$i AS (SELECT e.src AS node, count(*) AS deg FROM e
+           JOIN a${i - 1} x ON x.node = e.src
+           JOIN a${i - 1} y ON y.node = e.dst GROUP BY 1),
+         a$i AS (SELECT node FROM d$i WHERE deg >= 3)"""
+      }.mkString(",\n         ")
+      s"""WITH pairs AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         e AS MATERIALIZED (SELECT a.sk AS src, b.sk AS dst
+               FROM pairs a JOIN pairs b USING (ok)
+               WHERE a.sk <> b.sk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         a0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         $peels
+         SELECT node, deg AS core_degree FROM d12 WHERE deg >= 3"""
+    },
     // Holt–Winters: exact integer init (sums of counts in doubles), then
     // the order-determined recurrence replayed step-for-step; the seasonal
     // list updates by slicing, lnew bound once in the inner subquery (the

@@ -240,6 +240,69 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** k-core of a directed-both-ways edge list (the [[coOccurrenceEdges]]
+    * shape): iteratively peel nodes of degree < k until the survivor set
+    * stops shrinking, then return each survivor with its in-core degree —
+    * the standard "dense backbone" extraction (Seidman 1983), the graph
+    * twin of SemDeDup's oversized-cluster triage: which suppliers sit in a
+    * mutually-reinforcing co-order cluster no single removal breaks.
+    *
+    * Shape per round: ONE join of the edge list against the alive set on
+    * each endpoint + one map-side-combined degree count — an edge-sized
+    * shuffle, the same synchronous-Pregel cost class as
+    * [[pageRankFixedPoint]]; the driver holds only the per-round survivor
+    * COUNT (the loop guard — alive sets shrink monotonically, so an equal
+    * count IS the fixed point). Rounds are bounded by `maxRounds` and
+    * non-convergence THROWS loudly: the DuckDB oracle unrolls exactly
+    * `maxRounds` peels, so a silently-truncated peel would diverge from it
+    * — and on any real graph the peel converges in a handful of rounds
+    * (each round removes every node currently under-degree, not one node).
+    *
+    * Determinism: degrees are exact longs over a distinct edge list —
+    * bit-equal on any engine and any partitioning. Output
+    * (node, core_degree), one row per k-core member.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    require(maxRounds >= 1 && maxRounds <= 32, s"bad maxRounds=$maxRounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var alive = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct().persist()
+    var aliveN = alive.count()
+    var deg: DataFrame = null
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      deg = e
+        .join(alive.select(col("node").as("src")), Seq("src"))
+        .join(alive.select(col("node").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val next = deg.where(col("deg") >= k).select(col("src").as("node"))
+        .persist()
+      val n = next.count()
+      alive.unpersist(false)
+      alive = next
+      converged = n == aliveN
+      aliveN = n
+    }
+    if (!converged) {
+      alive.unpersist(false)
+      throw new IllegalStateException(
+        s"kCore: no fixed point within maxRounds=$maxRounds (last survivor " +
+          s"count $aliveN) — raise maxRounds (and the oracle's unroll depth)")
+    }
+    // converged: the last degree frame was computed over the final alive
+    // set, so its >= k rows ARE the core members with their core degrees
+    val out = deg.where(col("deg") >= k)
+      .select(col("src").as("node"), col("deg").as("core_degree"))
+      .localCheckpoint(true)
+    alive.unpersist(false)
+    out
+  }
+
   /** Breadth-first hop census from the graph's minimum node id: how many
     * nodes sit at shortest-path distance 0, 1, … maxHops from the seed —
     * the "blast radius" readout (how far does an outage/defect at one

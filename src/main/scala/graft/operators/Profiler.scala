@@ -232,4 +232,55 @@ object Profiler {
              (n * pd(j, j) - sd(j) * sd(j))), decimals).as("corr"))
     m.select(explode(array(pairs: _*)).as("pr")).select(col("pr.*"))
   }
+
+  /** Tukey-fence bucket outliers: time buckets whose per-group total falls
+    * outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of that group's bucket-total
+    * distribution — the box-plot anomaly screen (Tukey 1977), the
+    * distribution-shaped sibling of
+    * [[graft.operators.CdcOps.trafficSpikes]]'s mean-ratio test.
+    *
+    * Exactness: totals are exact int64 cents; quartiles are ORDER
+    * STATISTICS (value at rank ⌊(n−1)·q⌋+1 of the ascending bucket totals
+    * — the "lower" empirical quantile, no interpolation), and the fence
+    * comparison is multiplied out to deci-cents (`10·total < 10·q1 −
+    * fence·IQR`, fence = 15 ≙ 1.5) so no float division or rounding exists
+    * anywhere — any engine reproduces the row set bit-for-bit.
+    *
+    * Shape: one map-side-combined grouped pass to the (group, bucket)
+    * grain, then rank/quartile windows over that CALENDAR-BOUNDED frame
+    * (≤ groups × buckets rows at any corpus size) and a broadcast join of
+    * the per-group quartile row back onto it. Ties on total need no
+    * tie-break: the value AT a rank is tie-invariant.
+    *
+    * Output: (group, bucket_ts, total_cents, side∈{low,high}).
+    */
+  def tukeyOutliers(events: DataFrame, groupCol: String,
+                    bucket: org.apache.spark.sql.Column,
+                    cents: org.apache.spark.sql.Column,
+                    fenceTenths: Int = 15): DataFrame = {
+    require(fenceTenths >= 1, s"bad fenceTenths=$fenceTenths")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.where(cents.isNotNull)
+      .groupBy(col(groupCol), bucket.as("bucket_ts"))
+      .agg(sum(cents).cast("long").as("total_cents"))
+    val w = Window.partitionBy(col(groupCol))
+    val ranked = daily
+      .withColumn("rn", row_number().over(w.orderBy(col("total_cents"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val quart = ranked.groupBy(col(groupCol)).agg(
+      // DIV, not `/`: SQL division is fractional even on integers, and a
+      // fractional rank would match no row_number
+      max(when(col("rn") === expr("(n - 1) DIV 4 + 1"),
+        col("total_cents"))).as("q1"),
+      max(when(col("rn") === expr("((n - 1) * 3) DIV 4 + 1"),
+        col("total_cents"))).as("q3"))
+    val t10 = col("total_cents") * 10
+    val iqr = col("q3") - col("q1")
+    val f = lit(fenceTenths.toLong)
+    daily.join(broadcast(quart), groupCol)
+      .where(t10 < col("q1") * 10 - f * iqr || t10 > col("q3") * 10 + f * iqr)
+      .select(col(groupCol), col("bucket_ts"), col("total_cents"),
+        when(t10 < col("q1") * 10 - f * iqr, lit("low"))
+          .otherwise(lit("high")).as("side"))
+  }
 }

@@ -458,6 +458,37 @@ class InsightsSpec extends SparkSpec {
     assert(got("h") === (("  █ ", 1L, 2)))
   }
 
+  test("kCore: clique survives, pendant chain peels, degrees are in-core") {
+    import graft.operators.Graph
+    // K4 on {a,b,c,d} plus a pendant chain d—e—f—g, both directions.
+    // k=3: round 1 peels e, f, g (degrees 2, 2, 1); the K4 is the 3-core
+    // with in-core degree 3 each — d's degree drops from 4 to 3 once the
+    // chain is gone, which is exactly the in-core (not original) contract.
+    val und = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g"))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.kCore(e, "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("kCore: cascading peel to an empty core, loud non-convergence") {
+    import graft.operators.Graph
+    // path v1—…—v5 at k=2 peels endpoints inward: rounds shrink
+    // 5→3→1→0, fixed point at round 4 with an EMPTY 2-core
+    val und = Seq(("v1", "v2"), ("v2", "v3"), ("v3", "v4"), ("v4", "v5"))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(Graph.kCore(e, "src", "dst", 2, maxRounds = 4).count() === 0)
+    // the same peel truncated at 3 rounds has not converged: must THROW
+    // (the oracle unrolls a fixed depth — silence would diverge from it)
+    val ex = intercept[IllegalStateException](
+      Graph.kCore(e, "src", "dst", 2, maxRounds = 3))
+    assert(ex.getMessage.contains("maxRounds"))
+    // empty edge list → empty core, no throw
+    val none = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.kCore(none, "src", "dst", 2).count() === 0)
+  }
+
   test("degreeStats: hand graph assortativity and counts") {
     import graft.operators.Graph
     // directed: a→b, a→c, b→a, c→a (a is the hub, out-deg 2; b, c out-deg 1)

@@ -112,4 +112,30 @@ class ProfilerSpec extends SparkSpec {
       .split("\n").count(_.contains("Scan"))
     assert(scans <= 1, s"corrMatrix plan scans the source $scans times")
   }
+
+  test("tukeyOutliers: order-statistic quartiles, deci-cent fences, nulls") {
+    import org.apache.spark.sql.functions._
+    // group g: 12 buckets totaling 10, 100..109, 1000 cents. n=12 →
+    // q1 = value at rank (11 DIV 4)+1 = 3 → 101; q3 = rank (33 DIV 4)+1
+    // = 9 → 107; IQR 6 → 1.5-fences [92, 116] in cents: 10 low, 1000
+    // high. group q: flat totals → no outliers. NULL cents rows must
+    // not poison a bucket's sum (b10 would total NULL, not 1000).
+    val rows =
+      (0 to 9).map(i => ("g", s"b$i", Some(100L + i))) ++
+        Seq(("g", "b10", Some(1000L)), ("g", "b10", None),
+          ("g", "b11", Some(10L))) ++
+        (0 to 3).map(i => ("q", s"b$i", Some(50L)))
+    val df = rows.toDF("grp", "bucket", "c")
+    val got = Profiler.tukeyOutliers(df, "grp", col("bucket"), col("c"))
+      .as[(String, String, Long, String)].collect().toSet
+    assert(got === Set(("g", "b11", 10L, "low"), ("g", "b10", 1000L, "high")))
+    // fence 0.1·IQR: [100.4, 107.6] — the deci-cent comparison catches
+    // the half-cent-resolution fence exactly
+    val tight = Profiler.tukeyOutliers(df, "grp", col("bucket"), col("c"),
+      fenceTenths = 1).as[(String, String, Long, String)].collect().toSet
+    assert(tight === Set(
+      ("g", "b11", 10L, "low"), ("g", "b0", 100L, "low"),
+      ("g", "b8", 108L, "high"), ("g", "b9", 109L, "high"),
+      ("g", "b10", 1000L, "high")))
+  }
 }
