@@ -1444,6 +1444,11 @@ object SparkEntry {
       Similarity.balancedSample(e, e.where(col("vec_id") < 8), "vec_id",
         "embedding", perCluster = 20)
     }),
+    // centroid-silhouette cluster quality per label — exact micro-grid
+    // centroid sums, multiplied-out integer distance numerators (r16)
+    "emb_silhouette" -> ((s, d) =>
+      ClusterEval.centroidSilhouette(t(s, d, "embeddings"), "vec_id",
+        "embedding", "label")),
     // 24h sliding distinct users per hour anchor: each (hour, user) pair is
     // exploded into the <=24 anchors whose window covers it (bounded fan-out,
     // no nested-loop range join), anchors clipped to observed hours
@@ -1594,6 +1599,10 @@ object SparkEntry {
     // multi-source overlap readout before choosing mix weights (r16)
     "docs_source_overlap" -> ((s, d) =>
       Vocabulary.groupShingleOverlap(t(s, d, "documents"), "source", "text")),
+    // per-source bigram Shannon entropy: the repetitiveness/diversity
+    // readout beside the overlap matrix (r16)
+    "docs_bigram_entropy" -> ((s, d) =>
+      Vocabulary.bigramEntropy(t(s, d, "documents"), "source", "text")),
     // daily new vs returning actives: a user's first-seen day marks them
     // new exactly once; the day grain keeps every frame day×user-bounded
     "events_new_vs_returning" -> ((s, d) => {
@@ -4626,6 +4635,58 @@ object SparkEntry {
                 round(CAST(n_inter AS DOUBLE)
                   / CAST(za.n + zb.n - n_inter AS DOUBLE), 6) AS jaccard
          FROM x JOIN z za ON za.g = x.ga JOIN z zb ON zb.g = x.gb""",
+    "docs_bigram_entropy" ->
+      """WITH arr AS (
+           SELECT source AS g,
+                  list_filter(string_split(lower(text), ' '),
+                    w -> len(w) > 0) AS a
+           FROM documents),
+         bg AS (
+           SELECT g, a[i] AS w1, a[i + 1] AS w2
+           FROM arr, unnest(range(1, len(a))) AS t(i)
+           WHERE len(a) >= 2),
+         c AS (SELECT g, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3)
+         SELECT g AS source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                count(*) AS n_types,
+                round(log2(CAST(sum(c) AS DOUBLE))
+                  - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                    / CAST(sum(c) AS DOUBLE), 4) AS bigram_entropy_bits
+         FROM c GROUP BY 1""",
+    "emb_silhouette" ->
+      """WITH base AS (
+           SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl,
+                  list_transform(embedding, x ->
+                    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+           FROM embeddings
+           WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         px AS (SELECT id, lbl, i AS d, v[i] AS x
+                FROM base, unnest(range(1, len(v) + 1)) AS t(i)),
+         cent AS (SELECT lbl, d, CAST(sum(x) AS BIGINT) AS s
+                  FROM px GROUP BY 1, 2),
+         nn AS (SELECT lbl, count(*) AS n FROM base GROUP BY 1),
+         dist AS (SELECT p.id, p.lbl AS own, c.lbl AS cl,
+                         sqrt(CAST(sum(
+                             (CAST(n.n AS HUGEINT) * p.x - c.s)
+                           * (CAST(n.n AS HUGEINT) * p.x - c.s)) AS DOUBLE))
+                           / CAST(n.n AS DOUBLE) AS dv
+                  FROM px p
+                  JOIN cent c ON c.d = p.d
+                  JOIN nn n ON n.lbl = c.lbl
+                  GROUP BY p.id, p.lbl, c.lbl, n.n),
+         ab AS (SELECT id, own,
+                       max(CASE WHEN cl = own THEN dv END) AS a,
+                       min(CASE WHEN cl <> own THEN dv END) AS b
+                FROM dist GROUP BY 1, 2),
+         sm AS (SELECT own AS label,
+                       CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(floor((b - a) / greatest(a, b)
+                                   * 1000000 + 0.5) AS BIGINT)
+                       END AS s
+                FROM ab)
+         SELECT label, count(*) AS n_points,
+                round(CAST(sum(s) AS DOUBLE) / count(*) / 1000000.0, 6)
+                  AS mean_silhouette
+         FROM sm GROUP BY 1""",
     "emb_mmr_diversify" -> {
       // the greedy selection unrolls: each step scores the remaining pool
       // against the union of prior picks and takes the per-query max

@@ -339,6 +339,44 @@ object Vocabulary {
     * all-pairs path at any corpus size. Counts are exact integers; the
     * one double is the final ratio (6dp).
     */
+  /** Per-group token-bigram Shannon entropy — the repetitiveness readout a
+    * pretraining-mix curator reads per SOURCE: template/boilerplate-heavy
+    * corpora concentrate probability mass on few bigrams (low H), diverse
+    * prose spreads it (high H ≈ log2 of the effective bigram vocabulary).
+    * The bigram grain (not unigram) is what separates "same words, same
+    * phrasing" from "same words, varied phrasing" — the signal n-gram LM
+    * perplexity buckets ([[bigramLogprob]]) read per DOCUMENT, here folded
+    * to the group grain for mix-weight decisions.
+    *
+    * H = log2(T) − (Σ c·log2 c)/T over exact bigram counts c, total T —
+    * one exploded pass, two map-side-combined aggregations; the final
+    * frame is group-grain. The float sum follows the text family's
+    * rounding posture (4dp after the division).
+    *
+    * Output: (group, n_bigrams, n_types, bigram_entropy_bits).
+    */
+  def bigramEntropy(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val arr = docs.select(col(groupCol).as("g"),
+      filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
+        w => length(w) > 0).as("a"))
+    val bg = arr
+      .where(size(col("a")) >= 2)
+      .select(col("g"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
+        .as("b"))
+      .select(col("g"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c = bg.groupBy(col("g"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("slg"))
+      .select(col("g").as(groupCol), col("n_bigrams"), col("n_types"),
+        round(log2(col("n_bigrams").cast("double"))
+          - col("slg") / col("n_bigrams").cast("double"), 4)
+          .as("bigram_entropy_bits"))
+  }
+
   def groupShingleOverlap(docs: DataFrame, groupCol: String, textCol: String,
                           width: Int = 3): DataFrame = {
     require(width >= 1, s"bad shingle width $width")

@@ -247,4 +247,22 @@ class TextFunctionsSpec extends SparkSpec {
       .select("lang", "js_div").as[(String, Double)].collect().toMap
     assert(r == Map("en" -> 0.2158, "fr" -> 0.2158))
   }
+
+  test("bigramEntropy: uniform bigrams hit log2(types); repetition hits 0") {
+    import graft.operators.Vocabulary
+    // rep: "a a a a a" → 4 × bigram (a,a) → H = 0 exactly.
+    // div: "a b c a" → bigrams ab, bc, ca each once → H = log2 3.
+    // mix: "x y x y x" → xy ×2, yx ×2 → uniform over 2 → H = 1 bit.
+    // one-token and empty docs contribute no bigrams and no group row.
+    val docs = Seq(
+      (1L, "rep", "a a a a a"), (2L, "div", "a b c a"),
+      (3L, "mix", "x y x y x"), (4L, "mix", ""), (5L, "mix", "solo")
+    ).toDF("doc_id", "source", "text")
+    val got = Vocabulary.bigramEntropy(docs, "source", "text")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("rep") == ((4L, 1L, 0.0)))
+    assert(got("div") == ((3L, 3L, math.rint(math.log(3) / math.log(2) * 1e4) / 1e4)))
+    assert(got("mix") == ((4L, 2L, 1.0)))
+  }
 }
