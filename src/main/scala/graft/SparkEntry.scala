@@ -1784,6 +1784,11 @@ object SparkEntry {
     "events_ttest_paired" -> ((s, d) =>
       StatTests.pairedTTest(t(s, d, "events"), col("user_id"),
         floor(col("value") * 100 + 0.5), expr("unix_micros(ts)"))),
+    // mixture-SPRT always-valid sequential readout: the peeking-safe
+    // daily p-curve beside the fixed-horizon tests (r16)
+    "events_msprt" -> ((s, d) =>
+      StatTests.msprt(t(s, d, "events"), col("user_id"),
+        floor(col("value") * 100 + 0.5), col("ts"))),
     // does a monotone trend EXIST (Theil–Sen's hypothesis-test sibling)
     "events_mann_kendall" -> ((s, d) =>
       Behavior.dailyMannKendall(t(s, d, "events"), "ts")),
@@ -5111,6 +5116,56 @@ object SparkEntry {
          SELECT n AS n_units, round(mean / 100.0, 6) AS mean_diff,
                 round(mean / sqrt(sv / CAST(n AS DOUBLE)), 6) AS t
          FROM v WHERE sv > 0.0""",
+    // cumulative exact moments on the day grid; lnΛ scalar tree mirrors
+    // Spark term-for-term; p rounded 6dp BEFORE the running min
+    "events_msprt" ->
+      """WITH base AS (SELECT CAST(ts AS DATE) AS day, user_id % 2 AS v,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                       FROM events WHERE value IS NOT NULL),
+         daily AS (SELECT day, v, count(*) AS n,
+                          CAST(sum(y) AS BIGINT) AS s,
+                          CAST(sum(y * y) AS BIGINT) AS ss
+                   FROM base GROUP BY 1, 2),
+         cum AS (SELECT day, v,
+                        CAST(sum(n) OVER w AS BIGINT) AS cn,
+                        CAST(sum(s) OVER w AS BIGINT) AS cs,
+                        CAST(sum(ss) OVER w AS BIGINT) AS css
+                 FROM daily
+                 WINDOW w AS (PARTITION BY v ORDER BY day
+                              ROWS UNBOUNDED PRECEDING)),
+         j AS (SELECT a.day, a.cn AS na, a.cs AS sa, a.css AS ssa,
+                      b.cn AS nb, b.cs AS sb, b.css AS ssb
+               FROM cum a JOIN cum b ON a.day = b.day
+               WHERE a.v = 0 AND b.v = 1),
+         sc AS (SELECT day, na, nb,
+                       CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                         - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS dc,
+                       ((CAST(ssa AS DOUBLE)
+                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                             / CAST(na AS DOUBLE))
+                        + (CAST(ssb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                             / CAST(nb AS DOUBLE)))
+                       / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS s2
+                FROM j),
+         sv AS (SELECT day, na, nb, dc,
+                       s2 * (1.0 / CAST(na AS DOUBLE)
+                             + 1.0 / CAST(nb AS DOUBLE)) AS vc
+                FROM sc),
+         lr AS (SELECT day, na, nb, dc, vc,
+                       0.5 * ln(vc / (vc + 100.0))
+                         + dc * dc * 100.0
+                           / (2.0 * vc * (vc + 100.0)) AS llr
+                FROM sv WHERE vc > 0.0),
+         pv AS (SELECT day, na, nb, dc, llr,
+                       round(least(1.0, exp(-llr)), 6) AS p_av
+                FROM lr)
+         SELECT day, na AS n_a, nb AS n_b,
+                round(dc / 100.0, 6) AS mean_delta,
+                round(llr, 6) AS llr, p_av AS p_always_valid,
+                min(p_av) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  AS p_running
+         FROM pv""",
     // exact sign-pair S, integer tie term, continuity-corrected z, A&S p
     "events_mann_kendall" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x

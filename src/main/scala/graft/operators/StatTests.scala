@@ -911,4 +911,80 @@ object StatTests {
         round(m4 / (col("m2") * col("m2")), 6).as("kurt_pop"),
         round(m4 / (col("m2") * col("m2")) - 3.0, 6).as("kurt_excess"))
   }
+
+  /** Always-valid sequential mean-difference test — mixture SPRT (Johari,
+    * Pekelis & Walsh: "Peeking at A/B tests", KDD'17): at each DAY, the
+    * cumulative log likelihood ratio of the even-vs-odd-unit mean
+    * difference against the H0-centered normal mixture with variance τ²,
+    * and the always-valid p = running min of min(1, Λ⁻¹). This is the
+    * number an experimenter may read EVERY day and stop on without
+    * inflating false positives — the fixed-horizon tests in this file are
+    * valid only at their one preplanned n.
+    *
+    * ln Λ = ½·ln(V/(V+τ²)) + Δ²τ² / (2V(V+τ²)), with Δ the cumulative
+    * mean difference and V = σ̂²(1/n_a + 1/n_b) from the pooled population
+    * variance of cumulative exact moments. Emitting the LOG ratio keeps a
+    * strong effect from overflowing exp; p comes via exp(−lnΛ), which
+    * underflows gracefully to 0.
+    *
+    * Determinism: per-(day, variant) moments are exact int64/decimal
+    * sums; the cumulative windows sum those exact integers over the
+    * CALENDAR-BOUNDED day grid (windows sort the grid, never events — the
+    * binaryAuc lesson applied by construction); each day's scalar tree
+    * (one ln, one exp) then evaluates on bit-identical inputs in any
+    * engine, rounded 6dp BEFORE the running min so both engines take
+    * minima over identical keys. Days where an arm has no cumulative
+    * history yet or σ̂² = 0 carry no readout (dropped, loud in the row
+    * count: a silent p = 1 would read as evidence of no effect).
+    *
+    * Scale: ONE map-side-combined groupBy to the (day, variant) grain;
+    * everything downstream runs on ≤ 2·days rows.
+    */
+  def msprt(events: DataFrame, unit: Column, cents: Column, ts: Column,
+            tauCents: Double = 10.0): DataFrame = {
+    require(tauCents > 0, s"bad tauCents=$tauCents")
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(
+        to_date(graft.functions.TimeCols.ltz(ts)).as("day"),
+        (unit % 2).cast("long").as("v"), cents.cast("long").as("y"))
+      .where(col("y").isNotNull)
+    val daily = base.groupBy(col("day"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(xprod(col("y"), col("y"))).as("ss"))
+    val w = Window.partitionBy(col("v")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"), col("v"),
+      sum(col("n")).over(w).as("cn"), sum(col("s")).over(w).as("cs"),
+      sum(col("ss")).over(w).as("css"))
+    // inner join on day: the readout advances on days where BOTH arms
+    // observed new data (each row still carries full cumulative history)
+    val j = cum.where(col("v") === 0)
+      .select(col("day"), col("cn").as("na"), col("cs").as("sa"),
+        col("css").as("ssa"))
+      .join(cum.where(col("v") === 1)
+        .select(col("day"), col("cn").as("nb"), col("cs").as("sb"),
+          col("css").as("ssb")), Seq("day"))
+    val delta = d(col("sb")) / d(col("nb")) - d(col("sa")) / d(col("na"))
+    val sigma2 = (((d(col("ssa")) - d(col("sa")) * d(col("sa")) / d(col("na")))
+      + (d(col("ssb")) - d(col("sb")) * d(col("sb")) / d(col("nb"))))
+      / (d(col("na")) + d(col("nb"))))
+    val vv = sigma2 * (lit(1.0) / d(col("na")) + lit(1.0) / d(col("nb")))
+    val tau2 = lit(tauCents * tauCents)
+    val llr = lit(0.5) * log(col("vc") / (col("vc") + tau2)) +
+      col("dc") * col("dc") * tau2 /
+        (lit(2.0) * col("vc") * (col("vc") + tau2))
+    val scored = j.withColumn("dc", delta).withColumn("vc", vv)
+      .where(col("vc") > 0.0)
+      .withColumn("llr", llr)
+      .withColumn("p_av",
+        round(least(lit(1.0), exp(-col("llr"))), 6))
+    scored
+      .withColumn("p_running", min(col("p_av")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("dc") / 100.0, 6).as("mean_delta"),
+        round(col("llr"), 6).as("llr"),
+        col("p_av").as("p_always_valid"), col("p_running"))
+  }
 }

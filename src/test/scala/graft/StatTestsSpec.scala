@@ -454,4 +454,56 @@ class StatTestsSpec extends SparkSpec {
     assert(StatTests.interarrivalExpFit(burst, col("u"), col("ts"),
       col("eid")).count() == 0)
   }
+
+  test("msprt matches a plain-Scala replica day by day; p_running monotone") {
+    // three days, arms by user parity (even=A, odd=B); values in cents
+    val rows = Seq(
+      // day 1: A {100, 200}, B {400}
+      (0L, 1L, 100L), (2L, 1L, 200L), (1L, 1L, 400L),
+      // day 2: A {300}, B {500, 100}
+      (4L, 2L, 300L), (3L, 2L, 500L), (5L, 2L, 100L),
+      // day 3: A {250}, B {50}
+      (6L, 3L, 250L), (7L, 3L, 50L))
+    val ev = rows.toDF("u", "d", "y")
+      .select(col("u"),
+        timestamp_micros(col("d") * 86400000000L).as("ts"), col("y"))
+    val got = StatTests.msprt(ev, col("u"), col("y"), col("ts"))
+      .as[(java.sql.Date, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1.getTime)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // replica: cumulative moments per arm, lnΛ per day
+    val byDay = rows.groupBy(_._2).toSeq.sortBy(_._1)
+    var (na, sa, ssa, nb, sb, ssb) = (0L, 0L, 0L, 0L, 0L, 0L)
+    val exp0 = byDay.map { case (_, rs) =>
+      rs.foreach { case (u, _, y) =>
+        if (u % 2 == 0) { na += 1; sa += y; ssa += y * y }
+        else { nb += 1; sb += y; ssb += y * y }
+      }
+      val dc = sb.toDouble / nb - sa.toDouble / na
+      val s2 = ((ssa - sa.toDouble * sa / na) + (ssb - sb.toDouble * sb / nb)) / (na + nb)
+      val vc = s2 * (1.0 / na + 1.0 / nb)
+      val llr = 0.5 * math.log(vc / (vc + 100.0)) +
+        dc * dc * 100.0 / (2.0 * vc * (vc + 100.0))
+      (na, nb, rnd(dc / 100.0), rnd(llr), rnd(math.min(1.0, math.exp(-llr))))
+    }
+    assert(got.length == 3)
+    got.zip(exp0).foreach { case (g, e) =>
+      assert((g._2, g._3, g._4, g._5, g._6) === e, s"day ${g._1}")
+    }
+    // always-valid p never rises
+    val runs = got.map(_._7)
+    assert(runs.zip(runs.drop(1)).forall { case (a, b) => b <= a })
+    assert(runs.zip(got.map(_._6)).forall { case (r, p) => r <= p })
+  }
+
+  test("msprt drops zero-variance prefixes loudly, not as fake p = 1") {
+    // day 1: both arms constant at 100 → σ̂² = 0, no readout; day 2 adds
+    // spread → exactly one row
+    val ev = Seq((0L, 1L, 100L), (1L, 1L, 100L), (2L, 2L, 300L),
+      (3L, 2L, 500L)).toDF("u", "d", "y")
+      .select(col("u"),
+        timestamp_micros(col("d") * 86400000000L).as("ts"), col("y"))
+    val got = StatTests.msprt(ev, col("u"), col("y"), col("ts")).collect()
+    assert(got.length == 1)
+  }
 }
