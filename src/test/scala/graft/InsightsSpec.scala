@@ -404,6 +404,12 @@ class InsightsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(g2("x") === 150000000L)
     assert(g2("y") === 150000000L + 850000000L) // full rank of x flows in
+    // the long and decimal damping lanes are bit-equal: force the decimal
+    // lane (longLaneMaxNodes = 0) and demand identical ranks
+    val viaDecimal = Graph
+      .pageRankFixedPoint(path, "src", "dst", 2, longLaneMaxNodes = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaDecimal === got)
   }
 
   test("triangleStats: K4-minus-an-edge hand census, dedup, deg-1 node") {
