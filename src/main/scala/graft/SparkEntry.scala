@@ -1124,6 +1124,10 @@ object SparkEntry {
     // available as Dedup.ngramJaccardPairs for caller-chosen blocking
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text", 0.8)),
+    // per-source survivorship governance report: exact + near stages,
+    // keep rates that set downstream mix weights (r16)
+    "dedup_loss_report" -> ((s, d) =>
+      Dedup.lossReport(t(s, d, "documents"), "doc_id", "text", "source")),
     // continuous-pipeline dedup: a "freshly landed" tenth of the corpus is
     // checked against the rest, probe-only (no corpus self-join)
     "dedup_incremental" -> ((s, d) => {
@@ -3730,6 +3734,48 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY fp""",
+    // exact stage = min-id per fingerprint group; near stage = the prefix
+    // pair set (guaranteed recall both engines) at 0.9 over exact
+    // survivors, pair-grain min-id drop rule
+    "dedup_loss_report" ->
+      """WITH d AS (SELECT doc_id AS id, source,
+                           list_distinct(string_split(lower(text), ' '))
+                             AS words
+                    FROM documents),
+         f AS (SELECT *, md5(array_to_string(list_sort(words), ' ')) AS fp
+               FROM d),
+         k AS (SELECT fp, min(id) AS keep_id FROM f GROUP BY fp),
+         t AS (SELECT f.id, f.source, f.words, f.id <> k.keep_id AS exact_dup
+               FROM f JOIN k USING (fp)),
+         s AS (SELECT * FROM t WHERE NOT exact_dup),
+         tok AS (SELECT id, unnest(words) AS w, len(words) AS n FROM s),
+         dfq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+         pfx AS (SELECT id, w FROM (
+                   SELECT t2.id, t2.w, t2.n,
+                          row_number() OVER (PARTITION BY t2.id
+                            ORDER BY q.df, t2.w) AS rn
+                   FROM tok t2 JOIN dfq q USING (w))
+                 WHERE rn <= n - ceil(n * 0.9) + 1),
+         cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+                  FROM pfx l JOIN pfx r ON l.w = r.w AND l.id < r.id),
+         near AS (SELECT DISTINCT c.id_b AS id
+                  FROM cand c JOIN s a ON c.id_a = a.id
+                  JOIN s b ON c.id_b = b.id
+                  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.words, b.words)))
+                        >= 0.9)
+         SELECT t.source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN t.exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_exact_dropped,
+                CAST(sum(CASE WHEN NOT t.exact_dup AND n.id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped,
+                CAST(sum(CASE WHEN NOT t.exact_dup AND n.id IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                round(CAST(sum(CASE WHEN NOT t.exact_dup AND n.id IS NULL
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS keep_rate
+         FROM t LEFT JOIN near n USING (id)
+         GROUP BY 1""",
     // incremental = the complete pair set restricted to pairs touching the
     // "new" split (both engines have guaranteed recall, so the sets match);
     // the indexed variant runs the identical semantics through the persisted

@@ -975,4 +975,52 @@ object Dedup {
             "'pos', pos, 'piece', piece, 'drop', drop))), " +
             "e -> NOT e.drop), e -> e.piece)")).as("clean_text"))
   }
+
+  /** Per-group dedup survivorship report — the governance readout a corpus
+    * curator signs off on before a training run: of each SOURCE's
+    * documents, how many fall to exact dedup, how many of the exact
+    * survivors fall to near-dedup, and what share survives both stages.
+    * The per-source keep RATE is what sets mix weights downstream — a
+    * source that loses 60% to boilerplate is not the source its raw row
+    * count claims it is.
+    *
+    * Stage rules are the engine's own deterministic conventions: exact =
+    * [[TextFunctions.fingerprint]] groups keep their min id; near = an
+    * exact SURVIVOR with a J ≥ `threshold` partner of smaller id
+    * ([[jaccardPairsPrefix]] — guaranteed recall, so the drop set is
+    * exactly reproducible on any engine; pair-grain min-id, not
+    * transitive components, so the rule is order-free and SQL-checkable).
+    *
+    * Scale shape: one fingerprint groupBy, the prefix pair join on the
+    * deduped (strictly smaller) survivor set, one distinct of dropped
+    * ids, and a group-grain final aggregate. Output: (group, n_docs,
+    * n_exact_dropped, n_near_dropped, n_kept, keep_rate).
+    */
+  def lossReport(docs: DataFrame, idCol: String, textCol: String,
+                 groupCol: String, threshold: Double = 0.9): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(groupCol).as("g"),
+      col(textCol).as("text"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val keep = base.groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
+    val tagged = base.join(keep, "fp")
+      .select(col("id"), col("g"),  col("text"),
+        (col("id") =!= col("keep_id")).as("exact_dup"))
+    val survivors = tagged.where(!col("exact_dup"))
+    val nearDropped = jaccardPairsPrefix(
+        survivors.select(col("id"), col("text")), "id", "text", threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("near_dup", lit(true))
+    tagged.join(nearDropped, Seq("id"), "left")
+      .select(col("g"), col("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_dropped"),
+        sum(when(!col("exact_dup") && col("near_dup"), 1L).otherwise(0L))
+          .as("n_near_dropped"),
+        sum(when(!col("exact_dup") && !col("near_dup"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("keep_rate",
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6))
+  }
 }

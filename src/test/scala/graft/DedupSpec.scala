@@ -394,4 +394,27 @@ class DedupSpec extends SparkSpec {
       (5L, 1L, 1L, "")))
     assert(run(7) === got)
   }
+
+  test("lossReport: exact and near stages attribute drops per source") {
+    val t20 = (1 to 20).map(i => s"t$i").mkString(" ")
+    val t19u = ((1 to 19).map(i => s"t$i") :+ "u1").mkString(" ")
+    val docs = Seq(
+      (1L, "A", t20),            // survivor
+      (2L, "A", t20),            // exact dup of 1 (same fingerprint)
+      (3L, "A", t19u),           // near dup: J = 19/21 ≈ 0.905 ≥ 0.9
+      (4L, "B", "solo doc here") // untouched
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.Dedup
+      .lossReport(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("A") === ((3L, 1L, 1L, 1L, 0.333333)))
+    assert(got("B") === ((1L, 0L, 0L, 1L, 1.0)))
+    // at a tighter threshold the near pair no longer qualifies
+    val strict = graft.operators.Dedup
+      .lossReport(docs, "doc_id", "text", "source", threshold = 0.95)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(strict("A") === 0L)
+  }
 }
