@@ -956,14 +956,17 @@ object StatTests {
     val cum = daily.select(col("day"), col("v"),
       sum(col("n")).over(w).as("cn"), sum(col("s")).over(w).as("cs"),
       sum(col("ss")).over(w).as("css"))
-    // inner join on day: the readout advances on days where BOTH arms
-    // observed new data (each row still carries full cumulative history)
-    val j = cum.where(col("v") === 0)
-      .select(col("day"), col("cn").as("na"), col("cs").as("sa"),
-        col("css").as("ssa"))
-      .join(cum.where(col("v") === 1)
-        .select(col("day"), col("cn").as("nb"), col("cs").as("sb"),
-          col("css").as("ssb")), Seq("day"))
+    // arm alignment WITHOUT a self-join: one conditional aggregation to
+    // the day grain (an arm's columns are null on days it saw no new
+    // data — those days drop, the inner-join semantics at one exchange
+    // less). The readout advances on days where BOTH arms observed data;
+    // each surviving row still carries full cumulative history.
+    def arm(v: Int, c: String) = max(when(col("v") === v, col(c)))
+    val j = cum.groupBy(col("day"))
+      .agg(arm(0, "cn").as("na"), arm(0, "cs").as("sa"),
+        arm(0, "css").as("ssa"), arm(1, "cn").as("nb"),
+        arm(1, "cs").as("sb"), arm(1, "css").as("ssb"))
+      .where(col("na").isNotNull && col("nb").isNotNull)
     val delta = d(col("sb")) / d(col("nb")) - d(col("sa")) / d(col("na"))
     val sigma2 = (((d(col("ssa")) - d(col("sa")) * d(col("sa")) / d(col("na")))
       + (d(col("ssb")) - d(col("sb")) * d(col("sb")) / d(col("nb"))))

@@ -189,4 +189,114 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed $i")
     }
   }
+
+  test("property: kCore members have >= k in-core neighbors, outsiders don't") {
+    // the defining property of the k-core (unique maximal subgraph of
+    // min-degree k): every member keeps >= k neighbors INSIDE the core,
+    // and no removed node has >= k core neighbors (else the peel was
+    // wrong). Self-consistency on seeded random graphs, plus
+    // partitioning invariance.
+    val gen = Gen.listOfN(60, for {
+      a <- Gen.choose(1L, 20L)
+      b <- Gen.choose(1L, 20L)
+    } yield (a, b))
+    for (i <- 1L to rounds) {
+      val und = sample(gen, i).filter(e => e._1 != e._2)
+      val edges = (und ++ und.map(_.swap)).distinct
+      val df = edges.toDF("src", "dst")
+      val core = graft.operators.Graph.kCore(df, "src", "dst", 3)
+        .as[(Long, Long)].collect().toMap
+      val adj = edges.groupBy(_._1).map { case (n, es) =>
+        n -> es.map(_._2).toSet
+      }
+      core.foreach { case (n, deg) =>
+        val inCore = adj(n).count(core.contains)
+        assert(inCore >= 3 && inCore.toLong == deg, s"seed $i node $n")
+      }
+      adj.keys.filterNot(core.contains).foreach { n =>
+        assert(adj(n).count(core.contains) < 3, s"seed $i outsider $n")
+      }
+      val reGot = graft.operators.Graph
+        .kCore(df.repartition(7), "src", "dst", 3)
+        .as[(Long, Long)].collect().toMap
+      assert(reGot == core, s"seed $i partitioning")
+    }
+  }
+
+  test("property: tukeyOutliers equals the sort-rank-fence replica") {
+    val gen = Gen.listOfN(40, for {
+      b <- Gen.choose(1L, 15L)
+      c <- Gen.choose(-500L, 2000L)
+    } yield (b, c))
+    for (i <- 1L to rounds) {
+      val rows = sample(gen, i)
+      val df = rows.toDF("b", "c").withColumn("g", lit("g"))
+      val got = graft.operators.Profiler
+        .tukeyOutliers(df, "g", col("b"), col("c"))
+        .as[(String, Long, Long, String)].collect()
+        .map(r => (r._2, r._3, r._4)).toSet
+      // replica: bucket totals, order-statistic quartiles, deci-fences
+      val totals = rows.groupBy(_._1).map { case (b, g) =>
+        b -> g.map(_._2).sum
+      }.toMap
+      val sorted = totals.values.toSeq.sorted
+      val n = sorted.size
+      val q1 = sorted((n - 1) / 4)
+      val q3 = sorted((n - 1) * 3 / 4)
+      val want = totals.collect {
+        case (b, t) if 10 * t < 10 * q1 - 15 * (q3 - q1) => (b, t, "low")
+        case (b, t) if 10 * t > 10 * q3 + 15 * (q3 - q1) => (b, t, "high")
+      }.toSet
+      assert(got == want, s"seed $i")
+    }
+  }
+
+  test("property: centroidSilhouette equals a plain-Scala replica") {
+    val gen = Gen.listOfN(30, for {
+      lbl <- Gen.choose(0, 2)
+      x <- Gen.choose(-300, 300)
+      y <- Gen.choose(-300, 300)
+    } yield (lbl, x / 100.0f, y / 100.0f))
+    for (i <- 1L to rounds) {
+      val pts = sample(gen, i).zipWithIndex
+        .map { case ((l, x, y), id) => (id.toLong, Array(x, y), l) }
+      val df = pts.toDF("vec_id", "embedding", "label")
+      val got = graft.operators.ClusterEval
+        .centroidSilhouette(df, "vec_id", "embedding", "label")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // replica on the same micro grid / multiplied-out integer form
+      val micro = pts.map { case (id, v, l) =>
+        (id, v.map(x => math.floor(x.toDouble * 1000000).toLong), l.toLong)
+      }
+      val byL = micro.groupBy(_._3)
+      if (byL.size >= 2) {
+        val sums = byL.map { case (l, g) =>
+          l -> (g.size.toLong, Array(g.map(_._2(0)).sum, g.map(_._2(1)).sum))
+        }
+        val sil = micro.map { case (_, v, own) =>
+          val ds = sums.map { case (l, (n, s)) =>
+            // exact integer numerator first, ONE cast to double after the
+            // fold — the operator's decimal(38,0) aggregate, replicated
+            val num = v.indices.map { j =>
+              val t = BigDecimal(n) * BigDecimal(v(j)) - BigDecimal(s(j))
+              t * t
+            }.sum
+            l -> math.sqrt(num.toDouble) / n.toDouble
+          }
+          val a = ds(own)
+          val b = (ds - own).values.min
+          val s = if (math.max(a, b) == 0.0) 0.0
+            else (b - a) / math.max(a, b)
+          own -> math.floor(s * 1000000 + 0.5).toLong
+        }
+        val want = sil.groupBy(_._1).map { case (l, g) =>
+          val mean = BigDecimal(g.map(_._2).sum.toDouble / g.size / 1e6)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          l -> ((g.size.toLong, mean))
+        }
+        assert(got == want, s"seed $i")
+      }
+    }
+  }
 }

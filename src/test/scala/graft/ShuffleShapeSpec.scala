@@ -199,4 +199,29 @@ class ShuffleShapeSpec extends SparkSpec {
     assert(shuffles(StatTests.minSampleSizeMeans(ev, col("event_type"),
       cents, 0.05)) <= 1)
   }
+
+  test("round-16 operators stay inside their documented budgets") {
+    import graft.operators.{ClusterEval, Profiler, StatTests, Vocabulary}
+    val cents = floor(col("value") * 100 + 0.5)
+    // one grouped pass to the (type, hour) grain; rank/quartile windows
+    // and the broadcast quartile join run on the calendar-bounded frame
+    assert(shuffles(Profiler.tukeyOutliers(ev, "event_type",
+      date_trunc("hour", col("ts")), cents.cast("long"))) <= 3)
+    // exploded bigram pass + the two group grains
+    val docs = ev.select(col("event_id").as("doc_id"),
+      col("props").as("text"), col("event_type").as("source"))
+    assert(shuffles(Vocabulary.bigramEntropy(docs, "source", "text")) <= 2)
+    // one (day, variant) moment pass; cumulative + running-min windows
+    // sort the day grid only
+    assert(shuffles(StatTests.msprt(ev, col("user_id"), cents,
+      col("ts"))) <= 4)
+    // codebook collect feeds a literal: the returned SCORING plan is one
+    // scan + one label-grain aggregate — nothing else may exchange
+    val emb = ev.limit(64).select(col("event_id").as("vec_id"),
+      array(col("value").cast("float"),
+        (col("value") * 2).cast("float")).as("embedding"),
+      (col("user_id") % 3).cast("int").as("label"))
+    assert(shuffles(ClusterEval.centroidSilhouette(emb, "vec_id",
+      "embedding", "label")) <= 1)
+  }
 }
