@@ -1793,6 +1793,12 @@ object SparkEntry {
     "events_msprt" -> ((s, d) =>
       StatTests.msprt(t(s, d, "events"), col("user_id"),
         floor(col("value") * 100 + 0.5), col("ts"))),
+    // delta-method ratio-metric test: purchases per view, the CTR-shaped
+    // readout the per-user t-test gets wrong (r16)
+    "events_ratio_ztest" -> ((s, d) =>
+      StatTests.ratioZTest(t(s, d, "events"), col("user_id"),
+        (col("event_type") === "purchase").cast("long"),
+        (col("event_type") === "view").cast("long"))),
     // does a monotone trend EXIST (Theil–Sen's hypothesis-test sibling)
     "events_mann_kendall" -> ((s, d) =>
       Behavior.dailyMannKendall(t(s, d, "events"), "ts")),
@@ -5162,6 +5168,64 @@ object SparkEntry {
          SELECT n AS n_units, round(mean / 100.0, 6) AS mean_diff,
                 round(mean / sqrt(sv / CAST(n AS DOUBLE)), 6) AS t
          FROM v WHERE sv > 0.0""",
+    // unit-grain exact moments, per-arm delta-method variance, shared
+    // A&S p polynomial — every double op in Spark's order
+    "events_ratio_ztest" ->
+      """WITH base AS (SELECT user_id AS u,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS n,
+                              CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END AS dd
+                       FROM events),
+         units AS (SELECT u % 2 AS v, CAST(sum(n) AS BIGINT) AS n,
+                          CAST(sum(dd) AS BIGINT) AS dn
+                   FROM base GROUP BY u),
+         byv AS (SELECT v, count(*) AS k, CAST(sum(n) AS BIGINT) AS sn,
+                        CAST(sum(dn) AS BIGINT) AS sd,
+                        sum(CAST(n AS HUGEINT) * n) AS snn,
+                        sum(CAST(n AS HUGEINT) * dn) AS snd,
+                        sum(CAST(dn AS HUGEINT) * dn) AS sdd
+                 FROM units GROUP BY v),
+         st AS (SELECT v, k,
+                       CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE) AS r,
+                       CAST(snn AS DOUBLE) / CAST(k AS DOUBLE)
+                         - (CAST(sn AS DOUBLE) / CAST(k AS DOUBLE))
+                           * (CAST(sn AS DOUBLE) / CAST(k AS DOUBLE)) AS vn,
+                       CAST(sdd AS DOUBLE) / CAST(k AS DOUBLE)
+                         - (CAST(sd AS DOUBLE) / CAST(k AS DOUBLE))
+                           * (CAST(sd AS DOUBLE) / CAST(k AS DOUBLE)) AS vd,
+                       CAST(snd AS DOUBLE) / CAST(k AS DOUBLE)
+                         - (CAST(sn AS DOUBLE) / CAST(k AS DOUBLE))
+                           * (CAST(sd AS DOUBLE) / CAST(k AS DOUBLE)) AS cnd,
+                       CAST(sd AS DOUBLE) / CAST(k AS DOUBLE) AS dbar
+                FROM byv WHERE k >= 2 AND sd > 0),
+         vr AS (SELECT v, k, r,
+                       (vn - 2.0 * r * cnd + r * r * vd)
+                         / (CAST(k AS DOUBLE) * dbar * dbar) AS vv
+                FROM st),
+         j AS (SELECT max(CASE WHEN v = 0 THEN k END) AS ka,
+                      max(CASE WHEN v = 1 THEN k END) AS kb,
+                      max(CASE WHEN v = 0 THEN r END) AS ra,
+                      max(CASE WHEN v = 1 THEN r END) AS rb,
+                      max(CASE WHEN v = 0 THEN vv END) AS va,
+                      max(CASE WHEN v = 1 THEN vv END) AS vb
+               FROM vr),
+         w AS (SELECT ka, kb, ra, rb,
+                      (rb - ra) / sqrt(va + vb) AS z
+               FROM j
+               WHERE ka IS NOT NULL AND kb IS NOT NULL AND va + vb > 0.0)
+         SELECT ka AS k_a, kb AS k_b,
+                round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
+                round(rb - ra, 6) AS diff, round(z, 6) AS z,
+                round(2.0 * (exp(abs(w.z) * abs(w.z) * -0.5)
+                             * 0.3989422804014327)
+                      * ((1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                         * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                            * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                               * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                  * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(w.z)))
+                                     * 1.330274429))))), 6) AS p_value
+         FROM w""",
     // cumulative exact moments on the day grid; lnΛ scalar tree mirrors
     // Spark term-for-term; p rounded 6dp BEFORE the running min
     "events_msprt" ->

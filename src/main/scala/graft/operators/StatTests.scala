@@ -912,6 +912,71 @@ object StatTests {
         round(m4 / (col("m2") * col("m2")) - 3.0, 6).as("kurt_excess"))
   }
 
+  /** Ratio-metric z-test via the delta method (Deng, Knoblich & Lu,
+    * KDD'18 "Applying the Delta Method in Metric Analytics"): the test
+    * for CTR-shaped metrics R = Σnum/Σden where BOTH totals vary per
+    * unit — the per-user t-test is wrong there (units are the
+    * randomization grain, events are not independent), and the naive
+    * proportion test ignores the denominator's variance.
+    *
+    * Var(R) ≈ (var(n) − 2R·cov(n,d) + R²·var(d)) / (k·d̄²) per variant
+    * (population moments at the unit grain), z = (R_b − R_a)/√(V_a+V_b),
+    * two-sided p via the shared Φ polynomial.
+    *
+    * Exact int64/decimal moments at unit then variant grain (two
+    * map-side-combined shuffles — the [[cuped]] shape); the variant
+    * frames align by conditional aggregation (no self-join); the scalar
+    * tree is fixed doubles rounded 6dp. Variants missing units, with a
+    * zero denominator total, or with zero combined variance drop loudly
+    * (empty frame, never a fake p).
+    *
+    * Output one row: k_a, k_b, ratio_a, ratio_b, diff, z, p_value.
+    */
+  def ratioZTest(events: DataFrame, unit: Column, num: Column,
+                 den: Column): DataFrame = {
+    val base = events.select(unit.as("u"),
+      coalesce(num.cast("long"), lit(0L)).as("n"),
+      coalesce(den.cast("long"), lit(0L)).as("dd"))
+    val units = base.groupBy(col("u"))
+      .agg(sum(col("n")).as("n"), sum(col("dd")).as("dn"))
+      .select((col("u") % 2).cast("long").as("v"), col("n"), col("dn"))
+    val byV = units.groupBy(col("v"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("sn"),
+        sum(col("dn")).as("sd"),
+        sum(xprod(col("n"), col("n"))).as("snn"),
+        sum(xprod(col("n"), col("dn"))).as("snd"),
+        sum(xprod(col("dn"), col("dn"))).as("sdd"))
+    def arm(v: Int, c: String) = max(when(col("v") === v, col(c)))
+    val cols = Seq("k", "sn", "sd", "snn", "snd", "sdd")
+    val j = byV.agg(
+      cols.map(c => arm(0, c).as(c + "a")).head,
+      (cols.map(c => arm(0, c).as(c + "a")).tail ++
+        cols.map(c => arm(1, c).as(c + "b"))): _*)
+      .where(col("ka").isNotNull && col("kb").isNotNull &&
+        col("ka") >= 2 && col("kb") >= 2 &&
+        col("sda") > 0L && col("sdb") > 0L)
+    def varR(s: String) = {
+      val k = d(col("k" + s)); val sn = d(col("sn" + s))
+      val sd = d(col("sd" + s)); val snn = d(col("snn" + s))
+      val snd = d(col("snd" + s)); val sdd = d(col("sdd" + s))
+      val r = sn / sd
+      val varN = snn / k - (sn / k) * (sn / k)
+      val varD = sdd / k - (sd / k) * (sd / k)
+      val covND = snd / k - (sn / k) * (sd / k)
+      val dbar = sd / k
+      (r, (varN - lit(2.0) * r * covND + r * r * varD)
+        / (k * dbar * dbar))
+    }
+    val (ra, va) = varR("a")
+    val (rb, vb) = varR("b")
+    val z = (rb - ra) / sqrt(va + vb)
+    j.where(va + vb > 0.0)
+      .select(col("ka").as("k_a"), col("kb").as("k_b"),
+        round(ra, 6).as("ratio_a"), round(rb, 6).as("ratio_b"),
+        round(rb - ra, 6).as("diff"), round(z, 6).as("z"),
+        round(normalTwoSidedP(z), 6).as("p_value"))
+  }
+
   /** Always-valid sequential mean-difference test — mixture SPRT (Johari,
     * Pekelis & Walsh: "Peeking at A/B tests", KDD'17): at each DAY, the
     * cumulative log likelihood ratio of the even-vs-odd-unit mean

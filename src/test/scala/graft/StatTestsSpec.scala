@@ -455,6 +455,45 @@ class StatTestsSpec extends SparkSpec {
       col("eid")).count() == 0)
   }
 
+  test("ratioZTest matches a plain-Scala delta-method replica") {
+    // unit totals — arm A (even u): (1,4) (2,6) (0,5); arm B: (2,4) (3,5)
+    val rows = Seq(
+      (0L, 1L, 4L), (2L, 2L, 6L), (4L, 0L, 5L),
+      (1L, 2L, 4L), (3L, 3L, 5L))
+    val ev = rows.flatMap { case (u, n, dd) =>
+      Seq.fill(n.toInt)((u, 1L, 0L)) ++ Seq.fill(dd.toInt)((u, 0L, 1L))
+    }.toDF("u", "n", "dd")
+    val got = StatTests.ratioZTest(ev, col("u"), col("n"), col("dd"))
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def stats(arm: Seq[(Long, Long)]): (Double, Double) = {
+      val k = arm.size.toDouble
+      val sn = arm.map(_._1).sum.toDouble
+      val sd = arm.map(_._2).sum.toDouble
+      val snn = arm.map(t => t._1 * t._1).sum.toDouble
+      val snd = arm.map(t => t._1 * t._2).sum.toDouble
+      val sdd = arm.map(t => t._2 * t._2).sum.toDouble
+      val r = sn / sd
+      val vn = snn / k - (sn / k) * (sn / k)
+      val vd = sdd / k - (sd / k) * (sd / k)
+      val cnd = snd / k - (sn / k) * (sd / k)
+      val dbar = sd / k
+      (r, (vn - 2.0 * r * cnd + r * r * vd) / (k * dbar * dbar))
+    }
+    val (ra, va) = stats(rows.filter(_._1 % 2 == 0).map(t => (t._2, t._3)))
+    val (rb, vb) = stats(rows.filter(_._1 % 2 == 1).map(t => (t._2, t._3)))
+    val z = (rb - ra) / math.sqrt(va + vb)
+    assert(got._1 == 3L && got._2 == 2L)
+    assert(got._3 == rnd(ra) && got._4 == rnd(rb))
+    assert(got._6 == rnd(z))
+    assert(got._7 > 0.0 && got._7 <= 1.0)
+    // an arm with a zero denominator total has no ratio: empty, loudly
+    val noDen = Seq((0L, 1L, 0L), (2L, 2L, 0L), (1L, 1L, 3L), (3L, 0L, 2L))
+      .toDF("u", "n", "dd")
+    assert(StatTests.ratioZTest(noDen, col("u"), col("n"), col("dd"))
+      .count() == 0)
+  }
+
   test("msprt matches a plain-Scala replica day by day; p_running monotone") {
     // three days, arms by user parity (even=A, odd=B); values in cents
     val rows = Seq(
