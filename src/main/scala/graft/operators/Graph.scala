@@ -38,10 +38,15 @@ object Graph {
                         maxGroupSize: Int = 1 << 12,
                         failOnOversized: Boolean = false): DataFrame = {
     require(maxGroupSize >= 2, s"bad maxGroupSize=$maxGroupSize")
+    // the (group, item) relation feeds FOUR consumers (the size frame,
+    // the guard action, and both sides of the pair self-join): one
+    // eager materialization instead of four source rescans+distincts —
+    // the same idiom as triangleStats' shared canonical edge list. The
+    // size frame is group-count-sized and read twice (guard + semi-join).
     val pairs = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val sizes = pairs.groupBy(col("g")).agg(count(lit(1)).as("gsz"))
-      .where(col("gsz") >= 2)
+      .where(col("gsz") >= 2).localCheckpoint(true)
     val over = sizes.where(col("gsz") > maxGroupSize)
       .agg(count(lit(1)).as("n"), coalesce(sum(col("gsz")), lit(0L)).as("rows"))
       .collect()(0)
