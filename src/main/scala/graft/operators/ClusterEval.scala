@@ -72,6 +72,11 @@ object ClusterEval {
     val sByLbl = sums.groupBy(_.getLong(0)).map { case (l, rows) =>
       l -> rows.map { r =>
         val s = r.getDecimal(2)
+        // a NULL component sum means some vector carried a NULL element —
+        // refuse loudly rather than NPE (or silently skew the centroid)
+        require(s != null, s"centroidSilhouette: label $l has a NULL " +
+          s"component sum at dim ${r.getInt(1)} — a vector carries NULL " +
+          "elements; clean or drop them upstream")
         // n·x − S must fit the per-element long math below: bound loudly
         require(s.abs.compareTo(new java.math.BigDecimal(Long.MaxValue / 4)) < 0,
           s"centroidSilhouette: component sum $s of label $l exceeds the " +

@@ -134,8 +134,10 @@ object MsprtStream {
     * emitted a defined test).
     */
   def readouts(spark: SparkSession, stateDir: String): DataFrame = {
-    val files = Files.list(Paths.get(stateDir)).toArray.map(_.toString)
+    val ls = Files.list(Paths.get(stateDir))
+    val files = try ls.toArray.map(_.toString)
       .filter(_.matches(".*readout_\\d+\\.json$")).sorted
+    finally ls.close()
     if (files.isEmpty)
       spark.range(0).select(lit(0L).as("batch_id"), lit(0L).as("n_a"),
         lit(0L).as("n_b"), lit(0.0).as("mean_delta"), lit(0.0).as("llr"),
