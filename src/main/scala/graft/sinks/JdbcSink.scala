@@ -128,11 +128,19 @@ object JdbcSink {
                 batchId: Long, props: Properties = new Properties(),
                 versionCol: String = "_peerdb_version",
                 deletedCol: String = "_peerdb_is_deleted",
-                dual: String = AnsiDual, stmtBatch: Int = 500): SinkReport = {
+                dual: String = AnsiDual, stmtBatch: Int = 500,
+                evolve: Boolean = false): SinkReport = {
     require(keys.nonEmpty, "sink needs at least one key column")
     require(keys.forall(rows.columns.contains) && rows.columns.contains(versionCol),
       s"rows must carry ${keys.mkString(",")} and $versionCol; " +
         s"got ${rows.columns.mkString(",")}")
+    if (evolve) {
+      val skipEv = Set(deletedCol, "_peerdb_batch_id", "_peerdb_synced_at",
+        "bucket")
+      evolveTarget(url, table,
+        org.apache.spark.sql.types.StructType(
+          rows.schema.filterNot(f => skipEv.contains(f.name))), props)
+    }
     val spark = rows.sparkSession
     val ledger = ledgerTable(table)
     val already = withConnection(url, props) { conn =>
@@ -379,6 +387,49 @@ object JdbcSink {
   /** SQL type each parameter is CAST to — Derby requires typed parameters
     * inside MERGE, and the casts keep the statement portable.
     */
+  /** Sink-side schema evolution — the PeerDB schema-drift contract on the
+    * TARGET half: columns newly present in the mirror (a source `ALTER
+    * TABLE ADD COLUMN` that flowed through capture) are ADDED to the
+    * warehouse table before the batch lands, so delivery never stalls on
+    * drift. Scope is deliberately ADD-only: drops and renames do NOT
+    * propagate (the warehouse keeps history the source discarded), and a
+    * column present with a DIFFERENT reported type is left alone here —
+    * the batch's own CASTs fail loudly if the types are truly
+    * incompatible. Existing rows take the engine's default NULL fill.
+    *
+    * Column presence is probed via `SELECT * WHERE 1=0` metadata — the
+    * same name resolution every generated statement uses — and compared
+    * case-insensitively (Derby upper-cases unquoted identifiers; the ADD
+    * quotes the DataFrame's exact name, matching the write path). Types
+    * come from the shared ANSI mapping; ClickHouse accepts these as its
+    * standard aliases (BIGINT→Int64, VARCHAR→String — text-pinned like
+    * the dialect, no live ClickHouse in the sandbox).
+    *
+    * Returns the added column names (empty = schemas already agree).
+    */
+  def evolveTarget(url: String, table: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   props: Properties = new Properties()): Seq[String] =
+    withConnection(url, props) { conn =>
+      val st = conn.createStatement()
+      val existing = try {
+        val rs = st.executeQuery(s"SELECT * FROM $table WHERE 1=0")
+        val md = rs.getMetaData
+        (1 to md.getColumnCount)
+          .map(i => md.getColumnName(i).toLowerCase(java.util.Locale.ROOT))
+          .toSet
+      } finally st.close()
+      val missing = schema.fields.filterNot(f =>
+        existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+      missing.foreach { f =>
+        val alter = conn.createStatement()
+        try alter.executeUpdate(
+          s"ALTER TABLE $table ADD COLUMN ${q(f.name)} ${sqlCastType(f.dataType)}")
+        finally alter.close()
+      }
+      missing.map(_.name).toSeq
+    }
+
   private def sqlCastType(dt: DataType): String = dt match {
     case LongType => "BIGINT"
     case IntegerType => "INTEGER"

@@ -426,4 +426,35 @@ class JdbcCaptureSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TableConfig("excl_t", Seq("ID"), "SEQ", excludeCols = Seq("SEQ")))
   }
+
+  test("sink-side schema evolution ADDs drifted columns before delivery") {
+    import graft.sinks.JdbcSink
+    exec("CREATE TABLE ev_tgt (\"id\" BIGINT PRIMARY KEY, " +
+      "\"payload\" VARCHAR(64), \"_peerdb_version\" BIGINT)")
+    val b1 = Seq((1L, "a", 1L), (2L, "b", 1L))
+      .toDF("id", "payload", "_peerdb_version")
+    val r1 = JdbcSink.sinkBatch(b1, url, "ev_tgt", Seq("id"), 1L, props,
+      dual = JdbcSink.DerbyDual)
+    assert(r1.applied && r1.rowsChanged == 2L)
+    // drift: the mirror gained a column the warehouse lacks
+    val b2 = Seq((3L, "c", 2L, 77L))
+      .toDF("id", "payload", "_peerdb_version", "extra")
+    // without evolve, delivery refuses loudly (the database rejects the
+    // unknown column) and the ledger records nothing
+    intercept[Exception](JdbcSink.sinkBatch(b2, url, "ev_tgt", Seq("id"),
+      2L, props, dual = JdbcSink.DerbyDual))
+    // with evolve, the column is ADDED, the batch lands, pre-drift rows
+    // take the NULL fill
+    val r2 = JdbcSink.sinkBatch(b2, url, "ev_tgt", Seq("id"), 2L, props,
+      dual = JdbcSink.DerbyDual, evolve = true)
+    assert(r2.applied && r2.rowsChanged == 1L)
+    val got = jdbcRows(url, "SELECT \"id\", \"extra\" FROM ev_tgt")(r =>
+      (r.getLong(1), Option(r.getObject(2)).map(_.toString))).toSet
+    assert(got == Set((1L, None), (2L, None), (3L, Some("77"))))
+    // agreeing schemas are a no-op; drops/renames never propagate (the
+    // narrower batch simply writes the columns it has)
+    assert(JdbcSink.evolveTarget(url, "ev_tgt",
+      org.apache.spark.sql.types.StructType(
+        b2.schema.filterNot(_.name == "payload")), props).isEmpty)
+  }
 }
