@@ -264,7 +264,8 @@ object JdbcSink {
                  props: Properties = new Properties(),
                  versionCol: String = "_peerdb_version",
                  deletedCol: String = "_peerdb_is_deleted",
-                 dual: String = AnsiDual, stmtBatch: Int = 500): SinkReport = {
+                 dual: String = AnsiDual, stmtBatch: Int = 500,
+                 evolve: Boolean = false): SinkReport = {
     val ledger = ledgerTable(table)
     val last = withConnection(url, props) { conn =>
       ensureLedger(conn, ledger)
@@ -276,7 +277,7 @@ object JdbcSink {
     val hi = delta.agg(max(col("_peerdb_batch_id"))).head().get(0)
     if (hi == null) SinkReport(last, applied = false, 0L)
     else sinkBatch(delta, url, table, keys, hi.asInstanceOf[Number].longValue(),
-      props, versionCol, deletedCol, dual, stmtBatch)
+      props, versionCol, deletedCol, dual, stmtBatch, evolve)
   }
 
   /** Warehouse delivery lag — the sink-side row of the monitor's per-table

@@ -827,7 +827,8 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
     */
   def sinkAll(url: String, props: java.util.Properties = new java.util.Properties(),
               targetOf: String => String = identity,
-              dual: String = graft.sinks.JdbcSink.AnsiDual)
+              dual: String = graft.sinks.JdbcSink.AnsiDual,
+              evolve: Boolean = false)
       : Map[String, graft.sinks.JdbcSink.SinkReport] = {
     // two mirrors sharing one target would share its ledger: the faster
     // table's high-water mark silently filters the slower one's delta to
@@ -840,7 +841,8 @@ final class MultiTableMirror(spark: SparkSession, tables: Seq[TableConfig],
         tables.map(t => s"${t.table}->${targetOf(t.table)}").mkString(", "))
     inParallel(tables.map(t => t.table -> (() =>
       graft.sinks.JdbcSink.sinkMirror(spark, mirrorDir(t.table), url,
-        targetOf(t.table), t.keys, props, dual = dual)))).toMap
+        targetOf(t.table), t.keys, props, dual = dual,
+        evolve = evolve)))).toMap
   }
 
   /** Per-table lag rows, unioned — the monitor's whole Lag table. */

@@ -23,6 +23,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * target_dir: /data/mirror
   * sink_url: jdbc:derby:warehouse     # optional warehouse delivery
   * sink_dual: derby                   # optional: ansi (default) | derby
+ * sink_evolve: true                  # optional: ADD drifted mirror columns
+ *                                    #   to the warehouse target (default false)
   * reconcile_deletes: true            # optional, default false
   * tables:
   *   - name: customers
@@ -62,7 +64,8 @@ final case class MirrorConfig(mirror: String, sourceUrl: String,
                               targetDir: String, sinkUrl: Option[String],
                               sinkDual: String,
                               reconcileDeletes: Boolean,
-                              tables: Seq[MirrorTableSpec]) {
+                              tables: Seq[MirrorTableSpec],
+                              sinkEvolve: Boolean = false) {
   require(mirror.nonEmpty, "mirror name must be non-empty")
   require(sourceUrl.nonEmpty, "source_url must be non-empty")
   require(targetDir.nonEmpty, "target_dir must be non-empty")
@@ -117,6 +120,7 @@ object MirrorConfig {
     var mirror, sourceUrl, targetDir = ""
     var sinkUrl: Option[String] = None
     var sinkDual = graft.sinks.JdbcSink.AnsiDual
+    var sinkEvolve = false
     var reconcile = false
     val tables = Seq.newBuilder[MirrorTableSpec]
     var i = 0
@@ -132,6 +136,11 @@ object MirrorConfig {
         case "source_url" => sourceUrl = unquote(value); i += 1
         case "target_dir" => targetDir = unquote(value); i += 1
         case "sink_url" => sinkUrl = Some(unquote(value)).filter(_.nonEmpty); i += 1
+        case "sink_evolve" => sinkEvolve = unquote(value).toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case other => fail(ln, s"sink_evolve must be true or false, got '$other'")
+        }; i += 1
         case "sink_dual" => sinkDual = unquote(value).toLowerCase match {
           case "ansi" => graft.sinks.JdbcSink.AnsiDual
           case "derby" => graft.sinks.JdbcSink.DerbyDual
@@ -185,11 +194,11 @@ object MirrorConfig {
           }
         case other => fail(ln, s"unknown top-level key '$other' (known: " +
           "mirror, source_url, target_dir, sink_url, sink_dual, " +
-          "reconcile_deletes, tables)")
+          "sink_evolve, reconcile_deletes, tables)")
       }
     }
     MirrorConfig(mirror, sourceUrl, targetDir, sinkUrl, sinkDual, reconcile,
-      tables.result())
+      tables.result(), sinkEvolve = sinkEvolve)
   }
 }
 
@@ -282,7 +291,8 @@ final class MirrorRunner(spark: SparkSession, val cfg: MirrorConfig,
     cfg.sinkUrl.foreach { sink =>
       new MultiTableMirror(spark, active.map(_.toTableConfig), source,
         cfg.targetDir).sinkAll(sink, connectionProps,
-        targetOf = t => spec(t).target, dual = cfg.sinkDual)
+        targetOf = t => spec(t).target, dual = cfg.sinkDual,
+        evolve = cfg.sinkEvolve)
     }
   }
 

@@ -59,6 +59,7 @@ class MirrorRunnerSpec extends SparkSpec {
         |source_url: jdbc:x
         |target_dir: /tmp/t
         |sink_dual: derby
+        |sink_evolve: true
         |reconcile_deletes: true
         |tables:
         |  - name: a
@@ -73,6 +74,17 @@ class MirrorRunnerSpec extends SparkSpec {
         |""".stripMargin)
     assert(c.mirror === "m1" && c.reconcileDeletes)
     assert(c.sinkDual === graft.sinks.JdbcSink.DerbyDual)
+    assert(c.sinkEvolve, "sink_evolve: true must parse")
+    assert(!MirrorConfig.parse(
+      """mirror: m
+        |source_url: u
+        |target_dir: d
+        |tables:
+        |  - name: a
+        |    keys: [k]
+        |    version_col: v
+        |""".stripMargin).sinkEvolve,
+      "sink_evolve defaults false")
     assert(c.tables.map(_.name) === Seq("a", "b"))
     assert(c.tables(0).keys === Seq("k1", "k2"))
     assert(c.tables(0).exclude === Seq("secret"))
