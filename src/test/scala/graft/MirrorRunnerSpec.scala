@@ -187,6 +187,51 @@ class MirrorRunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](runner2.drop("nope"))
   }
 
+  test("schema drift end-to-end: a source ALTER ADD COLUMN flows through " +
+    "capture and, with sink_evolve, into the warehouse target") {
+    val root = Files.createTempDirectory("mrdrift").toString
+    exec("CREATE TABLE mr_dft (id BIGINT PRIMARY KEY, seq BIGINT NOT NULL, " +
+      "payload VARCHAR(64))",
+      "CREATE TABLE wh_dft (\"ID\" BIGINT PRIMARY KEY, \"SEQ\" BIGINT, " +
+        "\"PAYLOAD\" VARCHAR(64), \"_peerdb_version\" BIGINT)")
+    exec((1L to 3L).map(i => s"INSERT INTO mr_dft VALUES ($i, $i, 'd$i')"): _*)
+    val cfgPath = s"$root/mirror.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""mirror: mr_drift
+         |source_url: "$url"
+         |target_dir: $root/mirror
+         |sink_url: "$url"
+         |sink_dual: derby
+         |sink_evolve: true
+         |tables:
+         |  - name: mr_dft
+         |    keys: [ID]
+         |    version_col: SEQ
+         |    buckets: 4
+         |    target: wh_dft
+         |""".stripMargin)
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+    runner.runOnce()
+    assert(spark.read.jdbc(url, "wh_dft", props).count() === 3L)
+
+    // the source grows a column mid-mirror (PeerDB's schema-drift case),
+    // then changes land that carry it
+    exec("ALTER TABLE mr_dft ADD COLUMN extra BIGINT",
+      "UPDATE mr_dft SET extra = 77, seq = 20 WHERE id = 1",
+      "INSERT INTO mr_dft VALUES (4, 21, 'd4', 99)")
+    runner.runOnce()
+    // mirror FINAL carries the new column (old rows null-filled)
+    val fin = runner.readFinal("mr_dft")
+    assert(fin.columns.exists(_.equalsIgnoreCase("extra")))
+    // the warehouse target gained the column and the changed rows deliver
+    // their values; untouched pre-drift rows read NULL
+    val wh = spark.read.jdbc(url, "wh_dft", props)
+      .select(col("ID").cast("long"), col("EXTRA").cast("long"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(wh(1L) === Some(77L) && wh(4L) === Some(99L))
+    assert(wh(2L).isEmpty && wh(3L).isEmpty)
+  }
+
   test("continuous mode: the loop drives rounds; a broken round is " +
     "recorded, survivors keep committing") {
     val root = Files.createTempDirectory("mrloop").toString
