@@ -1802,6 +1802,21 @@ object SparkEntry {
     // does a monotone trend EXIST (Theil–Sen's hypothesis-test sibling)
     "events_mann_kendall" -> ((s, d) =>
       Behavior.dailyMannKendall(t(s, d, "events"), "ts")),
+    // nonparametric within-subject change: signed ranks of post−pre
+    // diffs, the paired t's fat-tail-proof sibling (r16)
+    "events_wilcoxon" -> ((s, d) =>
+      StatTests.wilcoxonSignedRank(t(s, d, "events"), col("user_id"),
+        floor(col("value") * 100 + 0.5), expr("unix_micros(ts)"))),
+    // multi-touch linear attribution: exact integer basis points split
+    // across the conversion's lookback path (r16)
+    "events_attribution_linear" -> ((s, d) =>
+      Behavior.linearAttribution(t(s, d, "events"), "user_id",
+        "event_type", "ts", "event_id", "purchase", 86400000000L)),
+    // do views LEAD purchases: cross-correlation of the two hourly
+    // count series at 0..24h lags on the shared dense grid (r16)
+    "events_crosscorr" -> ((s, d) =>
+      Behavior.hourlyCrossCorr(t(s, d, "events"), "ts", "event_type",
+        "view", "purchase", Seq(0, 1, 2, 3, 4, 6, 8, 12, 24))),
     // is day-to-day traffic random around its level, or regime-sticky
     "events_runs_test" -> ((s, d) =>
       Behavior.dailyRunsTest(t(s, d, "events"), "ts")),
@@ -5168,6 +5183,102 @@ object SparkEntry {
          SELECT n AS n_units, round(mean / 100.0, 6) AS mean_diff,
                 round(mean / sqrt(sv / CAST(n AS DOUBLE)), 6) AS t
          FROM v WHERE sv > 0.0""",
+    // same pairing as ttest_paired; distinct-|d| doubled midranks, exact
+    // hugeint W+/tie sums, one fixed scalar tree in Spark's op order
+    "events_wilcoxon" ->
+      """WITH base AS (SELECT user_id AS u,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+                              epoch_us(ts) AS us
+                       FROM events WHERE value IS NOT NULL),
+         mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM base),
+         units AS (
+           SELECT u,
+                  CAST(sum(CASE WHEN us >= mid_us THEN y ELSE 0 END) AS BIGINT)
+                  - CAST(sum(CASE WHEN us < mid_us THEN y ELSE 0 END) AS BIGINT)
+                    AS dd
+           FROM base CROSS JOIN mid GROUP BY u
+           HAVING max(CASE WHEN us >= mid_us THEN 1 ELSE 0 END) = 1
+              AND max(CASE WHEN us < mid_us THEN 1 ELSE 0 END) = 1),
+         nz AS (SELECT abs(dd) AS ad,
+                       CASE WHEN dd > 0 THEN 1 ELSE 0 END AS pos
+                FROM units WHERE dd <> 0),
+         grain AS (SELECT ad, CAST(sum(pos) AS BIGINT) AS cp,
+                          CAST(sum(1 - pos) AS BIGINT) AS cm
+                   FROM nz GROUP BY ad),
+         r AS (SELECT ad, cp, cp + cm AS cn,
+                      2 * coalesce(sum(cp + cm) OVER (ORDER BY ad
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + (cp + cm) + 1 AS r2
+               FROM grain),
+         f AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
+                      sum(CAST(cp AS HUGEINT) * r2) AS w2,
+                      sum(CAST(cn AS HUGEINT) * cn * cn - cn) AS tsum
+               FROM r HAVING sum(cn) >= 2)
+         SELECT n AS n_units, CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+                round((CAST(w2 AS DOUBLE) / 2.0
+                    - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+                  / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                    - CAST(tsum AS DOUBLE) / 48.0), 6) AS z
+         FROM f""",
+    // per-conversion lookback join, (ts,id)-desc rank, exact integer
+    // basis points with the remainder on the last touch
+    "events_attribution_linear" ->
+      """WITH conv AS (SELECT user_id AS k, epoch_us(ts) AS cts,
+                              event_id AS cid
+                       FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id AS k, epoch_us(ts) AS tts,
+                          event_id AS tid, event_type AS channel
+                   FROM events WHERE event_type <> 'purchase'),
+         j AS (SELECT c.k, c.cid, t.channel, t.tts, t.tid
+               FROM conv c JOIN touch t ON t.k = c.k
+                AND t.tts <= c.cts AND t.tts >= c.cts - 86400000000),
+         r AS (SELECT k, cid, channel,
+                      row_number() OVER (PARTITION BY k, cid
+                        ORDER BY tts DESC, tid DESC) AS rn,
+                      count(*) OVER (PARTITION BY k, cid) AS n
+               FROM j)
+         SELECT channel,
+                CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+                CAST(count(*) AS BIGINT) AS n_touches,
+                CAST(sum(10000 // n
+                  + CASE WHEN rn = 1 THEN 10000 % n ELSE 0 END) AS BIGINT)
+                  AS credit_bp
+         FROM r GROUP BY 1""",
+    // shared dense hourly grid, per-lag exact integer moments, the
+    // corr-family double expression in Spark's op order
+    "events_crosscorr" ->
+      """WITH bt AS (SELECT date_trunc('hour', ts) AS h,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+           FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+         bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM bt),
+         spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                     AS h FROM bounds),
+         s AS (SELECT spine.h, coalesce(bt.x, 0) AS x, coalesce(bt.y, 0) AS y
+               FROM spine LEFT JOIN bt ON bt.h = spine.h),
+         lags AS (SELECT unnest([0, 1, 2, 3, 4, 6, 8, 12, 24]) AS lag),
+         p AS (SELECT g.lag, a.x, b.y
+               FROM lags g, s a, s b
+               WHERE b.h = a.h + g.lag * INTERVAL 1 HOUR),
+         m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM p GROUP BY lag)
+         SELECT lag, n,
+                round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                  AS crosscorr
+         FROM m""",
     // unit-grain exact moments, per-arm delta-method variance, shared
     // A&S p polynomial — every double op in Spark's order
     "events_ratio_ztest" ->

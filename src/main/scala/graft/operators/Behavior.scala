@@ -950,6 +950,62 @@ object Behavior {
           .as("autocorr"))
   }
 
+  /** Lead-lag cross-correlation between TWO event types' hourly count
+    * series — "do views lead purchases, and by how many hours": one row
+    * per requested lag k with the Pearson r of (x_t, y_{t+k}) over the
+    * SHARED dense hourly grid (sequence-densified across the union span
+    * of both series, absent hours counting 0 — the [[hourlyAutocorr]]
+    * grid convention, without which a sparse series would phantom-shift).
+    * The argmax row is the lead estimate; a flat profile says the pair
+    * is not temporally coupled.
+    *
+    * Exact by construction: both series are integer counts, each lag's
+    * six moments are exact longs from ONE aggregate over the lead-shifted
+    * frame, and the single double expression at the end is
+    * engine-reproducible (the corr-family moment form). Scale: two
+    * hour-grain aggregates + one window over HOURS (span-sized, never
+    * event-sized) — the same shape at 10⁹ events as at 10⁵.
+    */
+  def hourlyCrossCorr(events: DataFrame, tsCol: String, opCol: String,
+                      typeX: String, typeY: String,
+                      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 0), s"bad lags=$lags")
+    val byType = events.where(col(opCol).isin(typeX, typeY))
+      .groupBy(date_trunc("HOUR", col(tsCol)).as("h"))
+      .agg(sum(when(col(opCol) === typeX, 1L).otherwise(0L)).as("x"),
+        sum(when(col(opCol) === typeY, 1L).otherwise(0L)).as("y"))
+    val spine = byType
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = spine.join(byType, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("h"))
+    val shifted = lags.foldLeft(series) { (df, k) =>
+      df.withColumn(s"_f$k", lead(col("y"), k).over(w))
+    }
+    val perLag = lags.map { k =>
+      val y = col(s"_f$k")
+      struct(lit(k).as("lag"),
+        count(y).as("n"),
+        sum(when(y.isNotNull, col("x"))).as("sx"), sum(y).as("sy"),
+        sum(col("x") * y).as("sxy"),
+        sum(when(y.isNotNull, col("x") * col("x"))).as("sxx"),
+        sum(y * y).as("syy")).as(s"_m$k")
+    }
+    shifted.agg(perLag.head, perLag.tail: _*)
+      .select(explode(array(lags.map(k => col(s"_m$k")): _*)).as("m"))
+      .select(col("m.lag").as("lag"), col("m.n").as("n"),
+        round((col("m.n").cast("double") * col("m.sxy").cast("double")
+          - col("m.sx").cast("double") * col("m.sy").cast("double"))
+          / sqrt((col("m.n").cast("double") * col("m.sxx").cast("double")
+            - col("m.sx").cast("double") * col("m.sx").cast("double"))
+            * (col("m.n").cast("double") * col("m.syy").cast("double")
+              - col("m.sy").cast("double") * col("m.sy").cast("double"))), 6)
+          .as("crosscorr"))
+  }
+
   /** Top session journeys: sessionize each key's stream
     * ([[CdcOps.sessionize]] gap semantics), render the first `maxSteps`
     * event types of every session as a `>`-joined path, and count
@@ -998,6 +1054,75 @@ object Behavior {
       .groupBy(col(s"r_$opCol").as("channel"))
       .agg(count(lit(1)).as("n_conversions"),
         sum(col("_v")).cast("double").as("attributed_value"))
+  }
+
+  /** Linear multi-touch conversion attribution: each `convertOp` event
+    * splits its credit EQUALLY across ALL preceding non-conversion
+    * touches of the same key within `windowMicros` — the multi-touch
+    * complement of [[lastTouchAttribution]] (last-touch hands the whole
+    * conversion to whoever closed it; linear pays the touches that built
+    * it). Credit is EXACT integer basis points: each touch takes
+    * `10000 DIV n`, the remainder `10000 MOD n` goes to the LAST touch
+    * ((ts, id)-latest — the deterministic largest-remainder convention),
+    * so every attributed conversion distributes exactly 10 000 bp and
+    * per-channel sums are order-independent integer sums — no float
+    * credit fractions to drift across partitionings. Conversions with no
+    * touch in the window drop (unattributed), as in last-touch.
+    *
+    * Scale shape: one equi-join on the key with the window range as a
+    * post-join filter (per-key fan-out = conversions × touches inside
+    * the window — bounded by per-key activity), then one
+    * (key, conversion)-grain window for rank/size. The hub-key quadratic
+    * is [[graft.operators.Graph.coOccurrenceEdges]]'s failure mode and
+    * takes the same guard: keys with more than `maxKeyTouches` touch
+    * events are EXCLUDED from attribution, counted, and reported loudly
+    * (or fatally with `failOnOversized`) — a bot key with 10⁶ touches
+    * and 10⁵ conversions must not silently fan out 10¹¹ join rows.
+    * Output: (channel, n_conversions, n_touches, credit_bp).
+    */
+  def linearAttribution(events: DataFrame, keyCol: String, opCol: String,
+                        tsCol: String, idCol: String, convertOp: String,
+                        windowMicros: Long,
+                        maxKeyTouches: Int = 1 << 16,
+                        failOnOversized: Boolean = false): DataFrame = {
+    require(windowMicros > 0, s"bad windowMicros=$windowMicros")
+    require(maxKeyTouches >= 1, s"bad maxKeyTouches=$maxKeyTouches")
+    val conv = events.where(col(opCol) === convertOp)
+      .select(col(keyCol).as("__k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("__cts"),
+        col(idCol).as("__cid"))
+    val touch = events.where(col(opCol) =!= convertOp)
+      .select(col(keyCol).as("__k"),
+        graft.functions.TimeCols.micros(col(tsCol)).as("__tts"),
+        col(idCol).as("__tid"), col(opCol).as("channel"))
+    val sizes = touch.groupBy(col("__k")).agg(count(lit(1)).as("__ksz"))
+    val over = sizes.where(col("__ksz") > maxKeyTouches)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("__ksz")), lit(0L)).as("rows"))
+      .collect()(0)
+    if (over.getLong(0) > 0) {
+      val msg = s"linearAttribution: ${over.getLong(0)} key(s) exceed " +
+        s"maxKeyTouches=$maxKeyTouches (${over.getLong(1)} touch rows " +
+        "excluded) — cap hub keys upstream or raise the limit"
+      if (failOnOversized) throw new IllegalStateException(msg)
+      Console.err.println(s"[graft] WARN $msg")
+    }
+    val touchIn = touch.join(
+      sizes.where(col("__ksz") <= maxKeyTouches).select(col("__k")), "__k")
+    val j = conv.join(touchIn, Seq("__k"))
+      .where(col("__tts") <= col("__cts") &&
+        col("__tts") >= col("__cts") - windowMicros)
+    val part = Window.partitionBy(col("__k"), col("__cid"))
+    val ranked = j
+      .withColumn("__rn", row_number().over(
+        part.orderBy(col("__tts").desc, col("__tid").desc)))
+      .withColumn("__n", count(lit(1)).over(part))
+    ranked
+      .withColumn("__bp", expr("10000L DIV __n") +
+        when(col("__rn") === 1, expr("10000L % __n")).otherwise(0L))
+      .groupBy(col("channel"))
+      .agg(count_distinct(col("__cid")).as("n_conversions"),
+        count(lit(1)).as("n_touches"),
+        sum(col("__bp")).as("credit_bp"))
   }
 
   /** ClickHouse `sequenceNextNode('forward', 'first_match')`: per key

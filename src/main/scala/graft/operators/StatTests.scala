@@ -1055,4 +1055,69 @@ object StatTests {
         round(col("llr"), 6).as("llr"),
         col("p_av").as("p_always_valid"), col("p_running"))
   }
+
+  /** Wilcoxon signed-rank test on each unit's post-minus-pre change
+    * across the span midpoint — the NONPARAMETRIC sibling of
+    * [[pairedTTest]] (same within-subject pairing, no normality
+    * assumption: a handful of whale users can hand the paired t a fat
+    * tail it has no business averaging; the signed-rank statistic only
+    * consumes the ORDER of |d|).
+    *
+    * Pairing is [[pairedTTest]]'s exactly: units active in both halves,
+    * d = post-sum − pre-sum of `cents`. Zero diffs drop (the standard
+    * Wilcoxon convention — a zero carries no sign information). Ranking
+    * runs at the DISTINCT-|d| grain ([[mannWhitneyU]]'s shape — never a
+    * per-row rank window): aggregate to (|d|, positives, negatives),
+    * midranks arrive DOUBLED as exact integers from one cumulative
+    * window over distinct values, W⁺ = Σ pos·rank via [[xprod]], and the
+    * tie correction Σ(t³−t) accumulates in decimal(38,0). The normal
+    * approximation z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    * is one fixed scalar tree over those exact sums, so a DuckDB oracle
+    * reproduces it bit-for-bit. σ² > 0 always holds for n ≥ 1 (even one
+    * all-tied group leaves n(n+1)²/16), so the only drops are n < 2.
+    *
+    * Scale: one unit-grain grouped pass, one distinct-|d| aggregation,
+    * one window over distinct |d| values. Output one row: n_units
+    * (nonzero diffs), w_plus, z (6dp).
+    */
+  def wilcoxonSignedRank(events: DataFrame, unit: Column, cents: Column,
+                         ts: Column): DataFrame = {
+    val base = events.select(unit.as("u"), cents.cast("long").as("y"),
+      ts.cast("long").as("us")).where(col("y").isNotNull)
+    val mid = base.agg((min(col("us")) + max(col("us"))).as("mm"))
+      .select(expr("mm DIV 2").as("mid_us"))
+    val diffs = base.crossJoin(broadcast(mid))
+      .groupBy(col("u"))
+      .agg(sum(when(col("us") >= col("mid_us"), col("y")).otherwise(0L)).as("post"),
+        sum(when(col("us") < col("mid_us"), col("y")).otherwise(0L)).as("pre"),
+        max(when(col("us") >= col("mid_us"), 1L).otherwise(0L)).as("hp"),
+        max(when(col("us") < col("mid_us"), 1L).otherwise(0L)).as("hq"))
+      .where(col("hp") === 1L && col("hq") === 1L)
+      .select((col("post") - col("pre")).as("dd"))
+      .where(col("dd") =!= 0L)
+    val grain = diffs
+      .select(abs(col("dd")).as("ad"),
+        when(col("dd") > 0L, 1L).otherwise(0L).as("pos"))
+      .groupBy(col("ad"))
+      .agg(sum(col("pos")).as("cp"), sum(lit(1L) - col("pos")).as("cm"))
+      .withColumn("cn", col("cp") + col("cm"))
+    val w = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // doubled midrank of this tie group: 2·(count below) + (count in) + 1
+    val ranked = grain
+      .withColumn("r2",
+        lit(2L) * (sum(col("cn")).over(w) - col("cn")) + col("cn") + 1L)
+    val f = ranked.agg(sum(col("cn")).as("n"),
+      sum(xprod(col("cp"), col("r2"))).as("w2"),
+      sum(xprod(col("cn"), col("cn")) * col("cn").cast("decimal(19,0)") -
+        col("cn").cast("decimal(38,0)")).as("tsum"))
+      .where(col("n") >= 2)
+    val nd = d(col("n"))
+    val wPlus = d(col("w2")) / 2.0
+    val mu = nd * (nd + 1.0) / 4.0
+    val sigma2 = nd * (nd + 1.0) * (lit(2.0) * nd + 1.0) / 24.0 -
+      d(col("tsum")) / 48.0
+    f.select(col("n").as("n_units"), wPlus.as("w_plus"),
+      round((wPlus - mu) / sqrt(sigma2), 6).as("z"))
+  }
 }

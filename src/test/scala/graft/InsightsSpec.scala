@@ -603,6 +603,77 @@ class InsightsSpec extends SparkSpec {
     assert(got === Map("click" -> ((1L, 40.0))))
   }
 
+  test("linearAttribution: equal split, remainder to the last touch, " +
+    "window expiry, unattributed drop") {
+    val ev = Seq(
+      // u1: a@1, b@2, c@3 → purchase@4 (id 104): n=3, 3333 each,
+      //     remainder 1 to c (the (ts,id)-latest)
+      ("u1", 1L, 1L, "a", ""), ("u1", 2L, 2L, "b", ""),
+      ("u1", 3L, 3L, "c", ""), ("u1", 4L, 104L, "purchase", ""),
+      // u1 second purchase@10 with a 7s window: only c@3 is inside
+      //     [3, 10] → c takes the whole 10000
+      ("u1", 10L, 110L, "purchase", ""),
+      // u2: purchase with no touches → unattributed (dropped)
+      ("u2", 5L, 205L, "purchase", ""))
+      .toDF("u", "tsl", "id", "op", "x")
+      .select(col("u"), timestamp_seconds(col("tsl")).as("ts"), col("id"),
+        col("op"))
+    val got = graft.operators.Behavior.linearAttribution(
+        ev, "u", "op", "ts", "id", "purchase", 7L * 1000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "a" -> ((1L, 1L, 3333L)),
+      "b" -> ((1L, 1L, 3333L)),
+      "c" -> ((2L, 2L, 3334L + 10000L))))
+    // every attributed conversion distributes exactly 10000 bp
+    assert(got.values.map(_._3).sum == 20000L)
+  }
+
+  test("linearAttribution: same-ts remainder tie-breaks by id; hub-key " +
+    "guard excludes loudly or throws") {
+    val ev = Seq(
+      ("u1", 5L, 1L, "x"), ("u1", 5L, 2L, "y"), ("u1", 5L, 3L, "zz"),
+      ("u1", 6L, 9L, "purchase"))
+      .toDF("u", "tsl", "id", "op")
+      .select(col("u"), timestamp_seconds(col("tsl")).as("ts"), col("id"),
+        col("op"))
+    val got = graft.operators.Behavior.linearAttribution(
+        ev, "u", "op", "ts", "id", "purchase", 1000000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("x" -> 3333L, "y" -> 3333L, "zz" -> 3334L))
+    // guard: u1 has 3 touches > maxKeyTouches=2 → excluded entirely
+    val guarded = graft.operators.Behavior.linearAttribution(
+      ev, "u", "op", "ts", "id", "purchase", 1000000000L,
+      maxKeyTouches = 2)
+    assert(guarded.count() == 0)
+    intercept[IllegalStateException] {
+      graft.operators.Behavior.linearAttribution(
+        ev, "u", "op", "ts", "id", "purchase", 1000000000L,
+        maxKeyTouches = 2, failOnOversized = true).count()
+    }
+  }
+
+  test("hourlyCrossCorr: planted one-hour lead reads r = 1 at lag 1") {
+    // x (type v) hours 0..3 = [1,2,0,3]; y (type p) = x shifted +1h →
+    // grid spans hours 0..4: x=[1,2,0,3,0], y=[0,1,2,0,3].
+    // lag 1 pairs x[0..3] vs y[1..4] = identical vectors → r = 1.
+    val xs = Seq((0, 1), (1, 2), (3, 3)).flatMap { case (h, n) =>
+      (1 to n).map(i => (h * 3600L + i, "v")) }
+    val ys = Seq((1, 1), (2, 2), (4, 3)).flatMap { case (h, n) =>
+      (1 to n).map(i => (h * 3600L + i, "p")) }
+    val ev = (xs ++ ys).toDF("tsl", "op")
+      .select(timestamp_seconds(col("tsl")).as("ts"), col("op"))
+    val got = graft.operators.Behavior.hourlyCrossCorr(
+        ev, "ts", "op", "v", "p", Seq(0, 1, 2))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1) === ((4L, 1.0)))
+    assert(got(0)._1 === 5L)
+    assert(got(2)._1 === 3L)
+    assert(got(1)._2 > got(0)._2 && got(1)._2 > got(2)._2)
+  }
+
   test("isolation forest: planted outlier scores highest, deterministic") {
     import graft.operators.IsolationForest
     // inlier grid in [0,1]² plus one far point

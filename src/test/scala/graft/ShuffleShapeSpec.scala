@@ -224,4 +224,20 @@ class ShuffleShapeSpec extends SparkSpec {
     assert(shuffles(ClusterEval.centroidSilhouette(emb, "vec_id",
       "embedding", "label")) <= 1)
   }
+
+  test("round-16 session-4 additions stay inside their budgets") {
+    val cents = floor(col("value") * 100 + 0.5)
+    // unit-grain diff pass + distinct-|d| grain + its ordered window +
+    // the 1-row fold; the raw log shuffles once
+    assert(shuffles(graft.operators.StatTests.wilcoxonSignedRank(ev,
+      col("user_id"), cents, expr("unix_micros(ts)"))) <= 4)
+    // key-equi join (conv and touch sides share the key exchange), the
+    // (key, conversion) rank window, the channel rollup, the guard agg
+    assert(shuffles(Behavior.linearAttribution(ev, "user_id",
+      "event_type", "ts", "event_id", "purchase", 86400000000L)) <= 5)
+    // hour-grain aggregate + spine join + one hour-ordered window + the
+    // single-row moment fold — event-sized data shuffles once
+    assert(shuffles(Behavior.hourlyCrossCorr(ev, "ts", "event_type",
+      "view", "purchase", Seq(0, 1, 2))) <= 4)
+  }
 }

@@ -387,6 +387,36 @@ class StatTestsSpec extends SparkSpec {
     assert(r.getDouble(2) == rnd(mean / math.sqrt(sv / 3.0)))
   }
 
+  test("wilcoxonSignedRank: hand-computed midranks, ties, zero-diff drop") {
+    // mid = (0+100)/2 = 50. diffs: u1 = +10, u2 = −5, u3 = +15,
+    // u4 = +10, u5 = 0 (drops), u6 one-sided (drops). |d| order:
+    // 5(neg, r=1), {10,10}(pos, midrank 2.5), 15(pos, r=4) →
+    // W+ = 2.5+2.5+4 = 9; n=4, μ = 5; tie group of 2 → Σ(t³−t) = 6;
+    // σ² = 4·5·9/24 − 6/48 = 7.375
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 60L, 20L), (2L, 10L, 30L), (2L, 70L, 25L),
+      (3L, 20L, 5L), (3L, 80L, 20L), (4L, 30L, 8L), (4L, 90L, 18L),
+      (5L, 40L, 7L), (5L, 95L, 7L), (6L, 100L, 99L)).toDF("u", "us", "y")
+    val r = StatTests.wilcoxonSignedRank(ev, col("u"), col("y"), col("us"))
+      .collect()(0)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 9.0)
+    assert(r.getDouble(2) == rnd(4.0 / math.sqrt(7.375)))
+  }
+
+  test("wilcoxonSignedRank: fewer than two nonzero diffs yields no row") {
+    // both units diff to zero → n = 0; then one nonzero diff → n = 1
+    val allZero = Seq((1L, 0L, 5L), (1L, 100L, 5L),
+      (2L, 10L, 9L), (2L, 90L, 9L)).toDF("u", "us", "y")
+    assert(StatTests.wilcoxonSignedRank(allZero, col("u"), col("y"),
+      col("us")).count() == 0)
+    val one = Seq((1L, 0L, 5L), (1L, 100L, 8L),
+      (2L, 10L, 9L), (2L, 90L, 9L)).toDF("u", "us", "y")
+    assert(StatTests.wilcoxonSignedRank(one, col("u"), col("y"),
+      col("us")).count() == 0)
+  }
+
   test("minSampleSizeMeans: observed-variance planner; flat groups drop") {
     // g: cents {100, 200} → σ²_pop = 2500 (σ = $0.50); z: constant drops
     val ev = Seq(("g", 100L), ("g", 200L), ("z", 7L), ("z", 7L))
