@@ -1885,6 +1885,18 @@ object SparkEntry {
       Sampling.weightedSample(t(s, d, "documents"), col("doc_id"),
         greatest(col("n_chars"), lit(1L)), 100)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // maintained A-ES reservoir: create on 90%, refresh the rest, read —
+    // bit-equal to the one-shot draw over the whole corpus (r16)
+    "docs_sample_maintained" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val w = greatest(col("n_chars"), lit(1L))
+      val agg = graft.operators.SampleAgg.create(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", w, 100,
+        indexScratch)
+      agg.refresh(docs.where(pmod(col("doc_id"), lit(10)) === 0), w)
+      agg.read()
+    }),
     // Flesch reading ease per doc — counts from the fused one-pass native
     // kernel (TextStats; ≡ the regex formulation, property-pinned), the
     // formula tree unchanged so the oracle is untouched
@@ -5743,6 +5755,16 @@ object SparkEntry {
     // A-ES keys replayed verbatim: ln of the same hash-uniform over the
     // same weight; the (es, doc_id) ordering is unique so LIMIT is stable
     "docs_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  ln(CAST((doc_id * 2654435761) % 10000 + 1 AS DOUBLE)
+                     / 10001.0)
+                    / CAST(greatest(n_chars, 1) AS DOUBLE) AS es
+           FROM documents
+           ORDER BY es DESC, doc_id LIMIT 100)""",
+    // the maintained reservoir's exactness contract IS the one-shot draw:
+    // same oracle as docs_weighted_sample
+    "docs_sample_maintained" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars,
                   ln(CAST((doc_id * 2654435761) % 10000 + 1 AS DOUBLE)

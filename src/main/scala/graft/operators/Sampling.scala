@@ -139,19 +139,27 @@ object Sampling {
     * + a k-row merge, never a global sort); k rows land on the driver side
     * of the plan only as the query RESULT. Ties are broken by key.
     */
-  def weightedSample(df: DataFrame, key: Column, weight: Column,
-                     k: Int): DataFrame = {
-    require(k > 0, s"k=$k")
+  /** The A-ES draw key ln(u)/w with u the deterministic keyBucket
+    * uniform — shared by [[weightedSample]] and the maintained
+    * [[SampleAgg]] so their draws agree row-for-row by construction.
+    * Loud, not wrong: a negative weight would flip its key's SIGN and
+    * deterministically win the top-k (ln u < 0), a zero/null weight
+    * would silently never sample — corrupted weights fail the job
+    * instead of corrupting the draw (the exact-or-loud convention).
+    */
+  private[operators] def esKey(key: Column, weight: Column): Column = {
     val u = (keyBucket(key) + lit(1L)).cast("double") / lit(10001.0)
-    // loud, not wrong: a negative weight would flip its key's SIGN and
-    // deterministically win the top-k (ln u < 0), a zero/null weight
-    // would silently never sample — corrupted weights fail the job
-    // instead of corrupting the draw (the exact-or-loud convention)
     val w = weight.cast("double")
     val guarded = when(w.isNull || w <= 0.0,
       raise_error(concat(lit("weightedSample: weight must be > 0, got "),
         w.cast("string")))).otherwise(w)
-    df.withColumn("__es", log(u) / guarded)
+    log(u) / guarded
+  }
+
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    df.withColumn("__es", esKey(key, weight))
       .orderBy(col("__es").desc, key)
       .limit(k)
       .drop("__es")

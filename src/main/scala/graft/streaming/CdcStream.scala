@@ -195,6 +195,29 @@ object CdcStream {
       agg.refreshBatch(batchId, inserts); ()
     }
 
+  /** [[mirrorToParquet]] with a maintained WEIGHTED SAMPLE riding the
+    * microbatches — the live training-data reservoir: each batch's
+    * non-deleted upserts enter the A-ES draw, and
+    * [[graft.operators.SampleAgg.read]] stays bit-equal to the one-shot
+    * [[graft.operators.Sampling.weightedSample]] over everything fed so
+    * far. `weight` is evaluated against the prepared insert rows and must
+    * be the same rule the sample was created with (the draw keys of
+    * different rules are not comparable — SampleAgg's documented
+    * contract). Insert-only + replay-safe like the other riders.
+    */
+  def mirrorToParquetWithSample(changes: Dataset[Change], targetDir: String,
+                                checkpointDir: String,
+                                agg: graft.operators.SampleAgg,
+                                weight: org.apache.spark.sql.Column,
+                                prepare: DataFrame => DataFrame = identity,
+                                nBuckets: Int = 64,
+                                deleteOp: String = "delete",
+                                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    insertArtifactRider(changes, targetDir, checkpointDir, prepare, nBuckets,
+      deleteOp, trigger) { (batchId, inserts) =>
+      agg.refreshBatch(batchId, inserts, weight); ()
+    }
+
   /** The shared chassis of the INSERT-ONLY maintained-artifact riders
     * (distinct sketches, quantile sketches, full-text postings): per
     * microbatch, collapse to newest-per-key upserts, hand the NON-DELETED
