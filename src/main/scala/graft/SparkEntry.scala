@@ -1286,6 +1286,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("durationMs")).as("sum_duration_ms"),
           max(col("format")).as("format"))),
+    // MP3 frame walk: ID3v2 skip + complete-frame count from real
+    // header arithmetic; oracle re-derives every field from doc_id (r16)
+    "mm_mp3_probe" -> ((s, d) =>
+      Multimodal.probeHeaders(
+          Multimodal.withMp3Payloads(t(s, d, "documents"), "doc_id"))
+        .toDF()
+        .groupBy(col("channels").cast("long").as("channels"),
+          col("sampleRateHz").cast("long").as("sample_rate_hz"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("durationMs")).as("sum_duration_ms"),
+          max(col("format")).as("format"))),
     // REAL payload decode: 16-bit PCM samples read back out of each WAV's
     // data chunk (MediaHeader.wavPcmStats) — peak / clip-count / RMS per
     // item. The samples are id-derived, so the oracle regenerates the
@@ -3932,6 +3943,21 @@ object SparkEntry {
                   AS sum_duration_ms,
                 'flac' AS format
          FROM p GROUP BY 1, 2""",
+    // duration = frames·1152000 // rate with the same table lookups the
+    // payload builder used; the walk itself is pinned by counting right
+    "mm_mp3_probe" ->
+      """WITH rates AS (SELECT * FROM (VALUES (0, 44100), (1, 48000),
+                  (2, 32000)) AS r(ri, rate)),
+         p AS (SELECT doc_id, 1 + (doc_id % 2) AS channels,
+                      doc_id % 3 AS ri, 5 + (doc_id % 9) AS frames
+               FROM documents)
+         SELECT p.channels, CAST(r.rate AS BIGINT) AS sample_rate_hz,
+                count(*) AS n_items,
+                CAST(sum((p.frames * 1152000) // r.rate) AS BIGINT)
+                  AS sum_duration_ms,
+                'mp3' AS format
+         FROM p JOIN rates r ON r.ri = p.ri
+         GROUP BY 1, 2""",
     // regenerate the deterministic PCM stream and fold the same stats the
     // decoder reads out of the payload bytes; all-integer until the final
     // RMS, whose sqrt both engines compute on the identical double

@@ -210,8 +210,72 @@ object MediaHeader {
     None
   }
 
+  /** MPEG-1 Layer III sample-rate table (header rate index 0..2; 3 is
+    * reserved) and bitrate table in kbps (header bitrate index 1..14; 0
+    * is "free", 15 forbidden) — ISO/IEC 11172-3 §2.4.2.3.
+    */
+  private[operators] val Mp3Rates = Array(44100, 48000, 32000)
+  private[operators] val Mp3BitratesKbps =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MP3 (MPEG-1 Layer III): an optional ID3v2 tag (the "ID3" container
+    * real files lead with — 10-byte header, 28-bit SYNCSAFE size, skipped
+    * whole), then a FRAME WALK: each frame's 4-byte header carries sync
+    * (11 set bits), version/layer bits, bitrate index, sample-rate index
+    * and padding, from which the frame length is 144000·kbps/rate +
+    * padding — the walk hops header to header, counting only COMPLETE
+    * frames in the prefix (the honest prefix semantics of the WAV PCM
+    * decoder), tolerating per-frame bitrate changes (VBR) but requiring a
+    * consistent version/layer/rate. Duration is frames·1152/rate (the
+    * fixed MPEG-1 Layer III samples-per-frame), channels from the mode
+    * field (mono vs everything else). None on no valid first frame, a
+    * reserved rate/bitrate index, or an ID3 size past the prefix.
+    */
+  private def mp3(b: Array[Byte]): Option[MediaInfo] = {
+    if (b == null || b.length < 4) return None
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // syncsafe u28: four 7-bit bytes, high bit must be clear
+      if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None
+      val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+      val next = 10L + size
+      if (next + 4 > b.length) return None
+      i = next.toInt
+    }
+    def header(p: Int): Option[(Int, Int, Int, Int)] = {
+      if (p + 4 > b.length) return None
+      if (u8(b, p) != 0xff || (u8(b, p + 1) & 0xe0) != 0xe0) return None
+      val version = (u8(b, p + 1) >> 3) & 0x3
+      val layer = (u8(b, p + 1) >> 1) & 0x3
+      if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+      val brIdx = (u8(b, p + 2) >> 4) & 0xf
+      val rateIdx = (u8(b, p + 2) >> 2) & 0x3
+      if (brIdx < 1 || brIdx > 14 || rateIdx > 2) return None
+      val padding = (u8(b, p + 2) >> 1) & 0x1
+      val mode = (u8(b, p + 3) >> 6) & 0x3
+      Some((brIdx, rateIdx, padding, mode))
+    }
+    val first = header(i).getOrElse(return None)
+    val rate = Mp3Rates(first._2)
+    val channels = if (first._4 == 3) 1 else 2
+    var frames = 0L
+    var p = i
+    var walking = true
+    while (walking) {
+      header(p) match {
+        case Some((br, r, pad, _)) if r == first._2 =>
+          val len = 144000L * Mp3BitratesKbps(br) / rate + pad
+          if (p + len > b.length) walking = false // incomplete last frame
+          else { frames += 1; p += len.toInt }
+        case _ => walking = false
+      }
+    }
+    if (frames == 0) return None
+    Some(MediaInfo("mp3", 0, 0, channels, rate, frames * 1152000L / rate))
+  }
+
   /** Parse the payload prefix as any supported public container: images
-    * (via [[ImageHeader]], duration/channels 0), WAV, FLAC, or MP4.
+    * (via [[ImageHeader]], duration/channels 0), WAV, FLAC, MP3, or MP4.
     */
   def parse(bytes: Array[Byte]): Option[MediaInfo] =
     if (bytes == null) None
@@ -219,6 +283,7 @@ object MediaHeader {
       .map(i => MediaInfo(i.format, i.width, i.height, 0, 0, 0L))
       .orElse(wav(bytes))
       .orElse(flac(bytes))
+      .orElse(mp3(bytes))
       .orElse(mp4(bytes))
 
   /** Locate a complete `moov` box inside a tail slice whose absolute file
@@ -918,6 +983,42 @@ object MediaHeader {
     out(s + 17) = (totalSamples & 0xff).toByte
     // 16-byte MD5 stays zero (unknown)
     out
+  }
+
+  /** Build a real MPEG-1 Layer III stream: an optional ID3v2 tag of
+    * `id3Bytes` content bytes (syncsafe-sized, zero-filled) followed by
+    * `nFrames` complete frames (valid 4-byte headers + zeroed frame
+    * bodies at the exact 144000·kbps/rate length) — the writer dual of
+    * [[parse]]'s MP3 frame walk. `sampleRateHz` and `bitrateKbps` must
+    * be table values ([[Mp3Rates]] / [[Mp3BitratesKbps]]).
+    */
+  def mp3Frames(sampleRateHz: Int, bitrateKbps: Int, channels: Int,
+                nFrames: Int, id3Bytes: Int = 0): Array[Byte] = {
+    val rateIdx = Mp3Rates.indexOf(sampleRateHz)
+    val brIdx = Mp3BitratesKbps.indexOf(bitrateKbps)
+    require(rateIdx >= 0, s"bad sampleRateHz=$sampleRateHz (not a table rate)")
+    require(brIdx >= 1, s"bad bitrateKbps=$bitrateKbps (not a table bitrate)")
+    require(channels == 1 || channels == 2, s"bad channels=$channels")
+    require(nFrames >= 1 && id3Bytes >= 0 && id3Bytes < (1 << 28),
+      s"bad nFrames=$nFrames / id3Bytes=$id3Bytes")
+    val frameLen = (144000L * bitrateKbps / sampleRateHz).toInt // padding 0
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // version 2.4, no flags
+      out.write((id3Bytes >> 21) & 0x7f); out.write((id3Bytes >> 14) & 0x7f)
+      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
+      out.write(new Array[Byte](id3Bytes))
+    }
+    val mode = if (channels == 1) 3 else 0 // stereo vs single-channel
+    for (_ <- 0 until nFrames) {
+      out.write(0xff)
+      out.write(0xe0 | (3 << 3) | (1 << 1)) // sync tail, MPEG-1, Layer III
+      out.write((brIdx << 4) | (rateIdx << 2)) // padding 0, private 0
+      out.write(mode << 6)
+      out.write(new Array[Byte](frameLen - 4))
+    }
+    out.toByteArray
   }
 
   /** Encode a canonical 44-byte PCM WAV header declaring `dataLen` payload

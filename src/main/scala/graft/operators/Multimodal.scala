@@ -139,6 +139,30 @@ object Multimodal {
           lit("audio/flac").as("media_type")).as("meta"))
   }
 
+  /** Attach a real MPEG-1 Layer III stream per doc (ID3v2 tag + complete
+    * frames from the writer dual [[MediaHeader.mp3Frames]]), every
+    * parameter derived from the id so an oracle re-derives the probe's
+    * outputs with integer arithmetic — the id-arithmetic convention of
+    * [[withFlacPayloads]].
+    */
+  def withMp3Payloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = MediaHeader.Mp3Rates((id % 3).toInt)
+        val kbps = MediaHeader.Mp3BitratesKbps(1 + (id % 14).toInt)
+        val channels = 1 + (id % 2).toInt
+        val frames = 5 + (id % 9).toInt
+        val id3 = (id % 4).toInt * 17
+        (id, MediaHeader.mp3Frames(rate, kbps, channels, frames, id3))
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("audio/mpeg").as("media_type")).as("meta"))
+  }
+
   /** Attach a synthetic WAV payload WITH actual PCM sample data — the
     * full-decode sibling of [[withAudioPayloads]] (which ships headers
     * only). Samples are the deterministic integer stream

@@ -53,7 +53,8 @@ class CodecFuzzSpec extends SparkSpec {
     // prefix length simulates a short ranged read
     val wavs = MediaHeader.wavHeader(2, 16000, 64) ++ Array.fill(64)(7.toByte)
     val flac = MediaHeader.flacHeader(22050, 2, 16, 44100L)
-    for (payload <- Seq(wavs, flac);
+    val mp3 = MediaHeader.mp3Frames(44100, 64, 2, 2, 21)
+    for (payload <- Seq(wavs, flac, mp3);
          n <- 0 to payload.length) {
       decodeAll(payload.take(n))
     }

@@ -544,4 +544,38 @@ class MediaHeaderSpec extends SparkSpec {
     assert(MediaHeader.parse(zeroRate).isEmpty)
     assert(MediaHeader.parse("fLaX-not-flac".getBytes("US-ASCII")).isEmpty)
   }
+
+  test("MP3 frame walk: writer-dual round trip, ID3 skip, VBR, truncation") {
+    import graft.operators.MediaHeader
+    // round trip across table rates/bitrates, mono and stereo, with and
+    // without an ID3v2 prefix
+    for ((rate, kbps, ch, frames, id3) <- Seq(
+        (44100, 128, 2, 10, 0), (48000, 320, 1, 5, 37),
+        (32000, 32, 2, 1, 200))) {
+      val info = MediaHeader.parse(
+        MediaHeader.mp3Frames(rate, kbps, ch, frames, id3)).get
+      assert(info.format == "mp3" && info.channels == ch &&
+        info.sampleRateHz == rate &&
+        info.durationMs == frames * 1152000L / rate,
+        s"rate=$rate kbps=$kbps")
+    }
+    // VBR: frames at different bitrates still walk (consistent rate)
+    val vbr = MediaHeader.mp3Frames(44100, 128, 2, 3) ++
+      MediaHeader.mp3Frames(44100, 320, 2, 2)
+    assert(MediaHeader.parse(vbr).get.durationMs == 5L * 1152000L / 44100L)
+    // a trailing INCOMPLETE frame is not counted (prefix semantics)
+    val five = MediaHeader.mp3Frames(44100, 128, 2, 5)
+    val cut = five.dropRight(10)
+    assert(MediaHeader.parse(cut).get.durationMs == 4L * 1152000L / 44100L)
+    // ID3 whose declared size overruns the prefix: None, never a crash;
+    // reserved bitrate (0xF) and rate (3) indexes: None
+    val id3Only = MediaHeader.mp3Frames(44100, 128, 2, 1, 50).take(30)
+    assert(MediaHeader.parse(id3Only).isEmpty)
+    val badBr = MediaHeader.mp3Frames(44100, 128, 2, 1)
+    badBr(2) = 0xf0.toByte
+    assert(MediaHeader.parse(badBr).isEmpty)
+    val badRate = MediaHeader.mp3Frames(44100, 128, 2, 1)
+    badRate(2) = (badRate(2) | 0x0c).toByte
+    assert(MediaHeader.parse(badRate).isEmpty)
+  }
 }

@@ -101,6 +101,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: wilcoxonSignedRank equals the midrank replica") {
+    val gen = Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 10L)
+      us <- Gen.choose(0L, 1000L)
+      y <- Gen.choose(-50L, 50L)
+    } yield (u, us, y))
+    for (i <- 1L to rounds) {
+      val rows = sample(gen, i)
+      val got = StatTests.wilcoxonSignedRank(rows.toDF("u", "us", "y"),
+        col("u"), col("y"), col("us")).collect()
+      // plain-Scala replica of the whole chain
+      val mid = (rows.map(_._2).min + rows.map(_._2).max) / 2
+      val diffs = rows.groupBy(_._1).values.flatMap { rs =>
+        val post = rs.filter(_._2 >= mid).map(_._3).sum
+        val pre = rs.filter(_._2 < mid).map(_._3).sum
+        if (rs.exists(_._2 >= mid) && rs.exists(_._2 < mid) &&
+          post - pre != 0L) Some(post - pre) else None
+      }.toSeq
+      if (diffs.size < 2) assert(got.isEmpty, s"seed $i")
+      else {
+        val n = diffs.size
+        var below = 0L; var wplus = 0.0; var tsum = 0L
+        diffs.map(d => (math.abs(d), d > 0L)).groupBy(_._1).toSeq
+          .sortBy(_._1).foreach { case (_, grp) =>
+            val cn = grp.size
+            val midrank = below + (cn + 1) / 2.0
+            wplus += grp.count(_._2) * midrank
+            tsum += cn.toLong * cn * cn - cn
+            below += cn
+          }
+        val mu = n * (n + 1) / 4.0
+        val s2 = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tsum / 48.0
+        val r = got(0)
+        assert(r.getLong(0) == n.toLong, s"seed $i")
+        assert(r.getDouble(1) == wplus, s"seed $i")
+        assert(math.abs(r.getDouble(2) - (wplus - mu) / math.sqrt(s2))
+          <= 2e-6, s"seed $i: ${r.getDouble(2)}")
+      }
+    }
+  }
+
   test("property: kaplanMeier matches a direct replica; survival is monotone") {
     val DAY = 86400000000L
     val gen = Gen.listOfN(40, for {
