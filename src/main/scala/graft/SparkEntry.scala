@@ -617,6 +617,11 @@ object SparkEntry {
       StatTests.anovaF(t(s, d, "events"),
         expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7"),
         col("event_type"), floor(col("value") * 100 + 0.5))),
+    // the F-test's precondition: are group variances even equal (r16)
+    "events_bartlett" -> ((s, d) =>
+      StatTests.bartlett(t(s, d, "events"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7"),
+        col("event_type"), floor(col("value") * 100 + 0.5))),
     // ClickHouse maxIntersections(Position): peak concurrent open spans
     // per user ([ts, ts+value·1s) half-open) and the earliest sweep point
     // attaining it — one (key, point) shuffle, integer micros
@@ -3343,6 +3348,53 @@ object SparkEntry {
                 round((ssb / dfb) / (ssw / dfw), 6) AS f_stat,
                 k - 1 AS df_between, nn - k AS df_within
          FROM f WHERE ssw > 0""",
+    // same grp-ordered cumulative folds as anova; the chi2 scalar tree
+    // mirrors Spark's op order exactly
+    "events_bartlett" ->
+      """WITH m AS (
+           SELECT (epoch_us(ts) // 86400000000) % 7 AS bucket,
+                  event_type AS grp,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events),
+         g AS (
+           SELECT bucket, grp, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(y * y) AS BIGINT) AS syy
+           FROM m GROUP BY bucket, grp),
+         s AS (
+           SELECT bucket, grp, n,
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0) AS sv
+           FROM g),
+         c AS (
+           SELECT bucket, grp, n, sv,
+                  CASE WHEN n >= 2 AND sv > 0.0 THEN 1 ELSE 0 END AS ok,
+                  sum((CAST(n AS DOUBLE) - 1.0) * sv) OVER w AS ca,
+                  sum(CASE WHEN sv > 0.0
+                        THEN (CAST(n AS DOUBLE) - 1.0) * ln(sv) END)
+                    OVER w AS cb,
+                  sum(1.0 / (CAST(n AS DOUBLE) - 1.0)) OVER w AS cc
+           FROM s
+           WINDOW w AS (PARTITION BY bucket ORDER BY grp
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         a AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(n) AS BIGINT) AS nn, min(ok) AS allok,
+                  arg_max(ca, grp) AS a, arg_max(cb, grp) AS b,
+                  arg_max(cc, grp) AS c
+           FROM c GROUP BY bucket
+           HAVING allok = 1 AND k >= 2 AND nn > k),
+         f AS (
+           SELECT bucket, k, nn,
+                  CAST(nn AS DOUBLE) - CAST(k AS DOUBLE) AS nk,
+                  a, b, c, CAST(k AS DOUBLE) AS kd
+           FROM a)
+         SELECT bucket, k, nn AS n,
+                round((nk * ln(a / nk) - b)
+                  / (1.0 + (c - 1.0 / nk) / (3.0 * (kd - 1.0))), 6) AS chi2,
+                k - 1 AS df
+         FROM f""",
     // the identical sweep: ±1 deltas in (point, delta) order, running sum,
     // earliest point attaining the max — integer micros throughout
     "events_max_concurrent" ->

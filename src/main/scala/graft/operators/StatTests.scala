@@ -360,6 +360,56 @@ object StatTests {
         (col("nn") - col("k")).as("df_within"))
   }
 
+  /** Bartlett's test of variance homogeneity across groups per bucket —
+    * [[anovaF]]'s precondition check (the F-test assumes equal group
+    * variances; Bartlett is the classic readout of whether that holds):
+    * χ² = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²] / C with
+    * C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1)), df = k−1.
+    *
+    * Determinism: per-(bucket, group) moments are exact integers in one
+    * map-side-combined pass; the three cross-group double folds (weighted
+    * variances, weighted log-variances, reciprocal dfs) each accumulate
+    * in a CUMULATIVE window ordered by the group key — [[anovaF]]'s
+    * fixed-order idiom, IEEE-deterministic — finished by `max_by(·, grp)`.
+    * Buckets where ANY group is degenerate (n < 2 or zero variance — ln
+    * undefined) drop whole and loudly in the row count rather than
+    * silently re-weighting the test over a group subset. Output: bucket,
+    * k, n, chi2 (6dp), df.
+    */
+  def bartlett(events: DataFrame, bucket: Column, grp: Column,
+               cents: Column): DataFrame = {
+    val g = events
+      .select(bucket.as("bucket"), grp.as("grp"), cents.cast("long").as("y"))
+      .where(col("y").isNotNull)
+      .groupBy(col("bucket"), col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(xprod(col("y"), col("y"))).as("syy"))
+    val nd = d(col("n"))
+    val sv = (d(col("syy")) - d(col("sy")) * d(col("sy")) / nd) / (nd - 1.0)
+    val staged = g.withColumn("sv", sv)
+      .withColumn("ok", col("n") >= 2 && col("sv") > 0.0)
+    val byG = Window.partitionBy(col("bucket")).orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = staged
+      .withColumn("ca", sum((nd - 1.0) * col("sv")).over(byG))
+      .withColumn("cb", sum((nd - 1.0) * log(col("sv"))).over(byG))
+      .withColumn("cc", sum(lit(1.0) / (nd - 1.0)).over(byG))
+    val agg = withCum.groupBy(col("bucket")).agg(
+      count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      min(col("ok").cast("int")).as("allok"),
+      max_by(col("ca"), col("grp")).as("a"),
+      max_by(col("cb"), col("grp")).as("b"),
+      max_by(col("cc"), col("grp")).as("c"))
+      .where(col("allok") === 1 && col("k") >= 2 &&
+        col("nn") > col("k"))
+    val nk = d(col("nn")) - d(col("k"))
+    val chi = (nk * log(col("a") / nk) - col("b")) /
+      (lit(1.0) + (col("c") - lit(1.0) / nk) /
+        (lit(3.0) * (d(col("k")) - 1.0)))
+    agg.select(col("bucket"), col("k"), col("nn").as("n"),
+      round(chi, 6).as("chi2"), (col("k") - 1L).as("df"))
+  }
+
   /** Pearson χ² contingency decomposition between two categorical
     * columns — the table behind ClickHouse `cramersV(a, b)` /
     * `theilsU(a, b)`, kept at cell grain so every output value is a fixed

@@ -387,6 +387,32 @@ class StatTestsSpec extends SparkSpec {
     assert(r.getDouble(2) == rnd(mean / math.sqrt(sv / 3.0)))
   }
 
+  test("bartlett matches the hand-computed statistic; degenerate buckets " +
+    "drop whole") {
+    // bucket 1 = the abTTest fixture: s²_a = 20/3 (n=4), s²_b = 16 (n=3)
+    // a = 3·20/3 + 2·16 = 52, s_p² = 52/5, c = 1/3 + 1/2,
+    // C = 1 + (5/6 − 1/5)/3, χ² = (5·ln(10.4) − b)/C
+    // degenerate buckets drop WHOLE: bucket 1's 'x' arm is a singleton
+    // (n=1), bucket 2's 'a' arm has zero variance — neither may emit
+    val rows = abRows.union(Seq(
+      (2L, "a", 5L), (2L, "a", 5L), (2L, "b", 1L), (2L, "b", 9L)
+    ).toDF("bucket", "arm", "y"))
+    assert(StatTests.bartlett(rows, col("bucket"), col("arm"), col("y"))
+      .count() == 0)
+    val clean = abRows.where(col("arm") =!= "x")
+    val got = StatTests.bartlett(clean, col("bucket"), col("arm"), col("y"))
+      .collect()
+    assert(got.length == 1)
+    val b = 3.0 * math.log(20.0 / 3.0) + 2.0 * math.log(16.0)
+    val cc = 1.0 / 3.0 + 1.0 / 2.0
+    val corr = 1.0 + (cc - 1.0 / 5.0) / 3.0
+    val want = (5.0 * math.log(52.0 / 5.0) - b) / corr
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 7L)
+    assert(math.abs(got(0).getDouble(3) - rnd(want)) <= 1e-6)
+    assert(got(0).getLong(4) == 1L)
+  }
+
   test("wilcoxonSignedRank: hand-computed midranks, ties, zero-diff drop") {
     // mid = (0+100)/2 = 50. diffs: u1 = +10, u2 = −5, u3 = +15,
     // u4 = +10, u5 = 0 (drops), u6 one-sided (drops). |d| order:
