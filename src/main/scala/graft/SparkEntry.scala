@@ -557,6 +557,11 @@ object SparkEntry {
     "events_contingency" -> ((s, d) =>
       StatTests.contingencyChi2(t(s, d, "events"), col("event_type"),
         expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"))),
+    // ClickHouse theilsU: how much of the TYPE's entropy does knowing
+    // the hour remove — the asymmetric association readout (r16)
+    "events_theils_u" -> ((s, d) =>
+      StatTests.theilsU(t(s, d, "events"), col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"))),
     // ClickHouse kolmogorovSmirnovTest: CDF supremum between 'view' and
     // 'click' value distributions per day-of-month — the gap max runs over
     // exact integer cross-scaled counts at distinct-value grain, the
@@ -3086,6 +3091,53 @@ object SparkEntry {
          SELECT bucket, n1, n2, u1,
                 round((u1 - n1d * n2d / 2.0) / sqrt(sigma2), 6) AS z
          FROM q WHERE sigma2 > 0""",
+    // same nested fixed-order entropy folds (per-r over c, then over r);
+    // natural log; u computed from the unrounded entropies
+    "events_theils_u" ->
+      """WITH cells AS (
+           SELECT event_type AS r, (epoch_us(ts) // 3600000000) % 24 AS c,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT r, c, o,
+                  CAST(sum(o) OVER (PARTITION BY c) AS BIGINT) AS cm,
+                  CAST(sum(o) OVER () AS BIGINT) AS nn
+           FROM cells),
+         pr AS (
+           SELECT r, max(nn) AS nn, arg_max(hr_cum, c) AS hr
+           FROM (SELECT r, c, nn,
+                        sum((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+                            * ln(CAST(o AS DOUBLE) / CAST(cm AS DOUBLE)))
+                          OVER (PARTITION BY r ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS hr_cum
+                 FROM st)
+           GROUP BY r),
+         hxy AS (
+           SELECT max(nn) AS n, arg_max(hxy_cum, r) AS neg_hxy
+           FROM (SELECT r, nn,
+                        sum(hr) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS hxy_cum
+                 FROM pr)),
+         rm AS (
+           SELECT r, CAST(sum(o) AS BIGINT) AS rm FROM cells GROUP BY r),
+         rm2 AS (
+           SELECT r, rm, CAST(sum(rm) OVER () AS BIGINT) AS nn FROM rm),
+         hx AS (
+           SELECT arg_max(hx_cum, r) AS neg_hx
+           FROM (SELECT r,
+                        sum((CAST(rm AS DOUBLE) / CAST(nn AS DOUBLE))
+                            * ln(CAST(rm AS DOUBLE) / CAST(nn AS DOUBLE)))
+                          OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS hx_cum
+                 FROM rm2)),
+         f AS (
+           SELECT n, 0.0 - neg_hx AS h_x, 0.0 - neg_hxy AS h_x_given_y
+           FROM hxy CROSS JOIN hx)
+         SELECT n, round(h_x, 6) AS h_x,
+                round(h_x_given_y, 6) AS h_x_given_y,
+                round((h_x - h_x_given_y) / h_x, 6) AS theils_u
+         FROM f WHERE h_x > 0.0""",
     "events_contingency" ->
       """WITH cells AS (
            SELECT event_type AS r, (epoch_us(ts) // 3600000000) % 24 AS c,

@@ -437,6 +437,62 @@ object StatTests {
         round(dev * dev / expected, 6).as("chi2_term"))
   }
 
+  /** Theil's uncertainty coefficient U(X|Y) — ClickHouse `theilsU(x, y)`:
+    * the ASYMMETRIC association readout [[contingencyChi2]]'s scaladoc
+    * promises — what fraction of X's entropy does knowing Y remove,
+    * U = (H(X) − H(X|Y)) / H(X) ∈ [0, 1]. Unlike Cramér's V it tells you
+    * the DIRECTION of predictability (hour may predict event type while
+    * type says little about hour).
+    *
+    * Exact integer cell/margin counts from one cell-grain aggregation;
+    * the two entropy folds are order-sensitive double sums, so each rides
+    * a CUMULATIVE window in a FIXED key order (the [[anovaF]] idiom) —
+    * H(X|Y) over cells ordered by (r, c), H(X) over the row margins
+    * ordered by r — finished by `max_by`. Output one row: n, h_x,
+    * h_x_given_y, theils_u (6dp, natural log). Degenerate inputs (H(X)=0:
+    * one distinct X) drop loudly.
+    */
+  def theilsU(events: DataFrame, rowC: Column, colC: Column): DataFrame = {
+    val cells = events.groupBy(rowC.as("r"), colC.as("c"))
+      .agg(count(lit(1)).as("o"))
+    val byC = Window.partitionBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // H(X|Y) = −Σ_{r,c} (o/N)·ln(o/cm) — two NESTED fixed-order folds
+    // (per-r over c, then over r), every max_by key scalar so the oracle
+    // mirrors with plain arg_max
+    val perR = cells
+      .withColumn("cm", sum(col("o")).over(byC))
+      .withColumn("nn", sum(col("o")).over(all))
+      .withColumn("hr_cum", sum((d(col("o")) / d(col("nn"))) *
+        log(d(col("o")) / d(col("cm"))))
+        .over(Window.partitionBy(col("r")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("r"))
+      .agg(max(col("nn")).as("nn"), max_by(col("hr_cum"), col("c")).as("hr"))
+    val folded = perR
+      .withColumn("hxy_cum", sum(col("hr")).over(
+        Window.orderBy(col("r")).rowsBetween(Window.unboundedPreceding, 0)))
+      .agg(max(col("nn")).as("n"),
+        max_by(col("hxy_cum"), col("r")).as("neg_hxy"))
+    // H(X) = −Σ_r (rm/N)·ln(rm/N) — fold over row margins ordered by r
+    val rm = cells.groupBy(col("r")).agg(sum(col("o")).as("rm"))
+      .withColumn("nn", sum(col("rm")).over(all))
+      .withColumn("hx_cum", sum((d(col("rm")) / d(col("nn"))) *
+        log(d(col("rm")) / d(col("nn"))))
+        .over(Window.orderBy(col("r")).rowsBetween(Window.unboundedPreceding, 0)))
+    val hx = rm.agg(max_by(col("hx_cum"), col("r")).as("neg_hx"))
+    folded.crossJoin(broadcast(hx))
+      .select(col("n"), (lit(0.0) - col("neg_hx")).as("h_x"),
+        (lit(0.0) - col("neg_hxy")).as("h_x_given_y"))
+      .where(col("h_x") > 0.0)
+      .select(col("n"), round(col("h_x"), 6).as("h_x"),
+        round(col("h_x_given_y"), 6).as("h_x_given_y"),
+        round((col("h_x") - col("h_x_given_y")) / col("h_x"), 6)
+          .as("theils_u"))
+  }
+
   /** Exact ROC-AUC of a binary classifier — P(score of a random positive
     * > random negative), ties counting half: the rank-sum (Mann–Whitney)
     * form with AVERAGE ranks, kept integer throughout. Grouping by the

@@ -387,6 +387,29 @@ class StatTestsSpec extends SparkSpec {
     assert(r.getDouble(2) == rnd(mean / math.sqrt(sv / 3.0)))
   }
 
+  test("theilsU: hand entropies, perfect knowledge = 1, degenerate drop") {
+    // cells: (a,0)=2 (a,1)=2 (b,0)=4; N=8. H(X)=ln2;
+    // H(X|Y) = 0.25·ln3 + 0.5·ln1.5; U = 1 − H(X|Y)/ln2
+    val rows = (Seq.fill(2)(("a", 0)) ++ Seq.fill(2)(("a", 1)) ++
+      Seq.fill(4)(("b", 0))).toDF("x", "y")
+    val r = StatTests.theilsU(rows, col("x"), col("y")).collect()(0)
+    def rnd(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hxy = 0.25 * math.log(3.0) + 0.5 * math.log(1.5)
+    assert(r.getLong(0) == 8L)
+    assert(math.abs(r.getDouble(1) - rnd(math.log(2.0))) <= 1e-6)
+    assert(math.abs(r.getDouble(2) - rnd(hxy)) <= 1e-6)
+    assert(math.abs(r.getDouble(3) -
+      rnd((math.log(2.0) - hxy) / math.log(2.0))) <= 1e-6)
+    // Y determines X exactly → U = 1
+    val perfect = (Seq.fill(3)(("a", 0)) ++ Seq.fill(5)(("b", 1)))
+      .toDF("x", "y")
+    assert(StatTests.theilsU(perfect, col("x"), col("y"))
+      .collect()(0).getDouble(3) == 1.0)
+    // one distinct X → H(X) = 0 → no row, never a division blowup
+    val flat = Seq(("a", 0), ("a", 1), ("a", 0)).toDF("x", "y")
+    assert(StatTests.theilsU(flat, col("x"), col("y")).count() == 0)
+  }
+
   test("bartlett matches the hand-computed statistic; degenerate buckets " +
     "drop whole") {
     // bucket 1 = the abTTest fixture: s²_a = 20/3 (n=4), s²_b = 16 (n=3)
