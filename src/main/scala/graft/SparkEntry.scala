@@ -562,6 +562,11 @@ object SparkEntry {
     "events_theils_u" -> ((s, d) =>
       StatTests.theilsU(t(s, d, "events"), col("event_type"),
         expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"))),
+    // ClickHouse cramersV + cramersVBiasCorrected: the symmetric headline
+    // scalar over the same contingency cells (r16)
+    "events_cramers_v" -> ((s, d) =>
+      StatTests.cramersV(t(s, d, "events"), col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"))),
     // ClickHouse kolmogorovSmirnovTest: CDF supremum between 'view' and
     // 'click' value distributions per day-of-month — the gap max runs over
     // exact integer cross-scaled counts at distinct-value grain, the
@@ -3091,6 +3096,56 @@ object SparkEntry {
          SELECT bucket, n1, n2, u1,
                 round((u1 - n1d * n2d / 2.0) / sqrt(sigma2), 6) AS z
          FROM q WHERE sigma2 > 0""",
+    // same nested fixed-order chi2 fold as theilsU; the V/V+ scalar
+    // trees mirror Spark's op order exactly
+    "events_cramers_v" ->
+      """WITH cells AS (
+           SELECT event_type AS r, (epoch_us(ts) // 3600000000) % 24 AS c,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+         ncx AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS nc FROM cells),
+         st AS (
+           SELECT r, c, o,
+                  CAST(sum(o) OVER (PARTITION BY r) AS BIGINT) AS rm,
+                  CAST(sum(o) OVER (PARTITION BY c) AS BIGINT) AS cm,
+                  CAST(sum(o) OVER () AS BIGINT) AS nn
+           FROM cells),
+         pr AS (
+           SELECT r, max(nn) AS nn, max(nc) AS nc,
+                  arg_max(chi_cum, c) AS chir
+           FROM (SELECT st.r, st.c, st.nn, ncx.nc,
+                        sum((CAST(o AS DOUBLE) - CAST(rm AS DOUBLE)
+                               * CAST(cm AS DOUBLE) / CAST(nn AS DOUBLE))
+                            * (CAST(o AS DOUBLE) - CAST(rm AS DOUBLE)
+                               * CAST(cm AS DOUBLE) / CAST(nn AS DOUBLE))
+                            / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                               / CAST(nn AS DOUBLE)))
+                          OVER (PARTITION BY st.r ORDER BY st.c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS chi_cum
+                 FROM st CROSS JOIN ncx)
+           GROUP BY r),
+         f AS (
+           SELECT max(nn) AS n, CAST(count(*) AS BIGINT) AS nr,
+                  max(nc) AS ncl, arg_max(cum, r) AS chi2
+           FROM (SELECT r, nn, nc,
+                        sum(chir) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cum
+                 FROM pr)
+           HAVING nr >= 2 AND ncl >= 2),
+         g AS (
+           SELECT n, nr, ncl, chi2, CAST(n AS DOUBLE) AS nd,
+                  CAST(nr AS DOUBLE) AS rd, CAST(ncl AS DOUBLE) AS cd
+           FROM f)
+         SELECT n, nr AS r_levels, ncl AS c_levels,
+                round(chi2, 6) AS chi2,
+                round(sqrt(chi2 / (nd * (least(rd, cd) - 1.0))), 6) AS v,
+                round(sqrt(greatest(0.0, chi2 / nd
+                      - (rd - 1.0) * (cd - 1.0) / (nd - 1.0))
+                    / (least(rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0),
+                             cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0))
+                       - 1.0)), 6) AS v_corrected
+         FROM g""",
     // same nested fixed-order entropy folds (per-r over c, then over r);
     // natural log; u computed from the unrounded entropies
     "events_theils_u" ->

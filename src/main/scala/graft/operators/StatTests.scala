@@ -437,6 +437,66 @@ object StatTests {
         round(dev * dev / expected, 6).as("chi2_term"))
   }
 
+  /** Cramér's V — ClickHouse `cramersV(x, y)` / `cramersVBiasCorrected`:
+    * the SYMMETRIC association scalar over [[contingencyChi2]]'s cells,
+    * V = √(χ²/(N·(min(R,C)−1))), plus the Bergsma bias-corrected variant
+    * (φ²₊ = max(0, φ² − (R−1)(C−1)/(N−1)) over shrunk level counts) that
+    * doesn't inflate on sparse tables. The per-cell decomposition
+    * ([[contingencyChi2]]) stays the drill-down; this is the headline
+    * number a dashboard thresholds.
+    *
+    * Exact integer cells/margins; the χ² fold is an order-sensitive
+    * double sum, so it rides the same NESTED fixed-order cumulative
+    * windows as [[theilsU]] (per-r over c, then over r — scalar max_by
+    * keys, oracle-mirrorable). Output one row: n, r_levels, c_levels,
+    * chi2, v, v_corrected (6dp). Single-level inputs drop loudly.
+    */
+  def cramersV(events: DataFrame, rowC: Column, colC: Column): DataFrame = {
+    val cells = events.groupBy(rowC.as("r"), colC.as("c"))
+      .agg(count(lit(1)).as("o"))
+    val byR = Window.partitionBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byC = Window.partitionBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val term = {
+      val e = d(col("rm")) * d(col("cm")) / d(col("nn"))
+      (d(col("o")) - e) * (d(col("o")) - e) / e
+    }
+    val nCols = cells.agg(count_distinct(col("c")).as("nc"))
+    val perR = cells
+      .withColumn("rm", sum(col("o")).over(byR))
+      .withColumn("cm", sum(col("o")).over(byC))
+      .withColumn("nn", sum(col("o")).over(all))
+      .crossJoin(broadcast(nCols))
+      .withColumn("chi_cum", sum(term).over(
+        Window.partitionBy(col("r")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("r"))
+      .agg(max(col("nn")).as("nn"), max(col("nc")).as("nc"),
+        max_by(col("chi_cum"), col("c")).as("chir"))
+    val folded = perR
+      .withColumn("cum", sum(col("chir")).over(
+        Window.orderBy(col("r")).rowsBetween(Window.unboundedPreceding, 0)))
+      .agg(max(col("nn")).as("n"), count(lit(1)).as("nr"),
+        max(col("nc")).as("ncl"), max_by(col("cum"), col("r")).as("chi2"))
+      .where(col("nr") >= 2 && col("ncl") >= 2)
+    val nd = d(col("n"))
+    val rd = d(col("nr"))
+    val cd = d(col("ncl"))
+    val v = sqrt(col("chi2") / (nd * (least(rd, cd) - 1.0)))
+    val phi2 = col("chi2") / nd
+    val phi2p = greatest(lit(0.0),
+      phi2 - (rd - 1.0) * (cd - 1.0) / (nd - 1.0))
+    val rT = rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0)
+    val cT = cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0)
+    folded.select(col("n"), col("nr").as("r_levels"),
+      col("ncl").cast("long").as("c_levels"),
+      round(col("chi2"), 6).as("chi2"), round(v, 6).as("v"),
+      round(sqrt(phi2p / (least(rT, cT) - 1.0)), 6).as("v_corrected"))
+  }
+
   /** Theil's uncertainty coefficient U(X|Y) — ClickHouse `theilsU(x, y)`:
     * the ASYMMETRIC association readout [[contingencyChi2]]'s scaladoc
     * promises — what fraction of X's entropy does knowing Y remove,

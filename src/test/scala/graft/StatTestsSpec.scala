@@ -387,6 +387,24 @@ class StatTestsSpec extends SparkSpec {
     assert(r.getDouble(2) == rnd(mean / math.sqrt(sv / 3.0)))
   }
 
+  test("cramersV: textbook 2x2 V = 0.5, Bergsma correction, level drop") {
+    // cells 30/10/10/30: margins all 40, e = 20, chi2 = 4·(100/20) = 20,
+    // V = sqrt(20/80) = 0.5; phi2+ = 0.25 − 1/79, rT = cT = 2 − 1/79
+    val rows = (Seq.fill(30)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(10)(("b", 0)) ++ Seq.fill(30)(("b", 1))).toDF("x", "y")
+    val r = StatTests.cramersV(rows, col("x"), col("y")).collect()(0)
+    def rnd(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 80L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 20.0 && r.getDouble(4) == 0.5)
+    val phi2p = 0.25 - 1.0 / 79.0
+    val shrunk = 2.0 - 1.0 / 79.0
+    assert(math.abs(r.getDouble(5) - rnd(math.sqrt(phi2p / (shrunk - 1.0))))
+      <= 1e-6)
+    // a single-level column → no row
+    val flat = Seq(("a", 0), ("a", 1)).toDF("x", "y")
+    assert(StatTests.cramersV(flat, col("x"), col("y")).count() == 0)
+  }
+
   test("theilsU: hand entropies, perfect knowledge = 1, degenerate drop") {
     // cells: (a,0)=2 (a,1)=2 (b,0)=4; N=8. H(X)=ln2;
     // H(X|Y) = 0.25·ln3 + 0.5·ln1.5; U = 1 − H(X|Y)/ln2
