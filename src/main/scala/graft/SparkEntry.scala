@@ -1843,6 +1843,10 @@ object SparkEntry {
     "events_crosscorr" -> ((s, d) =>
       Behavior.hourlyCrossCorr(t(s, d, "events"), "ts", "event_type",
         "view", "purchase", Seq(0, 1, 2, 3, 4, 6, 8, 12, 24))),
+    // the hour-of-day seasonal PROFILE: centered 2x24-MA detrend, exact
+    // integer numerators end to end (r16)
+    "events_seasonal_decompose" -> ((s, d) =>
+      Behavior.seasonalDecompose(t(s, d, "events"), "ts")),
     // is day-to-day traffic random around its level, or regime-sticky
     "events_runs_test" -> ((s, d) =>
       Behavior.dailyRunsTest(t(s, d, "events"), "ts")),
@@ -3096,6 +3100,39 @@ object SparkEntry {
          SELECT bucket, n1, n2, u1,
                 round((u1 - n1d * n2d / 2.0) / sqrt(sigma2), 6) AS z
          FROM q WHERE sigma2 > 0""",
+    // integer 2x24-MA numerators on the dense grid; edge hours without a
+    // full window drop via the frame-count check
+    "events_seasonal_decompose" ->
+      """WITH observed AS (
+           SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM observed),
+         spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                     AS h FROM bounds),
+         series AS (
+           SELECT spine.h, coalesce(observed.x, 0) AS x
+           FROM spine LEFT JOIN observed ON observed.h = spine.h),
+         ma AS (
+           SELECT h, x,
+                  CAST(sum(x) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING
+                    AND 11 FOLLOWING) AS BIGINT) AS na,
+                  count(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING
+                    AND 11 FOLLOWING) AS ca,
+                  CAST(sum(x) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING
+                    AND 12 FOLLOWING) AS BIGINT) AS nb,
+                  count(*) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING
+                    AND 12 FOLLOWING) AS cb
+           FROM series),
+         d AS (
+           SELECT date_part('hour', h) AS hod, 48 * x - (na + nb) AS d48, x
+           FROM ma WHERE ca = 24 AND cb = 24)
+         SELECT CAST(hod AS BIGINT) AS hod,
+                CAST(count(*) AS BIGINT) AS n_hours,
+                round(CAST(sum(d48) AS DOUBLE)
+                  / (48.0 * CAST(count(*) AS DOUBLE)), 6) AS seasonal,
+                round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS raw_mean
+         FROM d GROUP BY 1""",
     // same nested fixed-order chi2 fold as theilsU; the V/V+ scalar
     // trees mirror Spark's op order exactly
     "events_cramers_v" ->

@@ -1006,6 +1006,54 @@ object Behavior {
           .as("crosscorr"))
   }
 
+  /** Classical additive seasonal decomposition of the hourly traffic
+    * series at the daily period — the moving-average half of ClickHouse
+    * `seriesDecomposeSTL` (trend via the standard CENTERED 2×24 MA,
+    * seasonal = per-hour-of-day mean of the detrended series): the
+    * seasonal PROFILE a capacity planner reads ("3am runs 40 below
+    * trend"), where `events_seasonal_strength` only scores its existence.
+    *
+    * Exact to the last division: the grid is integer counts (dense,
+    * 0-filled, the [[hourlyAutocorr]] spine), the 2×24 MA is kept as the
+    * exact INTEGER numerator n48 = Σ₋₁₂..₊₁₁ x + Σ₋₁₁..₊₁₂ x (trend =
+    * n48/48 never materializes as a float), the detrended value is the
+    * integer 48·x − n48, and each hour-of-day's seasonal mean is one
+    * division of exact integer sums Σd48 / (48·n) — order-independent,
+    * engine-reproducible. Edge hours without a full MA window drop (no
+    * phantom trend). Output 24 rows: hod, n_hours, seasonal, raw_mean
+    * (6dp).
+    *
+    * Scale: one hour-grain aggregate; the MA windows sort the
+    * calendar-bounded grid, never events.
+    */
+  def seasonalDecompose(events: DataFrame, tsCol: String): DataFrame = {
+    val observed = events
+      .groupBy(date_trunc("HOUR", col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = observed
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = spine.join(observed, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.orderBy(col("h"))
+    val staged = series
+      .withColumn("na", sum(col("x")).over(w.rowsBetween(-12, 11)))
+      .withColumn("ca", count(lit(1)).over(w.rowsBetween(-12, 11)))
+      .withColumn("nb", sum(col("x")).over(w.rowsBetween(-11, 12)))
+      .withColumn("cb", count(lit(1)).over(w.rowsBetween(-11, 12)))
+      .where(col("ca") === 24 && col("cb") === 24)
+      .withColumn("d48", lit(48L) * col("x") - (col("na") + col("nb")))
+    staged.groupBy(hour(col("h")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("d48")).as("sd48"),
+        sum(col("x")).as("sx"))
+      .select(col("hod"), col("n_hours"),
+        round(col("sd48").cast("double")
+          / (lit(48.0) * col("n_hours").cast("double")), 6).as("seasonal"),
+        round(col("sx").cast("double") / col("n_hours").cast("double"), 6)
+          .as("raw_mean"))
+  }
+
   /** Top session journeys: sessionize each key's stream
     * ([[CdcOps.sessionize]] gap semantics), render the first `maxSteps`
     * event types of every session as a `>`-joined path, and count

@@ -674,6 +674,27 @@ class InsightsSpec extends SparkSpec {
     assert(got(1)._2 > got(0)._2 && got(1)._2 > got(2)._2)
   }
 
+  test("seasonalDecompose: planted square-wave day reads exact ±4 seasonal") {
+    // 4 days of a perfectly periodic pattern: 10 events/hour for hod<12,
+    // 2 for hod>=12 (S = 144, mean 6). Any 24-consecutive-hour sum is S,
+    // so the 2x24 MA numerator is exactly 2S and seasonal_h = p_h − 6.
+    // Interior hours with full windows are 12..83 → 3 per hod.
+    val ev = (0 until 96).flatMap { h =>
+      val n = if (h % 24 < 12) 10 else 2
+      (1 to n).map(i => h * 3600L + i)
+    }.toDF("tsl").select(timestamp_seconds(col("tsl")).as("ts"))
+    val got = graft.operators.Behavior.seasonalDecompose(ev, "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size == 24)
+    for (hod <- 0L until 24L) {
+      val (n, seasonal, rawMean) = got(hod)
+      assert(n == 3L, s"hod $hod")
+      assert(seasonal == (if (hod < 12) 4.0 else -4.0), s"hod $hod")
+      assert(rawMean == (if (hod < 12) 10.0 else 2.0), s"hod $hod")
+    }
+  }
+
   test("isolation forest: planted outlier scores highest, deterministic") {
     import graft.operators.IsolationForest
     // inlier grid in [0,1]² plus one far point
