@@ -239,5 +239,17 @@ class ShuffleShapeSpec extends SparkSpec {
     // single-row moment fold — event-sized data shuffles once
     assert(shuffles(Behavior.hourlyCrossCorr(ev, "ts", "event_type",
       "view", "purchase", Seq(0, 1, 2))) <= 4)
+    // one (bucket, grp) moment pass; the grp-ordered cumulative windows
+    // and the bucket rollup run on the tiny grouped frame
+    assert(shuffles(graft.operators.StatTests.bartlett(ev,
+      expr("(unix_micros(ts) DIV 86400000000) % 7"), col("event_type"),
+      cents)) <= 3)
+    // cell-grain aggregate; margins/folds ride windows over cells
+    assert(shuffles(graft.operators.StatTests.theilsU(ev,
+      col("event_type"), expr("(unix_micros(ts) DIV 3600000000) % 24"))) <= 8)
+    assert(shuffles(graft.operators.StatTests.cramersV(ev,
+      col("event_type"), expr("(unix_micros(ts) DIV 3600000000) % 24"))) <= 8)
+    // hour-grain aggregate + spine join + grid windows + the hod rollup
+    assert(shuffles(Behavior.seasonalDecompose(ev, "ts")) <= 4)
   }
 }
