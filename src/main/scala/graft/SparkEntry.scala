@@ -1847,6 +1847,23 @@ object SparkEntry {
     // integer numerators end to end (r16)
     "events_seasonal_decompose" -> ((s, d) =>
       Behavior.seasonalDecompose(t(s, d, "events"), "ts")),
+    // compression-ratio quality profile per source (Gopher/RefinedWeb
+    // lineage): codegen'd raw-deflate size, integer basis-point ratios.
+    // rows-only by design: no SQL oracle can recompute zlib (r16)
+    "docs_quality_compression" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          octet_length(col("text")).cast("long").as("nb"),
+          graft.expressions.NativeFunctions.deflateSize(col("text")).as("zb"))
+        .where(col("nb") > 0)
+        .withColumn("ratio_bp", expr("(zb * 10000) DIV nb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ratio_bp")).as("sum_ratio_bp"),
+          min(col("ratio_bp")).as("min_ratio_bp"),
+          max(col("ratio_bp")).as("max_ratio_bp"),
+          sum(when(col("ratio_bp") < 3000, 1L).otherwise(0L))
+            .as("n_over_compressible"))),
     // is day-to-day traffic random around its level, or regime-sticky
     "events_runs_test" -> ((s, d) =>
       Behavior.dailyRunsTest(t(s, d, "events"), "ts")),

@@ -91,6 +91,9 @@ object GraftExtensions {
     (FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
       (args: Seq[Expression]) => TextStats(args.head)),
+    (FunctionIdentifier("deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size"),
+      (args: Seq[Expression]) => DeflateSize(args.head)),
     // the ClickHouse behavior suite in its native SQL shape:
     //   window_funnel(window_us, ts, cond1, …)  — bigint level
     //   sequence_match(gap_us, ts, cond1, …)    — boolean

@@ -72,4 +72,10 @@ object NativeFunctions {
     */
   def textStats(text: Column): Column =
     bridge.column(TextStats(bridge.expression(text)))
+
+  /** Raw-deflate(level 6) byte count of the UTF-8 text — the
+    * compression-ratio quality-filter input (see [[DeflateSize]]).
+    */
+  def deflateSize(text: Column): Column =
+    bridge.column(DeflateSize(bridge.expression(text)))
 }

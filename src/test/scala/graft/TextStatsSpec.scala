@@ -43,6 +43,40 @@ class TextStatsSpec extends SparkSpec {
     assert(n(5) == ((5L, 4L, 1L, 4L)))
   }
 
+  test("deflate_size: deterministic, repetition compresses, codegen ≡ " +
+    "direct compute, SQL surface registered") {
+    import graft.expressions.DeflateSize
+    import org.apache.spark.unsafe.types.UTF8String
+    val repetitive = "the same line over and over\n" * 40
+    val varied = (1 to 40).map(i => s"line $i ${i * 7919} ${i * 104729}\n")
+      .mkString
+    // deterministic across calls
+    assert(DeflateSize.compute(UTF8String.fromString(varied)) ==
+      DeflateSize.compute(UTF8String.fromString(varied)))
+    // the quality-filter premise: repetition compresses far better
+    val zr = DeflateSize.compute(UTF8String.fromString(repetitive))
+    val zv = DeflateSize.compute(UTF8String.fromString(varied))
+    assert(repetitive.length >= varied.length && zr < zv / 2,
+      s"zr=$zr zv=$zv")
+    // empty still emits a (tiny) terminator, never a crash
+    assert(DeflateSize.compute(UTF8String.fromString("")) > 0)
+    // the codegen'd column path equals the direct compute, nulls flow
+    val df = Seq((1L, repetitive), (2L, varied), (3L, null))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        NativeFunctions.deflateSize(col("text")).as("z"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(1L) == zr && got(2L) == zv && got(3L) == -1L)
+    // registered SQL scalar
+    val viaSql = df.sparkSession
+    org.apache.spark.sql.graft.bridge.registerFunctions(viaSql)
+    df.createOrReplaceTempView("dz_docs")
+    assert(viaSql.sql(
+      "SELECT deflate_size(text) FROM dz_docs WHERE id = 2")
+      .collect()(0).getLong(0) == zv)
+  }
+
   test("property: native kernel ≡ regex formulation on randomized text") {
     val charGen = Gen.frequency(
       6 -> Gen.alphaChar,
