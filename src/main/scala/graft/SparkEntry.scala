@@ -1932,6 +1932,13 @@ object SparkEntry {
       Sampling.weightedSample(t(s, d, "documents"), col("doc_id"),
         greatest(col("n_chars"), lit(1L)), 100)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // per-source weighted draw: k docs per stratum ∝ length — the
+    // training-mix primitive (quotas × A-ES) (r16)
+    "docs_stratified_weighted" -> ((s, d) =>
+      Sampling.weightedSamplePerGroup(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        col("source"), col("doc_id"), greatest(col("n_chars"), lit(1L)), 10)),
     // maintained A-ES reservoir: create on 90%, refresh the rest, read —
     // bit-equal to the one-shot draw over the whole corpus (r16)
     "docs_sample_maintained" -> ((s, d) => {
@@ -6001,6 +6008,16 @@ object SparkEntry {
                     / CAST(greatest(n_chars, 1) AS DOUBLE) AS es
            FROM documents
            ORDER BY es DESC, doc_id LIMIT 100)""",
+    // the same A-ES key formula ranked per source
+    "docs_stratified_weighted" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY
+                    ln(CAST((doc_id * 2654435761) % 10000 + 1 AS DOUBLE)
+                       / 10001.0)
+                      / CAST(greatest(n_chars, 1) AS DOUBLE) DESC,
+                    doc_id) AS rk
+           FROM documents) WHERE rk <= 10""",
     // the maintained reservoir's exactness contract IS the one-shot draw:
     // same oracle as docs_weighted_sample
     "docs_sample_maintained" ->

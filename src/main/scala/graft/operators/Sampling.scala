@@ -165,6 +165,26 @@ object Sampling {
       .drop("__es")
   }
 
+  /** Per-GROUP weighted sampling without replacement — k docs per
+    * stratum drawn ∝ weight: the training-mix primitive combining
+    * [[stratifiedSample]]'s per-source quotas with [[weightedSample]]'s
+    * A-ES draw ("200 docs per source, length-weighted"). Same
+    * deterministic [[esKey]] draw keys, ranked inside each group by one
+    * key-partitioned `row_number` window ((es, key)-unique so the cut is
+    * stable) — groups sample in parallel, nothing global sorts. Groups
+    * smaller than k keep everything (the A-ES semantic).
+    */
+  def weightedSamplePerGroup(df: DataFrame, group: Column, key: Column,
+                             weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(col("__es").desc, key)
+    df.withColumn("__es", esKey(key, weight))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__es", "__rk")
+  }
+
   def globalShuffle(df: DataFrame, key: Column, seed: Long, numShards: Int,
                     fanout: Int = 256): DataFrame = {
     require(numShards > 0 && fanout > 0 && fanout <= 10000,

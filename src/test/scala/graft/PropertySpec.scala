@@ -231,6 +231,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: weightedSamplePerGroup decomposes to per-group draws") {
+    val gen = Gen.listOfN(40, for {
+      id <- Gen.choose(1L, 10000L)
+      g <- Gen.oneOf("a", "b", "c")
+      w <- Gen.choose(1L, 5000L)
+    } yield (id, g, w))
+    for (i <- 1L to rounds) {
+      val rows = sample(gen, i).distinctBy(_._1)
+      val df = rows.toDF("id", "g", "w")
+      val got = Sampling.weightedSamplePerGroup(df, col("g"), col("id"),
+        col("w"), 5).select("g", "id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for (g <- rows.map(_._2).distinct) {
+        val sub = rows.filter(_._2 == g).map(r => (r._1, r._3))
+        val want = Sampling.weightedSample(sub.toDF("id", "w"),
+          col("id"), col("w"), 5).select("id").as[Long].collect().toSet
+        assert(got.getOrElse(g, Set.empty) == want, s"seed $i group $g")
+      }
+    }
+  }
+
   test("property: kCore members have >= k in-core neighbors, outsiders don't") {
     // the defining property of the k-core (unique maximal subgraph of
     // min-degree k): every member keeps >= k neighbors INSIDE the core,
