@@ -165,11 +165,26 @@ object Profiler {
     */
   def changepointCusum(df: DataFrame, groupCol: String, tsCol: String,
                        valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourly = df.groupBy(col(groupCol).as("g"),
+    val grain = df.groupBy(col(groupCol).as("g"),
         date_trunc("hour", col(tsCol)).as("h"))
       .agg(count(lit(1)).as("hn"),
         sum(col(valueCol).cast("decimal(18,2)")).as("sv"))
+    changepointFromHourly(grain, groupCol)
+  }
+
+  /** The shared scalar tail of [[changepointCusum]] over an already
+    * hour-grained frame (g, h, hn, sv) — the ONE formulation both the
+    * batch operator and the live [[graft.streaming.ChangepointStream]]
+    * evaluate, so their answers agree exactly by construction (the
+    * `srmColumns` idiom): hourly means round to decimal(18,6) from the
+    * EXACT (count, decimal-sum) moments, the CUSUM folds doubles in
+    * fixed hour order, the peak ranks on the 4dp-rounded |CUSUM| with
+    * the hour tie-break.
+    */
+  private[graft] def changepointFromHourly(grain: DataFrame,
+                                           groupOut: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = grain
       .withColumn("m",
         round(col("sv").cast("double") / col("hn"), 6).cast("decimal(18,6)"))
     val byG = Window.partitionBy(col("g"))
@@ -192,7 +207,7 @@ object Profiler {
       .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
         .orderBy(abs(col("cusum")).desc, col("h"))))
     scored.where(col("rn") === 1)
-      .select(col("g").as(groupCol), col("n_hours"),
+      .select(col("g").as(groupOut), col("n_hours"),
         col("h").as("cp_hour"), col("cusum"))
   }
 
