@@ -996,14 +996,19 @@ object Behavior {
     }
     shifted.agg(perLag.head, perLag.tail: _*)
       .select(explode(array(lags.map(k => col(s"_m$k")): _*)).as("m"))
-      .select(col("m.lag").as("lag"), col("m.n").as("n"),
-        round((col("m.n").cast("double") * col("m.sxy").cast("double")
-          - col("m.sx").cast("double") * col("m.sy").cast("double"))
-          / sqrt((col("m.n").cast("double") * col("m.sxx").cast("double")
-            - col("m.sx").cast("double") * col("m.sx").cast("double"))
-            * (col("m.n").cast("double") * col("m.syy").cast("double")
-              - col("m.sy").cast("double") * col("m.sy").cast("double"))), 6)
-          .as("crosscorr"))
+      .select(col("m.lag").as("lag"), col("m.n").as("n"), {
+        // a zero-variance window (one series silent in the overlap)
+        // has no defined correlation: null, never an ANSI divide error
+        val denom = sqrt((col("m.n").cast("double")
+          * col("m.sxx").cast("double")
+          - col("m.sx").cast("double") * col("m.sx").cast("double"))
+          * (col("m.n").cast("double") * col("m.syy").cast("double")
+            - col("m.sy").cast("double") * col("m.sy").cast("double")))
+        when(denom > 0.0,
+          round((col("m.n").cast("double") * col("m.sxy").cast("double")
+            - col("m.sx").cast("double") * col("m.sy").cast("double"))
+            / denom, 6)).as("crosscorr")
+      })
   }
 
   /** Classical additive seasonal decomposition of the hourly traffic

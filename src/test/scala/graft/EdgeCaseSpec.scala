@@ -214,4 +214,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Analytics.repeatRate(
       Seq.empty[(Long, Long)].toDF("o_custkey", "o_orderkey")).count() == 0)
   }
+
+  test("session-4 additions accept empty and degenerate inputs") {
+    import graft.operators.{Behavior, Sampling, StatTests}
+    val noEv = Seq.empty[(Long, Long, Long, String)]
+      .toDF("u", "tm", "y", "op")
+      .select(col("u"), timestamp_micros(col("tm")).as("ts"), col("y"),
+        col("op"))
+    assert(StatTests.wilcoxonSignedRank(noEv, col("u"), col("y"),
+      expr("unix_micros(ts)")).count() == 0)
+    assert(StatTests.bartlett(noEv, col("op"), col("u"), col("y"))
+      .count() == 0)
+    assert(StatTests.theilsU(noEv, col("op"), col("u")).count() == 0)
+    assert(StatTests.cramersV(noEv, col("op"), col("u")).count() == 0)
+    assert(Behavior.seasonalDecompose(noEv, "ts").count() == 0)
+    assert(Behavior.linearAttribution(noEv
+        .withColumn("eid", col("u")), "u", "op", "ts", "eid",
+      "purchase", 1000000L).count() == 0)
+    // crosscorr with one type absent: the grid exists but y is all-zero
+    // → zero variance → null corr rows, never a crash
+    val oneType = Seq((1L, 10L, 5L, "view"), (2L, 3610L, 7L, "view"))
+      .toDF("u", "tm", "y", "op")
+      .select(col("u"), timestamp_micros(col("tm") * 1000000L).as("ts"),
+        col("y"), col("op"))
+    val cc = Behavior.hourlyCrossCorr(oneType, "ts", "op", "view",
+      "purchase", Seq(0, 1)).collect()
+    assert(cc.length == 2 && cc.forall(r => r.isNullAt(2) ||
+      r.getDouble(2).isNaN))
+    // a series shorter than the 24h MA window: every hour is an edge
+    assert(Behavior.seasonalDecompose(oneType, "ts").count() == 0)
+    // per-group weighted draw over an empty frame: empty
+    assert(Sampling.weightedSamplePerGroup(
+      Seq.empty[(Long, String, Long)].toDF("id", "g", "w"),
+      col("g"), col("id"), col("w"), 5).count() == 0)
+  }
 }
