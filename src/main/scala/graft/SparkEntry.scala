@@ -567,6 +567,32 @@ object SparkEntry {
     "events_cramers_v" -> ((s, d) =>
       StatTests.cramersV(t(s, d, "events"), col("event_type"),
         expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"))),
+    // G-test of independence over the same cells: the log-likelihood-ratio
+    // twin of events_contingency's Pearson χ² (r16 s5)
+    "events_gtest" -> ((s, d) =>
+      StatTests.gTest(t(s, d, "events"), col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"))),
+    // ClickHouse quantilesExactWeighted: exact weighted value quantiles
+    // per event type, weights = a deterministic per-user importance
+    // (user_id mod 7 + 1) — all-integer accumulate-until-threshold (r16 s5)
+    "events_weighted_quantiles" -> ((s, d) =>
+      StatTests.weightedQuantiles(t(s, d, "events"), col("event_type"),
+        floor(col("value") * 100 + 0.5), pmod(col("user_id"), lit(7)) + 1,
+        Seq(250, 500, 750, 900, 990))),
+    // Ljung–Box white-noise portmanteau over the dense daily count series
+    // — the "is any autocorrelation left" gate beside events_autocorr's
+    // per-lag profile (r16 s5)
+    "events_ljung_box" -> ((s, d) =>
+      StatTests.ljungBoxDaily(t(s, d, "events"), "ts", 7)),
+    // two-feature closed-form OLS (hour-of-day + epoch-day-mod-7 → value
+    // cents) per event type — the deterministic cousin of ClickHouse
+    // stochasticLinearRegression, Cramer's rule over ten exact moments
+    // (r16 s5)
+    "events_multi_linreg" -> ((s, d) =>
+      StatTests.multiLinReg(t(s, d, "events"), col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7"),
+        floor(col("value") * 100 + 0.5))),
     // ClickHouse kolmogorovSmirnovTest: CDF supremum between 'view' and
     // 'click' value distributions per day-of-month — the gap max runs over
     // exact integer cross-scaled counts at distinct-value grain, the
@@ -3207,6 +3233,200 @@ object SparkEntry {
                              cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0))
                        - 1.0)), 6) AS v_corrected
          FROM g""",
+    // the same nested fixed-order fold as cramersV, with the G term
+    // o·ln(o·N/(rm·cm)) in place of the χ² deviation term
+    "events_gtest" ->
+      """WITH cells AS (
+           SELECT event_type AS r, (epoch_us(ts) // 3600000000) % 24 AS c,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+         ncx AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS nc FROM cells),
+         st AS (
+           SELECT r, c, o,
+                  CAST(sum(o) OVER (PARTITION BY r) AS BIGINT) AS rm,
+                  CAST(sum(o) OVER (PARTITION BY c) AS BIGINT) AS cm,
+                  CAST(sum(o) OVER () AS BIGINT) AS nn
+           FROM cells),
+         pr AS (
+           SELECT r, max(nn) AS nn, max(nc) AS nc,
+                  arg_max(g_cum, c) AS gr
+           FROM (SELECT st.r, st.c, st.nn, ncx.nc,
+                        sum(CAST(o AS DOUBLE)
+                            * ln(CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+                                 / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))))
+                          OVER (PARTITION BY st.r ORDER BY st.c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS g_cum
+                 FROM st CROSS JOIN ncx)
+           GROUP BY r),
+         f AS (
+           SELECT max(nn) AS n, CAST(count(*) AS BIGINT) AS nr,
+                  max(nc) AS ncl, arg_max(cum, r) AS gsum
+           FROM (SELECT r, nn, nc,
+                        sum(gr) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cum
+                 FROM pr)
+           HAVING nr >= 2 AND ncl >= 2)
+         SELECT n, nr AS r_levels, ncl AS c_levels,
+                (nr - 1) * (ncl - 1) AS dof,
+                round(2.0 * gsum, 6) AS g_stat
+         FROM f""",
+    // the identical integer accumulate-until-threshold pick at the
+    // (group, distinct value) grain
+    "events_weighted_quantiles" ->
+      """WITH m AS (
+           SELECT event_type AS g,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  (user_id % 7) + 1 AS w
+           FROM events WHERE value IS NOT NULL),
+         gv AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS w
+                FROM m WHERE w > 0 GROUP BY g, v),
+         c AS (SELECT g, v, w,
+                      CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cumw,
+                      CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+               FROM gv),
+         q AS (SELECT * FROM (VALUES (250), (500), (750), (900), (990))
+                 AS t(q_permille))
+         SELECT g, CAST(q_permille AS BIGINT) AS q_permille, v AS v_cents
+         FROM c CROSS JOIN q
+         WHERE cumw * 1000 >= q_permille * tw
+           AND (cumw - w) * 1000 < q_permille * tw""",
+    // the identical day-grain spine, exact pair sums per lag, and the
+    // identical rho/Q scalar trees (fixed-denominator ACF convention)
+    "events_ljung_box" ->
+      """WITH observed AS (
+           SELECT date_trunc('day', ts) AS dy, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(dy) AS d0, max(dy) AS d1 FROM observed),
+         spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                     AS dy FROM bounds),
+         series AS (
+           SELECT spine.dy, coalesce(observed.x, 0) AS x
+           FROM spine LEFT JOIN observed ON observed.dy = spine.dy),
+         lagged AS (
+           SELECT x,
+                  lag(x, 1) OVER (ORDER BY dy) AS l1,
+                  lag(x, 2) OVER (ORDER BY dy) AS l2,
+                  lag(x, 3) OVER (ORDER BY dy) AS l3,
+                  lag(x, 4) OVER (ORDER BY dy) AS l4,
+                  lag(x, 5) OVER (ORDER BY dy) AS l5,
+                  lag(x, 6) OVER (ORDER BY dy) AS l6,
+                  lag(x, 7) OVER (ORDER BY dy) AS l7
+           FROM series),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(count(l1) AS BIGINT) AS m1,
+                  CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT) AS sx1,
+                  CAST(sum(l1) AS BIGINT) AS sy1,
+                  CAST(sum(x * l1) AS BIGINT) AS sxy1,
+                  CAST(count(l2) AS BIGINT) AS m2,
+                  CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT) AS sx2,
+                  CAST(sum(l2) AS BIGINT) AS sy2,
+                  CAST(sum(x * l2) AS BIGINT) AS sxy2,
+                  CAST(count(l3) AS BIGINT) AS m3,
+                  CAST(sum(CASE WHEN l3 IS NOT NULL THEN x END) AS BIGINT) AS sx3,
+                  CAST(sum(l3) AS BIGINT) AS sy3,
+                  CAST(sum(x * l3) AS BIGINT) AS sxy3,
+                  CAST(count(l4) AS BIGINT) AS m4,
+                  CAST(sum(CASE WHEN l4 IS NOT NULL THEN x END) AS BIGINT) AS sx4,
+                  CAST(sum(l4) AS BIGINT) AS sy4,
+                  CAST(sum(x * l4) AS BIGINT) AS sxy4,
+                  CAST(count(l5) AS BIGINT) AS m5,
+                  CAST(sum(CASE WHEN l5 IS NOT NULL THEN x END) AS BIGINT) AS sx5,
+                  CAST(sum(l5) AS BIGINT) AS sy5,
+                  CAST(sum(x * l5) AS BIGINT) AS sxy5,
+                  CAST(count(l6) AS BIGINT) AS m6,
+                  CAST(sum(CASE WHEN l6 IS NOT NULL THEN x END) AS BIGINT) AS sx6,
+                  CAST(sum(l6) AS BIGINT) AS sy6,
+                  CAST(sum(x * l6) AS BIGINT) AS sxy6,
+                  CAST(count(l7) AS BIGINT) AS m7,
+                  CAST(sum(CASE WHEN l7 IS NOT NULL THEN x END) AS BIGINT) AS sx7,
+                  CAST(sum(l7) AS BIGINT) AS sy7,
+                  CAST(sum(x * l7) AS BIGINT) AS sxy7
+           FROM lagged
+           HAVING count(*) >= 9),
+         f AS (
+           SELECT *, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xb
+           FROM m),
+         r AS (
+           SELECT nd, n,
+             (CAST(sxy1 AS DOUBLE) - xb * (CAST(sx1 AS DOUBLE) + CAST(sy1 AS DOUBLE)) + CAST(m1 AS DOUBLE) * xb * xb) / (CAST(sxx AS DOUBLE) - nd * xb * xb) AS r1,
+             (CAST(sxy2 AS DOUBLE) - xb * (CAST(sx2 AS DOUBLE) + CAST(sy2 AS DOUBLE)) + CAST(m2 AS DOUBLE) * xb * xb) / (CAST(sxx AS DOUBLE) - nd * xb * xb) AS r2,
+             (CAST(sxy3 AS DOUBLE) - xb * (CAST(sx3 AS DOUBLE) + CAST(sy3 AS DOUBLE)) + CAST(m3 AS DOUBLE) * xb * xb) / (CAST(sxx AS DOUBLE) - nd * xb * xb) AS r3,
+             (CAST(sxy4 AS DOUBLE) - xb * (CAST(sx4 AS DOUBLE) + CAST(sy4 AS DOUBLE)) + CAST(m4 AS DOUBLE) * xb * xb) / (CAST(sxx AS DOUBLE) - nd * xb * xb) AS r4,
+             (CAST(sxy5 AS DOUBLE) - xb * (CAST(sx5 AS DOUBLE) + CAST(sy5 AS DOUBLE)) + CAST(m5 AS DOUBLE) * xb * xb) / (CAST(sxx AS DOUBLE) - nd * xb * xb) AS r5,
+             (CAST(sxy6 AS DOUBLE) - xb * (CAST(sx6 AS DOUBLE) + CAST(sy6 AS DOUBLE)) + CAST(m6 AS DOUBLE) * xb * xb) / (CAST(sxx AS DOUBLE) - nd * xb * xb) AS r6,
+             (CAST(sxy7 AS DOUBLE) - xb * (CAST(sx7 AS DOUBLE) + CAST(sy7 AS DOUBLE)) + CAST(m7 AS DOUBLE) * xb * xb) / (CAST(sxx AS DOUBLE) - nd * xb * xb) AS r7
+           FROM f
+           WHERE CAST(sxx AS DOUBLE) - nd * xb * xb > 0.0)
+         SELECT CAST(1 AS BIGINT) AS lag, n, round(r1, 6) AS rho,
+                round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0)), 6) AS q_cum FROM r
+         UNION ALL SELECT 2, n, round(r2, 6),
+                round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0)), 6) FROM r
+         UNION ALL SELECT 3, n, round(r3, 6),
+                round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0)), 6) FROM r
+         UNION ALL SELECT 4, n, round(r4, 6),
+                round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0)), 6) FROM r
+         UNION ALL SELECT 5, n, round(r5, 6),
+                round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0) + r5 * r5 / (nd - 5.0)), 6) FROM r
+         UNION ALL SELECT 6, n, round(r6, 6),
+                round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0) + r5 * r5 / (nd - 5.0) + r6 * r6 / (nd - 6.0)), 6) FROM r
+         UNION ALL SELECT 7, n, round(r7, 6),
+                round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0) + r5 * r5 / (nd - 5.0) + r6 * r6 / (nd - 6.0) + r7 * r7 / (nd - 7.0)), 6) FROM r""",
+    // the identical ten exact moments and Cramer's-rule scalar trees
+    "events_multi_linreg" ->
+      """WITH m AS (
+           SELECT event_type AS g,
+                  (epoch_us(ts) // 3600000000) % 24 AS a,
+                  (epoch_us(ts) // 86400000000) % 7 AS b,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL),
+         s AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(a) AS BIGINT) AS s1, CAST(sum(b) AS BIGINT) AS s2,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(a * a) AS BIGINT) AS s11,
+                  CAST(sum(a * b) AS BIGINT) AS s12,
+                  CAST(sum(b * b) AS BIGINT) AS s22,
+                  CAST(sum(a * y) AS BIGINT) AS s1y,
+                  CAST(sum(b * y) AS BIGINT) AS s2y,
+                  CAST(sum(y * y) AS BIGINT) AS syy
+           FROM m GROUP BY g HAVING count(*) >= 4),
+         f AS (
+           SELECT g, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+                  CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+                  CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+                  CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+                  CAST(syy AS DOUBLE) AS syy
+           FROM s),
+         dets AS (
+           SELECT g, n, nd, sy, s1y, s2y, syy,
+                  nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2) AS det,
+                  sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                    + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                  nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s2y - s1y * s2) AS det1,
+                  nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                    + sy * (s1 * s12 - s11 * s2) AS det2
+           FROM f WHERE nd * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2) <> 0.0),
+         b AS (
+           SELECT g, n, sy, s1y, s2y, syy, nd,
+                  det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+           FROM dets)
+         SELECT g, n, round(b0 / 100.0, 6) AS b0, round(b1 / 100.0, 6) AS b1,
+                round(b2 / 100.0, 6) AS b2,
+                CASE WHEN syy - sy * sy / nd > 0.0
+                  THEN round(1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+                             / (syy - sy * sy / nd), 6) END AS r2
+         FROM b""",
     // same nested fixed-order entropy folds (per-r over c, then over r);
     // natural log; u computed from the unrounded entropies
     "events_theils_u" ->

@@ -1286,4 +1286,225 @@ object StatTests {
     f.select(col("n").as("n_units"), wPlus.as("w_plus"),
       round((wPlus - mu) / sqrt(sigma2), 6).as("z"))
   }
+
+  /** Exact weighted quantiles — ClickHouse
+    * `quantilesExactWeighted(q…)(value, weight)` with a GROUP BY: for each
+    * requested per-mille level q the reported value is the SMALLEST
+    * distinct value whose cumulative weight w≤ satisfies
+    * `1000·w≤ ≥ q·W` (W = the group's total weight) — the
+    * accumulate-until-threshold convention, kept entirely in integers so
+    * the pick is a set membership test, not a float comparison.
+    *
+    * Scale shape: the raw log compresses to the (group, distinct value)
+    * grain FIRST (one map-side-combined aggregation — the [[mannWhitneyU]]
+    * idiom), the cumulative window then sorts DISTINCT values per group,
+    * and the q levels join as a broadcast literal table, so the heavy
+    * pass is one hash aggregation regardless of how many levels are
+    * asked. Weights must be ≥ 0; zero-total groups drop (no quantile is
+    * defined on zero mass). Output one row per (group, q_permille):
+    * (g, q_permille, v_cents).
+    */
+  def weightedQuantiles(df: DataFrame, group: Column, cents: Column,
+                        weight: Column, qPermille: Seq[Int]): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      s"bad qPermille=$qPermille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grain = df
+      .select(group.as("g"), cents.cast("long").as("v"),
+        weight.cast("long").as("w"))
+      .where(col("v").isNotNull && col("w") > 0L)
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+    val byG = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = grain
+      .withColumn("cumw", sum(col("w")).over(byG))
+      .withColumn("tw", sum(col("w")).over(tot))
+    val qs = qPermille.toDF("q_permille")
+    cum.join(broadcast(qs),
+        col("cumw") * 1000L >= col("q_permille") * col("tw") &&
+        (col("cumw") - col("w")) * 1000L < col("q_permille") * col("tw"))
+      .select(col("g"), col("q_permille").cast("long").as("q_permille"),
+        col("v").as("v_cents"))
+  }
+
+  /** G-test of independence (log-likelihood-ratio χ² twin) over the same
+    * contingency cells as [[contingencyChi2]]:
+    * G = 2·Σ_{r,c} O·ln(O·N / (R·C)), df = (R−1)(C−1). Preferred over
+    * Pearson's χ² when any cell is small — the statistic the reference
+    * warehouse computes as `2 * sum(o * ln(o/e))` in its data-quality
+    * dashboards.
+    *
+    * Exact integer cells and margins from one cell-grain aggregation;
+    * the G fold is an order-sensitive double sum, so it rides the same
+    * NESTED fixed-order cumulative windows as [[theilsU]] (per-r over c,
+    * then over r — empty cells contribute exactly 0 by construction and
+    * never appear, so the fold order is the (r, c) lexicographic order on
+    * OBSERVED cells both here and in the oracle). Output one row: n,
+    * r_levels, c_levels, dof, g_stat (6dp). Single-level inputs drop
+    * loudly (df = 0 ⇒ statistic meaningless).
+    */
+  def gTest(events: DataFrame, rowC: Column, colC: Column): DataFrame = {
+    val cells = events.groupBy(rowC.as("r"), colC.as("c"))
+      .agg(count(lit(1)).as("o"))
+    val byR = Window.partitionBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byC = Window.partitionBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val nCols = cells.agg(count_distinct(col("c")).as("nc"))
+    val term = d(col("o")) *
+      log(d(col("o")) * d(col("nn")) / (d(col("rm")) * d(col("cm"))))
+    val perR = cells
+      .withColumn("rm", sum(col("o")).over(byR))
+      .withColumn("cm", sum(col("o")).over(byC))
+      .withColumn("nn", sum(col("o")).over(all))
+      .crossJoin(broadcast(nCols))
+      .withColumn("g_cum", sum(term).over(
+        Window.partitionBy(col("r")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("r"))
+      .agg(max(col("nn")).as("nn"), max(col("nc")).as("nc"),
+        max_by(col("g_cum"), col("c")).as("gr"))
+    perR
+      .withColumn("cum", sum(col("gr")).over(
+        Window.orderBy(col("r")).rowsBetween(Window.unboundedPreceding, 0)))
+      .agg(max(col("nn")).as("n"), count(lit(1)).as("nr"),
+        max(col("nc")).cast("long").as("ncl"),
+        max_by(col("cum"), col("r")).as("gsum"))
+      .where(col("nr") >= 2 && col("ncl") >= 2)
+      .select(col("n"), col("nr").as("r_levels"), col("ncl").as("c_levels"),
+        ((col("nr") - 1L) * (col("ncl") - 1L)).as("dof"),
+        round(lit(2.0) * col("gsum"), 6).as("g_stat"))
+  }
+
+  /** Ljung–Box portmanteau test on the dense daily event-count series:
+    * Q(h) = n(n+2)·Σ_{k=1..h} ρ̂_k²/(n−k), the "is there ANY
+    * autocorrelation left" readout that complements the per-lag
+    * [[graft.operators.Behavior.hourlyAutocorr]] profile — the standard
+    * white-noise gate a forecasting pipeline runs on its residuals.
+    *
+    * The series is the day-grained count on the sequence-densified grid
+    * (absent days count 0 — a lag is a real k-day step). Counts are
+    * integers, so for every lag the five pair sums (Σx_t, Σx_{t−k},
+    * Σx_t·x_{t−k}, pair count) and the two global sums (Σx, Σx²) are
+    * exact int64s from ONE aggregate over the lag-shifted frame; each
+    * ρ̂_k = (Σx_t·x_{t−k} − x̄(Σx_t + Σx_{t−k}) + (n−k)x̄²)/(Σx² − n·x̄²)
+    * (fixed-denominator ACF convention, global mean x̄ = Σx/n) is a fixed
+    * scalar tree over them, and Q_cum(k) is a fixed k-term sum — all
+    * engine-reproducible bit-for-bit. Output one row per lag: (lag, n,
+    * rho (6dp), q_cum (6dp)); series shorter than max lag + 2 days drop.
+    *
+    * Scale: the window sorts DAYS, not events — the series is an
+    * aggregate; the lag shift is h window lags over the day frame.
+    */
+  def ljungBoxDaily(events: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32, s"bad maxLag=$maxLag")
+    val lags = 1 to maxLag
+    val observed = events
+      .groupBy(date_trunc("DAY", col(tsCol)).as("dy"))
+      .agg(count(lit(1)).as("x"))
+    val spine = observed
+      .agg(min(col("dy")).as("d0"), max(col("dy")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("dy"))
+    val series = spine.join(observed, Seq("dy"), "left")
+      .select(col("dy"), coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.orderBy(col("dy"))
+    val lagged = lags.foldLeft(series) { (df, k) =>
+      df.withColumn(s"_l$k", lag(col("x"), k).over(w))
+    }
+    val perLag = lags.map { k =>
+      val y = col(s"_l$k")
+      Seq(count(y).as(s"m$k"),
+        sum(when(y.isNotNull, col("x"))).as(s"sx$k"), sum(y).as(s"sy$k"),
+        sum(xprod(col("x"), y)).as(s"sxy$k"))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(xprod(col("x"), col("x"))).as("sxx")) ++ perLag.flatten
+    val m = lagged.agg(aggs.head, aggs.tail: _*)
+      .where(col("n") >= maxLag + 2)
+    val nd = d(col("n"))
+    val xbar = d(col("sx")) / nd
+    val denom = d(col("sxx")) - nd * xbar * xbar
+    def rho(k: Int): Column =
+      (d(col(s"sxy$k")) - xbar * (d(col(s"sx$k")) + d(col(s"sy$k"))) +
+        d(col(s"m$k")) * xbar * xbar) / denom
+    // Q_cum rides a fixed-order cumulative window over the h exploded
+    // lag rows (Σ adds t₁, t₂, … left-associatively — the exact order the
+    // oracle's literal k-term sums use); inlining qCum(k) as a closed
+    // expression instead re-substitutes every rho tree O(h²) times and
+    // blows the generated projection past janino's method limit.
+    val rows = lags.map { k =>
+      struct(lit(k.toLong).as("lag"), col("n").as("n"), rho(k).as("rho_raw"))
+    }
+    val wl = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ndOut = col("n").cast("double")
+    m.where(denom > 0.0)
+      .select(explode(array(rows: _*)).as("s"))
+      .select(col("s.lag").as("lag"), col("s.n").as("n"),
+        col("s.rho_raw").as("rho_raw"))
+      .withColumn("term", col("rho_raw") * col("rho_raw") /
+        (ndOut - col("lag").cast("double")))
+      .withColumn("cum", sum(col("term")).over(wl))
+      .select(col("lag"), col("n"), round(col("rho_raw"), 6).as("rho"),
+        round(ndOut * (ndOut + 2.0) * col("cum"), 6).as("q_cum"))
+  }
+
+  /** Two-feature ordinary least squares with intercept — the deterministic
+    * closed-form cousin of ClickHouse `stochasticLinearRegression`:
+    * y = b0 + b1·x1 + b2·x2 fitted per group by solving the 3×3 normal
+    * equations with Cramer's rule. One map-side-combined grouped pass
+    * collects the ten moments (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2²,
+    * Σx1y, Σx2y, Σy²) as exact integers — the squared/cross sums ride
+    * [[xprod]]'s decimal(38,0) so no product can wrap (the momentStats
+    * loud-overflow convention) — and every coefficient is one fixed
+    * scalar tree over them, so a DuckDB oracle hash-matches.
+    *
+    * Output per group: n, b0/b1/b2 on the cents/100 scale (6dp), r2
+    * (6dp, NULL when y is constant). Groups with a singular design
+    * (|det| = 0: either regressor constant or collinear) drop loudly —
+    * a pseudo-inverse answer would be arbitrary, not wrong-but-stable.
+    */
+  def multiLinReg(events: DataFrame, group: Column, x1: Column, x2: Column,
+                  cents: Column): DataFrame = {
+    val base = events.select(group.as("g"), x1.cast("long").as("a"),
+      x2.cast("long").as("b"), cents.cast("long").as("y"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("y").isNotNull)
+    val m = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("a")).as("s1"), sum(col("b")).as("s2"), sum(col("y")).as("sy"),
+      sum(xprod(col("a"), col("a"))).as("s11"),
+      sum(xprod(col("a"), col("b"))).as("s12"),
+      sum(xprod(col("b"), col("b"))).as("s22"),
+      sum(xprod(col("a"), col("y"))).as("s1y"),
+      sum(xprod(col("b"), col("y"))).as("s2y"),
+      sum(xprod(col("y"), col("y"))).as("syy"))
+      .where(col("n") >= 4)
+    val (nd, s1, s2, sy) = (d(col("n")), d(col("s1")), d(col("s2")), d(col("sy")))
+    val (s11, s12, s22) = (d(col("s11")), d(col("s12")), d(col("s22")))
+    val (s1y, s2y, syy) = (d(col("s1y")), d(col("s2y")), d(col("syy")))
+    // Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]·β = [sy,s1y,s2y]
+    val det = nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+    val sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    val sst = syy - sy * sy / nd
+    m.where(det =!= 0.0)
+      .select(col("g"), col("n"),
+        round(b0 / 100.0, 6).as("b0"),
+        round(b1 / 100.0, 6).as("b1"),
+        round(b2 / 100.0, 6).as("b2"),
+        when(sst > 0.0, round(lit(1.0) - sse / sst, 6)).as("r2"))
+  }
 }

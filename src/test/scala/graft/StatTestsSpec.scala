@@ -642,4 +642,126 @@ class StatTestsSpec extends SparkSpec {
     val got = StatTests.msprt(ev, col("u"), col("y"), col("ts")).collect()
     assert(got.length == 1)
   }
+
+  test("weightedQuantiles: accumulate-until-threshold picks, weight " +
+    "merging, zero-weight drop") {
+    // g=a: v=1 w=1, v=2 w=2 (two rows merged), v=3 w=1 → W=4
+    //   q=250: thr 1000 = cumw(1)·1000 → v=1 (prev 0 < 1000)
+    //   q=500: cumw(2)=3 → 3000 ≥ 2000, prev 1000 < 2000 → v=2
+    //   q=1000: v=3
+    val rows = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 2L, 1L),
+      ("a", 3L, 1L), ("a", 9L, 0L) // zero weight: invisible
+    ).toDF("g", "v", "w")
+    val got = StatTests.weightedQuantiles(rows, col("g"), col("v"),
+      col("w"), Seq(250, 500, 1000))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(("a", 250L, 1L), ("a", 500L, 2L),
+      ("a", 1000L, 3L)))
+  }
+
+  test("weightedQuantiles is partitioning-invariant") {
+    val rows = (1L to 40L).map(i => ("g" + (i % 2), i % 7, i % 5 + 1))
+      .toDF("g", "v", "w")
+    val a = StatTests.weightedQuantiles(rows.repartition(1), col("g"),
+      col("v"), col("w"), Seq(500, 900)).collect().toSet
+    val b = StatTests.weightedQuantiles(rows.repartition(13), col("g"),
+      col("v"), col("w"), Seq(500, 900)).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("gTest matches the hand-computed log-likelihood ratio; single-" +
+    "level inputs drop") {
+    // 2×2: [[10, 20], [20, 10]] → margins all 30, N = 60,
+    // G = 2·(10·ln(10·60/900) + 20·ln(20·60/900)) · 2
+    val rows = (Seq.fill(10)(("x", 0L)) ++ Seq.fill(20)(("x", 1L)) ++
+      Seq.fill(20)(("y", 0L)) ++ Seq.fill(10)(("y", 1L))).toDF("r", "c")
+    val got = StatTests.gTest(rows, col("r"), col("c"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (n, rl, cl, dof, g) = got.head
+    assert(n == 60 && rl == 2 && cl == 2 && dof == 1)
+    val expect = 2.0 * 2.0 *
+      (10.0 * math.log(10.0 * 60 / 900) + 20.0 * math.log(20.0 * 60 / 900))
+    assert(math.abs(g - expect) < 1e-5)
+    // one row level → undefined, dropped loudly-by-absence
+    assert(StatTests.gTest(rows.where(col("r") === "x"), col("r"),
+      col("c")).collect().isEmpty)
+  }
+
+  test("gTest is partitioning-invariant (fixed-order fold)") {
+    val rows = (1L to 300L).map(i => ("r" + (i % 5), i % 24))
+      .toDF("r", "c")
+    val a = StatTests.gTest(rows.repartition(1), col("r"), col("c"))
+      .collect().toSeq
+    val b = StatTests.gTest(rows.repartition(17), col("r"), col("c"))
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("ljungBoxDaily matches a plain-Scala replica on a hand series") {
+    val xs = Seq(5, 3, 8, 2, 7, 7, 1, 4, 6, 2)
+    val ev = xs.zipWithIndex.flatMap { case (x, day) =>
+      (0 until x).map(j => (day.toLong * 86400000000L + j * 1000L, 1L))
+    }.toDF("us", "one")
+      .select(timestamp_micros(col("us")).as("ts"))
+    val got = StatTests.ljungBoxDaily(ev, "ts", 3)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 3 && got.forall(_._2 == xs.length))
+    val n = xs.length.toDouble
+    val xbar = xs.sum / n
+    val denom = xs.map(x => x.toDouble * x).sum - n * xbar * xbar
+    def rho(k: Int): Double = {
+      val pairs = xs.drop(k).zip(xs.dropRight(k))
+      (pairs.map { case (a, b) => a.toDouble * b }.sum
+        - xbar * (pairs.map(_._1.toDouble).sum + pairs.map(_._2.toDouble).sum)
+        + pairs.length * xbar * xbar) / denom
+    }
+    var q = 0.0
+    (1 to 3).foreach { k =>
+      q += rho(k) * rho(k) / (n - k)
+      val row = got(k - 1)
+      assert(math.abs(row._3 - rho(k)) < 1e-5, s"rho lag $k")
+      assert(math.abs(row._4 - n * (n + 2.0) * q) < 1e-4, s"q lag $k")
+    }
+  }
+
+  test("ljungBoxDaily: series shorter than maxLag + 2 yields no rows") {
+    val ev = Seq(0L, 86400000000L).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    assert(StatTests.ljungBoxDaily(ev, "ts", 3).collect().isEmpty)
+  }
+
+  test("multiLinReg recovers an exact plane; collinear and constant-y " +
+    "designs behave") {
+    // y = 300 + 200·x1 + 500·x2 cents, exact fit → b/100 and r2 = 1
+    val plane = for (a <- 0L to 3L; b <- 0L to 2L)
+      yield ("fit", a, b, 300L + 200L * a + 500L * b)
+    // x2 ≡ x1: singular design, must drop
+    val coll = (0L to 5L).map(i => ("collinear", i, i, 100L * i))
+    // constant y: fits, but r2 undefined → NULL
+    val const = for (a <- 0L to 2L; b <- 0L to 2L)
+      yield ("const", a, b, 500L)
+    val got = StatTests.multiLinReg((plane ++ coll ++ const)
+        .toDF("g", "a", "b", "y"),
+      col("g"), col("a"), col("b"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("collinear"))
+    val f = got("fit")
+    assert(f.getLong(1) == 12 && f.getDouble(2) == 3.0 &&
+      f.getDouble(3) == 2.0 && f.getDouble(4) == 5.0 &&
+      f.getDouble(5) == 1.0)
+    val c = got("const")
+    assert(c.getDouble(2) == 5.0 && c.getDouble(3) == 0.0 &&
+      c.getDouble(4) == 0.0 && c.isNullAt(5))
+  }
+
+  test("multiLinReg is order-free: exact moments, fixed scalar tree") {
+    val rows = (1L to 200L).map(i =>
+      ("g", i % 24, i % 7, (i * 37) % 1000)).toDF("g", "a", "b", "y")
+    val x = StatTests.multiLinReg(rows.repartition(1), col("g"), col("a"),
+      col("b"), col("y")).collect().toSeq
+    val y = StatTests.multiLinReg(rows.repartition(11), col("g"), col("a"),
+      col("b"), col("y")).collect().toSeq
+    assert(x == y && x.nonEmpty)
+  }
 }
