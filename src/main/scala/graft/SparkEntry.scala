@@ -1949,6 +1949,51 @@ object SparkEntry {
         .where(col("w") >= 2).select(col("src"), col("dst"))
       Graph.kCore(e, "src", "dst", 3)
     }),
+    // deterministic label propagation (min-label tie-break, 4 pinned
+    // synchronous rounds) over the PROMO-part co-order graph — the
+    // emerging-community readout beside part_triangles' clustering; the
+    // labels hash-match a 4-round unrolled-CTE oracle (r16 s5)
+    "part_communities" -> ((s, d) => {
+      val promo = t(s, d, "part").where(col("p_type").startsWith("PROMO"))
+        .select(col("p_partkey"))
+      val items = t(s, d, "lineitem")
+        .join(promo, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = Graph.coOccurrenceEdges(items, "l_orderkey", "l_partkey")
+      Graph.labelPropagation(edges, "src", "dst", 4)
+    }),
+    // collaborative-filtering link prediction: each supplier's best
+    // partner by common-customer evidence (integer argmax) with the
+    // Adamic-Adar score as payload — wedges through the naturally
+    // bounded customer side, hub customers loudly excluded (r16 s5)
+    "supplier_best_partner" -> ((s, d) => {
+      val rel = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      Graph.bipartiteBestPartner(rel, "o_custkey", "l_suppkey")
+    }),
+    // directed association rules over the order->brand baskets: the
+    // ordered (confidence/lift/leverage/conviction) readout beside
+    // basket_brand_pairs' unordered support (r16 s5)
+    "basket_rules" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      Insights.basketRules(items, "l_orderkey", "p_brand", minN = 2L)
+    }),
+    // revenue-weighted supplier concentration per nation: exact-integer
+    // HHI + CR1 from decimal cross products (r16 s5)
+    "nation_supplier_hhi" -> ((s, d) =>
+      Insights.revenueHhi(
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")
+            .join(broadcast(t(s, d, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("n_name"))),
+            col("l_suppkey") === col("s_suppkey")),
+        "n_name", "s_suppkey", floor(col("l_extendedprice") * 100 + 0.5))),
     // additive Holt–Winters: hourlyHolt + the 24-slot seasonal state,
     // bit-replayed by the oracle's recursive CTE
     "events_holt_winters" -> ((s, d) =>
@@ -6171,6 +6216,113 @@ object SparkEntry {
          $peels
          SELECT node, deg AS core_degree FROM d12 WHERE deg >= 3"""
     },
+    // 4 unrolled synchronous LPA rounds: per-round vote = most frequent
+    // in-neighbor label, min-label tie-break (row_number mirror of
+    // Spark's all-integer max_by pick); no-in-edge nodes keep their label
+    "part_communities" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""v$i AS (SELECT node, lbl FROM (
+             SELECT e.dst AS node, l.lbl AS lbl, count(*) AS c,
+                    row_number() OVER (PARTITION BY e.dst
+                      ORDER BY count(*) DESC, l.lbl) AS rn
+             FROM e JOIN l${i - 1} l ON l.node = e.src
+             GROUP BY e.dst, l.lbl) WHERE rn = 1),
+         l$i AS (SELECT l.node, coalesce(v.lbl, l.lbl) AS lbl
+                 FROM l${i - 1} l LEFT JOIN v$i v ON v.node = l.node)"""
+      }.mkString(",\n         ")
+      s"""WITH pairs AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type LIKE 'PROMO%'),
+         e AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
+               FROM pairs a JOIN pairs b USING (ok) WHERE a.pk <> b.pk),
+         l0 AS (SELECT node, node AS lbl
+                FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         $rounds
+         SELECT node, lbl AS label FROM l4"""
+    },
+    // identical wedge enumeration through in-play customers, identical
+    // fixed-order AA fold, and the all-integer (cn, min partner) pick
+    "supplier_best_partner" ->
+      """WITH b AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         deg AS (SELECT c, CAST(count(*) AS BIGINT) AS degc
+                 FROM b GROUP BY c),
+         ip AS (SELECT b.c, b.s, deg.degc FROM b JOIN deg USING (c)
+                WHERE degc BETWEEN 2 AND 4096),
+         w AS (SELECT a.c AS c, a.degc AS degc, a.s AS s1, x.s AS s2
+               FROM ip a JOIN ip x ON a.c = x.c AND a.s < x.s),
+         cumw AS (SELECT s1, s2, c,
+                    sum(1.0 / ln(CAST(degc AS DOUBLE)))
+                      OVER (PARTITION BY s1, s2 ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS aa_cum
+                  FROM w),
+         p AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS cn,
+                      arg_max(aa_cum, c) AS aa
+               FROM cumw GROUP BY s1, s2),
+         m AS (SELECT s1 AS node, s2 AS partner, cn, aa FROM p
+               UNION ALL SELECT s2, s1, cn, aa FROM p),
+         r AS (SELECT node, partner, cn, aa,
+                      row_number() OVER (PARTITION BY node
+                        ORDER BY cn DESC, partner) AS rn
+               FROM m)
+         SELECT node, partner, cn AS common_neighbors,
+                round(aa, 6) AS adamic_adar
+         FROM r WHERE rn = 1""",
+    // ordered twin of basket_brand_pairs; every statistic the same
+    // fixed tree over exact counts; exact rules report NULL conviction
+    "basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+                        FROM lineitem JOIN part ON l_partkey = p_partkey),
+         marg AS (SELECT it, CAST(count(*) AS BIGINT) AS n
+                  FROM items GROUP BY 1),
+         tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM items),
+         pairs AS (SELECT a.it AS antecedent, b.it AS consequent,
+                          CAST(count(*) AS BIGINT) AS n_ab
+                   FROM items a JOIN items b ON a.bk = b.bk AND a.it <> b.it
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT antecedent, consequent, n_ab,
+                round(CAST(n_ab AS DOUBLE) / CAST(na.n AS DOUBLE), 6)
+                  AS confidence,
+                round(CAST(n_ab AS DOUBLE) * CAST(nb AS DOUBLE)
+                    / (CAST(na.n AS DOUBLE) * CAST(nc.n AS DOUBLE)), 6)
+                  AS lift,
+                round(CAST(n_ab AS DOUBLE) / CAST(nb AS DOUBLE)
+                    - CAST(na.n AS DOUBLE) / CAST(nb AS DOUBLE)
+                      * (CAST(nc.n AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+                  AS leverage,
+                CASE WHEN n_ab < na.n THEN
+                  round((1.0 - CAST(nc.n AS DOUBLE) / CAST(nb AS DOUBLE))
+                      / (1.0 - CAST(n_ab AS DOUBLE) / CAST(na.n AS DOUBLE)),
+                    6) END AS conviction
+         FROM pairs
+         JOIN marg na ON na.it = antecedent
+         JOIN marg nc ON nc.it = consequent
+         CROSS JOIN tot""",
+    // exact integer per-supplier revenue totals; HHI/CR1 as single
+    // divisions of exact sums (HUGEINT mirror of the decimal(38,0) lane)
+    "nation_supplier_hhi" ->
+      """WITH pk AS (
+           SELECT n_name, l_suppkey AS k,
+                  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS m
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(m) AS HUGEINT) AS s,
+                      sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS s2,
+                      max(m) AS mx
+               FROM pk GROUP BY 1 HAVING sum(m) > 0)
+         SELECT n_name, n_keys,
+                round(CAST(s2 AS DOUBLE)
+                  / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS hhi,
+                round(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE), 6)
+                  AS top_share
+         FROM g""",
     // Holt–Winters: exact integer init (sums of counts in doubles), then
     // the order-determined recurrence replayed step-for-step; the seasonal
     // list updates by slicing, lnew bound once in the inner subquery (the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over co-occurrence edges — the PageRank sibling of the
@@ -375,5 +376,117 @@ object Graph {
       .orderBy(col("hop")).localCheckpoint(true)
     levels.foreach(_.unpersist(false))
     census
+  }
+
+  /** `rounds` SYNCHRONOUS rounds of label propagation (Raghavan 2007)
+    * over DIRECTED `edges` (pass both directions for an undirected
+    * graph): every node starts labeled with its own id; each round it
+    * adopts the most frequent label among its in-neighbors, ties broken
+    * by the SMALLEST label — the deterministic variant (classic LPA
+    * breaks ties randomly and is irreproducible; pinned rounds + min-tie
+    * make every round a pure function of the edge list, so an unrolled
+    * k-round CTE in an independent engine reproduces the labels
+    * bit-for-bit). A node with no in-edges keeps its current label.
+    * Output after round k: (node, label) — nodes sharing a label are one
+    * (emerging) community.
+    *
+    * Scale shape: per round ONE join of the node-sized label frame
+    * against the cached edge list, one map-side-combined (dst, label)
+    * count, and one per-dst max_by pick — k rounds = k edge-sized
+    * shuffles, the same synchronous-Pregel cost envelope as
+    * [[pageRankFixedPoint]], with the same paced localCheckpoint
+    * lineage discipline. The vote pick `max_by(label, (count, −label))`
+    * is all-integer — nothing order-dependent ever sums in floating
+    * point.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"bad rounds=$rounds")
+    val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist(store)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst"))).distinct().persist(store)
+      var cur = nodes.withColumn("lbl", col("node"))
+      var pinned: Option[DataFrame] = None
+      for (i <- 1 to rounds) {
+        val votes = e
+          .join(cur.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(max_by(col("lbl"), struct(col("c"), (lit(0L) - col("lbl"))))
+            .as("vote"))
+        cur = cur.join(votes, Seq("node"), "left")
+          .select(col("node"), coalesce(col("vote"), col("lbl")).as("lbl"))
+        if (i % 5 == 0 || i == rounds) {
+          val stepped = cur.localCheckpoint(true)
+          pinned.foreach(_.unpersist(false))
+          pinned = Some(stepped)
+          cur = stepped
+        }
+      }
+      val out = cur.select(col("node"), col("lbl").as("label"))
+      nodes.unpersist(false)
+      out
+    } finally e.unpersist(false)
+  }
+
+  /** Common-neighbor link scores over a BIPARTITE relation (left, right)
+    * — collaborative filtering's "items bought by the same users" shape:
+    * for every right-side pair sharing at least one left node, the
+    * common-neighbor count and the Adamic–Adar score
+    * Σ_{c ∈ common} 1/ln(deg c) (rare shared neighbors weigh more), then
+    * ONE row per right node: its best partner by (cn, smallest id) — an
+    * all-integer argmax, so the output set is deterministic even though
+    * the AA score is a float payload.
+    *
+    * Scale: the wedge join fans out as Σ_left deg², so it wedges through
+    * the LEFT side — pass the naturally-bounded side (a customer's
+    * purchase breadth, not a supplier's market reach) as `left`. Hub
+    * left-nodes past `maxLeftDegree` are EXCLUDED, counted, and reported
+    * loudly (the [[coOccurrenceEdges]] guard idiom) — a 10⁶-degree hub
+    * contributes ~1/ln(10⁶) ≈ 0.07 per pair but 10¹² wedges, the classic
+    * skip-the-hub trade every production AA makes. The AA fold is an
+    * order-sensitive double sum, so it rides a per-pair cumulative
+    * window in FIXED left-id order (the [[StatTests.theilsU]] idiom) —
+    * oracle-mirrorable bit-for-bit. deg ≥ 2 for every wedge center by
+    * construction, so ln never vanishes.
+    */
+  def bipartiteBestPartner(rel: DataFrame, leftCol: String, rightCol: String,
+                           maxLeftDegree: Int = 4096): DataFrame = {
+    require(maxLeftDegree >= 2, s"bad maxLeftDegree=$maxLeftDegree")
+    val b = rel.select(col(leftCol).cast("long").as("c"),
+      col(rightCol).cast("long").as("s")).distinct().localCheckpoint(true)
+    val deg = b.groupBy(col("c")).agg(count(lit(1)).as("degc"))
+    val over = deg.where(col("degc") > maxLeftDegree)
+      .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    if (over > 0)
+      Console.err.println(s"[graft] WARN bipartiteBestPartner: $over hub " +
+        s"left-node(s) exceed maxLeftDegree=$maxLeftDegree — excluded from " +
+        "wedge enumeration (their AA terms are near zero; raise the limit " +
+        "to include them)")
+    val inPlay = b.join(deg.where(col("degc").between(2, maxLeftDegree)),
+      Seq("c"))
+    val wedges = inPlay.select(col("c"), col("degc"), col("s").as("s1"))
+      .join(inPlay.select(col("c"), col("s").as("s2")), Seq("c"))
+      .where(col("s1") < col("s2"))
+    val byPair = Window.partitionBy(col("s1"), col("s2")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pairs = wedges
+      .withColumn("aa_cum", sum(lit(1.0) / log(col("degc").cast("double")))
+        .over(byPair))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("cn"), max_by(col("aa_cum"), col("c")).as("aa"))
+    val mirrored = pairs.select(col("s1").as("node"), col("s2").as("partner"),
+        col("cn"), col("aa"))
+      .union(pairs.select(col("s2"), col("s1"), col("cn"), col("aa")))
+    mirrored.groupBy(col("node"))
+      .agg(max_by(struct(col("partner"), col("cn"), col("aa")),
+        struct(col("cn"), lit(0L) - col("partner"))).as("best"))
+      .select(col("node"), col("best.partner").as("partner"),
+        col("best.cn").as("common_neighbors"),
+        round(col("best.aa"), 6).as("adamic_adar"))
   }
 }

@@ -300,4 +300,79 @@ object Insights {
           col("total").cast("double"), 6).as("share"))
       .orderBy(col("decile"))
   }
+
+  /** Measure-weighted Herfindahl–Hirschman concentration per group: how
+    * concentrated is `measure` (an exact integer column — cents) across
+    * the `key` dimension inside each `group` — HHI = Σᵢ sᵢ²/S², plus the
+    * key count and the single largest share (CR1). The revenue-weighted
+    * dual of [[graft.operators.Profiler.groupHhi]]'s count-based HHI.
+    *
+    * Exactness: per-key totals are exact integer sums; Σsᵢ² rides
+    * decimal(38,0) cross products (the StatTests xprod convention — a
+    * cents total squared exceeds int64 long before it exceeds
+    * decimal(38,0), and decimal overflow nulls LOUDLY rather than
+    * wrapping), so HHI is one double division of two exact integers —
+    * engine-reproducible. One map-side-combined aggregation to the
+    * (group, key) grain, one to the group grain: no windows, no joins.
+    */
+  def revenueHhi(df: DataFrame, groupCol: String, keyCol: String,
+                 cents: Column): DataFrame = {
+    def xp(c: Column): Column =
+      c.cast("decimal(19,0)") * c.cast("decimal(19,0)")
+    val perKey = df.groupBy(col(groupCol), col(keyCol))
+      .agg(sum(cents.cast("long")).as("m"))
+    perKey.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("m").cast("decimal(38,0)")).as("s"),
+        sum(xp(col("m"))).as("s2"), max(col("m")).as("mx"))
+      .where(col("s") > 0)
+      .select(col(groupCol), col("n_keys"),
+        round(col("s2").cast("double") /
+          (col("s").cast("double") * col("s").cast("double")), 6).as("hhi"),
+        round(col("mx").cast("double") / col("s").cast("double"), 6)
+          .as("top_share"))
+  }
+
+  /** Directed association rules a → b at `itemCol` granularity — the
+    * ordered-rule readout over [[marketBasket]]'s unordered pair support:
+    * for every ordered pair with co-support ≥ `minN` baskets,
+    * confidence P(b|a), lift, leverage (P(ab) − P(a)P(b)) and conviction
+    * ((1 − P(b)) / (1 − conf); NULL for exact rules where conf = 1 —
+    * infinite conviction reported loudly as absence, not as a sentinel).
+    * Same plan shape as [[marketBasket]]: the pair join runs on the
+    * deduplicated basket-item frame co-partitioned by basket; marginals
+    * and the basket total are broadcast; every statistic is a fixed
+    * scalar tree over exact integer counts.
+    */
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+                  minN: Long = 1L): DataFrame = {
+    val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+    val marginals = items.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+    val totals = items.select(col("_bk")).distinct()
+      .agg(count(lit(1)).as("_nb"))
+    val a = items.select(col("_bk"), col("_it").as("antecedent"))
+    val b = items.select(col("_bk"), col("_it").as("consequent"))
+    def d(c: Column): Column = c.cast("double")
+    val conf = d(col("n_ab")) / d(col("_na"))
+    a.join(b, Seq("_bk")).where(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minN)
+      .join(broadcast(marginals.select(col("_it").as("antecedent"),
+        col("_n").as("_na"))), Seq("antecedent"))
+      .join(broadcast(marginals.select(col("_it").as("consequent"),
+        col("_n").as("_nc"))), Seq("consequent"))
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        round(conf, 6).as("confidence"),
+        round(d(col("n_ab")) * d(col("_nb"))
+          / (d(col("_na")) * d(col("_nc"))), 6).as("lift"),
+        round(d(col("n_ab")) / d(col("_nb"))
+          - d(col("_na")) / d(col("_nb")) * (d(col("_nc")) / d(col("_nb"))),
+          6).as("leverage"),
+        when(col("n_ab") < col("_na"),
+          round((lit(1.0) - d(col("_nc")) / d(col("_nb")))
+            / (lit(1.0) - conf), 6)).as("conviction"))
+  }
 }

@@ -832,4 +832,80 @@ class InsightsSpec extends SparkSpec {
         r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
     assert(got.toSeq === Seq(("A", "B", 2L, 1L, 1L, 0.5)))
   }
+
+  test("labelPropagation: triangle converges to min label; a detached " +
+    "pair oscillates back to self-labels at even rounds") {
+    import graft.operators.Graph
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 11L))
+    // directed: a node with no in-edges keeps its own label
+    val d1 = Graph.labelPropagation(Seq((1L, 2L)).toDF("src", "dst"),
+      "src", "dst", 1).as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("labelPropagation is partitioning-invariant (all-integer votes)") {
+    import graft.operators.Graph
+    val und = (1L to 40L).flatMap(i => Seq((i, i % 7 + 100L),
+      (i % 7 + 100L, i)))
+    val e = und.toDF("src", "dst")
+    val a = Graph.labelPropagation(e.repartition(1), "src", "dst", 3)
+      .collect().toSet
+    val b = Graph.labelPropagation(e.repartition(13), "src", "dst", 3)
+      .collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bipartiteBestPartner: hand wedges, AA fold order, cn tie by " +
+    "min partner, hub exclusion") {
+    import graft.operators.Graph
+    val rel = Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 2L),
+      (200L, 3L), (300L, 2L), (300L, 3L), (400L, 3L) // deg-1: wedgeless
+    ).toDF("c", "s")
+    val got = Graph.bipartiteBestPartner(rel, "c", "s")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val aa12 = r6(1.0 / math.log(2) + 1.0 / math.log(3)) // c=100 then 200
+    val aa23 = r6(1.0 / math.log(3) + 1.0 / math.log(2)) // c=200 then 300
+    assert(got.toSeq == Seq((1L, 2L, 2L, aa12), (2L, 1L, 2L, aa12),
+      (3L, 2L, 2L, aa23)))
+    // planted hub: a left node past the cap is excluded, result unchanged
+    val hub = (1L to 60L).map(s => (999L, s)).toDF("c", "s")
+    val capped = Graph.bipartiteBestPartner(rel.union(hub), "c", "s",
+      maxLeftDegree = 50).as[(Long, Long, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(capped == got.toSeq)
+  }
+
+  test("basketRules: hand confidences, lift, leverage, NULL conviction " +
+    "for exact rules") {
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"),
+      (4L, "B"), (4L, "C")).toDF("bk", "it")
+    val got = Insights.basketRules(df, "bk", "it").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("A", "B"))
+    assert(ab.getLong(2) == 2 && ab.getDouble(3) == 0.666667 &&
+      ab.getDouble(4) == 0.888889 && ab.getDouble(5) == -0.0625 &&
+      ab.getDouble(6) == 0.75)
+    val cb = got(("C", "B"))
+    assert(cb.getLong(2) == 1 && cb.getDouble(3) == 1.0 &&
+      cb.getDouble(4) == 1.333333 && cb.getDouble(5) == 0.0625 &&
+      cb.isNullAt(6))
+    // minN filters by co-support
+    assert(Insights.basketRules(df, "bk", "it", minN = 2L)
+      .collect().length == 2) // only A->B and B->A
+  }
+
+  test("revenueHhi: hand shares, duplicate key rows merge, single key " +
+    "reads 1.0") {
+    val df = Seq(("g", 1L, 100L), ("g", 1L, 200L), ("g", 2L, 100L),
+      ("solo", 9L, 50L)).toDF("grp", "k", "cents")
+    val got = Insights.revenueHhi(df, "grp", "k", col("cents"))
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // g: s = {300, 100} → HHI = (90000 + 10000)/160000 = 0.625, CR1 0.75
+    assert(got == Seq(("g", 2L, 0.625, 0.75), ("solo", 1L, 1.0, 1.0)))
+  }
 }
