@@ -1338,6 +1338,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("durationMs")).as("sum_duration_ms"),
           max(col("format")).as("format"))),
+    // TIFF IFD walk: both byte orders, SHORT and LONG dimension entries,
+    // tag-skipping across the 4-entry IFD; oracle re-derives dimensions
+    // from doc_id (r16 s5)
+    "mm_tiff_probe" -> ((s, d) =>
+      Multimodal.probeHeaders(
+          Multimodal.withTiffPayloads(t(s, d, "documents"), "doc_id"))
+        .toDF()
+        .groupBy(col("width").cast("long").as("width"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("height").cast("long")).as("sum_height"),
+          max(col("format")).as("format"))),
     // REAL payload decode: 16-bit PCM samples read back out of each WAV's
     // data chunk (MediaHeader.wavPcmStats) — peak / clip-count / RMS per
     // item. The samples are id-derived, so the oracle regenerates the
@@ -4428,6 +4439,17 @@ object SparkEntry {
                   AS sum_duration_ms,
                 'flac' AS format
          FROM p GROUP BY 1, 2""",
+    // dimensions re-derived from the id arithmetic the TIFF builder used;
+    // a byte-order or value-layout bug would shift widths and mismatch
+    "mm_tiff_probe" ->
+      """WITH p AS (SELECT doc_id, 16 + (doc_id % 64) AS w,
+                           16 + ((doc_id // 3) % 48) AS h
+                    FROM documents)
+         SELECT CAST(w AS BIGINT) AS width,
+                count(*) AS n_items,
+                CAST(sum(h) AS BIGINT) AS sum_height,
+                'tiff' AS format
+         FROM p GROUP BY 1""",
     // duration = frames·1152000 // rate with the same table lookups the
     // payload builder used; the walk itself is pinned by counting right
     "mm_mp3_probe" ->

@@ -109,10 +109,96 @@ object ImageHeader {
     else None
   }
 
+  /** TIFF (TIFF 6.0 spec): 2-byte order mark ('II' little / 'MM' big
+    * endian), magic 42, then a walked IFD whose 12-byte entries carry
+    * (tag, type, count, value-or-offset) — dimensions are ImageWidth(256)
+    * / ImageLength(257), each legal as SHORT(3) or LONG(4) and, when the
+    * value fits, packed LEFT-JUSTIFIED in the entry's 4-byte value field
+    * in file byte order. Every read is bounds-guarded and the entry count
+    * capped, so hostile bytes return None, never throw (the codec-fuzz
+    * no-throw contract).
+    */
+  private def tiff(b: Array[Byte]): Option[ImageInfo] = {
+    if (b.length < 8) return None
+    val le = b(0) == 'I' && b(1) == 'I'
+    if (!le && !(b(0) == 'M' && b(1) == 'M')) return None
+    def g16(o: Int): Int =
+      if (o < 0 || o + 2 > b.length) -1
+      else if (le) le16(b, o) else be16(b, o)
+    def g32(o: Int): Long =
+      if (o < 0 || o + 4 > b.length) -1L
+      else if (le) le32(b, o) else be32(b, o)
+    if (g16(2) != 42) return None
+    val ifd = g32(4)
+    if (ifd < 8 || ifd > Int.MaxValue - 2 || ifd + 2 > b.length) return None
+    val n = g16(ifd.toInt)
+    if (n <= 0 || n > 512) return None
+    var w = -1L
+    var h = -1L
+    var k = 0
+    while (k < n) {
+      val e = ifd.toInt + 2 + 12 * k
+      if (e + 12 > b.length) return None
+      val tag = g16(e)
+      if ((tag == 256 || tag == 257) && g32(e + 4) == 1L) {
+        val v = g16(e + 2) match {
+          case 3 => g16(e + 8).toLong // SHORT, left-justified value field
+          case 4 => g32(e + 8) // LONG
+          case _ => -1L
+        }
+        if (tag == 256) w = v else h = v
+      }
+      k += 1
+    }
+    if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+      Some(ImageInfo("tiff", w.toInt, h.toInt))
+    else None
+  }
+
+  /** Minimal valid single-IFD TIFF writer — the [[tiff]] parser's dual for
+    * round-trip tests and deterministic synthetic payloads: either byte
+    * order, dimensions as SHORT or LONG entries, plus BitsPerSample /
+    * Compression entries so the IFD exercises tag-skipping.
+    */
+  def tiffImage(width: Int, height: Int, littleEndian: Boolean,
+                useLongType: Boolean): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { out.write((v & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 24) & 0xff).toInt) }
+      else { out.write(((v >> 24) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt)
+        out.write((v & 0xff).toInt) }
+    def entry(tag: Int, typ: Int, value: Long): Unit = {
+      w16(tag); w16(typ); w32(1L)
+      if (typ == 3) { w16(value.toInt); w16(0) } else w32(value)
+    }
+    out.write(if (littleEndian) 'I' else 'M')
+    out.write(if (littleEndian) 'I' else 'M')
+    w16(42)
+    w32(8L) // IFD directly after the header
+    w16(4) // entry count
+    val dimType = if (useLongType) 4 else 3
+    entry(256, dimType, width.toLong)
+    entry(257, dimType, height.toLong)
+    entry(258, 3, 8L) // BitsPerSample: must be skipped by the dim walk
+    entry(259, 3, 1L) // Compression = none
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
   /** Parse the payload's image header, if it is one of the supported public
     * container formats.
     */
   def parse(bytes: Array[Byte]): Option[ImageInfo] =
     if (bytes == null) None
     else png(bytes).orElse(gif(bytes)).orElse(jpeg(bytes)).orElse(bmp(bytes))
+      .orElse(tiff(bytes))
 }

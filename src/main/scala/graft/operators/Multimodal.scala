@@ -163,6 +163,29 @@ object Multimodal {
           lit("audio/mpeg").as("media_type")).as("meta"))
   }
 
+  /** Attach a synthetic single-IFD TIFF payload per document — id-derived
+    * dimensions, alternating byte order, and SHORT/LONG dimension entry
+    * types by id residue, so the probe exercises both endian paths and
+    * both value layouts while the oracle re-derives every field from
+    * doc_id arithmetic alone ([[graft.operators.ImageHeader.tiffImage]]
+    * is the parser's writer dual).
+    */
+  def withTiffPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 64).toInt
+        val h = 16 + ((id / 3) % 48).toInt
+        (id, ImageHeader.tiffImage(w, h, littleEndian = id % 2 == 0,
+          useLongType = id % 3 == 0))
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("image/tiff").as("media_type")).as("meta"))
+  }
+
   /** Attach a synthetic WAV payload WITH actual PCM sample data — the
     * full-decode sibling of [[withAudioPayloads]] (which ships headers
     * only). Samples are the deterministic integer stream

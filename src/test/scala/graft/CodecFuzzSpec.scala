@@ -21,7 +21,9 @@ class CodecFuzzSpec extends SparkSpec {
     "BM".getBytes("US-ASCII"),
     "RIFF0000WAVE".getBytes("US-ASCII"),
     "fLaC".getBytes("US-ASCII"),
-    Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII"))
+    Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII"),
+    Array[Byte]('I', 'I', 42, 0), // TIFF little-endian mark + magic
+    Array[Byte]('M', 'M', 0, 42))
 
   private def decodeAll(b: Array[Byte]): Unit = {
     MediaHeader.parse(b)
@@ -54,7 +56,11 @@ class CodecFuzzSpec extends SparkSpec {
     val wavs = MediaHeader.wavHeader(2, 16000, 64) ++ Array.fill(64)(7.toByte)
     val flac = MediaHeader.flacHeader(22050, 2, 16, 44100L)
     val mp3 = MediaHeader.mp3Frames(44100, 64, 2, 2, 21)
-    for (payload <- Seq(wavs, flac, mp3);
+    val tiffLe = ImageHeader.tiffImage(33, 47, littleEndian = true,
+      useLongType = false)
+    val tiffBe = ImageHeader.tiffImage(33, 47, littleEndian = false,
+      useLongType = true)
+    for (payload <- Seq(wavs, flac, mp3, tiffLe, tiffBe);
          n <- 0 to payload.length) {
       decodeAll(payload.take(n))
     }

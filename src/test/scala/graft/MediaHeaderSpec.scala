@@ -578,4 +578,39 @@ class MediaHeaderSpec extends SparkSpec {
     badRate(2) = (badRate(2) | 0x0c).toByte
     assert(MediaHeader.parse(badRate).isEmpty)
   }
+
+  test("TIFF IFD walk: writer-dual round trip across endianness and " +
+    "entry types; corrupt headers reject") {
+    import graft.operators.ImageHeader
+    for (le <- Seq(true, false); long <- Seq(true, false)) {
+      val b = ImageHeader.tiffImage(513, 300, le, long)
+      assert(ImageHeader.parse(b)
+        .contains(ImageHeader.ImageInfo("tiff", 513, 300)),
+        s"le=$le long=$long")
+      // flows through MediaHeader.parse with zeroed stream fields
+      val m = MediaHeader.parse(b).get
+      assert(m.format == "tiff" && m.width == 513 && m.channels == 0)
+    }
+    // SHORT entries only exist for dims <= 65535; LONG carries more
+    val big = ImageHeader.tiffImage(70000, 2, littleEndian = true,
+      useLongType = true)
+    assert(ImageHeader.parse(big)
+      .contains(ImageHeader.ImageInfo("tiff", 70000, 2)))
+    // bad magic, IFD offset past the buffer, zero/oversized entry count,
+    // and a missing dimension tag: all None, never a throw
+    val good = ImageHeader.tiffImage(33, 44, littleEndian = true,
+      useLongType = false)
+    val badMagic = good.clone(); badMagic(2) = 41
+    assert(ImageHeader.parse(badMagic).isEmpty)
+    val farIfd = good.clone(); farIfd(4) = 0x7f
+    assert(ImageHeader.parse(farIfd).isEmpty)
+    val zeroEntries = good.clone(); zeroEntries(8) = 0; zeroEntries(9) = 0
+    assert(ImageHeader.parse(zeroEntries).isEmpty)
+    // retag width(256) -> 255: width never found
+    val noWidth = good.clone(); noWidth(10) = 0xff.toByte; noWidth(11) = 0
+    assert(ImageHeader.parse(noWidth).isEmpty)
+    // an entry with a RATIONAL(5) dim type is skipped, not misread
+    val ratType = good.clone(); ratType(12) = 5
+    assert(ImageHeader.parse(ratType).isEmpty)
+  }
 }
