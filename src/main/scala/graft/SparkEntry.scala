@@ -593,6 +593,13 @@ object SparkEntry {
         expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"),
         expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7"),
         floor(col("value") * 100 + 0.5))),
+    // DETERMINISTIC Poisson bootstrap (Chamandy 2012): 200 replicate
+    // means per event type from engine-replayable Poisson(1) weights
+    // (61-bit Mersenne-prime mix, exact decimal arithmetic) — a bootstrap
+    // CI the DuckDB oracle hash-matches draw for draw (r16 s5)
+    "events_bootstrap_ci" -> ((s, d) =>
+      StatTests.poissonBootstrapCi(t(s, d, "events"), col("event_type"),
+        col("user_id"), floor(col("value") * 100 + 0.5))),
     // ClickHouse kolmogorovSmirnovTest: CDF supremum between 'view' and
     // 'click' value distributions per day-of-month — the gap max runs over
     // exact integer cross-scaled counts at distinct-value grain, the
@@ -3433,6 +3440,62 @@ object SparkEntry {
                 round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0) + r5 * r5 / (nd - 5.0) + r6 * r6 / (nd - 6.0)), 6) FROM r
          UNION ALL SELECT 7, n, round(r7, 6),
                 round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0) + r5 * r5 / (nd - 5.0) + r6 * r6 / (nd - 6.0) + r7 * r7 / (nd - 7.0)), 6) FROM r""",
+    // the identical Mersenne-prime mix (HUGEINT mirror of the decimal
+    // lane), identical Poisson thresholds, identical order-statistic pick
+    "events_bootstrap_ci" ->
+      """WITH pu AS (
+           SELECT event_type AS g, user_id AS u,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         reps AS (SELECT g, u, x, r.range AS rep
+                  FROM pu CROSS JOIN range(200) r),
+         k1 AS (SELECT g, rep, x,
+                  (CAST(u * 200 + rep AS HUGEINT) * 1203983748297848573
+                     + 1111111111111111111) % 2305843009213693951 AS z1
+                FROM reps),
+         k2 AS (SELECT g, rep, x,
+                  (z1 * z1 + 555555555555555555) % 2305843009213693951 AS z2
+                FROM k1),
+         k3 AS (SELECT g, rep, x,
+                  (z2 * 989812716073141251) % 2305843009213693951 AS z3
+                FROM k2),
+         uu AS (SELECT g, rep, x,
+                  CAST((z3 - z3 % 256) // 256 AS DOUBLE)
+                    / 9007199254740992.0 AS uv
+                FROM k3),
+         ww AS (SELECT g, rep, x,
+                  CASE WHEN uv < 0.36787944117144233 THEN 0
+                       WHEN uv < 0.7357588823428847 THEN 1
+                       WHEN uv < 0.9196986029286058 THEN 2
+                       WHEN uv < 0.9810118431238463 THEN 3
+                       WHEN uv < 0.9963401531726563 THEN 4
+                       WHEN uv < 0.9994058151824183 THEN 5
+                       WHEN uv < 0.999916758850712 THEN 6
+                       ELSE 7 END AS w
+                FROM uu),
+         mm AS (SELECT g, rep, CAST(sum(w) AS BIGINT) AS sw,
+                       CAST(sum(w * x) AS BIGINT) AS swx
+                FROM ww GROUP BY 1, 2 HAVING sum(w) > 0),
+         ms AS (SELECT g, rep,
+                       CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+                FROM mm),
+         rr AS (SELECT g, m,
+                       row_number() OVER (PARTITION BY g ORDER BY m, rep)
+                         AS rn
+                FROM ms),
+         ci AS (SELECT g, min(CASE WHEN rn = 6 THEN m END) AS lo,
+                       min(CASE WHEN rn = 195 THEN m END) AS hi
+                FROM rr GROUP BY g),
+         obs AS (SELECT g, CAST(count(*) AS BIGINT) AS n_units,
+                        CAST(sum(x) AS BIGINT) AS sx
+                 FROM pu GROUP BY g)
+         SELECT obs.g, n_units,
+                round(CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)
+                  / 100.0, 6) AS mean,
+                round(lo / 100.0, 6) AS ci_lo,
+                round(hi / 100.0, 6) AS ci_hi
+         FROM obs JOIN ci ON ci.g = obs.g""",
     // the identical ten exact moments and Cramer's-rule scalar trees
     "events_multi_linreg" ->
       """WITH m AS (

@@ -1455,6 +1455,106 @@ object StatTests {
         round(ndOut * (ndOut + 2.0) * col("cum"), 6).as("q_cum"))
   }
 
+  /** Deterministic uniform in [0, 1) from an integer key — the PRNG under
+    * [[poissonBootstrapCi]], chosen so an INDEPENDENT SQL engine can
+    * replay every draw bit-for-bit: two congruential rounds plus a
+    * QUADRATIC round (affine maps compose to affine — the square is what
+    * breaks the lattice) over the Mersenne prime p = 2⁶¹−1, all in
+    * decimal(38,0) arithmetic — the largest intermediate, z², is
+    * (2⁶¹)² ≈ 5.3·10³⁶ < 10³⁸, so nothing can round or wrap on any
+    * engine and no wrap-semantics assumption (ANSI or not) is needed.
+    * The final value takes the high 53 bits (`⌊z/256⌋ / 2⁵³` — exactly
+    * representable as a double on both sides). Keys must be non-negative
+    * and < p.
+    */
+  private[graft] def mixU01(key: Column): Column = {
+    def dec(v: Long): Column = lit(v).cast("decimal(38,0)")
+    val p = dec(2305843009213693951L) // 2^61 - 1
+    val z1 = pmod(key.cast("decimal(38,0)") * dec(1203983748297848573L) +
+      dec(1111111111111111111L), p)
+    val z2 = pmod(z1 * z1 + dec(555555555555555555L), p)
+    val z3 = pmod(z2 * dec(989812716073141251L), p)
+    // (z3 - z3 % 256) / 256: integral value, exact in decimal at any
+    // scale — a bare z3/256 would ROUND at the result scale and break
+    // the floor near integer boundaries
+    ((z3 - pmod(z3, dec(256L))) / dec(256L)).cast("double") /
+      9007199254740992.0
+  }
+
+  /** Poisson(1) bootstrap weight from a uniform draw: the inverse-CDF
+    * walk over the cumulative Poisson(1) probabilities as FIXED double
+    * literals (identical strings in the oracle), capped at 7
+    * (P(w ≥ 7) ≈ 8·10⁻⁵ — the standard truncation).
+    */
+  private[graft] def poissonW(u: Column): Column =
+    when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.999916758850712, 6L)
+      .otherwise(7L)
+
+  /** Percentile-bootstrap confidence interval for the per-unit mean,
+    * via the POISSON bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google 2012) — the resampling scheme
+    * that works distributed: instead of drawing n units with replacement
+    * (which needs global coordination), each unit enters replicate b
+    * with an independent Poisson(1) weight. Every weight here is
+    * DETERMINISTIC ([[mixU01]] on key = unit·B + b), so the whole
+    * procedure — all B replicate means and the order-statistic CI — is
+    * engine-reproducible and the DuckDB oracle hash-matches it: a
+    * bootstrap you can ASSERT on, not eyeball.
+    *
+    * CI convention: replicate means sorted ascending (ties broken by
+    * replicate id), lo = the (⌊B·α⌋+1)-th smallest, hi = the (B−⌊B·α⌋)-th
+    * smallest, α = alphaPermille/1000 per side. Output one row per
+    * group: n_units, mean (observed, cents/100), ci_lo, ci_hi (6dp).
+    *
+    * Scale shape: one map-side-combined aggregation to the (group, unit)
+    * grain, a bounded ×B literal fan-out, one (group, b) aggregation
+    * (means are ratios of exact integer sums — xprod weights), and a
+    * final window over B rows per group. The raw log is never windowed
+    * or self-joined; B is a constant.
+    */
+  def poissonBootstrapCi(events: DataFrame, group: Column, unit: Column,
+                         cents: Column, b: Int = 200,
+                         alphaPermille: Int = 25): DataFrame = {
+    require(b >= 20 && b <= 10000, s"bad b=$b")
+    require(alphaPermille >= 1 && alphaPermille * 2 < 1000,
+      s"bad alphaPermille=$alphaPermille")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUnit = events
+      .select(group.as("g"), unit.cast("long").as("u"),
+        cents.cast("long").as("y"))
+      .where(col("y").isNotNull)
+      .groupBy(col("g"), col("u")).agg(sum(col("y")).as("x"))
+    val reps = perUnit
+      .select(col("g"), col("u"), col("x"),
+        explode(sequence(lit(0L), lit(b.toLong - 1L))).as("rep"))
+      .withColumn("w", poissonW(mixU01(col("u") * b.toLong + col("rep"))))
+      .groupBy(col("g"), col("rep"))
+      .agg(sum(col("w")).as("sw"), sum(xprod(col("w"), col("x"))).as("swx"))
+      .where(col("sw") > 0L)
+      .select(col("g"), col("rep"), (d(col("swx")) / d(col("sw"))).as("m"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("m"), col("rep"))
+    val loRn = b * alphaPermille / 1000 + 1
+    val hiRn = b - b * alphaPermille / 1000
+    val ci = reps.withColumn("rn", row_number().over(wOrd))
+      .groupBy(col("g"))
+      .agg(min(when(col("rn") === loRn, col("m"))).as("lo"),
+        min(when(col("rn") === hiRn, col("m"))).as("hi"))
+    val obs = perUnit.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_units"), sum(col("x")).as("sx"))
+    obs.join(ci, Seq("g"))
+      .select(col("g"), col("n_units"),
+        round(d(col("sx")) / d(col("n_units")) / 100.0, 6).as("mean"),
+        round(col("lo") / 100.0, 6).as("ci_lo"),
+        round(col("hi") / 100.0, 6).as("ci_hi"))
+  }
+
   /** Two-feature ordinary least squares with intercept — the deterministic
     * closed-form cousin of ClickHouse `stochasticLinearRegression`:
     * y = b0 + b1·x1 + b2·x2 fitted per group by solving the 3×3 normal

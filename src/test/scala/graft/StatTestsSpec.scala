@@ -755,6 +755,53 @@ class StatTestsSpec extends SparkSpec {
       c.getDouble(4) == 0.0 && c.isNullAt(5))
   }
 
+  test("mixU01 replays the reference draws; poissonW hits the literal " +
+    "thresholds") {
+    // reference values computed by an independent (python, arbitrary-
+    // precision) implementation of the same mix — pins the decimal
+    // arithmetic lane against off-by-one, rounding, and scale bugs
+    val expect = Map(0L -> 0.6312014379045888, 1L -> 0.47991339841475267,
+      2L -> 0.09136266541427462, 12345L -> 0.9043818082550305,
+      99999999L -> 0.4039051255281201)
+    val got = expect.keys.toSeq.toDF("k")
+      .select(col("k"), StatTests.mixU01(col("k")).as("u"),
+        StatTests.poissonW(StatTests.mixU01(col("k"))).as("w"))
+      .as[(Long, Double, Long)].collect()
+    got.foreach { case (k, u, w) =>
+      assert(u == expect(k), s"key $k")
+      assert(u >= 0.0 && u < 1.0)
+      // w is the count of thresholds below u
+      val th = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+        0.9994058151824183, 0.999916758850712)
+      assert(w == th.count(_ <= u), s"key $k")
+    }
+    // weight distribution sanity over many keys: ~e^-1 zeros, mean ~1
+    val ws = (0L until 20000L).toDF("k")
+      .select(StatTests.poissonW(StatTests.mixU01(col("k"))).as("w"))
+      .as[Long].collect()
+    val zeroFrac = ws.count(_ == 0L).toDouble / ws.length
+    assert(math.abs(zeroFrac - 0.3679) < 0.02)
+    assert(math.abs(ws.sum.toDouble / ws.length - 1.0) < 0.03)
+  }
+
+  test("poissonBootstrapCi: deterministic, partitioning-invariant, CI " +
+    "brackets the mean and respects the order-statistic convention") {
+    val rows = (1L to 400L).map(i => ("g", i, (i * 13) % 500))
+      .toDF("g", "u", "y")
+    val a = StatTests.poissonBootstrapCi(rows.repartition(1), col("g"),
+      col("u"), col("y"), b = 100).collect().toSeq
+    val bb = StatTests.poissonBootstrapCi(rows.repartition(7), col("g"),
+      col("u"), col("y"), b = 100).collect().toSeq
+    assert(a == bb && a.length == 1)
+    val r = a.head
+    val (n, mean, lo, hi) = (r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4))
+    assert(n == 400 && lo < mean && mean < hi)
+    // 95% CI at n=400: half-width a small fraction of the mean
+    assert((hi - lo) / mean < 0.3)
+  }
+
   test("multiLinReg is order-free: exact moments, fixed scalar tree") {
     val rows = (1L to 200L).map(i =>
       ("g", i % 24, i % 7, (i * 37) % 1000)).toDF("g", "a", "b", "y")
