@@ -1466,8 +1466,23 @@ object StatTests {
     * The final value takes the high 53 bits (`⌊z/256⌋ / 2⁵³` — exactly
     * representable as a double on both sides). Keys must be non-negative
     * and < p.
+    *
+    * Evaluation rides the native codegen scalar
+    * [[graft.expressions.BootstrapU01]] (64-bit Mersenne-fold arithmetic
+    * via Math.multiplyHigh — value-identical to the decimal tree above,
+    * reference-draw-pinned): the decimal(38,0) formulation is exact but
+    * BigDecimal-bound, measured 8.9 → 1.4 s on the sf0.1 bootstrap.
     */
-  private[graft] def mixU01(key: Column): Column = {
+  private[graft] def mixU01(key: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.BootstrapU01(
+        org.apache.spark.sql.graft.bridge.expression(key.cast("long"))))
+
+  /** The decimal(38,0) formulation of [[mixU01]] — kept as the
+    * cross-checkable twin (it is the exact tree the DuckDB oracle's
+    * HUGEINT arithmetic mirrors); StatTestsSpec pins lane equality.
+    */
+  private[graft] def mixU01Decimal(key: Column): Column = {
     def dec(v: Long): Column = lit(v).cast("decimal(38,0)")
     val p = dec(2305843009213693951L) // 2^61 - 1
     val z1 = pmod(key.cast("decimal(38,0)") * dec(1203983748297848573L) +

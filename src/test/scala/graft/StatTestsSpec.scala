@@ -776,6 +776,13 @@ class StatTestsSpec extends SparkSpec {
         0.9994058151824183, 0.999916758850712)
       assert(w == th.count(_ <= u), s"key $k")
     }
+    // the native 64-bit Mersenne-fold lane and the decimal(38,0) lane
+    // (the tree the DuckDB oracle mirrors) are bit-equal draw for draw
+    val lanes = (0L until 5000L).map(k => k * 4099L + 7L).toDF("k")
+      .select(StatTests.mixU01(col("k")).as("a"),
+        StatTests.mixU01Decimal(col("k")).as("b"))
+      .as[(Double, Double)].collect()
+    assert(lanes.forall { case (x, y) => x == y })
     // weight distribution sanity over many keys: ~e^-1 zeros, mean ~1
     val ws = (0L until 20000L).toDF("k")
       .select(StatTests.poissonW(StatTests.mixU01(col("k"))).as("w"))
