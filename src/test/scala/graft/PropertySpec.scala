@@ -361,4 +361,91 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: weightedQuantiles equals the cumulative-weight replica") {
+    val gen = Gen.listOfN(150, for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0L, 25L)
+      w <- Gen.choose(0L, 5L) // zeros exercise the invisible-row rule
+    } yield (g, v, w))
+    val qs = Seq(100, 500, 901, 1000)
+    for (i <- 1L to rounds) {
+      val rows = sample(gen, i)
+      val got = StatTests.weightedQuantiles(rows.toDF("g", "v", "w"),
+        col("g"), col("v"), col("w"), qs)
+        .as[(String, Long, Long)].collect().toSet
+      val want = rows.filter(_._3 > 0).groupBy(_._1).flatMap { case (g, rs) =>
+        val grain = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        val tot = grain.map(_._2).sum
+        qs.flatMap { q =>
+          var cum = 0L
+          grain.collectFirst {
+            case (v, w) if { cum += w; cum * 1000 >= q * tot } =>
+              (g, q.toLong, v)
+          }
+        }
+      }.toSet
+      assert(got == want, s"seed $i")
+    }
+  }
+
+  test("property: labelPropagation equals the synchronous min-tie replica") {
+    val gen = Gen.listOfN(60, for {
+      a <- Gen.choose(1L, 18L)
+      b <- Gen.choose(1L, 18L)
+    } yield (a, b))
+    for (i <- 1L to rounds) {
+      val und = sample(gen, i).filter(t => t._1 != t._2).distinct
+      if (und.nonEmpty) {
+        val edges = (und ++ und.map(_.swap)).distinct
+        val got = graft.operators.Graph
+          .labelPropagation(edges.toDF("src", "dst"), "src", "dst", 3)
+          .as[(Long, Long)].collect().toMap
+        val inN = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        var lbl = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(n => n -> n).toMap
+        for (_ <- 1 to 3) {
+          lbl = lbl.map { case (n, l) =>
+            inN.get(n) match {
+              case None | Some(Nil) => n -> l
+              case Some(nbrs) =>
+                val votes = nbrs.map(lbl).groupBy(identity).view
+                  .mapValues(_.size).toSeq
+                n -> votes.minBy { case (cand, c) => (-c, cand) }._1
+            }
+          }
+        }
+        assert(got == lbl, s"seed $i")
+      }
+    }
+  }
+
+  test("property: bipartiteBestPartner's pick maximizes (cn, -partner) " +
+    "over the wedge-derived candidates") {
+    val gen = Gen.listOfN(80, for {
+      c <- Gen.choose(1L, 15L)
+      s <- Gen.choose(1L, 10L)
+    } yield (c, s))
+    for (i <- 1L to rounds) {
+      val rel = sample(gen, i).distinct
+      val got = graft.operators.Graph
+        .bipartiteBestPartner(rel.toDF("c", "s"), "c", "s")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val byC = rel.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+        .filter(_._2.size >= 2).toMap
+      val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      byC.values.foreach { ss =>
+        for (a <- ss; b <- ss if a < b)
+          cn((a, b)) = cn.getOrElse((a, b), 0L) + 1L
+      }
+      val want = cn.toSeq.flatMap { case ((a, b), n) =>
+        Seq(a -> ((b, n)), b -> ((a, n))) }
+        .groupBy(_._1).map { case (node, cands) =>
+          node -> cands.map(_._2).minBy { case (p, n) => (-n, p) }
+        }
+      assert(got == want, s"seed $i")
+    }
+  }
 }

@@ -252,4 +252,41 @@ class ShuffleShapeSpec extends SparkSpec {
     // hour-grain aggregate + spine join + grid windows + the hod rollup
     assert(shuffles(Behavior.seasonalDecompose(ev, "ts")) <= 4)
   }
+
+  test("round-16 session-5 additions stay inside their budgets") {
+    import graft.operators.{Graph, Insights, StatTests}
+    val cents = floor(col("value") * 100 + 0.5)
+    val hod = expr("(unix_micros(ts) DIV 3600000000) % 24")
+    // (group, distinct value) grain + its ordered window; the broadcast
+    // level join adds no exchange — the raw log shuffles once
+    assert(shuffles(StatTests.weightedQuantiles(ev, col("event_type"),
+      cents, pmod(col("user_id"), lit(7)) + 1, Seq(500, 900))) <= 2)
+    // the cramersV/theilsU cell-fold shape with the G term
+    assert(shuffles(StatTests.gTest(ev, col("event_type"), hod)) <= 8)
+    // day-grain aggregate + spine join + day-ordered lag windows + the
+    // 1-row moment fold + the lag-ordered Q fold
+    assert(shuffles(StatTests.ljungBoxDaily(ev, "ts", 3)) <= 5)
+    // ten exact moments in ONE map-side-combined grouped pass
+    assert(shuffles(StatTests.multiLinReg(ev, col("event_type"), hod,
+      expr("(unix_micros(ts) DIV 86400000000) % 7"), cents)) == 1)
+    // unit-grain pass + the bounded xB fan-out's (group, rep) aggregate
+    // + the B-row window + the broadcast obs/ci join
+    assert(shuffles(StatTests.poissonBootstrapCi(ev, col("event_type"),
+      col("user_id"), cents, b = 40)) <= 5)
+    // bipartite wedge: distinct relation + degree join + the pair-grain
+    // window/agg + the mirror union's pick — never an event self-join
+    val rel = ev.select(col("user_id").as("c"),
+      (col("event_id") % 20).as("s"))
+    assert(shuffles(Graph.bipartiteBestPartner(rel, "c", "s")) <= 6)
+    // ordered-rule twin of marketBasket: basket-grain dedup, the pair
+    // join's two basket-key exchanges, the pair-grain agg, and the two
+    // broadcast-side marginal/total grains — all dedup-frame-sized; the
+    // raw log itself exchanges once (into the dedup)
+    assert(shuffles(Insights.basketRules(ev.select(
+      col("user_id").as("bk"), col("event_type").as("it")),
+      "bk", "it")) <= 6)
+    // two map-side-combined grouped passes, no windows or joins
+    assert(shuffles(Insights.revenueHhi(ev, "event_type", "user_id",
+      cents)) <= 2)
+  }
 }
