@@ -2012,6 +2012,38 @@ object SparkEntry {
             .select(col("s_suppkey"), col("n_name"))),
             col("l_suppkey") === col("s_suppkey")),
         "n_name", "s_suppkey", floor(col("l_extendedprice") * 100 + 0.5))),
+    // matched-items unit-value price index per ship month vs the first
+    // month — composition-artifact-free price drift (r16 s5)
+    "monthly_price_index" -> ((s, d) =>
+      Insights.unitValueIndex(t(s, d, "lineitem"), col("l_shipdate"),
+        col("l_partkey"), col("l_quantity"),
+        floor(col("l_extendedprice") * 100 + 0.5))),
+    // entropy rate of the behavior chain: H(next | current) over
+    // consecutive event-type pairs, theilsU's pinned folds (r16 s5)
+    "events_entropy_rate" -> ((s, d) =>
+      Behavior.entropyRate(t(s, d, "events"), "user_id", "event_type",
+        "ts", "event_id")),
+    // WebP RIFF probe: VP8L bit-packed and VP8 start-code dimension
+    // layouts by id parity; oracle re-derives dims from doc_id (r16 s5)
+    "mm_webp_probe" -> ((s, d) =>
+      Multimodal.probeHeaders(
+          Multimodal.withWebpPayloads(t(s, d, "documents"), "doc_id"))
+        .toDF()
+        .groupBy(col("width").cast("long").as("width"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("height").cast("long")).as("sum_height"),
+          max(col("format")).as("format"))),
+    // RAKE keyword extraction: stopword-bounded candidate runs, exact
+    // deg/freq stats, position-ordered score folds (r16 s5)
+    "docs_rake_keywords" -> ((s, d) =>
+      Vocabulary.rakeKeywords(t(s, d, "documents"), "doc_id", "text",
+        Seq("a", "the"), minWords = 2, maxWords = 4, minCount = 2L)),
+    // DBSCAN core/border/noise classification on the exact quantized
+    // grid — the brute-force density anchor beside knn_brute_force
+    // (r16 s5)
+    "emb_dbscan_core" -> ((s, d) =>
+      ClusterEval.dbscanClassify(t(s, d, "embeddings"), "vec_id",
+        "embedding", eps2 = 1550000L, minPts = 5)),
     // additive Holt–Winters: hourlyHolt + the 24-slot seasonal state,
     // bit-replayed by the oracle's recursive CTE
     "events_holt_winters" -> ((s, d) =>
@@ -6408,6 +6440,162 @@ object SparkEntry {
                 round(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE), 6)
                   AS top_share
          FROM g""",
+    // identical (month, part) integer grain, base-month matched join,
+    // and the one unit-value double tree
+    "monthly_price_index" ->
+      """WITH g AS (
+           SELECT date_trunc('month', l_shipdate) AS m, l_partkey AS k,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+                  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS e
+           FROM lineitem GROUP BY 1, 2),
+         b AS (SELECT k, q AS q0, e AS e0 FROM g
+               WHERE m = (SELECT min(m) FROM g)),
+         j AS (SELECT m, CAST(count(*) AS BIGINT) AS n_items,
+                      CAST(sum(e) AS BIGINT) AS se,
+                      CAST(sum(q) AS BIGINT) AS sq,
+                      CAST(sum(e0) AS BIGINT) AS se0,
+                      CAST(sum(q0) AS BIGINT) AS sq0
+               FROM g JOIN b USING (k) GROUP BY m
+               HAVING sum(q) > 0 AND sum(q0) > 0 AND sum(e0) > 0)
+         SELECT m AS month, n_items,
+                round((CAST(se AS DOUBLE) / CAST(sq AS DOUBLE))
+                  / (CAST(se0 AS DOUBLE) / CAST(sq0 AS DOUBLE)), 6)
+                  AS price_index
+         FROM j""",
+    // consecutive-pair build + the theilsU fold body verbatim (X = next
+    // type, Y = current type)
+    "events_entropy_rate" ->
+      """WITH seq AS (
+           SELECT event_type AS from_op,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_op
+           FROM events),
+         cells AS (
+           SELECT to_op AS r, from_op AS c, CAST(count(*) AS BIGINT) AS o
+           FROM seq WHERE to_op IS NOT NULL GROUP BY 1, 2),
+         st AS (
+           SELECT r, c, o,
+                  CAST(sum(o) OVER (PARTITION BY c) AS BIGINT) AS cm,
+                  CAST(sum(o) OVER () AS BIGINT) AS nn
+           FROM cells),
+         pr AS (
+           SELECT r, max(nn) AS nn, arg_max(hr_cum, c) AS hr
+           FROM (SELECT r, c, nn,
+                        sum((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+                            * ln(CAST(o AS DOUBLE) / CAST(cm AS DOUBLE)))
+                          OVER (PARTITION BY r ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS hr_cum
+                 FROM st)
+           GROUP BY r),
+         hxy AS (
+           SELECT max(nn) AS n, arg_max(hxy_cum, r) AS neg_hxy
+           FROM (SELECT r, nn,
+                        sum(hr) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS hxy_cum
+                 FROM pr)),
+         rm AS (
+           SELECT r, CAST(sum(o) AS BIGINT) AS rm FROM cells GROUP BY r),
+         rm2 AS (
+           SELECT r, rm, CAST(sum(rm) OVER () AS BIGINT) AS nn FROM rm),
+         hx AS (
+           SELECT arg_max(hx_cum, r) AS neg_hx
+           FROM (SELECT r,
+                        sum((CAST(rm AS DOUBLE) / CAST(nn AS DOUBLE))
+                            * ln(CAST(rm AS DOUBLE) / CAST(nn AS DOUBLE)))
+                          OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS hx_cum
+                 FROM rm2)),
+         f AS (
+           SELECT n, 0.0 - neg_hx AS h_x, 0.0 - neg_hxy AS h_x_given_y
+           FROM hxy CROSS JOIN hx)
+         SELECT n AS n_transitions, round(h_x, 6) AS h_next,
+                round(h_x_given_y, 6) AS h_rate,
+                round((h_x - h_x_given_y) / h_x, 6) AS predictability
+         FROM f WHERE h_x > 0.0""",
+    // dimensions re-derived from the WebP builder's id arithmetic
+    "mm_webp_probe" ->
+      """WITH p AS (SELECT doc_id, 16 + (doc_id % 50) AS w,
+                           16 + ((doc_id // 7) % 40) AS h
+                    FROM documents)
+         SELECT CAST(w AS BIGINT) AS width,
+                count(*) AS n_items,
+                CAST(sum(h) AS BIGINT) AS sum_height,
+                'webp' AS format
+         FROM p GROUP BY 1""",
+    // identical tokenization, stop-run construction, exact deg/freq,
+    // and position-ordered score folds
+    "docs_rake_keywords" ->
+      """WITH tok0 AS (
+           SELECT doc_id AS doc,
+                  unnest(string_split(lower(text), ' ')) AS w,
+                  generate_subscripts(string_split(lower(text), ' '), 1)
+                    AS pos
+           FROM documents),
+         tok AS (SELECT doc, w, pos, (w IN ('a', 'the')) AS stop
+                 FROM tok0 WHERE w <> ''),
+         runs AS (SELECT doc, w, pos, stop,
+                    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS run
+                  FROM tok),
+         members AS (SELECT doc, run, pos, w FROM runs WHERE NOT stop),
+         phrases AS (SELECT doc, run, CAST(count(*) AS BIGINT) AS len,
+                            string_agg(w, ' ' ORDER BY pos) AS phrase
+                     FROM members GROUP BY doc, run
+                     HAVING count(*) BETWEEN 2 AND 4),
+         kept AS (SELECT m.doc, m.run, m.pos, m.w, p.len, p.phrase
+                  FROM members m
+                  JOIN phrases p ON p.doc = m.doc AND p.run = m.run),
+         stats AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                          CAST(sum(len) AS BIGINT) AS deg
+                   FROM kept GROUP BY w),
+         occ AS (SELECT doc, run, max(phrase) AS phrase,
+                        arg_max(cum, pos) AS score
+                 FROM (SELECT k.doc, k.run, k.pos, k.phrase,
+                              sum(CAST(s.deg AS DOUBLE)
+                                  / CAST(s.freq AS DOUBLE))
+                                OVER (PARTITION BY k.doc, k.run
+                                  ORDER BY k.pos ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS cum
+                       FROM kept k JOIN stats s ON s.w = k.w)
+                 GROUP BY doc, run)
+         SELECT phrase, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_occurrences,
+                round(max(score), 6) AS score
+         FROM occ GROUP BY phrase HAVING count(*) >= 2""",
+    // identical quantized grid, exact integer distance test, and the
+    // core/border/noise resolution
+    "emb_dbscan_core" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(
+                    CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS q
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS a, b.vec_id AS b
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE (SELECT sum((z.u - z.v) * (z.u - z.v))
+                      FROM (SELECT unnest(a.q) AS u, unnest(b.q) AS v) z)
+                     <= 1550000),
+         m AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         cnt AS (SELECT e.vec_id,
+                        1 + CAST(coalesce(t.nb, 0) AS BIGINT)
+                          AS n_neighbors
+                 FROM e LEFT JOIN (SELECT a, count(*) AS nb
+                                   FROM m GROUP BY a) t
+                   ON t.a = e.vec_id),
+         core AS (SELECT vec_id FROM cnt WHERE n_neighbors >= 5),
+         border AS (SELECT DISTINCT m.a AS vec_id
+                    FROM m JOIN core ON core.vec_id = m.b)
+         SELECT c.vec_id, c.n_neighbors,
+                CASE WHEN co.vec_id IS NOT NULL THEN 'core'
+                     WHEN bo.vec_id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS cls
+         FROM cnt c
+         LEFT JOIN core co ON co.vec_id = c.vec_id
+         LEFT JOIN border bo ON bo.vec_id = c.vec_id""",
     // Holt–Winters: exact integer init (sums of counts in doubles), then
     // the order-determined recurrence replayed step-for-step; the seasonal
     // list updates by slicing, lnew bound once in the inner subquery (the

@@ -902,6 +902,35 @@ object Behavior {
       .select(col("from_op"), col("to_op"), col("n"), col("p"))
   }
 
+  /** Empirical entropy rate of the first-order behavior chain —
+    * H(next | current) over [[markovTransitions]]' consecutive-pair
+    * frame: how PREDICTABLE is the next event type given the current
+    * one, in nats (0 = deterministic flows, ln(k) = uniform chaos). The
+    * single-scalar health readout over the transition matrix (which
+    * stays the drill-down), reported with H(next) and the predictability
+    * ratio 1 − H(next|cur)/H(next).
+    *
+    * Implementation delegates the entropy folds to
+    * [[graft.operators.StatTests.theilsU]] on the pair frame (rowC =
+    * next, colC = current): the exact cell counts, the nested
+    * fixed-order cumulative folds, and the degenerate-input drops are
+    * already pinned there — this adds only the ONE key-partitioned lead
+    * window that builds consecutive pairs. Output one row:
+    * (n_transitions, h_next, h_rate, predictability).
+    */
+  def entropyRate(events: DataFrame, keyCol: String, opCol: String,
+                  tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(keyCol), col(opCol).as("from_op"), col(tsCol), col(idCol))
+      .withColumn("to_op", lead(col("from_op"), 1).over(w))
+      .where(col("to_op").isNotNull)
+    StatTests.theilsU(pairs, col("to_op"), col("from_op"))
+      .select(col("n").as("n_transitions"), col("h_x").as("h_next"),
+        col("h_x_given_y").as("h_rate"),
+        col("theils_u").as("predictability"))
+  }
+
   /** Lag-k autocorrelations of the hourly event-count series: one row per
     * requested lag with (lag, n pairs, Pearson r of count_t vs count_{t−k})
     * over hours ON the observed hourly grid (sequence-densified between

@@ -115,4 +115,65 @@ object ClusterEval {
         round(col("ssm").cast("double") / col("n_points") / 1e6, 6)
           .as("mean_silhouette"))
   }
+
+  /** DBSCAN point classification (Ester 1996) over the embedding space:
+    * core (≥ minPts neighbors within ε, the point itself included),
+    * border (non-core with a core neighbor), noise — the density
+    * screen that tells a dedup/sampling pipeline which embeddings sit
+    * in dense semantic mass vs isolated space, without committing to a
+    * k like the k-means family.
+    *
+    * Exact by quantization (the class convention): components project
+    * once onto the `⌊x·scale+0.5⌋` integer grid, so every pairwise
+    * distance² is an exact int64 sum and the ε² test is integer
+    * comparison — any engine classifies identically. This is the
+    * brute-force EXACT-ORACLE ANCHOR (the `knn_brute_force` role): the
+    * pair join is O(n²) by definition and earns its keep as the
+    * fixture approximate paths are judged against; at corpus scale the
+    * candidate pairs come from the persisted LSH/IVF index
+    * (`LshIndex`/`IvfIndex` probes) with the SAME integer distance
+    * test, so only candidate generation, never the classification
+    * rule, changes. Neighbor counting is one map-side-combined
+    * aggregation over the mirrored pair frame; the border resolution
+    * is one semi-join against the core set.
+    */
+  def dbscanClassify(emb: DataFrame, idCol: String, vecCol: String,
+                     eps2: Long, minPts: Int,
+                     scale: Int = 1024): DataFrame = {
+    require(eps2 > 0 && minPts >= 1, s"bad eps2=$eps2 minPts=$minPts")
+    val q = emb.select(col(idCol).as("i"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale" +
+        " + 0.5) AS BIGINT))").as("q")).localCheckpoint(true)
+    // the distance kernel is the native codegen QuantL2Sq loop — the
+    // aggregate(zip_with(...)) tree is interpreted per pair and measured
+    // 28 s vs ~2 s on the sf0.1 pair volume, value-identical
+    val bridge = org.apache.spark.sql.graft.bridge
+    val d2 = bridge.column(graft.expressions.QuantL2Sq(
+      bridge.expression(col("qa")), bridge.expression(col("qb"))))
+    val pairs = q.select(col("i").as("a"), col("q").as("qa"))
+      .join(q.select(col("i").as("b"), col("q").as("qb")),
+        col("a") < col("b"))
+      .where(d2 <= eps2)
+      .select(col("a"), col("b"))
+    val mirrored = pairs.union(pairs.select(col("b"), col("a")))
+      .localCheckpoint(true)
+    val counts = q.select(col("i"))
+      .join(mirrored.groupBy(col("a").as("i"))
+        .agg(count(lit(1)).as("nb")), Seq("i"), "left")
+      .select(col("i"), (coalesce(col("nb"), lit(0L)) + 1L)
+        .as("n_neighbors"))
+    val core = counts.where(col("n_neighbors") >= minPts)
+      .select(col("i").as("c"))
+    val borderIds = mirrored
+      .join(core, mirrored("b") === core("c"), "left_semi")
+      .select(col("a").as("i")).distinct()
+    counts
+      .join(core.withColumnRenamed("c", "i").withColumn("is_core", lit(1)),
+        Seq("i"), "left")
+      .join(borderIds.withColumn("near_core", lit(1)), Seq("i"), "left")
+      .select(col("i").as(idCol), col("n_neighbors"),
+        when(col("is_core") === 1, "core")
+          .when(col("near_core") === 1, "border")
+          .otherwise("noise").as("cls"))
+  }
 }

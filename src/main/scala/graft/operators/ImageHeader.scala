@@ -194,11 +194,79 @@ object ImageHeader {
     out.toByteArray
   }
 
+  /** WebP (RIFF container, Google's public container spec): "RIFF" +
+    * LE u32 size + "WEBP", then the first image chunk — either VP8L
+    * (lossless: signature byte 0x2F, then width−1 / height−1 as two
+    * 14-bit fields bit-packed LSB-first into a LE u32, version bits
+    * must be 0) or "VP8 " (lossy: 3-byte frame tag, the 0x9D 01 2A
+    * start code, then width / height as LE u16s whose low 14 bits are
+    * the dimensions). All reads bounds-guarded; hostile bytes return
+    * None (the codec-fuzz no-throw contract).
+    */
+  private def webp(b: Array[Byte]): Option[ImageInfo] = {
+    if (b.length < 20) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return None
+    val fourcc = new String(b, 12, 4, "US-ASCII")
+    fourcc match {
+      case "VP8L" =>
+        // chunk size u32 at 16, payload at 20: 0x2F then the packed u32
+        if (b.length < 25 || u8(b, 20) != 0x2f) return None
+        val bits = le32(b, 21)
+        if (((bits >>> 29) & 0x7) != 0) return None // version must be 0
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >>> 14) & 0x3fff).toInt + 1
+        Some(ImageInfo("webp", w, h))
+      case "VP8 " =>
+        // payload at 20: 3-byte frame tag, start code, two LE u16 dims
+        if (b.length < 30) return None
+        if (u8(b, 23) != 0x9d || u8(b, 24) != 0x01 || u8(b, 25) != 0x2a)
+          return None
+        val w = le16(b, 26) & 0x3fff
+        val h = le16(b, 28) & 0x3fff
+        if (w > 0 && h > 0) Some(ImageInfo("webp", w, h)) else None
+      case _ => None
+    }
+  }
+
+  /** Minimal valid WebP writer — [[webp]]'s dual for round-trip tests
+    * and deterministic synthetic payloads, emitting either the VP8L
+    * bit-packed or the VP8 start-code dimension layout.
+    */
+  def webpImage(width: Int, height: Int, lossless: Boolean): Array[Byte] = {
+    // VP8L stores width−1 (range 1..16384); VP8 stores the raw 14-bit
+    // dimension (range 1..16383)
+    val maxDim = if (lossless) 0x4000 else 0x3fff
+    require(width >= 1 && height >= 1 && width <= maxDim &&
+      height <= maxDim, s"bad dims ${width}x$height (lossless=$lossless)")
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def ascii(s: String): Unit = s.foreach(c => out.write(c))
+    if (lossless) {
+      ascii("RIFF"); w32(4 + 4 + 4 + 5)
+      ascii("WEBP"); ascii("VP8L"); w32(5)
+      out.write(0x2f)
+      w32(((width - 1).toLong & 0x3fff) |
+        (((height - 1).toLong & 0x3fff) << 14))
+    } else {
+      ascii("RIFF"); w32(4 + 4 + 4 + 10)
+      ascii("WEBP"); ascii("VP8 "); w32(10)
+      out.write(0); out.write(0); out.write(0) // frame tag (keyframe)
+      out.write(0x9d); out.write(0x01); out.write(0x2a)
+      out.write(width & 0xff); out.write((width >> 8) & 0x3f)
+      out.write(height & 0xff); out.write((height >> 8) & 0x3f)
+    }
+    out.toByteArray
+  }
+
   /** Parse the payload's image header, if it is one of the supported public
     * container formats.
     */
   def parse(bytes: Array[Byte]): Option[ImageInfo] =
     if (bytes == null) None
     else png(bytes).orElse(gif(bytes)).orElse(jpeg(bytes)).orElse(bmp(bytes))
-      .orElse(tiff(bytes))
+      .orElse(tiff(bytes)).orElse(webp(bytes))
 }

@@ -333,6 +333,43 @@ object Insights {
           .as("top_share"))
   }
 
+  /** Monthly unit-value price index against the frame's FIRST month
+    * (Laspeyres-family, matched-items form): for every month m, the
+    * ratio of the matched-item unit value (Σ revenue / Σ quantity over
+    * items traded in BOTH m and the base month) to the base month's —
+    * the "are prices drifting" readout a replicated order book serves.
+    * Matching per month removes the composition artifact (a month that
+    * happens to ship luxury items would otherwise read as inflation).
+    *
+    * Exactness: all four component sums are exact integer aggregates at
+    * the (month, item) grain; the index is ONE fixed double tree over
+    * them — engine-reproducible. One grain aggregation, one item-key
+    * join against the base-month slice (co-partitioned on the item
+    * dimension), one month-grain rollup. Output (month, n_items, index).
+    */
+  def unitValueIndex(df: DataFrame, dateCol: Column, itemCol: Column,
+                     qtyCol: Column, cents: Column): DataFrame = {
+    val grain = df
+      .select(date_trunc("MONTH", dateCol).as("m"), itemCol.as("k"),
+        qtyCol.cast("long").as("q"), cents.cast("long").as("e"))
+      .groupBy(col("m"), col("k"))
+      .agg(sum(col("q")).as("q"), sum(col("e")).as("e"))
+    val base = grain
+      .crossJoin(broadcast(grain.agg(min(col("m")).as("m0"))))
+      .where(col("m") === col("m0"))
+      .select(col("k"), col("q").as("q0"), col("e").as("e0"))
+    def d(c: Column): Column = c.cast("double")
+    grain.join(base, Seq("k"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_items"), sum(col("e")).as("se"),
+        sum(col("q")).as("sq"), sum(col("e0")).as("se0"),
+        sum(col("q0")).as("sq0"))
+      .where(col("sq") > 0 && col("sq0") > 0 && col("se0") > 0)
+      .select(col("m").as("month"), col("n_items"),
+        round((d(col("se")) / d(col("sq")))
+          / (d(col("se0")) / d(col("sq0"))), 6).as("price_index"))
+  }
+
   /** Directed association rules a → b at `itemCol` granularity — the
     * ordered-rule readout over [[marketBasket]]'s unordered pair support:
     * for every ordered pair with co-support ≥ `minN` baskets,

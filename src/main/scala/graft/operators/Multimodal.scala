@@ -186,6 +186,28 @@ object Multimodal {
           lit("image/tiff").as("media_type")).as("meta"))
   }
 
+  /** Attach a synthetic WebP payload per document — id-derived
+    * dimensions, alternating VP8L (bit-packed dims) and VP8 (start-code
+    * dims) chunk layouts by id parity, so the probe exercises both
+    * branches while the oracle re-derives every field from doc_id
+    * arithmetic ([[graft.operators.ImageHeader.webpImage]] is the
+    * parser's writer dual).
+    */
+  def withWebpPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 50).toInt
+        val h = 16 + ((id / 7) % 40).toInt
+        (id, ImageHeader.webpImage(w, h, lossless = id % 2 == 0))
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit("image/webp").as("media_type")).as("meta"))
+  }
+
   /** Attach a synthetic WAV payload WITH actual PCM sample data — the
     * full-decode sibling of [[withAudioPayloads]] (which ships headers
     * only). Samples are the deterministic integer stream

@@ -400,4 +400,66 @@ object Vocabulary {
           (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    * candidate phrases are maximal stopword-free token runs of
+    * `minWords..maxWords` words; each word scores deg(w)/freq(w) over
+    * the kept candidates (deg = Σ phrase length over phrases containing
+    * w — frequency plus within-phrase co-occurrence, RAKE's signature
+    * ratio that favors words living in long phrases); a phrase scores
+    * the sum of its word scores. Output one row per distinct phrase
+    * seen ≥ `minCount` times: (phrase, n_docs, n_occurrences, score).
+    *
+    * Determinism: the OUTPUT SET is decided by integer counts alone;
+    * deg/freq are exact integers, and each occurrence's score fold runs
+    * in word-position order (a fixed-order cumulative window — the
+    * theilsU idiom), so equal phrases fold identically and the float is
+    * engine-reproducible. Scale shape: one doc-partitioned position
+    * window builds runs, phrases aggregate at (doc, run) grain, word
+    * stats at vocabulary grain (one shuffle join back — never
+    * broadcast-assumed), and the phrase rollup is phrase-grain. Nothing
+    * pairwise, nothing corpus-global beyond the two dimension grains.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], minWords: Int = 2,
+                   maxWords: Int = 4, minCount: Long = 2L): DataFrame = {
+    require(stopwords.nonEmpty && minWords >= 1 && maxWords >= minWords,
+      s"bad rake params")
+    val tok = docs
+      .select(col(idCol).as("doc"),
+        posexplode(graft.functions.TextFunctions.tokens(lower(col(textCol)))))
+      .withColumnRenamed("col", "w")
+      .where(length(col("w")) > 0)
+      .withColumn("stop", col("w").isin(stopwords: _*))
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val members = tok
+      .withColumn("run", sum(when(col("stop"), 1L).otherwise(0L)).over(byDoc))
+      .where(!col("stop"))
+      .select(col("doc"), col("run"), col("pos"), col("w"))
+    val phrases = members
+      .groupBy(col("doc"), col("run"))
+      .agg(count(lit(1)).as("len"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, w)))," +
+          " s -> s.w), ' ')").as("phrase"))
+      .where(col("len").between(minWords, maxWords))
+    val kept = members.join(phrases.select(col("doc"), col("run"),
+      col("len"), col("phrase")), Seq("doc", "run"))
+    val stats = kept.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val byRun = Window.partitionBy(col("doc"), col("run")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val occ = kept.join(stats, Seq("w"))
+      .withColumn("cum", sum(col("deg").cast("double")
+        / col("freq").cast("double")).over(byRun))
+      .groupBy(col("doc"), col("run"))
+      .agg(max(col("phrase")).as("phrase"), max_by(col("cum"), col("pos"))
+        .as("score"))
+    occ.groupBy(col("phrase"))
+      .agg(count_distinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"), max(col("score")).as("score"))
+      .where(col("n_occurrences") >= minCount)
+      .select(col("phrase"), col("n_docs"), col("n_occurrences"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -61,4 +61,45 @@ class ClusterEvalSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(one === many)
   }
+
+  test("dbscanClassify: hand cluster geometry — core, border, noise") {
+    // scale 1024; eps² = 3 grid units² → eps ≈ 0.0017 in float space.
+    // Points quantize to integer grid coords: cluster {(0,0),(1,0),
+    // (0,1),(1,1)} pairwise d² ≤ 2 → each has 4 neighbors (incl. self);
+    // (2,2) is d²=2 from (1,1) only → 2 neighbors → border (touches the
+    // core (1,1)); (100,100) is alone → noise.
+    def v(x: Int, y: Int) = Array(x / 1024f, y / 1024f)
+    val df = Seq(
+      (0L, v(0, 0)), (1L, v(1, 0)), (2L, v(0, 1)), (3L, v(1, 1)),
+      (4L, v(2, 2)), (9L, v(100, 100))
+    ).toDF("vec_id", "embedding")
+    val got = ClusterEval.dbscanClassify(df, "vec_id", "embedding",
+      eps2 = 3L, minPts = 4)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(0L) == ((4L, "core")) && got(1L) == ((4L, "core")) &&
+      got(2L) == ((4L, "core")))
+    assert(got(3L) == ((5L, "core"))) // also reaches (2,2)
+    assert(got(4L) == ((2L, "border")))
+    assert(got(9L) == ((1L, "noise")))
+  }
+
+  test("dbscanClassify is partitioning-invariant; ragged dims throw " +
+    "loudly") {
+    val df = (1L to 60L)
+      .map(i => (i, Array((i % 7).toFloat / 1024f, (i % 5).toFloat / 1024f)))
+      .toDF("vec_id", "embedding")
+    val a = ClusterEval.dbscanClassify(df.coalesce(1), "vec_id",
+      "embedding", 4L, 5).collect().toSet
+    val b = ClusterEval.dbscanClassify(df.repartition(11), "vec_id",
+      "embedding", 4L, 5).collect().toSet
+    assert(a == b && a.nonEmpty)
+    val ragged = Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      ClusterEval.dbscanClassify(ragged, "vec_id", "embedding", 4L, 2)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

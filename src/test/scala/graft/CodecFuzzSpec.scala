@@ -23,7 +23,8 @@ class CodecFuzzSpec extends SparkSpec {
     "fLaC".getBytes("US-ASCII"),
     Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII"),
     Array[Byte]('I', 'I', 42, 0), // TIFF little-endian mark + magic
-    Array[Byte]('M', 'M', 0, 42))
+    Array[Byte]('M', 'M', 0, 42),
+    "RIFF0000WEBP".getBytes("US-ASCII"))
 
   private def decodeAll(b: Array[Byte]): Unit = {
     MediaHeader.parse(b)
@@ -60,7 +61,9 @@ class CodecFuzzSpec extends SparkSpec {
       useLongType = false)
     val tiffBe = ImageHeader.tiffImage(33, 47, littleEndian = false,
       useLongType = true)
-    for (payload <- Seq(wavs, flac, mp3, tiffLe, tiffBe);
+    val webpL = ImageHeader.webpImage(33, 47, lossless = true)
+    val webpV = ImageHeader.webpImage(33, 47, lossless = false)
+    for (payload <- Seq(wavs, flac, mp3, tiffLe, tiffBe, webpL, webpV);
          n <- 0 to payload.length) {
       decodeAll(payload.take(n))
     }

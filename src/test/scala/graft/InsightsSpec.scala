@@ -899,6 +899,50 @@ class InsightsSpec extends SparkSpec {
       .collect().length == 2) // only A->B and B->A
   }
 
+  test("unitValueIndex: hand months, matched-items discipline, base = 1") {
+    def ts(month: Int) = java.sql.Timestamp.valueOf(f"2024-$month%02d-01 00:00:00")
+    // part 1 trades in all months; part 2 only in month 2 (must be
+    // EXCLUDED from every index — unmatched against base); part 3 only
+    // in base (contributes to no later month)
+    val rows = Seq(
+      (ts(1), 1L, 10L, 1000L), (ts(1), 3L, 5L, 250L),
+      (ts(2), 1L, 10L, 1200L), (ts(2), 2L, 99L, 99999L),
+      (ts(3), 1L, 20L, 2000L))
+      .toDF("d", "k", "q", "e")
+    val got = Insights.unitValueIndex(rows, col("d"), col("k"), col("q"),
+      col("e")).as[(java.sql.Timestamp, Long, Double)].collect()
+      .sortBy(_._1.getTime)
+    assert(got.length == 3)
+    // base month: index 1 by construction (matched = itself)
+    assert(got(0)._2 == 2 && got(0)._3 == 1.0)
+    // month 2: matched = part 1 only; (1200/10)/(1000/10) = 1.2
+    assert(got(1)._2 == 1 && got(1)._3 == 1.2)
+    // month 3: (2000/20)/(1000/10) = 1.0
+    assert(got(2)._2 == 1 && got(2)._3 == 1.0)
+  }
+
+  test("entropyRate: deterministic chain reads 0; uniform chain reads " +
+    "ln k") {
+    def ev(rows: Seq[(Long, String)]) = rows.zipWithIndex
+      .map { case ((u, op), i) => (u, op, i.toLong, i.toLong) }
+      .toDF("u", "op", "tm", "id")
+      .select(col("u"), col("op"),
+        timestamp_micros(col("tm") * 1000000L).as("ts"), col("id"))
+    // a -> b -> a -> b ...: next is a FUNCTION of current → H(next|cur)=0
+    val det = ev((1 to 20).map(i => (1L, if (i % 2 == 0) "a" else "b")))
+    val r1 = Behavior.entropyRate(det, "u", "op", "ts", "id").collect()(0)
+    assert(r1.getLong(0) == 19 && r1.getDouble(2) == 0.0 &&
+      r1.getDouble(3) == 1.0)
+    // a,b,a,a,b,b,... engineered so each of the 4 transitions appears
+    // equally often from each state: H(next|cur) = ln 2 = H(next)
+    val uni = ev(Seq(1L -> "a", 1L -> "a", 1L -> "b", 1L -> "b")
+      .flatMap { case (u, op) => Seq((u, op)) } ++
+      Seq((2L, "a"), (2L, "b"), (2L, "a"), (2L, "b"), (2L, "a")))
+    val r2 = Behavior.entropyRate(uni, "u", "op", "ts", "id").collect()(0)
+    // mixed-structure sanity: 0 < h_rate <= h_next
+    assert(r2.getDouble(2) > 0.0 && r2.getDouble(2) <= r2.getDouble(1) + 1e-12)
+  }
+
   test("revenueHhi: hand shares, duplicate key rows merge, single key " +
     "reads 1.0") {
     val df = Seq(("g", 1L, 100L), ("g", 1L, 200L), ("g", 2L, 100L),

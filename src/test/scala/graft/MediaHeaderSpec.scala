@@ -613,4 +613,36 @@ class MediaHeaderSpec extends SparkSpec {
     val ratType = good.clone(); ratType(12) = 5
     assert(ImageHeader.parse(ratType).isEmpty)
   }
+
+  test("WebP probe: VP8L bit-packed and VP8 start-code duals round-trip; " +
+    "corrupt chunks reject") {
+    import graft.operators.ImageHeader
+    for (lossless <- Seq(true, false); (w, h) <- Seq((1, 1), (66, 56),
+        (16383, 2))) {
+      val b = ImageHeader.webpImage(w, h, lossless)
+      assert(ImageHeader.parse(b)
+        .contains(ImageHeader.ImageInfo("webp", w, h)),
+        s"lossless=$lossless ${w}x$h")
+    }
+    // VP8L's width-1 encoding reaches 16384; VP8's raw field stops at
+    // 16383 and the writer REFUSES past it rather than wrapping to 0
+    assert(ImageHeader.parse(ImageHeader.webpImage(16384, 16384,
+      lossless = true))
+      .contains(ImageHeader.ImageInfo("webp", 16384, 16384)))
+    intercept[IllegalArgumentException] {
+      ImageHeader.webpImage(16384, 2, lossless = false)
+    }
+    // VP8L with nonzero version bits: reject
+    val vl = ImageHeader.webpImage(66, 56, lossless = true)
+    vl(24) = (vl(24) | 0xe0).toByte
+    assert(ImageHeader.parse(vl).isEmpty)
+    // VP8 with a broken start code: reject
+    val vp = ImageHeader.webpImage(66, 56, lossless = false)
+    vp(23) = 0
+    assert(ImageHeader.parse(vp).isEmpty)
+    // a WAV (also RIFF) must not be claimed by the webp branch
+    val wav = MediaHeader.wavHeader(1, 8000, 16) ++ Array.fill(16)(0.toByte)
+    assert(ImageHeader.parse(wav).isEmpty)
+    assert(MediaHeader.parse(wav).get.format == "wav")
+  }
 }

@@ -265,4 +265,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got("div") == ((3L, 3L, math.rint(math.log(3) / math.log(2) * 1e4) / 1e4)))
     assert(got("mix") == ((4L, 2L, 1.0)))
   }
+
+  test("rakeKeywords: hand deg/freq scores, run splitting, length caps, " +
+    "count filter") {
+    import graft.operators.Vocabulary
+    val docs = Seq(
+      (1L, "big data the big data pipeline a fast scan"),
+      (2L, "big data a fast scan")).toDF("doc_id", "text")
+    // kept candidates: "big data" x2, "big data pipeline" x1,
+    // "fast scan" x2. Stats: big/data freq 3 deg 7; pipeline 1/3;
+    // fast/scan 2/4. Scores: 14/3, 14/3 + 3, 2 + 2.
+    val all = Vocabulary.rakeKeywords(docs, "doc_id", "text",
+      Seq("a", "the"), minCount = 1L)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(all("big data") == ((2L, 2L, r6(14.0 / 3))))
+    assert(all("big data pipeline") == ((1L, 1L, r6(14.0 / 3 + 3.0))))
+    assert(all("fast scan") == ((2L, 2L, 4.0)))
+    // minCount = 2 drops the singleton phrase
+    val freq = Vocabulary.rakeKeywords(docs, "doc_id", "text",
+      Seq("a", "the"), minCount = 2L).collect().map(_.getString(0)).toSet
+    assert(freq == Set("big data", "fast scan"))
+    // a 5-word run exceeds maxWords = 4 and produces no candidate
+    val long = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(Vocabulary.rakeKeywords(long, "doc_id", "text", Seq("a"),
+      minCount = 1L).collect().isEmpty)
+  }
 }
