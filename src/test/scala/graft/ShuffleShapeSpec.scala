@@ -289,4 +289,30 @@ class ShuffleShapeSpec extends SparkSpec {
     assert(shuffles(Insights.revenueHhi(ev, "event_type", "user_id",
       cents)) <= 2)
   }
+
+  test("round-16 session-5 second batch stays inside its budgets") {
+    import graft.operators.{Behavior, ClusterEval, Insights, Vocabulary}
+    val cents = floor(col("value") * 100 + 0.5)
+    // (month, item) grain, the base-month slice + matched item join,
+    // the month rollup — the fact table shuffles once into the grain
+    assert(shuffles(Insights.unitValueIndex(ev, col("ts"), col("user_id"),
+      col("event_id") % 5 + 1, cents)) <= 5)
+    // one key-partitioned lead window; everything after runs at the
+    // type-by-type cell grain (theilsU's pinned folds)
+    assert(shuffles(Behavior.entropyRate(ev, "user_id", "event_type",
+      "ts", "event_id")) <= 9)
+    // doc-position window + (doc,run) grain + vocabulary-grain stats
+    // join + the phrase rollup — nothing pairwise
+    val docs = ev.select(col("event_id").as("doc_id"),
+      col("props").as("text"))
+    assert(shuffles(Vocabulary.rakeKeywords(docs, "doc_id", "text",
+      Seq("a"), minCount = 1L)) <= 7)
+    // the exact-anchor pair join + neighbor-count agg + the core/border
+    // joins — quantized frame localCheckpointed once, read by all
+    val emb = ev.limit(48).select(col("event_id").as("vec_id"),
+      array(col("value").cast("float"),
+        (col("value") * 2).cast("float")).as("embedding"))
+    assert(shuffles(ClusterEval.dbscanClassify(emb, "vec_id", "embedding",
+      1000000L, 3)) <= 8)
+  }
 }
