@@ -2018,6 +2018,26 @@ object SparkEntry {
       Insights.unitValueIndex(t(s, d, "lineitem"), col("l_shipdate"),
         col("l_partkey"), col("l_quantity"),
         floor(col("l_extendedprice") * 100 + 0.5))),
+    // Croston's intermittent-demand forecast per part over the monthly
+    // series — dyadic two-EMA fold, bit-replayed by a recursive-CTE
+    // oracle over every part in lockstep (r16 s5)
+    "part_croston_forecast" -> ((s, d) =>
+      Insights.crostonForecast(t(s, d, "lineitem"), col("l_shipdate"),
+        col("l_partkey"), col("l_quantity"))
+        .withColumnRenamed("k", "p_partkey")),
+    // daily open-order backlog: the interval sweep over the order book
+    // (r16 s5)
+    "orders_open_backlog" -> ((s, d) =>
+      Insights.openBacklog(t(s, d, "orders"), t(s, d, "lineitem"))),
+    // ClickHouse meanZTest parity: two-sample z with KNOWN design
+    // variances (4000²/3500² cents²) per day-of-week bucket (r16 s5)
+    "events_mean_ztest" -> ((s, d) =>
+      StatTests.meanZTest(t(s, d, "events"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7"),
+        pmod(col("user_id"), lit(2)) === 0,
+        pmod(col("user_id"), lit(2)) === 1,
+        floor(col("value") * 100 + 0.5),
+        varA = 16000000.0, varB = 12250000.0)),
     // entropy rate of the behavior chain: H(next | current) over
     // consecutive event-type pairs, theilsU's pinned folds (r16 s5)
     "events_entropy_rate" -> ((s, d) =>
@@ -6463,6 +6483,107 @@ object SparkEntry {
                   / (CAST(se0 AS DOUBLE) / CAST(sq0 AS DOUBLE)), 6)
                   AS price_index
          FROM j""",
+    // the identical per-field CASE recurrence replayed over every part
+    // in lockstep by one recursive CTE (the holt_winters argument,
+    // multi-series form)
+    "part_croston_forecast" ->
+      """WITH RECURSIVE grain AS (
+           SELECT date_trunc('month', l_shipdate) AS m, l_partkey AS k,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+           FROM lineitem GROUP BY 1, 2),
+         bounds AS (SELECT min(m) AS m0, max(m) AS m1 FROM grain),
+         spine AS (SELECT unnest(generate_series(m0, m1, INTERVAL 1 MONTH))
+                     AS m FROM bounds),
+         ks AS (SELECT DISTINCT k FROM grain),
+         dense AS (SELECT ks.k, spine.m, coalesce(grain.x, 0) AS x
+                   FROM ks CROSS JOIN spine
+                   LEFT JOIN grain ON grain.k = ks.k AND grain.m = spine.m),
+         ser AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY m)
+                          AS i,
+                        CAST(x AS DOUBLE) AS x
+                 FROM dense),
+         nm AS (SELECT k, CAST(count(*) AS BIGINT) AS n_months
+                FROM ser GROUP BY k),
+         rec AS (
+           SELECT k, 0 AS i, CAST(0.0 AS DOUBLE) AS z,
+                  CAST(0.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS q,
+                  CAST(0 AS BIGINT) AS nd
+           FROM ks
+           UNION ALL
+           SELECT s.k, s.i,
+                  CASE WHEN s.x <= 0.0 THEN r.z
+                       WHEN r.nd = 0 THEN s.x
+                       ELSE 0.5 * s.x + 0.5 * r.z END,
+                  CASE WHEN s.x <= 0.0 THEN r.p
+                       WHEN r.nd = 0 THEN r.q + 1.0
+                       ELSE 0.5 * (r.q + 1.0) + 0.5 * r.p END,
+                  CASE WHEN s.x <= 0.0 THEN r.q + 1.0 ELSE 0.0 END,
+                  CASE WHEN s.x <= 0.0 THEN r.nd ELSE r.nd + 1 END
+           FROM rec r JOIN ser s ON s.k = r.k AND s.i = r.i + 1),
+         fin AS (SELECT r.k, r.z, r.p, r.nd
+                 FROM rec r JOIN nm ON nm.k = r.k AND r.i = nm.n_months)
+         SELECT fin.k AS p_partkey, nm.n_months, fin.nd AS n_demands,
+                round(z, 6) AS demand_size,
+                round(p, 6) AS demand_interval,
+                round(z / p, 6) AS forecast_per_month
+         FROM fin JOIN nm ON nm.k = fin.k WHERE fin.nd > 0""",
+    // the identical +1/-1 interval sweep at day grain
+    "orders_open_backlog" ->
+      """WITH spans AS (
+           SELECT o_orderkey, min(date_trunc('day', o_orderdate)) AS d0,
+                  max(date_trunc('day', l_shipdate)) AS d1
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           GROUP BY 1),
+         deltas AS (
+           SELECT d, CAST(sum(delta) AS BIGINT) AS delta
+           FROM (SELECT d0 AS d, 1 AS delta FROM spans
+                 UNION ALL SELECT d1 + INTERVAL 1 DAY, -1 FROM spans)
+           GROUP BY d)
+         SELECT d AS day,
+                CAST(sum(delta) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+         FROM deltas""",
+    // identical exact mean sums, the fixed known variances, and the
+    // pinned A&S p tree
+    "events_mean_ztest" ->
+      """WITH m AS (
+           SELECT (epoch_us(ts) // 86400000000) % 7 AS bucket,
+                  user_id % 2 = 0 AS a,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events),
+         g AS (SELECT bucket,
+                      CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                        AS na,
+                      CAST(sum(CASE WHEN a THEN y ELSE 0 END) AS BIGINT)
+                        AS sa,
+                      CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT)
+                        AS nb,
+                      CAST(sum(CASE WHEN NOT a THEN y ELSE 0 END)
+                        AS BIGINT) AS sb
+               FROM m GROUP BY 1 HAVING na >= 1 AND nb >= 1),
+         v AS (SELECT bucket, na, nb,
+                      CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                      CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd
+               FROM g),
+         w AS (SELECT bucket, na, nb, nad, nbd, sad, sbd,
+                      sad / nad - sbd / nbd AS diff,
+                      sqrt(16000000.0 / nad + 12250000.0 / nbd) AS se
+               FROM v)
+         SELECT bucket, na AS n_a, nb AS n_b,
+                round(sad / nad / 100.0, 6) AS mean_a,
+                round(sbd / nbd / 100.0, 6) AS mean_b,
+                round(diff / se, 6) AS z,
+                round(2.0 * (exp(abs(diff / se) * abs(diff / se) * -0.5)
+                             * 0.3989422804014327)
+                      * ((1.0 / (1.0 + 0.2316419 * abs(diff / se)))
+                         * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(diff / se)))
+                            * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(diff / se)))
+                               * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(diff / se)))
+                                  * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(diff / se)))
+                                     * 1.330274429))))), 6) AS p,
+                round((diff - 1.959963984540054 * se) / 100.0, 6) AS ci_lo,
+                round((diff + 1.959963984540054 * se) / 100.0, 6) AS ci_hi
+         FROM w""",
     // consecutive-pair build + the theilsU fold body verbatim (X = next
     // type, Y = current type)
     "events_entropy_rate" ->

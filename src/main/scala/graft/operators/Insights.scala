@@ -370,6 +370,90 @@ object Insights {
           / (d(col("se0")) / d(col("sq0"))), 6).as("price_index"))
   }
 
+  /** Croston's method (1972) per item over the monthly demand series —
+    * the forecasting member built for INTERMITTENT demand (many
+    * zero-demand months, where exponential smoothing of the raw series
+    * chases zeros): two EMAs, one over nonzero demand SIZES (z) and one
+    * over the INTERVALS between demands (p), forecast = z/p demand per
+    * period. α = 1/2, dyadic on purpose — every IEEE step of the fold is
+    * order-determined (the hourlyHolt argument), so a DuckDB recursive
+    * CTE replays the recurrence over every item in lockstep and
+    * hash-matches bit-for-bit.
+    *
+    * Init: z = the first nonzero demand, p = its 1-based position in the
+    * item's dense month series (periods waited for the first demand);
+    * later demands after a q-month gap fold z' = x/2 + z/2,
+    * p' = q/2 + p/2. Items with no demand at all cannot exist (they have
+    * no rows); single-demand items report their init state.
+    *
+    * Scale shape: one (item, month) grain aggregation, a month-spine
+    * join (dense per item over the GLOBAL span — intermittency is the
+    * point), one collect-to-array per item (series length = calendar
+    * months, bounded), and the per-item fold runs as a higher-order
+    * aggregate inside the projection — no iterative joins, no windows
+    * over the fact table.
+    */
+  def crostonForecast(df: DataFrame, dateCol: Column, itemCol: Column,
+                      qtyCol: Column): DataFrame = {
+    val grain = df
+      .select(date_trunc("MONTH", dateCol).as("m"), itemCol.as("k"),
+        qtyCol.cast("long").as("x"))
+      .groupBy(col("m"), col("k")).agg(sum(col("x")).as("x"))
+    val spine = grain
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(explode(sequence(col("m0"), col("m1"),
+        expr("INTERVAL 1 MONTH"))).as("m"))
+    val dense = grain.select(col("k")).distinct()
+      .crossJoin(spine)
+      .join(grain, Seq("k", "m"), "left")
+      .select(col("k"), col("m"), coalesce(col("x"), lit(0L)).as("x"))
+    dense
+      .groupBy(col("k"))
+      .agg(array_sort(collect_list(struct(col("m"), col("x")))).as("s"))
+      .select(col("k"), size(col("s")).cast("long").as("n_months"),
+        expr("""aggregate(
+            transform(s, e -> CAST(e.x AS DOUBLE)),
+            named_struct('z', CAST(0.0 AS DOUBLE), 'p', CAST(0.0 AS DOUBLE),
+                         'q', CAST(0.0 AS DOUBLE), 'nd', CAST(0 AS BIGINT)),
+            (acc, x) -> CASE
+              WHEN x <= 0.0D THEN named_struct('z', acc.z, 'p', acc.p,
+                'q', acc.q + 1.0D, 'nd', acc.nd)
+              WHEN acc.nd = 0 THEN named_struct('z', x, 'p', acc.q + 1.0D,
+                'q', CAST(0.0 AS DOUBLE), 'nd', CAST(1 AS BIGINT))
+              ELSE named_struct(
+                'z', 0.5D * x + 0.5D * acc.z,
+                'p', 0.5D * (acc.q + 1.0D) + 0.5D * acc.p,
+                'q', CAST(0.0 AS DOUBLE), 'nd', acc.nd + 1)
+            END)""").as("st"))
+      .where(col("st.nd") > 0L)
+      .select(col("k"), col("n_months"), col("st.nd").as("n_demands"),
+        round(col("st.z"), 6).as("demand_size"),
+        round(col("st.p"), 6).as("demand_interval"),
+        round(col("st.z") / col("st.p"), 6).as("forecast_per_month"))
+  }
+
+  /** Daily open-order backlog: how many orders are placed but not yet
+    * fully shipped on each calendar day — the classic interval sweep
+    * (+1 at the order date, −1 the day AFTER the last lineitem ships,
+    * one cumulative sum over the day-grain delta frame; the
+    * `events_max_concurrent` shape applied to the order book). All
+    * integers; the window sorts calendar days, never orders.
+    */
+  def openBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spans = orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(min(date_trunc("DAY", col("o_orderdate"))).as("d0"),
+        max(date_trunc("DAY", col("l_shipdate"))).as("d1"))
+    val deltas = spans.select(col("d0").as("d"), lit(1L).as("delta"))
+      .union(spans.select(expr("d1 + INTERVAL 1 DAY"), lit(-1L)))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .select(col("d").as("day"), sum(col("delta")).over(w).as("open_orders"))
+  }
+
   /** Directed association rules a → b at `itemCol` granularity — the
     * ordered-rule readout over [[marketBasket]]'s unordered pair support:
     * for every ordered pair with co-support ≥ `minN` baskets,

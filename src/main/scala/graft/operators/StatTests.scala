@@ -1455,6 +1455,42 @@ object StatTests {
         round(ndOut * (ndOut + 2.0) * col("cum"), 6).as("q_cum"))
   }
 
+  /** Two-sample z-test for means with KNOWN population variances —
+    * ClickHouse `meanZTest(pop_var_x, pop_var_y, confidence)(value,
+    * index)` parity, per bucket: z = (x̄_a − x̄_b)/√(σ²_a/n_a + σ²_b/n_b),
+    * the two-sided normal p ([[normalTwoSidedP]]'s pinned A&S tree), and
+    * the mean-difference CI at the caller's critical value. Variances
+    * are PARAMETERS (the test's defining feature — when they're
+    * estimated, use [[abTTest]]); means come from exact integer sums, so
+    * the whole readout is one fixed scalar tree per bucket. Buckets
+    * missing either arm drop. `varA`/`varB` are on the cents² scale;
+    * means report as cents/100.
+    */
+  def meanZTest(events: DataFrame, bucket: Column, condA: Column,
+                condB: Column, cents: Column, varA: Double, varB: Double,
+                zCrit: Double = 1.959963984540054): DataFrame = {
+    require(varA > 0 && varB > 0 && zCrit > 0,
+      s"bad meanZTest params varA=$varA varB=$varB zCrit=$zCrit")
+    val y = cents.cast("long")
+    val m = events
+      .groupBy(bucket.as("bucket"))
+      .agg(sum(when(condA, 1L).otherwise(0L)).as("na"),
+        sum(when(condA, y).otherwise(0L)).as("sa"),
+        sum(when(condB, 1L).otherwise(0L)).as("nb"),
+        sum(when(condB, y).otherwise(0L)).as("sb"))
+      .where(col("na") >= 1L && col("nb") >= 1L)
+    val (na, nb) = (d(col("na")), d(col("nb")))
+    val diff = d(col("sa")) / na - d(col("sb")) / nb
+    val se = sqrt(lit(varA) / na + lit(varB) / nb)
+    m.select(col("bucket"), col("na").as("n_a"), col("nb").as("n_b"),
+      round(d(col("sa")) / na / 100.0, 6).as("mean_a"),
+      round(d(col("sb")) / nb / 100.0, 6).as("mean_b"),
+      round(diff / se, 6).as("z"),
+      round(normalTwoSidedP(diff / se), 6).as("p"),
+      round((diff - lit(zCrit) * se) / 100.0, 6).as("ci_lo"),
+      round((diff + lit(zCrit) * se) / 100.0, 6).as("ci_hi"))
+  }
+
   /** Deterministic uniform in [0, 1) from an integer key — the PRNG under
     * [[poissonBootstrapCi]], chosen so an INDEPENDENT SQL engine can
     * replay every draw bit-for-bit: two congruential rounds plus a

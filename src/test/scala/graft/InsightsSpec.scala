@@ -943,6 +943,35 @@ class InsightsSpec extends SparkSpec {
     assert(r2.getDouble(2) > 0.0 && r2.getDouble(2) <= r2.getDouble(1) + 1e-12)
   }
 
+  test("crostonForecast: hand-folded two-EMA recurrence, dense-gap " +
+    "interval accounting, single-demand init") {
+    def ts(month: Int) = java.sql.Timestamp.valueOf(f"2024-$month%02d-15 00:00:00")
+    // part A over the 6-month global span: [5,0,0,7,0,3]
+    //   init z=5 p=1; demand after 2-gap: z=6 p=(0.5·3+0.5·1)=2;
+    //   after 1-gap: z=4.5 p=2 → forecast 2.25
+    // part B: [0,0,4,0,0,0] → z=4, p=3 (waited 3 periods), nd=1
+    val rows = Seq((ts(1), "A", 5L), (ts(4), "A", 7L), (ts(6), "A", 3L),
+      (ts(3), "B", 4L)).toDF("d", "k", "q")
+    val got = Insights.crostonForecast(rows, col("d"), col("k"), col("q"))
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 6L, 3L, 4.5, 2.0, 2.25)))
+    assert(got("B") == (("B", 6L, 1L, 4.0, 3.0, 1.333333)))
+  }
+
+  test("openBacklog: hand interval sweep, overlap peak, drain to zero") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    val orders = Seq((1L, ts(0)), (2L, ts(1)))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq((1L, ts(2)), (1L, ts(0)), (2L, ts(1)))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = Insights.openBacklog(orders, li)
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+      .map(_._2).toSeq
+    // day0: +o1 = 1; day1: +o2 = 2; day2: -o2 = 1; day3: -o1 = 0
+    assert(got == Seq(1L, 2L, 1L, 0L))
+  }
+
   test("revenueHhi: hand shares, duplicate key rows merge, single key " +
     "reads 1.0") {
     val df = Seq(("g", 1L, 100L), ("g", 1L, 200L), ("g", 2L, 100L),

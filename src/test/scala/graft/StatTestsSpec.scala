@@ -755,6 +755,27 @@ class StatTestsSpec extends SparkSpec {
       c.getDouble(4) == 0.0 && c.isNullAt(5))
   }
 
+  test("meanZTest: hand z with known variances; one-armed buckets drop") {
+    // A = {100, 200} mean 150; B = {300}; σ²_a = 100, σ²_b = 400
+    // se = √(100/2 + 400/1) = √450; z = −150/√450
+    val rows = Seq((1L, "a", 100L), (1L, "a", 200L), (1L, "b", 300L),
+      (2L, "a", 10L)).toDF("bucket", "arm", "y")
+    val got = StatTests.meanZTest(rows, col("bucket"),
+      col("arm") === "a", col("arm") === "b", col("y"),
+      varA = 100.0, varB = 400.0)
+      .collect()
+    assert(got.length == 1) // bucket 2 has no B arm
+    val r = got.head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 1.5 && r.getDouble(4) == 3.0)
+    val z = -150.0 / math.sqrt(450.0)
+    assert(math.abs(r.getDouble(5) - z) < 1e-6)
+    // CI brackets the difference at the default critical value
+    val se = math.sqrt(450.0)
+    assert(math.abs(r.getDouble(7) - (-150.0 - 1.959963984540054 * se) / 100.0) < 1e-6)
+    assert(math.abs(r.getDouble(8) - (-150.0 + 1.959963984540054 * se) / 100.0) < 1e-6)
+  }
+
   test("mixU01 replays the reference draws; poissonW hits the literal " +
     "thresholds") {
     // reference values computed by an independent (python, arbitrary-
