@@ -463,8 +463,19 @@ object Graph {
     val b = rel.select(col(leftCol).cast("long").as("c"),
       col(rightCol).cast("long").as("s")).distinct().localCheckpoint(true)
     val deg = b.groupBy(col("c")).agg(count(lit(1)).as("degc"))
-    val over = deg.where(col("degc") > maxLeftDegree)
-      .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    // one tiny action serves both the hub guard AND the exchange sizing:
+    // the wedge volume Σ deg² over in-play customers is EXACT here, and
+    // it is what the pair-grain window/aggregate downstream must absorb —
+    // at 100x data the fixed parallelism floor put ~80M wedge rows into
+    // each pair-aggregation task and OOM'd (measured); sizing the
+    // implicit exchanges from the wedge estimate is precisely the
+    // GraftSession self-sizing rule's job (8 MB compute-dense target)
+    val g = deg.agg(
+        coalesce(sum(when(col("degc") > maxLeftDegree, 1L)), lit(0L)),
+        coalesce(sum(when(col("degc").between(2, maxLeftDegree),
+          col("degc") * col("degc"))), lit(0L)))
+      .collect()(0)
+    val (over, wedgeRows) = (g.getLong(0), g.getLong(1))
     if (over > 0)
       Console.err.println(s"[graft] WARN bipartiteBestPartner: $over hub " +
         s"left-node(s) exceed maxLeftDegree=$maxLeftDegree — excluded from " +
@@ -485,11 +496,24 @@ object Graph {
     val mirrored = pairs.select(col("s1").as("node"), col("s2").as("partner"),
         col("cn"), col("aa"))
       .union(pairs.select(col("s2"), col("s1"), col("cn"), col("aa")))
-    mirrored.groupBy(col("node"))
+    val out = mirrored.groupBy(col("node"))
       .agg(max_by(struct(col("partner"), col("cn"), col("aa")),
         struct(col("cn"), lit(0L) - col("partner"))).as("best"))
       .select(col("node"), col("best.partner").as("partner"),
         col("best.cn").as("common_neighbors"),
         round(col("best.aa"), 6).as("adamic_adar"))
+    // ~44 B per wedge row through the pair window's sort (2 ids + the
+    // cum double + key overhead); /2 for the s1<s2 halving above. The
+    // 64 MB SCAN-class advisory, not the 8 MB compute-dense one: a wedge
+    // row's per-row work is one cumsum step — the weight is sort bytes —
+    // and the 8 MB target was measured to size 70 partitions at 1x for a
+    // 2.5 s regression with nothing to show; at 64 MB the 1x path stays
+    // the identity and the 100x path still fans the pair exchange to the
+    // ceiling (the fixed floor put ~80M wedge rows per pair-agg task
+    // there and OOM'd the box heap)
+    val targetBytes = 64L << 20
+    val parts = graft.GraftSession.sizedPartitionsFromBytes(
+      rel.sparkSession, BigInt(wedgeRows / 2) * 44, 1.0, targetBytes)
+    graft.GraftSession.sizedExchanges(out, parts, targetBytes)
   }
 }

@@ -248,4 +248,44 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(Long, String, Long)].toDF("id", "g", "w"),
       col("g"), col("id"), col("w"), 5).count() == 0)
   }
+
+  test("session-5 additions accept empty and degenerate inputs") {
+    import graft.operators.{Behavior, ClusterEval, Graph, Insights,
+      StatTests, Vocabulary}
+    val noEv = Seq.empty[(Long, Long, Long, String)]
+      .toDF("u", "tm", "y", "op")
+      .select(col("u"), timestamp_micros(col("tm")).as("ts"), col("y"),
+        col("op"))
+    assert(StatTests.weightedQuantiles(noEv, col("op"), col("y"),
+      col("u") + 1, Seq(500)).count() == 0)
+    assert(StatTests.gTest(noEv, col("op"), col("u")).count() == 0)
+    assert(StatTests.ljungBoxDaily(noEv, "ts", 3).count() == 0)
+    assert(StatTests.multiLinReg(noEv, col("op"), col("u"), col("u") + 1,
+      col("y")).count() == 0)
+    assert(StatTests.poissonBootstrapCi(noEv, col("op"), col("u"),
+      col("y"), b = 20).count() == 0)
+    assert(StatTests.meanZTest(noEv, col("op"), col("u") % 2 === 0,
+      col("u") % 2 === 1, col("y"), 1.0, 1.0).count() == 0)
+    assert(Insights.unitValueIndex(noEv, col("ts"), col("u"), col("y"),
+      col("y")).count() == 0)
+    assert(Insights.crostonForecast(noEv, col("ts"), col("u"), col("y"))
+      .count() == 0)
+    assert(Insights.basketRules(noEv.select(col("u").as("bk"),
+      col("op").as("it")), "bk", "it").count() == 0)
+    assert(Insights.revenueHhi(noEv, "op", "u", col("y")).count() == 0)
+    assert(Behavior.entropyRate(noEv, "u", "op", "ts", "y").count() == 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.labelPropagation(noEdges, "src", "dst", 2).count() == 0)
+    assert(Graph.bipartiteBestPartner(noEdges.toDF("c", "s"), "c", "s")
+      .count() == 0)
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(ClusterEval.dbscanClassify(noEmb, "vec_id", "embedding",
+      100L, 2).count() == 0)
+    assert(Vocabulary.rakeKeywords(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      Seq("a"), minCount = 1L).count() == 0)
+    // single-doc stopword-only text: no candidates, no crash
+    assert(Vocabulary.rakeKeywords(Seq((1L, "a a a")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("a"), minCount = 1L).count() == 0)
+  }
 }
