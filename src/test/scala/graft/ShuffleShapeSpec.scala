@@ -314,5 +314,19 @@ class ShuffleShapeSpec extends SparkSpec {
         (col("value") * 2).cast("float")).as("embedding"))
     assert(shuffles(ClusterEval.dbscanClassify(emb, "vec_id", "embedding",
       1000000L, 3)) <= 8)
+    // (item, month) grain + spine cross + per-item collect fold — the
+    // fact table shuffles once into the grain
+    assert(shuffles(Insights.crostonForecast(ev, col("ts"),
+      col("user_id"), col("event_id") % 3)) <= 5)
+    // one order-key grain + the day-grain delta union + one day window
+    val ords = ev.select(col("event_id").as("o_orderkey"),
+      col("ts").as("o_orderdate"))
+    val li = ev.select(col("event_id").as("l_orderkey"),
+      col("ts").as("l_shipdate"))
+    assert(shuffles(Insights.openBacklog(ords, li)) <= 5)
+    // one map-side-combined grouped pass, fixed scalar tree after
+    assert(shuffles(graft.operators.StatTests.meanZTest(ev,
+      col("event_type"), col("user_id") % 2 === 0,
+      col("user_id") % 2 === 1, cents, 1.0e6, 1.0e6)) == 1)
   }
 }
