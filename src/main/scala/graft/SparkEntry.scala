@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -2038,6 +2038,68 @@ object SparkEntry {
         pmod(col("user_id"), lit(2)) === 1,
         floor(col("value") * 100 + 0.5),
         varA = 16000000.0, varB = 12250000.0)),
+    // brand-switching chain: the behavior Markov matrix applied to each
+    // customer's consecutive brand purchases (r16 s5)
+    "customer_brand_markov" -> ((s, d) => {
+      // the testdata lineitem is TPC-H-ISH: (orderkey, linenumber) is NOT
+      // unique (45832/60000 distinct at sf0.01) — the deterministic
+      // tie-break needs the full 4-column key, passed as a struct (window
+      // order on a struct = lexicographic, the oracle's multi-column
+      // ORDER BY)
+      val purchases = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey"), col("p_brand"), col("o_orderdate"),
+          struct(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey")).as("li_id"))
+      Behavior.markovTransitions(purchases, "o_custkey", "p_brand",
+        "o_orderdate", "li_id")
+    }),
+    // 7-day trailing rolling median of the daily count series — the
+    // EXACT lower-median order statistic, all integers (r16 s5)
+    "events_rolling_median" -> ((s, d) => {
+      val observed = t(s, d, "events")
+        .groupBy(date_trunc("DAY", col("ts")).as("dy"))
+        .agg(count(lit(1)).as("x"))
+      val spine = observed
+        .agg(min(col("dy")).as("d0"), max(col("dy")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("dy"))
+      val series = spine.join(observed, Seq("dy"), "left")
+        .select(col("dy"), coalesce(col("x"), lit(0L)).as("x"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("dy"))
+        .rowsBetween(-6, 0)
+      series
+        .withColumn("win", array_sort(collect_list(col("x")).over(w)))
+        .select(col("dy").as("day"), size(col("win")).cast("long").as("n_days"),
+          element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int"))
+            .as("median_count"))
+    }),
+    // per-brand return rate with the Wilson score interval — the
+    // proportion CI that behaves at small n and extreme rates (r16 s5)
+    "brand_return_rate" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      val m = li.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("returns"))
+      def dd(c: Column): Column = c.cast("double")
+      val (nd, p) = (dd(col("n")), dd(col("returns")) / dd(col("n")))
+      val z2 = lit(1.959963984540054 * 1.959963984540054)
+      val center = p + z2 / (lit(2.0) * nd)
+      val half = lit(1.959963984540054) *
+        sqrt(p * (lit(1.0) - p) / nd + z2 / (lit(4.0) * nd * nd))
+      val denom = lit(1.0) + z2 / nd
+      m.select(col("p_brand"), col("n"), col("returns"),
+        round(p, 6).as("return_rate"),
+        round((center - half) / denom, 6).as("wilson_lo"),
+        round((center + half) / denom, 6).as("wilson_hi"))
+    }),
     // entropy rate of the behavior chain: H(next | current) over
     // consecutive event-type pairs, theilsU's pinned folds (r16 s5)
     "events_entropy_rate" -> ((s, d) =>
@@ -3492,6 +3554,67 @@ object SparkEntry {
                 round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0) + r5 * r5 / (nd - 5.0) + r6 * r6 / (nd - 6.0)), 6) FROM r
          UNION ALL SELECT 7, n, round(r7, 6),
                 round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0) + r5 * r5 / (nd - 5.0) + r6 * r6 / (nd - 6.0) + r7 * r7 / (nd - 7.0)), 6) FROM r""",
+    // the identical consecutive-purchase lead over (custkey, orderdate,
+    // lineitem id) and row-normalized transition counts
+    "customer_brand_markov" ->
+      """WITH purchases AS (
+           SELECT o_custkey AS k, p_brand AS op, o_orderdate AS ts,
+                  l_orderkey, l_linenumber, l_partkey, l_suppkey
+           FROM orders
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN part ON p_partkey = l_partkey),
+         seq AS (SELECT op AS from_op,
+                        lead(op) OVER (PARTITION BY k
+                          ORDER BY ts, l_orderkey, l_linenumber,
+                            l_partkey, l_suppkey) AS to_op
+                 FROM purchases),
+         pairs AS (SELECT from_op, to_op, CAST(count(*) AS BIGINT) AS n
+                   FROM seq WHERE to_op IS NOT NULL GROUP BY 1, 2)
+         SELECT from_op, to_op, n,
+                CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_op)
+                  AS DOUBLE) AS p
+         FROM pairs""",
+    // the identical dense day spine and the exact lower-median pick
+    // (1-based element (len+1)//2 of the sorted trailing window)
+    "events_rolling_median" ->
+      """WITH observed AS (
+           SELECT date_trunc('day', ts) AS dy, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(dy) AS d0, max(dy) AS d1 FROM observed),
+         spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                     AS dy FROM bounds),
+         series AS (SELECT spine.dy, coalesce(observed.x, 0) AS x
+                    FROM spine LEFT JOIN observed ON observed.dy = spine.dy),
+         win AS (SELECT dy,
+                        list_sort(list(x) OVER (ORDER BY dy ROWS BETWEEN
+                          6 PRECEDING AND CURRENT ROW)) AS w
+                 FROM series)
+         SELECT dy AS day, CAST(len(w) AS BIGINT) AS n_days,
+                CAST(w[CAST((len(w) + 1) // 2 AS BIGINT)] AS BIGINT)
+                  AS median_count
+         FROM win""",
+    // exact counts; the Wilson trees mirror Spark's op order
+    "brand_return_rate" ->
+      """WITH m AS (
+           SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returns
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           GROUP BY 1),
+         f AS (SELECT p_brand, n, returns, CAST(n AS DOUBLE) AS nd,
+                      CAST(returns AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                      1.959963984540054 * 1.959963984540054 AS z2
+               FROM m)
+         SELECT p_brand, n, returns, round(p, 6) AS return_rate,
+                round((p + z2 / (2.0 * nd)
+                       - 1.959963984540054
+                         * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)))
+                      / (1.0 + z2 / nd), 6) AS wilson_lo,
+                round((p + z2 / (2.0 * nd)
+                       + 1.959963984540054
+                         * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)))
+                      / (1.0 + z2 / nd), 6) AS wilson_hi
+         FROM f""",
     // the identical Mersenne-prime mix (HUGEINT mirror of the decimal
     // lane), identical Poisson thresholds, identical order-statistic pick
     "events_bootstrap_ci" ->
