@@ -2038,6 +2038,17 @@ object SparkEntry {
         pmod(col("user_id"), lit(2)) === 1,
         floor(col("value") * 100 + 0.5),
         varA = 16000000.0, varB = 12250000.0)),
+    // two-sample Poisson rate test per event type: exposure-adjusted
+    // arrival-rate drift between user-parity arms, 30-day design
+    // exposure per unit (r16 s5)
+    "events_rate_test" -> ((s, d) =>
+      StatTests.poissonRateTest(t(s, d, "events"), col("event_type"),
+        pmod(col("user_id"), lit(2)) === 0, col("user_id"),
+        spanUnits = 30.0)),
+    // mean segmental type-token ratio per source: length-robust lexical
+    // diversity over complete 50-token segments (r16 s5)
+    "docs_msttr" -> ((s, d) =>
+      Vocabulary.msttr(t(s, d, "documents"), "doc_id", "text", "source")),
     // brand-switching chain: the behavior Markov matrix applied to each
     // customer's consecutive brand purchases (r16 s5)
     "customer_brand_markov" -> ((s, d) => {
@@ -3554,6 +3565,63 @@ object SparkEntry {
                 round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0) + r5 * r5 / (nd - 5.0) + r6 * r6 / (nd - 6.0)), 6) FROM r
          UNION ALL SELECT 7, n, round(r7, 6),
                 round(nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0) + r5 * r5 / (nd - 5.0) + r6 * r6 / (nd - 6.0) + r7 * r7 / (nd - 7.0)), 6) FROM r""",
+    // identical exact counts/unit-distincts, the fixed 30-day exposure,
+    // the Wald rate z and the pinned A&S p tree
+    "events_rate_test" ->
+      """WITH m AS (
+           SELECT event_type AS bucket, user_id % 2 = 0 AS a, user_id AS u
+           FROM events),
+         g AS (SELECT bucket,
+                      CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                        AS ka,
+                      CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT)
+                        AS kb,
+                      CAST(count(DISTINCT CASE WHEN a THEN u END)
+                        AS BIGINT) AS ua,
+                      CAST(count(DISTINCT CASE WHEN NOT a THEN u END)
+                        AS BIGINT) AS ub
+               FROM m GROUP BY 1
+               HAVING ua >= 1 AND ub >= 1 AND ka + kb > 0),
+         f AS (SELECT bucket, ka, kb, ua, ub,
+                      CAST(ua AS DOUBLE) * 30.0 AS ta,
+                      CAST(ub AS DOUBLE) * 30.0 AS tb
+               FROM g),
+         w AS (SELECT bucket, ka, kb, ua, ub, ta, tb,
+                      (CAST(ka AS DOUBLE) / ta - CAST(kb AS DOUBLE) / tb)
+                        / sqrt(CAST(ka AS DOUBLE) / (ta * ta)
+                               + CAST(kb AS DOUBLE) / (tb * tb)) AS z
+               FROM f)
+         SELECT bucket, ka AS n_a, kb AS n_b, ua AS units_a, ub AS units_b,
+                round(CAST(ka AS DOUBLE) / ta, 6) AS rate_a,
+                round(CAST(kb AS DOUBLE) / tb, 6) AS rate_b,
+                round(z, 6) AS z,
+                round(2.0 * (exp(abs(z) * abs(z) * -0.5)
+                             * 0.3989422804014327)
+                      * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                         * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                            * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                               * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                  * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                     * 1.330274429))))), 6) AS p
+         FROM w""",
+    // identical raw-split positions (0-based here, 1-based there: pos-1),
+    // complete-segment filter, exact distinct counts
+    "docs_msttr" ->
+      """WITH tok AS (
+           SELECT doc_id AS doc, source,
+                  unnest(string_split(lower(text), ' ')) AS w,
+                  generate_subscripts(string_split(lower(text), ' '), 1)
+                    AS pos
+           FROM documents),
+         seg AS (SELECT doc, source, (pos - 1) // 50 AS seg,
+                        CAST(count(*) AS BIGINT) AS n_tok,
+                        CAST(count(DISTINCT w) AS BIGINT) AS types
+                 FROM tok WHERE w <> '' GROUP BY 1, 2, 3
+                 HAVING count(*) = 50)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_segments,
+                round(CAST(sum(types) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 50.0), 6) AS msttr
+         FROM seg GROUP BY 1""",
     // the identical consecutive-purchase lead over (custkey, orderdate,
     // lineitem id) and row-normalized transition counts
     "customer_brand_markov" ->

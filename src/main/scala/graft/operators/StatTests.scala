@@ -1491,6 +1491,42 @@ object StatTests {
       round((diff + lit(zCrit) * se) / 100.0, 6).as("ci_hi"))
   }
 
+  /** Two-sample Poisson rate test (Wald form) per bucket: are events
+    * arriving FASTER in arm A than arm B, exposure-adjusted —
+    * z = (λ̂₁ − λ̂₂) / √(k₁/T₁² + k₂/T₂²) with λ̂ = k/T, the event-count
+    * analogue of [[proportionsZTest]] (counts instead of trials; the
+    * rate statistic a CDC monitor wants for "did this feed's arrival
+    * rate change"). Exposure T per (bucket, arm) = unit count × the
+    * caller's per-unit observation span — supplied as `spanUnits` so
+    * the test is explicit about its exposure model rather than
+    * guessing one from the data. Counts and unit counts are exact
+    * integers from ONE map-side-combined pass; z and the A&S p are
+    * fixed scalar trees. Arms with zero events on both sides drop
+    * (zero variance).
+    */
+  def poissonRateTest(events: DataFrame, bucket: Column, condA: Column,
+                      unit: Column, spanUnits: Double): DataFrame = {
+    require(spanUnits > 0, s"bad spanUnits=$spanUnits")
+    val m = events
+      .select(bucket.as("bucket"), condA.as("a"), unit.as("u"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ka"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("kb"),
+        count_distinct(when(col("a"), col("u"))).as("ua"),
+        count_distinct(when(!col("a"), col("u"))).as("ub"))
+      .where(col("ua") >= 1L && col("ub") >= 1L &&
+        col("ka") + col("kb") > 0L)
+    val ta = d(col("ua")) * spanUnits
+    val tb = d(col("ub")) * spanUnits
+    val z = (d(col("ka")) / ta - d(col("kb")) / tb) /
+      sqrt(d(col("ka")) / (ta * ta) + d(col("kb")) / (tb * tb))
+    m.select(col("bucket"), col("ka").as("n_a"), col("kb").as("n_b"),
+      col("ua").as("units_a"), col("ub").as("units_b"),
+      round(d(col("ka")) / ta, 6).as("rate_a"),
+      round(d(col("kb")) / tb, 6).as("rate_b"),
+      round(z, 6).as("z"), round(normalTwoSidedP(z), 6).as("p"))
+  }
+
   /** Deterministic uniform in [0, 1) from an integer key — the PRNG under
     * [[poissonBootstrapCi]], chosen so an INDEPENDENT SQL engine can
     * replay every draw bit-for-bit: two congruential rounds plus a

@@ -401,6 +401,45 @@ object Vocabulary {
           .as("jaccard"))
   }
 
+  /** Mean segmental type-token ratio (MSTTR, Johnson 1944) per source:
+    * the length-robust lexical-diversity readout — plain TTR collapses
+    * as documents grow (types saturate while tokens don't), so the text
+    * is cut into FIXED `segment`-token segments, TTR = distinct/segment
+    * is computed per COMPLETE segment, and the per-source mean is
+    * reported. The diversity screen that complements `docs_zipf_hapax`
+    * (corpus shape) and `docs_bigram_entropy` (repetitiveness) at the
+    * document grain.
+    *
+    * Exactness: segment membership is integer position arithmetic
+    * (pos DIV segment), distinct counts are exact, and the mean is one
+    * division of an exact integer sum of per-segment distincts by the
+    * segment count. One tokenize pass, one (doc, segment) distinct
+    * grain, one source rollup — no windows over the token stream.
+    */
+  def msttr(docs: DataFrame, idCol: String, textCol: String,
+            sourceCol: String, segment: Int = 50): DataFrame = {
+    require(segment >= 2, s"bad segment=$segment")
+    val tok = docs
+      .select(col(idCol).as("doc"), col(sourceCol).as("source"),
+        posexplode(graft.functions.TextFunctions.tokens(lower(col(textCol)))))
+      .withColumnRenamed("col", "w")
+      .where(length(col("w")) > 0)
+    // only COMPLETE segments count (the convention that makes MSTTR
+    // length-robust): a doc's segment s is complete iff it holds exactly
+    // `segment` tokens
+    val seg = tok
+      .groupBy(col("doc"), col("source"),
+        (col("pos") / segment).cast("long").as("seg"))
+      .agg(count(lit(1)).as("n_tok"), count_distinct(col("w")).as("types"))
+      .where(col("n_tok") === segment.toLong)
+    seg.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("types")).as("st"))
+      .select(col("source"), col("n_segments"),
+        round(col("st").cast("double")
+          / (col("n_segments").cast("double") * segment.toDouble), 6)
+          .as("msttr"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010) over the corpus:
     * candidate phrases are maximal stopword-free token runs of
     * `minWords..maxWords` words; each word scores deg(w)/freq(w) over

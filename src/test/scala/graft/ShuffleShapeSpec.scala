@@ -328,5 +328,15 @@ class ShuffleShapeSpec extends SparkSpec {
     assert(shuffles(graft.operators.StatTests.meanZTest(ev,
       col("event_type"), col("user_id") % 2 === 0,
       col("user_id") % 2 === 1, cents, 1.0e6, 1.0e6)) == 1)
+    // one grouped pass (the distinct-unit counts ride the same agg,
+    // possibly expanded — budget 2 covers the expand variant)
+    assert(shuffles(graft.operators.StatTests.poissonRateTest(ev,
+      col("event_type"), col("user_id") % 2 === 0, col("user_id"),
+      30.0)) <= 2)
+    // tokenize + (doc, segment) grain + the source rollup
+    val sdocs = ev.select(col("event_id").as("doc_id"),
+      col("props").as("text"), col("event_type").as("source"))
+    assert(shuffles(graft.operators.Vocabulary.msttr(sdocs, "doc_id",
+      "text", "source")) <= 3)
   }
 }

@@ -755,6 +755,25 @@ class StatTestsSpec extends SparkSpec {
       c.getDouble(4) == 0.0 && c.isNullAt(5))
   }
 
+  test("poissonRateTest: hand Wald z, exposure from distinct units; " +
+    "one-armed buckets drop") {
+    // A: units {2,4}, 6 events; B: unit {1}, 1 event; span 10 →
+    // T_a = 20, T_b = 10, z = (0.3 − 0.1)/√(6/400 + 1/100)
+    val rows = (Seq.fill(3)((1L, 2L)) ++ Seq.fill(3)((1L, 4L)) ++
+      Seq((1L, 1L)) ++ Seq((2L, 2L))) // bucket 2: A only → drops
+      .zipWithIndex.map { case ((b, u), _) => (b, u) }
+      .toDF("bucket", "u")
+    val got = StatTests.poissonRateTest(rows, col("bucket"),
+      col("u") % 2 === 0, col("u"), spanUnits = 10.0).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 6 && r.getLong(2) == 1 &&
+      r.getLong(3) == 2 && r.getLong(4) == 1)
+    assert(r.getDouble(5) == 0.3 && r.getDouble(6) == 0.1)
+    val z = 0.2 / math.sqrt(6.0 / 400 + 1.0 / 100)
+    assert(math.abs(r.getDouble(7) - z) < 1e-6)
+  }
+
   test("meanZTest: hand z with known variances; one-armed buckets drop") {
     // A = {100, 200} mean 150; B = {300}; σ²_a = 100, σ²_b = 400
     // se = √(100/2 + 400/1) = √450; z = −150/√450

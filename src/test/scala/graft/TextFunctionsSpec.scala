@@ -292,4 +292,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(Vocabulary.rakeKeywords(long, "doc_id", "text", Seq("a"),
       minCount = 1L).collect().isEmpty)
   }
+
+  test("msttr: complete-segment TTRs, incomplete tail dropped, per-source " +
+    "mean") {
+    import graft.operators.Vocabulary
+    // segments of 3: [a b a]=2 types, [c c b]=2, [x] incomplete → 4/6
+    val docs = Seq((1L, "a b a c c b x", "s1"),
+      (2L, "q q q", "s2")) // one segment, 1 type → 1/3
+      .toDF("doc_id", "text", "source")
+    val got = Vocabulary.msttr(docs, "doc_id", "text", "source", segment = 3)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("s1", 2L, 0.666667), ("s2", 1L, 0.333333)))
+    // a doc shorter than one segment contributes nothing
+    assert(Vocabulary.msttr(Seq((1L, "a b", "s")).toDF("doc_id", "text",
+      "source"), "doc_id", "text", "source", segment = 3).count() == 0)
+  }
 }
