@@ -73,6 +73,66 @@ object Ranking {
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame =
     rankWithTotal(df, order, rankCol)._1
 
+  /** df extended with exact global RUNNING SUMS (inclusive prefix sums) of
+    * the long columns `sumCols` under `order` — the cumsum sibling of
+    * [[withGlobalRank]], same two-pass construction: global sort, one job
+    * collecting per-partition column totals (an O(#partitions × #cols)
+    * driver array), broadcast exclusive offsets, second pass accumulating
+    * within each partition. No single-partition window anywhere; both
+    * passes share the sort's shuffle files via the memoized physical RDD.
+    * `order` must be a total order for boundary determinism; nulls in a
+    * summed column count as 0.
+    */
+  def withRunningSums(df: DataFrame, order: Seq[Column], sumCols: Seq[String],
+                      outCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty && sumCols.size == outCols.size,
+      s"sumCols/outCols must align, got $sumCols vs $outCols")
+    val spark = df.sparkSession
+    val idx = sumCols.map { c =>
+      val i = df.schema.fieldIndex(c)
+      require(df.schema(i).dataType == LongType,
+        s"running-sum column $c must be bigint, got ${df.schema(i).dataType}")
+      i
+    }
+    val k = idx.size
+    val sorted = df.sort(order: _*)
+    val rdd = bridge.toInternalRdd(sorted)
+    val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = new Array[Long](k)
+      while (it.hasNext) {
+        val row = it.next()
+        var j = 0
+        while (j < k) {
+          if (!row.isNullAt(idx(j))) acc(j) += row.getLong(idx(j))
+          j += 1
+        }
+      }
+      Iterator.single(pid -> acc)
+    }.collect().sortBy(_._1).map(_._2)
+    // exclusive per-partition offsets, column-major
+    val offsets = partTotals.scanLeft(new Array[Long](k)) { (a, b) =>
+      Array.tabulate(k)(j => a(j) + b(j))
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = bOffsets.value(pid).clone()
+      val sumRow = new SpecificInternalRow(Seq.fill(k)(LongType))
+      val joined = new JoinedRow
+      it.map { row =>
+        var j = 0
+        while (j < k) {
+          if (!row.isNullAt(idx(j))) acc(j) += row.getLong(idx(j))
+          sumRow.setLong(j, acc(j))
+          j += 1
+        }
+        joined(row, sumRow): InternalRow
+      }
+    }
+    val schema = StructType(sorted.schema.fields ++
+      outCols.map(c => StructField(c, LongType, nullable = false)))
+    bridge.internalCreateDataFrame(spark, summed, schema)
+  }
+
   /** df extended with `bucketCol` = exact `ntile(n)` bucket (1..n) under
     * `order`, computed without a single-partition global window.
     */

@@ -192,10 +192,13 @@ object Vocabulary {
     *
     * The growth curve is EXACT without any sequential scan: a token's
     * first occurrence is `min(doc id)` (one aggregation), so the
-    * vocabulary after doc d is the cumsum of first-occurrence counts —
-    * two integer cumsum windows over the DOC-grained frame (doc
-    * cardinality, not token volume). Only the final OLS is float, rounded
-    * 4dp (the [[zipfStats]] posture).
+    * vocabulary after doc d is the cumsum of first-occurrence counts over
+    * the DOC-grained frame. Doc count grows with the corpus, so the
+    * cumsums run through [[Ranking.withRunningSums]] (the exactNtile
+    * two-pass idiom: global sort + per-partition totals + broadcast
+    * offsets) — no single-partition WindowExec anywhere in the plan, at
+    * any corpus size. Only the final OLS is float, rounded 4dp (the
+    * [[zipfStats]] posture).
     */
   def heapsLaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("d"),
@@ -204,12 +207,12 @@ object Vocabulary {
     val perDoc = tok.groupBy(col("d")).agg(count(lit(1)).as("toks"))
     val firstOcc = tok.groupBy(col("w")).agg(min(col("d")).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("news"))
-    val w = Window.orderBy(col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val curve = perDoc.join(firstOcc, Seq("d"), "left")
-      .select(col("d"), col("toks"), coalesce(col("news"), lit(0L)).as("news"))
-      .withColumn("t", sum(col("toks")).over(w))
-      .withColumn("v", sum(col("news")).over(w))
+    val curve = Ranking.withRunningSums(
+        perDoc.join(firstOcc, Seq("d"), "left")
+          .select(col("d"), col("toks"),
+            coalesce(col("news"), lit(0L)).as("news")),
+        order = Seq(col("d")), sumCols = Seq("toks", "news"),
+        outCols = Seq("t", "v"))
       // a leading run of empty docs has no defined log point
       .where(col("t") > 0 && col("v") > 0)
       .select(log(col("t").cast("double")).as("x"),

@@ -339,4 +339,26 @@ class ShuffleShapeSpec extends SparkSpec {
     assert(shuffles(graft.operators.Vocabulary.msttr(sdocs, "doc_id",
       "text", "source")) <= 3)
   }
+
+  test("round-17: heaps_law growth curve runs with NO single-partition " +
+    "window (the r16 weak mark) and its running sums are exact") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val hl = graft.operators.Vocabulary.heapsLaw(docs, "doc_id", "text")
+    assert(globalWindows(hl) === 0,
+      "heaps_law must not move the doc-grain curve through one task")
+    // the two-pass running sums equal a driver-side sequential cumsum
+    import graft.operators.Ranking
+    val df = spark.range(0, 1000).selectExpr("id AS d",
+      "(id % 7) AS a", "CAST(id % 3 AS BIGINT) AS b").repartition(8)
+    val got = Ranking.withRunningSums(df, Seq(col("d")), Seq("a", "b"),
+      Seq("ca", "cb")).orderBy("d")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    var (sa, sb) = (0L, 0L)
+    got.foreach { case (d, ca, cb) =>
+      sa += d % 7; sb += d % 3
+      assert(ca === sa && cb === sb, s"cumsum mismatch at d=$d")
+    }
+    assert(globalWindows(Ranking.withRunningSums(df, Seq(col("d")),
+      Seq("a"), Seq("ca"))) === 0)
+  }
 }

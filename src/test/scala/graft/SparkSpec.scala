@@ -41,6 +41,24 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     go(df.queryExecution.executedPlan)
   }
 
+  /** Count SINGLE-PARTITION window operators (WindowExec with an empty
+    * partition spec — every row through one task) in the final adaptive
+    * plan. The scale-killer class the heaps_law fix removed; operators
+    * claiming "no global window" pin this at 0.
+    */
+  def globalWindows(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Int = p.map {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(s.plan)
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => 1
+      case _ => 0
+    }.sum
+    go(df.queryExecution.executedPlan)
+  }
+
   /** Execute DDL/DML statements over a fresh JDBC connection. */
   def jdbcExec(url: String, sqls: String*): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)

@@ -1,0 +1,165 @@
+package graft
+
+import graft.streaming.{ChurnConfig, ChurnGenerator, MirrorRunner, StressHarness}
+import java.nio.file.Files
+import java.util.Properties
+import org.apache.spark.sql.functions.col
+
+/** The churn/stress harness (insert.ps1 + Get-CDCOperationsAnalysis analog)
+  * end-to-end against a LIVE embedded Derby source under MirrorRunner:
+  * seeded mixed INSERT/UPDATE/DELETE batches replicate while the workload
+  * runs, the mirror FINAL must equal the generator's exact reference state
+  * (stronger than the reference's count-only compare), and the per-batch /
+  * summary accounting must agree with the mirror's own lag report.
+  */
+class StressSpec extends SparkSpec {
+
+  private lazy val dbHome = {
+    val home = Files.createTempDirectory("graft_stressderby").toString
+    System.setProperty("derby.system.home", home)
+    home
+  }
+  private lazy val url = { dbHome; s"jdbc:derby:stressdb;create=true" }
+  private def props: Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+  private def exec(sqls: String*): Unit = jdbcExec(url, sqls: _*)
+
+  private def createChurnTable(name: String): Unit =
+    exec(s"CREATE TABLE $name (id BIGINT PRIMARY KEY, seq BIGINT NOT NULL, " +
+      "qty INT, payload VARCHAR(64))")
+
+  private def writeConfig(root: String, table: String, sink: Option[String]): String = {
+    val cfgPath = s"$root/mirror.yaml"
+    val sinkLines = sink.map(t =>
+      s"""sink_url: "$url"
+         |sink_dual: derby
+         |""".stripMargin).getOrElse("")
+    val targetLine = sink.map(t => s"    target: $t\n").getOrElse("")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""mirror: stress_test
+         |source_url: "$url"
+         |target_dir: $root/mirror
+         |reconcile_deletes: true
+         |$sinkLines
+         |tables:
+         |  - name: $table
+         |    keys: [ID]
+         |    version_col: SEQ
+         |    buckets: 4
+         |$targetLine""".stripMargin)
+    cfgPath
+  }
+
+  test("seeded workload is deterministic: same seed replays the same op " +
+    "sequence and reference state") {
+    createChurnTable("churn_det_a")
+    createChurnTable("churn_det_b")
+    val mk = (t: String) => new ChurnGenerator(url,
+      ChurnConfig(t, recordCount = 300, batchSize = 50,
+        insertWeight = 6, updateWeight = 2, deleteWeight = 2, seed = 7L))
+    val (ga, gb) = (mk("churn_det_a"), mk("churn_det_b"))
+    while (ga.hasMore) ga.runBatch()
+    while (gb.hasMore) gb.runBatch()
+    assert(ga.batchStats.map(s => (s.inserts, s.updates, s.deletes)) ===
+      gb.batchStats.map(s => (s.inserts, s.updates, s.deletes)))
+    val rows = (g: ChurnGenerator) => g.expectedFinal(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(rows(ga) === rows(gb))
+    assert(rows(ga).nonEmpty)
+    // and the source actually holds that state
+    val src = spark.read.jdbc(url, "churn_det_a", props)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(src === rows(ga))
+  }
+
+  test("mixed-op stress under MirrorRunner: mirror FINAL equals the " +
+    "generator's exact reference state; analysis converges and agrees " +
+    "with the mirror's lag report; sink delivers") {
+    val root = Files.createTempDirectory("stressroot").toString
+    createChurnTable("churn_e2e")
+    exec("CREATE TABLE wh_churn (id BIGINT PRIMARY KEY, seq BIGINT, " +
+      "qty INT, payload VARCHAR(64), \"_peerdb_version\" BIGINT)")
+    val cfgPath = writeConfig(root, "churn_e2e", Some("wh_churn"))
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+
+    val churn = ChurnConfig("churn_e2e", recordCount = 1200, batchSize = 100,
+      insertWeight = 7, updateWeight = 2, deleteWeight = 1, seed = 42L)
+    val result = StressHarness.run(spark, url, churn, runner,
+      syncEveryBatches = 3, props = props)
+    val a = result.analysis
+
+    // op accounting: every generated op committed, none failed
+    assert(a.inserts + a.updates + a.deletes === 1200L)
+    assert(a.failedOps === 0L)
+    assert(a.deletes > 0L && a.updates > 0L, "the mix must exercise all ops")
+
+    // convergence: count-level (the reference's own check)...
+    assert(a.syncDifference === 0L, s"sync difference: $a")
+    assert(a.versionLag === 0L, s"version lag: $a")
+    assert(a.converged)
+    assert(a.sourceRows === a.inserts - a.deletes)
+
+    // ...and row-level (graft's stronger contract): FINAL == the
+    // generator's exact reference state == the live source, row-for-row
+    val fin = runner.readFinal("churn_e2e")
+      .select(col("ID").cast("long"), col("SEQ").cast("long"),
+        col("QTY").cast("int"), col("PAYLOAD"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    val ref = result.gen.expectedFinal(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    val src = spark.read.jdbc(url, "churn_e2e", props)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(fin === ref, "mirror FINAL must equal the reference state")
+    assert(src === ref, "the source must equal the reference state")
+    assert(fin.size.toLong === a.mirrorRows)
+
+    // the harness's analysis agrees with the mirror's own lag report
+    val lag = runner.lag().collect()(0)
+    assert(lag.getAs[Long]("lag_rows") === 0L)
+    assert(lag.getAs[String]("sync_status") === "SYNCED")
+    assert(lag.getAs[Long]("src_rows") === a.sourceRows)
+
+    // warehouse delivery: live rows only (tombstones became DELETEs)
+    assert(a.sinkRows === Some(a.sourceRows))
+
+    // per-batch stats cover the whole run; throughput numbers are sane
+    assert(result.batches.size === 12)
+    assert(result.batches.map(_.ops).sum === 1200L)
+    assert(a.applyRowsPerSec > 0.0 && a.endToEndRowsPerSec > 0.0)
+    assert(a.maxBatchMs >= a.minBatchMs)
+    assert(result.report.contains("Sync Difference: 0"))
+    info(f"sustained end-to-end: ${a.endToEndRowsPerSec}%.0f ops/s " +
+      f"(apply ${a.applyRowsPerSec}%.0f ops/s) over ${result.wallMs} ms")
+
+    // the monitor-style op table renders one row per op type
+    val frame = StressHarness.analysisFrame(spark, a)
+    assert(frame.count() === 3L)
+    assert(frame.where(col("operation") === "INSERT")
+      .select("source_ops").collect()(0).getLong(0) === a.inserts)
+  }
+
+  test("a failed batch is atomic: accounting records it, the reference " +
+    "state and source stay unchanged") {
+    createChurnTable("churn_fail")
+    // plant the first key the generator will try to insert → PK violation
+    exec("INSERT INTO churn_fail VALUES (1, 999, 1, 'planted')")
+    val gen = new ChurnGenerator(url,
+      ChurnConfig("churn_fail", recordCount = 60, batchSize = 20, seed = 1L))
+    while (gen.hasMore) gen.runBatch()
+    // every batch re-collides on key 1 (keys roll back with the state)
+    assert(gen.batchStats.map(_.failed).sum === 60L)
+    assert(gen.failures.nonEmpty)
+    assert(gen.liveRows === 0L, "reference state must roll back")
+    // the source still holds ONLY the planted row — batches were atomic
+    val src = spark.read.jdbc(url, "churn_fail", props).collect()
+    assert(src.length === 1 && src(0).getString(3) === "planted")
+  }
+}
