@@ -19,6 +19,55 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Run an iterative fixed-point loop with its input rebound into an
+    * ITERATION CHILD SESSION: shared SparkContext/cache/catalog, own
+    * SQLConf with AQE off and fixed shuffle parallelism — the
+    * [[MaterializedJoin]] maintenance-session finding (round 15, measured
+    * 50→15 driver jobs per batch) applied to the synchronous-Pregel
+    * operators. Rationale: AQE materializes EVERY exchange of EVERY
+    * round's plan as its own driver job to re-plan it; a k-round loop with
+    * 2-3 exchanges per round pays 2-3k extra job round-trips for runtime
+    * re-planning that buys nothing on fixed-shape node/edge-sized
+    * exchanges. On a real cluster each job round-trip is ~200-500 ms of
+    * driver latency — the job chain, not data volume, is the wall-clock
+    * of an iterative round at high k. The caller's session and its AQE
+    * settings are untouched; results are bit-identical (all-integer
+    * operators, partition-count-independent).
+    *
+    * Shuffle parallelism defaults to the caller's `shuffle.partitions`
+    * (AQE's coalescing is what normally shrinks it; without AQE the fixed
+    * count is the right knob) — override with `graft.graph.iterPartitions`.
+    */
+  private def inIterSession(df: DataFrame)(
+      body: DataFrame => DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("graft.graph.iterSession").contains("false"))
+      return body(df) // escape hatch: run in the caller's session as-is
+    val child = spark.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    val parts = spark.conf.getOption("graft.graph.iterPartitions")
+      .getOrElse(spark.conf.get("spark.sql.shuffle.partitions"))
+    child.conf.set("spark.sql.shuffle.partitions", parts)
+    body(org.apache.spark.sql.graft.bridge.ofRows(child,
+      df.queryExecution.logical))
+  }
+
+  /** Broadcast hint gated on an EXACT driver-known row count — the
+    * iteration loops re-create AQE's runtime broadcast decision (lost
+    * with AQE off in the iteration session) from counts they already pay
+    * for as loop guards, and do it better: an exact count, not a byte
+    * estimate. Below `graft.graph.broadcastNodes` rows (default 4M — tens
+    * of MB of (id, value) rows) the node-sized frame broadcast-joins the
+    * cached edge list, so a round shuffles NOTHING; past the cap the
+    * operator falls back to its documented k edge-sized-shuffle
+    * synchronous-Pregel cost.
+    */
+  private def hintIfSmall(df: DataFrame, knownRows: Long): DataFrame = {
+    val cap = df.sparkSession.conf.getOption("graft.graph.broadcastNodes")
+      .map(_.toLong).getOrElse(4L << 20)
+    if (knownRows >= 0 && knownRows < cap) broadcast(df) else df
+  }
+
   /** Directed co-occurrence edge list: an edge (a → b) for every ordered
     * pair of DISTINCT items sharing a group (order → suppliers, basket →
     * brands, doc → entities) — the standard edge build for [[
@@ -88,6 +137,7 @@ object Graph {
                          iterations: Int,
                          longLaneMaxNodes: Long = 10000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"bad iterations=$iterations")
+    inIterSession(edges) { edges =>
     val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val withDeg = {
       val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -108,7 +158,8 @@ object Graph {
       // the bound, route through decimal(38,0), which stays exact and
       // nulls loudly (never wraps) on a 10¹⁶+-node absurdity. The two
       // lanes are bit-equal wherever both are defined (spec-pinned).
-      val sumAgg = if (nodes.count() < longLaneMaxNodes)
+      val nodeN = nodes.count()
+      val sumAgg = if (nodeN < longLaneMaxNodes)
         expr("150000000 + (sum(c) * 850) DIV 1000")
       else
         expr("CAST(150000000 + (sum(CAST(c AS DECIMAL(38,0))) * 850)" +
@@ -117,7 +168,8 @@ object Graph {
       var pinned: Option[DataFrame] = None
       for (i <- 1 to iterations) {
         val next = withDeg
-          .join(cur.withColumnRenamed("node", "src"), Seq("src"))
+          .join(hintIfSmall(cur.withColumnRenamed("node", "src"), nodeN),
+            Seq("src"))
           .select(col("dst").as("node"), expr("p DIV deg").as("c"))
           // a node with in-edges gets damped contributions; in-edge-less
           // nodes keep the floor via the left join below. The damping sum
@@ -126,7 +178,7 @@ object Graph {
           .groupBy(col("node"))
           .agg(sumAgg.as("p"))
         cur = nodes
-          .join(next, Seq("node"), "left")
+          .join(hintIfSmall(next, nodeN), Seq("node"), "left")
           .select(col("node"), coalesce(col("p"), lit(150000000L)).as("p"))
         if (i % 5 == 0 || i == iterations) {
           val stepped = cur.localCheckpoint(true)
@@ -139,6 +191,7 @@ object Graph {
       nodes.unpersist(false)
       out
     } finally withDeg.unpersist(false)
+    }
   }
 
   /** Exact per-node triangle counts + local clustering coefficient over an
@@ -282,6 +335,7 @@ object Graph {
             maxRounds: Int = 12): DataFrame = {
     require(k >= 1, s"bad k=$k")
     require(maxRounds >= 1 && maxRounds <= 32, s"bad maxRounds=$maxRounds")
+    inIterSession(edges) { edges =>
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     var alive = e.select(col("src").as("node")).union(e.select(col("dst")))
@@ -293,8 +347,10 @@ object Graph {
     while (!converged && round < maxRounds) {
       round += 1
       deg = e
-        .join(alive.select(col("node").as("src")), Seq("src"))
-        .join(alive.select(col("node").as("dst")), Seq("dst"))
+        .join(hintIfSmall(alive.select(col("node").as("src")), aliveN),
+          Seq("src"))
+        .join(hintIfSmall(alive.select(col("node").as("dst")), aliveN),
+          Seq("dst"))
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val next = deg.where(col("deg") >= k).select(col("src").as("node"))
         .persist()
@@ -317,6 +373,7 @@ object Graph {
       .localCheckpoint(true)
     alive.unpersist(false)
     out
+    }
   }
 
   /** Breadth-first hop census from the graph's minimum node id: how many
@@ -341,6 +398,7 @@ object Graph {
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16, s"bad maxHops=$maxHops")
+    inIterSession(edges) { edges =>
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
     val spark = edges.sparkSession
@@ -358,24 +416,31 @@ object Graph {
     var visited = Seq((seed, 0L)).toDF("node", "hop").persist()
     levels += visited
     var frontier = visited
+    var frontierN = 1L
+    var visitedN = 1L
     var hop = 0L
     var grew = true
     while (hop < maxHops && grew) {
       hop += 1
-      val next = e.join(frontier.select(col("node").as("src")), Seq("src"))
+      val next = e.join(
+          hintIfSmall(frontier.select(col("node").as("src")), frontierN),
+          Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(hintIfSmall(visited, visitedN), Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("hop"))
         .persist()
-      grew = next.count() > 0
+      frontierN = next.count()
+      grew = frontierN > 0
       levels += next
       visited = visited.union(next)
+      visitedN += frontierN
       frontier = next
     }
     val census = visited.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("hop")).localCheckpoint(true)
     levels.foreach(_.unpersist(false))
     census
+    }
   }
 
   /** `rounds` SYNCHRONOUS rounds of label propagation (Raghavan 2007)
@@ -402,23 +467,26 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"bad rounds=$rounds")
+    inIterSession(edges) { edges =>
     val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().persist(store)
     try {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst"))).distinct().persist(store)
+      val nodeN = nodes.count()
       var cur = nodes.withColumn("lbl", col("node"))
       var pinned: Option[DataFrame] = None
       for (i <- 1 to rounds) {
         val votes = e
-          .join(cur.withColumnRenamed("node", "src"), Seq("src"))
+          .join(hintIfSmall(cur.withColumnRenamed("node", "src"), nodeN),
+            Seq("src"))
           .groupBy(col("dst").as("node"), col("lbl"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("node"))
           .agg(max_by(col("lbl"), struct(col("c"), (lit(0L) - col("lbl"))))
             .as("vote"))
-        cur = cur.join(votes, Seq("node"), "left")
+        cur = cur.join(hintIfSmall(votes, nodeN), Seq("node"), "left")
           .select(col("node"), coalesce(col("vote"), col("lbl")).as("lbl"))
         // pace at every SECOND round (tighter than pageRank's fifth): an
         // LPA round is two exchanges, so unpinned lineage re-executes
@@ -434,6 +502,7 @@ object Graph {
       nodes.unpersist(false)
       out
     } finally e.unpersist(false)
+    }
   }
 
   /** Common-neighbor link scores over a BIPARTITE relation (left, right)
