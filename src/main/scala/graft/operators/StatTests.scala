@@ -48,6 +48,19 @@ object StatTests {
   private def xprod(a: Column, b: Column): Column =
     a.cast("decimal(19,0)") * b.cast("decimal(19,0)")
 
+  /** The rank-family cardinality valve ([[binaryAuc]]'s `binScale` idiom,
+    * shared by [[mannWhitneyU]] / [[ksTest]] / [[spearmanCorr]]): 0 keeps
+    * the exact integral value; > 0 bins it as `floor(v·binScale)` — an
+    * exact IEEE multiply+floor, so any engine bins identically — bounding
+    * the per-bucket distinct-value grain the rank windows sort at
+    * (value range)·binScale for near-continuous measurements.
+    */
+  private def binned(v: Column, binScale: Double): Column = {
+    require(binScale >= 0.0, s"binScale must be >= 0, got $binScale")
+    if (binScale > 0) floor(v.cast("double") * lit(binScale)).cast("long")
+    else v.cast("long")
+  }
+
   /** Student's (pooled) and Welch's (unpooled) two-sample t-test between
     * rows matching `condA` and rows matching `condB`, per `bucket` —
     * ClickHouse `studentTTest(value, sample_index)` /
@@ -136,12 +149,23 @@ object StatTests {
     * `z` is `(U₁ − n₁n₂/2) / σ` with
     * `σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`. Buckets where either
     * side is empty or σ = 0 (all values tied) are dropped.
+    *
+    * CARDINALITY CONTRACT: the rank window runs per (bucket, DISTINCT
+    * value) — bounded-range integer measurements (cents) keep it far
+    * below row count, but a near-continuous measurement makes one
+    * bucket's value grain approach its row count and that bucket's sort
+    * lands on one task. `binScale` is the [[binaryAuc]] idiom for that
+    * case: when > 0 the value becomes `floor(y·binScale)` (an exact IEEE
+    * multiply+floor — any engine bins identically), bounding the grain at
+    * (value range)·binScale; binning = coarser ties, handled by the tie
+    * correction. 0 (default) keeps the exact ungrouped test.
     */
   def mannWhitneyU(events: DataFrame, bucket: Column, condA: Column,
-                   condB: Column, cents: Column): DataFrame = {
+                   condB: Column, cents: Column,
+                   binScale: Double = 0.0): DataFrame = {
     val perVal = events
       .select(bucket.as("bucket"), condA.as("a"), condB.as("b"),
-        cents.cast("long").as("y"))
+        binned(cents, binScale).as("y"))
       .where((col("a") || col("b")) && col("y").isNotNull)
       .groupBy(col("bucket"), col("y"))
       .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
@@ -188,13 +212,18 @@ object StatTests {
     *
     * Scale shape: same as [[mannWhitneyU]] — compress to the (bucket,
     * distinct value) grain FIRST (one map-side-combined hash aggregation),
-    * then the window sort runs over distinct values, not rows.
+    * then the window sort runs over distinct values, not rows, and the
+    * same cardinality contract applies: `binScale > 0` bins the value
+    * (`floor(y·binScale)`, exact IEEE) for near-continuous measurements
+    * whose distinct grain approaches row count — the CDF steps coarsen,
+    * D is computed on the binned distributions (a documented
+    * approximation); 0 keeps the exact test.
     */
   def ksTest(events: DataFrame, bucket: Column, condA: Column, condB: Column,
-             cents: Column): DataFrame = {
+             cents: Column, binScale: Double = 0.0): DataFrame = {
     val perVal = events
       .select(bucket.as("bucket"), condA.as("a"), condB.as("b"),
-        cents.cast("long").as("y"))
+        binned(cents, binScale).as("y"))
       .where((col("a") || col("b")) && col("y").isNotNull)
       .groupBy(col("bucket"), col("y"))
       .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
@@ -239,13 +268,18 @@ object StatTests {
     *
     * Scale shape: two hash aggregations at distinct-value grain + two
     * shuffle joins on the value columns + one map-side-combined moment
-    * aggregation. No per-row global sort.
+    * aggregation. No per-row global sort — but the per-bucket rank
+    * windows carry the family's cardinality contract: `binScale > 0`
+    * bins BOTH variables (`floor(v·binScale)`, exact IEEE) when a
+    * near-continuous measurement would push one bucket's distinct grain
+    * toward its row count; binning = coarser rank ties (averaged, the
+    * fractional variant's own semantics). 0 keeps the exact statistic.
     */
   def spearmanCorr(events: DataFrame, bucket: Column, xInt: Column,
-                   yInt: Column): DataFrame = {
+                   yInt: Column, binScale: Double = 0.0): DataFrame = {
     val base = events
-      .select(bucket.as("bucket"), xInt.cast("long").as("x"),
-        yInt.cast("long").as("y"))
+      .select(bucket.as("bucket"), binned(xInt, binScale).as("x"),
+        binned(yInt, binScale).as("y"))
       .where(col("x").isNotNull && col("y").isNotNull)
     def rankMap(c: String): DataFrame = {
       val byV = Window.partitionBy(col("bucket")).orderBy(col(c))

@@ -303,6 +303,34 @@ final class MirrorRunner(spark: SparkSession, val cfg: MirrorConfig,
     new MultiTableMirror(spark, Seq(spec(table).toTableConfig), source,
       cfg.targetDir).readFinal(table)
 
+  /** The FRAME-path twin of [[runOnce]]: capture every configured table
+    * from ONE multiplexed pgoutput replication-frame stream (the
+    * publication-over-one-slot shape) through
+    * [[PgOutputStream.mirrorFramesMulti]], with the per-table specs
+    * derived from the SAME config file ([[MirrorConfig.toFrameSpecs]]) —
+    * a deployment switches a mirror between the polling and the
+    * replication-slot transport by changing how frames arrive, not its
+    * configuration. Mirrors land under `targetDir/frames/<table>` (the
+    * polling path owns `targetDir/<table>`), dead letters under
+    * `targetDir/frames_dead/<table>`, the streaming checkpoint under
+    * `targetDir/frames_ckpt`; all state is disk-only, so a fresh runner
+    * over the same config file resumes the stream exactly (registry,
+    * confirmed LSNs, checkpoint).
+    */
+  def runFrames(frames: DataFrame, dataCol: String = "data",
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    PgOutputStream.mirrorFramesMulti(frames, dataCol, cfg.toFrameSpecs,
+      targetDir = s"${cfg.targetDir}/frames",
+      checkpointDir = s"${cfg.targetDir}/frames_ckpt",
+      deadRoot = Some(s"${cfg.targetDir}/frames_dead"), trigger = trigger)
+
+  /** FINAL read of one frame-path mirrored table ([[runFrames]]). */
+  def readFramesFinal(table: String): DataFrame =
+    PgOutputStream.readFinal(spark, s"${cfg.targetDir}/frames/$table",
+      spec(table).keys)
+
   /** Per-table lag rows against the live source (non-paused tables). */
   def lag(): DataFrame = {
     val active = cfg.tables.filter(t => !fs.exists(pauseFlag(t.name)))

@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions.col
   */
 class MirrorRunnerSpec extends SparkSpec {
 
+  case class Frame(data: Array[Byte])
+
   private lazy val dbHome = {
     val home = Files.createTempDirectory("graft_mrderby").toString
     System.setProperty("derby.system.home", home)
@@ -230,6 +232,78 @@ class MirrorRunnerSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(wh(1L) === Some(77L) && wh(4L) === Some(99L))
     assert(wh(2L).isEmpty && wh(3L).isEmpty)
+  }
+
+  test("config-driven FRAME path: the same config file drives the " +
+    "pgoutput multiplexed-slot transport — two tables, one stream, " +
+    "restart resumes via registry + checkpoint, FINAL-correct") {
+    import graft.sources.PgOutput.{Fixture, RelCol, VNull, VText}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("mrframes").toString
+    val cfgPath = s"$root/mirror.yaml"
+    // pg-cased identifiers: the frame transport speaks the publication's
+    // own lowercase names (the polling tests above speak Derby's uppercase)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""mirror: mr_frames
+         |source_url: "jdbc:unused:frames-only"
+         |target_dir: $root/mirror
+         |tables:
+         |  - name: items
+         |    keys: [id]
+         |    version_col: seq
+         |    buckets: 4
+         |  - name: orders
+         |    keys: [oid]
+         |    version_col: seq
+         |    buckets: 4
+         |""".stripMargin)
+    val itemCols = Seq(RelCol("id", 20, -1, isKey = true),
+      RelCol("name", 25, -1, isKey = false))
+    val orderCols = Seq(RelCol("oid", 20, -1, isKey = true),
+      RelCol("amount", 23, -1, isKey = false))
+    def tx(n: Int, base: Long, dml: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+      val ts = 1700000000000000L + n * 1000000L
+      Fixture.begin(base, base + 100, ts, 1000 + n) +:
+        dml :+ Fixture.commit(base + 100, base + 100, base + 101, ts)
+    }
+
+    // batch 1: both relations described + one interleaved transaction
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+    val in1 = MemoryStream[Frame]
+    in1.addData((Seq(
+      Fixture.relation(5, 7, "public", "items", itemCols),
+      Fixture.relation(6, 8, "public", "orders", orderCols)) ++
+      tx(1, 100, Seq(
+        Fixture.insert(101, 7, Seq(VText("1"), VText("ann"))),
+        Fixture.insert(102, 8, Seq(VText("10"), VText("500"))),
+        Fixture.insert(103, 7, Seq(VText("2"), VText("bob"))))))
+      .map(Frame): _*)
+    runner.runFrames(in1.toDF()).awaitTermination()
+    assert(runner.readFramesFinal("items")
+      .select("id", "name").orderBy("id").collect().toSeq ===
+      Seq(Row(1L, "ann"), Row(2L, "bob")))
+    assert(runner.readFramesFinal("orders")
+      .select("oid", "amount").collect().toSeq === Seq(Row(10L, 500)))
+
+    // RESTART: a brand-new runner over the same config file, a fresh
+    // query over the same checkpoint (the MemoryStream stands in for the
+    // slot socket, so it carries the offset continuity), and a bare-DML
+    // batch — relids resolve via the persisted per-table registries
+    val runner2 = MirrorRunner.load(spark, cfgPath, props)
+    in1.addData(tx(2, 300, Seq(
+      Fixture.update(301, 7, Seq(VText("1"), VText("anne"))),
+      Fixture.delete(302, 8, Seq(VText("10"), VNull))))
+      .map(Frame): _*)
+    runner2.runFrames(in1.toDF()).awaitTermination()
+    assert(runner2.readFramesFinal("items")
+      .select("id", "name").orderBy("id").collect().toSeq ===
+      Seq(Row(1L, "anne"), Row(2L, "bob")))
+    assert(runner2.readFramesFinal("orders").count() === 0L)
+    // the polling-path verbs still see THEIR namespace untouched
+    assert(runner2.status().forall(_.state == "fresh"))
   }
 
   test("continuous mode: the loop drives rounds; a broken round is " +

@@ -858,4 +858,62 @@ class StatTestsSpec extends SparkSpec {
       col("b"), col("y")).collect().toSeq
     assert(x == y && x.nonEmpty)
   }
+
+  test("rank-family binScale: a planted high-cardinality input bins as " +
+    "documented — injective binning is EXACT, coarse binning bounds the " +
+    "grain and approximates") {
+    // 20k rows, one bucket, every value distinct (the near-continuous
+    // measurement the cardinality contract is about): arm A uniform on
+    // [0, 20000) cents, arm B shifted by +1500 — all values ≡ 0 (mod 4)
+    // so a binScale of 1/4 is INJECTIVE on the data
+    val rows = (0 until 20000).map { i =>
+      val a = i % 2 == 0
+      val v = if (a) (i / 2) * 4L else (i / 2) * 4L + 1500L * 4L
+      ("g", a, !a, v)
+    }.toDF("g", "a", "b", "y")
+    val exactMw = StatTests.mannWhitneyU(rows, col("g"), col("a"), col("b"),
+      col("y")).collect()(0)
+    // injective binning (each bin holds exactly one distinct value):
+    // identical statistic bit-for-bit — binning only coarsens TIES
+    val injMw = StatTests.mannWhitneyU(rows, col("g"), col("a"), col("b"),
+      col("y"), binScale = 0.25).collect()(0)
+    assert(injMw.getDouble(3) === exactMw.getDouble(3)) // u1
+    assert(injMw.getDouble(4) === exactMw.getDouble(4)) // z
+    // coarse binning (1/400 → ~215 bins for an 86k-value range) bounds the
+    // distinct grain at (range)·binScale and approximates the exact z
+    val coarseMw = StatTests.mannWhitneyU(rows, col("g"), col("a"), col("b"),
+      col("y"), binScale = 1.0 / 400).collect()(0)
+    assert(math.abs(coarseMw.getDouble(4) - exactMw.getDouble(4)) <
+      math.abs(exactMw.getDouble(4)) * 0.05,
+      s"coarse-binned z ${coarseMw.getDouble(4)} strayed from " +
+        s"${exactMw.getDouble(4)}")
+
+    val exactKs = StatTests.ksTest(rows, col("g"), col("a"), col("b"),
+      col("y")).collect()(0)
+    val injKs = StatTests.ksTest(rows, col("g"), col("a"), col("b"),
+      col("y"), binScale = 0.25).collect()(0)
+    assert(injKs.getDouble(3) === exactKs.getDouble(3)) // ks_d
+    val coarseKs = StatTests.ksTest(rows, col("g"), col("a"), col("b"),
+      col("y"), binScale = 1.0 / 400).collect()(0)
+    // D on binned CDFs can move by at most one bin's mass per side
+    assert(math.abs(coarseKs.getDouble(3) - exactKs.getDouble(3)) < 0.03)
+
+    val xy = (0 until 20000).map { i =>
+      ("g", i * 4L, i * 4L + (i % 97) * 8L) // monotone-ish, all distinct
+    }.toDF("g", "x", "y")
+    val exactSp = StatTests.spearmanCorr(xy, col("g"), col("x"), col("y"))
+      .collect()(0)
+    val injSp = StatTests.spearmanCorr(xy, col("g"), col("x"), col("y"),
+      binScale = 0.25).collect()(0)
+    assert(injSp.toSeq === exactSp.toSeq)
+    val coarseSp = StatTests.spearmanCorr(xy, col("g"), col("x"), col("y"),
+      binScale = 1.0 / 400).collect()(0)
+    val rhoIdx = exactSp.length - 1
+    assert(math.abs(coarseSp.getDouble(rhoIdx) - exactSp.getDouble(rhoIdx))
+      < 0.02)
+    intercept[IllegalArgumentException] {
+      StatTests.mannWhitneyU(rows, col("g"), col("a"), col("b"), col("y"),
+        binScale = -1.0)
+    }
+  }
 }
