@@ -4680,6 +4680,125 @@ object SparkEntry {
     // prefix filtering has guaranteed recall on both engines, so both sides
     // compute the complete J >= 0.8 pair set — the oracle needs no blocking
     // assumptions beyond the same prefix bound
+    // deterministic replay of the full signature pipeline: the PolyHash64
+    // token hash (B=1000003 polynomial + splitmix64, pure mod-2^64
+    // arithmetic) re-expressed in DuckDB HUGEINT modular arithmetic —
+    // 64-bit wrapping multiplies via 32-bit limb splits — then the
+    // Charikar bit votes and the band prefix. The croston/bootstrap
+    // precedent: a deterministic kernel needs no rows-only exemption.
+    "dedup_simhash" ->
+      """WITH RECURSIVE pows(p, v) AS (
+           SELECT 0, CAST(1 AS HUGEINT)
+           UNION ALL
+           SELECT p + 1, (v * 1000003) % 18446744073709551616::HUGEINT
+           FROM pows WHERE p < 600
+         ),
+         toks AS (
+           SELECT doc_id, t.tok
+           FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+         ),
+         dtok AS (SELECT DISTINCT tok FROM toks),
+         chars AS (
+           SELECT tok, u.j AS j,
+                  CAST(ord(substr(tok, CAST(u.j AS INT) + 1, 1)) AS HUGEINT) AS b,
+                  len(tok) AS L
+           FROM dtok, unnest(range(len(tok))) u(j)
+         ),
+         rawh AS (
+           SELECT tok,
+                  CAST(sum(b * p1.v) % 18446744073709551616::HUGEINT AS HUGEINT) AS h
+           FROM chars JOIN pows p1 ON p1.p = L - 1 - j
+           GROUP BY tok, L
+         ),
+         rawall AS (
+           SELECT dtok.tok, coalesce(rawh.h, CAST(0 AS HUGEINT)) AS h
+           FROM dtok LEFT JOIN rawh USING (tok)
+         ),
+         s1 AS (SELECT tok, CAST((h + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM rawall),
+         s2 AS (SELECT tok, CAST(xor(x, x >> 30) AS HUGEINT) AS x FROM s1),
+         s3 AS (SELECT tok, CAST(((x % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+                 + (((x // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM s2),
+         s4 AS (SELECT tok, CAST(xor(x, x >> 27) AS HUGEINT) AS x FROM s3),
+         s5 AS (SELECT tok, CAST(((x % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+                 + (((x // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM s4),
+         th AS (SELECT tok, xor(x, x >> 31) AS th FROM s5),
+         votes AS (
+           SELECT toks.doc_id, bt.b AS bit,
+                  sum(CASE WHEN (th.th >> CAST(bt.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM toks JOIN th USING (tok), unnest(range(64)) bt(b)
+           GROUP BY toks.doc_id, bt.b
+         ),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(bit AS INT)) ELSE 0::HUGEINT END) AS HUGEINT) AS su
+           FROM votes GROUP BY doc_id
+         )
+         SELECT doc_id AS id,
+                CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                     THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS simhash,
+                CAST(su >> 48 AS BIGINT) AS band
+         FROM sh""",
+    // the MOSS winnowing pipeline replayed exactly: direct 16-byte k-gram
+    // polynomial hashes (equal to the engine's rolling form in the mod-2^64
+    // ring), splitmix64 via 32-bit limb modular multiplies, signed-long
+    // window minima, distinct fingerprints, df-pruned pair counts.
+    "text_winnow_fp" ->
+      """WITH RECURSIVE pows(p, v) AS (
+           SELECT 0, CAST(1 AS HUGEINT)
+           UNION ALL
+           SELECT p + 1, (v * 1000003) % 18446744073709551616::HUGEINT
+           FROM pows WHERE p < 16
+         ),
+         docs AS (SELECT doc_id, text, len(text) AS n FROM documents),
+         chars AS (
+           SELECT doc_id, u.j AS pos,
+                  CAST(ord(substr(text, CAST(u.j AS INT) + 1, 1)) AS HUGEINT) AS b, n
+           FROM docs, unnest(range(len(text))) u(j)
+         ),
+         rawg AS (
+           SELECT doc_id, pos - p1.p_rev AS gpos,
+                  CAST(sum(b * p1.v) % 18446744073709551616::HUGEINT AS HUGEINT) AS h
+           FROM chars
+           JOIN (SELECT p, v, 15 - p AS p_rev FROM pows WHERE p <= 15) p1 ON true
+           WHERE pos - p1.p_rev >= 0 AND pos - p1.p_rev <= n - 16
+           GROUP BY doc_id, pos - p1.p_rev
+         ),
+         s1 AS (SELECT doc_id, gpos, CAST((h + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM rawg),
+         s2 AS (SELECT doc_id, gpos, CAST(xor(x, x >> 30) AS HUGEINT) AS x FROM s1),
+         s3 AS (SELECT doc_id, gpos, CAST(((x % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+                 + (((x // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM s2),
+         s4 AS (SELECT doc_id, gpos, CAST(xor(x, x >> 27) AS HUGEINT) AS x FROM s3),
+         s5 AS (SELECT doc_id, gpos, CAST(((x % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+                 + (((x // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM s4),
+         grams AS (
+           SELECT doc_id, gpos,
+                  CAST(CASE WHEN xor(x, x >> 31) >= 9223372036854775808::UBIGINT
+                       THEN CAST(xor(x, x >> 31) - 9223372036854775808::UBIGINT AS BIGINT) + (-9223372036854775807 - 1)
+                       ELSE CAST(xor(x, x >> 31) AS BIGINT) END AS BIGINT) AS g,
+                  max(gpos) OVER (PARTITION BY doc_id) + 1 AS ngrams
+           FROM s5
+         ),
+         wins AS (
+           SELECT doc_id, gpos, ngrams,
+                  min(g) OVER (PARTITION BY doc_id ORDER BY gpos
+                               ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING) AS wmin
+           FROM grams
+         ),
+         fps AS (
+           SELECT DISTINCT doc_id, wmin AS fp
+           FROM wins WHERE ngrams > 32 AND gpos <= ngrams - 32
+           UNION
+           SELECT doc_id, min(g) AS fp FROM grams WHERE ngrams <= 32 GROUP BY doc_id
+         ),
+         dfc AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+         pruned AS (SELECT doc_id, fp FROM fps JOIN dfc USING (fp))
+         SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared
+         FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id AS id,
                            list_distinct(string_split(lower(text), ' ')) AS words

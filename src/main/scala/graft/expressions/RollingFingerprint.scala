@@ -100,6 +100,18 @@ object RollingFingerprint {
     mix(h)
   }
 
+  /** The family's whole-string hash: the same B=1000003 polynomial over
+    * UTF-8 bytes + splitmix64 finalizer the fingerprint k-grams use —
+    * mod-2^64 arithmetic throughout, so an independent SQL engine
+    * replays it exactly with HUGEINT modular arithmetic (unlike Spark's
+    * xxhash64, whose lane mixing has no tractable SQL dual). This is what
+    * lets simhash signatures hash-match a DuckDB oracle.
+    */
+  def hashString(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    hashRange(bytes, 0, bytes.length)
+  }
+
   /** splitmix64 finalizer so rolling hashes spread over the long range. */
   private def mix(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
@@ -107,4 +119,32 @@ object RollingFingerprint {
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
     x ^ (x >>> 31)
   }
+}
+
+/** Native whole-string polynomial hash ([[RollingFingerprint.hashString]])
+  * as a codegen'd scalar — the SQL-replicable token hash for the simhash
+  * signature path.
+  */
+case class PolyHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"polyhash64 needs a string child, got ${child.dataType}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingFingerprint.hashString(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.RollingFingerprint.hashString($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "polyhash64"
 }

@@ -36,6 +36,12 @@ object NativeFunctions {
   def rollingFingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     bridge.column(RollingFingerprint(bridge.expression(text), k, w))
 
+  /** SQL-replicable whole-string polynomial hash (the fingerprint
+    * family's B=1000003 + splitmix64; see [[RollingFingerprint.hashString]]).
+    */
+  def polyHash64(text: Column): Column =
+    bridge.column(PolyHash64(bridge.expression(text)))
+
   /** Hashed char-bigram DSIR feature buckets — one linear code-point pass. */
   def charBigramBuckets(text: Column, buckets: Int): Column =
     bridge.column(CharBigramBuckets(bridge.expression(text), buckets))

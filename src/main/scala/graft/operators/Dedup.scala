@@ -142,8 +142,13 @@ object Dedup {
     * blocking key for a downstream hamming join.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // token hash is the fingerprint family's SQL-replicable polynomial
+    // (PolyHash64) rather than xxhash64: same dispersion for the voting,
+    // but an independent engine can replay the exact signature — which is
+    // what moves dedup_simhash from rows-only to hash-green
     widen(docs).select(col(idCol).as("id"),
-        transform(split(lower(col(textCol)), " "), t => xxhash64(t)).as("hs"))
+        transform(split(lower(col(textCol)), " "),
+          t => graft.expressions.NativeFunctions.polyHash64(t)).as("hs"))
       .select(col("id"),
         graft.expressions.NativeFunctions.simhash64(col("hs")).as("simhash"))
       .withColumn("band", shiftrightunsigned(col("simhash"), 48))
