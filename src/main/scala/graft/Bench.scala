@@ -127,6 +127,22 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
+    // flush the tail window: the driver's round artifact keeps the LAST
+    // ~2 KB of stdout, and the 7 KB per-query line above otherwise bleeds
+    // a headless map fragment into it (the r16 artifact's parsed: null).
+    // These short diagnostic lines are each complete on their own, and
+    // together they push every byte of the big line out of the window, so
+    // the captured tail holds only whole lines + the final compact JSON.
+    val diag = new StringBuilder
+    diag.append("[bench] ---- round diagnostics (tail-window flush) ----\n")
+    results.sortBy(-_._2).take(20).foreach { case (k, v, s, _) =>
+      diag.append(f"[bench] slow  $k%-36s ${r4(v)}%8.4f s (spread ${r4(s)}%.4f)\n")
+    }
+    results.sortBy(-_._3).take(10).foreach { case (k, _, s, _) =>
+      diag.append(f"[bench] noisy $k%-36s spread ${r4(s)}%8.4f s\n")
+    }
+    while (diag.length < 2200) diag.append("[bench] ----\n")
+    print(diag)
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"reps":2,"spread_p50":${r4(spreadP50)},"spread_max":${r4(sortedSpreads.lastOption.getOrElse(0.0))},"slowest":$slowest,"full":"BENCH_full.json","full_sha256":"$sha"}""")
     spark.stop()
     // a bench with ANY erroring query must not read as a healthy run: the
