@@ -4799,6 +4799,302 @@ object SparkEntry {
          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared
          FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.doc_id < r.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+    // the TokenMinHash kernel (FNV-1a token/shingle hashes, 64 universal
+    // permutations, banded FNV digests) is pure mod-2^64 arithmetic, so the
+    // whole LSH pipeline replays in DuckDB: the recursive CTE folds FNV
+    // byte-by-byte over the distinct vocabulary, shingles fold w token
+    // hashes inline, and the band-bucket join reproduces the candidate set
+    // exactly. FNV's multiplier is ~2^40, so HUGEINT holds the product
+    // directly (no limb split needed).
+    "dedup_minhash_lsh" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, u.i AS tpos,
+                  list_extract(string_split(lower(text), ' '), CAST(u.i AS INT) + 1) AS tok,
+                  len(string_split(lower(text), ' ')) AS n
+           FROM documents, unnest(range(len(string_split(lower(text), ' ')))) u(i)
+         ),
+         dtok AS (SELECT DISTINCT tok FROM toks),
+         -- FNV-1a over token bytes: recursive fold, all tokens advance one byte per step
+         fnv(tok, i, h) AS (
+           SELECT tok, 0, 14695981039346656037::UBIGINT FROM dtok
+           UNION ALL
+           SELECT tok, i + 1,
+                  CAST((CAST(xor(h, CAST(ord(substr(tok, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+                        * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+           FROM fnv WHERE i < len(tok)
+         ),
+         th AS (SELECT tok, h FROM fnv WHERE i = len(tok)),
+         tokh AS (
+           SELECT t.doc_id, t.tpos, t.n, th.h
+           FROM toks t JOIN th USING (tok)
+         ),
+         -- shingle fold over w=3 token hashes (i+j < n guard), order-sensitive
+         sh0 AS (
+           SELECT doc_id, tpos, n, h AS h1,
+                  lead(h, 1) OVER (PARTITION BY doc_id ORDER BY tpos) AS h2,
+                  lead(h, 2) OVER (PARTITION BY doc_id ORDER BY tpos) AS h3
+           FROM tokh
+         ),
+         shingles AS (
+           SELECT doc_id,
+                  CAST(( CASE WHEN h3 IS NOT NULL THEN
+                      CAST((CAST(xor(
+                        CAST((CAST(xor(
+                          CAST((CAST(xor(14695981039346656037::UBIGINT, h1) AS HUGEINT) * 1099511628211)
+                               % 18446744073709551616::HUGEINT AS UBIGINT),
+                          h2) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+                        h3) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+                    WHEN h2 IS NOT NULL THEN
+                      CAST((CAST(xor(
+                        CAST((CAST(xor(14695981039346656037::UBIGINT, h1) AS HUGEINT) * 1099511628211)
+                             % 18446744073709551616::HUGEINT AS UBIGINT),
+                        h2) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+                    ELSE
+                      CAST((CAST(xor(14695981039346656037::UBIGINT, h1) AS HUGEINT) * 1099511628211)
+                           % 18446744073709551616::HUGEINT AS UBIGINT)
+                  END ) & 2147483647::UBIGINT AS BIGINT) AS sh
+           FROM sh0
+           WHERE tpos <= greatest(n - 3, 0)
+         ),
+         -- k=64 permutation minima per doc
+         perms AS (
+           SELECT doc_id, pp.p AS p,
+                  min((sh * (2 * pp.p + 1) + pp.p * 2654435769) % 2147483647) AS mn
+           FROM shingles, unnest(range(64)) pp(p)
+           GROUP BY doc_id, pp.p
+         ),
+         -- band digests: FNV fold over each band's 4 minima in p order
+         bandvals AS (
+           SELECT doc_id, CAST(p // 4 AS INT) AS band, list(mn ORDER BY p) AS l
+           FROM perms GROUP BY doc_id, CAST(p // 4 AS INT)
+         ),
+         digs AS (
+           SELECT doc_id, band,
+           CAST((CAST(xor(
+             CAST((CAST(xor(
+               CAST((CAST(xor(
+                 CAST((CAST(xor(
+                   xor(14695981039346656037::UBIGINT, CAST(band AS UBIGINT)),
+                   CAST(l[1] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+                 CAST(l[2] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+               CAST(l[3] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+             CAST(l[4] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT) AS dig
+           FROM bandvals
+         ),
+         buckets AS (
+           SELECT band, dig, list(doc_id) AS ids
+           FROM digs GROUP BY band, dig
+           HAVING len(list(doc_id)) BETWEEN 2 AND 1000
+         ),
+         pairs AS (
+           SELECT a.id_a, b.id_b
+           FROM (SELECT band, dig, unnest(ids) AS id_a FROM buckets) a
+           JOIN (SELECT band, dig, unnest(ids) AS id_b FROM buckets) b
+             ON a.band = b.band AND a.dig = b.dig AND a.id_a < b.id_b
+         )
+         SELECT id_a, id_b, count(*) AS n_shared_bands
+         FROM pairs GROUP BY 1, 2""",
+    // same FNV machinery at shingle width 1, then the exact-Jaccard verify
+    // over distinct token sets (hashing is injective on the vocabulary, so
+    // hashed-set Jaccard equals token-set Jaccard - the dedup_ngram_jaccard
+    // equivalence)
+    "dedup_jaccard_banded" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, u.i AS tpos,
+                  list_extract(string_split(lower(text), ' '), CAST(u.i AS INT) + 1) AS tok,
+                  len(string_split(lower(text), ' ')) AS n
+           FROM documents, unnest(range(len(string_split(lower(text), ' ')))) u(i)
+         ),
+         dtok AS (SELECT DISTINCT tok FROM toks),
+         fnv(tok, i, h) AS (
+           SELECT tok, 0, 14695981039346656037::UBIGINT FROM dtok
+           UNION ALL
+           SELECT tok, i + 1,
+                  CAST((CAST(xor(h, CAST(ord(substr(tok, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+                        * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+           FROM fnv WHERE i < len(tok)
+         ),
+         th AS (SELECT tok, h FROM fnv WHERE i = len(tok)),
+         -- w=1 shingles: one FNV step per token occurrence
+         shingles AS (
+           SELECT t.doc_id,
+                  CAST(CAST((CAST(xor(14695981039346656037::UBIGINT, th.h) AS HUGEINT) * 1099511628211)
+                       % 18446744073709551616::HUGEINT AS UBIGINT) & 2147483647::UBIGINT AS BIGINT) AS sh
+           FROM toks t JOIN th USING (tok)
+         ),
+         perms AS (
+           SELECT doc_id, pp.p AS p,
+                  min((sh * (2 * pp.p + 1) + pp.p * 2654435769) % 2147483647) AS mn
+           FROM shingles, unnest(range(64)) pp(p)
+           GROUP BY doc_id, pp.p
+         ),
+         bandvals AS (
+           SELECT doc_id, CAST(p // 4 AS INT) AS band, list(mn ORDER BY p) AS l
+           FROM perms GROUP BY doc_id, CAST(p // 4 AS INT)
+         ),
+         digs AS (
+           SELECT doc_id, band,
+           CAST((CAST(xor(
+             CAST((CAST(xor(
+               CAST((CAST(xor(
+                 CAST((CAST(xor(
+                   xor(14695981039346656037::UBIGINT, CAST(band AS UBIGINT)),
+                   CAST(l[1] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+                 CAST(l[2] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+               CAST(l[3] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+             CAST(l[4] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT) AS dig
+           FROM bandvals
+         ),
+         buckets AS (
+           SELECT band, dig, list(doc_id) AS ids
+           FROM digs GROUP BY band, dig
+           HAVING len(list(doc_id)) BETWEEN 2 AND 1000
+         ),
+         cands AS (
+           SELECT DISTINCT a.id_a, b.id_b
+           FROM (SELECT band, dig, unnest(ids) AS id_a FROM buckets) a
+           JOIN (SELECT band, dig, unnest(ids) AS id_b FROM buckets) b
+             ON a.band = b.band AND a.dig = b.dig AND a.id_a < b.id_b
+         ),
+         wsets AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS words
+           FROM documents
+         )
+         SELECT c.id_a, c.id_b,
+                CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.words, b.words))) AS jaccard
+         FROM cands c JOIN wsets a ON c.id_a = a.doc_id JOIN wsets b ON c.id_b = b.doc_id
+         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.words, b.words))) >= 0.8""",
+    // minhash band-bucket candidates intersected with the hamming ball:
+    // the pigeonhole band condition is IMPLIED at hamming <= maxDist (any
+    // such pair shares some pigeonhole band bit-exactly), so the oracle
+    // needs only the minhash block + bit_count filter over the PolyHash64
+    // simhash signatures
+    "dedup_simhash_blocked" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, u.i AS tpos,
+                  list_extract(string_split(lower(text), ' '), CAST(u.i AS INT) + 1) AS tok,
+                  len(string_split(lower(text), ' ')) AS n
+           FROM documents, unnest(range(len(string_split(lower(text), ' ')))) u(i)
+         ),
+         dtok AS (SELECT DISTINCT tok FROM toks),
+         -- FNV-1a over token bytes: recursive fold, all tokens advance one byte per step
+         fnv(tok, i, h) AS (
+           SELECT tok, 0, 14695981039346656037::UBIGINT FROM dtok
+           UNION ALL
+           SELECT tok, i + 1,
+                  CAST((CAST(xor(h, CAST(ord(substr(tok, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+                        * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+           FROM fnv WHERE i < len(tok)
+         ),
+         th AS (SELECT tok, h FROM fnv WHERE i = len(tok)),
+         tokh AS (
+           SELECT t.doc_id, t.tpos, t.n, th.h
+           FROM toks t JOIN th USING (tok)
+         ),
+         -- shingle fold over w=3 token hashes (i+j < n guard), order-sensitive
+         sh0 AS (
+           SELECT doc_id, tpos, n, h AS h1,
+                  lead(h, 1) OVER (PARTITION BY doc_id ORDER BY tpos) AS h2,
+                  lead(h, 2) OVER (PARTITION BY doc_id ORDER BY tpos) AS h3
+           FROM tokh
+         ),
+         shingles AS (
+           SELECT doc_id,
+                  CAST(( CASE WHEN h3 IS NOT NULL THEN
+                      CAST((CAST(xor(
+                        CAST((CAST(xor(
+                          CAST((CAST(xor(14695981039346656037::UBIGINT, h1) AS HUGEINT) * 1099511628211)
+                               % 18446744073709551616::HUGEINT AS UBIGINT),
+                          h2) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+                        h3) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+                    WHEN h2 IS NOT NULL THEN
+                      CAST((CAST(xor(
+                        CAST((CAST(xor(14695981039346656037::UBIGINT, h1) AS HUGEINT) * 1099511628211)
+                             % 18446744073709551616::HUGEINT AS UBIGINT),
+                        h2) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+                    ELSE
+                      CAST((CAST(xor(14695981039346656037::UBIGINT, h1) AS HUGEINT) * 1099511628211)
+                           % 18446744073709551616::HUGEINT AS UBIGINT)
+                  END ) & 2147483647::UBIGINT AS BIGINT) AS sh
+           FROM sh0
+           WHERE tpos <= greatest(n - 3, 0)
+         ),
+         -- k=64 permutation minima per doc
+         perms AS (
+           SELECT doc_id, pp.p AS p,
+                  min((sh * (2 * pp.p + 1) + pp.p * 2654435769) % 2147483647) AS mn
+           FROM shingles, unnest(range(64)) pp(p)
+           GROUP BY doc_id, pp.p
+         ),
+         -- band digests: FNV fold over each band's 4 minima in p order
+         bandvals AS (
+           SELECT doc_id, CAST(p // 4 AS INT) AS band, list(mn ORDER BY p) AS l
+           FROM perms GROUP BY doc_id, CAST(p // 4 AS INT)
+         ),
+         digs AS (
+           SELECT doc_id, band,
+           CAST((CAST(xor(
+             CAST((CAST(xor(
+               CAST((CAST(xor(
+                 CAST((CAST(xor(
+                   xor(14695981039346656037::UBIGINT, CAST(band AS UBIGINT)),
+                   CAST(l[1] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+                 CAST(l[2] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+               CAST(l[3] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+             CAST(l[4] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT) AS dig
+           FROM bandvals
+         ),
+         
+         sdocs AS (
+           SELECT doc_id, t.tok FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+         ),
+         sdtok AS (SELECT DISTINCT tok FROM sdocs),
+         ppows(p, v) AS (
+           SELECT 0, CAST(1 AS HUGEINT)
+           UNION ALL
+           SELECT p + 1, (v * 1000003) % 18446744073709551616::HUGEINT FROM ppows WHERE p < 600
+         ),
+         schars AS (
+           SELECT tok, u.j AS j, CAST(ord(substr(tok, CAST(u.j AS INT) + 1, 1)) AS HUGEINT) AS b, len(tok) AS L
+           FROM sdtok, unnest(range(len(tok))) u(j)
+         ),
+         spows AS (SELECT p, v FROM ppows),
+         srawh AS (
+           SELECT tok, CAST(sum(b * sp.v) % 18446744073709551616::HUGEINT AS HUGEINT) AS h
+           FROM schars JOIN spows sp ON sp.p = L - 1 - j
+           GROUP BY tok, L
+         ),
+         srawall AS (SELECT sdtok.tok, coalesce(srawh.h, CAST(0 AS HUGEINT)) AS h FROM sdtok LEFT JOIN srawh USING (tok)),
+         ss1 AS (SELECT tok, CAST((h + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM srawall),
+         ss2 AS (SELECT tok, CAST(xor(x, x >> 30) AS HUGEINT) AS x FROM ss1),
+         ss3 AS (SELECT tok, CAST(((x % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+                 + (((x // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM ss2),
+         ss4 AS (SELECT tok, CAST(xor(x, x >> 27) AS HUGEINT) AS x FROM ss3),
+         ss5 AS (SELECT tok, CAST(((x % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+                 + (((x // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM ss4),
+         sth AS (SELECT tok, xor(x, x >> 31) AS th FROM ss5),
+         svotes AS (
+           SELECT sdocs.doc_id, bt.b AS bit,
+                  sum(CASE WHEN (sth.th >> CAST(bt.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM sdocs JOIN sth USING (tok), unnest(range(64)) bt(b)
+           GROUP BY sdocs.doc_id, bt.b
+         ),
+         ssig AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << CAST(bit AS INT)) ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+           FROM svotes GROUP BY doc_id
+         ),
+         cands AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM digs a JOIN digs b ON a.band = b.band AND a.dig = b.dig AND a.doc_id < b.doc_id
+         )
+         SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming_dist
+         FROM cands c JOIN ssig sa ON c.id_a = sa.doc_id JOIN ssig sb ON c.id_b = sb.doc_id
+         WHERE bit_count(xor(sa.sh, sb.sh)) <= 8""",
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id AS id,
                            list_distinct(string_split(lower(text), ' ')) AS words

@@ -252,10 +252,13 @@ object Dedup {
     val toks = widen(docs).select(col(idCol).as("id"),
       split(lower(col(textCol)), " ").as("toks"))
     // one pass computes both signatures; each (minhash band, pigeonhole
-    // band) combination becomes one row of the composed blocking key
+    // band) combination becomes one row of the composed blocking key.
+    // Token hash = PolyHash64, matching [[simhash]]: the family's ONE
+    // signature definition, and the SQL-replicable one (the oracle replays
+    // both signatures and the blocking exactly)
     val sigs = toks.select(col("id"),
-        graft.expressions.NativeFunctions
-          .simhash64(transform(col("toks"), t => xxhash64(t))).as("simhash"),
+        graft.expressions.NativeFunctions.simhash64(transform(col("toks"),
+          t => graft.expressions.NativeFunctions.polyHash64(t))).as("simhash"),
         posexplode(graft.expressions.NativeFunctions.minhashBands(
           col("toks"), shingleWidth, k, bands)))
       .select(col("id"), col("simhash"),
