@@ -5095,6 +5095,130 @@ object SparkEntry {
          SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming_dist
          FROM cands c JOIN ssig sa ON c.id_a = sa.doc_id JOIN ssig sb ON c.id_b = sb.doc_id
          WHERE bit_count(xor(sa.sh, sb.sh)) <= 8""",
+    // minhash candidates -> connected components (recursive reachability
+    // closure; component label = min reachable id, the fixpoint of the
+    // engine's min-label propagation regardless of its round structure) ->
+    // per-component quality argmax (q desc, id asc - Spark's
+    // max_by(id, struct(q, -id))). Quality is the docs_quality_filter twin.
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, u.i AS tpos,
+                  list_extract(string_split(lower(text), ' '), CAST(u.i AS INT) + 1) AS tok,
+                  len(string_split(lower(text), ' ')) AS n
+           FROM documents, unnest(range(len(string_split(lower(text), ' ')))) u(i)
+         ),
+         dtok AS (SELECT DISTINCT tok FROM toks),
+         -- FNV-1a over token bytes: recursive fold, all tokens advance one byte per step
+         fnv(tok, i, h) AS (
+           SELECT tok, 0, 14695981039346656037::UBIGINT FROM dtok
+           UNION ALL
+           SELECT tok, i + 1,
+                  CAST((CAST(xor(h, CAST(ord(substr(tok, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+                        * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+           FROM fnv WHERE i < len(tok)
+         ),
+         th AS (SELECT tok, h FROM fnv WHERE i = len(tok)),
+         tokh AS (
+           SELECT t.doc_id, t.tpos, t.n, th.h
+           FROM toks t JOIN th USING (tok)
+         ),
+         -- shingle fold over w=3 token hashes (i+j < n guard), order-sensitive
+         sh0 AS (
+           SELECT doc_id, tpos, n, h AS h1,
+                  lead(h, 1) OVER (PARTITION BY doc_id ORDER BY tpos) AS h2,
+                  lead(h, 2) OVER (PARTITION BY doc_id ORDER BY tpos) AS h3
+           FROM tokh
+         ),
+         shingles AS (
+           SELECT doc_id,
+                  CAST(( CASE WHEN h3 IS NOT NULL THEN
+                      CAST((CAST(xor(
+                        CAST((CAST(xor(
+                          CAST((CAST(xor(14695981039346656037::UBIGINT, h1) AS HUGEINT) * 1099511628211)
+                               % 18446744073709551616::HUGEINT AS UBIGINT),
+                          h2) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+                        h3) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+                    WHEN h2 IS NOT NULL THEN
+                      CAST((CAST(xor(
+                        CAST((CAST(xor(14695981039346656037::UBIGINT, h1) AS HUGEINT) * 1099511628211)
+                             % 18446744073709551616::HUGEINT AS UBIGINT),
+                        h2) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
+                    ELSE
+                      CAST((CAST(xor(14695981039346656037::UBIGINT, h1) AS HUGEINT) * 1099511628211)
+                           % 18446744073709551616::HUGEINT AS UBIGINT)
+                  END ) & 2147483647::UBIGINT AS BIGINT) AS sh
+           FROM sh0
+           WHERE tpos <= greatest(n - 3, 0)
+         ),
+         -- k=64 permutation minima per doc
+         perms AS (
+           SELECT doc_id, pp.p AS p,
+                  min((sh * (2 * pp.p + 1) + pp.p * 2654435769) % 2147483647) AS mn
+           FROM shingles, unnest(range(64)) pp(p)
+           GROUP BY doc_id, pp.p
+         ),
+         -- band digests: FNV fold over each band's 4 minima in p order
+         bandvals AS (
+           SELECT doc_id, CAST(p // 4 AS INT) AS band, list(mn ORDER BY p) AS l
+           FROM perms GROUP BY doc_id, CAST(p // 4 AS INT)
+         ),
+         digs AS (
+           SELECT doc_id, band,
+           CAST((CAST(xor(
+             CAST((CAST(xor(
+               CAST((CAST(xor(
+                 CAST((CAST(xor(
+                   xor(14695981039346656037::UBIGINT, CAST(band AS UBIGINT)),
+                   CAST(l[1] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+                 CAST(l[2] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+               CAST(l[3] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT),
+             CAST(l[4] AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT) AS dig
+           FROM bandvals
+         ),
+         buckets AS (
+           SELECT band, dig, list(doc_id) AS ids
+           FROM digs GROUP BY band, dig
+           HAVING len(list(doc_id)) BETWEEN 2 AND 1000
+         ),
+         pairs AS (
+           SELECT a.id_a, b.id_b
+           FROM (SELECT band, dig, unnest(ids) AS id_a FROM buckets) a
+           JOIN (SELECT band, dig, unnest(ids) AS id_b FROM buckets) b
+             ON a.band = b.band AND a.dig = b.dig AND a.id_a < b.id_b
+         ),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b AS a, id_a AS b FROM pairs
+         ),
+         reach(id, m) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.id
+         ),
+         comps AS (SELECT id, min(m) AS comp FROM reach GROUP BY id),
+         quality AS (
+           SELECT doc_id,
+                  (CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+                     / len(string_split(text, ' '))
+                   + CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END)
+                   - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                     / length(text) AS q
+           FROM documents
+         ),
+         scored AS (
+           SELECT q.doc_id AS id, q.q, coalesce(c.comp, q.doc_id) AS component
+           FROM quality q LEFT JOIN comps c ON q.doc_id = c.id
+         ),
+         ranked AS (
+           SELECT id, component, q,
+                  row_number() OVER (PARTITION BY component ORDER BY q DESC, id ASC) AS rn
+           FROM scored
+         )
+         SELECT s.id, s.component, (s.id = w.id) AS keep
+         FROM scored s
+         JOIN (SELECT component, id FROM ranked WHERE rn = 1) w USING (component)""",
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id AS id,
                            list_distinct(string_split(lower(text), ' ')) AS words
