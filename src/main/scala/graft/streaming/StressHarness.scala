@@ -231,18 +231,26 @@ object StressHarness {
   final case class StressResult(gen: ChurnGenerator,
                                 batches: Seq[ChurnBatchStat],
                                 analysis: OperationsAnalysis,
-                                wallMs: Long) {
-    /** The stress log's summary block, rendered (insert.ps1:345-390). */
+                                wallMs: Long,
+                                resources: Map[String, Long] = Map.empty) {
+    /** The stress log's summary block, rendered (insert.ps1:345-390), with
+      * the resource-usage totals the reference logs per run
+      * (insert.ps1:180-257 `Write-ResourceUsage`, via [[ResourceMonitor]]
+      * instead of `docker stats`).
+      */
     def report: String = {
       val a = analysis
       val ops = a.inserts + a.updates + a.deletes
+      val res = if (resources.isEmpty) "" else
+        "\n  Engine Resources: " + resources.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(" ")
       f"""CDC STRESS TEST RESULTS — ${a.table}
          |  Total Operations: $ops%d (I=${a.inserts}%d U=${a.updates}%d D=${a.deletes}%d, failed=${a.failedOps}%d)
          |  Source Rows: ${a.sourceRows}%d | Mirror Rows: ${a.mirrorRows}%d | Sync Difference: ${a.syncDifference}%d
          |  Version Watermark: source=${a.sourceMaxSeq}%d mirror=${a.mirrorWatermark}%d lag=${a.versionLag}%d
          |  Apply Throughput: ${a.applyRowsPerSec}%.1f ops/s | End-to-End: ${a.endToEndRowsPerSec}%.1f ops/s
          |  Batch Time: avg=${a.avgBatchMs}%.1f ms min=${a.minBatchMs}%d ms max=${a.maxBatchMs}%d ms
-         |  Wall Clock: ${wallMs / 1000.0}%.2f s""".stripMargin
+         |  Wall Clock: ${wallMs / 1000.0}%.2f s""".stripMargin + res
     }
   }
 
@@ -260,19 +268,26 @@ object StressHarness {
     require(runner.cfg.tables.exists(_.name == churn.table),
       s"table ${churn.table} is not configured in mirror ${runner.cfg.mirror}")
     val gen = new ChurnGenerator(sourceUrl, churn)
+    // the Write-ResourceUsage analog: per-stage task/CPU/shuffle/spill
+    // accounting over the run's engine work (the reference samples docker
+    // stats per batch; the engine-side equivalent is the stage ledger)
+    val res = ResourceMonitor.attach(spark)
     val t0 = System.nanoTime()
-    var b = 0
-    while (gen.hasMore) {
-      gen.runBatch()
-      b += 1
-      if (b % syncEveryBatches == 0) runner.runOnce()
-      if (churn.delayBetweenBatchesMs > 0 && gen.hasMore)
-        Thread.sleep(churn.delayBetweenBatchesMs)
-    }
-    runner.runOnce() // converge the tail (poll + reconcile when configured)
-    val wallMs = (System.nanoTime() - t0) / 1000000L
-    StressResult(gen, gen.batchStats,
-      analyze(spark, sourceUrl, gen, runner, wallMs, props), wallMs)
+    try {
+      var b = 0
+      while (gen.hasMore) {
+        gen.runBatch()
+        b += 1
+        if (b % syncEveryBatches == 0) runner.runOnce()
+        if (churn.delayBetweenBatchesMs > 0 && gen.hasMore)
+          Thread.sleep(churn.delayBetweenBatchesMs)
+      }
+      runner.runOnce() // converge the tail (poll + reconcile when configured)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      StressResult(gen, gen.batchStats,
+        analyze(spark, sourceUrl, gen, runner, wallMs, props), wallMs,
+        resources = res.totals)
+    } finally spark.sparkContext.removeSparkListener(res)
   }
 
   /** The `Get-CDCOperationsAnalysis` analog over a finished (or paused)

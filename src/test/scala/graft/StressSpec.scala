@@ -139,11 +139,55 @@ class StressSpec extends SparkSpec {
     info(f"sustained end-to-end: ${a.endToEndRowsPerSec}%.0f ops/s " +
       f"(apply ${a.applyRowsPerSec}%.0f ops/s) over ${result.wallMs} ms")
 
+    // the Write-ResourceUsage analog: stage-ledger totals captured over
+    // the run's engine work and rendered in the report
+    assert(result.resources.getOrElse("stages", 0L) > 0L)
+    assert(result.resources.contains("shuffle_read_bytes"))
+    assert(result.report.contains("Engine Resources:"))
+
     // the monitor-style op table renders one row per op type
     val frame = StressHarness.analysisFrame(spark, a)
     assert(frame.count() === 3L)
     assert(frame.where(col("operation") === "INSERT")
       .select("source_ops").collect()(0).getLong(0) === a.inserts)
+  }
+
+  test("continuous-mode stress: churn runs WHILE MirrorRunner.start's " +
+    "loop replicates; the pipeline converges under live load") {
+    val root = Files.createTempDirectory("stressloop").toString
+    createChurnTable("churn_live")
+    val cfgPath = writeConfig(root, "churn_live", None)
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+    val churn = ChurnConfig("churn_live", recordCount = 600, batchSize = 60,
+      delayBetweenBatchesMs = 50L, insertWeight = 8, updateWeight = 1,
+      deleteWeight = 1, seed = 9L)
+    val gen = new ChurnGenerator(url, churn)
+    runner.start(150L) // capture loop runs CONCURRENTLY with the workload
+    try {
+      while (gen.hasMore) gen.runBatch()
+      // wait for the loop to converge on the final state
+      val deadline = System.currentTimeMillis() + 60000
+      def lagZero(): Boolean = {
+        val a = StressHarness.analyze(spark, url, gen, runner, 1L, props)
+        a.syncDifference == 0L && a.versionLag == 0L
+      }
+      while (System.currentTimeMillis() < deadline && !lagZero())
+        Thread.sleep(200)
+      assert(lagZero(), "continuous loop did not converge on the workload")
+      assert(runner.lastRoundError.isEmpty,
+        s"rounds failed under load: ${runner.lastRoundError}")
+    } finally runner.stop()
+    // row-level convergence, not just counts
+    val fin = runner.readFinal("churn_live")
+      .select(col("ID").cast("long"), col("SEQ").cast("long"),
+        col("QTY").cast("int"), col("PAYLOAD"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    val ref = gen.expectedFinal(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(fin === ref,
+      "FINAL must equal the reference state after live-load convergence")
   }
 
   test("a failed batch is atomic: accounting records it, the reference " +
