@@ -130,8 +130,16 @@ object Graph {
     * paced: lineage and planning cost stay bounded at high k without
     * paying one driver action per iteration at low k, and the final
     * checkpoint unpins the cached inputs from the returned plan. Skewed
-    * high-degree nodes behave like any skewed aggregation key — AQE skew
-    * handling / salting apply unchanged.
+    * high-degree nodes behave like any skewed aggregation key — salting
+    * applies unchanged.
+    *
+    * Round 17: the loop runs in the ITERATION CHILD SESSION
+    * ([[inIterSession]] — AQE off, fixed parallelism) with the rank/node
+    * frames broadcast-joined against the cached edges whenever the exact
+    * node count proves them small ([[hintIfSmall]]) — a round then
+    * shuffles nothing; past the cap the k edge-sized-shuffle cost above
+    * is the documented envelope. Driver-job budget pinned in
+    * GraphJobBudgetSpec.
     */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                          iterations: Int,
