@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every line with "[info] ", which is why the driver's
+// BENCH_r*.json "parsed" field has been null since r15 — its json.loads
+// over the captured tail lines never saw a bare JSON line to parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,6 +37,15 @@ object Bench {
     picked.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     }
+    // co-tenant-load watermark (r17 verdict task 3): |rep1−rep2| spread is
+    // blind to SUSTAINED load hitting both reps back-to-back (the
+    // part_communities 4.9→10.2 s episode) — /proc/loadavg before/after
+    // makes a loaded window self-evident in the artifact itself
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val loadBefore = loadavg()
     // min-of-2 reps per query: the bench box is co-tenant noisy (single-shot
     // totals have swung 1.5-2x with no code change, triggering false
     // regression audits three rounds running); the min of two back-to-back
@@ -85,7 +94,15 @@ object Bench {
     // a crashed query must be distinguishable from a fast one: its timing
     // still appears, but its name is listed in "errors"; "spread" carries
     // each query's |rep1−rep2| so noise is self-evident in the artifact
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir"}"""
+    val loadAfter = loadavg()
+    // a 32-core box: 1-min load past ~8 BEFORE we start means the window
+    // is co-tenant-shifted — flag it so a slow round self-annotates
+    // instead of triggering a manual box-shift audit. (The AFTER value is
+    // informational only: the bench itself saturates the box, so it is
+    // always high on a healthy run.)
+    val loaded = loadBefore.split(" ").headOption
+      .flatMap(_.toDoubleOption).exists(_ > 8.0)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"queries":$qs,"spread":$spreads,"errors":$errs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: stdout tail-capture windows have
     // truncated the first ~17 queries of a round's artifact, making their
@@ -143,7 +160,7 @@ object Bench {
     }
     while (diag.length < 2200) diag.append("[bench] ----\n")
     print(diag)
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"reps":2,"spread_p50":${r4(spreadP50)},"spread_max":${r4(sortedSpreads.lastOption.getOrElse(0.0))},"slowest":$slowest,"full":"BENCH_full.json","full_sha256":"$sha"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"reps":2,"spread_p50":${r4(spreadP50)},"spread_max":${r4(sortedSpreads.lastOption.getOrElse(0.0))},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"slowest":$slowest,"full":"BENCH_full.json","full_sha256":"$sha"}""")
     spark.stop()
     // a bench with ANY erroring query must not read as a healthy run: the
     // JSON line above still carries the full picture (timings + errors map),

@@ -936,15 +936,17 @@ object SparkEntry {
     // BPE tokenizer training (Sennrich 2016): the corpus' top-24 merges in
     // learned priority order — each iteration is a narrow map + one
     // combinable pair aggregation over the WORD-FREQUENCY table (never the
-    // corpus), only the argmax pair reaching the driver. No SQL oracle
-    // (iterative fixpoint); the merge sequence is pinned exactly by
-    // BpeSpec's textbook fixture and a partitioning-invariance check.
+    // corpus), only the argmax pair reaching the driver. Hash-green as of
+    // r18: the oracle unrolls all 24 steps in DuckDB with a list_reduce
+    // leftmost-scan fold (bpeOracleCtes); BpeSpec's textbook fixture and
+    // partitioning-invariance check still pin the engine side.
     "docs_bpe_merges" -> ((s, d) =>
       Bpe.mergeTable(s, t(s, d, "documents"), "text", 24)),
     // the apply half: greedy priority-order inference with the corpus' own
     // learned merges — per-doc subword counts (the REAL tokens-per-doc
-    // signal the ~4-chars heuristic approximates). rows-only; inference
-    // exactness is pinned by BpeSpec's composed-unit encoding test.
+    // signal the ~4-chars heuristic approximates). Hash-green as of r18
+    // (same unrolled replay, applied per word + per-doc sums); inference
+    // exactness is also pinned by BpeSpec's composed-unit encoding test.
     "docs_bpe_token_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Bpe.encodeStats(docs, "doc_id", "text",
@@ -2273,6 +2275,73 @@ object SparkEntry {
                / len(list_distinct(list_concat(a.words, b.words))) >= 0.8
          AND (c.id_a % 10 = 0 OR c.id_b % 10 = 0)"""
 
+  /** Unrolled BPE-training CTE chain for the `docs_bpe_*` oracles (r18):
+    * an INDEPENDENT DuckDB replay of Sennrich ACL-2016 merge learning.
+    * `wf` = the word-frequency table (same tokenization as every text
+    * oracle); `v0` = words split to code-point symbols + the `</w>`
+    * marker; then per step k: `pk` counts adjacent pairs weighted by
+    * word freq, `mk` takes the argmax under the engine's total tie-break
+    * (freq desc, left, right — DuckDB's binary VARCHAR order = UTF-8
+    * byte order = code-point order, the same order Spark's UTF8String
+    * sort induces), and `vk` applies the merge with the textbook
+    * LEFTMOST-NON-OVERLAPPING scan, expressed as a `list_reduce` fold
+    * whose string accumulator is `out || chr(1) || pending` (pending =
+    * the symbol awaiting its right neighbor; a chr(31)-joined out). A
+    * plain string replace() would NOT be that scan — consecutive matches
+    * share a boundary, and runs of identical symbols pair differently —
+    * so the fold is the only faithful SQL expression. `lastV` names the
+    * final vocabulary CTE for the token-stats oracle.
+    */
+  private def bpeOracleCtes(nMerges: Int, withFinalVocab: Boolean): String = {
+    val head =
+      """wf AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents)
+           WHERE len(w) > 0 GROUP BY 1),
+         v0 AS MATERIALIZED (
+           SELECT freq, w, list_append(
+             list_transform(range(1, len(w)+1), i -> w[i:i]), '</w>') AS syms
+           FROM wf)"""
+    def applyMerge(prev: String, m: String): String =
+      s"""SELECT freq, w,
+             list_filter(string_split(
+               CASE WHEN split_part(acc, chr(1), 2) = ''
+                    THEN split_part(acc, chr(1), 1)
+                    ELSE split_part(acc, chr(1), 1) || chr(31)
+                         || split_part(acc, chr(1), 2) END,
+               chr(31)), s -> s <> '') AS syms
+           FROM (
+             SELECT freq, w,
+               list_reduce(list_prepend(chr(1), syms),
+                 (acc, x) -> CASE
+                   WHEN split_part(acc, chr(1), 2) = $m.l AND x = $m.r
+                     THEN split_part(acc, chr(1), 1) || chr(31)
+                          || $m.l || $m.r || chr(1)
+                   WHEN split_part(acc, chr(1), 2) = ''
+                     THEN split_part(acc, chr(1), 1) || chr(1) || x
+                   ELSE split_part(acc, chr(1), 1) || chr(31)
+                        || split_part(acc, chr(1), 2) || chr(1) || x
+                 END) AS acc
+             FROM $prev, $m)"""
+    val steps = (1 to nMerges).map { k =>
+      val vk = if (k < nMerges || withFinalVocab)
+        s",\n         v$k AS MATERIALIZED (${applyMerge(s"v${k - 1}", s"m$k")})"
+      else ""
+      s"""p$k AS (
+           SELECT p.l AS l, p.r AS r, sum(freq) AS pf
+           FROM (SELECT freq,
+                   unnest(list_transform(range(1, len(syms)),
+                     i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+                 FROM v${k - 1} WHERE len(syms) >= 2)
+           GROUP BY 1, 2),
+         m$k AS MATERIALIZED (
+           SELECT $k AS step, l, r, CAST(pf AS BIGINT) AS pf
+           FROM p$k ORDER BY pf DESC, l, r LIMIT 1)$vk"""
+    }.mkString(",\n         ")
+    s"$head,\n         $steps"
+  }
+
   def oracleSql: Map[String, String] = uniqueMap(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -2911,6 +2980,44 @@ object SparkEntry {
                 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
                   AS zipf_slope
          FROM tot CROSS JOIN fit""",
+    // independent BPE-training replay (r18): 24 unrolled merge steps —
+    // see bpeOracleCtes for the leftmost-scan fold the replay rides
+    "docs_bpe_merges" -> {
+      val union = (1 to 24)
+        .map(k => s"SELECT step, l, r, pf FROM m$k")
+        .mkString("\n           UNION ALL ")
+      s"""WITH ${bpeOracleCtes(24, withFinalVocab = false)}
+         SELECT CAST(step AS INT) AS step, l AS "left", r AS "right",
+                pf AS freq
+         FROM ($union) ORDER BY step"""
+    },
+    // the apply half: every word encoded by the same 24 merges in
+    // priority order (v24 IS that encoding — training's final vocabulary
+    // equals greedy inference with the learned table applied in learned
+    // order, both being the identical leftmost scan per step), then
+    // per-doc sums; end-markers excluded from the payload length exactly
+    // as the engine counts them
+    "docs_bpe_token_stats" ->
+      s"""WITH ${bpeOracleCtes(24, withFinalVocab = true)},
+         ws AS MATERIALIZED (
+           SELECT w, CAST(len(syms) AS BIGINT) AS ns,
+             CAST(list_sum(list_transform(syms,
+               s -> len(s) - CASE WHEN ends_with(s, '</w>')
+                             THEN 4 ELSE 0 END)) AS BIGINT) AS nc
+           FROM v24),
+         dw AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  unnest(string_split(lower(coalesce(text, '')), ' ')) AS w
+           FROM documents WHERE doc_id IS NOT NULL)
+         SELECT d.doc_id,
+                CAST(coalesce(sum(j.ns), 0) AS BIGINT) AS n_subwords,
+                CAST(coalesce(sum(j.nc), 0) AS BIGINT) AS n_chars_encoded
+         FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+               WHERE doc_id IS NOT NULL) d
+         LEFT JOIN (SELECT dw.doc_id, ws.ns, ws.nc
+                    FROM dw JOIN ws USING (w) WHERE len(dw.w) > 0) j
+           USING (doc_id)
+         GROUP BY 1""",
     // the unigram-logprob oracle wrapped in an exact front-loaded tertile:
     // cum boundaries ceil(n/3) / ceil(2n/3) match exactNtile's layout
     "docs_ppl_buckets" ->
@@ -4686,12 +4793,19 @@ object SparkEntry {
     // 64-bit wrapping multiplies via 32-bit limb splits — then the
     // Charikar bit votes and the band prefix. The croston/bootstrap
     // precedent: a deterministic kernel needs no rows-only exemption.
+    // PRECONDITION (r17 advice, documented): the replay hashes CODE
+    // POINTS via ord() while the engine hashes UTF-8 BYTES — identical
+    // only on ASCII text — and the pows table carries B^0..B^4096, so
+    // tokens past 4097 chars would silently drop leading terms through
+    // the p = L-1-j join. The test corpus satisfies both by construction
+    // (verified: zero non-ASCII documents, max token length 8); a
+    // non-ASCII corpus needs the oracle re-expressed over encode() bytes.
     "dedup_simhash" ->
       """WITH RECURSIVE pows(p, v) AS (
            SELECT 0, CAST(1 AS HUGEINT)
            UNION ALL
            SELECT p + 1, (v * 1000003) % 18446744073709551616::HUGEINT
-           FROM pows WHERE p < 600
+           FROM pows WHERE p < 4096
          ),
          toks AS (
            SELECT doc_id, t.tok
@@ -5054,7 +5168,7 @@ object SparkEntry {
          ppows(p, v) AS (
            SELECT 0, CAST(1 AS HUGEINT)
            UNION ALL
-           SELECT p + 1, (v * 1000003) % 18446744073709551616::HUGEINT FROM ppows WHERE p < 600
+           SELECT p + 1, (v * 1000003) % 18446744073709551616::HUGEINT FROM ppows WHERE p < 4096
          ),
          schars AS (
            SELECT tok, u.j AS j, CAST(ord(substr(tok, CAST(u.j AS INT) + 1, 1)) AS HUGEINT) AS b, len(tok) AS L
@@ -7109,34 +7223,32 @@ object SparkEntry {
          SELECT node, lbl AS label FROM l4"""
     },
     // identical wedge enumeration through in-play customers, identical
-    // fixed-order AA fold, and the all-integer (cn, min partner) pick
+    // fixed-point AA quantization floor(1e6/ln(deg)) summed as exact
+    // integers (order-independent — the r18 spill-band fix), and the
+    // all-integer (cn, min partner) pick
     "supplier_best_partner" ->
       """WITH b AS MATERIALIZED (
            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          deg AS (SELECT c, CAST(count(*) AS BIGINT) AS degc
                  FROM b GROUP BY c),
-         ip AS (SELECT b.c, b.s, deg.degc FROM b JOIN deg USING (c)
+         ip AS (SELECT b.c, b.s,
+                  CAST(floor(1e6 / ln(CAST(degc AS DOUBLE))) AS BIGINT) AS w
+                FROM b JOIN deg USING (c)
                 WHERE degc BETWEEN 2 AND 4096),
-         w AS (SELECT a.c AS c, a.degc AS degc, a.s AS s1, x.s AS s2
-               FROM ip a JOIN ip x ON a.c = x.c AND a.s < x.s),
-         cumw AS (SELECT s1, s2, c,
-                    sum(1.0 / ln(CAST(degc AS DOUBLE)))
-                      OVER (PARTITION BY s1, s2 ORDER BY c
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS aa_cum
-                  FROM w),
-         p AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS cn,
-                      arg_max(aa_cum, c) AS aa
-               FROM cumw GROUP BY s1, s2),
-         m AS (SELECT s1 AS node, s2 AS partner, cn, aa FROM p
-               UNION ALL SELECT s2, s1, cn, aa FROM p),
-         r AS (SELECT node, partner, cn, aa,
+         p AS (SELECT a.s AS s1, x.s AS s2,
+                      CAST(count(*) AS BIGINT) AS cn,
+                      CAST(sum(a.w) AS BIGINT) AS aaq
+               FROM ip a JOIN ip x ON a.c = x.c AND a.s < x.s
+               GROUP BY 1, 2),
+         m AS (SELECT s1 AS node, s2 AS partner, cn, aaq FROM p
+               UNION ALL SELECT s2, s1, cn, aaq FROM p),
+         r AS (SELECT node, partner, cn, aaq,
                       row_number() OVER (PARTITION BY node
                         ORDER BY cn DESC, partner) AS rn
                FROM m)
          SELECT node, partner, cn AS common_neighbors,
-                round(aa, 6) AS adamic_adar
+                round(CAST(aaq AS DOUBLE) / 1e6, 6) AS adamic_adar
          FROM r WHERE rn = 1""",
     // ordered twin of basket_brand_pairs; every statistic the same
     // fixed tree over exact counts; exact rules report NULL conviction

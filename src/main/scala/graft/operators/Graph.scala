@@ -43,28 +43,40 @@ object Graph {
     val spark = df.sparkSession
     if (spark.conf.getOption("graft.graph.iterSession").contains("false"))
       return body(df) // escape hatch: run in the caller's session as-is
-    val child = spark.newSession()
+    // CLONE (not newSession): the child inherits the caller's full
+    // runtime SQLConf (ANSI mode, caseSensitive, session timezone, …)
+    // and temp-view catalog, so a view-backed edge frame re-resolves and
+    // runtime-set caller confs survive — only the two iteration knobs
+    // below are overridden (r17 advice: a bare newSession silently reset
+    // caller confs to startup defaults inside the loops)
+    val child = org.apache.spark.sql.graft.bridge.cloneSession(spark)
     child.conf.set("spark.sql.adaptive.enabled", "false")
     val parts = spark.conf.getOption("graft.graph.iterPartitions")
       .getOrElse(spark.conf.get("spark.sql.shuffle.partitions"))
     child.conf.set("spark.sql.shuffle.partitions", parts)
+    // rebind the ANALYZED plan: resolution already happened against the
+    // caller's catalog, so session-local relations (temp views, cached
+    // lookups) carry over instead of failing to re-resolve
     body(org.apache.spark.sql.graft.bridge.ofRows(child,
-      df.queryExecution.logical))
+      df.queryExecution.analyzed))
   }
 
   /** Broadcast hint gated on an EXACT driver-known row count — the
     * iteration loops re-create AQE's runtime broadcast decision (lost
     * with AQE off in the iteration session) from counts they already pay
     * for as loop guards, and do it better: an exact count, not a byte
-    * estimate. Below `graft.graph.broadcastNodes` rows (default 4M — tens
-    * of MB of (id, value) rows) the node-sized frame broadcast-joins the
-    * cached edge list, so a round shuffles NOTHING; past the cap the
-    * operator falls back to its documented k edge-sized-shuffle
-    * synchronous-Pregel cost.
+    * estimate. Below `graft.graph.broadcastNodes` rows (default 1M —
+    * ~2-byte-long rows land at tens of MB in a driver-built
+    * HashedRelation replicated to every executor; the earlier 4M default
+    * allowed multi-hundred-MB builds rebuilt every round with AQE off
+    * and nothing to back them out — r17 advice) the node-sized frame
+    * broadcast-joins the cached edge list, so a round shuffles NOTHING;
+    * past the cap the operator falls back to its documented k
+    * edge-sized-shuffle synchronous-Pregel cost.
     */
   private def hintIfSmall(df: DataFrame, knownRows: Long): DataFrame = {
     val cap = df.sparkSession.conf.getOption("graft.graph.broadcastNodes")
-      .map(_.toLong).getOrElse(4L << 20)
+      .map(_.toLong).getOrElse(1L << 20)
     if (knownRows >= 0 && knownRows < cap) broadcast(df) else df
   }
 
@@ -528,11 +540,25 @@ object Graph {
     * left-nodes past `maxLeftDegree` are EXCLUDED, counted, and reported
     * loudly (the [[coOccurrenceEdges]] guard idiom) — a 10⁶-degree hub
     * contributes ~1/ln(10⁶) ≈ 0.07 per pair but 10¹² wedges, the classic
-    * skip-the-hub trade every production AA makes. The AA fold is an
-    * order-sensitive double sum, so it rides a per-pair cumulative
-    * window in FIXED left-id order (the [[StatTests.theilsU]] idiom) —
-    * oracle-mirrorable bit-for-bit. deg ≥ 2 for every wedge center by
-    * construction, so ln never vanishes.
+    * skip-the-hub trade every production AA makes.
+    *
+    * Determinism design (round 18): the AA term is QUANTIZED to
+    * fixed-point integer — each wedge center contributes
+    * `floor(10⁶ / ln(deg c))` micro-units — making the per-pair score an
+    * order-independent EXACT LONG SUM, the [[pageRankFixedPoint]] damping
+    * idiom applied to link prediction. The previous float fold was
+    * order-sensitive and rode a per-pair cumulative window in fixed
+    * left-id order; that window's wedge-grain SORT was the engine's one
+    * spill-fragile operator at 100× (rep-to-rep band 2-6× from GC luck,
+    * r17 verdict). The sum needs no sort and combines MAP-SIDE, so the
+    * pair exchange carries pair-grain partials instead of wedge-grain
+    * rows. Quantization error is ≤ 10⁻⁶ relative per term — a definition
+    * choice, not an approximation bug: the oracle replays the identical
+    * `floor(1e6/ln(deg))` table (deg is an integer ≤ maxLeftDegree, so
+    * the table has ≤ 4095 entries; a 1-ulp libm disagreement on ln would
+    * need to land within ~2·10⁻¹⁰ of a floor boundary to flip one —
+    * checked empirically across the full domain in InsightsSpec). deg ≥ 2
+    * for every wedge center by construction, so ln never vanishes.
     */
   def bipartiteBestPartner(rel: DataFrame, leftCol: String, rightCol: String,
                            maxLeftDegree: Int = 4096): DataFrame = {
@@ -558,39 +584,55 @@ object Graph {
         s"left-node(s) exceed maxLeftDegree=$maxLeftDegree — excluded from " +
         "wedge enumeration (their AA terms are near zero; raise the limit " +
         "to include them)")
+    // the quantized AA weight rides the s1 side only — the s2 side of the
+    // wedge join carries just (c, s), shrinking the join's probe input
     val inPlay = b.join(deg.where(col("degc").between(2, maxLeftDegree)),
       Seq("c"))
-    val wedges = inPlay.select(col("c"), col("degc"), col("s").as("s1"))
-      .join(inPlay.select(col("c"), col("s").as("s2")), Seq("c"))
+    val weighted = inPlay.withColumn("w",
+      floor(lit(1e6) / log(col("degc").cast("double"))).cast("long"))
+    // the wedge fan-out happens INSIDE the join stage, so AQE sizes that
+    // stage by its (small) INPUT bytes and cannot see the emission: at
+    // 100x a 32-task join stage fed ~42M wedges into each task's
+    // partial-agg hash map and threw AGGREGATE_OUT_OF_MEMORY at the 8g
+    // heap (measured, r18). Partition the join input EXPLICITLY from the
+    // exact wedge volume the guard aggregate already paid for —
+    // REPARTITION_BY_NUM exchanges are exempt from AQE coalescing, so
+    // each task's wedge emission (and thus its partial-agg map) stays
+    // bounded by the 16 MB compute-dense target. Forfeiting AQE's
+    // skew-split on this join is safe: per-key emission is already
+    // capped by the hub guard (≤ maxLeftDegree² wedges per customer).
+    // At bench SF the sized count sits under the floor and both
+    // repartitions (and sizedExchanges below) are the identity.
+    val targetBytes = 16L << 20
+    val parts = graft.GraftSession.sizedPartitionsFromBytes(
+      rel.sparkSession, BigInt(wedgeRows / 2) * 40, 1.0, targetBytes)
+    val floorParts = graft.GraftSession.parallelismFloor(rel.sparkSession)
+    val (s1Side, s2Side) =
+      if (parts > floorParts)
+        (weighted.repartition(parts, col("c")),
+          inPlay.repartition(parts, col("c")))
+      else (weighted, inPlay)
+    val wedges = s1Side.select(col("c"), col("w"), col("s").as("s1"))
+      .join(s2Side.select(col("c"), col("s").as("s2")), Seq("c"))
       .where(col("s1") < col("s2"))
-    val byPair = Window.partitionBy(col("s1"), col("s2")).orderBy(col("c"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pairs = wedges
-      .withColumn("aa_cum", sum(lit(1.0) / log(col("degc").cast("double")))
-        .over(byPair))
       .groupBy(col("s1"), col("s2"))
-      .agg(count(lit(1)).as("cn"), max_by(col("aa_cum"), col("c")).as("aa"))
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("aaq"))
     val mirrored = pairs.select(col("s1").as("node"), col("s2").as("partner"),
-        col("cn"), col("aa"))
-      .union(pairs.select(col("s2"), col("s1"), col("cn"), col("aa")))
+        col("cn"), col("aaq"))
+      .union(pairs.select(col("s2"), col("s1"), col("cn"), col("aaq")))
     val out = mirrored.groupBy(col("node"))
-      .agg(max_by(struct(col("partner"), col("cn"), col("aa")),
+      .agg(max_by(struct(col("partner"), col("cn"), col("aaq")),
         struct(col("cn"), lit(0L) - col("partner"))).as("best"))
       .select(col("node"), col("best.partner").as("partner"),
         col("best.cn").as("common_neighbors"),
-        round(col("best.aa"), 6).as("adamic_adar"))
-    // ~44 B per wedge row through the pair window's sort (2 ids + the
-    // cum double + key overhead); /2 for the s1<s2 halving above. The
-    // 64 MB SCAN-class advisory, not the 8 MB compute-dense one: a wedge
-    // row's per-row work is one cumsum step — the weight is sort bytes —
-    // and the 8 MB target was measured to size 70 partitions at 1x for a
-    // 2.5 s regression with nothing to show; at 64 MB the 1x path stays
-    // the identity and the 100x path still fans the pair exchange to the
-    // ceiling (the fixed floor put ~80M wedge rows per pair-agg task
-    // there and OOM'd the box heap)
-    val targetBytes = 64L << 20
-    val parts = graft.GraftSession.sizedPartitionsFromBytes(
-      rel.sparkSession, BigInt(wedgeRows / 2) * 44, 1.0, targetBytes)
+        round(col("best.aaq").cast("double") / lit(1e6), 6)
+          .as("adamic_adar"))
+    // downstream exchanges (pair partials → mirror → per-node argmax)
+    // carry pair-grain rows bounded by the same wedge count: reuse the
+    // wedge-sized budget as their initialPartitionNum; AQE coalesces them
+    // back down by ACTUAL bytes (map-side combine usually collapses the
+    // partials far below the wedge bound)
     graft.GraftSession.sizedExchanges(out, parts, targetBytes)
   }
 }

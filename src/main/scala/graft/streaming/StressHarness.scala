@@ -30,6 +30,12 @@ import scala.collection.mutable
   * one `java.util.Random` drawn in a fixed order decides each op's type,
   * target key, and payload. Re-running the same config replays the same
   * workload — the property that makes a stress regression bisectable.
+  * A FAILED batch rolls the RNG back along with the reference state, so
+  * the very next [[ChurnGenerator.runBatch]] regenerates the identical
+  * ops (a deterministic retry); note that [[ChurnConfig.recordCount]]
+  * counts ATTEMPTED ops — a permanently failing batch consumes its slice
+  * of the budget rather than looping forever (failures land in the
+  * per-batch stats and [[ChurnGenerator.failures]]).
   *
   * == Scale posture ==
   * The generator itself is driver-side JDBC by design — it IMPERSONATES the
@@ -67,6 +73,122 @@ final case class ChurnBatchStat(batch: Int, inserts: Long, updates: Long,
     if (durationMs <= 0) ops.toDouble * 1000.0 else ops * 1000.0 / durationMs
 }
 
+/** One drawn churn op — the transport-agnostic workload unit shared by
+  * the JDBC generator ([[ChurnGenerator]], the insert.ps1 impersonation)
+  * and the pgoutput-frame generator ([[FrameChurnGenerator]], the
+  * replication-slot impersonation): one seed → one op stream → two
+  * transports, so the two paths' final states are comparable row for row.
+  */
+sealed trait ChurnOp extends Serializable
+object ChurnOp {
+  final case class Insert(key: Long, seq: Long, qty: Int, payload: String)
+    extends ChurnOp
+  final case class Update(key: Long, seq: Long, qty: Int, payload: String)
+    extends ChurnOp
+  final case class Delete(key: Long) extends ChurnOp
+}
+
+/** The seeded churn state machine both generators share: the RNG, the
+  * live-key set, the exact in-memory reference state, and the monotone
+  * key/version sequences. [[drawOps]] mutates the state as it draws (an
+  * update targets a key chosen among the keys live at that instant);
+  * [[snapshot]]/[[restore]] give the transports batch-atomic rollback —
+  * including the RNG position, so a failed batch's retry draws the
+  * identical ops (r17 advice).
+  */
+private[streaming] final class ChurnState(cfg: ChurnConfig) {
+  private var rng = new java.util.Random(cfg.seed)
+  private[streaming] val live = mutable.ArrayBuffer.empty[Long]
+  private[streaming] val state = mutable.LongMap.empty[(Long, Int, String)]
+  private var nextKey = 1L
+  private var nextSeq = 1L
+  private val totalW = cfg.insertWeight + cfg.updateWeight + cfg.deleteWeight
+
+  def maxSeq: Long = nextSeq - 1
+
+  final class Snapshot private[ChurnState] (
+      private[ChurnState] val live0: mutable.ArrayBuffer[Long],
+      private[ChurnState] val state0: mutable.LongMap[(Long, Int, String)],
+      private[ChurnState] val key0: Long,
+      private[ChurnState] val seq0: Long,
+      private[ChurnState] val rng0: java.util.Random)
+
+  def snapshot(): Snapshot = {
+    val rngCopy = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(rng); oos.close()
+      new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[java.util.Random]
+    }
+    new Snapshot(live.clone(), state.clone(), nextKey, nextSeq, rngCopy)
+  }
+
+  def restore(s: Snapshot): Unit = {
+    live.clear(); live ++= s.live0
+    state.clear(); s.state0.foreach { case (k, v) => state(k) = v }
+    nextKey = s.key0; nextSeq = s.seq0; rng = s.rng0
+  }
+
+  /** Highest version among LIVE rows (0 when empty) — what a capture can
+    * actually reach: a deleted row's higher seq is invisible forever. */
+  def maxLiveSeq: Long =
+    if (state.isEmpty) 0L else state.valuesIterator.map(_._1).max
+
+  /** Draw `n` ops, advancing the reference state with each draw. */
+  def drawOps(n: Int): Seq[ChurnOp] = {
+    val ops = Seq.newBuilder[ChurnOp]
+    var i = 0
+    while (i < n) {
+      val draw = rng.nextInt(totalW)
+      val qty = 1 + rng.nextInt(100)
+      val seq = nextSeq; nextSeq += 1
+      if (draw < cfg.insertWeight || live.isEmpty) {
+        val k = nextKey; nextKey += 1
+        val payload = s"p${k}_$seq"
+        ops += ChurnOp.Insert(k, seq, qty, payload)
+        live += k; state(k) = (seq, qty, payload)
+      } else if (draw < cfg.insertWeight + cfg.updateWeight) {
+        val k = live(rng.nextInt(live.size))
+        val payload = s"u${k}_$seq"
+        ops += ChurnOp.Update(k, seq, qty, payload)
+        state(k) = (seq, qty, payload)
+      } else {
+        val idx = rng.nextInt(live.size)
+        val k = live(idx)
+        live(idx) = live.last; live.remove(live.size - 1) // swap-remove
+        ops += ChurnOp.Delete(k)
+        state.remove(k)
+      }
+      i += 1
+    }
+    ops.result()
+  }
+
+  /** The reference state as a DataFrame (id, seq, qty, payload). */
+  def expectedFinal(spark: SparkSession): DataFrame = {
+    val rows = state.toSeq.map { case (k, (seq, qty, payload)) =>
+      Row(k, seq, qty, payload)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("seq", LongType),
+        StructField("qty", IntegerType), StructField("payload", StringType))))
+  }
+}
+
+/** What the stress analysis needs from a workload generator, whatever its
+  * transport (JDBC statements or pgoutput frames). */
+trait ChurnSource {
+  def cfg: ChurnConfig
+  def batchStats: Seq[ChurnBatchStat]
+  def failures: Seq[String]
+  def maxSeq: Long
+  def liveRows: Long
+  def expectedFinal(spark: SparkSession): DataFrame
+}
+
 /** Seeded mixed-op workload generator against a live JDBC source table.
   * The table must have the harness schema: `id BIGINT PRIMARY KEY,
   * seq BIGINT NOT NULL, qty INT, payload VARCHAR` (the reference's
@@ -76,28 +198,25 @@ final case class ChurnBatchStat(batch: Int, inserts: Long, updates: Long,
   * monotone sequence, so watermark polling captures every surviving image
   * and the hard-delete sweep reconciles the rest.
   */
-final class ChurnGenerator(url: String, val cfg: ChurnConfig) {
+final class ChurnGenerator(url: String, val cfg: ChurnConfig)
+    extends ChurnSource {
 
-  private val rng = new java.util.Random(cfg.seed)
-  private val live = mutable.ArrayBuffer.empty[Long] // keys alive in source
-  private val state = mutable.LongMap.empty[(Long, Int, String)] // key → (seq, qty, payload)
-  private var nextKey = 1L
-  private var nextSeq = 1L
+  private val churn = new ChurnState(cfg)
   private var batchNo = 0
   private var generated = 0L
   private val stats = mutable.ArrayBuffer.empty[ChurnBatchStat]
   private val errors = mutable.ArrayBuffer.empty[String]
 
-  private val totalW = cfg.insertWeight + cfg.updateWeight + cfg.deleteWeight
-
-  /** Ops generated so far (== recordCount once [[runAll]] finishes). */
+  /** Ops generated so far — counts ATTEMPTED ops (a failed batch consumes
+    * its slice of the budget; see the determinism note in the class doc).
+    */
   def generatedOps: Long = generated
   def batchStats: Seq[ChurnBatchStat] = stats.toSeq
   def failures: Seq[String] = errors.toSeq
   /** Highest version handed out — the watermark the capture must reach. */
-  def maxSeq: Long = nextSeq - 1
+  def maxSeq: Long = churn.maxSeq
   /** Live rows the source must contain right now. */
-  def liveRows: Long = state.size.toLong
+  def liveRows: Long = churn.state.size.toLong
 
   /** Generate and commit ONE batch of up to `cfg.batchSize` ops (fewer on
     * the final partial batch), in generation order over one JDBC statement
@@ -110,6 +229,12 @@ final class ChurnGenerator(url: String, val cfg: ChurnConfig) {
     require(generated < cfg.recordCount, "workload already fully generated")
     batchNo += 1
     val n = math.min(cfg.batchSize.toLong, cfg.recordCount - generated).toInt
+    // snapshot for rollback on a failed commit — INCLUDING the RNG
+    // position: without it a failed batch desynced the draw stream from
+    // the documented same-seed-same-workload contract (r17 advice), and a
+    // retry of the batch drew different ops than the ones that failed
+    val pre = churn.snapshot()
+    val ops = churn.drawOps(n)
     val sqls = mutable.ArrayBuffer.empty[String]
     var (ins, upd, del) = (0L, 0L, 0L)
     // consecutive inserts coalesce into ONE multi-row INSERT (order within
@@ -123,36 +248,18 @@ final class ChurnGenerator(url: String, val cfg: ChurnConfig) {
       sqls += s"INSERT INTO ${cfg.table} VALUES ${pendingInserts.mkString(", ")}"
       pendingInserts.clear()
     }
-    // snapshot for rollback on a failed commit
-    val preLive = live.clone()
-    val preState = state.clone()
-    val (preKey, preSeq) = (nextKey, nextSeq)
-    var i = 0
-    while (i < n) {
-      val draw = rng.nextInt(totalW)
-      val qty = 1 + rng.nextInt(100)
-      val seq = nextSeq; nextSeq += 1
-      if (draw < cfg.insertWeight || live.isEmpty) {
-        val k = nextKey; nextKey += 1
-        val payload = s"p${k}_$seq"
-        pendingInserts += s"($k, $seq, $qty, '$payload')"
-        live += k; state(k) = (seq, qty, payload); ins += 1
-      } else if (draw < cfg.insertWeight + cfg.updateWeight) {
+    ops.foreach {
+      case ChurnOp.Insert(k, seq, qty, payload) =>
+        pendingInserts += s"($k, $seq, $qty, '$payload')"; ins += 1
+      case ChurnOp.Update(k, seq, qty, payload) =>
         flushInserts()
-        val k = live(rng.nextInt(live.size))
-        val payload = s"u${k}_$seq"
         sqls += s"UPDATE ${cfg.table} SET seq = $seq, qty = $qty, " +
           s"payload = '$payload' WHERE id = $k"
-        state(k) = (seq, qty, payload); upd += 1
-      } else {
+        upd += 1
+      case ChurnOp.Delete(k) =>
         flushInserts()
-        val idx = rng.nextInt(live.size)
-        val k = live(idx)
-        live(idx) = live.last; live.remove(live.size - 1) // swap-remove
         sqls += s"DELETE FROM ${cfg.table} WHERE id = $k"
-        state.remove(k); del += 1
-      }
-      i += 1
+        del += 1
     }
     flushInserts()
     val t0 = System.nanoTime()
@@ -173,10 +280,9 @@ final class ChurnGenerator(url: String, val cfg: ChurnConfig) {
       ChurnBatchStat(batchNo, ins, upd, del, 0L,
         (System.nanoTime() - t0) / 1000000L)
     } catch { case e: Exception =>
-      // the source didn't change: restore the expectation, count failures
-      live.clear(); live ++= preLive
-      state.clear(); preState.foreach { case (k, v) => state(k) = v }
-      nextKey = preKey; nextSeq = preSeq
+      // the source didn't change: restore the expectation (including the
+      // RNG position — the retry draws the identical ops), count failures
+      churn.restore(pre)
       errors += s"batch $batchNo: ${e.getMessage}"
       ChurnBatchStat(batchNo, 0L, 0L, 0L, n.toLong,
         (System.nanoTime() - t0) / 1000000L)
@@ -191,20 +297,118 @@ final class ChurnGenerator(url: String, val cfg: ChurnConfig) {
   /** The generator's reference state as a DataFrame — what the mirror's
     * FINAL read must equal after the pipeline converges.
     */
-  def expectedFinal(spark: SparkSession): DataFrame = {
-    val rows = state.toSeq.map { case (k, (seq, qty, payload)) =>
-      Row(k, seq, qty, payload)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(StructField("id", LongType), StructField("seq", LongType),
-        StructField("qty", IntegerType), StructField("payload", StringType))))
-  }
+  def expectedFinal(spark: SparkSession): DataFrame = churn.expectedFinal(spark)
 
   /** Per-batch stat lines as a DataFrame (the stress log's batch table). */
   def batchFrame(spark: SparkSession): DataFrame = {
     import spark.implicits._
     stats.toSeq.toDF()
+  }
+}
+
+/** The REPLICATION-SLOT dual of [[ChurnGenerator]]: the same seeded op
+  * stream rendered as pgoutput FRAMES (the [[graft.sources.PgOutput
+  * .Fixture]] writer — the decode path's dual) and landed as parquet files
+  * of raw frame bytes — a synthetic stand-in for the slot socket that is
+  * the reference's PRODUCTION transport (docker-compose.yml:21-28 wires
+  * PeerDB to a pgoutput publication; insert.ps1 churns against that path,
+  * while the JDBC generator impersonates only the polling lane). Each
+  * batch is one transaction — Begin, the DML images in generation order,
+  * Commit, all at monotone LSNs — written as ONE parquet file under
+  * `landingDir`; [[MirrorRunner.runFrames]] over a file `readStream` of
+  * that directory is the capture side. The first batch carries the
+  * Relation frame; later batches are bare DML resolving through the
+  * persisted registry, exactly like a reconnected slot. Same seed ⇒ same
+  * final state as the JDBC generator, row for row (spec-pinned).
+  */
+final class FrameChurnGenerator(spark: SparkSession, val cfg: ChurnConfig,
+                                val landingDir: String,
+                                relid: Int = 4242,
+                                namespace: String = "public")
+    extends ChurnSource {
+  import graft.sources.PgOutput.{Fixture, RelCol, VNull, VText}
+
+  private val churn = new ChurnState(cfg)
+  private var batchNo = 0
+  private var generated = 0L
+  private var lsn = 10L
+  private var relationSent = false // true once a landed batch carried it
+  private val stats = mutable.ArrayBuffer.empty[ChurnBatchStat]
+  private val errors = mutable.ArrayBuffer.empty[String]
+
+  private val relCols = Seq(
+    RelCol("id", 20, -1, isKey = true), RelCol("seq", 20, -1, isKey = false),
+    RelCol("qty", 23, -1, isKey = false),
+    RelCol("payload", 25, -1, isKey = false))
+
+  def generatedOps: Long = generated
+  def batchStats: Seq[ChurnBatchStat] = stats.toSeq
+  def failures: Seq[String] = errors.toSeq
+  def maxSeq: Long = churn.maxSeq
+  def maxLiveSeq: Long = churn.maxLiveSeq
+  def liveRows: Long = churn.state.size.toLong
+  def expectedFinal(spark: SparkSession): DataFrame = churn.expectedFinal(spark)
+  def hasMore: Boolean = generated < cfg.recordCount
+
+  /** Generate ONE transaction of up to `cfg.batchSize` ops and land it as
+    * one parquet frame file. A failed landing write rolls the reference
+    * state (and RNG) back, same contract as the JDBC generator's failed
+    * commit — the lake didn't change, so neither must the expectation.
+    */
+  def runBatch(): ChurnBatchStat = {
+    require(generated < cfg.recordCount, "workload already fully generated")
+    batchNo += 1
+    val n = math.min(cfg.batchSize.toLong, cfg.recordCount - generated).toInt
+    val pre = churn.snapshot()
+    val preLsn = lsn
+    val ops = churn.drawOps(n)
+    var (ins, upd, del) = (0L, 0L, 0L)
+    val ts = 1700000000000000L + batchNo * 1000000L
+    val xid = 1000L + batchNo
+    val frames = mutable.ArrayBuffer.empty[Array[Byte]]
+    if (!relationSent)
+      frames += Fixture.relation(lsn, relid, namespace, cfg.table, relCols)
+    val base = lsn
+    val commitLsn = base + n + 1
+    frames += Fixture.begin(base, commitLsn, ts, xid)
+    ops.zipWithIndex.foreach { case (op, i) =>
+      val at = base + 1 + i
+      op match {
+        case ChurnOp.Insert(k, seq, qty, payload) =>
+          frames += Fixture.insert(at, relid, Seq(VText(k.toString),
+            VText(seq.toString), VText(qty.toString), VText(payload)))
+          ins += 1
+        case ChurnOp.Update(k, seq, qty, payload) =>
+          frames += Fixture.update(at, relid, Seq(VText(k.toString),
+            VText(seq.toString), VText(qty.toString), VText(payload)))
+          upd += 1
+        case ChurnOp.Delete(k) =>
+          frames += Fixture.delete(at, relid,
+            Seq(VText(k.toString), VNull, VNull, VNull))
+          del += 1
+      }
+    }
+    frames += Fixture.commit(commitLsn, commitLsn, commitLsn + 1, ts)
+    lsn = commitLsn + 2
+    val t0 = System.nanoTime()
+    val stat = try {
+      val rows = frames.toSeq.map(b => Row(b: Any))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("data", BinaryType))))
+        .write.mode("append").parquet(landingDir)
+      relationSent = true
+      ChurnBatchStat(batchNo, ins, upd, del, 0L,
+        (System.nanoTime() - t0) / 1000000L)
+    } catch { case e: Exception =>
+      churn.restore(pre)
+      lsn = preLsn
+      errors += s"batch $batchNo: ${e.getMessage}"
+      ChurnBatchStat(batchNo, 0L, 0L, 0L, n.toLong,
+        (System.nanoTime() - t0) / 1000000L)
+    }
+    generated += n
+    stats += stat
+    stat
   }
 }
 
@@ -228,7 +432,7 @@ object StressHarness {
     def converged: Boolean = syncDifference == 0L && versionLag == 0L
   }
 
-  final case class StressResult(gen: ChurnGenerator,
+  final case class StressResult(gen: ChurnSource,
                                 batches: Seq[ChurnBatchStat],
                                 analysis: OperationsAnalysis,
                                 wallMs: Long,
@@ -288,6 +492,86 @@ object StressHarness {
         analyze(spark, sourceUrl, gen, runner, wallMs, props), wallMs,
         resources = res.totals)
     } finally spark.sparkContext.removeSparkListener(res)
+  }
+
+  /** The FRAME-PATH twin of [[run]]: the same seeded workload rendered as
+    * pgoutput frames through [[FrameChurnGenerator]] and captured by
+    * [[MirrorRunner.runFrames]] — the reference's PRODUCTION transport
+    * (the replication slot, docker-compose.yml:21-28), where [[run]]
+    * covers the JDBC polling lane. Every `syncEveryBatches` generator
+    * transactions one AvailableNow capture round drains the landed
+    * frames; a final round converges the tail. Same row-for-row
+    * reference-state guarantee (callers assert `gen.expectedFinal`
+    * equality against [[MirrorRunner.readFramesFinal]] — see StressSpec).
+    */
+  def runFrames(spark: SparkSession, churn: ChurnConfig,
+                runner: MirrorRunner,
+                syncEveryBatches: Int = 5): StressResult = {
+    require(syncEveryBatches > 0, s"bad syncEveryBatches $syncEveryBatches")
+    require(runner.cfg.tables.exists(_.name == churn.table),
+      s"table ${churn.table} is not configured in mirror ${runner.cfg.mirror}")
+    val landingDir = s"${runner.cfg.targetDir}/frames_landing"
+    val gen = new FrameChurnGenerator(spark, churn, landingDir)
+    def frameStream: DataFrame = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(landingDir)
+    val res = ResourceMonitor.attach(spark)
+    val t0 = System.nanoTime()
+    try {
+      var b = 0
+      while (gen.hasMore) {
+        gen.runBatch()
+        b += 1
+        if (b % syncEveryBatches == 0)
+          runner.runFrames(frameStream).awaitTermination()
+        if (churn.delayBetweenBatchesMs > 0 && gen.hasMore)
+          Thread.sleep(churn.delayBetweenBatchesMs)
+      }
+      runner.runFrames(frameStream).awaitTermination() // converge the tail
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      StressResult(gen, gen.batchStats,
+        analyzeFrames(spark, gen, runner, wallMs), wallMs,
+        resources = res.totals)
+    } finally spark.sparkContext.removeSparkListener(res)
+  }
+
+  /** [[analyze]]'s frame-path twin: the generator IS the source (its
+    * reference state is the live table), the mirror is the frame-path
+    * namespace, and the version watermark is the mirror FINAL's max seq
+    * against the highest LIVE source version.
+    */
+  def analyzeFrames(spark: SparkSession, gen: FrameChurnGenerator,
+                    runner: MirrorRunner, wallMs: Long): OperationsAnalysis = {
+    import org.apache.spark.sql.functions.{col, max}
+    val table = gen.cfg.table
+    val fin = runner.readFramesFinal(table)
+    val mirrorRows = fin.count()
+    val wm = fin.agg(max(col("seq"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val sourceMaxSeq = gen.maxLiveSeq
+    val stats = gen.batchStats
+    val okStats = stats.filter(_.failed == 0L)
+    val applyMs = math.max(1L, okStats.map(_.durationMs).sum)
+    val ops = okStats.map(_.ops).sum
+    OperationsAnalysis(
+      table = table,
+      inserts = okStats.map(_.inserts).sum,
+      updates = okStats.map(_.updates).sum,
+      deletes = okStats.map(_.deletes).sum,
+      failedOps = stats.map(_.failed).sum,
+      sourceRows = gen.liveRows, mirrorRows = mirrorRows, sinkRows = None,
+      syncDifference = gen.liveRows - mirrorRows,
+      sourceMaxSeq = sourceMaxSeq, mirrorWatermark = wm,
+      versionLag = math.max(0L, sourceMaxSeq - wm),
+      applyRowsPerSec = ops * 1000.0 / applyMs,
+      endToEndRowsPerSec = ops * 1000.0 / math.max(1L, wallMs),
+      avgBatchMs =
+        if (okStats.isEmpty) 0.0
+        else okStats.map(_.durationMs).sum.toDouble / okStats.size,
+      minBatchMs = if (okStats.isEmpty) 0L else okStats.map(_.durationMs).min,
+      maxBatchMs = if (okStats.isEmpty) 0L else okStats.map(_.durationMs).max)
   }
 
   /** The `Get-CDCOperationsAnalysis` analog over a finished (or paused)

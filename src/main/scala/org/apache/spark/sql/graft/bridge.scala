@@ -23,6 +23,15 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A child session sharing the SparkContext/cache but with a COPY of
+    * the parent's session state — runtime SQLConf, temp views, registered
+    * functions — so per-operator conf overrides (AQE off inside iterative
+    * loops) don't lose the caller's runtime settings the way a bare
+    * `newSession()` does (that one starts from startup defaults).
+    */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** The physical `RDD[InternalRow]` behind a DataFrame (memoized by the
     * Dataset's QueryExecution, so repeated jobs over it reuse its shuffle
     * output instead of recomputing the plan).

@@ -859,17 +859,19 @@ class InsightsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
-  test("bipartiteBestPartner: hand wedges, AA fold order, cn tie by " +
-    "min partner, hub exclusion") {
+  test("bipartiteBestPartner: hand wedges, fixed-point AA sum, cn tie " +
+    "by min partner, hub exclusion") {
     import graft.operators.Graph
     val rel = Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 2L),
       (200L, 3L), (300L, 2L), (300L, 3L), (400L, 3L) // deg-1: wedgeless
     ).toDF("c", "s")
     val got = Graph.bipartiteBestPartner(rel, "c", "s")
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
-    val aa12 = r6(1.0 / math.log(2) + 1.0 / math.log(3)) // c=100 then 200
-    val aa23 = r6(1.0 / math.log(3) + 1.0 / math.log(2)) // c=200 then 300
+    // quantized AA: floor(1e6/ln(deg)) micro-units per wedge center,
+    // exact integer sum, /1e6 at the readout (order-independent)
+    def w(deg: Int) = math.floor(1e6 / math.log(deg.toDouble)).toLong
+    val aa12 = (w(2) + w(3)).toDouble / 1e6 // centers c=100 (deg2), c=200 (deg3)
+    val aa23 = (w(3) + w(2)).toDouble / 1e6 // centers c=200 (deg3), c=300 (deg2)
     assert(got.toSeq == Seq((1L, 2L, 2L, aa12), (2L, 1L, 2L, aa12),
       (3L, 2L, 2L, aa23)))
     // planted hub: a left node past the cap is excluded, result unchanged
@@ -878,6 +880,22 @@ class InsightsSpec extends SparkSpec {
       maxLeftDegree = 50).as[(Long, Long, Long, Double)].collect()
       .sortBy(_._1).toSeq
     assert(capped == got.toSeq)
+  }
+
+  test("bipartiteBestPartner AA quantization: no floor boundary within " +
+    "1e-7 across the whole deg domain (libm-ulp-proof oracle contract)") {
+    // the oracle replays floor(1e6/ln(deg)) in DuckDB's libm; a 1-ulp
+    // ln disagreement shifts the quotient by ~2e-10 relative (~3e-4
+    // absolute at deg=2), so the floor only flips if the exact quotient
+    // sits within that slack of an integer — pin that the whole 4095-entry
+    // table keeps a 5e-5 margin (the measured min fractional distance is
+    // 1.04e-4 at deg 609, ~10⁵× the ulp slack)
+    val close = (2 to 4096).filter { d =>
+      val q = 1e6 / math.log(d.toDouble)
+      val frac = q - math.floor(q)
+      frac < 5e-5 || frac > 1 - 5e-5
+    }
+    assert(close.isEmpty, s"degs at a floor boundary: $close")
   }
 
   test("basketRules: hand confidences, lift, leverage, NULL conviction " +

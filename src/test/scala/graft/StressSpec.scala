@@ -190,6 +190,60 @@ class StressSpec extends SparkSpec {
       "FINAL must equal the reference state after live-load convergence")
   }
 
+  test("frame-path stress: the same seeded workload over pgoutput frames " +
+    "(the replication-slot transport) converges row-for-row and lands in " +
+    "the same final state as the JDBC polling path") {
+    val root = Files.createTempDirectory("stressframes").toString
+    val cfgPath = s"$root/mirror.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""mirror: stress_frames
+         |source_url: "$url"
+         |target_dir: $root/mirror
+         |tables:
+         |  - name: churn_frames
+         |    keys: [id]
+         |    version_col: seq
+         |    buckets: 4
+         |""".stripMargin)
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+    val churn = ChurnConfig("churn_frames", recordCount = 1000,
+      batchSize = 100, insertWeight = 7, updateWeight = 2, deleteWeight = 1,
+      seed = 42L)
+    val result = StressHarness.runFrames(spark, churn, runner,
+      syncEveryBatches = 3)
+    val a = result.analysis
+    assert(a.inserts + a.updates + a.deletes === 1000L)
+    assert(a.failedOps === 0L)
+    assert(a.deletes > 0L && a.updates > 0L, "the mix must exercise all ops")
+    assert(a.syncDifference === 0L, s"sync difference: $a")
+    assert(a.versionLag === 0L, s"version lag: $a")
+    assert(a.converged)
+
+    // row-level convergence: frame-path FINAL == exact reference state
+    val fin = runner.readFramesFinal("churn_frames")
+      .select(col("id").cast("long"), col("seq").cast("long"),
+        col("qty").cast("int"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    val ref = result.gen.expectedFinal(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(fin === ref,
+      "frame-path FINAL must equal the generator's reference state")
+    assert(fin.size.toLong === a.mirrorRows)
+
+    // cross-transport equality: the JDBC generator with the SAME seed and
+    // mix ends in the SAME state — one op stream, two transports
+    createChurnTable("churn_xport")
+    val jdbcGen = new ChurnGenerator(url, churn.copy(table = "churn_xport"))
+    while (jdbcGen.hasMore) jdbcGen.runBatch()
+    val viaJdbc = jdbcGen.expectedFinal(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(viaJdbc === ref,
+      "the two transports must replay the identical workload")
+  }
+
   test("a failed batch is atomic: accounting records it, the reference " +
     "state and source stay unchanged") {
     createChurnTable("churn_fail")
@@ -205,5 +259,36 @@ class StressSpec extends SparkSpec {
     // the source still holds ONLY the planted row — batches were atomic
     val src = spark.read.jdbc(url, "churn_fail", props).collect()
     assert(src.length === 1 && src(0).getString(3) === "planted")
+  }
+
+  test("a failed batch rolls the RNG back: the retry draws the identical " +
+    "ops, so the committed workload matches an unobstructed run") {
+    createChurnTable("churn_retry")
+    // plant the first key → batch 1 fails; clear it → batch 2 is the RETRY
+    exec("INSERT INTO churn_retry VALUES (1, 999, 1, 'planted')")
+    val gen = new ChurnGenerator(url,
+      ChurnConfig("churn_retry", recordCount = 40, batchSize = 20, seed = 7L))
+    val failed = gen.runBatch()
+    assert(failed.failed === 20L)
+    exec("DELETE FROM churn_retry WHERE id = 1")
+    val retried = gen.runBatch()
+    assert(retried.failed === 0L)
+    // the retried batch must equal batch 1 of an unobstructed same-seed
+    // run — row for row, because the RNG position rolled back with the
+    // reference state
+    createChurnTable("churn_clean")
+    val clean = new ChurnGenerator(url,
+      ChurnConfig("churn_clean", recordCount = 20, batchSize = 20, seed = 7L))
+    clean.runBatch()
+    val got = spark.read.jdbc(url, "churn_retry", props).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val want = spark.read.jdbc(url, "churn_clean", props).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(got === want)
+    assert((retried.inserts, retried.updates, retried.deletes) ===
+      (clean.batchStats.head.inserts, clean.batchStats.head.updates,
+        clean.batchStats.head.deletes))
   }
 }
