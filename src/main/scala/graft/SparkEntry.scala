@@ -544,12 +544,17 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5))),
     // ClickHouse mannWhitneyUTest: the rank-based sibling — doubled
     // average ranks at the (bucket, distinct cents) grain keep the rank
-    // sum, U, and the tie-correction term exact int64s
+    // sum, U, and the tie-correction term exact int64s. binScale = 4
+    // exercises the cardinality valve END-TO-END against the unbinned
+    // oracle (r17 verdict task 6): ×4 on integer cents is injective and
+    // IEEE-exact (< 2^53), and rank statistics are invariant under
+    // injective monotone maps — so binned ≡ exact is pinned by the same
+    // hash-green row, with the valve's multiply+floor in the hot path
     "events_mann_whitney" -> ((s, d) =>
       StatTests.mannWhitneyU(t(s, d, "events"),
         expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"),
         col("event_type") === "view", col("event_type") === "click",
-        floor(col("value") * 100 + 0.5))),
+        floor(col("value") * 100 + 0.5), binScale = 4.0)),
     // ClickHouse cramersV/theilsU groundwork: the χ² contingency
     // decomposition of event_type × hour-of-day at cell grain — every
     // value a fixed scalar over exact counts (V itself is pinned in
@@ -608,14 +613,16 @@ object SparkEntry {
       StatTests.ksTest(t(s, d, "events"),
         expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 31"),
         col("event_type") === "view", col("event_type") === "click",
-        floor(col("value") * 100 + 0.5))),
+        floor(col("value") * 100 + 0.5), binScale = 4.0)),
     // ClickHouse rankCorr: Spearman ρ between value and event time per
     // event type — doubled average ranks at distinct-value grain keep all
-    // five rank moments exact int64s
+    // five rank moments exact int64s. binScale = 4 (see
+    // events_mann_whitney): injective + IEEE-exact on both integer inputs
+    // (micros ×4 < 2^53), result invariant, valve exercised end-to-end
     "events_rank_corr" -> ((s, d) =>
       StatTests.spearmanCorr(t(s, d, "events"), col("event_type"),
         floor(col("value") * 100 + 0.5),
-        expr("unix_micros(CAST(ts AS TIMESTAMP))"))),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))"), binScale = 4.0)),
     // ClickHouse simpleLinearRegression + R²: value-cents on hour index
     // per event type from five exact int64 moments in one combinable pass
     "events_linreg" -> ((s, d) =>
