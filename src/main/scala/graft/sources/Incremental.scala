@@ -273,9 +273,14 @@ object Incremental {
     st
   }
 
-  /** One incremental poll: merge every source row with `versionCol` above
-    * the stored watermark into the mirror, advance the watermark. A poll
-    * with no new rows leaves the mirror and watermark untouched.
+  /** One incremental poll: merge every source row with `versionCol` in
+    * `(watermark, fence]` into the mirror — the fence is max(versionCol)
+    * read in its OWN pass strictly before the capture read (see the inline
+    * note: an unfenced single-scan watermark loses concurrent updates) —
+    * then advance the watermark to the fence. A poll with no new rows at
+    * all leaves the mirror and watermark untouched; a poll whose gap rows
+    * all vanished before the capture read (hard-deleted mid-poll) advances
+    * the watermark without a batch.
     */
   def poll(rawSource: DataFrame, cfg: TableConfig, mirrorDir: String,
            isDelete: Column = lit(false),
@@ -288,25 +293,54 @@ object Incremental {
         "adoptMirror() for a CdcStream.mirrorToParquet / Mirror.fullLoad target)"))
     checkBuckets(spark, st0, cfg, mirrorDir)
     val st = adoptBuckets(spark, st0, cfg, mirrorDir)
-    // the delta is cached across the poll so the watermark probe and the
-    // merge read ONE evaluation of the source (a live tail re-evaluated
-    // per consumer could advance the watermark past rows the merge never
-    // saw). upsertBatch layers its own bucket-stamped cache on top — a
-    // second, delta-sized copy scoped to the merge — because its
-    // touched/append agreement must hold for every caller, not just poll
-    val delta = source.where(col(cfg.versionCol).cast("long") > lit(st.watermark))
+    // FENCED TWO-PASS POLL (r18 — fixes a lost-update race the sustained
+    // stress harness caught at ~1600 committed ops/s): the old poll took
+    // the next watermark as max(version) OF THE SAME SCAN that fed the
+    // merge. Under concurrent committers a READ_COMMITTED scan is not a
+    // snapshot — it can observe a late-committed HIGH version (physically
+    // ahead of the scan position) while missing an earlier-positioned
+    // row's update at a LOWER version (its page was already read with the
+    // old image). The watermark then advances past an uncaptured version
+    // and that update is lost FOREVER (measured: 527 of 59 868 rows stale
+    // after a 75k-op run, counts and lag both green). The fence restores
+    // the guarantee: pass 1 reads ONLY max(version) over the tail; pass 2
+    // is a FRESH read bounded to `(watermark, fence]`. Every version
+    // ≤ fence was committed before pass 1 observed the fence (versions are
+    // monotone in COMMIT order — the polling contract; a multi-writer
+    // source whose version assignment can commit out of order needs the
+    // LSN-total-ordered frame path instead), so the later pass-2 statement
+    // sees all of them. Both passes are delta-bounded (the version
+    // predicate pushes down), so poll IO stays delta-proportional. A
+    // fence with no surviving rows (everything in the gap was deleted
+    // before pass 2) still advances the watermark — the hard-delete sweep
+    // owns those rows, and re-scanning the gap forever would be wasted IO.
+    val vcol = col(cfg.versionCol).cast("long")
+    val fenceRow = source.where(vcol > lit(st.watermark))
+      .agg(max(vcol)).collect()(0)
+    if (fenceRow.isNullAt(0)) return PollResult(st, 0L)
+    val fence = fenceRow.getLong(0)
+    // the delta is cached across the poll so the emptiness probe and the
+    // merge read ONE evaluation of the source. upsertBatch layers its own
+    // bucket-stamped cache on top — a second, delta-sized copy scoped to
+    // the merge — because its touched/append agreement must hold for
+    // every caller, not just poll
+    val delta = source
+      .where(vcol > lit(st.watermark) && vcol <= lit(fence))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one bounded aggregation decides emptiness AND the next watermark
-      val head = delta.agg(count(lit(1)), max(col(cfg.versionCol).cast("long"))).collect()(0)
-      val n = head.getLong(0)
-      if (n == 0L) return PollResult(st, 0L)
+      val n = delta.count()
+      if (n == 0L) {
+        val next = SyncState(fence, st.batchId, System.currentTimeMillis(),
+          cfg.nBuckets)
+        writeState(spark, mirrorDir, next)
+        return PollResult(next, 0L)
+      }
       val batchId = st.batchId + 1
       val stamped = CdcOps.withMirrorMeta(delta, cfg.keys, cfg.versionCol,
         isDelete, lit(batchId), syncedAt)
       CdcStream.upsertBatch(spark, stamped, cfg.keys, "_peerdb_version",
         mirrorDir, cfg.nBuckets)
-      val next = SyncState(head.getLong(1), batchId, System.currentTimeMillis(),
+      val next = SyncState(fence, batchId, System.currentTimeMillis(),
         cfg.nBuckets)
       writeState(spark, mirrorDir, next)
       PollResult(next, n)

@@ -190,6 +190,49 @@ class StressSpec extends SparkSpec {
       "FINAL must equal the reference state after live-load convergence")
   }
 
+  test("max-rate live load: unpaced batches against the continuous loop " +
+    "converge row-for-row (regression: the unfenced single-scan poll " +
+    "watermark lost concurrent updates at this rate)") {
+    // the r18 sustained harness found a REAL lost-update race here: at
+    // ~1600 committed ops/s a READ_COMMITTED poll scan saw a
+    // late-committed high version while missing an earlier-positioned
+    // row's lower-version update, advanced the watermark past it, and the
+    // mirror held a stale row forever (527 of 59 868 rows after 75k ops)
+    // while counts AND version lag both read green. The fenced two-pass
+    // poll fixes it; this pins the fix at a test-sized rate.
+    val root = Files.createTempDirectory("stressmaxrate").toString
+    createChurnTable("churn_maxrate")
+    val cfgPath = writeConfig(root, "churn_maxrate", None)
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+    val churn = ChurnConfig("churn_maxrate", recordCount = 12000,
+      batchSize = 400, insertWeight = 6, updateWeight = 3, deleteWeight = 1,
+      seed = 11L) // update-heavy: the race needs updates below the fence
+    val gen = new ChurnGenerator(url, churn)
+    runner.start(100L) // capture rounds race the unpaced commit stream
+    try {
+      while (gen.hasMore) gen.runBatch() // NO pacing — max commit rate
+      val deadline = System.currentTimeMillis() + 90000
+      def converged(): Boolean = {
+        val a = StressHarness.analyze(spark, url, gen, runner, 1L, props)
+        a.syncDifference == 0L && a.versionLag == 0L
+      }
+      while (System.currentTimeMillis() < deadline && !converged())
+        Thread.sleep(300)
+      assert(converged(), "did not converge at max rate")
+    } finally runner.stop()
+    val fin = runner.readFinal("churn_maxrate")
+      .select(col("ID").cast("long"), col("SEQ").cast("long"),
+        col("QTY").cast("int"), col("PAYLOAD"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    val ref = gen.expectedFinal(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    val stale = (fin -- ref).size
+    assert(fin === ref,
+      s"$stale stale mirror rows — the poll watermark fence regressed")
+  }
+
   test("frame-path stress: the same seeded workload over pgoutput frames " +
     "(the replication-slot transport) converges row-for-row and lands in " +
     "the same final state as the JDBC polling path") {

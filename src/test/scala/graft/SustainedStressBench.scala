@@ -80,7 +80,13 @@ object SustainedStressBench {
     try {
       System.err.println("|  t(s) |     ops |   ops/s |     src |  mirror | diff |    lag | phase")
       sampler.start()
-      while (gen.hasMore) gen.runBatch()
+      while (gen.hasMore) {
+        gen.runBatch()
+        // the generator itself honors no delay — pacing is the driver
+        // loop's job (StressHarness.run does the same)
+        if (churn.delayBetweenBatchesMs > 0 && gen.hasMore)
+          Thread.sleep(churn.delayBetweenBatchesMs)
+      }
       // convergence tail: keep sampling until lag and diff are zero
       val deadline = System.currentTimeMillis() + 120000
       var done = false
