@@ -1224,7 +1224,10 @@ object SparkEntry {
       Dedup.simhashPairsBlocked(t(s, d, "documents"), "doc_id", "text")),
     // low threshold (the test embeddings are near-orthogonal) ⇒ shallow
     // bands, many of them: recall ≈ 0.97 at cos 0.2 (spec-pinned vs brute
-    // force); near-dup thresholds use the deeper defaults instead
+    // force); near-dup thresholds use the deeper defaults instead.
+    // Hash-green as of r18: the full murmur-hyperplane + banded-candidate
+    // + CosineSim pipeline replays in DuckDB bit-for-bit, raw doubles
+    // included (every float op is order-pinned IEEE)
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2,
         bitsPerBand = 4, bands = 32)),
@@ -1261,6 +1264,8 @@ object SparkEntry {
       val embs = t(s, d, "embeddings")
       Similarity.bruteForceTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // hash-green as of r18: the oracle re-derives the murmur hyperplanes,
+    // the bucket join, the CosineSim IEEE fold, and the TopK total order
     "ann_lsh" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       Similarity.lshTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -1268,13 +1273,16 @@ object SparkEntry {
     // the PERSISTED lifecycle of the LSH search (LshIndex): fixed-seed
     // signatures give exactly the one-shot lshTopK's candidate sets
     // (equality spec-pinned on the float store); the default int8-packed
-    // postings cut probe IO 4x with top-k overlap >= 0.95 spec-pinned, and
-    // probes read only the queries' th=J bucket partitions (rows-only)
+    // postings cut probe IO 4x, and probes read only the queries' th=J
+    // bucket partitions. Hash-green as of r18: the oracle replays the
+    // PackInt8 quantization + Int8CosineSim fold bit-for-bit
     "ann_lsh_indexed" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       LshIndex.create(embs, "vec_id", "embedding", indexScratch)
         .probe(embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // hash-green as of r18: xxhash64 centroid pick + NearestCentroids
+    // kernel + CosineSim fold, all re-derived in the DuckDB oracle
     "ann_ivf" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       Similarity.ivfTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -2348,6 +2356,108 @@ object SparkEntry {
     }.mkString(",\n         ")
     s"$head,\n         $steps"
   }
+
+  /** Spark Murmur3_x86_32.hashInt as staged DuckDB SQL (r18): nested
+    * selects computing `t = hashInt(inp, seed)` over 32-bit wrapping
+    * arithmetic (BIGINT lanes, HUGEINT for the multiplies, `xor()` +
+    * rotation via disjoint shift halves), carrying `cols` through. Powers
+    * the hyperplane-LSH replay: the engine's plane weights are
+    * murmur-derived (HyperplaneLsh.scala), so the oracle re-derives the
+    * identical planes with no shared code.
+    */
+  private def murmurSql(inp: String, seed: String, cols: Seq[String],
+                        src: String): String = {
+    val M = "4294967296"
+    val c = cols.mkString(", ")
+    val steps = Seq(
+      s"CAST((CAST($inp AS HUGEINT) * 3432918353) % $M AS BIGINT) AS t",
+      s"((t * 32768) % $M) + (t // 131072) AS t",
+      s"CAST((CAST(t AS HUGEINT) * 461845907) % $M AS BIGINT) AS t",
+      s"xor(CAST($seed AS BIGINT), t) AS t",
+      s"((t * 8192) % $M) + (t // 524288) AS t",
+      s"(t * 5 + 3864292196) % $M AS t",
+      "xor(t, 4::BIGINT) AS t",
+      "xor(t, t // 65536) AS t",
+      s"CAST((CAST(t AS HUGEINT) * 2246822507) % $M AS BIGINT) AS t",
+      "xor(t, t // 8192) AS t",
+      s"CAST((CAST(t AS HUGEINT) * 3266489909) % $M AS BIGINT) AS t",
+      "xor(t, t // 65536) AS t")
+    steps.foldLeft(src)((q, s) => s"(SELECT $c, $s FROM $q)")
+  }
+
+  /** Shared CTE text for the hyperplane-LSH replays: `w` = the engine's
+    * murmur-derived plane weights (hi = hash(i,42) per dimension, then
+    * hash(b,hi)/2^31 per plane — signed-int semantics restored from the
+    * uint lanes), `wl` = each plane's weights as an ascending-dimension
+    * list, `e` = the embeddings, `dots` = the per-(vector, plane) dot as
+    * the engine's exact IEEE fold (0.0-prepended list_reduce in ascending
+    * dimension order — HyperplaneBands.scala accumulates per-plane dots
+    * over ascending i identically).
+    */
+  private def lshPlaneCtes(dim: Int, planes: Int): String = {
+    val M = "4294967296"
+    val hiQ = murmurSql("i", "42", Seq("i"),
+      s"(SELECT unnest(range(0, $dim)) AS i)")
+    val wQ = murmurSql("b", "hi", Seq("i", "b", "hi"),
+      s"(SELECT i, t AS hi, unnest(range(0, $planes)) AS b FROM $hiQ)")
+    s"""w AS MATERIALIZED (
+           SELECT i, b,
+             (CASE WHEN t >= 2147483648 THEN t - $M ELSE t END)
+               / 2147483648.0 AS w
+           FROM $wQ),
+         wl AS MATERIALIZED (
+           SELECT b, list(w ORDER BY i) AS wl FROM w GROUP BY b),
+         e AS MATERIALIZED (
+           SELECT vec_id AS id, embedding AS v FROM embeddings),
+         dots AS (
+           SELECT e.id, wl.b,
+             list_reduce(
+               list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+                 i -> CAST(e.v[i] AS DOUBLE) * wl.wl[i])),
+               (a, x) -> a + x) AS d
+           FROM e CROSS JOIN wl)"""
+  }
+
+  /** Spark XxHash64 of a LongType column (seed 42) as staged DuckDB SQL —
+    * one 8-byte lane + the avalanche, 64-bit wrapping arithmetic via
+    * 32-bit-limb modular multiplies (the dedup_simhash oracle precedent).
+    * Produces `t` = the UNSIGNED hash as HUGEINT; callers restore the
+    * signed order for ORDER BY.
+    */
+  private def xxhashSql(inp: String, src: String, cols: Seq[String]): String = {
+    val M64 = BigInt(2).pow(64).toString
+    val (p1, p2, p3, p4, p5) = ("11400714785074694791", "14029467366897019727",
+      "1609587929392839161", "9650029242287828579", BigInt("2870177450012600261"))
+    def mul64(x: String, c: String) =
+      s"(CAST($x % 4294967296 AS HUGEINT) * $c + " +
+        s"((CAST($x // 4294967296 AS HUGEINT) * $c) % 4294967296) " +
+        s"* 4294967296) % $M64"
+    def rotl64(x: String, r: Int) =
+      s"((${mul64(x, (BigInt(1) << r).toString)}) + " +
+        s"(CAST($x AS HUGEINT) // ${BigInt(1) << (64 - r)})) % $M64"
+    val accInit = (p5 + 42 + 8).toString // seed + PRIME5 + length
+    val c = cols.mkString(", ")
+    val steps = Seq(
+      s"CAST(${mul64(s"CAST($inp AS HUGEINT)", p2)} AS HUGEINT) AS t",
+      s"CAST(${rotl64("t", 31)} AS HUGEINT) AS t",
+      s"CAST(${mul64("t", p1)} AS HUGEINT) AS t",
+      s"CAST(xor(CAST($accInit AS UBIGINT), CAST(t AS UBIGINT)) AS HUGEINT) AS t",
+      s"CAST(${rotl64("t", 27)} AS HUGEINT) AS t",
+      s"CAST((${mul64("t", p1)} + $p4) % $M64 AS HUGEINT) AS t",
+      "CAST(xor(CAST(t AS UBIGINT), CAST(t // 8589934592 AS UBIGINT)) AS HUGEINT) AS t",
+      s"CAST(${mul64("t", p2)} AS HUGEINT) AS t",
+      "CAST(xor(CAST(t AS UBIGINT), CAST(t // 536870912 AS UBIGINT)) AS HUGEINT) AS t",
+      s"CAST(${mul64("t", p3)} AS HUGEINT) AS t",
+      "CAST(xor(CAST(t AS UBIGINT), CAST(t // 4294967296 AS UBIGINT)) AS HUGEINT) AS t")
+    steps.foldLeft(src)((q, s) => s"(SELECT $c, $s FROM $q)")
+  }
+
+  /** The CosineSim kernel's dot as SQL: the identical-order IEEE fold over
+    * ascending dimensions with the engine's 0.0 initial accumulator. */
+  private def cosFold(l: String, r: String, dim: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+       i -> CAST($l.v[i] AS DOUBLE) * CAST($r.v[i] AS DOUBLE))),
+       (a, x) -> a + x)"""
 
   def oracleSql: Map[String, String] = uniqueMap(
     "q1_pricing_summary" ->
@@ -4753,6 +4863,177 @@ object SparkEntry {
                               AND a.doc_id <> b.doc_id
          GROUP BY 1, 2, 3
          HAVING count(*) * 1 >= a.n * 1""",
+    // full cosine-LSH replay (r18): the engine's murmur-derived hyperplane
+    // weights re-derived in staged 32-bit SQL (murmurSql — hi = hash(i,42)
+    // per dimension, w = hash(b,hi)/2^31 per (dim, plane), the
+    // HyperplaneLsh.scala chain), the per-(vector, plane) dot as a
+    // list_reduce fold in ascending-dimension order with a 0.0-prepended
+    // accumulator (the engine's exact IEEE sequence), sign-bit band
+    // buckets, the same 2..4096 bucket valve, candidate pairs, and the
+    // CosineSim kernel — dot/(√na·√nb), three identical-order folds — at
+    // the 0.2 cut. Bit-exact including the raw double payload: every
+    // operation is order-pinned IEEE, so no rounding is needed anywhere.
+    // DIM=64 matches the testdata embeddings (the engine reads min(len)).
+    "dedup_embedding" -> {
+      val dim = 64; val bits = 4; val bands = 32
+      def fold(l: String, r: String) = cosFold(l, r, dim)
+      s"""WITH ${lshPlaneCtes(dim, bits * bands)},
+         bk AS MATERIALIZED (
+           SELECT id, CAST(b // $bits AS INT) AS band,
+             CAST(sum(CASE WHEN d >= 0
+               THEN (1 << CAST(b % $bits AS INT)) ELSE 0 END) AS INT)
+               AS bucket
+           FROM dots GROUP BY 1, 2),
+         sz AS (SELECT band, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
+         okb AS (SELECT band, bucket FROM sz WHERE n BETWEEN 2 AND 4096),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.id AS id_a, x.id AS id_b
+           FROM bk a JOIN okb USING (band, bucket)
+                JOIN bk x ON a.band = x.band AND a.bucket = x.bucket
+                         AND a.id < x.id),
+         scored AS (
+           SELECT c.id_a, c.id_b,
+             ${fold("l", "r")} / (sqrt(${fold("l", "l")})
+               * sqrt(${fold("r", "r")})) AS cos_sim
+           FROM cand c JOIN e l ON c.id_a = l.id JOIN e r ON c.id_b = r.id)
+         SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.2"""
+    },
+    // the one-shot LSH top-k replay (r18): 6 sign bits / 1 table over the
+    // same murmur-derived planes, bucket-join candidates, the CosineSim
+    // kernel, and the TopKAggregator's total order (-score, id) as a
+    // row_number — integer output (query, neighbor, rank) pinned by the
+    // bit-exact float ordering underneath
+    "ann_lsh" -> {
+      val dim = 64; val bits = 6
+      s"""WITH ${lshPlaneCtes(dim, bits)},
+         bk AS MATERIALIZED (
+           SELECT id, CAST(sum(CASE WHEN d >= 0
+             THEN (1 << CAST(b AS INT)) ELSE 0 END) AS INT) AS bucket
+           FROM dots GROUP BY 1),
+         scored AS (
+           SELECT q.id AS query_id, c.id AS corpus_id,
+             ${cosFold("ce", "qe", dim)}
+               / (sqrt(${cosFold("ce", "ce", dim)})
+                  * sqrt(${cosFold("qe", "qe", dim)})) AS cos_sim
+           FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.id <> c.id
+                JOIN e qe ON qe.id = q.id JOIN e ce ON ce.id = c.id
+           WHERE q.id < 10),
+         r AS (SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, corpus_id) AS rk
+               FROM scored)
+         SELECT query_id, corpus_id, rk FROM r WHERE rk <= 5"""
+    },
+    // the PERSISTED LSH lifecycle's replay (r18): same murmur planes and
+    // candidate sets as ann_lsh (tables=1, bits=6 — equality spec-pinned),
+    // but scored off the index's int8-PACKED postings: scale = max|x|/127
+    // (order-free max), code_i = floor(x/scale + 0.5) (Java Math.round's
+    // exact definition), then the Int8CosineSim fold — codes as doubles
+    // against the float query, same ascending-order IEEE sequence. The
+    // parquet round-trip of the binary codes is exact, so the whole probe
+    // is a pure function the oracle re-derives
+    "ann_lsh_indexed" -> {
+      val dim = 64; val bits = 6
+      def foldc(expr: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+           i -> $expr)), (a, x) -> a + x)"""
+      s"""WITH ${lshPlaneCtes(dim, bits)},
+         bk AS MATERIALIZED (
+           SELECT id, CAST(sum(CASE WHEN d >= 0
+             THEN (1 << CAST(b AS INT)) ELSE 0 END) AS INT) AS bucket
+           FROM dots GROUP BY 1),
+         q8 AS MATERIALIZED (
+           SELECT id,
+             CASE WHEN mx = 0.0
+                  THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x ->
+                    floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5)) END AS cd
+           FROM (SELECT id, v,
+                   list_max(list_transform(v,
+                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+                 FROM e)),
+         scored AS (
+           SELECT q.id AS query_id, c.id AS corpus_id,
+             ${foldc("ce.cd[i] * CAST(qe.v[i] AS DOUBLE)")}
+               / (sqrt(${foldc("ce.cd[i] * ce.cd[i]")})
+                  * sqrt(${foldc(
+                    "CAST(qe.v[i] AS DOUBLE) * CAST(qe.v[i] AS DOUBLE)")}))
+               AS cos_sim
+           FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.id <> c.id
+                JOIN e qe ON qe.id = q.id JOIN q8 ce ON ce.id = c.id
+           WHERE q.id < 10),
+         r AS (SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, corpus_id) AS rk
+               FROM scored)
+         SELECT query_id, corpus_id, rk FROM r WHERE rk <= 5"""
+    },
+    // IVF replay (r18): the deterministic centroid pick re-derives Spark's
+    // xxhash64(long) in staged 64-bit SQL (xxhashSql — one 8-byte lane +
+    // avalanche, 32-bit-limb modular multiplies, SIGNED order restored for
+    // the ORDER BY), then the NearestCentroids kernel (cosine argmax over
+    // the 256-entry codebook, ties to the lower id, ascending-dimension
+    // IEEE folds), nProbe=4 probing, and the same CosineSim + TopK total
+    // order as ann_lsh. Integer output pinned by bit-exact floats beneath.
+    "ann_ivf" -> {
+      val dim = 64; val nc = 256; val nProbe = 4; val k = 5
+      val M64 = "18446744073709551616"
+      val xxq = xxhashSql("vec_id", "(SELECT vec_id FROM embeddings)",
+        Seq("vec_id"))
+      def f(l: String, r: String) = cosFold(l, r, dim)
+      s"""WITH hx AS (SELECT vec_id,
+             CASE WHEN t >= 9223372036854775808
+                  THEN CAST(t - $M64 AS BIGINT)
+                  ELSE CAST(t AS BIGINT) END AS h
+           FROM $xxq),
+         cents AS MATERIALIZED (
+           SELECT e.vec_id AS cid,
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings e JOIN hx ON e.vec_id = hx.vec_id
+           ORDER BY hx.h, e.vec_id LIMIT $nc),
+         cnorm AS MATERIALIZED (
+           SELECT cid, cv,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(range(1, ${dim + 1}), i -> cv[i] * cv[i])),
+               (a, x) -> a + x)) AS nc
+           FROM cents),
+         e AS MATERIALIZED (
+           SELECT vec_id AS id, embedding AS v,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(range(1, ${dim + 1}),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE))),
+               (a, x) -> a + x)) AS vn
+           FROM embeddings),
+         sims AS MATERIALIZED (
+           SELECT e.id, c.cid,
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, ${dim + 1}),
+                 i -> CAST(e.v[i] AS DOUBLE) * c.cv[i])),
+               (a, x) -> a + x) / (e.vn * c.nc) AS sim
+           FROM e CROSS JOIN cnorm c),
+         assigned AS MATERIALIZED (
+           SELECT id AS corpus_id, cid AS cent_id FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rn FROM sims) WHERE rn = 1),
+         probes AS (
+           SELECT id AS query_id, cid AS cent_id FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rn FROM sims WHERE id < 10)
+           WHERE rn <= $nProbe),
+         scored AS (
+           SELECT p.query_id, a.corpus_id,
+             ${f("ce", "qe")} / (sqrt(${f("qe", "qe")})
+               * sqrt(${f("ce", "ce")})) AS cos_sim
+           FROM probes p JOIN assigned a USING (cent_id)
+                JOIN e qe ON qe.id = p.query_id
+                JOIN e ce ON ce.id = a.corpus_id
+           WHERE p.query_id <> a.corpus_id),
+         r AS (SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, corpus_id) AS rk FROM scored)
+         SELECT query_id, corpus_id, rk FROM r WHERE rk <= $k"""
+    },
     "docs_dup_ngram_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
