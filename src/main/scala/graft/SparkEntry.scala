@@ -1232,7 +1232,10 @@ object SparkEntry {
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2,
         bitsPerBand = 4, bands = 32)),
     // SemDeDup: cluster-then-exact-compare semantic dedup; same 0.2 cut as
-    // dedup_embedding so the two scale paths anchor each other
+    // dedup_embedding so the two scale paths anchor each other.
+    // Hash-green as of r18: the fixed-point k-means makes training an
+    // engine-reproducible pure function, and the oracle replays the whole
+    // loop (xxhash64 init, 3 Lloyd steps, cosine argmax assignment)
     "dedup_semantic" -> ((s, d) =>
       Dedup.semanticPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2,
         k = 8, iters = 3)),
@@ -4903,6 +4906,93 @@ object SparkEntry {
     // kernel, and the TopKAggregator's total order (-score, id) as a
     // row_number — integer output (query, neighbor, rank) pinned by the
     // bit-exact float ordering underneath
+    // SemDeDup replay (r18): the ENTIRE training loop re-derived — the
+    // xxhash64-ordered k=8 init (centroid ids are 0..7 in pick order, the
+    // NearestCentroids tie-break order), THREE unrolled Lloyd steps where
+    // assignment is the NearestCentroids cosine argmax and the mean
+    // update is the engine's r18 FIXED-POINT coordinate sum (exact
+    // order-free longs of floor(x·2^40 + 0.5), then the same two-division
+    // double tree — this is what made distributed k-means an
+    // engine-reproducible pure function), empty clusters keeping their
+    // previous centroid, then within-cluster pairs at the round-4 cosine
+    // ≥ 0.2 cut. Bit-exact including the cosine payload.
+    "dedup_semantic" -> {
+      val dim = 64; val k = 8; val iters = 3
+      val M64 = "18446744073709551616"
+      val q = (1L << 40).toString + ".0"
+      val xxq = xxhashSql("vec_id", "(SELECT vec_id FROM embeddings)",
+        Seq("vec_id"))
+      def simsCte(cents: String, name: String) =
+        s"""$name AS (
+           SELECT e.id, c.cid,
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, ${dim + 1}),
+                 i -> CAST(e.v[i] AS DOUBLE) * c.cv[i])),
+               (a, x) -> a + x) / (e.vn * c.nc) AS sim
+           FROM e CROSS JOIN
+             (SELECT cid, cv,
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(range(1, ${dim + 1}), i -> cv[i] * cv[i])),
+                  (a, x) -> a + x)) AS nc
+              FROM $cents) c)"""
+      val steps = (1 to iters).map { it =>
+        s"""${simsCte(s"c${it - 1}", s"s$it")},
+         a$it AS (
+           SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rn FROM s$it) WHERE rn = 1),
+         u$it AS (
+           SELECT a.cid, u.pos,
+             CAST(CAST(sum(CAST(floor(CAST(e.v[u.pos] AS DOUBLE) * $q + 0.5)
+               AS BIGINT)) AS DOUBLE) / $q AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS c
+           FROM a$it a JOIN e ON e.id = a.id,
+                unnest(range(1, ${dim + 1})) u(pos)
+           GROUP BY 1, 2),
+         c$it AS MATERIALIZED (
+           SELECT g.cid, list(COALESCE(u.c, g.pc) ORDER BY g.pos) AS cv
+           FROM (SELECT p.cid, pp.pos, p.cv[pp.pos] AS pc
+                 FROM c${it - 1} p, unnest(range(1, ${dim + 1})) pp(pos)) g
+           LEFT JOIN u$it u ON u.cid = g.cid AND u.pos = g.pos
+           GROUP BY g.cid)"""
+      }.mkString(",\n         ")
+      def f(l: String, r: String) = cosFold(l, r, dim)
+      s"""WITH hx AS (SELECT vec_id,
+             CASE WHEN t >= 9223372036854775808
+                  THEN CAST(t - $M64 AS BIGINT)
+                  ELSE CAST(t AS BIGINT) END AS h
+           FROM $xxq),
+         c0 AS MATERIALIZED (
+           SELECT CAST(row_number() OVER (ORDER BY hx.h, e.vec_id) - 1
+                    AS BIGINT) AS cid,
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings e JOIN hx ON e.vec_id = hx.vec_id
+           ORDER BY hx.h, e.vec_id LIMIT $k),
+         e AS MATERIALIZED (
+           SELECT vec_id AS id, embedding AS v,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(range(1, ${dim + 1}),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE))),
+               (a, x) -> a + x)) AS vn
+           FROM embeddings),
+         $steps,
+         ${simsCte(s"c$iters", "sf")},
+         af AS MATERIALIZED (
+           SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rn FROM sf) WHERE rn = 1),
+         sz AS (SELECT cid, count(*) AS n FROM af GROUP BY 1),
+         keep AS (SELECT cid FROM sz WHERE n BETWEEN 2 AND 65536),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+             round(${f("l", "r")} / (sqrt(${f("l", "l")})
+               * sqrt(${f("r", "r")})), 4) AS cos_sim
+           FROM af a JOIN keep USING (cid)
+                JOIN af b ON a.cid = b.cid AND a.id < b.id
+                JOIN e l ON l.id = a.id JOIN e r ON r.id = b.id)
+         SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.2"""
+    },
     "ann_lsh" -> {
       val dim = 64; val bits = 6
       s"""WITH ${lshPlaneCtes(dim, bits)},

@@ -325,10 +325,13 @@ object Similarity {
     * sum whose result is ≤ k·dim rows, collected driver-side (the bounded
     * collect every distributed k-means makes; MLlib's does the same).
     * Clusters that lose all members keep their previous centroid.
-    * Within-iteration float sums are shuffle-order dependent, so exact
-    * bits can differ between runs on a nondeterministically-partitioned
-    * corpus — callers pin QUALITY (assignment agreement, inertia), not
-    * centroid bits.
+    * Round 18: the per-iteration coordinate sums run in FIXED-POINT
+    * integer (2^-40 units, see the inline note), so the whole training
+    * loop is an engine-reproducible pure function of (corpus, k, iters)
+    * on any partitioning — the dedup_semantic DuckDB oracle replays it
+    * bit-for-bit. Quality contracts (assignment agreement, inertia)
+    * continue to hold trivially: the quantization error is 2^-40 per
+    * coordinate.
     */
   private[operators] def kmeansCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int): (Array[Long], Array[Double], Int) = {
@@ -345,16 +348,29 @@ object Similarity {
     val ids = Array.tabulate(init.length)(_.toLong)
     var flat = init.flatMap(_.getSeq[Double](1)).toArray
     for (_ <- 1 to iters) {
+      // FIXED-POINT coordinate sums (r18, the pageRank/Adamic-Adar
+      // determinism idiom): a float `sum(x)` across partitions is a
+      // shuffle-order-dependent reduction, so centroid bits used to vary
+      // between runs. Quantizing each coordinate to 2^-40 units
+      // (x·2^40 is EXACT — power-of-two multiply — and floor(·+0.5) is
+      // Java Math.round's definition) makes the per-cluster sum an exact
+      // order-independent long; the mean is then a fixed two-division
+      // double tree. Quantization error ≤ 2^-40 per coordinate — far
+      // below any quality contract — and the whole training loop becomes
+      // an engine-reproducible pure function (the dedup_semantic oracle
+      // replays it).
+      val q = 1L << 40
       val assigned = corpus
         .select(element_at(nearestOf(col(vecCol), ids, flat, dim, 1), 1).as("cid"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
       val stats = assigned.groupBy(col("cid"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x") * lit(q.toDouble) + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect() // ≤ k·dim rows by construction
       val next = flat.clone() // empty clusters keep their centroid
       stats.foreach { r =>
         val (cid, pos) = (r.getLong(0).toInt, r.getInt(1))
-        next(cid * dim + pos) = r.getDouble(2) / r.getLong(3)
+        next(cid * dim + pos) = (r.getLong(2).toDouble / q) / r.getLong(3)
       }
       flat = next
     }
