@@ -1240,7 +1240,10 @@ object SparkEntry {
       Dedup.semanticPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.2,
         k = 8, iters = 3)),
     // distributed spherical k-means fit surfaced as a query: cluster sizes
-    // + centroid summary (rows-only: float means are iteration artifacts)
+    // + centroid summary. Hash-green as of r19: the r18 fixed-point Lloyd
+    // made training an engine-reproducible pure function — the oracle
+    // replays the loop (shared with dedup_semantic) and reads out the
+    // final codebook's norms + member counts
     "emb_kmeans" -> ((s, d) =>
       Similarity.kmeansFit(t(s, d, "embeddings"), "vec_id", "embedding",
           k = 8, iters = 3)
@@ -2309,6 +2312,16 @@ object SparkEntry {
     * share a boundary, and runs of identical symbols pair differently —
     * so the fold is the only faithful SQL expression. `lastV` names the
     * final vocabulary CTE for the token-stats oracle.
+    *
+    * PRECONDITION (r18 advice, documented like dedup_simhash's ASCII
+    * note): the fold uses chr(1)/chr(31) as out/pending sentinels and
+    * '</w>' as the end-of-word marker, so corpus text containing
+    * U+0001 or U+001F code points, or a literal '</w>' substring inside
+    * a token, would silently corrupt the replay. The test corpus
+    * satisfies all three by construction (verified: printable-ASCII
+    * tokens only, no angle brackets); a hostile corpus needs
+    * out-of-alphabet sentinels (e.g. per-symbol integer lists instead
+    * of joined strings).
     */
   private def bpeOracleCtes(nMerges: Int, withFinalVocab: Boolean): String = {
     val head =
@@ -2426,6 +2439,17 @@ object SparkEntry {
     * 32-bit-limb modular multiplies (the dedup_simhash oracle precedent).
     * Produces `t` = the UNSIGNED hash as HUGEINT; callers restore the
     * signed order for ORDER BY.
+    *
+    * PRECONDITION (r18 advice, documented like dedup_simhash's ASCII
+    * note): `inp` must be a NON-NEGATIVE BIGINT. The limb split
+    * (`x % 2^32`, `x // 2^32`) and the `% 2^64` reductions assume the
+    * unsigned 64-bit value equals the signed one, which holds only for
+    * x >= 0 — a negative id's two's-complement bits would hash
+    * differently here than in the engine's XxHash64. Every caller feeds
+    * a key column (`vec_id`, `doc_id`), all >= 0 in the test corpus by
+    * construction (verified); a signed corpus needs
+    * `CASE WHEN x < 0 THEN x + 2^64 END` normalization ahead of the
+    * first limb split.
     */
   private def xxhashSql(inp: String, src: String, cols: Seq[String]): String = {
     val M64 = BigInt(2).pow(64).toString
@@ -2461,6 +2485,86 @@ object SparkEntry {
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
        i -> CAST($l.v[i] AS DOUBLE) * CAST($r.v[i] AS DOUBLE))),
        (a, x) -> a + x)"""
+
+  /** The r18 fixed-point Lloyd replay, factored (r19) so dedup_semantic
+    * and emb_kmeans share it: CTE text re-deriving the ENTIRE
+    * kmeansCentroids training loop over `embeddings` — the
+    * xxhash64-ordered k-sample init (centroid ids 0..k-1 in pick order),
+    * `iters` unrolled Lloyd steps where assignment is the
+    * NearestCentroids cosine argmax (ties to the lower cid, its
+    * insertion order) and the mean update is the engine's FIXED-POINT
+    * coordinate sum (exact order-free longs of floor(x·2^40 + 0.5), then
+    * the same two-division double tree), empty clusters keeping their
+    * previous centroid. Emits CTEs: `hx` (signed xxhash64 of vec_id),
+    * `c0` (init codebook), `e` (corpus + norms), per-step s/a/u/c chains,
+    * `sf` (final sims) and `af` (the final assignment). Bit-exact — every
+    * float op is order-pinned IEEE.
+    */
+  private def kmeansReplayCtes(dim: Int, k: Int, iters: Int): String = {
+    val M64 = "18446744073709551616"
+    val q = (1L << 40).toString + ".0"
+    val xxq = xxhashSql("vec_id", "(SELECT vec_id FROM embeddings)",
+      Seq("vec_id"))
+    def simsCte(cents: String, name: String) =
+      s"""$name AS (
+         SELECT e.id, c.cid,
+           list_reduce(list_prepend(0.0,
+             list_transform(range(1, ${dim + 1}),
+               i -> CAST(e.v[i] AS DOUBLE) * c.cv[i])),
+             (a, x) -> a + x) / (e.vn * c.nc) AS sim
+         FROM e CROSS JOIN
+           (SELECT cid, cv,
+              sqrt(list_reduce(list_prepend(0.0,
+                list_transform(range(1, ${dim + 1}), i -> cv[i] * cv[i])),
+                (a, x) -> a + x)) AS nc
+            FROM $cents) c)"""
+    val steps = (1 to iters).map { it =>
+      s"""${simsCte(s"c${it - 1}", s"s$it")},
+         a$it AS (
+           SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rn FROM s$it) WHERE rn = 1),
+         u$it AS (
+           SELECT a.cid, u.pos,
+             CAST(CAST(sum(CAST(floor(CAST(e.v[u.pos] AS DOUBLE) * $q + 0.5)
+               AS BIGINT)) AS DOUBLE) / $q AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS c
+           FROM a$it a JOIN e ON e.id = a.id,
+                unnest(range(1, ${dim + 1})) u(pos)
+           GROUP BY 1, 2),
+         c$it AS MATERIALIZED (
+           SELECT g.cid, list(COALESCE(u.c, g.pc) ORDER BY g.pos) AS cv
+           FROM (SELECT p.cid, pp.pos, p.cv[pp.pos] AS pc
+                 FROM c${it - 1} p, unnest(range(1, ${dim + 1})) pp(pos)) g
+           LEFT JOIN u$it u ON u.cid = g.cid AND u.pos = g.pos
+           GROUP BY g.cid)"""
+    }.mkString(",\n         ")
+    s"""hx AS (SELECT vec_id,
+             CASE WHEN t >= 9223372036854775808
+                  THEN CAST(t - $M64 AS BIGINT)
+                  ELSE CAST(t AS BIGINT) END AS h
+           FROM $xxq),
+         c0 AS MATERIALIZED (
+           SELECT CAST(row_number() OVER (ORDER BY hx.h, e.vec_id) - 1
+                    AS BIGINT) AS cid,
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings e JOIN hx ON e.vec_id = hx.vec_id
+           ORDER BY hx.h, e.vec_id LIMIT $k),
+         e AS MATERIALIZED (
+           SELECT vec_id AS id, embedding AS v,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(range(1, ${dim + 1}),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE))),
+               (a, x) -> a + x)) AS vn
+           FROM embeddings),
+         $steps,
+         ${simsCte(s"c$iters", "sf")},
+         af AS MATERIALIZED (
+           SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rn FROM sf) WHERE rn = 1)"""
+  }
 
   def oracleSql: Map[String, String] = uniqueMap(
     "q1_pricing_summary" ->
@@ -4883,7 +4987,10 @@ object SparkEntry {
       s"""WITH ${lshPlaneCtes(dim, bits * bands)},
          bk AS MATERIALIZED (
            SELECT id, CAST(b // $bits AS INT) AS band,
-             CAST(sum(CASE WHEN d >= 0
+             -- NOT isnan: Java's `dot >= 0.0` is FALSE for NaN while
+             -- DuckDB orders NaN above all values (r18 advice) — explicit
+             -- so a NaN embedding buckets identically in both engines
+             CAST(sum(CASE WHEN d >= 0 AND NOT isnan(d)
                THEN (1 << CAST(b % $bits AS INT)) ELSE 0 END) AS INT)
                AS bucket
            FROM dots GROUP BY 1, 2),
@@ -4918,70 +5025,8 @@ object SparkEntry {
     // ≥ 0.2 cut. Bit-exact including the cosine payload.
     "dedup_semantic" -> {
       val dim = 64; val k = 8; val iters = 3
-      val M64 = "18446744073709551616"
-      val q = (1L << 40).toString + ".0"
-      val xxq = xxhashSql("vec_id", "(SELECT vec_id FROM embeddings)",
-        Seq("vec_id"))
-      def simsCte(cents: String, name: String) =
-        s"""$name AS (
-           SELECT e.id, c.cid,
-             list_reduce(list_prepend(0.0,
-               list_transform(range(1, ${dim + 1}),
-                 i -> CAST(e.v[i] AS DOUBLE) * c.cv[i])),
-               (a, x) -> a + x) / (e.vn * c.nc) AS sim
-           FROM e CROSS JOIN
-             (SELECT cid, cv,
-                sqrt(list_reduce(list_prepend(0.0,
-                  list_transform(range(1, ${dim + 1}), i -> cv[i] * cv[i])),
-                  (a, x) -> a + x)) AS nc
-              FROM $cents) c)"""
-      val steps = (1 to iters).map { it =>
-        s"""${simsCte(s"c${it - 1}", s"s$it")},
-         a$it AS (
-           SELECT id, cid FROM (
-             SELECT id, cid, row_number() OVER (PARTITION BY id
-               ORDER BY sim DESC, cid) AS rn FROM s$it) WHERE rn = 1),
-         u$it AS (
-           SELECT a.cid, u.pos,
-             CAST(CAST(sum(CAST(floor(CAST(e.v[u.pos] AS DOUBLE) * $q + 0.5)
-               AS BIGINT)) AS DOUBLE) / $q AS DOUBLE)
-               / CAST(count(*) AS DOUBLE) AS c
-           FROM a$it a JOIN e ON e.id = a.id,
-                unnest(range(1, ${dim + 1})) u(pos)
-           GROUP BY 1, 2),
-         c$it AS MATERIALIZED (
-           SELECT g.cid, list(COALESCE(u.c, g.pc) ORDER BY g.pos) AS cv
-           FROM (SELECT p.cid, pp.pos, p.cv[pp.pos] AS pc
-                 FROM c${it - 1} p, unnest(range(1, ${dim + 1})) pp(pos)) g
-           LEFT JOIN u$it u ON u.cid = g.cid AND u.pos = g.pos
-           GROUP BY g.cid)"""
-      }.mkString(",\n         ")
       def f(l: String, r: String) = cosFold(l, r, dim)
-      s"""WITH hx AS (SELECT vec_id,
-             CASE WHEN t >= 9223372036854775808
-                  THEN CAST(t - $M64 AS BIGINT)
-                  ELSE CAST(t AS BIGINT) END AS h
-           FROM $xxq),
-         c0 AS MATERIALIZED (
-           SELECT CAST(row_number() OVER (ORDER BY hx.h, e.vec_id) - 1
-                    AS BIGINT) AS cid,
-                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv
-           FROM embeddings e JOIN hx ON e.vec_id = hx.vec_id
-           ORDER BY hx.h, e.vec_id LIMIT $k),
-         e AS MATERIALIZED (
-           SELECT vec_id AS id, embedding AS v,
-             sqrt(list_reduce(list_prepend(0.0,
-               list_transform(range(1, ${dim + 1}),
-                 i -> CAST(embedding[i] AS DOUBLE)
-                    * CAST(embedding[i] AS DOUBLE))),
-               (a, x) -> a + x)) AS vn
-           FROM embeddings),
-         $steps,
-         ${simsCte(s"c$iters", "sf")},
-         af AS MATERIALIZED (
-           SELECT id, cid FROM (
-             SELECT id, cid, row_number() OVER (PARTITION BY id
-               ORDER BY sim DESC, cid) AS rn FROM sf) WHERE rn = 1),
+      s"""WITH ${kmeansReplayCtes(dim, k, iters)},
          sz AS (SELECT cid, count(*) AS n FROM af GROUP BY 1),
          keep AS (SELECT cid FROM sz WHERE n BETWEEN 2 AND 65536),
          pairs AS (
@@ -4993,11 +5038,27 @@ object SparkEntry {
                 JOIN e l ON l.id = a.id JOIN e r ON r.id = b.id)
          SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.2"""
     },
+    // the k-means READOUT itself (r19): the same shared Lloyd replay as
+    // dedup_semantic, then per-centroid member counts off the final
+    // assignment (empty clusters keep a 0 via the left join — kmeansFit's
+    // coalesce) and the engine's l2Norm fold over the final codebook
+    "emb_kmeans" -> {
+      val dim = 64
+      s"""WITH ${kmeansReplayCtes(dim, 8, 3)},
+         sz AS (SELECT cid, count(*) AS n FROM af GROUP BY 1)
+         SELECT c.cid AS centroid_id,
+                CAST(coalesce(sz.n, 0) AS BIGINT) AS n_members,
+                round(sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(range(1, ${dim + 1}),
+                    i -> c.cv[i] * c.cv[i])),
+                  (a, x) -> a + x)), 4) AS centroid_norm
+         FROM c3 c LEFT JOIN sz ON sz.cid = c.cid"""
+    },
     "ann_lsh" -> {
       val dim = 64; val bits = 6
       s"""WITH ${lshPlaneCtes(dim, bits)},
          bk AS MATERIALIZED (
-           SELECT id, CAST(sum(CASE WHEN d >= 0
+           SELECT id, CAST(sum(CASE WHEN d >= 0 AND NOT isnan(d)
              THEN (1 << CAST(b AS INT)) ELSE 0 END) AS INT) AS bucket
            FROM dots GROUP BY 1),
          scored AS (
@@ -5029,7 +5090,7 @@ object SparkEntry {
            i -> $expr)), (a, x) -> a + x)"""
       s"""WITH ${lshPlaneCtes(dim, bits)},
          bk AS MATERIALIZED (
-           SELECT id, CAST(sum(CASE WHEN d >= 0
+           SELECT id, CAST(sum(CASE WHEN d >= 0 AND NOT isnan(d)
              THEN (1 << CAST(b AS INT)) ELSE 0 END) AS INT) AS bucket
            FROM dots GROUP BY 1),
          q8 AS MATERIALIZED (

@@ -511,6 +511,12 @@ object StressHarness {
     require(runner.cfg.tables.exists(_.name == churn.table),
       s"table ${churn.table} is not configured in mirror ${runner.cfg.mirror}")
     val landingDir = s"${runner.cfg.targetDir}/frames_landing"
+    // create up front (r18 advice): if every generator batch before the
+    // first sync failed its landing write, the readStream below would
+    // otherwise throw path-not-found and mask the generator failures
+    val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+    landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(landingPath)
     val gen = new FrameChurnGenerator(spark, churn, landingDir)
     def frameStream: DataFrame = spark.readStream
       .schema(StructType(Seq(StructField("data", BinaryType))))
@@ -595,7 +601,16 @@ object StressHarness {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    val mirrorRows = runner.readFinal(table).count()
+    // an absent mirror dir is "nothing captured yet", not an error: the
+    // convergence pollers (StressSpec's lagZero loops) call analyze WHILE
+    // MirrorRunner.start's first round races them, and on a loaded box the
+    // first capture commit can land after the first poll
+    val mirrorRows =
+      try runner.readFinal(table).count()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") => 0L
+      }
     val sinkRows = runner.cfg.sinkUrl.map { sink =>
       val target = runner.cfg.tables.find(_.name == table).get.target
       spark.read.jdbc(sink, target, props).count()
