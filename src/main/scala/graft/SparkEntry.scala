@@ -1317,8 +1317,10 @@ object SparkEntry {
     // a k-means-refined codebook (recall >= the sampled pick, spec-pinned)
     // + int8-packed per-centroid assignment lists once; probe reads only
     // the probed c=J partitions — a standing corpus queried for weeks never
-    // re-assigns per call (rows-only; bit-equality to ivfTopK spec-pinned
-    // at kmeansIters=0/float store)
+    // re-assigns per call. Hash-green as of r19: the refinement Lloyd runs
+    // driver-sequentially over the hash-ordered sample, so the oracle
+    // replays it with ORDER-PINNED float folds (create → refine → int8
+    // pack → probe, end to end)
     "ann_ivf_indexed" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       IvfIndex.create(embs, "vec_id", "embedding", indexScratch)
@@ -5037,6 +5039,113 @@ object SparkEntry {
                 JOIN af b ON a.cid = b.cid AND a.id < b.id
                 JOIN e l ON l.id = a.id JOIN e r ON r.id = b.id)
          SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.2"""
+    },
+    // the PERSISTED IVF lifecycle's replay (r19): the ENTIRE create →
+    // refine → pack → probe chain re-derived. The codebook init is the
+    // xxhash64-ordered 256-sample (ann_ivf's pick); 4 Lloyd refinement
+    // iterations run DRIVER-SEQUENTIALLY in the engine (IvfIndex.create:
+    // s(i) += v(i) over the sample in hash order), so the oracle's mean
+    // update is an ORDER-PINNED float fold over members by sample rank —
+    // the ordered-fold idiom, where the distributed kmeansCentroids
+    // needed fixed-point. Assignment is the NearestCentroids cosine
+    // argmax (ties to the lower id); postings are PackInt8 codes
+    // (scale = max|x|/127 — order-free max — then Java Math.round's
+    // floor(x/scale + 0.5)); probes take the top-nProbe=4 lists and score
+    // through the Int8CosineSim fold; the TopKAggregator total order
+    // (-score, id) pins rk. Every float op is order-pinned IEEE.
+    "ann_ivf_indexed" -> {
+      val dim = 64; val nc = 256; val iters = 4; val nProbe = 4; val k = 5
+      val M64 = "18446744073709551616"
+      val xxq = xxhashSql("vec_id", "(SELECT vec_id FROM embeddings)",
+        Seq("vec_id"))
+      val rng = s"range(1, ${dim + 1})"
+      def normFold(l: String) =
+        s"""sqrt(list_reduce(list_prepend(0.0,
+           list_transform($rng, i -> $l.cv[i] * $l.cv[i])),
+           (ac, x) -> ac + x))"""
+      val steps = (1 to iters).map { it =>
+        s"""n$it AS (SELECT cid, cv, ${normFold(s"k${it - 1}")} AS nc
+             FROM k${it - 1}),
+         s$it AS (
+           SELECT m.rn, c.cid,
+             list_reduce(list_prepend(0.0,
+               list_transform($rng, i -> m.v[i] * c.cv[i])),
+               (ac, x) -> ac + x) / (m.vn * c.nc) AS sim
+           FROM smp m CROSS JOIN n$it c),
+         a$it AS (
+           SELECT rn, cid FROM (
+             SELECT rn, cid, row_number() OVER (PARTITION BY rn
+               ORDER BY sim DESC, cid) AS rk FROM s$it) WHERE rk = 1),
+         u$it AS (
+           SELECT a.cid, p.pos,
+             list_reduce(list_prepend(0.0, list(m.v[p.pos] ORDER BY m.rn)),
+               (ac, x) -> ac + x) / CAST(count(*) AS DOUBLE) AS c
+           FROM a$it a JOIN smp m USING (rn), unnest($rng) p(pos)
+           GROUP BY 1, 2),
+         k$it AS MATERIALIZED (
+           SELECT g.cid, list(COALESCE(u.c, g.pc) ORDER BY g.pos) AS cv
+           FROM (SELECT p.cid, pp.pos, p.cv[pp.pos] AS pc
+                 FROM k${it - 1} p, unnest($rng) pp(pos)) g
+           LEFT JOIN u$it u ON u.cid = g.cid AND u.pos = g.pos
+           GROUP BY g.cid)"""
+      }.mkString(",\n         ")
+      def foldc(expr: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform($rng,
+           i -> $expr)), (ac, x) -> ac + x)"""
+      s"""WITH hx AS (SELECT vec_id,
+             CASE WHEN t >= 9223372036854775808
+                  THEN CAST(t - $M64 AS BIGINT)
+                  ELSE CAST(t AS BIGINT) END AS h
+           FROM $xxq),
+         smp AS MATERIALIZED (
+           SELECT e.vec_id AS id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform($rng, i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE))), (ac, x) -> ac + x)) AS vn,
+             row_number() OVER (ORDER BY hx.h, e.vec_id) AS rn
+           FROM embeddings e JOIN hx ON e.vec_id = hx.vec_id),
+         k0 AS MATERIALIZED (
+           SELECT id AS cid, v AS cv FROM smp WHERE rn <= $nc),
+         $steps,
+         nf AS (SELECT cid, cv, ${normFold(s"k$iters")} AS nc FROM k$iters),
+         simf AS MATERIALIZED (
+           SELECT m.id, c.cid,
+             list_reduce(list_prepend(0.0,
+               list_transform($rng, i -> m.v[i] * c.cv[i])),
+               (ac, x) -> ac + x) / (m.vn * c.nc) AS sim
+           FROM smp m CROSS JOIN nf c),
+         asg AS MATERIALIZED (
+           SELECT id AS corpus_id, cid AS c FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rk FROM simf) WHERE rk = 1),
+         pr AS (
+           SELECT id AS query_id, cid AS c FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rk FROM simf WHERE id < 10)
+           WHERE rk <= $nProbe),
+         q8 AS MATERIALIZED (
+           SELECT id,
+             CASE WHEN mx = 0.0
+                  THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> floor(x / (mx / 127.0) + 0.5))
+             END AS cd
+           FROM (SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+                 FROM smp)),
+         scored AS (
+           SELECT p.query_id, a.corpus_id,
+             ${foldc("ce.cd[i] * qe.v[i]")}
+               / (sqrt(${foldc("ce.cd[i] * ce.cd[i]")})
+                  * sqrt(${foldc("qe.v[i] * qe.v[i]")})) AS cos_sim
+           FROM pr p JOIN asg a USING (c)
+                JOIN smp qe ON qe.id = p.query_id
+                JOIN q8 ce ON ce.id = a.corpus_id
+           WHERE p.query_id <> a.corpus_id),
+         r AS (SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, corpus_id) AS rk
+               FROM scored)
+         SELECT query_id, corpus_id, rk FROM r WHERE rk <= $k"""
     },
     // the k-means READOUT itself (r19): the same shared Lloyd replay as
     // dedup_semantic, then per-centroid member counts off the final
