@@ -1307,11 +1307,24 @@ object SparkEntry {
     // product quantization (Jégou PQ/ADC): corpus compressed to m=8 bytes
     // per 64-dim vector (32x vs float), candidates scored via per-query
     // lookup tables — m adds per candidate, never a dim-length dot; the
-    // only shuffle is the nq·k rank merge (rows-only; recall vs brute
-    // force + determinism across partitionings spec-pinned)
+    // only shuffle is the nq·k rank merge. Hash-green as of r19 (plain
+    // unrotated PQ — every float op is an ordered fold the oracle
+    // replays: sub-k-means training, encode, LUT build, ADC score);
+    // the OPQ-rotated variant ships as ann_pq_opq below
     "ann_pq" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
-      Similarity.pqTopK(embs, embs.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+      Similarity.pqTopK(embs, embs.where(col("vec_id") < 10), "vec_id",
+        "embedding", 5, rotate = false)
+    }),
+    // the OPQ-lite variant (Ge CVPR 2013 reduced to its PCA special case):
+    // the training sample's principal axes interleaved across subspaces
+    // before the split — same ADC kernels on rotated inputs (rows-only:
+    // the rotation is a driver-side Jacobi eigensolve, not an ordered
+    // fold; rotated-recall >= unrotated-recall is spec-pinned)
+    "ann_pq_opq" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      Similarity.pqTopK(embs, embs.where(col("vec_id") < 10), "vec_id",
+        "embedding", 5)
     }),
     // the PERSISTED lifecycle of the same search (IvfIndex): create freezes
     // a k-means-refined codebook (recall >= the sampled pick, spec-pinned)
@@ -5292,6 +5305,110 @@ object SparkEntry {
          r AS (SELECT query_id, corpus_id,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, corpus_id) AS rk FROM scored)
+         SELECT query_id, corpus_id, rk FROM r WHERE rk <= $k"""
+    },
+    // plain-PQ ADC replay (r19): the ENTIRE pqTopK pipeline at
+    // rotate=false re-derived — the xxhash64-ordered training sample
+    // (sampleN=1024 >= corpus, so it is the whole corpus in hash order),
+    // per-subspace sub-k-means (init = first ksub sample subvectors in
+    // hash order; 5 Lloyd steps with the L2 d2 fold, strict < → lowest
+    // code on ties, ORDER-PINNED member-sum folds by sample rank — the
+    // driver loop is sequential, the ann_ivf_indexed idiom), PqEncode's
+    // identical argmin over the frozen codebooks, the per-query LUT
+    // sub-dot folds, the ADC score s/(‖q‖·√Σ‖cb‖²) with its
+    // denom-positive guard, and the TopKAggregator total order.
+    "ann_pq" -> {
+      val m = 8; val ksub = 16; val dsub = 8; val iters = 5; val k = 5
+      val M64 = "18446744073709551616"
+      val xxq = xxhashSql("vec_id", "(SELECT vec_id FROM embeddings)",
+        Seq("vec_id"))
+      val rs = s"range(1, ${dsub + 1})"
+      def d2Fold(s: String, p: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform($rs,
+           d -> ($s.sv[d] - $p.cv[d]) * ($s.sv[d] - $p.cv[d]))),
+           (ac, x) -> ac + x)"""
+      val steps = (1 to iters).map { it =>
+        s"""d$it AS (
+           SELECT s.rn, s.j, p.c, ${d2Fold("s", "p")} AS d2
+           FROM sub s JOIN p${it - 1} p ON p.j = s.j),
+         b$it AS (
+           SELECT rn, j, c FROM (
+             SELECT rn, j, c, row_number() OVER (PARTITION BY rn, j
+               ORDER BY d2, c) AS rk FROM d$it) WHERE rk = 1),
+         m$it AS (
+           SELECT b.j, b.c, p.pos,
+             list_reduce(list_prepend(0.0, list(s.sv[p.pos] ORDER BY s.rn)),
+               (ac, x) -> ac + x) / CAST(count(*) AS DOUBLE) AS m
+           FROM b$it b JOIN sub s ON s.rn = b.rn AND s.j = b.j,
+                unnest($rs) p(pos)
+           GROUP BY 1, 2, 3),
+         p$it AS MATERIALIZED (
+           SELECT g.j, g.c, list(COALESCE(m.m, g.pc) ORDER BY g.pos) AS cv
+           FROM (SELECT p.j, p.c, pp.pos, p.cv[pp.pos] AS pc
+                 FROM p${it - 1} p, unnest($rs) pp(pos)) g
+           LEFT JOIN m$it m ON m.j = g.j AND m.c = g.c AND m.pos = g.pos
+           GROUP BY g.j, g.c)"""
+      }.mkString(",\n         ")
+      s"""WITH hx AS (SELECT vec_id,
+             CASE WHEN t >= 9223372036854775808
+                  THEN CAST(t - $M64 AS BIGINT)
+                  ELSE CAST(t AS BIGINT) END AS h
+           FROM $xxq),
+         smp AS MATERIALIZED (
+           SELECT e.vec_id AS id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(range(1, ${m * dsub + 1}),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE))), (ac, x) -> ac + x))
+               AS vn,
+             row_number() OVER (ORDER BY hx.h, e.vec_id) AS rn
+           FROM embeddings e JOIN hx ON e.vec_id = hx.vec_id),
+         sub AS MATERIALIZED (
+           SELECT rn, id, j,
+             list_transform($rs, d -> v[j * $dsub + d]) AS sv
+           FROM smp, unnest(range(0, $m)) jj(j)),
+         p0 AS MATERIALIZED (
+           SELECT j, rn - 1 AS c, sv AS cv FROM sub WHERE rn <= $ksub),
+         $steps,
+         enc AS MATERIALIZED (
+           SELECT rn, id, j, c FROM (
+             SELECT s.rn, s.id, s.j, p.c,
+               row_number() OVER (PARTITION BY s.rn, s.j
+                 ORDER BY ${d2Fold("s", "p")}, p.c) AS rk
+             FROM sub s JOIN p$iters p ON p.j = s.j) WHERE rk = 1),
+         cn2 AS (
+           SELECT j, c,
+             list_reduce(list_prepend(0.0,
+               list_transform($rs, d -> cv[d] * cv[d])),
+               (ac, x) -> ac + x) AS n2
+           FROM p$iters),
+         lut AS MATERIALIZED (
+           SELECT q.id AS qid, p.j, p.c,
+             list_reduce(list_prepend(0.0,
+               list_transform($rs, d -> q.v[p.j * $dsub + d] * p.cv[d])),
+               (ac, x) -> ac + x) AS s
+           FROM (SELECT id, v FROM smp WHERE id < 10) q
+           CROSS JOIN p$iters p),
+         sc AS (
+           SELECT l.qid AS query_id, e.id AS corpus_id,
+             list_reduce(list_prepend(0.0, list(l.s ORDER BY l.j)),
+               (ac, x) -> ac + x) AS dot,
+             list_reduce(list_prepend(0.0, list(n.n2 ORDER BY e.j)),
+               (ac, x) -> ac + x) AS recon2
+           FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.c
+                JOIN cn2 n ON n.j = e.j AND n.c = e.c
+           WHERE l.qid <> e.id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT query_id, corpus_id,
+             CASE WHEN qe.vn * sqrt(recon2) > 0
+                  THEN dot / (qe.vn * sqrt(recon2)) ELSE 0.0 END AS cos_sim
+           FROM sc JOIN smp qe ON qe.id = sc.query_id),
+         r AS (SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, corpus_id) AS rk
+               FROM scored)
          SELECT query_id, corpus_id, rk FROM r WHERE rk <= $k"""
     },
     "docs_dup_ngram_spans" ->

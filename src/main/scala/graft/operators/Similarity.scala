@@ -588,16 +588,20 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-             sampleN: Int = 1024, iters: Int = 5): DataFrame = {
+             sampleN: Int = 1024, iters: Int = 5,
+             rotate: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nonEmpty = corpus.select(col(idCol)).limit(1).count() > 0
     if (!nonEmpty) return bruteForceTopK(corpus, queries, idCol, vecCol, k)
     // OPQ-lite rotation by default (see opqRotation): orthogonal, so the
     // ADC math below is IDENTICAL on rotated inputs — only the
-    // quantization cells align better with the data's principal axes
+    // quantization cells align better with the data's principal axes.
+    // `rotate = false` is plain Jégou PQ — every float op then derives
+    // from pure ordered folds (no Jacobi eigensolve), which is what lets
+    // the ann_pq DuckDB oracle replay the whole pipeline bit-for-bit.
     val (mdl, rot) = pqTrainRotated(corpus, idCol, vecCol, m, ksub,
-      sampleN, iters)
+      sampleN, iters, rotate)
     val qRows = queries
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
