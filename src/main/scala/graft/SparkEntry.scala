@@ -1295,9 +1295,23 @@ object SparkEntry {
     }),
     // the PERSISTED IVFADC lifecycle: IVF prunes the probed lists, ADC
     // scores m-byte PQ codes off the frozen sub-codebooks — 8 bytes per
-    // posting (32x vs float), probe IO independent of corpus size
-    // (rows-only; recall + reload bit-equality + append spec-pinned)
+    // posting (32x vs float), probe IO independent of corpus size.
+    // Hash-green as of r19 at pqRotate=false (classic residual IVFADC,
+    // Jégou §IV-A): coarse refine + residual sub-k-means + PqEncode +
+    // PqResidualCosineSim are all ordered folds the oracle replays; the
+    // OPQ-rotated lifecycle ships as ann_pq_indexed_opq below
     "ann_pq_indexed" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val idx = IvfIndex.create(embs, "vec_id", "embedding", indexScratch,
+        numCentroids = 32, kmeansIters = 2, pqM = 8, pqRotate = false)
+      idx.probe(embs.where(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nProbe = 8)
+    }),
+    // the same persisted IVFADC with the fmt-6 default OPQ-lite rotation
+    // (codes quantize the ROTATED residual; probes rotate once) —
+    // rows-only: the rotation is a Jacobi eigensolve (see ann_pq_opq);
+    // rotated-recall >= unrotated + reload bit-equality spec-pinned
+    "ann_pq_indexed_opq" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
       val idx = IvfIndex.create(embs, "vec_id", "embedding", indexScratch,
         numCentroids = 32, kmeansIters = 2, pqM = 8)
@@ -2579,6 +2593,114 @@ object SparkEntry {
            SELECT id, cid FROM (
              SELECT id, cid, row_number() OVER (PARTITION BY id
                ORDER BY sim DESC, cid) AS rn FROM sf) WHERE rn = 1)"""
+  }
+
+
+  /** One 0.0-seeded left fold — THE IEEE-order primitive the ANN replays
+    * build on (CosineSim / NearestCentroids / PqEncode / the driver-side
+    * Lloyd loops all accumulate ascending from a 0.0 init). */
+  private def fold0(items: String): String =
+    s"""list_reduce(list_prepend(0.0, $items), (ac, x) -> ac + x)"""
+
+  /** The engine's l2-norm fold over a codebook column `$l.cv`. */
+  private def normFoldSql(l: String, dim: Int): String =
+    s"sqrt(${fold0(s"list_transform(range(1, ${dim + 1}), i -> $l.cv[i] * $l.cv[i])")})"
+
+  /** PqEncode's squared-L2 fold between subvector `$s.sv` and code `$p.cv`. */
+  private def pqD2Fold(dsub: Int, s: String, p: String): String =
+    fold0(s"""list_transform(range(1, ${dsub + 1}),
+       d -> ($s.sv[d] - $p.cv[d]) * ($s.sv[d] - $p.cv[d]))""")
+
+  /** Shared CTE text for the ANN replays (r19): `hx` = signed xxhash64 of
+    * vec_id; `smp` = the corpus in the engine's hash order with rank `rn`
+    * — the order IvfIndex.create/pqTrain freeze their training sample
+    * from AND the order their driver-sequential accumulations visit rows
+    * in — plus double-cast vectors and the ascending norm fold `vn`. */
+  private def embSampleCtes(dim: Int): String = {
+    val M64 = "18446744073709551616"
+    val xxq = xxhashSql("vec_id", "(SELECT vec_id FROM embeddings)",
+      Seq("vec_id"))
+    s"""hx AS (SELECT vec_id,
+             CASE WHEN t >= 9223372036854775808
+                  THEN CAST(t - $M64 AS BIGINT)
+                  ELSE CAST(t AS BIGINT) END AS h
+           FROM $xxq),
+         smp AS MATERIALIZED (
+           SELECT e.vec_id AS id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(range(1, ${dim + 1}),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE))), (ac, x) -> ac + x))
+               AS vn,
+             row_number() OVER (ORDER BY hx.h, e.vec_id) AS rn
+           FROM embeddings e JOIN hx ON e.vec_id = hx.vec_id)"""
+  }
+
+  /** IvfIndex.create's coarse k-means refinement as CTE text (r19):
+    * `iters` Lloyd steps over `smp` starting from codebook CTE `k0`
+    * (cid, cv) — cosine argmax assignment (ties to the lower cid), then
+    * ORDER-PINNED member-sum float folds by sample rank (the engine loop
+    * is driver-sequential in hash order), empty clusters keeping their
+    * vector. Callers read `k$iters`. */
+  private def ivfCoarseSteps(dim: Int, iters: Int): String = {
+    val rng = s"range(1, ${dim + 1})"
+    (1 to iters).map { it =>
+      s"""n$it AS (SELECT cid, cv, ${normFoldSql(s"k${it - 1}", dim)} AS nc
+             FROM k${it - 1}),
+         s$it AS (
+           SELECT m.rn, c.cid,
+             ${fold0(s"list_transform($rng, i -> m.v[i] * c.cv[i])")}
+               / (m.vn * c.nc) AS sim
+           FROM smp m CROSS JOIN n$it c),
+         a$it AS (
+           SELECT rn, cid FROM (
+             SELECT rn, cid, row_number() OVER (PARTITION BY rn
+               ORDER BY sim DESC, cid) AS rk FROM s$it) WHERE rk = 1),
+         u$it AS (
+           SELECT a.cid, p.pos,
+             ${fold0("list(m.v[p.pos] ORDER BY m.rn)")}
+               / CAST(count(*) AS DOUBLE) AS c
+           FROM a$it a JOIN smp m USING (rn), unnest($rng) p(pos)
+           GROUP BY 1, 2),
+         k$it AS MATERIALIZED (
+           SELECT g.cid, list(COALESCE(u.c, g.pc) ORDER BY g.pos) AS cv
+           FROM (SELECT p.cid, pp.pos, p.cv[pp.pos] AS pc
+                 FROM k${it - 1} p, unnest($rng) pp(pos)) g
+           LEFT JOIN u$it u ON u.cid = g.cid AND u.pos = g.pos
+           GROUP BY g.cid)"""
+    }.mkString(",\n         ")
+  }
+
+  /** pqFit's per-subspace sub-k-means as CTE text (r19): `iters` Lloyd
+    * steps over subvector CTE `sub` (rn, id, j, sv) from init `p0`
+    * (j, c, cv) — L2 d2 folds with strict-< lowest-code ties, ordered
+    * member-sum folds by sample rank, empty codes keeping their vector.
+    * Callers read `p$iters`. */
+  private def pqFitSteps(dsub: Int, iters: Int): String = {
+    val rs = s"range(1, ${dsub + 1})"
+    (1 to iters).map { it =>
+      s"""d$it AS (
+           SELECT s.rn, s.j, p.c, ${pqD2Fold(dsub, "s", "p")} AS d2
+           FROM sub s JOIN p${it - 1} p ON p.j = s.j),
+         b$it AS (
+           SELECT rn, j, c FROM (
+             SELECT rn, j, c, row_number() OVER (PARTITION BY rn, j
+               ORDER BY d2, c) AS rk FROM d$it) WHERE rk = 1),
+         m$it AS (
+           SELECT b.j, b.c, p.pos,
+             ${fold0("list(s.sv[p.pos] ORDER BY s.rn)")}
+               / CAST(count(*) AS DOUBLE) AS m
+           FROM b$it b JOIN sub s ON s.rn = b.rn AND s.j = b.j,
+                unnest($rs) p(pos)
+           GROUP BY 1, 2, 3),
+         p$it AS MATERIALIZED (
+           SELECT g.j, g.c, list(COALESCE(m.m, g.pc) ORDER BY g.pos) AS cv
+           FROM (SELECT p.j, p.c, pp.pos, p.cv[pp.pos] AS pc
+                 FROM p${it - 1} p, unnest($rs) pp(pos)) g
+           LEFT JOIN m$it m ON m.j = g.j AND m.c = g.c AND m.pos = g.pos
+           GROUP BY g.j, g.c)"""
+    }.mkString(",\n         ")
   }
 
   def oracleSql: Map[String, String] = uniqueMap(
@@ -5068,65 +5190,17 @@ object SparkEntry {
     // (-score, id) pins rk. Every float op is order-pinned IEEE.
     "ann_ivf_indexed" -> {
       val dim = 64; val nc = 256; val iters = 4; val nProbe = 4; val k = 5
-      val M64 = "18446744073709551616"
-      val xxq = xxhashSql("vec_id", "(SELECT vec_id FROM embeddings)",
-        Seq("vec_id"))
       val rng = s"range(1, ${dim + 1})"
-      def normFold(l: String) =
-        s"""sqrt(list_reduce(list_prepend(0.0,
-           list_transform($rng, i -> $l.cv[i] * $l.cv[i])),
-           (ac, x) -> ac + x))"""
-      val steps = (1 to iters).map { it =>
-        s"""n$it AS (SELECT cid, cv, ${normFold(s"k${it - 1}")} AS nc
-             FROM k${it - 1}),
-         s$it AS (
-           SELECT m.rn, c.cid,
-             list_reduce(list_prepend(0.0,
-               list_transform($rng, i -> m.v[i] * c.cv[i])),
-               (ac, x) -> ac + x) / (m.vn * c.nc) AS sim
-           FROM smp m CROSS JOIN n$it c),
-         a$it AS (
-           SELECT rn, cid FROM (
-             SELECT rn, cid, row_number() OVER (PARTITION BY rn
-               ORDER BY sim DESC, cid) AS rk FROM s$it) WHERE rk = 1),
-         u$it AS (
-           SELECT a.cid, p.pos,
-             list_reduce(list_prepend(0.0, list(m.v[p.pos] ORDER BY m.rn)),
-               (ac, x) -> ac + x) / CAST(count(*) AS DOUBLE) AS c
-           FROM a$it a JOIN smp m USING (rn), unnest($rng) p(pos)
-           GROUP BY 1, 2),
-         k$it AS MATERIALIZED (
-           SELECT g.cid, list(COALESCE(u.c, g.pc) ORDER BY g.pos) AS cv
-           FROM (SELECT p.cid, pp.pos, p.cv[pp.pos] AS pc
-                 FROM k${it - 1} p, unnest($rng) pp(pos)) g
-           LEFT JOIN u$it u ON u.cid = g.cid AND u.pos = g.pos
-           GROUP BY g.cid)"""
-      }.mkString(",\n         ")
-      def foldc(expr: String) =
-        s"""list_reduce(list_prepend(0.0, list_transform($rng,
-           i -> $expr)), (ac, x) -> ac + x)"""
-      s"""WITH hx AS (SELECT vec_id,
-             CASE WHEN t >= 9223372036854775808
-                  THEN CAST(t - $M64 AS BIGINT)
-                  ELSE CAST(t AS BIGINT) END AS h
-           FROM $xxq),
-         smp AS MATERIALIZED (
-           SELECT e.vec_id AS id,
-             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
-             sqrt(list_reduce(list_prepend(0.0,
-               list_transform($rng, i -> CAST(e.embedding[i] AS DOUBLE)
-                 * CAST(e.embedding[i] AS DOUBLE))), (ac, x) -> ac + x)) AS vn,
-             row_number() OVER (ORDER BY hx.h, e.vec_id) AS rn
-           FROM embeddings e JOIN hx ON e.vec_id = hx.vec_id),
+      def foldc(expr: String) = fold0(s"list_transform($rng, i -> $expr)")
+      s"""WITH ${embSampleCtes(dim)},
          k0 AS MATERIALIZED (
            SELECT id AS cid, v AS cv FROM smp WHERE rn <= $nc),
-         $steps,
-         nf AS (SELECT cid, cv, ${normFold(s"k$iters")} AS nc FROM k$iters),
+         ${ivfCoarseSteps(dim, iters)},
+         nf AS (SELECT cid, cv, ${normFoldSql(s"k$iters", dim)} AS nc
+             FROM k$iters),
          simf AS MATERIALIZED (
            SELECT m.id, c.cid,
-             list_reduce(list_prepend(0.0,
-               list_transform($rng, i -> m.v[i] * c.cv[i])),
-               (ac, x) -> ac + x) / (m.vn * c.nc) AS sim
+             ${foldc("m.v[i] * c.cv[i]")} / (m.vn * c.nc) AS sim
            FROM smp m CROSS JOIN nf c),
          asg AS MATERIALIZED (
            SELECT id AS corpus_id, cid AS c FROM (
@@ -5319,83 +5393,36 @@ object SparkEntry {
     // denom-positive guard, and the TopKAggregator total order.
     "ann_pq" -> {
       val m = 8; val ksub = 16; val dsub = 8; val iters = 5; val k = 5
-      val M64 = "18446744073709551616"
-      val xxq = xxhashSql("vec_id", "(SELECT vec_id FROM embeddings)",
-        Seq("vec_id"))
+      val dim = m * dsub
       val rs = s"range(1, ${dsub + 1})"
-      def d2Fold(s: String, p: String) =
-        s"""list_reduce(list_prepend(0.0, list_transform($rs,
-           d -> ($s.sv[d] - $p.cv[d]) * ($s.sv[d] - $p.cv[d]))),
-           (ac, x) -> ac + x)"""
-      val steps = (1 to iters).map { it =>
-        s"""d$it AS (
-           SELECT s.rn, s.j, p.c, ${d2Fold("s", "p")} AS d2
-           FROM sub s JOIN p${it - 1} p ON p.j = s.j),
-         b$it AS (
-           SELECT rn, j, c FROM (
-             SELECT rn, j, c, row_number() OVER (PARTITION BY rn, j
-               ORDER BY d2, c) AS rk FROM d$it) WHERE rk = 1),
-         m$it AS (
-           SELECT b.j, b.c, p.pos,
-             list_reduce(list_prepend(0.0, list(s.sv[p.pos] ORDER BY s.rn)),
-               (ac, x) -> ac + x) / CAST(count(*) AS DOUBLE) AS m
-           FROM b$it b JOIN sub s ON s.rn = b.rn AND s.j = b.j,
-                unnest($rs) p(pos)
-           GROUP BY 1, 2, 3),
-         p$it AS MATERIALIZED (
-           SELECT g.j, g.c, list(COALESCE(m.m, g.pc) ORDER BY g.pos) AS cv
-           FROM (SELECT p.j, p.c, pp.pos, p.cv[pp.pos] AS pc
-                 FROM p${it - 1} p, unnest($rs) pp(pos)) g
-           LEFT JOIN m$it m ON m.j = g.j AND m.c = g.c AND m.pos = g.pos
-           GROUP BY g.j, g.c)"""
-      }.mkString(",\n         ")
-      s"""WITH hx AS (SELECT vec_id,
-             CASE WHEN t >= 9223372036854775808
-                  THEN CAST(t - $M64 AS BIGINT)
-                  ELSE CAST(t AS BIGINT) END AS h
-           FROM $xxq),
-         smp AS MATERIALIZED (
-           SELECT e.vec_id AS id,
-             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
-             sqrt(list_reduce(list_prepend(0.0,
-               list_transform(range(1, ${m * dsub + 1}),
-                 i -> CAST(e.embedding[i] AS DOUBLE)
-                    * CAST(e.embedding[i] AS DOUBLE))), (ac, x) -> ac + x))
-               AS vn,
-             row_number() OVER (ORDER BY hx.h, e.vec_id) AS rn
-           FROM embeddings e JOIN hx ON e.vec_id = hx.vec_id),
+      s"""WITH ${embSampleCtes(dim)},
          sub AS MATERIALIZED (
            SELECT rn, id, j,
              list_transform($rs, d -> v[j * $dsub + d]) AS sv
            FROM smp, unnest(range(0, $m)) jj(j)),
          p0 AS MATERIALIZED (
            SELECT j, rn - 1 AS c, sv AS cv FROM sub WHERE rn <= $ksub),
-         $steps,
+         ${pqFitSteps(dsub, iters)},
          enc AS MATERIALIZED (
            SELECT rn, id, j, c FROM (
              SELECT s.rn, s.id, s.j, p.c,
                row_number() OVER (PARTITION BY s.rn, s.j
-                 ORDER BY ${d2Fold("s", "p")}, p.c) AS rk
+                 ORDER BY ${pqD2Fold(dsub, "s", "p")}, p.c) AS rk
              FROM sub s JOIN p$iters p ON p.j = s.j) WHERE rk = 1),
          cn2 AS (
            SELECT j, c,
-             list_reduce(list_prepend(0.0,
-               list_transform($rs, d -> cv[d] * cv[d])),
-               (ac, x) -> ac + x) AS n2
+             ${fold0(s"list_transform($rs, d -> cv[d] * cv[d])")} AS n2
            FROM p$iters),
          lut AS MATERIALIZED (
            SELECT q.id AS qid, p.j, p.c,
-             list_reduce(list_prepend(0.0,
-               list_transform($rs, d -> q.v[p.j * $dsub + d] * p.cv[d])),
-               (ac, x) -> ac + x) AS s
+             ${fold0(s"list_transform($rs, d -> q.v[p.j * $dsub + d] * p.cv[d])")}
+               AS s
            FROM (SELECT id, v FROM smp WHERE id < 10) q
            CROSS JOIN p$iters p),
          sc AS (
            SELECT l.qid AS query_id, e.id AS corpus_id,
-             list_reduce(list_prepend(0.0, list(l.s ORDER BY l.j)),
-               (ac, x) -> ac + x) AS dot,
-             list_reduce(list_prepend(0.0, list(n.n2 ORDER BY e.j)),
-               (ac, x) -> ac + x) AS recon2
+             ${fold0("list(l.s ORDER BY l.j)")} AS dot,
+             ${fold0("list(n.n2 ORDER BY e.j)")} AS recon2
            FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.c
                 JOIN cn2 n ON n.j = e.j AND n.c = e.c
            WHERE l.qid <> e.id
@@ -5405,6 +5432,79 @@ object SparkEntry {
              CASE WHEN qe.vn * sqrt(recon2) > 0
                   THEN dot / (qe.vn * sqrt(recon2)) ELSE 0.0 END AS cos_sim
            FROM sc JOIN smp qe ON qe.id = sc.query_id),
+         r AS (SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, corpus_id) AS rk
+               FROM scored)
+         SELECT query_id, corpus_id, rk FROM r WHERE rk <= $k"""
+    },
+    // residual-IVFADC replay (r19): ann_pq_indexed at pqRotate=false,
+    // end to end — the 32-centroid coarse codebook with 2 driver-
+    // sequential refinement iterations (the ann_ivf_indexed chain), every
+    // vector's residual against its FROZEN assigned centroid, the
+    // per-subspace sub-k-means trained ON those residuals (pqFit: the
+    // ann_pq chain), PqEncode's argmin codes, the top-nProbe=8 probed
+    // lists, and PqResidualCosineSim's flat ascending fold over
+    // x̂ = centroid + coded residual: dot/(‖q‖·‖x̂‖), TopK total order.
+    "ann_pq_indexed" -> {
+      val dim = 64; val nc = 32; val cIters = 2; val m = 8; val ksub = 16
+      val dsub = 8; val pIters = 5; val nProbe = 8; val k = 5
+      val rng = s"range(1, ${dim + 1})"
+      def foldc(expr: String) = fold0(s"list_transform($rng, i -> $expr)")
+      s"""WITH ${embSampleCtes(dim)},
+         k0 AS MATERIALIZED (
+           SELECT id AS cid, v AS cv FROM smp WHERE rn <= $nc),
+         ${ivfCoarseSteps(dim, cIters)},
+         nf AS (SELECT cid, cv, ${normFoldSql(s"k$cIters", dim)} AS nc
+             FROM k$cIters),
+         simf AS MATERIALIZED (
+           SELECT m.id, c.cid,
+             ${foldc("m.v[i] * c.cv[i]")} / (m.vn * c.nc) AS sim
+           FROM smp m CROSS JOIN nf c),
+         asg AS MATERIALIZED (
+           SELECT id AS corpus_id, cid AS c FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rk FROM simf) WHERE rk = 1),
+         pr AS (
+           SELECT id AS query_id, cid AS c FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rk FROM simf WHERE id < 10)
+           WHERE rk <= $nProbe),
+         rsd AS MATERIALIZED (
+           SELECT s.rn, s.id,
+             list_transform($rng, i -> s.v[i] - kc.cv[i]) AS v
+           FROM smp s JOIN asg ag ON ag.corpus_id = s.id
+                JOIN k$cIters kc ON kc.cid = ag.c),
+         sub AS MATERIALIZED (
+           SELECT rn, id, j,
+             list_transform(range(1, ${dsub + 1}), d -> v[j * $dsub + d])
+               AS sv
+           FROM rsd, unnest(range(0, $m)) jj(j)),
+         p0 AS MATERIALIZED (
+           SELECT j, rn - 1 AS c, sv AS cv FROM sub WHERE rn <= $ksub),
+         ${pqFitSteps(dsub, pIters)},
+         enc AS MATERIALIZED (
+           SELECT rn, id, j, c FROM (
+             SELECT s.rn, s.id, s.j, p.c,
+               row_number() OVER (PARTITION BY s.rn, s.j
+                 ORDER BY ${pqD2Fold(dsub, "s", "p")}, p.c) AS rk
+             FROM sub s JOIN p$pIters p ON p.j = s.j) WHERE rk = 1),
+         rv AS MATERIALIZED (
+           SELECT e.id, flatten(list(p.cv ORDER BY e.j)) AS rv
+           FROM enc e JOIN p$pIters p ON p.j = e.j AND p.c = e.c
+           GROUP BY e.id),
+         xh AS MATERIALIZED (
+           SELECT a.corpus_id, a.c,
+             list_transform($rng, i -> kc.cv[i] + rv.rv[i]) AS xv
+           FROM asg a JOIN k$cIters kc ON kc.cid = a.c
+                JOIN rv ON rv.id = a.corpus_id),
+         scored AS (
+           SELECT p.query_id, xr.corpus_id,
+             ${foldc("qe.v[i] * xr.xv[i]")}
+               / (qe.vn * sqrt(${foldc("xr.xv[i] * xr.xv[i]")})) AS cos_sim
+           FROM pr p JOIN xh xr USING (c)
+                JOIN smp qe ON qe.id = p.query_id
+           WHERE p.query_id <> xr.corpus_id),
          r AS (SELECT query_id, corpus_id,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, corpus_id) AS rk
