@@ -55,6 +55,26 @@ object Bench {
     // is the variance signal the round-over-round regression check needs:
     // a query whose spread rivals its min is box noise, not a regression —
     // no more manual box-shift adjudication.
+    // r19 (r18 verdict task 2): the start-of-run loaded_window sample
+    // missed both mid-run load bands in the r18 driver artifact. The
+    // per-ROW signal is /proc/loadavg's 4th field — the INSTANTANEOUS
+    // runnable-entity count — sampled at the idle instants just before
+    // rep 1 and just after rep 2: at those instants the bench itself
+    // contributes ~1-2 runnable threads (executors idle between count()
+    // calls), so a high R is co-tenant load inside THIS query's window.
+    // The 1-min average cannot make that separation mid-run: the bench's
+    // own 32 threads dominate it within a minute of starting.
+    def runnableNow(): Int =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ")(3).split("/")(0).toInt
+      catch { case _: Throwable => -1 }
+    // co-tenant threshold on the runnable sample: the bench's own idle
+    // footprint measures 2 on a quiet box (driver thread + sampler); GC /
+    // async-cleanup threads can add a couple. Past 5 someone else is
+    // computing in the window (calibrated: 12 synthetic busy loops read
+    // 6-8 at the sample instants — they momentarily sleep on timer ticks,
+    // so R undercounts nproc of the co-tenant load; 5 still catches it).
+    val loadedRunnable = 5
     val results = picked.map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -62,24 +82,34 @@ object Bench {
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      val rb = runnableNow()
       val (t1, e1) = once()
-      if (e1.isDefined) (name, t1, 0.0, e1)
-      else {
-        // rep-1 success wins: a transient rep-2 failure (co-tenant spike)
-        // must not report a working query as errored with a bogus fast time
-        // — but a suppressed failure is still a flake signal, so log it
-        val (t2, e2) = once()
-        e2.foreach(e => System.err.println(s"[bench] $name rep-2 failed " +
-          s"(rep-1 time kept): $e"))
-        if (e2.isDefined) (name, t1, 0.0, None)
-        else (name, math.min(t1, t2), math.abs(t1 - t2), None)
-      }
+      val res =
+        if (e1.isDefined) (name, t1, 0.0, e1)
+        else {
+          // rep-1 success wins: a transient rep-2 failure (co-tenant spike)
+          // must not report a working query as errored with a bogus fast time
+          // — but a suppressed failure is still a flake signal, so log it
+          val (t2, e2) = once()
+          e2.foreach(e => System.err.println(s"[bench] $name rep-2 failed " +
+            s"(rep-1 time kept): $e"))
+          if (e2.isDefined) (name, t1, 0.0, None)
+          else (name, math.min(t1, t2), math.abs(t1 - t2), None)
+        }
+      val ra = runnableNow()
+      (res._1, res._2, res._3, res._4, math.max(rb, ra))
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
-    val spreads = results.map { case (k, _, s, _) => s"\"" + k + "\":" + r4(s) }
+    val spreads = results.map { case (k, _, s, _, _) => s"\"" + k + "\":" + r4(s) }
       .mkString("{", ",", "}")
+    // per-query max instantaneous runnable count (before-rep1 / after-rep2)
+    val loads = results.map { case (k, _, _, _, l) => s"\"" + k + "\":" + l }
+      .mkString("{", ",", "}")
+    val loadedQueries = results.collect {
+      case (k, _, _, _, l) if l > loadedRunnable => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     // JSON string escape: backslash, quote, and all control chars < 0x20
     def esc(s: String): String = s.flatMap {
       case '\\' => "\\\\"
@@ -87,7 +117,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val errs = results.collect { case (k, _, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e), _) =>
       s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -101,8 +131,9 @@ object Bench {
     // informational only: the bench itself saturates the box, so it is
     // always high on a healthy run.)
     val loaded = loadBefore.split(" ").headOption
-      .flatMap(_.toDoubleOption).exists(_ > 8.0)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"queries":$qs,"spread":$spreads,"errors":$errs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"sf":"$sfDir"}"""
+      .flatMap(_.toDoubleOption).exists(_ > 8.0) ||
+      results.exists(_._5 > loadedRunnable)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"queries":$qs,"spread":$spreads,"errors":$errs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"load":$loads,"loaded_queries":$loadedQueries,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: stdout tail-capture windows have
     // truncated the first ~17 queries of a round's artifact, making their
@@ -142,7 +173,7 @@ object Bench {
     val spreadP50 = if (sortedSpreads.isEmpty) 0.0
       else sortedSpreads(sortedSpreads.length / 2)
     val slowest = results.sortBy(-_._2).take(8)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + r4(v) }
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     // flush the tail window: the driver's round artifact keeps the LAST
     // ~2 KB of stdout, and the 7 KB per-query line above otherwise bleeds
@@ -152,15 +183,19 @@ object Bench {
     // the captured tail holds only whole lines + the final compact JSON.
     val diag = new StringBuilder
     diag.append("[bench] ---- round diagnostics (tail-window flush) ----\n")
-    results.sortBy(-_._2).take(20).foreach { case (k, v, s, _) =>
-      diag.append(f"[bench] slow  $k%-36s ${r4(v)}%8.4f s (spread ${r4(s)}%.4f)\n")
+    results.sortBy(-_._2).take(20).foreach { case (k, v, s, _, l) =>
+      diag.append(f"[bench] slow  $k%-36s ${r4(v)}%8.4f s (spread ${r4(s)}%.4f, runnable $l)\n")
     }
-    results.sortBy(-_._3).take(10).foreach { case (k, _, s, _) =>
+    results.sortBy(-_._3).take(10).foreach { case (k, _, s, _, _) =>
       diag.append(f"[bench] noisy $k%-36s spread ${r4(s)}%8.4f s\n")
     }
+    results.filter(_._5 > loadedRunnable).sortBy(-_._5).take(10)
+      .foreach { case (k, _, _, _, l) =>
+        diag.append(f"[bench] load  $k%-36s runnable $l (co-tenant window)\n")
+      }
     while (diag.length < 2200) diag.append("[bench] ----\n")
     print(diag)
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"reps":2,"spread_p50":${r4(spreadP50)},"spread_max":${r4(sortedSpreads.lastOption.getOrElse(0.0))},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"slowest":$slowest,"full":"BENCH_full.json","full_sha256":"$sha"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"reps":2,"spread_p50":${r4(spreadP50)},"spread_max":${r4(sortedSpreads.lastOption.getOrElse(0.0))},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"n_loaded_queries":${results.count(_._5 > loadedRunnable)},"slowest":$slowest,"full":"BENCH_full.json","full_sha256":"$sha"}""")
     spark.stop()
     // a bench with ANY erroring query must not read as a healthy run: the
     // JSON line above still carries the full picture (timings + errors map),
