@@ -2037,11 +2037,15 @@ object SparkEntry {
     // Adamic-Adar score as payload — wedges through the naturally
     // bounded customer side, hub customers loudly excluded (r16 s5)
     "supplier_best_partner" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
       val rel = t(s, d, "orders")
-        .join(t(s, d, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_suppkey"))
-      Graph.bipartiteBestPartner(rel, "o_custkey", "l_suppkey")
+      // relRows: each lineitem row joins exactly one order, so the join's
+      // output volume is |lineitem| — a column-less parquet count. Sizes
+      // the pre-distinct (c, s) shuffle (r19; see bipartiteBestPartner)
+      Graph.bipartiteBestPartner(rel, "o_custkey", "l_suppkey",
+        relRows = li.count())
     }),
     // directed association rules over the order->brand baskets: the
     // ordered (confidence/lift/leverage/conviction) readout beside
@@ -5558,13 +5562,16 @@ object SparkEntry {
     // 64-bit wrapping multiplies via 32-bit limb splits — then the
     // Charikar bit votes and the band prefix. The croston/bootstrap
     // precedent: a deterministic kernel needs no rows-only exemption.
-    // PRECONDITION (r17 advice, documented): the replay hashes CODE
-    // POINTS via ord() while the engine hashes UTF-8 BYTES — identical
-    // only on ASCII text — and the pows table carries B^0..B^4096, so
-    // tokens past 4097 chars would silently drop leading terms through
-    // the p = L-1-j join. The test corpus satisfies both by construction
-    // (verified: zero non-ASCII documents, max token length 8); a
-    // non-ASCII corpus needs the oracle re-expressed over encode() bytes.
+    // r19 (the r18-verdict task 6): the replay now hashes UTF-8 BYTES —
+    // hex(encode(tok)) enumerated as hex pairs (strpos-decoded to the
+    // exact unsigned byte values Java's `getBytes` + `& 0xff` produce) —
+    // so the former ASCII-only precondition is LIFTED: the byte
+    // enumeration equals the engine's on any text, multibyte included
+    // (PropertySpec pins engine kernels == byte-level plain-Scala
+    // replicas of this formulation on an accented/CJK/emoji corpus).
+    // Remaining precondition: the pows table carries B^0..B^4096, so a
+    // single token past 4096 BYTES would drop leading terms through the
+    // p = L-1-j join (max token in the corpus: 8 bytes).
     "dedup_simhash" ->
       """WITH RECURSIVE pows(p, v) AS (
            SELECT 0, CAST(1 AS HUGEINT)
@@ -5579,9 +5586,12 @@ object SparkEntry {
          dtok AS (SELECT DISTINCT tok FROM toks),
          chars AS (
            SELECT tok, u.j AS j,
-                  CAST(ord(substr(tok, CAST(u.j AS INT) + 1, 1)) AS HUGEINT) AS b,
-                  len(tok) AS L
-           FROM dtok, unnest(range(len(tok))) u(j)
+                  CAST(strpos('0123456789ABCDEF', substr(hx, CAST(u.j AS INT) * 2 + 1, 1)) * 16
+                     + strpos('0123456789ABCDEF', substr(hx, CAST(u.j AS INT) * 2 + 2, 1)) - 17 AS HUGEINT) AS b,
+                  nb AS L
+           FROM (SELECT tok, hex(encode(tok)) AS hx,
+                        octet_length(encode(tok)) AS nb FROM dtok) tb,
+                unnest(range(nb)) u(j)
          ),
          rawh AS (
            SELECT tok,
@@ -5630,11 +5640,13 @@ object SparkEntry {
            SELECT p + 1, (v * 1000003) % 18446744073709551616::HUGEINT
            FROM pows WHERE p < 16
          ),
-         docs AS (SELECT doc_id, text, len(text) AS n FROM documents),
+         docs AS (SELECT doc_id, hex(encode(text)) AS hx,
+                         octet_length(encode(text)) AS n FROM documents),
          chars AS (
            SELECT doc_id, u.j AS pos,
-                  CAST(ord(substr(text, CAST(u.j AS INT) + 1, 1)) AS HUGEINT) AS b, n
-           FROM docs, unnest(range(len(text))) u(j)
+                  CAST(strpos('0123456789ABCDEF', substr(hx, CAST(u.j AS INT) * 2 + 1, 1)) * 16
+                     + strpos('0123456789ABCDEF', substr(hx, CAST(u.j AS INT) * 2 + 2, 1)) - 17 AS HUGEINT) AS b, n
+           FROM docs, unnest(range(n)) u(j)
          ),
          rawg AS (
            SELECT doc_id, pos - p1.p_rev AS gpos,
@@ -5694,15 +5706,17 @@ object SparkEntry {
          ),
          dtok AS (SELECT DISTINCT tok FROM toks),
          -- FNV-1a over token bytes: recursive fold, all tokens advance one byte per step
-         fnv(tok, i, h) AS (
-           SELECT tok, 0, 14695981039346656037::UBIGINT FROM dtok
+         fnv(tok, hx, nb, i, h) AS (
+           SELECT tok, hex(encode(tok)), octet_length(encode(tok)), 0,
+                  14695981039346656037::UBIGINT FROM dtok
            UNION ALL
-           SELECT tok, i + 1,
-                  CAST((CAST(xor(h, CAST(ord(substr(tok, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+           SELECT tok, hx, nb, i + 1,
+                  CAST((CAST(xor(h, CAST(strpos('0123456789ABCDEF', substr(hx, i * 2 + 1, 1)) * 16
+                        + strpos('0123456789ABCDEF', substr(hx, i * 2 + 2, 1)) - 17 AS UBIGINT)) AS HUGEINT)
                         * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
-           FROM fnv WHERE i < len(tok)
+           FROM fnv WHERE i < nb
          ),
-         th AS (SELECT tok, h FROM fnv WHERE i = len(tok)),
+         th AS (SELECT tok, h FROM fnv WHERE i = nb),
          tokh AS (
            SELECT t.doc_id, t.tpos, t.n, th.h
            FROM toks t JOIN th USING (tok)
@@ -5785,15 +5799,17 @@ object SparkEntry {
            FROM documents, unnest(range(len(string_split(lower(text), ' ')))) u(i)
          ),
          dtok AS (SELECT DISTINCT tok FROM toks),
-         fnv(tok, i, h) AS (
-           SELECT tok, 0, 14695981039346656037::UBIGINT FROM dtok
+         fnv(tok, hx, nb, i, h) AS (
+           SELECT tok, hex(encode(tok)), octet_length(encode(tok)), 0,
+                  14695981039346656037::UBIGINT FROM dtok
            UNION ALL
-           SELECT tok, i + 1,
-                  CAST((CAST(xor(h, CAST(ord(substr(tok, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+           SELECT tok, hx, nb, i + 1,
+                  CAST((CAST(xor(h, CAST(strpos('0123456789ABCDEF', substr(hx, i * 2 + 1, 1)) * 16
+                        + strpos('0123456789ABCDEF', substr(hx, i * 2 + 2, 1)) - 17 AS UBIGINT)) AS HUGEINT)
                         * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
-           FROM fnv WHERE i < len(tok)
+           FROM fnv WHERE i < nb
          ),
-         th AS (SELECT tok, h FROM fnv WHERE i = len(tok)),
+         th AS (SELECT tok, h FROM fnv WHERE i = nb),
          -- w=1 shingles: one FNV step per token occurrence
          shingles AS (
            SELECT t.doc_id,
@@ -5859,15 +5875,17 @@ object SparkEntry {
          ),
          dtok AS (SELECT DISTINCT tok FROM toks),
          -- FNV-1a over token bytes: recursive fold, all tokens advance one byte per step
-         fnv(tok, i, h) AS (
-           SELECT tok, 0, 14695981039346656037::UBIGINT FROM dtok
+         fnv(tok, hx, nb, i, h) AS (
+           SELECT tok, hex(encode(tok)), octet_length(encode(tok)), 0,
+                  14695981039346656037::UBIGINT FROM dtok
            UNION ALL
-           SELECT tok, i + 1,
-                  CAST((CAST(xor(h, CAST(ord(substr(tok, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+           SELECT tok, hx, nb, i + 1,
+                  CAST((CAST(xor(h, CAST(strpos('0123456789ABCDEF', substr(hx, i * 2 + 1, 1)) * 16
+                        + strpos('0123456789ABCDEF', substr(hx, i * 2 + 2, 1)) - 17 AS UBIGINT)) AS HUGEINT)
                         * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
-           FROM fnv WHERE i < len(tok)
+           FROM fnv WHERE i < nb
          ),
-         th AS (SELECT tok, h FROM fnv WHERE i = len(tok)),
+         th AS (SELECT tok, h FROM fnv WHERE i = nb),
          tokh AS (
            SELECT t.doc_id, t.tpos, t.n, th.h
            FROM toks t JOIN th USING (tok)
@@ -5936,8 +5954,13 @@ object SparkEntry {
            SELECT p + 1, (v * 1000003) % 18446744073709551616::HUGEINT FROM ppows WHERE p < 4096
          ),
          schars AS (
-           SELECT tok, u.j AS j, CAST(ord(substr(tok, CAST(u.j AS INT) + 1, 1)) AS HUGEINT) AS b, len(tok) AS L
-           FROM sdtok, unnest(range(len(tok))) u(j)
+           SELECT tok, u.j AS j,
+                  CAST(strpos('0123456789ABCDEF', substr(hx, CAST(u.j AS INT) * 2 + 1, 1)) * 16
+                     + strpos('0123456789ABCDEF', substr(hx, CAST(u.j AS INT) * 2 + 2, 1)) - 17 AS HUGEINT) AS b,
+                  nb AS L
+           FROM (SELECT tok, hex(encode(tok)) AS hx,
+                        octet_length(encode(tok)) AS nb FROM sdtok) tb,
+                unnest(range(nb)) u(j)
          ),
          spows AS (SELECT p, v FROM ppows),
          srawh AS (
@@ -5988,15 +6011,17 @@ object SparkEntry {
          ),
          dtok AS (SELECT DISTINCT tok FROM toks),
          -- FNV-1a over token bytes: recursive fold, all tokens advance one byte per step
-         fnv(tok, i, h) AS (
-           SELECT tok, 0, 14695981039346656037::UBIGINT FROM dtok
+         fnv(tok, hx, nb, i, h) AS (
+           SELECT tok, hex(encode(tok)), octet_length(encode(tok)), 0,
+                  14695981039346656037::UBIGINT FROM dtok
            UNION ALL
-           SELECT tok, i + 1,
-                  CAST((CAST(xor(h, CAST(ord(substr(tok, i + 1, 1)) AS UBIGINT)) AS HUGEINT)
+           SELECT tok, hx, nb, i + 1,
+                  CAST((CAST(xor(h, CAST(strpos('0123456789ABCDEF', substr(hx, i * 2 + 1, 1)) * 16
+                        + strpos('0123456789ABCDEF', substr(hx, i * 2 + 2, 1)) - 17 AS UBIGINT)) AS HUGEINT)
                         * 1099511628211) % 18446744073709551616::HUGEINT AS UBIGINT)
-           FROM fnv WHERE i < len(tok)
+           FROM fnv WHERE i < nb
          ),
-         th AS (SELECT tok, h FROM fnv WHERE i = len(tok)),
+         th AS (SELECT tok, h FROM fnv WHERE i = nb),
          tokh AS (
            SELECT t.doc_id, t.tpos, t.n, th.h
            FROM toks t JOIN th USING (tok)

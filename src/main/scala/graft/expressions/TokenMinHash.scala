@@ -53,7 +53,9 @@ object TokenMinHash {
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L
 
-  private def fnv64(s: UTF8String): Long = {
+  // private[graft]: PropertySpec pins this kernel against a hex-pair
+  // UTF-8 byte replica of the DuckDB oracle formulation (r19 ASCII lift)
+  private[graft] def fnv64(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = FnvOffset
     var i = 0

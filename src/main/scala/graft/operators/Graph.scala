@@ -561,10 +561,50 @@ object Graph {
     * for every wedge center by construction, so ln never vanishes.
     */
   def bipartiteBestPartner(rel: DataFrame, leftCol: String, rightCol: String,
-                           maxLeftDegree: Int = 4096): DataFrame = {
+                           maxLeftDegree: Int = 4096,
+                           relRows: Long = -1L): DataFrame = {
     require(maxLeftDegree >= 2, s"bad maxLeftDegree=$maxLeftDegree")
-    val b = rel.select(col(leftCol).cast("long").as("c"),
-      col(rightCol).cast("long").as("s")).distinct().localCheckpoint(true)
+    val targetBytes = 16L << 20
+    val floorParts = graft.GraftSession.parallelismFloor(rel.sparkSession)
+    val raw = rel.select(col(leftCol).cast("long").as("c"),
+      col(rightCol).cast("long").as("s"))
+    // r19 — the r18 in-stage-fan-out cure applied one stage UP: the
+    // (c, s) DISTINCT's map-side partial agg runs INSIDE whatever stage
+    // produces `rel`. At 100x that producer is a 32-task fact⋈dim join
+    // emitting ~600M rows; AQE sizes the stage by its (small) INPUT
+    // bytes, and the in-stage partial hash map blew the 8g heap (r18
+    // SCALING note — the residual OOM upstream of the wedge fix). The
+    // caller usually KNOWS the producer's output volume (`relRows` —
+    // for a fact⋈dim join, the fact side's row count): shuffle the raw
+    // pairs BY (c, s) into 16 MB tasks FIRST, so the producing stage
+    // feeds a spillable shuffle write instead of an in-stage hash map,
+    // and the distinct's partial+final aggregates BOTH run post-shuffle
+    // on bounded input (the explicit hash(c, s) exchange satisfies the
+    // aggregate's required distribution, so Catalyst plans no further
+    // exchange — verified in the physical plan). Identity below the
+    // parallelism floor: bench-SF plans are unchanged, and the distinct
+    // SET is partitioning-independent so results never move.
+    val relParts =
+      if (relRows > 0)
+        graft.GraftSession.sizedPartitionsFromBytes(
+          rel.sparkSession, BigInt(relRows) * 16, 1.0, targetBytes)
+      else floorParts
+    // at scale, checkpoint `b` DISK_ONLY: the eager MEMORY_AND_DISK
+    // default parks the (possibly hundreds-of-MB) distinct pair set in
+    // the unified pool's PROTECTED storage region for the whole query,
+    // and the wedge stage's partial-agg maps + shuffle sorters then
+    // starve at exactly the heap the executor-sizing note said should
+    // fit (measured at 100x/8g: UNABLE_TO_ACQUIRE in the pair agg with
+    // the pair set resident). `b` is re-read a handful of times at scan
+    // speed — IO the join stage overlaps — while execution memory is
+    // the contended resource.
+    val bLevel =
+      if (relParts > floorParts) org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val b = (if (relParts > floorParts)
+        raw.repartition(relParts, col("c"), col("s"))
+      else raw)
+      .distinct().localCheckpoint(true, bLevel)
     val deg = b.groupBy(col("c")).agg(count(lit(1)).as("degc"))
     // one tiny action serves both the hub guard AND the exchange sizing:
     // the wedge volume Σ deg² over in-play customers is EXACT here, and
@@ -603,10 +643,8 @@ object Graph {
     // capped by the hub guard (≤ maxLeftDegree² wedges per customer).
     // At bench SF the sized count sits under the floor and both
     // repartitions (and sizedExchanges below) are the identity.
-    val targetBytes = 16L << 20
     val parts = graft.GraftSession.sizedPartitionsFromBytes(
       rel.sparkSession, BigInt(wedgeRows / 2) * 40, 1.0, targetBytes)
-    val floorParts = graft.GraftSession.parallelismFloor(rel.sparkSession)
     val (s1Side, s2Side) =
       if (parts > floorParts)
         (weighted.repartition(parts, col("c")),

@@ -67,6 +67,53 @@ object Mirror {
       .withColumn("keys_match", col("src_keys") === col("dst_keys"))
   }
 
+  /** ROW-LEVEL consistency audit (r19) — the strengthening of
+    * [[validateCounts]] the r18 fenced-poll episode proved necessary:
+    * counts AND version lag can both read green while the mirror holds a
+    * STALE row (the lost-update shape the stress harness caught with its
+    * in-memory reference state; production has no such state). Each side
+    * aggregates to `buckets` hash buckets of the key space, carrying a
+    * row count and the XOR of per-row fingerprints
+    * `xxhash64(keys..., version)` — a stale version flips its bucket's
+    * XOR even when every count matches. One row per bucket with both
+    * sides' stats and an `ok` verdict.
+    *
+    * Scale shape: each side is ONE scan aggregated map-side to ≤ `buckets`
+    * rows before the join — no data-row shuffle, no row-level join; cost
+    * is two scans regardless of table size, and the output is
+    * buckets-bounded. XOR is order- and partitioning-independent, and a
+    * parquet/JDBC round-trip preserves the hashed (keys, version) values,
+    * so a clean mirror audits clean on any layout. The version column is
+    * cast to LONG on BOTH sides before hashing so a JDBC DECIMAL source
+    * and its parquet BIGINT mirror fingerprint identically.
+    *
+    * What a mismatch means: missing/extra rows (count mismatch), a stale
+    * or phantom version (XOR mismatch at equal counts), or an
+    * un-reconciled hard delete (the inconsistency [[Incremental]]'s
+    * reconcile sweep exists to fix). Drill into a flagged bucket by
+    * filtering both sides on `pmod(xxhash64(keys...), buckets) = bucket`.
+    */
+  def auditBuckets(source: DataFrame, target: DataFrame, keys: Seq[String],
+                   versionCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"bad buckets=$buckets")
+    def side(df: DataFrame, pfx: String) = {
+      val kh = xxhash64(keys.map(col): _*)
+      val fp = xxhash64(keys.map(col) :+ col(versionCol).cast("long"): _*)
+      df.select(pmod(kh, lit(buckets.toLong)).as("bucket"), fp.as("fp"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"${pfx}_rows"),
+          expr("bit_xor(fp)").as(s"${pfx}_fp"))
+    }
+    side(source, "src").join(side(target, "mirror"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("mirror_rows"), lit(0L)).as("mirror_rows"),
+        col("src_fp"), col("mirror_fp"),
+        (coalesce(col("src_rows"), lit(0L)) ===
+          coalesce(col("mirror_rows"), lit(0L)) &&
+          col("src_fp") <=> col("mirror_fp")).as("ok"))
+  }
+
   /** Partitioned JDBC snapshot read — how the initial load scales against a
     * real PostgreSQL peer: `numPartitions` parallel range queries on a
     * numeric key instead of one connection streaming the whole table.

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.sources.{Incremental, MultiTableMirror, TableConfig}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, sum, when}
 
 /** Declarative, config-file-driven mirror orchestration — the missing last
   * mile between the engine's mirror machinery and the way the reference is
@@ -330,6 +331,49 @@ final class MirrorRunner(spark: SparkSession, val cfg: MirrorConfig,
   def readFramesFinal(table: String): DataFrame =
     PgOutputStream.readFinal(spark, s"${cfg.targetDir}/frames/$table",
       spec(table).keys)
+
+  /** ROW-LEVEL consistency audit of one mirrored table against the live
+    * source (r19, the [[graft.sources.Mirror.auditBuckets]] verb wired to
+    * the runner's config): per-bucket (row count, XOR of
+    * xxhash64(keys, version) fingerprints) compare between the source
+    * relation and the mirror FINAL. Catches in production what the r18
+    * stress harness caught in test with its in-memory reference state —
+    * a stale row behind green counts and green lag (the fenced-poll
+    * lost-update shape). Two scans, bucket-bounded output, no data-row
+    * shuffle; see auditBuckets for the mismatch taxonomy (a pending
+    * un-reconciled hard delete also flags, by design).
+    */
+  def audit(table: String, buckets: Int = 256): DataFrame = {
+    val t = spec(table)
+    graft.sources.Mirror.auditBuckets(source(table), readFinal(table),
+      t.keys, t.versionCol, buckets)
+  }
+
+  /** The monitor-report form of [[audit]]: one row per non-paused synced
+    * table — (table, buckets_mismatched, src_rows, mirror_rows, ok) —
+    * the row-level column the count/lag report was missing. Belongs next
+    * to [[lag]] in a monitoring loop; alert on `ok = false`.
+    */
+  def auditAll(buckets: Int = 256): DataFrame = {
+    val active = cfg.tables.filter(t => !fs.exists(pauseFlag(t.name)))
+      .filter(t => Incremental.readState(spark, dir(t.name)).nonEmpty)
+    require(active.nonEmpty, "no active synced tables to audit")
+    active.map { t =>
+      audit(t.name, buckets)
+        .agg(coalesceSum(when(!col("ok"), 1L).otherwise(0L))
+            .as("buckets_mismatched"),
+          coalesceSum(col("src_rows")).as("src_rows"),
+          coalesceSum(col("mirror_rows")).as("mirror_rows"))
+        .select(lit(t.name).as("table"), col("buckets_mismatched"),
+          col("src_rows"), col("mirror_rows"),
+          (col("buckets_mismatched") === 0L).as("ok"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** sum() is null on an empty audit (both sides empty → zero buckets);
+    * an empty mirrored table is consistent, so report zeros, not nulls. */
+  private def coalesceSum(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.coalesce(sum(c), lit(0L))
 
   /** Per-table lag rows against the live source (non-paused tables). */
   def lag(): DataFrame = {

@@ -12,6 +12,10 @@ import java.nio.file.Files
   */
 object FrameStressBench {
   def main(args: Array[String]): Unit = {
+    // optional arg: total ops (default 20000) — the r19 decade-up rows
+    // (200k ops) measure whether per-round capture cost stays
+    // delta-proportional as the resident mirror state grows 10x
+    val totalOps = args.headOption.map(_.toInt).getOrElse(20000)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]")
       .appName("graft-frame-stress-bench")
@@ -33,7 +37,7 @@ object FrameStressBench {
          |""".stripMargin)
     val runner = MirrorRunner.load(spark, s"$root/mirror.yaml",
       new java.util.Properties())
-    val churn = ChurnConfig("churn_frames", recordCount = 20000,
+    val churn = ChurnConfig("churn_frames", recordCount = totalOps,
       batchSize = 500, insertWeight = 90, updateWeight = 6, deleteWeight = 4,
       seed = 42L)
     val res = StressHarness.runFrames(spark, churn, runner,

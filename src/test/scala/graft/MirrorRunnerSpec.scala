@@ -189,6 +189,66 @@ class MirrorRunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](runner2.drop("nope"))
   }
 
+  test("audit verb: per-bucket row-level fingerprints catch a stale mirror " +
+    "row behind GREEN counts (the fenced-poll lost-update shape); " +
+    "auditAll reports it per table; a capture round clears it") {
+    val root = Files.createTempDirectory("mraudit").toString
+    exec("CREATE TABLE mr_aud (id BIGINT PRIMARY KEY, seq BIGINT NOT NULL, " +
+      "payload VARCHAR(64))")
+    exec((1L to 40L).map(i => s"INSERT INTO mr_aud VALUES ($i, $i, 'p$i')"): _*)
+    val cfgPath = s"$root/audit.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""mirror: mr_audit
+         |source_url: "$url"
+         |target_dir: $root/mirror
+         |tables:
+         |  - name: mr_aud
+         |    keys: [ID]
+         |    version_col: SEQ
+         |    buckets: 4
+         |""".stripMargin)
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+    runner.runOnce()
+
+    // converged mirror: every bucket ok, both sides fully counted
+    val a0 = runner.audit("mr_aud", buckets = 8).collect()
+    assert(a0.forall(_.getAs[Boolean]("ok")), s"clean mirror must audit ok")
+    assert(a0.map(_.getAs[Long]("src_rows")).sum === 40L)
+    assert(a0.map(_.getAs[Long]("mirror_rows")).sum === 40L)
+
+    // PLANT the stale row: bump ONE source row's version with NO capture
+    // round — the mirror still holds the old version. Row counts match on
+    // every bucket, which is exactly the shape the count/lag monitors
+    // cannot see (audit reads no watermark state at all, so a lag-green
+    // stale row — the r18 unfenced-poll bug — flags identically).
+    exec("UPDATE mr_aud SET payload = 'px', seq = 100 WHERE id = 7")
+    val bad = runner.audit("mr_aud", buckets = 8)
+      .where(!col("ok")).collect()
+    assert(bad.length === 1, "exactly the stale row's bucket must flag")
+    assert(bad(0).getAs[Long]("src_rows") === bad(0).getAs[Long]("mirror_rows"),
+      "counts are GREEN in the flagged bucket — fingerprints did the catching")
+
+    // the monitor-report form: one row for the table, mismatch counted
+    val all = runner.auditAll(buckets = 8).collect()
+    assert(all.length === 1 && all(0).getAs[String]("table") === "mr_aud")
+    assert(all(0).getAs[Long]("buckets_mismatched") === 1L)
+    assert(!all(0).getAs[Boolean]("ok"))
+
+    // one capture round converges the mirror; the audit reads clean again
+    runner.runOnce()
+    assert(runner.audit("mr_aud", buckets = 8).collect()
+      .forall(_.getAs[Boolean]("ok")))
+    val allOk = runner.auditAll(buckets = 8).collect()
+    assert(allOk(0).getAs[Boolean]("ok") &&
+      allOk(0).getAs[Long]("buckets_mismatched") === 0L)
+
+    // a planted EXTRA mirror-invisible source row (insert, no capture):
+    // count mismatch flags too — the missing-row taxonomy
+    exec("INSERT INTO mr_aud VALUES (41, 41, 'p41')")
+    assert(runner.audit("mr_aud", buckets = 8).where(!col("ok")).count() === 1L)
+    runner.runOnce() // leave the table converged for any later test
+  }
+
   test("schema drift end-to-end: a source ALTER ADD COLUMN flows through " +
     "capture and, with sink_evolve, into the warehouse target") {
     val root = Files.createTempDirectory("mrdrift").toString

@@ -448,4 +448,61 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed $i")
     }
   }
+
+  test("byte-level hash formulation (r19 ASCII lift): engine token/gram " +
+    "kernels equal hex-pair UTF-8 byte replicas of the DuckDB oracle on " +
+    "NON-ASCII text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the SQL's byte enumeration, replicated literally: DuckDB
+    // hex(encode(s)) decoded pair-by-pair via strpos arithmetic — on any
+    // text (accents, CJK, emoji) this yields Java's `getBytes & 0xff`
+    def hexBytes(t: String): Array[Int] = {
+      val hx = t.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+      hx.grouped(2).map(pr => "0123456789ABCDEF".indexOf(pr(0)) * 16 +
+        "0123456789ABCDEF".indexOf(pr(1))).toArray
+    }
+    // mod-2^64 arithmetic = Long wraparound, as the HUGEINT % 2^64 SQL
+    def splitmix(h0: Long): Long = {
+      var x = h0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def polyMix(bs: Array[Int]): Long =
+      splitmix(bs.foldLeft(0L)((h, b) => h * 1000003L + b))
+    def fnvRep(bs: Array[Int]): Long =
+      bs.foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ b.toLong) * 0x100000001b3L)
+    val toks = Seq("héllo", "naïve", "日本語テキスト", "🚀rocket",
+      "mixedΩmega", "plainascii", "ß", "ẞ\u00a0nbsp")
+    toks.foreach { t =>
+      val u = UTF8String.fromString(t)
+      assert(graft.expressions.RollingFingerprint.hashString(u) ===
+        polyMix(hexBytes(t)), s"polyhash diverges on '$t'")
+      assert(graft.expressions.TokenMinHash.fnv64(u) ===
+        fnvRep(hexBytes(t)), s"fnv64 diverges on '$t'")
+    }
+    // winnow fingerprints: the engine's ROLLING k-gram form equals the
+    // oracle's DIRECT per-gram polynomial over the same byte stream
+    // (equality in the mod-2^64 ring), then the same window minima +
+    // sorted distinct
+    def winnowRep(text: String, k: Int, w: Int): Array[Long] = {
+      val bs = hexBytes(text)
+      if (bs.length < k) return Array(polyMix(bs))
+      val grams = (0 to bs.length - k)
+        .map(i => polyMix(bs.slice(i, i + k))).toArray
+      val mins =
+        if (grams.length <= w) Seq(grams.min)
+        else (0 to grams.length - w).map(st => grams.slice(st, st + w).min)
+      mins.distinct.sorted.toArray
+    }
+    val texts = Seq(
+      "héllo naïve 日本語 🚀 long enough for sixteen byte grams indeed",
+      "çédille and ümlauts mixed with 漢字 across the gram boundary",
+      "short𐍈") // one 4-byte supplementary char
+    texts.foreach { txt =>
+      val eng = graft.expressions.RollingFingerprint
+        .compute(UTF8String.fromString(txt), 16, 8).toSeq
+      assert(eng === winnowRep(txt, 16, 8).toSeq, s"winnow diverges on '$txt'")
+    }
+  }
 }

@@ -10,6 +10,10 @@ import java.nio.file.Files
   */
 object StressBench {
   def main(args: Array[String]): Unit = {
+    // optional arg: total ops (default 20000) — the r19 decade-up rows
+    // (200k ops) measure whether per-round capture cost stays
+    // delta-proportional as the resident mirror state grows 10x
+    val totalOps = args.headOption.map(_.toInt).getOrElse(20000)
     val home = Files.createTempDirectory("graft_sbench").toString
     System.setProperty("derby.system.home", home)
     val url = "jdbc:derby:sbench;create=true"
@@ -51,7 +55,7 @@ object StressBench {
     // the insert.ps1 defaults: 5000 records in 500-row batches, zero delay;
     // 90/6/4 mix (the reference's own run is insert-only; ours keeps the
     // mixed-op path under measurement too)
-    val churn = ChurnConfig("churn_bench", recordCount = 20000, batchSize = 500,
+    val churn = ChurnConfig("churn_bench", recordCount = totalOps, batchSize = 500,
       insertWeight = 90, updateWeight = 6, deleteWeight = 4, seed = 42L)
     val res = StressHarness.run(spark, url, churn, runner,
       syncEveryBatches = 10, props = props)
