@@ -550,12 +550,22 @@ object StressHarness {
                     runner: MirrorRunner, wallMs: Long): OperationsAnalysis = {
     import org.apache.spark.sql.functions.{col, max}
     val table = gen.cfg.table
-    val fin = runner.readFramesFinal(table)
-    val mirrorRows = fin.count()
-    val wm = fin.agg(max(col("seq"))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    // an absent mirror dir is "nothing captured yet", not an error — the
+    // sustained sampler thread calls this WHILE the first capture round
+    // races it (the r19 `analyze` fix, applied to the frame lane)
+    val (mirrorRows, wm) =
+      try {
+        val fin = runner.readFramesFinal(table)
+        val rows = fin.count()
+        val w = fin.agg(max(col("seq"))).collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        (rows, w)
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") => (0L, 0L)
+      }
     val sourceMaxSeq = gen.maxLiveSeq
     val stats = gen.batchStats
     val okStats = stats.filter(_.failed == 0L)

@@ -74,7 +74,14 @@ object SustainedStressBench {
     }
     runner.start(1500L)
     val sampler = new Thread(() => {
-      while (gen.hasMore) { Thread.sleep(30000L); sample("load") }
+      // a transient analyze failure (e.g. racing the very first capture
+      // commit) must not kill the curve - skip the sample and keep going
+      while (gen.hasMore) {
+        Thread.sleep(30000L)
+        try sample("load")
+        catch { case e: Throwable =>
+          System.err.println(s"[sample] skipped: ${e.getMessage}") }
+      }
     })
     sampler.setDaemon(true)
     try {
