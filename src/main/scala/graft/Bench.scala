@@ -130,9 +130,11 @@ object Bench {
     // instead of triggering a manual box-shift audit. (The AFTER value is
     // informational only: the bench itself saturates the box, so it is
     // always high on a healthy run.)
+    // loaded_window keeps the r18 WHOLE-RUN semantic (start-sample box
+    // shift); per-row co-tenant windows live in loaded_queries/load —
+    // a 4-row band must not read as "whole artifact suspect"
     val loaded = loadBefore.split(" ").headOption
-      .flatMap(_.toDoubleOption).exists(_ > 8.0) ||
-      results.exists(_._5 > loadedRunnable)
+      .flatMap(_.toDoubleOption).exists(_ > 8.0)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"queries":$qs,"spread":$spreads,"errors":$errs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"load":$loads,"loaded_queries":$loadedQueries,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: stdout tail-capture windows have

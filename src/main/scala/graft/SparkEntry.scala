@@ -3409,8 +3409,12 @@ object SparkEntry {
                      WHEN rk <= (2 * n + 2) // 3 THEN 'middle'
                      ELSE 'tail' END AS ppl_bucket
          FROM r""",
-    // same hashed-bigram buckets (ord = ascii = code point), same add-one
-    // LLR frozen to integer micro-nats, same exact int64 per-doc totals
+    // same hashed-bigram buckets, same add-one LLR frozen to integer
+    // micro-nats, same exact int64 per-doc totals. ord() here is
+    // DELIBERATELY code-point semantics — the engine's CharBigramBuckets
+    // hashes codePointAt, NOT UTF-8 bytes (unlike the token-hash family,
+    // which the r19 byte lift rewrote over encode()): do not "fix" this
+    // to the hex-pair idiom
     "docs_dsir_weights" ->
       """WITH pos AS (
            SELECT doc_id, lang, text,
