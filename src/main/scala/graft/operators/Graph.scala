@@ -581,14 +581,11 @@ object Graph {
     // and the distinct's partial+final aggregates BOTH run post-shuffle
     // on bounded input (the explicit hash(c, s) exchange satisfies the
     // aggregate's required distribution, so Catalyst plans no further
-    // exchange — verified in the physical plan). Identity below the
+    // exchange — spec-pinned in ShuffleShapeSpec). Identity below the
     // parallelism floor: bench-SF plans are unchanged, and the distinct
     // SET is partitioning-independent so results never move.
-    val relParts =
-      if (relRows > 0)
-        graft.GraftSession.sizedPartitionsFromBytes(
-          rel.sparkSession, BigInt(relRows) * 16, 1.0, targetBytes)
-      else floorParts
+    val (distinctPairs, sized) =
+      Graph.sizedDistinctPairs(raw, relRows, targetBytes, floorParts)
     // at scale, checkpoint `b` DISK_ONLY: the eager MEMORY_AND_DISK
     // default parks the (possibly hundreds-of-MB) distinct pair set in
     // the unified pool's PROTECTED storage region for the whole query,
@@ -599,12 +596,9 @@ object Graph {
     // speed — IO the join stage overlaps — while execution memory is
     // the contended resource.
     val bLevel =
-      if (relParts > floorParts) org.apache.spark.storage.StorageLevel.DISK_ONLY
+      if (sized) org.apache.spark.storage.StorageLevel.DISK_ONLY
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val b = (if (relParts > floorParts)
-        raw.repartition(relParts, col("c"), col("s"))
-      else raw)
-      .distinct().localCheckpoint(true, bLevel)
+    val b = distinctPairs.localCheckpoint(true, bLevel)
     val deg = b.groupBy(col("c")).agg(count(lit(1)).as("degc"))
     // one tiny action serves both the hub guard AND the exchange sizing:
     // the wedge volume Σ deg² over in-play customers is EXACT here, and
@@ -672,5 +666,26 @@ object Graph {
     // back down by ACTUAL bytes (map-side combine usually collapses the
     // partials far below the wedge bound)
     graft.GraftSession.sizedExchanges(out, parts, targetBytes)
+  }
+
+  /** The r19 pre-distinct shuffle fragment (see [[bipartiteBestPartner]]),
+    * factored so its plan contract is testable: when the caller-known
+    * producer volume clears the parallelism floor, the raw (c, s) pairs
+    * shuffle by key into `targetBytes` tasks BEFORE the distinct, and
+    * Catalyst then plans BOTH distinct aggregates post-shuffle — the
+    * fragment carries exactly ONE exchange (ShuffleShapeSpec), so the
+    * producing stage feeds a spillable shuffle write, never an in-stage
+    * partial hash map. Returns (distinct frame, whether sizing engaged).
+    */
+  private[graft] def sizedDistinctPairs(raw: DataFrame, relRows: Long,
+      targetBytes: Long, floorParts: Int): (DataFrame, Boolean) = {
+    val relParts =
+      if (relRows > 0)
+        graft.GraftSession.sizedPartitionsFromBytes(
+          raw.sparkSession, BigInt(relRows) * 16, 1.0, targetBytes)
+      else floorParts
+    val sized = relParts > floorParts
+    ((if (sized) raw.repartition(relParts, col("c"), col("s")) else raw)
+      .distinct(), sized)
   }
 }

@@ -361,4 +361,25 @@ class ShuffleShapeSpec extends SparkSpec {
     assert(globalWindows(Ranking.withRunningSums(df, Seq(col("d")),
       Seq("a"), Seq("ca"))) === 0)
   }
+
+  test("best_partner pre-distinct keyed shuffle (r19): the distinct's " +
+    "partial+final aggregates BOTH run post-shuffle — exactly the one " +
+    "explicit exchange, none added by the aggregate") {
+    val raw = ev.select(col("user_id").cast("long").as("c"),
+      col("event_id").cast("long").as("s"))
+    // a producer-volume hint big enough to clear the parallelism floor
+    val (d, sized) = graft.operators.Graph.sizedDistinctPairs(raw,
+      relRows = 400L * 1000 * 1000, targetBytes = 16L << 20,
+      floorParts = GraftSession.parallelismFloor(spark))
+    assert(sized, "the hint must clear the floor in this test")
+    assert(shuffles(d) == 1,
+      "the fragment must carry ONLY the explicit hash(c, s) exchange — " +
+        "a second exchange means the aggregate was not planned post-shuffle")
+    // the identity path (no hint) computes the same distinct set
+    val (d0, sized0) = graft.operators.Graph.sizedDistinctPairs(raw,
+      relRows = -1L, targetBytes = 16L << 20,
+      floorParts = GraftSession.parallelismFloor(spark))
+    assert(!sized0)
+    assert(d.collect().toSet === d0.collect().toSet)
+  }
 }
