@@ -90,6 +90,16 @@ object Bench {
           // rep-1 success wins: a transient rep-2 failure (co-tenant spike)
           // must not report a working query as errored with a bogus fast time
           // — but a suppressed failure is still a flake signal, so log it
+          // let the context cleaner collect rep-1's localCheckpoint
+          // blocks before rep 2 times itself: they are unreachable but
+          // stay resident until a GC notices (the SCALING rep-2
+          // heap-aging note — a real cluster's per-job executors never
+          // see a predecessor's cache). Outside the timed region; only
+          // BETWEEN REPS — a measured A/B showed a between-QUERIES gc
+          // drags totals ~8% (concurrent-phase tails bleed into the next
+          // rep-1) and its worker threads false-flag the next row's load
+          // sample.
+          System.gc()
           val (t2, e2) = once()
           e2.foreach(e => System.err.println(s"[bench] $name rep-2 failed " +
             s"(rep-1 time kept): $e"))
