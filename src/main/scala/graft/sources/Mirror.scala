@@ -98,7 +98,19 @@ object Mirror {
     require(buckets >= 1, s"bad buckets=$buckets")
     def side(df: DataFrame, pfx: String) = {
       val kh = xxhash64(keys.map(col): _*)
-      val fp = xxhash64(keys.map(col) :+ col(versionCol).cast("long"): _*)
+      // xxhash64 SKIPS a null input: if the long cast nulled a non-null
+      // version (non-numeric column), every row would fingerprint as
+      // hash(keys) alone and version-only staleness would be permanently
+      // invisible behind a green audit — fail loudly instead
+      val v = col(versionCol).cast("long")
+      val vGuarded = when(col(versionCol).isNotNull && v.isNull,
+        raise_error(concat(
+          lit(s"auditBuckets: version column '$versionCol' value "),
+          col(versionCol).cast("string"),
+          lit(" does not cast to long; the fingerprint would silently " +
+            "degrade to keys-only"))).cast("long"))
+        .otherwise(v)
+      val fp = xxhash64(keys.map(col) :+ vGuarded: _*)
       df.select(pmod(kh, lit(buckets.toLong)).as("bucket"), fp.as("fp"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as(s"${pfx}_rows"),

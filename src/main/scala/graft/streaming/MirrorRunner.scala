@@ -345,8 +345,18 @@ final class MirrorRunner(spark: SparkSession, val cfg: MirrorConfig,
     */
   def audit(table: String, buckets: Int = 256): DataFrame = {
     val t = spec(table)
-    graft.sources.Mirror.auditBuckets(source(table), readFinal(table),
-      t.keys, t.versionCol, buckets)
+    val src = source(table)
+    // a monitor may call audit while the FIRST capture round is mid-write
+    // (dir absent, or present without a committed footer): that mirror is
+    // EMPTY, and the honest audit is src-vs-empty — every non-empty source
+    // bucket flags — not an AnalysisException in the monitoring loop
+    val fin =
+      try readFinal(table)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if MirrorRunner.nothingCapturedYet(e) => src.limit(0)
+      }
+    graft.sources.Mirror.auditBuckets(src, fin, t.keys, t.versionCol, buckets)
   }
 
   /** The monitor-report form of [[audit]]: one row per non-paused synced
@@ -368,6 +378,22 @@ final class MirrorRunner(spark: SparkSession, val cfg: MirrorConfig,
           col("src_rows"), col("mirror_rows"),
           (col("buckets_mismatched") === 0L).as("ok"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** The whole monitor row per table (r20, r19 verdict task 4): the lag
+    * report JOINED with the row-level audit verdict — counts, watermarks,
+    * sync status, AND the per-bucket fingerprint compare in ONE frame,
+    * so a monitoring loop gets the stale-row column by default instead
+    * of having to remember a second call. `audit = false` skips the two
+    * extra scans per table for hot loops that only want lag.
+    */
+  def report(buckets: Int = 256, audit: Boolean = true): DataFrame = {
+    val l = lag()
+    if (!audit) l
+    else l.join(auditAll(buckets)
+        .select(col("table").as("table_name"),
+          col("buckets_mismatched"), col("ok").as("audit_ok")),
+      Seq("table_name"), "left")
   }
 
   /** sum() is null on an empty audit (both sides empty → zero buckets);
@@ -432,6 +458,23 @@ final class MirrorRunner(spark: SparkSession, val cfg: MirrorConfig,
 }
 
 object MirrorRunner {
+
+  /** "Nothing captured yet" for a reader racing the FIRST capture commit:
+    * the mirror directory is absent (`PATH_NOT_FOUND`) OR exists but
+    * holds no committed parquet footer yet (`UNABLE_TO_INFER_SCHEMA` —
+    * the mid-first-commit window, which only opens on a contended box;
+    * the r19 catch matched only the absent-dir case and a full-suite run
+    * failed through the gap). Matched on the error CONDITION, not message
+    * text — message matching is brittle across Spark versions. A
+    * permanently wrong `target_dir` also lands here by construction (no
+    * read-time error can distinguish "not yet" from "never"); callers
+    * that poll bound the misread with their own deadlines and fail
+    * loudly on timeout instead of spinning forever.
+    */
+  private[graft] def nothingCapturedYet(
+      e: org.apache.spark.sql.AnalysisException): Boolean =
+    Option(e.getCondition).exists(c =>
+      c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA")
 
   /** Lifecycle state of one table, drawn purely from disk. */
   final case class TableStatus(table: String, state: String,

@@ -541,6 +541,13 @@ object StressHarness {
     } finally spark.sparkContext.removeSparkListener(res)
   }
 
+  /** See [[MirrorRunner.nothingCapturedYet]] — shared with the production
+    * audit verb, which hits the same mid-first-commit window.
+    */
+  private def nothingCapturedYet(
+      e: org.apache.spark.sql.AnalysisException): Boolean =
+    MirrorRunner.nothingCapturedYet(e)
+
   /** [[analyze]]'s frame-path twin: the generator IS the source (its
     * reference state is the live table), the mirror is the frame-path
     * namespace, and the version watermark is the mirror FINAL's max seq
@@ -564,7 +571,7 @@ object StressHarness {
         (rows, w)
       } catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") => (0L, 0L)
+            if nothingCapturedYet(e) => (0L, 0L)
       }
     val sourceMaxSeq = gen.maxLiveSeq
     val stats = gen.batchStats
@@ -619,7 +626,7 @@ object StressHarness {
       try runner.readFinal(table).count()
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") => 0L
+            if nothingCapturedYet(e) => 0L
       }
     val sinkRows = runner.cfg.sinkUrl.map { sink =>
       val target = runner.cfg.tables.find(_.name == table).get.target

@@ -50,6 +50,24 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Free the cache blocks behind an eager `localCheckpoint` result NOW,
+    * instead of when a GC notices the RDD became unreachable (r20, the
+    * SCALING rep-2 heap-aging fix): a checkpointed Dataset's analyzed
+    * plan is a `LogicalRDD` over the persisted internal RDD, and dropping
+    * the blocks means unpersisting THAT rdd — `Dataset.unpersist` cannot
+    * do it, it consults only the relation cache manager, which holds no
+    * entry for a checkpoint. Safe no-op for non-checkpoint plans. The
+    * blocks are droppable once every downstream frame that read them has
+    * materialized via its own checkpoint.
+    */
+  def dropCheckpoint(df: org.apache.spark.sql.DataFrame,
+                     blocking: Boolean = false): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking)
+      case _ => ()
+    }
+
   /** Register graft's SQL functions on an already-running session (the
     * `spark.sql.extensions` config path only applies at session build).
     */

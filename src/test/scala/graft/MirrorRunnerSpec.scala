@@ -244,9 +244,31 @@ class MirrorRunnerSpec extends SparkSpec {
 
     // a planted EXTRA mirror-invisible source row (insert, no capture):
     // count mismatch flags too — the missing-row taxonomy
-    exec("INSERT INTO mr_aud VALUES (41, 41, 'p41')")
+    // seq must sit ABOVE the watermark (100 after the id=7 capture) or
+    // the poll transport never sees the row — the monotonic-version
+    // contract (a sub-watermark insert is exactly what audit flags
+    // forever; here the fixture should genuinely converge)
+    exec("INSERT INTO mr_aud VALUES (41, 141, 'p41')")
     assert(runner.audit("mr_aud", buckets = 8).where(!col("ok")).count() === 1L)
     runner.runOnce() // leave the table converged for any later test
+
+    // r20: report() is the ONE-CALL monitor frame — the lag row with the
+    // audit columns joined on by default. Plant the stale-version shape
+    // again: counts stay equal, so sync_status reads SYNCED — exactly the
+    // blindness the audit_ok column exists to cover.
+    exec("UPDATE mr_aud SET payload = 'py', seq = 200 WHERE id = 9")
+    val rep = runner.report(buckets = 8).collect()
+    assert(rep.length === 1 && rep(0).getAs[String]("table_name") === "mr_aud")
+    assert(rep(0).getAs[String]("sync_status") === "SYNCED",
+      "counts are green — the lag columns alone cannot see the stale row")
+    assert(!rep(0).getAs[Boolean]("audit_ok"))
+    assert(rep(0).getAs[Long]("buckets_mismatched") === 1L)
+    runner.runOnce()
+    val repOk = runner.report(buckets = 8).collect()(0)
+    assert(repOk.getAs[Boolean]("audit_ok") &&
+      repOk.getAs[String]("sync_status") === "SYNCED")
+    // audit = false skips the scans and the columns — the hot-loop form
+    assert(!runner.report(audit = false).columns.contains("audit_ok"))
   }
 
   test("schema drift end-to-end: a source ALTER ADD COLUMN flows through " +

@@ -287,6 +287,44 @@ class StressSpec extends SparkSpec {
       "the two transports must replay the identical workload")
   }
 
+  test("exists-but-empty mirror dir reads as 'nothing captured yet': the " +
+    "mid-first-commit window (dir created, no committed footer) that " +
+    "failed the r19 full-suite run, pinned DETERMINISTICALLY — no race " +
+    "needed") {
+    val root = Files.createTempDirectory("stressemptydir").toString
+    createChurnTable("churn_emptydir")
+    val cfgPath = writeConfig(root, "churn_emptydir", None)
+    val runner = MirrorRunner.load(spark, cfgPath, props)
+    // open the window by hand: the capture round mkdirs the mirror dir
+    // before its first parquet commit lands — UNABLE_TO_INFER_SCHEMA, a
+    // different condition than the absent-dir PATH_NOT_FOUND the r19
+    // catch covered
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/mirror/churn_emptydir"))
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/mirror/frames/churn_emptydir"))
+    val churn = ChurnConfig("churn_emptydir", recordCount = 20,
+      batchSize = 10, seed = 3L)
+    val gen = new ChurnGenerator(url, churn)
+    while (gen.hasMore) gen.runBatch() // source has rows; mirror has none
+    // the polling-lane poller path
+    val a = StressHarness.analyze(spark, url, gen, runner, 1L, props)
+    assert(a.mirrorRows === 0L)
+    assert(a.syncDifference === a.sourceRows)
+    // the frame-lane poller path (the sustained sampler's call)
+    val fgen = new graft.streaming.FrameChurnGenerator(spark, churn,
+      s"$root/landing")
+    val fa = StressHarness.analyzeFrames(spark, fgen, runner, 1L)
+    assert(fa.mirrorRows === 0L)
+    // the production audit verb hits the same window from a monitor loop:
+    // src-vs-empty must FLAG (honest), not throw
+    val audit = runner.audit("churn_emptydir").collect()
+    assert(audit.nonEmpty)
+    assert(audit.forall(!_.getAs[Boolean]("ok")),
+      "a populated source audited against an empty mirror must flag")
+    assert(audit.map(_.getAs[Long]("mirror_rows")).sum === 0L)
+  }
+
   test("a failed batch is atomic: accounting records it, the reference " +
     "state and source stay unchanged") {
     createChurnTable("churn_fail")

@@ -134,12 +134,28 @@ object SustainedFrameStressBench {
       .collect().map(_.toSeq).toSet
     val ref = gen.expectedFinal(spark).collect().map(_.toSeq).toSet
     require(fin == ref, "frame-path FINAL != reference state after sustained load")
+    // r20 (r19 verdict task 4): the production audit verb certifies the
+    // same clean state the reference equality just proved. The frame lane
+    // has no JDBC source, so the source side is the generator's live
+    // state (what a deployment's PostgreSQL table would be); both sides
+    // cast to the audit's hashed types so fingerprints are comparable.
+    val auditRows = graft.sources.Mirror.auditBuckets(
+      gen.expectedFinal(spark)
+        .selectExpr("cast(id as long) as id", "cast(seq as long) as seq"),
+      runner.readFramesFinal("churn_frames_sustained")
+        .selectExpr("cast(id as long) as id", "cast(seq as long) as seq"),
+      Seq("id"), "seq").collect()
+    require(auditRows.nonEmpty && auditRows.forall(_.getAs[Boolean]("ok")),
+      s"audit flagged a converged frame mirror: ${auditRows.mkString("; ")}")
+    val auditLine = s"audit: ${auditRows.length} buckets, " +
+      s"${auditRows.count(!_.getAs[Boolean]("ok"))} mismatched — clean"
     val wallMs = (System.nanoTime() - t0) / 1000000L
     println(s"SUSTAINED FRAME STRESS (${minutes} min target, " +
       f"${wallMs / 1000.0}%.0f s actual, ${gen.generatedOps} ops)")
     println("|  t(s) |     ops |   ops/s |     src |  mirror | diff |    lag | phase")
     samples.foreach(println)
     println(s"row-level convergence: ${fin.size} rows equal")
+    println(auditLine)
     println("engine resources: " + res.totals.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }.mkString(" "))
     val lags = samples.map(_.split("\\|")(7).trim.toLong)

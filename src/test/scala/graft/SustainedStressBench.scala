@@ -118,12 +118,24 @@ object SustainedStressBench {
       .collect().map(_.toSeq).toSet
     val ref = gen.expectedFinal(spark).collect().map(_.toSeq).toSet
     require(fin == ref, "FINAL != reference state after sustained load")
+    // r20 (r19 verdict task 4): the PRODUCTION detector validated against
+    // the test detector on every sustained run — the row-level audit verb
+    // must certify the same clean state the in-memory reference equality
+    // just proved (they are parallel detectors of the same failure class)
+    val audit = runner.auditAll().collect()
+    require(audit.nonEmpty && audit.forall(_.getAs[Boolean]("ok")),
+      s"audit flagged a converged mirror: ${audit.mkString("; ")}")
+    val auditLine = "audit: " + audit.map(r =>
+      s"${r.getAs[String]("table")} buckets_mismatched=" +
+        s"${r.getAs[Long]("buckets_mismatched")} ok=${r.getAs[Boolean]("ok")}")
+      .mkString(" | ")
     val wallMs = (System.nanoTime() - t0) / 1000000L
     println(s"SUSTAINED STRESS (${minutes} min target, " +
       f"${wallMs / 1000.0}%.0f s actual, ${gen.generatedOps} ops)")
     println("|  t(s) |     ops |   ops/s |     src |  mirror | diff |    lag | phase")
     samples.foreach(println)
     println(s"row-level convergence: ${fin.size} rows equal")
+    println(auditLine)
     println("engine resources: " + res.totals.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }.mkString(" "))
     val lags = samples.map(_.split("\\|")(7).trim.toLong)
