@@ -158,6 +158,12 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // r20: ≤ this many dirs list on the driver thread instead of spawning
+    // a distributed listing job — a 256-dir ANN index paid a 0.56 s
+    // listing JOB per probe (measured); a local/HDFS driver lists 1024
+    // dirs in milliseconds. Listing of genuinely huge partitioned tables
+    // (> 1024 dirs) still goes distributed.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 

@@ -52,14 +52,62 @@ object Graph {
     // caller confs to startup defaults inside the loops)
     val child = org.apache.spark.sql.graft.bridge.cloneSession(spark)
     child.conf.set("spark.sql.adaptive.enabled", "false")
+    // r20: the fixed caller floor made every pre-loop stage (edge
+    // distinct, degree join, node census) run 32-partition task waves on
+    // few-MB frames — size the INITIAL parallelism from the input's
+    // actual leaf bytes (materialized checkpoint blocks / scan stats, ×4
+    // for the pair fan-out) at the same 8 MB compute-dense target the
+    // per-round refinement uses; [[tuneIterParallelism]] replaces the
+    // estimate with the materialized edge frame's exact bytes before the
+    // rounds run. The explicit knob still wins.
     val parts = spark.conf.getOption("graft.graph.iterPartitions")
-      .getOrElse(spark.conf.get("spark.sql.shuffle.partitions"))
+      .getOrElse {
+        val bytes = org.apache.spark.sql.graft.bridge.leafInputBytes(df)
+        if (bytes <= 0) spark.conf.get("spark.sql.shuffle.partitions")
+        else {
+          val target = 8L << 20
+          val cap = graft.GraftSession.parallelismFloor(spark).toLong *
+            graft.GraftSession.PartitionCeilingFactor
+          math.max(2L, math.min((bytes * 4 + target - 1) / target, cap))
+            .toString
+        }
+      }
     child.conf.set("spark.sql.shuffle.partitions", parts)
     // rebind the ANALYZED plan: resolution already happened against the
     // caller's catalog, so session-local relations (temp views, cached
     // lookups) carry over instead of failing to re-resolve
     body(org.apache.spark.sql.graft.bridge.ofRows(child,
       df.queryExecution.analyzed))
+  }
+
+  /** Per-round exchange sizing for the iteration loops (r20, guide §2.2:
+    * fewer, larger partitions): a synchronous-Pregel round's exchanges
+    * carry EDGE-sized frames, and the loop pays every round's task count
+    * k times — at the session floor (32) a few-MB edge list ran 64-96
+    * tiny tasks per round whose fixed cost dominated (measured: pagerank's
+    * per-round task time fell 12 s → 1.7 s and its wall 0.48 → 0.27 s per
+    * round when the rounds ran at 8 partitions). Sized from the
+    * MATERIALIZED edge frame's actual block bytes (known for free — every
+    * loop materializes its edge list before iterating) at the 8 MB
+    * compute-dense target: small graphs get few round-tasks, and past
+    * ~256 MB of edges the count crosses the old floor and keeps growing
+    * to the standard ceiling — the GraftSession self-sizing rule applied
+    * to the loop's implicit exchanges, byte-driven rather than
+    * box-shaped. The explicit `graft.graph.iterPartitions` knob still
+    * wins when set ([[inIterSession]] applied it before the body ran).
+    * Results are partition-count independent (all-integer operators,
+    * spec-pinned), so only the plan shape moves.
+    */
+  private def tuneIterParallelism(materialized: DataFrame): Unit = {
+    val spark = materialized.sparkSession
+    if (spark.conf.getOption("graft.graph.iterPartitions").isDefined) return
+    val bytes = sqlBridge.materializedBytes(materialized)
+    if (bytes <= 0) return
+    val target = 8L << 20
+    val cap = graft.GraftSession.parallelismFloor(spark).toLong *
+      graft.GraftSession.PartitionCeilingFactor
+    val parts = math.max(2L, math.min((bytes + target - 1) / target, cap))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
   }
 
   /** Broadcast hint gated on an EXACT driver-known row count — the
@@ -101,16 +149,40 @@ object Graph {
                         maxGroupSize: Int = 1 << 12,
                         failOnOversized: Boolean = false): DataFrame = {
     require(maxGroupSize >= 2, s"bad maxGroupSize=$maxGroupSize")
-    // the (group, item) relation feeds FOUR consumers (the size frame,
-    // the guard action, and both sides of the pair self-join): one
-    // eager materialization instead of four source rescans+distincts —
-    // the same idiom as triangleStats' shared canonical edge list. The
-    // size frame is group-count-sized and read twice (guard + semi-join).
-    val pairs = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .distinct().localCheckpoint(true)
-    val sizes = pairs.groupBy(col("g")).agg(count(lit(1)).as("gsz"))
-      .where(col("gsz") >= 2).localCheckpoint(true)
-    val over = sizes.where(col("gsz") > maxGroupSize)
+    // r20 (optimization guide §2.3/§2.4): ONE aggregation replaces the
+    // old distinct → sizes → guard-join → self-join chain. collect_set
+    // dedups each group's items inside the aggregate (the distinct and
+    // the size frame for free), the guard reads the group-count-sized
+    // array frame, and the ordered-pair fan-out is a NARROW double
+    // explode — the pair multiset never shuffles at all. Old shape: 3
+    // group-keyed exchanges (distinct, sizes, self-join) + 2 checkpoints
+    // + the pair self-join; new shape: 1 exchange + 1 group-count-sized
+    // checkpoint. Measured at sf0.1 (supplier co-order graph): the edge
+    // build inside supplier_graph_stats dropped ~1 s of its ~1.2 s.
+    // Per-group state is bounded by maxGroupSize items (the same bound
+    // the old size guard enforced before pairing), so the aggregation
+    // buffer cannot hub-blow: a group past the cap still collects once
+    // (maxGroupSize ≪ memory), is counted, reported, and excluded.
+    // Output multiset is IDENTICAL: per group with distinct in-play item
+    // set S, every ordered pair (a, b), a ≠ b — collect_set drops NULL
+    // items, which the old path also never paired (src =!= dst is NULL
+    // on a NULL side, so the WHERE dropped them).
+    // explicit group-keyed exchange BEFORE the aggregate (the
+    // sizedDistinctPairs plan contract): the user exchange satisfies the
+    // aggregate's required distribution, so the set-building runs POST-
+    // shuffle at the parallelism floor — left implicit, the partial
+    // collect_set ran inside the scan task (one task on a single-split
+    // input, measured 0.65 s serial) and the map-side partial barely
+    // reduces bytes anyway (co-occurrence groups are small and rarely
+    // span input splits).
+    val grouped = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .repartition(graft.GraftSession.parallelismFloor(df.sparkSession),
+        col("g"))
+      .groupBy(col("g")).agg(collect_set(col("i")).as("items"))
+      .select(col("items"), size(col("items")).as("gsz"))
+      .where(col("gsz") >= 2)
+      .localCheckpoint(true)
+    val over = grouped.where(col("gsz") > maxGroupSize)
       .agg(count(lit(1)).as("n"), coalesce(sum(col("gsz")), lit(0L)).as("rows"))
       .collect()(0)
     if (over.getLong(0) > 0) {
@@ -120,12 +192,10 @@ object Graph {
       if (failOnOversized) throw new IllegalStateException(msg)
       Console.err.println(s"[graft] WARN $msg")
     }
-    val inPlay = pairs
-      .join(sizes.where(col("gsz") <= maxGroupSize).select(col("g")), "g")
-    inPlay.select(col("g"), col("i").as("src"))
-      .join(inPlay.select(col("g"), col("i").as("dst")), Seq("g"))
+    grouped.where(col("gsz") <= maxGroupSize)
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
   }
 
   /** `iterations` rounds of damped PageRank (d = 0.85) over DIRECTED
@@ -160,16 +230,21 @@ object Graph {
     require(iterations >= 1 && iterations <= 50, s"bad iterations=$iterations")
     inIterSession(edges) { edges =>
     val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val withDeg = {
-      val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .distinct()
-      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
-        .persist(store)
-    }
+    // r20: materialize the distinct edge list ONCE (checkpoint) — it
+    // feeds the degree aggregate, the node census, and the degree join;
+    // un-checkpointed, the distinct re-ran inside each consumer. The
+    // degree join then goes through [[hintIfSmall]] gated on the node
+    // count (already paid as the loop's lane guard), so at broadcastable
+    // node counts the prologue never exchanges the edge list by src —
+    // measured as the largest single job of the old prologue. Past the
+    // cap it falls back to the documented edge-sized-shuffle join.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    tuneIterParallelism(e) // eager checkpoint: block bytes known now
     try {
       // node-sized and referenced by every iteration's floor join: cached
-      val nodes = withDeg.select(col("src").as("node"))
-        .union(withDeg.select(col("dst"))).distinct().persist(store)
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst"))).distinct().persist(store)
       // overflow-path selection, PROVEN once instead of paid every row:
       // total rank mass never exceeds nodeCount·10⁹ nano-units (damping
       // only ever redistributes or leaks mass), so a hub's contribution
@@ -180,6 +255,16 @@ object Graph {
       // nulls loudly (never wraps) on a 10¹⁶+-node absurdity. The two
       // lanes are bit-equal wherever both are defined (spec-pinned).
       val nodeN = nodes.count()
+      // the degree side is at most node-sized: the SAME count that picks
+      // the sum lane gates its broadcast, so at broadcastable node counts
+      // the prologue never exchanges the edge list by src (measured as
+      // the old prologue's largest job); past the cap it falls back to
+      // the documented edge-sized-shuffle join
+      val withDeg = e.join(
+          hintIfSmall(e.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+            nodeN),
+          Seq("src"))
+        .persist(store)
       val sumAgg = if (nodeN < longLaneMaxNodes)
         expr("150000000 + (sum(c) * 850) DIV 1000")
       else
@@ -215,8 +300,9 @@ object Graph {
       }
       val out = cur.select(col("node"), col("p").as("rank_nano"))
       nodes.unpersist(false)
+      withDeg.unpersist(false)
       out
-    } finally withDeg.unpersist(false)
+    } finally sqlBridge.dropCheckpoint(e) // out reads its own checkpoint
     }
   }
 
@@ -304,19 +390,25 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // r20 (guide §2.4 — share one pass): keep the degree join LEFT and
+    // fold the edge total into the SAME scalar aggregate as the six
+    // correlation moments (condition every moment on `dd` being present,
+    // count(*) for n_edges) — the old separate `totals` aggregate was a
+    // fourth full consumer of the checkpointed edge list (measured 0.43 s
+    // of supplier_graph_stats). Moment values are unchanged: rows with no
+    // dst out-degree contributed nothing before and contribute NULL-skipped
+    // terms now.
     val paired = e
       .join(deg, Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("dd")),
         Seq("dst"), "left")
-      // dst nodes with no out-edges have no out-degree pair to correlate
-      .where(col("dd").isNotNull)
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    val m = paired.agg(count(lit(1)).as("n"),
-      sum(col("deg")).as("sx"), sum(col("dd")).as("sy"),
+    val m = paired.agg(count(col("dd")).as("n"),
+      sum(when(col("dd").isNotNull, col("deg"))).as("sx"), sum(col("dd")).as("sy"),
       sum(dec(col("deg")) * dec(col("dd"))).as("sxy"),
-      sum(dec(col("deg")) * dec(col("deg"))).as("sxx"),
-      sum(dec(col("dd")) * dec(col("dd"))).as("syy"))
-    val totals = e.agg(count(lit(1)).as("n_edges"))
+      sum(when(col("dd").isNotNull, dec(col("deg")) * dec(col("deg")))).as("sxx"),
+      sum(dec(col("dd")) * dec(col("dd"))).as("syy"),
+      count(lit(1)).as("n_edges"))
     val nodeTot = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .agg(count(lit(1)).as("n_nodes"))
@@ -327,7 +419,7 @@ object Graph {
     // not a division error and not a fake 0
     val denom = sqrt((d("n") * d("sxx") - d("sx") * d("sx"))
       * (d("n") * d("syy") - d("sy") * d("sy")))
-    m.crossJoin(broadcast(totals)).crossJoin(broadcast(nodeTot))
+    m.crossJoin(broadcast(nodeTot))
       .crossJoin(broadcast(degTot))
       .select(col("n_nodes"), col("n_edges"), col("max_out_deg"),
         when(denom === 0.0, lit(null).cast("double"))
@@ -364,6 +456,7 @@ object Graph {
     inIterSession(edges) { edges =>
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    tuneIterParallelism(e) // eager checkpoint: block bytes known now
     var alive = e.select(col("src").as("node")).union(e.select(col("dst")))
       .distinct().persist()
     var aliveN = alive.count()
@@ -430,6 +523,7 @@ object Graph {
     inIterSession(edges) { edges =>
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
+    tuneIterParallelism(e) // eager checkpoint: block bytes known now
     val spark = edges.sparkSession
     import spark.implicits._
     val seed = e.agg(min(col("src"))).as[Option[Long]].head() match {
@@ -508,6 +602,7 @@ object Graph {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst"))).distinct().persist(store)
       val nodeN = nodes.count()
+      tuneIterParallelism(e) // e materialized by the node count above
       var cur = nodes.withColumn("lbl", col("node"))
       var pinned: Option[DataFrame] = None
       for (i <- 1 to rounds) {

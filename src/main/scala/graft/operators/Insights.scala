@@ -403,7 +403,22 @@ object Insights {
       .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
       .select(explode(sequence(col("m0"), col("m1"),
         expr("INTERVAL 1 MONTH"))).as("m"))
-    val dense = grain.select(col("k")).distinct()
+    // r20: EXPLICIT repartition BEFORE the item-key distinct — the AQE
+    // single-task coalescing trap (the jaccardPairsPrefix note): the
+    // distinct item keys are byte-wise tiny, AQE coalesced the distinct's
+    // ENSURE_REQUIREMENTS exchange to ONE partition, and the ×months
+    // cross-join fan-out plus the per-item Croston fold then ran serially
+    // in that task (measured: a 2.87 s single-task job, ~60% of the
+    // query's wall). The user exchange on the same key satisfies the
+    // distinct aggregate's required distribution (the sizedDistinctPairs
+    // plan contract), so Catalyst plans no further exchange — and a
+    // user-specified repartition is EXEMPT from coalescing, keeping the
+    // fan-out parallel. A repartition placed ABOVE the distinct is
+    // removed as redundant and the trap returns (measured both ways).
+    val dense = grain.select(col("k"))
+      .repartition(graft.GraftSession.parallelismFloor(df.sparkSession),
+        col("k"))
+      .distinct()
       .crossJoin(spine)
       .join(grain, Seq("k", "m"), "left")
       .select(col("k"), col("m"), coalesce(col("x"), lit(0L)).as("x"))

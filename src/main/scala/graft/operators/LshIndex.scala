@@ -119,7 +119,12 @@ final class LshIndex private (spark: SparkSession, val dir: String,
                           newApplied: Int): Unit = {
     val b = committedBatches
     postings(batch, idCol, vecCol)
-      .repartition(col("th")) // ≈ one file per bucket dir, not one per task
+      // r20: explicit count — coalescing-exempt (the IvfIndex.addWithMark
+      // note: AQE folded the byte-wise-small write to 1-2 tasks that then
+      // created every bucket dir serially); each th still hashes to one
+      // task ⇒ one file per bucket dir per batch
+      .repartition(graft.GraftSession.parallelismFloor(batch.sparkSession),
+        col("th"))
       .write.mode("overwrite").partitionBy("th").parquet(s"$dir/assigned/b=$b")
     committedBatches = b + 1
     appliedBatch = newApplied
@@ -143,7 +148,7 @@ final class LshIndex private (spark: SparkSession, val dir: String,
       reads.parquet("assigned", s"$dir/assigned")
         .where(col("b") >= lit(liveBase) && col("b") < lit(b))
         .drop("b")
-        .repartition(col("th"))
+        .repartition(graft.GraftSession.parallelismFloor(spark), col("th"))
         .write.mode("overwrite").partitionBy("th").parquet(s"$dir/assigned/b=$b")
     }
     liveBase = b

@@ -97,7 +97,10 @@ final class TextIndex private (spark: SparkSession, val dir: String,
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("p", partOf(col("term")))
-      .repartition(col("p")) // ≈ one file per term dir, not one per task
+      // r20: explicit count — coalescing-exempt (the IvfIndex.addWithMark
+      // note); each p still hashes to one task ⇒ one file per term dir
+      .repartition(graft.GraftSession.parallelismFloor(batch.sparkSession),
+        col("p"))
       .write.mode("overwrite").partitionBy("p").parquet(s"$dir/postings/b=$b")
     toks.select(size(col("w")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("double").as("sum_dl"))
@@ -205,7 +208,7 @@ final class TextIndex private (spark: SparkSession, val dir: String,
     IvfIndex.vacuumBelow(spark, s"$dir/postings", liveBase)
     IvfIndex.vacuumBelow(spark, s"$dir/stats", liveBase)
     live("postings").drop("b")
-      .repartition(col("p"))
+      .repartition(graft.GraftSession.parallelismFloor(spark), col("p"))
       .write.mode("overwrite").partitionBy("p").parquet(s"$dir/postings/b=$b")
     stats().coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/b=$b")
     liveBase = b

@@ -68,6 +68,49 @@ object bridge {
       case _ => ()
     }
 
+  /** ACTUAL storage footprint of a materialized frame (r20, the
+    * iteration-parallelism sizing input): for an eager `localCheckpoint`
+    * result, the persisted RDD's block bytes from the block manager; for
+    * a `persist`ed frame, the post-materialization InMemoryRelation
+    * statistics (re-resolved through the cache manager on a fresh plan
+    * copy, because the original Dataset's QueryExecution was memoized
+    * before materialization). −1 when unknown — callers must treat that
+    * as "don't tune".
+    */
+  def materializedBytes(df: org.apache.spark.sql.DataFrame): Long =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize).getOrElse(-1L)
+      case _ =>
+        try {
+          val s = ofRows(df.sparkSession, df.queryExecution.logical)
+            .queryExecution.optimizedPlan.stats.sizeInBytes
+          if (s.isValidLong) s.toLong else -1L
+        } catch { case _: Throwable => -1L }
+    }
+
+  /** Sum of the ACTUAL bytes behind a plan's leaves (r20): materialized
+    * block bytes for checkpointed `LogicalRDD` leaves, statistics for
+    * file-source leaves. A cheap pre-materialization size signal for
+    * sizing an iteration session's exchanges; 0 when nothing is known.
+    */
+  def leafInputBytes(df: org.apache.spark.sql.DataFrame): Long =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed.collectLeaves().map {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          df.sparkSession.sparkContext.getRDDStorageInfo
+            .find(_.id == l.rdd.id)
+            .map(i => i.memSize + i.diskSize).getOrElse(0L)
+        case leaf =>
+          try {
+            val s = leaf.stats.sizeInBytes
+            if (s.isValidLong) s.toLong else 0L
+          } catch { case _: Throwable => 0L }
+      }.sum
+
   /** Register graft's SQL functions on an already-running session (the
     * `spark.sql.extensions` config path only applies at session build).
     */
