@@ -158,6 +158,16 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // r20: task-commit renames (v2) instead of a single-threaded job-commit
+    // walk of every task's partition dirs (v1) — the lifecycle queries
+    // commit dozens of small partitioned generations per call, and the v1
+    // job-commit walk is serial driver time on every one of them. The v2
+    // caveat (a failed job can leave task outputs visible) is covered by
+    // the engine's own commit protocols: every index/mirror generation is
+    // invisible until the meta/manifest commit flips, so partially-written
+    // b=K debris is never read (the JaccardIndex/IvfIndex/SyncManifest
+    // contract).
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
     // r20: ≤ this many dirs list on the driver thread instead of spawning
     // a distributed listing job — a 256-dir ANN index paid a 0.56 s
     // listing JOB per probe (measured); a local/HDFS driver lists 1024

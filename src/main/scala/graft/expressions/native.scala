@@ -50,6 +50,17 @@ object NativeFunctions {
   def cosineSim(a: Column, b: Column): Column =
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
 
+  /** Isolation-forest path-length sum over a flattened forest (see
+    * [[IForestPathSum]]); `features` are the double feature columns the
+    * trees' node feature indices refer to.
+    */
+  def iforestPathSum(features: Seq[Column], feats: Array[Int],
+                     thr: Array[Double], lefts: Array[Int],
+                     rights: Array[Int], leafs: Array[Double],
+                     roots: Array[Int]): Column =
+    bridge.column(IForestPathSum(features.map(bridge.expression),
+      feats, thr, lefts, rights, leafs, roots))
+
   /** Random-hyperplane LSH bucket id of an embedding column. */
   def hyperplaneLsh(v: Column, bits: Int): Column =
     bridge.column(HyperplaneLsh(bridge.expression(v), bits))

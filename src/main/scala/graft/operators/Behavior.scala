@@ -954,21 +954,41 @@ object Behavior {
         expr("INTERVAL 1 HOUR"))).as("h"))
     val series = spine.join(observed, Seq("h"), "left")
       .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
-    val w = Window.orderBy(col("h"))
-    val lagged = lags.foldLeft(series) { (df, k) =>
-      df.withColumn(s"_l$k", lag(col("x"), k).over(w))
-    }
-    val perLag = lags.map { k =>
-      val y = col(s"_l$k")
-      struct(lit(k).as("lag"),
-        count(y).as("n"),
-        sum(when(y.isNotNull, col("x"))).as("sx"), sum(y).as("sy"),
-        sum(col("x") * y).as("sxy"),
-        sum(when(y.isNotNull, col("x") * col("x"))).as("sxx"),
-        sum(y * y).as("syy")).as(s"_m$k")
-    }
-    lagged.agg(perLag.head, perLag.tail: _*)
-      .select(explode(array(lags.map(k => col(s"_m$k")): _*)).as("m"))
+      // feeds both sides of the lag join below — materialize once
+      .localCheckpoint(true)
+    // r20: the old form computed |lags| window-lag columns over ONE global
+    // window partition and aggregated 6·|lags| moment fields in that same
+    // single task (measured: a 1.38 s one-task job holding most of
+    // events_period_detect's wall; whole-stage codegen is also off past
+    // 100 fields). Same exact pairs via a lag-exploded equi-join instead:
+    // each hour row re-keys to h+k for every k and inner-joins the dense
+    // series — (x_t, x_{t−k}) pairs for t−k inside the span, identical to
+    // lag(x, k) over the dense grid. Moments are exact integer sums
+    // (order-free), so the per-lag results are bit-identical; lags whose
+    // span yields no pairs keep their (n = 0, NULL autocorr) row via the
+    // left join from the lag list. Distributed: the explode fans the
+    // span-sized series ×|lags| and the moment aggregate combines
+    // map-side — no global window, no single-task stage.
+    val lagList = lags.map(k => lit(k)) // one row per requested lag
+    val shifted = series.select(
+        explode(array(lagList: _*)).as("lag"), col("h"), col("x").as("y"))
+      .select(col("lag"), expr("timestampadd(HOUR, lag, h)").as("h"),
+        col("y"))
+    val moments = series.join(shifted, Seq("h"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    // the lag list is a LITERAL frame (not derived from the series), so an
+    // empty series still yields one (n = 0, NULL autocorr) row per lag —
+    // the old global-aggregate behavior
+    events.sparkSession.range(1)
+      .select(explode(array(lagList: _*)).as("lag"))
+      .join(moments, Seq("lag"), "left")
+      .select(struct(col("lag"), coalesce(col("n"), lit(0L)).as("n"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy")).as("m"))
       .select(col("m.lag").as("lag"), col("m.n").as("n"),
         round((col("m.n").cast("double") * col("m.sxy").cast("double")
           - col("m.sx").cast("double") * col("m.sy").cast("double"))

@@ -21,7 +21,9 @@ object Contamination {
   private def shingled(df: DataFrame, idCol: String, textCol: String,
                        side: String, width: Int) = {
     val ws = split(lower(col(textCol)), " ")
-    df.select(col(idCol).as(side), ws.as("ws"))
+    // r20: single-row-group inputs serialize the shingle explode into
+    // the scan task (guide: repartition unsplittable inputs after read)
+    Dedup.widen(df).select(col(idCol).as(side), ws.as("ws"))
       .where(size(col("ws")) >= width)
       .select(col(side), explode(array_distinct(transform(
         sequence(lit(0), size(col("ws")) - width),

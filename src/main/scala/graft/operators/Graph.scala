@@ -756,9 +756,19 @@ object Graph {
     val wedges = s1Side.select(col("c"), col("w"), col("s").as("s1"))
       .join(s2Side.select(col("c"), col("s").as("s2")), Seq("c"))
       .where(col("s1") < col("s2"))
+    // r20: materialize the pair aggregate ONCE before mirroring — the
+    // union's two branches otherwise EACH re-ran the final aggregation
+    // over the full wedge shuffle (measured: the mirror job shuffle-read
+    // 2× the 105 MB pair-partial exchange at sf0.1). persist, not
+    // checkpoint: the columnar cache compresses the pair rows ~4× vs raw
+    // checkpoint blocks (an eager checkpoint was ALSO measured — its
+    // uncompressed block write cost more than the saved duplicate
+    // aggregation). DISK_ONLY at scale, the pair-set memory discipline.
     val pairs = wedges
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("cn"), sum(col("w")).as("aaq"))
+      .persist(if (sized) org.apache.spark.storage.StorageLevel.DISK_ONLY
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mirrored = pairs.select(col("s1").as("node"), col("s2").as("partner"),
         col("cn"), col("aaq"))
       .union(pairs.select(col("s2"), col("s1"), col("cn"), col("aaq")))
@@ -784,6 +794,7 @@ object Graph {
     // the small checkpoint instead of re-running the plan.
     val result = sizedOut.localCheckpoint(true)
     sqlBridge.dropCheckpoint(b)
+    pairs.unpersist(false)
     result
   }
 

@@ -32,18 +32,46 @@ object IsolationForest {
       if (n <= 1) 0.0
       else 2.0 * (math.log(n - 1.0) + 0.5772156649015329) - 2.0 * (n - 1.0) / n
 
-    private def nodeExpr(tree: Array[Node], i: Int): Column = {
-      val nd = tree(i)
-      if (nd.feature < 0) lit(nd.leafValue)
-      else when(col(features(nd.feature)) < lit(nd.threshold),
-        nodeExpr(tree, nd.left)).otherwise(nodeExpr(tree, nd.right))
-    }
-
     /** `df` + `scoreCol` = 2^(−avgPath/c(ψ)); null features route right
       * (nulls fail `<`), landing with the out-of-range mass.
+      *
+      * r20: the forest is flattened into ONE native
+      * [[graft.expressions.IForestPathSum]] node instead of unrolling
+      * each tree into nested `when()` expressions — 20 trees × 2^depth
+      * nodes made a ~10k-node expression whose analysis/optimization
+      * cost ~1.2 s per plan evaluation. Traversal semantics are
+      * bit-identical (NULL and `>= threshold` both descend right; leaf
+      * values sum in tree order — the old left-to-right `reduce(_ + _)`).
       */
     def score(df: DataFrame, scoreCol: String): DataFrame = {
-      val avg = trees.map(t => nodeExpr(t, 0)).reduce(_ + _) / trees.size
+      val total = trees.map(_.length).sum
+      val feats = new Array[Int](total)
+      val thr = new Array[Double](total)
+      val lefts = new Array[Int](total)
+      val rights = new Array[Int](total)
+      val leafs = new Array[Double](total)
+      val roots = new Array[Int](trees.size)
+      var off = 0
+      trees.zipWithIndex.foreach { case (t, ti) =>
+        roots(ti) = off
+        var i = 0
+        while (i < t.length) {
+          val nd = t(i)
+          feats(off + i) = nd.feature
+          thr(off + i) = nd.threshold
+          lefts(off + i) = if (nd.left >= 0) off + nd.left else -1
+          rights(off + i) = if (nd.right >= 0) off + nd.right else -1
+          leafs(off + i) = nd.leafValue
+          i += 1
+        }
+        off += t.length
+      }
+      // same implicit to-double comparison cast the old `col < lit(thr)`
+      // expressions carried
+      val featCols = features.map(f => col(f).cast("double"))
+      val pathSum = graft.expressions.NativeFunctions.iforestPathSum(
+        featCols, feats, thr, lefts, rights, leafs, roots)
+      val avg = pathSum / trees.size
       df.withColumn(scoreCol,
         round(pow(lit(2.0), -avg / lit(cFactor(sampleSize))), 6))
     }

@@ -26,13 +26,22 @@ object Vocabulary {
   private def toks(textCol: String) =
     explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("w")
 
+  // r20: every tokenizing entry point runs its corpus through
+  // [[Dedup.widen]] first — a small corpus arriving as a single parquet
+  // row group otherwise fuses the tokenize/shingle explode into the ONE
+  // scan task (measured: docs_source_overlap's and docs_ngram_novelty's
+  // heaviest jobs were 0.6-1.0 s single-task stages). widen is a no-op on
+  // any input already at the session's parallelism floor — real-scale
+  // inputs are untouched; the guide's "repartition unsplittable inputs
+  // right after the read".
+
   /** The corpus' `k` most frequent (lowercased, whitespace) tokens. Ties at
     * the cut break by the token itself, so the vocabulary — and everything
     * derived from it — is deterministic across engines and partitionings.
     */
   def topVocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"bad k=$k")
-    docs.select(toks(textCol))
+    Dedup.widen(docs).select(toks(textCol))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w"))
@@ -50,7 +59,7 @@ object Vocabulary {
     // broadcast join against the k-row vocab marks hits inline), so the
     // corpus is tokenized twice total — the vocabulary pass and the probe
     // pass — never a third time for n_tokens
-    val tok = docs.select(col(idCol), toks(textCol))
+    val tok = Dedup.widen(docs).select(col(idCol), toks(textCol))
       .where(length(col("w")) > 0)
     val stats = tok
       .join(broadcast(vocab.withColumn("_graft_in", lit(1))), Seq("w"), "left")
@@ -79,7 +88,7 @@ object Vocabulary {
     * never token-sized.
     */
   def unigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs.select(col(idCol).as("doc_id"), toks(textCol))
+    val tf = Dedup.widen(docs).select(col(idCol).as("doc_id"), toks(textCol))
       .where(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val cnt = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
@@ -111,7 +120,7 @@ object Vocabulary {
     * frame is one broadcast row.
     */
   def bigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val arr = docs.select(col(idCol).as("doc_id"),
+    val arr = Dedup.widen(docs).select(col(idCol).as("doc_id"),
       filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
         w => length(w) > 0).as("a"))
     val bg = arr
@@ -155,7 +164,7 @@ object Vocabulary {
   def bigramKnLogprob(docs: DataFrame, idCol: String, textCol: String,
                       discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"bad discount=$discount")
-    val arr = docs.select(col(idCol).as("doc_id"),
+    val arr = Dedup.widen(docs).select(col(idCol).as("doc_id"),
       filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
         w => length(w) > 0).as("a"))
     val bg = arr
@@ -201,7 +210,7 @@ object Vocabulary {
     * [[zipfStats]] posture).
     */
   def heapsLaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("d"),
+    val tok = Dedup.widen(docs).select(col(idCol).as("d"),
         explode(filter(graft.functions.TextFunctions.tokens(
           lower(col(textCol))), w => length(w) > 0)).as("w"))
     val perDoc = tok.groupBy(col("d")).agg(count(lit(1)).as("toks"))
@@ -244,7 +253,7 @@ object Vocabulary {
     */
   def zipfStats(docs: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
     require(k > 0, s"bad k=$k")
-    val cnt = docs.select(toks(textCol))
+    val cnt = Dedup.widen(docs).select(toks(textCol))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totals = cnt.agg(
@@ -284,7 +293,7 @@ object Vocabulary {
     * global count table joined back, two broadcast totals frames.
     */
   def jsDivergence(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    val tf = docs.select(col(groupCol).as("g"), toks(textCol))
+    val tf = Dedup.widen(docs).select(col(groupCol).as("g"), toks(textCol))
       .where(length(col("w")) > 0)
       .groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
     val glob = tf.groupBy(col("w")).agg(sum(col("c")).as("cg"))
@@ -312,7 +321,7 @@ object Vocabulary {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
     require(n > 0, s"bad n=$n")
-    val tf = docs.select(col(idCol).as("doc_id"), toks(textCol))
+    val tf = Dedup.widen(docs).select(col(idCol).as("doc_id"), toks(textCol))
       .where(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w").as("term"))
       .agg(count(lit(1)).as("tf"))
@@ -359,7 +368,7 @@ object Vocabulary {
     * Output: (group, n_bigrams, n_types, bigram_entropy_bits).
     */
   def bigramEntropy(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    val arr = docs.select(col(groupCol).as("g"),
+    val arr = Dedup.widen(docs).select(col(groupCol).as("g"),
       filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
         w => length(w) > 0).as("a"))
     val bg = arr
@@ -383,7 +392,7 @@ object Vocabulary {
   def groupShingleOverlap(docs: DataFrame, groupCol: String, textCol: String,
                           width: Int = 3): DataFrame = {
     require(width >= 1, s"bad shingle width $width")
-    val sh = docs.select(col(groupCol).as("g"),
+    val sh = Dedup.widen(docs).select(col(groupCol).as("g"),
         split(lower(col(textCol)), " ").as("tk"))
       .where(size(col("tk")) >= width)
       .select(col("g"), explode(expr(
@@ -422,7 +431,7 @@ object Vocabulary {
   def msttr(docs: DataFrame, idCol: String, textCol: String,
             sourceCol: String, segment: Int = 50): DataFrame = {
     require(segment >= 2, s"bad segment=$segment")
-    val tok = docs
+    val tok = Dedup.widen(docs)
       .select(col(idCol).as("doc"), col(sourceCol).as("source"),
         posexplode(graft.functions.TextFunctions.tokens(lower(col(textCol)))))
       .withColumnRenamed("col", "w")
@@ -467,7 +476,7 @@ object Vocabulary {
                    maxWords: Int = 4, minCount: Long = 2L): DataFrame = {
     require(stopwords.nonEmpty && minWords >= 1 && maxWords >= minWords,
       s"bad rake params")
-    val tok = docs
+    val tok = Dedup.widen(docs)
       .select(col(idCol).as("doc"),
         posexplode(graft.functions.TextFunctions.tokens(lower(col(textCol)))))
       .withColumnRenamed("col", "w")

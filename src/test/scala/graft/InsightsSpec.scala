@@ -727,6 +727,26 @@ class InsightsSpec extends SparkSpec {
     assert(re2 === base)
   }
 
+  test("iforest path sum: hand-traced trees, NULL features route right") {
+    // two hand-built trees over one feature (r20 native-expression pin):
+    //   t0: root f0<5 ? leaf 1.0 : leaf 2.0
+    //   t1: root f0<3 ? leaf 10.0 : (f0<7 ? leaf 20.0 : leaf 30.0)
+    import graft.expressions.NativeFunctions
+    val feats = Array(0, -1, -1, 0, -1, 0, -1, -1)
+    val thr = Array(5.0, 0, 0, 3.0, 0, 7.0, 0, 0)
+    val lefts = Array(1, -1, -1, 4, -1, 6, -1, -1)
+    val rights = Array(2, -1, -1, 5, -1, 7, -1, -1)
+    val leafs = Array(0.0, 1.0, 2.0, 0.0, 10.0, 0.0, 20.0, 30.0)
+    val roots = Array(0, 3)
+    val df = Seq((1L, Some(1.0)), (2L, Some(6.0)), (3L, Some(9.0)),
+      (4L, None)).toDF("id", "x")
+    val got = df.withColumn("s", NativeFunctions.iforestPathSum(
+        Seq(col("x")), feats, thr, lefts, rights, leafs, roots))
+      .orderBy("id").select("s").as[Double].collect()
+    // x=1 → 1+10; x=6 → 2+20; x=9 → 2+30; NULL → right,right → 2+30
+    assert(got.toSeq === Seq(11.0, 22.0, 32.0, 32.0))
+  }
+
   test("hourlyAdf: alternating series strongly rejects a unit root") {
     // 10,2,10,2,... → Δx = −γ·x-ish mean reversion: γ = Σzy/Σz²
     val ev = (0 until 20).flatMap { h =>

@@ -207,10 +207,13 @@ class ShuffleShapeSpec extends SparkSpec {
     // and the broadcast quartile join run on the calendar-bounded frame
     assert(shuffles(Profiler.tukeyOutliers(ev, "event_type",
       date_trunc("hour", col("ts")), cents.cast("long"))) <= 3)
-    // exploded bigram pass + the two group grains
+    // exploded bigram pass + the two group grains, plus the r20 widen
+    // round-robin that un-fuses the tokenize explode from a single-split
+    // scan (a no-op exchange on at-scale inputs already ≥ the
+    // parallelism floor — this test frame is below it)
     val docs = ev.select(col("event_id").as("doc_id"),
       col("props").as("text"), col("event_type").as("source"))
-    assert(shuffles(Vocabulary.bigramEntropy(docs, "source", "text")) <= 2)
+    assert(shuffles(Vocabulary.bigramEntropy(docs, "source", "text")) <= 3)
     // one (day, variant) moment pass; cumulative + running-min windows
     // sort the day grid only
     assert(shuffles(StatTests.msprt(ev, col("user_id"), cents,
