@@ -469,10 +469,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     // distinct word-hash set per doc, sorted once, so the per-pair Jaccard
-    // is an allocation-free two-pointer merge (see SortedJaccard scaladoc)
-    val withSet = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+    // is an allocation-free two-pointer merge (see SortedJaccard scaladoc).
+    // r20: widened (the tokenize otherwise fuses into a single-split scan
+    // task) and checkpoint-materialized ONCE — both self-join sides
+    // otherwise re-ran the scan + set build (measured: two serial
+    // 0.2 s single-task jobs per call at sf0.1)
+    val withSet = widen(docs).select(col(idCol).as("id"), col(blockCol).as("blk"),
       sort_array(array_distinct(transform(split(lower(col(textCol)), " "),
         t => xxhash64(t)))).as("wh"))
+      .localCheckpoint(true)
     val jac = graft.expressions.NativeFunctions.sortedJaccard(col("l.wh"), col("r.wh"), threshold)
     withSet.as("l").join(withSet.as("r"),
         col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
@@ -599,7 +604,12 @@ object Dedup {
     def tag(df: DataFrame, isNew: Boolean) =
       widen(df).select(col(idCol).as("id"), lit(isNew).as("isNew"),
         array_distinct(split(lower(col(textCol)), " ")).as("words"))
+    // r20: words feeds THREE consumers (df counts, the prefix window, and
+    // the verification hash sets) — un-materialized, each re-ran both
+    // scans + the tokenize/array_distinct (measured: six serial
+    // single-task scan jobs per call). One eager checkpoint, doc-sized.
     val words = tag(corpus, isNew = false).unionByName(tag(newDocs, isNew = true))
+      .localCheckpoint(true)
     val tok = words.select(col("id"), col("isNew"), size(col("words")).as("n"),
       explode(col("words")).as("w"))
     val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))

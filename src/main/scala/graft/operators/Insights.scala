@@ -26,22 +26,44 @@ object Insights {
     * (n_ab, support, confidence P(b|a), lift). Baskets are `basketCol`
     * groups; multiplicity within a basket is ignored (set semantics).
     *
-    * Plan: distinct (basket, item) pairs — one exchange — then a
-    * self-join co-partitioned on the basket key (pair fan-out is bounded
-    * by per-basket item count squared, the classic a-priori shape) and a
-    * pair-key aggregate. Item marginals are a dimension-sized broadcast;
-    * the basket total is a 1-row broadcast. No fact-table self-join: the
-    * join runs on the deduplicated basket-item frame.
+    * Plan (r20, the coOccurrenceEdges idiom — guide §2.3/§2.4): ONE
+    * basket-keyed aggregation collects each basket's DISTINCT item set
+    * (the old distinct + basket-key self-join in one exchange), and pair
+    * enumeration is a narrow double `explode` of the set — the pair
+    * multiset never crosses a join. Marginals and the basket total read
+    * the same checkpointed basket-set frame. Pair multiset identical:
+    * per basket every unordered pair of distinct non-NULL items once
+    * (collect_set drops NULLs, which the old `<` also never paired; a
+    * NULL basket keeps counting in totals/marginals but pairs nothing,
+    * exactly like the old NULL-key join). Per-group aggregation state is
+    * bounded by the basket's distinct item count — the same per-key
+    * bound the old self-join's fan-out imposed.
     */
+  /** One row per basket with its DISTINCT item set (collect_set drops
+    * NULL items; a NULL basket keeps its row). The explicit basket-key
+    * exchange satisfies the aggregate's required distribution (the
+    * sizedDistinctPairs plan contract — coalescing-exempt, so the set
+    * build never fuses into a single-split scan task), and the frame is
+    * checkpoint-materialized once for its three consumers (marginals,
+    * totals, pair fan-out).
+    */
+  private def basketItemSets(df: DataFrame, basketCol: String,
+                             itemCol: String): DataFrame =
+    df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .repartition(graft.GraftSession.parallelismFloor(df.sparkSession),
+        col("_bk"))
+      .groupBy(col("_bk")).agg(collect_set(col("_it")).as("_items"))
+      .localCheckpoint(true)
+
   def marketBasket(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
-    val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
-      .distinct()
-    val marginals = items.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
-    val totals = items.select(col("_bk")).distinct()
-      .agg(count(lit(1)).as("_nb"))
-    val a = items.select(col("_bk"), col("_it").as("item_a"))
-    val b = items.select(col("_bk"), col("_it").as("item_b"))
-    a.join(b, Seq("_bk")).where(col("item_a") < col("item_b"))
+    val sets = basketItemSets(df, basketCol, itemCol)
+    val marginals = sets.select(explode(col("_items")).as("_it"))
+      .groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+    val totals = sets.agg(count(lit(1)).as("_nb"))
+    sets.where(col("_bk").isNotNull)
+      .select(explode(col("_items")).as("item_a"), col("_items"))
+      .select(col("item_a"), explode(col("_items")).as("item_b"))
+      .where(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
       .join(broadcast(marginals.select(col("_it").as("item_a"), col("_n").as("_na"))), Seq("item_a"))
       .join(broadcast(marginals.select(col("_it").as("item_b"), col("_n").as("_nb_i"))), Seq("item_b"))
@@ -349,6 +371,15 @@ object Insights {
     */
   def unitValueIndex(df: DataFrame, dateCol: Column, itemCol: Column,
                      qtyCol: Column, cents: Column): DataFrame = {
+    // r20 NOTE — measured and left alone: grain feeds three consumers
+    // (min-month broadcast, base filter, index join) and re-executes in
+    // each, but both materialization cures cost MORE wall than the
+    // duplicate scans here: an eager localCheckpoint serialized the
+    // formerly-CONCURRENT branches (1.27 → 1.74 s), and a lazy
+    // MEMORY_AND_DISK persist paid columnar cache build + decompression
+    // dearer still (→ 3.2 s). The re-executed subplan is scan+one
+    // map-side-combined aggregate — cheap relative to a cache round-trip
+    // of the item×month grain.
     val grain = df
       .select(date_trunc("MONTH", dateCol).as("m"), itemCol.as("k"),
         qtyCol.cast("long").as("q"), cents.cast("long").as("e"))
@@ -475,23 +506,24 @@ object Insights {
     * confidence P(b|a), lift, leverage (P(ab) − P(a)P(b)) and conviction
     * ((1 − P(b)) / (1 − conf); NULL for exact rules where conf = 1 —
     * infinite conviction reported loudly as absence, not as a sentinel).
-    * Same plan shape as [[marketBasket]]: the pair join runs on the
-    * deduplicated basket-item frame co-partitioned by basket; marginals
-    * and the basket total are broadcast; every statistic is a fixed
-    * scalar tree over exact integer counts.
+    * Same plan shape as [[marketBasket]] (r20): pair enumeration is a
+    * double `explode` of the checkpointed per-basket distinct item set —
+    * no basket-key self-join; marginals and the basket total are
+    * broadcast; every statistic is a fixed scalar tree over exact
+    * integer counts.
     */
   def basketRules(df: DataFrame, basketCol: String, itemCol: String,
                   minN: Long = 1L): DataFrame = {
-    val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
-      .distinct()
-    val marginals = items.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
-    val totals = items.select(col("_bk")).distinct()
-      .agg(count(lit(1)).as("_nb"))
-    val a = items.select(col("_bk"), col("_it").as("antecedent"))
-    val b = items.select(col("_bk"), col("_it").as("consequent"))
+    val sets = basketItemSets(df, basketCol, itemCol)
+    val marginals = sets.select(explode(col("_items")).as("_it"))
+      .groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+    val totals = sets.agg(count(lit(1)).as("_nb"))
     def d(c: Column): Column = c.cast("double")
     val conf = d(col("n_ab")) / d(col("_na"))
-    a.join(b, Seq("_bk")).where(col("antecedent") =!= col("consequent"))
+    sets.where(col("_bk").isNotNull)
+      .select(explode(col("_items")).as("antecedent"), col("_items"))
+      .select(col("antecedent"), explode(col("_items")).as("consequent"))
+      .where(col("antecedent") =!= col("consequent"))
       .groupBy(col("antecedent"), col("consequent"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minN)

@@ -89,7 +89,11 @@ final class TextIndex private (spark: SparkSession, val dir: String,
   private def commitGeneration(batch: DataFrame, idCol: String,
                                textCol: String, extBatch: Int): Unit = {
     val b = committedBatches
-    val toks = batch.select(col(idCol).as("doc_id"),
+    // r20: widen a single-split batch before tokenizing — the posting
+    // explode otherwise fuses into the one scan task (measured: 0.48 s
+    // single-task job inside docs_bm25_indexed's create); no-op on
+    // at-scale inputs already at the parallelism floor
+    val toks = Dedup.widen(batch).select(col(idCol).as("doc_id"),
       TextSearch.tokens(col(textCol)).as("w"))
     toks.select(col("doc_id"), size(col("w")).as("dl"),
         posexplode(col("w")).as(Seq("pos", "term")))
