@@ -293,9 +293,15 @@ object Vocabulary {
     * global count table joined back, two broadcast totals frames.
     */
   def jsDivergence(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    // r20: tf feeds FOUR consumers (glob, the group totals, the grand
+    // total via glob, and the final join) — un-materialized, each re-ran
+    // the tokenize explode + (g, w) aggregate (measured: four 32-task
+    // passes at 1.2–8.7 s task time each). One eager checkpoint of the
+    // vocabulary×groups-sized grain.
     val tf = Dedup.widen(docs).select(col(groupCol).as("g"), toks(textCol))
       .where(length(col("w")) > 0)
       .groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val glob = tf.groupBy(col("w")).agg(sum(col("c")).as("cg"))
     val gTot = tf.groupBy(col("g")).agg(sum(col("c")).as("ng"))
     val tot = glob.agg(sum(col("cg")).cast("double").as("nn"))
